@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet-directory catalog over the driver testdata layout
+  * (`<dir>/<table>.parquet`).
+  *
+  * Mirrors the reference's dynamic catalog discovery
+  * (klepto `pkg/reader/mysql/reader.go:34-57`,
+  * `pkg/reader/postgres/reader.go:36-62`): tables are discovered from the
+  * source, not declared, and schemas come from the files themselves
+  * (parquet footer ≅ information_schema.columns,
+  * `pkg/reader/engine/engine.go:66-79`).
+  */
+object Tables {
+  /** All driver-provided tables (TPC-H-ish star schema + events +
+    * north-star documents/embeddings). */
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Discover table names present in a directory (catalog listing, S3). */
+  def list(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(_.getName.stripSuffix(".parquet"))
+      .sorted.toSeq
+  }
+}

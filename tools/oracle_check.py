@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Local pre-check of SparkEntry oracle SQL vs the Verify parquet dumps.
+
+Mimics the driver's DuckDB-oracle compare: registers each testdata table as a
+DuckDB view, runs oracle_sql.json, canonicalizes both sides (sort columns by
+name, total row sort, stringify), and hash-compares. Dev tool only — the
+graded check is driver-side.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+"""
+import json, sys, hashlib
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(df):
+    # sort columns by name, then rows lexicographically, stringify all values
+    df = df[sorted(df.columns)]
+    rows = [tuple(str(v) for v in r) for r in df.itertuples(index=False)]
+    rows.sort()
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return len(rows), h.hexdigest()
+
+fails = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        want = canon(con.execute(sql).df())
+        got = canon(duckdb.connect().execute(
+            f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df())
+        ok = want == got
+        if not ok:
+            fails += 1
+        print(f"{'OK  ' if ok else 'FAIL'} {name}: spark={got} oracle={want}")
+    except Exception as e:
+        fails += 1
+        print(f"ERR  {name}: {e}")
+sys.exit(1 if fails else 0)
