@@ -131,6 +131,28 @@ object SparkEntry {
   private def k12(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "region").orderBy("r_regionkey")
 
+  /** K13 — the whole config→plan pipeline (klepto steal shape,
+    * cmd/steal.go:52-127): TOML config with matcher, relationship,
+    * ordered sort, limit → SubsetPlanner → subset DataFrame. */
+  private def k13(s: SparkSession, dir: String): DataFrame = {
+    val cfg = graft.config.Config.load(
+      """[Matchers]
+        |  RichCustomers = "customer.c_acctbal > 0"
+        |[[Tables]]
+        |  Name = "orders"
+        |  [Tables.Filter]
+        |    Match = "RichCustomers"
+        |    Limit = 500
+        |    [Tables.Filter.Sorts]
+        |      o_orderkey = "asc"
+        |  [[Tables.Relationships]]
+        |    ForeignKey = "o_custkey"
+        |    ReferencedTable = "customer"
+        |    ReferencedKey = "c_custkey"
+        |""".stripMargin)
+    new graft.plan.SubsetPlanner(Tables.load(s, dir, _), cfg).plan("orders")
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -146,6 +168,7 @@ object SparkEntry {
     "k10_matcher_reuse" -> (k10 _),
     "k11_ignore_data"   -> (k11 _),
     "k12_full_copy"     -> (k12 _),
+    "k13_config_pipeline" -> (k13 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -188,5 +211,9 @@ object SparkEntry {
       "SELECT * FROM nation WHERE 1 = 0",
     "k12_full_copy" ->
       "SELECT * FROM region ORDER BY r_regionkey",
+    "k13_config_pipeline" ->
+      ("SELECT o.* FROM orders o " +
+        "JOIN customer c ON c.c_custkey = o.o_custkey " +
+        "WHERE c.c_acctbal > 0 ORDER BY o.o_orderkey LIMIT 500"),
   )
 }

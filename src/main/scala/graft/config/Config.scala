@@ -1,0 +1,172 @@
+package graft.config
+
+import graft.config.Toml._
+
+/** klepto-compatible subset/anonymise configuration
+  * (reference `pkg/config/config.go:33-68`).
+  *
+  * Differences from the reference, by design (SURVEY §7.4):
+  *   - `sorts` and `anonymise` are ordered sequences, not Go maps, so
+  *     multi-column ORDER BY is deterministic (§7.4.2);
+  *   - matcher aliases that look like predicates are still substituted with
+  *     the same exact-then-case-insensitive lookup as
+  *     `config.go:101-117` (viper lowercases TOML keys, hence the fallback).
+  */
+final case class Relationship(
+    table: String,            // defaults to the configured table (engine.go:141-143)
+    foreignKey: String,
+    referencedTable: String,
+    referencedKey: String)
+
+final case class Filter(
+    matchExpr: String = "",
+    limit: Long = 0,          // 0 = no limit (config.go:51-52)
+    sorts: Seq[(String, String)] = Nil) // (column, "asc"|"desc")
+
+final case class TableConfig(
+    name: String,
+    ignoreData: Boolean = false,
+    filter: Filter = Filter(),
+    anonymise: Seq[(String, String)] = Nil, // (column, "literal:x" | "FakerName[:args]")
+    relationships: Seq[Relationship] = Nil)
+
+object Config {
+
+  final case class ConfigException(msg: String) extends RuntimeException(msg)
+
+  /** Load table configs from TOML text, applying matcher substitution
+    * (≅ `config.go:82-120` LoadFromFile). */
+  def load(toml: String): Seq[TableConfig] = {
+    val root = Toml.parse(toml)
+    val matchers = readMatchers(root)
+    readTables(root).map { t =>
+      t.copy(filter = t.filter.copy(
+        matchExpr = substituteMatcher(matchers, t.filter.matchExpr)))
+    }
+  }
+
+  def loadFile(path: String): Seq[TableConfig] =
+    load(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Exact key first, then case-insensitive (config.go:107-116: viper
+    * lower-cases keys, so `Match = "ActiveUsers"` must still find the
+    * `activeusers` entry). Empty match passes through. */
+  private[config] def substituteMatcher(
+      matchers: Seq[(String, String)], matchExpr: String): String = {
+    if (matchExpr.isEmpty) matchExpr
+    else matchers.collectFirst { case (k, v) if k == matchExpr => v }
+      .orElse(matchers.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(matchExpr) => v
+      })
+      .getOrElse(matchExpr)
+  }
+
+  /** Accepts both `[Matchers]` (fixtures/.klepto.toml:1-2) and
+    * `[[Matchers]]` (examples/user-orders-using-matchers.toml:1-2) forms. */
+  private def readMatchers(root: TTable): Seq[(String, String)] =
+    root.entries.get("Matchers") match {
+      case Some(TTable(es)) =>
+        es.toSeq.collect { case (k, TStr(v)) => k -> v }
+      case Some(TArray(items)) =>
+        items.toSeq.flatMap(_.entries.toSeq.collect { case (k, TStr(v)) => k -> v })
+      case None => Nil
+      case Some(other) =>
+        throw ConfigException(s"[Matchers] must be a table, got $other")
+    }
+
+  private def readTables(root: TTable): Seq[TableConfig] =
+    root.entries.get("Tables") match {
+      case Some(TArray(items)) => items.toSeq.map(readTable)
+      case None => Nil
+      case Some(other) =>
+        throw ConfigException(s"[[Tables]] must be an array of tables, got $other")
+    }
+
+  private def readTable(t: TTable): TableConfig = {
+    val name = str(t, "Name").getOrElse(
+      throw ConfigException("table entry missing Name"))
+    TableConfig(
+      name = name,
+      ignoreData = bool(t, "IgnoreData").getOrElse(false),
+      filter = t.entries.get("Filter") match {
+        case Some(f: TTable) => readFilter(f)
+        case _ => Filter()
+      },
+      anonymise = t.entries.get("Anonymise") match {
+        case Some(TTable(es)) => es.toSeq.collect { case (k, TStr(v)) => k -> v }
+        case _ => Nil
+      },
+      relationships = t.entries.get("Relationships") match {
+        case Some(TArray(items)) =>
+          items.toSeq.map { r =>
+            Relationship(
+              // Table defaults to the scanned table (engine.go:141-143)
+              table = str(r, "Table").filter(_.nonEmpty).getOrElse(name),
+              foreignKey = str(r, "ForeignKey").getOrElse(
+                throw ConfigException(s"$name: relationship missing ForeignKey")),
+              referencedTable = str(r, "ReferencedTable").getOrElse(
+                throw ConfigException(s"$name: relationship missing ReferencedTable")),
+              referencedKey = str(r, "ReferencedKey").getOrElse(
+                throw ConfigException(s"$name: relationship missing ReferencedKey")))
+          }
+        case _ => Nil
+      })
+  }
+
+  private def readFilter(f: TTable): Filter = Filter(
+    matchExpr = str(f, "Match").getOrElse(""),
+    limit = f.entries.get("Limit") match {
+      case Some(TInt(n)) =>
+        if (n < 0) throw ConfigException(s"negative Limit: $n") else n
+      case _ => 0
+    },
+    sorts = f.entries.get("Sorts") match {
+      case Some(TTable(es)) =>
+        es.toSeq.collect { case (k, TStr(v)) =>
+          val dir = v.toLowerCase
+          if (dir != "asc" && dir != "desc")
+            throw ConfigException(s"sort direction must be asc|desc, got $v")
+          k -> dir
+        }
+      case _ => Nil
+    })
+
+  private def str(t: TTable, k: String): Option[String] =
+    t.entries.get(k).collect { case TStr(v) => v }
+  private def bool(t: TTable, k: String): Option[Boolean] =
+    t.entries.get(k).collect { case TBool(v) => v }
+
+  /** Sample config (≅ `config.go:126-159` WriteSample / `klepto init`). */
+  val sample: String =
+    """[Matchers]
+      |  ActiveUsers = "users.active = TRUE"
+      |
+      |[[Tables]]
+      |  Name = "users"
+      |  IgnoreData = false
+      |  [Tables.Filter]
+      |    Match = "users.active = TRUE"
+      |    Limit = 100
+      |    [Tables.Filter.Sorts]
+      |      "users.id" = "asc"
+      |  [Tables.Anonymise]
+      |    email = "EmailAddress"
+      |    firstName = "FirstName"
+      |
+      |[[Tables]]
+      |  Name = "orders"
+      |  IgnoreData = false
+      |  [Tables.Filter]
+      |    Match = "ActiveUsers"
+      |    Limit = 10
+      |  [[Tables.Relationships]]
+      |    ForeignKey = "user_id"
+      |    ReferencedTable = "users"
+      |    ReferencedKey = "id"
+      |
+      |[[Tables]]
+      |  Name = "logs"
+      |  IgnoreData = true
+      |""".stripMargin
+}

@@ -1,0 +1,155 @@
+package graft.config
+
+import scala.collection.mutable
+
+/** Minimal TOML parser covering the subset klepto config files use
+  * (reference `fixtures/.klepto.toml` and the examples directory):
+  * `[table]`, `[table.sub]`, `[[array-of-tables]]`, bare/quoted keys,
+  * string/integer/float/boolean values, `#` comments.
+  *
+  * Zero-dependency by design (offline build); insertion order is preserved
+  * everywhere so multi-column `Sorts` are deterministic — deliberately
+  * unlike the reference, whose Go map made ORDER BY column order
+  * nondeterministic (klepto `pkg/reader/engine/engine.go:158-160`,
+  * SURVEY §7.4.2).
+  */
+object Toml {
+
+  sealed trait Value
+  final case class TStr(v: String) extends Value
+  final case class TInt(v: Long) extends Value
+  final case class TFloat(v: Double) extends Value
+  final case class TBool(v: Boolean) extends Value
+  final case class TTable(entries: mutable.LinkedHashMap[String, Value])
+      extends Value
+  final case class TArray(items: mutable.ArrayBuffer[TTable]) extends Value
+
+  final case class TomlParseException(msg: String, line: Int)
+      extends RuntimeException(s"TOML parse error at line $line: $msg")
+
+  def parse(text: String): TTable = {
+    val root = TTable(mutable.LinkedHashMap.empty)
+    var current = root
+    var lineNo = 0
+    for (raw <- text.linesIterator) {
+      lineNo += 1
+      val line = stripComment(raw).trim
+      if (line.nonEmpty) {
+        if (line.startsWith("[[") && line.endsWith("]]")) {
+          val path = parseKeyPath(line.substring(2, line.length - 2), lineNo)
+          current = appendArrayTable(root, path, lineNo)
+        } else if (line.startsWith("[") && line.endsWith("]")) {
+          val path = parseKeyPath(line.substring(1, line.length - 1), lineNo)
+          current = descendTable(root, path, lineNo)
+        } else {
+          val eq = indexOfUnquoted(line, '=')
+          if (eq < 0) throw TomlParseException(s"expected key = value: $line", lineNo)
+          val key = parseKeyPath(line.substring(0, eq), lineNo) match {
+            case Seq(k) => k
+            case other  => other.mkString(".") // dotted key: flatten (unused by klepto configs)
+          }
+          current.entries.put(key, parseValue(line.substring(eq + 1).trim, lineNo))
+        }
+      }
+    }
+    root
+  }
+
+  private def stripComment(line: String): String = {
+    var inStr = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c == '"' && (i == 0 || line.charAt(i - 1) != '\\')) inStr = !inStr
+      else if (c == '#' && !inStr) return line.substring(0, i)
+      i += 1
+    }
+    line
+  }
+
+  private def indexOfUnquoted(s: String, target: Char): Int = {
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '"' && (i == 0 || s.charAt(i - 1) != '\\')) inStr = !inStr
+      else if (c == target && !inStr) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** `a.b."c.d"` → Seq(a, b, "c.d") — quoted segments keep their dots
+    * (klepto sorts use quoted keys like `"users.id" = "asc"`). */
+  private def parseKeyPath(s: String, lineNo: Int): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inStr = false
+    var i = 0
+    val t = s.trim
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == '"') inStr = !inStr
+      else if (c == '.' && !inStr) { out += cur.result().trim; cur.clear() }
+      else cur += c
+      i += 1
+    }
+    if (inStr) throw TomlParseException(s"unterminated quoted key: $s", lineNo)
+    out += cur.result().trim
+    val segs = out.toSeq
+    if (segs.exists(_.isEmpty))
+      throw TomlParseException(s"empty key segment in: $s", lineNo)
+    segs
+  }
+
+  private def parseValue(s: String, lineNo: Int): Value = s match {
+    case v if v.startsWith("\"") && v.endsWith("\"") && v.length >= 2 =>
+      TStr(unescape(v.substring(1, v.length - 1)))
+    case "true"  => TBool(true)
+    case "false" => TBool(false)
+    case v if v.matches("[+-]?\\d+") => TInt(v.toLong)
+    case v if v.matches("[+-]?\\d*\\.\\d+([eE][+-]?\\d+)?") => TFloat(v.toDouble)
+    case v => throw TomlParseException(s"unsupported value: $v", lineNo)
+  }
+
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        i += 1
+        s.charAt(i) match {
+          case 'n'  => sb += '\n'
+          case 't'  => sb += '\t'
+          case 'r'  => sb += '\r'
+          case '"'  => sb += '"'
+          case '\\' => sb += '\\'
+          case o    => sb += '\\'; sb += o
+        }
+      } else sb += c
+      i += 1
+    }
+    sb.result()
+  }
+
+  private def descendTable(root: TTable, path: Seq[String], lineNo: Int): TTable =
+    path.foldLeft(root) { (tbl, seg) =>
+      tbl.entries.getOrElseUpdate(seg, TTable(mutable.LinkedHashMap.empty)) match {
+        case t: TTable => t
+        case TArray(items) => items.last // [Tables.Filter] under the latest [[Tables]]
+        case _ => throw TomlParseException(s"$seg is not a table", lineNo)
+      }
+    }
+
+  private def appendArrayTable(root: TTable, path: Seq[String], lineNo: Int): TTable = {
+    val parent = descendTable(root, path.dropRight(1), lineNo)
+    val arr = parent.entries.getOrElseUpdate(path.last, TArray(mutable.ArrayBuffer.empty)) match {
+      case a: TArray => a
+      case _ => throw TomlParseException(s"${path.last} is not an array of tables", lineNo)
+    }
+    val t = TTable(mutable.LinkedHashMap.empty)
+    arr.items += t
+    t
+  }
+}

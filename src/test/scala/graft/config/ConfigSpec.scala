@@ -1,0 +1,152 @@
+package graft.config
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors reference `pkg/config/config_test.go` semantics. */
+class ConfigSpec extends AnyFunSuite {
+
+  private val fixture =
+    """[Matchers]
+      |  ActiveUsers = "users.active = TRUE"
+      |
+      |[[Tables]]
+      |  Name = "users"
+      |  IgnoreData = false
+      |  [Tables.Filter]
+      |    Match = "users.active = TRUE"
+      |    Limit = 100
+      |    [Tables.Filter.Sorts]
+      |      "users.id" = "asc"
+      |      created_at = "desc"
+      |  [Tables.Anonymise]
+      |    email = "EmailAddress"
+      |    firstName = "FirstName"
+      |
+      |[[Tables]]
+      |  Name = "orders"
+      |  [Tables.Filter]
+      |    Match = "ActiveUsers"
+      |    Limit = 10
+      |  [[Tables.Relationships]]
+      |    Table = ""
+      |    ForeignKey = "user_id"
+      |    ReferencedTable = "users"
+      |    ReferencedKey = "id"
+      |
+      |[[Tables]]
+      |  Name = "logs"
+      |  IgnoreData = true
+      |""".stripMargin
+
+  test("loads tables with filters, sorts, anonymise, relationships") {
+    val tables = Config.load(fixture)
+    assert(tables.map(_.name) == Seq("users", "orders", "logs"))
+
+    val users = tables.head
+    assert(users.filter.matchExpr == "users.active = TRUE")
+    assert(users.filter.limit == 100)
+    // declaration order preserved — deliberately stronger than the
+    // reference's Go map (SURVEY §7.4.2)
+    assert(users.filter.sorts == Seq("users.id" -> "asc", "created_at" -> "desc"))
+    assert(users.anonymise == Seq("email" -> "EmailAddress",
+      "firstName" -> "FirstName"))
+
+    val logs = tables(2)
+    assert(logs.ignoreData)
+  }
+
+  test("matcher alias is substituted (config.go:101-117)") {
+    val orders = Config.load(fixture)(1)
+    assert(orders.filter.matchExpr == "users.active = TRUE")
+  }
+
+  test("matcher lookup falls back case-insensitively (viper lowercases keys)") {
+    val cfg =
+      """[Matchers]
+        |  activeusers = "users.active = TRUE"
+        |[[Tables]]
+        |  Name = "orders"
+        |  [Tables.Filter]
+        |    Match = "ActiveUsers"
+        |""".stripMargin
+    assert(Config.load(cfg).head.filter.matchExpr == "users.active = TRUE")
+  }
+
+  test("unknown matcher passes through as raw predicate") {
+    val cfg =
+      """[[Tables]]
+        |  Name = "orders"
+        |  [Tables.Filter]
+        |    Match = "orders.total > 5"
+        |""".stripMargin
+    assert(Config.load(cfg).head.filter.matchExpr == "orders.total > 5")
+  }
+
+  test("[[Matchers]] array form also accepted (user-orders-using-matchers.toml)") {
+    val cfg =
+      """[[Matchers]]
+        |  Latest = "users.active = true"
+        |[[Tables]]
+        |  Name = "users"
+        |  [Tables.Filter]
+        |    Match = "Latest"
+        |""".stripMargin
+    assert(Config.load(cfg).head.filter.matchExpr == "users.active = true")
+  }
+
+  test("relationship Table defaults to the configured table (engine.go:141-143)") {
+    val rel = Config.load(fixture)(1).relationships.head
+    assert(rel.table == "orders")
+    assert(rel.foreignKey == "user_id")
+    assert(rel.referencedTable == "users")
+    assert(rel.referencedKey == "id")
+  }
+
+  test("sample config round-trips through the loader") {
+    val tables = Config.load(Config.sample)
+    assert(tables.map(_.name) == Seq("users", "orders", "logs"))
+    assert(tables(1).filter.matchExpr == "users.active = TRUE")
+  }
+
+  test("multi-hop relationships keep declaration order (user-orders.toml)") {
+    val cfg =
+      """[[Tables]]
+        |  Name = "order_items"
+        |  [[Tables.Relationships]]
+        |    ForeignKey = "order_id"
+        |    ReferencedTable = "orders"
+        |    ReferencedKey = "id"
+        |  [[Tables.Relationships]]
+        |    Table = "orders"
+        |    ForeignKey = "user_id"
+        |    ReferencedTable = "users"
+        |    ReferencedKey = "id"
+        |""".stripMargin
+    val rels = Config.load(cfg).head.relationships
+    assert(rels.map(_.referencedTable) == Seq("orders", "users"))
+    assert(rels.head.table == "order_items") // default
+    assert(rels(1).table == "orders")        // explicit
+  }
+
+  test("invalid sort direction rejected") {
+    val cfg =
+      """[[Tables]]
+        |  Name = "t"
+        |  [Tables.Filter]
+        |    [Tables.Filter.Sorts]
+        |      c = "sideways"
+        |""".stripMargin
+    assertThrows[Config.ConfigException](Config.load(cfg))
+  }
+
+  test("comments and inline comments are ignored") {
+    val cfg =
+      """# top comment
+        |[[Tables]]
+        |  Name = "t"  # inline
+        |  [Tables.Filter]
+        |    Match = "a # not a comment"  # real comment
+        |""".stripMargin
+    assert(Config.load(cfg).head.filter.matchExpr == "a # not a comment")
+  }
+}

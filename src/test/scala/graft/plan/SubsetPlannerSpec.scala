@@ -1,0 +1,151 @@
+package graft.plan
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+import graft.config.{Config, Filter, Relationship, TableConfig}
+
+class SubsetPlannerSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private def load(name: String): DataFrame = Tables.load(spark, sf, name)
+
+  private def keys(df: DataFrame, c: String): Seq[Long] =
+    df.select(c).collect().map(_.getLong(0)).toSeq.sorted
+
+  test("scan + filter + ordered sorts + limit (engine.go:136-167 shape)") {
+    val cfg = TableConfig("customer",
+      filter = Filter("c_acctbal > 0", 10, Seq("c_custkey" -> "desc")))
+    val planner = new SubsetPlanner(load, Seq(cfg))
+    val got = planner.plan("customer")
+    val want = load("customer").where("c_acctbal > 0")
+      .orderBy(org.apache.spark.sql.functions.col("c_custkey").desc).limit(10)
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("one-hop relationship subset matches K5") {
+    val cfg = TableConfig("orders",
+      filter = Filter("customer.c_mktsegment = 'BUILDING'"),
+      relationships = Seq(
+        Relationship("orders", "o_custkey", "customer", "c_custkey")))
+    val got = new SubsetPlanner(load, Seq(cfg)).plan("orders")
+    val want = graft.SparkEntry.queries("k5_subset_onehop")(spark, sf)
+    assert(keys(got, "o_orderkey") == keys(want, "o_orderkey"))
+  }
+
+  test("multi-hop chain matches K6 (user-orders.toml:33-56 shape)") {
+    val cfg = TableConfig("lineitem",
+      filter = Filter("customer.c_mktsegment = 'BUILDING'"),
+      relationships = Seq(
+        Relationship("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        Relationship("orders", "o_custkey", "customer", "c_custkey")))
+    val got = new SubsetPlanner(load, Seq(cfg)).plan("lineitem")
+    val want = graft.SparkEntry.queries("k6_subset_multihop")(spark, sf)
+    assert(got.count() == want.count())
+    assert(keys(got, "l_orderkey") == keys(want, "l_orderkey"))
+  }
+
+  test("projection keeps only the scanned table's columns (engine.go:88-94)") {
+    val cfg = TableConfig("orders",
+      filter = Filter("customer.c_mktsegment = 'BUILDING'"),
+      relationships = Seq(
+        Relationship("orders", "o_custkey", "customer", "c_custkey")))
+    val got = new SubsetPlanner(load, Seq(cfg)).plan("orders")
+    assert(got.columns.toSeq == load("orders").columns.toSeq)
+  }
+
+  test("IgnoreData keeps schema, drops rows (config.go:37-38)") {
+    val cfg = TableConfig("nation", ignoreData = true,
+      filter = Filter("n_nationkey > 0")) // filter irrelevant when ignored
+    val got = new SubsetPlanner(load, Seq(cfg)).plan("nation")
+    assert(got.count() == 0)
+    assert(got.columns.toSeq == load("nation").columns.toSeq)
+  }
+
+  test("garbage Match with embedded ORDER BY/LIMIT is rejected (§7.4.4)") {
+    val cfg = TableConfig("customer", filter =
+      Filter("c_acctbal > 0 ORDER BY c_custkey DESC LIMIT 100"))
+    val planner = new SubsetPlanner(load, Seq(cfg))
+    assertThrows[planner.PlanException](planner.plan("customer"))
+  }
+
+  test("Match referencing an unjoined table is rejected") {
+    val cfg = TableConfig("orders",
+      filter = Filter("customer.c_mktsegment = 'BUILDING'")) // no relationship
+    val planner = new SubsetPlanner(load, Seq(cfg))
+    assertThrows[planner.PlanException](planner.plan("orders"))
+  }
+
+  test("multi-table predicate falls back to reference flat-join shape") {
+    val cfg = TableConfig("orders",
+      filter = Filter(
+        "customer.c_mktsegment = 'BUILDING' AND orders.o_totalprice > 100000"),
+      relationships = Seq(
+        Relationship("orders", "o_custkey", "customer", "c_custkey")))
+    val got = new SubsetPlanner(load, Seq(cfg)).plan("orders")
+    val custs = load("customer").where("c_mktsegment = 'BUILDING'")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val want = load("orders").where("o_totalprice > 100000")
+      .collect().filter(r => custs.contains(r.getLong(1)))
+    assert(got.count() == want.length)
+    assert(got.columns.toSeq == load("orders").columns.toSeq)
+  }
+
+  test("planAll covers every configured table") {
+    val cfgs = Config.load(
+      """[[Tables]]
+        |  Name = "customer"
+        |  [Tables.Filter]
+        |    Match = "c_acctbal > 0"
+        |    Limit = 50
+        |    [Tables.Filter.Sorts]
+        |      c_custkey = "asc"
+        |[[Tables]]
+        |  Name = "orders"
+        |  [Tables.Filter]
+        |    Match = "customer.c_acctbal > 0"
+        |  [[Tables.Relationships]]
+        |    ForeignKey = "o_custkey"
+        |    ReferencedTable = "customer"
+        |    ReferencedKey = "c_custkey"
+        |""".stripMargin)
+    val all = new SubsetPlanner(load, cfgs).planAll()
+    assert(all.map(_._1) == Seq("customer", "orders"))
+    assert(all.head._2.count() == 50)
+    assert(all(1)._2.count() > 0)
+  }
+
+  test("consistentParents: children only reference copied parents (§7.4.3)") {
+    val cfgs = Config.load(
+      """[[Tables]]
+        |  Name = "customer"
+        |  [Tables.Filter]
+        |    Match = "c_acctbal > 0"
+        |    Limit = 7
+        |    [Tables.Filter.Sorts]
+        |      c_custkey = "asc"
+        |[[Tables]]
+        |  Name = "orders"
+        |  [[Tables.Relationships]]
+        |    ForeignKey = "o_custkey"
+        |    ReferencedTable = "customer"
+        |    ReferencedKey = "c_custkey"
+        |""".stripMargin)
+
+    // faithful mode (reference semantics): orders of ALL positive-balance
+    // customers, not just the 7 copied ones → referential breakage
+    val faithful = new SubsetPlanner(load, cfgs).planAll().toMap
+    // consistent mode: orders reference exactly the copied parents
+    val consistent =
+      new SubsetPlanner(load, cfgs, consistentParents = true).planAll().toMap
+
+    val copiedParents = consistent("customer")
+      .collect().map(_.getLong(0)).toSet
+    assert(copiedParents.size == 7)
+    val childParents = consistent("orders")
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    assert(childParents.subsetOf(copiedParents))
+    assert(faithful("orders").count() > consistent("orders").count())
+  }
+}
