@@ -153,6 +153,19 @@ object SparkEntry {
     new graft.plan.SubsetPlanner(Tables.load(s, dir, _), cfg).plan("orders")
   }
 
+  /** K14 — A2-A5 deterministic seeded fakers (anonymiser.go:82-107).
+    * Faker realism is property-tested (AnonymiserSpec/FakersSpec), not
+    * SQL-expressible → no oracle entry (rows-only check); K8's md5
+    * surrogate covers the hash-checked path. */
+  private def k14(s: SparkSession, dir: String): DataFrame = {
+    val cfg = graft.config.TableConfig("customer", anonymise = Seq(
+      "c_name" -> "FullName",
+      "c_mktsegment" -> "EmailAddress"))
+    graft.anonymise.Anonymiser(
+      Tables.load(s, dir, "customer"), cfg, keyColumns = Seq("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -169,6 +182,7 @@ object SparkEntry {
     "k11_ignore_data"   -> (k11 _),
     "k12_full_copy"     -> (k12 _),
     "k13_config_pipeline" -> (k13 _),
+    "k14_anon_faker"    -> (k14 _),
   )
 
   def oracleSql: Map[String, String] = Map(

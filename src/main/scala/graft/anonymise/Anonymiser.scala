@@ -1,0 +1,91 @@
+package graft.anonymise
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, lit, udf, xxhash64}
+
+import graft.config.TableConfig
+
+/** Column-level anonymisation over a DataFrame (≅ the reference's reader
+  * decorator, `pkg/anonymiser/anonymiser.go:46-115`, re-expressed as a
+  * single narrow projection so Catalyst keeps the whole row pipeline in
+  * one stage).
+  *
+  * Reference semantics preserved:
+  *   - `literal:<v>` → constant for every row (anonymiser.go:77-79);
+  *   - `<Faker[:args]>` → per-row fake value, always a string
+  *     (anonymiser.go:82-107), `%f` formatting for Latitude/Longitude;
+  *   - EmailAddress/UserName get a `.xxxx` hex suffix for collision
+  *     resistance (anonymiser.go:94-102 — appended to the whole value,
+  *     including after an email's domain, faithfully);
+  *   - unconfigured tables/columns pass through (anonymiser.go:54-63);
+  *   - NULLs are overwritten like any other value.
+  *
+  * Deliberate upgrades (SURVEY §7.4.1, §2.6 A6):
+  *   - values are DETERMINISTIC: seed = xxhash64(secret, table, column,
+  *     row identity), so task retries/speculation and re-runs reproduce the
+  *     same output, and the email/username suffix is seed-derived rather
+  *     than crypto/rand;
+  *   - unknown faker names fail at plan build by default; the reference's
+  *     "Invalid anonymiser: <name>" sentinel row value (a documented TODO
+  *     in the reference) is available behind `compatSentinel = true`.
+  *
+  * Scale: the seed is a codegen'd built-in (`xxhash64`), the faker itself a
+  * deterministic Long→String UDF — no shuffle, no state, embarrassingly
+  * parallel per partition.
+  */
+object Anonymiser {
+
+  val LiteralPrefix = "literal:"
+  private val Uniquified = Set("EmailAddress", "UserName")
+
+  def apply(
+      df: DataFrame,
+      table: TableConfig,
+      secret: String = "graft",
+      keyColumns: Seq[String] = Nil,
+      compatSentinel: Boolean = false): DataFrame = {
+    if (table.anonymise.isEmpty) return df // pass-through (A7)
+
+    val specs: Map[String, String] = table.anonymise.toMap
+    specs.keys.find(c => !df.columns.contains(c)).foreach { missing =>
+      throw new IllegalArgumentException(
+        s"anonymise column '$missing' does not exist in table '${table.name}'")
+    }
+
+    // Row identity for seeding: explicit key columns, else the whole
+    // original row. Computed from the ORIGINAL columns in one projection so
+    // one anonymised column never feeds another's seed.
+    val keyCols: Seq[Column] =
+      (if (keyColumns.nonEmpty) keyColumns else df.columns.toSeq).map(col)
+
+    val outCols: Seq[Column] = df.columns.toSeq.map { c =>
+      specs.get(c) match {
+        case None => col(c)
+        case Some(spec) if spec.startsWith(LiteralPrefix) =>
+          lit(spec.stripPrefix(LiteralPrefix)).as(c)
+        case Some(spec) =>
+          fakerColumn(spec, table.name, c, secret, keyCols, compatSentinel).as(c)
+      }
+    }
+    df.select(outCols: _*)
+  }
+
+  private def fakerColumn(
+      spec: String, tableName: String, column: String, secret: String,
+      keyCols: Seq[Column], compatSentinel: Boolean): Column = {
+    val (name, _) = Fakers.parseSpec(spec)
+    if (!Fakers.functions.contains(name)) {
+      if (compatSentinel) return lit(s"Invalid anonymiser: $name")
+      else throw Fakers.UnknownFakerException(name) // fail fast at plan build
+    }
+    val uniquify = Uniquified.contains(name)
+    val gen = udf { seed: Long =>
+      val base = Fakers.call(spec, seed)
+      if (uniquify) s"$base.${new Rng(seed ^ 0x5bf03635f0935ad1L).hex(4)}"
+      else base
+    }
+    val seed = xxhash64(
+      (Seq(lit(secret), lit(tableName), lit(column)) ++ keyCols): _*)
+    gen(seed)
+  }
+}

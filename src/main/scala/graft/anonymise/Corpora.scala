@@ -1,0 +1,155 @@
+package graft.anonymise
+
+/** Small original vocabularies backing the faker registry. The reference
+  * delegates to icrowley/fake's bundled corpora (`pkg/anonymiser/fake.go`);
+  * we only need the same *shape* of output (realistic-looking names, cities,
+  * words, ...), so these lists are written fresh for this project.
+  */
+object Corpora {
+  val femaleFirstNames: IndexedSeq[String] = Vector(
+    "Alice", "Beatrice", "Clara", "Diana", "Elena", "Fiona", "Grace",
+    "Hannah", "Iris", "Julia", "Karen", "Laura", "Mona", "Nora", "Olivia",
+    "Paula", "Rosa", "Sofia", "Tessa", "Vera")
+
+  val maleFirstNames: IndexedSeq[String] = Vector(
+    "Adam", "Boris", "Carl", "David", "Erik", "Felix", "George", "Henry",
+    "Ivan", "James", "Kevin", "Leo", "Martin", "Nathan", "Oscar", "Peter",
+    "Robert", "Simon", "Thomas", "Victor")
+
+  val femaleLastNames: IndexedSeq[String] = Vector(
+    "Adler", "Barton", "Calloway", "Dresden", "Ellison", "Fairbanks",
+    "Granger", "Holloway", "Ingram", "Jennings", "Kessler", "Lockwood",
+    "Merritt", "Norwood", "Ostrander", "Prescott", "Quimby", "Redford",
+    "Sterling", "Thatcher")
+
+  val maleLastNames: IndexedSeq[String] = femaleLastNames
+
+  val femalePatronymics: IndexedSeq[String] = Vector(
+    "Adamovna", "Borisovna", "Davidovna", "Erikovna", "Ivanovna",
+    "Leonovna", "Martinovna", "Petrovna", "Robertovna", "Simonovna")
+
+  val malePatronymics: IndexedSeq[String] = Vector(
+    "Adamovich", "Borisovich", "Davidovich", "Erikovich", "Ivanovich",
+    "Leonovich", "Martinovich", "Petrovich", "Robertovich", "Simonovich")
+
+  val namePrefixes: IndexedSeq[String] = Vector("Mr.", "Ms.", "Mrs.", "Dr.", "Prof.")
+  val nameSuffixes: IndexedSeq[String] = Vector("Jr.", "Sr.", "II", "III", "PhD", "MD")
+
+  val cities: IndexedSeq[String] = Vector(
+    "Aldersgate", "Brookfield", "Cedarholm", "Dunmore", "Eastvale",
+    "Fernwood", "Glenridge", "Harborview", "Ironton", "Juniper Falls",
+    "Kingsmill", "Lakewood", "Maplecrest", "Northgate", "Oakhurst",
+    "Pinebrook", "Quarry Bay", "Riverton", "Stonebridge", "Westmere")
+
+  val states: IndexedSeq[(String, String)] = Vector(
+    "Arlington" -> "AR", "Brookstate" -> "BK", "Calderia" -> "CA",
+    "Dorchester" -> "DC", "Eastmark" -> "EM", "Franklin" -> "FR",
+    "Greenfield" -> "GF", "Hartland" -> "HL", "Islington" -> "IS",
+    "Jefferson" -> "JF", "Kingsland" -> "KL", "Lakeshire" -> "LK",
+    "Midvale" -> "MV", "Northam" -> "NA", "Oakland" -> "OK",
+    "Porterfield" -> "PF")
+
+  val countries: IndexedSeq[String] = Vector(
+    "Andovia", "Belgravia", "Cordania", "Drovania", "Estovia", "Florin",
+    "Grandoria", "Helvania", "Istria", "Jarvia", "Kestonia", "Lavonia",
+    "Meridia", "Novaria", "Ostland", "Pavonia", "Quintara", "Rovenia",
+    "Sylvania", "Tavland")
+
+  val continents: IndexedSeq[String] = Vector(
+    "Africa", "Antarctica", "Asia", "Australia", "Europe",
+    "North America", "South America")
+
+  val colors: IndexedSeq[String] = Vector(
+    "Amber", "Azure", "Beige", "Burgundy", "Charcoal", "Coral", "Crimson",
+    "Emerald", "Fuchsia", "Indigo", "Ivory", "Lavender", "Magenta",
+    "Maroon", "Ochre", "Olive", "Sapphire", "Scarlet", "Teal", "Violet")
+
+  val companies: IndexedSeq[String] = Vector(
+    "Acme Dynamics", "Blue Harbor Group", "Cobalt Systems", "Driftwood Labs",
+    "Everpeak Industries", "Foxglove Media", "Granite Works", "Hollyvale",
+    "Icebreak Logistics", "Junction Nine", "Kitefall Software",
+    "Lumen Forge", "Morrow & Finch", "Northwind Trading", "Opaline Corp",
+    "Pinnacle Ridge", "Quartzline", "Rowan Analytics", "Silverbirch",
+    "Tidewater Partners")
+
+  val brands: IndexedSeq[String] = Vector(
+    "Aurovia", "Brisko", "Celestra", "Dynavox", "Eversharp", "Fluxon",
+    "Glimmer", "Hexaline", "Ionix", "Jovana", "Kromatic", "Lunaris",
+    "Mistral", "Nimbex", "Orbita", "Polarix", "Quanta", "Rivetta",
+    "Solaria", "Tempest")
+
+  val products: IndexedSeq[String] = Vector(
+    "Blender", "Camera", "Desk Lamp", "Earbuds", "Fitness Tracker",
+    "Guitar", "Headphones", "Kettle", "Keyboard", "Monitor", "Mouse",
+    "Notebook", "Projector", "Router", "Scanner", "Speaker", "Tablet",
+    "Toaster", "Watch", "Webcam")
+
+  val industries: IndexedSeq[String] = Vector(
+    "Aerospace", "Agriculture", "Automotive", "Banking", "Biotechnology",
+    "Construction", "Education", "Energy", "Entertainment", "Healthcare",
+    "Hospitality", "Insurance", "Logistics", "Manufacturing", "Media",
+    "Retail", "Telecommunications", "Transportation")
+
+  val jobTitles: IndexedSeq[String] = Vector(
+    "Account Manager", "Business Analyst", "Data Engineer", "Designer",
+    "Developer", "Director of Operations", "Financial Analyst",
+    "HR Specialist", "Marketing Coordinator", "Office Manager",
+    "Product Manager", "Project Lead", "Quality Engineer", "Researcher",
+    "Sales Representative", "Software Architect", "Support Specialist",
+    "Technical Writer")
+
+  val languages: IndexedSeq[String] = Vector(
+    "Arabic", "Bengali", "Chinese", "Dutch", "English", "French", "German",
+    "Hindi", "Italian", "Japanese", "Korean", "Polish", "Portuguese",
+    "Russian", "Spanish", "Swedish", "Turkish", "Vietnamese")
+
+  val currencies: IndexedSeq[(String, String)] = Vector(
+    "Aurel" -> "AUR", "Bolivar Nuevo" -> "BNV", "Crown" -> "CRW",
+    "Denar" -> "DNR", "Escudo" -> "ESC", "Florin" -> "FLN",
+    "Guilder" -> "GLD", "Krona" -> "KRN", "Lira Nova" -> "LRN",
+    "Marka" -> "MRK", "Peso del Sur" -> "PDS", "Quid" -> "QID",
+    "Rand Nova" -> "RNV", "Shilling" -> "SHL", "Taler" -> "TLR")
+
+  val monthNames: IndexedSeq[String] = Vector(
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December")
+
+  val weekDays: IndexedSeq[String] = Vector(
+    "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday",
+    "Sunday")
+
+  val streets: IndexedSeq[String] = Vector(
+    "Alder Lane", "Birch Street", "Cedar Avenue", "Dogwood Drive",
+    "Elm Court", "Fir Boulevard", "Garnet Way", "Hazel Road",
+    "Iris Terrace", "Juniper Path", "Kestrel Close", "Linden Walk",
+    "Magnolia Row", "Nutmeg Street", "Orchard Lane", "Poplar Avenue")
+
+  val domainZones: IndexedSeq[String] = Vector(
+    "com", "net", "org", "io", "dev", "app", "info", "biz", "co", "me")
+
+  val loremWords: IndexedSeq[String] = Vector(
+    "amber", "basin", "cedar", "drift", "ember", "fable", "glade", "haven",
+    "inlet", "jetty", "knoll", "ledge", "marsh", "nectar", "orchid",
+    "pebble", "quartz", "ridge", "summit", "thicket", "umber", "vale",
+    "willow", "zephyr", "breeze", "canyon", "dune", "fjord", "grove",
+    "harbor", "island", "meadow", "oasis", "prairie", "reef", "shore",
+    "tundra", "valley")
+
+  val userAgents: IndexedSeq[String] = Vector(
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 14_2) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.2 Safari/605.1.15",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; rv:121.0) Gecko/20100101 Firefox/121.0",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_2 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Mobile/15E148",
+    "Mozilla/5.0 (Linux; Android 14) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0 Mobile Safari/537.36")
+
+  /** (vendor name, IIN prefix, total length) */
+  val creditCards: IndexedSeq[(String, String, Int)] = Vector(
+    ("Visa", "4", 16), ("MasterCard", "5", 16),
+    ("American Express", "34", 15), ("Discover", "6011", 16),
+    ("JCB", "35", 16), ("Diners Club", "36", 14))
+
+  val productModels: IndexedSeq[String] = Vector(
+    "A", "B", "C", "D", "E", "G", "K", "M", "N", "P", "R", "S", "T", "V",
+    "X", "Z")
+}

@@ -1,0 +1,232 @@
+package graft.anonymise
+
+import java.util.Locale
+
+/** Deterministic reimplementation of the reference's faker surface — every
+  * function name from klepto `pkg/anonymiser/fake.go:11-102`, same
+  * argument conventions (`anonymiser.go:122-164`), but each value is a pure
+  * function of a 64-bit seed instead of global random state (SURVEY §7.4.1).
+  *
+  * Output is always a String, like the reference (`anonymiser.go:106`
+  * stringifies every faker result, `%f` for Latitude/Longitude).
+  */
+object Fakers {
+  import Corpora._
+
+  sealed trait ArgType
+  case object IntArg extends ArgType
+  case object BoolArg extends ArgType
+  case object StrArg extends ArgType
+
+  final case class FakerDef(argTypes: Seq[ArgType], gen: (Rng, Seq[Any]) => String)
+
+  /** Functions whose `Fn:a:b` args are parsed; all others ignore args
+    * (anonymiser.go:27-36 requireArgs). */
+  val requireArgs: Set[String] = Set(
+    "CharactersN", "DigitsN", "ParagraphsN", "SentencesN", "WordsN",
+    "CreditCardNum", "Password", "Year")
+
+  final case class UnknownFakerException(name: String)
+      extends RuntimeException(s"Invalid anonymiser: $name")
+
+  // -- building blocks -----------------------------------------------------
+
+  private val lower = "abcdefghijklmnopqrstuvwxyz"
+  private val upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+  private val numeric = "0123456789"
+  private val special = "!@#$%^&*()-_=+"
+  private val alpha = lower + upper
+
+  private def word(r: Rng): String = r.pick(loremWords)
+  private def capitalize(s: String): String =
+    if (s.isEmpty) s else s.substring(0, 1).toUpperCase(Locale.US) + s.substring(1)
+
+  private def words(r: Rng, n: Int): String =
+    Seq.fill(math.max(n, 0))(word(r)).mkString(" ")
+
+  private def sentence(r: Rng): String =
+    capitalize(words(r, r.range(5, 10))) + "."
+
+  private def sentences(r: Rng, n: Int): String =
+    Seq.fill(math.max(n, 0))(sentence(r)).mkString(" ")
+
+  private def paragraph(r: Rng): String = sentences(r, r.range(3, 5))
+
+  private def paragraphs(r: Rng, n: Int): String =
+    Seq.fill(math.max(n, 0))(paragraph(r)).mkString("\n")
+
+  private def firstName(r: Rng): String =
+    if (r.nextInt(2) == 0) r.pick(femaleFirstNames) else r.pick(maleFirstNames)
+
+  private def lastName(r: Rng): String = r.pick(femaleLastNames)
+
+  private def fullName(r: Rng): String = s"${firstName(r)} ${lastName(r)}"
+
+  private def userName(r: Rng): String =
+    s"${word(r)}_${firstName(r).toLowerCase(Locale.US)}${r.digits(2)}"
+
+  private def domainName(r: Rng): String = s"${word(r)}${word(r)}.${r.pick(domainZones)}"
+
+  private def password(r: Rng, atLeast: Int, atMost: Int,
+      allowUpper: Boolean, allowNumeric: Boolean, allowSpecial: Boolean): String = {
+    var charset = lower
+    if (allowUpper) charset += upper
+    if (allowNumeric) charset += numeric
+    if (allowSpecial) charset += special
+    r.chars(math.max(r.range(atLeast, atMost), 0), charset)
+  }
+
+  private def creditCardNum(r: Rng, vendor: String): String = {
+    val (_, prefix, len) = creditCards.find(_._1.equalsIgnoreCase(vendor))
+      .getOrElse(creditCards(r.nextInt(creditCards.length)))
+    prefix + r.digits(len - prefix.length)
+  }
+
+  private def latitude(r: Rng): Double = r.nextDouble() * 180.0 - 90.0
+  private def longitude(r: Rng): Double = r.nextDouble() * 360.0 - 180.0
+  private def fmtF(d: Double): String = "%f".formatLocal(Locale.US, d)
+
+  private def f0(gen: Rng => String): FakerDef =
+    FakerDef(Nil, (r, _) => gen(r))
+
+  private def arg[T](args: Seq[Any], i: Int): T = args(i).asInstanceOf[T]
+
+  // -- registry: all names from fake.go:11-102 ------------------------------
+
+  val functions: Map[String, FakerDef] = Map(
+    "Brand" -> f0(r => r.pick(brands)),
+    "Character" -> f0(r => r.chars(1, alpha)),
+    "Characters" -> f0(r => r.chars(r.range(1, 5), alpha)),
+    "CharactersN" -> FakerDef(Seq(IntArg),
+      (r, a) => r.chars(math.max(arg[Int](a, 0), 0), alpha)),
+    "City" -> f0(r => r.pick(cities)),
+    "Color" -> f0(r => r.pick(colors)),
+    "Company" -> f0(r => r.pick(companies)),
+    "Continent" -> f0(r => r.pick(continents)),
+    "Country" -> f0(r => r.pick(countries)),
+    "CreditCardNum" -> FakerDef(Seq(StrArg),
+      (r, a) => creditCardNum(r, arg[String](a, 0))),
+    "CreditCardType" -> f0(r => r.pick(creditCards.map(_._1))),
+    "Currency" -> f0(r => r.pick(currencies.map(_._1))),
+    "CurrencyCode" -> f0(r => r.pick(currencies.map(_._2))),
+    "Day" -> f0(r => r.range(1, 31).toString),
+    "Digits" -> f0(r => r.digits(r.range(1, 5))),
+    "DigitsN" -> FakerDef(Seq(IntArg),
+      (r, a) => r.digits(math.max(arg[Int](a, 0), 0))),
+    "DomainName" -> f0(domainName),
+    "DomainZone" -> f0(r => r.pick(domainZones)),
+    "EmailAddress" -> f0(r => s"${userName(r)}@${domainName(r)}"),
+    "EmailBody" -> f0(r => paragraphs(r, r.range(2, 4))),
+    "EmailSubject" -> f0(r => capitalize(words(r, r.range(3, 6)))),
+    "FemaleFirstName" -> f0(r => r.pick(femaleFirstNames)),
+    "FemaleFullName" -> f0(r => s"${r.pick(femaleFirstNames)} ${r.pick(femaleLastNames)}"),
+    "FemaleFullNameWithPrefix" -> f0(r =>
+      s"${r.pick(namePrefixes)} ${r.pick(femaleFirstNames)} ${r.pick(femaleLastNames)}"),
+    "FemaleFullNameWithSuffix" -> f0(r =>
+      s"${r.pick(femaleFirstNames)} ${r.pick(femaleLastNames)} ${r.pick(nameSuffixes)}"),
+    "FemaleLastName" -> f0(r => r.pick(femaleLastNames)),
+    "FemalePatronymic" -> f0(r => r.pick(femalePatronymics)),
+    "FirstName" -> f0(firstName),
+    "FullName" -> f0(fullName),
+    "FullNameWithPrefix" -> f0(r => s"${r.pick(namePrefixes)} ${fullName(r)}"),
+    "FullNameWithSuffix" -> f0(r => s"${fullName(r)} ${r.pick(nameSuffixes)}"),
+    "Gender" -> f0(r => if (r.nextInt(2) == 0) "female" else "male"),
+    "GenderAbbrev" -> f0(r => if (r.nextInt(2) == 0) "f" else "m"),
+    "GetLangs" -> f0(_ => languages.mkString(" ")),
+    "HexColor" -> f0(r => r.hex(6)),
+    "HexColorShort" -> f0(r => r.hex(3)),
+    "IPv4" -> f0(r => s"${r.range(1, 254)}.${r.range(0, 255)}.${r.range(0, 255)}.${r.range(1, 254)}"),
+    "IPv6" -> f0(r => Seq.fill(8)(r.hex(4)).mkString(":")),
+    "Industry" -> f0(r => r.pick(industries)),
+    "JobTitle" -> f0(r => r.pick(jobTitles)),
+    "Language" -> f0(r => r.pick(languages)),
+    "LastName" -> f0(lastName),
+    "Latitude" -> f0(r => fmtF(latitude(r))),
+    "LatitudeDegrees" -> f0(r => r.range(-90, 90).toString),
+    "LatitudeDirection" -> f0(r => if (r.nextInt(2) == 0) "N" else "S"),
+    "LatitudeMinutes" -> f0(r => r.range(0, 59).toString),
+    "LatitudeSeconds" -> f0(r => r.range(0, 59).toString),
+    "Longitude" -> f0(r => fmtF(longitude(r))),
+    "LongitudeDegrees" -> f0(r => r.range(-180, 180).toString),
+    "LongitudeDirection" -> f0(r => if (r.nextInt(2) == 0) "E" else "W"),
+    "LongitudeMinutes" -> f0(r => r.range(0, 59).toString),
+    "LongitudeSeconds" -> f0(r => r.range(0, 59).toString),
+    "MaleFirstName" -> f0(r => r.pick(maleFirstNames)),
+    "MaleFullName" -> f0(r => s"${r.pick(maleFirstNames)} ${r.pick(maleLastNames)}"),
+    "MaleFullNameWithPrefix" -> f0(r =>
+      s"${r.pick(namePrefixes)} ${r.pick(maleFirstNames)} ${r.pick(maleLastNames)}"),
+    "MaleFullNameWithSuffix" -> f0(r =>
+      s"${r.pick(maleFirstNames)} ${r.pick(maleLastNames)} ${r.pick(nameSuffixes)}"),
+    "MaleLastName" -> f0(r => r.pick(maleLastNames)),
+    "MalePatronymic" -> f0(r => r.pick(malePatronymics)),
+    "Model" -> f0(r => s"${r.pick(productModels)}${r.digits(r.range(1, 3))}"),
+    "Month" -> f0(r => r.pick(monthNames)),
+    "MonthNum" -> f0(r => r.range(1, 12).toString),
+    "MonthShort" -> f0(r => r.pick(monthNames).substring(0, 3)),
+    "Paragraph" -> f0(paragraph),
+    "Paragraphs" -> f0(r => paragraphs(r, r.range(2, 4))),
+    "ParagraphsN" -> FakerDef(Seq(IntArg),
+      (r, a) => paragraphs(r, arg[Int](a, 0))),
+    "Password" -> FakerDef(Seq(IntArg, IntArg, BoolArg, BoolArg, BoolArg),
+      (r, a) => password(r, arg[Int](a, 0), arg[Int](a, 1),
+        arg[Boolean](a, 2), arg[Boolean](a, 3), arg[Boolean](a, 4))),
+    "Patronymic" -> f0(r =>
+      if (r.nextInt(2) == 0) r.pick(femalePatronymics) else r.pick(malePatronymics)),
+    "Phone" -> f0(r => s"${r.digits(3)}-${r.digits(3)}-${r.digits(4)}"),
+    "Product" -> f0(r => s"${r.pick(brands)} ${r.pick(products)}"),
+    "ProductName" -> f0(r => r.pick(products)),
+    "Sentence" -> f0(sentence),
+    "Sentences" -> f0(r => sentences(r, r.range(2, 4))),
+    "SentencesN" -> FakerDef(Seq(IntArg),
+      (r, a) => sentences(r, arg[Int](a, 0))),
+    "SimplePassword" -> f0(r => password(r, 6, 12, allowUpper = false,
+      allowNumeric = true, allowSpecial = false)),
+    "State" -> f0(r => r.pick(states.map(_._1))),
+    "StateAbbrev" -> f0(r => r.pick(states.map(_._2))),
+    "Street" -> f0(r => r.pick(streets)),
+    "StreetAddress" -> f0(r => s"${r.range(1, 999)} ${r.pick(streets)}"),
+    "Title" -> f0(r => capitalize(words(r, r.range(2, 4)))),
+    "TopLevelDomain" -> f0(r => r.pick(domainZones)),
+    "UserAgent" -> f0(r => r.pick(userAgents)),
+    "UserName" -> f0(userName),
+    "WeekDay" -> f0(r => r.pick(weekDays)),
+    "WeekDayShort" -> f0(r => r.pick(weekDays).substring(0, 3)),
+    "WeekdayNum" -> f0(r => r.range(1, 7).toString),
+    "Word" -> f0(word),
+    "Words" -> f0(r => words(r, r.range(2, 4))),
+    "WordsN" -> FakerDef(Seq(IntArg),
+      (r, a) => words(r, arg[Int](a, 0))),
+    "Year" -> FakerDef(Seq(IntArg, IntArg),
+      (r, a) => r.range(arg[Int](a, 0), arg[Int](a, 1)).toString),
+    "Zip" -> f0(r => r.digits(5)),
+  )
+
+  /** Split `Fn:a:b` into name + raw args; args are only parsed for
+    * requireArgs functions (anonymiser.go:132-139 getTypeArgs). */
+  def parseSpec(spec: String): (String, Seq[String]) = {
+    val parts = spec.split(":", -1).toSeq
+    val name = parts.head
+    if (requireArgs.contains(name)) (name, parts.tail) else (name, Nil)
+  }
+
+  /** Zero-value fallback arg coercion (anonymiser.go:141-164 parseArgs):
+    * missing args are padded with "", unparseable ints become 0, bools
+    * false; extra args are ignored. */
+  def coerceArgs(argTypes: Seq[ArgType], raw: Seq[String]): Seq[Any] = {
+    val padded = raw.padTo(argTypes.length, "")
+    argTypes.zip(padded).map {
+      case (IntArg, v)  => try v.trim.toInt catch { case _: Exception => 0 }
+      case (BoolArg, v) => try v.trim.toBoolean catch { case _: Exception => false }
+      case (StrArg, v)  => v
+    }
+  }
+
+  /** Evaluate faker `spec` for a row seed. Throws UnknownFakerException for
+    * unregistered names (the caller decides fail-fast vs compat sentinel —
+    * anonymiser.go:84-91). */
+  def call(spec: String, seed: Long): String = {
+    val (name, rawArgs) = parseSpec(spec)
+    val d = functions.getOrElse(name, throw UnknownFakerException(name))
+    d.gen(new Rng(seed), coerceArgs(d.argTypes, rawArgs))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.anonymise
+
+/** Deterministic per-row random stream (splitmix64).
+  *
+  * The reference's fakers are random per row AND per run
+  * (`pkg/anonymiser/anonymiser.go:94-107` — `crypto/rand`, global faker
+  * state), which is unsafe under Spark task retries/speculation: a retried
+  * partition would produce different "anonymised" values than its first
+  * attempt. We instead derive every value from a seed that is a pure
+  * function of (secret, table, column, row identity) — SURVEY §7.4.1.
+  */
+final class Rng(seed: Long) {
+  private var state: Long = seed
+
+  def nextLong(): Long = {
+    state += 0x9e3779b97f4a7c15L
+    var z = state
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Uniform in [0, n); n must be > 0. */
+  def nextInt(n: Int): Int = {
+    require(n > 0, s"nextInt bound must be positive: $n")
+    ((nextLong() >>> 1) % n).toInt
+  }
+
+  /** Uniform in [lo, hi] inclusive; hi < lo collapses to lo. */
+  def range(lo: Int, hi: Int): Int =
+    if (hi <= lo) lo else lo + nextInt(hi - lo + 1)
+
+  def nextDouble(): Double = (nextLong() >>> 11) * 1.1102230246251565e-16
+
+  def pick(corpus: IndexedSeq[String]): String = corpus(nextInt(corpus.length))
+
+  def digits(n: Int): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < n) { sb += ('0' + nextInt(10)).toChar; i += 1 }
+    sb.result()
+  }
+
+  def hex(n: Int): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < n) { sb += "0123456789abcdef".charAt(nextInt(16)); i += 1 }
+    sb.result()
+  }
+
+  def chars(n: Int, charset: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < n) { sb += charset.charAt(nextInt(charset.length)); i += 1 }
+    sb.result()
+  }
+}

@@ -1,0 +1,192 @@
+package graft.anonymise
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+import graft.config.TableConfig
+
+/** Mirrors reference `pkg/anonymiser/anonymiser_test.go:19-95` cases plus
+  * the determinism properties our seeded design adds (SURVEY §5). */
+class AnonymiserSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private def customer = Tables.load(spark, sf, "customer")
+
+  test("pass-through when table has no anonymise config (anonymiser.go:54-63)") {
+    val out = Anonymiser(customer, TableConfig("customer"))
+    assert(out.collect().sameElements(customer.collect()))
+  }
+
+  test("literal replaces every value (anonymiser.go:77-79)") {
+    val out = Anonymiser(customer,
+      TableConfig("customer", anonymise = Seq("c_name" -> "literal:1234")))
+    assert(out.select("c_name").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("1234"))
+  }
+
+  test("faker output is deterministic across runs (SURVEY §7.4.1)") {
+    val cfg = TableConfig("customer", anonymise = Seq("c_name" -> "FullName"))
+    val a = Anonymiser(customer, cfg).select("c_custkey", "c_name").collect()
+    val b = Anonymiser(customer, cfg).select("c_custkey", "c_name").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("faker output varies per row and per column") {
+    val cfg = TableConfig("customer", anonymise =
+      Seq("c_name" -> "FullName", "c_mktsegment" -> "FullName"))
+    val rows = Anonymiser(customer, cfg)
+      .select("c_name", "c_mktsegment").collect()
+    assert(rows.map(_.getString(0)).distinct.length > 1) // varies by row
+    assert(rows.exists(r => r.getString(0) != r.getString(1))) // by column
+  }
+
+  test("different secrets produce different values") {
+    val cfg = TableConfig("customer", anonymise = Seq("c_name" -> "FullName"))
+    val a = Anonymiser(customer, cfg, secret = "s1").select("c_name").collect()
+    val b = Anonymiser(customer, cfg, secret = "s2").select("c_name").collect()
+    assert(!a.sameElements(b))
+  }
+
+  test("EmailAddress/UserName get 4-hex-char suffix (anonymiser.go:94-102)") {
+    val cfg = TableConfig("customer", anonymise = Seq("c_name" -> "EmailAddress"))
+    val vals = Anonymiser(customer, cfg).select("c_name")
+      .collect().map(_.getString(0))
+    assert(vals.forall(_.matches(".+@.+\\.[a-f0-9]{4}")))
+    // suffix makes values collision-resistant by construction
+    assert(vals.distinct.length == vals.length)
+  }
+
+  test("Latitude/Longitude formatted %f within domain (anonymiser.go:103-104)") {
+    val cfg = TableConfig("customer",
+      anonymise = Seq("c_name" -> "Latitude", "c_mktsegment" -> "Longitude"))
+    val rows = Anonymiser(customer, cfg)
+      .select("c_name", "c_mktsegment").collect()
+    rows.foreach { r =>
+      val lat = r.getString(0); val lon = r.getString(1)
+      assert(lat.matches("-?\\d+\\.\\d{6}"), s"not %f-shaped: $lat")
+      assert(lat.toDouble >= -90 && lat.toDouble <= 90)
+      assert(lon.toDouble >= -180 && lon.toDouble <= 180)
+    }
+  }
+
+  test("unknown faker fails at plan build by default (upgrade over A6)") {
+    val cfg = TableConfig("customer", anonymise = Seq("c_name" -> "NotAFaker"))
+    assertThrows[Fakers.UnknownFakerException](Anonymiser(customer, cfg))
+  }
+
+  test("compatSentinel reproduces the reference sentinel (anonymiser.go:84-91)") {
+    val cfg = TableConfig("customer", anonymise = Seq("c_name" -> "NotAFaker"))
+    val out = Anonymiser(customer, cfg, compatSentinel = true)
+    assert(out.select("c_name").distinct().collect().map(_.getString(0))
+      .toSeq == Seq("Invalid anonymiser: NotAFaker"))
+  }
+
+  test("anonymising a missing column is rejected") {
+    val cfg = TableConfig("customer", anonymise = Seq("no_such" -> "FullName"))
+    assertThrows[IllegalArgumentException](Anonymiser(customer, cfg))
+  }
+
+  test("parameterised faker: CharactersN:8 (anonymiser.go:27-36)") {
+    val cfg = TableConfig("customer", anonymise = Seq("c_name" -> "CharactersN:8"))
+    val vals = Anonymiser(customer, cfg).select("c_name")
+      .collect().map(_.getString(0))
+    assert(vals.forall(_.length == 8))
+  }
+
+  test("missing/invalid args fall back to zero values (anonymiser.go:141-164)") {
+    // CharactersN with no arg → N=0 → empty string (reference behavior)
+    val cfg = TableConfig("customer", anonymise = Seq("c_name" -> "CharactersN"))
+    val vals = Anonymiser(customer, cfg).select("c_name")
+      .collect().map(_.getString(0))
+    assert(vals.forall(_.isEmpty))
+    // unparseable int → 0
+    val cfg2 = TableConfig("customer", anonymise = Seq("c_name" -> "DigitsN:bogus"))
+    val vals2 = Anonymiser(customer, cfg2).select("c_name")
+      .collect().map(_.getString(0))
+    assert(vals2.forall(_.isEmpty))
+  }
+
+  test("explicit key columns keep values stable under projection changes") {
+    val cfg = TableConfig("customer", anonymise = Seq("c_name" -> "FullName"))
+    val full = Anonymiser(customer, cfg, keyColumns = Seq("c_custkey"))
+      .select("c_custkey", "c_name").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val filtered = Anonymiser(customer.where("c_acctbal > 0"), cfg,
+      keyColumns = Seq("c_custkey"))
+      .select("c_custkey", "c_name").collect()
+    filtered.foreach(r => assert(full(r.getLong(0)) == r.getString(1)))
+  }
+}
+
+/** Registry-wide property checks (SURVEY §5 property tests). */
+class FakersSpec extends AnyFunSuite {
+
+  private val allNames = Fakers.functions.keySet
+
+  test("every fake.go:11-102 name is registered (90 functions)") {
+    val expected = Set(
+      "Brand", "Character", "Characters", "CharactersN", "City", "Color",
+      "Company", "Continent", "Country", "CreditCardNum", "CreditCardType",
+      "Currency", "CurrencyCode", "Day", "Digits", "DigitsN", "DomainName",
+      "DomainZone", "EmailAddress", "EmailBody", "EmailSubject",
+      "FemaleFirstName", "FemaleFullName", "FemaleFullNameWithPrefix",
+      "FemaleFullNameWithSuffix", "FemaleLastName", "FemalePatronymic",
+      "FirstName", "FullName", "FullNameWithPrefix", "FullNameWithSuffix",
+      "Gender", "GenderAbbrev", "GetLangs", "HexColor", "HexColorShort",
+      "IPv4", "IPv6", "Industry", "JobTitle", "Language", "LastName",
+      "Latitude", "LatitudeDegrees", "LatitudeDirection", "LatitudeMinutes",
+      "LatitudeSeconds", "Longitude", "LongitudeDegrees",
+      "LongitudeDirection", "LongitudeMinutes", "LongitudeSeconds",
+      "MaleFirstName", "MaleFullName", "MaleFullNameWithPrefix",
+      "MaleFullNameWithSuffix", "MaleLastName", "MalePatronymic", "Model",
+      "Month", "MonthNum", "MonthShort", "Paragraph", "Paragraphs",
+      "ParagraphsN", "Password", "Patronymic", "Phone", "Product",
+      "ProductName", "Sentence", "Sentences", "SentencesN",
+      "SimplePassword", "State", "StateAbbrev", "Street", "StreetAddress",
+      "Title", "TopLevelDomain", "UserAgent", "UserName", "WeekDay",
+      "WeekDayShort", "WeekdayNum", "Word", "Words", "WordsN", "Year", "Zip")
+    assert(expected.diff(allNames) == Set.empty, "missing fakers")
+    assert(allNames.diff(expected) == Set.empty, "unexpected fakers")
+  }
+
+  test("every faker is deterministic in the seed and total on 1000 seeds") {
+    for (name <- allNames; seed <- Seq(0L, 1L, -1L, Long.MaxValue, 42L)) {
+      val spec = name match {
+        case "CharactersN" | "DigitsN" | "ParagraphsN" | "SentencesN" |
+             "WordsN" => s"$name:3"
+        case "CreditCardNum" => s"$name:Visa"
+        case "Password" => s"$name:6:10:true:true:false"
+        case "Year" => s"$name:1990:2020"
+        case n => n
+      }
+      assert(Fakers.call(spec, seed) == Fakers.call(spec, seed), spec)
+    }
+    for (name <- allNames; seed <- 0L until 1000L) {
+      val spec = if (Fakers.requireArgs.contains(name)) s"$name:2:5" else name
+      Fakers.call(spec, seed) // must not throw
+    }
+  }
+
+  test("value domains: Year, Day, MonthNum, Zip, IPv4, HexColor, CreditCardNum") {
+    for (seed <- 0L until 300L) {
+      val y = Fakers.call("Year:1990:2020", seed).toInt
+      assert(y >= 1990 && y <= 2020)
+      val d = Fakers.call("Day", seed).toInt
+      assert(d >= 1 && d <= 31)
+      val m = Fakers.call("MonthNum", seed).toInt
+      assert(m >= 1 && m <= 12)
+      assert(Fakers.call("Zip", seed).matches("\\d{5}"))
+      val ip = Fakers.call("IPv4", seed)
+      assert(ip.split("\\.").forall(p => p.toInt >= 0 && p.toInt <= 255), ip)
+      assert(Fakers.call("HexColor", seed).matches("[0-9a-f]{6}"))
+      val cc = Fakers.call("CreditCardNum:Visa", seed)
+      assert(cc.startsWith("4") && cc.length == 16, cc)
+      assert(Fakers.call("Password:8:8:false:false:false", seed)
+        .matches("[a-z]{8}"))
+    }
+  }
+
+  test("Year with swapped/missing bounds collapses to lower bound (zero-value compat)") {
+    assert(Fakers.call("Year", 7L) == "0")           // no args → 0..0
+    assert(Fakers.call("Year:2000:1990", 7L) == "2000") // hi<lo → lo
+  }
+}
