@@ -1,0 +1,105 @@
+package graft
+
+import java.util.concurrent.{Executors, TimeUnit}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.anonymise.Anonymiser
+import graft.config.{Config, TableConfig}
+import graft.plan.SubsetPlanner
+import graft.sinks.ParquetSink
+
+/** The whole pipeline (≅ `klepto steal`, cmd/steal.go:52-132):
+  * catalog → subset plan → anonymise → sink, per table.
+  *
+  * Reference semantics:
+  *   - the SOURCE catalog is the table list of record; config only
+  *     customizes (dumper/engine/engine.go:76-79) — unconfigured tables
+  *     are copied whole;
+  *   - `IgnoreData` tables dump structure only;
+  *   - per-table concurrency bounded by a semaphore-like pool, default
+  *     NumCPU (dumper/engine/engine.go:88-126, cmd/steal.go:71). Spark
+  *     note: tables are independent jobs, so we submit them from parallel
+  *     driver threads and let the scheduler interleave stages.
+  *
+  * Deliberate upgrade (SURVEY §7.4.6): fail-fast by default; the
+  * reference's log-and-continue per-table error policy is behind
+  * `bestEffort = true`.
+  */
+object Steal {
+
+  final case class StealReport(
+      table: String, rows: Long, ok: Boolean, error: Option[String])
+
+  def run(
+      spark: SparkSession,
+      sourceDir: String,
+      targetDir: String,
+      tables: Seq[TableConfig],
+      secret: String = "graft",
+      concurrency: Int = Runtime.getRuntime.availableProcessors(),
+      dataOnly: Boolean = false,
+      bestEffort: Boolean = false,
+      consistentParents: Boolean = false): Seq[StealReport] = {
+
+    val catalog = Tables.list(sourceDir) // source of record
+    val planner = new SubsetPlanner(
+      Tables.load(spark, sourceDir, _), tables, consistentParents)
+    val byName = tables.map(t => t.name -> t).toMap
+
+    def dumpTable(name: String): StealReport = {
+      try {
+        val cfg = byName.getOrElse(name, TableConfig(name))
+        val subset: DataFrame =
+          if (byName.contains(name)) planner.plan(name)
+          else Tables.load(spark, sourceDir, name) // unconfigured: full copy
+        val anonymised = Anonymiser(subset, cfg, secret)
+        ParquetSink.write(anonymised, targetDir, name, dataOnly)
+        val rows = spark.read.parquet(s"$targetDir/$name.parquet").count()
+        StealReport(name, rows, ok = true, None)
+      } catch {
+        case e: Exception if bestEffort =>
+          StealReport(name, 0, ok = false, Some(e.getMessage))
+      }
+    }
+
+    new java.io.File(targetDir).mkdirs()
+    val pool = Executors.newFixedThreadPool(math.max(concurrency, 1))
+    try {
+      val futures = catalog.map(name => name -> pool.submit(
+        new java.util.concurrent.Callable[StealReport] {
+          def call(): StealReport = dumpTable(name)
+        }))
+      futures.map { case (_, f) => f.get() }
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(1, TimeUnit.HOURS)
+    }
+  }
+
+  /** CLI-ish entry: `Steal <sourceDir> <targetDir> [configPath]`. */
+  def main(args: Array[String]): Unit = {
+    val sourceDir = args(0)
+    val targetDir = args(1)
+    val tables = if (args.length > 2) Config.loadFile(args(2)) else Nil
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-steal")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.scheduler.mode", "FAIR")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val reports = run(spark, sourceDir, targetDir, tables)
+      reports.foreach { r =>
+        println(s"[steal] ${r.table}: rows=${r.rows} ok=${r.ok}" +
+          r.error.map(e => s" error=$e").getOrElse(""))
+      }
+      if (reports.exists(!_.ok)) sys.exit(1)
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,144 @@
+package graft.sinks
+
+import java.io.Writer
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.types._
+
+/** Write side (≅ klepto `pkg/dumper`). Three sinks, mirroring the
+  * reference's drivers re-expressed for Spark's execution model:
+  *
+  *   - W1/W2 bulk DB load → [[JdbcSink]] (Spark JDBC batch writer + the
+  *     reference's FK/trigger pre/post hooks as plain SQL hook lists);
+  *   - W4 SQL-text dump → [[SqlTextSink]] (streams INSERTs through
+  *     `toLocalIterator` — bounded driver memory; debug/export path only,
+  *     SURVEY §7.4.8);
+  *   - modern fidelity path → [[ParquetSink]] (atomic via the output
+  *     committer; this is the 100 TB path).
+  *
+  * Structure dump (W5): the reference carries DDL as an opaque string
+  * (`pkg/reader/mysql/reader.go:84-111`); Spark carries `StructType`
+  * losslessly — [[ParquetSink]] persists it as schema JSON next to the
+  * data, and [[SqlTextSink]] emits a `CREATE TABLE` header from
+  * `schema.toDDL`.
+  */
+object ParquetSink {
+  /** One `<dir>/<table>.parquet` per table (the testdata layout), plus
+    * `<dir>/<table>.schema.json` (W5 structure analog). */
+  def write(df: DataFrame, dir: String, table: String,
+      dataOnly: Boolean = false): Unit = {
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$table.parquet")
+    if (!dataOnly) {
+      val p = java.nio.file.Paths.get(dir, s"$table.schema.json")
+      java.nio.file.Files.writeString(p, df.schema.json)
+    }
+  }
+}
+
+/** SQL-text dumper (≅ `pkg/dumper/query/dumper.go:36-107`).
+  *
+  * Reference quirks deliberately NOT replicated (SURVEY §2.7): the
+  * reference single-quotes every value including numbers
+  * (`query/dumper.go:122-135`) and emits MySQL-only `INSERT ... SET`
+  * syntax; we emit ANSI `INSERT INTO t (cols) VALUES (...)` with native
+  * typed literals. Rows stream via `toLocalIterator` so only one
+  * partition is resident on the driver at a time.
+  */
+object SqlTextSink {
+
+  def write(df: DataFrame, table: String, out: Writer,
+      dataOnly: Boolean = false, batchRows: Int = 500): Unit = {
+    if (!dataOnly)
+      out.write(s"CREATE TABLE $table (${df.schema.toDDL});\n")
+    val cols = df.columns.map(quoteIdent).mkString(", ")
+    val schema = df.schema
+    val it = df.toLocalIterator()
+    val batch = new scala.collection.mutable.ArrayBuffer[String](batchRows)
+    def flush(): Unit = if (batch.nonEmpty) {
+      out.write(s"INSERT INTO $table ($cols) VALUES\n  ")
+      out.write(batch.mkString(",\n  "))
+      out.write(";\n")
+      batch.clear()
+    }
+    while (it.hasNext) {
+      batch += rowLiteral(it.next(), schema)
+      if (batch.size >= batchRows) flush()
+    }
+    flush()
+    out.flush()
+  }
+
+  def quoteIdent(name: String): String = "\"" + name.replace("\"", "\"\"") + "\""
+
+  def rowLiteral(row: Row, schema: StructType): String =
+    schema.fields.indices.map(i => sqlLiteral(row.get(i), schema.fields(i).dataType))
+      .mkString("(", ", ", ")")
+
+  /** Typed SQL literal (vs the reference's stringify-everything,
+    * `query/dumper.go:138-163`). */
+  def sqlLiteral(v: Any, dt: DataType): String = v match {
+    case null => "NULL"
+    case _ => dt match {
+      case _: NumericType | BooleanType => v.toString
+      case TimestampType | DateType => s"'${v.toString}'"
+      case BinaryType =>
+        "X'" + v.asInstanceOf[Array[Byte]].map("%02x".format(_)).mkString + "'"
+      case _: ArrayType | _: MapType | _: StructType =>
+        s"'${v.toString.replace("'", "''")}'"
+      case _ => s"'${v.toString.replace("'", "''")}'"
+    }
+  }
+}
+
+/** JDBC batch writer with the reference's constraint-bypass hooks
+  * (W1-W3). The hooks are the same statements the reference issues —
+  * `SET FOREIGN_KEY_CHECKS=0/1` (mysql/dumper.go:192-194),
+  * `ALTER TABLE ... DISABLE/ENABLE TRIGGER ALL`
+  * (postgres/dumper.go:81-121) — executed over a plain JDBC connection
+  * before/after the distributed write.
+  *
+  * Transactionality: the reference does one txn per table
+  * (mysql/dumper.go:74-99); a distributed write can't, so `staging=true`
+  * writes to `<table>_graft_staging` and atomically renames after load
+  * (SURVEY §7.4.7 staging-table-and-swap).
+  */
+final case class JdbcSinkConfig(
+    url: String,
+    table: String,
+    properties: java.util.Properties = new java.util.Properties(),
+    batchSize: Int = 10000,
+    preSql: Seq[String] = Nil,   // e.g. SET FOREIGN_KEY_CHECKS=0
+    postSql: Seq[String] = Nil,  // e.g. SET FOREIGN_KEY_CHECKS=1
+    staging: Boolean = false)
+
+object JdbcSink {
+  /** Hook statements klepto issues for each engine, for parity. */
+  def mysqlHooks: (Seq[String], Seq[String]) =
+    (Seq("SET FOREIGN_KEY_CHECKS=0"), Seq("SET FOREIGN_KEY_CHECKS=1"))
+  def postgresTriggerHooks(tables: Seq[String]): (Seq[String], Seq[String]) = (
+    tables.map(t => s"""ALTER TABLE "$t" DISABLE TRIGGER ALL"""),
+    tables.map(t => s"""ALTER TABLE "$t" ENABLE TRIGGER ALL"""))
+
+  def write(df: DataFrame, cfg: JdbcSinkConfig): Unit = {
+    val target = if (cfg.staging) s"${cfg.table}_graft_staging" else cfg.table
+    runSql(cfg, cfg.preSql)
+    try {
+      df.write.mode(SaveMode.Append)
+        .option("batchsize", cfg.batchSize.toString)
+        .jdbc(cfg.url, target, cfg.properties)
+      if (cfg.staging) runSql(cfg, Seq(
+        s"DROP TABLE IF EXISTS ${cfg.table}",
+        s"ALTER TABLE $target RENAME TO ${cfg.table}"))
+    } finally runSql(cfg, cfg.postSql)
+  }
+
+  private def runSql(cfg: JdbcSinkConfig, stmts: Seq[String]): Unit =
+    if (stmts.nonEmpty) {
+      val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.properties)
+      try {
+        val st = conn.createStatement()
+        stmts.foreach(st.execute)
+        st.close()
+      } finally conn.close()
+    }
+}
