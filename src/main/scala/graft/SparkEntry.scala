@@ -166,6 +166,42 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
+  // ---- NS1–NS12: north-star training-data-pipeline operators -------------
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  /** Query vectors for similarity search: the first five embeddings. */
+  private def simQueries(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+  private def ns1(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.exact(docs(s, dir))
+  private def ns2(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.minhashLsh(docs(s, dir))
+  private def ns3(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.simhash(docs(s, dir))
+  private def ns4(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.ngramJaccard(docs(s, dir))
+  private def ns5(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.embeddingNearDup(embs(s, dir), topN = 20)
+  private def ns6(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.bruteForceTopK(embs(s, dir), simQueries(s, dir), k = 10)
+  private def ns7(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.lshTopK(embs(s, dir), simQueries(s, dir), k = 10)
+  private def ns8(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.languageId(docs(s, dir))
+  private def ns9(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.qualityScore(docs(s, dir))
+  private def ns10(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.tokenCounts(docs(s, dir))
+  private def ns11(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.fingerprint(docs(s, dir))
+  private def ns12(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.extractFeatures(
+      graft.ops.Multimodal.packBinary(docs(s, dir))).orderBy("doc_id")
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -183,6 +219,18 @@ object SparkEntry {
     "k12_full_copy"     -> (k12 _),
     "k13_config_pipeline" -> (k13 _),
     "k14_anon_faker"    -> (k14 _),
+    "ns1_dedup_exact"     -> (ns1 _),
+    "ns2_dedup_minhash"   -> (ns2 _),
+    "ns3_dedup_simhash"   -> (ns3 _),
+    "ns4_dedup_ngram"     -> (ns4 _),
+    "ns5_dedup_embedding" -> (ns5 _),
+    "ns6_simsearch_topk"  -> (ns6 _),
+    "ns7_simsearch_lsh"   -> (ns7 _),
+    "ns8_text_langid"     -> (ns8 _),
+    "ns9_text_quality"    -> (ns9 _),
+    "ns10_text_tokens"    -> (ns10 _),
+    "ns11_text_fingerprint" -> (ns11 _),
+    "ns12_multimodal_features" -> (ns12 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -229,5 +277,89 @@ object SparkEntry {
       ("SELECT o.* FROM orders o " +
         "JOIN customer c ON c.c_custkey = o.o_custkey " +
         "WHERE c.c_acctbal > 0 ORDER BY o.o_orderkey LIMIT 500"),
+    // ns7 (LSH search) and ns12 (multimodal) are approximate/binary by
+    // design → rows-only checks; their exactness properties are spec-tested
+    // against ns6 / known histograms instead.
+    "ns1_dedup_exact" ->
+      ("SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents " +
+        "GROUP BY text ORDER BY doc_id"),
+    "ns2_dedup_minhash" ->
+      ("""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS shingle FROM words),
+         |mh AS (SELECT doc_id, s, min(md5(shingle || ':' || s)) m FROM sh, (SELECT unnest(range(0,16)) AS s) seeds GROUP BY doc_id, s),
+         |bands AS (SELECT doc_id, s // 4 AS band, string_agg(m, '' ORDER BY s) bv FROM mh GROUP BY doc_id, s // 4),
+         |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(list(shingle)) s FROM sh GROUP BY doc_id),
+         |scored AS (SELECT da AS doc_a, db AS doc_b, len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) AS j FROM cand JOIN sets x ON x.doc_id = cand.da JOIN sets y ON y.doc_id = cand.db)
+         |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM scored WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+    "ns3_dedup_simhash" ->
+      ("""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS shingle FROM words),
+         |wh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+         |bits AS (SELECT doc_id, b, CASE WHEN sum(((h >> b) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END AS bit FROM wh, (SELECT unnest(range(0,60)) AS b) bs GROUP BY doc_id, b),
+         |sim AS (SELECT doc_id, sum(bit << b)::BIGINT AS sh FROM bits GROUP BY doc_id),
+         |bands AS (SELECT doc_id, sh, p, (sh >> (p*12)) & 4095 AS chunk FROM sim, (SELECT unnest(range(0,5)) AS p) ps),
+         |cand AS (SELECT DISTINCT a.doc_id da, a.sh sa, b.doc_id db, b.sh sb FROM bands a JOIN bands b ON a.p = b.p AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         |SELECT da AS doc_a, db AS doc_b, bit_count(xor(sa, sb)) AS hamming FROM cand WHERE bit_count(xor(sa, sb)) <= 8 ORDER BY doc_a, doc_b""".stripMargin),
+    "ns4_dedup_ngram" ->
+      ("""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS shingle FROM words),
+         |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |scored AS (SELECT da AS doc_a, db AS doc_b, i::DOUBLE / (x.n + y.n - i) AS j FROM inter JOIN sizes x ON x.doc_id = da JOIN sizes y ON y.doc_id = db)
+         |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM scored WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+    "ns5_dedup_embedding" ->
+      ("""WITH scored AS (SELECT a.vec_id id_a, b.vec_id id_b,
+         |  round(list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE for i in range(1,65)]) /
+         |    (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE for i in range(1,65)])) *
+         |     sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE for i in range(1,65)]))), 6) AS cosine
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cosine FROM scored ORDER BY cosine DESC, id_a, id_b LIMIT 20""".stripMargin),
+    "ns6_simsearch_topk" ->
+      ("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |scored AS (SELECT q.query_id, e.vec_id,
+         |  round(list_sum([qv[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1,65)]) /
+         |    (sqrt(list_sum([qv[i]::DOUBLE * qv[i]::DOUBLE for i in range(1,65)])) *
+         |     sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1,65)]))), 6) AS cosine
+         |  FROM embeddings e, q WHERE e.vec_id != q.query_id)
+         |SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank, vec_id, cosine
+         |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    "ns8_text_langid" ->
+      ("""WITH w AS (SELECT doc_id, lang, string_split(text,' ') w FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  len([x for x in w if list_contains(['der','die','das','und','zu','nicht','ist','ein'], x)]) s_de,
+         |  len([x for x in w if list_contains(['the','a','of','and','to','in','is','that'], x)]) s_en,
+         |  len([x for x in w if list_contains(['el','la','de','los','y','que','en','un'], x)]) s_es,
+         |  len([x for x in w if list_contains(['le','la','de','les','et','que','en','un'], x)]) s_fr,
+         |  len([x for x in w if list_contains(['的','是','了','在','我','有','和','不'], x)]) s_zh
+         |  FROM w)
+         |SELECT doc_id, lang,
+         |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin),
+    "ns9_text_quality" ->
+      ("""WITH w AS (SELECT doc_id, string_split(text,' ') w, length(text) n_chars,
+         |  length(replace(text, ' ', '')) ncns FROM documents),
+         |f AS (SELECT doc_id, n_chars, len(w) AS n_words,
+         |  ncns::DOUBLE / len(w) AS avg_word_len,
+         |  len([x for x in w if list_contains(['the','a','of','and','to','in','is','that'], x)])::DOUBLE / len(w) AS stopword_ratio
+         |  FROM w)
+         |SELECT doc_id, n_chars, n_words, avg_word_len, stopword_ratio,
+         |  least(n_words::DOUBLE / 100.0, 1.0) * 0.5 + stopword_ratio * 0.3 +
+         |  (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 8.0 THEN 0.2 ELSE 0.0 END) AS quality_score
+         |FROM f ORDER BY doc_id""".stripMargin),
+    "ns10_text_tokens" ->
+      ("""SELECT doc_id, len(string_split(text,' ')) AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+         |  ceil(length(text)::DOUBLE / 4.0)::BIGINT AS n_est_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin),
+    "ns11_text_fingerprint" ->
+      ("""SELECT doc_id, md5(lower(text)) AS md5_fp,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |    [ord(c)::BIGINT for c in string_split(lower(text), '')]),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp
+         |FROM documents ORDER BY doc_id""".stripMargin),
   )
 }

@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines —
+  * north-star extensions beyond the reference's surface (SURVEY §7.2 M6).
+  *
+  * All variants are shuffle-disciplined for 100 TB:
+  *   - no cross joins anywhere: candidate pairs come from equality joins on
+  *     LSH band keys / shingle postings, so work scales with collision
+  *     counts, not n²;
+  *   - hashing is md5-based (codegen'd built-in) so every stage is
+  *     whole-stage-codegen and — deliberately — reproducible in any other
+  *     SQL engine for oracle checks;
+  *   - per-doc state (shingle sets, minhash sketches) is bounded by
+  *     document length, never by corpus size.
+  */
+object Dedup {
+
+  /** Word tokens; empty/short docs yield empty shingle arrays. */
+  private def wordsCol: Column = split(col("text"), " ")
+
+  /** k-word shingles, exploded and deduped per doc.
+    * Mirrors: transform over a 0..size-k index sequence. */
+  def shingles(docs: DataFrame, k: Int = 2): DataFrame =
+    docs
+      .select(col("doc_id"), wordsCol.as("w"))
+      .select(col("doc_id"), explode(
+        when(size(col("w")) >= k,
+          expr(s"transform(sequence(0, size(w) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))"))
+          .otherwise(expr("array()"))).as("shingle"))
+      .distinct()
+
+  /** D1 — exact dedup: one survivor (min doc_id) per distinct text, with
+    * the duplicate count. Hash-groupBy; map-side partial aggregation makes
+    * this a single shuffle of (text-hash, partial-min/count). */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
+  /** D2 — MinHash + LSH near-dup pairs.
+    *
+    * shingle → 16 md5 minhashes (one groupBy pass, 16 min() aggregates) →
+    * 4 bands of 4 → equality self-join on (band, band-key) → exact jaccard
+    * verification on candidates only. At scale the band join is the only
+    * pairwise step and touches only colliding docs.
+    *
+    * numHashes must be divisible by rowsPerBand. */
+  def minhashLsh(
+      docs: DataFrame,
+      shingleK: Int = 2,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes % rowsPerBand != 0")
+    val sh = shingles(docs, shingleK)
+
+    val mhCols = (0 until numHashes).map(s =>
+      min(md5(concat(col("shingle"), lit(s":$s")).cast("binary"))).as(s"mh$s"))
+    val mh = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+
+    val numBands = numHashes / rowsPerBand
+    val bandStructs = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+          .as("bv"))
+    }
+    val bands = mh.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** D3 — SimHash near-dup pairs: 60-bit simhash over shingle hashes,
+    * 5×12-bit band join (pigeonhole-complete for hamming ≤ 4; near-complete
+    * at ≤ 8), exact hamming filter. One groupBy with 60 sum() aggregates —
+    * no per-bit explode, single shuffle. */
+  def simhash(
+      docs: DataFrame,
+      shingleK: Int = 2,
+      maxHamming: Int = 8): DataFrame = {
+    val bitsN = 60 // md5-derived 15 hex chars = 60 bits, fits a Long
+    val sh = shingles(docs, shingleK)
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+
+    val bitSums = (0 until bitsN).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
+    val agg = sh.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simCol = (0 until bitsN).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    val sim = agg.select(col("doc_id"), simCol.as("sh"))
+
+    val chunks = (0 until 5).map(p =>
+      struct(lit(p).as("p"),
+        shiftright(col("sh"), p * 12).bitwiseAND(lit(4095L)).as("chunk")))
+    val bands = sim.select(col("doc_id"), col("sh"),
+      explode(array(chunks: _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.p").as("p"), col("bk.chunk").as("chunk"))
+
+    bands.as("a").join(bands.as("b"),
+        col("a.p") === col("b.p") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** D4 — exact n-gram jaccard near-dup via inverted-index (postings)
+    * self-join: |A∩B| falls out of an equality join on the shingle, never a
+    * doc×doc product. At corpus scale, stop-shingle removal (document
+    * frequency cap) bounds posting-list skew; the synthetic corpus doesn't
+    * need it, so it's exposed as `maxDocFreq`. */
+  def ngramJaccard(
+      docs: DataFrame,
+      shingleK: Int = 2,
+      threshold: Double = 0.5,
+      maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val sh0 = shingles(docs, shingleK)
+    val sh =
+      if (maxDocFreq == Long.MaxValue) sh0
+      else {
+        val hot = sh0.groupBy("shingle").count()
+          .where(col("count") > maxDocFreq).select("shingle")
+        sh0.join(hot, Seq("shingle"), "left_anti")
+      }
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+
+    inter
+      .join(sizes.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sizes.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("x.n") + col("y.n") - col("i"))).as("j"))
+      .where(col("j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact jaccard on candidate pairs from per-doc shingle sets. Set sizes
+    * are bounded by doc length, so collect_set stays small per row. */
+  private def verifyJaccard(
+      cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("s"))
+    cand
+      .join(sets.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sets.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("x.s"), col("y.s"))).cast("double") /
+          size(array_union(col("x.s"), col("y.s")))).as("j"))
+      .where(col("j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** D5 — embedding-cosine near-dup: top-N closest pairs (exact). The
+    * pairwise score uses the postings trick on quantized sign buckets? No —
+    * exactness requires the full product, so this API is the VERIFICATION
+    * path for small/filtered inputs; the scale path is
+    * [[Similarity.lshBuckets]] candidates + this verify on candidates.
+    * Output ranks by rounded score with id tie-breaks so results are
+    * engine-reproducible. */
+  def embeddingNearDup(embeddings: DataFrame, topN: Int = 20): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("id_a"),
+      col("embedding").cast("array<double>").as("va"))
+    val b = embeddings.select(col("vec_id").as("id_b"),
+      col("embedding").cast("array<double>").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("va"), col("vb")).as("c"))
+      .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+      .limit(topN)
+  }
+}

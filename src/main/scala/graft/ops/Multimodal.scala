@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing — north-star extension (SURVEY §7.2 M6).
+  *
+  * Design for image/audio/video at 100 TB: media travel as opaque `binary`
+  * columns with a typed metadata struct beside them; decode / feature
+  * extraction runs per-partition in batches (the Scala analog of
+  * `mapInPandas`), so one task holds one batch of blobs, never the column.
+  *
+  * The actual media decode is STUBBED (`decodeStub`): this container has no
+  * image/audio codecs, so the stub derives a deterministic 16-bin byte
+  * histogram "feature vector" from the raw bytes. The Spark-side plumbing —
+  * schema, binary packing, partition-batched UDF shape, feature schema —
+  * is real and tested; swapping `decodeStub` for a JNI/FFmpeg/JPEG decoder
+  * changes no plan shape.
+  */
+object Multimodal {
+
+  val featureDim = 16
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("lang", StringType, nullable = true),
+      StructField("source", StringType, nullable = true),
+      StructField("n_bytes", LongType, nullable = true))), nullable = false)))
+
+  /** Pack a text table into the opaque-binary media layout (stand-in for
+    * reading real image/audio blobs; the testdata has no media files). */
+  def packBinary(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("content"),
+      struct(
+        col("lang"),
+        col("source"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+        .as("meta"))
+
+  /** STUB media decoder: a real implementation would decode JPEG/PCM/
+    * frames here (per batch, off-heap). Deterministic byte histogram keeps
+    * the plumbing testable without codecs. */
+  private[ops] def decodeStub(content: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](featureDim)
+    if (content != null) {
+      var i = 0
+      while (i < content.length) {
+        hist((content(i) & 0xff) % featureDim) += 1f
+        i += 1
+      }
+      if (content.length > 0) {
+        var j = 0
+        while (j < featureDim) { hist(j) /= content.length; j += 1 }
+      }
+    }
+    hist
+  }
+
+  /** Per-partition batched feature extraction (mapInPandas analog): each
+    * task iterates its partition once, emitting (doc_id, features, meta).
+    * No shuffle; output partitioning == input partitioning. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false)),
+      StructField("n_bytes", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select(col("doc_id"), col("content"), col("meta.n_bytes"))
+      .mapPartitions { rows =>
+        // batch loop: a real decoder would pin one batch of blobs at a time
+        rows.map { r =>
+          Row(r.getLong(0), decodeStub(r.getAs[Array[Byte]](1)),
+            if (r.isNullAt(2)) null else r.getLong(2))
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** Frame/sample-style reduction over features: mean feature vector per
+    * source — shows the downstream groupBy shape over extracted features
+    * (partial aggregation map-side; one shuffle on the group key). */
+  def featureStats(features: DataFrame, docs: DataFrame): DataFrame = {
+    val withSource = features.join(docs.select("doc_id", "source"), "doc_id")
+    withSource
+      .select(col("source"), posexplode(col("features")).as(Seq("dim", "v")))
+      .groupBy(col("source"), col("dim"))
+      .agg(avg(col("v")).as("mean_v"))
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("mean_v"))))
+        .getField("mean_v").as("mean_features"))
+      .orderBy(col("source"))
+  }
+}

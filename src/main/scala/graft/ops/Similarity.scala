@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor similarity search over an embedding column
+  * (`Array[Float]`) — north-star extension (SURVEY §7.2 M6).
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: exact cosine top-k per query. Queries are a
+  *     (small) DataFrame broadcast against the corpus — the corpus is
+  *     scanned once, never shuffled, so this scales in corpus size but
+  *     linearly; it is the baseline and the verifier.
+  *   - [[lshTopK]]: sign-random-projection LSH. Hyperplanes are derived
+  *     deterministically from md5, so buckets are reproducible across
+  *     engines and runs. Corpus is bucketed once (numPlanes sign bits →
+  *     2^numPlanes buckets); a query only scores its own bucket (multi-probe over
+  *     Hamming-1 neighbors for recall). This is the 100 TB path: bucket
+  *     assignment is one narrow scan, search touches ~corpus/2^bits rows.
+  *
+  * All arithmetic is double-precision with an explicit left-to-right fold
+  * (`aggregate`) so scores are bit-reproducible.
+  */
+object Similarity {
+
+  /** Left-to-right double dot product (codegen'd higher-order function). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query id. `queries` is (query_id,
+    * query_vec); ranks tie-break on rounded score then neighbor id, so
+    * output is total-ordered and engine-reproducible. */
+  def bruteForceTopK(
+      embeddings: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val q = queries.select(col("query_id"),
+      col("query_vec").cast("array<double>").as("qv"))
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
+    * md5-derived integer folded into [-1000, 1000] / 1000. Reproducible in
+    * any engine with md5 + hex→int. */
+  private def planeComponent(p: Int, d: Column): Column =
+    (conv(substring(md5(concat(lit(s"plane:$p:"), d.cast("string"))
+      .cast("binary")), 1, 15), 16, 10).cast("long") % 2001 - 1000)
+      .cast("double") / 1000.0
+
+  /** Sign-LSH bucket key: `numPlanes` sign bits of hyperplane projections. */
+  def lshBucket(vec: Column, numPlanes: Int = 8): Column =
+    (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), lit(63)),
+          (x, d) => x * planeComponent(p, d)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k: score only the query's LSH bucket (plus Hamming-1 probe
+    * buckets). Recall is measured against [[bruteForceTopK]] in the spec,
+    * not oracle-checked (bucket pruning is approximate by design). */
+  def lshTopK(
+      embeddings: DataFrame, queries: DataFrame, k: Int = 10,
+      numPlanes: Int = 8, probeHamming1: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"),
+      lshBucket(col("embedding").cast("array<double>"), numPlanes).as("bucket"))
+    val qBase = queries.select(col("query_id"),
+      col("query_vec").cast("array<double>").as("qv"),
+      lshBucket(col("query_vec").cast("array<double>"), numPlanes).as("qb"))
+    // multi-probe: the query's bucket plus all Hamming-1 flips
+    val probes =
+      if (!probeHamming1) qBase.withColumn("bucket", col("qb"))
+      else qBase.select(col("query_id"), col("qv"), explode(array(
+        (col("qb") +: (0 until numPlanes).map(p =>
+          col("qb").bitwiseXOR(lit(1L << p)))): _*)).as("bucket"))
+    val scored = corpus.join(broadcast(probes), Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

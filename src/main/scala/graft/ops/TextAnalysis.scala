@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines — north-star
+  * extensions (SURVEY §7.2 M6): language-ID, quality scoring, token
+  * counting, document fingerprinting.
+  *
+  * Everything here is a narrow per-row projection over codegen'd built-ins
+  * (no UDFs, no shuffles except user-requested aggregations), so the
+  * operators fuse into the scan stage at any scale. Formulas are expressed
+  * with engine-portable arithmetic (single IEEE ops over exact ints) so the
+  * DuckDB oracle reproduces results bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Marker vocabularies for the n-gram language-ID heuristic. Scores are
+    * duplicate-counting token hits; argmax tie-breaks on ascending language
+    * code. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "zu", "nicht", "ist", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "los", "y", "que", "en", "un"),
+    "fr" -> Seq("le", "la", "de", "les", "et", "que", "en", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  private def hitCount(wordsCol: String, markers: Seq[String]): Column = {
+    val arr = array(markers.map(lit): _*)
+    size(filter(col(wordsCol), w => array_contains(arr, w)))
+  }
+
+  /** T1 — language identification. Output: doc_id, lang (ground truth
+    * column, carried through), pred_lang. */
+  def languageId(docs: DataFrame): DataFrame = {
+    val withScores = langMarkers.foldLeft(
+      docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))) {
+      case (df, (code, markers)) =>
+        df.withColumn(s"s_$code", hitCount("w", markers))
+    }
+    // argmax with ascending-code tie-break, as a CASE cascade so any SQL
+    // engine evaluates the identical decision tree
+    val codes = langMarkers.map(_._1)
+    val pred = codes.init.zipWithIndex.foldRight(lit(codes.last)) {
+      case ((code, i), elseCol) =>
+        val laterCodes = codes.drop(i + 1)
+        when(laterCodes.map(lc => col(s"s_$code") >= col(s"s_$lc"))
+          .reduce(_ && _), lit(code)).otherwise(elseCol)
+    }
+    withScores.select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** T2 — quality scoring: length/word/stopword/punctuation features and a
+    * composite score. All divisions are single IEEE double ops over exact
+    * integers — reproducible across engines. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val nWords = size(w)
+    val nChars = length(col("text"))
+    val nCharsNoSpace = length(regexp_replace(col("text"), " ", ""))
+    val stopHits = hitCount("w", langMarkers.toMap.apply("en"))
+    docs.select(col("doc_id"), w.as("w"), nChars.as("n_chars"),
+        nWords.as("n_words"), nCharsNoSpace.as("ncns"))
+      .withColumn("stop_hits", stopHits)
+      .select(
+        col("doc_id"), col("n_chars"), col("n_words"),
+        (col("ncns").cast("double") / col("n_words")).as("avg_word_len"),
+        (col("stop_hits").cast("double") / col("n_words")).as("stopword_ratio"))
+      .withColumn("quality_score",
+        least(col("n_words").cast("double") / lit(100.0), lit(1.0)) * 0.5 +
+          col("stopword_ratio") * 0.3 +
+          when(col("avg_word_len") >= 3.0 && col("avg_word_len") <= 8.0,
+            lit(0.2)).otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** T3 — token counting: whitespace tokens, BPE-ish regex tokens
+    * (letter runs / digit runs / single non-alphanumeric), and the
+    * chars/4 LLM estimate. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+        .as("n_bpe_tokens"),
+      ceil(length(col("text")).cast("double") / 4.0).cast("long")
+        .as("n_est_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** T4 — document fingerprinting: md5 of the normalized text plus a
+    * 31-polynomial rolling hash mod 1e9+7 (overflow-free in 64-bit: the
+    * accumulator stays < 1e9, each step < 3.3e10). The rolling hash is a
+    * left fold over characters — same order in any engine. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val norm = lower(col("text"))
+    docs.select(
+      col("doc_id"),
+      md5(norm.cast("binary")).as("md5_fp"),
+      aggregate(split(norm, ""), lit(0L),
+        (acc, c) => (acc * 31 + ascii(c)) % 1000000007L).as("rolling_fp"))
+      .orderBy(col("doc_id"))
+  }
+}
