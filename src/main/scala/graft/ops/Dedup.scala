@@ -179,13 +179,18 @@ object Dedup {
     * Output ranks by rounded score with id tie-breaks so results are
     * engine-reproducible. */
   def embeddingNearDup(embeddings: DataFrame, topN: Int = 20): DataFrame = {
+    // Norms are hoisted out of the pairwise join: computed once per vector
+    // (identical IEEE value to recomputing per pair, so oracle hashes are
+    // unchanged) — the O(n²) stage does only the dot product.
     val a = embeddings.select(col("vec_id").as("id_a"),
       col("embedding").cast("array<double>").as("va"))
+      .withColumn("na", Similarity.norm(col("va")))
     val b = embeddings.select(col("vec_id").as("id_b"),
       col("embedding").cast("array<double>").as("vb"))
+      .withColumn("nb", Similarity.norm(col("vb")))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("va"), col("vb")).as("c"))
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("c"))
       .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
       .limit(topN)

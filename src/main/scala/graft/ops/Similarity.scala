@@ -38,13 +38,18 @@ object Similarity {
   def bruteForceTopK(
       embeddings: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // corpus norms hoisted out of the per-(query, vector) scoring —
+    // identical IEEE values, ~q× less norm work
     val corpus = embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
+      .withColumn("nv", norm(col("v")))
     val q = queries.select(col("query_id"),
       col("query_vec").cast("array<double>").as("qv"))
+      .withColumn("nq", norm(col("qv")))
     val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+        round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6)
+          .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
