@@ -1,0 +1,107 @@
+package graft.sinks
+
+import org.apache.spark.sql.types._
+
+/** Structure (DDL) generation and replay — S5/S6 parity.
+  *
+  * The reference carries DDL as an opaque string: MySQL concatenates
+  * `SHOW CREATE TABLE` statements wrapped in `SET FOREIGN_KEY_CHECKS=0/1`
+  * (`pkg/reader/mysql/reader.go:84-111`), Postgres shells out to
+  * `pg_dump --schema-only` (`pkg/reader/postgres/pg_dump.go:32-59`), and the
+  * dumpers just `Exec` the string (`pkg/dumper/mysql/dumper.go:43-49`,
+  * `pkg/dumper/postgres/dumper.go:42-48`).
+  *
+  * Spark carries `StructType` losslessly, so structure here is *generated*
+  * from the schema per target dialect instead of scraped as text — identifier
+  * quoting matches the reference's per-engine rules: backticks doubled for
+  * MySQL (`mysql/reader.go:114-116`), double quotes for Postgres
+  * (`postgres/reader.go:89-91`).
+  */
+sealed trait Dialect {
+  def name: String
+  def quote(ident: String): String
+  def typeName(dt: DataType): String
+  /** Statements issued around structure replay / bulk load, matching the
+    * reference's constraint bypass (mysql/dumper.go:192-194). */
+  def preamble: Seq[String]
+  def postamble: Seq[String]
+}
+
+object Dialect {
+
+  case object MySql extends Dialect {
+    val name = "mysql"
+    def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
+    def typeName(dt: DataType): String = dt match {
+      case ByteType => "TINYINT"
+      case ShortType => "SMALLINT"
+      case IntegerType => "INT"
+      case LongType => "BIGINT"
+      case FloatType => "FLOAT"
+      case DoubleType => "DOUBLE"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case BooleanType => "TINYINT(1)" // fixtures/mysql_simple.sql boolean idiom
+      case StringType => "TEXT"
+      case BinaryType => "BLOB"
+      case DateType => "DATE"
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case other => s"TEXT /* ${other.simpleString} */"
+    }
+    val preamble = Seq("SET FOREIGN_KEY_CHECKS=0")
+    val postamble = Seq("SET FOREIGN_KEY_CHECKS=1")
+  }
+
+  case object Postgres extends Dialect {
+    val name = "postgres"
+    def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+    def typeName(dt: DataType): String = dt match {
+      case ByteType | ShortType => "SMALLINT"
+      case IntegerType => "INTEGER"
+      case LongType => "BIGINT"
+      case FloatType => "REAL"
+      case DoubleType => "DOUBLE PRECISION"
+      case d: DecimalType => s"NUMERIC(${d.precision},${d.scale})"
+      case BooleanType => "BOOLEAN"
+      case StringType => "TEXT"
+      case BinaryType => "BYTEA"
+      case DateType => "DATE"
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case ArrayType(e, _) => s"${typeName(e)}[]"
+      case other => s"TEXT /* ${other.simpleString} */"
+    }
+    val preamble = Nil
+    val postamble = Nil
+  }
+
+  def forName(n: String): Dialect = n match {
+    case "mysql" => MySql
+    case "postgres" | "postgresql" => Postgres
+    case other => throw new IllegalArgumentException(s"unknown dialect $other")
+  }
+}
+
+object Ddl {
+
+  /** CREATE TABLE for one table in the target dialect. */
+  def createTable(table: String, schema: StructType, dialect: Dialect): String = {
+    val cols = schema.fields.map { f =>
+      val nullness = if (f.nullable) "" else " NOT NULL"
+      s"  ${dialect.quote(f.name)} ${dialect.typeName(f.dataType)}$nullness"
+    }
+    s"CREATE TABLE ${dialect.quote(table)} (\n${cols.mkString(",\n")}\n);"
+  }
+
+  /** Whole-catalog structure script (≅ `GetStructure`,
+    * mysql/reader.go:84-111): preamble + per-table CREATE + postamble. */
+  def structureScript(
+      tables: Seq[(String, StructType)], dialect: Dialect): String = {
+    val sb = new StringBuilder
+    sb.append(s"-- graft structure dump (${dialect.name})\n")
+    dialect.preamble.foreach(s => sb.append(s).append(";\n"))
+    tables.foreach { case (t, sch) =>
+      sb.append(createTable(t, sch, dialect)).append("\n")
+    }
+    dialect.postamble.foreach(s => sb.append(s).append(";\n"))
+    sb.toString
+  }
+}

@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+
+/** Driver registry / DSN dispatch (≅ klepto `pkg/reader/reader.go:99-115`,
+  * `pkg/dumper/dumper.go:48-69`): each driver probes the DSN and the first
+  * supporter wins. The reference's probes are: MySQL = go-sql-driver
+  * `ParseDSN` success (`pkg/reader/mysql/mysql.go:14-21`), Postgres =
+  * `postgres://` prefix (`pkg/reader/postgres/postgres.go:15-17`),
+  * text dumper = `os://` (`pkg/dumper/query/query.go:11-17`).
+  *
+  * Spark mapping: a resolved driver is a recipe for
+  * `spark.read.format(...)` — JDBC for databases (Catalyst's DSv2 JDBC
+  * pushdown then replays klepto's whole "push the query to the source"
+  * strategy for filters/limits), files for the lake path, console for the
+  * `os://stdout/` text dump.
+  */
+sealed trait Resolved
+object Resolved {
+  /** `postgres://` / `mysql://` → Spark JDBC source/sink.
+    * `url` is the `jdbc:` form; user/password ride in `properties`. */
+  final case class Jdbc(url: String, properties: java.util.Properties)
+      extends Resolved
+  /** `file://` → lake path; format from `?format=` or the file extension
+    * (default parquet — the 100 TB path). */
+  final case class File(path: String, format: String) extends Resolved
+  /** `os://stdout/` or `os://stderr/` → SQL-text dump stream (W4). */
+  final case class Console(stream: String) extends Resolved
+}
+
+object Drivers {
+
+  /** First-supporter-wins probe loop (reader.go:108-114). */
+  def resolve(dsnString: String): Resolved = {
+    val dsn = Dsn.parseOrThrow(dsnString)
+    dsn.tpe match {
+      case "postgres" | "postgresql" =>
+        jdbc("postgresql", dsn, defaultPort = "5432")
+      case "mysql" =>
+        jdbc("mysql", dsn, defaultPort = "3306")
+      case "file" =>
+        val path =
+          if (dsn.dataSource.isEmpty) dsn.address
+          else s"${dsn.address}/${dsn.dataSource}"
+        val format = dsn.params.getOrElse("format",
+          path.reverse.takeWhile(_ != '.').reverse match {
+            case ext @ ("csv" | "json" | "orc" | "parquet") => ext
+            case _ => "parquet"
+          })
+        Resolved.File(path, format)
+      case "os" =>
+        Resolved.Console(if (dsn.address.isEmpty) "stdout" else dsn.address)
+      case other =>
+        throw Dsn.DsnError(s"no driver supports dsn type '$other'")
+    }
+  }
+
+  private def jdbc(sub: String, dsn: Dsn, defaultPort: String): Resolved.Jdbc = {
+    val host = if (dsn.host.nonEmpty) dsn.host else dsn.address
+    val port = if (dsn.port.nonEmpty) dsn.port else defaultPort
+    val props = new java.util.Properties()
+    if (dsn.username.nonEmpty) props.setProperty("user", dsn.username)
+    if (dsn.password.nonEmpty) props.setProperty("password", dsn.password)
+    dsn.params.foreach { case (k, v) => props.setProperty(k, v) }
+    Resolved.Jdbc(s"jdbc:$sub://$host:$port/${dsn.dataSource}", props)
+  }
+
+  /** Reader for one table behind a DSN (≅ `Engine.ReadTable`,
+    * `pkg/reader/engine/engine.go:82-133`). For JDBC the `dbtable` option
+    * keeps the scan pushdown-capable: Catalyst sends filters/limits to the
+    * source DB, which is exactly the reference's execution strategy. */
+  def read(spark: SparkSession, dsnString: String, table: String): DataFrame =
+    resolve(dsnString) match {
+      case Resolved.Jdbc(url, props) =>
+        val r: DataFrameReader = spark.read.format("jdbc")
+          .option("url", url).option("dbtable", table)
+        props.stringPropertyNames().forEach(k => r.option(k, props.getProperty(k)))
+        r.load()
+      case Resolved.File(path, format) =>
+        spark.read.format(format).load(s"$path/$table.$format")
+      case Resolved.Console(_) =>
+        throw Dsn.DsnError("os:// is a dump target, not a source")
+    }
+}

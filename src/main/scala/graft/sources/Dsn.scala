@@ -1,0 +1,111 @@
+package graft.sources
+
+import java.util.regex.Pattern
+
+/** DSN parsing (≅ klepto `pkg/dsn/dsn.go:18-84`).
+  *
+  * The reference accepts go-sql-driver-style DSNs of the shape
+  * `[type://][user[:pass]@][protocol[(address)]]/datasource[?p=v&…]`
+  * (regex at `pkg/dsn/dsn.go:18-25`, itself lifted from go-sql-driver).
+  * Semantics preserved exactly:
+  *
+  *   - a DSN is invalid when the grammar doesn't match or `Type` is empty
+  *     (`dsn.go:51-53` — so `"/"` and `"i_am_not_a_dsn"` are invalid);
+  *   - a bare `protocol` with no parenthesised address is re-interpreted
+  *     as the address (`dsn.go:74-77`), which is how
+  *     `postgres://u:p@localhost:5432/db` works without `tcp(...)`;
+  *   - `host:port` is split out of the address when present
+  *     (`dsn.go:78-82`, Go `net.SplitHostPort`);
+  *   - query params are flattened `key -> values.mkString(",")`
+  *     (`dsn.go:59-68`); a DSN with no `?` still gets an empty (non-null)
+  *     param map.
+  */
+final case class Dsn(
+    tpe: String,
+    username: String = "",
+    password: String = "",
+    protocol: String = "",
+    address: String = "",
+    host: String = "",
+    port: String = "",
+    dataSource: String = "",
+    params: Map[String, String] = Map.empty) {
+
+  /** Round-trip rendering (≅ `dsn.go:87-134`). */
+  override def toString: String = {
+    val sb = new StringBuilder
+    if (tpe.nonEmpty) sb.append(tpe).append("://")
+    if (username.nonEmpty) sb.append(username)
+    if (password.nonEmpty) sb.append(":").append(password)
+    if (username.nonEmpty && password.nonEmpty) sb.append("@")
+    if (protocol.nonEmpty) sb.append(protocol)
+    if (address.nonEmpty) sb.append("(").append(address).append(")")
+    sb.append("/")
+    if (dataSource.nonEmpty) sb.append(dataSource)
+    if (params.nonEmpty)
+      sb.append("?").append(params.map { case (k, v) => s"$k=$v" }.mkString("&"))
+    sb.toString
+  }
+}
+
+object Dsn {
+
+  final case class DsnError(message: String) extends Exception(message)
+  val EmptyDsn: DsnError = DsnError("empty string provided for dsn")
+  val InvalidDsn: DsnError = DsnError("invalid dsn")
+
+  // Same grammar as pkg/dsn/dsn.go:19-25 (Java named-group syntax).
+  private val regex = Pattern.compile(
+    "^(?:(?<Type>.*?)?://)?" +
+      "(?:(?<Username>.*?)(?::(?<Password>.*))?@)?" +
+      "(?:(?<Protocol>[^\\(]*)(?:\\((?<Address>[^\\)]*)\\))?)?" +
+      "/(?<DataSource>.*?)" +
+      "(?:\\?(?<Params>[^\\?]*))?$")
+
+  def parse(s: String): Either[DsnError, Dsn] = {
+    if (s.isEmpty) return Left(EmptyDsn)
+    val m = regex.matcher(s)
+    if (!m.matches()) return Left(InvalidDsn)
+    def g(name: String): String = Option(m.group(name)).getOrElse("")
+    if (g("Type").isEmpty) return Left(InvalidDsn)
+
+    var protocol = g("Protocol")
+    var address = g("Address")
+    // bare protocol with no (address) is actually the address (dsn.go:74-77)
+    if (protocol.nonEmpty && address.isEmpty) { address = protocol; protocol = "" }
+    val (host, port) = splitHostPort(address)
+    Right(Dsn(
+      tpe = g("Type"), username = g("Username"), password = g("Password"),
+      protocol = protocol, address = address, host = host, port = port,
+      dataSource = g("DataSource"), params = parseQuery(g("Params"))))
+  }
+
+  /** Throwing variant for call sites that want klepto's error strings. */
+  def parseOrThrow(s: String): Dsn = parse(s).fold(throw _, identity)
+
+  /** ≅ Go `net.SplitHostPort`: `host:port` / `[v6]:port`; anything without
+    * a port (or with a stray colon inside an unbracketed v6 literal) leaves
+    * host/port empty, matching `dsn.go:78-82`'s ignore-on-error. */
+  private[sources] def splitHostPort(addr: String): (String, String) = {
+    val i = addr.lastIndexOf(':')
+    if (i < 0) return ("", "")
+    val (h, p) = (addr.substring(0, i), addr.substring(i + 1))
+    if (h.startsWith("[") && h.endsWith("]")) (h.substring(1, h.length - 1), p)
+    else if (h.contains(":") || p.contains("]")) ("", "") // malformed v6
+    else (h, p)
+  }
+
+  private[sources] def parseQuery(q: String): Map[String, String] =
+    if (q.isEmpty) Map.empty
+    else q.split("&").toSeq.filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        val (k, v) = if (i < 0) (kv, "") else (kv.substring(0, i), kv.substring(i + 1))
+        (decode(k), decode(v))
+      }
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).mkString(",")).toMap
+
+  private def decode(s: String): String =
+    java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+}

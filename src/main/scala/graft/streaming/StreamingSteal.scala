@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.anonymise.Anonymiser
+import graft.config.TableConfig
+
+/** Streaming anonymise mode — a pure extension over the reference
+  * (SURVEY §2.9: klepto is strictly batch; its channel pipeline maps to
+  * Spark's internal pipelining, not to Structured Streaming). This is the
+  * "anonymise-CDC" shape: new files landing in a table directory are
+  * continuously subsetted (stateless ops only), anonymised with the SAME
+  * deterministic seeded fakers as the batch path, and appended to the
+  * target.
+  *
+  * Design points for 100 TB / production CDC:
+  *   - the transform is stateless (filter + projection + deterministic
+  *     per-row faker), so no watermark or state store is needed and the
+  *     stream never accumulates memory;
+  *   - determinism of the fakers ([[Anonymiser]]) makes reprocessing after
+  *     failure idempotent at the value level — a replayed micro-batch
+  *     produces byte-identical rows, so downstream exactly-once reduces to
+  *     the sink's file-commit atomicity plus checkpointing;
+  *   - `Trigger.AvailableNow` gives catch-up-then-stop batch-boundary
+  *     semantics (used by the spec); production would use a processing-time
+  *     trigger.
+  *
+  * Filters come from the same config: `Match` via `expr()`. Sorts/limits
+  * are deliberately rejected — global ORDER BY/LIMIT are not defined on an
+  * unbounded stream (they would need complete-mode aggregation), matching
+  * Spark's own unsupported-operations rules.
+  */
+object StreamingSteal {
+
+  /** Build the anonymised streaming DataFrame for one table directory. */
+  def stream(
+      spark: SparkSession,
+      sourceDir: String,
+      table: TableConfig,
+      schema: StructType,
+      secret: String = "graft",
+      keyColumns: Seq[String] = Nil): DataFrame = {
+    require(table.filter.sorts.isEmpty && table.filter.limit == 0,
+      "sorts/limits are undefined on an unbounded stream; use batch Steal")
+    val raw = spark.readStream.schema(schema)
+      .parquet(s"$sourceDir/${table.name}.parquet")
+    val matched =
+      if (table.filter.matchExpr.isEmpty) raw
+      else raw.where(org.apache.spark.sql.functions.expr(table.filter.matchExpr))
+    Anonymiser(matched, table, secret, keyColumns)
+  }
+
+  /** Start the append-mode parquet writer with checkpointing. */
+  def start(
+      df: DataFrame,
+      targetDir: String,
+      table: String,
+      checkpointDir: String,
+      availableNow: Boolean = true): StreamingQuery = {
+    val w = df.writeStream
+      .format("parquet")
+      .option("path", s"$targetDir/$table.parquet")
+      .option("checkpointLocation", s"$checkpointDir/$table")
+      .outputMode("append")
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+}

@@ -1,0 +1,68 @@
+package graft.sinks
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structure-dump parity (S5/S6): dialect quoting rules from
+  * `pkg/reader/mysql/reader.go:114-116` (backticks, doubled) and
+  * `pkg/reader/postgres/reader.go:89-91` (double quotes); script shape from
+  * `GetStructure` (`mysql/reader.go:84-111`): preamble, per-table CREATE,
+  * FK-check bracket. */
+class DdlSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType),
+    StructField("active", BooleanType),
+    StructField("balance", DecimalType(12, 2)),
+    StructField("created_at", TimestampType),
+    StructField("blob", BinaryType)))
+
+  test("mysql identifier quoting doubles embedded backticks") {
+    assert(Dialect.MySql.quote("OrderItems") === "`OrderItems`")
+    assert(Dialect.MySql.quote("we`ird") === "`we``ird`")
+  }
+
+  test("postgres identifier quoting doubles embedded quotes") {
+    assert(Dialect.Postgres.quote("OrderItems") === "\"OrderItems\"")
+    assert(Dialect.Postgres.quote("we\"ird") === "\"we\"\"ird\"")
+  }
+
+  test("mysql create table maps spark types to mysql types") {
+    val ddl = Ddl.createTable("users", schema, Dialect.MySql)
+    assert(ddl.contains("CREATE TABLE `users`"))
+    assert(ddl.contains("`id` BIGINT NOT NULL"))
+    assert(ddl.contains("`name` TEXT"))
+    assert(ddl.contains("`active` TINYINT(1)"))
+    assert(ddl.contains("`balance` DECIMAL(12,2)"))
+    assert(ddl.contains("`created_at` TIMESTAMP"))
+    assert(ddl.contains("`blob` BLOB"))
+  }
+
+  test("postgres create table maps spark types to postgres types") {
+    val ddl = Ddl.createTable("users", schema, Dialect.Postgres)
+    assert(ddl.contains("CREATE TABLE \"users\""))
+    assert(ddl.contains("\"id\" BIGINT NOT NULL"))
+    assert(ddl.contains("\"active\" BOOLEAN"))
+    assert(ddl.contains("\"balance\" NUMERIC(12,2)"))
+    assert(ddl.contains("\"blob\" BYTEA"))
+  }
+
+  test("mysql structure script is bracketed by FK-check toggles") {
+    val script = Ddl.structureScript(
+      Seq("users" -> schema, "orders" -> schema), Dialect.MySql)
+    val lines = script.linesIterator.toSeq
+    assert(lines.exists(_.startsWith("SET FOREIGN_KEY_CHECKS=0")))
+    assert(lines.last.startsWith("SET FOREIGN_KEY_CHECKS=1"))
+    assert(script.indexOf("CREATE TABLE `users`") <
+      script.indexOf("CREATE TABLE `orders`"))
+    assert(script.indexOf("SET FOREIGN_KEY_CHECKS=0;") <
+      script.indexOf("CREATE TABLE `users`"))
+  }
+
+  test("dialect registry resolves by name") {
+    assert(Dialect.forName("mysql") === Dialect.MySql)
+    assert(Dialect.forName("postgresql") === Dialect.Postgres)
+    intercept[IllegalArgumentException](Dialect.forName("oracle"))
+  }
+}
