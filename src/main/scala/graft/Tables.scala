@@ -19,8 +19,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // every query path passes through here, so sessions not configured with
+    // spark.sql.extensions=graft.functions.GraftExtensions still resolve
+    // the custom vec_* expressions (registration is idempotent and cheap)
+    graft.functions.VectorFunctions.register(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Discover table names present in a directory (catalog listing, S3). */
   def list(dir: String): Seq[String] = {

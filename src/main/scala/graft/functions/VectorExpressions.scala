@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expressions for the embedding-vector hot path.
+  *
+  * `Similarity`'s original formulation used the built-in higher-order
+  * functions (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`): semantically
+  * perfect, but HOFs evaluate their lambda per element through the
+  * interpreter and sit outside whole-stage codegen — at 2k×2k pairwise
+  * cosine (ns5) that was ~12 s at sf0.1. These expressions generate a tight
+  * primitive `double` loop via `doGenCode`, keeping the O(n²) scoring stage
+  * fully inside WholeStageCodegen (preference order (b) of the build rules:
+  * custom `Expression` over UDF).
+  *
+  * IEEE-exactness contract: the fold is strictly left-to-right, identical
+  * to the HOF formulation and to DuckDB's `list_sum` comprehension, so
+  * oracle hashes (6-decimal rounding) are unchanged.
+  *
+  * Element nulls are treated as absent (the corpus schema forbids them);
+  * a null ARRAY still yields null via the null-safe eval path.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes
+    with Serializable {
+
+  // no explicit Seq[AbstractDataType] annotation: that type is private[sql]
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** sqrt(Σ vᵢ²) with the same left-to-right fold as
+  * `sqrt(aggregate(a, 0.0, (acc, v) -> acc + v * v))`. */
+case class L2Norm(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with Serializable {
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val v = x.getDouble(i); acc += v * v; i += 1 }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = $a.getDouble($i);
+         |  $acc += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): L2Norm =
+    copy(child = newChild)
+}
+
+/** Column builders + SQL registration: the expressions resolve by NAME
+  * through the session's function registry (`call_function`), so they are
+  * usable from both the DataFrame API and `spark.sql` (UDF-surface parity,
+  * SURVEY §2.10). Sessions get the functions either via
+  * [[GraftExtensions]] (`spark.sql.extensions=graft.functions.GraftExtensions`)
+  * or via [[VectorFunctions.register]], which [[graft.Tables.load]] calls
+  * idempotently so every query path is covered. */
+object VectorFunctions {
+
+  def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  def vecNorm(a: Column): Column = call_function("vec_norm", a)
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "vec_norm" -> (exprs => L2Norm(exprs.head)))
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      registry.createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+}
+
+/** Session-extensions injector (`--conf
+  * spark.sql.extensions=graft.functions.GraftExtensions`): the canonical
+  * cluster-wide registration path for the custom expressions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    VectorFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.VectorExpressions", name), b))
+    }
+}

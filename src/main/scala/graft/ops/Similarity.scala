@@ -23,12 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right double dot product (codegen'd higher-order function). */
+  /** Left-to-right double dot product. Originally
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` — same IEEE result, but the
+    * HOF lambda interprets per element outside whole-stage codegen; the
+    * custom expression generates a primitive loop ([[graft.functions.DotProduct]]). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.vecDot(a, b)
 
   def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+    graft.functions.VectorFunctions.vecNorm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -59,21 +62,24 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
-    * md5-derived integer folded into [-1000, 1000] / 1000. Reproducible in
-    * any engine with md5 + hex→int. */
-  private def planeComponent(p: Int, d: Column): Column =
-    (conv(substring(md5(concat(lit(s"plane:$p:"), d.cast("string"))
-      .cast("binary")), 1, 15), 16, 10).cast("long") % 2001 - 1000)
-      .cast("double") / 1000.0
+    * md5-derived integer folded into [-1000, 1000] / 1000 — reproducible in
+    * any engine with md5 + hex→int. The components are data-INDEPENDENT
+    * constants, so they are computed once driver-side (same formula the
+    * original SQL expression evaluated per row: md5 of "plane:p:d", first
+    * 15 hex chars as a long, % 2001 - 1000, / 1000) and embedded as array
+    * literals; per row only the codegen'd dot product remains. */
+  private[ops] def planeComponent(p: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane:$p:$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.take(15), 16) % 2001 - 1000).toDouble / 1000.0
+  }
 
   /** Sign-LSH bucket key: `numPlanes` sign bits of hyperplane projections. */
-  def lshBucket(vec: Column, numPlanes: Int = 8): Column =
+  def lshBucket(vec: Column, numPlanes: Int = 8, dims: Int = 64): Column =
     (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), lit(63)),
-          (x, d) => x * planeComponent(p, d)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      val plane = array((0 until dims).map(d => lit(planeComponent(p, d))): _*)
+      when(dot(vec, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** ANN top-k: score only the query's LSH bucket (plus Hamming-1 probe

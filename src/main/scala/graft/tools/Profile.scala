@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch profiling harness for operator variants (not part of the
+  * library surface; run via `sbt "runMain graft.tools.Profile"`). */
+object Profile {
+
+  def time(label: String)(f: => DataFrame): Unit = {
+    val t0 = System.nanoTime()
+    f.write.mode("overwrite").format("noop").save()
+    println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val sh = graft.ops.Dedup.shingles(docs, 2)
+
+    // stage-by-stage cost of ns4
+    for (round <- 1 to 2) {
+      println(s"--- round $round")
+      time("shingles+distinct")(sh)
+      time("postings self-join (raw pairs)")(
+        sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id")))
+      time("join + pair-count agg")(
+        sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id"), col("b.doc_id")).agg(count(lit(1))))
+      // variant: broadcast dictionary → int join key
+      val dict = sh.select("shingle").distinct()
+        .withColumn("sid", xxhash64(col("shingle")))
+      val postI = sh.join(broadcast(dict), "shingle").select("doc_id", "sid")
+      time("int-key join + agg")(
+        postI.as("a").join(postI.as("b"),
+          col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id"), col("b.doc_id")).agg(count(lit(1))))
+      // variant: packed single-long pair key
+      time("packed-key join + agg")(
+        sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select((shiftleft(col("a.doc_id"), 32)
+            .bitwiseOR(col("b.doc_id"))).as("pk"))
+          .groupBy("pk").agg(count(lit(1))))
+      // variant: more agg partitions (128)
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      time("join + agg @128 partitions")(
+        sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id"), col("b.doc_id")).agg(count(lit(1))))
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      // variant: disable partial agg push / spill tuning via larger map memory?
+      time("join + agg, AQE off")({
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val d = sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id"), col("b.doc_id")).agg(count(lit(1)))
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        d
+      })
+      time("full ns4")(graft.ops.Dedup.ngramJaccard(docs))
+      time("full ns2 minhash")(graft.ops.Dedup.minhashLsh(docs))
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The codegen'd vector expressions must be IEEE-bit-identical to the
+  * higher-order-function formulation they replaced (left-to-right fold) —
+  * otherwise 6-decimal-rounded oracle hashes could flip on ties. */
+class VectorExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    VectorFunctions.register(s)
+    s
+  }
+
+  /** Deterministic 64-dim vectors built on the executor side (spark.range,
+    * not a LocalRelation — ConvertToLocalRelation would pre-evaluate
+    * projections over local data and hide codegen behavior). */
+  private def vecs = spark.range(200).select(col("id"),
+    expr("transform(sequence(0, 63), d -> sin(id * (d + 1)))").as("v"))
+
+  test("vecDot / vecNorm bit-identical to aggregate(zip_with(...)) fold") {
+    val df = vecs
+    val pairs = df.as("a").join(df.as("b"), col("a.id") < col("b.id") - 150)
+    val cmp = pairs.select(
+      VectorFunctions.vecDot(col("a.v"), col("b.v")).as("fast"),
+      aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("hof"),
+      VectorFunctions.vecNorm(col("a.v")).as("nfast"),
+      sqrt(aggregate(col("a.v"), lit(0.0), (acc, x) => acc + x * x)).as("nhof"))
+    val rows = cmp.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+  }
+
+  test("null arrays yield null; empty arrays yield 0.0") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1.0, 2.0)), Some(Array(3.0, 4.0))),
+      (None: Option[Array[Double]], Some(Array(3.0, 4.0))),
+      (Some(Array.empty[Double]), Some(Array.empty[Double]))
+    ).toDF("a", "b")
+    val got = df.select(
+      VectorFunctions.vecDot(col("a"), col("b")),
+      VectorFunctions.vecNorm(col("a"))).collect()
+    assert(got(0) === Row(11.0, math.sqrt(5.0)))
+    assert(got(1) === Row(null, null))
+    assert(got(2) === Row(0.0, 0.0))
+  }
+
+  test("float arrays implicit-cast to double (embedding column shape)") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(2.0f, 0.5f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.vecDot(col("a"), col("b")))
+      .head().getDouble(0) === 3.0)
+  }
+
+  test("registered SQL functions work through spark.sql") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(1d,2d,3d), array(1d,1d,1d)) d, " +
+        "vec_norm(array(3d,4d)) n").head()
+    assert(r.getDouble(0) === 6.0 && r.getDouble(1) === 5.0)
+  }
+
+  test("whole-stage codegen keeps the scoring stage codegen'd") {
+    val plan = vecs.select(VectorFunctions.vecNorm(col("v")).as("n"))
+      .queryExecution.executedPlan
+    // the projection with vec_norm must sit inside a WholeStageCodegen span
+    assert(plan.toString.contains("*(1)"), plan.toString.take(500))
+  }
+}
