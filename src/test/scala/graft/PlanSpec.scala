@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the scale properties (pushdown, pruning,
+  * broadcast semi-joins, top-k without global sort, codegen coverage) are
+  * part of each operator's contract — a refactor that silently drops one
+  * would still pass value checks at sf0.001 and fall over at 100 TB. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val qe: QueryExecution =
+      SparkEntry.queries(name)(spark, sf).queryExecution
+    qe.executedPlan.toString
+  }
+
+  test("k2: filter is pushed down to the parquet scan, columns pruned") {
+    val p = planOf("k2_filter_match")
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,100000.0)]"), p.take(800))
+    // projection of 2 columns must prune the scan schema
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"), p.take(800))
+  }
+
+  test("k5: relationship subset is a broadcast LEFT SEMI join, parent filter pushed") {
+    val p = planOf("k5_subset_onehop")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(800))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p.take(800))
+  }
+
+  test("k6: multi-hop chain stays all-broadcast (no shuffle of lineitem)") {
+    val p = planOf("k6_subset_multihop")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("k3/k9: top-k plans as TakeOrderedAndProject, not global sort") {
+    for (q <- Seq("k3_topk_latest", "k9_combined_topk")) {
+      val p = planOf(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q: ${p.take(800)}")
+    }
+  }
+
+  test("k1: scan+project reads only the projected columns") {
+    val p = planOf("k1_scan_project")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"),
+      p.take(800))
+  }
+
+  test("ns6: corpus is scanned once; queries are the broadcast side") {
+    val p = planOf("ns6_simsearch_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(800))
+  }
+
+  test("k14: anonymiser is a single projection over the scan (no shuffle)") {
+    val p = planOf("k14_anon_faker")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
+  }
+
+  test("ns5: pairwise scoring stage is whole-stage codegen'd") {
+    val df = SparkEntry.queries("ns5_dedup_embedding")(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan with codegen spans
+    val p = df.queryExecution.executedPlan.toString
+    // vec_dot must sit inside a WholeStageCodegen span (*N prefix), and the
+    // norms must be hoisted out of the pairwise join (computed pre-join)
+    assert(p.contains("vec_dot"), p.take(1500))
+    assert(p.contains("*("), p.take(1500))
+    val scoreLine = p.linesIterator.find(_.contains("vec_dot")).get
+    assert(scoreLine.trim.matches("""^[:+\-\s]*\*\(\d+\).*""") ||
+      p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      scoreLine)
+  }
+}
