@@ -81,4 +81,42 @@ object Drivers {
       case Resolved.Console(_) =>
         throw Dsn.DsnError("os:// is a dump target, not a source")
     }
+
+  /** Catalog listing (S3, ≅ `GetTables`): BASE TABLES only, views excluded
+    * — the reference's exact rule on both engines (MySQL `SHOW FULL TABLES
+    * WHERE Table_type = 'BASE TABLE'`, `pkg/reader/mysql/reader.go:34-57`;
+    * Postgres `information_schema.tables WHERE table_type = 'BASE TABLE'`
+    * excluding system schemas, `pkg/reader/postgres/reader.go:36-62`).
+    * The JDBC variant pushes the same `information_schema` query to the
+    * source via the `query` option; files list the directory. */
+  def listTables(spark: SparkSession, dsnString: String): Seq[String] =
+    resolve(dsnString) match {
+      case Resolved.Jdbc(url, props) =>
+        val q =
+          if (url.startsWith("jdbc:mysql")) {
+            "SELECT table_name FROM information_schema.tables " +
+              "WHERE table_schema = DATABASE() AND table_type = 'BASE TABLE'"
+          } else {
+            "SELECT table_name FROM information_schema.tables " +
+              "WHERE table_type = 'BASE TABLE' " +
+              "AND table_schema NOT IN ('pg_catalog', 'information_schema')"
+          }
+        val r = spark.read.format("jdbc").option("url", url).option("query", q)
+        props.stringPropertyNames().forEach(k => r.option(k, props.getProperty(k)))
+        r.load().collect().map(_.getString(0)).sorted.toSeq
+      case Resolved.File(path, format) =>
+        val d = new java.io.File(path)
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(s".$format"))
+          .map(_.getName.stripSuffix(s".$format"))
+          .sorted.toSeq
+      case Resolved.Console(_) =>
+        throw Dsn.DsnError("os:// is a dump target, not a source")
+    }
+
+  /** Column listing (S4, ≅ `GetColumns`,
+    * `pkg/reader/mysql/reader.go:60-81`, `postgres/reader.go:64-86`): from
+    * the source's schema, which for Spark is the DataFrame schema itself. */
+  def listColumns(spark: SparkSession, dsnString: String, table: String): Seq[String] =
+    read(spark, dsnString, table).schema.fieldNames.toSeq
 }

@@ -98,4 +98,15 @@ class DsnSpec extends AnyFunSuite {
     val err = intercept[Dsn.DsnError](Drivers.resolve("oracle://h/db"))
     assert(err.getMessage.contains("no driver supports"))
   }
+
+  test("catalog listing and read through a file:// DSN (S3/S4/S1)") {
+    val spark = graft.SparkTestSession.spark
+    val dsn = "file://path(/root/testdata/sf0.001)/?format=parquet"
+    val tables = Drivers.listTables(spark, dsn)
+    assert(tables === Seq("customer", "documents", "embeddings", "events",
+      "lineitem", "nation", "orders", "part", "region", "supplier"))
+    assert(Drivers.listColumns(spark, dsn, "region") ===
+      Seq("r_regionkey", "r_name"))
+    assert(Drivers.read(spark, dsn, "region").count() === 5)
+  }
 }
