@@ -77,7 +77,75 @@ object Steal {
     }
   }
 
-  /** CLI-ish entry: `Steal <sourceDir> <targetDir> [configPath]`. */
+  /** DSN-routed variant (≅ `klepto steal --from <dsn> --to <dsn>`,
+    * cmd/steal.go:21-44): source and target resolve through the driver
+    * registry ([[graft.sources.Drivers]]) — `postgres://`/`mysql://` →
+    * JDBC, `file://` → lake files, `os://stdout/` → SQL-text dump (W4).
+    * `out` overrides the console writer (klepto's writer selection,
+    * `pkg/dumper/query/writer.go:11-33`; injectable for tests). */
+  def runDsn(
+      spark: SparkSession,
+      fromDsn: String,
+      toDsn: String,
+      tables: Seq[TableConfig],
+      secret: String = "graft",
+      concurrency: Int = Runtime.getRuntime.availableProcessors(),
+      dataOnly: Boolean = false,
+      bestEffort: Boolean = false,
+      out: java.io.Writer =
+        new java.io.PrintWriter(System.out)): Seq[StealReport] = {
+    import graft.sources.{Drivers, Resolved}
+    import graft.sinks.{JdbcSink, JdbcSinkConfig, SqlTextSink}
+
+    val catalog = Drivers.listTables(spark, fromDsn)
+    val planner = new SubsetPlanner(Drivers.read(spark, fromDsn, _), tables)
+    val byName = tables.map(t => t.name -> t).toMap
+    val target = Drivers.resolve(toDsn)
+
+    def dumpTable(name: String): StealReport = try {
+      val cfg = byName.getOrElse(name, TableConfig(name))
+      val subset =
+        if (byName.contains(name)) planner.plan(name)
+        else Drivers.read(spark, fromDsn, name)
+      val anonymised = Anonymiser(subset, cfg, secret)
+      val rows = target match {
+        case Resolved.File(path, "parquet") =>
+          ParquetSink.write(anonymised, path, name, dataOnly)
+          spark.read.parquet(s"$path/$name.parquet").count()
+        case Resolved.File(path, format) =>
+          anonymised.write.mode("overwrite").format(format)
+            .option("header", "true").save(s"$path/$name.$format")
+          anonymised.count()
+        case Resolved.Console(_) =>
+          // single writer: serialize table dumps like the reference's text
+          // dumper (its Dump deliberately ignores concurrency,
+          // query/dumper.go:52-99)
+          out.synchronized { SqlTextSink.write(anonymised, name, out, dataOnly) }
+          anonymised.count()
+        case Resolved.Jdbc(url, props) =>
+          JdbcSink.write(anonymised, JdbcSinkConfig(url, name, props))
+          anonymised.count()
+      }
+      StealReport(name, rows, ok = true, None)
+    } catch {
+      case e: Exception if bestEffort =>
+        StealReport(name, 0, ok = false, Some(e.getMessage))
+    }
+
+    val pool = Executors.newFixedThreadPool(math.max(concurrency, 1))
+    try {
+      val futures = catalog.map(name => name -> pool.submit(
+        new java.util.concurrent.Callable[StealReport] {
+          def call(): StealReport = dumpTable(name)
+        }))
+      futures.map { case (_, f) => f.get() }
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(1, TimeUnit.HOURS)
+    }
+  }
+
+  /** CLI-ish entry: `Steal <sourceDirOrDsn> <targetDirOrDsn> [configPath]`. */
   def main(args: Array[String]): Unit = {
     val sourceDir = args(0)
     val targetDir = args(1)
@@ -94,7 +162,12 @@ object Steal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val reports = run(spark, sourceDir, targetDir, tables)
+      def asDsn(s: String) =
+        if (s.contains("://")) s else s"file://path($s)/?format=parquet"
+      val reports =
+        if (sourceDir.contains("://") || targetDir.contains("://"))
+          runDsn(spark, asDsn(sourceDir), asDsn(targetDir), tables)
+        else run(spark, sourceDir, targetDir, tables)
       reports.foreach { r =>
         println(s"[steal] ${r.table}: rows=${r.rows} ok=${r.ok}" +
           r.error.map(e => s" error=$e").getOrElse(""))
