@@ -1,0 +1,100 @@
+package graft.anonymise
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties for the faker registry (SURVEY §5: determinism
+  * under the same seed, value-domain membership, arg-fallback behavior —
+  * the contracts that make the anonymiser safe under Spark task retries). */
+object FakerProps extends Properties("Fakers") {
+
+  /** A callable spec for every registered faker (required-arg functions get
+    * representative args; all others are bare names). */
+  private val specFor: Map[String, String] = Map(
+    "CharactersN" -> "CharactersN:8",
+    "DigitsN" -> "DigitsN:6",
+    "ParagraphsN" -> "ParagraphsN:2",
+    "SentencesN" -> "SentencesN:2",
+    "WordsN" -> "WordsN:3",
+    "CreditCardNum" -> "CreditCardNum:visa",
+    "Password" -> "Password:8:12:true:true:false",
+    "Year" -> "Year:1990:2020")
+
+  private val allSpecs: Seq[String] =
+    Fakers.functions.keys.toSeq.sorted.map(n => specFor.getOrElse(n, n))
+
+  private val genSpec = Gen.oneOf(allSpecs)
+  private val genSeed = Gen.choose(Long.MinValue, Long.MaxValue)
+
+  property("deterministic: same (spec, seed) => same value") =
+    forAll(genSpec, genSeed) { (spec, seed) =>
+      Fakers.call(spec, seed) == Fakers.call(spec, seed)
+    }
+
+  property("total: every registered faker yields a value for any seed") =
+    forAll(genSpec, genSeed) { (spec, seed) =>
+      Fakers.call(spec, seed) != null
+    }
+
+  property("Latitude in [-90, 90], %f-formatted like the reference") =
+    forAll(genSeed) { seed =>
+      val v = Fakers.call("Latitude", seed)
+      v.matches("""-?\d+\.\d{6}""") && {
+        val d = v.toDouble; d >= -90.0 && d <= 90.0
+      }
+    }
+
+  property("Longitude in [-180, 180]") =
+    forAll(genSeed) { seed =>
+      val d = Fakers.call("Longitude", seed).toDouble
+      d >= -180.0 && d <= 180.0
+    }
+
+  property("Year:from:to stays within the requested bounds") =
+    forAll(Gen.choose(1900, 2100), Gen.choose(0, 200), genSeed) {
+      (from, span, seed) =>
+        val y = Fakers.call(s"Year:$from:${from + span}", seed).toInt
+        y >= from && y <= from + span
+    }
+
+  property("CharactersN/DigitsN produce exactly n chars of the right class") =
+    forAll(Gen.choose(0, 64), genSeed) { (n, seed) =>
+      val cs = Fakers.call(s"CharactersN:$n", seed)
+      val ds = Fakers.call(s"DigitsN:$n", seed)
+      cs.length == n && cs.forall(_.isLetter) &&
+        ds.length == n && ds.forall(_.isDigit)
+    }
+
+  property("Password:atLeast:atMost length is within bounds") =
+    forAll(Gen.choose(1, 20), Gen.choose(0, 20), genSeed) {
+      (atLeast, extra, seed) =>
+        val p = Fakers.call(s"Password:$atLeast:${atLeast + extra}:true:true:true", seed)
+        p.length >= atLeast && p.length <= atLeast + extra
+    }
+
+  property("EmailAddress has local@domain.tld shape") =
+    forAll(genSeed) { seed =>
+      Fakers.call("EmailAddress", seed)
+        .matches("""[a-z0-9_]+@[a-z0-9]+\.[a-z.]+""")
+    }
+
+  property("IPv4 octets are in range") =
+    forAll(genSeed) { seed =>
+      val parts = Fakers.call("IPv4", seed).split("\\.")
+      parts.length == 4 && parts.forall(p => p.toInt >= 0 && p.toInt <= 255)
+    }
+
+  property("missing/garbage args fall back to zero values (anonymiser.go:141-164)") =
+    forAll(genSeed) { seed =>
+      Fakers.call("CharactersN", seed) == "" &&          // missing -> 0
+        Fakers.call("CharactersN:banana", seed) == "" && // unparseable -> 0
+        Fakers.call("Year:x:y", seed) == "0" &&          // both 0 -> range(0,0)
+        Fakers.call("Password", seed) == ""              // all-zero/false
+    }
+
+  property("high-entropy fakers vary with the seed") = {
+    val outs = (1L to 1000L)
+      .map(s => Fakers.call("EmailAddress", s * 0x9e3779b97f4a7c15L)).toSet
+    org.scalacheck.Prop(outs.size > 990)
+  }
+}
