@@ -190,6 +190,8 @@ object SparkEntry {
     graft.ops.Similarity.bruteForceTopK(embs(s, dir), simQueries(s, dir), k = 10)
   private def ns7(s: SparkSession, dir: String): DataFrame =
     graft.ops.Similarity.lshTopK(embs(s, dir), simQueries(s, dir), k = 10)
+  private def ns13(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.ivfTopK(embs(s, dir), simQueries(s, dir), k = 10)
   private def ns8(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextAnalysis.languageId(docs(s, dir))
   private def ns9(s: SparkSession, dir: String): DataFrame =
@@ -226,6 +228,7 @@ object SparkEntry {
     "ns5_dedup_embedding" -> (ns5 _),
     "ns6_simsearch_topk"  -> (ns6 _),
     "ns7_simsearch_lsh"   -> (ns7 _),
+    "ns13_simsearch_ivf"  -> (ns13 _),
     "ns8_text_langid"     -> (ns8 _),
     "ns9_text_quality"    -> (ns9 _),
     "ns10_text_tokens"    -> (ns10 _),

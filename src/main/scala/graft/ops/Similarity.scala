@@ -82,6 +82,73 @@ object Similarity {
       when(dot(vec, plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) ANN top-k — the second scale path besides
+    * [[lshTopK]].
+    *
+    * Coarse quantizer: `numCentroids` corpus vectors chosen deterministically
+    * (smallest `xxhash64(vec_id)` — a reproducible uniform sample) and
+    * collected to the driver (tiny: C×dims doubles, the one legitimate
+    * driver-side materialization here, same role as a broadcast dim table).
+    * Every corpus vector is assigned to its nearest centroid by cosine in a
+    * single codegen'd scan (C literal-array dot products per row, argmax via
+    * array_max over (score, centroid) structs). A query probes its `nProbe`
+    * nearest centroids' cells only, so search touches ~corpus·nProbe/C rows.
+    * At 100 TB the assignment is one narrow pass and cells can be written
+    * out partitioned-by-centroid for partition-pruned probing.
+    *
+    * Approximate by design → rows-only oracle; recall is spec-tested
+    * against [[bruteForceTopK]]. */
+  def ivfTopK(
+      embeddings: DataFrame, queries: DataFrame, k: Int = 10,
+      numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("nv", norm(col("v")))
+
+    // deterministic centroid sample, normalized driver-side
+    val centroids: Array[(Int, Array[Double])] = corpus
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(numCentroids)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => if (n == 0) 0.0 else x / n)
+      }
+      .zipWithIndex.map(_.swap)
+
+    // (cosine-to-centroid, centroid-id) structs; |v| omitted — constant per
+    // row, irrelevant to the argmax; centroid id breaks score ties
+    def cells(vec: Column) = array(centroids.map { case (i, c) =>
+      struct(dot(vec, array(c.map(lit): _*)).as("s"), lit(i).as("c"))
+    }: _*)
+
+    val assigned = corpus.withColumn("cell",
+      array_max(cells(col("v"))).getField("c"))
+
+    val q = queries.select(col("query_id"),
+      col("query_vec").cast("array<double>").as("qv"))
+      .withColumn("nq", norm(col("qv")))
+      .withColumn("probe", explode(slice(
+        sort_array(cells(col("qv")), asc = false), 1, nProbe)))
+      .select(col("query_id"), col("qv"), col("nq"),
+        col("probe").getField("c").as("cell"))
+
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6)
+          .as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** ANN top-k: score only the query's LSH bucket (plus Hamming-1 probe
     * buckets). Recall is measured against [[bruteForceTopK]] in the spec,
     * not oracle-checked (bucket pruning is approximate by design). */

@@ -131,6 +131,50 @@ class SimilaritySpec extends AnyFunSuite {
       col("embedding").cast("array<double>")).as("b")).collect().map(_.getLong(0))
     assert(a.sameElements(b))
   }
+
+  test("IVF twin recall is high on clustered data") {
+    // same honest-ANN setup as the LSH test: each query's true nearest
+    // neighbor is its perturbed twin; a twin lands in the same (or a
+    // probed) IVF cell because both are near the same centroid
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 50L).flatMap { i =>
+      val base = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+      val twin = base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.02f)
+      Seq((i * 2, base), (i * 2 + 1, twin))
+    }
+    val clustered = rows.toDF("vec_id", "embedding")
+    val qs = clustered.where(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val ivf = Similarity.ivfTopK(clustered, qs, k = 1,
+      numCentroids = 8, nProbe = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = (0L until 50L).count(i => ivf.get(i * 2).contains(i * 2 + 1))
+    assert(hits >= 45, s"twin recall $hits/50")
+  }
+
+  test("IVF results are ranked and deterministic across runs") {
+    val a = Similarity.ivfTopK(embs, queries, k = 5).collect()
+    val b = Similarity.ivfTopK(embs, queries, k = 5).collect()
+    assert(a.toSeq == b.toSeq)
+    a.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val scores = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.sameElements(scores.sortBy(-_)))
+    }
+  }
+
+  test("IVF probed cells agree with brute force on its own candidates") {
+    // every (query, vec) pair IVF returns must carry the same cosine the
+    // exact scorer computes — pruning may drop pairs, never mis-score them
+    val bf = Similarity.bruteForceTopK(embs, queries, k = 2000).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = Similarity.ivfTopK(embs, queries, k = 10).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(bf(key) === r.getDouble(3), key)
+    }
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite {
