@@ -83,6 +83,43 @@ object Multimodal {
       .toDF()
   }
 
+  /** Frame sampling over the opaque binary (the video-keyframe shape):
+    * split each blob into `frameBytes` windows and keep every `everyK`-th —
+    * all with codegen'd built-ins (`sequence`/`transform`/binary
+    * `substring`), no shuffle, fan-out bounded by blob size. A real video
+    * path would swap the byte-window slicing for container-aware keyframe
+    * offsets; the plan shape (narrow explode) is identical. */
+  def frameSample(
+      media: DataFrame, frameBytes: Int = 256, everyK: Int = 4): DataFrame = {
+    require(frameBytes > 0 && everyK > 0)
+    media
+      .withColumn("n_frames",
+        ceil(col("meta.n_bytes").cast("double") / frameBytes).cast("int"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  filter(sequence(0, greatest(n_frames - 1, 0)),
+           |         i -> i % $everyK = 0 AND n_frames > 0),
+           |  i -> substring(content, i * $frameBytes + 1, $frameBytes))"""
+          .stripMargin)).as(Seq("frame_idx", "frame")))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * everyK).as("source_frame"), col("frame"))
+  }
+
+  /** Resize (pooling) over an extracted feature vector: mean-pool to
+    * `outDim` dims — the image-resize analog over the stubbed features
+    * (swap for real bilinear resize in a codec-enabled build; same
+    * narrow-projection plan). `featureDim` must divide by outDim. */
+  def resizeFeatures(features: DataFrame, outDim: Int): DataFrame = {
+    require(outDim > 0 && featureDim % outDim == 0,
+      s"outDim must divide featureDim=$featureDim")
+    val factor = featureDim / outDim
+    features.withColumn("features", expr(
+      s"""transform(sequence(0, ${outDim - 1}),
+         |  j -> CAST(aggregate(slice(features, j * $factor + 1, $factor),
+         |                      0.0F, (acc, v) -> acc + v) / $factor AS FLOAT))"""
+        .stripMargin))
+  }
+
   /** Frame/sample-style reduction over features: mean feature vector per
     * source — shows the downstream groupBy shape over extracted features
     * (partial aggregation map-side; one shuffle on the group key). */

@@ -271,4 +271,43 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getSeq[Double](1).length == Multimodal.featureDim)
     }
   }
+
+  test("frameSample with everyK=1 reassembles the original blob") {
+    val media = Multimodal.packBinary(docs.limit(20))
+    val frames = Multimodal.frameSample(media, frameBytes = 64, everyK = 1)
+      .collect().groupBy(_.getLong(0))
+    val originals = media.select("doc_id", "content").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(frames.nonEmpty)
+    frames.foreach { case (id, fs) =>
+      val joined = fs.sortBy(_.getInt(1))
+        .flatMap(_.getAs[Array[Byte]](3)).toArray
+      assert(java.util.Arrays.equals(joined, originals(id)), id)
+    }
+  }
+
+  test("frameSample everyK=4 keeps every 4th frame with source indices") {
+    val media = Multimodal.packBinary(docs.limit(20))
+    val all = Multimodal.frameSample(media, 64, everyK = 1).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    val sampled = Multimodal.frameSample(media, 64, everyK = 4).collect()
+    sampled.groupBy(_.getLong(0)).foreach { case (id, fs) =>
+      assert(fs.length == (all(id) + 3) / 4, id)
+      assert(fs.forall(r => r.getInt(2) == r.getInt(1) * 4), id)
+    }
+  }
+
+  test("resizeFeatures mean-pools and preserves the vector mean") {
+    val media = Multimodal.packBinary(docs.limit(20))
+    val feats = Multimodal.extractFeatures(media)
+    val resized = Multimodal.resizeFeatures(feats, outDim = 4)
+      .orderBy("doc_id").collect()
+    val full = feats.orderBy("doc_id").collect()
+    resized.zip(full).foreach { case (r, f) =>
+      val small = r.getSeq[Float](1)
+      val big = f.getSeq[Float](1)
+      assert(small.length == 4)
+      assert(math.abs(small.sum / 4 - big.sum / 16) < 1e-4)
+    }
+  }
 }
