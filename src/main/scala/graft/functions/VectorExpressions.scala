@@ -118,8 +118,9 @@ object VectorFunctions {
   def vecNorm(a: Column): Column = call_function("vec_norm", a)
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "vec_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
-    "vec_norm" -> (exprs => L2Norm(exprs.head)))
+    "vec_dot" -> ((exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
+    "vec_norm" -> ((exprs: Seq[Expression]) => L2Norm(exprs.head))
+  ) ++ TextFunctions.builders
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -91,14 +91,16 @@ object TextAnalysis {
   /** T4 — document fingerprinting: md5 of the normalized text plus a
     * 31-polynomial rolling hash mod 1e9+7 (overflow-free in 64-bit: the
     * accumulator stays < 1e9, each step < 3.3e10). The rolling hash is a
-    * left fold over characters — same order in any engine. */
+    * left fold over characters — same order in any engine. Originally a
+    * `aggregate(split(text, ''), ...)` HOF fold (one string allocated per
+    * character); now the codegen'd [[graft.functions.RollingHash]]
+    * expression with identical fold math. */
   def fingerprint(docs: DataFrame): DataFrame = {
     val norm = lower(col("text"))
     docs.select(
       col("doc_id"),
       md5(norm.cast("binary")).as("md5_fp"),
-      aggregate(split(norm, ""), lit(0L),
-        (acc, c) => (acc * 31 + ascii(c)) % 1000000007L).as("rolling_fp"))
+      graft.functions.TextFunctions.rollingHash(norm).as("rolling_fp"))
       .orderBy(col("doc_id"))
   }
 }

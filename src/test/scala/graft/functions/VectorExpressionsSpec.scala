@@ -70,6 +70,21 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) === 6.0 && r.getDouble(1) === 5.0)
   }
 
+  test("rolling_hash identical to the aggregate(split(...)) fold it replaced") {
+    import spark.implicits._
+    val texts = Seq("", "a", "Hello, World!", "the quick brown fox " * 50,
+      "mixed 语言 text with 的 chars", "x" * 10000)
+    val df = texts.toDF("t")
+    val cmp = df.select(
+      TextFunctions.rollingHash(col("t")).as("fast"),
+      aggregate(split(col("t"), ""), lit(0L),
+        (acc, c) => (acc * 31 + ascii(c)) % 1000000007L).as("hof")).collect()
+    cmp.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // SQL registration path
+    assert(spark.sql("SELECT rolling_hash('abc')").head().getLong(0) ===
+      ((('a' * 31L + 'b') % 1000000007L) * 31 + 'c') % 1000000007L)
+  }
+
   test("whole-stage codegen keeps the scoring stage codegen'd") {
     val plan = vecs.select(VectorFunctions.vecNorm(col("v")).as("n"))
       .queryExecution.executedPlan
