@@ -120,8 +120,9 @@ object Similarity {
 
     // (cosine-to-centroid, centroid-id) structs; |v| omitted — constant per
     // row, irrelevant to the argmax; centroid id breaks score ties
-    def cells(vec: Column) = array(centroids.map { case (i, c) =>
-      struct(dot(vec, array(c.map(lit): _*)).as("s"), lit(i).as("c"))
+    def cells(vec: Column) = array(centroids.toIndexedSeq.map { case (i, c) =>
+      struct(dot(vec, array(c.toIndexedSeq.map(lit): _*)).as("s"),
+        lit(i).as("c"))
     }: _*)
 
     val assigned = corpus.withColumn("cell",
