@@ -289,8 +289,8 @@ object SparkEntry {
     "ns2_dedup_minhash" ->
       ("""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
          |sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS shingle FROM words),
-         |mh AS (SELECT doc_id, s, min(md5(shingle || ':' || s)) m FROM sh, (SELECT unnest(range(0,16)) AS s) seeds GROUP BY doc_id, s),
-         |bands AS (SELECT doc_id, s // 4 AS band, string_agg(m, '' ORDER BY s) bv FROM mh GROUP BY doc_id, s // 4),
+         |mh AS (SELECT doc_id, s, min(('0x' || substr(md5(shingle || ':' || s), 1, 15))::BIGINT) m FROM sh, (SELECT unnest(range(0,16)) AS s) seeds GROUP BY doc_id, s),
+         |bands AS (SELECT doc_id, s // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY s) bv FROM mh GROUP BY doc_id, s // 4),
          |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
          |sets AS (SELECT doc_id, list_distinct(list(shingle)) s FROM sh GROUP BY doc_id),
          |scored AS (SELECT da AS doc_a, db AS doc_b, len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) AS j FROM cand JOIN sets x ON x.doc_id = cand.da JOIN sets y ON y.doc_id = cand.db)

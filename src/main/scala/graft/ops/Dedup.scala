@@ -43,10 +43,15 @@ object Dedup {
 
   /** D2 — MinHash + LSH near-dup pairs.
     *
-    * shingle → 16 md5 minhashes (one groupBy pass, 16 min() aggregates) →
-    * 4 bands of 4 → equality self-join on (band, band-key) → exact jaccard
-    * verification on candidates only. At scale the band join is the only
-    * pairwise step and touches only colliding docs.
+    * shingle → 16 salted-md5 minhashes (one groupBy pass, 16 min()
+    * aggregates over the 60-bit numeric md5 prefix — an 8-byte agg state
+    * per hash instead of a 32-char hex string; selection is identical to
+    * full-hex lexicographic min unless two digests share their first 15 hex
+    * chars, ~2⁻⁶⁰) → 4 bands of 4 → equality self-join on (band, band-key)
+    * → exact jaccard verification on candidates only. At scale the band
+    * join is the only pairwise step and touches only colliding docs; a
+    * band-collision false positive only adds a candidate, which the exact
+    * verify then scores — it can never corrupt the output.
     *
     * numHashes must be divisible by rowsPerBand. */
   def minhashLsh(
@@ -59,13 +64,16 @@ object Dedup {
     val sh = shingles(docs, shingleK)
 
     val mhCols = (0 until numHashes).map(s =>
-      min(md5(concat(col("shingle"), lit(s":$s")).cast("binary"))).as(s"mh$s"))
+      min(conv(substring(
+        md5(concat(col("shingle"), lit(s":$s")).cast("binary")), 1, 15),
+        16, 10).cast("long")).as(s"mh$s"))
     val mh = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
 
     val numBands = numHashes / rowsPerBand
     val bandStructs = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
-        concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+        concat_ws(",", (0 until rowsPerBand).map(r =>
+          col(s"mh${b * rowsPerBand + r}").cast("string")): _*)
           .as("bv"))
     }
     val bands = mh.select(col("doc_id"),
