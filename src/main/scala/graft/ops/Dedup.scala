@@ -179,13 +179,53 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** D5 — embedding-cosine near-dup: top-N closest pairs (exact). The
-    * pairwise score uses the postings trick on quantized sign buckets? No —
-    * exactness requires the full product, so this API is the VERIFICATION
-    * path for small/filtered inputs; the scale path is
-    * [[Similarity.lshBuckets]] candidates + this verify on candidates.
-    * Output ranks by rounded score with id tie-breaks so results are
-    * engine-reproducible. */
+  /** D5 (scale path) — embedding-cosine near-dup via sign-LSH banding:
+    * candidate pairs come from an EQUALITY self-join on (band, band-bits)
+    * keys — `numPlanes` deterministic hyperplane sign bits split into
+    * `numPlanes/bandBits` bands — then exact cosine is computed on the
+    * candidates only and thresholded. Work scales with band-collision
+    * counts, not n²: no BroadcastNestedLoopJoin anywhere in the plan. A
+    * band collision only ADDS a candidate; the exact verify scores it, so
+    * false positives can't corrupt output (recall vs the exact all-pairs
+    * path is spec-tested in DedupSpec). Hyperplanes are the md5-derived
+    * constants of [[Similarity.lshBucket]], so the whole pipeline is
+    * reproducible in any engine with md5. */
+  def embeddingNearDupLsh(
+      embeddings: DataFrame,
+      threshold: Double = 0.4,
+      numPlanes: Int = 8,
+      bandBits: Int = 4): DataFrame = {
+    require(numPlanes % bandBits == 0, "numPlanes % bandBits != 0")
+    val numBands = numPlanes / bandBits
+    // norms + bucket in one narrow scan; the vector rides along so the
+    // band join needs no second pass over the corpus
+    val base = embeddings.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", Similarity.norm(col("v")))
+      .withColumn("bucket", Similarity.lshBucket(col("v"), numPlanes))
+    val bands = base.select(col("vec_id"), col("v"), col("n"),
+        explode(array((0 until numBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("bucket"), b * bandBits)
+              .bitwiseAND(lit((1L << bandBits) - 1)).as("bv"))): _*)).as("bk"))
+      .select(col("vec_id"), col("v"), col("n"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(Similarity.dot(col("a.v"), col("b.v")) /
+          (col("a.n") * col("b.n")), 6).as("cosine"))
+      .distinct() // a pair can collide in both bands
+      .where(col("cosine") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** D5 (exact verifier) — top-N closest pairs over ALL pairs. O(n²) by
+    * definition: this is the small-input VERIFICATION path that the spec
+    * measures [[embeddingNearDupLsh]]'s recall against, not the registered
+    * scale query. Output ranks by rounded score with id tie-breaks so
+    * results are engine-reproducible. */
   def embeddingNearDup(embeddings: DataFrame, topN: Int = 20): DataFrame = {
     // Norms are hoisted out of the pairwise join: computed once per vector
     // (identical IEEE value to recomputing per pair, so oracle hashes are

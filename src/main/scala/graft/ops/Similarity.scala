@@ -86,9 +86,11 @@ object Similarity {
     * [[lshTopK]].
     *
     * Coarse quantizer: `numCentroids` corpus vectors chosen deterministically
-    * (smallest `xxhash64(vec_id)` — a reproducible uniform sample) and
-    * collected to the driver (tiny: C×dims doubles, the one legitimate
-    * driver-side materialization here, same role as a broadcast dim table).
+    * (smallest md5("centroid:" + vec_id) 60-bit prefix — a reproducible
+    * uniform sample whose key any md5-capable engine can recompute, unlike
+    * xxhash64) and collected to the driver (tiny: C×dims doubles, the one
+    * legitimate driver-side materialization here, same role as a broadcast
+    * dim table).
     * Every corpus vector is assigned to its nearest centroid by cosine in a
     * single codegen'd scan (C literal-array dot products per row, argmax via
     * array_max over (score, centroid) structs). A query probes its `nProbe`
@@ -96,8 +98,8 @@ object Similarity {
     * At 100 TB the assignment is one narrow pass and cells can be written
     * out partitioned-by-centroid for partition-pruned probing.
     *
-    * Approximate by design → rows-only oracle; recall is spec-tested
-    * against [[bruteForceTopK]]. */
+    * Every stage is md5-reproducible → fully oracle-checkable; recall is
+    * additionally spec-tested against [[bruteForceTopK]]. */
   def ivfTopK(
       embeddings: DataFrame, queries: DataFrame, k: Int = 10,
       numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
@@ -108,7 +110,11 @@ object Similarity {
 
     // deterministic centroid sample, normalized driver-side
     val centroids: Array[(Int, Array[Double])] = corpus
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .orderBy(
+        conv(substring(md5(concat(lit("centroid:"),
+          col("vec_id").cast("string")).cast("binary")), 1, 15), 16, 10)
+          .cast("long"),
+        col("vec_id"))
       .limit(numCentroids)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
@@ -151,8 +157,9 @@ object Similarity {
   }
 
   /** ANN top-k: score only the query's LSH bucket (plus Hamming-1 probe
-    * buckets). Recall is measured against [[bruteForceTopK]] in the spec,
-    * not oracle-checked (bucket pruning is approximate by design). */
+    * buckets). Approximate vs [[bruteForceTopK]] (recall spec-tested), but
+    * deterministic end-to-end — md5-derived hyperplanes make the bucketing
+    * reproducible in any engine, so the pipeline itself is oracle-checked. */
   def lshTopK(
       embeddings: DataFrame, queries: DataFrame, k: Int = 10,
       numPlanes: Int = 8, probeHamming1: Boolean = true): DataFrame = {

@@ -60,6 +60,28 @@ class DedupSpec extends AnyFunSuite {
     val scores = rows.map(_.getDouble(2))
     assert(scores.sameElements(scores.sortBy(-_)))
   }
+
+  test("LSH embedding near-dup: high twin recall, scores match exact path") {
+    // twins at cosine≈0.999: each pair shares a 4-bit band w.p. ~0.97, so
+    // the banded candidate join must recover nearly all of them
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 50L).flatMap { i =>
+      val base = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+      val twin = base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.02f)
+      Seq((i * 2, base), (i * 2 + 1, twin))
+    }
+    val clustered = rows.toDF("vec_id", "embedding")
+    val lsh = Dedup.embeddingNearDupLsh(clustered, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val twins = (0L until 50L).map(i => (i * 2, i * 2 + 1))
+    val hits = twins.count(lsh.contains)
+    assert(hits >= 45, s"twin recall $hits/50")
+    // a candidate's score must equal the exact scorer's (pruning may drop
+    // pairs, never mis-score them)
+    val exact = Dedup.embeddingNearDup(clustered, topN = 5000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { case (k, c) => assert(exact(k) === c, k) }
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
