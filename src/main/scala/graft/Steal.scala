@@ -44,7 +44,7 @@ object Steal {
 
     val catalog = Tables.list(sourceDir) // source of record
     val planner = new SubsetPlanner(
-      Tables.load(spark, sourceDir, _), tables, consistentParents)
+      Tables.load(spark, sourceDir, _), tables, consistentParents, catalog)
     val byName = tables.map(t => t.name -> t).toMap
 
     def dumpTable(name: String): StealReport = {
@@ -53,10 +53,9 @@ object Steal {
         val subset: DataFrame =
           if (byName.contains(name)) planner.plan(name)
           else Tables.load(spark, sourceDir, name) // unconfigured: full copy
-        val anonymised = Anonymiser(subset, cfg, secret)
+        val (anonymised, rowsOf) = observed(Anonymiser(subset, cfg, secret))
         ParquetSink.write(anonymised, targetDir, name, dataOnly)
-        val rows = spark.read.parquet(s"$targetDir/$name.parquet").count()
-        StealReport(name, rows, ok = true, None)
+        StealReport(name, rowsOf(), ok = true, None)
       } catch {
         case e: Exception if bestEffort =>
           StealReport(name, 0, ok = false, Some(e.getMessage))
@@ -64,13 +63,42 @@ object Steal {
     }
 
     new java.io.File(targetDir).mkdirs()
+    runPool(catalog, concurrency)(dumpTable)
+  }
+
+  /** Attach a row-count observation so the report comes from the write's
+    * OWN execution — the previous re-read of the written parquet (or a
+    * `count()` on the source) cost one extra Spark job per table. Returns
+    * the instrumented frame and a thunk that yields the count once the
+    * write has run. */
+  private def observed(df: DataFrame): (DataFrame, () => Long) = {
+    val obs = new org.apache.spark.sql.Observation()
+    (df.observe(obs, org.apache.spark.sql.functions
+      .count(org.apache.spark.sql.functions.lit(1)).as("rows")),
+      () => obs.get("rows").asInstanceOf[Long])
+  }
+
+  /** Bounded per-table pool (reference: dumper/engine/engine.go:88-126).
+    * Fail-fast semantics done properly: the FIRST failure cancels every
+    * not-yet-started table and rethrows the ORIGINAL cause — the previous
+    * behavior let the whole catalog keep dumping and surfaced an opaque
+    * ExecutionException. In bestEffort mode dumpTable never throws, so
+    * every table still runs to completion. */
+  private def runPool(catalog: Seq[String], concurrency: Int)(
+      dumpTable: String => StealReport): Seq[StealReport] = {
     val pool = Executors.newFixedThreadPool(math.max(concurrency, 1))
     try {
-      val futures = catalog.map(name => name -> pool.submit(
+      val futures = catalog.map(name => pool.submit(
         new java.util.concurrent.Callable[StealReport] {
           def call(): StealReport = dumpTable(name)
         }))
-      futures.map { case (_, f) => f.get() }
+      try futures.map(_.get())
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          futures.foreach(_.cancel(false))
+          pool.shutdownNow()
+          throw Option(e.getCause).getOrElse(e)
+      }
     } finally {
       pool.shutdown()
       pool.awaitTermination(1, TimeUnit.HOURS)
@@ -98,7 +126,8 @@ object Steal {
     import graft.sinks.{JdbcSink, JdbcSinkConfig, SqlTextSink}
 
     val catalog = Drivers.listTables(spark, fromDsn)
-    val planner = new SubsetPlanner(Drivers.read(spark, fromDsn, _), tables)
+    val planner = new SubsetPlanner(
+      Drivers.read(spark, fromDsn, _), tables, knownTables = catalog)
     val byName = tables.map(t => t.name -> t).toMap
     val target = Drivers.resolve(toDsn)
 
@@ -107,42 +136,28 @@ object Steal {
       val subset =
         if (byName.contains(name)) planner.plan(name)
         else Drivers.read(spark, fromDsn, name)
-      val anonymised = Anonymiser(subset, cfg, secret)
-      val rows = target match {
+      val (anonymised, rowsOf) = observed(Anonymiser(subset, cfg, secret))
+      target match {
         case Resolved.File(path, "parquet") =>
           ParquetSink.write(anonymised, path, name, dataOnly)
-          spark.read.parquet(s"$path/$name.parquet").count()
         case Resolved.File(path, format) =>
           anonymised.write.mode("overwrite").format(format)
             .option("header", "true").save(s"$path/$name.$format")
-          anonymised.count()
         case Resolved.Console(_) =>
           // single writer: serialize table dumps like the reference's text
           // dumper (its Dump deliberately ignores concurrency,
           // query/dumper.go:52-99)
           out.synchronized { SqlTextSink.write(anonymised, name, out, dataOnly) }
-          anonymised.count()
         case Resolved.Jdbc(url, props) =>
           JdbcSink.write(anonymised, JdbcSinkConfig(url, name, props))
-          anonymised.count()
       }
-      StealReport(name, rows, ok = true, None)
+      StealReport(name, rowsOf(), ok = true, None)
     } catch {
       case e: Exception if bestEffort =>
         StealReport(name, 0, ok = false, Some(e.getMessage))
     }
 
-    val pool = Executors.newFixedThreadPool(math.max(concurrency, 1))
-    try {
-      val futures = catalog.map(name => name -> pool.submit(
-        new java.util.concurrent.Callable[StealReport] {
-          def call(): StealReport = dumpTable(name)
-        }))
-      futures.map { case (_, f) => f.get() }
-    } finally {
-      pool.shutdown()
-      pool.awaitTermination(1, TimeUnit.HOURS)
-    }
+    runPool(catalog, concurrency)(dumpTable)
   }
 
   /** CLI-ish entry: `Steal <sourceDirOrDsn> <targetDirOrDsn> [configPath]`. */

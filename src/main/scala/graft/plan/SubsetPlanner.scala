@@ -41,10 +41,19 @@ import graft.config.{Filter, Relationship, TableConfig}
 final class SubsetPlanner(
     load: String => DataFrame,
     tables: Seq[TableConfig],
-    consistentParents: Boolean = false) {
+    consistentParents: Boolean = false,
+    knownTables: Seq[String] = Nil) {
 
   private val byName: Map[String, TableConfig] =
     tables.map(t => t.name -> t).toMap
+
+  /** Identifiers resolvable WITHOUT touching the source: configured tables,
+    * the caller-supplied catalog (Steal passes its table list), and every
+    * table named by a relationship. */
+  private val knownNames: Set[String] =
+    byName.keySet ++ knownTables ++
+      tables.flatMap(_.relationships.flatMap(r =>
+        Seq(r.table, r.referencedTable).filter(_.nonEmpty)))
 
   final case class PlanException(msg: String) extends RuntimeException(msg)
 
@@ -102,9 +111,15 @@ final class SubsetPlanner(
           // copied child rows always reference copied parent rows. The
           // reference instead re-derives parents per child WITHOUT the
           // parent's limit (engine.go:140-152) — faithful mode keeps that.
+          // The parent subset is MATERIALIZED (eager localCheckpoint) and
+          // memoized under the parent's name alone: a lazy plan would
+          // re-execute per child, and a non-unique-sort LIMIT could then
+          // pick different parent rows per child — the exact integrity
+          // break this mode exists to prevent.
           val parentPlan =
             if (consistentParents && tbl != name && byName.contains(tbl))
-              Some(plan(byName(tbl), memo).as(tbl))
+              Some(memo.getOrElseUpdate(s"materialized|$tbl",
+                plan(byName(tbl), memo).localCheckpoint(true)).as(tbl))
             else None
           parentPlan.map(df =>
             if (tbl == predAt && predicate.isDefined) df.where(predicate.get)
@@ -183,15 +198,23 @@ final class SubsetPlanner(
 
   /** Qualified identifiers (`tbl.col`) referenced by a predicate, keeping
     * only known table names. Identifiers inside string literals are
-    * ignored. */
+    * ignored. Resolution goes against [[knownNames]] first — configured
+    * tables, the supplied catalog, relationship targets — so stray
+    * prefixes (a `o.` alias, a function call) cost nothing. Only when the
+    * planner was built WITHOUT a catalog does an unknown identifier fall
+    * back to a probe-load, and each probe result is cached so a JDBC
+    * source sees at most one metadata query per distinct identifier, not
+    * one per plan build. */
   private[plan] def referencedTables(matchExpr: String): Seq[String] = {
     val noStrings = matchExpr.replaceAll("'[^']*'", "''")
     val ids = "([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*[A-Za-z_]".r
       .findAllMatchIn(noStrings).map(_.group(1)).toSeq
-    val known = ids.filter(t => byName.contains(t) || loadable(t))
+    val known = ids.filter(t =>
+      knownNames.contains(t) || (knownTables.isEmpty && loadable(t)))
     known.distinct
   }
 
-  private def loadable(t: String): Boolean =
-    try { load(t); true } catch { case _: Exception => false }
+  private val loadableCache = collection.mutable.Map.empty[String, Boolean]
+  private def loadable(t: String): Boolean = loadableCache.getOrElseUpdate(t,
+    try { load(t); true } catch { case _: Exception => false })
 }

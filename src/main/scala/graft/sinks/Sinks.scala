@@ -74,13 +74,25 @@ object SqlTextSink {
     schema.fields.indices.map(i => sqlLiteral(row.get(i), schema.fields(i).dataType))
       .mkString("(", ", ", ")")
 
+  private val utcTs = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    .withZone(java.time.ZoneOffset.UTC)
+
   /** Typed SQL literal (vs the reference's stringify-everything,
-    * `query/dumper.go:138-163`). */
+    * `query/dumper.go:138-163`). Temporal values are formatted explicitly
+    * in UTC — `java.sql.Timestamp.toString` renders in the JVM default
+    * timezone, which would make dumps of identical data differ across
+    * machines even though the engine pins spark.sql.session.timeZone=UTC. */
   def sqlLiteral(v: Any, dt: DataType): String = v match {
     case null => "NULL"
     case _ => dt match {
       case _: NumericType | BooleanType => v.toString
-      case TimestampType | DateType => s"'${v.toString}'"
+      case TimestampType | TimestampNTZType | DateType => v match {
+        case ts: java.sql.Timestamp => s"'${utcTs.format(ts.toInstant)}'"
+        case i: java.time.Instant => s"'${utcTs.format(i)}'"
+        case d: java.sql.Date => s"'${d.toLocalDate}'" // field-based, TZ-free
+        case other => s"'${other.toString}'" // LocalDate/LocalDateTime: TZ-free
+      }
       case BinaryType =>
         "X'" + v.asInstanceOf[Array[Byte]].map("%02x".format(_)).mkString + "'"
       case _: ArrayType | _: MapType | _: StructType =>
@@ -121,16 +133,36 @@ object JdbcSink {
 
   def write(df: DataFrame, cfg: JdbcSinkConfig): Unit = {
     val target = if (cfg.staging) s"${cfg.table}_graft_staging" else cfg.table
+    // a prior failed run may have left a partially-loaded staging table —
+    // appending into it would silently duplicate rows
+    if (cfg.staging) runSql(cfg, Seq(s"DROP TABLE IF EXISTS $target"))
     runSql(cfg, cfg.preSql)
     try {
       df.write.mode(SaveMode.Append)
         .option("batchsize", cfg.batchSize.toString)
         .jdbc(cfg.url, target, cfg.properties)
-      if (cfg.staging) runSql(cfg, Seq(
-        s"DROP TABLE IF EXISTS ${cfg.table}",
-        s"ALTER TABLE $target RENAME TO ${cfg.table}"))
+      if (cfg.staging) swapSql(cfg.url, cfg.table, target)
+        .foreach(batch => runSqlTxn(cfg, batch))
     } finally runSql(cfg, cfg.postSql)
   }
+
+  /** The staging→target swap, engine-aware so it is ATOMIC (a crash between
+    * a separate DROP and RENAME would lose the target table entirely):
+    * MySQL's multi-table `RENAME TABLE` is a single atomic statement
+    * (the old target moves aside and is dropped in a second batch, which
+    * is safe — the target name always resolves); everywhere else DDL is
+    * transactional (Postgres/H2/SQLite), so DROP+RENAME run in one txn. */
+  private[sinks] def swapSql(
+      url: String, table: String, staging: String): Seq[Seq[String]] =
+    if (url.startsWith("jdbc:mysql:"))
+      Seq(
+        Seq(s"DROP TABLE IF EXISTS ${table}_graft_old",
+          s"CREATE TABLE IF NOT EXISTS $table LIKE $staging",
+          s"RENAME TABLE $table TO ${table}_graft_old, $staging TO $table"),
+        Seq(s"DROP TABLE IF EXISTS ${table}_graft_old"))
+    else
+      Seq(Seq(s"DROP TABLE IF EXISTS $table",
+        s"ALTER TABLE $staging RENAME TO $table"))
 
   private def runSql(cfg: JdbcSinkConfig, stmts: Seq[String]): Unit =
     if (stmts.nonEmpty) {
@@ -139,6 +171,23 @@ object JdbcSink {
         val st = conn.createStatement()
         stmts.foreach(st.execute)
         st.close()
+      } finally conn.close()
+    }
+
+  /** Like runSql but all statements commit (or roll back) as ONE
+    * transaction — the swap path. Engines that auto-commit DDL (MySQL)
+    * don't go through here. */
+  private def runSqlTxn(cfg: JdbcSinkConfig, stmts: Seq[String]): Unit =
+    if (stmts.nonEmpty) {
+      val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.properties)
+      try {
+        conn.setAutoCommit(false)
+        try {
+          val st = conn.createStatement()
+          stmts.foreach(st.execute)
+          st.close()
+          conn.commit()
+        } catch { case e: Throwable => conn.rollback(); throw e }
       } finally conn.close()
     }
 }
