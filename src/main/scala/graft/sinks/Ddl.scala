@@ -80,28 +80,150 @@ object Dialect {
   }
 }
 
+/** One foreign-key constraint (≅ the FK lines `SHOW CREATE TABLE` carries
+  * opaquely, fixtures/mysql_simple.sql:18 `CONSTRAINT fk_user_id FOREIGN KEY
+  * (user_id) REFERENCES users (id)`). */
+final case class ForeignKey(
+    name: String,
+    columns: Seq[String],
+    refTable: String,
+    refColumns: Seq[String])
+
+/** Full table structure — what the reference captures as an opaque DDL
+  * string (`SHOW CREATE TABLE` / `pg_dump --schema-only`), carried here as
+  * typed data so any dialect can re-emit it: columns (Spark schema),
+  * primary key, unique constraints, column defaults, and foreign keys. */
+final case class TableStructure(
+    table: String,
+    schema: StructType,
+    primaryKey: Seq[String] = Nil,
+    uniques: Seq[(String, Seq[String])] = Nil, // (constraint name, columns)
+    defaults: Map[String, String] = Map.empty, // column -> SQL default text
+    foreignKeys: Seq[ForeignKey] = Nil)
+
 object Ddl {
 
-  /** CREATE TABLE for one table in the target dialect. */
-  def createTable(table: String, schema: StructType, dialect: Dialect): String = {
-    val cols = schema.fields.map { f =>
+  /** CREATE TABLE for one table in the target dialect (columns only —
+    * structure-fidelity callers use the [[TableStructure]] overload). */
+  def createTable(table: String, schema: StructType, dialect: Dialect): String =
+    createTable(TableStructure(table, schema), dialect)
+
+  /** CREATE TABLE with full fidelity: defaults, NOT NULL, PRIMARY KEY and
+    * UNIQUE constraints inline. Foreign keys are deliberately NOT inline —
+    * the reference loads data with FK enforcement bypassed and re-enables
+    * it after (mysql/reader.go:96-109 wraps the dump in
+    * FOREIGN_KEY_CHECKS=0/1), so FKs replay as post-load ALTERs
+    * ([[addForeignKeys]]); that also makes any CREATE order valid. */
+  def createTable(ts: TableStructure, dialect: Dialect): String = {
+    val cols = ts.schema.fields.map { f =>
+      val default =
+        ts.defaults.get(f.name).map(d => s" DEFAULT $d").getOrElse("")
       val nullness = if (f.nullable) "" else " NOT NULL"
-      s"  ${dialect.quote(f.name)} ${dialect.typeName(f.dataType)}$nullness"
+      s"  ${dialect.quote(f.name)} ${dialect.typeName(f.dataType)}$default$nullness"
     }
-    s"CREATE TABLE ${dialect.quote(table)} (\n${cols.mkString(",\n")}\n);"
+    val pk =
+      if (ts.primaryKey.isEmpty) Nil
+      else Seq(s"  PRIMARY KEY (${ts.primaryKey.map(dialect.quote).mkString(", ")})")
+    val uq = ts.uniques.map { case (n, cs) =>
+      s"  CONSTRAINT ${dialect.quote(n)} UNIQUE (${cs.map(dialect.quote).mkString(", ")})"
+    }
+    s"CREATE TABLE ${dialect.quote(ts.table)} (\n${(cols ++ pk ++ uq).mkString(",\n")}\n);"
   }
+
+  /** Post-load FK replay: one `ALTER TABLE ... ADD CONSTRAINT` per foreign
+    * key (same statement shape the reference's RDS mode re-creates,
+    * postgres/dumper.go:138-143). */
+  def addForeignKeys(ts: TableStructure, dialect: Dialect): Seq[String] =
+    ts.foreignKeys.map { fk =>
+      s"ALTER TABLE ${dialect.quote(ts.table)} ADD CONSTRAINT ${dialect.quote(fk.name)} " +
+        s"FOREIGN KEY (${fk.columns.map(dialect.quote).mkString(", ")}) " +
+        s"REFERENCES ${dialect.quote(fk.refTable)} " +
+        s"(${fk.refColumns.map(dialect.quote).mkString(", ")})"
+    }
 
   /** Whole-catalog structure script (≅ `GetStructure`,
     * mysql/reader.go:84-111): preamble + per-table CREATE + postamble. */
   def structureScript(
-      tables: Seq[(String, StructType)], dialect: Dialect): String = {
+      tables: Seq[(String, StructType)], dialect: Dialect): String =
+    structureScriptFull(
+      tables.map { case (t, s) => TableStructure(t, s) }, dialect)
+
+  /** Full-fidelity catalog script: CREATEs first (any order — FKs aren't
+    * inline), then every FK ALTER, inside the dialect's constraint-bypass
+    * preamble/postamble. */
+  def structureScriptFull(
+      tables: Seq[TableStructure], dialect: Dialect): String = {
     val sb = new StringBuilder
     sb.append(s"-- graft structure dump (${dialect.name})\n")
     dialect.preamble.foreach(s => sb.append(s).append(";\n"))
-    tables.foreach { case (t, sch) =>
-      sb.append(createTable(t, sch, dialect)).append("\n")
-    }
+    tables.foreach(t => sb.append(createTable(t, dialect)).append("\n"))
+    tables.foreach(t =>
+      addForeignKeys(t, dialect).foreach(s => sb.append(s).append(";\n")))
     dialect.postamble.foreach(s => sb.append(s).append(";\n"))
     sb.toString
+  }
+
+  /** Read PK / unique / default / FK structure from a live JDBC catalog
+    * (`java.sql.DatabaseMetaData` — the portable analog of the reference's
+    * `SHOW CREATE TABLE` scrape, mysql/reader.go:84-111) and merge it onto
+    * the Spark-read schema. Works against any JDBC engine (tested against
+    * embedded Derby; MySQL/Postgres expose the same metadata surface). */
+  def structureFromJdbc(
+      conn: java.sql.Connection, table: String,
+      schema: StructType): TableStructure = {
+    val md = conn.getMetaData
+    // JDBC metadata stores unquoted identifiers case-folded per engine
+    val candidates = Seq(table, table.toUpperCase, table.toLowerCase).distinct
+    def firstNonEmpty[A](f: String => Seq[A]): Seq[A] =
+      candidates.iterator.map(f).find(_.nonEmpty).getOrElse(Nil)
+
+    def collect[A](rs: java.sql.ResultSet)(row: java.sql.ResultSet => A): Seq[A] = {
+      val buf = collection.mutable.ArrayBuffer.empty[A]
+      try while (rs.next()) buf += row(rs) finally rs.close()
+      buf.toSeq
+    }
+
+    val pk = firstNonEmpty(t =>
+      collect(md.getPrimaryKeys(null, null, t))(rs =>
+        (rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME"))))
+      .sortBy(_._1).map(_._2)
+
+    val fkRows = firstNonEmpty(t =>
+      collect(md.getImportedKeys(null, null, t))(rs =>
+        (rs.getString("FK_NAME"), rs.getShort("KEY_SEQ"),
+          rs.getString("FKCOLUMN_NAME"), rs.getString("PKTABLE_NAME"),
+          rs.getString("PKCOLUMN_NAME"))))
+    val fks = fkRows.groupBy(_._1).toSeq.sortBy(_._1).map { case (name, rows) =>
+      val ordered = rows.sortBy(_._2)
+      ForeignKey(name, ordered.map(_._3),
+        ordered.head._4, ordered.map(_._5))
+    }
+
+    val uqRows = firstNonEmpty(t =>
+      collect(md.getIndexInfo(null, null, t, true, false))(rs =>
+        (rs.getString("INDEX_NAME"), rs.getShort("ORDINAL_POSITION"),
+          rs.getString("COLUMN_NAME"))))
+      .filter(r => r._1 != null && r._3 != null)
+    val pkSet = pk.toSet
+    val uniques = uqRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (n, rows) => n -> rows.sortBy(_._2).map(_._3) }
+      .filter { case (_, cols) => cols.toSet != pkSet } // PK index repeats here
+
+    val defaults = firstNonEmpty(t =>
+      collect(md.getColumns(null, null, t, null))(rs =>
+        (rs.getString("COLUMN_NAME"), rs.getString("COLUMN_DEF"))))
+      .collect { case (c, d) if d != null && d.trim.nonEmpty => c -> d.trim }
+      .toMap
+
+    // schema column names are authoritative (Spark-read case); re-map
+    // metadata names onto them case-insensitively
+    val byLower = schema.fieldNames.map(n => n.toLowerCase -> n).toMap
+    def fix(c: String): String = byLower.getOrElse(c.toLowerCase, c)
+    TableStructure(table, schema,
+      primaryKey = pk.map(fix),
+      uniques = uniques.map { case (n, cs) => n -> cs.map(fix) },
+      defaults = defaults.map { case (c, d) => fix(c) -> d },
+      foreignKeys = fks.map(f =>
+        f.copy(columns = f.columns.map(fix), refColumns = f.refColumns.map(fix))))
   }
 }

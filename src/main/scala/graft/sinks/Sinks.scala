@@ -131,18 +131,57 @@ object JdbcSink {
     tables.map(t => s"""ALTER TABLE "$t" DISABLE TRIGGER ALL"""),
     tables.map(t => s"""ALTER TABLE "$t" ENABLE TRIGGER ALL"""))
 
+  /** One live FK constraint, as Postgres' catalog reports it
+    * (postgres/dumper.go:97-103 `foreignKeyInfo`). */
+  final case class PgForeignKey(table: String, name: String, definition: String)
+
+  /** RDS mode (postgres/dumper.go:93-121): an RDS superuser may not
+    * `DISABLE TRIGGER ALL`, so the reference drops every FK constraint in
+    * the current schema before the load and re-creates it from the saved
+    * definition after. The catalog query is the reference's, verbatim
+    * semantics: constraint type 'f' in the current schema. */
+  val postgresRdsFkQuery: String =
+    """SELECT conrelid::regclass::varchar tableName,
+      |  conname constraintName,
+      |  pg_catalog.pg_get_constraintdef(r.oid, true) constraintDefinition
+      |  FROM pg_catalog.pg_constraint r
+      |  WHERE r.contype = 'f'
+      |  AND r.connamespace = (SELECT n.oid FROM pg_namespace n WHERE n.nspname = current_schema())""".stripMargin
+
+  /** Pre/post statement pairs for RDS mode, from a fetched FK list —
+    * exactly the statements postgres/dumper.go:113-116,138-143 issues. */
+  def postgresRdsHooks(fks: Seq[PgForeignKey]): (Seq[String], Seq[String]) = (
+    fks.map(fk => s"""ALTER TABLE "${fk.table}" DROP CONSTRAINT "${fk.name}""""),
+    fks.map(fk =>
+      s"""ALTER TABLE "${fk.table}" ADD CONSTRAINT "${fk.name}" ${fk.definition}"""))
+
+  /** Fetch the current schema's FK constraints over a plain connection
+    * (the RDS-mode prelude). */
+  def fetchPostgresForeignKeys(conn: java.sql.Connection): Seq[PgForeignKey] = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(postgresRdsFkQuery)
+      val buf = collection.mutable.ArrayBuffer.empty[PgForeignKey]
+      while (rs.next()) buf +=
+        PgForeignKey(rs.getString(1), rs.getString(2), rs.getString(3))
+      rs.close()
+      buf.toSeq
+    } finally st.close()
+  }
+
   def write(df: DataFrame, cfg: JdbcSinkConfig): Unit = {
     val target = if (cfg.staging) s"${cfg.table}_graft_staging" else cfg.table
     // a prior failed run may have left a partially-loaded staging table —
     // appending into it would silently duplicate rows
-    if (cfg.staging) runSql(cfg, Seq(s"DROP TABLE IF EXISTS $target"))
+    if (cfg.staging) dropIfExists(cfg, target)
     runSql(cfg, cfg.preSql)
     try {
       df.write.mode(SaveMode.Append)
         .option("batchsize", cfg.batchSize.toString)
         .jdbc(cfg.url, target, cfg.properties)
-      if (cfg.staging) swapSql(cfg.url, cfg.table, target)
-        .foreach(batch => runSqlTxn(cfg, batch))
+      if (cfg.staging)
+        swapSql(cfg.url, cfg.table, target, tableExists(cfg, cfg.table))
+          .foreach(batch => runSqlTxn(cfg, batch))
     } finally runSql(cfg, cfg.postSql)
   }
 
@@ -153,16 +192,36 @@ object JdbcSink {
     * is safe — the target name always resolves); everywhere else DDL is
     * transactional (Postgres/H2/SQLite), so DROP+RENAME run in one txn. */
   private[sinks] def swapSql(
-      url: String, table: String, staging: String): Seq[Seq[String]] =
+      url: String, table: String, staging: String,
+      targetExists: Boolean = true): Seq[Seq[String]] =
     if (url.startsWith("jdbc:mysql:"))
       Seq(
         Seq(s"DROP TABLE IF EXISTS ${table}_graft_old",
           s"CREATE TABLE IF NOT EXISTS $table LIKE $staging",
           s"RENAME TABLE $table TO ${table}_graft_old, $staging TO $table"),
         Seq(s"DROP TABLE IF EXISTS ${table}_graft_old"))
+    else if (url.startsWith("jdbc:derby:"))
+      // Derby DDL is transactional but knows neither IF EXISTS nor
+      // ALTER..RENAME — drop only when the target is actually there
+      Seq((if (targetExists) Seq(s"DROP TABLE $table") else Nil) :+
+        s"RENAME TABLE $staging TO $table")
     else
       Seq(Seq(s"DROP TABLE IF EXISTS $table",
         s"ALTER TABLE $staging RENAME TO $table"))
+
+  private def tableExists(cfg: JdbcSinkConfig, table: String): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.properties)
+    try Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
+      val rs = conn.getMetaData.getTables(null, null, t, null)
+      try rs.next() finally rs.close()
+    } finally conn.close()
+  }
+
+  private def dropIfExists(cfg: JdbcSinkConfig, table: String): Unit =
+    if (cfg.url.startsWith("jdbc:derby:"))
+      try runSql(cfg, Seq(s"DROP TABLE $table"))
+      catch { case _: java.sql.SQLException => () } // Derby has no IF EXISTS
+    else runSql(cfg, Seq(s"DROP TABLE IF EXISTS $table"))
 
   private def runSql(cfg: JdbcSinkConfig, stmts: Seq[String]): Unit =
     if (stmts.nonEmpty) {

@@ -30,8 +30,14 @@ object Resolved {
 
 object Drivers {
 
-  /** First-supporter-wins probe loop (reader.go:108-114). */
+  /** First-supporter-wins probe loop (reader.go:108-114). A raw `jdbc:`
+    * URL (not a klepto DSN shape) passes straight through — the escape
+    * hatch for engines beyond MySQL/Postgres (embedded Derby/H2, warehouse
+    * JDBC drivers), same spirit as the reference's "first driver that
+    * supports the DSN wins". */
   def resolve(dsnString: String): Resolved = {
+    if (dsnString.startsWith("jdbc:"))
+      return Resolved.Jdbc(dsnString, new java.util.Properties())
     val dsn = Dsn.parseOrThrow(dsnString)
     dsn.tpe match {
       case "postgres" | "postgresql" =>
@@ -91,7 +97,8 @@ object Drivers {
     * source via the `query` option; files list the directory. */
   def listTables(spark: SparkSession, dsnString: String): Seq[String] =
     resolve(dsnString) match {
-      case Resolved.Jdbc(url, props) =>
+      case Resolved.Jdbc(url, props)
+          if url.startsWith("jdbc:mysql") || url.startsWith("jdbc:postgresql") =>
         val q =
           if (url.startsWith("jdbc:mysql")) {
             "SELECT table_name FROM information_schema.tables " +
@@ -104,6 +111,18 @@ object Drivers {
         val r = spark.read.format("jdbc").option("url", url).option("query", q)
         props.stringPropertyNames().forEach(k => r.option(k, props.getProperty(k)))
         r.load().collect().map(_.getString(0)).sorted.toSeq
+      case Resolved.Jdbc(url, props) =>
+        // generic JDBC: the driver's catalog metadata, BASE TABLES only —
+        // same views-excluded rule as the engine-specific queries above
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        try {
+          val rs = conn.getMetaData.getTables(
+            null, conn.getSchema, "%", Array("TABLE"))
+          val buf = collection.mutable.ArrayBuffer.empty[String]
+          try while (rs.next()) buf += rs.getString("TABLE_NAME")
+          finally rs.close()
+          buf.sorted.toSeq
+        } finally conn.close()
       case Resolved.File(path, format) =>
         val d = new java.io.File(path)
         Option(d.listFiles()).getOrElse(Array.empty)

@@ -60,6 +60,67 @@ class DdlSpec extends AnyFunSuite {
       script.indexOf("CREATE TABLE `users`"))
   }
 
+  test("full structure reproduces the reference fixture shape (PK + FK + defaults)") {
+    // fixtures/mysql_simple.sql:1-24: users has an inline PRIMARY KEY,
+    // orders carries CONSTRAINT fk_user_id FOREIGN KEY ... REFERENCES users
+    val users = TableStructure("users",
+      StructType(Seq(
+        StructField("id", StringType, nullable = false),
+        StructField("username", StringType, nullable = false),
+        StructField("active", BooleanType, nullable = false),
+        StructField("created_at", TimestampType))),
+      primaryKey = Seq("id"),
+      uniques = Seq("uq_username" -> Seq("username")),
+      defaults = Map("active" -> "1"))
+    val orders = TableStructure("orders",
+      StructType(Seq(
+        StructField("id", StringType, nullable = false),
+        StructField("user_id", StringType, nullable = false),
+        StructField("created_at", TimestampType))),
+      primaryKey = Seq("id"),
+      foreignKeys = Seq(
+        ForeignKey("fk_user_id", Seq("user_id"), "users", Seq("id"))))
+
+    val script = Ddl.structureScriptFull(Seq(users, orders), Dialect.MySql)
+    assert(script.contains("PRIMARY KEY (`id`)"), script)
+    assert(script.contains("CONSTRAINT `uq_username` UNIQUE (`username`)"), script)
+    assert(script.contains("`active` TINYINT(1) DEFAULT 1 NOT NULL"), script)
+    assert(script.contains("ALTER TABLE `orders` ADD CONSTRAINT `fk_user_id` " +
+      "FOREIGN KEY (`user_id`) REFERENCES `users` (`id`)"), script)
+    // FK replay comes AFTER every CREATE (load-then-constrain ordering) and
+    // inside the FOREIGN_KEY_CHECKS bracket
+    assert(script.indexOf("ADD CONSTRAINT") >
+      script.indexOf("CREATE TABLE `orders`"))
+    assert(script.indexOf("ADD CONSTRAINT") <
+      script.indexOf("SET FOREIGN_KEY_CHECKS=1"))
+
+    // postgres dialect renders the same structure with its quoting
+    val pg = Ddl.structureScriptFull(Seq(orders), Dialect.Postgres)
+    assert(pg.contains("PRIMARY KEY (\"id\")"), pg)
+    assert(pg.contains("ALTER TABLE \"orders\" ADD CONSTRAINT \"fk_user_id\""), pg)
+  }
+
+  test("RDS-mode FK hooks drop and re-create constraints like the reference") {
+    // postgres/dumper.go:113-116 (drop) and :138-143 (re-create from the
+    // saved pg_get_constraintdef definition)
+    val fks = Seq(
+      JdbcSink.PgForeignKey("orders", "fk_user_id",
+        "FOREIGN KEY (user_id) REFERENCES users(id)"),
+      JdbcSink.PgForeignKey("order_items", "fk_order_id",
+        "FOREIGN KEY (order_id) REFERENCES orders(id)"))
+    val (pre, post) = JdbcSink.postgresRdsHooks(fks)
+    assert(pre == Seq(
+      """ALTER TABLE "orders" DROP CONSTRAINT "fk_user_id"""",
+      """ALTER TABLE "order_items" DROP CONSTRAINT "fk_order_id""""))
+    assert(post == Seq(
+      """ALTER TABLE "orders" ADD CONSTRAINT "fk_user_id" FOREIGN KEY (user_id) REFERENCES users(id)""",
+      """ALTER TABLE "order_items" ADD CONSTRAINT "fk_order_id" FOREIGN KEY (order_id) REFERENCES orders(id)"""))
+    // the catalog query keeps the reference's semantics: FK constraints
+    // ('f') in the current schema only
+    assert(JdbcSink.postgresRdsFkQuery.contains("contype = 'f'"))
+    assert(JdbcSink.postgresRdsFkQuery.contains("current_schema()"))
+  }
+
   test("dialect registry resolves by name") {
     assert(Dialect.forName("mysql") === Dialect.MySql)
     assert(Dialect.forName("postgresql") === Dialect.Postgres)
