@@ -125,7 +125,11 @@ object VectorFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     builders.foreach { case (name, b) =>
-      registry.createOrReplaceTempFunction(name, b, "built-in")
+      // idempotent-quiet: re-registering an existing name logs a registry
+      // WARN per query otherwise (Tables.load registers on every call)
+      if (!registry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, b, "built-in")
     }
   }
 }

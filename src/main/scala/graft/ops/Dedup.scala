@@ -21,16 +21,24 @@ object Dedup {
   /** Word tokens; empty/short docs yield empty shingle arrays. */
   private def wordsCol: Column = split(col("text"), " ")
 
-  /** k-word shingles, exploded and deduped per doc.
-    * Mirrors: transform over a 0..size-k index sequence. */
-  def shingles(docs: DataFrame, k: Int = 2): DataFrame =
+  /** k-word shingles, exploded (NOT yet deduped per doc). */
+  private def rawShingles(docs: DataFrame, k: Int): DataFrame =
     docs
       .select(col("doc_id"), wordsCol.as("w"))
       .select(col("doc_id"), explode(
         when(size(col("w")) >= k,
           expr(s"transform(sequence(0, size(w) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))"))
           .otherwise(expr("array()"))).as("shingle"))
-      .distinct()
+
+  /** k-word shingles, exploded and deduped per doc.
+    * Mirrors: transform over a 0..size-k index sequence. */
+  def shingles(docs: DataFrame, k: Int = 2): DataFrame =
+    rawShingles(docs, k).distinct()
+
+  /** 60-bit md5 prefix of a string column as a non-negative long — the
+    * engine-portable hash used across the dedup family. */
+  private def md5Long(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   /** D1 — exact dedup: one survivor (min doc_id) per distinct text, with
     * the duplicate count. Hash-groupBy; map-side partial aggregation makes
@@ -59,15 +67,32 @@ object Dedup {
       shingleK: Int = 2,
       numHashes: Int = 16,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      hashVocabulary: Boolean = true): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes % rowsPerBand != 0")
     val sh = shingles(docs, shingleK)
 
-    val mhCols = (0 until numHashes).map(s =>
-      min(conv(substring(
-        md5(concat(col("shingle"), lit(s":$s")).cast("binary")), 1, 15),
-        16, 10).cast("long")).as(s"mh$s"))
-    val mh = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    // hashVocabulary: the 16 salted md5s are computed over the DISTINCT
+    // shingle vocabulary once, then mapped back onto postings —
+    // natural-language n-gram vocabularies are Zipf-compressed relative to
+    // postings (16× less hash work where each shingle recurs). The vocab
+    // side is a broadcast build; values are bit-identical to hashing per
+    // posting, so oracle hashes don't move. For near-unique vocabularies
+    // (where the broadcast would not fit) set it false to hash map-side.
+    val posted =
+      if (!hashVocabulary)
+        sh.select(col("doc_id") +: (0 until numHashes).map(s =>
+          md5Long(concat(col("shingle"), lit(s":$s"))).as(s"h$s")): _*)
+      else {
+        val hashCols = (0 until numHashes).map(s =>
+          md5Long(concat(col("shingle"), lit(s":$s"))).as(s"h$s"))
+        val vocab = sh.select("shingle").distinct()
+          .select(col("shingle") +: hashCols: _*)
+        sh.join(broadcast(vocab), Seq("shingle"))
+      }
+
+    val mhCols = (0 until numHashes).map(s => min(col(s"h$s")).as(s"mh$s"))
+    val mh = posted.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
 
     val numBands = numHashes / rowsPerBand
     val bandStructs = (0 until numBands).map { b =>
@@ -132,13 +157,36 @@ object Dedup {
     * self-join: |A∩B| falls out of an equality join on the shingle, never a
     * doc×doc product. At corpus scale, stop-shingle removal (document
     * frequency cap) bounds posting-list skew; the synthetic corpus doesn't
-    * need it, so it's exposed as `maxDocFreq`. */
+    * need it, so it's exposed as `maxDocFreq`.
+    *
+    * Constant-factor discipline for the pairwise stage (profiled at sf0.1,
+    * 36M pair-rows):
+    *   - the pair aggregation groups on ONE packed 64-bit key
+    *     (doc_a«32 | doc_b — doc ids are 32-bit here; a corpus beyond 2³¹
+    *     docs would partition the id space first), not a two-long
+    *     composite;
+    *   - the pair stream is REPARTITIONED on that key before the groupBy,
+    *     so Spark plans a single complete aggregate instead of
+    *     partial+final: a pair's duplicates come from different shingles
+    *     scattered across tasks, so map-side partial agg achieved almost
+    *     no reduction while building (and spilling) a multi-million-entry
+    *     hash map per task — measured 9.1 s → 6.7 s for the agg;
+    *   - the postings relation feeds three consumers (both join sides and
+    *     the doc-size agg); `reuseShingles` materializes it once via an
+    *     eager localCheckpoint instead of recomputing scan+explode+distinct
+    *     per consumer (measured −0.7 s; at larger inputs the re-scan costs
+    *     proportionally more). A 60-bit-hash join key was ALSO tried and
+    *     measured slower than the string at this scale (broadcast-hash
+    *     probe is not compare-bound); it would only pay under a
+    *     sort-merge-join regime. */
   def ngramJaccard(
       docs: DataFrame,
       shingleK: Int = 2,
       threshold: Double = 0.5,
-      maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    val sh0 = shingles(docs, shingleK)
+      maxDocFreq: Long = Long.MaxValue,
+      reuseShingles: Boolean = true): DataFrame = {
+    val sh0raw = shingles(docs, shingleK)
+    val sh0 = if (reuseShingles) sh0raw.localCheckpoint(true) else sh0raw
     val sh =
       if (maxDocFreq == Long.MaxValue) sh0
       else {
@@ -149,8 +197,13 @@ object Dedup {
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select((shiftleft(col("a.doc_id"), 32)
+        .bitwiseOR(col("b.doc_id"))).as("pk"))
+      .repartition(col("pk"))
+      .groupBy(col("pk"))
       .agg(count(lit(1)).as("i"))
+      .select(shiftright(col("pk"), 32).as("doc_a"),
+        col("pk").bitwiseAND(lit(0xffffffffL)).as("doc_b"), col("i"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
 
     inter

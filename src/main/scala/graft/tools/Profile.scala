@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * library surface; run via `sbt "runMain graft.tools.Profile"`). */
 object Profile {
 
-  def time(label: String)(f: => DataFrame): Unit = {
+  def time(label: String)(f: => DataFrame): DataFrame = {
     val t0 = System.nanoTime()
-    f.write.mode("overwrite").format("noop").save()
+    val df = f
+    df.write.mode("overwrite").format("noop").save()
     println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    df
   }
 
   def main(args: Array[String]): Unit = {
@@ -25,57 +27,34 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = graft.Tables.load(spark, dir, "documents")
-    val sh = graft.ops.Dedup.shingles(docs, 2)
 
-    // stage-by-stage cost of ns4
-    for (round <- 1 to 2) {
+    def fullNs4(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select((shiftleft(col("a.doc_id"), 32)
+          .bitwiseOR(col("b.doc_id"))).as("pk"))
+        .repartition(col("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("i"))
+        .select(shiftright(col("pk"), 32).as("doc_a"),
+          col("pk").bitwiseAND(lit(0xffffffffL)).as("doc_b"), col("i"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      inter
+        .join(sizes.as("x"), col("doc_a") === col("x.doc_id"))
+        .join(sizes.as("y"), col("doc_b") === col("y.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("i").cast("double") / (col("x.n") + col("y.n") - col("i"))).as("j"))
+        .where(col("j") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
+
+    for (round <- 1 to 3) {
       println(s"--- round $round")
-      time("shingles+distinct")(sh)
-      time("postings self-join (raw pairs)")(
-        sh.as("a").join(sh.as("b"),
-          col("a.shingle") === col("b.shingle") &&
-            col("a.doc_id") < col("b.doc_id")))
-      time("join + pair-count agg")(
-        sh.as("a").join(sh.as("b"),
-          col("a.shingle") === col("b.shingle") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id"), col("b.doc_id")).agg(count(lit(1))))
-      // variant: broadcast dictionary → int join key
-      val dict = sh.select("shingle").distinct()
-        .withColumn("sid", xxhash64(col("shingle")))
-      val postI = sh.join(broadcast(dict), "shingle").select("doc_id", "sid")
-      time("int-key join + agg")(
-        postI.as("a").join(postI.as("b"),
-          col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id"), col("b.doc_id")).agg(count(lit(1))))
-      // variant: packed single-long pair key
-      time("packed-key join + agg")(
-        sh.as("a").join(sh.as("b"),
-          col("a.shingle") === col("b.shingle") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select((shiftleft(col("a.doc_id"), 32)
-            .bitwiseOR(col("b.doc_id"))).as("pk"))
-          .groupBy("pk").agg(count(lit(1))))
-      // variant: more agg partitions (128)
-      spark.conf.set("spark.sql.shuffle.partitions", "128")
-      time("join + agg @128 partitions")(
-        sh.as("a").join(sh.as("b"),
-          col("a.shingle") === col("b.shingle") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id"), col("b.doc_id")).agg(count(lit(1))))
-      spark.conf.set("spark.sql.shuffle.partitions", "32")
-      // variant: disable partial agg push / spill tuning via larger map memory?
-      time("join + agg, AQE off")({
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        val d = sh.as("a").join(sh.as("b"),
-          col("a.shingle") === col("b.shingle") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id"), col("b.doc_id")).agg(count(lit(1)))
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-        d
-      })
-      time("full ns4")(graft.ops.Dedup.ngramJaccard(docs))
-      time("full ns2 minhash")(graft.ops.Dedup.minhashLsh(docs))
+      time("full E: str/repart/packed")(
+        fullNs4(graft.ops.Dedup.shingles(docs, 2)))
+      time("full H: checkpointed sh + E")(
+        fullNs4(graft.ops.Dedup.shingles(docs, 2).localCheckpoint(true)))
     }
     spark.stop()
   }
