@@ -1,0 +1,28 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Config scaffolding (≅ `klepto init`, cmd/init.go:28-46): write the
+  * sample TOML config, refusing to overwrite an existing file. Default
+  * file name matches the reference's `.klepto.toml` convention
+  * (pkg/config/config.go DefaultConfigFileName), renamed for this engine. */
+object Init {
+
+  val defaultConfigFileName = ".graft.toml"
+
+  /** Returns the created path; throws if the file already exists (the
+    * reference's refuse-to-overwrite, cmd/init.go:31-34). */
+  def run(path: String = defaultConfigFileName): String = {
+    val p = Paths.get(path)
+    if (Files.exists(p))
+      throw new IllegalStateException(
+        s"Config file $path already exists, refusing to overwrite")
+    Files.writeString(p, config.Config.sample)
+    path
+  }
+
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse(defaultConfigFileName)
+    println(s"[init] created ${run(path)}")
+  }
+}

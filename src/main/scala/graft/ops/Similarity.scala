@@ -103,13 +103,23 @@ object Similarity {
   def ivfTopK(
       embeddings: DataFrame, queries: DataFrame, k: Int = 10,
       numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val corpus = embeddings.select(col("vec_id"),
+    val corpus = normalizedCorpus(embeddings)
+    val centroids = centroidVectors(corpus, numCentroids)
+    val assigned = corpus.withColumn("cell",
+      array_max(cellScores(col("v"), centroids)).getField("c"))
+    scoreProbes(assigned, probeCells(queries, centroids, nProbe), k)
+  }
+
+  private def normalizedCorpus(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
       .withColumn("nv", norm(col("v")))
 
-    // deterministic centroid sample, normalized driver-side
-    val centroids: Array[(Int, Array[Double])] = corpus
+  /** Deterministic centroid sample (smallest md5 key), normalized
+    * driver-side. */
+  private[ops] def centroidVectors(
+      corpus: DataFrame, numCentroids: Int): Array[(Int, Array[Double])] =
+    corpus
       .orderBy(
         conv(substring(md5(concat(lit("centroid:"),
           col("vec_id").cast("string")).cast("binary")), 1, 15), 16, 10)
@@ -124,25 +134,32 @@ object Similarity {
       }
       .zipWithIndex.map(_.swap)
 
-    // (cosine-to-centroid, centroid-id) structs; |v| omitted — constant per
-    // row, irrelevant to the argmax; centroid id breaks score ties
-    def cells(vec: Column) = array(centroids.toIndexedSeq.map { case (i, c) =>
+  /** (cosine-to-centroid, centroid-id) structs; |v| omitted — constant per
+    * row, irrelevant to the argmax; centroid id breaks score ties. */
+  private def cellScores(
+      vec: Column, centroids: Array[(Int, Array[Double])]): Column =
+    array(centroids.toIndexedSeq.map { case (i, c) =>
       struct(dot(vec, array(c.toIndexedSeq.map(lit): _*)).as("s"),
         lit(i).as("c"))
     }: _*)
 
-    val assigned = corpus.withColumn("cell",
-      array_max(cells(col("v"))).getField("c"))
-
-    val q = queries.select(col("query_id"),
+  /** Queries exploded to their nProbe nearest cells. */
+  private def probeCells(
+      queries: DataFrame, centroids: Array[(Int, Array[Double])],
+      nProbe: Int): DataFrame =
+    queries.select(col("query_id"),
       col("query_vec").cast("array<double>").as("qv"))
       .withColumn("nq", norm(col("qv")))
       .withColumn("probe", explode(slice(
-        sort_array(cells(col("qv")), asc = false), 1, nProbe)))
+        sort_array(cellScores(col("qv"), centroids), asc = false), 1, nProbe)))
       .select(col("query_id"), col("qv"), col("nq"),
         col("probe").getField("c").as("cell"))
 
-    val scored = assigned.join(broadcast(q), Seq("cell"))
+  /** Join probes to their cells, exact-score, rank top-k. */
+  private def scoreProbes(
+      assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6)
@@ -154,6 +171,49 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Persist the IVF index with cells as PARTITION directories plus the
+    * centroid table beside them — the 100 TB serving shape: a probe then
+    * reads only its cells' files (partition-pruned scan) instead of the
+    * whole corpus. Centroids are tiny (C×dims doubles) and stored as text
+    * so the index is self-contained. */
+  def writeIvfIndex(
+      embeddings: DataFrame, path: String, numCentroids: Int = 16): Unit = {
+    val corpus = normalizedCorpus(embeddings)
+    val centroids = centroidVectors(corpus, numCentroids)
+    corpus.withColumn("cell",
+        array_max(cellScores(col("v"), centroids)).getField("c"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    val text = centroids.map { case (i, v) =>
+      s"$i:${v.mkString(",")}"
+    }.mkString("\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_centroids.txt"), text)
+  }
+
+  private[ops] def readCentroids(path: String): Array[(Int, Array[Double])] =
+    java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_centroids.txt"))
+      .split("\n").filter(_.nonEmpty).map { line =>
+        val Array(i, vs) = line.split(":", 2)
+        i.toInt -> vs.split(",").map(_.toDouble)
+      }
+
+  /** ANN top-k against a persisted index: the probed cells are computed
+    * up front (≤ C values — same driver-side footprint as the centroids)
+    * and pushed into the scan as a partition filter, so only nProbe/C of
+    * the index is read. Results are identical to [[ivfTopK]] over the
+    * same corpus. */
+  def ivfTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val centroids = readCentroids(path)
+    val probes = probeCells(queries, centroids, nProbe)
+    val wanted = probes.select("cell").distinct().collect().map(_.getInt(0))
+    val assigned = spark.read.parquet(path)
+      .where(col("cell").isin(wanted.toIndexedSeq: _*))
+    scoreProbes(assigned, probes, k)
   }
 
   /** ANN top-k: score only the query's LSH bucket (plus Hamming-1 probe

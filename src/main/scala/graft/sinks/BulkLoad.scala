@@ -1,0 +1,205 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Engine bulk-load fast paths — the reference's entire ingest-throughput
+  * story, re-expressed for Spark's execution model.
+  *
+  * The reference streams one CSV pipe per table into MySQL
+  * `LOAD DATA LOCAL INFILE` (`pkg/dumper/mysql/dumper.go:136-199`) and one
+  * `pq.CopyIn` stream into the Postgres COPY protocol
+  * (`pkg/dumper/postgres/dumper.go:156-213`), because per-row INSERTs are
+  * 10-50× slower. Here the same idea runs PER PARTITION: every Spark task
+  * opens its own connection and ships its partition as ONE bulk command in
+  * the engine's native wire format, so ingest parallelism equals partition
+  * count instead of the reference's one-goroutine-per-table.
+  *
+  * Split by concern so the format logic is testable without the engines:
+  *   - statement + row-format generation are pure functions
+  *     ([[mysqlLoadStatement]]/[[mysqlCsvRow]],
+  *     [[postgresCopyStatement]]/[[postgresTextRow]]);
+  *   - the driver-specific stream hookup (MySQL's local-infile InputStream,
+  *     Postgres' CopyManager) is reached by reflection, since neither
+  *     driver is a compile-time dependency;
+  *   - any other JDBC engine falls back to multi-row `INSERT ... VALUES`
+  *     batches (still one statement per batch, not per row) — which is
+  *     also the path the embedded-Derby e2e exercises.
+  *
+  * Deliberately not replicated (reference quirk): the reference writes the
+  * string `"NULL"` into its CSV (`mysql/dumper.go:22,163`), which LOAD
+  * DATA inserts as a literal string, not SQL NULL. We emit MySQL's real
+  * null marker `\N` (and COPY's `\N` for Postgres).
+  */
+object BulkLoad {
+
+  /** Statement parity with `mysql/dumper.go:136-141` (the `Reader::` name
+    * binds the registered stream in the MySQL driver protocol). */
+  def mysqlLoadStatement(table: String, columns: Seq[String]): String = {
+    def q(s: String) = "`" + s.replace("`", "``") + "`"
+    s"LOAD DATA LOCAL INFILE 'Reader::$table' INTO TABLE ${q(table)} " +
+      "FIELDS TERMINATED BY ',' ENCLOSED BY '\"' ESCAPED BY '\"' " +
+      s"(${columns.map(q).mkString(",")})"
+  }
+
+  /** One CSV line in the dialect the statement above declares: comma
+    * separator, fields quoted when they contain comma/quote/newline,
+    * quotes doubled (Go `encoding/csv` semantics), `\N` for NULL. */
+  def mysqlCsvRow(row: Row, schema: StructType): String =
+    schema.fields.indices.map { i =>
+      if (row.isNullAt(i)) "\\N"
+      else {
+        val s = renderValue(row.get(i), schema.fields(i).dataType)
+        if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+          "\"" + s.replace("\"", "\"\"") + "\""
+        else s
+      }
+    }.mkString(",")
+
+  /** COPY text-format statement (what `pq.CopyIn` prepares,
+    * `postgres/dumper.go:168`). */
+  def postgresCopyStatement(table: String, columns: Seq[String]): String = {
+    def q(s: String) = "\"" + s.replace("\"", "\"\"") + "\""
+    s"COPY ${q(table)} (${columns.map(q).mkString(", ")}) FROM STDIN"
+  }
+
+  /** One COPY text-format line: tab separator, `\N` null, backslash
+    * escapes for tab/newline/CR/backslash. */
+  def postgresTextRow(row: Row, schema: StructType): String =
+    schema.fields.indices.map { i =>
+      if (row.isNullAt(i)) "\\N"
+      else renderValue(row.get(i), schema.fields(i).dataType)
+        .replace("\\", "\\\\").replace("\t", "\\t")
+        .replace("\n", "\\n").replace("\r", "\\r")
+    }.mkString("\t")
+
+  /** Engine-neutral value text: numbers/booleans verbatim, temporals in
+    * UTC (same formatter as the SQL-text dumper), binary as hex. */
+  private[sinks] def renderValue(v: Any, dt: DataType): String = dt match {
+    case TimestampType | TimestampNTZType | DateType => v match {
+      case ts: java.sql.Timestamp => SqlTextSink.utcTimestamp(ts.toInstant)
+      case i: java.time.Instant => SqlTextSink.utcTimestamp(i)
+      case d: java.sql.Date => d.toLocalDate.toString
+      case other => other.toString
+    }
+    case BinaryType =>
+      v.asInstanceOf[Array[Byte]].map("%02x".format(_)).mkString
+    case _ => v.toString
+  }
+
+  /** Distributed bulk write: one bulk command per partition over that
+    * task's own connection. MySQL/Postgres take their native streaming
+    * paths; anything else gets multi-row INSERT batches. */
+  def write(df: DataFrame, cfg: JdbcSinkConfig): Unit = {
+    val schema = df.schema
+    val url = cfg.url
+    val props = cfg.properties
+    val table = cfg.table
+    val batch = cfg.batchSize
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val conn = DriverManager.getConnection(url, props)
+        try {
+          if (url.startsWith("jdbc:mysql:"))
+            streamMysql(conn, table, schema, rows)
+          else if (url.startsWith("jdbc:postgresql:"))
+            streamPostgres(conn, table, schema, rows)
+          else
+            insertBatches(conn, table, schema, rows, batch)
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** MySQL leg: register the partition's CSV stream on the statement via
+    * the driver's local-infile hook (reflection — the driver is not a
+    * compile-time dependency), then run LOAD DATA. */
+  private def streamMysql(
+      conn: Connection, table: String, schema: StructType,
+      rows: Iterator[Row]): Unit = {
+    val csv = new SeqInputStream(rows.map(r => mysqlCsvRow(r, schema) + "\n"))
+    val st = conn.createStatement()
+    try {
+      val jdbcSt = st.unwrap(Class.forName("com.mysql.cj.jdbc.JdbcStatement"))
+      jdbcSt.getClass
+        .getMethod("setLocalInfileInputStream", classOf[java.io.InputStream])
+        .invoke(jdbcSt, csv)
+      st.execute(mysqlLoadStatement(table, schema.fieldNames.toSeq))
+    } finally st.close()
+  }
+
+  /** Postgres leg: CopyManager.copyIn(sql, reader) by reflection. */
+  private def streamPostgres(
+      conn: Connection, table: String, schema: StructType,
+      rows: Iterator[Row]): Unit = {
+    val base = conn.unwrap(Class.forName("org.postgresql.core.BaseConnection"))
+    val mgr = Class.forName("org.postgresql.copy.CopyManager")
+      .getConstructor(Class.forName("org.postgresql.core.BaseConnection"))
+      .newInstance(base)
+    val text = rows.map(r => postgresTextRow(r, schema) + "\n").mkString
+    mgr.getClass
+      .getMethod("copyIn", classOf[String], classOf[java.io.Reader])
+      .invoke(mgr, postgresCopyStatement(table, schema.fieldNames.toSeq),
+        new java.io.StringReader(text))
+  }
+
+  /** Generic fallback: multi-row INSERT VALUES batches (one statement per
+    * `batchSize` rows — still set-at-a-time, never row-at-a-time). */
+  /** The target's actual column spellings (JDBC metadata case-folds
+    * unquoted identifiers per engine), matched case-insensitively against
+    * the frame's field names. */
+  private def resolveColumns(
+      conn: Connection, table: String, names: Seq[String]): Seq[String] = {
+    val actual = collection.mutable.Map.empty[String, String]
+    Seq(table, table.toUpperCase, table.toLowerCase).distinct.foreach { t =>
+      if (actual.isEmpty) {
+        val rs = conn.getMetaData.getColumns(null, null, t, null)
+        try while (rs.next()) {
+          val c = rs.getString("COLUMN_NAME")
+          actual(c.toLowerCase) = c
+        } finally rs.close()
+      }
+    }
+    names.map(n => actual.getOrElse(n.toLowerCase, n))
+  }
+
+  private def insertBatches(
+      conn: Connection, table: String, schema: StructType,
+      rows: Iterator[Row], batchSize: Int): Unit = {
+    val cols = resolveColumns(conn, table, schema.fieldNames.toSeq)
+      .map(SqlTextSink.quoteIdent).mkString(", ")
+    val st = conn.createStatement()
+    try rows.grouped(math.max(batchSize, 1)).foreach { group =>
+      val values = group.map(r => SqlTextSink.rowLiteral(r, schema))
+        .mkString(",\n  ")
+      st.execute(s"INSERT INTO $table ($cols) VALUES\n  $values")
+    } finally st.close()
+  }
+
+  /** Lazily concatenates per-row byte chunks — the partition never
+    * materializes as one buffer (the reference's io.Pipe analog). */
+  private final class SeqInputStream(chunks: Iterator[String])
+      extends java.io.InputStream {
+    private var current: Array[Byte] = Array.emptyByteArray
+    private var pos = 0
+    private def advance(): Boolean = {
+      while (pos >= current.length && chunks.hasNext) {
+        current = chunks.next().getBytes("UTF-8")
+        pos = 0
+      }
+      pos < current.length
+    }
+    override def read(): Int =
+      if (!advance()) -1 else { val b = current(pos) & 0xff; pos += 1; b }
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      if (!advance()) -1
+      else {
+        val n = math.min(len, current.length - pos)
+        System.arraycopy(current, pos, b, off, n)
+        pos += n
+        n
+      }
+  }
+}

@@ -78,6 +78,8 @@ object SqlTextSink {
     .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
     .withZone(java.time.ZoneOffset.UTC)
 
+  private[sinks] def utcTimestamp(i: java.time.Instant): String = utcTs.format(i)
+
   /** Typed SQL literal (vs the reference's stringify-everything,
     * `query/dumper.go:138-163`). Temporal values are formatted explicitly
     * in UTC — `java.sql.Timestamp.toString` renders in the JVM default

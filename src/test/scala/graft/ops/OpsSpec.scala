@@ -185,6 +185,22 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned IVF index matches in-memory IVF and prunes partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.writeIvfIndex(embs, dir)
+    val fromIdx = Similarity.ivfTopKFromIndex(spark, dir, queries)
+    val inMem = Similarity.ivfTopK(embs, queries)
+    assert(fromIdx.collect().toSeq == inMem.collect().toSeq)
+    // the probe set must reach the scan as a partition filter — at 100 TB
+    // this is what turns a full-corpus read into an nProbe/C-cells read
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("PartitionFilters"))
+    assert(scanLine.exists(l =>
+      l.substring(l.indexOf("PartitionFilters")).take(200).contains("cell")),
+      scanLine.getOrElse(plan.take(1500)))
+  }
+
   test("IVF probed cells agree with brute force on its own candidates") {
     // every (query, vec) pair IVF returns must carry the same cosine the
     // exact scorer computes — pruning may drop pairs, never mis-score them
