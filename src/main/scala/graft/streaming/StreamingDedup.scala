@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Streaming counterparts of the batch dedup/text operators — the
+  * training-data-pipeline shapes that must run incrementally at ingest
+  * time (SURVEY §7.2 M6 extension; the reference is strictly batch).
+  *
+  * State discipline at 100 TB/day ingest:
+  *   - exact dedup keys state by a 16-byte md5 fingerprint, never the
+  *     document text, and `dropDuplicatesWithinWatermark` lets the state
+  *     store EVICT fingerprints once the watermark passes them — state is
+  *     bounded by (ingest rate × watermark horizon), not corpus size;
+  *   - LSH band assignment is STATELESS (a projection), so near-dup
+  *     candidate discovery can run in-stream and feed a periodic batch
+  *     verify/compaction over the bucketed output — the same
+  *     candidates-then-verify split as the batch operators;
+  *   - running per-key statistics use `mapGroupsWithState` with explicit
+  *     small state (two longs per language), the bounded-key case where
+  *     custom state is appropriate.
+  */
+object StreamingDedup {
+
+  /** Streaming exact dedup: first occurrence of each text fingerprint
+    * within the watermark horizon survives. Duplicates arriving later
+    * than `watermark` after their twin are out-of-contract (they would
+    * need unbounded state — the batch [[graft.ops.Dedup.exact]] pass is
+    * the periodic ground-truth compaction). */
+  def exactDedup(
+      docs: DataFrame, eventTimeCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Stateless in-stream LSH band assignment over an embedding column:
+    * one row per (vec, band) with the band key, partition-ready for a
+    * downstream bucketed near-dup verify (same key scheme as
+    * [[graft.ops.Dedup.embeddingNearDupLsh]]). */
+  def lshBands(
+      embeddings: DataFrame, numPlanes: Int = 8, bandBits: Int = 4): DataFrame = {
+    require(numPlanes % bandBits == 0, "numPlanes % bandBits != 0")
+    val numBands = numPlanes / bandBits
+    embeddings
+      .withColumn("bucket", graft.ops.Similarity.lshBucket(
+        col("embedding").cast("array<double>"), numPlanes))
+      .select(col("*"), explode(array((0 until numBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("bucket"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)).as("bv"))): _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+  }
+
+  final case class LangStats(lang: String, docs: Long, tokens: Long)
+
+  /** Running per-language doc/token totals via explicit keyed state
+    * (`mapGroupsWithState`, update mode): emits the cumulative totals for
+    * every language seen in each micro-batch. State per key is two longs —
+    * the bounded-cardinality case (languages) where custom state beats a
+    * windowed aggregation. */
+  def runningLangStats(docs: DataFrame): Dataset[LangStats] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), LangStats](
+        GroupStateTimeout.NoTimeout()) { case (lang, rows, state) =>
+        val (d0, t0) = state.getOption.getOrElse((0L, 0L))
+        var d = d0
+        var t = t0
+        rows.foreach { case (_, tokens) => d += 1; t += tokens }
+        state.update((d, t))
+        LangStats(lang, d, t)
+      }
+  }
+}

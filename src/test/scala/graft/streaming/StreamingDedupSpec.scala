@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+/** Streaming dedup/stats operators: exact dedup with watermark-bounded
+  * state, stateless LSH band parity with the batch path, and
+  * mapGroupsWithState running totals across micro-batches. */
+class StreamingDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+
+  test("streaming exact dedup keeps the first fingerprint within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val docs = in.toDF().toDF("doc_id", "text", "ts")
+    val deduped = StreamingDedup.exactDedup(docs, "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    in.addData((1L, "alpha beta", ts(0)), (2L, "alpha beta", ts(1)),
+      (3L, "gamma delta", ts(1)))
+    q.processAllAvailable()
+    in.addData((4L, "alpha beta", ts(2)), (5L, "epsilon", ts(3)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    // doc 2 (same batch dup) and doc 4 (cross-batch dup within the
+    // watermark) are dropped; 1, 3, 5 survive
+    assert(out == Set(1L, 3L, 5L))
+  }
+
+  test("stateless LSH band assignment matches the batch band keys") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val streamed = StreamingDedup.lshBands(embs)
+      .orderBy("vec_id", "band").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // batch recomputation of the same keys
+    import org.apache.spark.sql.functions._
+    val batch = embs
+      .withColumn("bucket", graft.ops.Similarity.lshBucket(
+        col("embedding").cast("array<double>")))
+      .select(col("vec_id"),
+        explode(array((0 until 2).map(b => struct(lit(b).as("band"),
+          shiftright(col("bucket"), b * 4).bitwiseAND(lit(15L)).as("bv"))): _*))
+          .as("bk"))
+      .select(col("vec_id"), col("bk.band"), col("bk.bv"))
+      .orderBy("vec_id", "band").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("mapGroupsWithState accumulates language totals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val docs = in.toDF().toDF("doc_id", "text", "lang")
+    val q = StreamingDedup.runningLangStats(docs).toDF()
+      .writeStream.format("memory").queryName("lang_stats")
+      .outputMode("update").start()
+    in.addData((1L, "one two three", "en"), (2L, "uno dos", "es"))
+    q.processAllAvailable()
+    in.addData((3L, "four five", "en"))
+    q.processAllAvailable()
+    q.stop()
+    // last emitted row per language carries the cumulative totals
+    val rows = spark.table("lang_stats").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val latest = rows.groupBy(_._1).view.mapValues(_.last).toMap
+    assert(latest("en") == (("en", 2L, 5L)))
+    assert(latest("es") == (("es", 1L, 2L)))
+  }
+}
