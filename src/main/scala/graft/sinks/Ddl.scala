@@ -101,7 +101,61 @@ final case class TableStructure(
     defaults: Map[String, String] = Map.empty, // column -> SQL default text
     foreignKeys: Seq[ForeignKey] = Nil)
 
+/** A view carried through structure replay (the reference preserves views
+  * opaquely inside `pg_dump --schema-only` output — fixtures/pg_simple.sql:35
+  * `users_view` survives a copy). */
+final case class ViewStructure(name: String, definition: String)
+
 object Ddl {
+
+  /** Extract view definitions from a live catalog. Engine-routed: the
+    * information_schema shape for MySQL/Postgres, the SYS catalog for
+    * embedded Derby (our e2e engine); anything else returns empty (views
+    * are then simply not carried, matching the reference's MySQL
+    * `SHOW CREATE TABLE` path which also skips them). */
+  def viewsFromJdbc(conn: java.sql.Connection, url: String): Seq[ViewStructure] = {
+    val query =
+      if (url.startsWith("jdbc:mysql:"))
+        Some("SELECT table_name, view_definition FROM information_schema.views " +
+          "WHERE table_schema = DATABASE()")
+      else if (url.startsWith("jdbc:postgresql:"))
+        Some("SELECT table_name, pg_get_viewdef(table_name::regclass, true) " +
+          "FROM information_schema.views WHERE table_schema = current_schema()")
+      else if (url.startsWith("jdbc:derby:"))
+        Some("SELECT t.TABLENAME, v.VIEWDEFINITION FROM SYS.SYSVIEWS v " +
+          "JOIN SYS.SYSTABLES t ON t.TABLEID = v.TABLEID")
+      else None
+    query.toSeq.flatMap { q =>
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(q)
+        val buf = collection.mutable.ArrayBuffer.empty[ViewStructure]
+        try while (rs.next()) buf +=
+          ViewStructure(rs.getString(1), viewBody(rs.getString(2)))
+        finally rs.close()
+        buf.sortBy(_.name).toSeq
+      } finally st.close()
+    }
+  }
+
+  /** Normalize a catalog-reported definition to its SELECT body (Derby
+    * stores the whole `CREATE VIEW ... AS ...` text; information_schema
+    * engines store the body alone). */
+  private[sinks] def viewBody(definition: String): String = {
+    val d = definition.trim.stripSuffix(";").trim
+    val re = "(?is)^CREATE\\s+VIEW\\s+\\S+(\\s*\\([^)]*\\))?\\s+AS\\s+(.*)$".r
+    d match {
+      case re(_, body) => body.trim
+      case _ => d
+    }
+  }
+
+  /** CREATE VIEW in the target dialect. Definitions are engine SQL text
+    * carried opaquely — the same fidelity contract as the reference's
+    * pg_dump passthrough (a cross-engine copy may need manual edits,
+    * exactly as it would with the reference). */
+  def createView(v: ViewStructure, dialect: Dialect): String =
+    s"CREATE VIEW ${dialect.quote(v.name)} AS ${v.definition};"
 
   /** CREATE TABLE for one table in the target dialect (columns only —
     * structure-fidelity callers use the [[TableStructure]] overload). */
@@ -149,16 +203,18 @@ object Ddl {
       tables.map { case (t, s) => TableStructure(t, s) }, dialect)
 
   /** Full-fidelity catalog script: CREATEs first (any order — FKs aren't
-    * inline), then every FK ALTER, inside the dialect's constraint-bypass
-    * preamble/postamble. */
+    * inline), then every FK ALTER, then views (they may reference any
+    * table), inside the dialect's constraint-bypass preamble/postamble. */
   def structureScriptFull(
-      tables: Seq[TableStructure], dialect: Dialect): String = {
+      tables: Seq[TableStructure], dialect: Dialect,
+      views: Seq[ViewStructure] = Nil): String = {
     val sb = new StringBuilder
     sb.append(s"-- graft structure dump (${dialect.name})\n")
     dialect.preamble.foreach(s => sb.append(s).append(";\n"))
     tables.foreach(t => sb.append(createTable(t, dialect)).append("\n"))
     tables.foreach(t =>
       addForeignKeys(t, dialect).foreach(s => sb.append(s).append(";\n")))
+    views.foreach(v => sb.append(createView(v, dialect)).append("\n"))
     dialect.postamble.foreach(s => sb.append(s).append(";\n"))
     sb.toString
   }

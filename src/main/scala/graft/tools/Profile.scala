@@ -51,10 +51,12 @@ object Profile {
 
     for (round <- 1 to 3) {
       println(s"--- round $round")
-      time("full E: str/repart/packed")(
-        fullNs4(graft.ops.Dedup.shingles(docs, 2)))
-      time("full H: checkpointed sh + E")(
-        fullNs4(graft.ops.Dedup.shingles(docs, 2).localCheckpoint(true)))
+      for (parts <- Seq("32", "64", "128")) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        time(s"full ns4 @$parts partitions")(
+          graft.ops.Dedup.ngramJaccard(docs))
+      }
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
     }
     spark.stop()
   }

@@ -99,6 +99,34 @@ class JdbcRoundTripSpec extends AnyFunSuite {
     assert(n == 3L, s"expected 3 rows after re-run, got $n")
   }
 
+  test("views are extracted from the live catalog and replayable") {
+    fixture
+    val conn = DriverManager.getConnection(srcUrl)
+    val views = try Ddl.viewsFromJdbc(conn, srcUrl) finally conn.close()
+    assert(views.map(_.name) == Seq("ACTIVE_USERS"), views)
+    assert(views.head.definition.toLowerCase.contains("active = 1"),
+      views.head.definition)
+
+    // replay on a fresh target (so prior tests' appends don't interfere)
+    // and query THROUGH the recreated view — pg_simple.sql users_view parity
+    val tgt2Url = "jdbc:derby:memory:graft_tgt_views;create=true"
+    val reports = Steal.runDsn(spark, srcUrl, tgt2Url, tables = Nil,
+      concurrency = 1)
+    assert(reports.forall(_.ok))
+    val tgt = DriverManager.getConnection(tgt2Url)
+    try {
+      val st = tgt.createStatement()
+      st.execute(Ddl.createView(
+        ViewStructure("ACTIVE_USERS_COPY", views.head.definition),
+        Dialect.Postgres).stripSuffix(";"))
+      val rs = st.executeQuery("SELECT count(*) FROM ACTIVE_USERS_COPY")
+      rs.next()
+      assert(rs.getLong(1) == 2L) // u1, u2 are active
+      rs.close()
+      st.close()
+    } finally tgt.close()
+  }
+
   test("structureFromJdbc recovers PK, FK, unique and defaults from the catalog") {
     fixture
     val conn = DriverManager.getConnection(srcUrl)
