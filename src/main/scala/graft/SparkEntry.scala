@@ -221,6 +221,16 @@ object SparkEntry {
         col("n_bytes"))
       .orderBy("doc_id", "dim")
 
+  /** NS14 — incremental ingest dedup: the 20% of docs with doc_id % 5 = 0
+    * arrive as a "new batch" and are deduplicated (exact + minhash near-dup)
+    * against the other 80% as the existing corpus. */
+  private def ns14(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.ops.Dedup.incrementalNew(
+      d.where(col("doc_id") % 5 === 0),
+      d.where(col("doc_id") % 5 =!= 0))
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -251,6 +261,7 @@ object SparkEntry {
     "ns10_text_tokens"    -> (ns10 _),
     "ns11_text_fingerprint" -> (ns11 _),
     "ns12_multimodal_features" -> (ns12 _),
+    "ns14_dedup_incremental" -> (ns14 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -382,6 +393,24 @@ object SparkEntry {
          |SELECT g.doc_id, g.dim, coalesce(c.c, 0) AS n_in_bin, g.n AS n_bytes
          |FROM grid g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.dim = g.dim
          |ORDER BY g.doc_id, g.dim""".stripMargin),
+    "ns14_dedup_incremental" ->
+      ("""WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+         |exacts AS (SELECT n.doc_id, n.text FROM newd n WHERE NOT EXISTS (SELECT 1 FROM corp c WHERE c.text = n.text)),
+         |wn AS (SELECT doc_id, string_split(text,' ') w FROM exacts),
+         |shn AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS shingle FROM wn),
+         |wc AS (SELECT doc_id, string_split(text,' ') w FROM corp),
+         |shc AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS shingle FROM wc),
+         |mhn AS (SELECT doc_id, s, min(('0x' || substr(md5(shingle || ':' || s), 1, 15))::BIGINT) m FROM shn, (SELECT unnest(range(0,16)) AS s) seeds GROUP BY doc_id, s),
+         |bn AS (SELECT doc_id, s // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY s) bv FROM mhn GROUP BY doc_id, s // 4),
+         |mhc AS (SELECT doc_id, s, min(('0x' || substr(md5(shingle || ':' || s), 1, 15))::BIGINT) m FROM shc, (SELECT unnest(range(0,16)) AS s) seeds GROUP BY doc_id, s),
+         |bc AS (SELECT doc_id, s // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY s) bv FROM mhc GROUP BY doc_id, s // 4),
+         |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bn a JOIN bc b ON a.band = b.band AND a.bv = b.bv),
+         |setsn AS (SELECT doc_id, list_distinct(list(shingle)) s FROM shn GROUP BY doc_id),
+         |setsc AS (SELECT doc_id, list_distinct(list(shingle)) s FROM shc GROUP BY doc_id),
+         |dups AS (SELECT DISTINCT da FROM cand JOIN setsn x ON x.doc_id = cand.da JOIN setsc y ON y.doc_id = cand.db
+         |  WHERE len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) >= 0.5)
+         |SELECT doc_id, text FROM exacts WHERE doc_id NOT IN (SELECT da FROM dups) ORDER BY doc_id""".stripMargin),
     "ns8_text_langid" ->
       ("""WITH w AS (SELECT doc_id, lang, string_split(text,' ') w FROM documents),
          |s AS (SELECT doc_id, lang,

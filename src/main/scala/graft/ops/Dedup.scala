@@ -94,16 +94,7 @@ object Dedup {
     val mhCols = (0 until numHashes).map(s => min(col(s"h$s")).as(s"mh$s"))
     val mh = posted.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
 
-    val numBands = numHashes / rowsPerBand
-    val bandStructs = (0 until numBands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", (0 until rowsPerBand).map(r =>
-          col(s"mh${b * rowsPerBand + r}").cast("string")): _*)
-          .as("bv"))
-    }
-    val bands = mh.select(col("doc_id"),
-      explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val bands = bandKeys(mh, numHashes, rowsPerBand)
 
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -112,6 +103,84 @@ object Dedup {
       .distinct()
 
     verifyJaccard(cand, sh, threshold)
+  }
+
+  /** (doc_id, band, band-value) keys from a minhash sketch frame. */
+  private def bandKeys(
+      mh: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bandStructs = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rowsPerBand).map(r =>
+          col(s"mh${b * rowsPerBand + r}").cast("string")): _*)
+          .as("bv"))
+    }
+    mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+  }
+
+  /** Shared minhash front half: postings → (sketch bands, shingle sets). */
+  private def minhashOf(
+      docs: DataFrame, shingleK: Int, numHashes: Int,
+      rowsPerBand: Int): (DataFrame, DataFrame) = {
+    val sh = shingles(docs, shingleK)
+    val hashed = sh.select(col("doc_id") +: (0 until numHashes).map(s =>
+      md5Long(concat(col("shingle"), lit(s":$s"))).as(s"h$s")): _*)
+    val mhCols = (0 until numHashes).map(s => min(col(s"h$s")).as(s"mh$s"))
+    val mh = hashed.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    (bandKeys(mh, numHashes, rowsPerBand), sh)
+  }
+
+  /** D6 — incremental ingest dedup: which NEW documents survive against an
+    * EXISTING corpus. THE production shape for continuous training-data
+    * ingest — each arriving batch is deduplicated against the corpus
+    * without ever joining corpus×corpus:
+    *
+    *   1. exact duplicates leave via a semi-join on the text (one shuffle
+    *      keyed on the text hash, corpus side aggregated nothing);
+    *   2. near-duplicates leave via minhash band keys: candidates come
+    *      from a band EQUALITY join of new-batch bands against corpus
+    *      bands (touches only colliding docs), then exact jaccard ≥
+    *      `threshold` is verified on candidates only — same constants and
+    *      same md5 family as [[minhashLsh]], so the whole decision is
+    *      engine-reproducible.
+    *
+    * Output: the surviving new doc_ids with their text. At 100 TB the
+    * corpus bands/sets are a precomputed, incrementally-maintained index
+    * table — this method recomputes them for self-containedness; the
+    * plan shape (band join + candidate verify) is identical either way. */
+  def incrementalNew(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      shingleK: Int = 2,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes % rowsPerBand != 0")
+    val exactSurvivors = newDocs.join(
+      corpus.select(col("text")), Seq("text"), "left_anti")
+
+    val (newBands, newSh) = minhashOf(exactSurvivors, shingleK, numHashes, rowsPerBand)
+    val (corpusBands, corpusSh) = minhashOf(corpus, shingleK, numHashes, rowsPerBand)
+
+    val cand = newBands.as("a").join(corpusBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val newSets = newSh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("s"))
+    val corpusSets = corpusSh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("s"))
+    val nearDupIds = cand
+      .join(newSets.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(corpusSets.as("y"), col("doc_b") === col("y.doc_id"))
+      .where(size(array_intersect(col("x.s"), col("y.s"))).cast("double") /
+        size(array_union(col("x.s"), col("y.s"))) >= threshold)
+      .select(col("doc_a").as("doc_id")).distinct()
+
+    exactSurvivors
+      .join(nearDupIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
   }
 
   /** D3 — SimHash near-dup pairs: 60-bit simhash over shingle hashes,

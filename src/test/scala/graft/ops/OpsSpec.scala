@@ -61,6 +61,22 @@ class DedupSpec extends AnyFunSuite {
     assert(scores.sameElements(scores.sortBy(-_)))
   }
 
+  test("incremental dedup drops exact and near dups of the corpus, keeps fresh docs") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "completely different corpus material here"),
+      (12L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),      // exact dup
+      (2L, "the quick brown fox jumps over the lazy cat"),      // near dup (j≈0.78)
+      (3L, "entirely novel content with no overlap at all"),    // fresh
+      (4L, "completely different corpus material here"))        // exact dup
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNew(fresh, corpus).collect()
+      .map(_.getLong(0)).toSeq
+    assert(out == Seq(3L), out)
+  }
+
   test("LSH embedding near-dup: high twin recall, scores match exact path") {
     // twins at cosine≈0.999: each pair shares a 4-bit band w.p. ~0.97, so
     // the banded candidate join must recover nearly all of them
