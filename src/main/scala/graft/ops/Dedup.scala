@@ -119,15 +119,20 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
   }
 
-  /** Shared minhash front half: postings → (sketch bands, shingle sets). */
+  /** Shared minhash front half: postings → (sketch bands, shingle sets).
+    * Same vocabulary-hashing trick as [[minhashLsh]]: the 16 salted md5s
+    * run once per DISTINCT shingle and broadcast back onto postings. */
   private def minhashOf(
       docs: DataFrame, shingleK: Int, numHashes: Int,
       rowsPerBand: Int): (DataFrame, DataFrame) = {
     val sh = shingles(docs, shingleK)
-    val hashed = sh.select(col("doc_id") +: (0 until numHashes).map(s =>
-      md5Long(concat(col("shingle"), lit(s":$s"))).as(s"h$s")): _*)
+    val hashCols = (0 until numHashes).map(s =>
+      md5Long(concat(col("shingle"), lit(s":$s"))).as(s"h$s"))
+    val vocab = sh.select("shingle").distinct()
+      .select(col("shingle") +: hashCols: _*)
+    val posted = sh.join(broadcast(vocab), Seq("shingle"))
     val mhCols = (0 until numHashes).map(s => min(col(s"h$s")).as(s"mh$s"))
-    val mh = hashed.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    val mh = posted.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
     (bandKeys(mh, numHashes, rowsPerBand), sh)
   }
 
