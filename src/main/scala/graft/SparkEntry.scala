@@ -231,6 +231,11 @@ object SparkEntry {
       d.where(col("doc_id") % 5 =!= 0))
   }
 
+  /** NS15 — the curation composition: language filter → quality threshold
+    * → exact dedup in one plan (one scan + one shuffle). */
+  private def ns15(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.curate(docs(s, dir))
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -262,6 +267,7 @@ object SparkEntry {
     "ns11_text_fingerprint" -> (ns11 _),
     "ns12_multimodal_features" -> (ns12 _),
     "ns14_dedup_incremental" -> (ns14 _),
+    "ns15_curation_pipeline" -> (ns15 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -411,6 +417,25 @@ object SparkEntry {
          |dups AS (SELECT DISTINCT da FROM cand JOIN setsn x ON x.doc_id = cand.da JOIN setsc y ON y.doc_id = cand.db
          |  WHERE len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) >= 0.5)
          |SELECT doc_id, text FROM exacts WHERE doc_id NOT IN (SELECT da FROM dups) ORDER BY doc_id""".stripMargin),
+    "ns15_curation_pipeline" ->
+      ("""WITH w AS (SELECT doc_id, text, string_split(text,' ') w FROM documents),
+         |f AS (SELECT doc_id, text,
+         |  len([x for x in w if list_contains(['der','die','das','und','zu','nicht','ist','ein'], x)]) s_de,
+         |  len([x for x in w if list_contains(['the','a','of','and','to','in','is','that'], x)]) s_en,
+         |  len([x for x in w if list_contains(['el','la','de','los','y','que','en','un'], x)]) s_es,
+         |  len([x for x in w if list_contains(['le','la','de','les','et','que','en','un'], x)]) s_fr,
+         |  len([x for x in w if list_contains(['的','是','了','在','我','有','和','不'], x)]) s_zh,
+         |  len(w) n_words, length(replace(text, ' ', '')) ncns FROM w),
+         |s AS (SELECT *, CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred_lang,
+         |  ncns::DOUBLE / n_words AS avg_word_len, s_en::DOUBLE / n_words AS stopword_ratio FROM f),
+         |q AS (SELECT *, least(n_words::DOUBLE / 100.0, 1.0) * 0.5 + stopword_ratio * 0.3 +
+         |  (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 8.0 THEN 0.2 ELSE 0.0 END) AS quality_score FROM s)
+         |SELECT min(doc_id) AS doc_id, min(n_words) AS n_words, min(quality_score) AS quality_score
+         |FROM q WHERE pred_lang = 'en' AND quality_score >= 0.55
+         |GROUP BY text ORDER BY doc_id""".stripMargin),
     "ns8_text_langid" ->
       ("""WITH w AS (SELECT doc_id, lang, string_split(text,' ') w FROM documents),
          |s AS (SELECT doc_id, lang,

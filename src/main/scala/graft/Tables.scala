@@ -1,6 +1,15 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Typed rows for the north-star tables — the `Dataset[T]` face of the
+  * engine where compile-time safety helps (operator pipelines over known
+  * schemas); the config-driven klepto surface stays `DataFrame` because
+  * its schemas are discovered at runtime. */
+final case class Document(
+    doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
+final case class Embedding(
+    vec_id: Long, embedding: Array[Float], label: Int)
 
 /** Parquet-directory catalog over the driver testdata layout
   * (`<dir>/<table>.parquet`).
@@ -25,6 +34,18 @@ object Tables {
     // the custom vec_* expressions (registration is idempotent and cheap)
     graft.functions.VectorFunctions.register(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Typed loaders (case-class Encoders): same files, compile-checked
+    * columns for operator-pipeline code. */
+  def documents(spark: SparkSession, dir: String): Dataset[Document] = {
+    import spark.implicits._
+    load(spark, dir, "documents").as[Document]
+  }
+
+  def embeddings(spark: SparkSession, dir: String): Dataset[Embedding] = {
+    import spark.implicits._
+    load(spark, dir, "embeddings").as[Embedding]
   }
 
   /** Discover table names present in a directory (catalog listing, S3). */

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The canonical "curate a crawl" composition — language filter → quality
+  * threshold → exact dedup — as ONE declarative plan (SURVEY §7.2 M6).
+  *
+  * Composability is the point: the language and quality features are the
+  * same expressions [[TextAnalysis]] uses, computed in a single projection
+  * over one scan (no join of operator outputs, no second pass over text),
+  * then the survivors flow into the same min-doc_id exact-dedup shape as
+  * [[Dedup.exact]]. One scan + one shuffle end-to-end at any scale.
+  */
+object Curation {
+
+  private def hits(w: Column, markers: Seq[String]): Column = {
+    val arr = array(markers.map(lit): _*)
+    size(filter(w, x => array_contains(arr, x)))
+  }
+
+  /** Keep docs predicted `langCode` with quality ≥ `minQuality`, exact
+    * deduped (survivor = smallest doc_id per text). Output:
+    * (doc_id, n_words, quality_score) ordered by doc_id. */
+  def curate(
+      docs: DataFrame,
+      langCode: String = "en",
+      minQuality: Double = 0.55): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"),
+      split(col("text"), " ").as("w"))
+    val scored = TextAnalysis.langMarkers.foldLeft(base) {
+        case (df, (code, markers)) =>
+          df.withColumn(s"s_$code", hits(col("w"), markers))
+      }
+      .withColumn("n_words", size(col("w")))
+      .withColumn("ncns",
+        length(regexp_replace(col("text"), " ", "")))
+      .withColumn("pred_lang", TextAnalysis.predFromScores(c => col(s"s_$c")))
+      .withColumn("avg_word_len",
+        col("ncns").cast("double") / col("n_words"))
+      .withColumn("stopword_ratio",
+        col("s_en").cast("double") / col("n_words"))
+      .withColumn("quality_score",
+        least(col("n_words").cast("double") / lit(100.0), lit(1.0)) * 0.5 +
+          col("stopword_ratio") * 0.3 +
+          when(col("avg_word_len") >= 3.0 && col("avg_word_len") <= 8.0,
+            lit(0.2)).otherwise(lit(0.0)))
+    scored
+      .where(col("pred_lang") === langCode &&
+        col("quality_score") >= minQuality)
+      // survivors' features are functions of the text, so min() within a
+      // text group IS the survivor's value — single shuffle, map-side combine
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min(col("n_words")).as("n_words"),
+        min(col("quality_score")).as("quality_score"))
+      .select(col("doc_id"), col("n_words"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -30,6 +30,19 @@ object TextAnalysis {
     size(filter(col(wordsCol), w => array_contains(arr, w)))
   }
 
+  /** Argmax with ascending-code tie-break, as a CASE cascade so any SQL
+    * engine evaluates the identical decision tree. `score` maps a language
+    * code to its hit-count column. */
+  private[ops] def predFromScores(score: String => Column): Column = {
+    val codes = langMarkers.map(_._1)
+    codes.init.zipWithIndex.foldRight(lit(codes.last)) {
+      case ((code, i), elseCol) =>
+        val laterCodes = codes.drop(i + 1)
+        when(laterCodes.map(lc => score(code) >= score(lc))
+          .reduce(_ && _), lit(code)).otherwise(elseCol)
+    }
+  }
+
   /** T1 — language identification. Output: doc_id, lang (ground truth
     * column, carried through), pred_lang. */
   def languageId(docs: DataFrame): DataFrame = {
@@ -38,16 +51,8 @@ object TextAnalysis {
       case (df, (code, markers)) =>
         df.withColumn(s"s_$code", hitCount("w", markers))
     }
-    // argmax with ascending-code tie-break, as a CASE cascade so any SQL
-    // engine evaluates the identical decision tree
-    val codes = langMarkers.map(_._1)
-    val pred = codes.init.zipWithIndex.foldRight(lit(codes.last)) {
-      case ((code, i), elseCol) =>
-        val laterCodes = codes.drop(i + 1)
-        when(laterCodes.map(lc => col(s"s_$code") >= col(s"s_$lc"))
-          .reduce(_ && _), lit(code)).otherwise(elseCol)
-    }
-    withScores.select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+    withScores.select(col("doc_id"), col("lang"),
+        predFromScores(c => col(s"s_$c")).as("pred_lang"))
       .orderBy(col("doc_id"))
   }
 

@@ -100,6 +100,48 @@ class DedupSpec extends AnyFunSuite {
   }
 }
 
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("curate keeps deduped English docs above the quality bar") {
+    val en = ("the cat is on the mat and the dog is in the house " * 4).trim
+    val docs = Seq(
+      (1L, en),                                         // keeps (en, long, stopwords)
+      (2L, en),                                         // exact dup of 1 -> dropped
+      (3L, "el gato y el perro en la casa de los dos"), // es -> dropped
+      (4L, "x y")                                       // en-ish but low quality -> dropped
+    ).toDF("doc_id", "text")
+    val out = Curation.curate(docs, minQuality = 0.3).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(out.head.getInt(1) == 52) // n_words carried through
+  }
+
+  test("curation plan is one scan + one aggregation shuffle") {
+    val df = Curation.curate(graft.Tables.load(spark, sf, "documents"))
+    df.collect()
+    // AQE's toString repeats the tree under "== Initial Plan ==" — count
+    // nodes in the final plan only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // single pass over text: exactly one parquet scan, one hash shuffle
+    // (the dedup groupBy); the trailing sort is the only other exchange
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1200))
+  }
+
+  test("typed Dataset loaders expose the north-star tables") {
+    val d = graft.Tables.documents(spark, sf)
+    val e = graft.Tables.embeddings(spark, sf)
+    val doc = d.head()
+    assert(doc.text.nonEmpty && doc.n_chars > 0)
+    assert(e.head().embedding.length == 64)
+    // typed transforms compile against the case class
+    assert(d.filter(_.lang != null).count() == d.count())
+  }
+}
+
 class SimilaritySpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
