@@ -28,6 +28,20 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("every registered query executes end-to-end at sf0.001") {
+    // catches a broken entry in `sbt test` instead of at the driver gate
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, name)
+      val n = df.count()
+      // k11 is zero rows by definition; k10's NATION_7 filter can match no
+      // supplier at the tiny sf0.001 (oracle-checked non-empty at sf0.01)
+      if (name.startsWith("k") && name != "k11_ignore_data" &&
+          name != "k10_matcher_reuse")
+        assert(n > 0, s"$name returned no rows")
+    }
+  }
+
   test("k1 projects two columns ordered by key") {
     val df = SparkEntry.queries("k1_scan_project")(spark, sf)
     assert(df.columns.toSeq == Seq("c_custkey", "c_name"))
