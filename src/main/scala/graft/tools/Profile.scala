@@ -49,14 +49,30 @@ object Profile {
         .orderBy(col("doc_a"), col("doc_b"))
     }
 
+    def variantK(sh: org.apache.spark.sql.DataFrame) = {
+      val left = sh.repartition(32, col("doc_id"))
+      val inter = left.as("a").join(broadcast(sh.as("b")),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      inter
+        .join(sizes.as("x"), col("doc_a") === col("x.doc_id"))
+        .join(sizes.as("y"), col("doc_b") === col("y.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("i").cast("double") / (col("x.n") + col("y.n") - col("i"))).as("j"))
+        .where(col("j") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
     for (round <- 1 to 3) {
       println(s"--- round $round")
-      for (parts <- Seq("32", "64", "128")) {
-        spark.conf.set("spark.sql.shuffle.partitions", parts)
-        time(s"full ns4 @$parts partitions")(
-          graft.ops.Dedup.ngramJaccard(docs))
-      }
-      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      time("current ns4")(graft.ops.Dedup.ngramJaccard(docs))
+      val k = time("K: doc_id-partitioned probe, no pair shuffle")(
+        variantK(graft.ops.Dedup.shingles(docs, 2).localCheckpoint(true)))
+      if (round == 1) println(k.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head.take(2500))
     }
     spark.stop()
   }

@@ -61,6 +61,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
   }
 
+  test("ns4: the pair stream is aggregated in the probe stage, never shuffled") {
+    val df = SparkEntry.queries("ns4_dedup_ngram")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // doc_id pre-partitioning + broadcast join preserve clustering for the
+    // (doc_a, doc_b) groupBy — no exchange may sit on the pair stream
+    assert(!p.contains("Exchange hashpartitioning(doc_a"), p.take(1500))
+    assert(!p.contains("Exchange hashpartitioning(pk"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("ns5: candidates come from an equality band join, never all-pairs") {
     val df = SparkEntry.queries("ns5_dedup_embedding")(spark, sf)
     df.collect() // materialize so AQE finalizes the plan with codegen spans
