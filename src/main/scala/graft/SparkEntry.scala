@@ -204,21 +204,19 @@ object SparkEntry {
   private def ns11(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextAnalysis.fingerprint(docs(s, dir))
   /** NS12 — multimodal feature extraction, canonicalized array-free: the
-    * extracted per-bin byte-histogram fractions are exploded to one row per
-    * (doc_id, dim) and folded back to exact integer bin counts
-    * (`round(frac * n_bytes)` — the stub normalized by n_bytes, and counts
-    * ≤ n_bytes sit far inside float precision, so recovery is exact). The
-    * driver's canonicalizer can hash this shape, and the byte math is fully
-    * DuckDB-expressible. */
+    * decoder's exact per-bin byte-histogram counts are exploded to one row
+    * per (doc_id, dim). Counts come straight from the decode (`bin_counts`
+    * long array), never recovered from the normalized float fractions —
+    * exact at any blob size, where `round(frac * n_bytes)` drifts off by
+    * one past ~8 MB (float mantissa). The driver's canonicalizer can hash
+    * this shape, and the byte math is fully DuckDB-expressible. */
   private def ns12(s: SparkSession, dir: String): DataFrame =
     graft.ops.Multimodal.extractFeatures(
         graft.ops.Multimodal.packBinary(docs(s, dir)))
       .select(col("doc_id"), col("n_bytes"),
-        posexplode(col("features")).as(Seq("dim", "frac")))
+        posexplode(col("bin_counts")).as(Seq("dim", "n_in_bin")))
       .select(col("doc_id"), col("dim").cast("long").as("dim"),
-        round(col("frac").cast("double") * col("n_bytes"), 0).cast("long")
-          .as("n_in_bin"),
-        col("n_bytes"))
+        col("n_in_bin"), col("n_bytes"))
       .orderBy("doc_id", "dim")
 
   /** NS14 — incremental ingest dedup: the 20% of docs with doc_id % 5 = 0

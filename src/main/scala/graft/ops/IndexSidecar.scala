@@ -1,0 +1,30 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Tiny text sidecars stored NEXT TO a persisted index's parquet data —
+  * written through the Hadoop FileSystem resolved from the path itself, so
+  * an index written to `hdfs://` or `s3a://` keeps its sidecar in the same
+  * store as its cells (a `java.nio` write would silently land the sidecar
+  * on the driver's local disk and break the index for every other reader).
+  */
+private[ops] object IndexSidecar {
+
+  private def fs(spark: SparkSession, path: Path): FileSystem =
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def write(spark: SparkSession, path: Path, text: String): Unit = {
+    val out = fs(spark, path).create(path, true)
+    try out.write(text.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def read(spark: SparkSession, path: Path): String = {
+    val in = fs(spark, path).open(path)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+}

@@ -44,31 +44,40 @@ object Multimodal {
 
   /** STUB media decoder: a real implementation would decode JPEG/PCM/
     * frames here (per batch, off-heap). Deterministic byte histogram keeps
-    * the plumbing testable without codecs. */
-  private[ops] def decodeStub(content: Array[Byte]): Array[Float] = {
-    val hist = new Array[Float](featureDim)
+    * the plumbing testable without codecs. Returns exact integer bin
+    * COUNTS — normalization to fractions happens downstream, so exactness
+    * is never laundered through a 24-bit float mantissa. */
+  private[ops] def decodeStub(content: Array[Byte]): Array[Long] = {
+    val hist = new Array[Long](featureDim)
     if (content != null) {
       var i = 0
       while (i < content.length) {
-        hist((content(i) & 0xff) % featureDim) += 1f
+        hist((content(i) & 0xff) % featureDim) += 1L
         i += 1
-      }
-      if (content.length > 0) {
-        var j = 0
-        while (j < featureDim) { hist(j) /= content.length; j += 1 }
       }
     }
     hist
   }
 
+  private[ops] def normalize(counts: Array[Long]): Array[Float] = {
+    val total = counts.sum
+    if (total == 0) new Array[Float](counts.length)
+    else counts.map(c => (c.toDouble / total).toFloat)
+  }
+
   /** Per-partition batched feature extraction (mapInPandas analog): each
-    * task iterates its partition once, emitting (doc_id, features, meta).
-    * No shuffle; output partitioning == input partitioning. */
+    * task iterates its partition once, emitting (doc_id, features,
+    * bin_counts, meta). No shuffle; output partitioning == input
+    * partitioning. `features` is the normalized float vector for
+    * similarity/resize consumers; `bin_counts` carries the decoder's exact
+    * integer counts so exactness-sensitive consumers never have to recover
+    * counts from a float fraction (off-by-one beyond ~8 MB blobs). */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("features", ArrayType(FloatType, containsNull = false)),
+      StructField("bin_counts", ArrayType(LongType, containsNull = false)),
       StructField("n_bytes", LongType, nullable = true)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema)
@@ -76,7 +85,8 @@ object Multimodal {
       .mapPartitions { rows =>
         // batch loop: a real decoder would pin one batch of blobs at a time
         rows.map { r =>
-          Row(r.getLong(0), decodeStub(r.getAs[Array[Byte]](1)),
+          val counts = decodeStub(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), normalize(counts), counts,
             if (r.isNullAt(2)) null else r.getLong(2))
         }
       }(enc)

@@ -188,13 +188,16 @@ object Similarity {
     val text = centroids.map { case (i, v) =>
       s"$i:${v.mkString(",")}"
     }.mkString("\n")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_centroids.txt"), text)
+    IndexSidecar.write(embeddings.sparkSession, centroidsPath(path), text)
   }
 
-  private[ops] def readCentroids(path: String): Array[(Int, Array[Double])] =
-    java.nio.file.Files.readString(
-      java.nio.file.Paths.get(path, "_centroids.txt"))
+  private def centroidsPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_centroids.txt")
+
+  private[ops] def readCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[(Int, Array[Double])] =
+    IndexSidecar.read(spark, centroidsPath(path))
       .split("\n").filter(_.nonEmpty).map { line =>
         val Array(i, vs) = line.split(":", 2)
         i.toInt -> vs.split(",").map(_.toDouble)
@@ -208,7 +211,7 @@ object Similarity {
   def ivfTopKFromIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int = 10, nProbe: Int = 4): DataFrame = {
-    val centroids = readCentroids(path)
+    val centroids = readCentroids(spark, path)
     val probes = probeCells(queries, centroids, nProbe)
     val wanted = probes.select("cell").distinct().collect().map(_.getInt(0))
     val assigned = spark.read.parquet(path)

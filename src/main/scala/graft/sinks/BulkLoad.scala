@@ -28,30 +28,40 @@ import org.apache.spark.sql.types._
   *     batches (still one statement per batch, not per row) — which is
   *     also the path the embedded-Derby e2e exercises.
   *
-  * Deliberately not replicated (reference quirk): the reference writes the
+  * Deliberately not replicated (reference quirks): the reference writes the
   * string `"NULL"` into its CSV (`mysql/dumper.go:22,163`), which LOAD
-  * DATA inserts as a literal string, not SQL NULL. We emit MySQL's real
-  * null marker `\N` (and COPY's `\N` for Postgres).
+  * DATA inserts as a literal string, not SQL NULL — we emit MySQL's real
+  * null marker `\N` (and COPY's `\N` for Postgres). And the reference
+  * declares `ESCAPED BY '"'` (`mysql/dumper.go:137`), under which a
+  * backslash is not special and `\N` would load as the literal two-char
+  * string; we declare the default `ESCAPED BY '\\'` and backslash-escape
+  * field data so the NULL marker actually means NULL.
   */
 object BulkLoad {
 
-  /** Statement parity with `mysql/dumper.go:136-141` (the `Reader::` name
-    * binds the registered stream in the MySQL driver protocol). */
+  /** Statement shape from `mysql/dumper.go:136-141` (the `Reader::` name
+    * binds the registered stream in the MySQL driver protocol). Escape
+    * char deliberately diverges from the reference's `ESCAPED BY '"'`:
+    * only under the default backslash escape does the `\N` NULL marker
+    * mean SQL NULL rather than a literal two-character string. */
   def mysqlLoadStatement(table: String, columns: Seq[String]): String = {
     def q(s: String) = "`" + s.replace("`", "``") + "`"
     s"LOAD DATA LOCAL INFILE 'Reader::$table' INTO TABLE ${q(table)} " +
-      "FIELDS TERMINATED BY ',' ENCLOSED BY '\"' ESCAPED BY '\"' " +
+      "FIELDS TERMINATED BY ',' ENCLOSED BY '\"' ESCAPED BY '\\\\' " +
       s"(${columns.map(q).mkString(",")})"
   }
 
   /** One CSV line in the dialect the statement above declares: comma
-    * separator, fields quoted when they contain comma/quote/newline,
-    * quotes doubled (Go `encoding/csv` semantics), `\N` for NULL. */
+    * separator, backslash escape (so backslashes in data double), fields
+    * quoted when they contain comma/quote/newline with quotes doubled
+    * (valid inside an enclosed field), and an UNENCLOSED `\N` for NULL —
+    * which MySQL reads as SQL NULL only because the escape char is `\`. */
   def mysqlCsvRow(row: Row, schema: StructType): String =
     schema.fields.indices.map { i =>
       if (row.isNullAt(i)) "\\N"
       else {
         val s = renderValue(row.get(i), schema.fields(i).dataType)
+          .replace("\\", "\\\\")
         if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
           "\"" + s.replace("\"", "\"\"") + "\""
         else s
@@ -130,7 +140,10 @@ object BulkLoad {
     } finally st.close()
   }
 
-  /** Postgres leg: CopyManager.copyIn(sql, reader) by reflection. */
+  /** Postgres leg: CopyManager.copyIn(sql, stream) by reflection. The
+    * partition streams through [[SeqInputStream]] one row-chunk at a time
+    * (same shape as the MySQL leg) — it is never materialized as a single
+    * in-memory buffer. */
   private def streamPostgres(
       conn: Connection, table: String, schema: StructType,
       rows: Iterator[Row]): Unit = {
@@ -138,11 +151,11 @@ object BulkLoad {
     val mgr = Class.forName("org.postgresql.copy.CopyManager")
       .getConstructor(Class.forName("org.postgresql.core.BaseConnection"))
       .newInstance(base)
-    val text = rows.map(r => postgresTextRow(r, schema) + "\n").mkString
+    val text = new SeqInputStream(
+      rows.map(r => postgresTextRow(r, schema) + "\n"))
     mgr.getClass
-      .getMethod("copyIn", classOf[String], classOf[java.io.Reader])
-      .invoke(mgr, postgresCopyStatement(table, schema.fieldNames.toSeq),
-        new java.io.StringReader(text))
+      .getMethod("copyIn", classOf[String], classOf[java.io.InputStream])
+      .invoke(mgr, postgresCopyStatement(table, schema.fieldNames.toSeq), text)
   }
 
   /** Generic fallback: multi-row INSERT VALUES batches (one statement per

@@ -347,6 +347,11 @@ class MultimodalSpec extends AnyFunSuite {
       val f = r.getSeq[Float](1)
       assert(f.length == Multimodal.featureDim)
       assert(math.abs(f.sum - 1.0f) < 1e-3) // normalized histogram
+      // exact integer counts ride along and sum to the blob size —
+      // consumers never recover counts from the float fractions
+      val counts = r.getSeq[Long](2)
+      assert(counts.length == Multimodal.featureDim)
+      assert(counts.sum == r.getLong(3))
     }
   }
 

@@ -21,13 +21,13 @@ class BulkLoadSpec extends AnyFunSuite {
     StructField("name", StringType),
     StructField("score", DoubleType)))
 
-  test("mysql LOAD DATA statement matches the reference dialect") {
+  test("mysql LOAD DATA statement declares the backslash escape (NULL-safe)") {
     val stmt = BulkLoad.mysqlLoadStatement("users", Seq("id", "name"))
     assert(stmt == "LOAD DATA LOCAL INFILE 'Reader::users' INTO TABLE `users` " +
-      "FIELDS TERMINATED BY ',' ENCLOSED BY '\"' ESCAPED BY '\"' (`id`,`name`)")
+      "FIELDS TERMINATED BY ',' ENCLOSED BY '\"' ESCAPED BY '\\\\' (`id`,`name`)")
   }
 
-  test("mysql CSV rows: quoting, doubled quotes, real null marker") {
+  test("mysql CSV rows: quoting, doubled quotes, backslash escape, real null marker") {
     assert(BulkLoad.mysqlCsvRow(Row(1L, "plain", 2.5), schema) == "1,plain,2.5")
     assert(BulkLoad.mysqlCsvRow(Row(2L, "a,b", 0.0), schema) == "2,\"a,b\",0.0")
     assert(BulkLoad.mysqlCsvRow(Row(3L, "say \"hi\"", 0.0), schema) ==
@@ -35,6 +35,11 @@ class BulkLoadSpec extends AnyFunSuite {
     assert(BulkLoad.mysqlCsvRow(Row(4L, null, null), schema) == "4,\\N,\\N")
     assert(BulkLoad.mysqlCsvRow(Row(5L, "two\nlines", 0.0), schema) ==
       "5,\"two\nlines\",0.0")
+    // Data backslashes double, so a literal "\N" string survives as \\N —
+    // distinct from the unenclosed \N null marker.
+    assert(BulkLoad.mysqlCsvRow(Row(6L, "back\\slash", 0.0), schema) ==
+      "6,back\\\\slash,0.0")
+    assert(BulkLoad.mysqlCsvRow(Row(7L, "\\N", 0.0), schema) == "7,\\\\N,0.0")
   }
 
   test("postgres COPY statement and text rows escape the COPY metacharacters") {
