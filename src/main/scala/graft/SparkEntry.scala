@@ -234,6 +234,17 @@ object SparkEntry {
   private def ns15(s: SparkSession, dir: String): DataFrame =
     graft.ops.Curation.curate(docs(s, dir))
 
+  /** NS16 — near-dup survivor resolution: ns2's minhash pairs → connected
+    * components (min-label propagation with pointer jumping) → the
+    * surviving corpus with per-survivor merge counts. The dedup DECISION a
+    * training pipeline actually needs — chains (A~B, B~C) collapse to one
+    * survivor, which pairwise output alone can't express. */
+  private def ns16(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.survivorCorpus(
+      docs(s, dir),
+      graft.ops.Dedup.minhashLsh(docs(s, dir))
+        .select(col("doc_a"), col("doc_b")))
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -266,6 +277,7 @@ object SparkEntry {
     "ns12_multimodal_features" -> (ns12 _),
     "ns14_dedup_incremental" -> (ns14 _),
     "ns15_curation_pipeline" -> (ns15 _),
+    "ns16_dedup_survivors" -> (ns16 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -471,5 +483,27 @@ object SparkEntry {
          |    [ord(c)::BIGINT for c in string_split(lower(text), '')]),
          |    (a, b) -> (a * 31 + b) % 1000000007) AS rolling_fp
          |FROM documents ORDER BY doc_id""".stripMargin),
+    // ns2's pair pipeline verbatim, then connected components as a
+    // recursive transitive closure: min reachable doc_id = cluster label —
+    // the oracle for the distributed min-label-propagation loop.
+    "ns16_dedup_survivors" ->
+      ("""WITH RECURSIVE words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS shingle FROM words),
+         |mh AS (SELECT doc_id, s, min(('0x' || substr(md5(shingle || ':' || s), 1, 15))::BIGINT) m FROM sh, (SELECT unnest(range(0,16)) AS s) seeds GROUP BY doc_id, s),
+         |bands AS (SELECT doc_id, s // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY s) bv FROM mh GROUP BY doc_id, s // 4),
+         |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(list(shingle)) s FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT da AS doc_a, db AS doc_b FROM cand JOIN sets x ON x.doc_id = cand.da JOIN sets y ON y.doc_id = cand.db
+         |  WHERE len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+         |walk AS (SELECT src AS doc_id, src AS reach FROM edges
+         |  UNION SELECT wk.doc_id, e.dst FROM walk wk JOIN edges e ON e.src = wk.reach),
+         |labels AS (SELECT doc_id, min(reach) AS cluster FROM walk GROUP BY doc_id),
+         |sizes AS (SELECT cluster, count(*) AS n FROM labels GROUP BY cluster)
+         |SELECT d.doc_id, coalesce(sz.n, 1)::BIGINT AS n_merged
+         |FROM documents d
+         |LEFT JOIN sizes sz ON sz.cluster = d.doc_id
+         |WHERE NOT EXISTS (SELECT 1 FROM labels l WHERE l.doc_id = d.doc_id AND l.cluster != d.doc_id)
+         |ORDER BY d.doc_id""".stripMargin),
   )
 }

@@ -98,6 +98,55 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     lsh.foreach { case (k, c) => assert(exact(k) === c, k) }
   }
+
+  test("resolveClusters collapses chains to the transitive component") {
+    // 1~2, 2~3 (A~B~C chain: 1 and 3 never paired directly), plus the
+    // isolated pair 5~6 — doc 4 is in no pair and must not appear
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("resolveClusters converges on a long chain (pointer jumping)") {
+    // a 100-link path has diameter 100; pointer jumping must resolve it
+    // well inside the iteration cap
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.resolveClusters(chain, maxIterations = 12).collect()
+    assert(labels.length == 101)
+    assert(labels.forall(_.getLong(1) == 0L))
+  }
+
+  test("survivorCorpus keeps min doc_id per cluster with merge counts") {
+    val d = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"),
+      (6L, "f")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.survivorCorpus(d, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(out == Seq(1L -> 3L, 4L -> 1L, 5L -> 2L))
+  }
+
+  test("survivorCorpus over minhash pairs matches a driver-side union-find") {
+    val pairs = Dedup.minhashLsh(docs).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expectDupes = members.filter(m => find(m) != m).toSet
+    val total = docs.count()
+    val out = Dedup.survivorCorpus(
+      docs, Dedup.minhashLsh(docs).select("doc_a", "doc_b")).collect()
+    assert(out.length == total - expectDupes.size)
+    assert(out.map(_.getLong(1)).sum == total) // every doc accounted for
+    assert(out.forall(r => !expectDupes.contains(r.getLong(0))))
+  }
 }
 
 class CurationSpec extends AnyFunSuite {
