@@ -234,6 +234,30 @@ object SparkEntry {
   private def ns15(s: SparkSession, dir: String): DataFrame =
     graft.ops.Curation.curate(docs(s, dir))
 
+  /** NS17 — incremental dedup against a PERSISTED minhash corpus index:
+    * same decision as ns14, but the corpus is shingled/sketched once into a
+    * parquet index (built here on first touch — Bench's untimed warmup pass
+    * absorbs the build, so the timed runs measure the pure from-index
+    * path) and each ingest tick reads only the index, never the corpus
+    * parquet. */
+  private def ns17(s: SparkSession, dir: String): DataFrame = {
+    val idx = minhashIndexDir(dir)
+    if (!graft.ops.Dedup.minhashIndexExists(s, idx))
+      graft.ops.Dedup.writeMinhashIndex(
+        docs(s, dir).where(col("doc_id") % 5 =!= 0), idx)
+    graft.ops.Dedup.incrementalNewFromIndex(
+      docs(s, dir).where(col("doc_id") % 5 === 0), idx)
+  }
+
+  /** Deterministic per-sfDir index location (content under an sfDir never
+    * changes, so the index is valid for the process lifetime and across
+    * runs; a real deployment owns its index path explicitly). */
+  private def minhashIndexDir(dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${System.getProperty("java.io.tmpdir")}/graft_minhash_idx_$key"
+  }
+
   /** NS16 — near-dup survivor resolution: ns2's minhash pairs → connected
     * components (min-label propagation with pointer jumping) → the
     * surviving corpus with per-survivor merge counts. The dedup DECISION a
@@ -278,6 +302,7 @@ object SparkEntry {
     "ns14_dedup_incremental" -> (ns14 _),
     "ns15_curation_pipeline" -> (ns15 _),
     "ns16_dedup_survivors" -> (ns16 _),
+    "ns17_dedup_incr_index" -> (ns17 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -413,6 +438,27 @@ object SparkEntry {
       ("""WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
          |corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
          |exacts AS (SELECT n.doc_id, n.text FROM newd n WHERE NOT EXISTS (SELECT 1 FROM corp c WHERE c.text = n.text)),
+         |wn AS (SELECT doc_id, string_split(text,' ') w FROM exacts),
+         |shn AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS shingle FROM wn),
+         |wc AS (SELECT doc_id, string_split(text,' ') w FROM corp),
+         |shc AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS shingle FROM wc),
+         |mhn AS (SELECT doc_id, s, min(('0x' || substr(md5(shingle || ':' || s), 1, 15))::BIGINT) m FROM shn, (SELECT unnest(range(0,16)) AS s) seeds GROUP BY doc_id, s),
+         |bn AS (SELECT doc_id, s // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY s) bv FROM mhn GROUP BY doc_id, s // 4),
+         |mhc AS (SELECT doc_id, s, min(('0x' || substr(md5(shingle || ':' || s), 1, 15))::BIGINT) m FROM shc, (SELECT unnest(range(0,16)) AS s) seeds GROUP BY doc_id, s),
+         |bc AS (SELECT doc_id, s // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY s) bv FROM mhc GROUP BY doc_id, s // 4),
+         |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bn a JOIN bc b ON a.band = b.band AND a.bv = b.bv),
+         |setsn AS (SELECT doc_id, list_distinct(list(shingle)) s FROM shn GROUP BY doc_id),
+         |setsc AS (SELECT doc_id, list_distinct(list(shingle)) s FROM shc GROUP BY doc_id),
+         |dups AS (SELECT DISTINCT da FROM cand JOIN setsn x ON x.doc_id = cand.da JOIN setsc y ON y.doc_id = cand.db
+         |  WHERE len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) >= 0.5)
+         |SELECT doc_id, text FROM exacts WHERE doc_id NOT IN (SELECT da FROM dups) ORDER BY doc_id""".stripMargin),
+    // ns17 = ns14's decision with the index's stored artifacts mirrored:
+    // exact-dup rejection via the corpus text md5s (what the index stores)
+    // instead of raw text equality — identical results absent collisions.
+    "ns17_dedup_incr_index" ->
+      ("""WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+         |exacts AS (SELECT n.doc_id, n.text FROM newd n WHERE NOT EXISTS (SELECT 1 FROM corp c WHERE md5(c.text) = md5(n.text))),
          |wn AS (SELECT doc_id, string_split(text,' ') w FROM exacts),
          |shn AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS shingle FROM wn),
          |wc AS (SELECT doc_id, string_split(text,' ') w FROM corp),

@@ -188,6 +188,88 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** D6 (index build) — persist the corpus side of [[incrementalNew]] so
+    * ingest ticks stop re-scanning the corpus. [[incrementalNew]] recomputes
+    * corpus shingles + sketches on every call, which at 100 TB is a full
+    * corpus pass per batch; this writes the three corpus artifacts the
+    * incremental decision needs — band keys (candidate generation), shingle
+    * sets (candidate verification), text md5s (exact-dup rejection) — as
+    * parquet under `path`, with the sketch parameters in a sidecar so a
+    * mismatched reader fails fast instead of silently mixing hash families.
+    * Each artifact is bounded by corpus size × doc length, never corpus². */
+  def writeMinhashIndex(
+      corpus: DataFrame,
+      path: String,
+      shingleK: Int = 2,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 4): Unit = {
+    require(numHashes % rowsPerBand == 0, "numHashes % rowsPerBand != 0")
+    val (bands, sh) = minhashOf(corpus, shingleK, numHashes, rowsPerBand)
+    bands.write.mode("overwrite").parquet(s"$path/bands")
+    sh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("s"))
+      .write.mode("overwrite").parquet(s"$path/sets")
+    corpus.select(md5(col("text").cast("binary")).as("th")).distinct()
+      .write.mode("overwrite").parquet(s"$path/texthash")
+    IndexSidecar.write(corpus.sparkSession, metaPath(path),
+      s"shingleK=$shingleK\nnumHashes=$numHashes\nrowsPerBand=$rowsPerBand")
+  }
+
+  private def metaPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_meta.txt")
+
+  def minhashIndexExists(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = metaPath(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** D6 (index probe) — [[incrementalNew]] against a persisted
+    * [[writeMinhashIndex]] corpus: identical decision, but the corpus is
+    * never re-shingled or even re-read in full — exact dups leave via an
+    * anti-join on the stored text md5s, candidates come from a band join
+    * against the stored band keys, and only candidate corpus sets are
+    * fetched for verification. Per ingest tick the corpus-side work drops
+    * from a full scan+shingle+sketch to three index reads. */
+  def incrementalNewFromIndex(
+      newDocs: DataFrame,
+      path: String,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    val meta = IndexSidecar.read(spark, metaPath(path))
+      .split("\n").map(_.split("=", 2)).map(a => a(0) -> a(1).toInt).toMap
+    val (shingleK, numHashes, rowsPerBand) =
+      (meta("shingleK"), meta("numHashes"), meta("rowsPerBand"))
+
+    val exactSurvivors = newDocs
+      .withColumn("__th", md5(col("text").cast("binary")))
+      .join(spark.read.parquet(s"$path/texthash"),
+        col("__th") === col("th"), "left_anti")
+      .drop("__th")
+
+    val (newBands, newSh) =
+      minhashOf(exactSurvivors, shingleK, numHashes, rowsPerBand)
+    val cand = newBands.as("a")
+      .join(spark.read.parquet(s"$path/bands").as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val newSets = newSh.groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("s"))
+    val nearDupIds = cand
+      .join(newSets.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(spark.read.parquet(s"$path/sets").as("y"),
+        col("doc_b") === col("y.doc_id"))
+      .where(size(array_intersect(col("x.s"), col("y.s"))).cast("double") /
+        size(array_union(col("x.s"), col("y.s"))) >= threshold)
+      .select(col("doc_a").as("doc_id")).distinct()
+
+    exactSurvivors
+      .join(nearDupIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D3 — SimHash near-dup pairs: 60-bit simhash over shingle hashes,
     * 5×12-bit band join (pigeonhole-complete for hamming ≤ 4; near-complete
     * at ≤ 8), exact hamming filter. One groupBy with 60 sum() aggregates —

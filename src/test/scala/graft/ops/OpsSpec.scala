@@ -99,6 +99,43 @@ class DedupSpec extends AnyFunSuite {
     lsh.foreach { case (k, c) => assert(exact(k) === c, k) }
   }
 
+  test("persisted minhash index reproduces incrementalNew without corpus re-scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString
+    val corpusPq = s"$dir/corpus_docs"
+    docs.where(col("doc_id") % 5 =!= 0).write.parquet(corpusPq)
+    val corpus = spark.read.parquet(corpusPq)
+    val fresh = docs.where(col("doc_id") % 5 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      .toDF("doc_id", "text") // in-memory: any file scan in the probe plan is index-only
+    val idx = s"$dir/index"
+    assert(!Dedup.minhashIndexExists(spark, idx))
+    Dedup.writeMinhashIndex(corpus, idx)
+    assert(Dedup.minhashIndexExists(spark, idx))
+
+    val fromIndex = Dedup.incrementalNewFromIndex(fresh, idx)
+    // the probe never touches the corpus parquet: every file scan in the
+    // plan reads the index, none read corpus_docs
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    val scanned = "Location.*?\\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(scanned.nonEmpty)
+    assert(scanned.forall(_.contains("index")), scanned)
+    assert(!scanned.exists(_.contains("corpus_docs")), scanned)
+
+    val expected = Dedup.incrementalNew(
+      fresh, corpus.select("doc_id", "text")).collect().map(_.getLong(0)).toSeq
+    assert(fromIndex.collect().map(_.getLong(0)).toSeq == expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("incrementalNewFromIndex rejects an index with unreadable parameters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_bad").toString
+    intercept[Exception] {
+      Dedup.incrementalNewFromIndex(docs.limit(1), s"$dir/missing").collect()
+    }
+  }
+
   test("resolveClusters collapses chains to the transitive component") {
     // 1~2, 2~3 (A~B~C chain: 1 and 3 never paired directly), plus the
     // isolated pair 5~6 — doc 4 is in no pair and must not appear
