@@ -35,11 +35,15 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // one untimed warmup pass (JIT, codegen caches, parquet footer cache)
-    names.foreach { n =>
-      try execute(n)
+    // one untimed warmup pass (JIT, codegen caches, parquet footer cache,
+    // ns17's one-time index build). A failed warmup is NOT silent: the name
+    // is carried into the emitted JSON (`warmup_failed`) so a timed run
+    // that accidentally absorbs one-time setup work is visible to readers.
+    val warmupFailed = names.filter { n =>
+      try { execute(n); false }
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
+        true
       }
     }
     val results = names.map { n =>
@@ -54,7 +58,8 @@ object Bench {
     val qs = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val wf = warmupFailed.map(n => s""""$n"""").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_failed":$wf,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

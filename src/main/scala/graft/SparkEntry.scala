@@ -241,20 +241,31 @@ object SparkEntry {
     * path) and each ingest tick reads only the index, never the corpus
     * parquet. */
   private def ns17(s: SparkSession, dir: String): DataFrame = {
-    val idx = minhashIndexDir(dir)
-    if (!graft.ops.Dedup.minhashIndexExists(s, idx))
+    val fp = graft.ops.Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
+    val idx = minhashIndexDir(dir, fp)
+    if (!graft.ops.Dedup.minhashIndexMatches(s, idx, fp))
       graft.ops.Dedup.writeMinhashIndex(
-        docs(s, dir).where(col("doc_id") % 5 =!= 0), idx)
+        docs(s, dir).where(col("doc_id") % 5 =!= 0), idx,
+        fingerprint = Some(fp))
     graft.ops.Dedup.incrementalNewFromIndex(
-      docs(s, dir).where(col("doc_id") % 5 === 0), idx)
+      docs(s, dir).where(col("doc_id") % 5 === 0), idx,
+      expectParams = Some((2, 16, 4)))
   }
 
-  /** Deterministic per-sfDir index location (content under an sfDir never
-    * changes, so the index is valid for the process lifetime and across
-    * runs; a real deployment owns its index path explicitly). */
-  private def minhashIndexDir(dir: String): String = {
+  /** Deterministic index location keyed on the sfDir path AND the content
+    * fingerprint of its documents parquet: regenerating the data under the
+    * same path yields a different fingerprint → a different index dir → a
+    * rebuild, so a stale index can never silently answer for new data. The
+    * fingerprint is also stamped into the index sidecar and re-checked
+    * ([[graft.ops.Dedup.minhashIndexMatches]]), and the build publishes by
+    * atomic-ish rename, closing the concurrent first-touch race between a
+    * bench and a verify JVM. (java.io.tmpdir is the right home only for
+    * this single-JVM harness — on a cluster a deployment passes its own
+    * shared path to the operator API, which is Hadoop-FS-portable.) */
+  private def minhashIndexDir(dir: String, fingerprint: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(s"$dir#$fingerprint".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
     s"${System.getProperty("java.io.tmpdir")}/graft_minhash_idx_$key"
   }
 

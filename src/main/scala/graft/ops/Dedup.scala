@@ -194,24 +194,41 @@ object Dedup {
     * corpus pass per batch; this writes the three corpus artifacts the
     * incremental decision needs — band keys (candidate generation), shingle
     * sets (candidate verification), text md5s (exact-dup rejection) — as
-    * parquet under `path`, with the sketch parameters in a sidecar so a
-    * mismatched reader fails fast instead of silently mixing hash families.
+    * parquet under `path`, with the sketch parameters (and optionally a
+    * source `fingerprint`, see [[sourceFingerprint]]) in a sidecar: the
+    * reader hashes with the index's recorded family, and a caller that
+    * requires specific parameters pins them via
+    * [[incrementalNewFromIndex]]'s `expectParams` to fail fast on mismatch.
     * Each artifact is bounded by corpus size × doc length, never corpus². */
   def writeMinhashIndex(
       corpus: DataFrame,
       path: String,
       shingleK: Int = 2,
       numHashes: Int = 16,
-      rowsPerBand: Int = 4): Unit = {
+      rowsPerBand: Int = 4,
+      fingerprint: Option[String] = None): Unit = {
     require(numHashes % rowsPerBand == 0, "numHashes % rowsPerBand != 0")
+    val spark = corpus.sparkSession
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Build into a sibling temp dir, publish by rename: a reader never sees
+    // bands/sets mid-overwrite, and two processes racing on first touch
+    // each build privately — the loser of the publish discards its copy.
+    // (The delete+rename pair is not one atomic op; the vulnerable window
+    // is the microseconds between them, not the multi-second build.)
+    val tmp = new org.apache.hadoop.fs.Path(dest.getParent,
+      s".${dest.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val (bands, sh) = minhashOf(corpus, shingleK, numHashes, rowsPerBand)
-    bands.write.mode("overwrite").parquet(s"$path/bands")
+    bands.write.mode("overwrite").parquet(s"$tmp/bands")
     sh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("s"))
-      .write.mode("overwrite").parquet(s"$path/sets")
+      .write.mode("overwrite").parquet(s"$tmp/sets")
     corpus.select(md5(col("text").cast("binary")).as("th")).distinct()
-      .write.mode("overwrite").parquet(s"$path/texthash")
-    IndexSidecar.write(corpus.sparkSession, metaPath(path),
-      s"shingleK=$shingleK\nnumHashes=$numHashes\nrowsPerBand=$rowsPerBand")
+      .write.mode("overwrite").parquet(s"$tmp/texthash")
+    IndexSidecar.write(spark, metaPath(tmp.toString),
+      s"shingleK=$shingleK\nnumHashes=$numHashes\nrowsPerBand=$rowsPerBand" +
+        fingerprint.map(f => s"\nfingerprint=$f").getOrElse(""))
+    if (fs.exists(dest)) fs.delete(dest, true)
+    if (!fs.rename(tmp, dest)) fs.delete(tmp, true) // lost the race: keep winner's
   }
 
   private def metaPath(path: String) =
@@ -223,22 +240,75 @@ object Dedup {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Content fingerprint of a source directory/file: md5 over the sorted
+    * file listing with sizes and mtimes. Cheap (one driver-side FS listing,
+    * no data read) and changes whenever the data under `sourcePath` is
+    * rewritten — the key that keeps a persisted index honest: an index
+    * stamped with [[writeMinhashIndex]]'s `fingerprint` is only trusted
+    * ([[minhashIndexMatches]]) while the source listing still matches. */
+  def sourceFingerprint(
+      spark: org.apache.spark.sql.SparkSession, sourcePath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(sourcePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val entries = collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      // _SUCCESS/CRC markers churn without data changes; data files decide
+      if (!f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        entries += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** True iff an index exists at `path` AND its sidecar carries exactly
+    * `fingerprint` — a stale index (source rewritten since the build) or a
+    * fingerprint-less one fails the check, so callers rebuild instead of
+    * silently answering from the wrong corpus. */
+  def minhashIndexMatches(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      fingerprint: String): Boolean =
+    minhashIndexExists(spark, path) &&
+      readSidecar(spark, path).get("fingerprint").contains(fingerprint)
+
+  private def readSidecar(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[String, String] =
+    IndexSidecar.read(spark, metaPath(path))
+      .split("\n").filter(_.contains("=")).map(_.split("=", 2))
+      .map(a => a(0) -> a(1)).toMap
+
   /** D6 (index probe) — [[incrementalNew]] against a persisted
     * [[writeMinhashIndex]] corpus: identical decision, but the corpus is
     * never re-shingled or even re-read in full — exact dups leave via an
     * anti-join on the stored text md5s, candidates come from a band join
     * against the stored band keys, and only candidate corpus sets are
     * fetched for verification. Per ingest tick the corpus-side work drops
-    * from a full scan+shingle+sketch to three index reads. */
+    * from a full scan+shingle+sketch to three index reads.
+    *
+    * The sketch parameters come from the index's own sidecar (the probe
+    * side must hash with the family the index was built with). A caller
+    * that REQUIRES specific parameters pins them via `expectParams =
+    * Some((shingleK, numHashes, rowsPerBand))` — a mismatched index then
+    * fails fast instead of being silently adopted. */
   def incrementalNewFromIndex(
       newDocs: DataFrame,
       path: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      expectParams: Option[(Int, Int, Int)] = None): DataFrame = {
     val spark = newDocs.sparkSession
-    val meta = IndexSidecar.read(spark, metaPath(path))
-      .split("\n").map(_.split("=", 2)).map(a => a(0) -> a(1).toInt).toMap
+    val meta = readSidecar(spark, path).view.filterKeys(_ != "fingerprint")
+      .mapValues(_.toInt).toMap
     val (shingleK, numHashes, rowsPerBand) =
       (meta("shingleK"), meta("numHashes"), meta("rowsPerBand"))
+    expectParams.foreach { case (k, h, r) =>
+      require(k == shingleK && h == numHashes && r == rowsPerBand,
+        s"index at $path was built with (shingleK=$shingleK, numHashes=" +
+          s"$numHashes, rowsPerBand=$rowsPerBand) but caller expects " +
+          s"($k, $h, $r)")
+    }
 
     val exactSurvivors = newDocs
       .withColumn("__th", md5(col("text").cast("binary")))

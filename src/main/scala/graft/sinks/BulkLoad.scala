@@ -193,7 +193,7 @@ object BulkLoad {
 
   /** Lazily concatenates per-row byte chunks — the partition never
     * materializes as one buffer (the reference's io.Pipe analog). */
-  private final class SeqInputStream(chunks: Iterator[String])
+  private[sinks] final class SeqInputStream(chunks: Iterator[String])
       extends java.io.InputStream {
     private var current: Array[Byte] = Array.emptyByteArray
     private var pos = 0
@@ -207,7 +207,8 @@ object BulkLoad {
     override def read(): Int =
       if (!advance()) -1 else { val b = current(pos) & 0xff; pos += 1; b }
     override def read(b: Array[Byte], off: Int, len: Int): Int =
-      if (!advance()) -1
+      if (len == 0) 0 // InputStream contract: zero-length read is 0, even at EOF
+      else if (!advance()) -1
       else {
         val n = math.min(len, current.length - pos)
         System.arraycopy(current, pos, b, off, n)

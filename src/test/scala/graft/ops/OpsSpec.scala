@@ -136,6 +136,48 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalNewFromIndex fails fast when pinned parameters mismatch the sidecar") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_pin").toString
+    val idx = s"$dir/idx"
+    Dedup.writeMinhashIndex(docs.limit(10), idx, shingleK = 2, numHashes = 16)
+    // matching pin is accepted (plan builds)
+    Dedup.incrementalNewFromIndex(docs.limit(1), idx,
+      expectParams = Some((2, 16, 4)))
+    // any mismatched pin fails fast, naming both sides
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalNewFromIndex(docs.limit(1), idx,
+        expectParams = Some((3, 16, 4)))
+    }
+    assert(e.getMessage.contains("shingleK=2"))
+  }
+
+  test("source fingerprint invalidates a persisted index when data is rewritten") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_fp").toString
+    val src = s"$dir/src"
+    Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text").write.parquet(src)
+    val fp1 = Dedup.sourceFingerprint(spark, src)
+    assert(fp1 == Dedup.sourceFingerprint(spark, src)) // stable for same data
+
+    val idx = s"$dir/idx"
+    assert(!Dedup.minhashIndexMatches(spark, idx, fp1)) // nothing there yet
+    Dedup.writeMinhashIndex(spark.read.parquet(src), idx, fingerprint = Some(fp1))
+    assert(Dedup.minhashIndexMatches(spark, idx, fp1))
+
+    // rewrite the source under the SAME path: fingerprint moves (part file
+    // names/sizes/mtimes change), so the stale index no longer matches
+    Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"), (3L, "eta theta iota"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(src)
+    val fp2 = Dedup.sourceFingerprint(spark, src)
+    assert(fp2 != fp1)
+    assert(!Dedup.minhashIndexMatches(spark, idx, fp2))
+    // an index without a recorded fingerprint never matches
+    val bare = s"$dir/bare"
+    Dedup.writeMinhashIndex(spark.read.parquet(src), bare)
+    assert(Dedup.minhashIndexExists(spark, bare))
+    assert(!Dedup.minhashIndexMatches(spark, bare, fp2))
+  }
+
   test("resolveClusters collapses chains to the transitive component") {
     // 1~2, 2~3 (A~B~C chain: 1 and 3 never paired directly), plus the
     // isolated pair 5~6 — doc 4 is in no pair and must not appear

@@ -58,6 +58,20 @@ class BulkLoadSpec extends AnyFunSuite {
       "2017-01-01 12:30:00.000000")
   }
 
+  test("SeqInputStream honors the InputStream contract incl. len=0 reads") {
+    val s = new BulkLoad.SeqInputStream(Iterator("ab", "", "cd"))
+    val buf = new Array[Byte](8)
+    assert(s.read(buf, 0, 0) == 0) // zero-length read is 0, not EOF
+    val n1 = s.read(buf, 0, 8)
+    assert(n1 > 0)
+    val out = new StringBuilder(new String(buf, 0, n1, "UTF-8"))
+    var n = s.read(buf, 0, 8)
+    while (n != -1) { out.append(new String(buf, 0, n, "UTF-8")); n = s.read(buf, 0, 8) }
+    assert(out.toString == "abcd")
+    assert(s.read(buf, 0, 0) == 0) // still 0 at EOF
+    assert(s.read() == -1)
+  }
+
   test("per-partition bulk write round-trips through embedded Derby") {
     val url = "jdbc:derby:memory:graft_bulk;create=true"
     val conn = DriverManager.getConnection(url)
