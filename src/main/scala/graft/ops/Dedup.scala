@@ -40,6 +40,23 @@ object Dedup {
   private def md5Long(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** Default cap for broadcasting corpus-derived structures (postings /
+    * hashed vocabulary): above this estimated size the operators fall back
+    * to shuffled joins automatically. 512 MiB is comfortably inside a
+    * production executor's memory while far above anything a small corpus
+    * produces. */
+  val defaultBroadcastBytes: Long = 512L << 20
+
+  /** Driver-side postings-size estimate — Catalyst's own statistics for the
+    * source frame (file sizes for a scan, actual bytes for a local
+    * relation; no job runs) times the shingle expansion factor (each word
+    * lands in ≤ k shingles). A heuristic, not a measurement: it decides
+    * broadcast-vs-shuffle, where either answer is CORRECT and the penalty
+    * for a miss is performance only. Callers pin the decision explicitly
+    * when they know better. */
+  private def estimatedPostingsBytes(docs: DataFrame, shingleK: Int): BigInt =
+    docs.queryExecution.optimizedPlan.stats.sizeInBytes * shingleK
+
   /** D1 — exact dedup: one survivor (min doc_id) per distinct text, with
     * the duplicate count. Hash-groupBy; map-side partial aggregation makes
     * this a single shuffle of (text-hash, partial-min/count). */
@@ -68,7 +85,8 @@ object Dedup {
       numHashes: Int = 16,
       rowsPerBand: Int = 4,
       threshold: Double = 0.5,
-      hashVocabulary: Boolean = true): DataFrame = {
+      hashVocabulary: Option[Boolean] = None,
+      broadcastThresholdBytes: Long = defaultBroadcastBytes): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes % rowsPerBand != 0")
     val sh = shingles(docs, shingleK)
 
@@ -77,10 +95,14 @@ object Dedup {
     // natural-language n-gram vocabularies are Zipf-compressed relative to
     // postings (16× less hash work where each shingle recurs). The vocab
     // side is a broadcast build; values are bit-identical to hashing per
-    // posting, so oracle hashes don't move. For near-unique vocabularies
-    // (where the broadcast would not fit) set it false to hash map-side.
+    // posting, so oracle hashes don't move. AUTO-SIZED by default: when the
+    // estimated postings size exceeds `broadcastThresholdBytes` (a vocab
+    // broadcast would not fit), hashing falls back map-side — same values,
+    // no broadcast. Pass Some(true/false) to pin the decision.
+    val useVocab = hashVocabulary.getOrElse(
+      estimatedPostingsBytes(docs, shingleK) <= broadcastThresholdBytes)
     val posted =
-      if (!hashVocabulary)
+      if (!useVocab)
         sh.select(col("doc_id") +: (0 until numHashes).map(s =>
           md5Long(concat(col("shingle"), lit(s":$s"))).as(s"h$s")): _*)
       else {
@@ -120,17 +142,23 @@ object Dedup {
   }
 
   /** Shared minhash front half: postings → (sketch bands, shingle sets).
-    * Same vocabulary-hashing trick as [[minhashLsh]]: the 16 salted md5s
-    * run once per DISTINCT shingle and broadcast back onto postings. */
+    * Same vocabulary-hashing trick as [[minhashLsh]], with the same
+    * auto-sizing: the 16 salted md5s run once per DISTINCT shingle and
+    * broadcast back onto postings while the estimated postings size fits
+    * [[defaultBroadcastBytes]]; beyond that they run map-side (bit-identical
+    * values, no broadcast). */
   private def minhashOf(
       docs: DataFrame, shingleK: Int, numHashes: Int,
       rowsPerBand: Int): (DataFrame, DataFrame) = {
     val sh = shingles(docs, shingleK)
     val hashCols = (0 until numHashes).map(s =>
       md5Long(concat(col("shingle"), lit(s":$s"))).as(s"h$s"))
-    val vocab = sh.select("shingle").distinct()
-      .select(col("shingle") +: hashCols: _*)
-    val posted = sh.join(broadcast(vocab), Seq("shingle"))
+    val posted =
+      if (estimatedPostingsBytes(docs, shingleK) <= defaultBroadcastBytes) {
+        val vocab = sh.select("shingle").distinct()
+          .select(col("shingle") +: hashCols: _*)
+        sh.join(broadcast(vocab), Seq("shingle"))
+      } else sh.select(col("doc_id") +: hashCols: _*)
     val mhCols = (0 until numHashes).map(s => min(col(s"h$s")).as(s"mh$s"))
     val mh = posted.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
     (bandKeys(mh, numHashes, rowsPerBand), sh)
@@ -396,20 +424,23 @@ object Dedup {
     * at sf0.1 (36M pair-rows): 9 s → 3.2 s, on par with a vectorized
     * single-node engine on the same data.
     *
-    * Scale notes: `broadcastPostings` requires the (deduped,
-    * maxDocFreq-capped) postings to fit in executor memory — set it false
-    * beyond that and the planner falls back to a shuffled join, where the
-    * pair aggregation re-acquires its exchange (correctness unchanged).
-    * `reuseShingles` materializes the postings once (eager localCheckpoint)
-    * for its three consumers instead of recomputing scan+explode+distinct
-    * per consumer. */
+    * Scale notes: broadcasting requires the (deduped, maxDocFreq-capped)
+    * postings to fit in executor memory — AUTO-SIZED by default: the
+    * operator broadcasts only while the estimated postings size fits
+    * `broadcastThresholdBytes`, and otherwise falls back to a shuffled
+    * join, where the pair aggregation re-acquires its exchange
+    * (correctness unchanged). Pass `broadcastPostings = Some(true/false)`
+    * to pin the decision. `reuseShingles` materializes the postings once
+    * (eager localCheckpoint) for its three consumers instead of recomputing
+    * scan+explode+distinct per consumer. */
   def ngramJaccard(
       docs: DataFrame,
       shingleK: Int = 2,
       threshold: Double = 0.5,
       maxDocFreq: Long = Long.MaxValue,
       reuseShingles: Boolean = true,
-      broadcastPostings: Boolean = true): DataFrame = {
+      broadcastPostings: Option[Boolean] = None,
+      broadcastThresholdBytes: Long = defaultBroadcastBytes): DataFrame = {
     val sh0raw = shingles(docs, shingleK)
     val sh0 = if (reuseShingles) sh0raw.localCheckpoint(true) else sh0raw
     val sh =
@@ -421,7 +452,9 @@ object Dedup {
       }
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val probe = sh.repartition(parts, col("doc_id"))
-    val build = if (broadcastPostings) broadcast(sh.as("b")) else sh.as("b")
+    val doBroadcast = broadcastPostings.getOrElse(
+      estimatedPostingsBytes(docs, shingleK) <= broadcastThresholdBytes)
+    val build = if (doBroadcast) broadcast(sh.as("b")) else sh.as("b")
     val inter = probe.as("a").join(build,
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -532,6 +565,9 @@ object Dedup {
       .localCheckpoint(true)
     var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
       .localCheckpoint(true)
+    // edges + round-0 labels are now self-contained checkpoint blocks; the
+    // setup frame's blocks would otherwise stay pinned for the loop's life
+    unpersistCheckpoint(undirected)
     var converged = false
     var it = 0
     while (!converged && it < maxIterations) {
@@ -541,19 +577,43 @@ object Dedup {
         .agg(min(col("cluster")).as("cluster"))
       // hop: follow the label one step (labels are themselves node ids,
       // and a node's label only ever shrinks, so the join is total)
-      val next = relaxed.as("x")
+      val hopped = relaxed.as("x")
         .join(relaxed.as("y"), col("x.cluster") === col("y.doc_id"))
         .select(col("x.doc_id"),
           least(col("x.cluster"), col("y.cluster")).as("cluster"))
-        .localCheckpoint(true)
-      converged = next.as("n").join(labels.as("o"), "doc_id")
-        .where(col("n.cluster") =!= col("o.cluster")).isEmpty
-      labels = next
+      // ONE action per round: the convergence count rides the hop pass as a
+      // `chg` column, and the aggregate below is the action that both
+      // materializes the (lazy) checkpoint blocks and returns the count —
+      // no separate per-round convergence job re-joining old vs new labels
+      val next = hopped.as("n").join(labels.as("o"), "doc_id")
+        .select(col("doc_id"), col("n.cluster").as("cluster"),
+          (col("n.cluster") =!= col("o.cluster")).cast("long").as("chg"))
+        .localCheckpoint(false)
+      val changed = next.agg(coalesce(sum(col("chg")), lit(0L)))
+        .head.getLong(0)
+      converged = changed == 0L
+      // the superseded round's label blocks are dead the moment `next` is
+      // materialized — at 100M docs / ~27 rounds, keeping them would pin
+      // ~27 copies of the label table
+      unpersistCheckpoint(labels)
+      labels = next.select(col("doc_id"), col("cluster"))
       it += 1
     }
     require(converged, s"resolveClusters did not converge in $maxIterations rounds")
+    unpersistCheckpoint(edges)
     labels
   }
+
+  /** Drop the checkpoint blocks behind a localCheckpoint'ed frame (or a
+    * projection of one). Blocking so callers can bound live block count
+    * deterministically; the wait is a block-removal RPC, trivial next to a
+    * round's join work. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = true)
+      case _ => ()
+    }
 
   /** D7 (decision surface) — the surviving corpus after near-dup collapse:
     * every document keeps exactly one representative (the cluster's min

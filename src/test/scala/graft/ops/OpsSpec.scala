@@ -53,6 +53,45 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("broadcast levers auto-size from stats: hint below threshold, shuffle above, same answers") {
+    // small corpus (default 512 MiB threshold): the postings join carries
+    // the explicit broadcast hint
+    val autoPlan = Dedup.ngramJaccard(docs)
+      .queryExecution.optimizedPlan.toString
+    assert(autoPlan.toLowerCase.contains("broadcast"), autoPlan.take(800))
+    // a 1-byte threshold simulates corpus ≫ executor memory: the hint is
+    // gone everywhere. To see the hint's effect on the PHYSICAL plan we
+    // must silence Spark's own stats-based auto-broadcast (at real scale
+    // the stats are huge and it stays silent by itself; here the corpus is
+    // tiny and Spark would rightly re-broadcast it).
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffled = Dedup.ngramJaccard(docs, broadcastThresholdBytes = 1L)
+      assert(!shuffled.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("broadcast"))
+      assert(shuffled.queryExecution.executedPlan.toString
+        .contains("SortMergeJoin"))
+      // pinning overrides stats in both directions
+      assert(Dedup.ngramJaccard(docs, broadcastPostings = Some(true),
+          broadcastThresholdBytes = 1L)
+        .queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      // answers are identical either way
+      assert(shuffled.collect().toSeq ==
+        Dedup.ngramJaccard(docs).collect().toSeq)
+
+      // minhash: vocab-hash broadcast below threshold, map-side hashing
+      // above — bit-identical sketches, so identical pairs either way
+      assert(Dedup.minhashLsh(docs)
+        .queryExecution.optimizedPlan.toString.toLowerCase.contains("broadcast"))
+      val mapSide = Dedup.minhashLsh(docs, broadcastThresholdBytes = 1L)
+      assert(!mapSide.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("broadcast"))
+      assert(mapSide.collect().toSeq == Dedup.minhashLsh(docs).collect().toSeq)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("embedding near-dup returns topN ordered by cosine desc") {
     val rows = Dedup.embeddingNearDup(Tables.load(spark, sf, "embeddings"), 10)
       .collect()
@@ -194,6 +233,50 @@ class DedupSpec extends AnyFunSuite {
     val labels = Dedup.resolveClusters(chain, maxIterations = 12).collect()
     assert(labels.length == 101)
     assert(labels.forall(_.getLong(1) == 0L))
+  }
+
+  test("resolveClusters: one action per round, superseded checkpoints freed") {
+    val sc = spark.sparkContext
+    val names = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { names.add(funcName); actions.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    val before = sc.getPersistentRDDs.size
+    spark.listenerManager.register(listener)
+    val labels =
+      try {
+        // deterministic 2-round graph: round 1 moves labels (chain collapse
+        // + hop), round 2 observes the fixpoint
+        val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+        val out = Dedup.resolveClusters(pairs)
+        // the listener bus is async — poll until the counter stabilizes
+        var prev = -1
+        var tries = 0
+        while (actions.get() != prev && tries < 50) {
+          prev = actions.get(); Thread.sleep(100); tries += 1
+        }
+        out
+      } finally spark.listenerManager.unregister(listener)
+    // Per round exactly ONE job-running action (the `head` agg that
+    // materializes the lazy checkpoint AND returns the changed-count); the
+    // lazy localCheckpoint emits a job-free listener marker. The old shape
+    // ran a second `isEmpty` convergence join per round — gone.
+    val seq = names.toArray.map(_.toString).toSeq
+    assert(!seq.contains("isEmpty"), seq)
+    assert(seq.count(_ == "head") == 2, seq) // deterministic 2-round graph
+    assert(seq.length <= 7, seq) // 3 setup ckpts + 2×(lazy-ckpt marker, head)
+    // every superseded round's blocks are freed (blocking unpersist): only
+    // the final round's label table stays persisted
+    val after = sc.getPersistentRDDs.size
+    assert(after - before <= 1, s"persisted RDDs grew $before -> $after")
+    assert(labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
   test("survivorCorpus keeps min doc_id per cluster with merge counts") {
