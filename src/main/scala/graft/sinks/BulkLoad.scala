@@ -183,11 +183,13 @@ object BulkLoad {
       rows: Iterator[Row], batchSize: Int): Unit = {
     val cols = resolveColumns(conn, table, schema.fieldNames.toSeq)
       .map(SqlTextSink.quoteIdent).mkString(", ")
+    val tbl = graft.sources.Drivers.quoteTableIfNeeded(
+      Option(conn.getMetaData.getURL).getOrElse(""), table)
     val st = conn.createStatement()
     try rows.grouped(math.max(batchSize, 1)).foreach { group =>
       val values = group.map(r => SqlTextSink.rowLiteral(r, schema))
         .mkString(",\n  ")
-      st.execute(s"INSERT INTO $table ($cols) VALUES\n  $values")
+      st.execute(s"INSERT INTO $tbl ($cols) VALUES\n  $values")
     } finally st.close()
   }
 

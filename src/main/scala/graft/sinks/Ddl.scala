@@ -73,9 +73,34 @@ object Dialect {
     val postamble = Nil
   }
 
+  /** Embedded Derby — the engine our in-sandbox e2e suites run against.
+    * Quoting is ANSI (double quotes); types are Derby's closest analogs
+    * (Derby has no TEXT — long strings become VARCHAR(32672), its max). */
+  case object Derby extends Dialect {
+    val name = "derby"
+    def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+    def typeName(dt: DataType): String = dt match {
+      case ByteType | ShortType => "SMALLINT"
+      case IntegerType => "INTEGER"
+      case LongType => "BIGINT"
+      case FloatType => "REAL"
+      case DoubleType => "DOUBLE"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case BooleanType => "BOOLEAN"
+      case StringType => "VARCHAR(32672)"
+      case BinaryType => "BLOB"
+      case DateType => "DATE"
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case other => s"VARCHAR(32672) /* ${other.simpleString} */"
+    }
+    val preamble = Nil
+    val postamble = Nil
+  }
+
   def forName(n: String): Dialect = n match {
     case "mysql" => MySql
     case "postgres" | "postgresql" => Postgres
+    case "derby" => Derby
     case other => throw new IllegalArgumentException(s"unknown dialect $other")
   }
 }
@@ -92,14 +117,24 @@ final case class ForeignKey(
 /** Full table structure — what the reference captures as an opaque DDL
   * string (`SHOW CREATE TABLE` / `pg_dump --schema-only`), carried here as
   * typed data so any dialect can re-emit it: columns (Spark schema),
-  * primary key, unique constraints, column defaults, and foreign keys. */
+  * primary key, unique constraints, column defaults, foreign keys,
+  * non-unique secondary indexes, CHECK constraints, and identity
+  * (serial/auto-increment) columns — everything `SHOW CREATE TABLE` /
+  * `pg_dump --schema-only` preserves opaquely (`pkg/reader/mysql/
+  * reader.go:84-111`, `pkg/reader/postgres/pg_dump.go:32-59`); without the
+  * indexes a copied database silently loses its read performance. CHECK
+  * clauses are engine SQL text carried opaquely (same fidelity contract as
+  * views). */
 final case class TableStructure(
     table: String,
     schema: StructType,
     primaryKey: Seq[String] = Nil,
     uniques: Seq[(String, Seq[String])] = Nil, // (constraint name, columns)
     defaults: Map[String, String] = Map.empty, // column -> SQL default text
-    foreignKeys: Seq[ForeignKey] = Nil)
+    foreignKeys: Seq[ForeignKey] = Nil,
+    indexes: Seq[(String, Seq[String])] = Nil, // non-unique (name, columns)
+    checks: Seq[(String, String)] = Nil,       // (name, SQL check clause)
+    autoIncrement: Set[String] = Set.empty)    // identity column names
 
 /** A view carried through structure replay (the reference preserves views
   * opaquely inside `pg_dump --schema-only` output — fixtures/pg_simple.sql:35
@@ -170,10 +205,20 @@ object Ddl {
     * ([[addForeignKeys]]); that also makes any CREATE order valid. */
   def createTable(ts: TableStructure, dialect: Dialect): String = {
     val cols = ts.schema.fields.map { f =>
+      val identity = ts.autoIncrement.contains(f.name)
+      // identity implies an engine-generated default — never emit both
+      val generated =
+        if (!identity) ""
+        else if (dialect == Dialect.MySql) "" // AUTO_INCREMENT goes last
+        else " GENERATED BY DEFAULT AS IDENTITY"
       val default =
-        ts.defaults.get(f.name).map(d => s" DEFAULT $d").getOrElse("")
+        if (identity) ""
+        else ts.defaults.get(f.name).map(d => s" DEFAULT $d").getOrElse("")
       val nullness = if (f.nullable) "" else " NOT NULL"
-      s"  ${dialect.quote(f.name)} ${dialect.typeName(f.dataType)}$default$nullness"
+      val autoInc =
+        if (identity && dialect == Dialect.MySql) " AUTO_INCREMENT" else ""
+      s"  ${dialect.quote(f.name)} ${dialect.typeName(f.dataType)}" +
+        s"$generated$default$nullness$autoInc"
     }
     val pk =
       if (ts.primaryKey.isEmpty) Nil
@@ -181,8 +226,21 @@ object Ddl {
     val uq = ts.uniques.map { case (n, cs) =>
       s"  CONSTRAINT ${dialect.quote(n)} UNIQUE (${cs.map(dialect.quote).mkString(", ")})"
     }
-    s"CREATE TABLE ${dialect.quote(ts.table)} (\n${(cols ++ pk ++ uq).mkString(",\n")}\n);"
+    val ck = ts.checks.map { case (n, clause) =>
+      s"  CONSTRAINT ${dialect.quote(n)} CHECK ($clause)"
+    }
+    s"CREATE TABLE ${dialect.quote(ts.table)} (\n${(cols ++ pk ++ uq ++ ck).mkString(",\n")}\n);"
   }
+
+  /** Post-load secondary-index replay: one `CREATE INDEX` per non-unique
+    * index, after data load for the same reason FKs replay as ALTERs —
+    * building an index on a loaded table is one sort instead of
+    * row-at-a-time maintenance during the load. */
+  def createIndexes(ts: TableStructure, dialect: Dialect): Seq[String] =
+    ts.indexes.map { case (n, cs) =>
+      s"CREATE INDEX ${dialect.quote(n)} ON ${dialect.quote(ts.table)} " +
+        s"(${cs.map(dialect.quote).mkString(", ")})"
+    }
 
   /** Post-load FK replay: one `ALTER TABLE ... ADD CONSTRAINT` per foreign
     * key (same statement shape the reference's RDS mode re-creates,
@@ -203,8 +261,9 @@ object Ddl {
       tables.map { case (t, s) => TableStructure(t, s) }, dialect)
 
   /** Full-fidelity catalog script: CREATEs first (any order — FKs aren't
-    * inline), then every FK ALTER, then views (they may reference any
-    * table), inside the dialect's constraint-bypass preamble/postamble. */
+    * inline), then every FK ALTER and secondary-index CREATE, then views
+    * (they may reference any table), inside the dialect's constraint-bypass
+    * preamble/postamble. */
   def structureScriptFull(
       tables: Seq[TableStructure], dialect: Dialect,
       views: Seq[ViewStructure] = Nil): String = {
@@ -214,6 +273,8 @@ object Ddl {
     tables.foreach(t => sb.append(createTable(t, dialect)).append("\n"))
     tables.foreach(t =>
       addForeignKeys(t, dialect).foreach(s => sb.append(s).append(";\n")))
+    tables.foreach(t =>
+      createIndexes(t, dialect).foreach(s => sb.append(s).append(";\n")))
     views.foreach(v => sb.append(createView(v, dialect)).append("\n"))
     dialect.postamble.foreach(s => sb.append(s).append(";\n"))
     sb.toString
@@ -255,21 +316,40 @@ object Ddl {
         ordered.head._4, ordered.map(_._5))
     }
 
-    val uqRows = firstNonEmpty(t =>
-      collect(md.getIndexInfo(null, null, t, true, false))(rs =>
+    // ALL indexes in one metadata call (unique=false): NON_UNIQUE splits
+    // them into unique constraints vs secondary indexes
+    val idxRows = firstNonEmpty(t =>
+      collect(md.getIndexInfo(null, null, t, false, false))(rs =>
         (rs.getString("INDEX_NAME"), rs.getShort("ORDINAL_POSITION"),
-          rs.getString("COLUMN_NAME"))))
+          rs.getString("COLUMN_NAME"), rs.getBoolean("NON_UNIQUE"))))
       .filter(r => r._1 != null && r._3 != null)
     val pkSet = pk.toSet
-    val uniques = uqRows.groupBy(_._1).toSeq.sortBy(_._1)
+    val fkNames = fkRows.map(_._1).toSet
+    val uniques = idxRows.filter(!_._4).groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (n, rows) => n -> rows.sortBy(_._2).map(_._3) }
       .filter { case (_, cols) => cols.toSet != pkSet } // PK index repeats here
+    // Secondary = non-unique, minus constraint plumbing: engines surface
+    // FK-backing indexes here (named after the constraint, or Derby's
+    // generated SQLyyMMdd… names) — replaying those would double-index the
+    // FK columns the target engine already indexes itself.
+    val indexes = idxRows.filter(_._4).groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (n, rows) => n -> rows.sortBy(_._2).map(_._3) }
+      .filterNot { case (n, _) =>
+        fkNames.contains(n) || n.matches("(?i)SQL\\d+") }
 
-    val defaults = firstNonEmpty(t =>
+    val colRows = firstNonEmpty(t =>
       collect(md.getColumns(null, null, t, null))(rs =>
-        (rs.getString("COLUMN_NAME"), rs.getString("COLUMN_DEF"))))
-      .collect { case (c, d) if d != null && d.trim.nonEmpty => c -> d.trim }
+        (rs.getString("COLUMN_NAME"), rs.getString("COLUMN_DEF"),
+          rs.getString("IS_AUTOINCREMENT"))))
+    val autoInc = colRows.collect {
+      case (c, _, auto) if auto != null && auto.equalsIgnoreCase("YES") => c
+    }.toSet
+    val defaults = colRows
+      .collect { case (c, d, _) if d != null && d.trim.nonEmpty &&
+        !autoInc.contains(c) => c -> d.trim } // identity default is engine noise
       .toMap
+
+    val checks = checksFromJdbc(conn, candidates)
 
     // schema column names are authoritative (Spark-read case); re-map
     // metadata names onto them case-insensitively
@@ -280,6 +360,57 @@ object Ddl {
       uniques = uniques.map { case (n, cs) => n -> cs.map(fix) },
       defaults = defaults.map { case (c, d) => fix(c) -> d },
       foreignKeys = fks.map(f =>
-        f.copy(columns = f.columns.map(fix), refColumns = f.refColumns.map(fix))))
+        f.copy(columns = f.columns.map(fix), refColumns = f.refColumns.map(fix))),
+      indexes = indexes.map { case (n, cs) => n -> cs.map(fix) },
+      checks = checks,
+      autoIncrement = autoInc.map(fix))
+  }
+
+  /** CHECK constraints for a table, engine-routed (JDBC metadata has no
+    * portable CHECK surface): Derby's SYS catalog, MySQL 8+ / Postgres
+    * information_schema. Clauses are engine SQL text carried opaquely —
+    * the reference's `pg_dump` / `SHOW CREATE TABLE` contract. Postgres
+    * materializes NOT NULL as `(col IS NOT NULL)` rows; those are already
+    * carried by the schema's nullability, so they're filtered. */
+  private def checksFromJdbc(
+      conn: java.sql.Connection,
+      tableCandidates: Seq[String]): Seq[(String, String)] = {
+    val url = Option(conn.getMetaData.getURL).getOrElse("")
+    val query =
+      if (url.startsWith("jdbc:derby:"))
+        Some("SELECT c.CONSTRAINTNAME, ck.CHECKDEFINITION FROM SYS.SYSCHECKS ck " +
+          "JOIN SYS.SYSCONSTRAINTS c ON c.CONSTRAINTID = ck.CONSTRAINTID " +
+          "JOIN SYS.SYSTABLES t ON t.TABLEID = c.TABLEID WHERE t.TABLENAME = ?")
+      else if (url.startsWith("jdbc:mysql:"))
+        Some("SELECT tc.CONSTRAINT_NAME, cc.CHECK_CLAUSE " +
+          "FROM information_schema.TABLE_CONSTRAINTS tc " +
+          "JOIN information_schema.CHECK_CONSTRAINTS cc " +
+          "ON cc.CONSTRAINT_SCHEMA = tc.CONSTRAINT_SCHEMA " +
+          "AND cc.CONSTRAINT_NAME = tc.CONSTRAINT_NAME " +
+          "WHERE tc.TABLE_SCHEMA = DATABASE() AND tc.TABLE_NAME = ? " +
+          "AND tc.CONSTRAINT_TYPE = 'CHECK'")
+      else if (url.startsWith("jdbc:postgresql:"))
+        Some("SELECT tc.constraint_name, cc.check_clause " +
+          "FROM information_schema.table_constraints tc " +
+          "JOIN information_schema.check_constraints cc " +
+          "ON cc.constraint_schema = tc.constraint_schema " +
+          "AND cc.constraint_name = tc.constraint_name " +
+          "WHERE tc.table_schema = current_schema() AND tc.table_name = ? " +
+          "AND tc.constraint_type = 'CHECK' " +
+          "AND cc.check_clause NOT LIKE '%IS NOT NULL%'")
+      else None
+    query.toSeq.flatMap { q =>
+      tableCandidates.iterator.map { t =>
+        val ps = conn.prepareStatement(q)
+        try {
+          ps.setString(1, t)
+          val rs = ps.executeQuery()
+          val buf = collection.mutable.ArrayBuffer.empty[(String, String)]
+          try while (rs.next()) buf += (rs.getString(1) -> rs.getString(2).trim)
+          finally rs.close()
+          buf.sortBy(_._1).toSeq
+        } finally ps.close()
+      }.find(_.nonEmpty).getOrElse(Nil)
+    }
   }
 }

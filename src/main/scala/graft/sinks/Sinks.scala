@@ -180,7 +180,9 @@ object JdbcSink {
     try {
       df.write.mode(SaveMode.Append)
         .option("batchsize", cfg.batchSize.toString)
-        .jdbc(cfg.url, target, cfg.properties)
+        .jdbc(cfg.url,
+          graft.sources.Drivers.quoteTableIfNeeded(cfg.url, target),
+          cfg.properties)
       if (cfg.staging)
         swapSql(cfg.url, cfg.table, target, tableExists(cfg, cfg.table))
           .foreach(batch => runSqlTxn(cfg, batch))
@@ -195,21 +197,24 @@ object JdbcSink {
     * transactional (Postgres/H2/SQLite), so DROP+RENAME run in one txn. */
   private[sinks] def swapSql(
       url: String, table: String, staging: String,
-      targetExists: Boolean = true): Seq[Seq[String]] =
+      targetExists: Boolean = true): Seq[Seq[String]] = {
+    def q(t: String) = graft.sources.Drivers.quoteTableIfNeeded(url, t)
     if (url.startsWith("jdbc:mysql:"))
       Seq(
-        Seq(s"DROP TABLE IF EXISTS ${table}_graft_old",
-          s"CREATE TABLE IF NOT EXISTS $table LIKE $staging",
-          s"RENAME TABLE $table TO ${table}_graft_old, $staging TO $table"),
-        Seq(s"DROP TABLE IF EXISTS ${table}_graft_old"))
+        Seq(s"DROP TABLE IF EXISTS ${q(s"${table}_graft_old")}",
+          s"CREATE TABLE IF NOT EXISTS ${q(table)} LIKE ${q(staging)}",
+          s"RENAME TABLE ${q(table)} TO ${q(s"${table}_graft_old")}, " +
+            s"${q(staging)} TO ${q(table)}"),
+        Seq(s"DROP TABLE IF EXISTS ${q(s"${table}_graft_old")}"))
     else if (url.startsWith("jdbc:derby:"))
       // Derby DDL is transactional but knows neither IF EXISTS nor
       // ALTER..RENAME — drop only when the target is actually there
-      Seq((if (targetExists) Seq(s"DROP TABLE $table") else Nil) :+
-        s"RENAME TABLE $staging TO $table")
+      Seq((if (targetExists) Seq(s"DROP TABLE ${q(table)}") else Nil) :+
+        s"RENAME TABLE ${q(staging)} TO ${q(table)}")
     else
-      Seq(Seq(s"DROP TABLE IF EXISTS $table",
-        s"ALTER TABLE $staging RENAME TO $table"))
+      Seq(Seq(s"DROP TABLE IF EXISTS ${q(table)}",
+        s"ALTER TABLE ${q(staging)} RENAME TO ${q(table)}"))
+  }
 
   private def tableExists(cfg: JdbcSinkConfig, table: String): Boolean = {
     val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.properties)
@@ -219,11 +224,13 @@ object JdbcSink {
     } finally conn.close()
   }
 
-  private def dropIfExists(cfg: JdbcSinkConfig, table: String): Unit =
+  private def dropIfExists(cfg: JdbcSinkConfig, table: String): Unit = {
+    val t = graft.sources.Drivers.quoteTableIfNeeded(cfg.url, table)
     if (cfg.url.startsWith("jdbc:derby:"))
-      try runSql(cfg, Seq(s"DROP TABLE $table"))
+      try runSql(cfg, Seq(s"DROP TABLE $t"))
       catch { case _: java.sql.SQLException => () } // Derby has no IF EXISTS
-    else runSql(cfg, Seq(s"DROP TABLE IF EXISTS $table"))
+    else runSql(cfg, Seq(s"DROP TABLE IF EXISTS $t"))
+  }
 
   private def runSql(cfg: JdbcSinkConfig, stmts: Seq[String]): Unit =
     if (stmts.nonEmpty) {

@@ -71,6 +71,18 @@ object Drivers {
     Resolved.Jdbc(s"jdbc:$sub://$host:$port/${dsn.dataSource}", props)
   }
 
+  /** Quote a MIXED-case table identifier for the engine behind `url` —
+    * the reference's `"OrderItems"` trap (fixtures/pg_simple.sql:27-33):
+    * unquoted, every engine case-folds the name away. All-one-case names
+    * pass through unquoted on purpose: engine case folding resolves them
+    * (Derby folds up, Postgres folds down), whereas quoting would pin the
+    * caller's exact spelling and break `bulk_t`-style lookups. */
+  def quoteTableIfNeeded(url: String, table: String): String =
+    if (table == table.toUpperCase || table == table.toLowerCase) table
+    else if (url.startsWith("jdbc:mysql:"))
+      "`" + table.replace("`", "``") + "`"
+    else "\"" + table.replace("\"", "\"\"") + "\""
+
   /** Reader for one table behind a DSN (≅ `Engine.ReadTable`,
     * `pkg/reader/engine/engine.go:82-133`). For JDBC the `dbtable` option
     * keeps the scan pushdown-capable: Catalyst sends filters/limits to the
@@ -79,7 +91,8 @@ object Drivers {
     resolve(dsnString) match {
       case Resolved.Jdbc(url, props) =>
         val r: DataFrameReader = spark.read.format("jdbc")
-          .option("url", url).option("dbtable", table)
+          .option("url", url)
+          .option("dbtable", quoteTableIfNeeded(url, table))
         props.stringPropertyNames().forEach(k => r.option(k, props.getProperty(k)))
         r.load()
       case Resolved.File(path, format) =>
@@ -95,20 +108,27 @@ object Drivers {
     * excluding system schemas, `pkg/reader/postgres/reader.go:36-62`).
     * The JDBC variant pushes the same `information_schema` query to the
     * source via the `query` option; files list the directory. */
+  /** The engine-specific BASE-TABLE catalog query (S3) behind
+    * [[listTables]], exposed so its dialect shape is pinnable in specs:
+    * MySQL = current DATABASE() base tables (≅ `SHOW FULL TABLES WHERE
+    * Table_type = 'BASE TABLE'`, `pkg/reader/mysql/reader.go:34-57`),
+    * Postgres = base tables outside the system schemas
+    * (`pkg/reader/postgres/reader.go:36-62`). */
+  private[sources] def listTablesQuery(url: String): Option[String] =
+    if (url.startsWith("jdbc:mysql"))
+      Some("SELECT table_name FROM information_schema.tables " +
+        "WHERE table_schema = DATABASE() AND table_type = 'BASE TABLE'")
+    else if (url.startsWith("jdbc:postgresql"))
+      Some("SELECT table_name FROM information_schema.tables " +
+        "WHERE table_type = 'BASE TABLE' " +
+        "AND table_schema NOT IN ('pg_catalog', 'information_schema')")
+    else None
+
   def listTables(spark: SparkSession, dsnString: String): Seq[String] =
     resolve(dsnString) match {
-      case Resolved.Jdbc(url, props)
-          if url.startsWith("jdbc:mysql") || url.startsWith("jdbc:postgresql") =>
-        val q =
-          if (url.startsWith("jdbc:mysql")) {
-            "SELECT table_name FROM information_schema.tables " +
-              "WHERE table_schema = DATABASE() AND table_type = 'BASE TABLE'"
-          } else {
-            "SELECT table_name FROM information_schema.tables " +
-              "WHERE table_type = 'BASE TABLE' " +
-              "AND table_schema NOT IN ('pg_catalog', 'information_schema')"
-          }
-        val r = spark.read.format("jdbc").option("url", url).option("query", q)
+      case Resolved.Jdbc(url, props) if listTablesQuery(url).isDefined =>
+        val r = spark.read.format("jdbc").option("url", url)
+          .option("query", listTablesQuery(url).get)
         props.stringPropertyNames().forEach(k => r.option(k, props.getProperty(k)))
         r.load().collect().map(_.getString(0)).sorted.toSeq
       case Resolved.Jdbc(url, props) =>

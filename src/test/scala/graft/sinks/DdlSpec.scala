@@ -124,6 +124,84 @@ class DdlSpec extends AnyFunSuite {
   test("dialect registry resolves by name") {
     assert(Dialect.forName("mysql") === Dialect.MySql)
     assert(Dialect.forName("postgresql") === Dialect.Postgres)
+    assert(Dialect.forName("derby") === Dialect.Derby)
     intercept[IllegalArgumentException](Dialect.forName("oracle"))
+  }
+
+  test("secondary indexes, CHECKs and identity render per dialect") {
+    val t = TableStructure("events",
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("kind", StringType, nullable = false),
+        StructField("score", IntegerType))),
+      primaryKey = Seq("id"),
+      indexes = Seq("ix_kind" -> Seq("kind"), "ix_kind_score" -> Seq("kind", "score")),
+      checks = Seq("ck_score" -> "score >= 0"),
+      autoIncrement = Set("id"))
+    val my = Ddl.createTable(t, Dialect.MySql)
+    assert(my.contains("`id` BIGINT NOT NULL AUTO_INCREMENT"), my)
+    assert(my.contains("CONSTRAINT `ck_score` CHECK (score >= 0)"), my)
+    val pg = Ddl.createTable(t, Dialect.Postgres)
+    assert(pg.contains("\"id\" BIGINT GENERATED BY DEFAULT AS IDENTITY NOT NULL"), pg)
+    val ix = Ddl.createIndexes(t, Dialect.MySql)
+    assert(ix == Seq(
+      "CREATE INDEX `ix_kind` ON `events` (`kind`)",
+      "CREATE INDEX `ix_kind_score` ON `events` (`kind`, `score`)"), ix)
+    // script ordering: CREATE TABLE, then FK ALTERs, then CREATE INDEX
+    val script = Ddl.structureScriptFull(Seq(t), Dialect.Postgres)
+    assert(script.indexOf("CREATE INDEX") > script.indexOf("CREATE TABLE"), script)
+  }
+
+  test("indexed+checked+identity fixture round-trips through Derby catalogs") {
+    val srcUrl = "jdbc:derby:memory:graft_ddl_src;create=true"
+    val tgtUrl = "jdbc:derby:memory:graft_ddl_tgt;create=true"
+    def exec(url: String, sqls: Seq[String]): Unit = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try sqls.foreach(st.execute) finally st.close()
+      } finally conn.close()
+    }
+    exec(srcUrl, Seq(
+      """CREATE TABLE gadgets (
+        |  id BIGINT NOT NULL GENERATED BY DEFAULT AS IDENTITY PRIMARY KEY,
+        |  kind VARCHAR(20) NOT NULL,
+        |  score INT,
+        |  CONSTRAINT ck_score CHECK (score >= 0)
+        |)""".stripMargin,
+      "CREATE INDEX ix_kind ON gadgets (kind)",
+      "CREATE INDEX ix_kind_score ON gadgets (kind, score)"))
+
+    val spark = graft.SparkTestSession.spark
+    val schema = graft.sources.Drivers.read(spark, srcUrl, "GADGETS").schema
+    val conn = java.sql.DriverManager.getConnection(srcUrl)
+    val ts = try Ddl.structureFromJdbc(conn, "GADGETS", schema)
+      finally conn.close()
+    assert(ts.primaryKey == Seq("ID"))
+    assert(ts.indexes.map(i => i._1.toUpperCase -> i._2) ==
+      Seq("IX_KIND" -> Seq("KIND"), "IX_KIND_SCORE" -> Seq("KIND", "SCORE")), ts.indexes)
+    assert(ts.checks.map(_._1.toUpperCase) == Seq("CK_SCORE"), ts.checks)
+    assert(ts.checks.head._2.toUpperCase.replaceAll("[\\s\"()]", "")
+      .contains("SCORE>=0"), ts.checks)
+    assert(ts.autoIncrement == Set("ID"), ts.autoIncrement)
+
+    // replay the captured structure on a second Derby and re-read ITS
+    // catalog: indexes, check and identity all survive the round trip
+    val script = Ddl.createTable(ts, Dialect.Derby).stripSuffix(";") +:
+      Ddl.createIndexes(ts, Dialect.Derby)
+    exec(tgtUrl, script)
+    val conn2 = java.sql.DriverManager.getConnection(tgtUrl)
+    val back = try Ddl.structureFromJdbc(conn2, "GADGETS",
+      graft.sources.Drivers.read(spark, tgtUrl, "GADGETS").schema)
+      finally conn2.close()
+    assert(back.primaryKey == ts.primaryKey)
+    assert(back.indexes.map(i => i._1.toUpperCase -> i._2) ==
+      ts.indexes.map(i => i._1.toUpperCase -> i._2), back.indexes)
+    assert(back.checks.map(_._1.toUpperCase) == Seq("CK_SCORE"), back.checks)
+    assert(back.autoIncrement == Set("ID"))
+    // identity actually works on the target: insert without the id column
+    exec(tgtUrl, Seq("INSERT INTO gadgets (kind, score) VALUES ('a', 5)"))
+    val n = graft.sources.Drivers.read(spark, tgtUrl, "GADGETS").count()
+    assert(n == 1L)
   }
 }

@@ -127,6 +127,53 @@ class JdbcRoundTripSpec extends AnyFunSuite {
     } finally tgt.close()
   }
 
+  test("mixed-case table round-trips with fidelity (pg_simple.sql OrderItems trap)") {
+    fixture
+    // the reference fixtures deliberately include a quoted "OrderItems"
+    // (fixtures/pg_simple.sql:27-33) to trap quoting bugs: unquoted, every
+    // engine case-folds the name away
+    exec(srcUrl,
+      """CREATE TABLE "OrderItems" (
+        |  id VARCHAR(36) NOT NULL PRIMARY KEY,
+        |  qty INT NOT NULL
+        |)""".stripMargin,
+      """INSERT INTO "OrderItems" VALUES ('i1', 2)""",
+      """INSERT INTO "OrderItems" VALUES ('i2', 5)""")
+    try {
+      // catalog reports the exact spelling
+      assert(Drivers.listTables(spark, srcUrl).contains("OrderItems"))
+      // read resolves the mixed-case name (quoted per engine)
+      val src = Drivers.read(spark, srcUrl, "OrderItems")
+      assert(src.count() == 2)
+      // full pipeline: steal into a fresh target, read back, compare
+      val tgtMcUrl = "jdbc:derby:memory:graft_tgt_mc;create=true"
+      val reports = Steal.runDsn(spark, srcUrl, tgtMcUrl, tables = Nil,
+        concurrency = 1)
+      assert(reports.forall(_.ok), reports)
+      assert(reports.exists(r => r.table == "OrderItems" && r.rows == 2), reports)
+      val back = Drivers.read(spark, tgtMcUrl, "OrderItems")
+        .orderBy("ID").collect().map(r => (r.getString(0), r.getInt(1)))
+      assert(back.toSeq == Seq(("i1", 2), ("i2", 5)))
+    } finally exec(srcUrl, """DROP TABLE "OrderItems"""")
+  }
+
+  test("JDBC scans push predicates and prune columns to the source engine") {
+    fixture
+    val df = Drivers.read(spark, srcUrl, "USERS")
+      .where(col("ACTIVE") === 1)
+      .select("ID", "USERNAME")
+    val plan = df.queryExecution.executedPlan.toString
+    // the predicate reaches the source DB, not a Spark Filter over a full
+    // scan — klepto's whole push-the-query-down strategy (S1/S2)
+    assert(plan.contains("PushedFilters:") && plan.contains("EqualTo(ACTIVE,1)"),
+      plan.take(1200))
+    // column pruning: the JDBC SELECT list excludes EMAIL/CREATED_AT
+    val scanLine = plan.linesIterator
+      .find(_.contains("JDBCRelation")).getOrElse(plan)
+    assert(!scanLine.contains("EMAIL"), scanLine)
+    assert(df.collect().length == 2) // u1, u2 active
+  }
+
   test("structureFromJdbc recovers PK, FK, unique and defaults from the catalog") {
     fixture
     val conn = DriverManager.getConnection(srcUrl)

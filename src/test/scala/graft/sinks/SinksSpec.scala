@@ -56,6 +56,27 @@ class SinksSpec extends AnyFunSuite {
     assert(post.forall(_.contains("ENABLE TRIGGER ALL")))
   }
 
+  test("staging swap SQL pins each engine's atomic shape (W1-W3)") {
+    // MySQL: multi-table RENAME is the single atomic statement; the old
+    // target drops in a separate second batch
+    assert(JdbcSink.swapSql("jdbc:mysql://h/db", "users", "users_graft_staging") ==
+      Seq(
+        Seq("DROP TABLE IF EXISTS users_graft_old",
+          "CREATE TABLE IF NOT EXISTS users LIKE users_graft_staging",
+          "RENAME TABLE users TO users_graft_old, users_graft_staging TO users"),
+        Seq("DROP TABLE IF EXISTS users_graft_old")))
+    // Postgres (generic transactional-DDL branch): DROP + RENAME in one txn
+    assert(JdbcSink.swapSql("jdbc:postgresql://h/db", "users", "users_graft_staging") ==
+      Seq(Seq("DROP TABLE IF EXISTS users",
+        "ALTER TABLE users_graft_staging RENAME TO users")))
+    // Derby: no IF EXISTS — drop only when the target exists
+    assert(JdbcSink.swapSql("jdbc:derby:memory:x", "users", "s", targetExists = false) ==
+      Seq(Seq("RENAME TABLE s TO users")))
+    // mixed-case table names stay quoted through the swap
+    val mc = JdbcSink.swapSql("jdbc:postgresql://h/db", "OrderItems", "OrderItems_graft_staging")
+    assert(mc.head.contains("""DROP TABLE IF EXISTS "OrderItems""""), mc)
+  }
+
   test("Steal: full e2e copy fidelity with empty config (features/*_test.go)") {
     val dir = Files.createTempDirectory("graft_steal").toString
     val reports = Steal.run(spark, sf, dir, tables = Nil, concurrency = 4)

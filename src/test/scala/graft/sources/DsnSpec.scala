@@ -99,6 +99,35 @@ class DsnSpec extends AnyFunSuite {
     assert(err.getMessage.contains("no driver supports"))
   }
 
+  test("engine catalog SQL pins the reference's BASE-TABLE rules (S3)") {
+    // MySQL ≅ SHOW FULL TABLES WHERE Table_type = 'BASE TABLE' over the
+    // current database (pkg/reader/mysql/reader.go:34-57)
+    assert(Drivers.listTablesQuery("jdbc:mysql://h:3306/db") == Some(
+      "SELECT table_name FROM information_schema.tables " +
+        "WHERE table_schema = DATABASE() AND table_type = 'BASE TABLE'"))
+    // Postgres: base tables excluding the system schemas
+    // (pkg/reader/postgres/reader.go:36-62)
+    assert(Drivers.listTablesQuery("jdbc:postgresql://h:5432/db") == Some(
+      "SELECT table_name FROM information_schema.tables " +
+        "WHERE table_type = 'BASE TABLE' " +
+        "AND table_schema NOT IN ('pg_catalog', 'information_schema')"))
+    // anything else goes through generic JDBC metadata instead
+    assert(Drivers.listTablesQuery("jdbc:derby:memory:x").isEmpty)
+  }
+
+  test("mixed-case table names quote per engine; single-case pass through") {
+    // the "OrderItems" trap (fixtures/pg_simple.sql:27-33)
+    assert(Drivers.quoteTableIfNeeded("jdbc:mysql://h/db", "OrderItems") ==
+      "`OrderItems`")
+    assert(Drivers.quoteTableIfNeeded("jdbc:postgresql://h/db", "OrderItems") ==
+      "\"OrderItems\"")
+    assert(Drivers.quoteTableIfNeeded("jdbc:derby:memory:x", "OrderItems") ==
+      "\"OrderItems\"")
+    // one-case names rely on engine folding — quoting would pin them wrong
+    assert(Drivers.quoteTableIfNeeded("jdbc:derby:memory:x", "bulk_t") == "bulk_t")
+    assert(Drivers.quoteTableIfNeeded("jdbc:mysql://h/db", "USERS") == "USERS")
+  }
+
   test("catalog listing and read through a file:// DSN (S3/S4/S1)") {
     val spark = graft.SparkTestSession.spark
     val dsn = "file://path(/root/testdata/sf0.001)/?format=parquet"
