@@ -31,7 +31,14 @@ object Bench {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // free blocks the finished query pinned (localCheckpoint reuse in
+      // ns4/ns18): without this, 33 queries × 4 executions accumulate
+      // checkpoint blocks for the whole session and GC pauses land on
+      // whichever unlucky query runs next. Cleanup is not query cost.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      sec
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** sf-scaling smoke (a `main`, driven by tools/scaling_smoke.sh): runs the
+  * pair-producing dedup queries at two scale factors and asserts
+  * SUB-QUADRATIC growth in both output volume and wall time.
+  *
+  * Why this exists: every dedup operator here is candidate-bucketed (band /
+  * postings equality joins), so cost should track collision counts —
+  * roughly linear in corpus size for a fixed duplicate rate. A regression
+  * that re-introduces an all-pairs shape (a dropped band key, a broadcast
+  * hint swallowing a filter, a join key typo'd to a constant) still passes
+  * single-SF correctness — the oracle is also quadratic-tolerant at toy
+  * scale — but blows up the sf0.01→sf0.1 growth curve. This smoke catches
+  * exactly that class.
+  *
+  * Bounds: with docs scaling by R (~10×), an all-pairs regression scales
+  * output and work by ~R². We assert rows ≤ R^1.5 (hard — row counts are
+  * deterministic) and time ≤ R^1.75 (looser — wall time at the small SF is
+  * dominated by fixed per-job overhead, which mutes the ratio in BOTH
+  * directions, so the time bound only has to catch the catastrophic
+  * case). */
+object ScalingSmoke {
+
+  private val checked = Seq(
+    "ns2_dedup_minhash", "ns4_dedup_ngram", "ns14_dedup_incremental",
+    "ns16_dedup_survivors", "ns17_dedup_incr_index", "ns18_dedup_index_update")
+
+  def main(args: Array[String]): Unit = {
+    val sfSmall = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
+    val sfLarge = sys.env.getOrElse("SPARK_GRAFT_SF_LARGE", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scaling-smoke")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def run(name: String, dir: String): (Long, Double) = {
+      val t0 = System.nanoTime()
+      // count() materializes the full pipeline here: every checked query
+      // ends in a wide projection whose expensive work (joins, aggregates)
+      // Catalyst cannot prune away under a count
+      val rows = SparkEntry.queries(name)(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // drop blocks the finished query checkpointed (see Bench.execute)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      (rows, sec)
+    }
+
+    val docsSmall = spark.read.parquet(s"$sfSmall/documents.parquet").count()
+    val docsLarge = spark.read.parquet(s"$sfLarge/documents.parquet").count()
+    val r = docsLarge.toDouble / docsSmall
+    val rowBound = math.pow(r, 1.5)
+    val timeBound = math.pow(r, 1.75)
+
+    checked.foreach(run(_, sfSmall)) // untimed warmup (JIT, codegen, ns17/ns18 index build)
+
+    println(f"docs: $docsSmall at $sfSmall, $docsLarge at $sfLarge (R=$r%.1f); " +
+      f"bounds: rows<=R^1.5=$rowBound%.1f, time<=R^1.75=$timeBound%.1f")
+    println("| query | rows@small | rows@large | row ratio | sec@small | sec@large | time ratio | verdict |")
+    println("|---|---|---|---|---|---|---|---|")
+    var failed = false
+    checked.foreach { name =>
+      val (rowsS, secS) = run(name, sfSmall)
+      val (rowsL, secL) = run(name, sfLarge)
+      val rowRatio = rowsL.toDouble / math.max(rowsS, 1L)
+      val timeRatio = secL / math.max(secS, 0.05)
+      val ok = rowRatio <= rowBound && timeRatio <= timeBound
+      failed ||= !ok
+      println(f"| $name | $rowsS | $rowsL | $rowRatio%.1f× | $secS%.2f | $secL%.2f | $timeRatio%.1f× | ${if (ok) "sub-quadratic ✓" else "BLOW-UP ✗"} |")
+    }
+    spark.stop()
+    if (failed) {
+      System.err.println("[scaling-smoke] FAIL: super-linear growth beyond bound — likely all-pairs regression")
+      sys.exit(1)
+    }
+  }
+}

@@ -269,6 +269,48 @@ object SparkEntry {
     s"${System.getProperty("java.io.tmpdir")}/graft_minhash_idx_$key"
   }
 
+  /** NS19 — ns15's curation composition for a non-English target: German
+    * docs, quality scored against the GERMAN stopword vocabulary (the
+    * stopword-ratio feature follows the target language;
+    * [[graft.ops.Curation.curate]]'s `stopwordLang` can override). The bar
+    * is 0.3, not ns15's 0.55: the synthetic German docs are shorter, so the
+    * length-dominated score tops out near 0.5 — 0.3 keeps a meaningful
+    * survivor set at every test SF. */
+  private def ns19(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.curate(docs(s, dir), langCode = "de", minQuality = 0.3)
+
+  /** NS18 — index lifecycle: incremental ingest across TWO ticks against one
+    * persisted index that is UPDATED between them. Tick 1 dedups its batch
+    * against the corpus index and appends the accepted docs
+    * ([[graft.ops.Dedup.updateMinhashIndex]]); tick 2 then dedups against
+    * corpus + tick-1 survivors without any rebuild — the steady-state shape
+    * of a continuously-ingesting training pipeline, where ns17 alone would
+    * dedup every tick against a frozen corpus. Runs on a per-run working
+    * copy of the shared base index so reruns never see their own appends.
+    * Output: all surviving new docs across both ticks. */
+  private def ns18(s: SparkSession, dir: String): DataFrame = {
+    val fp = graft.ops.Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
+    val base = minhashIndexDir(dir, fp)
+    if (!graft.ops.Dedup.minhashIndexMatches(s, base, fp))
+      graft.ops.Dedup.writeMinhashIndex(
+        docs(s, dir).where(col("doc_id") % 5 =!= 0), base,
+        fingerprint = Some(fp))
+    val work = s"${base}_tick_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.ops.Dedup.copyMinhashIndex(s, base, work)
+    // working copies are run-scoped scratch: reclaim them at JVM exit so
+    // repeated bench/verify runs don't accumulate dirs under tmp
+    val workPath = new org.apache.hadoop.fs.Path(work)
+    workPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .deleteOnExit(workPath)
+    val tick1 = graft.ops.Dedup.incrementalNewFromIndex(
+        docs(s, dir).where(col("doc_id") % 10 === 0), work)
+      .localCheckpoint(true) // snapshot: the plan reads files the append rewrites
+    graft.ops.Dedup.updateMinhashIndex(tick1, work)
+    val tick2 = graft.ops.Dedup.incrementalNewFromIndex(
+      docs(s, dir).where(col("doc_id") % 10 === 5), work)
+    tick1.union(tick2).orderBy("doc_id")
+  }
+
   /** NS16 — near-dup survivor resolution: ns2's minhash pairs → connected
     * components (min-label propagation with pointer jumping) → the
     * surviving corpus with per-survivor merge counts. The dedup DECISION a
@@ -314,6 +356,8 @@ object SparkEntry {
     "ns15_curation_pipeline" -> (ns15 _),
     "ns16_dedup_survivors" -> (ns16 _),
     "ns17_dedup_incr_index" -> (ns17 _),
+    "ns18_dedup_index_update" -> (ns18 _),
+    "ns19_curation_de" -> (ns19 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -484,6 +528,45 @@ object SparkEntry {
          |dups AS (SELECT DISTINCT da FROM cand JOIN setsn x ON x.doc_id = cand.da JOIN setsc y ON y.doc_id = cand.db
          |  WHERE len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) >= 0.5)
          |SELECT doc_id, text FROM exacts WHERE doc_id NOT IN (SELECT da FROM dups) ORDER BY doc_id""".stripMargin),
+    // ns18 = the ns17 decision applied twice with the index updated between
+    // ticks: tick 2's corpus is corp ∪ tick-1 survivors. Pure composition of
+    // the same md5 minhash family, so DuckDB reproduces the full lifecycle.
+    "ns18_dedup_index_update" ->
+      ("""WITH corp1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+         |new1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |ex1 AS (SELECT n.doc_id, n.text FROM new1 n WHERE NOT EXISTS (SELECT 1 FROM corp1 c WHERE md5(c.text) = md5(n.text))),
+         |wn1 AS (SELECT doc_id, string_split(text,' ') w FROM ex1),
+         |shn1 AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS shingle FROM wn1),
+         |wc1 AS (SELECT doc_id, string_split(text,' ') w FROM corp1),
+         |shc1 AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS shingle FROM wc1),
+         |mhn1 AS (SELECT doc_id, s, min(('0x' || substr(md5(shingle || ':' || s), 1, 15))::BIGINT) m FROM shn1, (SELECT unnest(range(0,16)) AS s) seeds GROUP BY doc_id, s),
+         |bn1 AS (SELECT doc_id, s // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY s) bv FROM mhn1 GROUP BY doc_id, s // 4),
+         |mhc1 AS (SELECT doc_id, s, min(('0x' || substr(md5(shingle || ':' || s), 1, 15))::BIGINT) m FROM shc1, (SELECT unnest(range(0,16)) AS s) seeds GROUP BY doc_id, s),
+         |bc1 AS (SELECT doc_id, s // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY s) bv FROM mhc1 GROUP BY doc_id, s // 4),
+         |cand1 AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bn1 a JOIN bc1 b ON a.band = b.band AND a.bv = b.bv),
+         |setsn1 AS (SELECT doc_id, list_distinct(list(shingle)) s FROM shn1 GROUP BY doc_id),
+         |setsc1 AS (SELECT doc_id, list_distinct(list(shingle)) s FROM shc1 GROUP BY doc_id),
+         |dups1 AS (SELECT DISTINCT da FROM cand1 JOIN setsn1 x ON x.doc_id = cand1.da JOIN setsc1 y ON y.doc_id = cand1.db
+         |  WHERE len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) >= 0.5),
+         |s1 AS (SELECT doc_id, text FROM ex1 WHERE doc_id NOT IN (SELECT da FROM dups1)),
+         |corp2 AS (SELECT doc_id, text FROM corp1 UNION ALL SELECT doc_id, text FROM s1),
+         |new2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 5),
+         |ex2 AS (SELECT n.doc_id, n.text FROM new2 n WHERE NOT EXISTS (SELECT 1 FROM corp2 c WHERE md5(c.text) = md5(n.text))),
+         |wn2 AS (SELECT doc_id, string_split(text,' ') w FROM ex2),
+         |shn2 AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS shingle FROM wn2),
+         |wc2 AS (SELECT doc_id, string_split(text,' ') w FROM corp2),
+         |shc2 AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS shingle FROM wc2),
+         |mhn2 AS (SELECT doc_id, s, min(('0x' || substr(md5(shingle || ':' || s), 1, 15))::BIGINT) m FROM shn2, (SELECT unnest(range(0,16)) AS s) seeds GROUP BY doc_id, s),
+         |bn2 AS (SELECT doc_id, s // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY s) bv FROM mhn2 GROUP BY doc_id, s // 4),
+         |mhc2 AS (SELECT doc_id, s, min(('0x' || substr(md5(shingle || ':' || s), 1, 15))::BIGINT) m FROM shc2, (SELECT unnest(range(0,16)) AS s) seeds GROUP BY doc_id, s),
+         |bc2 AS (SELECT doc_id, s // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY s) bv FROM mhc2 GROUP BY doc_id, s // 4),
+         |cand2 AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bn2 a JOIN bc2 b ON a.band = b.band AND a.bv = b.bv),
+         |setsn2 AS (SELECT doc_id, list_distinct(list(shingle)) s FROM shn2 GROUP BY doc_id),
+         |setsc2 AS (SELECT doc_id, list_distinct(list(shingle)) s FROM shc2 GROUP BY doc_id),
+         |dups2 AS (SELECT DISTINCT da FROM cand2 JOIN setsn2 x ON x.doc_id = cand2.da JOIN setsc2 y ON y.doc_id = cand2.db
+         |  WHERE len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) >= 0.5),
+         |s2 AS (SELECT doc_id, text FROM ex2 WHERE doc_id NOT IN (SELECT da FROM dups2))
+         |SELECT doc_id, text FROM s1 UNION ALL SELECT doc_id, text FROM s2 ORDER BY doc_id""".stripMargin),
     "ns15_curation_pipeline" ->
       ("""WITH w AS (SELECT doc_id, text, string_split(text,' ') w FROM documents),
          |f AS (SELECT doc_id, text,
@@ -502,6 +585,27 @@ object SparkEntry {
          |  (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 8.0 THEN 0.2 ELSE 0.0 END) AS quality_score FROM s)
          |SELECT min(doc_id) AS doc_id, min(n_words) AS n_words, min(quality_score) AS quality_score
          |FROM q WHERE pred_lang = 'en' AND quality_score >= 0.55
+         |GROUP BY text ORDER BY doc_id""".stripMargin),
+    // ns19 = ns15 retargeted at German: pred_lang = 'de' and the stopword
+    // feature counts GERMAN markers (s_de), mirroring curate's stopwordLang.
+    "ns19_curation_de" ->
+      ("""WITH w AS (SELECT doc_id, text, string_split(text,' ') w FROM documents),
+         |f AS (SELECT doc_id, text,
+         |  len([x for x in w if list_contains(['der','die','das','und','zu','nicht','ist','ein'], x)]) s_de,
+         |  len([x for x in w if list_contains(['the','a','of','and','to','in','is','that'], x)]) s_en,
+         |  len([x for x in w if list_contains(['el','la','de','los','y','que','en','un'], x)]) s_es,
+         |  len([x for x in w if list_contains(['le','la','de','les','et','que','en','un'], x)]) s_fr,
+         |  len([x for x in w if list_contains(['的','是','了','在','我','有','和','不'], x)]) s_zh,
+         |  len(w) n_words, length(replace(text, ' ', '')) ncns FROM w),
+         |s AS (SELECT *, CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred_lang,
+         |  ncns::DOUBLE / n_words AS avg_word_len, s_de::DOUBLE / n_words AS stopword_ratio FROM f),
+         |q AS (SELECT *, least(n_words::DOUBLE / 100.0, 1.0) * 0.5 + stopword_ratio * 0.3 +
+         |  (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 8.0 THEN 0.2 ELSE 0.0 END) AS quality_score FROM s)
+         |SELECT min(doc_id) AS doc_id, min(n_words) AS n_words, min(quality_score) AS quality_score
+         |FROM q WHERE pred_lang = 'de' AND quality_score >= 0.3
          |GROUP BY text ORDER BY doc_id""".stripMargin),
     "ns8_text_langid" ->
       ("""WITH w AS (SELECT doc_id, lang, string_split(text,' ') w FROM documents),

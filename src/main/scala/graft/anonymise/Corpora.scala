@@ -16,13 +16,16 @@ object Corpora {
     "Ivan", "James", "Kevin", "Leo", "Martin", "Nathan", "Oscar", "Peter",
     "Robert", "Simon", "Thomas", "Victor")
 
-  val femaleLastNames: IndexedSeq[String] = Vector(
+  /** Last names are gender-neutral (as in the reference corpus); the
+    * Female-/Male-prefixed faker names share this one pool. */
+  val lastNames: IndexedSeq[String] = Vector(
     "Adler", "Barton", "Calloway", "Dresden", "Ellison", "Fairbanks",
     "Granger", "Holloway", "Ingram", "Jennings", "Kessler", "Lockwood",
     "Merritt", "Norwood", "Ostrander", "Prescott", "Quimby", "Redford",
     "Sterling", "Thatcher")
 
-  val maleLastNames: IndexedSeq[String] = femaleLastNames
+  val femaleLastNames: IndexedSeq[String] = lastNames
+  val maleLastNames: IndexedSeq[String] = lastNames
 
   val femalePatronymics: IndexedSeq[String] = Vector(
     "Adamovna", "Borisovna", "Davidovna", "Erikovna", "Ivanovna",

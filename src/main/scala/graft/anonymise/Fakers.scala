@@ -58,7 +58,7 @@ object Fakers {
   private def firstName(r: Rng): String =
     if (r.nextInt(2) == 0) r.pick(femaleFirstNames) else r.pick(maleFirstNames)
 
-  private def lastName(r: Rng): String = r.pick(femaleLastNames)
+  private def lastName(r: Rng): String = r.pick(lastNames)
 
   private def fullName(r: Rng): String = s"${firstName(r)} ${lastName(r)}"
 

@@ -21,11 +21,20 @@ object Curation {
 
   /** Keep docs predicted `langCode` with quality ≥ `minQuality`, exact
     * deduped (survivor = smallest doc_id per text). Output:
-    * (doc_id, n_words, quality_score) ordered by doc_id. */
+    * (doc_id, n_words, quality_score) ordered by doc_id.
+    *
+    * The quality score's stopword feature uses the TARGET language's marker
+    * vocabulary (a German page full of English stopwords is not a quality
+    * German page); `stopwordLang` overrides that when a caller wants a
+    * fixed reference vocabulary across languages. */
   def curate(
       docs: DataFrame,
       langCode: String = "en",
-      minQuality: Double = 0.55): DataFrame = {
+      minQuality: Double = 0.55,
+      stopwordLang: Option[String] = None): DataFrame = {
+    val stopCode = stopwordLang.getOrElse(langCode)
+    require(TextAnalysis.langMarkers.exists(_._1 == stopCode),
+      s"no marker vocabulary for language '$stopCode'")
     val base = docs.select(col("doc_id"), col("text"),
       split(col("text"), " ").as("w"))
     val scored = TextAnalysis.langMarkers.foldLeft(base) {
@@ -39,7 +48,7 @@ object Curation {
       .withColumn("avg_word_len",
         col("ncns").cast("double") / col("n_words"))
       .withColumn("stopword_ratio",
-        col("s_en").cast("double") / col("n_words"))
+        col(s"s_$stopCode").cast("double") / col("n_words"))
       .withColumn("quality_score",
         least(col("n_words").cast("double") / lit(100.0), lit(1.0)) * 0.5 +
           col("stopword_ratio") * 0.3 +

@@ -259,6 +259,59 @@ object Dedup {
     if (!fs.rename(tmp, dest)) fs.delete(tmp, true) // lost the race: keep winner's
   }
 
+  /** D6 (index maintenance) — append a tick's ACCEPTED documents to a
+    * persisted [[writeMinhashIndex]] index, so the index stays current
+    * across ingest ticks without a rebuild: the next
+    * [[incrementalNewFromIndex]] call dedups against corpus + everything
+    * accepted so far. Appends the same three artifacts the builder writes —
+    * band keys, shingle sets, text md5s — hashed with the sketch family the
+    * index's own sidecar declares (the update MUST match the build, so the
+    * parameters are read, never taken from the caller). Work per tick is
+    * proportional to the accepted batch, never the corpus.
+    *
+    * `accepted` is materialized (eager localCheckpoint) before any write:
+    * callers naturally pass the probe's own output, which is a live plan
+    * over this index's files — appending under a plan that re-lists those
+    * files would feed the update back into itself. Single-writer per index
+    * is assumed (one ingest owner appends; readers run between ticks), same
+    * as any incrementally-maintained table without a log-structured commit
+    * protocol. Pass `fingerprint` to restamp the sidecar when the caller
+    * tracks index identity by content. */
+  def updateMinhashIndex(
+      accepted: DataFrame,
+      path: String,
+      fingerprint: Option[String] = None): Unit = {
+    val spark = accepted.sparkSession
+    val meta = readSidecar(spark, path)
+    val (shingleK, numHashes, rowsPerBand) = (meta("shingleK").toInt,
+      meta("numHashes").toInt, meta("rowsPerBand").toInt)
+    val acc = accepted.select(col("doc_id"), col("text")).localCheckpoint(true)
+    val (bands, sh) = minhashOf(acc, shingleK, numHashes, rowsPerBand)
+    bands.write.mode("append").parquet(s"$path/bands")
+    sh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("s"))
+      .write.mode("append").parquet(s"$path/sets")
+    acc.select(md5(col("text").cast("binary")).as("th")).distinct()
+      .write.mode("append").parquet(s"$path/texthash")
+    fingerprint.foreach { f =>
+      IndexSidecar.write(spark, metaPath(path),
+        s"shingleK=$shingleK\nnumHashes=$numHashes\nrowsPerBand=$rowsPerBand\nfingerprint=$f")
+    }
+    unpersistCheckpoint(acc)
+  }
+
+  /** Copy a persisted index to a new location (Hadoop-FS-portable). Used to
+    * branch a working index off a shared base — e.g. a what-if ingest run
+    * that appends ticks without touching the canonical index. */
+  def copyMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession, src: String, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val from = new org.apache.hadoop.fs.Path(src)
+    val to = new org.apache.hadoop.fs.Path(dst)
+    org.apache.hadoop.fs.FileUtil.copy(
+      from.getFileSystem(conf), from, to.getFileSystem(conf), to,
+      false, true, conf)
+  }
+
   private def metaPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "_meta.txt")
 

@@ -11,12 +11,15 @@ import org.apache.spark.sql.types._
   * extraction runs per-partition in batches (the Scala analog of
   * `mapInPandas`), so one task holds one batch of blobs, never the column.
   *
-  * The actual media decode is STUBBED (`decodeStub`): this container has no
-  * image/audio codecs, so the stub derives a deterministic 16-bin byte
-  * histogram "feature vector" from the raw bytes. The Spark-side plumbing —
-  * schema, binary packing, partition-batched UDF shape, feature schema —
-  * is real and tested; swapping `decodeStub` for a JNI/FFmpeg/JPEG decoder
-  * changes no plan shape.
+  * The media decode behind [[Multimodal.extractFeatures]] is PLUGGABLE
+  * ([[MediaDecoder]]): [[ImageLuminanceDecoder]] (JDK ImageIO — BMP/PNG/
+  * GIF/JPEG, no native codecs) and [[WavAmplitudeDecoder]] (JDK
+  * javax.sound — PCM WAV) decode real media pure-JVM;
+  * [[ByteHistogramDecoder]], the default, derives a deterministic 16-bin
+  * byte histogram from the raw bytes — the registered ns12 query uses it
+  * because its math is reproducible in the DuckDB oracle, and the synthetic
+  * testdata carries text blobs, not media files. Swapping decoders changes
+  * no plan shape.
   */
 object Multimodal {
 
@@ -42,22 +45,10 @@ object Multimodal {
         length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
         .as("meta"))
 
-  /** STUB media decoder: a real implementation would decode JPEG/PCM/
-    * frames here (per batch, off-heap). Deterministic byte histogram keeps
-    * the plumbing testable without codecs. Returns exact integer bin
-    * COUNTS — normalization to fractions happens downstream, so exactness
-    * is never laundered through a 24-bit float mantissa. */
-  private[ops] def decodeStub(content: Array[Byte]): Array[Long] = {
-    val hist = new Array[Long](featureDim)
-    if (content != null) {
-      var i = 0
-      while (i < content.length) {
-        hist((content(i) & 0xff) % featureDim) += 1L
-        i += 1
-      }
-    }
-    hist
-  }
+  /** Kept as the spec-visible alias for the default decoder's pure
+    * function. */
+  private[ops] def decodeStub(content: Array[Byte]): Array[Long] =
+    ByteHistogramDecoder.decode(content)
 
   private[ops] def normalize(counts: Array[Long]): Array[Float] = {
     val total = counts.sum
@@ -71,8 +62,13 @@ object Multimodal {
     * partitioning. `features` is the normalized float vector for
     * similarity/resize consumers; `bin_counts` carries the decoder's exact
     * integer counts so exactness-sensitive consumers never have to recover
-    * counts from a float fraction (off-by-one beyond ~8 MB blobs). */
-  def extractFeatures(media: DataFrame): DataFrame = {
+    * counts from a float fraction (off-by-one beyond ~8 MB blobs).
+    * `decoder` picks the media format ([[ImageLuminanceDecoder]],
+    * [[WavAmplitudeDecoder]], or the byte-histogram default); the plan is
+    * identical for all of them. */
+  def extractFeatures(
+      media: DataFrame,
+      decoder: MediaDecoder = ByteHistogramDecoder): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
@@ -83,9 +79,9 @@ object Multimodal {
       .encoderFor(outSchema)
     media.select(col("doc_id"), col("content"), col("meta.n_bytes"))
       .mapPartitions { rows =>
-        // batch loop: a real decoder would pin one batch of blobs at a time
+        // batch loop: one task decodes one batch of blobs at a time
         rows.map { r =>
-          val counts = decodeStub(r.getAs[Array[Byte]](1))
+          val counts = decoder.decode(r.getAs[Array[Byte]](1))
           Row(r.getLong(0), normalize(counts), counts,
             if (r.isNullAt(2)) null else r.getLong(2))
         }
@@ -143,5 +139,106 @@ object Multimodal {
       .agg(sort_array(collect_list(struct(col("dim"), col("mean_v"))))
         .getField("mean_v").as("mean_features"))
       .orderBy(col("source"))
+  }
+}
+
+/** A media decoder turns one opaque blob into [[Multimodal.featureDim]]
+  * exact integer feature-bin counts. Implementations must be pure and
+  * serializable (they ship inside the per-partition task closure), and must
+  * return all-zero counts — never throw — for an undecodable blob, so one
+  * corrupt file in a 100 TB scan degrades one row instead of failing the
+  * stage. */
+trait MediaDecoder extends Serializable {
+  def name: String
+  def decode(content: Array[Byte]): Array[Long]
+}
+
+/** Default decoder: 16-bin histogram of raw byte values. Format-agnostic
+  * and reproducible in any SQL engine (the ns12 oracle recomputes it in
+  * DuckDB), which is why the registered query pins this one. */
+object ByteHistogramDecoder extends MediaDecoder {
+  val name = "byte-histogram"
+  def decode(content: Array[Byte]): Array[Long] = {
+    val hist = new Array[Long](Multimodal.featureDim)
+    if (content != null) {
+      var i = 0
+      while (i < content.length) {
+        hist((content(i) & 0xff) % Multimodal.featureDim) += 1L
+        i += 1
+      }
+    }
+    hist
+  }
+}
+
+/** Real image decode, pure JVM: JDK ImageIO parses BMP/PNG/GIF/JPEG with no
+  * native codecs. Feature = 16-bin histogram of per-pixel luminance
+  * (ITU-R BT.601 integer weights, so the counts are exact and
+  * platform-independent). */
+object ImageLuminanceDecoder extends MediaDecoder {
+  val name = "image-luminance"
+  def decode(content: Array[Byte]): Array[Long] = {
+    val hist = new Array[Long](Multimodal.featureDim)
+    if (content == null) return hist
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return hist
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000 // 0..255
+        hist(lum * Multimodal.featureDim / 256) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    hist
+  }
+}
+
+/** Real audio decode, pure JVM: JDK javax.sound parses the WAV container
+  * (PCM 8-bit unsigned / 16-bit signed, either endianness). Feature =
+  * 16-bin histogram of sample amplitude across all channels. */
+object WavAmplitudeDecoder extends MediaDecoder {
+  val name = "wav-amplitude"
+  def decode(content: Array[Byte]): Array[Long] = {
+    val hist = new Array[Long](Multimodal.featureDim)
+    if (content == null) return hist
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (in == null) return hist
+    try {
+      val fmt = in.getFormat
+      val bytes = in.readAllBytes()
+      fmt.getSampleSizeInBits match {
+        case 16 =>
+          val le = !fmt.isBigEndian
+          var i = 0
+          while (i + 1 < bytes.length) {
+            val s =
+              if (le) ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
+              else ((bytes(i + 1) & 0xff) | (bytes(i) << 8)).toShort
+            hist(((s + 32768) * Multimodal.featureDim) >>> 16) += 1L
+            i += 2
+          }
+        case 8 => // 8-bit WAV is unsigned PCM by spec
+          var i = 0
+          while (i < bytes.length) {
+            hist(((bytes(i) & 0xff) * Multimodal.featureDim) >> 8) += 1L
+            i += 1
+          }
+        case _ => () // unsupported depth → all-zero counts
+      }
+      hist
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        java.util.Arrays.fill(hist, 0L); hist
+    } finally in.close()
   }
 }

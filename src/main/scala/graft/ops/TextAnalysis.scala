@@ -58,13 +58,17 @@ object TextAnalysis {
 
   /** T2 — quality scoring: length/word/stopword/punctuation features and a
     * composite score. All divisions are single IEEE double ops over exact
-    * integers — reproducible across engines. */
-  def qualityScore(docs: DataFrame): DataFrame = {
+    * integers — reproducible across engines. `stopwordLang` picks the
+    * marker vocabulary the stopword-ratio feature counts against (a score
+    * for German text should reward German stopwords, not English ones). */
+  def qualityScore(docs: DataFrame, stopwordLang: String = "en"): DataFrame = {
+    require(langMarkers.exists(_._1 == stopwordLang),
+      s"no marker vocabulary for language '$stopwordLang'")
     val w = split(col("text"), " ")
     val nWords = size(w)
     val nChars = length(col("text"))
     val nCharsNoSpace = length(regexp_replace(col("text"), " ", ""))
-    val stopHits = hitCount("w", langMarkers.toMap.apply("en"))
+    val stopHits = hitCount("w", langMarkers.toMap.apply(stopwordLang))
     docs.select(col("doc_id"), w.as("w"), nChars.as("n_chars"),
         nWords.as("n_words"), nCharsNoSpace.as("ncns"))
       .withColumn("stop_hits", stopHits)

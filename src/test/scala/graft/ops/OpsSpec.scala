@@ -168,6 +168,68 @@ class DedupSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
   }
 
+  test("updateMinhashIndex: two-tick ingest equals one-shot recompute, base untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_upd").toString
+    val corpusPq = s"$dir/corpus_docs"
+    docs.where(col("doc_id") % 5 =!= 0).write.parquet(corpusPq)
+    val corpus = spark.read.parquet(corpusPq)
+    def inMemory(df: DataFrame) = df.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.toDF("doc_id", "text")
+    val b1 = inMemory(docs.where(col("doc_id") % 10 === 0))
+
+    val base = s"$dir/index"
+    Dedup.writeMinhashIndex(corpus, base)
+    val work = s"$dir/index_work"
+    Dedup.copyMinhashIndex(spark, base, work)
+
+    val s1 = Dedup.incrementalNewFromIndex(b1, work).localCheckpoint(true)
+    Dedup.updateMinhashIndex(s1, work)
+
+    // tick 2 carries an exact dup of a tick-1 survivor: only the updated
+    // index can catch it — against the frozen base it survives
+    val s1Head = s1.orderBy("doc_id").head
+    val b2 = inMemory(docs.where(col("doc_id") % 10 === 5))
+      .union(Seq((999999L, s1Head.getString(1))).toDF("doc_id", "text"))
+    val t2 = Dedup.incrementalNewFromIndex(b2, work)
+
+    // the tick-2 probe plan never touches the corpus parquet
+    val scanned = "Location.*?\\[([^\\]]*)\\]".r
+      .findAllMatchIn(t2.queryExecution.executedPlan.toString)
+      .map(_.group(1)).toSeq
+    assert(scanned.nonEmpty && scanned.forall(_.contains("index")), scanned)
+    assert(!scanned.exists(_.contains("corpus_docs")), scanned)
+
+    // equivalence with the one-shot recompute over corpus ∪ tick-1 survivors
+    val s1Expected = Dedup.incrementalNew(b1, corpus.select("doc_id", "text"))
+      .localCheckpoint(true)
+    val t2Expected = Dedup.incrementalNew(
+      b2, corpus.select("doc_id", "text").union(s1Expected))
+    assert(s1.collect().map(_.getLong(0)).toSeq ==
+      s1Expected.collect().map(_.getLong(0)).toSeq)
+    val t2Ids = t2.collect().map(_.getLong(0)).toSeq
+    assert(t2Ids == t2Expected.collect().map(_.getLong(0)).toSeq)
+    assert(!t2Ids.contains(999999L)) // cross-tick dup was caught
+    // the branched base never saw the append: the same dup survives there
+    assert(Dedup.incrementalNewFromIndex(
+        Seq((999999L, s1Head.getString(1))).toDF("doc_id", "text"), base)
+      .collect().map(_.getLong(0)).toSeq == Seq(999999L))
+  }
+
+  test("updateMinhashIndex restamps the sidecar fingerprint when asked, keeps params") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_upfp").toString
+    val idx = s"$dir/idx"
+    Dedup.writeMinhashIndex(docs.limit(20), idx, fingerprint = Some("fp-a"))
+    assert(Dedup.minhashIndexMatches(spark, idx, "fp-a"))
+    Dedup.updateMinhashIndex(
+      Seq((7777L, "brand new accepted text")).toDF("doc_id", "text"), idx,
+      fingerprint = Some("fp-b"))
+    assert(!Dedup.minhashIndexMatches(spark, idx, "fp-a"))
+    assert(Dedup.minhashIndexMatches(spark, idx, "fp-b"))
+    // params still pinnable after the update (family unchanged)
+    Dedup.incrementalNewFromIndex(docs.limit(1), idx,
+      expectParams = Some((2, 16, 4)))
+  }
+
   test("incrementalNewFromIndex rejects an index with unreadable parameters") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mh_bad").toString
     intercept[Exception] {
@@ -327,6 +389,50 @@ class CurationSpec extends AnyFunSuite {
     val out = Curation.curate(docs, minQuality = 0.3).collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(1L))
     assert(out.head.getInt(1) == 52) // n_words carried through
+  }
+
+  test("curate targets non-English languages with their own stopword vocabulary") {
+    val de = ("der hund ist in das haus und die katze ist nicht da " * 4).trim
+    val docs = Seq(
+      (1L, de),                                          // keeps (de, long, de-stopwords)
+      (2L, de),                                          // exact dup of 1 -> dropped
+      (3L, ("the cat is on the mat and the dog is here " * 4).trim) // en -> dropped
+    ).toDF("doc_id", "text")
+    val out = Curation.curate(docs, langCode = "de", minQuality = 0.3).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    // the quality score counted GERMAN markers: with an English stopword
+    // override the same doc scores strictly lower (its text has no English
+    // markers, so the 0.3-weighted stopword term drops to zero)
+    val deScore = out.head.getDouble(2)
+    val enStopScore = Curation.curate(docs, langCode = "de",
+        minQuality = 0.0, stopwordLang = Some("en"))
+      .where(col("doc_id") === 1L).head.getDouble(2)
+    assert(deScore > enStopScore)
+    intercept[IllegalArgumentException] {
+      Curation.curate(docs, langCode = "xx")
+    }
+    // real corpus: the de slice is non-empty and disjoint from ns15's en slice
+    val corpus = graft.Tables.load(spark, sf, "documents")
+    val deIds = Curation.curate(corpus, langCode = "de")
+      .collect().map(_.getLong(0)).toSet
+    val enIds = Curation.curate(corpus)
+      .collect().map(_.getLong(0)).toSet
+    assert(deIds.nonEmpty)
+    assert(deIds.intersect(enIds).isEmpty)
+  }
+
+  test("qualityScore counts stopwords in the requested language") {
+    val de = "der hund und die katze ist nicht da"
+    val docs = Seq((1L, de)).toDF("doc_id", "text")
+    val enRatio = TextAnalysis.qualityScore(docs)
+      .head.getAs[Double]("stopword_ratio")
+    val deRatio = TextAnalysis.qualityScore(docs, stopwordLang = "de")
+      .head.getAs[Double]("stopword_ratio")
+    assert(enRatio == 0.0)
+    assert(deRatio > 0.5)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.qualityScore(docs, stopwordLang = "xx")
+    }
   }
 
   test("curation plan is one scan + one aggregation shuffle") {
@@ -607,6 +713,75 @@ class MultimodalSpec extends AnyFunSuite {
       assert(fs.length == (all(id) + 3) / 4, id)
       assert(fs.forall(r => r.getInt(2) == r.getInt(1) * 4), id)
     }
+  }
+
+  test("ImageLuminanceDecoder decodes a real BMP and a real PNG (pure JVM)") {
+    // 8×4 image: left half black (lum 0 → bin 0), right half white
+    // (lum 255 → bin 15), so the histogram is fully determined
+    val img = new java.awt.image.BufferedImage(
+      8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    for (fmt <- Seq("bmp", "png")) {
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, baos), fmt)
+      val hist = ImageLuminanceDecoder.decode(baos.toByteArray)
+      assert(hist(0) == 16L, fmt)
+      assert(hist(15) == 16L, fmt)
+      assert(hist.sum == 32L, fmt)
+    }
+    // mid-gray lands mid-bin: lum 128 → bin 8
+    val gray = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 2) gray.setRGB(x, y, 0x808080)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gray, "bmp", baos)
+    assert(ImageLuminanceDecoder.decode(baos.toByteArray)(8) == 4L)
+    // undecodable bytes degrade to all-zero counts, never throw
+    assert(ImageLuminanceDecoder.decode("not an image".getBytes).sum == 0L)
+    assert(ImageLuminanceDecoder.decode(null).sum == 0L)
+  }
+
+  test("WavAmplitudeDecoder decodes real 16-bit PCM WAV (pure JVM)") {
+    import javax.sound.sampled._
+    // silence → bin 8; +max → bin 15; -max → bin 0
+    val samples: Array[Short] =
+      Array(0, 0, Short.MaxValue, Short.MinValue)
+    val pcm = samples.flatMap(s =>
+      Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length),
+      AudioFileFormat.Type.WAVE, baos)
+    val hist = WavAmplitudeDecoder.decode(baos.toByteArray)
+    assert(hist(8) == 2L)
+    assert(hist(15) == 1L)
+    assert(hist(0) == 1L)
+    assert(hist.sum == samples.length)
+    assert(WavAmplitudeDecoder.decode("not audio".getBytes).sum == 0L)
+    assert(WavAmplitudeDecoder.decode(null).sum == 0L)
+  }
+
+  test("extractFeatures runs a real decoder through the same batched plan") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", baos)
+    val blob = baos.toByteArray
+    val media = Seq((1L, blob), (2L, "garbage".getBytes))
+      .toDF("doc_id", "content")
+      .withColumn("meta", struct(
+        lit("en").as("lang"), lit("img").as("source"),
+        length(col("content")).cast("long").as("n_bytes")))
+    val out = Multimodal.extractFeatures(media, ImageLuminanceDecoder)
+      .orderBy("doc_id").collect()
+    assert(out(0).getSeq[Long](2)(15) == 16L) // 16 white pixels
+    assert(out(0).getSeq[Float](1)(15) == 1.0f) // normalized
+    assert(out(1).getSeq[Long](2).sum == 0L) // corrupt blob → zero row
   }
 
   test("resizeFeatures mean-pools and preserves the vector mean") {

@@ -1,0 +1,7 @@
+#!/usr/bin/env bash
+# sf-scaling smoke: asserts sub-quadratic growth of the pair-producing dedup
+# queries between two scale factors (defaults sf0.01 -> sf0.1). Exits 1 on an
+# all-pairs-shaped blow-up. See graft.ScalingSmoke for bounds and rationale.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+exec sbt -batch "runMain graft.ScalingSmoke" "$@"
