@@ -262,11 +262,15 @@ object SparkEntry {
     * bench and a verify JVM. (java.io.tmpdir is the right home only for
     * this single-JVM harness — on a cluster a deployment passes its own
     * shared path to the operator API, which is Hadoop-FS-portable.) */
-  private def minhashIndexDir(dir: String, fingerprint: String): String = {
+  private def minhashIndexDir(dir: String, fingerprint: String): String =
+    scratchIndexDir("graft_minhash_idx", dir, fingerprint)
+
+  private def scratchIndexDir(
+      prefix: String, dir: String, fingerprint: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir#$fingerprint".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
-    s"${System.getProperty("java.io.tmpdir")}/graft_minhash_idx_$key"
+    s"${System.getProperty("java.io.tmpdir")}/${prefix}_$key"
   }
 
   /** NS19 — ns15's curation composition for a non-English target: German
@@ -309,6 +313,30 @@ object SparkEntry {
     val tick2 = graft.ops.Dedup.incrementalNewFromIndex(
       docs(s, dir).where(col("doc_id") % 10 === 5), work)
     tick1.union(tick2).orderBy("doc_id")
+  }
+
+  /** NS20 — IVF index lifecycle: ANN serving that stays current across
+    * ingest. The index is built from the 80% corpus (frozen coarse
+    * quantizer), the 20% batch is appended to its nearest existing cells
+    * ([[graft.ops.Similarity.updateIvfIndex]] — no retrain), and queries
+    * then probe the updated index: results cover corpus + batch with the
+    * corpus-trained centroids. Per-run working copy, same hygiene as
+    * ns18. */
+  private def ns20(s: SparkSession, dir: String): DataFrame = {
+    val fp = graft.ops.Dedup.sourceFingerprint(s, s"$dir/embeddings.parquet")
+    val base = scratchIndexDir("graft_ivf_idx", dir, fp)
+    if (!graft.ops.Similarity.ivfIndexMatches(s, base, fp))
+      graft.ops.Similarity.writeIvfIndex(
+        embs(s, dir).where(col("vec_id") % 5 =!= 0), base,
+        fingerprint = Some(fp))
+    val work = s"${base}_tick_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.ops.Similarity.copyIvfIndex(s, base, work)
+    val workPath = new org.apache.hadoop.fs.Path(work)
+    workPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .deleteOnExit(workPath)
+    graft.ops.Similarity.updateIvfIndex(
+      embs(s, dir).where(col("vec_id") % 5 === 0), work)
+    graft.ops.Similarity.ivfTopKFromIndex(s, work, simQueries(s, dir), k = 10)
   }
 
   /** NS16 — near-dup survivor resolution: ns2's minhash pairs → connected
@@ -358,6 +386,7 @@ object SparkEntry {
     "ns17_dedup_incr_index" -> (ns17 _),
     "ns18_dedup_index_update" -> (ns18 _),
     "ns19_curation_de" -> (ns19 _),
+    "ns20_simsearch_ivf_update" -> (ns20 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -470,6 +499,24 @@ object SparkEntry {
     "ns13_simsearch_ivf" ->
       ("""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |ranked AS (SELECT vec_id, v, row_number() OVER (ORDER BY ('0x' || substr(md5('centroid:' || vec_id), 1, 15))::BIGINT, vec_id) - 1 AS c FROM emb),
+         |cent AS (SELECT c, CASE WHEN nrm = 0 THEN list_transform(v, x -> 0.0) ELSE list_transform(v, x -> x / nrm) END AS cv
+         |  FROM (SELECT c, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM ranked WHERE c < 16)),
+         |ascore AS (SELECT e.vec_id, e.v, cent.c, list_sum(list_transform(range(1,65), i -> e.v[i] * cent.cv[i])) AS s FROM emb e, cent),
+         |assigned AS (SELECT vec_id, v, c AS cell FROM ascore QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) = 1),
+         |corpus AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nv, cell FROM assigned),
+         |qscore AS (SELECT e.vec_id AS query_id, e.v AS qv, cent.c, list_sum(list_transform(range(1,65), i -> e.v[i] * cent.cv[i])) AS s FROM emb e, cent WHERE e.vec_id < 5),
+         |probes AS (SELECT query_id, qv, sqrt(list_sum(list_transform(qv, x -> x * x))) AS nq, c AS cell FROM qscore QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, c DESC) <= 4),
+         |scored AS (SELECT DISTINCT pr.query_id, corpus.vec_id, round(list_sum(list_transform(range(1,65), i -> pr.qv[i] * corpus.v[i])) / (pr.nq * corpus.nv), 6) AS cosine
+         |  FROM probes pr JOIN corpus USING (cell) WHERE corpus.vec_id != pr.query_id)
+         |SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank, vec_id, cosine
+         |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    // ns20 = ns13's IVF pipeline with the coarse quantizer trained on the
+    // 80% corpus only (the frozen-centroid update contract): centroid
+    // ranking is restricted to vec_id % 5 != 0, assignment covers ALL
+    // vectors (corpus-built index + appended batch).
+    "ns20_simsearch_ivf_update" ->
+      ("""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |ranked AS (SELECT vec_id, v, row_number() OVER (ORDER BY ('0x' || substr(md5('centroid:' || vec_id), 1, 15))::BIGINT, vec_id) - 1 AS c FROM emb WHERE vec_id % 5 != 0),
          |cent AS (SELECT c, CASE WHEN nrm = 0 THEN list_transform(v, x -> 0.0) ELSE list_transform(v, x -> x / nrm) END AS cv
          |  FROM (SELECT c, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM ranked WHERE c < 16)),
          |ascore AS (SELECT e.vec_id, e.v, cent.c, list_sum(list_transform(range(1,65), i -> e.v[i] * cent.cv[i])) AS s FROM emb e, cent),

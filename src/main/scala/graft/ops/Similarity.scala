@@ -177,9 +177,13 @@ object Similarity {
     * centroid table beside them — the 100 TB serving shape: a probe then
     * reads only its cells' files (partition-pruned scan) instead of the
     * whole corpus. Centroids are tiny (C×dims doubles) and stored as text
-    * so the index is self-contained. */
+    * so the index is self-contained. An optional source `fingerprint`
+    * (see [[Dedup.sourceFingerprint]]) is stamped beside the centroids and
+    * re-checked by [[ivfIndexMatches]], the same staleness contract as the
+    * minhash index. */
   def writeIvfIndex(
-      embeddings: DataFrame, path: String, numCentroids: Int = 16): Unit = {
+      embeddings: DataFrame, path: String, numCentroids: Int = 16,
+      fingerprint: Option[String] = None): Unit = {
     val corpus = normalizedCorpus(embeddings)
     val centroids = centroidVectors(corpus, numCentroids)
     corpus.withColumn("cell",
@@ -189,10 +193,55 @@ object Similarity {
       s"$i:${v.mkString(",")}"
     }.mkString("\n")
     IndexSidecar.write(embeddings.sparkSession, centroidsPath(path), text)
+    fingerprint.foreach(f => IndexSidecar.write(
+      embeddings.sparkSession, fingerprintPath(path), f))
+  }
+
+  /** Append new vectors to a persisted [[writeIvfIndex]] index. The coarse
+    * quantizer (centroid table) stays FROZEN — standard IVF practice: new
+    * vectors are assigned to their nearest existing cell in one narrow
+    * scan, so the index keeps serving across ingest with no retrain and
+    * per-tick work proportional to the batch. Recall degrades only if the
+    * data distribution drifts from the one the quantizer was sampled on —
+    * the rebuild (writeIvfIndex) is the retrain. Single writer per index;
+    * readers between ticks (same contract as
+    * [[Dedup.updateMinhashIndex]]). */
+  def updateIvfIndex(newEmbeddings: DataFrame, path: String): Unit = {
+    val centroids = readCentroids(newEmbeddings.sparkSession, path)
+    normalizedCorpus(newEmbeddings)
+      .withColumn("cell",
+        array_max(cellScores(col("v"), centroids)).getField("c"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
+  /** True iff an IVF index exists at `path` AND was stamped with exactly
+    * `fingerprint` — unstamped or stale indexes fail, so callers rebuild
+    * instead of serving from the wrong corpus. */
+  def ivfIndexMatches(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      fingerprint: String): Boolean = {
+    val p = fingerprintPath(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) &&
+      IndexSidecar.read(spark, p) == fingerprint
+  }
+
+  /** Copy a persisted IVF index (cells + sidecars) to a new location —
+    * branch a working index off a shared base (Hadoop-FS-portable). */
+  def copyIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, src: String, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val from = new org.apache.hadoop.fs.Path(src)
+    val to = new org.apache.hadoop.fs.Path(dst)
+    org.apache.hadoop.fs.FileUtil.copy(
+      from.getFileSystem(conf), from, to.getFileSystem(conf), to,
+      false, true, conf)
   }
 
   private def centroidsPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "_centroids.txt")
+
+  private def fingerprintPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_fingerprint.txt")
 
   private[ops] def readCentroids(
       spark: org.apache.spark.sql.SparkSession,

@@ -54,6 +54,48 @@ object StreamingDedup {
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
   }
 
+  /** Continuous-ingest dedup against a persisted minhash corpus index
+    * ([[graft.ops.Dedup.writeMinhashIndex]]): every micro-batch is
+    * deduplicated against the corpus PLUS everything accepted in earlier
+    * batches ([[graft.ops.Dedup.incrementalNewFromIndex]]), and its
+    * survivors are appended both to `acceptedSink` (parquet) and to the
+    * index itself ([[graft.ops.Dedup.updateMinhashIndex]]) so later batches
+    * see them. The streaming version of the ns18 two-tick lifecycle, run
+    * forever.
+    *
+    * `foreachBatch` is the right tool here — the dedup decision is a batch
+    * join against index files, not row-local state, so the state lives IN
+    * the index rather than the state store: a restarted query resumes from
+    * the index contents with no state-store recovery, and the index stays
+    * usable by batch consumers between ticks. Micro-batches execute
+    * serially, which is exactly the single-writer-per-index contract the
+    * append path assumes. Exactly-once note: foreachBatch is
+    * at-least-once — a batch REPLAYED after a crash between the index
+    * append and the checkpoint commit re-appends its survivors, which
+    * duplicates index rows (harmless for the decision: candidates are
+    * distinct()-ed) but can duplicate sink rows; idempotent sinks should
+    * key on doc_id. */
+  def indexedIngestDedup(
+      newDocs: DataFrame,
+      indexPath: String,
+      acceptedSink: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // snapshot before the append: the survivor plan reads the same
+        // index files the append rewrites
+        val survivors = graft.ops.Dedup
+          .incrementalNewFromIndex(batch.toDF(), indexPath)
+          .localCheckpoint(true)
+        if (!survivors.isEmpty) {
+          graft.ops.Dedup.updateMinhashIndex(survivors, indexPath)
+          survivors.write.mode("append").parquet(acceptedSink)
+        }
+        ()
+      }
+      .start()
+
   final case class LangStats(lang: String, docs: Long, tokens: Long)
 
   /** Running per-language doc/token totals via explicit keyed state

@@ -576,6 +576,57 @@ class SimilaritySpec extends AnyFunSuite {
       scanLine.getOrElse(plan.take(1500)))
   }
 
+  test("updateIvfIndex appends to frozen cells: new vectors are found, base untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_upd").toString
+    val base = s"$dir/base"
+    // corpus: 100 random vectors; batch: near-twins of 5 of them — a twin
+    // lands in its base vector's cell (same nearest centroid), so the
+    // updated index MUST return it as its base's rank-1 neighbor
+    val rnd = new scala.util.Random(21)
+    val corpusRows = (0L until 100L)
+      .map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val batchRows = (0L until 5L).map { i =>
+      (1000L + i, corpusRows(i.toInt)._2.map(v => v + (rnd.nextFloat() - 0.5f) * 0.02f))
+    }
+    Similarity.writeIvfIndex(
+      corpusRows.toDF("vec_id", "embedding"), base, fingerprint = Some("fp-a"))
+    assert(Similarity.ivfIndexMatches(spark, base, "fp-a"))
+    assert(!Similarity.ivfIndexMatches(spark, base, "fp-b"))
+
+    val work = s"$dir/work"
+    Similarity.copyIvfIndex(spark, base, work)
+    Similarity.updateIvfIndex(batchRows.toDF("vec_id", "embedding"), work)
+
+    val qs = corpusRows.take(5)
+      .map { case (i, v) => (i, v) }.toDF("query_id", "query_vec")
+    val got = Similarity.ivfTopKFromIndex(spark, work, qs, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0L until 5L).foreach { i =>
+      assert(got(i) == 1000L + i, s"query $i top-1 should be its twin")
+    }
+    // scores match the exact scorer (appended rows never mis-score)
+    val all = corpusRows ++ batchRows
+    val bf = Similarity.bruteForceTopK(
+        all.toDF("vec_id", "embedding"), qs, k = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    Similarity.ivfTopKFromIndex(spark, work, qs, k = 1).collect().foreach { r =>
+      assert(bf(r.getLong(0)) == ((r.getLong(2), r.getDouble(3))), r.getLong(0))
+    }
+    // the branched base never saw the append
+    val baseGot = Similarity.ivfTopKFromIndex(spark, base, qs, k = 1).collect()
+      .map(_.getLong(2)).toSet
+    assert(!baseGot.exists(_ >= 1000L))
+    // partition pruning survives the append (cells stay the partition key)
+    val plan = Similarity.ivfTopKFromIndex(spark, work, qs, k = 1)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("PartitionFilters"))
+    assert(scanLine.exists(l =>
+      l.substring(l.indexOf("PartitionFilters")).take(200).contains("cell")),
+      scanLine.getOrElse(plan.take(1500)))
+  }
+
   test("IVF probed cells agree with brute force on its own candidates") {
     // every (query, vec) pair IVF returns must carry the same cosine the
     // exact scorer computes — pruning may drop pairs, never mis-score them

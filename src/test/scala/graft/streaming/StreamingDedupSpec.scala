@@ -37,6 +37,39 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(out == Set(1L, 3L, 5L))
   }
 
+  test("indexed ingest dedup: later micro-batches see earlier batches' survivors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_idx").toString
+    val idx = s"$dir/index"
+    val sink = s"$dir/accepted"
+    graft.ops.Dedup.writeMinhashIndex(Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "completely different corpus material right here"))
+      .toDF("doc_id", "text"), idx)
+
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingDedup.indexedIngestDedup(
+      in.toDF().toDF("doc_id", "text"), idx, sink, s"$dir/ckpt")
+    // batch 1: corpus exact dup + corpus near dup + one fresh doc
+    in.addData(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "entirely novel content with no overlap at all"))
+    q.processAllAvailable()
+    // batch 2: exact dup of batch 1's survivor (only the updated index can
+    // catch it) + one fresh doc
+    in.addData(
+      (4L, "entirely novel content with no overlap at all"),
+      (5L, "another brand new document nothing like the others"))
+    q.processAllAvailable()
+    q.stop()
+
+    val accepted = spark.read.parquet(sink).collect()
+      .map(_.getLong(0)).toSet
+    assert(accepted == Set(3L, 5L))
+  }
+
   test("stateless LSH band assignment matches the batch band keys") {
     val embs = Tables.load(spark, sf, "embeddings")
     val streamed = StreamingDedup.lshBands(embs)
