@@ -41,7 +41,12 @@ object Bench {
       sec
     }
 
+    // SPARK_GRAFT_BENCH_ONLY=ns5_dedup_embedding,ns2_dedup_minhash isolates
+    // queries for local iteration; the driver contract (unset) is unchanged.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // one untimed warmup pass (JIT, codegen caches, parquet footer cache,
     // ns17's one-time index build). A failed warmup is NOT silent: the name
     // is carried into the emitted JSON (`warmup_failed`) so a timed run

@@ -339,6 +339,18 @@ object SparkEntry {
     graft.ops.Similarity.ivfTopKFromIndex(s, work, simQueries(s, dir), k = 10)
   }
 
+  /** NS21 — benchmark decontamination: every 50th doc stands in for the
+    * eval set; the report lists corpus docs sharing any 4-gram with it.
+    * The benchmark side broadcasts (eval sets are MBs against a 100 TB
+    * corpus), so the corpus never shuffles before the per-doc agg. */
+  private def ns21(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.ops.Dedup.decontaminate(
+      d.where(col("doc_id") % 50 =!= 0),
+      d.where(col("doc_id") % 50 === 0),
+      shingleK = 4)
+  }
+
   /** NS16 — near-dup survivor resolution: ns2's minhash pairs → connected
     * components (min-label propagation with pointer jumping) → the
     * surviving corpus with per-survivor merge counts. The dedup DECISION a
@@ -387,6 +399,7 @@ object SparkEntry {
     "ns18_dedup_index_update" -> (ns18 _),
     "ns19_curation_de" -> (ns19 _),
     "ns20_simsearch_ivf_update" -> (ns20 _),
+    "ns21_decontaminate" -> (ns21 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -436,6 +449,13 @@ object SparkEntry {
     "ns1_dedup_exact" ->
       ("SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents " +
         "GROUP BY text ORDER BY doc_id"),
+    "ns21_decontaminate" ->
+      ("""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+3],' ') for i in range(1, len(w)-2)]) AS shingle FROM words),
+         |bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0)
+         |SELECT s.doc_id, count(DISTINCT s.shingle) AS matched_shingles, count(DISTINCT b.bench_id) AS bench_docs
+         |FROM sh s JOIN bench b USING (shingle) WHERE s.doc_id % 50 != 0
+         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin),
     "ns2_dedup_minhash" ->
       ("""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
          |sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS shingle FROM words),

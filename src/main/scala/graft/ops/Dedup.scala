@@ -525,6 +525,56 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** D7 — benchmark decontamination: flag corpus docs sharing any k-gram
+    * with a benchmark/eval set (the n-gram-overlap rule used to scrub
+    * training corpora of test-set leakage: any shared k-gram taints the
+    * doc). Output is the contamination report — one row per tainted corpus
+    * doc with its distinct matched-shingle count and how many distinct
+    * benchmark docs it overlaps; [[removeContaminated]] is the
+    * corpus-minus-report convenience.
+    *
+    * 100 TB shape: the benchmark side is eval sets — thousands of docs,
+    * MBs — while the corpus is the 100 TB side. The benchmark's shingles
+    * broadcast (auto-sized from plan statistics, explicit override, same
+    * lever contract as [[ngramJaccard]]), so the corpus is shingled in one
+    * scan, the probe join is broadcast-hash with NO corpus shuffle, and
+    * the only exchange is the per-doc aggregation over the matched triples
+    * (a tiny fraction of the corpus). The two distinct-counts share one
+    * aggregation via expand — still a single shuffle. */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      shingleK: Int = 4,
+      broadcastBenchmark: Option[Boolean] = None,
+      broadcastThresholdBytes: Long = defaultBroadcastBytes): DataFrame = {
+    val corpusSh = shingles(corpus, shingleK)
+    val benchSh = shingles(benchmark, shingleK)
+      .select(col("doc_id").as("bench_id"), col("shingle").as("bsh"))
+    val doBroadcast = broadcastBenchmark.getOrElse(
+      estimatedPostingsBytes(benchmark, shingleK) <= broadcastThresholdBytes)
+    val build = if (doBroadcast) broadcast(benchSh) else benchSh
+    corpusSh.join(build, col("shingle") === col("bsh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("matched_shingles"),
+        countDistinct(col("bench_id")).as("bench_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The corpus with every [[decontaminate]]-flagged doc removed — the
+    * writable training set. Anti-join on doc_id; the flagged-id side skips
+    * the report's counts and ordering (just the tainted ids). */
+  def removeContaminated(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      shingleK: Int = 4): DataFrame = {
+    val benchSh = shingles(benchmark, shingleK)
+      .select(col("shingle").as("bsh")).distinct()
+    val tainted = shingles(corpus, shingleK)
+      .join(broadcast(benchSh), col("shingle") === col("bsh"))
+      .select("doc_id").distinct()
+    corpus.join(tainted, Seq("doc_id"), "left_anti")
+  }
+
   /** Exact jaccard on candidate pairs from per-doc shingle sets. Set sizes
     * are bounded by doc length, so collect_set stays small per row. */
   private def verifyJaccard(

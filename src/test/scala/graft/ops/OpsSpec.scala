@@ -373,6 +373,65 @@ class DedupSpec extends AnyFunSuite {
   }
 }
 
+class DecontaminationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val benchmark = Seq(
+    (900L, "alpha beta gamma delta epsilon zeta"),
+    (901L, "one two three four five")).toDF("doc_id", "text")
+  private val corpus = Seq(
+    // shares the 4-gram "beta gamma delta epsilon" with bench 900
+    (1L, "intro words beta gamma delta epsilon outro"),
+    // shares 4-grams with BOTH benchmark docs
+    (2L, "alpha beta gamma delta and one two three four"),
+    // shares unigrams/bigrams only — below the 4-gram bar
+    (3L, "alpha beta unrelated gamma delta elsewhere"),
+    (4L, "completely clean document nothing shared here"),
+    // too short for any 4-gram
+    (5L, "tiny doc")).toDF("doc_id", "text")
+
+  test("decontaminate flags exactly the docs sharing a 4-gram, with counts") {
+    val got = Dedup.decontaminate(corpus, benchmark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: one matched shingle, one benchmark doc; doc 2: two shingles
+    // ("alpha beta gamma delta", "one two three four") across two bench docs
+    assert(got.toSeq == Seq((1L, 1L, 1L), (2L, 2L, 2L)))
+  }
+
+  test("removeContaminated is the corpus minus the flagged ids") {
+    val kept = Dedup.removeContaminated(corpus, benchmark).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L))
+  }
+
+  test("broadcast lever: forced-off plan shuffles, results identical") {
+    // silence Spark's stats-based auto-broadcast so the lever's effect on
+    // the physical plan is visible (same pattern as the ngramJaccard spec)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val on = Dedup.decontaminate(corpus, benchmark,
+        broadcastBenchmark = Some(true))
+      val off = Dedup.decontaminate(corpus, benchmark,
+        broadcastBenchmark = Some(false))
+      assert(on.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(!off.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("broadcast"))
+      assert(on.collect().toSeq == off.collect().toSeq)
+      // the auto lever reads tiny-benchmark stats and picks broadcast
+      assert(Dedup.decontaminate(corpus, benchmark)
+        .queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      // …and falls back to shuffle above the cap
+      assert(!Dedup.decontaminate(corpus, benchmark,
+          broadcastThresholdBytes = 1L)
+        .queryExecution.optimizedPlan.toString.toLowerCase.contains("broadcast"))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+}
+
 class CurationSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
