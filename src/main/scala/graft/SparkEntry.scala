@@ -351,6 +351,67 @@ object SparkEntry {
       shingleK = 4)
   }
 
+  /** NS22 — PII scrubbing: emails / IPv4s / phone numbers redacted from
+    * free text before training admission. The synthetic corpus carries no
+    * natural PII, so the query deterministically injects one of each
+    * (derived from doc_id) and the operator must find and redact exactly
+    * those — the regex engines' agreement is what's under test. Narrow
+    * codegen'd projection, zero shuffle. */
+  private def ns22(s: SparkSession, dir: String): DataFrame = {
+    val injected = docs(s, dir).select(
+      col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +49151"),
+        lpad((col("doc_id") % 10000).cast("string"), 7, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), ((col("doc_id") * 7) % 256).cast("string")).as("text"))
+    graft.ops.Privacy.scrubPii(injected)
+      .select("doc_id", "n_emails", "n_ipv4", "n_phones", "text")
+      .orderBy("doc_id")
+  }
+
+  /** NS23 — deterministic stratified sampling: rebalance the corpus by
+    * downsampling over-represented languages (en to 25%, fr to 50%) with a
+    * content-hash predicate — stable under retries, repartitioning and
+    * re-runs, unlike rand(). Zero shuffle. */
+  private def ns23(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.stratifiedSample(
+        docs(s, dir), "lang", Map("en" -> 0.25, "fr" -> 0.5))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  /** NS24 — Gopher-style repetition stats: duplicate-word and
+    * duplicate-2-gram fractions with a repetitiveness flag, as in-row
+    * array arithmetic (zero shuffle). */
+  private def ns24(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.repetitionStats(docs(s, dir))
+
+  /** NS25 — sessionization: per-user event sessions split on >8h gaps
+    * (the synthetic log's median inter-event gap is ~7.7h, so the split is
+    * non-trivial both ways). One shuffle by user_id serves the windows AND
+    * the session rollup. Timestamps are truncated nanos→micros BEFORE the
+    * gap math: DuckDB coerces the parquet TIMESTAMP(NANOS) column to
+    * microseconds, so both engines must sessionize the same values. */
+  private def ns25(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.sessionize(
+        Tables.load(s, dir, "events").withColumn("ts", expr("ts DIV 1000")),
+        gap = 28800L * 1000000L)
+      .orderBy("user_id", "session_idx")
+
+  /** NS26 — sequence packing: deterministic (seq_id, seq_off) slots inside
+    * 2048-token training sequences, packed per language in doc_id order
+    * (one shuffle, in-partition running sum). */
+  private def ns26(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.packSequences(docs(s, dir)).orderBy("doc_id")
+
+  /** NS27 — semi-structured property rollup: a numeric field extracted
+    * from the JSON props column (codegen'd get_json_object) aggregated per
+    * event type with exact-integer / selection aggregates only. */
+  private def ns27(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.enrichProps(Tables.load(s, dir, "events"))
+      .orderBy("event_type")
+
   /** NS16 — near-dup survivor resolution: ns2's minhash pairs → connected
     * components (min-label propagation with pointer jumping) → the
     * surviving corpus with per-survivor merge counts. The dedup DECISION a
@@ -400,6 +461,12 @@ object SparkEntry {
     "ns19_curation_de" -> (ns19 _),
     "ns20_simsearch_ivf_update" -> (ns20 _),
     "ns21_decontaminate" -> (ns21 _),
+    "ns22_pii_scrub" -> (ns22 _),
+    "ns23_sample_stratified" -> (ns23 _),
+    "ns24_repetition_stats" -> (ns24 _),
+    "ns25_sessionize" -> (ns25 _),
+    "ns26_pack_sequences" -> (ns26 _),
+    "ns27_events_enrich" -> (ns27 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -674,6 +741,61 @@ object SparkEntry {
          |SELECT min(doc_id) AS doc_id, min(n_words) AS n_words, min(quality_score) AS quality_score
          |FROM q WHERE pred_lang = 'de' AND quality_score >= 0.3
          |GROUP BY text ORDER BY doc_id""".stripMargin),
+    // ns22's PII injection is mirrored verbatim: BIGINT || VARCHAR coerces
+    // to the same decimal strings Spark's cast produces, and the three
+    // patterns use the Java/RE2-identical regex subset (classes, bounded
+    // repetition, \b) so counts and redactions agree byte-for-byte.
+    "ns22_pii_scrub" ->
+      ("""WITH aug AS (SELECT doc_id, text || ' contact user' || doc_id || '@example.com or +49151' || lpad((doc_id % 10000)::VARCHAR, 7, '0') || ' from 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256) AS text FROM documents),
+         |c AS (SELECT doc_id, text,
+         |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         |  len(regexp_extract_all(text, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS n_ipv4,
+         |  len(regexp_extract_all(text, '\+[0-9]{7,15}')) AS n_phones FROM aug)
+         |SELECT doc_id, n_emails, n_ipv4, n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g'),
+         |    '\+[0-9]{7,15}', '<PHONE>', 'g') AS text
+         |FROM c ORDER BY doc_id""".stripMargin),
+    "ns23_sample_stratified" ->
+      ("""SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 10000 <
+         |  (CASE WHEN lang = 'en' THEN 2500 WHEN lang = 'fr' THEN 5000 ELSE 10000 END)
+         |ORDER BY doc_id""".stripMargin),
+    // is_repetitive compares the UNROUNDED fraction in both engines (the
+    // doubles are bit-identical: same integer operands, one division).
+    "ns24_repetition_stats" ->
+      ("""WITH w AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |g AS (SELECT doc_id, w, CASE WHEN len(w) >= 2 THEN [array_to_string(w[i:i+1],' ') for i in range(1, len(w))] ELSE [] END AS g2 FROM w),
+         |f AS (SELECT doc_id, len(w) AS n_words,
+         |  1.0 - len(list_distinct(w))::DOUBLE / len(w) AS f1,
+         |  CASE WHEN len(g2) = 0 THEN 0.0 ELSE 1.0 - len(list_distinct(g2))::DOUBLE / len(g2) END AS f2 FROM g)
+         |SELECT doc_id, n_words, round(f1, 6) AS dup_word_frac,
+         |  round(f2, 6) AS dup_2gram_frac, f2 > 0.1 AS is_repetitive
+         |FROM f ORDER BY doc_id""".stripMargin),
+    // ts is parquet TIMESTAMP(NANOS): DuckDB coerces it to microseconds, so
+    // Spark truncates nanos DIV 1000 and both engines run identical integer
+    // gap arithmetic in micros.
+    "ns25_sessionize" ->
+      ("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts FROM events),
+         |l AS (SELECT user_id, event_id, ts,
+         |  CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > 28800000000 THEN 1 ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM l)
+         |SELECT user_id, session_idx::BIGINT AS session_idx, count(*) AS n_events,
+         |  min(ts) AS start_ts, max(ts) AS end_ts
+         |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin),
+    "ns26_pack_sequences" ->
+      ("""WITH t AS (SELECT doc_id, lang, ceil(length(text)::DOUBLE / 4.0)::BIGINT AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |  (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS off FROM t)
+         |SELECT doc_id, lang, n_tokens, (off // 2048)::BIGINT AS seq_id,
+         |  (off % 2048)::BIGINT AS seq_off FROM c ORDER BY doc_id""".stripMargin),
+    "ns27_events_enrich" ->
+      ("""SELECT event_type, count(*) AS n_events,
+         |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     "ns8_text_langid" ->
       ("""WITH w AS (SELECT doc_id, lang, string_split(text,' ') w FROM documents),
          |s AS (SELECT doc_id, lang,

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream shaping operators — sessionization and semi-structured
+  * property extraction over the `events` table (north-star extensions,
+  * SURVEY §7.2 M6). Interaction logs are a first-class training-data
+  * source (behavioral sequences, RLHF traces); turning a raw event log
+  * into per-user sessions is the standard first step.
+  *
+  * Timestamps are nanosecond longs end-to-end (the testdata's parquet
+  * TIMESTAMP(NANOS) read via `spark.sql.legacy.parquet.nanosAsLong`), so
+  * gap arithmetic is exact integer math in any engine.
+  */
+object Events {
+
+  /** E1 — sessionization: split each user's event stream into sessions
+    * wherever the gap to the previous event exceeds `gap` (expressed in
+    * the `ts` column's own time unit), then aggregate one row per session.
+    * Ties in `ts` break on `event_id`, so session assignment is
+    * total-order deterministic.
+    *
+    * Scale shape: ONE shuffle (hash by user_id) serves both the window
+    * (lag + running sum over the in-partition sort) and the session
+    * aggregation — the groupBy reuses the window's partitioning, so no
+    * second exchange. Per-user state never leaves its partition; skewed
+    * power users are bounded by their own event count, not corpus size. */
+  def sessionize(events: DataFrame, gap: Long): DataFrame = {
+    require(gap > 0, "gap must be positive")
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("ts"), 1).over(order)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("is_new",
+        when(prev.isNull || col("ts") - prev > gap, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"))
+  }
+
+  /** E2 — semi-structured property extraction + per-type rollup: pull a
+    * numeric field out of the JSON `props` column (codegen'd
+    * get_json_object — no UDF, no full JSON parse into a typed struct) and
+    * aggregate per event type. Aggregates are exact-integer (count/sum of
+    * longs) or selection (min/max), never float accumulation, so results
+    * are independent of partitioning and addition order.
+    *
+    * Scale shape: map-side partial aggregation into a single shuffle of
+    * (event_type, partials) — cardinality = #event types, not #events. */
+  def enrichProps(events: DataFrame, jsonField: String = "k"): DataFrame =
+    events
+      .select(col("event_type"), col("value"),
+        get_json_object(col("props"), s"$$.$jsonField").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+}

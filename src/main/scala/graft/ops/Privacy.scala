@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII scrubbing for training-data pipelines — north-star extension
+  * (SURVEY §7.2 M6). A corpus destined for model training must have
+  * emails / IP addresses / phone numbers redacted before tokenization;
+  * the reference's anonymiser (pkg/anonymiser/anonymiser.go:46-113)
+  * rewrites *configured columns wholesale*, whereas this operator rewrites
+  * *pattern matches inside free text* — the unstructured-data analogue.
+  *
+  * Scale shape: a narrow per-row projection over codegen'd regexp built-ins
+  * (no UDFs, no shuffle) — fuses into the scan stage and streams at any
+  * corpus size. Patterns are deliberately limited to a regex subset with
+  * identical semantics in Java (Spark) and RE2 (DuckDB oracle): character
+  * classes, bounded repetition, and `\b` word boundaries only — no
+  * backreferences, no lookaround.
+  */
+object Privacy {
+
+  /** Redaction patterns, applied in declaration order (emails first so the
+    * later numeric patterns never see an address's digits). Each is
+    * (name, regex, replacement-token). */
+  val patterns: Seq[(String, String, String)] = Seq(
+    ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b", "<IP>"),
+    ("phones", "\\+[0-9]{7,15}", "<PHONE>"))
+
+  /** P1 — scrub PII from a text column. Output: all input columns with
+    * `textCol` replaced by its scrubbed form, plus one `n_<name>` match
+    * count per pattern (counted BEFORE redaction, so counts are
+    * independent of application order). */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counted = patterns.foldLeft(docs) { case (df, (name, re, _)) =>
+      df.withColumn(s"n_$name", regexp_count(col(textCol), lit(re)))
+    }
+    val scrubbed = patterns.foldLeft(col(textCol)) {
+      case (c, (_, re, token)) => regexp_replace(c, re, token)
+    }
+    counted.withColumn(textCol, scrubbed)
+  }
+}

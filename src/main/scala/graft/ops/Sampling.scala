@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping operators for training-data pipelines — deterministic
+  * sampling and sequence packing (north-star extensions, SURVEY §7.2 M6).
+  *
+  * Both operators are deterministic by construction — sampling keys on a
+  * content hash, packing on a total per-stratum order — because Spark task
+  * retries and speculative execution replay partitions: `rand()`-based
+  * sampling silently changes the sample on retry, a hash predicate never
+  * does. Determinism is also what makes them oracle-checkable.
+  */
+object Sampling {
+
+  /** Per-mille-of-10000 bucket for a key: the first 16 bits of md5 of the
+    * key's decimal string, mod 10000 — engine-portable (DuckDB computes the
+    * identical bucket), uniform, and independent of row order. */
+  private def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long") % 10000
+
+  /** C1 — deterministic stratified sampling: keep a row iff its key's hash
+    * bucket falls under the stratum's rate. The canonical use is language /
+    * domain rebalancing (downsample the over-represented stratum) before
+    * training. Rates are fractions in [0,1], applied per `strataCol` value;
+    * strata absent from the map keep `defaultRate`.
+    *
+    * Scale shape: a narrow codegen'd filter — no shuffle, no sort, pushed
+    * into the scan stage. The sample is stable under data repartitioning
+    * and across runs (hash of the key, not of partition/row position). */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0,
+      keyCol: String = "doc_id"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be fractions in [0,1]")
+    val threshold = rates.foldLeft(lit((defaultRate * 10000).toInt)) {
+      case (elseCol, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit((rate * 10000).toInt))
+          .otherwise(elseCol)
+    }
+    df.where(hashBucket(col(keyCol)) < threshold)
+  }
+
+  /** C2 — sequence packing: assign each document a (seq_id, seq_off) slot
+    * inside fixed `tokenBudget` training sequences, greedily by cumulative
+    * token count in `orderCol` order within each `strataCol` partition.
+    * A doc whose tokens straddle a boundary spills into the next sequence
+    * (seq_off + n_tokens may exceed the budget) — the packer's contract is
+    * a deterministic offset assignment; the trainer decides splitting.
+    *
+    * Scale shape: ONE shuffle (hash by stratum) + an in-partition sort for
+    * the running-sum window — the classic scalable window pattern. The
+    * strata (languages/sources) bound partition count, and AQE handles a
+    * skewed stratum. A global (unstratified) packing order would serialize
+    * on a single partition — deliberately not offered. */
+  def packSequences(
+      docs: DataFrame,
+      tokenBudget: Int = 2048,
+      strataCol: String = "lang",
+      orderCol: String = "doc_id"): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    val nTokens = ceil(length(col("text")).cast("double") / 4.0).cast("long")
+    val w = Window.partitionBy(strataCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(orderCol), col(strataCol), nTokens.as("n_tokens"))
+      .withColumn("off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col(orderCol), col(strataCol), col("n_tokens"),
+        expr(s"off DIV $tokenBudget").as("seq_id"),
+        (col("off") % tokenBudget).as("seq_off"))
+  }
+}

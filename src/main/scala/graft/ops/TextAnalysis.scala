@@ -97,6 +97,40 @@ object TextAnalysis {
         .as("n_est_tokens"))
       .orderBy(col("doc_id"))
 
+  /** T5 — repetition statistics (Gopher-style quality rules): the fraction
+    * of duplicated words and duplicated word-2-grams per document, plus a
+    * repetitiveness flag. Boilerplate and spam pages repeat themselves;
+    * these two fractions are the standard cheap detectors applied before
+    * training-corpus admission.
+    *
+    * Scale shape: zero shuffle — both fractions are array arithmetic over
+    * the in-row token vector (size/array_distinct on the split words and
+    * their 2-gram transform), so the operator fuses into the scan stage.
+    * Per-row cost is linear in document length. The flag is compared on
+    * the UNROUNDED fraction (both engines compute bit-identical IEEE
+    * doubles from identical integer operands); the reported fractions are
+    * rounded only for display. */
+  def repetitionStats(
+      docs: DataFrame, dupNgramThreshold: Double = 0.1): DataFrame = {
+    val grams2 = when(size(col("w")) >= 2,
+      expr("transform(sequence(0, size(w) - 2), " +
+        "i -> concat_ws(' ', slice(w, i + 1, 2)))"))
+      .otherwise(expr("array()"))
+    val dupFrac = lit(1.0) -
+      size(array_distinct(col("w"))).cast("double") / size(col("w"))
+    val dup2Frac = when(size(col("g2")) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(col("g2"))).cast("double") /
+        size(col("g2")))
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("g2", grams2)
+      .select(
+        col("doc_id"), size(col("w")).as("n_words"),
+        round(dupFrac, 6).as("dup_word_frac"),
+        round(dup2Frac, 6).as("dup_2gram_frac"),
+        (dup2Frac > dupNgramThreshold).as("is_repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
   /** T4 — document fingerprinting: md5 of the normalized text plus a
     * 31-polynomial rolling hash mod 1e9+7 (overflow-free in 64-bit: the
     * accumulator stays < 1e9, each step < 3.3e10). The rolling hash is a

@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+/** Specs for the corpus-shaping tier: PII scrubbing, stratified sampling,
+  * repetition stats, sessionization, property rollup, sequence packing. */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- Privacy.scrubPii ---------------------------------------------------
+
+  test("scrubPii redacts emails, IPv4s, and phone numbers and counts matches") {
+    val in = Seq(
+      (1L, "reach me at jane.doe+spam@corp.example.org today"),
+      (2L, "server 192.168.1.254 and 10.0.0.1 are down"),
+      (3L, "call +4915112345678 or +12025550117"),
+      (4L, "nothing sensitive here"),
+      (5L, "mix a@b.co 8.8.8.8 +1234567 end")).toDF("doc_id", "text")
+    val out = Privacy.scrubPii(in).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_emails"), r.getAs[Int]("n_ipv4"),
+          r.getAs[Int]("n_phones"), r.getAs[String]("text")))).toMap
+    assert(out(1L) == ((1, 0, 0, "reach me at <EMAIL> today")))
+    assert(out(2L) == ((0, 2, 0, "server <IP> and <IP> are down")))
+    assert(out(3L) == ((0, 0, 2, "call <PHONE> or <PHONE>")))
+    assert(out(4L) == ((0, 0, 0, "nothing sensitive here")))
+    assert(out(5L) == ((1, 1, 1, "mix <EMAIL> <IP> <PHONE> end")))
+  }
+
+  test("scrubPii keeps non-PII digit runs intact") {
+    val in = Seq((1L, "version 1.2.3 of 2024 costs 19.99")).toDF("doc_id", "text")
+    val out = Privacy.scrubPii(in).select("text").as[String].head()
+    // 1.2.3 has only three octets, 19.99 two; bare numbers have no '+'
+    assert(out == "version 1.2.3 of 2024 costs 19.99")
+  }
+
+  test("scrubPii is a zero-shuffle projection") {
+    val p = Privacy.scrubPii(Tables.load(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(1200))
+  }
+
+  // ---- Sampling.stratifiedSample ------------------------------------------
+
+  test("stratified sample downsamples strata to ~rate and is deterministic") {
+    val docs = Tables.load(spark, sf, "documents")
+    val sampled =
+      Sampling.stratifiedSample(docs, "lang", Map("en" -> 0.25, "fr" -> 0.5))
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // un-sampled strata pass through whole; sampled strata land near rate
+    // (md5 buckets are uniform; sf0.001 strata are 70-200 docs)
+    assert(byLang("de") == full("de"))
+    assert(byLang("zh") == full("zh"))
+    val enRate = byLang("en").toDouble / full("en")
+    assert(enRate > 0.1 && enRate < 0.4, s"en rate $enRate")
+    // deterministic: same predicate, same rows, every run
+    val again =
+      Sampling.stratifiedSample(docs, "lang", Map("en" -> 0.25, "fr" -> 0.5))
+    assert(sampled.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("stratified sample is a zero-shuffle filter and rejects bad rates") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = Sampling.stratifiedSample(docs, "lang", Map("en" -> 0.25))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(1200))
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(docs, "lang", Map("en" -> 1.5))
+    }
+  }
+
+  // ---- TextAnalysis.repetitionStats ---------------------------------------
+
+  test("repetitionStats computes duplicate-word and 2-gram fractions") {
+    val in = Seq(
+      (1L, "a a a a"),             // 1 distinct of 4 words; 1 distinct of 3 2-grams
+      (2L, "w x y z"),             // no repetition
+      (3L, "one"),                 // single word: no 2-grams
+      (4L, "go go stop go stop")). // 2 distinct of 5; 2-grams: [go go, go stop, stop go, go stop] -> 3 distinct of 4
+      toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(in).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_words"), r.getAs[Double]("dup_word_frac"),
+          r.getAs[Double]("dup_2gram_frac"), r.getAs[Boolean]("is_repetitive"))))
+      .toMap
+    assert(out(1L)._1 == 4 && out(1L)._2 == 0.75 &&
+      out(1L)._3 > 0.66 && out(1L)._4)
+    assert(out(2L) == ((4, 0.0, 0.0, false)))
+    assert(out(3L) == ((1, 0.0, 0.0, false)))
+    assert(out(4L)._2 == 0.6 && out(4L)._3 == 0.25 && out(4L)._4)
+  }
+
+  test("repetitionStats is shuffle-free before its presentation sort") {
+    val in = Tables.load(spark, sf, "documents")
+    // drop the operator's orderBy (presentation only) to pin the compute shape
+    val stats = TextAnalysis.repetitionStats(in)
+    val p = stats.queryExecution.executedPlan.toString
+    // a global sort plans a rangepartitioning exchange; the compute itself
+    // must introduce no hashpartitioning exchange
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
+  }
+
+  // ---- Events.sessionize / enrichProps ------------------------------------
+
+  test("sessionize splits on gap and aggregates per session") {
+    val in = Seq(
+      // user 1: events at t=0, 10, 500 (gap 490 > 100 -> new session), 590
+      (101L, 0L, 1L), (102L, 10L, 1L), (103L, 500L, 1L), (104L, 590L, 1L),
+      // user 2: single event
+      (201L, 50L, 2L),
+      // user 3: tie timestamps break on event_id, one session
+      (302L, 20L, 3L), (301L, 20L, 3L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = Events.sessionize(in, gap = 100L).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("start_ts"),
+          r.getAs[Long]("end_ts")))).toMap
+    assert(out((1L, 1L)) == ((2L, 0L, 10L)))
+    assert(out((1L, 2L)) == ((2L, 500L, 590L)))
+    assert(out((2L, 1L)) == ((1L, 50L, 50L)))
+    assert(out((3L, 1L)) == ((2L, 20L, 20L)))
+    assert(out.size == 4)
+  }
+
+  test("sessionize plans ONE exchange: the groupBy reuses the window's partitioning") {
+    val events = Tables.load(spark, sf, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("ts DIV 1000"))
+    val p = Events.sessionize(events, gap = 1000000L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, plan:\n${p.take(2000)}")
+  }
+
+  test("enrichProps extracts the JSON field and aggregates exactly") {
+    val in = Seq(
+      ("click", """{"k": 3}""", 1.5),
+      ("click", """{"k": 4}""", 2.5),
+      ("view", """{"k": 10}""", -1.0),
+      ("view", null.asInstanceOf[String], 7.0) // null props -> null k, sum skips
+    ).toDF("event_type", "props", "value")
+    val out = Events.enrichProps(in).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("sum_k"),
+          r.getAs[Double]("min_value"), r.getAs[Double]("max_value")))).toMap
+    assert(out("click") == ((2L, 7L, 1.5, 2.5)))
+    assert(out("view") == ((2L, 10L, -1.0, 7.0)))
+  }
+
+  // ---- Sampling.packSequences ----------------------------------------------
+
+  test("packSequences assigns contiguous deterministic slots per stratum") {
+    val in = Seq(
+      (1L, "en", "x" * 40), // 10 tokens -> seq 0 off 0
+      (2L, "en", "x" * 20), // 5 tokens  -> seq 0 off 10
+      (3L, "en", "x" * 8),  // 2 tokens  -> seq 1 off 7  (budget 16: off 15 -> 15 DIV 16 = 0... )
+      (4L, "de", "x" * 4)   // 1 token   -> seq 0 off 0 (own stratum)
+    ).toDF("doc_id", "lang", "text")
+    val out = Sampling.packSequences(in, tokenBudget = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("seq_id"),
+          r.getAs[Long]("seq_off")))).toMap
+    // budget 8: en cum offsets 0, 10, 15 -> seqs 0, 1, 1; offs 0, 2, 7
+    assert(out(1L) == ((10L, 0L, 0L)))
+    assert(out(2L) == ((5L, 1L, 2L)))
+    assert(out(3L) == ((2L, 1L, 7L)))
+    assert(out(4L) == ((1L, 0L, 0L)))
+  }
+
+  test("packSequences never loses or duplicates tokens within a stratum") {
+    val docs = Tables.load(spark, sf, "documents")
+    val packed = Sampling.packSequences(docs)
+    import org.apache.spark.sql.functions._
+    // per stratum: max(seq_id * budget + seq_off + n_tokens) == sum(n_tokens)
+    val byLang = packed.groupBy("lang")
+      .agg(sum("n_tokens").as("total"),
+        max(col("seq_id") * 2048 + col("seq_off") + col("n_tokens")).as("hi"))
+      .collect()
+    byLang.foreach { r =>
+      assert(r.getAs[Long]("total") == r.getAs[Long]("hi"),
+        s"stratum ${r.getString(0)}")
+    }
+  }
+}
