@@ -412,6 +412,30 @@ object SparkEntry {
     graft.ops.Events.enrichProps(Tables.load(s, dir, "events"))
       .orderBy("event_type")
 
+  /** NS28 — as-of join: each purchase attributed to the user's most recent
+    * strictly-preceding click (left-outer: purchases with no prior click
+    * keep nulls), plus the attribution gap. ONE shuffle on user_id — the
+    * union+window reformulation, never a pairwise range join. Timestamps
+    * truncated nanos→micros as in ns25 so both engines do identical
+    * integer time math. */
+  private def ns28(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("ts", expr("ts DIV 1000"))
+    graft.ops.Events.asOfJoin(
+        ev.where(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id", "value"),
+        ev.where(col("event_type") === "click")
+          .select("user_id", "ts", "event_id"))
+      .withColumn("gap_us", col("ts") - col("asof_ts"))
+      .orderBy("event_id")
+  }
+
+  /** NS29 — boilerplate detection: per-doc fraction of 3-grams shared by
+    * ≥3 documents corpus-wide; docs above 50% are template chrome. Three
+    * narrow shuffles, nothing pairwise, no broadcast assumption. */
+  private def ns29(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.boilerplate(docs(s, dir))
+
   /** NS16 — near-dup survivor resolution: ns2's minhash pairs → connected
     * components (min-label propagation with pointer jumping) → the
     * surviving corpus with per-survivor merge counts. The dedup DECISION a
@@ -467,6 +491,8 @@ object SparkEntry {
     "ns25_sessionize" -> (ns25 _),
     "ns26_pack_sequences" -> (ns26 _),
     "ns27_events_enrich" -> (ns27 _),
+    "ns28_events_asof" -> (ns28 _),
+    "ns29_boilerplate" -> (ns29 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -796,6 +822,27 @@ object SparkEntry {
          |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
          |  min(value) AS min_value, max(value) AS max_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    // ns28 mirrors the union+window as-of reformulation directly: DuckDB's
+    // IGNORE NULLS last_value over the same (ts, event_id) total order
+    // reproduces the strict-past match, including the null (no prior
+    // click) attributions.
+    "ns28_events_asof" ->
+      ("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts, event_type, value FROM events WHERE event_type IN ('click', 'purchase')),
+         |w AS (SELECT user_id, event_id, ts, event_type, value,
+         |  last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER win AS asof_event_id,
+         |  last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) OVER win AS asof_ts
+         |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))
+         |SELECT user_id, ts, event_id, value, asof_event_id, asof_ts, ts - asof_ts AS gap_us
+         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin),
+    "ns29_boilerplate" ->
+      ("""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS shingle FROM words),
+         |freq AS (SELECT shingle, count(*) AS doc_freq FROM sh GROUP BY shingle),
+         |j AS (SELECT s.doc_id, f.doc_freq FROM sh s JOIN freq f USING (shingle)),
+         |a AS (SELECT doc_id, count(*) AS n_grams, sum(CASE WHEN doc_freq >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_boiler FROM j GROUP BY doc_id)
+         |SELECT doc_id, n_grams, n_boiler, round(n_boiler::DOUBLE / n_grams, 6) AS boiler_frac,
+         |  n_boiler::DOUBLE / n_grams > 0.5 AS is_boiler
+         |FROM a ORDER BY doc_id""".stripMargin),
     "ns8_text_langid" ->
       ("""WITH w AS (SELECT doc_id, lang, string_split(text,' ') w FROM documents),
          |s AS (SELECT doc_id, lang,

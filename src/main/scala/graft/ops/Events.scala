@@ -45,6 +45,65 @@ object Events {
         max(col("ts")).as("end_ts"))
   }
 
+  /** E3 — as-of join: attach to each left row the most recent right row at
+    * or before it in event time, per key — the standard attribution /
+    * point-in-time-correctness join (each purchase ← the user's latest
+    * preceding click; each trade ← the prevailing quote). Spark has no
+    * native ASOF JOIN (DuckDB/kdb/pandas do), and the naive formulations
+    * are quadratic (a θ-join on `r.ts <= l.ts` explodes into a
+    * nested-loop/range join; a per-left-row subquery rescans the right
+    * side). This is the scalable reformulation: union both sides, ONE
+    * window over (key, time) carries the latest right payload forward,
+    * filter back to left rows.
+    *
+    * Match semantics are strict-past in the total order (tsCol, tieCol):
+    * a right row matches iff (r.ts, r.tie) < (l.ts, l.tie)
+    * lexicographically — deterministic under timestamp ties, provided
+    * (tsCol, tieCol) is unique across the union (e.g. both sides drawn
+    * from one event log with unique event ids). Left rows with no
+    * preceding right row keep null matches (left-outer semantics).
+    *
+    * Scale shape: ONE shuffle (hash by `keyCol`) + the in-partition sort
+    * for the window — identical cost to a groupBy over the union, NOT a
+    * pairwise join. Per-key work is linear in that key's event count, so
+    * skew is bounded by the busiest key, and the carried state is one
+    * payload struct per row. Would hold at 100× — the union never
+    * materializes pairs.
+    *
+    * Output: every `left` column, plus each `payloadCols` column from the
+    * matched right row as `asof_<name>`. */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      payloadCols: Seq[String] = Seq("event_id", "ts")): DataFrame = {
+    require(payloadCols.nonEmpty, "payloadCols must be non-empty")
+    val orderCols = Seq(keyCol, tsCol, tieCol)
+    val rTagged = right.select(
+      orderCols.map(col) :+
+        struct(payloadCols.map(col): _*).as("_asof_p"): _*)
+    // left keeps every column; right-side rows null-fill them (typed)
+    val lExtras = left.columns.filterNot(orderCols.contains).toSeq
+    val lTagged = left
+      .withColumn("_asof_p",
+        lit(null).cast(rTagged.schema("_asof_p").dataType))
+      .withColumn("_asof_is_left", lit(1))
+    val rAligned = lExtras.foldLeft(rTagged) { (df, c) =>
+        df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }.withColumn("_asof_is_left", lit(0))
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, tieCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // on a left row the current row's payload is null, so ignoreNulls-last
+    // lands on the latest right row strictly earlier in the total order
+    lTagged.unionByName(rAligned)
+      .withColumn("_asof_m", last(col("_asof_p"), ignoreNulls = true).over(w))
+      .where(col("_asof_is_left") === 1)
+      .select(left.columns.map(col) ++
+        payloadCols.map(c => col(s"_asof_m.$c").as(s"asof_$c")): _*)
+  }
+
   /** E2 — semi-structured property extraction + per-type rollup: pull a
     * numeric field out of the JSON `props` column (codegen'd
     * get_json_object — no UDF, no full JSON parse into a typed struct) and

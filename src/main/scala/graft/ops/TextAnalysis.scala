@@ -131,6 +131,53 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** T6 — boilerplate detection: corpus-frequency heavy hitters at the
+    * k-gram level. Navigation chrome, cookie banners and license headers
+    * recur VERBATIM across many documents; a k-gram present in ≥ `minDocs`
+    * distinct docs is boilerplate, and a doc whose gram stream is mostly
+    * boilerplate is template chrome, not content. This is the
+    * corpus-level complement of [[repetitionStats]] (which sees only
+    * within-doc repetition) — the standard pair of cheap filters applied
+    * before training-corpus admission.
+    *
+    * Scale shape: three narrow shuffles, none pairwise — (1) per-doc
+    * distinct grams aggregate to (gram, doc_freq) with map-side combine;
+    * (2) the gram stream equality-joins doc_freq back on the gram key;
+    * (3) per-doc counts aggregate with map-side combine. Every shuffled
+    * row is a few fixed-width columns. The doc_freq join carries no
+    * broadcast hint: nothing here assumes the gram-frequency table fits in
+    * memory (a 100 TB corpus has billions of distinct grams) — if AQE's
+    * measured runtime size proves it small, Spark may still elect a
+    * broadcast on evidence, which is the right call when true. The flag
+    * compares the
+    * UNROUNDED fraction (identical integer operands in both engines); the
+    * reported fraction is rounded for display only.
+    *
+    * Docs with fewer than `shingleK` words have no grams and are absent
+    * from the output (nothing to classify). */
+  def boilerplate(
+      docs: DataFrame,
+      shingleK: Int = 3,
+      minDocs: Int = 3,
+      flagThreshold: Double = 0.5): DataFrame = {
+    require(minDocs >= 2, "minDocs must be at least 2")
+    val grams = graft.ops.Dedup.shingles(docs, shingleK)
+    val freq = grams.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("doc_freq"))
+    val frac = col("n_boiler").cast("double") / col("n_grams")
+    grams.join(freq, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("doc_freq") >= minDocs, 1L).otherwise(0L))
+          .as("n_boiler"))
+      .select(
+        col("doc_id"), col("n_grams"), col("n_boiler"),
+        round(frac, 6).as("boiler_frac"),
+        (frac > flagThreshold).as("is_boiler"))
+      .orderBy(col("doc_id"))
+  }
+
   /** T4 — document fingerprinting: md5 of the normalized text plus a
     * 31-polynomial rolling hash mod 1e9+7 (overflow-free in 64-bit: the
     * accumulator stays < 1e9, each step < 3.3e10). The rolling hash is a

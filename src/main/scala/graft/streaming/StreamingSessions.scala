@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Streaming sessionization — the incremental counterpart of
+  * [[graft.ops.Events.sessionize]] (SURVEY §7.2 M6 extension; the
+  * reference is strictly batch). An RLHF / interaction-log pipeline wants
+  * sessions AS THEY CLOSE, not at the end of a nightly batch; this is the
+  * `flatMapGroupsWithState` shape for that: keyed state holds at most ONE
+  * open session per user, closed sessions are emitted in Append mode, and
+  * an EVENT-TIME timeout closes idle sessions once the watermark proves no
+  * in-gap event can still arrive.
+  *
+  * State discipline at scale: per-user state is one `SessState` (four
+  * longs) regardless of event volume — bounded by ACTIVE users, not
+  * events. The event-time timeout drains idle users' open sessions; what
+  * remains after a close is the 16-byte session counter, kept so that a
+  * returning user's numbering continues exactly where the batch operator's
+  * would (dropping it would reset numbering — correctness, not hygiene).
+  *
+  * Equivalence contract (spec-pinned): for events that respect the
+  * watermark (nothing arrives later than `lateness` after the stream's
+  * max event time), the closed sessions equal
+  * [[graft.ops.Events.sessionize]] on the same rows — same splits, same
+  * `session_idx` numbering, same aggregates. Out-of-order arrival WITHIN
+  * a micro-batch is handled unconditionally (the group's rows are sorted
+  * by (ts, event_id) before folding); arrival later than the watermark is
+  * out-of-contract, exactly as in [[StreamingDedup.exactDedup]].
+  *
+  * `ts` is microseconds since epoch (the testdata's nanos DIV 1000, as in
+  * ns25) so gap arithmetic is exact integer math; the watermark column is
+  * derived via `timestamp_micros`. */
+object StreamingSessions {
+
+  final case class Ev(user_id: Long, event_id: Long, ts: Long)
+
+  /** `Ev` plus the derived watermark column — the watermark attribute must
+    * remain in the grouped Dataset's schema for EventTimeTimeout to
+    * resolve. Public only because Catalyst's generated deserializer must
+    * instantiate it; not part of the operator's API. */
+  final case class EvT(
+      user_id: Long, event_id: Long, ts: Long,
+      event_time: java.sql.Timestamp)
+
+  /** One open session: bounds + running count. */
+  final case class OpenSess(startTs: Long, lastTs: Long, nEvents: Long)
+
+  /** Per-user state: `idx` numbers the open session when `open` is
+    * defined, else the next session to open. */
+  final case class SessState(idx: Long, open: Option[OpenSess])
+
+  final case class SessionOut(
+      user_id: Long, session_idx: Long, n_events: Long,
+      start_ts: Long, end_ts: Long)
+
+  /** Streaming per-user sessionization with gap `gapUs` (microseconds).
+    * Emits each session once, when it closes — either because a later
+    * event broke the gap, or because the event-time watermark passed
+    * `lastTs + gapUs` (idle timeout). */
+  def sessions(
+      events: Dataset[Ev],
+      gapUs: Long,
+      lateness: String = "0 microseconds"): Dataset[SessionOut] = {
+    require(gapUs > 0, "gapUs must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF()
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", lateness)
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, rows, state) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap: no in-contract event can
+            // extend this session any more — flush it, keep the counter
+            val st = state.get
+            val out = st.open.map(o =>
+              SessionOut(userId, st.idx, o.nEvents, o.startTs, o.lastTs))
+            state.update(SessState(st.idx + 1, None))
+            out.iterator
+          } else {
+            val st0 = state.getOption.getOrElse(SessState(1L, None))
+            var idx = st0.idx
+            var open = st0.open
+            val closed = List.newBuilder[SessionOut]
+            // a micro-batch delivers a group's rows in arbitrary order;
+            // per-user-per-batch volumes make this sort cheap
+            rows.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+              open match {
+                case Some(o) if e.ts - o.lastTs <= gapUs =>
+                  open = Some(o.copy(lastTs = e.ts, nEvents = o.nEvents + 1))
+                case Some(o) =>
+                  closed += SessionOut(userId, idx, o.nEvents, o.startTs, o.lastTs)
+                  idx += 1
+                  open = Some(OpenSess(e.ts, e.ts, 1L))
+                case None =>
+                  open = Some(OpenSess(e.ts, e.ts, 1L))
+              }
+            }
+            state.update(SessState(idx, open))
+            open.foreach { o =>
+              // ceil to ms so the timeout can never fire EARLY (early
+              // would close a session an in-gap event could still extend;
+              // a late close is always safe). Clamp above the current
+              // watermark: an already-expired session closes on the next
+              // batch rather than failing the set call.
+              val timeoutMs = math.max((o.lastTs + gapUs) / 1000 + 1,
+                state.getCurrentWatermarkMs() + 1)
+              state.setTimeoutTimestamp(timeoutMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

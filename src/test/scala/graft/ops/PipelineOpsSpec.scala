@@ -188,4 +188,86 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"stratum ${r.getString(0)}")
     }
   }
+
+  // ---- Events.asOfJoin -----------------------------------------------------
+
+  test("asOfJoin matches the latest strictly-preceding right row per key") {
+    val purchases = Seq(
+      (1L, 100L, 11L, 9.99),  // after clicks at 50, 90 -> matches 90
+      (1L, 100L, 12L, 5.00),  // same ts as event 11; still matches click 90
+      (1L, 40L, 13L, 1.00),   // before any click -> null match
+      (2L, 200L, 21L, 2.50),  // user 2's only click is at ts 200 with a
+                              // SMALLER event_id -> strict-past includes it
+      (3L, 10L, 31L, 7.00)    // user 3 has no clicks at all -> null
+    ).toDF("user_id", "ts", "event_id", "value")
+    val clicks = Seq(
+      (1L, 50L, 1L), (1L, 90L, 2L), (1L, 100L, 99L), // 99 > 12: NOT eligible
+      (2L, 200L, 20L)
+    ).toDF("user_id", "ts", "event_id")
+    val out = Events.asOfJoin(purchases, clicks).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.getAs[java.lang.Long]("asof_event_id")),
+          Option(r.getAs[java.lang.Long]("asof_ts"))))).toMap
+    assert(out(11L) == ((Some(2L), Some(90L))))
+    assert(out(12L) == ((Some(2L), Some(90L))))
+    assert(out(13L) == ((None, None)))
+    assert(out(21L) == ((Some(20L), Some(200L))))
+    assert(out(31L) == ((None, None)))
+    assert(out.size == 5)
+  }
+
+  test("asOfJoin plans ONE hash exchange pair, never a pairwise join") {
+    val ev = Tables.load(spark, sf, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("ts DIV 1000"))
+    import org.apache.spark.sql.functions.col
+    val p = Events.asOfJoin(
+        ev.where(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id", "value"),
+        ev.where(col("event_type") === "click")
+          .select("user_id", "ts", "event_id"))
+      .queryExecution.executedPlan.toString
+    // the union's two legs each exchange on user_id into the one window
+    // sort; no join operator of any kind appears
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val windows = "Window".r.findAllIn(p).size
+    assert(windows >= 1)
+  }
+
+  // ---- TextAnalysis.boilerplate -------------------------------------------
+
+  test("boilerplate counts corpus-frequent grams per doc") {
+    val in = Seq(
+      (1L, "accept all cookies to continue reading alpha"),
+      (2L, "accept all cookies to continue reading beta"),
+      (3L, "accept all cookies to continue reading gamma"),
+      (4L, "entirely original prose with no shared phrasing"),
+      (5L, "tiny doc") // < 3 words: no grams, absent from output
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplate(in, shingleK = 3, minDocs = 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_boiler"),
+          r.getAs[Boolean]("is_boiler")))).toMap
+    // docs 1-3 share the 4 grams inside "accept all cookies to continue
+    // reading"; their 7th word is unique so the last 2 grams differ
+    assert(out(1L) == ((5L, 4L, true)))
+    assert(out(2L) == ((5L, 4L, true)))
+    assert(out(3L) == ((5L, 4L, true)))
+    assert(out(4L) == ((5L, 0L, false)))
+    assert(!out.contains(5L))
+  }
+
+  test("boilerplate joins on gram equality only, with no broadcast hint") {
+    val docs = Tables.load(spark, sf, "documents")
+    val df = TextAnalysis.boilerplate(docs)
+    // no un-sized broadcast is ASSUMED: the logical plan carries no
+    // broadcast hint (AQE may still elect one from measured sizes, which
+    // is evidence, not assumption) — and the join is equality, never a
+    // nested loop
+    assert(!df.queryExecution.logical.toString.contains("ResolvedHint"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
 }

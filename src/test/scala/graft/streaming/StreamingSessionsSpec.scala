@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+import graft.streaming.StreamingSessions.Ev
+
+/** Streaming sessionization: gap-close and idle-timeout emission, counter
+  * continuity across a timeout, and full equivalence with the batch
+  * operator over the real event log. */
+class StreamingSessionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val gap = 1000000L // 1s in micros
+
+  private def run(chunks: Seq[Seq[Ev]], name: String): Map[(Long, Long), (Long, Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingSessions.sessions(in.toDS(), gap)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    spark.table(name).collect().map { r =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("start_ts"),
+          r.getAs[Long]("end_ts")))
+    }.toMap
+  }
+
+  test("sessions close on gap break and on idle event-time timeout") {
+    val t0 = 1700000000L * 1000000L
+    val out = run(Seq(
+      // user 1: two events 0.5s apart (one session), user 2: one event
+      Seq(Ev(1L, 10L, t0), Ev(1L, 11L, t0 + 500000L), Ev(2L, 20L, t0)),
+      // user 1's third event breaks the gap -> session 1 closes in-batch;
+      // this batch also advances the watermark to t0 + 10s, but timeouts
+      // evaluate on the NEXT batch
+      Seq(Ev(1L, 12L, t0 + 10000000L)),
+      // watermark-advancing tick (sentinel user): user 1's open session 2
+      // and user 2's session 1 time out
+      Seq(Ev(99L, 90L, t0 + 40000000L)),
+      Seq(Ev(99L, 91L, t0 + 80000000L))
+    ), "sess_basic")
+    val real = out.filter { case ((u, _), _) => u != 99L }
+    assert(real == Map(
+      (1L, 1L) -> ((2L, t0, t0 + 500000L)),
+      (1L, 2L) -> ((1L, t0 + 10000000L, t0 + 10000000L)),
+      (2L, 1L) -> ((1L, t0, t0))))
+  }
+
+  test("session numbering continues across an idle timeout") {
+    val t0 = 1700000000L * 1000000L
+    val out = run(Seq(
+      Seq(Ev(1L, 10L, t0)),
+      Seq(Ev(99L, 90L, t0 + 30000000L)), // advances watermark
+      Seq(Ev(99L, 91L, t0 + 60000000L)), // fires user 1's timeout
+      // user 1 returns AFTER the timeout-close: must be session_idx 2,
+      // exactly as the batch operator would number it
+      Seq(Ev(1L, 11L, t0 + 90000000L)),
+      Seq(Ev(99L, 92L, t0 + 120000000L)),
+      Seq(Ev(99L, 93L, t0 + 150000000L))
+    ), "sess_counter")
+    assert(out((1L, 1L)) == ((1L, t0, t0)))
+    assert(out((1L, 2L)) == ((1L, t0 + 90000000L, t0 + 90000000L)))
+  }
+
+  test("closed streaming sessions equal the batch operator on the real event log") {
+    import spark.implicits._
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("ts", expr("ts DIV 1000"))
+      .select("user_id", "event_id", "ts").as[Ev]
+      .collect().sortBy(e => (e.ts, e.event_id)).toSeq
+    val batchGap = 28800L * 1000000L // 8h, as in ns25
+    // stream in three event-time-ordered chunks (intra-chunk order is
+    // scrambled deterministically: the fold sorts per batch), then two
+    // sentinel ticks to flush every open session via timeout
+    val n = events.length
+    val maxTs = events.last.ts
+    val chunks = Seq(
+      events.slice(0, n / 3).reverse,
+      events.slice(n / 3, 2 * n / 3).reverse,
+      events.slice(2 * n / 3, n).reverse,
+      Seq(Ev(-1L, -1L, maxTs + 3 * batchGap)),
+      Seq(Ev(-1L, -2L, maxTs + 7 * batchGap)))
+
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingSessions.sessions(in.toDS(), batchGap)
+      .writeStream.format("memory").queryName("sess_equiv")
+      .outputMode("append").start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+
+    val streamed = spark.table("sess_equiv")
+      .where(col("user_id") >= 0).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("start_ts"),
+        r.getAs[Long]("end_ts"))).toSet
+    val batch = graft.ops.Events.sessionize(
+        Tables.load(spark, "/root/testdata/sf0.001", "events")
+          .withColumn("ts", expr("ts DIV 1000")), batchGap)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("start_ts"),
+        r.getAs[Long]("end_ts"))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+}
