@@ -436,6 +436,15 @@ object SparkEntry {
   private def ns29(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextAnalysis.boilerplate(docs(s, dir))
 
+  /** NS30 — product-quantization ANN: vectors compressed to 8 one-byte
+    * codes (16× smaller than raw floats), queries score codes via ADC
+    * table lookups — the memory-compression serving path beside LSH
+    * (ns7, bucket pruning) and IVF (ns13, cell pruning). Codebook is the
+    * md5-sampled deterministic quantizer, so encode + scoring mirror in
+    * DuckDB end-to-end. */
+  private def ns30(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.pqTopK(embs(s, dir), simQueries(s, dir), k = 10)
+
   /** NS16 — near-dup survivor resolution: ns2's minhash pairs → connected
     * components (min-label propagation with pointer jumping) → the
     * surviving corpus with per-survivor merge counts. The dedup DECISION a
@@ -493,6 +502,7 @@ object SparkEntry {
     "ns27_events_enrich" -> (ns27 _),
     "ns28_events_asof" -> (ns28 _),
     "ns29_boilerplate" -> (ns29 _),
+    "ns30_simsearch_pq" -> (ns30 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -640,6 +650,25 @@ object SparkEntry {
          |scored AS (SELECT DISTINCT pr.query_id, corpus.vec_id, round(list_sum(list_transform(range(1,65), i -> pr.qv[i] * corpus.v[i])) / (pr.nq * corpus.nv), 6) AS cosine
          |  FROM probes pr JOIN corpus USING (cell) WHERE corpus.vec_id != pr.query_id)
          |SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank, vec_id, cosine
+         |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    // ns30 mirrors the PQ pipeline end-to-end: md5-sampled codebook,
+    // per-subspace argmin encode (ties to the smaller code), query LUT of
+    // subspace dot products, ADC score as the explicit left-to-right
+    // 8-term sum — identical IEEE arithmetic in both engines.
+    "ns30_simsearch_pq" ->
+      ("""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |ranked AS (SELECT vec_id, v, row_number() OVER (ORDER BY ('0x' || substr(md5('pq:' || vec_id), 1, 15))::BIGINT, vec_id) - 1 AS c FROM emb),
+         |cbl AS (SELECT list(v ORDER BY c) AS l FROM ranked WHERE c < 16),
+         |dists AS (SELECT e.vec_id, ss.s, cc.c,
+         |    list_sum(list_transform(range(0,8), d -> cbl.l[cc.c+1][ss.s*8+d+1] * cbl.l[cc.c+1][ss.s*8+d+1]))
+         |    - 2 * list_sum(list_transform(range(0,8), d -> e.v[ss.s*8+d+1] * cbl.l[cc.c+1][ss.s*8+d+1])) AS dist
+         |  FROM emb e, (SELECT unnest(range(0,8)) AS s) ss, (SELECT unnest(range(0,16)) AS c) cc, cbl),
+         |codes AS (SELECT vec_id, list(c ORDER BY s) AS cs FROM (SELECT vec_id, s, c FROM dists QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) = 1) GROUP BY vec_id),
+         |q AS (SELECT e.vec_id AS query_id, list_transform(range(0,128), sc -> list_sum(list_transform(range(0,8), d -> e.v[(sc//16)*8+d+1] * cbl.l[sc%16+1][(sc//16)*8+d+1]))) AS lut FROM emb e, cbl WHERE e.vec_id < 5),
+         |scored AS (SELECT q.query_id, c.vec_id,
+         |    q.lut[c.cs[1]+1] + q.lut[16+c.cs[2]+1] + q.lut[32+c.cs[3]+1] + q.lut[48+c.cs[4]+1] + q.lut[64+c.cs[5]+1] + q.lut[80+c.cs[6]+1] + q.lut[96+c.cs[7]+1] + q.lut[112+c.cs[8]+1] AS ip
+         |  FROM codes c, q WHERE c.vec_id != q.query_id)
+         |SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, vec_id) AS rank, vec_id, round(ip, 6) AS adc_ip
          |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin),
     "ns12_multimodal_features" ->
       ("""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),

@@ -268,6 +268,126 @@ object Similarity {
     scoreProbes(assigned, probes, k)
   }
 
+  /** Product-quantization (PQ) ANN — the memory-compression scale path
+    * beside [[lshTopK]] (pruning by bucket) and [[ivfTopK]] (pruning by
+    * cell). PQ attacks a different 100 TB bottleneck: raw float vectors
+    * are 64×4 bytes each, so a trillion-vector corpus cannot keep vectors
+    * hot; PQ stores one small int PER SUBSPACE (here 8 ints vs 64 floats —
+    * 16× less), and queries score CODES, never raw vectors. The
+    * composition with IVF (FAISS's IVF-PQ) is the standard serving stack;
+    * here PQ is kept orthogonal: [[pqTopK]] is the flat-scan variant whose
+    * code table a 1000-executor cluster can hold in memory when the raw
+    * corpus does not fit.
+    *
+    * Codebook "training" is the same deterministic device as the IVF
+    * coarse quantizer: the `numCodes` corpus vectors with the smallest
+    * md5("pq:" + vec_id) keys form the codebook (each contributes its
+    * subvector to every subspace), so the whole pipeline — sample, encode,
+    * asymmetric-distance scoring — is reproducible in any md5-capable
+    * engine and therefore oracle-checkable. A k-means codebook would
+    * quantize tighter; it would also make the result depend on iteration
+    * order, which nothing downstream could verify.
+    *
+    * Encoding: per subspace `s`, a vector takes the code of the codebook
+    * entry with the smallest squared L2 distance on dims [s·subDim,
+    * (s+1)·subDim); ties break toward the smaller code via (dist, code)
+    * struct-min. The argmin compares ‖e‖² − 2⟨v,e⟩ (the expansion of
+    * ‖v−e‖² with the row-constant ‖v‖² dropped): ‖e‖² is a driver-side
+    * literal and ⟨v,e⟩ is the codegen'd [[graft.functions.DotProduct]]
+    * loop, so the encode is one compact codegen'd projection — a fully
+    * unrolled (v−e)² form compiles to ~1000 expression terms and trips
+    * janino's method-size limit into interpreted fallback. One scan, no
+    * shuffle.
+    *
+    * Scoring (ADC — asymmetric distance computation): each query
+    * precomputes a lookup table of its subvector dot products against all
+    * codebook entries (m × numCodes doubles); a corpus vector's
+    * approximate inner product is the sum of m table lookups on its codes.
+    * The query+LUT side broadcasts; the code table is scanned ONCE, never
+    * shuffled; the only exchange is the final per-query top-k window over
+    * candidate rows. */
+  def pqCodebook(
+      embeddings: DataFrame, numCodes: Int = 16): Array[Array[Double]] =
+    embeddings.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .orderBy(
+        conv(substring(md5(concat(lit("pq:"),
+          col("vec_id").cast("string")).cast("binary")), 1, 15), 16, 10)
+          .cast("long"),
+        col("vec_id"))
+      .limit(numCodes)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** Codebook entry `c`'s subspace-`s` slice as a literal array column,
+    * and its squared norm (sum order d = 0..subDim-1, matching the
+    * oracle's list_sum). */
+  private def pqSubEntry(
+      cb: Array[Array[Double]], c: Int, s: Int, subDim: Int): Array[Double] =
+    cb(c).slice(s * subDim, (s + 1) * subDim)
+
+  /** One code per subspace: argmin of ‖e‖² − 2⟨v_s, e⟩ over codebook
+    * entries (≡ argmin ‖v_s − e‖²), ties to the smaller code. */
+  private def pqCodes(
+      v: Column, m: Int, subDim: Int, cb: Array[Array[Double]]): Column =
+    array((0 until m).map { s =>
+      val sub = slice(v, s * subDim + 1, subDim)
+      array_min(array(cb.indices.map { c =>
+        val e = pqSubEntry(cb, c, s, subDim)
+        val dist = lit(e.map(x => x * x).sum) -
+          lit(2.0) * dot(sub, array(e.toIndexedSeq.map(lit): _*))
+        struct(dist.as("d"), lit(c).as("c"))
+      }: _*)).getField("c")
+    }: _*)
+
+  /** Encode a corpus against a codebook: (vec_id, cs) with `cs` the
+    * m-element code array — the compact representation a PQ index stores. */
+  def pqEncode(
+      embeddings: DataFrame, cb: Array[Array[Double]], m: Int = 8): DataFrame = {
+    val dims = cb.head.length
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
+    embeddings.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), pqCodes(col("v"), m, dims / m, cb).as("cs"))
+  }
+
+  /** Flat-scan PQ top-k by approximate inner product (`adc_ip`). Output
+    * ranks tie-break on vec_id; scores are rounded for display, ranked
+    * unrounded. */
+  def pqTopK(
+      embeddings: DataFrame, queries: DataFrame, k: Int = 10,
+      m: Int = 8, numCodes: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = pqCodebook(embeddings, numCodes)
+    val dims = cb.head.length
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
+    val subDim = dims / m
+    val codes = pqEncode(embeddings, cb, m)
+    // LUT layout: entry s*numCodes + c = dot(query subspace s, codebook c)
+    val lut = array((0 until m).flatMap { s =>
+      val qsub = slice(col("qv"), s * subDim + 1, subDim)
+      cb.indices.map { c =>
+        dot(qsub, array(pqSubEntry(cb, c, s, subDim).toIndexedSeq.map(lit): _*))
+      }
+    }: _*)
+    val q = queries.select(col("query_id"),
+        col("query_vec").cast("array<double>").as("qv"))
+      .select(col("query_id"), lut.as("lut"))
+    val score = (0 until m).map { s =>
+      element_at(col("lut"),
+        lit(s * numCodes) + element_at(col("cs"), s + 1) + 1)
+    }.reduce(_ + _)
+    val scored = codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), score.as("ip"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("ip"), 6).as("adc_ip"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** ANN top-k: score only the query's LSH bucket (plus Hamming-1 probe
     * buckets). Approximate vs [[bruteForceTopK]] (recall spec-tested), but
     * deterministic end-to-end — md5-derived hyperplanes make the bucketing

@@ -698,6 +698,70 @@ class SimilaritySpec extends AnyFunSuite {
       assert(bf(key) === r.getDouble(3), key)
     }
   }
+
+  test("PQ: codebook members encode to themselves and score exactly") {
+    // when the corpus IS the 16-entry codebook, every vector's nearest
+    // codebook entry per subspace is itself (distance 0), so ADC becomes
+    // EXACT: adc_ip(q, x) == dot(q, x) bit-for-bit
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (0L until 16L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val qs = corpus.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val pq = Similarity.pqTopK(corpus, qs, k = 15).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val vecs = rows.toMap
+    pq.foreach { case ((q, x), ip) =>
+      val exact = vecs(q).map(_.toDouble).zip(vecs(x).map(_.toDouble))
+        .foldLeft(0.0) { case (acc, (a, b)) => acc + a * b }
+      assert(math.abs(ip - exact) < 1e-6, s"($q,$x): $ip vs $exact")
+    }
+    assert(pq.size == 45) // 3 queries × 15
+  }
+
+  test("PQ twin recall is high on clustered data") {
+    // same honest-ANN setup as LSH/IVF: a twin quantizes to its base's
+    // codes in (nearly) every subspace, so ADC ranks it at the top
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 50L).flatMap { i =>
+      val base = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+      val twin = base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.02f)
+      Seq((i * 2, base), (i * 2 + 1, twin))
+    }
+    val clustered = rows.toDF("vec_id", "embedding")
+    val qs = clustered.where(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val pq = Similarity.pqTopK(clustered, qs, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = (0L until 50L).count(i => pq.get(i * 2).contains(i * 2 + 1))
+    assert(hits >= 40, s"twin recall $hits/50")
+  }
+
+  test("PQ codes are compact, in-range, and deterministic") {
+    val cb = Similarity.pqCodebook(embs)
+    assert(cb.length == 16 && cb.forall(_.length == 64))
+    val codes = Similarity.pqEncode(embs, cb).collect()
+    assert(codes.length == embs.count())
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 8) // 8 ints vs 64 floats: the 16× compression
+      assert(cs.forall(c => c >= 0 && c < 16))
+    }
+    val again = Similarity.pqEncode(embs, cb).collect()
+    assert(codes.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("PQ plan: one corpus scan, broadcast queries, codegen'd encode") {
+    val df = Similarity.pqTopK(embs, queries, k = 10)
+    val p = df.queryExecution.executedPlan.toString
+    // flat-scan shape: code table scanned once against broadcast LUTs —
+    // no shuffle of the corpus before the top-k window
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"expected corpus + query scans, got $scans")
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite {
