@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming event-log rollups — the canonical watermark + tumbling-window
+  * aggregation shape (SURVEY §7.2 M6 extension; the reference is strictly
+  * batch). Complements [[StreamingSessions]]: sessions are per-user custom
+  * state, these are per-(window, type) BUILT-IN windowed aggregates, where
+  * Spark manages state and eviction entirely from the watermark — no
+  * user-defined state function at all, which is the preferred shape
+  * whenever the aggregation fits it.
+  *
+  * State discipline: one row per (open window × event type) — eviction is
+  * automatic when the watermark passes a window's end, so state is bounded
+  * by (window duration / trigger horizon) × type cardinality, independent
+  * of event volume. In Append mode a window emits exactly once, when it
+  * finalizes — downstream consumers see each rollup row exactly once.
+  *
+  * Aggregates are count / min / max only (exact selection aggregates, no
+  * float accumulation), so a finalized window is bit-identical to the
+  * batch groupBy over the same rows — spec-pinned. `ts` is microseconds
+  * since epoch, as in [[StreamingSessions]]; windows are epoch-aligned
+  * tumbling intervals of `windowDur`. */
+object StreamingEvents {
+
+  def windowedTypeCounts(
+      events: DataFrame,
+      windowDur: String = "1 hour",
+      lateness: String = "0 microseconds"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), windowDur), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(
+        unix_micros(col("window.start")).as("window_start"),
+        unix_micros(col("window.end")).as("window_end"),
+        col("event_type"), col("n_events"),
+        col("min_value"), col("max_value"))
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+/** Watermark + tumbling-window rollups: append-mode finalization and
+  * equivalence of finalized windows with the batch groupBy. */
+class StreamingEventsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("finalized windows equal the batch rollup on the real event log") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("ts", expr("ts DIV 1000"))
+      .select("ts", "event_type", "value")
+      .as[(Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+    val maxTs = events.map(_._1).max
+    val n = events.length
+
+    val in = MemoryStream[(Long, String, Double)]
+    val q = StreamingEvents
+      .windowedTypeCounts(in.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    // three event-time-ordered chunks, then a sentinel far past every
+    // window end so the watermark finalizes all real windows
+    (Seq(events.take(n / 2), events.drop(n / 2),
+      Seq((maxTs + 7200L * 1000000L, "sentinel", 0.0)),
+      Seq((maxTs + 9900L * 1000000L, "sentinel", 0.0))))
+      .foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+
+    val streamed = spark.table("win_out")
+      .where(col("event_type") =!= "sentinel").collect()
+      .map(r => (r.getAs[Long]("window_start"), r.getAs[Long]("window_end"),
+        r.getAs[String]("event_type")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("min_value"),
+          r.getAs[Double]("max_value")))).toMap
+
+    val hourUs = 3600L * 1000000L
+    val batch = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("ts", expr("ts DIV 1000"))
+      .groupBy((col("ts") - (col("ts") % hourUs)).as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"), min("value").as("mn"), max("value").as("mx"))
+      .collect()
+      .map(r => (r.getAs[Long]("ws"), r.getAs[Long]("ws") + hourUs,
+        r.getAs[String]("event_type")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("mn"),
+          r.getAs[Double]("mx")))).toMap
+
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("a window emits only once its end passes the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000L * 1000000L // epoch-aligned enough: any base works
+    val in = MemoryStream[(Long, String, Double)]
+    val q = StreamingEvents
+      .windowedTypeCounts(in.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("win_once")
+      .outputMode("append").start()
+    in.addData((t0, "click", 1.0), (t0 + 1000L, "click", 2.0))
+    q.processAllAvailable()
+    // watermark has not passed the window end yet: nothing finalized
+    assert(spark.table("win_once").count() == 0)
+    in.addData((t0 + 7200L * 1000000L, "view", 3.0))
+    q.processAllAvailable()
+    in.addData((t0 + 9900L * 1000000L, "view", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_once")
+      .where(col("event_type") === "click").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("n_events") == 2L)
+    assert(rows.head.getAs[Double]("min_value") == 1.0)
+    assert(rows.head.getAs[Double]("max_value") == 2.0)
+  }
+}
