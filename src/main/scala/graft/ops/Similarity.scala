@@ -344,6 +344,9 @@ object Similarity {
     * m-element code array — the compact representation a PQ index stores. */
   def pqEncode(
       embeddings: DataFrame, cb: Array[Array[Double]], m: Int = 8): DataFrame = {
+    // the encode argmin uses vec_dot; register it so callers that never
+    // touched Tables.load (which registers as a side effect) still resolve
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
     val dims = cb.head.length
     require(dims % m == 0, s"dims $dims not divisible by m $m")
     embeddings.select(col("vec_id"),
@@ -357,13 +360,22 @@ object Similarity {
   def pqTopK(
       embeddings: DataFrame, queries: DataFrame, k: Int = 10,
       m: Int = 8, numCodes: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cb = pqCodebook(embeddings, numCodes)
+    pqScoreCodes(pqEncode(embeddings, cb, m), queries, cb, m, k)
+  }
+
+  /** ADC scoring of a code table against queries: broadcast per-query
+    * LUTs (entry s·numCodes + c = ⟨query subspace s, codebook c⟩), score
+    * = the m-term lookup sum, per-query top-k window. */
+  private def pqScoreCodes(
+      codes: DataFrame, queries: DataFrame, cb: Array[Array[Double]],
+      m: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(queries.sparkSession)
     val dims = cb.head.length
     require(dims % m == 0, s"dims $dims not divisible by m $m")
     val subDim = dims / m
-    val codes = pqEncode(embeddings, cb, m)
-    // LUT layout: entry s*numCodes + c = dot(query subspace s, codebook c)
+    val numCodes = cb.length
     val lut = array((0 until m).flatMap { s =>
       val qsub = slice(col("qv"), s * subDim + 1, subDim)
       cb.indices.map { c =>
@@ -387,6 +399,77 @@ object Similarity {
         round(col("ip"), 6).as("adc_ip"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Persist a PQ index: the code table as parquet plus the codebook as a
+    * text sidecar — the serving shape where the 16×-compressed codes are
+    * what a cluster keeps hot while raw vectors stay cold. Same staleness
+    * contract as the IVF / minhash indexes: an optional source
+    * `fingerprint` is stamped beside the codebook and re-checked by
+    * [[pqIndexMatches]]. */
+  def writePqIndex(
+      embeddings: DataFrame, path: String, m: Int = 8, numCodes: Int = 16,
+      fingerprint: Option[String] = None): Unit = {
+    val cb = pqCodebook(embeddings, numCodes)
+    pqEncode(embeddings, cb, m)
+      .write.mode("overwrite").parquet(codesPath(path).toString)
+    val text = cb.zipWithIndex
+      .map { case (v, i) => s"$i:${v.mkString(",")}" }.mkString("\n")
+    IndexSidecar.write(embeddings.sparkSession, codebookPath(path), text)
+    fingerprint.foreach(f => IndexSidecar.write(
+      embeddings.sparkSession, fingerprintPath(path), f))
+  }
+
+  /** Append new vectors to a persisted PQ index with the codebook FROZEN —
+    * the same no-retrain contract as [[updateIvfIndex]]: new vectors take
+    * codes under the existing quantizer in one narrow scan, so the index
+    * serves across ingest; quantization error grows only with
+    * distribution drift, and the rebuild (writePqIndex) is the retrain.
+    * Single writer per index; readers between ticks. */
+  def updatePqIndex(
+      newEmbeddings: DataFrame, path: String, m: Int = 8): Unit = {
+    val cb = readPqCodebook(newEmbeddings.sparkSession, path)
+    pqEncode(newEmbeddings, cb, m)
+      .write.mode("append").parquet(codesPath(path).toString)
+  }
+
+  /** True iff a PQ index exists at `path` AND was stamped with exactly
+    * `fingerprint`. */
+  def pqIndexMatches(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      fingerprint: String): Boolean = {
+    val p = fingerprintPath(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) &&
+      IndexSidecar.read(spark, p) == fingerprint
+  }
+
+  /** ADC top-k served from a persisted code table: identical scoring to
+    * [[pqTopK]], but the corpus side is the stored codes — no raw-vector
+    * read, no encode work at query time. `m` is read off the stored code
+    * arrays. */
+  def pqTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int = 10): DataFrame = {
+    val cb = readPqCodebook(spark, path)
+    val codes = spark.read.parquet(codesPath(path).toString)
+    val m = codes.select(size(col("cs"))).head().getInt(0)
+    pqScoreCodes(codes, queries, cb, m, k)
+  }
+
+  private def codesPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "codes")
+
+  private def codebookPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_pq_codebook.txt")
+
+  private[ops] def readPqCodebook(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] =
+    IndexSidecar.read(spark, codebookPath(path))
+      .split("\n").filter(_.nonEmpty)
+      .map { line =>
+        val Array(i, vs) = line.split(":", 2)
+        i.toInt -> vs.split(",").map(_.toDouble)
+      }.sortBy(_._1).map(_._2)
 
   /** ANN top-k: score only the query's LSH bucket (plus Hamming-1 probe
     * buckets). Approximate vs [[bruteForceTopK]] (recall spec-tested), but

@@ -753,6 +753,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(codes.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("PQ index: from-index equals in-memory; frozen-codebook append finds new twins") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    val idx = s"$dir/idx"
+    Similarity.writePqIndex(embs, idx, fingerprint = Some("fp-a"))
+    assert(Similarity.pqIndexMatches(spark, idx, "fp-a"))
+    assert(!Similarity.pqIndexMatches(spark, idx, "fp-b"))
+    val fromIdx = Similarity.pqTopKFromIndex(spark, idx, queries)
+    val inMem = Similarity.pqTopK(embs, queries)
+    assert(fromIdx.collect().toSeq == inMem.collect().toSeq)
+
+    // append EXACT copies of 3 corpus vectors under new ids: identical
+    // vectors take identical codes under the frozen codebook, so each
+    // copy's ADC score against any query equals its original's — the
+    // appended rows must appear in the served results
+    val copies = embs.where(col("vec_id") < 3)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Similarity.updatePqIndex(copies, idx)
+    val updated = Similarity.pqTopKFromIndex(spark, idx, queries, k = 2000)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val origs = updated.filter { case ((_, v), _) => v < 3 }
+    origs.foreach { case ((qid, v), ip) =>
+      if (qid != v) // self-matches are excluded for the copy's original id
+        assert(updated.get((qid, v + 1000000L)).contains(ip),
+          s"copy of $v missing or mis-scored for query $qid")
+    }
+    assert(origs.nonEmpty)
+  }
+
   test("PQ plan: one corpus scan, broadcast queries, codegen'd encode") {
     val df = Similarity.pqTopK(embs, queries, k = 10)
     val p = df.queryExecution.executedPlan.toString
