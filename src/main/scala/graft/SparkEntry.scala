@@ -445,6 +445,15 @@ object SparkEntry {
   private def ns30(s: SparkSession, dir: String): DataFrame =
     graft.ops.Similarity.pqTopK(embs(s, dir), simQueries(s, dir), k = 10)
 
+  /** NS31 — the whole training-data prep as ONE plan: multi-language
+    * langid+quality (stopword feature follows each doc's predicted
+    * language) → quality ≥ 0.3 → exact dedup → English downsampled to 50%
+    * → 2048-token sequence packing. One scan + two shuffles end-to-end;
+    * Catalyst fuses what standalone operators would materialize. */
+  private def ns31(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.prepareCorpus(
+      docs(s, dir), minQuality = 0.3, sampleRates = Map("en" -> 0.5))
+
   /** NS16 — near-dup survivor resolution: ns2's minhash pairs → connected
     * components (min-label propagation with pointer jumping) → the
     * surviving corpus with per-survivor merge counts. The dedup DECISION a
@@ -503,6 +512,7 @@ object SparkEntry {
     "ns28_events_asof" -> (ns28 _),
     "ns29_boilerplate" -> (ns29 _),
     "ns30_simsearch_pq" -> (ns30 _),
+    "ns31_corpus_prep" -> (ns31 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -872,6 +882,34 @@ object SparkEntry {
          |SELECT doc_id, n_grams, n_boiler, round(n_boiler::DOUBLE / n_grams, 6) AS boiler_frac,
          |  n_boiler::DOUBLE / n_grams > 0.5 AS is_boiler
          |FROM a ORDER BY doc_id""".stripMargin),
+    // ns31 composes the ns15/ns19 feature CTEs (stopword feature selected
+    // by predicted language), exact dedup, the ns23 sampling predicate,
+    // and the ns26 packing window into one statement.
+    "ns31_corpus_prep" ->
+      ("""WITH w AS (SELECT doc_id, text, string_split(text,' ') w FROM documents),
+         |f AS (SELECT doc_id, text,
+         |  len([x for x in w if list_contains(['der','die','das','und','zu','nicht','ist','ein'], x)]) s_de,
+         |  len([x for x in w if list_contains(['the','a','of','and','to','in','is','that'], x)]) s_en,
+         |  len([x for x in w if list_contains(['el','la','de','los','y','que','en','un'], x)]) s_es,
+         |  len([x for x in w if list_contains(['le','la','de','les','et','que','en','un'], x)]) s_fr,
+         |  len([x for x in w if list_contains(['的','是','了','在','我','有','和','不'], x)]) s_zh,
+         |  len(w) n_words, length(replace(text, ' ', '')) ncns FROM w),
+         |s AS (SELECT *, CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred_lang,
+         |  ncns::DOUBLE / n_words AS avg_word_len FROM f),
+         |r AS (SELECT *, (CASE pred_lang WHEN 'de' THEN s_de WHEN 'en' THEN s_en WHEN 'es' THEN s_es WHEN 'fr' THEN s_fr ELSE s_zh END)::DOUBLE / n_words AS stopword_ratio FROM s),
+         |sc AS (SELECT *, least(n_words::DOUBLE / 100.0, 1.0) * 0.5 + stopword_ratio * 0.3 +
+         |  (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 8.0 THEN 0.2 ELSE 0.0 END) AS quality_score FROM r),
+         |d AS (SELECT min(doc_id) AS doc_id, min(pred_lang) AS pred_lang, ceil(length(text)::DOUBLE / 4.0)::BIGINT AS n_tokens
+         |  FROM sc WHERE quality_score >= 0.3 GROUP BY text),
+         |sam AS (SELECT * FROM d WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 10000 <
+         |  (CASE WHEN pred_lang = 'en' THEN 5000 ELSE 10000 END)),
+         |c AS (SELECT doc_id, pred_lang, n_tokens,
+         |  (sum(n_tokens) OVER (PARTITION BY pred_lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS off FROM sam)
+         |SELECT doc_id, pred_lang, n_tokens, (off // 2048)::BIGINT AS seq_id,
+         |  (off % 2048)::BIGINT AS seq_off FROM c ORDER BY doc_id""".stripMargin),
     "ns8_text_langid" ->
       ("""WITH w AS (SELECT doc_id, lang, string_split(text,' ') w FROM documents),
          |s AS (SELECT doc_id, lang,

@@ -66,4 +66,70 @@ object Curation {
       .select(col("doc_id"), col("n_words"), col("quality_score"))
       .orderBy(col("doc_id"))
   }
+
+  /** The WHOLE training-data prep as one declarative plan — what a crawl
+    * actually goes through before tokenization: language-ID + quality
+    * scoring (multi-language: the stopword feature follows each doc's
+    * PREDICTED language) → quality floor → exact dedup → per-language
+    * stratified downsampling → fixed-budget sequence packing. Each stage
+    * is the same logic as its standalone operator
+    * ([[TextAnalysis.languageId]]/[[qualityScore|TextAnalysis.qualityScore]],
+    * [[Dedup.exact]], [[Sampling.stratifiedSample]],
+    * [[Sampling.packSequences]]); the point of this composition is that
+    * Catalyst fuses them — the features never materialize between stages
+    * and the text is read ONCE.
+    *
+    * Scale shape: one scan + exactly two shuffles at any corpus size —
+    * the dedup groupBy on text, and the per-language window for packing
+    * (the sampling predicate is a filter between them, no exchange).
+    * Output: (doc_id, pred_lang, n_tokens, seq_id, seq_off) per surviving
+    * doc, ordered by doc_id. */
+  def prepareCorpus(
+      docs: DataFrame,
+      minQuality: Double = 0.3,
+      sampleRates: Map[String, Double] = Map.empty,
+      tokenBudget: Int = 2048): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("text"),
+      split(col("text"), " ").as("w"))
+    val feats = TextAnalysis.langMarkers.foldLeft(base) {
+        case (df, (code, markers)) =>
+          df.withColumn(s"s_$code", hits(col("w"), markers))
+      }
+      .withColumn("n_words", size(col("w")))
+      .withColumn("ncns", length(regexp_replace(col("text"), " ", "")))
+      .withColumn("pred_lang", TextAnalysis.predFromScores(c => col(s"s_$c")))
+      .withColumn("avg_word_len", col("ncns").cast("double") / col("n_words"))
+      // each doc is judged by ITS language's stopword vocabulary
+      .withColumn("stopword_ratio",
+        TextAnalysis.langMarkers.map(_._1).foldRight(
+          lit(null).cast("int")) { (code, rest) =>
+            when(col("pred_lang") === code, col(s"s_$code")).otherwise(rest)
+          }.cast("double") / col("n_words"))
+      .withColumn("quality_score",
+        least(col("n_words").cast("double") / lit(100.0), lit(1.0)) * 0.5 +
+          col("stopword_ratio") * 0.3 +
+          when(col("avg_word_len") >= 3.0 && col("avg_word_len") <= 8.0,
+            lit(0.2)).otherwise(lit(0.0)))
+    val deduped = feats
+      .where(col("quality_score") >= minQuality)
+      // pred_lang and the token estimate are functions of the text, so
+      // min() within a text group is the survivor's value
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min(col("pred_lang")).as("pred_lang"))
+      .select(col("doc_id"), col("pred_lang"),
+        ceil(length(col("text")).cast("double") / 4.0).cast("long")
+          .as("n_tokens"))
+    val sampled = Sampling.applyRates(deduped, "pred_lang", sampleRates)
+    val w = Window.partitionBy("pred_lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sampled
+      .withColumn("off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("pred_lang"), col("n_tokens"),
+        expr(s"off DIV $tokenBudget").as("seq_id"),
+        (col("off") % tokenBudget).as("seq_off"))
+      .orderBy(col("doc_id"))
+  }
 }

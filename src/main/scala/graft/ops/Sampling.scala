@@ -36,15 +36,29 @@ object Sampling {
       strataCol: String,
       rates: Map[String, Double],
       defaultRate: Double = 1.0,
+      keyCol: String = "doc_id"): DataFrame =
+    applyRates(df, strataCol, rates, defaultRate, keyCol)
+
+  /** The sampling predicate alone (no projection) — shared with
+    * [[Curation.prepareCorpus]], where it sits between dedup and packing
+    * as a plain filter. A no-op when every rate is 1. */
+  private[ops] def applyRates(
+      df: DataFrame,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0,
       keyCol: String = "doc_id"): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
       "rates must be fractions in [0,1]")
-    val threshold = rates.foldLeft(lit((defaultRate * 10000).toInt)) {
-      case (elseCol, (stratum, rate)) =>
-        when(col(strataCol) === stratum, lit((rate * 10000).toInt))
-          .otherwise(elseCol)
+    if (rates.isEmpty && defaultRate == 1.0) df
+    else {
+      val threshold = rates.foldLeft(lit((defaultRate * 10000).toInt)) {
+        case (elseCol, (stratum, rate)) =>
+          when(col(strataCol) === stratum, lit((rate * 10000).toInt))
+            .otherwise(elseCol)
+      }
+      df.where(hashBucket(col(keyCol)) < threshold)
     }
-    df.where(hashBucket(col(keyCol)) < threshold)
   }
 
   /** C2 — sequence packing: assign each document a (seq_id, seq_off) slot
