@@ -454,6 +454,31 @@ object SparkEntry {
     graft.ops.Curation.prepareCorpus(
       docs(s, dir), minQuality = 0.3, sampleRates = Map("en" -> 0.5))
 
+  /** NS32 — skew-safe salted join: lineitem⋈orders on the order key with
+    * the left side split across 8 salts and orders replicated per salt,
+    * rolled up per order priority with exact-integer aggregates. The
+    * result is row-identical to the plain join (the oracle IS the plain
+    * join) — only the shuffle distribution changes, which is the point. */
+  private def ns32(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Joins.saltedJoin(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity")),
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        keys = Seq("l_orderkey"), salts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+
+  /** NS33 — corpus length distribution per language: exact interpolated
+    * quartiles via rank arithmetic (no per-group buffering — Spark's own
+    * percentile aggregate collects whole groups) + exact mean. Dyadic
+    * fractions over an integer column make every engine's quantile_cont
+    * bit-identical. */
+  private def ns33(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.lengthStats(docs(s, dir))
+
   /** NS16 — near-dup survivor resolution: ns2's minhash pairs → connected
     * components (min-label propagation with pointer jumping) → the
     * surviving corpus with per-survivor merge counts. The dedup DECISION a
@@ -513,6 +538,8 @@ object SparkEntry {
     "ns29_boilerplate" -> (ns29 _),
     "ns30_simsearch_pq" -> (ns30 _),
     "ns31_corpus_prep" -> (ns31 _),
+    "ns32_join_salted" -> (ns32 _),
+    "ns33_corpus_stats" -> (ns33 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -910,6 +937,20 @@ object SparkEntry {
          |  (sum(n_tokens) OVER (PARTITION BY pred_lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS off FROM sam)
          |SELECT doc_id, pred_lang, n_tokens, (off // 2048)::BIGINT AS seq_id,
          |  (off % 2048)::BIGINT AS seq_off FROM c ORDER BY doc_id""".stripMargin),
+    // ns32's oracle is deliberately the PLAIN join: salting must be
+    // invisible in the result.
+    "ns32_join_salted" ->
+      ("""SELECT o.o_orderpriority, count(*) AS n_items,
+         |  sum(l.l_quantity::BIGINT)::BIGINT AS sum_qty
+         |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin),
+    "ns33_corpus_stats" ->
+      ("""SELECT lang, count(*) AS n_docs,
+         |  round(quantile_cont(n_chars, 0.25), 6) AS q25,
+         |  round(quantile_cont(n_chars, 0.5), 6) AS q50,
+         |  round(quantile_cont(n_chars, 0.75), 6) AS q75,
+         |  round(sum(n_chars)::DOUBLE / count(*), 6) AS mean_n_chars
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
     "ns8_text_langid" ->
       ("""WITH w AS (SELECT doc_id, lang, string_split(text,' ') w FROM documents),
          |s AS (SELECT doc_id, lang,

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-management join utilities (SURVEY §7.2 M6 extension).
+  *
+  * A hash join on a skewed key sends every row of the hot key to ONE
+  * reducer: one straggler task holds the stage. AQE's skew-join handles
+  * the sort-merge case adaptively, but only after a shuffle materializes,
+  * only for sizes it can observe, and not at all when a pipeline disables
+  * AQE or the skew is in the JOIN PRODUCT rather than partition bytes.
+  * Salting is the classic explicit remedy: split each hot key into
+  * `salts` sub-keys on the big side, replicate the small side once per
+  * sub-key, and the hot key's work spreads across `salts` tasks. The
+  * price is a deliberate `salts`× replication of the other side — bounded
+  * and chosen, unlike the unbounded straggler it removes.
+  */
+object Joins {
+
+  /** Equality join with the LEFT (large, possibly skewed) side salted.
+    *
+    * Each left row gets a deterministic salt in [0, salts) — a hash of
+    * the whole row, so retries and speculative duplicates of a task
+    * salt identically (`rand()` here would be a correctness bug under
+    * retry, same reasoning as [[Sampling.stratifiedSample]]). The right
+    * side is replicated once per salt value via a generator, then the
+    * join runs on (keys..., salt): every left row still meets every
+    * matching right row EXACTLY once, so the result is row-identical to
+    * the unsalted join for inner and left joins — only the shuffle
+    * distribution changes.
+    *
+    * Scale shape: the left side shuffles once on (keys, salt) — the hot
+    * key now occupies `salts` reducers; the right side shuffles its
+    * `salts`× replication (or broadcasts, if small enough for Catalyst
+    * to elect it, in which case salting costs nothing extra at all). */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      salts: Int = 8,
+      joinType: String = "inner"): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"unsupported join type '$joinType' — right/full joins would " +
+        "duplicate unmatched right rows once per salt")
+    val saltedL = left.withColumn("_salt",
+      pmod(hash(left.columns.map(col): _*), lit(salts)))
+    val saltedR = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedL.join(saltedR, keys :+ "_salt", joinType).drop("_salt")
+  }
+}

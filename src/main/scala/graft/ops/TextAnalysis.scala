@@ -178,6 +178,64 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** T7 — corpus length distribution per group: exact interpolated
+    * quartiles (the `quantile_cont` definition: position p·(n−1), linear
+    * interpolation) plus the mean, via RANK ARITHMETIC — row_number
+    * against per-group boundary positions, never a per-group value
+    * buffer. Spark's own `percentile` aggregate collects every value of
+    * a group into one buffer, which a 100 TB group cannot do; this
+    * formulation is one shuffle (group hash for the in-partition sort) +
+    * a broadcast of per-group counts, and the interpolation picks exactly
+    * two ranked rows per (group, quantile).
+    *
+    * Engine-exactness contract: with DYADIC quantile fractions (0.25,
+    * 0.5, 0.75 — denominators a power of two) over an integer-valued
+    * column, every intermediate (position, interpolation weights, both
+    * products) is exact in IEEE double, so any engine's `quantile_cont`
+    * reproduces the values bit-for-bit regardless of its interpolation
+    * formula. Non-dyadic fractions (0.9, 0.99) would be approximately
+    * right but not hash-identical; the default quartiles are the
+    * oracle-safe choice. The mean divides an exact integer sum, same
+    * determinism argument. */
+  def lengthStats(
+      docs: DataFrame,
+      groupCol: String = "lang",
+      valueCol: String = "n_chars",
+      quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(p => p >= 0 && p <= 1),
+      "quantiles must be fractions in [0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy("v")
+    val sizes = docs.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col(valueCol).cast("long")).as("tot"))
+    val ranked = docs
+      .select(col(groupCol), col(valueCol).cast("long").as("v"))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(sizes), Seq(groupCol))
+    val qNames = quantiles.map(p => s"q${(p * 100).round}")
+    val qAggs = quantiles.zip(qNames).map { case (p, name) =>
+      val pos = lit(p) * (col("n") - 1).cast("double")
+      val lo = floor(pos).cast("long") + 1
+      val hi = ceil(pos).cast("long") + 1
+      val g = pos - floor(pos)
+      round(
+        sum(when(col("rn") === lo, (lit(1.0) - g) * col("v"))
+          .otherwise(lit(0.0))) +
+        sum(when(col("rn") === hi, g * col("v")).otherwise(lit(0.0))),
+        6).as(name)
+    }
+    val aggs = qAggs :+
+      round(min(col("tot")).cast("double") / min(col("n")), 6)
+        .as(s"mean_$valueCol") :+
+      min(col("n")).as("n_docs")
+    ranked.groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol) +: col("n_docs") +:
+        qNames.map(col) :+ col(s"mean_$valueCol"): _*)
+      .orderBy(col(groupCol))
+  }
+
   /** T4 — document fingerprinting: md5 of the normalized text plus a
     * 31-polynomial rolling hash mod 1e9+7 (overflow-free in 64-bit: the
     * accumulator stays < 1e9, each step < 3.3e10). The rolling hash is a

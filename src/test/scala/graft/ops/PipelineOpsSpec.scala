@@ -271,6 +271,63 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ids.size == out.length)
   }
 
+  // ---- Joins.saltedJoin ----------------------------------------------------
+
+  test("saltedJoin is row-identical to the plain join and salts the shuffle key") {
+    val left = Seq.tabulate(200)(i => (1L, i.toLong)) ++ // hot key: 200 rows
+      Seq((2L, 900L), (3L, 901L), (4L, 902L))            // no match for 4
+    val right = Seq((1L, "urgent"), (2L, "low"), (3L, "low"), (5L, "none"))
+    val l = left.toDF("k", "payload")
+    val r = right.toDF("k", "prio")
+    val salted = Joins.saltedJoin(l, r, Seq("k"), salts = 8)
+    val plain = l.join(r, Seq("k"))
+    assert(salted.collect().map(_.toString).sorted.toSeq ==
+      plain.collect().map(_.toString).sorted.toSeq)
+    // left-outer parity too (unmatched left rows survive exactly once)
+    val saltedLeft = Joins.saltedJoin(l, r, Seq("k"), salts = 8, "left")
+    assert(saltedLeft.count() == l.join(r, Seq("k"), "left").count())
+    // the salt must reach the join key: the plan's partitioning/join
+    // criteria mention _salt
+    assert(salted.queryExecution.executedPlan.toString.contains("_salt"))
+    // right joins would duplicate unmatched right rows -> rejected
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(l, r, Seq("k"), 8, "right")
+    }
+  }
+
+  test("saltedJoin salts deterministically (retry-safe), not randomly") {
+    val l = Seq.tabulate(50)(i => (1L, i.toLong)).toDF("k", "payload")
+    val r = Seq((1L, "x")).toDF("k", "v")
+    val a = Joins.saltedJoin(l, r, Seq("k"), 4).collect().map(_.toString).sorted
+    val b = Joins.saltedJoin(l, r, Seq("k"), 4).collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
+  // ---- TextAnalysis.lengthStats -------------------------------------------
+
+  test("lengthStats computes exact interpolated quartiles and mean") {
+    val in = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 5L), // odd count
+      ("b", 10L), ("b", 20L), ("b", 30L), ("b", 40L)         // even count
+    ).map { case (g, v) => (g, v, s"doc") }
+      .toDF("lang", "n_chars", "text")
+    val out = TextAnalysis.lengthStats(in).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("q25"),
+          r.getAs[Double]("q50"), r.getAs[Double]("q75"),
+          r.getAs[Double]("mean_n_chars")))).toMap
+    assert(out("a") == ((5L, 2.0, 3.0, 4.0, 3.0)))
+    // even count: positions 0.75 / 1.5 / 2.25 over [10,20,30,40]
+    assert(out("b") == ((4L, 17.5, 25.0, 32.5, 25.0)))
+  }
+
+  test("lengthStats never buffers whole groups (rank arithmetic, not percentile)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = TextAnalysis.lengthStats(docs).queryExecution.executedPlan.toString
+    assert(p.contains("Window"), p.take(1200))
+    assert(!p.toLowerCase.contains("percentile"), p.take(1200))
+  }
+
   // ---- TextAnalysis.boilerplate -------------------------------------------
 
   test("boilerplate counts corpus-frequent grams per doc") {
