@@ -25,7 +25,10 @@ object ScalingSmoke {
 
   private val checked = Seq(
     "ns2_dedup_minhash", "ns4_dedup_ngram", "ns14_dedup_incremental",
-    "ns16_dedup_survivors", "ns17_dedup_incr_index", "ns18_dedup_index_update")
+    "ns16_dedup_survivors", "ns17_dedup_incr_index", "ns18_dedup_index_update",
+    // round-4 additions with pair-shaped failure modes: the decontamination
+    // shingle join and the boilerplate doc_freq join
+    "ns21_decontaminate", "ns29_boilerplate")
 
   def main(args: Array[String]): Unit = {
     val sfSmall = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")

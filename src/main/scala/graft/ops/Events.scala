@@ -80,6 +80,11 @@ object Events {
       tieCol: String = "event_id",
       payloadCols: Seq[String] = Seq("event_id", "ts")): DataFrame = {
     require(payloadCols.nonEmpty, "payloadCols must be non-empty")
+    require(payloadCols.forall(right.columns.contains),
+      s"payloadCols ${payloadCols.filterNot(right.columns.contains)} " +
+        "missing from the right side")
+    require(!left.columns.exists(_.startsWith("_asof")),
+      "left columns must not start with _asof (reserved)")
     val orderCols = Seq(keyCol, tsCol, tieCol)
     val rTagged = right.select(
       orderCols.map(col) :+
