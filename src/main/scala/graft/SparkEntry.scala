@@ -479,6 +479,18 @@ object SparkEntry {
   private def ns33(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextAnalysis.lengthStats(docs(s, dir))
 
+  /** NS34 — span-level decontamination: ns21's eval split, but the
+    * contaminated 4-gram SPANS are redacted and the rest of each doc is
+    * kept — the surgical variant of benchmark scrubbing (whole-doc
+    * removal throws away a 10k-word page for one quoted question). */
+  private def ns34(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.ops.Dedup.scrubContaminatedSpans(
+      d.where(col("doc_id") % 50 =!= 0),
+      d.where(col("doc_id") % 50 === 0),
+      shingleK = 4)
+  }
+
   /** NS16 — near-dup survivor resolution: ns2's minhash pairs → connected
     * components (min-label propagation with pointer jumping) → the
     * surviving corpus with per-survivor merge counts. The dedup DECISION a
@@ -540,6 +552,7 @@ object SparkEntry {
     "ns31_corpus_prep" -> (ns31 _),
     "ns32_join_salted" -> (ns32 _),
     "ns33_corpus_stats" -> (ns33 _),
+    "ns34_decontaminate_spans" -> (ns34 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -951,6 +964,22 @@ object SparkEntry {
          |  round(quantile_cont(n_chars, 0.75), 6) AS q75,
          |  round(sum(n_chars)::DOUBLE / count(*), 6) AS mean_n_chars
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+    // ns34 mirrors the positional-gram taint + span rebuild: DuckDB's
+    // struct comprehension carries (pos, gram), the kept-word
+    // comprehension drops indexes covered by any tainted start.
+    "ns34_decontaminate_spans" ->
+      ("""WITH cw AS (SELECT doc_id, text, string_split(text,' ') w FROM documents WHERE doc_id % 50 != 0),
+         |bench AS (SELECT DISTINCT unnest([array_to_string(w[i:i+3],' ') for i in range(1, len(w)-2)]) AS bsh
+         |  FROM (SELECT string_split(text,' ') w FROM documents WHERE doc_id % 50 = 0)),
+         |pg AS (SELECT doc_id, unnest([{'pos': i - 1, 'sh': array_to_string(w[i:i+3], ' ')} for i in range(1, len(w)-2)]) AS g FROM cw),
+         |t AS (SELECT doc_id, g.pos AS pos FROM pg WHERE g.sh IN (SELECT bsh FROM bench)),
+         |cov AS (SELECT doc_id, list(DISTINCT pos) AS starts FROM t GROUP BY doc_id),
+         |outp AS (SELECT c.doc_id,
+         |    CASE WHEN cov.starts IS NULL THEN c.text
+         |    ELSE array_to_string([c.w[j] for j in range(1, len(c.w)+1) if len([s for s in cov.starts if j - 1 >= s AND j - 1 < s + 4]) = 0], ' ') END AS text,
+         |    coalesce(len(cov.starts), 0) AS n_spans
+         |  FROM cw c LEFT JOIN cov USING (doc_id))
+         |SELECT doc_id, text, n_spans FROM outp ORDER BY doc_id""".stripMargin),
     "ns8_text_langid" ->
       ("""WITH w AS (SELECT doc_id, lang, string_split(text,' ') w FROM documents),
          |s AS (SELECT doc_id, lang,

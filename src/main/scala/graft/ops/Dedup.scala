@@ -575,6 +575,63 @@ object Dedup {
     corpus.join(tainted, Seq("doc_id"), "left_anti")
   }
 
+  /** D8 — SPAN-level decontamination: redact the contaminated k-gram spans
+    * and keep the rest of the document, instead of dropping whole docs
+    * ([[removeContaminated]]). A 10k-word page quoting one benchmark
+    * question is 99% clean training data; whole-doc removal throws it
+    * away, span scrubbing keeps it — the surgical variant used when eval
+    * overlap is incidental rather than wholesale.
+    *
+    * Mechanics: corpus k-grams carry their word position (posexplode); a
+    * gram matching any benchmark gram taints words [pos, pos+k); a doc's
+    * kept text is its word vector minus all tainted indexes, re-joined
+    * with single spaces. Matching is on DISTINCT benchmark grams, so the
+    * output is independent of benchmark duplication.
+    *
+    * 100 TB shape: same as [[decontaminate]] — the corpus is shingled in
+    * one scan against the broadcast benchmark gram set (auto-sized, same
+    * lever contract), the only exchange is the per-doc collect of matched
+    * START positions (bounded by doc length, and only for TAINTED docs —
+    * clean docs skip the aggregation entirely via the left join), and the
+    * rebuild is a per-row HOF filter.
+    *
+    * Caveat shared with every whitespace tokenizer here: rejoining with
+    * single spaces canonicalizes runs of whitespace inside redacted docs;
+    * untouched docs pass through byte-identical. */
+  def scrubContaminatedSpans(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      shingleK: Int = 4,
+      broadcastBenchmark: Option[Boolean] = None,
+      broadcastThresholdBytes: Long = defaultBroadcastBytes): DataFrame = {
+    val benchSh = shingles(benchmark, shingleK)
+      .select(col("shingle").as("bsh")).distinct()
+    val doBroadcast = broadcastBenchmark.getOrElse(
+      estimatedPostingsBytes(benchmark, shingleK) <= broadcastThresholdBytes)
+    val build = if (doBroadcast) broadcast(benchSh) else benchSh
+    val posGrams = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(
+        when(size(col("w")) >= shingleK,
+          expr(s"transform(sequence(0, size(w) - $shingleK), " +
+            s"i -> concat_ws(' ', slice(w, i + 1, $shingleK)))"))
+          .otherwise(expr("array()"))))
+      .toDF("doc_id", "pos", "shingle")
+    val taintedStarts = posGrams
+      .join(build, col("shingle") === col("bsh"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("starts"))
+    corpus
+      .join(taintedStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("starts").isNull, col("text")).otherwise(concat_ws(" ",
+          filter(split(col("text"), " "), (x, i) =>
+            !exists(col("starts"), s =>
+              i >= s && i < s + lit(shingleK))))).as("text"),
+        coalesce(size(col("starts")), lit(0)).as("n_spans"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact jaccard on candidate pairs from per-doc shingle sets. Set sizes
     * are bounded by doc length, so collect_set stays small per row. */
   private def verifyJaccard(

@@ -430,6 +430,31 @@ class DecontaminationSpec extends AnyFunSuite {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("scrubContaminatedSpans redacts covered words, keeps the rest byte-identical") {
+    val out = Dedup.scrubContaminatedSpans(corpus, benchmark).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    // doc 1: span [2,6) covers "beta gamma delta epsilon"
+    assert(out(1L) == (("intro words outro", 1)))
+    // doc 2: spans at 0 ("alpha beta gamma delta") and 5 ("one two three
+    // four") cover words 0-3 and 5-8; "and" (4) survives
+    assert(out(2L) == (("and", 2)))
+    // sub-4-gram overlap, clean, and too-short docs pass through untouched
+    assert(out(3L) == (("alpha beta unrelated gamma delta elsewhere", 0)))
+    assert(out(4L) == (("completely clean document nothing shared here", 0)))
+    assert(out(5L) == (("tiny doc", 0)))
+  }
+
+  test("scrubContaminatedSpans merges overlapping spans") {
+    // corpus doc embeds FIVE consecutive benchmark words -> two overlapping
+    // 4-gram matches whose union covers words 1..5
+    val b = Seq((9L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val c = Seq((1L, "pre alpha beta gamma delta epsilon post"))
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubContaminatedSpans(c, b).collect()
+      .map(r => (r.getString(1), r.getInt(2))).head
+    assert(out == (("pre post", 2)))
+  }
 }
 
 class CurationSpec extends AnyFunSuite {
