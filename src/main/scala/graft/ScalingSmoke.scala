@@ -100,8 +100,13 @@ object ScalingSmoke {
       (rows, sec)
     }
 
-    checked.foreach(run(_, sfSmall)) // untimed warmup (JIT, codegen, ns17/ns18 index build)
-    custom.foreach { case (_, f) => runDf(f(sfSmall)) }
+    // untimed warmup at BOTH sfs (JIT, codegen, and — critically — the
+    // ns17/ns18 one-time index build: warming only sfSmall would leave the
+    // sfLarge index build inside the timed run and inflate its ratio on a
+    // clean tmpdir, flaking the gate with no real regression)
+    checked.foreach(run(_, sfSmall))
+    checked.foreach(run(_, sfLarge))
+    custom.foreach { case (_, f) => runDf(f(sfSmall)); runDf(f(sfLarge)) }
 
     println(f"docs: $docsSmall at $sfSmall, $docsLarge at $sfLarge (R=$r%.1f); " +
       f"bounds: rows<=R^1.5=$rowBound%.1f, time<=R^1.75=$timeBound%.1f")

@@ -864,7 +864,7 @@ object SparkEntry {
          |FROM c ORDER BY doc_id""".stripMargin),
     "ns23_sample_stratified" ->
       ("""SELECT doc_id, lang, source, n_chars FROM documents
-         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 10000 <
+         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 <
          |  (CASE WHEN lang = 'en' THEN 2500 WHEN lang = 'fr' THEN 5000 ELSE 10000 END)
          |ORDER BY doc_id""".stripMargin),
     // is_repetitive compares the UNROUNDED fraction in both engines (the
@@ -944,7 +944,7 @@ object SparkEntry {
          |  (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 8.0 THEN 0.2 ELSE 0.0 END) AS quality_score FROM r),
          |d AS (SELECT min(doc_id) AS doc_id, min(pred_lang) AS pred_lang, ceil(length(text)::DOUBLE / 4.0)::BIGINT AS n_tokens
          |  FROM sc WHERE quality_score >= 0.3 GROUP BY text),
-         |sam AS (SELECT * FROM d WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 10000 <
+         |sam AS (SELECT * FROM d WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 <
          |  (CASE WHEN pred_lang = 'en' THEN 5000 ELSE 10000 END)),
          |c AS (SELECT doc_id, pred_lang, n_tokens,
          |  (sum(n_tokens) OVER (PARTITION BY pred_lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS off FROM sam)

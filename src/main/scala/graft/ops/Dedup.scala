@@ -566,11 +566,18 @@ object Dedup {
   def removeContaminated(
       corpus: DataFrame,
       benchmark: DataFrame,
-      shingleK: Int = 4): DataFrame = {
+      shingleK: Int = 4,
+      broadcastBenchmark: Option[Boolean] = None,
+      broadcastThresholdBytes: Long = defaultBroadcastBytes): DataFrame = {
     val benchSh = shingles(benchmark, shingleK)
       .select(col("shingle").as("bsh")).distinct()
+    // same auto-sized lever as decontaminate — an unconditional broadcast
+    // would OOM on a benchmark side too large to build
+    val doBroadcast = broadcastBenchmark.getOrElse(
+      estimatedPostingsBytes(benchmark, shingleK) <= broadcastThresholdBytes)
+    val build = if (doBroadcast) broadcast(benchSh) else benchSh
     val tainted = shingles(corpus, shingleK)
-      .join(broadcast(benchSh), col("shingle") === col("bsh"))
+      .join(build, col("shingle") === col("bsh"))
       .select("doc_id").distinct()
     corpus.join(tainted, Seq("doc_id"), "left_anti")
   }
@@ -768,7 +775,7 @@ object Dedup {
     * projection of one). Blocking so callers can bound live block count
     * deterministically; the wait is a block-removal RPC, trivial next to a
     * round's join work. */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
+  private[graft] def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = true)

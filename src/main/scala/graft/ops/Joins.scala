@@ -33,7 +33,14 @@ object Joins {
     * Scale shape: the left side shuffles once on (keys, salt) — the hot
     * key now occupies `salts` reducers; the right side shuffles its
     * `salts`× replication (or broadcasts, if small enough for Catalyst
-    * to elect it, in which case salting costs nothing extra at all). */
+    * to elect it, in which case salting costs nothing extra at all).
+    *
+    * Limitations: the salt is a function of the row's VALUES, so hot-key
+    * rows that are BYTE-IDENTICAL duplicates all take the same salt and
+    * still co-locate — deterministic salting cannot spread them (pass a
+    * unique id column in the frame, which any real table has, and the
+    * hash separates the rows). `hash()` also rejects MapType columns at
+    * plan time; project maps away (or to their sorted entries) first. */
   def saltedJoin(
       left: DataFrame,
       right: DataFrame,

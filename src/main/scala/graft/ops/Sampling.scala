@@ -15,11 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Per-mille-of-10000 bucket for a key: the first 16 bits of md5 of the
+  /** Per-mille-of-10000 bucket for a key: the first 60 bits of md5 of the
     * key's decimal string, mod 10000 — engine-portable (DuckDB computes the
-    * identical bucket), uniform, and independent of row order. */
+    * identical bucket) and independent of row order. 60 bits (not 16): a
+    * 16-bit prefix mod 10000 is visibly non-uniform — buckets below
+    * 2¹⁶ mod 10000 get ⌈2¹⁶/10⁴⌉/2¹⁶ ≈ 7/65536 instead of 6/65536, so a
+    * requested 25% rate actually delivered ~26.7%; with 60 bits the same
+    * skew is ~10⁻¹⁵ of the rate. */
   private def hashBucket(key: Column): Column =
-    conv(substring(md5(key.cast("string").cast("binary")), 1, 4), 16, 10)
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
       .cast("long") % 10000
 
   /** C1 — deterministic stratified sampling: keep a row iff its key's hash

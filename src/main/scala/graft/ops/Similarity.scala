@@ -425,9 +425,14 @@ object Similarity {
     * serves across ingest; quantization error grows only with
     * distribution drift, and the rebuild (writePqIndex) is the retrain.
     * Single writer per index; readers between ticks. */
-  def updatePqIndex(
-      newEmbeddings: DataFrame, path: String, m: Int = 8): Unit = {
-    val cb = readPqCodebook(newEmbeddings.sparkSession, path)
+  def updatePqIndex(newEmbeddings: DataFrame, path: String): Unit = {
+    val spark = newEmbeddings.sparkSession
+    val cb = readPqCodebook(spark, path)
+    // m is READ OFF the stored codes, never taken from the caller — an
+    // append with a mismatched subspace count would silently corrupt the
+    // table (same parameter-pinning contract as updateMinhashIndex)
+    val m = spark.read.parquet(codesPath(path).toString)
+      .select(size(col("cs"))).head().getInt(0)
     pqEncode(newEmbeddings, cb, m)
       .write.mode("append").parquet(codesPath(path).toString)
   }

@@ -397,7 +397,11 @@ object Ddl {
           "AND cc.constraint_name = tc.constraint_name " +
           "WHERE tc.table_schema = current_schema() AND tc.table_name = ? " +
           "AND tc.constraint_type = 'CHECK' " +
-          "AND cc.check_clause NOT LIKE '%IS NOT NULL%'")
+          // exclude only the system-generated column NOT NULL rows (name
+          // pattern <oid>_<num>_not_null) — filtering on the CLAUSE text
+          // would also drop genuine user constraints that merely contain
+          // an IS NOT NULL, e.g. CHECK (email IS NOT NULL OR phone IS NOT NULL)
+          "AND tc.constraint_name NOT LIKE '%not_null'")
       else None
     query.toSeq.flatMap { q =>
       tableCandidates.iterator.map { t =>

@@ -78,10 +78,14 @@ object Drivers {
     * (Derby folds up, Postgres folds down), whereas quoting would pin the
     * caller's exact spelling and break `bulk_t`-style lookups. */
   def quoteTableIfNeeded(url: String, table: String): String =
-    if (table == table.toUpperCase || table == table.toLowerCase) table
-    else if (url.startsWith("jdbc:mysql:"))
-      "`" + table.replace("`", "``") + "`"
-    else "\"" + table.replace("\"", "\"\"") + "\""
+    // schema-qualified names quote per SEGMENT: quoting the whole string
+    // would make "public.OrderItems" one identifier with a dot in it
+    table.split('.').map { seg =>
+      if (seg == seg.toUpperCase || seg == seg.toLowerCase) seg
+      else if (url.startsWith("jdbc:mysql:"))
+        "`" + seg.replace("`", "``") + "`"
+      else "\"" + seg.replace("\"", "\"\"") + "\""
+    }.mkString(".")
 
   /** Reader for one table behind a DSN (≅ `Engine.ReadTable`,
     * `pkg/reader/engine/engine.go:82-133`). For JDBC the `dbtable` option

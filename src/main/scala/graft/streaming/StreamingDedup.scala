@@ -88,10 +88,15 @@ object StreamingDedup {
         val survivors = graft.ops.Dedup
           .incrementalNewFromIndex(batch.toDF(), indexPath)
           .localCheckpoint(true)
-        if (!survivors.isEmpty) {
-          graft.ops.Dedup.updateMinhashIndex(survivors, indexPath)
-          survivors.write.mode("append").parquet(acceptedSink)
-        }
+        try {
+          if (!survivors.isEmpty) {
+            graft.ops.Dedup.updateMinhashIndex(survivors, indexPath)
+            survivors.write.mode("append").parquet(acceptedSink)
+          }
+        } finally
+          // a forever-running query would otherwise retain one checkpointed
+          // copy of every accepted batch until storage-memory pressure
+          graft.ops.Dedup.unpersistCheckpoint(survivors)
         ()
       }
       .start()

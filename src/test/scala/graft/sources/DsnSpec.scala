@@ -126,6 +126,14 @@ class DsnSpec extends AnyFunSuite {
     // one-case names rely on engine folding — quoting would pin them wrong
     assert(Drivers.quoteTableIfNeeded("jdbc:derby:memory:x", "bulk_t") == "bulk_t")
     assert(Drivers.quoteTableIfNeeded("jdbc:mysql://h/db", "USERS") == "USERS")
+    // schema-qualified names quote per SEGMENT — quoting the whole string
+    // would make "public.OrderItems" one identifier with a dot inside
+    assert(Drivers.quoteTableIfNeeded("jdbc:postgresql://h/db",
+      "public.OrderItems") == "public.\"OrderItems\"")
+    assert(Drivers.quoteTableIfNeeded("jdbc:mysql://h/db",
+      "Sales.order_items") == "`Sales`.order_items")
+    assert(Drivers.quoteTableIfNeeded("jdbc:postgresql://h/db",
+      "public.users") == "public.users")
   }
 
   test("catalog listing and read through a file:// DSN (S3/S4/S1)") {
