@@ -491,6 +491,21 @@ object SparkEntry {
       shingleK = 4)
   }
 
+  /** NS35 — IVF-PQ: the composed billion-vector serving stack — IVF cells
+    * prune WHICH rows are scored (partition-pruned probe scan), PQ codes
+    * compress WHAT scoring costs (ADC lookups, no raw vectors in the
+    * index at all). Both quantizers are the md5-derived ones from ns13
+    * and ns30, so the composite mirrors end-to-end. */
+  private def ns35(s: SparkSession, dir: String): DataFrame = {
+    val fp = graft.ops.Dedup.sourceFingerprint(s, s"$dir/embeddings.parquet")
+    val base = scratchIndexDir("graft_ivfpq_idx", dir, fp)
+    if (!graft.ops.Similarity.pqIndexMatches(s, base, fp))
+      graft.ops.Similarity.writeIvfPqIndex(
+        embs(s, dir), base, fingerprint = Some(fp))
+    graft.ops.Similarity.ivfPqTopKFromIndex(
+      s, base, simQueries(s, dir), k = 10)
+  }
+
   /** NS16 — near-dup survivor resolution: ns2's minhash pairs → connected
     * components (min-label propagation with pointer jumping) → the
     * surviving corpus with per-survivor merge counts. The dedup DECISION a
@@ -553,6 +568,7 @@ object SparkEntry {
     "ns32_join_salted" -> (ns32 _),
     "ns33_corpus_stats" -> (ns33 _),
     "ns34_decontaminate_spans" -> (ns34 _),
+    "ns35_simsearch_ivfpq" -> (ns35 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -718,6 +734,32 @@ object SparkEntry {
          |scored AS (SELECT q.query_id, c.vec_id,
          |    q.lut[c.cs[1]+1] + q.lut[16+c.cs[2]+1] + q.lut[32+c.cs[3]+1] + q.lut[48+c.cs[4]+1] + q.lut[64+c.cs[5]+1] + q.lut[80+c.cs[6]+1] + q.lut[96+c.cs[7]+1] + q.lut[112+c.cs[8]+1] AS ip
          |  FROM codes c, q WHERE c.vec_id != q.query_id)
+         |SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, vec_id) AS rank, vec_id, round(ip, 6) AS adc_ip
+         |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    // ns35 composes the ns13 coarse-quantizer CTEs (cells, probes) with
+    // the ns30 PQ CTEs (codebook, codes, LUT): scored pairs are restricted
+    // to each query's probed cells, ranked by the same 8-term ADC sum.
+    "ns35_simsearch_ivfpq" ->
+      ("""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |cranked AS (SELECT vec_id, v, row_number() OVER (ORDER BY ('0x' || substr(md5('centroid:' || vec_id), 1, 15))::BIGINT, vec_id) - 1 AS c FROM emb),
+         |cent AS (SELECT c, CASE WHEN nrm = 0 THEN list_transform(v, x -> 0.0) ELSE list_transform(v, x -> x / nrm) END AS cv
+         |  FROM (SELECT c, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM cranked WHERE c < 16)),
+         |ascore AS (SELECT e.vec_id, cent.c, list_sum(list_transform(range(1,65), i -> e.v[i] * cent.cv[i])) AS s FROM emb e, cent),
+         |assigned AS (SELECT vec_id, c AS cell FROM ascore QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) = 1),
+         |pranked AS (SELECT vec_id, v, row_number() OVER (ORDER BY ('0x' || substr(md5('pq:' || vec_id), 1, 15))::BIGINT, vec_id) - 1 AS c FROM emb),
+         |cbl AS (SELECT list(v ORDER BY c) AS l FROM pranked WHERE c < 16),
+         |dists AS (SELECT e.vec_id, ss.s, cc.c,
+         |    list_sum(list_transform(range(0,8), d -> cbl.l[cc.c+1][ss.s*8+d+1] * cbl.l[cc.c+1][ss.s*8+d+1]))
+         |    - 2 * list_sum(list_transform(range(0,8), d -> e.v[ss.s*8+d+1] * cbl.l[cc.c+1][ss.s*8+d+1])) AS dist
+         |  FROM emb e, (SELECT unnest(range(0,8)) AS s) ss, (SELECT unnest(range(0,16)) AS c) cc, cbl),
+         |codes AS (SELECT vec_id, list(c ORDER BY s) AS cs FROM (SELECT vec_id, s, c FROM dists QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) = 1) GROUP BY vec_id),
+         |qsc AS (SELECT e.vec_id AS query_id, cent.c, list_sum(list_transform(range(1,65), i -> e.v[i] * cent.cv[i])) AS s FROM emb e, cent WHERE e.vec_id < 5),
+         |probes AS (SELECT query_id, c AS cell FROM qsc QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, c DESC) <= 4),
+         |q AS (SELECT e.vec_id AS query_id, list_transform(range(0,128), sc -> list_sum(list_transform(range(0,8), d -> e.v[(sc//16)*8+d+1] * cbl.l[sc%16+1][(sc//16)*8+d+1]))) AS lut FROM emb e, cbl WHERE e.vec_id < 5),
+         |scored AS (SELECT q.query_id, c2.vec_id,
+         |    q.lut[c2.cs[1]+1] + q.lut[16+c2.cs[2]+1] + q.lut[32+c2.cs[3]+1] + q.lut[48+c2.cs[4]+1] + q.lut[64+c2.cs[5]+1] + q.lut[80+c2.cs[6]+1] + q.lut[96+c2.cs[7]+1] + q.lut[112+c2.cs[8]+1] AS ip
+         |  FROM codes c2 JOIN assigned a USING (vec_id) JOIN probes pr ON pr.cell = a.cell JOIN q ON q.query_id = pr.query_id
+         |  WHERE c2.vec_id != q.query_id)
          |SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, vec_id) AS rank, vec_id, round(ip, 6) AS adc_ip
          |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin),
     "ns12_multimodal_features" ->

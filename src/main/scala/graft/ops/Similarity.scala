@@ -369,7 +369,7 @@ object Similarity {
     * = the m-term lookup sum, per-query top-k window. */
   private def pqScoreCodes(
       codes: DataFrame, queries: DataFrame, cb: Array[Array[Double]],
-      m: Int, k: Int): DataFrame = {
+      m: Int, k: Int, pairFilter: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(queries.sparkSession)
     val dims = cb.head.length
@@ -389,7 +389,8 @@ object Similarity {
       element_at(col("lut"),
         lit(s * numCodes) + element_at(col("cs"), s + 1) + 1)
     }.reduce(_ + _)
-    val scored = codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val scored = codes.join(broadcast(q),
+        col("vec_id") =!= col("query_id") && pairFilter)
       .select(col("query_id"), col("vec_id"), score.as("ip"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("ip").desc, col("vec_id"))
@@ -458,6 +459,71 @@ object Similarity {
     val codes = spark.read.parquet(codesPath(path).toString)
     val m = codes.select(size(col("cs"))).head().getInt(0)
     pqScoreCodes(codes, queries, cb, m, k)
+  }
+
+  /** IVF-PQ: the composed serving stack — IVF's coarse quantizer prunes
+    * WHICH rows to score (nProbe/C of the corpus, partition-pruned scan),
+    * PQ's codes compress WHAT each row costs to score (m table lookups,
+    * no raw vector). This is the standard shape for billion-vector
+    * serving (FAISS's IndexIVFPQ); here it is pure composition of the two
+    * audited pieces: cells from [[writeIvfIndex]]'s assignment, codes
+    * from [[pqEncode]], scoring from the ADC path. Both quantizers are
+    * md5-derived, so the whole composite remains engine-reproducible.
+    *
+    * Index layout: parquet partitioned by `cell`, rows (vec_id, cs);
+    * centroid + codebook + optional fingerprint sidecars. The raw
+    * vectors appear nowhere in the index — at 64-float vectors the index
+    * is ~16× smaller than an [[writeIvfIndex]] index over the same
+    * corpus, which is the difference between codes-in-memory and
+    * floats-on-disk at 10⁹ vectors. */
+  def writeIvfPqIndex(
+      embeddings: DataFrame, path: String, numCentroids: Int = 16,
+      m: Int = 8, numCodes: Int = 16,
+      fingerprint: Option[String] = None): Unit = {
+    val spark = embeddings.sparkSession
+    val corpus = normalizedCorpus(embeddings)
+    val centroids = centroidVectors(corpus, numCentroids)
+    val cb = pqCodebook(embeddings, numCodes)
+    val dims = cb.head.length
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
+    graft.functions.VectorFunctions.register(spark)
+    corpus
+      .withColumn("cell",
+        array_max(cellScores(col("v"), centroids)).getField("c"))
+      .select(col("vec_id"),
+        pqCodes(col("v"), m, dims / m, cb).as("cs"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    IndexSidecar.write(spark, centroidsPath(path),
+      centroids.map { case (i, v) => s"$i:${v.mkString(",")}" }.mkString("\n"))
+    IndexSidecar.write(spark, codebookPath(path),
+      cb.zipWithIndex.map { case (v, i) => s"$i:${v.mkString(",")}" }
+        .mkString("\n"))
+    fingerprint.foreach(f =>
+      IndexSidecar.write(spark, fingerprintPath(path), f))
+  }
+
+  /** ANN top-k against an IVF-PQ index: probe cells reach the scan as a
+    * partition filter (same pruning contract as [[ivfTopKFromIndex]]),
+    * then only the probed cells' CODES are ADC-scored. Approximate on two
+    * axes (cell pruning recalls, quantized scores); both are the same
+    * md5 constants the oracle replays. */
+  def ivfPqTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val centroids = readCentroids(spark, path)
+    val cb = readPqCodebook(spark, path)
+    val probes = probeCells(queries, centroids, nProbe)
+      .select("query_id", "cell").distinct()
+    val wanted = probes.select("cell").distinct().collect().map(_.getInt(0))
+    val codes = spark.read.parquet(path)
+      .where(col("cell").isin(wanted.toIndexedSeq: _*))
+    val m = codes.select(size(col("cs"))).head().getInt(0)
+    // restrict the code table to each query's own probed cells, then ADC
+    pqScoreCodes(
+      codes.join(broadcast(probes), Seq("cell"))
+        .select(col("vec_id"), col("cs"), col("query_id").as("probe_qid")),
+      queries, cb, m, k,
+      pairFilter = col("probe_qid") === col("query_id"))
   }
 
   private def codesPath(path: String) =

@@ -807,6 +807,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(origs.nonEmpty)
   }
 
+  test("IVF-PQ: probed-cell pruning with PQ-exact scores, partition-pruned scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.writeIvfPqIndex(embs, dir, fingerprint = Some("fp-x"))
+    assert(Similarity.pqIndexMatches(spark, dir, "fp-x"))
+    val df = Similarity.ivfPqTopKFromIndex(spark, dir, queries, k = 10)
+    val got = df.collect()
+    assert(got.nonEmpty)
+    // (a) every returned pair's score equals the flat PQ scorer's score
+    // for the same pair — cell pruning may drop pairs, never mis-score
+    val flat = Similarity.pqTopK(embs, queries, k = 2000).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(flat(key) == r.getDouble(3), key)
+    }
+    // (b) ranks are contiguous from 1 and ordered by score desc per query
+    got.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to byRank.length))
+      val scores = byRank.map(_.getDouble(3))
+      assert(scores.sameElements(scores.sortBy(-_)))
+    }
+    // (c) the probe set reaches the scan as a partition filter
+    val plan = df.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("PartitionFilters"))
+    assert(scanLine.exists(l =>
+      l.substring(l.indexOf("PartitionFilters")).take(200).contains("cell")),
+      scanLine.getOrElse(plan.take(1500)))
+    // (d) deterministic across runs
+    assert(Similarity.ivfPqTopKFromIndex(spark, dir, queries).collect().toSeq ==
+      Similarity.ivfPqTopKFromIndex(spark, dir, queries).collect().toSeq)
+  }
+
   test("PQ plan: one corpus scan, broadcast queries, codegen'd encode") {
     val df = Similarity.pqTopK(embs, queries, k = 10)
     val p = df.queryExecution.executedPlan.toString
