@@ -502,6 +502,26 @@ object Similarity {
       IndexSidecar.write(spark, fingerprintPath(path), f))
   }
 
+  /** Append new vectors to an IVF-PQ index with BOTH quantizers frozen —
+    * the same no-retrain contract as [[updateIvfIndex]]/[[updatePqIndex]]:
+    * cells come from the stored centroids, codes from the stored codebook
+    * (m read off the stored code arrays, never the caller), one narrow
+    * scan per tick. Single writer; rebuild = retrain. */
+  def updateIvfPqIndex(newEmbeddings: DataFrame, path: String): Unit = {
+    val spark = newEmbeddings.sparkSession
+    val centroids = readCentroids(spark, path)
+    val cb = readPqCodebook(spark, path)
+    val m = spark.read.parquet(path)
+      .select(size(col("cs"))).head().getInt(0)
+    graft.functions.VectorFunctions.register(spark)
+    normalizedCorpus(newEmbeddings)
+      .withColumn("cell",
+        array_max(cellScores(col("v"), centroids)).getField("c"))
+      .select(col("vec_id"),
+        pqCodes(col("v"), m, cb.head.length / m, cb).as("cs"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
   /** ANN top-k against an IVF-PQ index: probe cells reach the scan as a
     * partition filter (same pruning contract as [[ivfTopKFromIndex]]),
     * then only the probed cells' CODES are ADC-scored. Approximate on two

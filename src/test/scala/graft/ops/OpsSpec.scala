@@ -839,6 +839,23 @@ class SimilaritySpec extends AnyFunSuite {
     // (d) deterministic across runs
     assert(Similarity.ivfPqTopKFromIndex(spark, dir, queries).collect().toSeq ==
       Similarity.ivfPqTopKFromIndex(spark, dir, queries).collect().toSeq)
+    // (e) frozen-quantizer append: exact copies of 3 corpus vectors under
+    // new ids take identical cells AND codes, so each copy scores exactly
+    // like its original and is served from the updated index
+    import spark.implicits._
+    val copies = embs.where(col("vec_id") < 3)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Similarity.updateIvfPqIndex(copies, dir)
+    val updated = Similarity
+      .ivfPqTopKFromIndex(spark, dir, queries, k = 2000).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val origs = updated.filter { case ((_, v), _) => v < 3 }
+    assert(origs.nonEmpty)
+    origs.foreach { case ((qid, v), ip) =>
+      if (qid != v)
+        assert(updated.get((qid, v + 1000000L)).contains(ip),
+          s"copy of $v missing or mis-scored for query $qid")
+    }
   }
 
   test("PQ plan: one corpus scan, broadcast queries, codegen'd encode") {
