@@ -506,6 +506,18 @@ object SparkEntry {
       s, base, simQueries(s, dir), k = 10)
   }
 
+  /** NS36 — Unicode NFC normalization: decomposed sequences (e + combining
+    * acute, i + combining diaeresis) are injected as in ns22's PII probe,
+    * and both engines must compose them to identical bytes — the
+    * JVM-Normalizer-vs-utf8proc agreement is what's under test. Zero
+    * shuffle, codegen'd expression. */
+  private def ns36(s: SparkSession, dir: String): DataFrame = {
+    val injected = docs(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" café naïve armeé")).as("text"))
+    graft.ops.TextAnalysis.normalizeText(injected).orderBy("doc_id")
+  }
+
   /** NS16 — near-dup survivor resolution: ns2's minhash pairs → connected
     * components (min-label propagation with pointer jumping) → the
     * surviving corpus with per-survivor merge counts. The dedup DECISION a
@@ -569,6 +581,7 @@ object SparkEntry {
     "ns33_corpus_stats" -> (ns33 _),
     "ns34_decontaminate_spans" -> (ns34 _),
     "ns35_simsearch_ivfpq" -> (ns35 _),
+    "ns36_text_normalize" -> (ns36 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1022,6 +1035,11 @@ object SparkEntry {
          |    coalesce(len(cov.starts), 0) AS n_spans
          |  FROM cw c LEFT JOIN cov USING (doc_id))
          |SELECT doc_id, text, n_spans FROM outp ORDER BY doc_id""".stripMargin),
+    "ns36_text_normalize" ->
+      ("""WITH aug AS (SELECT doc_id, text || ' cafe' || chr(769) || ' nai' || chr(776) || 've armee' || chr(769) AS text FROM documents)
+         |SELECT doc_id, nfc_normalize(text) AS text,
+         |  text != nfc_normalize(text) AS changed
+         |FROM aug ORDER BY doc_id""".stripMargin),
     "ns8_text_langid" ->
       ("""WITH w AS (SELECT doc_id, lang, string_split(text,' ') w FROM documents),
          |s AS (SELECT doc_id, lang,

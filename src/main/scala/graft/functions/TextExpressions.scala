@@ -57,9 +57,56 @@ case class RollingHash(child: Expression)
     copy(child = newChild)
 }
 
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) as a codegen'd expression —
+  * Spark has no built-in for it, yet it is the FIRST transform a text
+  * corpus needs: the same visible string arrives composed ("é") from one
+  * crawler and decomposed ("e" + U+0301) from another, and every
+  * downstream equality — exact dedup, shingle hashes, minhash sketches —
+  * silently treats them as different documents unless normalized first.
+  *
+  * The form is a plan-time constant (SQL: `normalize_text(s, 'NFC')`
+  * with a literal form), resolved once at expression build; per row the
+  * generated code is a single `java.text.Normalizer.normalize` call.
+  * Canonical composition of the Latin/Greek/Cyrillic repertoire has been
+  * stable across Unicode versions, which is what makes the result
+  * engine-portable (DuckDB's utf8proc agrees byte-for-byte). */
+case class NormalizeText(child: Expression, form: String)
+    extends UnaryExpression with ImplicitCastInputTypes with Serializable {
+  private val jform = java.text.Normalizer.Form.valueOf(form.toUpperCase)
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString, jform))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($in.toString(),
+         |    java.text.Normalizer.Form.${jform.name()}));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   def rollingHash(s: Column): Column = call_function("rolling_hash", s)
 
+  def normalizeText(s: Column, form: String = "NFC"): Column =
+    call_function("normalize_text", s,
+      org.apache.spark.sql.functions.lit(form))
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "rolling_hash" -> (exprs => RollingHash(exprs.head)))
+    "rolling_hash" -> (exprs => RollingHash(exprs.head)),
+    "normalize_text" -> (exprs => NormalizeText(exprs(0), exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(s: UTF8String, StringType) =>
+        s.toString
+      case other => throw new IllegalArgumentException(
+        s"normalize_text form must be a string literal, got $other")
+    })))
 }

@@ -236,6 +236,22 @@ object TextAnalysis {
       .orderBy(col(groupCol))
   }
 
+  /** T8 — Unicode normalization: the first transform a multi-source text
+    * corpus needs — the same visible string arrives composed ("é") from
+    * one crawler and decomposed ("e" + combining acute) from another, and
+    * every downstream equality (exact dedup, shingle hashes, minhash)
+    * silently treats them as distinct documents until normalized. Spark
+    * has no built-in; this is the codegen'd
+    * [[graft.functions.NormalizeText]] expression. Zero shuffle — fuses
+    * into the scan stage. `changed` flags rows the normalization touched
+    * (byte inequality), the cheap monitor for how dirty a source is. */
+  def normalizeText(docs: DataFrame, form: String = "NFC"): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val norm = graft.functions.TextFunctions.normalizeText(col("text"), form)
+    docs.select(col("doc_id"), norm.as("text"),
+      (col("text") =!= norm).as("changed"))
+  }
+
   /** T4 — document fingerprinting: md5 of the normalized text plus a
     * 31-polynomial rolling hash mod 1e9+7 (overflow-free in 64-bit: the
     * accumulator stays < 1e9, each step < 3.3e10). The rolling hash is a

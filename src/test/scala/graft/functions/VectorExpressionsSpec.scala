@@ -91,4 +91,32 @@ class VectorExpressionsSpec extends AnyFunSuite {
     // the projection with vec_norm must sit inside a WholeStageCodegen span
     assert(plan.toString.contains("*(1)"), plan.toString.take(500))
   }
+
+  test("normalize_text composes decomposed sequences per form") {
+    import spark.implicits._
+    // explicit escapes so source encoding can't blur the fixture:
+    // decomposed = e + COMBINING ACUTE, i + COMBINING DIAERESIS
+    val decomposed = "cafe\u0301 nai\u0308ve"
+    val composed = "caf\u00e9 na\u00efve"
+    assert(decomposed != composed && decomposed.length == composed.length + 2)
+    val df = Seq(decomposed).toDF("t")
+    assert(df.select(TextFunctions.normalizeText(col("t"), "NFC"))
+      .head().getString(0) == composed)
+    // NFD round-trips the composed form back to decomposed
+    assert(df.select(TextFunctions.normalizeText(
+        TextFunctions.normalizeText(col("t"), "NFC"), "NFD"))
+      .head().getString(0) == decomposed)
+    // already-normalized ASCII is untouched; nulls stay null
+    val mixed = Seq(Some("plain ascii"), None).toDF("t")
+    val out = mixed.select(TextFunctions.normalizeText(col("t"))).collect()
+    assert(out(0).getString(0) == "plain ascii")
+    assert(out(1).isNullAt(0))
+    // SQL registration path + literal-form contract
+    assert(spark.sql("SELECT normalize_text('cafe\u0301', 'NFC')")
+      .head().getString(0) == "caf\u00e9")
+    intercept[Exception] {
+      spark.sql("SELECT normalize_text('x', t)" +
+        " FROM (SELECT 'NFC' AS t)").collect()
+    }
+  }
 }
