@@ -518,6 +518,65 @@ object SparkEntry {
     graft.ops.TextAnalysis.normalizeText(injected).orderBy("doc_id")
   }
 
+  /** NS37 — semantic dedup (SemDeDup): embeddings clustered by the ns13
+    * coarse quantizer, duplicates resolved WITHIN cells only — a vector is
+    * dropped iff a lower-id cellmate has cosine ≥ 0.4. The cluster bounds
+    * the pair space (Σ|cell|², never n²); cross-cell near-identicals both
+    * survive by design. */
+  private def ns37(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.semanticDedup(embs(s, dir))
+
+  /** NS38 — TF-IDF keyword extraction: top-5 characteristic bigrams per
+    * doc under the integer-quantized idf (floor log₂(N÷df)) — every score
+    * an exact integer, so the whole ranking hash-matches across engines.
+    * (Bigrams because the synthetic corpus has a ~31-word vocabulary;
+    * unigram idf would be 0 almost everywhere.) */
+  private def ns38(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.tfidfKeywords(docs(s, dir))
+
+  /** NS39 — document chunking: 64-token windows with 16-token overlap —
+    * the retrieval/embedding splitter. Zero shuffle; chunk math is exact
+    * in-row integer arithmetic. */
+  private def ns39(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.chunkDocuments(docs(s, dir))
+
+  /** NS40 — intra-corpus duplicate-span removal (exact substring dedup,
+    * keep-first): any 4-gram in ≥2 docs keeps its first occurrence (min
+    * doc_id) and is redacted everywhere else — ns34's span machinery made
+    * self-referential. */
+  private def ns40(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.dedupSpans(docs(s, dir))
+
+  /** NS41 — storage-layout optimization: the corpus rewritten partitioned
+    * by lang and range-clustered on n_chars, then a selective query served
+    * FROM the layout — the lang predicate prunes partition directories at
+    * planning time and the n_chars range reaches parquet min/max stats
+    * (both pinned in CorpusOpsSpec). Layout is scratch-cached per content
+    * fingerprint, same staleness contract as the indexes. */
+  private def ns41(s: SparkSession, dir: String): DataFrame = {
+    val fp = graft.ops.Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
+    val base = scratchIndexDir("graft_layout", dir, fp)
+    val marker = new org.apache.hadoop.fs.Path(base, "_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      graft.ops.Layout.optimize(
+        docs(s, dir), base, Seq("lang"), Seq("n_chars"))
+    graft.ops.Layout.read(s, base)
+      .where(col("lang") === "en" &&
+        col("n_chars") >= 150 && col("n_chars") <= 400)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** NS42 — k-means-trained IVF: two Lloyd iterations refine the md5
+    * coarse quantizer (per-dim means rounded to 6 decimals — the contract
+    * that makes a TRAINED quantizer oracle-checkable at all), then ns13's
+    * probe/score serving runs unchanged on the tightened cells. */
+  private def ns42(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.kmeansIvfTopK(embs(s, dir), simQueries(s, dir), k = 10)
+
   /** NS16 — near-dup survivor resolution: ns2's minhash pairs → connected
     * components (min-label propagation with pointer jumping) → the
     * surviving corpus with per-survivor merge counts. The dedup DECISION a
@@ -582,6 +641,12 @@ object SparkEntry {
     "ns34_decontaminate_spans" -> (ns34 _),
     "ns35_simsearch_ivfpq" -> (ns35 _),
     "ns36_text_normalize" -> (ns36 _),
+    "ns37_dedup_semantic" -> (ns37 _),
+    "ns38_keywords_tfidf" -> (ns38 _),
+    "ns39_chunk_documents" -> (ns39 _),
+    "ns40_dedup_spans" -> (ns40 _),
+    "ns41_layout_pruned" -> (ns41 _),
+    "ns42_simsearch_kmeans" -> (ns42 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -725,6 +790,37 @@ object SparkEntry {
          |assigned AS (SELECT vec_id, v, c AS cell FROM ascore QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) = 1),
          |corpus AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nv, cell FROM assigned),
          |qscore AS (SELECT e.vec_id AS query_id, e.v AS qv, cent.c, list_sum(list_transform(range(1,65), i -> e.v[i] * cent.cv[i])) AS s FROM emb e, cent WHERE e.vec_id < 5),
+         |probes AS (SELECT query_id, qv, sqrt(list_sum(list_transform(qv, x -> x * x))) AS nq, c AS cell FROM qscore QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, c DESC) <= 4),
+         |scored AS (SELECT DISTINCT pr.query_id, corpus.vec_id, round(list_sum(list_transform(range(1,65), i -> pr.qv[i] * corpus.v[i])) / (pr.nq * corpus.nv), 6) AS cosine
+         |  FROM probes pr JOIN corpus USING (cell) WHERE corpus.vec_id != pr.query_id)
+         |SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank, vec_id, cosine
+         |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    // ns42 unrolls two Lloyd iterations over the ns13 init: assignment
+    // (same argmax tie-break), per-(cell, dim) mean ROUNDED to 6 decimals
+    // (absorbs the engines' cross-row float-sum order noise), driver-order
+    // renormalization, empty cells keeping their previous centroid via the
+    // LEFT JOIN; then the ns13 probe/score tail against the trained cells.
+    "ns42_simsearch_kmeans" ->
+      ("""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |ranked AS (SELECT vec_id, v, row_number() OVER (ORDER BY ('0x' || substr(md5('centroid:' || vec_id), 1, 15))::BIGINT, vec_id) - 1 AS c FROM emb),
+         |cent0 AS (SELECT c, CASE WHEN nrm = 0 THEN list_transform(v, x -> 0.0) ELSE list_transform(v, x -> x / nrm) END AS cv
+         |  FROM (SELECT c, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM ranked WHERE c < 16)),
+         |a1 AS (SELECT vec_id, v, c AS cell FROM (SELECT e.vec_id, e.v, cent0.c, list_sum(list_transform(range(1,65), i -> e.v[i] * cent0.cv[i])) AS s FROM emb e, cent0)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) = 1),
+         |m1 AS (SELECT cell, ii.i, round(sum(v[ii.i]) / count(*), 6) AS m FROM a1, (SELECT unnest(range(1,65)) AS i) ii GROUP BY cell, ii.i),
+         |g1 AS (SELECT cell, mv, sqrt(list_sum(list_transform(mv, x -> x * x))) AS nrm FROM (SELECT cell, list(m ORDER BY i) AS mv FROM m1 GROUP BY cell)),
+         |cent1 AS (SELECT cent0.c, CASE WHEN g1.mv IS NULL THEN cent0.cv WHEN g1.nrm = 0 THEN list_transform(g1.mv, x -> 0.0) ELSE list_transform(g1.mv, x -> x / g1.nrm) END AS cv
+         |  FROM cent0 LEFT JOIN g1 ON g1.cell = cent0.c),
+         |a2 AS (SELECT vec_id, v, c AS cell FROM (SELECT e.vec_id, e.v, cent1.c, list_sum(list_transform(range(1,65), i -> e.v[i] * cent1.cv[i])) AS s FROM emb e, cent1)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) = 1),
+         |m2 AS (SELECT cell, ii.i, round(sum(v[ii.i]) / count(*), 6) AS m FROM a2, (SELECT unnest(range(1,65)) AS i) ii GROUP BY cell, ii.i),
+         |g2 AS (SELECT cell, mv, sqrt(list_sum(list_transform(mv, x -> x * x))) AS nrm FROM (SELECT cell, list(m ORDER BY i) AS mv FROM m2 GROUP BY cell)),
+         |cent2 AS (SELECT cent1.c, CASE WHEN g2.mv IS NULL THEN cent1.cv WHEN g2.nrm = 0 THEN list_transform(g2.mv, x -> 0.0) ELSE list_transform(g2.mv, x -> x / g2.nrm) END AS cv
+         |  FROM cent1 LEFT JOIN g2 ON g2.cell = cent1.c),
+         |assigned AS (SELECT vec_id, v, c AS cell FROM (SELECT e.vec_id, e.v, cent2.c, list_sum(list_transform(range(1,65), i -> e.v[i] * cent2.cv[i])) AS s FROM emb e, cent2)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) = 1),
+         |corpus AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nv, cell FROM assigned),
+         |qscore AS (SELECT e.vec_id AS query_id, e.v AS qv, cent2.c, list_sum(list_transform(range(1,65), i -> e.v[i] * cent2.cv[i])) AS s FROM emb e, cent2 WHERE e.vec_id < 5),
          |probes AS (SELECT query_id, qv, sqrt(list_sum(list_transform(qv, x -> x * x))) AS nq, c AS cell FROM qscore QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, c DESC) <= 4),
          |scored AS (SELECT DISTINCT pr.query_id, corpus.vec_id, round(list_sum(list_transform(range(1,65), i -> pr.qv[i] * corpus.v[i])) / (pr.nq * corpus.nv), 6) AS cosine
          |  FROM probes pr JOIN corpus USING (cell) WHERE corpus.vec_id != pr.query_id)
@@ -1031,7 +1127,7 @@ object SparkEntry {
          |cov AS (SELECT doc_id, list(DISTINCT pos) AS starts FROM t GROUP BY doc_id),
          |outp AS (SELECT c.doc_id,
          |    CASE WHEN cov.starts IS NULL THEN c.text
-         |    ELSE array_to_string([c.w[j] for j in range(1, len(c.w)+1) if len([s for s in cov.starts if j - 1 >= s AND j - 1 < s + 4]) = 0], ' ') END AS text,
+         |    ELSE coalesce(array_to_string([c.w[j] for j in range(1, len(c.w)+1) if len([s for s in cov.starts if j - 1 >= s AND j - 1 < s + 4]) = 0], ' '), '') END AS text,
          |    coalesce(len(cov.starts), 0) AS n_spans
          |  FROM cw c LEFT JOIN cov USING (doc_id))
          |SELECT doc_id, text, n_spans FROM outp ORDER BY doc_id""".stripMargin),
@@ -1040,6 +1136,61 @@ object SparkEntry {
          |SELECT doc_id, nfc_normalize(text) AS text,
          |  text != nfc_normalize(text) AS changed
          |FROM aug ORDER BY doc_id""".stripMargin),
+    // ns37 reuses ns13's coarse-quantizer CTEs (same md5 centroid sample,
+    // same (score DESC, c DESC) argmax tie-break), then resolves dups by a
+    // within-cell equality self-join on the rounded cosine.
+    "ns37_dedup_semantic" ->
+      ("""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |ranked AS (SELECT vec_id, v, row_number() OVER (ORDER BY ('0x' || substr(md5('centroid:' || vec_id), 1, 15))::BIGINT, vec_id) - 1 AS c FROM emb),
+         |cent AS (SELECT c, CASE WHEN nrm = 0 THEN list_transform(v, x -> 0.0) ELSE list_transform(v, x -> x / nrm) END AS cv
+         |  FROM (SELECT c, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM ranked WHERE c < 16)),
+         |ascore AS (SELECT e.vec_id, e.v, cent.c, list_sum(list_transform(range(1,65), i -> e.v[i] * cent.cv[i])) AS s FROM emb e, cent),
+         |assigned AS (SELECT vec_id, v, c AS cell FROM ascore QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) = 1),
+         |corpus AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nv, cell FROM assigned),
+         |dups AS (SELECT DISTINCT a.vec_id FROM corpus a JOIN corpus b ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |  AND round(list_sum(list_transform(range(1,65), i -> a.v[i] * b.v[i])) / (a.nv * b.nv), 6) >= 0.4)
+         |SELECT c.vec_id, c.cell, (d.vec_id IS NOT NULL) AS is_dup
+         |FROM corpus c LEFT JOIN dups d ON d.vec_id = c.vec_id ORDER BY c.vec_id""".stripMargin),
+    // ns38's idf is exact integer bit-length math (length(bin(N // df)) - 1
+    // = floor log2) — no transcendentals anywhere, so scores hash-match.
+    "ns38_keywords_tfidf" ->
+      ("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tok AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2 THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] ELSE [] END) AS term FROM w),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.term, (tf.tf * (length(bin(n.n_docs // df.df)) - 1))::BIGINT AS tfidf
+         |  FROM tf JOIN df USING (term), n),
+         |pos AS (SELECT * FROM sc WHERE tfidf > 0)
+         |SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank, term, tfidf
+         |FROM pos QUALIFY rank <= 5 ORDER BY doc_id, rank""".stripMargin),
+    "ns39_chunk_documents" ->
+      ("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |c AS (SELECT doc_id, w, 1 + (greatest(len(w) - 64, 0) + 47) // 48 AS nc FROM w),
+         |x AS (SELECT doc_id, w, unnest(range(0, nc)) AS chunk_id FROM c)
+         |SELECT doc_id, chunk_id, len(w[chunk_id*48+1 : chunk_id*48+64]) AS n_tokens,
+         |  array_to_string(w[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text
+         |FROM x ORDER BY doc_id, chunk_id""".stripMargin),
+    // ns40 = ns34's positional-gram device with a keep-first rule: the
+    // gram's min doc_id is the keeper, occurrences in later docs taint.
+    "ns40_dedup_spans" ->
+      ("""WITH cw AS (SELECT doc_id, text, string_split(text,' ') w FROM documents),
+         |pg AS (SELECT doc_id, unnest([{'pos': i - 1, 'sh': array_to_string(w[i:i+3], ' ')} for i in range(1, len(w)-2)]) AS g FROM cw),
+         |keep AS (SELECT g.sh AS sh, min(doc_id) AS keeper FROM pg GROUP BY g.sh HAVING count(DISTINCT doc_id) >= 2),
+         |t AS (SELECT pg.doc_id, pg.g.pos AS pos FROM pg JOIN keep ON pg.g.sh = keep.sh WHERE pg.doc_id > keep.keeper),
+         |cov AS (SELECT doc_id, list(DISTINCT pos) AS starts FROM t GROUP BY doc_id),
+         |outp AS (SELECT c.doc_id,
+         |    CASE WHEN cov.starts IS NULL THEN c.text
+         |    ELSE coalesce(array_to_string([c.w[j] for j in range(1, len(c.w)+1) if len([s for s in cov.starts if j - 1 >= s AND j - 1 < s + 4]) = 0], ' '), '') END AS text,
+         |    coalesce(len(cov.starts), 0) AS n_spans
+         |  FROM cw c LEFT JOIN cov USING (doc_id))
+         |SELECT doc_id, text, n_spans FROM outp ORDER BY doc_id""".stripMargin),
+    // ns41's oracle reads the RAW table: the layout rewrite must be
+    // invisible in the result (pruning changes I/O, never answers).
+    "ns41_layout_pruned" ->
+      ("""SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+         |FROM documents WHERE lang = 'en' AND n_chars BETWEEN 150 AND 400
+         |GROUP BY source ORDER BY source""".stripMargin),
     "ns8_text_langid" ->
       ("""WITH w AS (SELECT doc_id, lang, string_split(text,' ') w FROM documents),
          |s AS (SELECT doc_id, lang,

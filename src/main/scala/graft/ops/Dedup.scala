@@ -616,27 +616,81 @@ object Dedup {
     val doBroadcast = broadcastBenchmark.getOrElse(
       estimatedPostingsBytes(benchmark, shingleK) <= broadcastThresholdBytes)
     val build = if (doBroadcast) broadcast(benchSh) else benchSh
-    val posGrams = corpus
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), posexplode(
-        when(size(col("w")) >= shingleK,
-          expr(s"transform(sequence(0, size(w) - $shingleK), " +
-            s"i -> concat_ws(' ', slice(w, i + 1, $shingleK)))"))
-          .otherwise(expr("array()"))))
-      .toDF("doc_id", "pos", "shingle")
-    val taintedStarts = posGrams
+    val taintedStarts = positionalShingles(corpus, shingleK)
       .join(build, col("shingle") === col("bsh"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("pos")).as("starts"))
+    redactSpans(corpus, taintedStarts, shingleK)
+  }
+
+  /** (doc_id, pos, shingle) — every k-gram with its word start position. */
+  private def positionalShingles(corpus: DataFrame, k: Int): DataFrame =
+    corpus
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(
+        when(size(col("w")) >= k,
+          expr(s"transform(sequence(0, size(w) - $k), " +
+            s"i -> concat_ws(' ', slice(w, i + 1, $k)))"))
+          .otherwise(expr("array()"))))
+      .toDF("doc_id", "pos", "shingle")
+
+  /** Rebuild each doc with words [s, s+k) removed for every start s in
+    * `taintedStarts` (doc_id, starts). Clean docs pass through
+    * byte-identical via the left join; the rebuild is a per-row codegen'd
+    * HOF filter. */
+  private def redactSpans(
+      corpus: DataFrame, taintedStarts: DataFrame, k: Int): DataFrame =
     corpus
       .join(taintedStarts, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("starts").isNull, col("text")).otherwise(concat_ws(" ",
           filter(split(col("text"), " "), (x, i) =>
             !exists(col("starts"), s =>
-              i >= s && i < s + lit(shingleK))))).as("text"),
+              i >= s && i < s + lit(k))))).as("text"),
         coalesce(size(col("starts")), lit(0)).as("n_spans"))
       .orderBy(col("doc_id"))
+
+  /** D9 — intra-corpus duplicate-SPAN removal (exact substring dedup,
+    * keep-first): a k-gram occurring in ≥2 DISTINCT documents is a
+    * duplicated span; the document with the smallest doc_id keeps its
+    * occurrence, every other document has the covering words [pos, pos+k)
+    * redacted. Document-level near-dup (minhash) misses verbatim passages
+    * embedded in otherwise-distinct pages — license blocks, quoted
+    * articles, mirrored paragraphs — which span-level exact dedup catches
+    * (the ExactSubstr finding of Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"). [[scrubContaminatedSpans]] is the
+    * two-corpus (benchmark) variant of the same machinery; this one is
+    * self-referential with a keep-first survivor rule. A suffix array finds
+    * variable-length maximal spans; fixed-k grams are the shuffle-friendly
+    * distributed formulation (one equality key, no global sort).
+    *
+    * 100 TB shape: the per-gram keeper aggregation (min doc_id + distinct
+    * doc count in ONE gram-keyed agg with map-side combine) and the join
+    * back are both keyed on the gram string — narrow shuffles, nothing
+    * pairwise, NO broadcast assumption: the duplicated-gram table scales
+    * with the corpus, unlike ns21/ns34's fixed benchmark side. The per-doc
+    * collect_set holds matched start positions for TAINTED docs only,
+    * bounded by doc length. Grams repeated only WITHIN one document are
+    * untouched (that is [[graft.ops.TextAnalysis.repetitionStats]]'s job). */
+  def dedupSpans(
+      corpus: DataFrame, shingleK: Int = 4,
+      reuseGrams: Boolean = true): DataFrame = {
+    // the positional gram stream has two consumers (keeper agg + probe
+    // join); checkpoint so the scan+explode runs once (ns4's postings
+    // pattern) instead of Catalyst duplicating the subtree
+    val posGrams0 = positionalShingles(corpus, shingleK)
+    val posGrams = if (reuseGrams) posGrams0.localCheckpoint(true) else posGrams0
+    val keepers = posGrams.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("keeper"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .select(col("shingle"), col("keeper"))
+    val taintedStarts = posGrams
+      .join(keepers, Seq("shingle"))
+      .where(col("doc_id") > col("keeper"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("starts"))
+    redactSpans(corpus, taintedStarts, shingleK)
   }
 
   /** Exact jaccard on candidate pairs from per-doc shingle sets. Set sizes
@@ -798,6 +852,58 @@ object Dedup {
       .join(sizes, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_merged"), lit(1L)).as("n_merged"))
       .orderBy(col("doc_id"))
+  }
+
+  /** D10 — semantic dedup (SemDeDup-style): cluster-scoped embedding
+    * near-dup with a KEEP DECISION per vector. Embeddings are assigned to
+    * their nearest coarse-quantizer cell (the same md5-sampled
+    * deterministic centroids as [[Similarity.ivfTopK]]); duplicates are
+    * then resolved WITHIN cells only — a vector is dropped iff a LOWER-id
+    * vector in the SAME cell has cosine ≥ `threshold`. This is the
+    * web-scale semantic-dedup design (SemDeDup, Abbas et al. 2023): the
+    * cluster assignment bounds the pair space to Σ|cell|² instead of n²,
+    * and `numCentroids` grows with the corpus so per-cell work stays flat.
+    *
+    * Unlike [[embeddingNearDupLsh]] — where a band collision only
+    * GENERATES a candidate for an exact global verify — the cell here is
+    * part of the SEMANTICS: near-identical vectors in different cells are
+    * both kept. That is the accepted approximation that keeps the operator
+    * linear per cell. The assignment is a partition (exactly one cell per
+    * vector), so no candidate-dedup or DISTINCT is needed anywhere.
+    *
+    * 100 TB shape: assignment is one codegen'd narrow scan (C dot products
+    * per row); the pair probe is an EQUALITY self-join on the cell key — a
+    * shuffled sort-merge join at scale with NO broadcast hint on either
+    * side and no nested-loop join; the keep decision is a per-vector
+    * aggregation, never a driver-side loop. Returns every vector:
+    * (vec_id, cell, is_dup). */
+  def semanticDedup(
+      embeddings: DataFrame,
+      numCentroids: Int = 16,
+      threshold: Double = 0.4): DataFrame = {
+    // assignment + scoring use vec_dot/vec_norm; register so callers with
+    // hand-built frames (which never touched Tables.load) still resolve
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    val corpus = Similarity.normalizedCorpus(embeddings)
+    val centroids = Similarity.centroidVectors(corpus, numCentroids)
+    // three consumers (pair probe, pair build, final left join): checkpoint
+    // so the C-dot-product assignment scan runs once, not per consumer
+    val assigned = corpus.withColumn("cell",
+        array_max(Similarity.cellScores(col("v"), centroids)).getField("c"))
+      .localCheckpoint(true)
+    // bool_or over the per-pair predicate: one row out per vector that has
+    // any qualifying lower-id cellmate — no DISTINCT over pair output
+    val dups = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("b.vec_id") < col("a.vec_id") &&
+          round(Similarity.dot(col("a.v"), col("b.v")) /
+            (col("a.nv") * col("b.nv")), 6) >= threshold)
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(first(lit(true)).as("dup"))
+    assigned.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("dup"), lit(false)).as("is_dup"))
+      .orderBy(col("vec_id"))
   }
 
   /** D5 (exact verifier) — top-N closest pairs over ALL pairs. O(n²) by

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout optimization — the at-rest half of the scale story.
+  *
+  * At 100 TB the fastest query is the one that never reads most of the
+  * corpus: a layout partitioned by the common filter column and
+  * range-clustered on the common sort/range columns lets Spark prune whole
+  * PARTITION DIRECTORIES at planning time (`PartitionFilters` on the scan)
+  * and skip parquet ROW GROUPS via min/max statistics (`PushedFilters`),
+  * so a selective query's I/O is proportional to its answer, not the
+  * corpus. This operator is how the other operators' outputs (survivor
+  * corpora, curated corpora, chunk tables) should be written back to the
+  * lake.
+  *
+  * Mechanics: `repartitionByRange(partitionCols ++ clusterCols)` gives
+  * each output file a NON-OVERLAPPING range of the cluster key within its
+  * partition directory (a range exchange plans one extra shuffle — the
+  * price of clustering, paid once at write); `sortWithinPartitions` makes
+  * rows inside each file monotone so every row group's min/max is tight;
+  * `partitionBy` splits directories. Range partitioning also bounds file
+  *-size skew: a hot partition value spreads over multiple range slices
+  * instead of one giant file.
+  */
+object Layout {
+
+  /** Rewrite `df` as a pruning-friendly parquet layout at `path`:
+    * directories split by `partitionCols`, files range-clustered and
+    * row-group-sorted by `clusterCols`. Publishes by build-into-temp +
+    * rename (the [[Dedup.writeMinhashIndex]] contract): a layout rewrite
+    * is exactly the operation a live reader would otherwise catch
+    * mid-overwrite, and two racing writers each build privately — the
+    * loser discards its copy. */
+  def optimize(
+      df: DataFrame, path: String,
+      partitionCols: Seq[String], clusterCols: Seq[String],
+      numFiles: Int = 0): Unit = {
+    require(partitionCols.nonEmpty || clusterCols.nonEmpty,
+      "nothing to lay out: need partition or cluster columns")
+    val keys = (partitionCols ++ clusterCols).map(col)
+    val n = if (numFiles > 0) numFiles
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dest.getParent,
+      s".${dest.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.repartitionByRange(n, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(tmp.toString)
+    if (fs.exists(dest)) fs.delete(dest, true)
+    if (!fs.rename(tmp, dest)) fs.delete(tmp, true) // lost the race: keep winner's
+  }
+
+  /** Read an [[optimize]]d layout. Filters on the partition columns prune
+    * directories at planning time; filters on the cluster columns skip row
+    * groups via parquet min/max stats. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -104,13 +104,95 @@ object Similarity {
       embeddings: DataFrame, queries: DataFrame, k: Int = 10,
       numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val corpus = normalizedCorpus(embeddings)
-    val centroids = centroidVectors(corpus, numCentroids)
+    ivfTopKWith(corpus, centroidVectors(corpus, numCentroids), queries, k,
+      nProbe)
+  }
+
+  /** IVF serving against an explicit quantizer (shared by [[ivfTopK]] and
+    * [[kmeansIvfTopK]]). */
+  private def ivfTopKWith(
+      corpus: DataFrame, centroids: Array[(Int, Array[Double])],
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val assigned = corpus.withColumn("cell",
       array_max(cellScores(col("v"), centroids)).getField("c"))
     scoreProbes(assigned, probeCells(queries, centroids, nProbe), k)
   }
 
-  private def normalizedCorpus(embeddings: DataFrame): DataFrame =
+  /** Spherical k-means refinement of the coarse quantizer — the TRAINED
+    * alternative to the md5 sample: Lloyd iterations (assign to nearest
+    * centroid by cosine, recenter each cell on its members' mean,
+    * renormalize), which tightens cells around the data's actual modes and
+    * is how production IVF quantizers are built (FAISS `train`).
+    *
+    * Engine-portability contract — the reason a k-means quantizer is
+    * normally unverifiable, solved here: each iteration's per-dimension
+    * means are ROUNDED to 6 decimals before renormalization. Cross-row
+    * float sums are the one place engines (and reruns — Spark's combine
+    * order varies with scheduling) disagree at the last few ulps (~1e-12
+    * relative); rounding at 1e-6 absorbs that noise, so both engines hand
+    * the SAME literal centroids to the next iteration and every
+    * assignment, probe and score downstream mirrors exactly. The
+    * normalization itself is driver-side exact IEEE ops over the rounded
+    * values in dimension order — bit-identical by construction.
+    *
+    * 100 TB shape: each iteration is ONE corpus scan (C codegen'd dot
+    * products per row) + ONE (cell, dim)-keyed aggregation whose shuffle
+    * carries only tasks × C × dims partial rows (map-side combine), then a
+    * C × dims driver-side collect — the same footprint as the centroid
+    * fetch. Empty cells keep their previous centroid (no respawn
+    * heuristic: deterministic and mirrorable). `iterations = 0` returns
+    * the md5 sample unchanged. */
+  def kmeansCentroids(
+      embeddings: DataFrame, numCentroids: Int = 16,
+      iterations: Int = 2): Array[(Int, Array[Double])] = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    // one checkpoint, `iterations` consumers (each Lloyd pass re-scans)
+    val corpus0 = normalizedCorpus(embeddings)
+    val corpus =
+      if (iterations > 0) corpus0.localCheckpoint(true) else corpus0
+    var cents = centroidVectors(corpus, numCentroids)
+    val dims = if (cents.isEmpty) 0 else cents.head._2.length
+    for (_ <- 1 to iterations) {
+      val assigned = corpus.withColumn("cell",
+        array_max(cellScores(col("v"), cents)).getField("c"))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = cents.map { case (i, old) =>
+        byCell.get(i) match {
+          case Some(rows) =>
+            val m = new Array[Double](dims)
+            rows.foreach { r =>
+              m(r.getInt(1)) = BigDecimal(r.getDouble(2) / r.getLong(3))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            }
+            val n = math.sqrt(m.map(x => x * x).sum)
+            (i, m.map(x => if (n == 0) 0.0 else x / n))
+          case None => (i, old)
+        }
+      }
+    }
+    if (iterations > 0) graft.ops.Dedup.unpersistCheckpoint(corpus)
+    cents
+  }
+
+  /** IVF ANN top-k under a k-means-trained quantizer: [[kmeansCentroids]]
+    * refines the md5 init, then serving is [[ivfTopK]]'s probe/score path
+    * unchanged. Same oracle-checkability as ns13 — the rounding contract
+    * makes the trained centroids literals both engines agree on. */
+  def kmeansIvfTopK(
+      embeddings: DataFrame, queries: DataFrame, k: Int = 10,
+      numCentroids: Int = 16, iterations: Int = 2,
+      nProbe: Int = 4): DataFrame = {
+    val centroids = kmeansCentroids(embeddings, numCentroids, iterations)
+    ivfTopKWith(normalizedCorpus(embeddings), centroids, queries, k, nProbe)
+  }
+
+  private[ops] def normalizedCorpus(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
       .withColumn("nv", norm(col("v")))
@@ -136,7 +218,7 @@ object Similarity {
 
   /** (cosine-to-centroid, centroid-id) structs; |v| omitted — constant per
     * row, irrelevant to the argmax; centroid id breaks score ties. */
-  private def cellScores(
+  private[ops] def cellScores(
       vec: Column, centroids: Array[(Int, Array[Double])]): Column =
     array(centroids.toIndexedSeq.map { case (i, c) =>
       struct(dot(vec, array(c.toIndexedSeq.map(lit): _*)).as("s"),

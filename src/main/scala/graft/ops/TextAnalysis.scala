@@ -252,6 +252,92 @@ object TextAnalysis {
       (col("text") =!= norm).as("changed"))
   }
 
+  /** T9 — TF-IDF keyword extraction: the top-`topK` most characteristic
+    * `ngram`-word terms per document (bigram default: distinctive
+    * collocations, not bare words). The idf is QUANTIZED to
+    * floor(log₂(N ÷ df)) (integer division, exact bit-length arithmetic —
+    * `length(bin(x)) - 1` in both engines), so every score is an exact
+    * integer tf·idf and the whole ranking is hash-verifiable
+    * cross-engine; the classic smooth `ln((1+N)/(1+df))` is a one-line
+    * swap where bit-equality across engines isn't required
+    * (transcendentals are the one op class libms disagree on at the last
+    * ulp). Terms in more than half the corpus get idf 0 and never rank —
+    * the stopword filter falls out of the formula. Ties rank by ascending
+    * term so output is total-ordered.
+    *
+    * 100 TB shape: tf is one (doc_id, term)-keyed aggregation with
+    * map-side combine; df reuses the tf frame (already distinct per doc)
+    * with a term-keyed count; the corpus size joins back as a broadcast
+    * 1-row aggregate; the scores rejoin tf on the term key — NO broadcast
+    * hint (a 100 TB term table is billions of rows; AQE may still elect
+    * one from measured sizes); the final per-doc top-k is one
+    * doc_id-keyed window. Nothing pairwise, nothing driver-side. */
+  def tfidfKeywords(
+      docs: DataFrame, topK: Int = 5, ngram: Int = 2,
+      reuseTf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ngram >= 1, s"ngram must be >= 1, got $ngram")
+    // the tf table has two consumers (df aggregation + score join):
+    // checkpoint so the scan + gram explode + count runs once instead of
+    // Catalyst duplicating the whole subtree per consumer
+    val tf0 = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(
+        when(size(col("w")) >= ngram,
+          expr(s"transform(sequence(0, size(w) - $ngram), " +
+            s"i -> concat_ws(' ', slice(w, i + 1, $ngram)))"))
+          .otherwise(expr("array()"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val tf = if (reuseTf) tf0.localCheckpoint(true) else tf0
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = (length(bin(expr("n_docs DIV df"))) - 1).cast("long")
+    val scored = tf.join(df, Seq("term")).join(broadcast(n))
+      .select(col("doc_id"), col("term"), (col("tf") * idf).as("tfidf"))
+      .where(col("tfidf") > 0)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** T10 — document chunking: fixed-budget token windows with overlap —
+    * the splitter feeding embedding/retrieval pipelines, where documents
+    * exceed the encoder's context and adjacent chunks must share
+    * `overlap` tokens so no span is ever cut without context. Chunk `i`
+    * covers words [i·stride, i·stride + chunkTokens) with
+    * stride = chunkTokens − overlap; the last chunk is the first one
+    * reaching the end of the document (short docs yield exactly one
+    * chunk). All arithmetic is exact integers.
+    *
+    * 100 TB shape: zero shuffle — the chunk count and every slice are
+    * in-row array arithmetic fused into the scan stage (posexplode over a
+    * computed sequence); output size is a deterministic ~n_tokens/stride
+    * expansion of the input, never data-dependent blowup. */
+  def chunkDocuments(
+      docs: DataFrame, chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"need chunkTokens > overlap >= 0, got $chunkTokens/$overlap")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n_chunks",
+        lit(1) + expr(s"(greatest(size(w) - $chunkTokens, 0) + ${stride - 1}) " +
+          s"DIV $stride"))
+      .select(col("doc_id"), col("w"),
+        posexplode(expr("sequence(0, n_chunks - 1)")))
+      .toDF("doc_id", "w", "chunk_id", "ignored")
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(expr(s"slice(w, chunk_id * $stride + 1, $chunkTokens)"))
+          .cast("long").as("n_tokens"),
+        concat_ws(" ", expr(s"slice(w, chunk_id * $stride + 1, $chunkTokens)"))
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** T4 — document fingerprinting: md5 of the normalized text plus a
     * 31-polynomial rolling hash mod 1e9+7 (overflow-free in 64-bit: the
     * accumulator stays < 1e9, each step < 3.3e10). The rolling hash is a

@@ -1,0 +1,267 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+/** Specs for the round-4 corpus operators: semantic dedup, TF-IDF keyword
+  * extraction, document chunking, intra-corpus span dedup. */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- Dedup.semanticDedup -------------------------------------------------
+
+  test("semanticDedup drops exactly the vectors with a closer lower-id cellmate") {
+    // equivalence against a driver-side brute force ON THE OPERATOR'S OWN
+    // CELLS: within each cell, a vector is a dup iff a lower-id cellmate
+    // has rounded cosine >= threshold — verified independently of Spark
+    val embs = Tables.load(spark, sf, "embeddings")
+    val out = Dedup.semanticDedup(embs, numCentroids = 8, threshold = 0.4)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Boolean]("is_dup")))
+    assert(out.length == embs.count())
+    val vecs = embs.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byCell = out.groupBy(_._2)
+    var dups = 0
+    byCell.values.foreach { members =>
+      val ids = members.map(_._1).sorted
+      members.foreach { case (id, _, isDup) =>
+        val expected = ids.filter(_ < id)
+          .exists(lo => cos(vecs(lo), vecs(id)) >= 0.4)
+        assert(isDup == expected, s"vec $id")
+        if (isDup) dups += 1
+      }
+    }
+    assert(dups > 0, "threshold 0.4 should flag some dups at sf0.001")
+  }
+
+  test("semanticDedup keeps everything at an impossible threshold") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val out = Dedup.semanticDedup(embs, numCentroids = 8, threshold = 1.5)
+    assert(out.where("is_dup").count() == 0)
+  }
+
+  test("semanticDedup pairs only within cells: equality join, nothing pairwise") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val df = Dedup.semanticDedup(embs)
+    assert(!df.queryExecution.logical.toString.contains("ResolvedHint"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  // ---- TextAnalysis.tfidfKeywords ------------------------------------------
+
+  test("tfidfKeywords scores exact integer tf * floor-log2 idf and ranks ties by term") {
+    val in = Seq(
+      (1L, "alpha beta alpha beta"), // bigrams: 2x "alpha beta", 1x "beta alpha"
+      (2L, "alpha beta gamma"),
+      (3L, "delta epsilon"),
+      (4L, "zeta")                   // single word: no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(in, topK = 5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[String]("term"), r.getAs[Long]("tfidf")))).toMap
+    // N=4. df("alpha beta")=2 -> idf=floor(log2(4/2))=1;
+    // df("beta alpha")=df("beta gamma")=df("delta epsilon")=1 -> idf=2
+    // doc 1: "alpha beta" tf=2 -> 2; "beta alpha" tf=1 -> 2; tie -> term asc
+    assert(out((1L, 1)) == (("alpha beta", 2L)))
+    assert(out((1L, 2)) == (("beta alpha", 2L)))
+    assert(out((2L, 1)) == (("beta gamma", 2L)))
+    assert(out((2L, 2)) == (("alpha beta", 1L)))
+    assert(out((3L, 1)) == (("delta epsilon", 2L)))
+    assert(!out.keys.exists(_._1 == 4L), "no bigrams -> absent")
+  }
+
+  test("tfidfKeywords gives idf 0 (never ranks) to terms in more than half the corpus") {
+    val in = Seq(
+      (1L, "common pair rare one"),
+      (2L, "common pair rare two"),
+      (3L, "common pair other text"),
+      (4L, "common pair other words")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(in, topK = 5).collect()
+    // "common pair" is in 4/4 docs: N//df = 1 -> idf 0 -> filtered out
+    assert(!out.exists(_.getAs[String]("term") == "common pair"))
+    assert(out.nonEmpty)
+  }
+
+  test("tfidfKeywords joins tf to df on the term key with no broadcast hint") {
+    val docs = Tables.load(spark, sf, "documents")
+    val df = TextAnalysis.tfidfKeywords(docs)
+    // the 1-row corpus count IS hinted; the vocabulary join must not be
+    val hints = "ResolvedHint".r
+      .findAllIn(df.queryExecution.logical.toString).size
+    assert(hints == 1, s"expected only the 1-row count hint, got $hints")
+    val p = df.queryExecution.executedPlan.toString
+    // exactly one nested-loop join: the broadcast 1-ROW count attach; the
+    // vocabulary (tf x df) join must stay an equality hash/merge join
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj == 1, s"expected only the 1-row count BNLJ, got $bnlj:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  // ---- TextAnalysis.chunkDocuments ----------------------------------------
+
+  test("chunkDocuments windows with overlap and clips the last chunk") {
+    val in = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
+      (2L, "a b c"),                                  // shorter than a chunk
+      (3L, "p q r s")                                 // exactly one chunk
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(in, chunkTokens = 4, overlap = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[String]("chunk_text")))).toMap
+    // stride 3: starts 0, 3, 6 cover words 1..10
+    assert(out((1L, 0L)) == ((4L, "w1 w2 w3 w4")))
+    assert(out((1L, 1L)) == ((4L, "w4 w5 w6 w7")))
+    assert(out((1L, 2L)) == ((4L, "w7 w8 w9 w10")))
+    assert(out((2L, 0L)) == ((3L, "a b c")))
+    assert(out((3L, 0L)) == ((4L, "p q r s")))
+    assert(out.size == 5)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(in, chunkTokens = 4, overlap = 4)
+    }
+  }
+
+  test("chunkDocuments covers every token and overlaps adjacent chunks exactly") {
+    val docs = Tables.load(spark, sf, "documents")
+    val chunks = TextAnalysis.chunkDocuments(docs, chunkTokens = 64, overlap = 16)
+      .collect()
+    val words = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ", -1).length).toMap
+    chunks.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, g) =>
+      val inOrder = g.sortBy(_.getAs[Long]("chunk_id"))
+      // chunk i starts at i*stride; last chunk must reach the end
+      val n = words(id)
+      val last = inOrder.last
+      assert(last.getAs[Long]("chunk_id") * 48 + last.getAs[Long]("n_tokens") == n,
+        s"doc $id truncated")
+      // every chunk but the last is full-size
+      inOrder.init.foreach(c => assert(c.getAs[Long]("n_tokens") == 64L))
+      // no chunk is redundant: each adds at least one new token
+      inOrder.foreach(c =>
+        assert(c.getAs[Long]("chunk_id") * 48 < n, s"doc $id empty tail chunk"))
+    }
+  }
+
+  test("chunkDocuments is shuffle-free before its presentation sort") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = TextAnalysis.chunkDocuments(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
+  }
+
+  // ---- Dedup.dedupSpans -----------------------------------------------------
+
+  test("dedupSpans keeps the first occurrence and redacts later docs") {
+    val in = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "lazy dog saw the quick brown fox sleeping"),
+      (3L, "entirely original text with no shared phrases"),
+      (4L, "a b c d a b c d") // repeated WITHIN one doc only: untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(in, shingleK = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("n_spans")))).toMap
+    // doc 1 is the keeper of "the quick brown fox": unchanged
+    assert(out(1L) == (("the quick brown fox jumps high", 0L)))
+    // doc 2 loses words [3,7): "the quick brown fox"
+    assert(out(2L) == (("lazy dog saw sleeping", 1L)))
+    assert(out(3L) == (("entirely original text with no shared phrases", 0L)))
+    assert(out(4L) == (("a b c d a b c d", 0L)))
+  }
+
+  test("dedupSpans redacts every later doc of a 3-way chain, keeper intact") {
+    val shared = "one two three four"
+    val in = Seq(
+      (10L, s"head $shared tail"),
+      (20L, s"$shared middle words here"),
+      (30L, s"start extra $shared")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(in, shingleK = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("n_spans")))).toMap
+    assert(out(10L) == ((s"head $shared tail", 0L)))
+    assert(out(20L) == (("middle words here", 1L)))
+    assert(out(30L) == (("start extra", 1L)))
+  }
+
+  test("dedupSpans emits one row per input doc and assumes no broadcast") {
+    val docs = Tables.load(spark, sf, "documents")
+    val df = Dedup.dedupSpans(docs)
+    assert(!df.queryExecution.logical.toString.contains("ResolvedHint"))
+    assert(df.count() == docs.count())
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  // ---- Layout.optimize / read ----------------------------------------------
+
+  test("optimized layout preserves rows and prunes partitions at planning time") {
+    val docs = Tables.load(spark, sf, "documents")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_layout_spec_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    try {
+      Layout.optimize(docs, path, Seq("lang"), Seq("n_chars"))
+      val back = Layout.read(spark, path)
+      // lossless rewrite (column order may differ; partition col is last)
+      assert(back.count() == docs.count())
+      assert(back.columns.sorted.toSeq == docs.columns.sorted.toSeq)
+      // lang dirs exist
+      val dirs = new java.io.File(path).listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted
+      assert(dirs.exists(_.startsWith("lang=en")), dirs.mkString(","))
+      // the lang predicate prunes DIRECTORIES (PartitionFilters), and the
+      // n_chars range reaches the parquet reader (PushedFilters) where
+      // row-group min/max stats can skip — the two pruning layers at rest
+      import org.apache.spark.sql.functions.col
+      val q = back.where(col("lang") === "en" && col("n_chars") >= 150)
+      val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+        scan.take(800))
+      assert(scan.contains("GreaterThanOrEqual(n_chars,150)"), scan.take(800))
+      // pruning never changes answers
+      assert(q.count() ==
+        docs.where(col("lang") === "en" && col("n_chars") >= 150).count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    }
+  }
+
+  test("layout rewrite publishes atomically and validates arguments") {
+    val docs = Tables.load(spark, sf, "documents")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_layout_spec_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    try {
+      intercept[IllegalArgumentException] {
+        Layout.optimize(docs, path, Seq.empty, Seq.empty)
+      }
+      Layout.optimize(docs, path, Seq("lang"), Seq("n_chars"))
+      val before = Layout.read(spark, path).count()
+      // a second rewrite replaces, never appends, and leaves no temp dirs
+      Layout.optimize(docs, path, Seq("lang"), Seq("n_chars"))
+      assert(Layout.read(spark, path).count() == before)
+      val parent = new java.io.File(path).getParentFile
+      assert(!parent.listFiles().exists(
+        _.getName.startsWith(s".${new java.io.File(path).getName}.tmp-")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    }
+  }
+}

@@ -867,6 +867,64 @@ class SimilaritySpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(p).size
     assert(scans == 2, s"expected corpus + query scans, got $scans")
   }
+
+  test("kmeansCentroids with zero iterations IS the md5 sample") {
+    import org.apache.spark.sql.functions.col
+    val init = Similarity.kmeansCentroids(embs, numCentroids = 8, iterations = 0)
+    val sample = {
+      // same device the operator uses: normalized corpus, md5 ranking
+      val c = embs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      Similarity.centroidVectors(
+        c.withColumn("nv", Similarity.norm(col("v"))), 8)
+    }
+    assert(init.length == 8)
+    init.zip(sample).foreach { case ((i, a), (j, b)) =>
+      assert(i == j); assert(a.sameElements(b))
+    }
+  }
+
+  test("kmeansCentroids is deterministic across runs (rounding absorbs sum-order noise)") {
+    val a = Similarity.kmeansCentroids(embs, numCentroids = 8, iterations = 2)
+    val b = Similarity.kmeansCentroids(embs, numCentroids = 8, iterations = 2)
+    a.zip(b).foreach { case ((i, x), (j, y)) =>
+      assert(i == j); assert(x.sameElements(y), s"centroid $i differs")
+    }
+    // trained centroids are unit-length (spherical k-means) unless a cell
+    // was empty and kept its (also unit-length) init
+    a.foreach { case (_, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9 || n == 0.0)
+    }
+  }
+
+  test("kmeans-trained IVF twin recall is high on clustered data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 50L).flatMap { i =>
+      val base = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+      val twin = base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.02f)
+      Seq((i * 2, base), (i * 2 + 1, twin))
+    }
+    val clustered = rows.toDF("vec_id", "embedding")
+    val qs = clustered.where(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val out = Similarity.kmeansIvfTopK(clustered, qs, k = 1,
+      numCentroids = 8, iterations = 2, nProbe = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = (0L until 50L).count(i => out.get(i * 2).contains(i * 2 + 1))
+    assert(hits >= 45, s"twin recall $hits/50")
+  }
+
+  test("kmeansIvfTopK output is ranked per query and well-formed") {
+    val rows = Similarity.kmeansIvfTopK(embs, queries, k = 5).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to byRank.length))
+      val scores = byRank.map(_.getDouble(3))
+      assert(scores.sameElements(scores.sortBy(-_)))
+    }
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite {
