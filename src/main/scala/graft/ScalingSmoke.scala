@@ -26,8 +26,13 @@ object ScalingSmoke {
   private val checked = Seq(
     "ns2_dedup_minhash", "ns4_dedup_ngram", "ns14_dedup_incremental",
     "ns16_dedup_survivors", "ns17_dedup_incr_index", "ns18_dedup_index_update",
-    // round-4 addition with a pair-shaped failure mode in its doc_freq join
-    "ns29_boilerplate")
+    // round-4 additions with a pair-shaped failure mode: ns29/ns40 in the
+    // gram-frequency join, ns37 in the within-cell self-join (cells must
+    // bound it), ns38 in the vocabulary join, ns43 in the interval join
+    // (bucket equality must carry it — events scale by users, so matches
+    // grow linearly, not by window density)
+    "ns29_boilerplate", "ns37_dedup_semantic", "ns38_keywords_tfidf",
+    "ns40_dedup_spans", "ns43_join_range")
   // ns21/ns34 (decontamination) are NOT run via their SparkEntry queries
   // here: those split doc_id%50 at EACH sf, so the benchmark side grows
   // with the corpus and the tainted-row count legitimately scales ~R² —

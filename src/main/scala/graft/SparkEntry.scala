@@ -577,6 +577,34 @@ object SparkEntry {
   private def ns42(s: SparkSession, dir: String): DataFrame =
     graft.ops.Similarity.kmeansIvfTopK(embs(s, dir), simQueries(s, dir), k = 10)
 
+  /** NS43 — bucketed range join: every view within the 24h window before
+    * a purchase by the same user — the attribution-window interval join.
+    * Spark has no native range join; the naive θ-join is a nested loop.
+    * [[graft.ops.Joins.rangeJoin]] manufactures an equality key (time
+    * bucket = window size, so intervals replicate ≤2×) and the range
+    * check rides as a residual condition. */
+  private def ns43(s: SparkSession, dir: String): DataFrame = {
+    val win = 86400L * 1000000L // 24h in micros
+    val ev = Tables.load(s, dir, "events").withColumn("ts", expr("ts DIV 1000"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        (col("ts") - lit(win)).as("start_ts"), col("ts").as("end_ts"))
+    graft.ops.Joins.rangeJoin(views, purchases, "ts", "start_ts", "end_ts",
+        keys = Seq("user_id"), bucket = win)
+      .select(col("purchase_id"), col("view_id"), col("user_id"),
+        (col("end_ts") - col("ts")).as("lead_us"))
+      .orderBy("purchase_id", "view_id")
+  }
+
+  /** NS44 — engine-reproducible HLL distinct sketch: per-language
+    * estimated distinct texts from md5-derived registers — an APPROXIMATE
+    * aggregate the oracle replays exactly (built-in approx_count_distinct
+    * is engine-specific and unverifiable). */
+  private def ns44(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.hllDistinct(docs(s, dir), "text", Seq("lang"))
+
   /** NS16 — near-dup survivor resolution: ns2's minhash pairs → connected
     * components (min-label propagation with pointer jumping) → the
     * surviving corpus with per-survivor merge counts. The dedup DECISION a
@@ -647,6 +675,8 @@ object SparkEntry {
     "ns40_dedup_spans" -> (ns40 _),
     "ns41_layout_pruned" -> (ns41 _),
     "ns42_simsearch_kmeans" -> (ns42 _),
+    "ns43_join_range" -> (ns43 _),
+    "ns44_distinct_hll" -> (ns44 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1185,6 +1215,31 @@ object SparkEntry {
          |    coalesce(len(cov.starts), 0) AS n_spans
          |  FROM cw c LEFT JOIN cov USING (doc_id))
          |SELECT doc_id, text, n_spans FROM outp ORDER BY doc_id""".stripMargin),
+    // ns43's oracle is the PLAIN θ-join: the bucketing must be invisible
+    // in the result (it changes the plan, never the matches).
+    "ns43_join_range" ->
+      ("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts, event_type FROM events),
+         |v AS (SELECT user_id, event_id AS view_id, ts FROM e WHERE event_type = 'view'),
+         |p AS (SELECT user_id, event_id AS purchase_id, ts - 86400000000 AS start_ts, ts AS end_ts FROM e WHERE event_type = 'purchase')
+         |SELECT p.purchase_id, v.view_id, v.user_id, p.end_ts - v.ts AS lead_us
+         |FROM v JOIN p ON v.user_id = p.user_id AND v.ts >= p.start_ts AND v.ts < p.end_ts
+         |ORDER BY purchase_id, view_id""".stripMargin),
+    // ns44 replays the HLL registers and estimate: 60-bit md5 prefix, low
+    // 10 bits bucket, leading-zero rank via exact bin() bit-length, powers
+    // of two summed per group, alpha from the same literals, and the
+    // small-range linear-counting branch (the library's one transcendental
+    // — a handful of per-group ln calls, rounded at 1e-6).
+    "ns44_distinct_hll" ->
+      ("""WITH h AS (SELECT lang, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents WHERE text IS NOT NULL),
+         |r AS (SELECT lang, h % 1024 AS bucket, h // 1024 AS w FROM h),
+         |rk AS (SELECT lang, bucket, max(CASE WHEN w = 0 THEN 51 ELSE 50 - (length(bin(w)) - 1) END) AS mr FROM r GROUP BY lang, bucket),
+         |agg AS (SELECT lang, count(*) AS n_registers, sum(1.0::DOUBLE / (1::BIGINT << mr)) AS zp FROM rk GROUP BY lang),
+         |e AS (SELECT lang, n_registers, (1024 - n_registers)::DOUBLE AS v,
+         |  0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0::DOUBLE) * 1024.0::DOUBLE * 1024.0::DOUBLE / (zp + (1024 - n_registers)) AS raw_e
+         |  FROM agg)
+         |SELECT lang, n_registers,
+         |  round(CASE WHEN raw_e <= 2560.0::DOUBLE AND v > 0 THEN 1024.0::DOUBLE * ln(1024.0::DOUBLE / v) ELSE raw_e END, 6) AS hll_estimate
+         |FROM e ORDER BY lang""".stripMargin),
     // ns41's oracle reads the RAW table: the layout rewrite must be
     // invisible in the result (pruning changes I/O, never answers).
     "ns41_layout_pruned" ->

@@ -58,4 +58,55 @@ object Joins {
       explode(sequence(lit(0), lit(salts - 1))))
     saltedL.join(saltedR, keys :+ "_salt", joinType).drop("_salt")
   }
+
+  /** Bucketed range join: `points` rows matched to `intervals` rows with
+    * `startCol <= pointCol < endCol` (plus optional equality `keys`) —
+    * WITHOUT the θ-join Spark would otherwise plan. A bare range predicate
+    * gives Catalyst no equality key, so it falls back to
+    * BroadcastNestedLoopJoin — per-pair work, quadratic, the classic
+    * interval-join trap. This reformulation manufactures the equality key:
+    * both sides bucket the range dimension by `bucket` (floor division),
+    * intervals EXPLODE to every bucket they overlap, and the join runs on
+    * (keys..., _bucket) with the range check as a residual condition. A
+    * (point, interval) pair can only meet in the point's single bucket, so
+    * the output needs no DISTINCT.
+    *
+    * `bucket` is the knob: interval replication is ceil(span/bucket)+1
+    * copies, so pick bucket ≈ the TYPICAL span (an attribution window, a
+    * session length) and replication is ≤ 2× — bounded and chosen, like
+    * [[saltedJoin]]'s `salts`. Degenerate (end <= start) intervals match
+    * nothing and are dropped before exploding.
+    *
+    * 100 TB shape: one shuffle per side on (keys, _bucket) into a
+    * sort-merge join; the range predicate filters inside the join, never
+    * a nested loop (spec-pinned). Floor division is exact integer
+    * arithmetic (pmod-based, correct for negative values too) — no double
+    * rounding at 2^53. Non-key column names must be disjoint across the
+    * two frames (checked) so the residual condition is unambiguous. */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      keys: Seq[String] = Nil,
+      bucket: Long): DataFrame = {
+    require(bucket > 0, "bucket must be positive")
+    val overlap = points.columns.toSet
+      .intersect(intervals.columns.toSet) -- keys
+    require(overlap.isEmpty,
+      s"non-key columns must be disjoint, both sides have: ${overlap.mkString(", ")}")
+    def floorDiv(c: org.apache.spark.sql.Column) =
+      (c - pmod(c, lit(bucket))) / lit(bucket)
+    val p = points.withColumn("_bucket",
+      floorDiv(col(pointCol).cast("long")).cast("long"))
+    val i = intervals
+      .where(col(endCol) > col(startCol))
+      .withColumn("_bucket", explode(sequence(
+        floorDiv(col(startCol).cast("long")).cast("long"),
+        floorDiv(col(endCol).cast("long") - 1).cast("long"))))
+    p.join(i, keys :+ "_bucket")
+      .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("_bucket")
+  }
 }

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate-distinct sketches with ENGINE-REPRODUCIBLE hashing.
+  *
+  * `approx_count_distinct` exists in every engine, but each implements a
+  * different HLL variant with a different hash — the estimates disagree, so
+  * nothing downstream can verify them. This HyperLogLog is built from the
+  * same md5 byte math as the LSH/IVF/PQ family: any md5-capable engine
+  * reproduces the registers AND the estimate bit-for-bit (modulo the one
+  * rounded cross-register sum), which makes an APPROXIMATE aggregate
+  * oracle-checkable — the same trick the ANN tier uses.
+  *
+  * Why sketch at all: exact distinct at 100 TB is a full shuffle of every
+  * distinct value; the sketch shuffles AT MOST tasks × 2^b tiny (group,
+  * register) rows with map-side combine, constant memory per group, and
+  * registers from disjoint corpus shards merge by element-wise max — the
+  * standard mergeable-summary contract.
+  */
+object Sketches {
+
+  /** Per-group HyperLogLog distinct-count estimate over `valueCol`.
+    *
+    * Register math: h = 60-bit md5 prefix; bucket = h mod 2^b (low b
+    * bits); w = h div 2^b (the remaining 60−b bits); rank = leading zeros
+    * of w within 60−b bits, plus one — computed as (60−b) − floor(log₂ w)
+    * via exact integer bit-length arithmetic (`length(bin(w)) − 1`, the
+    * [[TextAnalysis.tfidfKeywords]] device), rank = 61−b for w = 0.
+    * Estimate: the raw HLL formula E = α_m · m² / Σ_j 2^(−M_j) with
+    * M_j = 0 for never-hit registers and α_m = 0.7213/(1 + 1.079/m) —
+    * every term is an exact power of two (integer shift then one
+    * division), and α is computed from the same literals in both engines.
+    * The cross-register sum is the one order-dependent float reduction;
+    * the estimate is rounded to 6 decimals to absorb its ~1e−12 noise
+    * (same contract as the k-means centroid means). The standard
+    * small-range correction IS applied (raw HLL over-reads ~10× when
+    * n ≪ m): E ≤ 2.5m with empty registers V > 0 → linear counting
+    * m·ln(m/V). That `ln` is the one transcendental in the whole library —
+    * admissible here where it is per GROUP (a handful of evaluations,
+    * each rounded at 1e−6, so a last-ulp libm disagreement is a
+    * measure-zero risk), unlike per-row ranking keys
+    * ([[TextAnalysis.tfidfKeywords]]'s idf) where millions of exposures
+    * would make it a certainty.
+    *
+    * NULL values are excluded (they are not a distinct value of the
+    * column). Groups arrive whole: (group, bucket) aggregation with
+    * map-side combine, then a per-group register rollup — two narrow
+    * shuffles, no distinct-value shuffle anywhere. */
+  def hllDistinct(
+      df: DataFrame, valueCol: String, groupCols: Seq[String],
+      b: Int = 10): DataFrame = {
+    require(b >= 4 && b <= 16, s"b must be in [4,16], got $b")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val m = 1 << b
+    val wBits = 60 - b
+    val h = conv(substring(md5(col(valueCol).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val gs = groupCols.map(col)
+    val hashed = df.where(col(valueCol).isNotNull)
+      .select(gs :+ h.as("h"): _*)
+      .select(gs :+ pmod(col("h"), lit(m.toLong)).as("bucket") :+
+        expr(s"h DIV $m").as("w"): _*)
+      .withColumn("rank",
+        when(col("w") === 0, lit(wBits + 1))
+          .otherwise(lit(wBits) - (length(bin(col("w"))) - 1)))
+    val regs = hashed
+      .groupBy(gs :+ col("bucket"): _*)
+      .agg(max(col("rank")).as("mr"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val empty = (lit(m.toLong) - col("n_registers")).cast("double")
+    val rawE = alpha * lit(m.toDouble) * lit(m.toDouble) /
+      (col("zp") + empty)
+    val est = when(rawE <= lit(2.5 * m) && empty > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / empty)).otherwise(rawE)
+    regs.groupBy(gs: _*)
+      .agg(count(lit(1)).as("n_registers"),
+        sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), mr)")).as("zp"))
+      .select(gs :+ col("n_registers") :+
+        round(est, 6).as("hll_estimate"): _*)
+      .orderBy(gs: _*)
+  }
+}

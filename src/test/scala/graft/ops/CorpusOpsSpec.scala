@@ -1,11 +1,13 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{SparkTestSession, Tables}
 
 /** Specs for the round-4 corpus operators: semantic dedup, TF-IDF keyword
-  * extraction, document chunking, intra-corpus span dedup. */
+  * extraction, document chunking, intra-corpus span dedup, range join,
+  * HLL distinct sketch, layout optimization. */
 class CorpusOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -242,6 +244,103 @@ class CorpusOpsSpec extends AnyFunSuite {
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     }
+  }
+
+  // ---- Joins.rangeJoin ------------------------------------------------------
+
+  test("rangeJoin matches the plain theta join, half-open bounds, multi-bucket spans") {
+    val points = Seq(
+      (1L, 101L, 0L), (1L, 102L, 10L), (1L, 103L, 99L), (1L, 104L, 100L),
+      (2L, 201L, 50L),
+      (3L, 301L, -7L) // negative domain: floor-division bucketing must hold
+    ).toDF("user_id", "point_id", "ts")
+    val intervals = Seq(
+      (1L, 11L, 0L, 100L),   // spans many buckets of size 8
+      (1L, 12L, 10L, 11L),   // single-point window
+      (2L, 21L, 60L, 60L),   // degenerate: end == start, matches nothing
+      (3L, 31L, -10L, -5L)   // negative interval
+    ).toDF("user_id", "interval_id", "start_ts", "end_ts")
+    val out = Joins.rangeJoin(points, intervals, "ts", "start_ts", "end_ts",
+        keys = Seq("user_id"), bucket = 8L)
+      .select("interval_id", "point_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = points.as("p").join(intervals.as("i"),
+        col("p.user_id") === col("i.user_id") &&
+          col("p.ts") >= col("i.start_ts") && col("p.ts") < col("i.end_ts"))
+      .select("interval_id", "point_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == expected)
+    // spot the semantics: ts=100 excluded (half-open), ts=0 included,
+    // the degenerate interval absent, the negative pair present
+    assert(out.contains((11L, 101L)) && out.contains((11L, 103L)))
+    assert(!out.contains((11L, 104L)))
+    assert(out.contains((12L, 102L)))
+    assert(!out.exists(_._1 == 21L))
+    assert(out.contains((31L, 301L)))
+  }
+
+  test("rangeJoin plans an equality join, never a nested loop, and validates inputs") {
+    val ev = Tables.load(spark, sf, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("ts DIV 1000"))
+    val points = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts"))
+    val intervals = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        (col("ts") - 1000000L).as("start_ts"), col("ts").as("end_ts"))
+    val df = Joins.rangeJoin(points, intervals, "ts", "start_ts", "end_ts",
+      keys = Seq("user_id"), bucket = 1000000L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    intercept[IllegalArgumentException] {
+      Joins.rangeJoin(points, intervals, "ts", "start_ts", "end_ts",
+        keys = Seq("user_id"), bucket = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      // "ts" exists on both sides -> ambiguous residual, rejected
+      Joins.rangeJoin(points, intervals.withColumnRenamed("start_ts", "ts"),
+        "ts", "ts", "end_ts", keys = Seq("user_id"), bucket = 10L)
+    }
+  }
+
+  // ---- Sketches.hllDistinct -------------------------------------------------
+
+  test("hllDistinct estimates within 15% of exact, skips nulls, is deterministic") {
+    val docs = Tables.load(spark, sf, "documents")
+    val exact = docs.groupBy("lang").agg(
+        org.apache.spark.sql.functions.countDistinct("text").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Sketches.hllDistinct(docs, "text", Seq("lang")).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("hll_estimate")).toMap
+    exact.foreach { case (lang, n) =>
+      val e = est(lang)
+      assert(math.abs(e - n) / n < 0.15, s"$lang: est $e vs exact $n")
+    }
+    val again = Sketches.hllDistinct(docs, "text", Seq("lang")).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("hll_estimate")).toMap
+    assert(est == again)
+    // nulls are not a distinct value
+    val withNulls = Seq(("a", "x"), ("a", "y"), ("a", null), ("a", "x"))
+      .toDF("lang", "text")
+    val e = Sketches.hllDistinct(withNulls, "text", Seq("lang"))
+      .collect().head.getAs[Double]("hll_estimate")
+    assert(math.abs(e - 2.0) < 0.5, s"estimate $e for 2 distinct")
+    intercept[IllegalArgumentException] {
+      Sketches.hllDistinct(docs, "text", Seq("lang"), b = 2)
+    }
+  }
+
+  test("hllDistinct shuffles registers, never distinct values") {
+    val docs = Tables.load(spark, sf, "documents")
+    val df = Sketches.hllDistinct(docs, "text", Seq("lang"))
+    val p = df.queryExecution.executedPlan.toString
+    // both aggregations have partial (map-side) phases: the shuffled rows
+    // are (group, bucket, max-rank) registers, bounded by 2^b per group
+    // per task — the value column is consumed by md5 inside the scan stage
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 register exchanges:\n${p.take(2000)}")
+    assert(p.contains("partial_max(rank"),
+      s"register max must combine map-side before the exchange:\n${p.take(2000)}")
   }
 
   test("layout rewrite publishes atomically and validates arguments") {
