@@ -556,7 +556,9 @@ object SparkEntry {
   private def ns41(s: SparkSession, dir: String): DataFrame = {
     val fp = graft.ops.Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
     val base = scratchIndexDir("graft_layout", dir, fp)
-    val marker = new org.apache.hadoop.fs.Path(base, "_SUCCESS")
+    // probe for the schema sidecar — the artifact the reader requires —
+    // so a layout written by an older format rebuilds instead of failing
+    val marker = new org.apache.hadoop.fs.Path(base, "_layout_schema.json")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker))
       graft.ops.Layout.optimize(
@@ -837,13 +839,15 @@ object SparkEntry {
          |  FROM (SELECT c, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM ranked WHERE c < 16)),
          |a1 AS (SELECT vec_id, v, c AS cell FROM (SELECT e.vec_id, e.v, cent0.c, list_sum(list_transform(range(1,65), i -> e.v[i] * cent0.cv[i])) AS s FROM emb e, cent0)
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) = 1),
-         |m1 AS (SELECT cell, ii.i, round(sum(v[ii.i]) / count(*), 6) AS m FROM a1, (SELECT unnest(range(1,65)) AS i) ii GROUP BY cell, ii.i),
+         |a1n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nv, cell FROM a1),
+         |m1 AS (SELECT cell, ii.i, round(sum(v[ii.i] / nv) / count(*), 6) AS m FROM a1n, (SELECT unnest(range(1,65)) AS i) ii WHERE nv > 0 GROUP BY cell, ii.i),
          |g1 AS (SELECT cell, mv, sqrt(list_sum(list_transform(mv, x -> x * x))) AS nrm FROM (SELECT cell, list(m ORDER BY i) AS mv FROM m1 GROUP BY cell)),
          |cent1 AS (SELECT cent0.c, CASE WHEN g1.mv IS NULL THEN cent0.cv WHEN g1.nrm = 0 THEN list_transform(g1.mv, x -> 0.0) ELSE list_transform(g1.mv, x -> x / g1.nrm) END AS cv
          |  FROM cent0 LEFT JOIN g1 ON g1.cell = cent0.c),
          |a2 AS (SELECT vec_id, v, c AS cell FROM (SELECT e.vec_id, e.v, cent1.c, list_sum(list_transform(range(1,65), i -> e.v[i] * cent1.cv[i])) AS s FROM emb e, cent1)
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) = 1),
-         |m2 AS (SELECT cell, ii.i, round(sum(v[ii.i]) / count(*), 6) AS m FROM a2, (SELECT unnest(range(1,65)) AS i) ii GROUP BY cell, ii.i),
+         |a2n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nv, cell FROM a2),
+         |m2 AS (SELECT cell, ii.i, round(sum(v[ii.i] / nv) / count(*), 6) AS m FROM a2n, (SELECT unnest(range(1,65)) AS i) ii WHERE nv > 0 GROUP BY cell, ii.i),
          |g2 AS (SELECT cell, mv, sqrt(list_sum(list_transform(mv, x -> x * x))) AS nrm FROM (SELECT cell, list(m ORDER BY i) AS mv FROM m2 GROUP BY cell)),
          |cent2 AS (SELECT cent1.c, CASE WHEN g2.mv IS NULL THEN cent1.cv WHEN g2.nrm = 0 THEN list_transform(g2.mv, x -> 0.0) ELSE list_transform(g2.mv, x -> x / g2.nrm) END AS cv
          |  FROM cent1 LEFT JOIN g2 ON g2.cell = cent1.c),

@@ -239,13 +239,9 @@ object Dedup {
     val spark = corpus.sparkSession
     val dest = new org.apache.hadoop.fs.Path(path)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Build into a sibling temp dir, publish by rename: a reader never sees
-    // bands/sets mid-overwrite, and two processes racing on first touch
-    // each build privately — the loser of the publish discards its copy.
-    // (The delete+rename pair is not one atomic op; the vulnerable window
-    // is the microseconds between them, not the multi-second build.)
-    val tmp = new org.apache.hadoop.fs.Path(dest.getParent,
-      s".${dest.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    // Build into a staging dir, publish by rename (IndexSidecar.publish):
+    // readers never see bands/sets mid-overwrite.
+    val tmp = IndexSidecar.stagingFor(dest)
     val (bands, sh) = minhashOf(corpus, shingleK, numHashes, rowsPerBand)
     bands.write.mode("overwrite").parquet(s"$tmp/bands")
     sh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("s"))
@@ -255,8 +251,7 @@ object Dedup {
     IndexSidecar.write(spark, metaPath(tmp.toString),
       s"shingleK=$shingleK\nnumHashes=$numHashes\nrowsPerBand=$rowsPerBand" +
         fingerprint.map(f => s"\nfingerprint=$f").getOrElse(""))
-    if (fs.exists(dest)) fs.delete(dest, true)
-    if (!fs.rename(tmp, dest)) fs.delete(tmp, true) // lost the race: keep winner's
+    IndexSidecar.publish(fs, tmp, dest)
   }
 
   /** D6 (index maintenance) — append a tick's ACCEPTED documents to a

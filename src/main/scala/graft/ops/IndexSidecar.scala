@@ -27,4 +27,19 @@ private[ops] object IndexSidecar {
     try new String(in.readAllBytes(), StandardCharsets.UTF_8)
     finally in.close()
   }
+
+  /** A hidden sibling staging dir for building `dest` privately. */
+  def stagingFor(dest: Path): Path =
+    new Path(dest.getParent,
+      s".${dest.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+
+  /** Publish a staged build by delete + rename: a reader never sees `dest`
+    * mid-overwrite, and two processes racing on first touch each build
+    * privately — the loser of the publish discards its copy. (The
+    * delete+rename pair is not one atomic op; the vulnerable window is the
+    * microseconds between them, not the multi-second build.) */
+  def publish(fs: FileSystem, tmp: Path, dest: Path): Unit = {
+    if (fs.exists(dest)) fs.delete(dest, true)
+    if (!fs.rename(tmp, dest)) fs.delete(tmp, true) // lost the race: keep winner's
+  }
 }

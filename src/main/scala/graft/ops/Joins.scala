@@ -96,15 +96,18 @@ object Joins {
       .intersect(intervals.columns.toSet) -- keys
     require(overlap.isEmpty,
       s"non-key columns must be disjoint, both sides have: ${overlap.mkString(", ")}")
-    def floorDiv(c: org.apache.spark.sql.Column) =
-      (c - pmod(c, lit(bucket))) / lit(bucket)
+    // integral floor division: pmod makes the numerator exactly divisible,
+    // DIV keeps everything in long — Column./ would detour through double
+    // and misbucket values beyond 2^53 (nanosecond epochs are ~2^60)
+    def floorDiv(e: String) = expr(
+      s"(($e) - pmod(($e), ${bucket}L)) DIV ${bucket}L")
     val p = points.withColumn("_bucket",
-      floorDiv(col(pointCol).cast("long")).cast("long"))
+      floorDiv(s"CAST($pointCol AS BIGINT)"))
     val i = intervals
       .where(col(endCol) > col(startCol))
       .withColumn("_bucket", explode(sequence(
-        floorDiv(col(startCol).cast("long")).cast("long"),
-        floorDiv(col(endCol).cast("long") - 1).cast("long"))))
+        floorDiv(s"CAST($startCol AS BIGINT)"),
+        floorDiv(s"CAST($endCol AS BIGINT) - 1"))))
     p.join(i, keys :+ "_bucket")
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("_bucket")

@@ -45,19 +45,32 @@ object Layout {
     val dest = new org.apache.hadoop.fs.Path(path)
     val fs = dest.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(dest.getParent,
-      s".${dest.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val tmp = IndexSidecar.stagingFor(dest)
     df.repartitionByRange(n, keys: _*)
       .sortWithinPartitions(keys: _*)
       .write.mode("overwrite").partitionBy(partitionCols: _*)
       .parquet(tmp.toString)
-    if (fs.exists(dest)) fs.delete(dest, true)
-    if (!fs.rename(tmp, dest)) fs.delete(tmp, true) // lost the race: keep winner's
+    // the source schema rides along as a sidecar: partition-column VALUES
+    // become directory names, and reading them back through Spark's type
+    // inference would retype string columns that look numeric ("01" -> 1)
+    IndexSidecar.write(df.sparkSession, schemaPath(tmp),
+      df.schema.json)
+    IndexSidecar.publish(fs, tmp, dest)
   }
+
+  private def schemaPath(dir: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dir, "_layout_schema.json")
 
   /** Read an [[optimize]]d layout. Filters on the partition columns prune
     * directories at planning time; filters on the cluster columns skip row
-    * groups via parquet min/max stats. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    * groups via parquet min/max stats. The stamped source schema is
+    * applied, so partition columns keep their written types (no directory-
+    * name type inference). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(IndexSidecar.read(spark,
+        schemaPath(new org.apache.hadoop.fs.Path(path))))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    spark.read.schema(schema).parquet(path)
+  }
 }

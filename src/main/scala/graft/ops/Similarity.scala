@@ -120,9 +120,11 @@ object Similarity {
 
   /** Spherical k-means refinement of the coarse quantizer — the TRAINED
     * alternative to the md5 sample: Lloyd iterations (assign to nearest
-    * centroid by cosine, recenter each cell on its members' mean,
-    * renormalize), which tightens cells around the data's actual modes and
-    * is how production IVF quantizers are built (FAISS `train`).
+    * centroid by cosine, recenter each cell on the mean of its members'
+    * UNIT vectors, renormalize — cosine geometry only sees direction, so
+    * a high-magnitude member must not dominate the mean), which tightens
+    * cells around the data's actual modes and is how production IVF
+    * quantizers are built (FAISS `train`).
     *
     * Engine-portability contract — the reason a k-means quantizer is
     * normally unverifiable, solved here: each iteration's per-dimension
@@ -156,8 +158,13 @@ object Similarity {
     for (_ <- 1 to iterations) {
       val assigned = corpus.withColumn("cell",
         array_max(cellScores(col("v"), cents)).getField("c"))
+      // SPHERICAL recentering: average the UNIT members, not the raw
+      // vectors — a single high-magnitude embedding must not drag the
+      // cell mean toward itself (cosine geometry only sees direction).
+      // Zero-norm vectors have no direction and sit out the recenter.
       val sums = assigned
-        .select(col("cell"), posexplode(col("v")))
+        .where(col("nv") > 0)
+        .select(col("cell"), posexplode(expr("transform(v, x -> x / nv)")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
         .collect()

@@ -53,30 +53,38 @@ object Sketches {
       b: Int = 10): DataFrame = {
     require(b >= 4 && b <= 16, s"b must be in [4,16], got $b")
     require(groupCols.nonEmpty, "groupCols must be non-empty")
+    // internals are _hll_-prefixed so a group column named "rank" or
+    // "bucket" is never silently replaced; the two OUTPUT names are the
+    // one unavoidable reservation, so collide loudly instead
+    val reserved = Set("n_registers", "hll_estimate")
+    val taken = reserved.intersect((groupCols :+ valueCol).toSet)
+    require(taken.isEmpty,
+      s"column name(s) reserved for the output: ${taken.mkString(", ")}")
     val m = 1 << b
     val wBits = 60 - b
     val h = conv(substring(md5(col(valueCol).cast("binary")), 1, 15), 16, 10)
       .cast("long")
     val gs = groupCols.map(col)
     val hashed = df.where(col(valueCol).isNotNull)
-      .select(gs :+ h.as("h"): _*)
-      .select(gs :+ pmod(col("h"), lit(m.toLong)).as("bucket") :+
-        expr(s"h DIV $m").as("w"): _*)
-      .withColumn("rank",
-        when(col("w") === 0, lit(wBits + 1))
-          .otherwise(lit(wBits) - (length(bin(col("w"))) - 1)))
+      .select(gs :+ h.as("_hll_h"): _*)
+      .select(gs :+ pmod(col("_hll_h"), lit(m.toLong)).as("_hll_bucket") :+
+        expr(s"_hll_h DIV $m").as("_hll_w"): _*)
+      .withColumn("_hll_rank",
+        when(col("_hll_w") === 0, lit(wBits + 1))
+          .otherwise(lit(wBits) - (length(bin(col("_hll_w"))) - 1)))
     val regs = hashed
-      .groupBy(gs :+ col("bucket"): _*)
-      .agg(max(col("rank")).as("mr"))
+      .groupBy(gs :+ col("_hll_bucket"): _*)
+      .agg(max(col("_hll_rank")).as("_hll_mr"))
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
     val empty = (lit(m.toLong) - col("n_registers")).cast("double")
     val rawE = alpha * lit(m.toDouble) * lit(m.toDouble) /
-      (col("zp") + empty)
+      (col("_hll_zp") + empty)
     val est = when(rawE <= lit(2.5 * m) && empty > 0,
       lit(m.toDouble) * log(lit(m.toDouble) / empty)).otherwise(rawE)
     regs.groupBy(gs: _*)
       .agg(count(lit(1)).as("n_registers"),
-        sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), mr)")).as("zp"))
+        sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), _hll_mr)"))
+          .as("_hll_zp"))
       .select(gs :+ col("n_registers") :+
         round(est, 6).as("hll_estimate"): _*)
       .orderBy(gs: _*)

@@ -339,7 +339,7 @@ class CorpusOpsSpec extends AnyFunSuite {
     // per task — the value column is consumed by md5 inside the scan stage
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 2, s"expected 2 register exchanges:\n${p.take(2000)}")
-    assert(p.contains("partial_max(rank"),
+    assert(p.contains("partial_max(_hll_rank"),
       s"register max must combine map-side before the exchange:\n${p.take(2000)}")
   }
 
