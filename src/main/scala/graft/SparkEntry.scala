@@ -607,6 +607,18 @@ object SparkEntry {
   private def ns44(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sketches.hllDistinct(docs(s, dir), "text", Seq("lang"))
 
+  /** NS45 — corpus mixing: the corpus downsampled to a 4:2:2:1:1
+    * en:de:fr:es:zh target mixture — the data-mixture step of training-set
+    * assembly. The binding stratum (fr at these weights) keeps everything;
+    * every other language downsamples via the deterministic hash
+    * predicate. Rate arithmetic is division-only, so the oracle replays
+    * the exact thresholds. */
+  private def ns45(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.mixCorpus(docs(s, dir), "lang",
+        Map("en" -> 4.0, "de" -> 2.0, "fr" -> 2.0, "es" -> 1.0, "zh" -> 1.0))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
   /** NS16 — near-dup survivor resolution: ns2's minhash pairs → connected
     * components (min-label propagation with pointer jumping) → the
     * surviving corpus with per-survivor merge counts. The dedup DECISION a
@@ -679,6 +691,7 @@ object SparkEntry {
     "ns42_simsearch_kmeans" -> (ns42 _),
     "ns43_join_range" -> (ns43 _),
     "ns44_distinct_hll" -> (ns44 _),
+    "ns45_corpus_mix" -> (ns45 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1244,6 +1257,18 @@ object SparkEntry {
          |SELECT lang, n_registers,
          |  round(CASE WHEN raw_e <= 2560.0::DOUBLE AND v > 0 THEN 1024.0::DOUBLE * ln(1024.0::DOUBLE / v) ELSE raw_e END, 6) AS hll_estimate
          |FROM e ORDER BY lang""".stripMargin),
+    // ns45 recomputes the division-only mixture rates (budget = min n/w,
+    // rate = w*budget/n — identical doubles from identical ints in both
+    // engines) and applies the same md5 bucket predicate; floor matches
+    // Scala's positive toInt truncation.
+    "ns45_corpus_mix" ->
+      ("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |w AS (SELECT * FROM (VALUES ('en', 4.0::DOUBLE), ('de', 2.0::DOUBLE), ('fr', 2.0::DOUBLE), ('es', 1.0::DOUBLE), ('zh', 1.0::DOUBLE)) AS t(lang, wt)),
+         |b AS (SELECT min(n / wt) AS budget FROM c JOIN w USING (lang)),
+         |r AS (SELECT c.lang, wt * b.budget / c.n AS rate FROM c JOIN w USING (lang), b)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN r USING (lang)
+         |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < floor(r.rate * 10000)::INT
+         |ORDER BY d.doc_id""".stripMargin),
     // ns41's oracle reads the RAW table: the layout rewrite must be
     // invisible in the result (pruning changes I/O, never answers).
     "ns41_layout_pruned" ->

@@ -65,6 +65,52 @@ object Sampling {
     }
   }
 
+  /** C3 — corpus mixing: downsample strata to a TARGET MIXTURE — the
+    * data-mixture step of training-set assembly (e.g. web 60% / code 30% /
+    * wiki 10%). Weights are RELATIVE (they need not sum to 1; the
+    * normalizer cancels): the largest budget achievable WITHOUT
+    * upsampling is B = min_s(n_s / w_s), and each stratum keeps
+    * rate_s = w_s · B / n_s — the binding (scarcest-relative-to-weight)
+    * stratum keeps everything, every other stratum downsamples to match
+    * the mixture. Strata NOT in the weight map are dropped (a mixture is
+    * exhaustive, unlike [[stratifiedSample]]'s pass-through); a weighted
+    * stratum absent from the data fails fast — the requested mixture is
+    * unsatisfiable, and silently emitting a different one would poison
+    * the training distribution downstream.
+    *
+    * Determinism: rates quantize onto the same 10000-bucket md5 predicate
+    * as [[stratifiedSample]] (stable under retries, repartitioning,
+    * reruns, and engine-portable). The rate arithmetic is division-only
+    * (no weight-sum whose float accumulation order could vary), so the
+    * oracle reproduces the exact thresholds.
+    *
+    * Scale shape: ONE count aggregation to size the rates (shuffle
+    * carries strata-cardinality partial rows), then the zero-shuffle hash
+    * predicate over the corpus — the counts land on the driver
+    * (strata-cardinality rows, the same footprint class as the IVF
+    * centroid fetch). */
+  def mixCorpus(
+      df: DataFrame,
+      strataCol: String,
+      weights: Map[String, Double],
+      keyCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    val counts = df
+      .where(col(strataCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = weights.keySet -- counts.keySet
+    require(missing.isEmpty,
+      s"mixture requires strata absent from the data: ${missing.mkString(", ")}")
+    val budget = weights.map { case (s, w) => counts(s).toDouble / w }.min
+    val rates = weights.map { case (s, w) =>
+      s -> math.min(1.0, w * budget / counts(s))
+    }
+    applyRates(df.where(col(strataCol).isin(weights.keys.toSeq: _*)),
+      strataCol, rates, defaultRate = 0.0, keyCol)
+  }
+
   /** C2 — sequence packing: assign each document a (seq_id, seq_off) slot
     * inside fixed `tokenBudget` training sequences, greedily by cumulative
     * token count in `orderCol` order within each `strataCol` partition.

@@ -48,6 +48,48 @@ object Sketches {
     * column). Groups arrive whole: (group, bucket) aggregation with
     * map-side combine, then a per-group register rollup — two narrow
     * shuffles, no distinct-value shuffle anywhere. */
+  /** The 60-bit md5 prefix — the same value the SQL path's
+    * `conv(substring(md5(...), 1, 15), 16, 10)` produces (and DuckDB's
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`). */
+  private[graft] def hash60(value: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(value.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+
+  /** Fold one value into a register array in place — the streaming tier's
+    * per-row update, bit-identical to the batch SQL register math. */
+  private[graft] def registerUpdate(
+      regs: Array[Int], value: String, b: Int): Unit = {
+    val m = 1 << b
+    val wBits = 60 - b
+    val h = hash60(value)
+    val bucket = (h % m).toInt
+    val w = h / m
+    val rank =
+      if (w == 0) wBits + 1
+      else wBits - (63 - java.lang.Long.numberOfLeadingZeros(w))
+    if (rank > regs(bucket)) regs(bucket) = rank
+  }
+
+  /** (present registers, rounded estimate) from a register array — the
+    * same raw-HLL + linear-counting arithmetic as the batch SQL (register
+    * iteration order only perturbs the float sum below the 6-decimal
+    * rounding, the contract everywhere in this family). */
+  private[graft] def estimateOf(regs: Array[Int], b: Int): (Long, Double) = {
+    val m = 1 << b
+    val present = regs.count(_ > 0)
+    val zp = regs.iterator.filter(_ > 0).map(r => 1.0 / (1L << r)).sum
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    val empty = (m - present).toDouble
+    val raw = alpha * m.toDouble * m.toDouble / (zp + empty)
+    val est =
+      if (raw <= 2.5 * m && empty > 0) m.toDouble * math.log(m.toDouble / empty)
+      else raw
+    (present.toLong,
+      BigDecimal(est).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   def hllDistinct(
       df: DataFrame, valueCol: String, groupCols: Seq[String],
       b: Int = 10): DataFrame = {

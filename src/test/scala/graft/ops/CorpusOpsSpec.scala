@@ -213,6 +213,49 @@ class CorpusOpsSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  // ---- Sampling.mixCorpus ---------------------------------------------------
+
+  test("mixCorpus hits the target mixture, keeps the binding stratum whole") {
+    val docs = Tables.load(spark, sf, "documents")
+    val weights = Map("en" -> 4.0, "de" -> 2.0, "fr" -> 2.0,
+      "es" -> 1.0, "zh" -> 1.0)
+    val mixed = Sampling.mixCorpus(docs, "lang", weights)
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the binding stratum (smallest n/w) survives entirely
+    val binding = weights.keys.minBy(s => full(s) / weights(s))
+    assert(got(binding) == full(binding))
+    // every stratum lands near its target share w_s * B / n_s (md5-bucket
+    // variance at ~100-doc strata is real; 35% tolerance catches an
+    // inverted or unnormalized mixture without flaking)
+    val budget = weights.map { case (s, w) => full(s) / w }.min
+    weights.foreach { case (s, w) =>
+      val want = math.min(full(s).toDouble, w * budget)
+      assert(math.abs(got(s) - want) / want < 0.35, s"$s: ${got(s)} vs $want")
+    }
+    // deterministic
+    assert(Sampling.mixCorpus(docs, "lang", weights).count() == mixed.count())
+  }
+
+  test("mixCorpus drops unlisted strata and rejects unsatisfiable mixtures") {
+    val docs = Tables.load(spark, sf, "documents")
+    val mixed = Sampling.mixCorpus(docs, "lang", Map("en" -> 1.0, "de" -> 1.0))
+    assert(mixed.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet == Set("en", "de"))
+    intercept[IllegalArgumentException] {
+      Sampling.mixCorpus(docs, "lang", Map("en" -> 1.0, "tlh" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixCorpus(docs, "lang", Map("en" -> -1.0))
+    }
+    // the sampling pass itself is a zero-shuffle filter (the one count
+    // aggregation to size rates runs eagerly inside mixCorpus)
+    val p = mixed.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
+  }
+
   // ---- Layout.optimize / read ----------------------------------------------
 
   test("optimized layout preserves rows and prunes partitions at planning time") {

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+import graft.ops.Sketches
+
+/** Streaming HLL: running estimates equal the batch sketch over every
+  * stream prefix, and registers never grow. */
+class StreamingSketchesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def batchEstimates(
+      rows: Seq[(String, String)]): Map[String, (Long, Double)] = {
+    import spark.implicits._
+    Sketches.hllDistinct(rows.toDF("lang", "text"), "text", Seq("lang"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_registers"), r.getAs[Double]("hll_estimate"))))
+      .toMap
+  }
+
+  test("running estimates equal the batch sketch after every trigger") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("lang", "text").as[(String, String)].collect().toSeq
+    val (tick1, tick2) = docs.splitAt(docs.length / 2)
+
+    val in = MemoryStream[(String, String)]
+    val q = StreamingSketches
+      .hllDistinctStream(in.toDF().toDF("lang", "text"), "text", "lang")
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode("update").start()
+    try {
+      in.addData(tick1)
+      q.processAllAvailable()
+      val afterTick1 = spark.table("hll_out").collect()
+        .map(r => r.getString(0) ->
+          ((r.getAs[Long]("n_registers"), r.getAs[Double]("hll_estimate"))))
+        .toMap
+      assert(afterTick1 == batchEstimates(tick1))
+
+      in.addData(tick2)
+      q.processAllAvailable()
+      // update-mode memory sink appends each trigger's refreshed rows; the
+      // final estimate per group is its LAST emitted row (tick-2 row when
+      // the group saw tick-2 data, else its tick-1 row)
+      val all = spark.table("hll_out").collect()
+        .map(r => r.getString(0) ->
+          ((r.getAs[Long]("n_registers"), r.getAs[Double]("hll_estimate"))))
+      val finalByGroup = all.zipWithIndex.groupBy(_._1._1)
+        .map { case (g, rs) => g -> rs.maxBy(_._2)._1._2 }
+      assert(finalByGroup == batchEstimates(docs))
+    } finally q.stop()
+  }
+
+  test("state is fixed-size: registers never exceed 2^b regardless of volume") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val q = StreamingSketches
+      .hllDistinctStream(in.toDF().toDF("g", "v"), "v", "g", b = 4)
+      .writeStream.format("memory").queryName("hll_small")
+      .outputMode("update").start()
+    try {
+      in.addData((1 to 500).map(i => ("g1", s"value_$i")))
+      q.processAllAvailable()
+      val row = spark.table("hll_small").collect().last
+      // 500 distinct values through 16 registers: all 16 present, and the
+      // estimate is in the right order of magnitude (raw HLL at m=16 has
+      // ~26% standard error)
+      assert(row.getAs[Long]("n_registers") <= 16)
+      val est = row.getAs[Double]("hll_estimate")
+      assert(est > 200 && est < 1200, s"estimate $est for 500 distinct")
+    } finally q.stop()
+  }
+}
