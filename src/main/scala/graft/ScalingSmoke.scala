@@ -32,7 +32,10 @@ object ScalingSmoke {
     // (bucket equality must carry it — events scale by users, so matches
     // grow linearly, not by window density)
     "ns29_boilerplate", "ns37_dedup_semantic", "ns38_keywords_tfidf",
-    "ns40_dedup_spans", "ns43_join_range")
+    "ns40_dedup_spans", "ns43_join_range",
+    // gram-keyed pair matrix: source count is constant across sfs, so
+    // rows stay flat and time must stay ~linear in corpus grams
+    "ns47_source_overlap")
   // ns21/ns34 (decontamination) are NOT run via their SparkEntry queries
   // here: those split doc_id%50 at EACH sf, so the benchmark side grows
   // with the corpus and the tainted-row count legitimately scales ~R² —

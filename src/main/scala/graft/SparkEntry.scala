@@ -619,6 +619,31 @@ object SparkEntry {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** NS46 — train/valid/test split: every doc labeled 90/5/5 by hash
+    * bucket range — exhaustive, disjoint, retry-stable, engine-portable.
+    * Zero shuffle. */
+  private def ns46(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.splitCorpus(docs(s, dir),
+        Map("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+      .select("doc_id", "lang", "split")
+      .orderBy("doc_id")
+
+  /** NS47 — cross-source overlap matrix: distinct shared 3-grams (and the
+    * fraction of the smaller vocabulary) for every source pair — the
+    * corpus audit that exposes feeds mirroring each other. Gram-keyed
+    * shuffles; per-gram pair work bounded by sources². */
+  private def ns47(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.sourceOverlap(docs(s, dir))
+
+  /** NS48 — exact per-stratum sample: exactly 10 docs per language, the
+    * 10 smallest key hashes — guaranteed-size eval carving, unlike the
+    * binomial-size rate predicate of ns23. One shuffle, WindowGroupLimit
+    * caps the per-partition sort. */
+  private def ns48(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.sampleExact(docs(s, dir), "lang", k = 10)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
   /** NS16 — near-dup survivor resolution: ns2's minhash pairs → connected
     * components (min-label propagation with pointer jumping) → the
     * surviving corpus with per-survivor merge counts. The dedup DECISION a
@@ -692,6 +717,9 @@ object SparkEntry {
     "ns43_join_range" -> (ns43 _),
     "ns44_distinct_hll" -> (ns44 _),
     "ns45_corpus_mix" -> (ns45 _),
+    "ns46_corpus_split" -> (ns46 _),
+    "ns47_source_overlap" -> (ns47 _),
+    "ns48_sample_exact" -> (ns48 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1269,6 +1297,25 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN r USING (lang)
          |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < floor(r.rate * 10000)::INT
          |ORDER BY d.doc_id""".stripMargin),
+    // ns46's cutoffs are the name-sorted cumulative quantized fractions:
+    // test [0,500), train [500,9500), valid [9500,10000).
+    "ns46_corpus_split" ->
+      ("""SELECT doc_id, lang,
+         |  CASE WHEN b < 500 THEN 'test' WHEN b < 9500 THEN 'train' ELSE 'valid' END AS split
+         |FROM (SELECT doc_id, lang, ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS b FROM documents)
+         |ORDER BY doc_id""".stripMargin),
+    "ns47_source_overlap" ->
+      ("""WITH w AS (SELECT source, string_split(text,' ') w FROM documents),
+         |sg AS (SELECT DISTINCT source AS src, unnest([array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)]) AS shingle FROM w),
+         |sizes AS (SELECT src, count(*) AS n FROM sg GROUP BY src),
+         |sh AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS shared_grams FROM sg a JOIN sg b ON a.shingle = b.shingle AND a.src < b.src GROUP BY 1, 2)
+         |SELECT src_a, src_b, shared_grams, round(shared_grams::DOUBLE / least(x.n, y.n), 6) AS overlap_frac
+         |FROM sh JOIN sizes x ON x.src = sh.src_a JOIN sizes y ON y.src = sh.src_b
+         |ORDER BY src_a, src_b""".stripMargin),
+    "ns48_sample_exact" ->
+      ("""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id) AS rn
+         |  FROM documents) WHERE rn <= 10 ORDER BY doc_id""".stripMargin),
     // ns41's oracle reads the RAW table: the layout rewrite must be
     // invisible in the result (pruning changes I/O, never answers).
     "ns41_layout_pruned" ->

@@ -849,6 +849,47 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** D11 — cross-source overlap matrix: for every pair of sources, how
+    * many distinct k-grams they share, and that count as a fraction of
+    * the smaller side's gram vocabulary — the corpus AUDIT that tells a
+    * training-data owner which feeds mirror each other (a crawl that
+    * re-ingests another feed shows up as a high-overlap pair) before any
+    * doc-level dedup decision is made. Complements [[ngramJaccard]]
+    * (doc×doc) at source×source granularity.
+    *
+    * 100 TB shape: the gram vocabulary per source is ONE distinct
+    * aggregation (gram-keyed, map-side combine); the pair probe is an
+    * equality self-join on the gram key whose per-gram work is bounded by
+    * sources² (sources are tens, not millions — the join output is at
+    * most S²/2 rows per gram, aggregated with map-side combine); sizes
+    * broadcast back onto the S²/2-row matrix. Nothing is ever keyed by
+    * doc pair or row pair. */
+  def sourceOverlap(
+      docs: DataFrame, shingleK: Int = 3,
+      groupCol: String = "source"): DataFrame = {
+    val sg = docs
+      .select(col(groupCol).as("src"), split(col("text"), " ").as("w"))
+      .select(col("src"), explode(
+        when(size(col("w")) >= shingleK,
+          expr(s"transform(sequence(0, size(w) - $shingleK), " +
+            s"i -> concat_ws(' ', slice(w, i + 1, $shingleK)))"))
+          .otherwise(expr("array()"))).as("shingle"))
+      .distinct()
+      .localCheckpoint(true) // three consumers: pair probe, build, sizes
+    val sizes = sg.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val shared = sg.as("a").join(sg.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    shared
+      .join(broadcast(sizes).as("x"), col("src_a") === col("x.src"))
+      .join(broadcast(sizes).as("y"), col("src_b") === col("y.src"))
+      .select(col("src_a"), col("src_b"), col("shared_grams"),
+        round(col("shared_grams").cast("double") /
+          least(col("x.n"), col("y.n")), 6).as("overlap_frac"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** D10 — semantic dedup (SemDeDup-style): cluster-scoped embedding
     * near-dup with a KEEP DECISION per vector. Embeddings are assigned to
     * their nearest coarse-quantizer cell (the same md5-sampled

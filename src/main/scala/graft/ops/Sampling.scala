@@ -111,6 +111,66 @@ object Sampling {
       strataCol, rates, defaultRate = 0.0, keyCol)
   }
 
+  /** C4 — deterministic train/valid/test split: every row labeled with
+    * its split by hash-bucket RANGE, so the assignment is exhaustive
+    * (every row gets exactly one label), disjoint, stable under retries /
+    * repartitioning / reruns, and reproducible by any engine — the
+    * properties an eval split must have, and exactly what `rand()`-based
+    * splitting silently lacks. Ranges are laid out in split-name-sorted
+    * order, so the same fractions always carve the same buckets.
+    *
+    * Fractions must quantize cleanly onto the 10000-bucket space
+    * ((f·10000).toInt summing to exactly 10000) — 0.9/0.05/0.05 does,
+    * 1/3 each does not; failing fast beats silently dropping buckets
+    * from (or double-assigning) an eval set.
+    *
+    * Scale shape: a narrow codegen'd CASE projection — zero shuffle. */
+  def splitCorpus(
+      df: DataFrame,
+      fractions: Map[String, Double],
+      keyCol: String = "doc_id"): DataFrame = {
+    require(fractions.nonEmpty && fractions.values.forall(f => f > 0 && f <= 1),
+      "fractions must be positive and at most 1")
+    val ordered = fractions.toSeq.sortBy(_._1)
+      .map { case (name, f) => name -> (f * 10000).toInt }
+    require(ordered.map(_._2).sum == 10000,
+      s"fractions must quantize to exactly 10000 buckets, got " +
+        s"${ordered.map { case (n, q) => s"$n=$q" }.mkString(", ")}")
+    val cuts = ordered.scanLeft(0) { case (acc, (_, q)) => acc + q }
+    val label = ordered.zip(cuts.tail).foldRight(null: Column) {
+      case (((name, _), hi), elseCol) =>
+        val branch = hashBucket(col(keyCol)) < hi
+        if (elseCol == null) lit(name)
+        else when(branch, lit(name)).otherwise(elseCol)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** C5 — exact per-stratum sampling: EXACTLY min(k, |stratum|) rows per
+    * stratum, chosen as the k smallest key hashes — a deterministic
+    * uniform sample with a guaranteed size, which is what eval-set
+    * carving needs ([[stratifiedSample]]'s rate predicate gives a
+    * binomial size). Ties on the 60-bit hash break on the key itself, so
+    * selection is total-ordered.
+    *
+    * Scale shape: one shuffle (stratum hash) + in-partition sort for the
+    * row_number window; `WindowGroupLimit` caps each partition's sort at
+    * k rows before the final window, so a 10⁹-row stratum never sorts
+    * whole. */
+  def sampleExact(
+      df: DataFrame,
+      strataCol: String,
+      k: Int,
+      keyCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = conv(substring(md5(col(keyCol).cast("string").cast("binary")),
+      1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col(strataCol)).orderBy(h, col(keyCol))
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** C2 — sequence packing: assign each document a (seq_id, seq_off) slot
     * inside fixed `tokenBudget` training sequences, greedily by cumulative
     * token count in `orderCol` order within each `strataCol` partition.

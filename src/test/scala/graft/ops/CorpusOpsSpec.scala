@@ -256,6 +256,93 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
   }
 
+  // ---- Sampling.splitCorpus / sampleExact -----------------------------------
+
+  test("splitCorpus labels every row exactly once, near the fractions, deterministically") {
+    val docs = Tables.load(spark, sf, "documents")
+    val split = Sampling.splitCorpus(docs,
+      Map("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+    assert(split.count() == docs.count())
+    assert(split.where(col("split").isNull).count() == 0)
+    val byLabel = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet == Set("train", "valid", "test"))
+    val n = docs.count().toDouble
+    assert(byLabel("train") / n > 0.8 && byLabel("train") / n < 0.97)
+    // same fractions, same buckets, every run — and disjoint by
+    // construction (one CASE per row)
+    val again = Sampling.splitCorpus(docs,
+      Map("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+      .where(col("split") === "test").select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val first = split.where(col("split") === "test").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(first == again)
+    // 1/3 splits don't quantize onto 10000 buckets -> fail fast
+    intercept[IllegalArgumentException] {
+      Sampling.splitCorpus(docs,
+        Map("a" -> (1.0 / 3), "b" -> (1.0 / 3), "c" -> (1.0 / 3)))
+    }
+    // zero shuffle
+    val p = split.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(1200))
+  }
+
+  test("sampleExact returns exactly min(k, stratum size) rows, stable across runs") {
+    val docs = Tables.load(spark, sf, "documents")
+    val sampled = Sampling.sampleExact(docs, "lang", k = 10)
+    val counts = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (lang, n) =>
+      assert(counts(lang) == math.min(10L, n), s"$lang")
+    }
+    // k larger than a stratum: the whole stratum, no padding
+    val tiny = Sampling.sampleExact(docs.limit(3), "lang", k = 100)
+    assert(tiny.count() == 3)
+    // deterministic
+    assert(Sampling.sampleExact(docs, "lang", k = 10)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      sampled.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // the per-partition sort is capped before the window
+    val p = sampled.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+  }
+
+  // ---- Dedup.sourceOverlap --------------------------------------------------
+
+  test("sourceOverlap counts shared distinct grams per source pair") {
+    val in = Seq(
+      (1L, "s1", "the quick brown fox"),
+      (2L, "s1", "another page of text"),
+      (3L, "s2", "the quick brown fox appears here"),
+      (4L, "s3", "totally unrelated content entirely")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(in, shingleK = 3, groupCol = "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("shared_grams"), r.getAs[Double]("overlap_frac"))))
+      .toMap
+    // s1 and s2 share "the quick brown" and "quick brown fox" (2 grams);
+    // s1 has 4 distinct grams (2+2), s2 has 4, s3 has 2
+    assert(out((s"s1", s"s2")) == ((2L, 0.5)))
+    assert(!out.contains(("s1", "s3")))
+    assert(!out.contains(("s2", "s3")))
+  }
+
+  test("sourceOverlap joins on gram equality only — nothing pairwise by rows") {
+    val docs = Tables.load(spark, sf, "documents")
+    val df = Dedup.sourceOverlap(docs)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    // every pair appears at most once
+    val pairs = df.select("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.length == pairs.distinct.length)
+  }
+
   // ---- Layout.optimize / read ----------------------------------------------
 
   test("optimized layout preserves rows and prunes partitions at planning time") {
