@@ -1293,7 +1293,7 @@ object SparkEntry {
       ("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
          |w AS (SELECT * FROM (VALUES ('en', 4.0::DOUBLE), ('de', 2.0::DOUBLE), ('fr', 2.0::DOUBLE), ('es', 1.0::DOUBLE), ('zh', 1.0::DOUBLE)) AS t(lang, wt)),
          |b AS (SELECT min(n / wt) AS budget FROM c JOIN w USING (lang)),
-         |r AS (SELECT c.lang, wt * b.budget / c.n AS rate FROM c JOIN w USING (lang), b)
+         |r AS (SELECT c.lang, CASE WHEN c.n / wt = b.budget THEN 1.0::DOUBLE ELSE wt * b.budget / c.n END AS rate FROM c JOIN w USING (lang), b)
          |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN r USING (lang)
          |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < floor(r.rate * 10000)::INT
          |ORDER BY d.doc_id""".stripMargin),

@@ -22,9 +22,15 @@ object Sampling {
     * 2¹⁶ mod 10000 get ⌈2¹⁶/10⁴⌉/2¹⁶ ≈ 7/65536 instead of 6/65536, so a
     * requested 25% rate actually delivered ~26.7%; with 60 bits the same
     * skew is ~10⁻¹⁵ of the rate. */
-  private def hashBucket(key: Column): Column =
+  /** The 60-bit md5 prefix of a key's string form — THE key-hash
+    * expression of the sampling/sketch family (also [[Sketches]] and the
+    * corresponding `('0x' || substr(md5(x), 1, 15))::BIGINT` oracle form);
+    * one definition so the variants cannot drift apart. */
+  private[ops] def hash60Col(key: Column): Column =
     conv(substring(md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("long") % 10000
+      .cast("long")
+
+  private def hashBucket(key: Column): Column = hash60Col(key) % 10000
 
   /** C1 — deterministic stratified sampling: keep a row iff its key's hash
     * bucket falls under the stratum's rate. The canonical use is language /
@@ -99,13 +105,19 @@ object Sampling {
     val counts = df
       .where(col(strataCol).isin(weights.keys.toSeq: _*))
       .groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
     val missing = weights.keySet -- counts.keySet
     require(missing.isEmpty,
       s"mixture requires strata absent from the data: ${missing.mkString(", ")}")
     val budget = weights.map { case (s, w) => counts(s).toDouble / w }.min
+    // binding strata (n/w == the min) get rate EXACTLY 1.0: the algebraic
+    // w·(n/w)/n round-trips to 0.99999999999999989 for many weight/count
+    // combinations, which would quantize to 9999 and silently drop bucket
+    // 9999 of the stratum the contract promises to keep whole. The oracle
+    // applies the same float-equality pin.
     val rates = weights.map { case (s, w) =>
-      s -> math.min(1.0, w * budget / counts(s))
+      s -> (if (counts(s).toDouble / w == budget) 1.0
+            else math.min(1.0, w * budget / counts(s)))
     }
     applyRates(df.where(col(strataCol).isin(weights.keys.toSeq: _*)),
       strataCol, rates, defaultRate = 0.0, keyCol)
@@ -131,8 +143,11 @@ object Sampling {
       keyCol: String = "doc_id"): DataFrame = {
     require(fractions.nonEmpty && fractions.values.forall(f => f > 0 && f <= 1),
       "fractions must be positive and at most 1")
+    // round, don't truncate: 0.0003*10000 is 2.9999999999999996 in double,
+    // and toInt would reject 573 of the 9999 exact 4-decimal fractions;
+    // genuinely non-quantizing fractions (1/3) still fail the sum check
     val ordered = fractions.toSeq.sortBy(_._1)
-      .map { case (name, f) => name -> (f * 10000).toInt }
+      .map { case (name, f) => name -> math.round(f * 10000).toInt }
     require(ordered.map(_._2).sum == 10000,
       s"fractions must quantize to exactly 10000 buckets, got " +
         s"${ordered.map { case (n, q) => s"$n=$q" }.mkString(", ")}")
@@ -163,9 +178,10 @@ object Sampling {
       k: Int,
       keyCol: String = "doc_id"): DataFrame = {
     require(k > 0, "k must be positive")
-    val h = conv(substring(md5(col(keyCol).cast("string").cast("binary")),
-      1, 15), 16, 10).cast("long")
-    val w = Window.partitionBy(col(strataCol)).orderBy(h, col(keyCol))
+    require(!df.columns.contains("_rn"),
+      "column name _rn is reserved by sampleExact")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hash60Col(col(keyCol)), col(keyCol))
     df.withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= k)
       .drop("_rn")

@@ -48,14 +48,70 @@ object Sketches {
     * column). Groups arrive whole: (group, bucket) aggregation with
     * map-side combine, then a per-group register rollup — two narrow
     * shuffles, no distinct-value shuffle anywhere. */
-  /** The 60-bit md5 prefix — the same value the SQL path's
-    * `conv(substring(md5(...), 1, 15), 16, 10)` produces (and DuckDB's
-    * `('0x' || substr(md5(x), 1, 15))::BIGINT`). */
-  private[graft] def hash60(value: String): Long =
-    java.lang.Long.parseLong(
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(value.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(15), 16)
+  def hllDistinct(
+      df: DataFrame, valueCol: String, groupCols: Seq[String],
+      b: Int = 10): DataFrame = {
+    require(b >= 4 && b <= 16, s"b must be in [4,16], got $b")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    // internals are _hll_-prefixed so a group column named "rank" or
+    // "bucket" is never silently replaced; the two OUTPUT names are the
+    // one unavoidable reservation, so collide loudly instead
+    val reserved = Set("n_registers", "hll_estimate")
+    val taken = reserved.intersect((groupCols :+ valueCol).toSet)
+    require(taken.isEmpty,
+      s"column name(s) reserved for the output: ${taken.mkString(", ")}")
+    val m = 1 << b
+    val wBits = 60 - b
+    val h = Sampling.hash60Col(col(valueCol))
+    val gs = groupCols.map(col)
+    val hashed = df.where(col(valueCol).isNotNull)
+      .select(gs :+ h.as("_hll_h"): _*)
+      .select(gs :+ pmod(col("_hll_h"), lit(m.toLong)).as("_hll_bucket") :+
+        expr(s"_hll_h DIV $m").as("_hll_w"): _*)
+      .withColumn("_hll_rank",
+        when(col("_hll_w") === 0, lit(wBits + 1))
+          .otherwise(lit(wBits) - (length(bin(col("_hll_w"))) - 1)))
+    val regs = hashed
+      .groupBy(gs :+ col("_hll_bucket"): _*)
+      .agg(max(col("_hll_rank")).as("_hll_mr"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val empty = (lit(m.toLong) - col("n_registers")).cast("double")
+    val rawE = alpha * lit(m.toDouble) * lit(m.toDouble) /
+      (col("_hll_zp") + empty)
+    val est = when(rawE <= lit(2.5 * m) && empty > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / empty)).otherwise(rawE)
+    regs.groupBy(gs: _*)
+      .agg(count(lit(1)).as("n_registers"),
+        sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), _hll_mr)"))
+          .as("_hll_zp"))
+      .select(gs :+ col("n_registers") :+
+        round(est, 6).as("hll_estimate"): _*)
+      .orderBy(gs: _*)
+  }
+
+  // ---- streaming-side register math (shared with StreamingSketches) -------
+
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** The 60-bit md5 prefix — the same value [[Sampling.hash60Col]] / the
+    * oracle's `('0x' || substr(md5(x), 1, 15))::BIGINT` produce: the first
+    * 15 hex chars are the digest's top 60 bits, i.e. the first 8 bytes as
+    * a big-endian long shifted right by a nibble. Thread-local digest and
+    * arithmetic extraction — this runs once per streamed row, so no JCA
+    * lookup and no hex string round-trip on the hot path. */
+  private[graft] def hash60(value: String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val bytes = d.digest(value.getBytes("UTF-8"))
+    var acc = 0L
+    var i = 0
+    while (i < 8) { acc = (acc << 8) | (bytes(i) & 0xffL); i += 1 }
+    acc >>> 4
+  }
 
   /** Fold one value into a register array in place — the streaming tier's
     * per-row update, bit-identical to the batch SQL register math. */
@@ -88,47 +144,5 @@ object Sketches {
       else raw
     (present.toLong,
       BigDecimal(est).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-  }
-
-  def hllDistinct(
-      df: DataFrame, valueCol: String, groupCols: Seq[String],
-      b: Int = 10): DataFrame = {
-    require(b >= 4 && b <= 16, s"b must be in [4,16], got $b")
-    require(groupCols.nonEmpty, "groupCols must be non-empty")
-    // internals are _hll_-prefixed so a group column named "rank" or
-    // "bucket" is never silently replaced; the two OUTPUT names are the
-    // one unavoidable reservation, so collide loudly instead
-    val reserved = Set("n_registers", "hll_estimate")
-    val taken = reserved.intersect((groupCols :+ valueCol).toSet)
-    require(taken.isEmpty,
-      s"column name(s) reserved for the output: ${taken.mkString(", ")}")
-    val m = 1 << b
-    val wBits = 60 - b
-    val h = conv(substring(md5(col(valueCol).cast("binary")), 1, 15), 16, 10)
-      .cast("long")
-    val gs = groupCols.map(col)
-    val hashed = df.where(col(valueCol).isNotNull)
-      .select(gs :+ h.as("_hll_h"): _*)
-      .select(gs :+ pmod(col("_hll_h"), lit(m.toLong)).as("_hll_bucket") :+
-        expr(s"_hll_h DIV $m").as("_hll_w"): _*)
-      .withColumn("_hll_rank",
-        when(col("_hll_w") === 0, lit(wBits + 1))
-          .otherwise(lit(wBits) - (length(bin(col("_hll_w"))) - 1)))
-    val regs = hashed
-      .groupBy(gs :+ col("_hll_bucket"): _*)
-      .agg(max(col("_hll_rank")).as("_hll_mr"))
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
-    val empty = (lit(m.toLong) - col("n_registers")).cast("double")
-    val rawE = alpha * lit(m.toDouble) * lit(m.toDouble) /
-      (col("_hll_zp") + empty)
-    val est = when(rawE <= lit(2.5 * m) && empty > 0,
-      lit(m.toDouble) * log(lit(m.toDouble) / empty)).otherwise(rawE)
-    regs.groupBy(gs: _*)
-      .agg(count(lit(1)).as("n_registers"),
-        sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), _hll_mr)"))
-          .as("_hll_zp"))
-      .select(gs :+ col("n_registers") :+
-        round(est, 6).as("hll_estimate"): _*)
-      .orderBy(gs: _*)
   }
 }

@@ -56,6 +56,16 @@ class StreamingSketchesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hash60's arithmetic extraction equals the hex-prefix definition") {
+    Seq("", "a", "hello world", "日本語テキスト", "x" * 1000,
+      "café naïve").foreach { s =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      assert(Sketches.hash60(s) == java.lang.Long.parseLong(hex, 16),
+        s"'${s.take(20)}'")
+    }
+  }
+
   test("state is fixed-size: registers never exceed 2^b regardless of volume") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
