@@ -644,6 +644,12 @@ object SparkEntry {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** NS49 — per-language length histogram: exact 50-char buckets (last
+    * bucket clamps outliers) — the distribution shape behind ns33's
+    * quartiles. One (group, bucket)-keyed aggregation. */
+  private def ns49(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.histogram(docs(s, dir))
+
   /** NS16 — near-dup survivor resolution: ns2's minhash pairs → connected
     * components (min-label propagation with pointer jumping) → the
     * surviving corpus with per-survivor merge counts. The dedup DECISION a
@@ -720,6 +726,7 @@ object SparkEntry {
     "ns46_corpus_split" -> (ns46 _),
     "ns47_source_overlap" -> (ns47 _),
     "ns48_sample_exact" -> (ns48 _),
+    "ns49_histogram" -> (ns49 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1316,6 +1323,10 @@ object SparkEntry {
       ("""SELECT doc_id, lang FROM (
          |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id) AS rn
          |  FROM documents) WHERE rn <= 10 ORDER BY doc_id""".stripMargin),
+    "ns49_histogram" ->
+      ("""WITH b AS (SELECT lang, least((n_chars - n_chars % 50) // 50, 11) AS bucket FROM documents)
+         |SELECT lang, bucket, bucket * 50 AS lo, (bucket + 1) * 50 AS hi, count(*) AS n
+         |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin),
     // ns41's oracle reads the RAW table: the layout rewrite must be
     // invisible in the result (pruning changes I/O, never answers).
     "ns41_layout_pruned" ->

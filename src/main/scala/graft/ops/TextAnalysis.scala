@@ -236,6 +236,40 @@ object TextAnalysis {
       .orderBy(col(groupCol))
   }
 
+  /** T11 — grouped histogram: exact fixed-width bucket counts of an
+    * integer column per group — the distribution snapshot behind corpus
+    * dashboards ([[lengthStats]] gives the quartiles; this gives the
+    * shape). Bucket i covers [i·width, (i+1)·width), with everything at
+    * or above (maxBuckets−1)·width clamped into the last bucket so the
+    * output arity is bounded regardless of outliers. Floor division is
+    * integral (pmod + DIV, exact for negatives too — same device as
+    * [[Joins.rangeJoin]]); only non-empty buckets are emitted.
+    *
+    * 100 TB shape: one (group, bucket)-keyed aggregation with map-side
+    * combine — the shuffle carries at most groups × maxBuckets partial
+    * rows per task, never values. */
+  def histogram(
+      docs: DataFrame,
+      valueCol: String = "n_chars",
+      groupCol: String = "lang",
+      bucketWidth: Long = 50,
+      maxBuckets: Int = 12): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBuckets > 0, "maxBuckets must be positive")
+    val v = s"CAST($valueCol AS BIGINT)"
+    val bucket = least(
+      expr(s"(($v) - pmod(($v), ${bucketWidth}L)) DIV ${bucketWidth}L"),
+      lit((maxBuckets - 1).toLong))
+    docs
+      .groupBy(col(groupCol), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(groupCol), col("bucket"),
+        (col("bucket") * bucketWidth).as("lo"),
+        ((col("bucket") + 1) * bucketWidth).as("hi"),
+        col("n"))
+      .orderBy(col(groupCol), col("bucket"))
+  }
+
   /** T8 — Unicode normalization: the first transform a multi-source text
     * corpus needs — the same visible string arrives composed ("é") from
     * one crawler and decomposed ("e" + combining acute) from another, and

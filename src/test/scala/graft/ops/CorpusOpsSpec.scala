@@ -288,6 +288,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p.take(1200))
   }
 
+  test("splitCorpus accepts every exact 4-decimal fraction set (round, not truncate)") {
+    val docs = Tables.load(spark, sf, "documents").limit(50)
+    // fractions whose doubles sit one ulp low trip toInt truncation;
+    // math.round must accept all of them
+    Seq(
+      Map("train" -> 0.9903, "valid" -> 0.0094, "test" -> 0.0003),
+      Map("a" -> 0.57, "b" -> 0.29, "c" -> 0.14),
+      Map("x" -> 0.0001, "y" -> 0.9999)
+    ).foreach { fr =>
+      val out = Sampling.splitCorpus(docs, fr)
+      assert(out.count() == 50, fr.toString)
+      assert(out.where(col("split").isNull).count() == 0)
+    }
+  }
+
   test("sampleExact returns exactly min(k, stratum size) rows, stable across runs") {
     val docs = Tables.load(spark, sf, "documents")
     val sampled = Sampling.sampleExact(docs, "lang", k = 10)
@@ -341,6 +356,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     val pairs = df.select("src_a", "src_b").collect()
       .map(r => (r.getString(0), r.getString(1)))
     assert(pairs.length == pairs.distinct.length)
+  }
+
+  // ---- TextAnalysis.histogram -----------------------------------------------
+
+  test("histogram buckets exactly, clamps outliers, floors negatives") {
+    val in = Seq(
+      (1L, "a", -10L), // floor(-10/50) = -1: negative bucket, true floor
+      (2L, "a", 0L), (3L, "a", 49L), // bucket 0
+      (4L, "a", 50L),                // bucket 1
+      (5L, "a", 10000L)              // clamped into the last bucket (2)
+    ).toDF("doc_id", "lang", "n_chars")
+    val out = TextAnalysis.histogram(in, bucketWidth = 50, maxBuckets = 3)
+      .collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("lo"), r.getAs[Long]("hi"), r.getAs[Long]("n"))))
+      .toMap
+    assert(out(-1L) == ((-50L, 0L, 1L)))
+    assert(out(0L) == ((0L, 50L, 2L)))
+    assert(out(1L) == ((50L, 100L, 1L)))
+    assert(out(2L) == ((100L, 150L, 1L)))
+    assert(out.size == 4)
+    // counts cover every row exactly once
+    assert(out.values.map(_._3).sum == 5L)
   }
 
   // ---- Layout.optimize / read ----------------------------------------------
@@ -407,6 +445,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.contains((12L, 102L)))
     assert(!out.exists(_._1 == 21L))
     assert(out.contains((31L, 301L)))
+  }
+
+  test("rangeJoin equals the theta join on randomized inputs (property sweep)") {
+    // the bucket arithmetic (floor division, negative domains, spans vs
+    // bucket sizes, degenerate intervals) is where an off-by-one would
+    // hide; sweep random workloads against the reference θ-join
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val bucket = 1L + rnd.nextInt(20)
+      val points = Seq.tabulate(60)(i =>
+        (rnd.nextInt(4).toLong, i.toLong, rnd.nextInt(400) - 200L))
+        .toDF("user_id", "point_id", "ts")
+      val intervals = Seq.tabulate(25) { i =>
+        val start = rnd.nextInt(400) - 200L
+        (rnd.nextInt(4).toLong, (1000 + i).toLong, start,
+          start + rnd.nextInt(60) - 5L) // sometimes degenerate/negative span
+      }.toDF("user_id", "interval_id", "start_ts", "end_ts")
+      val got = Joins.rangeJoin(points, intervals, "ts", "start_ts", "end_ts",
+          keys = Seq("user_id"), bucket = bucket)
+        .select("interval_id", "point_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = points.as("p").join(intervals.as("i"),
+          col("p.user_id") === col("i.user_id") &&
+            col("p.ts") >= col("i.start_ts") && col("p.ts") < col("i.end_ts"))
+        .select("interval_id", "point_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"seed $seed bucket $bucket")
+    }
   }
 
   test("rangeJoin plans an equality join, never a nested loop, and validates inputs") {
