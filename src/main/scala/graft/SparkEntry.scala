@@ -1323,8 +1323,11 @@ object SparkEntry {
       ("""SELECT doc_id, lang FROM (
          |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id) AS rn
          |  FROM documents) WHERE rn <= 10 ORDER BY doc_id""".stripMargin),
+    // ns49's two-sided clamp is also the oracle contract: engines disagree
+    // on % sign conventions for negatives, but both land every negative in
+    // bucket 0 once clamped.
     "ns49_histogram" ->
-      ("""WITH b AS (SELECT lang, least((n_chars - n_chars % 50) // 50, 11) AS bucket FROM documents)
+      ("""WITH b AS (SELECT lang, greatest(least((n_chars - n_chars % 50) // 50, 11), 0) AS bucket FROM documents WHERE n_chars IS NOT NULL)
          |SELECT lang, bucket, bucket * 50 AS lo, (bucket + 1) * 50 AS hi, count(*) AS n
          |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin),
     // ns41's oracle reads the RAW table: the layout rewrite must be

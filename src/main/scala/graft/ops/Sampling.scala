@@ -146,10 +146,18 @@ object Sampling {
     // round, don't truncate: 0.0003*10000 is 2.9999999999999996 in double,
     // and toInt would reject 573 of the 9999 exact 4-decimal fractions;
     // genuinely non-quantizing fractions (1/3) still fail the sum check
+    require(!df.columns.contains("split"),
+      "column name split is reserved by splitCorpus")
     val ordered = fractions.toSeq.sortBy(_._1)
       .map { case (name, f) => name -> math.round(f * 10000).toInt }
     require(ordered.map(_._2).sum == 10000,
       s"fractions must quantize to exactly 10000 buckets, got " +
+        s"${ordered.map { case (n, q) => s"$n=$q" }.mkString(", ")}")
+    // a declared split must own at least one bucket — rounding 0.00001 to
+    // zero buckets would silently emit an EMPTY eval split, the exact
+    // failure mode the sum check promises to catch
+    require(ordered.forall(_._2 >= 1),
+      s"every split needs at least one bucket (1/10000), got " +
         s"${ordered.map { case (n, q) => s"$n=$q" }.mkString(", ")}")
     val cuts = ordered.scanLeft(0) { case (acc, (_, q)) => acc + q }
     val label = ordered.zip(cuts.tail).foldRight(null: Column) {

@@ -239,11 +239,14 @@ object TextAnalysis {
   /** T11 — grouped histogram: exact fixed-width bucket counts of an
     * integer column per group — the distribution snapshot behind corpus
     * dashboards ([[lengthStats]] gives the quartiles; this gives the
-    * shape). Bucket i covers [i·width, (i+1)·width), with everything at
-    * or above (maxBuckets−1)·width clamped into the last bucket so the
-    * output arity is bounded regardless of outliers. Floor division is
-    * integral (pmod + DIV, exact for negatives too — same device as
-    * [[Joins.rangeJoin]]); only non-empty buckets are emitted.
+    * shape). Bucket i covers [i·width, (i+1)·width); values below 0 clamp
+    * into bucket 0 and values at or above (maxBuckets−1)·width into the
+    * last bucket, so the output arity is bounded regardless of outliers
+    * IN EITHER DIRECTION (the clamp is also what keeps the oracle exact:
+    * engines disagree on the sign convention of % for negative operands,
+    * but every negative lands in bucket 0 under both conventions). NULL
+    * values are excluded — Spark's `least` would otherwise silently count
+    * them as top-bucket outliers. Only non-empty buckets are emitted.
     *
     * 100 TB shape: one (group, bucket)-keyed aggregation with map-side
     * combine — the shuffle carries at most groups × maxBuckets partial
@@ -257,10 +260,11 @@ object TextAnalysis {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(maxBuckets > 0, "maxBuckets must be positive")
     val v = s"CAST($valueCol AS BIGINT)"
-    val bucket = least(
+    val bucket = greatest(least(
       expr(s"(($v) - pmod(($v), ${bucketWidth}L)) DIV ${bucketWidth}L"),
-      lit((maxBuckets - 1).toLong))
+      lit((maxBuckets - 1).toLong)), lit(0L))
     docs
+      .where(col(valueCol).isNotNull)
       .groupBy(col(groupCol), bucket.as("bucket"))
       .agg(count(lit(1)).as("n"))
       .select(col(groupCol), col("bucket"),

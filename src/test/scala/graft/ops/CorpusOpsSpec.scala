@@ -301,6 +301,16 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(out.count() == 50, fr.toString)
       assert(out.where(col("split").isNull).count() == 0)
     }
+    // a split that quantizes to ZERO buckets would be silently empty
+    intercept[IllegalArgumentException] {
+      Sampling.splitCorpus(docs, Map("train" -> 0.99999, "valid" -> 0.00001))
+    }
+    // a pre-existing split column must not be clobbered
+    intercept[IllegalArgumentException] {
+      Sampling.splitCorpus(
+        docs.withColumn("split", col("lang")),
+        Map("a" -> 0.5, "b" -> 0.5))
+    }
   }
 
   test("sampleExact returns exactly min(k, stratum size) rows, stable across runs") {
@@ -360,24 +370,26 @@ class CorpusOpsSpec extends AnyFunSuite {
 
   // ---- TextAnalysis.histogram -----------------------------------------------
 
-  test("histogram buckets exactly, clamps outliers, floors negatives") {
+  test("histogram buckets exactly, clamps both tails, excludes nulls") {
     val in = Seq(
-      (1L, "a", -10L), // floor(-10/50) = -1: negative bucket, true floor
-      (2L, "a", 0L), (3L, "a", 49L), // bucket 0
-      (4L, "a", 50L),                // bucket 1
-      (5L, "a", 10000L)              // clamped into the last bucket (2)
+      (1L, "a", java.lang.Long.valueOf(-10L)),  // clamped into bucket 0
+      (2L, "a", java.lang.Long.valueOf(0L)),
+      (3L, "a", java.lang.Long.valueOf(49L)),   // bucket 0
+      (4L, "a", java.lang.Long.valueOf(50L)),   // bucket 1
+      (5L, "a", java.lang.Long.valueOf(10000L)), // clamped into bucket 2
+      (6L, "a", null.asInstanceOf[java.lang.Long]) // excluded, not bucket 2
     ).toDF("doc_id", "lang", "n_chars")
     val out = TextAnalysis.histogram(in, bucketWidth = 50, maxBuckets = 3)
       .collect()
       .map(r => r.getAs[Long]("bucket") ->
         ((r.getAs[Long]("lo"), r.getAs[Long]("hi"), r.getAs[Long]("n"))))
       .toMap
-    assert(out(-1L) == ((-50L, 0L, 1L)))
-    assert(out(0L) == ((0L, 50L, 2L)))
+    assert(out(0L) == ((0L, 50L, 3L)))
     assert(out(1L) == ((50L, 100L, 1L)))
     assert(out(2L) == ((100L, 150L, 1L)))
-    assert(out.size == 4)
-    // counts cover every row exactly once
+    assert(out.size == 3)
+    // counts cover every non-null row exactly once; arity bounded by
+    // maxBuckets regardless of outliers in either direction
     assert(out.values.map(_._3).sum == 5L)
   }
 
