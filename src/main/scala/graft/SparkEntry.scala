@@ -650,6 +650,37 @@ object SparkEntry {
   private def ns49(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextAnalysis.histogram(docs(s, dir))
 
+  /** NS50 — co-located bucketed join: lineitem and orders bucketed 8 ways
+    * on the order key, then joined WITHOUT any exchange — the write-once
+    * shuffle that every subsequent fact⋈fact join amortizes at 100 TB.
+    * Tables rebuild per session into run-scoped scratch (the bucketing
+    * metadata lives in the session catalog). The oracle is the plain
+    * join: bucketing must be answer-invisible. */
+  private def ns50(s: SparkSession, dir: String): DataFrame = {
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$run"
+    graft.ops.Layout.bucketize(
+      Tables.load(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+      s"graft_bl_$run", s"$base/lineitem",
+      bucketCols = Seq("l_orderkey"), numBuckets = 8,
+      sortCols = Seq("l_orderkey"))
+    graft.ops.Layout.bucketize(
+      Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+      s"graft_bo_$run", s"$base/orders",
+      bucketCols = Seq("o_orderkey"), numBuckets = 8,
+      sortCols = Seq("o_orderkey"))
+    // run-scoped scratch: reclaim at JVM exit (same hygiene as ns18)
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    s.table(s"graft_bl_$run")
+      .join(s.table(s"graft_bo_$run"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** NS16 — near-dup survivor resolution: ns2's minhash pairs → connected
     * components (min-label propagation with pointer jumping) → the
     * surviving corpus with per-survivor merge counts. The dedup DECISION a
@@ -727,6 +758,7 @@ object SparkEntry {
     "ns47_source_overlap" -> (ns47 _),
     "ns48_sample_exact" -> (ns48 _),
     "ns49_histogram" -> (ns49 _),
+    "ns50_join_bucketed" -> (ns50 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1323,6 +1355,13 @@ object SparkEntry {
       ("""SELECT doc_id, lang FROM (
          |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id) AS rn
          |  FROM documents) WHERE rn <= 10 ORDER BY doc_id""".stripMargin),
+    // ns50's oracle is the PLAIN join (same as ns32): bucketing must be
+    // invisible in the result — it changes the plan, never the matches.
+    "ns50_join_bucketed" ->
+      ("""SELECT o.o_orderpriority, count(*) AS n_items,
+         |  sum(l.l_quantity::BIGINT)::BIGINT AS sum_qty
+         |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin),
     // ns49's two-sided clamp is also the oracle contract: engines disagree
     // on % sign conventions for negatives, but both land every negative in
     // bucket 0 once clamped.

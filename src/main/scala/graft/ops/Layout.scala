@@ -61,6 +61,34 @@ object Layout {
   private def schemaPath(dir: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(dir, "_layout_schema.json")
 
+  /** Write `df` as a BUCKETED table: rows hash-distributed into
+    * `numBuckets` files by `bucketCols` (and sorted within each bucket by
+    * `sortCols`), registered as `table` with the data at `path`. Bucketing
+    * is the CO-LOCATED-JOIN lever: two tables bucketed the same way on
+    * their join key sort-merge-join with NO exchange on either side — the
+    * shuffle every big fact⋈fact join would otherwise pay at 100 TB is
+    * paid ONCE at write time and amortized over every subsequent join,
+    * aggregation, or dedup keyed on the bucket columns (spec-pinned:
+    * the bucketed join plans zero Exchange).
+    *
+    * Spark's bucketing lives in the catalog, so this goes through
+    * `saveAsTable` (an external table at `path`); readers use
+    * `spark.table(table)` — a bare `read.parquet(path)` sees the files
+    * but not the bucketing metadata. */
+  def bucketize(
+      df: DataFrame, table: String, path: String,
+      bucketCols: Seq[String], numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    require(numBuckets > 0, "numBuckets must be positive")
+    val w = df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val sorted =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.saveAsTable(table)
+  }
+
   /** Read an [[optimize]]d layout. Filters on the partition columns prune
     * directories at planning time; filters on the cluster columns skip row
     * groups via parquet min/max stats. The stamped source schema is

@@ -551,6 +551,43 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"register max must combine map-side before the exchange:\n${p.take(2000)}")
   }
 
+  test("bucketized tables join co-located: zero exchange on either side") {
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bspec_$run"
+    val lineitem = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val orders = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    val oldThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Layout.bucketize(lineitem, s"bspec_l_$run", s"$base/l",
+        Seq("l_orderkey"), numBuckets = 8, sortCols = Seq("l_orderkey"))
+      Layout.bucketize(orders, s"bspec_o_$run", s"$base/o",
+        Seq("o_orderkey"), numBuckets = 8, sortCols = Seq("o_orderkey"))
+      val joined = spark.table(s"bspec_l_$run")
+        .join(spark.table(s"bspec_o_$run"),
+          col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      // both scans expose the bucket partitioning, so the sort-merge join
+      // needs NO exchange — the write-once shuffle is fully amortized
+      assert(p.contains("SortMergeJoin"), p.take(1500))
+      assert(!p.contains("Exchange"), p.take(2000))
+      // and bucketing is answer-invisible
+      assert(joined.count() ==
+        lineitem.join(orders,
+          col("l_orderkey") === col("o_orderkey")).count())
+      intercept[IllegalArgumentException] {
+        Layout.bucketize(orders, "x", s"$base/x", Seq.empty, 8)
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS bspec_l_$run")
+      spark.sql(s"DROP TABLE IF EXISTS bspec_o_$run")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
+
   test("layout rewrite publishes atomically and validates arguments") {
     val docs = Tables.load(spark, sf, "documents")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_layout_spec_" +
