@@ -52,6 +52,10 @@ object Joins {
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"unsupported join type '$joinType' — right/full joins would " +
         "duplicate unmatched right rows once per salt")
+    // fail fast on the reserved working column, like splitCorpus/sampleExact
+    // — silently overwriting then dropping it would lose user data
+    require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "inputs must not contain a '_salt' column (reserved)")
     val saltedL = left.withColumn("_salt",
       pmod(hash(left.columns.map(col): _*), lit(salts)))
     val saltedR = right.withColumn("_salt",
@@ -92,6 +96,9 @@ object Joins {
       keys: Seq[String] = Nil,
       bucket: Long): DataFrame = {
     require(bucket > 0, "bucket must be positive")
+    require(!points.columns.contains("_bucket") &&
+      !intervals.columns.contains("_bucket"),
+      "inputs must not contain a '_bucket' column (reserved)")
     val overlap = points.columns.toSet
       .intersect(intervals.columns.toSet) -- keys
     require(overlap.isEmpty,

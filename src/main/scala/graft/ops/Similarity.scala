@@ -521,8 +521,12 @@ object Similarity {
     // m is READ OFF the stored codes, never taken from the caller — an
     // append with a mismatched subspace count would silently corrupt the
     // table (same parameter-pinning contract as updateMinhashIndex)
-    val m = spark.read.parquet(codesPath(path).toString)
-      .select(size(col("cs"))).head().getInt(0)
+    val stored = spark.read.parquet(codesPath(path).toString)
+      .select(size(col("cs"))).head(1)
+    require(stored.nonEmpty,
+      s"PQ index at $path has no code rows — rebuild with writePqIndex " +
+        "(m cannot be pinned off an empty table)")
+    val m = stored.head.getInt(0)
     pqEncode(newEmbeddings, cb, m)
       .write.mode("append").parquet(codesPath(path).toString)
   }
@@ -546,8 +550,7 @@ object Similarity {
       queries: DataFrame, k: Int = 10): DataFrame = {
     val cb = readPqCodebook(spark, path)
     val codes = spark.read.parquet(codesPath(path).toString)
-    val m = codes.select(size(col("cs"))).head().getInt(0)
-    pqScoreCodes(codes, queries, cb, m, k)
+    pqScoreCodes(codes, queries, cb, storedM(codes), k)
   }
 
   /** IVF-PQ: the composed serving stack — IVF's coarse quantizer prunes
@@ -600,8 +603,12 @@ object Similarity {
     val spark = newEmbeddings.sparkSession
     val centroids = readCentroids(spark, path)
     val cb = readPqCodebook(spark, path)
-    val m = spark.read.parquet(path)
-      .select(size(col("cs"))).head().getInt(0)
+    val storedRows = spark.read.parquet(path)
+      .select(size(col("cs"))).head(1)
+    require(storedRows.nonEmpty,
+      s"IVF-PQ index at $path has no code rows — rebuild with " +
+        "writeIvfPqIndex (m cannot be pinned off an empty table)")
+    val m = storedRows.head.getInt(0)
     graft.functions.VectorFunctions.register(spark)
     normalizedCorpus(newEmbeddings)
       .withColumn("cell",
@@ -626,14 +633,22 @@ object Similarity {
     val wanted = probes.select("cell").distinct().collect().map(_.getInt(0))
     val codes = spark.read.parquet(path)
       .where(col("cell").isin(wanted.toIndexedSeq: _*))
-    val m = codes.select(size(col("cs"))).head().getInt(0)
     // restrict the code table to each query's own probed cells, then ADC
     pqScoreCodes(
       codes.join(broadcast(probes), Seq("cell"))
         .select(col("vec_id"), col("cs"), col("query_id").as("probe_qid")),
-      queries, cb, m, k,
+      queries, cb, storedM(codes), k,
       pairFilter = col("probe_qid") === col("query_id"))
   }
+
+  /** Subspace count read off a stored code table; 1 when the frame is
+    * empty (an empty query's probed-cell filter, or an empty index) — the
+    * ADC scorer over zero code rows returns an empty result for ANY m, and
+    * m=1 divides every dims, so the degenerate case short-circuits to an
+    * empty frame instead of `head()` throwing NoSuchElementException. */
+  private def storedM(codes: DataFrame): Int =
+    codes.select(size(col("cs"))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(1)
 
   private def codesPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "codes")

@@ -205,11 +205,15 @@ object TextAnalysis {
     require(quantiles.nonEmpty && quantiles.forall(p => p >= 0 && p <= 1),
       "quantiles must be fractions in [0,1]")
     import org.apache.spark.sql.expressions.Window
+    // NULL values are excluded up front — same contract as [[histogram]].
+    // Counting them in `n` would shift every quantile position and skew
+    // the mean divisor while contributing nothing to the sum.
+    val nonNull = docs.filter(col(valueCol).isNotNull)
     val w = Window.partitionBy(groupCol).orderBy("v")
-    val sizes = docs.groupBy(col(groupCol)).agg(
+    val sizes = nonNull.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n"),
       sum(col(valueCol).cast("long")).as("tot"))
-    val ranked = docs
+    val ranked = nonNull
       .select(col(groupCol), col(valueCol).cast("long").as("v"))
       .withColumn("rn", row_number().over(w))
       .join(broadcast(sizes), Seq(groupCol))

@@ -397,11 +397,14 @@ object Ddl {
           "AND cc.constraint_name = tc.constraint_name " +
           "WHERE tc.table_schema = current_schema() AND tc.table_name = ? " +
           "AND tc.constraint_type = 'CHECK' " +
-          // exclude only the system-generated column NOT NULL rows (name
-          // pattern <oid>_<num>_not_null) — filtering on the CLAUSE text
-          // would also drop genuine user constraints that merely contain
-          // an IS NOT NULL, e.g. CHECK (email IS NOT NULL OR phone IS NOT NULL)
-          "AND tc.constraint_name NOT LIKE '%not_null'")
+          // exclude only the system-generated column NOT NULL rows — their
+          // names follow the exact shape <relid>_<attnum>_not_null, so match
+          // that precisely. A bare `NOT LIKE '%not_null'` would also drop a
+          // genuine user constraint named e.g. `email_not_null`, and
+          // filtering on the CLAUSE text would drop user constraints that
+          // merely contain an IS NOT NULL,
+          // e.g. CHECK (email IS NOT NULL OR phone IS NOT NULL)
+          "AND tc.constraint_name !~ '^[0-9]+_[0-9]+_not_null$'")
       else None
     query.toSeq.flatMap { q =>
       tableCandidates.iterator.map { t =>

@@ -78,14 +78,23 @@ object Drivers {
     * (Derby folds up, Postgres folds down), whereas quoting would pin the
     * caller's exact spelling and break `bulk_t`-style lookups. */
   def quoteTableIfNeeded(url: String, table: String): String =
-    // schema-qualified names quote per SEGMENT: quoting the whole string
-    // would make "public.OrderItems" one identifier with a dot in it
-    table.split('.').map { seg =>
-      if (seg == seg.toUpperCase || seg == seg.toLowerCase) seg
-      else if (url.startsWith("jdbc:mysql:"))
-        "`" + seg.replace("`", "``") + "`"
-      else "\"" + seg.replace("\"", "\"\"") + "\""
-    }.mkString(".")
+    // An already-quoted name passes through verbatim: the caller has taken
+    // responsibility for quoting, and re-splitting would mangle a quoted
+    // identifier that contains a literal dot ("My.Table"). Unquoted names
+    // with a dot are treated as schema-qualified and quote per SEGMENT —
+    // quoting the whole string would make "public.OrderItems" one
+    // identifier with a dot in it. A SINGLE identifier whose NAME contains
+    // a dot must be passed pre-quoted (or via [[quoteIdentIfNeeded]]).
+    if (table.contains('"') || table.contains('`')) table
+    else table.split('.').map(quoteIdentIfNeeded(url, _)).mkString(".")
+
+  /** Quote ONE identifier (never splits on dots) — for callers that know
+    * the name is a single identifier, even one containing a literal dot. */
+  def quoteIdentIfNeeded(url: String, ident: String): String =
+    if (ident == ident.toUpperCase || ident == ident.toLowerCase) ident
+    else if (url.startsWith("jdbc:mysql:"))
+      "`" + ident.replace("`", "``") + "`"
+    else "\"" + ident.replace("\"", "\"\"") + "\""
 
   /** Reader for one table behind a DSN (≅ `Engine.ReadTable`,
     * `pkg/reader/engine/engine.go:82-133`). For JDBC the `dbtable` option

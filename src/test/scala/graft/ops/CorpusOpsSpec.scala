@@ -509,6 +509,11 @@ class CorpusOpsSpec extends AnyFunSuite {
       Joins.rangeJoin(points, intervals.withColumnRenamed("start_ts", "ts"),
         "ts", "ts", "end_ts", keys = Seq("user_id"), bucket = 10L)
     }
+    intercept[IllegalArgumentException] {
+      // a pre-existing _bucket column is reserved -> fail fast, not dropped
+      Joins.rangeJoin(points.withColumn("_bucket", col("ts")), intervals,
+        "ts", "start_ts", "end_ts", keys = Seq("user_id"), bucket = 10L)
+    }
   }
 
   // ---- Sketches.hllDistinct -------------------------------------------------

@@ -858,6 +858,18 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("PQ/IVF-PQ serving returns empty, not an exception, for empty queries") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_empty").toString
+    Similarity.writeIvfPqIndex(embs, dir)
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_pq_e2").toString
+    Similarity.writePqIndex(embs, pqDir)
+    val noQueries = queries.where(col("query_id") < 0)
+    // an empty query frame leaves zero probed cells / zero scored pairs —
+    // the m-read must not head() an empty frame (ADVICE r4)
+    assert(Similarity.ivfPqTopKFromIndex(spark, dir, noQueries).count() == 0)
+    assert(Similarity.pqTopKFromIndex(spark, pqDir, noQueries).count() == 0)
+  }
+
   test("PQ plan: one corpus scan, broadcast queries, codegen'd encode") {
     val df = Similarity.pqTopK(embs, queries, k = 10)
     val p = df.queryExecution.executedPlan.toString

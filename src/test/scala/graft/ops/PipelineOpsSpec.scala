@@ -303,6 +303,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("saltedJoin fails fast on a pre-existing _salt column (reserved)") {
+    val l = Seq((1L, 0)).toDF("k", "_salt")
+    val r = Seq((1L, "x")).toDF("k", "v")
+    intercept[IllegalArgumentException] { Joins.saltedJoin(l, r, Seq("k")) }
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(r, l, Seq("k")) // right side too
+    }
+  }
+
   // ---- TextAnalysis.lengthStats -------------------------------------------
 
   test("lengthStats computes exact interpolated quartiles and mean") {
@@ -319,6 +328,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out("a") == ((5L, 2.0, 3.0, 4.0, 3.0)))
     // even count: positions 0.75 / 1.5 / 2.25 over [10,20,30,40]
     assert(out("b") == ((4L, 17.5, 25.0, 32.5, 25.0)))
+  }
+
+  test("lengthStats excludes NULL values (histogram's contract)") {
+    val in = Seq(
+      ("a", Some(1L)), ("a", None), ("a", Some(2L)), ("a", Some(3L)),
+      ("a", Some(4L)), ("a", Some(5L)), ("a", None)
+    ).toDF("lang", "n_chars")
+    val out = TextAnalysis.lengthStats(in).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // identical to the all-non-null group above: nulls neither count in n
+    // nor shift the rank positions
+    assert(r.getAs[Long]("n_docs") == 5L)
+    assert(r.getAs[Double]("q50") == 3.0)
+    assert(r.getAs[Double]("mean_n_chars") == 3.0)
   }
 
   test("lengthStats never buffers whole groups (rank arithmetic, not percentile)") {

@@ -134,6 +134,17 @@ class DsnSpec extends AnyFunSuite {
       "Sales.order_items") == "`Sales`.order_items")
     assert(Drivers.quoteTableIfNeeded("jdbc:postgresql://h/db",
       "public.users") == "public.users")
+    // an already-quoted name passes through verbatim — a quoted identifier
+    // containing a literal dot must NOT be re-split into two identifiers
+    assert(Drivers.quoteTableIfNeeded("jdbc:postgresql://h/db",
+      "\"My.Table\"") == "\"My.Table\"")
+    assert(Drivers.quoteTableIfNeeded("jdbc:mysql://h/db",
+      "`My.Table`") == "`My.Table`")
+    // the single-identifier entry point never splits
+    assert(Drivers.quoteIdentIfNeeded("jdbc:postgresql://h/db",
+      "My.Table") == "\"My.Table\"")
+    assert(Drivers.quoteIdentIfNeeded("jdbc:mysql://h/db",
+      "My.Table") == "`My.Table`")
   }
 
   test("catalog listing and read through a file:// DSN (S3/S4/S1)") {
