@@ -9,7 +9,19 @@ import org.apache.spark.sql.SparkSession
   * untimed warmup (the first Spark action pays ~10 s of JVM/codegen
   * warmup). Queries are fully materialized through the `noop` sink —
   * `count()` would let Catalyst prune projections (e.g. faker columns)
-  * and under-report. */
+  * and under-report.
+  *
+  * Noise discipline (this host's same-plan spread is 3–5× under load —
+  * BASELINE.md brackets): the timed repetitions are INTERLEAVED — round 1
+  * runs every query once, then round 2, then round 3, with the visit order
+  * reversed on alternate rounds. Back-to-back repetition concentrates one
+  * noisy window on one query's whole column; interleaving spreads it
+  * across one round of many queries, so the per-query median survives.
+  * The emitted JSON also self-describes run quality: `loadavg` (1-min
+  * system load sampled at start and end) and per-query `queries_min` (the
+  * min over rounds — a cleaner point estimate under asymmetric noise,
+  * since contention only ever ADDS time). A regression call should first
+  * check loadavg and min-vs-median spread before blaming the code. */
 object Bench {
 
   def main(args: Array[String]): Unit = {
@@ -58,20 +70,42 @@ object Bench {
         true
       }
     }
+    // java.lang.management's 1-min system load average (-1 where the
+    // platform doesn't report one); sampled before and after the timed
+    // block so a reader can see whether the window was quiet
+    def loadavg: Double = {
+      val l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      math.round(l * 100) / 100.0
+    }
+    val loadStart = loadavg
+    // interleaved rounds: every query once per round, order reversed on
+    // alternate rounds so no query always runs right after JVM GC settles
+    // or always last into a cooling cache
+    val times = collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    (0 until runs).foreach { r =>
+      val order = if (r % 2 == 0) names else names.reverse
+      order.foreach { n =>
+        val t = try execute(n) catch { case _: Throwable => Double.NaN }
+        times(n) = times(n) :+ t
+      }
+    }
+    val loadEnd = loadavg
     val results = names.map { n =>
-      val times = (1 to runs).map { _ =>
-        try execute(n) catch { case _: Throwable => Double.NaN }
-      }.sorted
-      val median =
-        if (times.exists(_.isNaN)) -1.0 else times(times.length / 2)
-      n -> median
+      val ts = times(n).sorted
+      if (ts.exists(_.isNaN)) n -> (-1.0, -1.0)
+      else n -> (ts(ts.length / 2), ts.head)
     }
 
-    val qs = results.map { case (k, v) => s""""$k":$v""" }
+    val qs = results.map { case (k, (med, _)) => s""""$k":$med""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val qsMin = results.map { case (k, (_, mn)) => s""""$k":$mn""" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val totalMin = results.map(_._2._2).filter(_ >= 0).sum
     val wf = warmupFailed.map(n => s""""$n"""").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_failed":$wf,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"warmup_failed":$wf,"runs":$runs,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}""")
     spark.stop()
   }
 }
