@@ -650,6 +650,13 @@ object SparkEntry {
   private def ns49(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextAnalysis.histogram(docs(s, dir))
 
+  /** NS51 — real BPE tokenization (merges-table algorithm, shipped
+    * sf0.01-trained vocab): per-doc exact token count + md5 of the ordered
+    * token stream. The merge loop runs memoized over the distinct-word
+    * dictionary; the oracle replays it as a recursive CTE. */
+  private def ns51(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.tokenize(docs(s, dir), graft.ops.Bpe.default)
+
   /** NS50 — co-located bucketed join: lineitem and orders bucketed 8 ways
     * on the order key, then joined WITHOUT any exchange — the write-once
     * shuffle that every subsequent fact⋈fact join amortizes at 100 TB.
@@ -767,6 +774,7 @@ object SparkEntry {
     "ns48_sample_exact" -> (ns48 _),
     "ns49_histogram" -> (ns49 _),
     "ns50_join_bucketed" -> (ns50 _),
+    "ns51_tokenize_bpe" -> (ns51 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1370,6 +1378,10 @@ object SparkEntry {
          |  sum(l.l_quantity::BIGINT)::BIGINT AS sum_qty
          |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
          |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin),
+    // ns51's oracle replays the merge loop itself (recursive CTE over the
+    // same literal merges table) — the md5 checks the token STREAM, not
+    // just counts.
+    "ns51_tokenize_bpe" -> graft.ops.Bpe.oracleSql(graft.ops.Bpe.default),
     // ns49's two-sided clamp is also the oracle contract: engines disagree
     // on % sign conventions for negatives, but both land every negative in
     // bucket 0 once clamped.

@@ -1,0 +1,226 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** T12 — real byte-pair-encoding tokenization (the merges-table algorithm
+  * of Sennrich et al. 2016, the public BPE used by GPT-2-style vocabs),
+  * replacing the chars/4 estimate wherever a training-data budget needs
+  * honest token counts ([[Sampling.packSequences]]'s `tokenCountCol`,
+  * corpus mixing weights).
+  *
+  * The tokenizer is a pure function of an ORDERED merges table: a word is
+  * split to characters, then the merge with the lowest rank whose pair is
+  * adjacent in the token list is applied (leftmost occurrence first) until
+  * no listed pair remains. One occurrence per step is equivalent to the
+  * batch form: merge ranks are topologically ordered by construction — a
+  * pair can only enter the table after the merges that create its halves —
+  * so applying the best pair's leftmost occurrence can never surface a
+  * better-ranked pair than the one being applied. That single-step form is
+  * what the DuckDB oracle replays verbatim as a recursive CTE
+  * ([[oracleSql]]), making the whole tokenizer hash-checkable: integer
+  * ranks, string concatenation, no floats anywhere.
+  *
+  * Scale shape (100 TB): the per-word merge loop is MEMOIZED over the
+  * distinct-word dictionary, never run per corpus row — one data-sized
+  * shuffle (word distinct), the iterative encode over |vocab| words, then
+  * an equality join back to the exploded corpus (AQE broadcasts the
+  * dictionary while it fits, degrades to a shuffled join past that). The
+  * non-codegen portion is O(|vocab| · len²), independent of corpus size —
+  * this is the one place an iterative Scala function beats any Catalyst
+  * expression, and it runs on the bounded side.
+  *
+  * Training ([[train]]) follows the same split: pair counting is the
+  * data-sized distributed step (one word-frequency shuffle, capped at
+  * `maxVocab` words by frequency — the standard sampling cap), the
+  * `numMerges` greedy rounds run driver-side over that bounded dictionary,
+  * exactly like public tokenizer trainers. The shipped default table
+  * (`graft/bpe_merges.txt`, regenerable via [[graft.tools.GenBpeMerges]])
+  * was trained by this routine on the sf0.01 documents corpus.
+  */
+object Bpe {
+
+  /** Ordered merge table; rank = position. */
+  type Merges = Vector[(String, String)]
+
+  def ranksOf(merges: Merges): Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
+  /** Apply `merges` to one word: chars, then repeatedly merge the leftmost
+    * occurrence of the best-ranked adjacent pair. Deterministic, total. */
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    var toks = word.map(_.toString).toVector
+    var continue = toks.length > 1
+    while (continue) {
+      var best = Int.MaxValue
+      var bi = -1
+      var i = 0
+      while (i < toks.length - 1) {
+        val r = ranks.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bi = i }
+        i += 1
+      }
+      if (bi < 0) continue = false
+      else {
+        toks = toks.take(bi) ++ Vector(toks(bi) + toks(bi + 1)) ++ toks.drop(bi + 2)
+        continue = toks.length > 1
+      }
+    }
+    toks
+  }
+
+  /** Distinct-word dictionary with each word's token list — the memoized
+    * core every corpus-sized consumer joins against. Output: (word, toks).
+    * Pre-tokenization is whitespace split (documented divergence from
+    * GPT-2's regex pre-tokenizer; the corpus tables are space-joined). */
+  def encodeDictionary(docs: DataFrame, merges: Merges): DataFrame = {
+    val ranks = ranksOf(merges)
+    val enc = udf((w: String) => encodeWord(w, ranks))
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .distinct()
+      .select(col("word"), enc(col("word")).as("toks"))
+  }
+
+  /** Per-document BPE tokenization summary: exact token count plus an md5
+    * fingerprint of the full ordered token stream (space-joined) — the
+    * fingerprint is what makes the oracle check the TOKENS, not just their
+    * number. Output: (doc_id, n_tokens, token_md5), ordered by doc_id. */
+  def tokenize(docs: DataFrame, merges: Merges): DataFrame = {
+    val dict = encodeDictionary(docs, merges)
+      .select(col("word"), size(col("toks")).as("n_toks"),
+        concat_ws(" ", col("toks")).as("tok_str"))
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "word")))
+      .where(col("word") =!= "")
+      .join(dict, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n_toks")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("i"), col("tok_str")))),
+            x => x.getField("tok_str")))).as("token_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Train a merges table: distributed word-frequency count (top `maxVocab`
+    * words — the cap bounds driver state at vocabulary, never corpus,
+    * size), then `numMerges` greedy rounds driver-side. Ties break on
+    * (count desc, pair lexicographic) so training is deterministic. Batch
+    * merge application (all leftmost non-overlapping occurrences per
+    * round) is the training-side convention, as in the public algorithm. */
+  def train(docs: DataFrame, numMerges: Int, maxVocab: Int = 50000): Merges = {
+    require(numMerges > 0, "numMerges must be positive")
+    require(maxVocab > 0, "maxVocab must be positive")
+    val freqs = docs.select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").count()
+      .orderBy(col("count").desc, col("word"))
+      .limit(maxVocab)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    var dict: Array[(Vector[String], Long)] =
+      freqs.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val out = Vector.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      dict.foreach { case (toks, c) =>
+        var i = 0
+        while (i < toks.length - 1) {
+          counts((toks(i), toks(i + 1))) += c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val (l, r) = counts.toSeq
+          .minBy { case ((pl, pr), c) => (-c, pl, pr) }._1
+        out += ((l, r))
+        dict = dict.map { case (toks, c) => (mergeAll(toks, l, r), c) }
+        round += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Batch form used in training: merge every leftmost non-overlapping
+    * occurrence of (l, r) in one pass. */
+  private[ops] def mergeAll(toks: Vector[String], l: String, r: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i < toks.length - 1 && toks(i) == l && toks(i + 1) == r) {
+        b += (l + r); i += 2
+      } else { b += toks(i); i += 1 }
+    }
+    b.result()
+  }
+
+  /** The shipped default table (trained on the sf0.01 documents corpus by
+    * [[graft.tools.GenBpeMerges]]); parsed once per JVM. */
+  lazy val default: Merges = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
+    require(in != null, "resource graft/bpe_merges.txt missing")
+    try parseText(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+    finally in.close()
+  }
+
+  def formatText(merges: Merges): String =
+    merges.map { case (l, r) => s"$l $r" }.mkString("\n") + "\n"
+
+  def parseText(text: String): Merges =
+    text.linesIterator
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { line =>
+        val sp = line.lastIndexOf(' ')
+        require(sp > 0, s"malformed merges line: '$line'")
+        (line.substring(0, sp), line.substring(sp + 1))
+      }.toVector
+
+  /** ANSI-SQL replay of [[tokenize]] for the DuckDB oracle: the merges
+    * table as literal VALUES, the single-step merge loop as a recursive
+    * CTE (each step splices the leftmost occurrence of the best-ranked
+    * pair; recursion stops when a word has no listed pair left; the
+    * terminal token list is the one with minimal length, since every step
+    * shortens it). */
+  def oracleSql(merges: Merges): String = {
+    require(merges.nonEmpty, "oracle needs at least one merge")
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val values = merges.zipWithIndex
+      .map { case ((l, r), i) => s"($i,${lit(l)},${lit(r)})" }
+      .mkString(",")
+    s"""WITH RECURSIVE
+       |merges(rank, l, r) AS (FROM (VALUES $values)),
+       |words AS (
+       |  SELECT DISTINCT w AS word FROM (
+       |    SELECT unnest(string_split(text,' ')) AS w FROM documents)
+       |  WHERE w <> ''
+       |),
+       |bpe(word, toks) AS (
+       |  SELECT word, [word[i:i] for i in range(1, length(word)+1)] FROM words
+       |  UNION ALL
+       |  SELECT word, toks[1:bi-1] || [toks[bi] || toks[bi+1]] || toks[bi+2:]
+       |  FROM (
+       |    SELECT b.word, b.toks, arg_min(i, m.rank * 100000 + i) AS bi
+       |    FROM bpe b, unnest(range(1, len(b.toks))) AS t(i), merges m
+       |    WHERE m.l = b.toks[i] AND m.r = b.toks[i+1]
+       |    GROUP BY b.word, b.toks
+       |  )
+       |),
+       |final AS (SELECT word, arg_min(toks, len(toks)) AS toks FROM bpe GROUP BY word),
+       |docw AS (
+       |  SELECT doc_id, i, w[i] AS word
+       |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents) d,
+       |       unnest(range(1, len(d.w)+1)) AS t(i)
+       |  WHERE w[i] <> ''
+       |)
+       |SELECT d.doc_id,
+       |  CAST(sum(len(f.toks)) AS BIGINT) AS n_tokens,
+       |  md5(string_agg(array_to_string(f.toks,' '), ' ' ORDER BY d.i)) AS token_md5
+       |FROM docw d JOIN final f USING (word)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+}

@@ -211,9 +211,15 @@ object Sampling {
       docs: DataFrame,
       tokenBudget: Int = 2048,
       strataCol: String = "lang",
-      orderCol: String = "doc_id"): DataFrame = {
+      orderCol: String = "doc_id",
+      tokenCountCol: Option[String] = None): DataFrame = {
     require(tokenBudget > 0, "tokenBudget must be positive")
-    val nTokens = ceil(length(col("text")).cast("double") / 4.0).cast("long")
+    // default budget currency is the chars/4 estimate; pass a real count
+    // (e.g. [[Bpe.tokenize]]'s n_tokens joined onto docs) via
+    // `tokenCountCol` and the packer becomes tokenizer-faithful
+    val nTokens = tokenCountCol
+      .map(c => col(c).cast("long"))
+      .getOrElse(ceil(length(col("text")).cast("double") / 4.0).cast("long"))
     val w = Window.partitionBy(strataCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs

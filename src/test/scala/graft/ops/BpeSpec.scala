@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+/** BPE tokenizer: merge-loop correctness, training determinism, and the
+  * dictionary-memoized Spark pipeline. */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("encodeWord applies merges in rank order, leftmost-first") {
+    val ranks = Bpe.ranksOf(Vector(("t", "h"), ("th", "e"), ("e", "r")))
+    assert(Bpe.encodeWord("the", ranks) == Vector("the"))
+    assert(Bpe.encodeWord("ther", ranks) == Vector("the", "r"))
+    // (e,r) fires only where (t,h)/(th,e) can't: "her" has no 'th'
+    assert(Bpe.encodeWord("her", ranks) == Vector("h", "er"))
+    // leftmost-first on repeats: "ththe" -> th|th|e -> th|the
+    assert(Bpe.encodeWord("ththe", ranks) == Vector("th", "the"))
+    // unknown chars stay single tokens
+    assert(Bpe.encodeWord("xyz", ranks) == Vector("x", "y", "z"))
+    assert(Bpe.encodeWord("a", ranks) == Vector("a"))
+  }
+
+  test("encodeWord round-trips: concatenated tokens reproduce the word") {
+    val ranks = Bpe.ranksOf(Bpe.default)
+    val rnd = new scala.util.Random(42) // seeded: reproducible property sweep
+    (1 to 500).foreach { _ =>
+      val w = (1 to (1 + rnd.nextInt(20)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val toks = Bpe.encodeWord(w, ranks)
+      assert(toks.mkString == w, w)
+      assert(toks.forall(_.nonEmpty), w)
+    }
+  }
+
+  test("single-step encode equals batch merge application") {
+    // the equivalence the oracle's recursive CTE relies on: applying the
+    // best pair one leftmost occurrence at a time gives the same result as
+    // the batch (all-occurrences) form, because ranks are topologically
+    // ordered. Exercise via training-produced (hence topological) tables.
+    val corpus = Seq("aaabab", "abab", "banana", "bandana", "naan")
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = Bpe.train(corpus, numMerges = 6)
+    val ranks = Bpe.ranksOf(merges)
+    def batchEncode(word: String): Vector[String] = {
+      // apply each merge in rank order to completion (the reference batch
+      // formulation used by public BPE implementations)
+      merges.foldLeft(word.map(_.toString).toVector) { case (toks, (l, r)) =>
+        Bpe.mergeAll(toks, l, r)
+      }
+    }
+    for (w <- Seq("aaabab", "banana", "bandana", "naan", "aabb", "nananab"))
+      assert(Bpe.encodeWord(w, ranks) == batchEncode(w), w)
+  }
+
+  test("train is deterministic and produces topologically ordered merges") {
+    val docs = Tables.load(spark, sf, "documents")
+    val a = Bpe.train(docs, numMerges = 16)
+    val b = Bpe.train(docs, numMerges = 16)
+    assert(a == b)
+    assert(a.length == 16)
+    // every pair's halves are buildable from earlier merges or single chars
+    val known = collection.mutable.Set.empty[String]
+    a.foreach { case (l, r) =>
+      assert(l.length == 1 || known.contains(l), s"left '$l' not buildable")
+      assert(r.length == 1 || known.contains(r), s"right '$r' not buildable")
+      known += (l + r)
+    }
+  }
+
+  test("tokenize counts match per-word encode sums; md5 checks the stream") {
+    val docs = Tables.load(spark, sf, "documents").limit(50)
+    val merges = Bpe.default
+    val ranks = Bpe.ranksOf(merges)
+    val out = Bpe.tokenize(docs, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == raw.keySet)
+    raw.foreach { case (id, text) =>
+      val words = text.split(" ").filter(_.nonEmpty)
+      val toks = words.flatMap(w => Bpe.encodeWord(w, ranks))
+      assert(out(id)._1 == toks.length.toLong, s"doc $id count")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(toks.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(out(id)._2 == md5, s"doc $id stream md5")
+    }
+  }
+
+  test("tokenize runs the merge loop on the dictionary, not the corpus") {
+    val docs = Tables.load(spark, sf, "documents")
+    val plan = Bpe.tokenize(docs, Bpe.default)
+      .queryExecution.optimizedPlan.toString
+    // the UDF must sit above a Distinct/Aggregate (the word dictionary),
+    // never directly over the exploded corpus rows
+    val firstUdf = plan.linesIterator.zipWithIndex
+      .filter(_._1.toLowerCase.contains("udf")).map(_._2).toSeq
+    assert(firstUdf.nonEmpty)
+    val below = plan.linesIterator.toSeq.drop(firstUdf.min)
+    assert(below.exists(l => l.contains("Aggregate") || l.contains("Distinct")),
+      plan.take(2000))
+  }
+
+  test("packSequences accepts a real token-count column") {
+    val docs = Tables.load(spark, sf, "documents").limit(100)
+    val counted = docs.join(
+      Bpe.tokenize(docs, Bpe.default).select("doc_id", "n_tokens"), Seq("doc_id"))
+    val packed = Sampling.packSequences(
+      counted, tokenBudget = 256, tokenCountCol = Some("n_tokens"))
+    val rows = packed.collect()
+    assert(rows.nonEmpty)
+    // offsets are the running sum of the REAL counts within each stratum
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, g) =>
+      val ordered = g.sortBy(_.getAs[Long]("doc_id"))
+      var run = 0L
+      ordered.foreach { r =>
+        assert(r.getAs[Long]("seq_id") == run / 256, r.toString)
+        assert(r.getAs[Long]("seq_off") == run % 256, r.toString)
+        run += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+}
