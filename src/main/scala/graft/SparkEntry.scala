@@ -506,6 +506,20 @@ object SparkEntry {
       s, base, simQueries(s, dir), k = 10)
   }
 
+  /** NS52 — IVF-PQ with exact re-ranking: the ns35 ADC stage widened to
+    * 4·k candidates, whose raw vectors alone are re-scored with exact
+    * cosine (candidate-bounded corpus read, broadcast semi-join shape).
+    * Same index artifacts as ns35. */
+  private def ns52(s: SparkSession, dir: String): DataFrame = {
+    val fp = graft.ops.Dedup.sourceFingerprint(s, s"$dir/embeddings.parquet")
+    val base = scratchIndexDir("graft_ivfpq_idx", dir, fp)
+    if (!graft.ops.Similarity.pqIndexMatches(s, base, fp))
+      graft.ops.Similarity.writeIvfPqIndex(
+        embs(s, dir), base, fingerprint = Some(fp))
+    graft.ops.Similarity.ivfPqTopKReranked(
+      s, base, simQueries(s, dir), embs(s, dir), k = 10, rerankFactor = 4)
+  }
+
   /** NS36 — Unicode NFC normalization: decomposed sequences (e + combining
     * acute, i + combining diaeresis) are injected as in ns22's PII probe,
     * and both engines must compose them to identical bytes — the
@@ -775,6 +789,7 @@ object SparkEntry {
     "ns49_histogram" -> (ns49 _),
     "ns50_join_bucketed" -> (ns50 _),
     "ns51_tokenize_bpe" -> (ns51 _),
+    "ns52_simsearch_rerank" -> (ns52 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1001,6 +1016,37 @@ object SparkEntry {
          |  WHERE c2.vec_id != q.query_id)
          |SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, vec_id) AS rank, vec_id, round(ip, 6) AS adc_ip
          |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    // ns52 = ns35's ADC chain widened to 40 candidates, then exact-cosine
+    // re-ranked over the raw vectors (same formula as ns6's oracle).
+    "ns52_simsearch_rerank" ->
+      ("""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |cranked AS (SELECT vec_id, v, row_number() OVER (ORDER BY ('0x' || substr(md5('centroid:' || vec_id), 1, 15))::BIGINT, vec_id) - 1 AS c FROM emb),
+         |cent AS (SELECT c, CASE WHEN nrm = 0 THEN list_transform(v, x -> 0.0) ELSE list_transform(v, x -> x / nrm) END AS cv
+         |  FROM (SELECT c, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM cranked WHERE c < 16)),
+         |ascore AS (SELECT e.vec_id, cent.c, list_sum(list_transform(range(1,65), i -> e.v[i] * cent.cv[i])) AS s FROM emb e, cent),
+         |assigned AS (SELECT vec_id, c AS cell FROM ascore QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) = 1),
+         |pranked AS (SELECT vec_id, v, row_number() OVER (ORDER BY ('0x' || substr(md5('pq:' || vec_id), 1, 15))::BIGINT, vec_id) - 1 AS c FROM emb),
+         |cbl AS (SELECT list(v ORDER BY c) AS l FROM pranked WHERE c < 16),
+         |dists AS (SELECT e.vec_id, ss.s, cc.c,
+         |    list_sum(list_transform(range(0,8), d -> cbl.l[cc.c+1][ss.s*8+d+1] * cbl.l[cc.c+1][ss.s*8+d+1]))
+         |    - 2 * list_sum(list_transform(range(0,8), d -> e.v[ss.s*8+d+1] * cbl.l[cc.c+1][ss.s*8+d+1])) AS dist
+         |  FROM emb e, (SELECT unnest(range(0,8)) AS s) ss, (SELECT unnest(range(0,16)) AS c) cc, cbl),
+         |codes AS (SELECT vec_id, list(c ORDER BY s) AS cs FROM (SELECT vec_id, s, c FROM dists QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) = 1) GROUP BY vec_id),
+         |qsc AS (SELECT e.vec_id AS query_id, cent.c, list_sum(list_transform(range(1,65), i -> e.v[i] * cent.cv[i])) AS s FROM emb e, cent WHERE e.vec_id < 5),
+         |probes AS (SELECT query_id, c AS cell FROM qsc QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, c DESC) <= 4),
+         |q AS (SELECT e.vec_id AS query_id, list_transform(range(0,128), sc -> list_sum(list_transform(range(0,8), d -> e.v[(sc//16)*8+d+1] * cbl.l[sc%16+1][(sc//16)*8+d+1]))) AS lut FROM emb e, cbl WHERE e.vec_id < 5),
+         |scored AS (SELECT q.query_id, c2.vec_id,
+         |    q.lut[c2.cs[1]+1] + q.lut[16+c2.cs[2]+1] + q.lut[32+c2.cs[3]+1] + q.lut[48+c2.cs[4]+1] + q.lut[64+c2.cs[5]+1] + q.lut[80+c2.cs[6]+1] + q.lut[96+c2.cs[7]+1] + q.lut[112+c2.cs[8]+1] AS ip
+         |  FROM codes c2 JOIN assigned a USING (vec_id) JOIN probes pr ON pr.cell = a.cell JOIN q ON q.query_id = pr.query_id
+         |  WHERE c2.vec_id != q.query_id),
+         |cand AS (SELECT query_id, vec_id FROM scored QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, vec_id) <= 40),
+         |ex AS (SELECT cd.query_id, cd.vec_id,
+         |    round(list_sum(list_transform(range(1,65), i -> qe.v[i] * ce.v[i])) /
+         |      (sqrt(list_sum(list_transform(qe.v, x -> x * x))) *
+         |       sqrt(list_sum(list_transform(ce.v, x -> x * x)))), 6) AS cosine
+         |  FROM cand cd JOIN emb qe ON qe.vec_id = cd.query_id JOIN emb ce ON ce.vec_id = cd.vec_id)
+         |SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank, vec_id, cosine
+         |FROM ex QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin),
     "ns12_multimodal_features" ->
       ("""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
          |byt AS (SELECT doc_id, ('0x' || substr(hx, (2 * unnest(range(0, n)) + 1)::INT, 2))::INT % 16 AS dim FROM h),

@@ -641,6 +641,47 @@ object Similarity {
       pairFilter = col("probe_qid") === col("query_id"))
   }
 
+  /** IVF-PQ with exact re-ranking — the standard two-stage serving refinement
+    * (FAISS's refine/`k_factor` pattern): ADC selects `rerankFactor · k`
+    * candidates per query from the compressed codes, then ONLY those
+    * candidates' raw vectors are fetched and re-scored with exact cosine.
+    * Quantization error decides at most which of the R candidates make the
+    * final k, never their scores — so rerank recall ≥ ADC recall at equal k
+    * (spec-pinned), at the cost of one candidate-bounded read of the raw
+    * corpus.
+    *
+    * 100 TB shape: stage 1 is [[ivfPqTopKFromIndex]] unchanged (partition-
+    * pruned code scan); stage 2 joins the candidate list (queries × R rows,
+    * broadcast) against the raw embeddings — one scan with a broadcast
+    * semi-join shape, touching full vectors only for candidates. The raw
+    * corpus never shuffles. */
+  def ivfPqTopKReranked(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, embeddings: DataFrame, k: Int = 10,
+      nProbe: Int = 4, rerankFactor: Int = 4): DataFrame = {
+    require(rerankFactor >= 1, "rerankFactor must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val cand = ivfPqTopKFromIndex(spark, path, queries, k * rerankFactor, nProbe)
+      .select(col("query_id"), col("vec_id"))
+    val corpus = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("nv", norm(col("v")))
+    val q = queries.select(col("query_id"),
+      col("query_vec").cast("array<double>").as("qv"))
+      .withColumn("nq", norm(col("qv")))
+    val exact = corpus.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6)
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Subspace count read off a stored code table; 1 when the frame is
     * empty (an empty query's probed-cell filter, or an empty index) — the
     * ADC scorer over zero code rows returns an empty result for ANY m, and

@@ -858,6 +858,45 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ rerank: exact scores on ADC candidates, recall >= ADC at equal k") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rerank").toString
+    Similarity.writeIvfPqIndex(embs, dir)
+    val k = 10
+    val rer = Similarity
+      .ivfPqTopKReranked(spark, dir, queries, embs, k = k, rerankFactor = 4)
+      .collect()
+    assert(rer.nonEmpty)
+    // (a) every reranked score equals the brute-force exact cosine for the
+    // same pair — stage 2 must not introduce its own approximation
+    val exact = Similarity.bruteForceTopK(embs, queries, k = 2000).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    rer.foreach { r =>
+      assert(exact((r.getLong(0), r.getLong(2))) == r.getDouble(3), r.toString)
+    }
+    // (b) recall vs exact top-k: rerank >= plain ADC at the same k — the
+    // whole point of the refinement stage
+    val truth = Similarity.bruteForceTopK(embs, queries, k = k).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val adc = Similarity.ivfPqTopKFromIndex(spark, dir, queries, k = k).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val rerSets = rer.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    def recall(got: Map[Long, Set[Long]]): Double = {
+      val per = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      per.sum / per.size
+    }
+    assert(recall(rerSets) >= recall(adc),
+      s"rerank recall ${recall(rerSets)} < ADC recall ${recall(adc)}")
+    // (c) ranks contiguous and ordered per query
+    rer.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to byRank.length))
+      val scores = byRank.map(_.getDouble(3))
+      assert(scores.sameElements(scores.sortBy(-_)))
+    }
+  }
+
   test("PQ/IVF-PQ serving returns empty, not an exception, for empty queries") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_empty").toString
     Similarity.writeIvfPqIndex(embs, dir)
