@@ -1,0 +1,227 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Two-decade scale proof for the dedup/ANN/layout family: synthesizes
+  * derived corpora at 10× and 100× the sf0.1 volume (deterministic
+  * perturbation — `/root/testdata` itself is never written), re-runs the
+  * pair-producing operators at 1×/10×/100×, and asserts the ScalingSmoke
+  * sub-quadratic bounds across BOTH decades while recording per-query
+  * shuffle and spill totals from a `SparkListener`.
+  *
+  * Synthesis design — the perturbation must keep the DUPLICATE STRUCTURE
+  * of the base corpus instead of manufacturing new cross-copy duplicates:
+  * every word of copy c > 0 is prefixed with a copy tag, so copies share
+  * no shingles/grams with each other or the original (cross-copy candidate
+  * pairs: zero by construction) while each copy internally reproduces the
+  * base corpus's duplicate rate. An operator with an all-pairs regression
+  * still blows up on the corpus×corpus shape; a correctly bucketed one
+  * scales with collisions, which scale linearly. Embeddings at c > 0 are
+  * fresh deterministic pseudo-random vectors (hash-derived components) so
+  * vector space fills uniformly rather than piling 100 near-copies into
+  * every cell. Fact tables shift their keys by copy, preserving join
+  * fan-out exactly.
+  *
+  * Scaling the quantizer: semanticDedup's Σ|cell|² cost model requires
+  * cells of ~constant SIZE, so the scale runs grow `numCentroids` with the
+  * corpus (N/250, the documented deployment rule) rather than holding the
+  * toy default of 16 — at fixed C the within-cell pair count is N²/C by
+  * construction and no implementation can be sub-quadratic.
+  *
+  * Usage: {{{ SPARK_DRIVER_MEM=48g sbt "runMain graft.tools.ScaleProof" }}}
+  * Env: SPARK_GRAFT_SF_BASE (default /root/testdata/sf0.1),
+  *      SPARK_GRAFT_SCALE_FACTORS (default "10,100"),
+  *      SPARK_GRAFT_SCALE_DIR (default target/scaleproof),
+  *      SPARK_GRAFT_CPUS (default 32).
+  */
+object ScaleProof {
+
+  /** Accumulates stage-level shuffle/spill totals; reset per query. */
+  private final class StageMetrics extends SparkListener {
+    @volatile var shuffleWrite = 0L
+    @volatile var shuffleRead = 0L
+    @volatile var memSpill = 0L
+    @volatile var diskSpill = 0L
+    @volatile var maxStageShuffleWrite = 0L
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+      synchronized {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+          shuffleRead += m.shuffleReadMetrics.totalBytesRead
+          memSpill += m.memoryBytesSpilled
+          diskSpill += m.diskBytesSpilled
+          maxStageShuffleWrite =
+            math.max(maxStageShuffleWrite, m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    def reset(): Unit = synchronized {
+      shuffleWrite = 0; shuffleRead = 0; memSpill = 0; diskSpill = 0
+      maxStageShuffleWrite = 0
+    }
+  }
+
+  private def gib(b: Long): String = f"${b / 1024.0 / 1024.0 / 1024.0}%.2f"
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_BASE", "/root/testdata/sf0.1")
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "10,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val scratch = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scaleproof")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-proof")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val metrics = new StageMetrics
+    spark.sparkContext.addSparkListener(metrics)
+
+    // ---- synthesis (idempotent: per-dir marker) --------------------------
+    def synthesize(k: Int): String = {
+      val out = s"$scratch/x$k"
+      val marker = new java.io.File(s"$out/_scaleproof_ok")
+      if (marker.exists()) return out
+      println(s"[scale-proof] synthesizing ${k}x corpus at $out")
+      val copies = spark.range(k).toDF("copy")
+
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
+      docs.crossJoin(copies)
+        .select(
+          (col("doc_id") + col("copy") * nDocs).as("doc_id"),
+          when(col("copy") === 0, col("text"))
+            .otherwise(concat_ws(" ", transform(split(col("text"), " "),
+              w => concat(lit("c"), col("copy"), lit("x"), w)))).as("text"),
+          col("lang"), col("source"), col("copy"), col("n_chars").as("nc0"))
+        .withColumn("n_chars",
+          when(col("copy") === 0, col("nc0")).otherwise(length(col("text"))))
+        .drop("copy", "nc0")
+        .repartition(math.max(8, k / 2))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+      val embsIn = spark.read.parquet(s"$base/embeddings.parquet")
+      val nVecs = embsIn.agg(max("vec_id")).head.getLong(0) + 1
+      embsIn.crossJoin(copies)
+        .select(
+          (col("vec_id") + col("copy") * nVecs).as("new_id"),
+          col("embedding"), col("copy"))
+        .select(
+          col("new_id").as("vec_id"),
+          when(col("copy") === 0, col("embedding"))
+            .otherwise(transform(sequence(lit(0), lit(63)),
+              i => ((pmod(hash(col("new_id"), i), lit(2001)) - 1000)
+                / lit(1000.0)).cast("float"))).as("embedding"))
+        .repartition(math.max(4, k / 4))
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+      val orders = spark.read.parquet(s"$base/orders.parquet")
+      val nOrd = orders.agg(max("o_orderkey")).head.getLong(0) + 1
+      orders.crossJoin(copies)
+        .select((orders.columns.map {
+          case "o_orderkey" => (col("o_orderkey") + col("copy") * nOrd).as("o_orderkey")
+          case c => col(c)
+        }).toIndexedSeq: _*)
+        .repartition(math.max(8, k / 2))
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+      li.crossJoin(copies)
+        .select((li.columns.map {
+          case "l_orderkey" => (col("l_orderkey") + col("copy") * nOrd).as("l_orderkey")
+          case c => col(c)
+        }).toIndexedSeq: _*)
+        .repartition(math.max(16, k))
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+      marker.createNewFile()
+      out
+    }
+
+    // ---- query family ----------------------------------------------------
+    val standard = Seq("ns2_dedup_minhash", "ns4_dedup_ngram",
+      "ns16_dedup_survivors", "ns18_dedup_index_update", "ns40_dedup_spans",
+      "ns41_layout_pruned", "ns47_source_overlap", "ns50_join_bucketed")
+    def ns37Scaled(dir: String): DataFrame = {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val n = e.count()
+      graft.ops.Dedup.semanticDedup(e,
+        numCentroids = math.max(16, (n / 250).toInt))
+    }
+
+    case class Obs(rows: Long, sec: Double, shW: Long, shR: Long,
+      memSp: Long, dskSp: Long, maxStW: Long)
+    def measure(df: => DataFrame): Obs = {
+      metrics.reset()
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      // stage-completed events arrive async; drain before snapshotting
+      Thread.sleep(300)
+      Obs(rows, sec, metrics.shuffleWrite, metrics.shuffleRead,
+        metrics.memSpill, metrics.diskSpill, metrics.maxStageShuffleWrite)
+    }
+
+    val dirs: Seq[(String, String)] =
+      ("1x", base) +: factors.map(k => (s"${k}x", synthesize(k)))
+
+    val family: Seq[(String, String => DataFrame)] =
+      standard.map(n =>
+        n -> ((d: String) => graft.SparkEntry.queries(n)(spark, d))) :+
+        ("ns37_semantic_scaledC" -> (ns37Scaled _))
+
+    // warmup every (query, size) once — absorbs JIT plus the one-time
+    // index/bucket-table builds of ns18/ns41/ns50, same contract as Bench
+    for ((name, f) <- family; (_, dir) <- dirs) {
+      try measure(f(dir))
+      catch { case e: Throwable =>
+        println(s"[scale-proof] warmup $name at $dir FAILED: ${e.getMessage}")
+      }
+    }
+
+    val results: Seq[(String, Seq[(String, Obs)])] = family.map { case (name, f) =>
+      name -> dirs.map { case (label, dir) => label -> measure(f(dir)) }
+    }
+
+    // ---- report + gate ---------------------------------------------------
+    val nb = spark.read.parquet(s"$base/documents.parquet").count()
+    println(s"\n[scale-proof] base=$base docs=$nb factors=${factors.mkString(",")}")
+    println("| query | size | rows | sec | shuffle w/r GiB | spill mem/disk GiB | max-stage shW GiB | row× | time× | verdict |")
+    println("|---|---|---|---|---|---|---|---|---|---|")
+    var failed = false
+    for ((name, obs) <- results) {
+      var prev: Option[Obs] = None
+      for (((label, o), idx) <- obs.zipWithIndex) {
+        val (rowX, timeX, verdict) = prev match {
+          case None => ("", "", "")
+          case Some(p) =>
+            val r = dirs(idx)._1.dropRight(1).toDouble / dirs(idx - 1)._1.dropRight(1).toDouble
+            val rowRatio = o.rows.toDouble / math.max(p.rows, 1L)
+            val timeRatio = o.sec / math.max(p.sec, 0.05)
+            val ok = rowRatio <= math.pow(r, 1.5) && timeRatio <= math.pow(r, 1.75)
+            failed ||= !ok
+            (f"$rowRatio%.1f", f"$timeRatio%.1f",
+              if (ok) "sub-quadratic ✓" else "BLOW-UP ✗")
+        }
+        println(f"| $name | $label | ${o.rows} | ${o.sec}%.2f | " +
+          f"${gib(o.shW)}/${gib(o.shR)} | ${gib(o.memSp)}/${gib(o.dskSp)} | " +
+          f"${gib(o.maxStW)} | $rowX | $timeX | $verdict |")
+        prev = Some(o)
+      }
+    }
+    spark.stop()
+    if (failed) {
+      System.err.println("[scale-proof] FAIL: growth beyond sub-quadratic bound")
+      sys.exit(1)
+    }
+  }
+}
