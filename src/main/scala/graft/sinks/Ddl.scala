@@ -134,12 +134,20 @@ final case class TableStructure(
     foreignKeys: Seq[ForeignKey] = Nil,
     indexes: Seq[(String, Seq[String])] = Nil, // non-unique (name, columns)
     checks: Seq[(String, String)] = Nil,       // (name, SQL check clause)
-    autoIncrement: Set[String] = Set.empty)    // identity column names
+    autoIncrement: Set[String] = Set.empty,    // identity column names
+    generated: Map[String, String] = Map.empty, // column -> generation expr
+    partitionClause: Option[String] = None)    // "PARTITION BY ..." text
 
 /** A view carried through structure replay (the reference preserves views
   * opaquely inside `pg_dump --schema-only` output — fixtures/pg_simple.sql:35
   * `users_view` survives a copy). */
 final case class ViewStructure(name: String, definition: String)
+
+/** A trigger carried through structure replay — the full `CREATE TRIGGER`
+  * statement as opaque engine SQL, the same fidelity contract as views and
+  * CHECK clauses (pg_dump preserves triggers verbatim;
+  * `pkg/reader/postgres/pg_dump.go:32-59`). */
+final case class TriggerStructure(name: String, definition: String)
 
 object Ddl {
 
@@ -192,6 +200,67 @@ object Ddl {
   def createView(v: ViewStructure, dialect: Dialect): String =
     s"CREATE VIEW ${dialect.quote(v.name)} AS ${v.definition};"
 
+  /** Triggers from a live catalog, as full `CREATE TRIGGER` statements.
+    * Postgres hands back the complete statement (`pg_get_triggerdef`);
+    * MySQL and Derby expose the pieces (timing, event, granularity,
+    * REFERENCING names, action body) and the statement is reassembled —
+    * same reconstruction the engine itself performs for SHOW TRIGGERS. */
+  def triggersFromJdbc(
+      conn: java.sql.Connection, url: String): Seq[TriggerStructure] = {
+    def collect(q: String)(row: java.sql.ResultSet => TriggerStructure) = {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(q)
+        val buf = collection.mutable.ArrayBuffer.empty[TriggerStructure]
+        try while (rs.next()) buf += row(rs) finally rs.close()
+        buf.sortBy(_.name).toSeq
+      } finally st.close()
+    }
+    if (url.startsWith("jdbc:postgresql:"))
+      collect("SELECT t.tgname, pg_get_triggerdef(t.oid, true) " +
+        "FROM pg_trigger t JOIN pg_class c ON c.oid = t.tgrelid " +
+        "JOIN pg_namespace n ON n.oid = c.relnamespace " +
+        "WHERE NOT t.tgisinternal AND n.nspname = current_schema()")(rs =>
+        TriggerStructure(rs.getString(1), rs.getString(2)))
+    else if (url.startsWith("jdbc:mysql:"))
+      collect("SELECT TRIGGER_NAME, ACTION_TIMING, EVENT_MANIPULATION, " +
+        "EVENT_OBJECT_TABLE, ACTION_STATEMENT FROM information_schema.TRIGGERS " +
+        "WHERE TRIGGER_SCHEMA = DATABASE()")(rs =>
+        TriggerStructure(rs.getString(1),
+          s"CREATE TRIGGER `${rs.getString(1)}` ${rs.getString(2)} " +
+            s"${rs.getString(3)} ON `${rs.getString(4)}` FOR EACH ROW " +
+            rs.getString(5)))
+    else if (url.startsWith("jdbc:derby:"))
+      collect("SELECT tr.TRIGGERNAME, tr.EVENT, tr.FIRINGTIME, tr.TYPE, " +
+        "tr.TRIGGERDEFINITION, tr.REFERENCINGNEW, tr.REFERENCINGOLD, " +
+        "tr.NEWREFERENCINGNAME, tr.OLDREFERENCINGNAME, tb.TABLENAME " +
+        "FROM SYS.SYSTRIGGERS tr " +
+        "JOIN SYS.SYSTABLES tb ON tb.TABLEID = tr.TABLEID") { rs =>
+        val name = rs.getString(1)
+        val event = rs.getString(2) match {
+          case "I" => "INSERT"; case "U" => "UPDATE"; case "D" => "DELETE"
+          case other => other
+        }
+        val timing = if (rs.getString(3) == "B") "NO CASCADE BEFORE" else "AFTER"
+        val granularity =
+          if (rs.getString(4) == "R") "FOR EACH ROW" else "FOR EACH STATEMENT"
+        val refs = Seq(
+          if (rs.getBoolean(6)) Some(s"NEW AS ${rs.getString(8)}") else None,
+          if (rs.getBoolean(7)) Some(s"OLD AS ${rs.getString(9)}") else None
+        ).flatten
+        val referencing =
+          if (refs.isEmpty) "" else s" REFERENCING ${refs.mkString(" ")}"
+        TriggerStructure(name,
+          s"""CREATE TRIGGER "$name" $timing $event ON "${rs.getString(10)}"""" +
+            s"$referencing $granularity ${rs.getString(5)}")
+      }
+    else Nil
+  }
+
+  /** Trigger replay statement (definition already carries everything). */
+  def createTrigger(t: TriggerStructure): String =
+    t.definition.trim.stripSuffix(";") + ";"
+
   /** CREATE TABLE for one table in the target dialect (columns only —
     * structure-fidelity callers use the [[TableStructure]] overload). */
   def createTable(table: String, schema: StructType, dialect: Dialect): String =
@@ -206,13 +275,22 @@ object Ddl {
   def createTable(ts: TableStructure, dialect: Dialect): String = {
     val cols = ts.schema.fields.map { f =>
       val identity = ts.autoIncrement.contains(f.name)
+      val genExpr = ts.generated.get(f.name)
       // identity implies an engine-generated default — never emit both
       val generated =
-        if (!identity) ""
+        if (genExpr.isDefined)
+          // computed column: expression is engine SQL carried opaquely.
+          // MySQL/Postgres require STORED for a materialized generated
+          // column (Postgres 12+ supports only STORED); Derby's syntax
+          // has no keyword.
+          (if (dialect == Dialect.Derby)
+            s" GENERATED ALWAYS AS (${genExpr.get})"
+          else s" GENERATED ALWAYS AS (${genExpr.get}) STORED")
+        else if (!identity) ""
         else if (dialect == Dialect.MySql) "" // AUTO_INCREMENT goes last
         else " GENERATED BY DEFAULT AS IDENTITY"
       val default =
-        if (identity) ""
+        if (identity || genExpr.isDefined) ""
         else ts.defaults.get(f.name).map(d => s" DEFAULT $d").getOrElse("")
       val nullness = if (f.nullable) "" else " NOT NULL"
       val autoInc =
@@ -229,7 +307,16 @@ object Ddl {
     val ck = ts.checks.map { case (n, clause) =>
       s"  CONSTRAINT ${dialect.quote(n)} CHECK ($clause)"
     }
-    s"CREATE TABLE ${dialect.quote(ts.table)} (\n${(cols ++ pk ++ uq ++ ck).mkString(",\n")}\n);"
+    // the partition clause is engine SQL carried opaquely; Derby has no
+    // table partitioning, so there it degrades to a trailing comment (the
+    // dialect-pinned fidelity note, not silent loss)
+    val (partSuffix, partNote) = ts.partitionClause match {
+      case Some(p) if dialect == Dialect.Derby =>
+        ("", s" -- $p (no partitioning in derby)")
+      case Some(p) => (s" $p", "")
+      case None => ("", "")
+    }
+    s"CREATE TABLE ${dialect.quote(ts.table)} (\n${(cols ++ pk ++ uq ++ ck).mkString(",\n")}\n)$partSuffix;$partNote"
   }
 
   /** Post-load secondary-index replay: one `CREATE INDEX` per non-unique
@@ -262,11 +349,16 @@ object Ddl {
 
   /** Full-fidelity catalog script: CREATEs first (any order — FKs aren't
     * inline), then every FK ALTER and secondary-index CREATE, then views
-    * (they may reference any table), inside the dialect's constraint-bypass
-    * preamble/postamble. */
+    * and triggers (they may reference any table), inside the dialect's
+    * constraint-bypass preamble/postamble. Triggers ride in the structure
+    * script like the reference's pg_dump passthrough — a loader that must
+    * not fire them during bulk load applies them separately via
+    * [[createTrigger]] after data (the same reasoning FKs replay as
+    * post-load ALTERs). */
   def structureScriptFull(
       tables: Seq[TableStructure], dialect: Dialect,
-      views: Seq[ViewStructure] = Nil): String = {
+      views: Seq[ViewStructure] = Nil,
+      triggers: Seq[TriggerStructure] = Nil): String = {
     val sb = new StringBuilder
     sb.append(s"-- graft structure dump (${dialect.name})\n")
     dialect.preamble.foreach(s => sb.append(s).append(";\n"))
@@ -276,6 +368,7 @@ object Ddl {
     tables.foreach(t =>
       createIndexes(t, dialect).foreach(s => sb.append(s).append(";\n")))
     views.foreach(v => sb.append(createView(v, dialect)).append("\n"))
+    triggers.foreach(t => sb.append(createTrigger(t)).append("\n"))
     dialect.postamble.foreach(s => sb.append(s).append(";\n"))
     sb.toString
   }
@@ -340,16 +433,32 @@ object Ddl {
     val colRows = firstNonEmpty(t =>
       collect(md.getColumns(null, null, t, null))(rs =>
         (rs.getString("COLUMN_NAME"), rs.getString("COLUMN_DEF"),
-          rs.getString("IS_AUTOINCREMENT"))))
+          rs.getString("IS_AUTOINCREMENT"),
+          // IS_GENERATEDCOLUMN is JDBC 4.1 standard but drivers vary —
+          // absent/unsupported reads as "not generated"
+          try rs.getString("IS_GENERATEDCOLUMN") catch { case _: Exception => "NO" })))
     val autoInc = colRows.collect {
-      case (c, _, auto) if auto != null && auto.equalsIgnoreCase("YES") => c
+      case (c, _, auto, _) if auto != null && auto.equalsIgnoreCase("YES") => c
     }.toSet
+    // generated columns: Derby surfaces the expression through COLUMN_DEF
+    // ("GENERATED ALWAYS AS ( expr )"); MySQL/Postgres route through
+    // information_schema (their drivers leave COLUMN_DEF null for these)
+    val genFromMeta = colRows.collect {
+      case (c, d, _, g) if g != null && g.equalsIgnoreCase("YES") &&
+        d != null && parseGeneratedExpr(d).nonEmpty =>
+        c -> parseGeneratedExpr(d).get
+    }.toMap
+    val generated =
+      if (genFromMeta.nonEmpty) genFromMeta
+      else generatedFromCatalog(conn, candidates)
     val defaults = colRows
-      .collect { case (c, d, _) if d != null && d.trim.nonEmpty &&
-        !autoInc.contains(c) => c -> d.trim } // identity default is engine noise
+      .collect { case (c, d, _, _) if d != null && d.trim.nonEmpty &&
+        !autoInc.contains(c) && !generated.contains(c) =>
+        c -> d.trim } // identity/generation defaults are engine noise
       .toMap
 
     val checks = checksFromJdbc(conn, candidates)
+    val partition = partitionClauseFromCatalog(conn, candidates)
 
     // schema column names are authoritative (Spark-read case); re-map
     // metadata names onto them case-insensitively
@@ -363,7 +472,110 @@ object Ddl {
         f.copy(columns = f.columns.map(fix), refColumns = f.refColumns.map(fix))),
       indexes = indexes.map { case (n, cs) => n -> cs.map(fix) },
       checks = checks,
-      autoIncrement = autoInc.map(fix))
+      autoIncrement = autoInc.map(fix),
+      generated = generated.map { case (c, e) => fix(c) -> e },
+      partitionClause = partition)
+  }
+
+  /** "GENERATED ALWAYS AS ( expr )" → "expr" (Derby's COLUMN_DEF shape). */
+  private[sinks] def parseGeneratedExpr(columnDef: String): Option[String] = {
+    val re = "(?is)^\\s*GENERATED\\s+ALWAYS\\s+AS\\s*\\((.*)\\)\\s*(STORED|VIRTUAL)?\\s*$".r
+    columnDef match {
+      case re(expr, _) => Some(expr.trim)
+      case _ => None
+    }
+  }
+
+  /** Generation expressions where JDBC metadata doesn't carry them:
+    * MySQL 5.7+ / Postgres 12+ information_schema. */
+  private def generatedFromCatalog(
+      conn: java.sql.Connection,
+      tableCandidates: Seq[String]): Map[String, String] = {
+    val url = Option(conn.getMetaData.getURL).getOrElse("")
+    val query =
+      if (url.startsWith("jdbc:mysql:"))
+        Some("SELECT COLUMN_NAME, GENERATION_EXPRESSION " +
+          "FROM information_schema.COLUMNS " +
+          "WHERE TABLE_SCHEMA = DATABASE() AND TABLE_NAME = ? " +
+          "AND GENERATION_EXPRESSION IS NOT NULL AND GENERATION_EXPRESSION != ''")
+      else if (url.startsWith("jdbc:postgresql:"))
+        Some("SELECT column_name, generation_expression " +
+          "FROM information_schema.columns " +
+          "WHERE table_schema = current_schema() AND table_name = ? " +
+          "AND is_generated = 'ALWAYS'")
+      else None
+    query.toSeq.flatMap { q =>
+      tableCandidates.iterator.map { t =>
+        val ps = conn.prepareStatement(q)
+        try {
+          ps.setString(1, t)
+          val rs = ps.executeQuery()
+          val buf = collection.mutable.ArrayBuffer.empty[(String, String)]
+          try while (rs.next()) buf += (rs.getString(1) -> rs.getString(2).trim)
+          finally rs.close()
+          buf.toSeq
+        } finally ps.close()
+      }.find(_.nonEmpty).getOrElse(Nil)
+    }.toMap
+  }
+
+  /** Partition clause of a partitioned table, as opaque `PARTITION BY ...`
+    * text: Postgres via `pg_get_partkeydef` (declarative partitioning),
+    * MySQL reassembled from information_schema.PARTITIONS (method +
+    * expression; RANGE/LIST additionally re-emit the partition list, the
+    * part `SHOW CREATE TABLE` carries opaquely). Derby and non-partitioned
+    * tables yield None. */
+  private def partitionClauseFromCatalog(
+      conn: java.sql.Connection,
+      tableCandidates: Seq[String]): Option[String] = {
+    val url = Option(conn.getMetaData.getURL).getOrElse("")
+    if (url.startsWith("jdbc:postgresql:")) {
+      tableCandidates.iterator.flatMap { t =>
+        val ps = conn.prepareStatement(
+          "SELECT pg_get_partkeydef(c.oid) FROM pg_class c " +
+            "JOIN pg_namespace n ON n.oid = c.relnamespace " +
+            "WHERE c.relname = ? AND c.relkind = 'p' " +
+            "AND n.nspname = current_schema()")
+        try {
+          ps.setString(1, t)
+          val rs = ps.executeQuery()
+          try {
+            if (rs.next() && rs.getString(1) != null)
+              Some(s"PARTITION BY ${rs.getString(1)}")
+            else None
+          } finally rs.close()
+        } finally ps.close()
+      }.nextOption()
+    } else if (url.startsWith("jdbc:mysql:")) {
+      tableCandidates.iterator.flatMap { t =>
+        val ps = conn.prepareStatement(
+          "SELECT PARTITION_METHOD, PARTITION_EXPRESSION, PARTITION_NAME, " +
+            "PARTITION_DESCRIPTION FROM information_schema.PARTITIONS " +
+            "WHERE TABLE_SCHEMA = DATABASE() AND TABLE_NAME = ? " +
+            "AND PARTITION_NAME IS NOT NULL ORDER BY PARTITION_ORDINAL_POSITION")
+        try {
+          ps.setString(1, t)
+          val rs = ps.executeQuery()
+          val rows = collection.mutable.ArrayBuffer
+            .empty[(String, String, String, String)]
+          try while (rs.next()) rows +=
+            ((rs.getString(1), rs.getString(2), rs.getString(3), rs.getString(4)))
+          finally rs.close()
+          if (rows.isEmpty) None
+          else {
+            val (method, expr, _, _) = rows.head
+            val parts = method match {
+              case "RANGE" | "RANGE COLUMNS" => " (" + rows.map { case (_, _, n, d) =>
+                s"PARTITION `$n` VALUES LESS THAN ($d)" }.mkString(", ") + ")"
+              case "LIST" | "LIST COLUMNS" => " (" + rows.map { case (_, _, n, d) =>
+                s"PARTITION `$n` VALUES IN ($d)" }.mkString(", ") + ")"
+              case _ => s" PARTITIONS ${rows.size}" // HASH/KEY: count only
+            }
+            Some(s"PARTITION BY $method ($expr)$parts")
+          }
+        } finally ps.close()
+      }.nextOption()
+    } else None
   }
 
   /** CHECK constraints for a table, engine-routed (JDBC metadata has no

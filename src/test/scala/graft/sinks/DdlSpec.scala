@@ -204,4 +204,45 @@ class DdlSpec extends AnyFunSuite {
     val n = graft.sources.Drivers.read(spark, tgtUrl, "GADGETS").count()
     assert(n == 1L)
   }
+
+  test("generated columns, partitioning and triggers render per dialect") {
+    import org.apache.spark.sql.types._
+    val ts = TableStructure("m",
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("price", DoubleType),
+        StructField("total", DoubleType))),
+      primaryKey = Seq("id"),
+      generated = Map("total" -> "price * 2"),
+      partitionClause = Some("PARTITION BY RANGE (id)"))
+    val my = Ddl.createTable(ts, Dialect.MySql)
+    // MySQL/Postgres materialize computed columns with STORED and append
+    // the partition clause after the column list
+    assert(my.contains("`total` DOUBLE GENERATED ALWAYS AS (price * 2) STORED"), my)
+    assert(my.contains(") PARTITION BY RANGE (id);"), my)
+    val pg = Ddl.createTable(ts, Dialect.Postgres)
+    assert(pg.contains(
+      "\"total\" DOUBLE PRECISION GENERATED ALWAYS AS (price * 2) STORED"), pg)
+    assert(pg.contains(") PARTITION BY RANGE (id);"), pg)
+    // Derby: no STORED keyword, and no partitioning — the clause becomes a
+    // trailing note AFTER the statement terminator, never silent loss
+    val db = Ddl.createTable(ts, Dialect.Derby)
+    assert(db.contains("\"total\" DOUBLE GENERATED ALWAYS AS (price * 2)"), db)
+    assert(db.contains(");"), db)
+    assert(db.contains("-- PARTITION BY RANGE (id) (no partitioning in derby)"), db)
+    // a generated column never also emits its engine-noise DEFAULT
+    assert(!my.contains("DEFAULT"), my)
+    // COLUMN_DEF shapes parse back to the bare expression
+    assert(Ddl.parseGeneratedExpr("GENERATED ALWAYS AS ( price * 2 )") ==
+      Some("price * 2"))
+    assert(Ddl.parseGeneratedExpr("generated always as (a+b) STORED") ==
+      Some("a+b"))
+    assert(Ddl.parseGeneratedExpr("42").isEmpty)
+    // triggers ride at the END of the full script (after tables and views)
+    val script = Ddl.structureScriptFull(Seq(ts), Dialect.MySql,
+      triggers = Seq(TriggerStructure("trg",
+        "CREATE TRIGGER `trg` AFTER INSERT ON `m` FOR EACH ROW SET @x = 1")))
+    assert(script.indexOf("CREATE TRIGGER") > script.indexOf("CREATE TABLE"))
+    assert(script.contains("SET @x = 1;"), script)
+  }
 }

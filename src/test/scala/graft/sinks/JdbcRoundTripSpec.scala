@@ -157,6 +157,59 @@ class JdbcRoundTripSpec extends AnyFunSuite {
     } finally exec(srcUrl, """DROP TABLE "OrderItems"""")
   }
 
+  test("trigger + generated column round-trip through a live Derby catalog") {
+    fixture
+    exec(srcUrl,
+      """CREATE TABLE items (
+        |  id INT NOT NULL PRIMARY KEY,
+        |  price DECIMAL(10,2) NOT NULL,
+        |  qty INT NOT NULL,
+        |  total DECIMAL(12,2) GENERATED ALWAYS AS (price * qty)
+        |)""".stripMargin,
+      "CREATE TABLE item_audit (item_id INT, note VARCHAR(20))",
+      """CREATE TRIGGER trg_items AFTER INSERT ON items
+        |REFERENCING NEW AS n FOR EACH ROW
+        |INSERT INTO item_audit VALUES (n.id, 'inserted')""".stripMargin)
+    try {
+      val conn = DriverManager.getConnection(srcUrl)
+      val (ts, triggers) = try {
+        val schema = Drivers.read(spark, srcUrl, "ITEMS").schema
+        (Ddl.structureFromJdbc(conn, "ITEMS", schema),
+          Ddl.triggersFromJdbc(conn, srcUrl))
+      } finally conn.close()
+      // extraction: the generation expression and the trigger both survive
+      assert(ts.generated.keySet == Set("TOTAL"), ts.generated)
+      assert(ts.generated("TOTAL").toLowerCase.replaceAll("\\s+", "")
+        .contains("price*qty"), ts.generated)
+      val trg = triggers.filter(_.name == "TRG_ITEMS")
+      assert(trg.nonEmpty, triggers)
+      assert(trg.head.definition.toUpperCase.contains("AFTER INSERT"),
+        trg.head.definition)
+      // replay on a fresh Derby target, then prove BEHAVIOR round-tripped:
+      // inserted rows compute the generated column and fire the trigger
+      val tgtGcUrl = "jdbc:derby:memory:graft_tgt_gc;create=true"
+      exec(tgtGcUrl,
+        Ddl.createTable(ts.copy(table = "ITEMS"), Dialect.Derby)
+          .stripSuffix(";"),
+        "CREATE TABLE item_audit (item_id INT, note VARCHAR(20))",
+        Ddl.createTrigger(trg.head).stripSuffix(";"),
+        "INSERT INTO items (id, price, qty) VALUES (7, 2.50, 4)")
+      val tgt = DriverManager.getConnection(tgtGcUrl)
+      try {
+        val st = tgt.createStatement()
+        val rs = st.executeQuery("SELECT total FROM items WHERE id = 7")
+        assert(rs.next() && rs.getBigDecimal(1).doubleValue() == 10.0)
+        rs.close()
+        val ra = st.executeQuery(
+          "SELECT item_id, note FROM item_audit WHERE item_id = 7")
+        assert(ra.next() && ra.getString(2) == "inserted")
+        ra.close()
+        st.close()
+      } finally tgt.close()
+    } finally exec(srcUrl, "DROP TRIGGER trg_items", "DROP TABLE items",
+      "DROP TABLE item_audit")
+  }
+
   test("JDBC scans push predicates and prune columns to the source engine") {
     fixture
     val df = Drivers.read(spark, srcUrl, "USERS")
