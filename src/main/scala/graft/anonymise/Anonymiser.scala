@@ -79,13 +79,21 @@ object Anonymiser {
       else throw Fakers.UnknownFakerException(name) // fail fast at plan build
     }
     val uniquify = Uniquified.contains(name)
-    val gen = udf { seed: Long =>
-      val base = Fakers.call(spec, seed)
+    val personaBacked = Fakers.personaBacked.contains(name)
+    val gen = udf { (seed: Long, rowSeed: Long) =>
+      // person-shaped fakers draw from the ROW persona (seeded without the
+      // column) so name/username/email of one row describe one identity;
+      // everything else stays column-seeded as before
+      val base =
+        if (personaBacked) Fakers.callPersona(spec, seed, rowSeed)
+        else Fakers.call(spec, seed)
       if (uniquify) s"$base.${new Rng(seed ^ 0x5bf03635f0935ad1L).hex(4)}"
       else base
     }
     val seed = xxhash64(
       (Seq(lit(secret), lit(tableName), lit(column)) ++ keyCols): _*)
-    gen(seed)
+    val rowSeed = xxhash64(
+      (Seq(lit(secret), lit(tableName)) ++ keyCols): _*)
+    gen(seed, rowSeed)
   }
 }

@@ -33,11 +33,34 @@ class AnonymiserSpec extends AnyFunSuite {
 
   test("faker output varies per row and per column") {
     val cfg = TableConfig("customer", anonymise =
-      Seq("c_name" -> "FullName", "c_mktsegment" -> "FullName"))
+      Seq("c_name" -> "City", "c_mktsegment" -> "City"))
     val rows = Anonymiser(customer, cfg)
       .select("c_name", "c_mktsegment").collect()
     assert(rows.map(_.getString(0)).distinct.length > 1) // varies by row
     assert(rows.exists(r => r.getString(0) != r.getString(1))) // by column
+  }
+
+  test("person fakers on one row describe ONE persona (coherent identity)") {
+    val cfg = TableConfig("customer", anonymise = Seq(
+      "c_name" -> "FullName", "c_mktsegment" -> "UserName",
+      "c_nationkey" -> "EmailAddress", "c_acctbal" -> "FirstName"))
+    val rows = Anonymiser(customer, cfg)
+      .select("c_name", "c_mktsegment", "c_nationkey", "c_acctbal").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (full, user, email, first) =
+        (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+      // FirstName is the persona's first name, and FullName starts with it
+      assert(full.startsWith(first + " "), s"$full vs $first")
+      // UserName embeds the persona's lowercase first name
+      val userBase = user.substring(0, user.lastIndexOf('.')) // strip uniquifier
+      assert(userBase.contains(first.toLowerCase), s"$user vs $first")
+      // EmailAddress is the persona's username at a domain
+      val emailBase = email.substring(0, email.lastIndexOf('.'))
+      assert(emailBase.startsWith(userBase + "@"), s"$email vs $user")
+    }
+    // still varies across rows (different rows, different personas)
+    assert(rows.map(_.getString(0)).distinct.length > 1)
   }
 
   test("different secrets produce different values") {
