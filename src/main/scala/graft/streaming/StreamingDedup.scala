@@ -101,6 +101,38 @@ object StreamingDedup {
       }
       .start()
 
+  /** Streaming decontamination: every micro-batch of ingested documents is
+    * scrubbed against a STATIC benchmark set (eval questions / test
+    * prompts), and only clean documents reach `cleanSink` — the ns21
+    * semantics applied at ingest so contaminated pages never land in the
+    * training store at all.
+    *
+    * `foreachBatch` again (same reasoning as [[indexedIngestDedup]]): the
+    * per-doc decision is a shingle join against the benchmark postings —
+    * batch-local, no cross-batch state (a doc's verdict depends only on
+    * itself and the benchmark), so the state store holds NOTHING and a
+    * restart simply reprocesses from the checkpoint offset. Stream-prefix
+    * output therefore equals the batch [[graft.ops.Dedup.removeContaminated]]
+    * over the same prefix, doc for doc (spec-pinned). The benchmark side
+    * reuses the batch operator's auto-sized broadcast-or-shuffle lever.
+    * At-least-once caveat as [[indexedIngestDedup]]: key idempotent
+    * consumers on doc_id. */
+  def decontaminateIngest(
+      newDocs: DataFrame,
+      benchmark: DataFrame,
+      cleanSink: String,
+      checkpointDir: String,
+      shingleK: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val clean = graft.ops.Dedup.removeContaminated(
+          batch.toDF(), benchmark, shingleK)
+        if (!clean.isEmpty) clean.write.mode("append").parquet(cleanSink)
+        ()
+      }
+      .start()
+
   final case class LangStats(lang: String, docs: Long, tokens: Long)
 
   /** Running per-language doc/token totals via explicit keyed state

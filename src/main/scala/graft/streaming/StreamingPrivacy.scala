@@ -1,0 +1,24 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+/** Streaming twin of the PII scrubber. [[graft.ops.Privacy.scrubPii]] is a
+  * stateless, codegen'd projection (regex replace + match counts, zero
+  * shuffle), so it composes onto a streaming DataFrame unchanged — no
+  * foreachBatch, no state store, no watermark. This wrapper exists to make
+  * that contract explicit and spec-pinned: append-mode output over any
+  * stream prefix is byte-identical to the batch scrub of the same rows,
+  * because each row's scrub is a pure function of that row.
+  *
+  * 100 TB/day shape: the scrub fuses into whatever stage reads the source
+  * (one narrow pass per micro-batch); throughput scales with input
+  * partitions, state is zero. */
+object StreamingPrivacy {
+
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    require(docs.isStreaming,
+      "scrubPii(stream) is the streaming twin — pass a readStream frame " +
+        "(the batch operator is graft.ops.Privacy.scrubPii)")
+    graft.ops.Privacy.scrubPii(docs, textCol)
+  }
+}

@@ -90,6 +90,71 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming decontamination equals the batch scrub on the same prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_decon").toString
+    val benchmark = Seq(
+      (900L, "what is the capital of france answer paris"),
+      (901L, "solve for x in two x plus three equals seven"))
+      .toDF("doc_id", "text")
+    val allDocs = Seq(
+      (1L, "a page about geography what is the capital of france answer paris quoted verbatim"),
+      (2L, "an original essay on rivers and mountains of europe"),
+      (3L, "math homework help solve for x in two x plus three equals seven step by step"),
+      (4L, "another clean document about cooking pasta at home"),
+      (5L, "nothing to do with any benchmark at all honestly"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingDedup.decontaminateIngest(
+      in.toDF().toDF("doc_id", "text"), benchmark,
+      s"$dir/clean", s"$dir/ckpt")
+    in.addData(allDocs.take(3): _*)
+    q.processAllAvailable()
+    in.addData(allDocs.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$dir/clean")
+      .collect().map(_.getLong(0)).toSet
+    // batch twin over the same (whole-prefix) input
+    val batch = graft.ops.Dedup.removeContaminated(
+      allDocs.toDF("doc_id", "text"), benchmark)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    assert(streamed == Set(2L, 4L, 5L)) // 1 and 3 quote the benchmark
+    // bounded state: the decision is batch-local, so the state store holds
+    // no rows at all (no aggregation/join state directories with data)
+    val stateDir = new java.io.File(s"$dir/ckpt/state")
+    assert(!stateDir.exists() || stateDir.listFiles().isEmpty,
+      "decontamination must not accumulate state-store state")
+  }
+
+  test("streaming PII scrub is row-identical to the batch scrub") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "reach me at jane.doe@corp.example.org today"),
+      (2L, "server 192.168.1.254 is down call +12025550117"),
+      (3L, "no pii here at all"))
+    val in = MemoryStream[(Long, String)]
+    val scrubbed = StreamingPrivacy.scrubPii(in.toDF().toDF("doc_id", "text"))
+    val q = scrubbed.writeStream.format("memory")
+      .queryName("pii_out").outputMode("append").start()
+    in.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("pii_out").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Privacy.scrubPii(rows.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // batch-only frames are rejected: the twin is explicitly for streams
+    intercept[IllegalArgumentException] {
+      StreamingPrivacy.scrubPii(rows.toDF("doc_id", "text"))
+    }
+  }
+
   test("mapGroupsWithState accumulates language totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
