@@ -55,11 +55,144 @@ object Layout {
     // inference would retype string columns that look numeric ("01" -> 1)
     IndexSidecar.write(df.sparkSession, schemaPath(tmp),
       df.schema.json)
+    // layout metadata + the clustered-file manifest are what make
+    // [[append]]/[[compact]] possible later: compact treats any data file
+    // NOT in the manifest as an un-clustered straggler
+    IndexSidecar.write(df.sparkSession, metaPath(tmp),
+      metaJson(partitionCols, clusterCols))
+    IndexSidecar.write(df.sparkSession, manifestPath(tmp),
+      dataFiles(fs, tmp).mkString("\n"))
     IndexSidecar.publish(fs, tmp, dest)
+  }
+
+  /** Append rows to an [[optimize]]d layout WITHOUT re-clustering: the fast
+    * ingest path (new files land inside the right partition directories but
+    * with overlapping cluster ranges, so row-group skipping degrades for
+    * them until the next [[compact]]). Readers see old + new immediately. */
+  def append(df: DataFrame, path: String): Unit = {
+    val meta = readMeta(df.sparkSession, path)
+    val missing = meta.schema.fieldNames.toSet -- df.columns.toSet
+    require(missing.isEmpty, s"append is missing layout columns: $missing")
+    val w = df.select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .write.mode("append")
+    (if (meta.partitionCols.nonEmpty) w.partitionBy(meta.partitionCols: _*)
+     else w).parquet(path)
+  }
+
+  final case class CompactReport(
+      dirtyPartitions: Int, filesBefore: Int, filesAfter: Int)
+
+  /** Fold appended stragglers back into the clustered layout,
+    * INCREMENTALLY: only partition directories containing files outside
+    * the manifest are re-clustered (read, range-repartitioned, re-sorted);
+    * every clean partition's files are untouched byte-for-byte. Each dirty
+    * directory is rebuilt privately and swapped by the same delete+rename
+    * publish as the whole-layout rewrite, and the manifest is re-stamped
+    * last — a crash mid-compact leaves every partition either old or new,
+    * both readable, and the next compact simply re-detects stragglers.
+    * File count per partition is bounded by `filesPerPartition`.
+    *
+    * Layouts with no partition columns (cluster-only) degrade to a full
+    * [[optimize]] rewrite — there is no directory granularity to be
+    * incremental over. */
+  def compact(
+      spark: SparkSession, path: String,
+      filesPerPartition: Int = 1): CompactReport = {
+    require(filesPerPartition > 0, "filesPerPartition must be positive")
+    val meta = readMeta(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = dataFiles(fs, root)
+    val manifest = IndexSidecar.read(spark, manifestPath(root))
+      .split("\n").filter(_.nonEmpty).toSet
+    val stragglers = before.filterNot(manifest.contains)
+    if (stragglers.isEmpty)
+      return CompactReport(0, before.size, before.size)
+    if (meta.partitionCols.isEmpty) {
+      optimize(read(spark, path), path, meta.partitionCols, meta.clusterCols,
+        numFiles = filesPerPartition)
+      val after = dataFiles(fs, root)
+      return CompactReport(1, before.size, after.size)
+    }
+    // schema of the physical files: partition values live in dir names
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      meta.schema.fields.filterNot(f => meta.partitionCols.contains(f.name)))
+    val dirtyDirs = stragglers.map(rel =>
+      rel.substring(0, rel.lastIndexOf('/'))).distinct.sorted
+    dirtyDirs.foreach { relDir =>
+      val dir = new org.apache.hadoop.fs.Path(root, relDir)
+      val tmp = IndexSidecar.stagingFor(dir)
+      val clusterKeys = meta.clusterCols.map(col)
+      val part = spark.read.schema(dataSchema).parquet(dir.toString)
+      (if (clusterKeys.nonEmpty)
+        part.repartitionByRange(filesPerPartition, clusterKeys: _*)
+          .sortWithinPartitions(clusterKeys: _*)
+      else part.coalesce(filesPerPartition))
+        .write.mode("overwrite").parquet(tmp.toString)
+      // the staged dir carries a _SUCCESS marker; drop it so partition dirs
+      // hold data files only, like partitionBy-written ones
+      fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
+      IndexSidecar.publish(fs, tmp, dir)
+    }
+    val after = dataFiles(fs, root)
+    IndexSidecar.write(spark, manifestPath(root), after.mkString("\n"))
+    CompactReport(dirtyDirs.size, before.size, after.size)
+  }
+
+  private final case class LayoutMeta(
+      partitionCols: Seq[String], clusterCols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType)
+
+  private def metaJson(
+      partitionCols: Seq[String], clusterCols: Seq[String]): String = {
+    def arr(xs: Seq[String]) =
+      xs.map(x => "\"" + x.replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
+    s"""{"partition_cols":${arr(partitionCols)},"cluster_cols":${arr(clusterCols)}}"""
+  }
+
+  private def readMeta(spark: SparkSession, path: String): LayoutMeta = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val text = IndexSidecar.read(spark, metaPath(root))
+    def list(key: String): Seq[String] = {
+      val re = ("\"" + key + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
+      re.findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq
+    }
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(IndexSidecar.read(spark, schemaPath(root)))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    LayoutMeta(list("partition_cols"), list("cluster_cols"), schema)
+  }
+
+  /** Data files under `root`, as sorted root-relative paths (markers and
+    * sidecars excluded). */
+  private def dataFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] = {
+    val rootUri = fs.makeQualified(root).toUri
+    val it = fs.listFiles(fs.makeQualified(root), true)
+    val buf = collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        val rel = rootUri.relativize(f.getPath.toUri).getPath
+        // skip files inside hidden staging dirs from a concurrent build
+        if (!rel.split("/").exists(_.startsWith("."))) buf += rel
+      }
+    }
+    buf.sorted.toSeq
   }
 
   private def schemaPath(dir: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(dir, "_layout_schema.json")
+
+  private def metaPath(dir: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dir, "_layout_meta.json")
+
+  private def manifestPath(dir: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dir, "_layout_manifest.txt")
 
   /** Write `df` as a BUCKETED table: rows hash-distributed into
     * `numBuckets` files by `bucketCols` (and sorted within each bucket by

@@ -426,6 +426,63 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("layout compaction folds appended stragglers, incrementally and atomically") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sf, "documents")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_compact_spec_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    try {
+      Layout.optimize(docs.where(col("doc_id") < 400), path,
+        Seq("lang"), Seq("n_chars"), numFiles = 2)
+      def filesIn(sub: String) = Option(new java.io.File(s"$path/$sub")
+        .listFiles()).getOrElse(Array.empty)
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(_.getName).sorted.toSeq
+      // no stragglers -> no-op, nothing rewritten
+      val noop = Layout.compact(spark, path)
+      assert(noop.dirtyPartitions == 0 && noop.filesBefore == noop.filesAfter)
+
+      // two appends of 'en'-only rows: only lang=en becomes dirty
+      val extra = docs.where(col("doc_id") >= 400 && col("lang") === "en")
+      Layout.append(extra, path)
+      Layout.append(extra
+        .withColumn("doc_id", col("doc_id") + 10000), path)
+      val expected = Layout.read(spark, path).orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+      val cleanBefore = filesIn("lang=de")
+      val enBefore = filesIn("lang=en")
+
+      val rep = Layout.compact(spark, path, filesPerPartition = 2)
+      assert(rep.dirtyPartitions == 1, rep) // only lang=en
+      assert(rep.filesAfter < rep.filesBefore, rep)
+      // reads are value-identical after compaction
+      val back = Layout.read(spark, path).orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+      assert(back == expected)
+      // clean partitions untouched byte-for-byte (same file names);
+      // the dirty one is rebuilt with a bounded file count
+      assert(filesIn("lang=de") == cleanBefore)
+      assert(filesIn("lang=en") != enBefore)
+      assert(filesIn("lang=en").length <= 2)
+      // pruning pins still hold after the rewrite
+      val q = Layout.read(spark, path)
+        .where(col("lang") === "en" && col("n_chars") >= 150)
+      val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+        scan.take(800))
+      assert(scan.contains("GreaterThanOrEqual(n_chars,150)"), scan.take(800))
+      // a second compact is a no-op: the manifest was re-stamped
+      val again = Layout.compact(spark, path, filesPerPartition = 2)
+      assert(again.dirtyPartitions == 0)
+      // appends must carry the layout's full column set
+      intercept[IllegalArgumentException] {
+        Layout.append(extra.drop("n_chars"), path)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    }
+  }
+
   // ---- Joins.rangeJoin ------------------------------------------------------
 
   test("rangeJoin matches the plain theta join, half-open bounds, multi-bucket spans") {
