@@ -40,7 +40,25 @@ object Joins {
     * still co-locate — deterministic salting cannot spread them (pass a
     * unique id column in the frame, which any real table has, and the
     * hash separates the rows). `hash()` also rejects MapType columns at
-    * plan time; project maps away (or to their sorted entries) first. */
+    * plan time; project maps away (or to their sorted entries) first.
+    *
+    * ==When to salt vs when to let AQE handle it (spec-adjudicated)==
+    * AQE's native skew-join split triggers on observed partition BYTES
+    * (`skewedPartitionThresholdInBytes`, 256 MiB default) of a sort-merge
+    * join's shuffle, and only there. Let AQE handle the skew when all
+    * hold: AQE is on, the join is SMJ, and the hot key is heavy in bytes
+    * on the SHUFFLED INPUT. Reach for [[saltedJoin]] when any of these
+    * hold instead:
+    *   - the straggler is row-COUNT-heavy but byte-light (narrow rows,
+    *     expensive per-row downstream work) — below AQE's byte threshold
+    *     nothing fires, the straggler remains (PlanSpec pins this case on
+    *     a synthesized power-law key);
+    *   - the blow-up is in the join PRODUCT, not the input partitions —
+    *     AQE sizes inputs, not outputs;
+    *   - AQE is disabled or the pipeline pins plans (deterministic
+    *     benchmarking, plan-diff gates);
+    *   - the join is broadcast-ineligible and the same hot key ALSO feeds
+    *     a following same-key aggregation the split can't help. */
   def saltedJoin(
       left: DataFrame,
       right: DataFrame,
