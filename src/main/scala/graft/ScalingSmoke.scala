@@ -35,7 +35,10 @@ object ScalingSmoke {
     "ns40_dedup_spans", "ns43_join_range",
     // gram-keyed pair matrix: source count is constant across sfs, so
     // rows stay flat and time must stay ~linear in corpus grams
-    "ns47_source_overlap")
+    "ns47_source_overlap",
+    // round-5: BPE tokenize + BPE-budgeted packing — the dictionary join
+    // must stay vocabulary-bounded, never corpus×vocabulary
+    "ns51_tokenize_bpe", "ns53_pack_bpe")
   // ns21/ns34 (decontamination) are NOT run via their SparkEntry queries
   // here: those split doc_id%50 at EACH sf, so the benchmark side grows
   // with the corpus and the tainted-row count legitimately scales ~R² —

@@ -506,6 +506,20 @@ object SparkEntry {
       s, base, simQueries(s, dir), k = 10)
   }
 
+  /** NS53 — BPE-budgeted sequence packing: ns26's greedy packer running on
+    * REAL tokenizer counts (ns51's dictionary-memoized BPE) instead of the
+    * chars/4 estimate — the tokenizer-faithful budget path. Same shapes:
+    * the tokenize join plus packSequences' one stratum shuffle. */
+  private def ns53(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val counted = d.join(
+      graft.ops.Bpe.tokenize(d, graft.ops.Bpe.default)
+        .select(col("doc_id"), col("n_tokens")),
+      Seq("doc_id"))
+    graft.ops.Sampling.packSequences(counted, tokenBudget = 512,
+      tokenCountCol = Some("n_tokens")).orderBy("doc_id")
+  }
+
   /** NS52 — IVF-PQ with exact re-ranking: the ns35 ADC stage widened to
     * 4·k candidates, whose raw vectors alone are re-scored with exact
     * cosine (candidate-bounded corpus read, broadcast semi-join shape).
@@ -790,6 +804,7 @@ object SparkEntry {
     "ns50_join_bucketed" -> (ns50 _),
     "ns51_tokenize_bpe" -> (ns51 _),
     "ns52_simsearch_rerank" -> (ns52 _),
+    "ns53_pack_bpe" -> (ns53 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1428,6 +1443,8 @@ object SparkEntry {
     // same literal merges table) — the md5 checks the token STREAM, not
     // just counts.
     "ns51_tokenize_bpe" -> graft.ops.Bpe.oracleSql(graft.ops.Bpe.default),
+    "ns53_pack_bpe" ->
+      graft.ops.Bpe.oraclePackSql(graft.ops.Bpe.default, tokenBudget = 512),
     // ns49's two-sided clamp is also the oracle contract: engines disagree
     // on % sign conventions for negatives, but both land every negative in
     // bucket 0 once clamped.

@@ -186,7 +186,7 @@ object Bpe {
     * pair; recursion stops when a word has no listed pair left; the
     * terminal token list is the one with minimal length, since every step
     * shortens it). */
-  def oracleSql(merges: Merges): String = {
+  private def oracleCtePrefix(merges: Merges): String = {
     require(merges.nonEmpty, "oracle needs at least one merge")
     def lit(s: String) = "'" + s.replace("'", "''") + "'"
     val values = merges.zipWithIndex
@@ -216,11 +216,32 @@ object Bpe {
        |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents) d,
        |       unnest(range(1, len(d.w)+1)) AS t(i)
        |  WHERE w[i] <> ''
-       |)
-       |SELECT d.doc_id,
-       |  CAST(sum(len(f.toks)) AS BIGINT) AS n_tokens,
-       |  md5(string_agg(array_to_string(f.toks,' '), ' ' ORDER BY d.i)) AS token_md5
-       |FROM docw d JOIN final f USING (word)
-       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+       |)""".stripMargin
   }
+
+  def oracleSql(merges: Merges): String =
+    oracleCtePrefix(merges) +
+      s"""
+         |SELECT d.doc_id,
+         |  CAST(sum(len(f.toks)) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(array_to_string(f.toks,' '), ' ' ORDER BY d.i)) AS token_md5
+         |FROM docw d JOIN final f USING (word)
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  /** Oracle for BPE-budgeted sequence packing: the same merge-loop CTE
+    * feeding [[Sampling.packSequences]]'s running-sum slot arithmetic. */
+  def oraclePackSql(merges: Merges, tokenBudget: Int): String =
+    oracleCtePrefix(merges) +
+      s""",
+         |doctok AS (
+         |  SELECT d.doc_id, CAST(sum(len(f.toks)) AS BIGINT) AS n_tokens
+         |  FROM docw d JOIN final f USING (word) GROUP BY d.doc_id),
+         |packed AS (
+         |  SELECT t.doc_id, dd.lang, t.n_tokens,
+         |    CAST(sum(t.n_tokens) OVER (PARTITION BY dd.lang ORDER BY t.doc_id)
+         |      - t.n_tokens AS BIGINT) AS off
+         |  FROM doctok t JOIN documents dd USING (doc_id))
+         |SELECT doc_id, lang, n_tokens,
+         |  off // $tokenBudget AS seq_id, off % $tokenBudget AS seq_off
+         |FROM packed ORDER BY doc_id""".stripMargin
 }
