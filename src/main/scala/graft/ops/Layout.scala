@@ -59,7 +59,7 @@ object Layout {
     // [[append]]/[[compact]] possible later: compact treats any data file
     // NOT in the manifest as an un-clustered straggler
     IndexSidecar.write(df.sparkSession, metaPath(tmp),
-      metaJson(partitionCols, clusterCols))
+      metaText(partitionCols, clusterCols))
     IndexSidecar.write(df.sparkSession, manifestPath(tmp),
       dataFiles(fs, tmp).mkString("\n"))
     IndexSidecar.publish(fs, tmp, dest)
@@ -92,9 +92,21 @@ object Layout {
     * both readable, and the next compact simply re-detects stragglers.
     * File count per partition is bounded by `filesPerPartition`.
     *
+    * Writer contract (same as the persisted indexes): ONE maintainer per
+    * layout. compact rebuilds dirty directories from a point-in-time
+    * listing and swaps them whole, so an [[append]] racing into a DIRTY
+    * directory mid-compact can be clobbered by the swap — serialize
+    * appends and compacts per layout (readers are fine at any point). An
+    * append into a CLEAN partition mid-compact is safe: the new manifest
+    * is derived from the old manifest plus the rebuilt directories' files
+    * only — never a full re-listing — so a concurrent straggler stays
+    * unmanifested and the NEXT compact folds it in.
+    *
     * Layouts with no partition columns (cluster-only) degrade to a full
     * [[optimize]] rewrite — there is no directory granularity to be
-    * incremental over. */
+    * incremental over. Data files sitting directly at the layout root of
+    * a PARTITIONED layout (not written by [[append]]) are ignored and
+    * reported via stderr, never folded. */
   def compact(
       spark: SparkSession, path: String,
       filesPerPartition: Int = 1): CompactReport = {
@@ -105,7 +117,14 @@ object Layout {
     val before = dataFiles(fs, root)
     val manifest = IndexSidecar.read(spark, manifestPath(root))
       .split("\n").filter(_.nonEmpty).toSet
-    val stragglers = before.filterNot(manifest.contains)
+    val stragglers0 = before.filterNot(manifest.contains)
+    // a stray file at the root of a partitioned layout has no partition
+    // dir to rebuild — skip it loudly rather than crash or fold garbage
+    val (rootStrays, stragglers) =
+      if (meta.partitionCols.isEmpty) (Nil, stragglers0)
+      else stragglers0.partition(!_.contains('/'))
+    rootStrays.foreach(f => System.err.println(
+      s"[layout] ignoring stray root file $f (not append-written)"))
     if (stragglers.isEmpty)
       return CompactReport(0, before.size, before.size)
     if (meta.partitionCols.isEmpty) {
@@ -134,8 +153,20 @@ object Layout {
       fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
       IndexSidecar.publish(fs, tmp, dir)
     }
+    // new manifest = old manifest outside the rebuilt dirs + exactly the
+    // rebuilt dirs' current files. NOT a full re-listing: a file appended
+    // into a clean partition while we compacted must stay unmanifested so
+    // the next compact sees it as a straggler.
+    val dirtySet = dirtyDirs.toSet
+    def dirOf(rel: String) =
+      if (rel.contains('/')) rel.substring(0, rel.lastIndexOf('/')) else ""
+    val rebuiltFiles = dataFiles(fs, root)
+      .filter(rel => dirtySet.contains(dirOf(rel)))
+    val newManifest =
+      (manifest.filterNot(rel => dirtySet.contains(dirOf(rel))).toSeq ++
+        rebuiltFiles).sorted
+    IndexSidecar.write(spark, manifestPath(root), newManifest.mkString("\n"))
     val after = dataFiles(fs, root)
-    IndexSidecar.write(spark, manifestPath(root), after.mkString("\n"))
     CompactReport(dirtyDirs.size, before.size, after.size)
   }
 
@@ -143,26 +174,26 @@ object Layout {
       partitionCols: Seq[String], clusterCols: Seq[String],
       schema: org.apache.spark.sql.types.StructType)
 
-  private def metaJson(
-      partitionCols: Seq[String], clusterCols: Seq[String]): String = {
-    def arr(xs: Seq[String]) =
-      xs.map(x => "\"" + x.replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
-    s"""{"partition_cols":${arr(partitionCols)},"cluster_cols":${arr(clusterCols)}}"""
-  }
+  // column lists are joined on the unit separator — the one character no
+  // identifier contains — instead of hand-rolled (and hand-parsed) JSON;
+  // a column named `a,b` or `he said "x"` round-trips exactly
+  private val US = ""
+
+  private def metaText(
+      partitionCols: Seq[String], clusterCols: Seq[String]): String =
+    s"p${US}${partitionCols.mkString(US)}\nc${US}${clusterCols.mkString(US)}\n"
 
   private def readMeta(spark: SparkSession, path: String): LayoutMeta = {
     val root = new org.apache.hadoop.fs.Path(path)
     val text = IndexSidecar.read(spark, metaPath(root))
-    def list(key: String): Seq[String] = {
-      val re = ("\"" + key + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
-      re.findFirstMatchIn(text).map(_.group(1)).getOrElse("")
-        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        .filter(_.nonEmpty).toSeq
-    }
+    def list(tag: String): Seq[String] =
+      text.linesIterator.find(_.startsWith(tag + US))
+        .map(_.split(US, -1).drop(1).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(IndexSidecar.read(spark, schemaPath(root)))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    LayoutMeta(list("partition_cols"), list("cluster_cols"), schema)
+    LayoutMeta(list("p"), list("c"), schema)
   }
 
   /** Data files under `root`, as sorted root-relative paths (markers and
@@ -189,7 +220,7 @@ object Layout {
     new org.apache.hadoop.fs.Path(dir, "_layout_schema.json")
 
   private def metaPath(dir: org.apache.hadoop.fs.Path) =
-    new org.apache.hadoop.fs.Path(dir, "_layout_meta.json")
+    new org.apache.hadoop.fs.Path(dir, "_layout_meta.txt")
 
   private def manifestPath(dir: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(dir, "_layout_manifest.txt")

@@ -483,6 +483,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("layout compaction skips stray root files and never folds them into the manifest") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sf, "documents")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_stray_spec_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    try {
+      Layout.optimize(docs.where(col("doc_id") < 400), path,
+        Seq("lang"), Seq("n_chars"), numFiles = 2)
+      // plant a data file directly at the layout root — not append-written,
+      // has no partition directory to rebuild
+      val enDir = new java.io.File(path).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("lang=en")).head
+      val src = enDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val stray = new java.io.File(path, "stray.parquet")
+      java.nio.file.Files.copy(src.toPath, stray.toPath)
+      def manifest() = scala.io.Source.fromFile(
+        new java.io.File(path, "_layout_manifest.txt")).mkString
+
+      // a genuine straggler in lang=en plus the root stray: only lang=en is
+      // rebuilt; the stray is skipped, not folded
+      Layout.append(docs.where(col("doc_id") >= 400 && col("lang") === "en"),
+        path)
+      val rep = Layout.compact(spark, path, filesPerPartition = 2)
+      assert(rep.dirtyPartitions == 1, rep)
+      assert(!manifest().contains("stray.parquet"), manifest())
+      // the derivation rule (old-manifest ∪ rebuilt dirs, never a full
+      // re-listing) keeps the stray unmanifested: a later compact still
+      // sees it as unmanaged rather than silently blessing it
+      val again = Layout.compact(spark, path, filesPerPartition = 2)
+      assert(again.dirtyPartitions == 0, again)
+      assert(!manifest().contains("stray.parquet"), manifest())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    }
+  }
+
   // ---- Joins.rangeJoin ------------------------------------------------------
 
   test("rangeJoin matches the plain theta join, half-open bounds, multi-bucket spans") {
