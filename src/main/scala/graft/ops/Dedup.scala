@@ -57,6 +57,16 @@ object Dedup {
   private def estimatedPostingsBytes(docs: DataFrame, shingleK: Int): BigInt =
     docs.queryExecution.optimizedPlan.stats.sizeInBytes * shingleK
 
+  /** The broadcast-or-shuffle decision [[decontaminate]] /
+    * [[removeContaminated]] make per call, exposed so a caller scrubbing
+    * MANY batches against one static benchmark (the streaming ingest path)
+    * can size it once and pin it via `broadcastBenchmark` instead of
+    * re-estimating inside every micro-batch. */
+  def benchmarkFitsBroadcast(
+      benchmark: DataFrame, shingleK: Int,
+      broadcastThresholdBytes: Long = defaultBroadcastBytes): Boolean =
+    estimatedPostingsBytes(benchmark, shingleK) <= broadcastThresholdBytes
+
   /** D1 — exact dedup: one survivor (min doc_id) per distinct text, with
     * the duplicate count. Hash-groupBy; map-side partial aggregation makes
     * this a single shuffle of (text-hash, partial-min/count). */

@@ -550,7 +550,8 @@ object Similarity {
       queries: DataFrame, k: Int = 10): DataFrame = {
     val cb = readPqCodebook(spark, path)
     val codes = spark.read.parquet(codesPath(path).toString)
-    pqScoreCodes(codes, queries, cb, storedM(codes), k)
+    pqScoreCodes(codes, queries, cb,
+      storedM(codes, s"PQ index at $path"), k)
   }
 
   /** IVF-PQ: the composed serving stack — IVF's coarse quantizer prunes
@@ -631,13 +632,17 @@ object Similarity {
     val probes = probeCells(queries, centroids, nProbe)
       .select("query_id", "cell").distinct()
     val wanted = probes.select("cell").distinct().collect().map(_.getInt(0))
-    val codes = spark.read.parquet(path)
-      .where(col("cell").isin(wanted.toIndexedSeq: _*))
+    val index = spark.read.parquet(path)
+    val codes = index.where(col("cell").isin(wanted.toIndexedSeq: _*))
+    // m comes off the UNFILTERED index: the probe filter legitimately
+    // leaves zero rows for an empty query set, but a zero-row INDEX is
+    // corrupt and must fail loudly, not serve "no neighbors"
+    val m = storedM(index, s"IVF-PQ index at $path")
     // restrict the code table to each query's own probed cells, then ADC
     pqScoreCodes(
       codes.join(broadcast(probes), Seq("cell"))
         .select(col("vec_id"), col("cs"), col("query_id").as("probe_qid")),
-      queries, cb, storedM(codes), k,
+      queries, cb, m, k,
       pairFilter = col("probe_qid") === col("query_id"))
   }
 
@@ -682,14 +687,18 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Subspace count read off a stored code table; 1 when the frame is
-    * empty (an empty query's probed-cell filter, or an empty index) — the
-    * ADC scorer over zero code rows returns an empty result for ANY m, and
-    * m=1 divides every dims, so the degenerate case short-circuits to an
-    * empty frame instead of `head()` throwing NoSuchElementException. */
-  private def storedM(codes: DataFrame): Int =
-    codes.select(size(col("cs"))).head(1).headOption
-      .map(_.getInt(0)).getOrElse(1)
+  /** Subspace count read off a stored code table — LOUD on an empty one:
+    * zero code rows where an index should be means a partially-written or
+    * wiped index, and quietly serving "no neighbors" off it would ship
+    * wrong answers downstream (the same parameter-pinning contract the
+    * append paths enforce). Callers with a legitimately-empty FILTERED
+    * view (empty query set) read m off the unfiltered index instead. */
+  private def storedM(codes: DataFrame, what: String): Int = {
+    val first = codes.select(size(col("cs"))).head(1)
+    require(first.nonEmpty, s"$what has no code rows — rebuild the index " +
+      "(m cannot be read off an empty code table)")
+    first.head.getInt(0)
+  }
 
   private def codesPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "codes")

@@ -548,6 +548,12 @@ object Ddl {
       }.nextOption()
     } else if (url.startsWith("jdbc:mysql:")) {
       tableCandidates.iterator.flatMap { t =>
+        // SHOW CREATE TABLE carries the clause verbatim — including the
+        // column lists of RANGE/LIST COLUMNS and KEY(), which
+        // information_schema.PARTITIONS does NOT expose (its
+        // PARTITION_EXPRESSION is NULL for those) — so prefer it and fall
+        // back to catalog reassembly only if it fails
+        partitionClauseFromShowCreate(conn, t).orElse {
         val ps = conn.prepareStatement(
           "SELECT PARTITION_METHOD, PARTITION_EXPRESSION, PARTITION_NAME, " +
             "PARTITION_DESCRIPTION FROM information_schema.PARTITIONS " +
@@ -571,11 +577,45 @@ object Ddl {
                 s"PARTITION `$n` VALUES IN ($d)" }.mkString(", ") + ")"
               case _ => s" PARTITIONS ${rows.size}" // HASH/KEY: count only
             }
-            Some(s"PARTITION BY $method ($expr)$parts")
+            // a NULL expression here means the column list isn't in this
+            // catalog view (COLUMNS methods, bare KEY()); emitting
+            // "(null)" would be invalid DDL — KEY's empty list is legal
+            // (uses the primary key), anything else drops the clause
+            // rather than replay garbage
+            if (expr == null && method != null && !method.endsWith("KEY")) None
+            else Some(
+              s"PARTITION BY $method (${Option(expr).getOrElse("")})$parts")
           }
         } finally ps.close()
+        }
       }.nextOption()
     } else None
+  }
+
+  /** MySQL's `PARTITION BY ...` clause lifted verbatim from
+    * `SHOW CREATE TABLE` — the reference's opaque-carry contract
+    * (`pkg/reader/mysql/reader.go:84-111` keeps `SHOW CREATE TABLE` output
+    * whole for the same reason: the server's own rendering is the only
+    * complete one). Handles the `／*!50100 ... *／` version-comment wrapper
+    * older servers emit. */
+  private def partitionClauseFromShowCreate(
+      conn: java.sql.Connection, table: String): Option[String] = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(
+        "SHOW CREATE TABLE `" + table.replace("`", "``") + "`")
+      try {
+        if (!rs.next()) None
+        else {
+          val ddl = rs.getString(2)
+          val ix = ddl.toUpperCase.indexOf("PARTITION BY")
+          if (ix < 0) None
+          else Some(ddl.substring(ix).trim.stripSuffix("*/").trim)
+        }
+      } finally rs.close()
+    } catch {
+      case _: java.sql.SQLException => None // not MySQL-dialect or no table
+    } finally st.close()
   }
 
   /** CHECK constraints for a table, engine-routed (JDBC metadata has no

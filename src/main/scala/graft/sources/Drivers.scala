@@ -77,24 +77,36 @@ object Drivers {
     * pass through unquoted on purpose: engine case folding resolves them
     * (Derby folds up, Postgres folds down), whereas quoting would pin the
     * caller's exact spelling and break `bulk_t`-style lookups. */
-  def quoteTableIfNeeded(url: String, table: String): String =
-    // An already-quoted name passes through verbatim: the caller has taken
-    // responsibility for quoting, and re-splitting would mangle a quoted
-    // identifier that contains a literal dot ("My.Table"). Unquoted names
+  def quoteTableIfNeeded(url: String, table: String): String = {
+    // A PRE-QUOTED name (wrapped in the dialect's own quote char) passes
+    // through verbatim: the caller has taken responsibility for quoting,
+    // and re-splitting would mangle a quoted identifier that contains a
+    // literal dot ("My.Table"). A name that merely CONTAINS a quote char
+    // somewhere inside is NOT pre-quoted — it is a hostile/unlucky raw
+    // name and must go through escaping like any other. Unquoted names
     // with a dot are treated as schema-qualified and quote per SEGMENT —
     // quoting the whole string would make "public.OrderItems" one
     // identifier with a dot in it. A SINGLE identifier whose NAME contains
     // a dot must be passed pre-quoted (or via [[quoteIdentIfNeeded]]).
-    if (table.contains('"') || table.contains('`')) table
+    val q = quoteChar(url)
+    if (table.length >= 2 && table.head == q && table.last == q) table
     else table.split('.').map(quoteIdentIfNeeded(url, _)).mkString(".")
+  }
 
   /** Quote ONE identifier (never splits on dots) — for callers that know
-    * the name is a single identifier, even one containing a literal dot. */
+    * the name is a single identifier, even one containing a literal dot.
+    * Quotes when the name is mixed-case (case folding would mangle it) or
+    * contains a quote char (raw emission would be a syntax error — or an
+    * injection surface). */
   def quoteIdentIfNeeded(url: String, ident: String): String =
-    if (ident == ident.toUpperCase || ident == ident.toLowerCase) ident
+    if ((ident == ident.toUpperCase || ident == ident.toLowerCase) &&
+        !ident.contains('"') && !ident.contains('`')) ident
     else if (url.startsWith("jdbc:mysql:"))
       "`" + ident.replace("`", "``") + "`"
     else "\"" + ident.replace("\"", "\"\"") + "\""
+
+  private def quoteChar(url: String): Char =
+    if (url.startsWith("jdbc:mysql:")) '`' else '"'
 
   /** Reader for one table behind a DSN (≅ `Engine.ReadTable`,
     * `pkg/reader/engine/engine.go:82-133`). For JDBC the `dbtable` option

@@ -122,16 +122,23 @@ object StreamingDedup {
       benchmark: DataFrame,
       cleanSink: String,
       checkpointDir: String,
-      shingleK: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+      shingleK: Int = 4): org.apache.spark.sql.streaming.StreamingQuery = {
+    // the benchmark is static, so its broadcast-or-shuffle sizing is too:
+    // decide once here, not once per micro-batch inside the hot loop
+    val broadcastLever = Some(graft.ops.Dedup
+      .benchmarkFitsBroadcast(benchmark, shingleK))
     newDocs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val clean = graft.ops.Dedup.removeContaminated(
-          batch.toDF(), benchmark, shingleK)
-        if (!clean.isEmpty) clean.write.mode("append").parquet(cleanSink)
+        // written unconditionally: an empty append is near-free, while an
+        // isEmpty pre-check would execute the whole scrub join twice
+        graft.ops.Dedup.removeContaminated(
+          batch.toDF(), benchmark, shingleK, broadcastLever)
+          .write.mode("append").parquet(cleanSink)
         ()
       }
       .start()
+  }
 
   final case class LangStats(lang: String, docs: Long, tokens: Long)
 

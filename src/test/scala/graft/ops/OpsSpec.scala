@@ -907,6 +907,18 @@ class SimilaritySpec extends AnyFunSuite {
     // the m-read must not head() an empty frame (ADVICE r4)
     assert(Similarity.ivfPqTopKFromIndex(spark, dir, noQueries).count() == 0)
     assert(Similarity.pqTopKFromIndex(spark, pqDir, noQueries).count() == 0)
+    // ... but a zero-row INDEX is corrupt, not empty-result: serving off
+    // it must fail loudly even though the probe filter tolerates emptiness
+    val wiped = spark.read.parquet(s"$pqDir/codes").where(col("vec_id") < 0)
+    wiped.write.mode("overwrite").parquet(s"$pqDir/codes_w")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$pqDir/codes"))
+    new java.io.File(s"$pqDir/codes_w").renameTo(
+      new java.io.File(s"$pqDir/codes"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopKFromIndex(spark, pqDir, queries).count()
+    }
+    assert(e.getMessage.contains("no code rows"), e.getMessage)
   }
 
   test("PQ plan: one corpus scan, broadcast queries, codegen'd encode") {
