@@ -520,6 +520,59 @@ object SparkEntry {
       tokenCountCol = Some("n_tokens")).orderBy("doc_id")
   }
 
+  /** NS54 — count-min heavy hitters: token frequencies estimated from a
+    * 4×256 mergeable sketch (sum-merge across shards, vs HLL's max-merge),
+    * candidates probed against broadcast sketch state with no corpus
+    * re-scan. md5 rows make the approximate counts oracle-replayable. */
+  private def ns54(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    def toks(src: DataFrame) = src
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+    graft.ops.Sketches.cmsHeavyHitters(
+      toks(d), toks(d.where(col("doc_id") < 10)), "token", minCount = 200L)
+  }
+
+  /** NS55 — Bloom-pruned semi-join: lineitems of high-value orders, with
+    * the fact side thinned by 3 broadcast md5-bit probes BEFORE the exact
+    * join's exchange. Row-identical to the plain semi-join (the oracle IS
+    * the plain semi-join — false positives die in the final exact pass). */
+  private def ns55(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val o = Tables.load(s, dir, "orders")
+      .where(col("o_totalprice") > 150000)
+      .select(col("o_orderkey").as("l_orderkey"))
+    graft.ops.Joins.bloomSemiJoin(l, o, "l_orderkey")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** NS56 — snapshot diff: the re-crawl change-feed. The "new" snapshot is
+    * derived deterministically from the old one (first 20 docs dropped,
+    * every 37th doc's text edited, first 10 docs re-keyed as additions) so
+    * both engines can construct it; the diff must recover exactly those
+    * edits as removed/changed/added rows with matching fingerprints. */
+  private def ns56(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cols = Seq("text", "lang", "source", "n_chars")
+    val newSnap = d.where(col("doc_id") >= 20)
+      .withColumn("text",
+        when(col("doc_id") % 37 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(d.where(col("doc_id") < 10)
+        .select((col("doc_id") + 100000).as("doc_id") +:
+          cols.map(col): _*))
+    graft.ops.Versioning.snapshotDiff(d, newSnap, "doc_id", cols)
+  }
+
+  /** NS57 — mergeable quantiles: per-language length quantiles read off
+    * fixed-width bin counts — the sketch-shaped sibling of ns33's exact
+    * rank walk (per-(group,bin) counts sum-merge across shards/ticks; the
+    * read-off is integer arithmetic, error ≤ binWidth). */
+  private def ns57(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.quantileBins(docs(s, dir), "n_chars", Seq("lang"),
+      Seq(0.5, 0.9, 0.99), binWidth = 16)
+
   /** NS52 — IVF-PQ with exact re-ranking: the ns35 ADC stage widened to
     * 4·k candidates, whose raw vectors alone are re-scored with exact
     * cosine (candidate-bounded corpus read, broadcast semi-join shape).
@@ -805,6 +858,10 @@ object SparkEntry {
     "ns51_tokenize_bpe" -> (ns51 _),
     "ns52_simsearch_rerank" -> (ns52 _),
     "ns53_pack_bpe" -> (ns53 _),
+    "ns54_heavy_hitters_cms" -> (ns54 _),
+    "ns55_join_bloom" -> (ns55 _),
+    "ns56_snapshot_diff" -> (ns56 _),
+    "ns57_quantile_bins" -> (ns57 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1445,6 +1502,54 @@ object SparkEntry {
     "ns51_tokenize_bpe" -> graft.ops.Bpe.oracleSql(graft.ops.Bpe.default),
     "ns53_pack_bpe" ->
       graft.ops.Bpe.oraclePackSql(graft.ops.Bpe.default, tokenBudget = 512),
+    // ns54 replays the whole count-min table (4 salted md5 rows × 256
+    // buckets) and the min-over-rows estimate — approximate counts,
+    // exactly reproduced.
+    "ns54_heavy_hitters_cms" ->
+      ("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE text IS NOT NULL),
+         |tt AS (SELECT token FROM t WHERE token <> ''),
+         |cms AS (SELECT i, ('0x' || substr(md5(i::VARCHAR || ':' || token), 1, 15))::BIGINT % 256 AS bucket, count(*) AS cnt
+         |  FROM tt CROSS JOIN range(4) r(i) GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT token FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE doc_id < 10) WHERE token <> ''),
+         |est AS (SELECT c.token, min(coalesce(cms.cnt, 0)) AS cms_count
+         |  FROM cand c CROSS JOIN range(4) r(i)
+         |  LEFT JOIN cms ON cms.i = r.i AND cms.bucket = ('0x' || substr(md5(r.i::VARCHAR || ':' || c.token), 1, 15))::BIGINT % 256
+         |  GROUP BY c.token)
+         |SELECT token, cms_count FROM est WHERE cms_count >= 200
+         |ORDER BY cms_count DESC, token""".stripMargin),
+    // ns55's oracle is the PLAIN semi-join: the Bloom pass is a plan-level
+    // pre-filter whose false positives the exact join removes, so the
+    // result must be bit-identical to no Bloom at all (ns32's contract).
+    "ns55_join_bloom" ->
+      ("""SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+    // ns56 rebuilds the same derived "new" snapshot and diffs by the same
+    // chr(31)-joined, chr(30)-null-tagged md5 fingerprint.
+    "ns56_snapshot_diff" ->
+      ("""WITH newsnap AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 37 = 0 THEN text || ' v2' ELSE text END AS text, lang, source, n_chars
+         |  FROM documents WHERE doc_id >= 20
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text, lang, source, n_chars FROM documents WHERE doc_id < 10),
+         |o AS (SELECT doc_id, md5(concat_ws(chr(31), coalesce(text, chr(30)), coalesce(lang, chr(30)), coalesce(source, chr(30)), coalesce(n_chars::VARCHAR, chr(30)))) AS old_fp FROM documents),
+         |n AS (SELECT doc_id, md5(concat_ws(chr(31), coalesce(text, chr(30)), coalesce(lang, chr(30)), coalesce(source, chr(30)), coalesce(n_chars::VARCHAR, chr(30)))) AS new_fp FROM newsnap)
+         |SELECT doc_id,
+         |  CASE WHEN old_fp IS NULL THEN 'added' WHEN new_fp IS NULL THEN 'removed' ELSE 'changed' END AS status,
+         |  old_fp, new_fp
+         |FROM o FULL OUTER JOIN n USING (doc_id)
+         |WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp
+         |ORDER BY doc_id""".stripMargin),
+    // ns57 replays the fixed-bin walk: cumulative bin counts, first bin
+    // reaching ceil(q·n), lower edge — integer read-off, double q.
+    "ns57_quantile_bins" ->
+      ("""WITH b AS (SELECT lang, n_chars // 16 AS bin FROM documents WHERE n_chars IS NOT NULL),
+         |c AS (SELECT lang, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+         |w AS (SELECT lang, bin, sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum, sum(cnt) OVER (PARTITION BY lang) AS n FROM c),
+         |qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+         |SELECT lang, q, min(bin) * 16 AS approx_value
+         |FROM w CROSS JOIN qs WHERE cum >= ceil(q * n)
+         |GROUP BY lang, q ORDER BY lang, q""".stripMargin),
     // ns49's two-sided clamp is also the oracle contract: engines disagree
     // on % sign conventions for negatives, but both land every negative in
     // bucket 0 once clamped.

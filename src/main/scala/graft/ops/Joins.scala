@@ -137,4 +137,52 @@ object Joins {
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("_bucket")
   }
+
+  /** Semi-join with an explicit Bloom pre-filter: `fact` rows whose
+    * `key` appears in `dim` — row-identical to a plain `left_semi` join
+    * (the exact join runs last and removes every Bloom false positive),
+    * but the fact side is THINNED BEFORE ITS SHUFFLE by testing each key
+    * against `numHashes` md5 bit positions of the dim side's key set.
+    *
+    * The window where this wins: `dim`'s KEYS are too large to broadcast
+    * (so the exact join must shuffle both sides) but their Bloom bit-set
+    * fits — ~1.2 GB of raw keys compress into a 2²⁰-position table at 1%
+    * false-positive rate. Each membership test is a broadcast-hash
+    * left_semi per hash function over the narrow `(bit)` table: no fact
+    * shuffle, codegen'd, and only surviving rows (true matches + the
+    * ~fp% stragglers) pay the exact join's exchange. When `dim` itself
+    * broadcasts, skip this — the exact broadcast join is already one
+    * pass; Spark's own runtime bloom (`runtime.bloomFilter`) does the
+    * same trick adaptively, but only where IT decides, with a
+    * non-portable hash; this one is explicit and engine-reproducible
+    * (the oracle replays the plain semi-join, which the Bloom pass must
+    * equal row-for-row).
+    *
+    * False positives only COST (they ride to the exact join and die
+    * there); they can never appear in the output. False negatives cannot
+    * happen: a present key has all its bits set by construction. */
+  def bloomSemiJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      numBits: Int = 1 << 20,
+      numHashes: Int = 3): DataFrame = {
+    require(numBits >= 2, "numBits must be >= 2")
+    require(numHashes >= 1 && numHashes <= 8,
+      s"numHashes must be in [1,8], got $numHashes")
+    def position(h: Int) =
+      pmod(Sampling.hash60Col(
+        concat_ws(":", lit(h), col(key).cast("string"))), lit(numBits.toLong))
+    val bits = (0 until numHashes)
+      .map(h => dim.where(col(key).isNotNull)
+        .select(position(h).as("_bloom_bit")))
+      .reduce(_.union(_))
+      .distinct()
+    // one broadcast-hash membership probe per hash function; a fact row
+    // must survive all of them (Bloom AND-semantics), so the probes chain
+    val thinned = (0 until numHashes).foldLeft(fact) { (f, h) =>
+      f.join(broadcast(bits), position(h) === col("_bloom_bit"), "left_semi")
+    }
+    thinned.join(dim.select(col(key)).distinct(), Seq(key), "left_semi")
+  }
 }

@@ -89,6 +89,111 @@ object Sketches {
       .orderBy(gs: _*)
   }
 
+  /** Count-min sketch over `valueCol`: `depth` salted hash rows ×
+    * `width` buckets of occurrence counts — the mergeable frequency
+    * summary (sketches from disjoint shards merge by element-wise SUM,
+    * where HLL registers merge by max). Same engine-reproducible md5
+    * contract as [[hllDistinct]]: any md5-capable engine rebuilds the
+    * table bit-for-bit, so the approximate counts are oracle-checkable.
+    *
+    * Why sketch: exact per-value counts at 100 TB shuffle every distinct
+    * value; the sketch aggregates to AT MOST depth × width rows (map-side
+    * combine does the heavy counting in-stage), and once built it answers
+    * any frequency query from broadcast state without re-scanning the
+    * corpus. Estimates overcount only (collisions add, never subtract):
+    * est ≥ true count, with ε ≈ e/width overshoot at probability
+    * δ ≈ e^−depth — the standard CMS guarantee. */
+  def cmsBuild(
+      df: DataFrame, valueCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("string").as("_cms_v"))
+      .withColumn("row", explode(lit((0 until depth).toArray)))
+      .select(col("row"),
+        pmod(Sampling.hash60Col(
+          concat_ws(":", col("row"), col("_cms_v"))), lit(width.toLong))
+          .as("bucket"))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for `candidates` against a [[cmsBuild]]
+    * sketch: each candidate value reads its `depth` buckets and takes the
+    * MIN (buckets it never hashed into count 0 — a value absent from the
+    * corpus estimates 0, not null). The sketch is depth × width rows, so
+    * it broadcasts; estimating a million candidates is one narrow join
+    * against broadcast state, no corpus access at all. */
+  def cmsEstimate(
+      sketch: DataFrame, candidates: DataFrame, valueCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    val cand = candidates.where(col(valueCol).isNotNull)
+      .select(col(valueCol)).distinct()
+      .withColumn("row", explode(lit((0 until depth).toArray)))
+      .withColumn("bucket",
+        pmod(Sampling.hash60Col(
+          concat_ws(":", col("row"), col(valueCol).cast("string"))),
+          lit(width.toLong)))
+    cand.join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(col(valueCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
+  }
+
+  /** Heavy hitters: candidates whose CMS-estimated frequency in `df`
+    * reaches `minCount`. Candidates are supplied, not discovered — the
+    * sketch answers "how often does X occur" in O(depth) lookups, and the
+    * candidate list (a vocabulary, a suspect set, last tick's hitters) is
+    * the caller's, which is what keeps this shape corpus-scan-free at
+    * serving time. CMS never undercounts, so no true heavy hitter is ever
+    * missed; collisions can only promote a borderline value. */
+  def cmsHeavyHitters(
+      df: DataFrame, candidates: DataFrame, valueCol: String,
+      minCount: Long, depth: Int = 4, width: Int = 256): DataFrame =
+    cmsEstimate(cmsBuild(df, valueCol, depth, width),
+        candidates, valueCol, depth, width)
+      .where(col("cms_count") >= minCount)
+      .orderBy(col("cms_count").desc, col(valueCol))
+
+  /** Per-group approximate quantiles from fixed-width value bins — the
+    * mergeable quantile summary: per (group, bin) counts merge by sum
+    * across shards/ticks, and the quantile read-off is a cumulative-sum
+    * walk over ≤ range/binWidth tiny rows. The reported quantile is the
+    * LOWER EDGE of the first bin whose cumulative count reaches
+    * ceil(q · n) — deterministic integer arithmetic (no interpolation, no
+    * floats in row keys), error bounded by `binWidth`. The exact-rank
+    * sibling is [[TextAnalysis.lengthStats]]'s full sort; this is the
+    * shape that survives 100 TB (narrow keyed agg + per-group walk, no
+    * global sort) and streaming accumulation. NULL values are excluded,
+    * matching lengthStats' contract. */
+  def quantileBins(
+      df: DataFrame, valueCol: String, groupCols: Seq[String],
+      qs: Seq[Double], binWidth: Long = 16): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0,1], got $qs")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val gs = groupCols.map(col)
+    val bins = df.where(col(valueCol).isNotNull)
+      .select(gs :+ expr(s"CAST(`$valueCol` AS BIGINT) DIV $binWidth")
+        .as("_qb_bin"): _*)
+      .groupBy(gs :+ col("_qb_bin"): _*)
+      .agg(count(lit(1)).as("_qb_cnt"))
+    val w = Window.partitionBy(gs: _*).orderBy(col("_qb_bin"))
+    bins
+      .withColumn("_qb_cum", sum(col("_qb_cnt")).over(w))
+      .withColumn("_qb_n",
+        sum(col("_qb_cnt")).over(Window.partitionBy(gs: _*)))
+      // every requested quantile rides the same walked-bin table: one
+      // explode, one groupBy — not one plan branch per q
+      .withColumn("q", explode(lit(qs.toArray)))
+      .where(col("_qb_cum") >= ceil(col("q") * col("_qb_n")))
+      .groupBy(gs :+ col("q"): _*)
+      .agg((min(col("_qb_bin")) * lit(binWidth)).as("approx_value"))
+      .orderBy(gs :+ col("q"): _*)
+  }
+
   // ---- streaming-side register math (shared with StreamingSketches) -------
 
   private val md5Local =

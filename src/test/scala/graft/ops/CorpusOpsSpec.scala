@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, explode, lit, split, sum, monotonically_increasing_id}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{SparkTestSession, Tables}
@@ -647,6 +647,124 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(exchanges == 2, s"expected 2 register exchanges:\n${p.take(2000)}")
     assert(p.contains("partial_max(_hll_rank"),
       s"register max must combine map-side before the exchange:\n${p.take(2000)}")
+  }
+
+  // ---- Sketches.cms* / quantileBins ----------------------------------------
+
+  test("CMS never undercounts, hits exact counts when wide, merges by sum") {
+    val docs = Tables.load(spark, sf, "documents")
+    val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+    val exact = toks.groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cand = toks.distinct()
+    // narrow sketch: estimates are upper bounds (collisions only ADD)
+    val narrow = Sketches.cmsEstimate(
+      Sketches.cmsBuild(toks, "token", width = 16), cand, "token", width = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      assert(narrow(t) >= n, s"undercount for '$t': ${narrow(t)} < $n")
+    }
+    // wide sketch: all-4-rows collisions are gone, estimates are exact
+    val wide = Sketches.cmsEstimate(
+      Sketches.cmsBuild(toks, "token", width = 4096), cand, "token",
+      width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide == exact)
+    // a value the corpus never saw estimates 0 under the wide sketch
+    val absent = Sketches.cmsEstimate(
+      Sketches.cmsBuild(toks, "token", width = 4096),
+      Seq("zz_never_seen").toDF("token"), "token", width = 4096)
+      .collect()
+    assert(absent.length == 1 && absent.head.getLong(1) == 0L)
+    // mergeability: shard sketches summed == whole-corpus sketch
+    val half1 = Sketches.cmsBuild(toks.limit(500), "token")
+    // (limit twice would re-draw; split deterministically instead)
+    val withId = toks.withColumn("i", monotonically_increasing_id())
+    val s1 = Sketches.cmsBuild(withId.where(col("i") % 2 === 0), "token")
+    val s2 = Sketches.cmsBuild(withId.where(col("i") % 2 === 1), "token")
+    val merged = s1.unionByName(s2).groupBy("row", "bucket")
+      .agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = Sketches.cmsBuild(toks, "token")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+    assert(half1.columns.toSeq == Seq("row", "bucket", "cnt"))
+  }
+
+  test("quantileBins brackets the exact rank value within one bin width") {
+    val docs = Tables.load(spark, sf, "documents")
+    val qs = Seq(0.5, 0.9, 0.99)
+    val approx = Sketches.quantileBins(docs, "n_chars", Seq("lang"), qs)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    val byLang = docs.select("lang", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((lang, vals) <- byLang; q <- qs) {
+      val exactQ = vals(math.ceil(q * vals.length).toInt - 1)
+      val a = approx((lang, q))
+      assert(a <= exactQ && exactQ < a + 16,
+        s"$lang q=$q: approx $a does not bracket exact $exactQ")
+    }
+    // null values are excluded, matching lengthStats' contract
+    import spark.implicits._
+    val withNulls = Seq(("en", java.lang.Long.valueOf(10L)),
+      ("en", java.lang.Long.valueOf(200L)), ("en", null))
+      .toDF("lang", "n_chars")
+    val r = Sketches.quantileBins(withNulls, "n_chars", Seq("lang"), Seq(1.0))
+      .collect()
+    assert(r.length == 1 && r.head.getLong(2) == (200L / 16) * 16)
+  }
+
+  // ---- Joins.bloomSemiJoin --------------------------------------------------
+
+  test("bloomSemiJoin is row-identical to the exact semi-join") {
+    val l = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber")
+    val o = Tables.load(spark, sf, "orders")
+      .where(col("o_totalprice") > 150000)
+      .select(col("o_orderkey").as("l_orderkey"))
+    val bloom = Joins.bloomSemiJoin(l, o, "l_orderkey")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val plain = l.join(o, Seq("l_orderkey"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(bloom == plain && bloom.nonEmpty)
+    // an empty dim side keeps nothing (no bits set -> every probe fails)
+    assert(Joins.bloomSemiJoin(l, o.where(lit(false)), "l_orderkey")
+      .count() == 0)
+  }
+
+  // ---- Versioning.snapshotDiff ----------------------------------------------
+
+  test("snapshotDiff classifies added/removed/changed and distinguishes null from empty") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "same", "en"), (2L, "edited", "en"),
+      (3L, "gone", "de"), (5L, null.asInstanceOf[String], "en"))
+      .toDF("doc_id", "text", "lang")
+    val neu = Seq(
+      (1L, "same", "en"), (2L, "edited v2", "en"),
+      (4L, "fresh", "fr"), (5L, "", "en"))
+      .toDF("doc_id", "text", "lang")
+    val d = Versioning.snapshotDiff(old, neu, "doc_id", Seq("text", "lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // null text and empty text must NOT fingerprint alike (doc 5)
+    assert(d == Map(2L -> "changed", 3L -> "removed", 4L -> "added",
+      5L -> "changed"))
+    val s = Versioning.diffSummary(old, neu, "doc_id", Seq("text", "lang"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s == Map("added" -> 1L, "removed" -> 1L, "changed" -> 2L,
+      "unchanged" -> 1L))
+    // the diff plan shuffles (key, fp) projections, never the wide columns
+    val plan = Versioning.snapshotDiff(
+      Tables.load(spark, sf, "documents"),
+      Tables.load(spark, sf, "documents"), "doc_id",
+      Seq("text", "lang", "source", "n_chars"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("text#") ||
+      !"Exchange[^\\n]*text#".r.findFirstIn(plan).isDefined,
+      "wide text column must not appear in an exchange")
   }
 
   test("bucketized tables join co-located: zero exchange on either side") {
