@@ -543,7 +543,11 @@ object SparkEntry {
     val o = Tables.load(s, dir, "orders")
       .where(col("o_totalprice") > 150000)
       .select(col("o_orderkey").as("l_orderkey"))
-    graft.ops.Joins.bloomSemiJoin(l, o, "l_orderkey")
+    // forceBloom: at this scale the stats lever would (rightly) skip the
+    // Bloom pass for the broadcast join — pin it on so the query times the
+    // operator's real big-dim machinery, ns32's pattern
+    graft.ops.Joins.bloomSemiJoin(l, o, "l_orderkey",
+        forceBloom = Some(true))
       .orderBy("l_orderkey", "l_linenumber")
   }
 

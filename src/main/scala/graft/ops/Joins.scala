@@ -153,33 +153,52 @@ object Joins {
     * ~fp% stragglers) pay the exact join's exchange. When `dim` itself
     * broadcasts, skip this — the exact broadcast join is already one
     * pass; Spark's own runtime bloom (`runtime.bloomFilter`) does the
-    * same trick adaptively, but only where IT decides, with a
-    * non-portable hash; this one is explicit and engine-reproducible
-    * (the oracle replays the plain semi-join, which the Bloom pass must
-    * equal row-for-row).
+    * same trick adaptively, but only where IT decides; this one is
+    * explicit.
     *
     * False positives only COST (they ride to the exact join and die
     * there); they can never appear in the output. False negatives cannot
-    * happen: a present key has all its bits set by construction. */
+    * happen: a present key has all its bits set by construction.
+    *
+    * Bit positions hash with Spark's codegen'd `xxhash64`, NOT the
+    * md5-60 device the sketch family uses: the Bloom pass is
+    * answer-invisible (the oracle replays the plain semi-join), so
+    * cross-engine hash reproducibility buys nothing here — and md5's
+    * hex-string detour costs ~4× in the per-fact-row probe path, the one
+    * place this operator lives. */
   def bloomSemiJoin(
       fact: DataFrame,
       dim: DataFrame,
       key: String,
       numBits: Int = 1 << 20,
-      numHashes: Int = 3): DataFrame = {
+      numHashes: Int = 3,
+      forceBloom: Option[Boolean] = None): DataFrame = {
     require(numBits >= 2, "numBits must be >= 2")
     require(numHashes >= 1 && numHashes <= 8,
       s"numHashes must be in [1,8], got $numHashes")
+    // stats lever (the Dedup.benchmarkFitsBroadcast pattern): when the dim
+    // side fits Catalyst's broadcast threshold the exact join is already
+    // one broadcast pass and the Bloom pre-filter is pure overhead — skip
+    // it unless the caller pins the decision
+    val useBloom = forceBloom.getOrElse(
+      dim.queryExecution.optimizedPlan.stats.sizeInBytes >
+        fact.sparkSession.sessionState.conf.autoBroadcastJoinThreshold)
+    if (!useBloom)
+      return fact.join(dim.select(col(key)).distinct(), Seq(key), "left_semi")
     def position(h: Int) =
-      pmod(Sampling.hash60Col(
-        concat_ws(":", lit(h), col(key).cast("string"))), lit(numBits.toLong))
+      pmod(xxhash64(lit(h), col(key)), lit(numBits.toLong))
+    // materialize the bit-set ONCE: it feeds numHashes broadcasts, and
+    // without the checkpoint each broadcast re-executes the whole
+    // dim-scan union + distinct (numHashes² dim scans in total)
     val bits = (0 until numHashes)
       .map(h => dim.where(col(key).isNotNull)
         .select(position(h).as("_bloom_bit")))
       .reduce(_.union(_))
       .distinct()
+      .localCheckpoint(true)
     // one broadcast-hash membership probe per hash function; a fact row
     // must survive all of them (Bloom AND-semantics), so the probes chain
+    // into a single fact-scan pipeline — the fact side never shuffles
     val thinned = (0 until numHashes).foldLeft(fact) { (f, h) =>
       f.join(broadcast(bits), position(h) === col("_bloom_bit"), "left_semi")
     }

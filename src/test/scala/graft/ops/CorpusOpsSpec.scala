@@ -725,14 +725,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     val o = Tables.load(spark, sf, "orders")
       .where(col("o_totalprice") > 150000)
       .select(col("o_orderkey").as("l_orderkey"))
-    val bloom = Joins.bloomSemiJoin(l, o, "l_orderkey")
+    val bloom = Joins.bloomSemiJoin(l, o, "l_orderkey",
+        forceBloom = Some(true))
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     val plain = l.join(o, Seq("l_orderkey"), "left_semi")
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(bloom == plain && bloom.nonEmpty)
     // an empty dim side keeps nothing (no bits set -> every probe fails)
-    assert(Joins.bloomSemiJoin(l, o.where(lit(false)), "l_orderkey")
-      .count() == 0)
+    assert(Joins.bloomSemiJoin(l, o.where(lit(false)), "l_orderkey",
+      forceBloom = Some(true)).count() == 0)
+    // the stats lever: a dim that fits the broadcast threshold skips the
+    // Bloom machinery entirely — one exact join, no probe chain
+    val auto = Joins.bloomSemiJoin(l, o, "l_orderkey")
+    val joins = "Join LeftSemi".r
+      .findAllIn(auto.queryExecution.optimizedPlan.toString).size
+    assert(joins == 1, s"expected the plain join under the lever, got $joins")
   }
 
   // ---- Versioning.snapshotDiff ----------------------------------------------
