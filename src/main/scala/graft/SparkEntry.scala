@@ -1506,18 +1506,19 @@ object SparkEntry {
     "ns51_tokenize_bpe" -> graft.ops.Bpe.oracleSql(graft.ops.Bpe.default),
     "ns53_pack_bpe" ->
       graft.ops.Bpe.oraclePackSql(graft.ops.Bpe.default, tokenBudget = 512),
-    // ns54 replays the whole count-min table (4 salted md5 rows × 256
-    // buckets) and the min-over-rows estimate — approximate counts,
-    // exactly reproduced.
+    // ns54 replays the whole count-min table (one md5-60 per occurrence,
+    // 4 rows derived by the (a·h + b) mod p mod w affine family) and the
+    // min-over-rows estimate — approximate counts, exactly reproduced.
     "ns54_heavy_hitters_cms" ->
       ("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE text IS NOT NULL),
-         |tt AS (SELECT token FROM t WHERE token <> ''),
-         |cms AS (SELECT i, ('0x' || substr(md5(i::VARCHAR || ':' || token), 1, 15))::BIGINT % 256 AS bucket, count(*) AS cnt
+         |tt AS (SELECT token, ('0x' || substr(md5(token), 1, 15))::BIGINT % 2147483647 AS hp FROM t WHERE token <> ''),
+         |cms AS (SELECT i, (((1103515245 * (i + 1)) % 2147483647) * hp + (12345 * (i + 1)) % 2147483647) % 2147483647 % 256 AS bucket, count(*) AS cnt
          |  FROM tt CROSS JOIN range(4) r(i) GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT token FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE doc_id < 10) WHERE token <> ''),
+         |cand AS (SELECT DISTINCT token, ('0x' || substr(md5(token), 1, 15))::BIGINT % 2147483647 AS hp
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE doc_id < 10) WHERE token <> ''),
          |est AS (SELECT c.token, min(coalesce(cms.cnt, 0)) AS cms_count
          |  FROM cand c CROSS JOIN range(4) r(i)
-         |  LEFT JOIN cms ON cms.i = r.i AND cms.bucket = ('0x' || substr(md5(r.i::VARCHAR || ':' || c.token), 1, 15))::BIGINT % 256
+         |  LEFT JOIN cms ON cms.i = r.i AND cms.bucket = (((1103515245 * (r.i + 1)) % 2147483647) * c.hp + (12345 * (r.i + 1)) % 2147483647) % 2147483647 % 256
          |  GROUP BY c.token)
          |SELECT token, cms_count FROM est WHERE cms_count >= 200
          |ORDER BY cms_count DESC, token""".stripMargin),
