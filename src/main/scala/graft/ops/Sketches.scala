@@ -105,15 +105,25 @@ object Sketches {
     * δ ≈ e^−depth — the standard CMS guarantee. */
   def cmsBuild(
       df: DataFrame, valueCol: String,
-      depth: Int = 4, width: Int = 256): DataFrame = {
+      depth: Int = 4, width: Int = 256): DataFrame =
+    cmsCells(df, valueCol, depth, width)
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The per-occurrence (row, bucket) cell stream behind [[cmsBuild]] —
+    * shared with [[graft.streaming.StreamingSketches.cmsStream]], where
+    * the same projection feeds a STREAMING aggregation instead (the
+    * running sketch is exactly the aggregation state). Pure deterministic
+    * expressions, so it is streaming-safe. */
+  private[graft] def cmsCells(
+      df: DataFrame, valueCol: String,
+      depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
     require(width >= 2, s"width must be >= 2, got $width")
     df.where(col(valueCol).isNotNull)
       .select(Sampling.hash60Col(col(valueCol).cast("string")).as("_cms_h"))
       .withColumn("row", explode(lit((0 until depth).toArray)))
       .select(col("row"), cmsBucket(col("_cms_h"), col("row"), width))
-      .groupBy(col("row"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
   }
 
   // One md5 per occurrence; the depth buckets derive from that single

@@ -52,4 +52,24 @@ object StreamingSketches {
       }
       .toDF(groupCol, "n_registers", "hll_estimate")
   }
+
+  /** Continuous frequency sketching — the streaming face of
+    * [[graft.ops.Sketches.cmsBuild]]. Where HLL registers merge by max,
+    * CMS cells merge by SUM, which makes the streaming twin a plain
+    * STREAMING AGGREGATION: the same per-occurrence (row, bucket) cell
+    * projection feeds `groupBy(row, bucket).count()`, and Spark's
+    * aggregation state IS the sketch — at most depth × width counters,
+    * forever, no watermark, no custom state function. Update output mode:
+    * each trigger re-emits the cells that changed; the latest value per
+    * cell equals the batch [[graft.ops.Sketches.cmsBuild]] over the same
+    * stream prefix (spec-pinned), so [[graft.ops.Sketches.cmsEstimate]]
+    * serves candidate frequencies off the running sketch between
+    * triggers. */
+  def cmsStream(
+      rows: DataFrame, valueCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame =
+    Sketches.cmsCells(rows, valueCol, depth, width)
+      .groupBy(col("row"), col("bucket"))
+      .count()
+      .withColumnRenamed("count", "cnt")
 }

@@ -148,7 +148,8 @@ object ScaleProof {
     // ---- query family ----------------------------------------------------
     val standard = Seq("ns2_dedup_minhash",
       "ns16_dedup_survivors", "ns18_dedup_index_update", "ns40_dedup_spans",
-      "ns41_layout_pruned", "ns47_source_overlap", "ns50_join_bucketed")
+      "ns41_layout_pruned", "ns47_source_overlap", "ns50_join_bucketed",
+      "ns54_heavy_hitters_cms", "ns56_snapshot_diff", "ns57_quantile_bins")
     def ns37Scaled(dir: String): DataFrame = {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
       val n = e.count()
@@ -165,6 +166,25 @@ object ScaleProof {
     def ns4Capped(dir: String): DataFrame =
       graft.ops.Dedup.ngramJaccard(
         spark.read.parquet(s"$dir/documents.parquet"), maxDocFreq = 256)
+    // ns55 scales its bit space with the dim side (numBits = next pow2 ≥
+    // 8 × keys, ~1.5% fp): at fixed 2^20 bits a 100× dim SATURATES the
+    // filter — every probe passes and the pre-filter silently becomes
+    // pure overhead. Same deployment-knob rule as ns37's quantizer and
+    // ns4's stop-gram cap. The bit-set stays rows-of-longs: set positions
+    // ≤ hashes × keys, far under the raw key+payload broadcast it stands
+    // in for.
+    def ns55Scaled(dir: String): DataFrame = {
+      val l = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_totalprice") > 150000)
+        .select(col("o_orderkey").as("l_orderkey"))
+      val keys = o.count()
+      val numBits = java.lang.Long
+        .highestOneBit(math.max(1L << 20, 8 * keys) * 2 - 1).toInt
+      graft.ops.Joins.bloomSemiJoin(l, o, "l_orderkey",
+        numBits = numBits, forceBloom = Some(true))
+    }
 
     case class Obs(rows: Long, sec: Double, shW: Long, shR: Long,
       memSp: Long, dskSp: Long, maxStW: Long)
@@ -188,7 +208,8 @@ object ScaleProof {
       standard.map(n =>
         n -> ((d: String) => graft.SparkEntry.queries(n)(spark, d))) ++
         Seq("ns4_ngram_capped" -> (ns4Capped _),
-          "ns37_semantic_scaledC" -> (ns37Scaled _))
+          "ns37_semantic_scaledC" -> (ns37Scaled _),
+          "ns55_bloom_scaledBits" -> (ns55Scaled _))
     // SPARK_GRAFT_SCALE_ONLY=name,name isolates entries for iteration
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)

@@ -56,6 +56,44 @@ class StreamingSketchesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("running CMS cells equal the batch sketch after every trigger") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val toks = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("token"))
+      .where(org.apache.spark.sql.functions.col("token") =!= "")
+      .as[String].collect().toSeq
+    val (tick1, tick2) = toks.splitAt(toks.length / 2)
+    def batchCells(rows: Seq[String]): Map[(Int, Long), Long] =
+      Sketches.cmsBuild(rows.toDF("token"), "token")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val in = MemoryStream[String]
+    val q = StreamingSketches
+      .cmsStream(in.toDF().toDF("token"), "token")
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("update").start()
+    def latestCells(): Map[(Int, Long), Long] =
+      spark.table("cms_out").collect().zipWithIndex
+        .groupBy(r => (r._1.getInt(0), r._1.getLong(1)))
+        // update-mode memory sink appends refreshed rows; last emit wins
+        .map { case (cell, rs) => cell -> rs.maxBy(_._2)._1.getLong(2) }
+    try {
+      in.addData(tick1)
+      q.processAllAvailable()
+      assert(latestCells() == batchCells(tick1))
+      in.addData(tick2)
+      q.processAllAvailable()
+      // sum-merge: the running sketch after both ticks IS the batch sketch
+      // over the whole stream — and the state is at most depth×width cells
+      val cells = latestCells()
+      assert(cells == batchCells(toks))
+      assert(cells.size <= 4 * 256)
+    } finally q.stop()
+  }
+
   test("hash60's arithmetic extraction equals the hex-prefix definition") {
     Seq("", "a", "hello world", "日本語テキスト", "x" * 1000,
       "café naïve").foreach { s =>
