@@ -185,8 +185,12 @@ object Joins {
         fact.sparkSession.sessionState.conf.autoBroadcastJoinThreshold)
     if (!useBloom)
       return fact.join(dim.select(col(key)).distinct(), Seq(key), "left_semi")
+    // the key is hashed through a string cast so a fact/dim TYPE mismatch
+    // (int32 fact key vs int64 dim key) cannot hash the same value to
+    // different positions — xxhash64 is type-sensitive, and a silent
+    // false negative would break the exact-join-equality contract
     def position(h: Int) =
-      pmod(xxhash64(lit(h), col(key)), lit(numBits.toLong))
+      pmod(xxhash64(lit(h), col(key).cast("string")), lit(numBits.toLong))
     // materialize the bit-set ONCE: it feeds numHashes broadcasts, and
     // without the checkpoint each broadcast re-executes the whole
     // dim-scan union + distinct (numHashes² dim scans in total)

@@ -160,13 +160,15 @@ object Layout {
     val dirtySet = dirtyDirs.toSet
     def dirOf(rel: String) =
       if (rel.contains('/')) rel.substring(0, rel.lastIndexOf('/')) else ""
-    val rebuiltFiles = dataFiles(fs, root)
-      .filter(rel => dirtySet.contains(dirOf(rel)))
+    // one post-rebuild listing serves both the manifest derivation and the
+    // report — a recursive LIST is the dominant metadata cost on an
+    // object store, so don't do it twice
+    val after = dataFiles(fs, root)
+    val rebuiltFiles = after.filter(rel => dirtySet.contains(dirOf(rel)))
     val newManifest =
       (manifest.filterNot(rel => dirtySet.contains(dirOf(rel))).toSeq ++
         rebuiltFiles).sorted
     IndexSidecar.write(spark, manifestPath(root), newManifest.mkString("\n"))
-    val after = dataFiles(fs, root)
     CompactReport(dirtyDirs.size, before.size, after.size)
   }
 
@@ -185,15 +187,32 @@ object Layout {
 
   private def readMeta(spark: SparkSession, path: String): LayoutMeta = {
     val root = new org.apache.hadoop.fs.Path(path)
-    val text = IndexSidecar.read(spark, metaPath(root))
-    def list(tag: String): Seq[String] =
-      text.linesIterator.find(_.startsWith(tag + US))
-        .map(_.split(US, -1).drop(1).filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (partitionCols, clusterCols) =
+      if (fs.exists(metaPath(root))) {
+        val text = IndexSidecar.read(spark, metaPath(root))
+        def list(tag: String): Seq[String] =
+          text.linesIterator.find(_.startsWith(tag + US))
+            .map(_.split(US, -1).drop(1).filter(_.nonEmpty).toSeq)
+            .getOrElse(Nil)
+        (list("p"), list("c"))
+      } else {
+        // layouts stamped before the sidecar format change carry
+        // _layout_meta.json — readable forever, re-stamped as .txt on the
+        // next optimize/compact of the layout
+        val text = IndexSidecar.read(spark, legacyMetaPath(root))
+        def list(key: String): Seq[String] = {
+          val re = ("\"" + key + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
+          re.findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+            .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            .filter(_.nonEmpty).toSeq
+        }
+        (list("partition_cols"), list("cluster_cols"))
+      }
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(IndexSidecar.read(spark, schemaPath(root)))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    LayoutMeta(list("p"), list("c"), schema)
+    LayoutMeta(partitionCols, clusterCols, schema)
   }
 
   /** Data files under `root`, as sorted root-relative paths (markers and
@@ -221,6 +240,9 @@ object Layout {
 
   private def metaPath(dir: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(dir, "_layout_meta.txt")
+
+  private def legacyMetaPath(dir: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dir, "_layout_meta.json")
 
   private def manifestPath(dir: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(dir, "_layout_manifest.txt")

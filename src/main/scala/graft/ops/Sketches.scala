@@ -201,8 +201,14 @@ object Sketches {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     import org.apache.spark.sql.expressions.Window
     val gs = groupCols.map(col)
+    // FLOOR division (the rangeJoin pmod device), not DIV's truncation:
+    // DIV would collapse (-binWidth, 0) and [0, binWidth) into one bin 0
+    // for signed values, breaking the lower-edge / error ≤ binWidth
+    // contract (and diverging from floor-division oracles)
     val bins = df.where(col(valueCol).isNotNull)
-      .select(gs :+ expr(s"CAST(`$valueCol` AS BIGINT) DIV $binWidth")
+      .select(gs :+ expr(
+        s"(CAST(`$valueCol` AS BIGINT) - pmod(CAST(`$valueCol` AS BIGINT), " +
+          s"${binWidth}L)) DIV ${binWidth}L")
         .as("_qb_bin"): _*)
       .groupBy(gs :+ col("_qb_bin"): _*)
       .agg(count(lit(1)).as("_qb_cnt"))

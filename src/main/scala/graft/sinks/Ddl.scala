@@ -608,9 +608,13 @@ object Ddl {
         if (!rs.next()) None
         else {
           val ddl = rs.getString(2)
-          val ix = ddl.toUpperCase.indexOf("PARTITION BY")
-          if (ix < 0) None
-          else Some(ddl.substring(ix).trim.stripSuffix("*/").trim)
+          // case-insensitive match on the ORIGINAL string (an uppercased
+          // copy can change length — ß→SS — and mis-index the slice), and
+          // the LAST occurrence: the partition clause trails the table
+          // body, so an earlier match is a column comment mentioning
+          // "partition by", not the clause
+          "(?i)PARTITION BY".r.findAllMatchIn(ddl).toSeq.lastOption
+            .map(m => ddl.substring(m.start).trim.stripSuffix("*/").trim)
         }
       } finally rs.close()
     } catch {

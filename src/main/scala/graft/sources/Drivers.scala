@@ -78,19 +78,40 @@ object Drivers {
     * (Derby folds up, Postgres folds down), whereas quoting would pin the
     * caller's exact spelling and break `bulk_t`-style lookups. */
   def quoteTableIfNeeded(url: String, table: String): String = {
-    // A PRE-QUOTED name (wrapped in the dialect's own quote char) passes
-    // through verbatim: the caller has taken responsibility for quoting,
-    // and re-splitting would mangle a quoted identifier that contains a
-    // literal dot ("My.Table"). A name that merely CONTAINS a quote char
-    // somewhere inside is NOT pre-quoted — it is a hostile/unlucky raw
-    // name and must go through escaping like any other. Unquoted names
-    // with a dot are treated as schema-qualified and quote per SEGMENT —
-    // quoting the whole string would make "public.OrderItems" one
-    // identifier with a dot in it. A SINGLE identifier whose NAME contains
-    // a dot must be passed pre-quoted (or via [[quoteIdentIfNeeded]]).
+    // Quote-aware segmentation: the name splits into schema-qualification
+    // segments on dots OUTSIDE the dialect's quote char, then each
+    // segment that arrives PRE-QUOTED (wrapped in that quote char) passes
+    // through verbatim — the caller took responsibility for it, and
+    // re-escaping would mangle it — while unquoted segments quote by the
+    // mixed-case rule. This keeps every prior contract at once:
+    // "public.OrderItems" quotes per segment, '"My.Table"' stays one
+    // identifier (the dot is inside quotes), '"My Schema".tbl' keeps its
+    // quoted half verbatim and leaves tbl folded, and a RAW name with an
+    // embedded quote char (not wrapped — so not pre-quoted) is escaped
+    // rather than emitted as an injection surface. A single UNQUOTED
+    // identifier whose name contains a dot must be passed pre-quoted (or
+    // via [[quoteIdentIfNeeded]]).
     val q = quoteChar(url)
-    if (table.length >= 2 && table.head == q && table.last == q) table
-    else table.split('.').map(quoteIdentIfNeeded(url, _)).mkString(".")
+    splitQualified(table, q).map { seg =>
+      if (seg.length >= 2 && seg.head == q && seg.last == q) seg
+      else quoteIdentIfNeeded(url, seg)
+    }.mkString(".")
+  }
+
+  /** Split a possibly-qualified name on dots that sit OUTSIDE `q`-quoted
+    * runs. Doubled quote chars inside a quoted run (the escape form) stay
+    * inside it. */
+  private def splitQualified(name: String, q: Char): Seq[String] = {
+    val segs = collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    name.foreach {
+      case c if c == q => inQuote = !inQuote; cur += c
+      case '.' if !inQuote => segs += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    segs += cur.result()
+    segs.toSeq
   }
 
   /** Quote ONE identifier (never splits on dots) — for callers that know

@@ -180,8 +180,9 @@ object ScaleProof {
         .where(col("o_totalprice") > 150000)
         .select(col("o_orderkey").as("l_orderkey"))
       val keys = o.count()
-      val numBits = java.lang.Long
-        .highestOneBit(math.max(1L << 20, 8 * keys) * 2 - 1).toInt
+      // clamp below 2^30: next-pow2 of a ≥2^27-key dim would overflow Int
+      val numBits = math.min(1L << 30, java.lang.Long
+        .highestOneBit(math.max(1L << 20, 8 * keys) * 2 - 1)).toInt
       graft.ops.Joins.bloomSemiJoin(l, o, "l_orderkey",
         numBits = numBits, forceBloom = Some(true))
     }

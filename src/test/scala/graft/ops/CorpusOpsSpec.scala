@@ -715,6 +715,12 @@ class CorpusOpsSpec extends AnyFunSuite {
     val r = Sketches.quantileBins(withNulls, "n_chars", Seq("lang"), Seq(1.0))
       .collect()
     assert(r.length == 1 && r.head.getLong(2) == (200L / 16) * 16)
+    // signed values bin by FLOOR division: (-16,0) is its own bin, so the
+    // lower-edge contract holds on negative domains too
+    val signed = Seq(("g", -15L), ("g", -1L), ("g", 5L)).toDF("lang", "v")
+    val sr = Sketches.quantileBins(signed, "v", Seq("lang"), Seq(0.5))
+      .collect()
+    assert(sr.head.getLong(2) == -16L, sr.mkString(","))
   }
 
   // ---- Joins.bloomSemiJoin --------------------------------------------------
@@ -740,6 +746,13 @@ class CorpusOpsSpec extends AnyFunSuite {
     val joins = "Join LeftSemi".r
       .findAllIn(auto.queryExecution.optimizedPlan.toString).size
     assert(joins == 1, s"expected the plain join under the lever, got $joins")
+    // a fact/dim key TYPE mismatch must not produce false negatives (the
+    // probe hash normalizes through a string cast)
+    val intFact = l.withColumn("l_orderkey", col("l_orderkey").cast("int"))
+    val mixed = Joins.bloomSemiJoin(intFact, o, "l_orderkey",
+        forceBloom = Some(true))
+      .collect().map(r => (r.getInt(0).toLong, r.getInt(1))).toSet
+    assert(mixed == plain)
   }
 
   // ---- Versioning.snapshotDiff ----------------------------------------------

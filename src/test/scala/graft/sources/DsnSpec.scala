@@ -145,6 +145,15 @@ class DsnSpec extends AnyFunSuite {
       "My.Table") == "\"My.Table\"")
     assert(Drivers.quoteIdentIfNeeded("jdbc:mysql://h/db",
       "My.Table") == "`My.Table`")
+    // PARTIALLY-quoted qualified names: the pre-quoted segment passes
+    // verbatim, the rest follows the normal rules
+    assert(Drivers.quoteTableIfNeeded("jdbc:postgresql://h/db",
+      "\"My Schema\".tbl") == "\"My Schema\".tbl")
+    assert(Drivers.quoteTableIfNeeded("jdbc:postgresql://h/db",
+      "sch.\"My.Table\"") == "sch.\"My.Table\"")
+    // a raw (unwrapped) embedded quote is escaped, not emitted verbatim
+    assert(Drivers.quoteTableIfNeeded("jdbc:postgresql://h/db",
+      "A\"b") == "\"A\"\"b\"")
   }
 
   test("catalog listing and read through a file:// DSN (S3/S4/S1)") {
