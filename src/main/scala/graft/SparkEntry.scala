@@ -577,6 +577,28 @@ object SparkEntry {
     graft.ops.Sketches.quantileBins(docs(s, dir), "n_chars", Seq("lang"),
       Seq(0.5, 0.9, 0.99), binWidth = 16)
 
+  /** NS58 — Z-order layout: documents rewritten clustered on the
+    * INTERLEAVED bits of (n_chars, doc_id), so row-group skipping works
+    * on BOTH filter columns (ns41's lexicographic clustering serves only
+    * its leading column). The two-dimensional predicate reads the
+    * z-layout; the oracle reads the raw table — the rewrite must be
+    * answer-invisible, ns41's contract. */
+  private def ns58(s: SparkSession, dir: String): DataFrame = {
+    val fp = graft.ops.Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
+    val base = scratchIndexDir("graft_zorder", dir, fp)
+    val marker = new org.apache.hadoop.fs.Path(base, "_layout_schema.json")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      graft.ops.Layout.zorder(
+        docs(s, dir), base, Seq("n_chars", "doc_id"), numFiles = 16)
+    graft.ops.Layout.read(s, base)
+      .where(col("n_chars").between(150, 400) &&
+        col("doc_id").between(100, 300))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** NS52 — IVF-PQ with exact re-ranking: the ns35 ADC stage widened to
     * 4·k candidates, whose raw vectors alone are re-scored with exact
     * cosine (candidate-bounded corpus read, broadcast semi-join shape).
@@ -866,6 +888,7 @@ object SparkEntry {
     "ns55_join_bloom" -> (ns55 _),
     "ns56_snapshot_diff" -> (ns56 _),
     "ns57_quantile_bins" -> (ns57 _),
+    "ns58_layout_zorder" -> (ns58 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1545,6 +1568,13 @@ object SparkEntry {
          |FROM o FULL OUTER JOIN n USING (doc_id)
          |WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp
          |ORDER BY doc_id""".stripMargin),
+    // ns58 reads the RAW table (ns41's contract: a layout rewrite changes
+    // I/O, never answers).
+    "ns58_layout_zorder" ->
+      ("""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+         |FROM documents WHERE n_chars BETWEEN 150 AND 400
+         |AND doc_id BETWEEN 100 AND 300
+         |GROUP BY lang ORDER BY lang""".stripMargin),
     // ns57 replays the fixed-bin walk: cumulative bin counts, first bin
     // reaching ceil(q·n), lower edge — integer read-off, double q.
     "ns57_quantile_bins" ->

@@ -247,6 +247,68 @@ object Layout {
   private def manifestPath(dir: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(dir, "_layout_manifest.txt")
 
+  /** Z-ORDER clustered rewrite: files clustered on the INTERLEAVED bits
+    * of `zCols`, so row-group min/max skipping works on EVERY one of the
+    * columns, not just the leading one. [[optimize]]'s lexicographic
+    * range-clustering is perfect for its first cluster column and
+    * useless for the second (each file spans nearly the full domain of
+    * every non-leading column); Z-ordering trades a little locality on
+    * the first column for bounded spans on ALL of them — the standard
+    * multi-dimension data-skipping layout (Delta's Z-ORDER BY). Worth it
+    * exactly when queries filter on different columns at different
+    * times; single-filter-column tables should keep [[optimize]].
+    *
+    * Mechanics: each column quantizes to `bits` levels between its
+    * global min and max (ONE driver-side agg of 2 scalars per column —
+    * never data-sized), the quantized values interleave bit-by-bit into
+    * one z-value, and the write range-partitions + sorts on that z-value
+    * (then drops it — parquet stats on the REAL columns are what the
+    * reader skips with, so quantization error can only cost locality,
+    * never correctness). Same temp+rename publish and schema sidecar as
+    * [[optimize]]; [[read]] works unchanged. NULLs quantize to 0 (they
+    * cluster with the minimum). */
+  def zorder(
+      df: DataFrame, path: String, zCols: Seq[String],
+      bits: Int = 16, numFiles: Int = 0): Unit = {
+    require(zCols.size >= 2,
+      "zorder needs at least two columns — use optimize for one")
+    require(bits >= 1 && bits * zCols.size <= 63,
+      s"bits × columns must fit a long, got $bits × ${zCols.size}")
+    require(!df.columns.contains("_z"),
+      "input must not contain a '_z' column (reserved)")
+    val spark = df.sparkSession
+    val d = zCols.size
+    // one action: global [min, max] per z column
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val ranges = df.agg(aggs.head, aggs.tail: _*).head()
+    val levels = (1L << bits) - 1
+    val quantized = zCols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (ranges.getDouble(2 * i), ranges.getDouble(2 * i + 1))
+      val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
+      least(lit(levels), greatest(lit(0L),
+        ((coalesce(col(c).cast("double"), lit(lo)) - lit(lo))
+          / lit(span) * lit(levels.toDouble)).cast("long")))
+    }
+    val z = (0 until bits).flatMap { j =>
+      quantized.zipWithIndex.map { case (q, c) =>
+        shiftleft(shiftright(q, j).bitwiseAND(lit(1L)), j * d + c)
+      }
+    }.reduce(_.bitwiseOR(_))
+    val n = if (numFiles > 0) numFiles
+      else spark.sessionState.conf.numShufflePartitions
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = IndexSidecar.stagingFor(dest)
+    df.withColumn("_z", z)
+      .repartitionByRange(n, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(tmp.toString)
+    IndexSidecar.write(spark, schemaPath(tmp), df.schema.json)
+    IndexSidecar.publish(fs, tmp, dest)
+  }
+
   /** Write `df` as a BUCKETED table: rows hash-distributed into
     * `numBuckets` files by `bucketCols` (and sorted within each bucket by
     * `sortCols`), registered as `table` with the data at `path`. Bucketing

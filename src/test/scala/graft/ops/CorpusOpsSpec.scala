@@ -519,6 +519,58 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("zorder clusters BOTH dimensions; lexicographic clustering only the first") {
+    import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
+    val docs = Tables.load(spark, sf, "documents")
+    val zPath = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_spec_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val lexPath = zPath + "_lex"
+    try {
+      Layout.zorder(docs, zPath, Seq("n_chars", "doc_id"), numFiles = 8)
+      Layout.optimize(docs, lexPath, Seq.empty, Seq("n_chars", "doc_id"),
+        numFiles = 8)
+      // lossless rewrite
+      val back = Layout.read(spark, zPath)
+      assert(back.count() == docs.count())
+      assert(back.columns.sorted.toSeq == docs.columns.sorted.toSeq)
+      // both range predicates reach the parquet reader
+      val q = back.where(col("n_chars") >= 150 && col("doc_id") >= 100)
+      val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+      assert(scan.contains("GreaterThanOrEqual(n_chars,150)"), scan.take(800))
+      // the PushedFilters list renders truncated; DataFilters carries the
+      // full pushed predicate set
+      assert("\\(doc_id#\\d+L? >= 100\\)".r.findFirstIn(scan).isDefined,
+        scan.take(800))
+      // mean per-file span fraction of each dimension: z-order bounds BOTH;
+      // lexicographic clustering leaves the trailing column near-global
+      def spanFrac(path: String, c: String): Double = {
+        val global = docs.agg(fmin(col(c)), fmax(col(c))).head()
+        val span = (global.getLong(1) - global.getLong(0)).toDouble
+        val perFile = Layout.read(spark, path)
+          .groupBy(input_file_name()).agg(fmin(col(c)), fmax(col(c)))
+          .collect().map(r => (r.getLong(2) - r.getLong(1)) / span)
+        perFile.sum / perFile.length
+      }
+      val zChars = spanFrac(zPath, "n_chars")
+      val zIds = spanFrac(zPath, "doc_id")
+      val lexIds = spanFrac(lexPath, "doc_id")
+      assert(zChars < 0.6, s"z-order n_chars span $zChars")
+      assert(zIds < 0.6, s"z-order doc_id span $zIds")
+      assert(lexIds > 0.8,
+        s"lexicographic trailing-column span $lexIds should be near-global")
+      intercept[IllegalArgumentException] {
+        Layout.zorder(docs, zPath, Seq("n_chars")) // one column -> optimize
+      }
+      intercept[IllegalArgumentException] {
+        Layout.zorder(docs.withColumn("_z", col("doc_id")), zPath,
+          Seq("n_chars", "doc_id"))
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(zPath))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lexPath))
+    }
+  }
+
   // ---- Joins.rangeJoin ------------------------------------------------------
 
   test("rangeJoin matches the plain theta join, half-open bounds, multi-bucket spans") {
