@@ -273,6 +273,20 @@ object SparkEntry {
     s"${System.getProperty("java.io.tmpdir")}/${prefix}_$key"
   }
 
+  /** Build-once probe for a bench-local documents layout (ns41/ns58): the
+    * schema sidecar is the artifact [[graft.ops.Layout.read]] requires, so
+    * its absence — a missing or older-format layout — triggers `build`.
+    * Returns the fingerprint-keyed layout path. */
+  private def cachedDocsLayout(s: SparkSession, prefix: String, dir: String)(
+      build: String => Unit): String = {
+    val fp = graft.ops.Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
+    val base = scratchIndexDir(prefix, dir, fp)
+    val marker = new org.apache.hadoop.fs.Path(base, "_layout_schema.json")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) build(base)
+    base
+  }
+
   /** NS19 — ns15's curation composition for a non-English target: German
     * docs, quality scored against the GERMAN stopword vocabulary (the
     * stopword-ratio feature follows the target language;
@@ -584,13 +598,9 @@ object SparkEntry {
     * z-layout; the oracle reads the raw table — the rewrite must be
     * answer-invisible, ns41's contract. */
   private def ns58(s: SparkSession, dir: String): DataFrame = {
-    val fp = graft.ops.Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
-    val base = scratchIndexDir("graft_zorder", dir, fp)
-    val marker = new org.apache.hadoop.fs.Path(base, "_layout_schema.json")
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker))
+    val base = cachedDocsLayout(s, "graft_zorder", dir)(p =>
       graft.ops.Layout.zorder(
-        docs(s, dir), base, Seq("n_chars", "doc_id"), numFiles = 16)
+        docs(s, dir), p, Seq("n_chars", "doc_id"), numFiles = 16))
     graft.ops.Layout.read(s, base)
       .where(col("n_chars").between(150, 400) &&
         col("doc_id").between(100, 300))
@@ -661,15 +671,9 @@ object SparkEntry {
     * (both pinned in CorpusOpsSpec). Layout is scratch-cached per content
     * fingerprint, same staleness contract as the indexes. */
   private def ns41(s: SparkSession, dir: String): DataFrame = {
-    val fp = graft.ops.Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
-    val base = scratchIndexDir("graft_layout", dir, fp)
-    // probe for the schema sidecar — the artifact the reader requires —
-    // so a layout written by an older format rebuilds instead of failing
-    val marker = new org.apache.hadoop.fs.Path(base, "_layout_schema.json")
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker))
+    val base = cachedDocsLayout(s, "graft_layout", dir)(p =>
       graft.ops.Layout.optimize(
-        docs(s, dir), base, Seq("lang"), Seq("n_chars"))
+        docs(s, dir), p, Seq("lang"), Seq("n_chars")))
     graft.ops.Layout.read(s, base)
       .where(col("lang") === "en" &&
         col("n_chars") >= 150 && col("n_chars") <= 400)

@@ -127,6 +127,15 @@ object Layout {
       s"[layout] ignoring stray root file $f (not append-written)"))
     if (stragglers.isEmpty)
       return CompactReport(0, before.size, before.size)
+    if (meta.zCols.nonEmpty) {
+      // Z-ordered layout: the only correct re-cluster is the Z-ORDER
+      // rewrite itself (a lexicographic optimize would destroy the
+      // interleaving while leaving the sidecars claiming it's intact)
+      zorder(read(spark, path), path, meta.zCols, meta.zBits,
+        numFiles = filesPerPartition)
+      val after = dataFiles(fs, root)
+      return CompactReport(1, before.size, after.size)
+    }
     if (meta.partitionCols.isEmpty) {
       optimize(read(spark, path), path, meta.partitionCols, meta.clusterCols,
         numFiles = filesPerPartition)
@@ -174,7 +183,8 @@ object Layout {
 
   private final case class LayoutMeta(
       partitionCols: Seq[String], clusterCols: Seq[String],
-      schema: org.apache.spark.sql.types.StructType)
+      schema: org.apache.spark.sql.types.StructType,
+      zCols: Seq[String] = Nil, zBits: Int = 0)
 
   // column lists are joined on the unit separator — the one character no
   // identifier contains — instead of hand-rolled (and hand-parsed) JSON;
@@ -182,20 +192,28 @@ object Layout {
   private val US = ""
 
   private def metaText(
-      partitionCols: Seq[String], clusterCols: Seq[String]): String =
-    s"p${US}${partitionCols.mkString(US)}\nc${US}${clusterCols.mkString(US)}\n"
+      partitionCols: Seq[String], clusterCols: Seq[String],
+      zCols: Seq[String] = Nil, zBits: Int = 0): String = {
+    val zLine =
+      if (zCols.isEmpty) "" else s"z${US}$zBits${US}${zCols.mkString(US)}\n"
+    s"p${US}${partitionCols.mkString(US)}\nc${US}${clusterCols.mkString(US)}\n" +
+      zLine
+  }
 
   private def readMeta(spark: SparkSession, path: String): LayoutMeta = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (partitionCols, clusterCols) =
+    val (partitionCols, clusterCols, zCols, zBits) =
       if (fs.exists(metaPath(root))) {
         val text = IndexSidecar.read(spark, metaPath(root))
         def list(tag: String): Seq[String] =
           text.linesIterator.find(_.startsWith(tag + US))
             .map(_.split(US, -1).drop(1).filter(_.nonEmpty).toSeq)
             .getOrElse(Nil)
-        (list("p"), list("c"))
+        val z = list("z")
+        (list("p"), list("c"),
+          if (z.isEmpty) Nil else z.tail, // first z field is the bit count
+          if (z.isEmpty) 0 else z.head.toInt)
       } else {
         // layouts stamped before the sidecar format change carry
         // _layout_meta.json — readable forever, re-stamped as .txt on the
@@ -207,12 +225,13 @@ object Layout {
             .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
             .filter(_.nonEmpty).toSeq
         }
-        (list("partition_cols"), list("cluster_cols"))
+        (list("partition_cols"), list("cluster_cols"),
+          Seq.empty[String], 0)
       }
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(IndexSidecar.read(spark, schemaPath(root)))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    LayoutMeta(partitionCols, clusterCols, schema)
+    LayoutMeta(partitionCols, clusterCols, schema, zCols, zBits)
   }
 
   /** Data files under `root`, as sorted root-relative paths (markers and
@@ -278,16 +297,27 @@ object Layout {
       "input must not contain a '_z' column (reserved)")
     val spark = df.sparkSession
     val d = zCols.size
-    // one action: global [min, max] per z column
+    // one action: global [min, max] per z column (try_cast: under ANSI
+    // semantics a plain cast THROWS on a non-numeric column mid-job —
+    // null out instead so the require below names the offending column)
     val aggs = zCols.flatMap(c =>
-      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+      Seq(min(expr(s"try_cast(`$c` AS DOUBLE)")),
+        max(expr(s"try_cast(`$c` AS DOUBLE)"))))
     val ranges = df.agg(aggs.head, aggs.tail: _*).head()
+    zCols.zipWithIndex.foreach { case (c, i) =>
+      // null min/max = empty input, an all-NULL column, or a non-numeric
+      // column whose double cast nulls out — fail with the cause, not an
+      // NPE out of Row.getDouble
+      require(!ranges.isNullAt(2 * i),
+        s"zorder column '$c' has no numeric range (empty input, all-NULL, " +
+          "or non-numeric column)")
+    }
     val levels = (1L << bits) - 1
     val quantized = zCols.zipWithIndex.map { case (c, i) =>
       val (lo, hi) = (ranges.getDouble(2 * i), ranges.getDouble(2 * i + 1))
       val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
       least(lit(levels), greatest(lit(0L),
-        ((coalesce(col(c).cast("double"), lit(lo)) - lit(lo))
+        ((coalesce(expr(s"try_cast(`$c` AS DOUBLE)"), lit(lo)) - lit(lo))
           / lit(span) * lit(levels.toDouble)).cast("long")))
     }
     val z = (0 until bits).flatMap { j =>
@@ -306,6 +336,13 @@ object Layout {
       .drop("_z")
       .write.mode("overwrite").parquet(tmp.toString)
     IndexSidecar.write(spark, schemaPath(tmp), df.schema.json)
+    // z-aware meta + manifest: [[append]] works as-is (no partition dirs),
+    // and [[compact]] re-runs the Z-ORDER rewrite — a lexicographic
+    // re-cluster would silently destroy the interleaving
+    IndexSidecar.write(spark, metaPath(tmp),
+      metaText(Nil, Nil, zCols, bits))
+    IndexSidecar.write(spark, manifestPath(tmp),
+      dataFiles(fs, tmp).mkString("\n"))
     IndexSidecar.publish(fs, tmp, dest)
   }
 

@@ -565,6 +565,32 @@ class CorpusOpsSpec extends AnyFunSuite {
         Layout.zorder(docs.withColumn("_z", col("doc_id")), zPath,
           Seq("n_chars", "doc_id"))
       }
+      // degenerate inputs fail with the cause, not an NPE (empty frame /
+      // non-numeric column have no quantization range)
+      val eEmpty = intercept[IllegalArgumentException] {
+        Layout.zorder(docs.where(lit(false)), zPath + "_e",
+          Seq("n_chars", "doc_id"))
+      }
+      assert(eEmpty.getMessage.contains("no numeric range"))
+      val eStr = intercept[IllegalArgumentException] {
+        Layout.zorder(docs, zPath + "_s", Seq("lang", "doc_id"))
+      }
+      assert(eStr.getMessage.contains("no numeric range"))
+      // the append/compact lifecycle is z-aware: appended stragglers fold
+      // back via a Z-ORDER rewrite (never a lexicographic re-cluster),
+      // and reads stay value-identical
+      Layout.append(docs.withColumn("doc_id", col("doc_id") + 10000), zPath)
+      val expected = Layout.read(spark, zPath).orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+      val rep = Layout.compact(spark, zPath, filesPerPartition = 8)
+      assert(rep.dirtyPartitions == 1 && rep.filesAfter <= 8, rep)
+      assert(Layout.read(spark, zPath).orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq == expected)
+      // post-compact files are z-clustered again on BOTH dims (the
+      // doubled doc_id domain still bounds per-file spans)
+      assert(spanFrac(zPath, "n_chars") < 0.6)
+      assert(Layout.compact(spark, zPath, filesPerPartition = 8)
+        .dirtyPartitions == 0)
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(zPath))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lexPath))
