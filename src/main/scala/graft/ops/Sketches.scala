@@ -194,24 +194,46 @@ object Sketches {
     * matching lengthStats' contract. */
   def quantileBins(
       df: DataFrame, valueCol: String, groupCols: Seq[String],
-      qs: Seq[Double], binWidth: Long = 16): DataFrame = {
+      qs: Seq[Double], binWidth: Long = 16): DataFrame =
+    quantilesFromBins(
+      binCounts(df, valueCol, groupCols, binWidth)
+        .groupBy(groupCols.map(col) :+ col("_qb_bin"): _*)
+        .agg(count(lit(1)).as("_qb_cnt")),
+      groupCols, qs, binWidth)
+
+  /** The per-row (group, bin) projection behind [[quantileBins]] — shared
+    * with [[graft.streaming.StreamingSketches.quantileBinsStream]], where
+    * it feeds a streaming aggregation (the running bin counts are the
+    * aggregation state). FLOOR division (the rangeJoin pmod device), not
+    * DIV's truncation: DIV would collapse (-binWidth, 0) and
+    * [0, binWidth) into one bin 0 for signed values, breaking the
+    * lower-edge / error ≤ binWidth contract (and diverging from
+    * floor-division oracles). */
+  private[graft] def binCounts(
+      df: DataFrame, valueCol: String, groupCols: Seq[String],
+      binWidth: Long): DataFrame = {
     require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
-    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
-      s"quantiles must be in (0,1], got $qs")
     require(groupCols.nonEmpty, "groupCols must be non-empty")
-    import org.apache.spark.sql.expressions.Window
-    val gs = groupCols.map(col)
-    // FLOOR division (the rangeJoin pmod device), not DIV's truncation:
-    // DIV would collapse (-binWidth, 0) and [0, binWidth) into one bin 0
-    // for signed values, breaking the lower-edge / error ≤ binWidth
-    // contract (and diverging from floor-division oracles)
-    val bins = df.where(col(valueCol).isNotNull)
-      .select(gs :+ expr(
+    df.where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ expr(
         s"(CAST(`$valueCol` AS BIGINT) - pmod(CAST(`$valueCol` AS BIGINT), " +
           s"${binWidth}L)) DIV ${binWidth}L")
         .as("_qb_bin"): _*)
-      .groupBy(gs :+ col("_qb_bin"): _*)
-      .agg(count(lit(1)).as("_qb_cnt"))
+  }
+
+  /** Quantile read-off over a (group, `_qb_bin`, `_qb_cnt`) bin table —
+    * the other half of [[quantileBins]], public so the table can come
+    * from ANYWHERE counts accumulate: the batch build, a streaming
+    * aggregation's sink ([[graft.streaming.StreamingSketches
+    * .quantileBinsStream]]), or a sum-merge of per-shard/tick tables.
+    * Same walk, same lower-edge contract. */
+  def quantilesFromBins(
+      bins: DataFrame, groupCols: Seq[String],
+      qs: Seq[Double], binWidth: Long): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0,1], got $qs")
+    import org.apache.spark.sql.expressions.Window
+    val gs = groupCols.map(col)
     val w = Window.partitionBy(gs: _*).orderBy(col("_qb_bin"))
     bins
       .withColumn("_qb_cum", sum(col("_qb_cnt")).over(w))

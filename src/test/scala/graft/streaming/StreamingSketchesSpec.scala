@@ -94,6 +94,45 @@ class StreamingSketchesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("running quantile bins feed the batch read-off with batch-identical answers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("lang", "n_chars").as[(String, Long)].collect().toSeq
+    val (tick1, tick2) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[(String, Long)]
+    val q = StreamingSketches
+      .quantileBinsStream(in.toDF().toDF("lang", "n_chars"), "n_chars",
+        Seq("lang"))
+      .writeStream.format("memory").queryName("qb_out")
+      .outputMode("update").start()
+    def latestBins() = {
+      import org.apache.spark.sql.functions.{max => fmax, struct}
+      // update-mode sink appends refreshed rows; take each cell's last emit
+      spark.table("qb_out")
+        .withColumn("_ord", org.apache.spark.sql.functions
+          .monotonically_increasing_id())
+        .groupBy("lang", "_qb_bin")
+        .agg(fmax(struct(org.apache.spark.sql.functions.col("_ord"),
+          org.apache.spark.sql.functions.col("_qb_cnt")))
+          .getField("_qb_cnt").as("_qb_cnt"))
+    }
+    try {
+      in.addData(tick1); q.processAllAvailable()
+      in.addData(tick2); q.processAllAvailable()
+      val streamed = graft.ops.Sketches
+        .quantilesFromBins(latestBins(), Seq("lang"), Seq(0.5, 0.9, 0.99), 16)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2))
+        .toMap
+      val batch = graft.ops.Sketches
+        .quantileBins(docs.toDF("lang", "n_chars"), "n_chars", Seq("lang"),
+          Seq(0.5, 0.9, 0.99))
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2))
+        .toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("hash60's arithmetic extraction equals the hex-prefix definition") {
     Seq("", "a", "hello world", "日本語テキスト", "x" * 1000,
       "café naïve").foreach { s =>
