@@ -591,6 +591,35 @@ object SparkEntry {
     graft.ops.Sketches.quantileBins(docs(s, dir), "n_chars", Seq("lang"),
       Seq(0.5, 0.9, 0.99), binWidth = 16)
 
+  /** NS59 — persisted CMS sketch lifecycle: the ns18 two-tick pattern for
+    * frequency serving. The base sketch is built from 80% of the corpus
+    * (fingerprint-gated, built once), a per-run working copy absorbs the
+    * remaining 20% as a sum-merge append (no rebuild), and candidates are
+    * estimated off the updated sketch — which must equal a one-shot CMS
+    * over the WHOLE corpus, so the oracle replays exactly that. */
+  private def ns59(s: SparkSession, dir: String): DataFrame = {
+    val fp = graft.ops.Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
+    val base = scratchIndexDir("graft_cms_sketch", dir, fp)
+    def toks(src: DataFrame) = src
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+    if (!graft.ops.Sketches.cmsSketchMatches(s, base, fp))
+      graft.ops.Sketches.writeCmsSketch(
+        toks(docs(s, dir).where(col("doc_id") % 5 =!= 0)), base, "token",
+        fingerprint = Some(fp))
+    val work = s"${base}_tick_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.ops.Sketches.copyCmsSketch(s, base, work)
+    val workPath = new org.apache.hadoop.fs.Path(work)
+    workPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .deleteOnExit(workPath)
+    graft.ops.Sketches.updateCmsSketch(
+      toks(docs(s, dir).where(col("doc_id") % 5 === 0)), work, "token")
+    graft.ops.Sketches.cmsEstimateFromSketch(
+        s, work, toks(docs(s, dir).where(col("doc_id") < 10)), "token")
+      .where(col("cms_count") >= 200)
+      .orderBy(col("cms_count").desc, col("token"))
+  }
+
   /** NS58 — Z-order layout: documents rewritten clustered on the
     * INTERLEAVED bits of (n_chars, doc_id), so row-group skipping works
     * on BOTH filter columns (ns41's lexicographic clustering serves only
@@ -893,6 +922,7 @@ object SparkEntry {
     "ns56_snapshot_diff" -> (ns56 _),
     "ns57_quantile_bins" -> (ns57 _),
     "ns58_layout_zorder" -> (ns58 _),
+    "ns59_cms_lifecycle" -> (ns59 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1579,6 +1609,22 @@ object SparkEntry {
          |FROM documents WHERE n_chars BETWEEN 150 AND 400
          |AND doc_id BETWEEN 100 AND 300
          |GROUP BY lang ORDER BY lang""".stripMargin),
+    // ns59's two ticks union to the WHOLE corpus, so its oracle is ns54's
+    // one-shot CMS replay verbatim — the lifecycle (persist, copy, append,
+    // serve) must be invisible in the counts.
+    "ns59_cms_lifecycle" ->
+      ("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE text IS NOT NULL),
+         |tt AS (SELECT token, ('0x' || substr(md5(token), 1, 15))::BIGINT % 2147483647 AS hp FROM t WHERE token <> ''),
+         |cms AS (SELECT i, (((1103515245 * (i + 1)) % 2147483647) * hp + (12345 * (i + 1)) % 2147483647) % 2147483647 % 256 AS bucket, count(*) AS cnt
+         |  FROM tt CROSS JOIN range(4) r(i) GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT token, ('0x' || substr(md5(token), 1, 15))::BIGINT % 2147483647 AS hp
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE doc_id < 10) WHERE token <> ''),
+         |est AS (SELECT c.token, min(coalesce(cms.cnt, 0)) AS cms_count
+         |  FROM cand c CROSS JOIN range(4) r(i)
+         |  LEFT JOIN cms ON cms.i = r.i AND cms.bucket = (((1103515245 * (r.i + 1)) % 2147483647) * c.hp + (12345 * (r.i + 1)) % 2147483647) % 2147483647 % 256
+         |  GROUP BY c.token)
+         |SELECT token, cms_count FROM est WHERE cms_count >= 200
+         |ORDER BY cms_count DESC, token""".stripMargin),
     // ns57 replays the fixed-bin walk: cumulative bin counts, first bin
     // reaching ceil(q·n), lower edge — integer read-off, double q.
     "ns57_quantile_bins" ->

@@ -181,6 +181,92 @@ object Sketches {
       .where(col("cms_count") >= minCount)
       .orderBy(col("cms_count").desc, col(valueCol))
 
+  /** Persist a [[cmsBuild]] sketch for serving: cells as parquet plus a
+    * params sidecar (depth and width are PINNED to the index — estimating
+    * against mismatched parameters computes wrong buckets silently, the
+    * same parameter-pinning contract as the minhash/PQ indexes) and an
+    * optional content fingerprint for staleness gating. Atomic
+    * build-into-temp + rename publish. */
+  def writeCmsSketch(
+      df: DataFrame, path: String, valueCol: String,
+      depth: Int = 4, width: Int = 256,
+      fingerprint: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = IndexSidecar.stagingFor(dest)
+    cmsBuild(df, valueCol, depth, width)
+      .write.mode("overwrite").parquet(tmp.toString)
+    IndexSidecar.write(spark, cmsParamsPath(tmp), s"$depth $width")
+    fingerprint.foreach(f =>
+      IndexSidecar.write(spark, cmsFingerprintPath(tmp), f))
+    IndexSidecar.publish(fs, tmp, dest)
+  }
+
+  /** Fold new occurrences into a persisted sketch WITHOUT a rebuild:
+    * appends the new rows' partial cells (CMS cells merge by SUM, so
+    * duplicate (row, bucket) rows are correct — the serving path
+    * re-aggregates). depth/width come OFF the stored params, never the
+    * caller. Single writer per sketch; readers between ticks. */
+  def updateCmsSketch(
+      newRows: DataFrame, path: String, valueCol: String): Unit = {
+    val (depth, width) = cmsStoredParams(newRows.sparkSession, path)
+    cmsBuild(newRows, valueCol, depth, width)
+      .write.mode("append").parquet(path)
+  }
+
+  /** [[cmsEstimate]] against a persisted sketch: parameters read off the
+    * sidecar, partial cells from appends sum-merged before the
+    * min-over-rows — the whole table is depth × width rows (× appends),
+    * so the re-aggregation is noise. */
+  def cmsEstimateFromSketch(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      candidates: DataFrame, valueCol: String): DataFrame = {
+    val (depth, width) = cmsStoredParams(spark, path)
+    val cells = spark.read.parquet(path)
+      .groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+    cmsEstimate(cells, candidates, valueCol, depth, width)
+  }
+
+  /** True iff a sketch exists at `path` AND was stamped with exactly
+    * `fingerprint` — the staleness gate, as [[graft.ops.Similarity
+    * .pqIndexMatches]]. */
+  def cmsSketchMatches(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      fingerprint: String): Boolean = {
+    val p = cmsFingerprintPath(new org.apache.hadoop.fs.Path(path))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) &&
+      IndexSidecar.read(spark, p) == fingerprint
+  }
+
+  private def cmsStoredParams(
+      spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int) = {
+    val parts = IndexSidecar.read(spark,
+      cmsParamsPath(new org.apache.hadoop.fs.Path(path))).trim.split(" ")
+    (parts(0).toInt, parts(1).toInt)
+  }
+
+  /** Whole-directory copy (cells + sidecars) — for run-scoped working
+    * copies of a shared base sketch, [[graft.ops.Dedup.copyMinhashIndex]]'s
+    * contract. */
+  def copyCmsSketch(
+      spark: org.apache.spark.sql.SparkSession,
+      src: String, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val from = new org.apache.hadoop.fs.Path(src)
+    val to = new org.apache.hadoop.fs.Path(dst)
+    org.apache.hadoop.fs.FileUtil.copy(
+      from.getFileSystem(conf), from, to.getFileSystem(conf), to,
+      false, true, conf)
+  }
+
+  private def cmsParamsPath(dir: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dir, "_cms_params.txt")
+
+  private def cmsFingerprintPath(dir: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dir, "_cms_fingerprint.txt")
+
   /** Per-group approximate quantiles from fixed-width value bins — the
     * mergeable quantile summary: per (group, bin) counts merge by sum
     * across shards/ticks, and the quantile read-off is a cumulative-sum

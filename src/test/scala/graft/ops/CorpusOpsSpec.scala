@@ -770,6 +770,53 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(half1.columns.toSeq == Seq("row", "bucket", "cnt"))
   }
 
+  test("persisted CMS sketch: append lifecycle equals one-shot build, params pinned, staleness gated") {
+    val docs = Tables.load(spark, sf, "documents")
+    val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+    val cand = toks.distinct()
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_cms_spec_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    try {
+      // build from 60%, append the rest: estimates must equal the
+      // one-shot whole-corpus sketch (cells merge by sum)
+      val t1 = docs.where(col("doc_id") % 5 <= 2)
+      val t2 = docs.where(col("doc_id") % 5 > 2)
+      def tk(d: org.apache.spark.sql.DataFrame) = d
+        .select(explode(split(col("text"), " ")).as("token"))
+        .where(col("token") =!= "")
+      Sketches.writeCmsSketch(tk(t1), path, "token", depth = 4, width = 64,
+        fingerprint = Some("v1"))
+      Sketches.updateCmsSketch(tk(t2), path, "token")
+      val served = Sketches.cmsEstimateFromSketch(spark, path, cand, "token")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val oneShot = Sketches.cmsEstimate(
+        Sketches.cmsBuild(toks, "token", width = 64), cand, "token",
+        width = 64)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(served == oneShot)
+      // depth/width come OFF the sidecar — the serving path cannot be
+      // called with mismatched parameters (width=64 was pinned at write)
+      assert(scala.io.Source.fromFile(
+        new java.io.File(path, "_cms_params.txt")).mkString.trim == "4 64")
+      // fingerprint staleness gate
+      assert(Sketches.cmsSketchMatches(spark, path, "v1"))
+      assert(!Sketches.cmsSketchMatches(spark, path, "v2"))
+      // working copies serve independently of the base
+      val work = path + "_w"
+      Sketches.copyCmsSketch(spark, path, work)
+      try {
+        val copied = Sketches
+          .cmsEstimateFromSketch(spark, work, cand, "token")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(copied == oneShot)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(work))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    }
+  }
+
   test("quantileBins brackets the exact rank value within one bin width") {
     val docs = Tables.load(spark, sf, "documents")
     val qs = Seq(0.5, 0.9, 0.99)
