@@ -274,18 +274,27 @@ object SparkEntry {
   }
 
   /** Build-once probe for a bench-local documents layout (ns41/ns58): the
-    * schema sidecar is the artifact [[graft.ops.Layout.read]] requires, so
-    * its absence — a missing or older-format layout — triggers `build`.
-    * Returns the fingerprint-keyed layout path. */
+    * probe artifact is the META sidecar — the NEWEST thing a current-format
+    * layout writes — so a layout cached by an older build (schema sidecar
+    * only, no meta/manifest, which the append/compact lifecycle would
+    * crash on) rebuilds instead of half-working. Returns the
+    * fingerprint-keyed layout path. */
   private def cachedDocsLayout(s: SparkSession, prefix: String, dir: String)(
       build: String => Unit): String = {
     val fp = graft.ops.Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
     val base = scratchIndexDir(prefix, dir, fp)
-    val marker = new org.apache.hadoop.fs.Path(base, "_layout_schema.json")
+    val marker = new org.apache.hadoop.fs.Path(base, "_layout_meta.txt")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) build(base)
     base
   }
+
+  /** Space tokenization shared by the CMS queries (ns54/ns59) — the token
+    * contract (split on single space, drop empties) is load-bearing for
+    * oracle parity, so it lives in ONE place. */
+  private def spaceTokens(src: DataFrame): DataFrame = src
+    .select(explode(split(col("text"), " ")).as("token"))
+    .where(col("token") =!= "")
 
   /** NS19 — ns15's curation composition for a non-English target: German
     * docs, quality scored against the GERMAN stopword vocabulary (the
@@ -540,11 +549,9 @@ object SparkEntry {
     * re-scan. md5 rows make the approximate counts oracle-replayable. */
   private def ns54(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    def toks(src: DataFrame) = src
-      .select(explode(split(col("text"), " ")).as("token"))
-      .where(col("token") =!= "")
     graft.ops.Sketches.cmsHeavyHitters(
-      toks(d), toks(d.where(col("doc_id") < 10)), "token", minCount = 200L)
+      spaceTokens(d), spaceTokens(d.where(col("doc_id") < 10)), "token",
+      minCount = 200L)
   }
 
   /** NS55 — Bloom-pruned semi-join: lineitems of high-value orders, with
@@ -600,22 +607,19 @@ object SparkEntry {
   private def ns59(s: SparkSession, dir: String): DataFrame = {
     val fp = graft.ops.Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
     val base = scratchIndexDir("graft_cms_sketch", dir, fp)
-    def toks(src: DataFrame) = src
-      .select(explode(split(col("text"), " ")).as("token"))
-      .where(col("token") =!= "")
     if (!graft.ops.Sketches.cmsSketchMatches(s, base, fp))
       graft.ops.Sketches.writeCmsSketch(
-        toks(docs(s, dir).where(col("doc_id") % 5 =!= 0)), base, "token",
-        fingerprint = Some(fp))
+        spaceTokens(docs(s, dir).where(col("doc_id") % 5 =!= 0)), base,
+        "token", fingerprint = Some(fp))
     val work = s"${base}_tick_${java.util.UUID.randomUUID().toString.take(8)}"
     graft.ops.Sketches.copyCmsSketch(s, base, work)
     val workPath = new org.apache.hadoop.fs.Path(work)
     workPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       .deleteOnExit(workPath)
     graft.ops.Sketches.updateCmsSketch(
-      toks(docs(s, dir).where(col("doc_id") % 5 === 0)), work, "token")
+      spaceTokens(docs(s, dir).where(col("doc_id") % 5 === 0)), work, "token")
     graft.ops.Sketches.cmsEstimateFromSketch(
-        s, work, toks(docs(s, dir).where(col("doc_id") < 10)), "token")
+        s, work, spaceTokens(docs(s, dir).where(col("doc_id") < 10)), "token")
       .where(col("cms_count") >= 200)
       .orderBy(col("cms_count").desc, col("token"))
   }

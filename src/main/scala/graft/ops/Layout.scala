@@ -127,20 +127,22 @@ object Layout {
       s"[layout] ignoring stray root file $f (not append-written)"))
     if (stragglers.isEmpty)
       return CompactReport(0, before.size, before.size)
+    // the full-rewrite paths below just stamped a manifest listing every
+    // file — count THAT instead of a second recursive LIST of the tree
+    def manifestCount() = IndexSidecar.read(spark, manifestPath(root))
+      .split("\n").count(_.nonEmpty)
     if (meta.zCols.nonEmpty) {
       // Z-ordered layout: the only correct re-cluster is the Z-ORDER
       // rewrite itself (a lexicographic optimize would destroy the
       // interleaving while leaving the sidecars claiming it's intact)
       zorder(read(spark, path), path, meta.zCols, meta.zBits,
         numFiles = filesPerPartition)
-      val after = dataFiles(fs, root)
-      return CompactReport(1, before.size, after.size)
+      return CompactReport(1, before.size, manifestCount())
     }
     if (meta.partitionCols.isEmpty) {
       optimize(read(spark, path), path, meta.partitionCols, meta.clusterCols,
         numFiles = filesPerPartition)
-      val after = dataFiles(fs, root)
-      return CompactReport(1, before.size, after.size)
+      return CompactReport(1, before.size, manifestCount())
     }
     // schema of the physical files: partition values live in dir names
     val dataSchema = org.apache.spark.sql.types.StructType(

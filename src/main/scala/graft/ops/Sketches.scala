@@ -282,10 +282,20 @@ object Sketches {
       df: DataFrame, valueCol: String, groupCols: Seq[String],
       qs: Seq[Double], binWidth: Long = 16): DataFrame =
     quantilesFromBins(
-      binCounts(df, valueCol, groupCols, binWidth)
-        .groupBy(groupCols.map(col) :+ col("_qb_bin"): _*)
-        .agg(count(lit(1)).as("_qb_cnt")),
+      binTable(df, valueCol, groupCols, binWidth),
       groupCols, qs, binWidth)
+
+  /** The whole (group, `_qb_bin`, `_qb_cnt`) bin-table construction —
+    * batch and streaming share it END TO END ([[quantileBins]] and
+    * [[graft.streaming.StreamingSketches.quantileBinsStream]] differ only
+    * in whether the aggregation state lives in a shuffle or the state
+    * store), so the spec-pinned streamed≡batch equivalence cannot drift. */
+  private[graft] def binTable(
+      df: DataFrame, valueCol: String, groupCols: Seq[String],
+      binWidth: Long): DataFrame =
+    binCounts(df, valueCol, groupCols, binWidth)
+      .groupBy(groupCols.map(col) :+ col("_qb_bin"): _*)
+      .agg(count(lit(1)).as("_qb_cnt"))
 
   /** The per-row (group, bin) projection behind [[quantileBins]] — shared
     * with [[graft.streaming.StreamingSketches.quantileBinsStream]], where
@@ -309,19 +319,26 @@ object Sketches {
 
   /** Quantile read-off over a (group, `_qb_bin`, `_qb_cnt`) bin table —
     * the other half of [[quantileBins]], public so the table can come
-    * from ANYWHERE counts accumulate: the batch build, a streaming
-    * aggregation's sink ([[graft.streaming.StreamingSketches
-    * .quantileBinsStream]]), or a sum-merge of per-shard/tick tables.
-    * Same walk, same lower-edge contract. */
+    * from anywhere counts accumulate. Duplicate (group, bin) rows are
+    * SUM-merged first, so concatenated per-shard/tick tables feed in
+    * directly. The one source that must be reduced by the CALLER is an
+    * update-mode streaming sink ([[graft.streaming.StreamingSketches
+    * .quantileBinsStream]]): its per-trigger rows are RUNNING TOTALS, not
+    * deltas — summing them double-counts, so take each cell's LATEST row
+    * first (see StreamingSketchesSpec's latestBins). Same walk, same
+    * lower-edge contract. */
   def quantilesFromBins(
       bins: DataFrame, groupCols: Seq[String],
       qs: Seq[Double], binWidth: Long): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       s"quantiles must be in (0,1], got $qs")
     import org.apache.spark.sql.expressions.Window
     val gs = groupCols.map(col)
     val w = Window.partitionBy(gs: _*).orderBy(col("_qb_bin"))
     bins
+      .groupBy(gs :+ col("_qb_bin"): _*)
+      .agg(sum(col("_qb_cnt")).as("_qb_cnt"))
       .withColumn("_qb_cum", sum(col("_qb_cnt")).over(w))
       .withColumn("_qb_n",
         sum(col("_qb_cnt")).over(Window.partitionBy(gs: _*)))

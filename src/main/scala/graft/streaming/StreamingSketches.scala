@@ -87,8 +87,5 @@ object StreamingSketches {
   def quantileBinsStream(
       rows: DataFrame, valueCol: String, groupCols: Seq[String],
       binWidth: Long = 16): DataFrame =
-    Sketches.binCounts(rows, valueCol, groupCols, binWidth)
-      .groupBy(groupCols.map(col) :+ col("_qb_bin"): _*)
-      .count()
-      .withColumnRenamed("count", "_qb_cnt")
+    Sketches.binTable(rows, valueCol, groupCols, binWidth)
 }
