@@ -149,7 +149,8 @@ object ScaleProof {
     val standard = Seq("ns2_dedup_minhash",
       "ns16_dedup_survivors", "ns18_dedup_index_update", "ns40_dedup_spans",
       "ns41_layout_pruned", "ns47_source_overlap", "ns50_join_bucketed",
-      "ns54_heavy_hitters_cms", "ns56_snapshot_diff", "ns57_quantile_bins")
+      "ns54_heavy_hitters_cms", "ns56_snapshot_diff", "ns57_quantile_bins",
+      "ns58_layout_zorder", "ns59_cms_lifecycle")
     def ns37Scaled(dir: String): DataFrame = {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
       val n = e.count()
