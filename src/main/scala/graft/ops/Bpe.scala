@@ -49,7 +49,7 @@ object Bpe {
   /** Apply `merges` to one word: chars, then repeatedly merge the leftmost
     * occurrence of the best-ranked adjacent pair. Deterministic, total. */
   def encodeWord(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
-    var toks = word.map(_.toString).toVector
+    var toks = splitChars(word)
     var continue = toks.length > 1
     while (continue) {
       var best = Int.MaxValue
@@ -68,6 +68,15 @@ object Bpe {
     }
     toks
   }
+
+  /** Split a word into CHARACTERS (code points), not UTF-16 code units:
+    * a supplementary-plane char (emoji, rare CJK) must be one base token,
+    * matching the oracle's character semantics — per-unit splitting would
+    * emit unpaired surrogate "tokens" that are not even valid UTF-8 in
+    * the merges table. */
+  private def splitChars(word: String): Vector[String] =
+    word.codePoints().toArray.toVector
+      .map(cp => new String(Character.toChars(cp)))
 
   /** Distinct-word dictionary with each word's token list — the memoized
     * core every corpus-sized consumer joins against. Output: (word, toks).
@@ -120,7 +129,7 @@ object Bpe {
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
     var dict: Array[(Vector[String], Long)] =
-      freqs.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      freqs.map { case (w, c) => (splitChars(w), c) }
     val out = Vector.newBuilder[(String, String)]
     var round = 0
     var exhausted = false

@@ -37,9 +37,35 @@ private[ops] object IndexSidecar {
     * mid-overwrite, and two processes racing on first touch each build
     * privately — the loser of the publish discards its copy. (The
     * delete+rename pair is not one atomic op; the vulnerable window is the
-    * microseconds between them, not the multi-second build.) */
+    * microseconds between them, not the multi-second build.)
+    *
+    * For SELF-REWRITES — where `dest` is also the data's only home — use
+    * [[swap]] instead: this method's failure path deletes `tmp`, which
+    * after a self-rewrite's delete-of-dest would be the last copy. */
   def publish(fs: FileSystem, tmp: Path, dest: Path): Unit = {
     if (fs.exists(dest)) fs.delete(dest, true)
     if (!fs.rename(tmp, dest)) fs.delete(tmp, true) // lost the race: keep winner's
+  }
+
+  /** Publish a staged SELF-REWRITE of `dest` (compact, layout rewrite —
+    * the input data's only home IS `dest`): the old copy renames aside to
+    * a hidden sibling, the staged build renames in, and only then is the
+    * old copy deleted. No step deletes the last remaining copy — a failed
+    * rename restores the original and throws; a crash between the two
+    * renames leaves the data intact in the hidden `.bak` sibling
+    * (recoverable by hand, unlike a deleted directory). Single maintainer
+    * per target, the Layout writer contract. */
+  def swap(fs: FileSystem, tmp: Path, dest: Path): Unit = {
+    val bak = new Path(dest.getParent,
+      s".${dest.getName}.bak-${java.util.UUID.randomUUID().toString.take(8)}")
+    val hadOld = fs.exists(dest)
+    if (hadOld && !fs.rename(dest, bak))
+      throw new java.io.IOException(s"cannot stage out $dest for swap")
+    if (!fs.rename(tmp, dest)) {
+      if (hadOld) fs.rename(bak, dest) // restore the original
+      throw new java.io.IOException(
+        s"publish of $dest failed; original restored, staging kept at $tmp")
+    }
+    if (hadOld) fs.delete(bak, true)
   }
 }

@@ -142,7 +142,7 @@ object Joins {
     * `key` appears in `dim` — row-identical to a plain `left_semi` join
     * (the exact join runs last and removes every Bloom false positive),
     * but the fact side is THINNED BEFORE ITS SHUFFLE by testing each key
-    * against `numHashes` md5 bit positions of the dim side's key set.
+    * against `numHashes` hashed bit positions of the dim side's key set.
     *
     * The window where this wins: `dim`'s KEYS are too large to broadcast
     * (so the exact join must shuffle both sides) but their Bloom bit-set
@@ -176,6 +176,9 @@ object Joins {
     require(numBits >= 2, "numBits must be >= 2")
     require(numHashes >= 1 && numHashes <= 8,
       s"numHashes must be in [1,8], got $numHashes")
+    require(!fact.columns.contains("_bloom_bit") &&
+      !dim.columns.contains("_bloom_bit"),
+      "inputs must not contain a '_bloom_bit' column (reserved)")
     // stats lever (the Dedup.benchmarkFitsBroadcast pattern): when the dim
     // side fits Catalyst's broadcast threshold the exact join is already
     // one broadcast pass and the Bloom pre-filter is pure overhead — skip
@@ -191,13 +194,12 @@ object Joins {
     // false negative would break the exact-join-equality contract
     def position(h: Int) =
       pmod(xxhash64(lit(h), col(key).cast("string")), lit(numBits.toLong))
-    // materialize the bit-set ONCE: it feeds numHashes broadcasts, and
-    // without the checkpoint each broadcast re-executes the whole
-    // dim-scan union + distinct (numHashes² dim scans in total)
-    val bits = (0 until numHashes)
-      .map(h => dim.where(col(key).isNotNull)
-        .select(position(h).as("_bloom_bit")))
-      .reduce(_.union(_))
+    // ONE dim scan emits all numHashes positions per key (a union of
+    // per-hash scans would read the large dim side numHashes times);
+    // materialized once because it feeds numHashes broadcasts
+    val bits = dim.where(col(key).isNotNull)
+      .select(explode(array((0 until numHashes).map(position): _*))
+        .as("_bloom_bit"))
       .distinct()
       .localCheckpoint(true)
     // one broadcast-hash membership probe per hash function; a fact row

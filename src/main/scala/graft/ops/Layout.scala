@@ -62,7 +62,7 @@ object Layout {
       metaText(partitionCols, clusterCols))
     IndexSidecar.write(df.sparkSession, manifestPath(tmp),
       dataFiles(fs, tmp).mkString("\n"))
-    IndexSidecar.publish(fs, tmp, dest)
+    IndexSidecar.swap(fs, tmp, dest)
   }
 
   /** Append rows to an [[optimize]]d layout WITHOUT re-clustering: the fast
@@ -73,7 +73,13 @@ object Layout {
     val meta = readMeta(df.sparkSession, path)
     val missing = meta.schema.fieldNames.toSet -- df.columns.toSet
     require(missing.isEmpty, s"append is missing layout columns: $missing")
-    val w = df.select(meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+    // cast to the STAMPED types, not just the stamped names: an appended
+    // file with a narrower physical type (int32 where the layout says
+    // bigint) would poison every later read of the layout with a
+    // vectorized-reader schema-convert error; an incompatible cast fails
+    // HERE instead (ANSI)
+    val w = df.select(meta.schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
       .write.mode("append")
     (if (meta.partitionCols.nonEmpty) w.partitionBy(meta.partitionCols: _*)
      else w).parquet(path)
@@ -102,11 +108,14 @@ object Layout {
     * only — never a full re-listing — so a concurrent straggler stays
     * unmanifested and the NEXT compact folds it in.
     *
-    * Layouts with no partition columns (cluster-only) degrade to a full
-    * [[optimize]] rewrite — there is no directory granularity to be
-    * incremental over. Data files sitting directly at the layout root of
-    * a PARTITIONED layout (not written by [[append]]) are ignored and
-    * reported via stderr, never folded. */
+    * Layouts with no partition columns (cluster-only or Z-ordered)
+    * degrade to a full rewrite — there is no directory granularity to be
+    * incremental over — and there `filesPerPartition` is the TOTAL file
+    * count (the layout root is the one "partition"): size it to the data,
+    * as [[optimize]]'s `numFiles`, or the default of 1 serializes the
+    * whole rewrite into a single file. Data files sitting directly at the
+    * layout root of a PARTITIONED layout (not written by [[append]]) are
+    * ignored and reported via stderr, never folded. */
   def compact(
       spark: SparkSession, path: String,
       filesPerPartition: Int = 1): CompactReport = {
@@ -162,7 +171,7 @@ object Layout {
       // the staged dir carries a _SUCCESS marker; drop it so partition dirs
       // hold data files only, like partitionBy-written ones
       fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
-      IndexSidecar.publish(fs, tmp, dir)
+      IndexSidecar.swap(fs, tmp, dir)
     }
     // new manifest = old manifest outside the rebuilt dirs + exactly the
     // rebuilt dirs' current files. NOT a full re-listing: a file appended
@@ -345,7 +354,7 @@ object Layout {
       metaText(Nil, Nil, zCols, bits))
     IndexSidecar.write(spark, manifestPath(tmp),
       dataFiles(fs, tmp).mkString("\n"))
-    IndexSidecar.publish(fs, tmp, dest)
+    IndexSidecar.swap(fs, tmp, dest)
   }
 
   /** Write `df` as a BUCKETED table: rows hash-distributed into

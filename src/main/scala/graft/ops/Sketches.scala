@@ -271,9 +271,14 @@ object Sketches {
     * mergeable quantile summary: per (group, bin) counts merge by sum
     * across shards/ticks, and the quantile read-off is a cumulative-sum
     * walk over ≤ range/binWidth tiny rows. The reported quantile is the
-    * LOWER EDGE of the first bin whose cumulative count reaches
-    * ceil(q · n) — deterministic integer arithmetic (no interpolation, no
-    * floats in row keys), error bounded by `binWidth`. The exact-rank
+    * LOWER EDGE of the first bin whose cumulative count reaches the
+    * target rank ceil(q · n) — everything downstream of that rank is
+    * integer arithmetic (no interpolation, no floats in row keys), and
+    * the rank itself is IEEE-double ceil, which both engines compute
+    * bit-identically (the oracle replays the same expression; note
+    * q · n can round a hair past an integer, e.g. 0.07 · 100 → rank 8 —
+    * a definitional choice shared by both sides). Error bounded by
+    * `binWidth` around the chosen rank's value. The exact-rank
     * sibling is [[TextAnalysis.lengthStats]]'s full sort; this is the
     * shape that survives 100 TB (narrow keyed agg + per-group walk, no
     * global sort) and streaming accumulation. NULL values are excluded,

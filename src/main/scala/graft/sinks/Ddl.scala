@@ -242,11 +242,15 @@ object Ddl {
           case other => other
         }
         val timing = if (rs.getString(3) == "B") "NO CASCADE BEFORE" else "AFTER"
-        val granularity =
-          if (rs.getString(4) == "R") "FOR EACH ROW" else "FOR EACH STATEMENT"
+        val isRow = rs.getString(4) == "R"
+        val granularity = if (isRow) "FOR EACH ROW" else "FOR EACH STATEMENT"
+        // statement triggers reference TRANSITION TABLES, not transition
+        // variables — "NEW AS" on a statement trigger is invalid Derby DDL
+        val (newKw, oldKw) =
+          if (isRow) ("NEW AS", "OLD AS") else ("NEW TABLE AS", "OLD TABLE AS")
         val refs = Seq(
-          if (rs.getBoolean(6)) Some(s"NEW AS ${rs.getString(8)}") else None,
-          if (rs.getBoolean(7)) Some(s"OLD AS ${rs.getString(9)}") else None
+          if (rs.getBoolean(6)) Some(s"$newKw ${rs.getString(8)}") else None,
+          if (rs.getBoolean(7)) Some(s"$oldKw ${rs.getString(9)}") else None
         ).flatten
         val referencing =
           if (refs.isEmpty) "" else s" REFERENCING ${refs.mkString(" ")}"
@@ -608,18 +612,44 @@ object Ddl {
         if (!rs.next()) None
         else {
           val ddl = rs.getString(2)
-          // case-insensitive match on the ORIGINAL string (an uppercased
-          // copy can change length — ß→SS — and mis-index the slice), and
-          // the LAST occurrence: the partition clause trails the table
-          // body, so an earlier match is a column comment mentioning
-          // "partition by", not the clause
-          "(?i)PARTITION BY".r.findAllMatchIn(ddl).toSeq.lastOption
+          // match against a copy with string literals BLANKED (length-
+          // preserving, so indexes map back) — a column/table COMMENT
+          // mentioning "partition by" must not be mistaken for the
+          // clause. Case-insensitive on the ORIGINAL length (an
+          // uppercased copy can shift indexes — ß→SS); last occurrence
+          // for safety, though outside literals there is only one.
+          val masked = blankStringLiterals(ddl)
+          "(?i)PARTITION BY".r.findAllMatchIn(masked).toSeq.lastOption
             .map(m => ddl.substring(m.start).trim.stripSuffix("*/").trim)
         }
       } finally rs.close()
     } catch {
       case _: java.sql.SQLException => None // not MySQL-dialect or no table
     } finally st.close()
+  }
+
+  /** Replace the CONTENTS of single-quoted string literals with spaces —
+    * length-preserving, so an index found in the masked copy is valid in
+    * the original. Handles both `''` and `\'` escapes (MySQL emits
+    * backslash escapes in SHOW CREATE TABLE comments). */
+  private def blankStringLiterals(s: String): String = {
+    val out = s.toCharArray
+    var i = 0
+    var inStr = false
+    while (i < out.length) {
+      val c = out(i)
+      if (!inStr) { if (c == '\'') inStr = true }
+      else c match {
+        case '\\' if i + 1 < out.length => // escaped next char
+          out(i) = ' '; out(i + 1) = ' '; i += 1
+        case '\'' if i + 1 < out.length && out(i + 1) == '\'' =>
+          out(i) = ' '; out(i + 1) = ' '; i += 1 // '' escape
+        case '\'' => inStr = false
+        case _ => out(i) = ' '
+      }
+      i += 1
+    }
+    new String(out)
   }
 
   /** CHECK constraints for a table, engine-routed (JDBC metadata has no

@@ -116,12 +116,15 @@ object Drivers {
 
   /** Quote ONE identifier (never splits on dots) — for callers that know
     * the name is a single identifier, even one containing a literal dot.
-    * Quotes when the name is mixed-case (case folding would mangle it) or
-    * contains a quote char (raw emission would be a syntax error — or an
-    * injection surface). */
+    * Passes through unquoted ONLY a single-case plain-word name (letters,
+    * digits, underscore — the names engine case folding resolves);
+    * anything else — mixed case, a dot or space, a quote char — is quoted
+    * and escaped, because emitted raw it would case-fold wrong, parse as
+    * a qualifier, or break the statement. */
   def quoteIdentIfNeeded(url: String, ident: String): String =
     if ((ident == ident.toUpperCase || ident == ident.toLowerCase) &&
-        !ident.contains('"') && !ident.contains('`')) ident
+        ident.nonEmpty && ident.forall(c =>
+          c == '_' || Character.isLetterOrDigit(c) && c < 128)) ident
     else if (url.startsWith("jdbc:mysql:"))
       "`" + ident.replace("`", "``") + "`"
     else "\"" + ident.replace("\"", "\"\"") + "\""

@@ -878,6 +878,11 @@ class CorpusOpsSpec extends AnyFunSuite {
         forceBloom = Some(true))
       .collect().map(r => (r.getInt(0).toLong, r.getInt(1))).toSet
     assert(mixed == plain)
+    // the reserved working column fails fast, like _salt/_bucket
+    intercept[IllegalArgumentException] {
+      Joins.bloomSemiJoin(l.withColumn("_bloom_bit", lit(1L)), o,
+        "l_orderkey")
+    }
   }
 
   // ---- Versioning.snapshotDiff ----------------------------------------------

@@ -154,6 +154,15 @@ class DsnSpec extends AnyFunSuite {
     // a raw (unwrapped) embedded quote is escaped, not emitted verbatim
     assert(Drivers.quoteTableIfNeeded("jdbc:postgresql://h/db",
       "A\"b") == "\"A\"\"b\"")
+    // ALL-LOWERCASE names with a dot or space still quote through the
+    // single-identifier entry point — emitted raw they would parse as a
+    // qualifier or break the statement, case folding notwithstanding
+    assert(Drivers.quoteIdentIfNeeded("jdbc:postgresql://h/db",
+      "my.table") == "\"my.table\"")
+    assert(Drivers.quoteIdentIfNeeded("jdbc:postgresql://h/db",
+      "my table") == "\"my table\"")
+    assert(Drivers.quoteIdentIfNeeded("jdbc:mysql://h/db",
+      "my table") == "`my table`")
   }
 
   test("catalog listing and read through a file:// DSN (S3/S4/S1)") {
