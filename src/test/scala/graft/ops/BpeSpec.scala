@@ -36,6 +36,18 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("encodeWord splits by code point: a non-BMP char is ONE base token") {
+    val ranks = Bpe.ranksOf(Bpe.default)
+    val emoji = new String(Character.toChars(0x1F600)) // 😀, 2 UTF-16 units
+    val toks = Bpe.encodeWord(s"a${emoji}b", ranks)
+    // character semantics (the oracle's): three base tokens, none of them
+    // an unpaired surrogate half
+    assert(toks.contains(emoji), toks)
+    assert(toks.forall(t =>
+      !(t.length == 1 && Character.isSurrogate(t.charAt(0)))), toks)
+    assert(toks.mkString == s"a${emoji}b")
+  }
+
   test("single-step encode equals batch merge application") {
     // the equivalence the oracle's recursive CTE relies on: applying the
     // best pair one leftmost occurrence at a time gives the same result as
