@@ -105,7 +105,20 @@ object Bench {
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalMin = results.map(_._2._2).filter(_ >= 0).sum
     val wf = warmupFailed.map(n => s""""$n"""").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"warmup_failed":$wf,"runs":$runs,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"warmup_failed":$wf,"runs":$runs,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
+    println(json)
+    // self-archive: the driver captures only a log TAIL, and round 5's
+    // record lost k1–k14/ns10–ns12 to truncation — the full JSON also
+    // lands in a stable file so the per-query numbers survive any log
+    // capture. Best-effort: archival failure must not fail the bench.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench_latest.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] archival failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -315,10 +315,16 @@ object Sketches {
       binWidth: Long): DataFrame = {
     require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
     require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(!groupCols.contains("_qb_v"),
+      "groupCols must not contain '_qb_v' (reserved)")
+    // the value column is bound through the Column API (a name with a
+    // backtick would break expr() parsing — the zorder try_cast lesson);
+    // only the DIV operator needs SQL text, and by then the operand is the
+    // fixed internal name `_qb_v`, with binWidth a validated literal
     df.where(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ col(valueCol).cast("long").as("_qb_v"): _*)
       .select(groupCols.map(col) :+ expr(
-        s"(CAST(`$valueCol` AS BIGINT) - pmod(CAST(`$valueCol` AS BIGINT), " +
-          s"${binWidth}L)) DIV ${binWidth}L")
+        s"(_qb_v - pmod(_qb_v, ${binWidth}L)) DIV ${binWidth}L")
         .as("_qb_bin"): _*)
   }
 

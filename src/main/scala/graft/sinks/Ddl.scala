@@ -225,11 +225,15 @@ object Ddl {
     else if (url.startsWith("jdbc:mysql:"))
       collect("SELECT TRIGGER_NAME, ACTION_TIMING, EVENT_MANIPULATION, " +
         "EVENT_OBJECT_TABLE, ACTION_STATEMENT FROM information_schema.TRIGGERS " +
-        "WHERE TRIGGER_SCHEMA = DATABASE()")(rs =>
+        "WHERE TRIGGER_SCHEMA = DATABASE()") { rs =>
+        // embedded backticks in identifiers double inside backtick quoting,
+        // same as partitionClauseFromShowCreate
+        def bq(s: String) = "`" + s.replace("`", "``") + "`"
         TriggerStructure(rs.getString(1),
-          s"CREATE TRIGGER `${rs.getString(1)}` ${rs.getString(2)} " +
-            s"${rs.getString(3)} ON `${rs.getString(4)}` FOR EACH ROW " +
-            rs.getString(5)))
+          s"CREATE TRIGGER ${bq(rs.getString(1))} ${rs.getString(2)} " +
+            s"${rs.getString(3)} ON ${bq(rs.getString(4))} FOR EACH ROW " +
+            rs.getString(5))
+      }
     else if (url.startsWith("jdbc:derby:"))
       collect("SELECT tr.TRIGGERNAME, tr.EVENT, tr.FIRINGTIME, tr.TYPE, " +
         "tr.TRIGGERDEFINITION, tr.REFERENCINGNEW, tr.REFERENCINGOLD, " +
@@ -312,15 +316,17 @@ object Ddl {
       s"  CONSTRAINT ${dialect.quote(n)} CHECK ($clause)"
     }
     // the partition clause is engine SQL carried opaquely; Derby has no
-    // table partitioning, so there it degrades to a trailing comment (the
-    // dialect-pinned fidelity note, not silent loss)
-    val (partSuffix, partNote) = ts.partitionClause match {
+    // table partitioning, so there it degrades to a comment line BEFORE the
+    // statement (the dialect-pinned fidelity note, not silent loss) — the
+    // statement itself must still end in ';' so the single-statement
+    // `.stripSuffix(";")` replay idiom keeps working
+    val (partPrefix, partSuffix) = ts.partitionClause match {
       case Some(p) if dialect == Dialect.Derby =>
-        ("", s" -- $p (no partitioning in derby)")
-      case Some(p) => (s" $p", "")
+        (s"-- $p (no partitioning in derby)\n", "")
+      case Some(p) => ("", s" $p")
       case None => ("", "")
     }
-    s"CREATE TABLE ${dialect.quote(ts.table)} (\n${(cols ++ pk ++ uq ++ ck).mkString(",\n")}\n)$partSuffix;$partNote"
+    s"${partPrefix}CREATE TABLE ${dialect.quote(ts.table)} (\n${(cols ++ pk ++ uq ++ ck).mkString(",\n")}\n)$partSuffix;"
   }
 
   /** Post-load secondary-index replay: one `CREATE INDEX` per non-unique
