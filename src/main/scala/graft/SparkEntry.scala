@@ -801,6 +801,26 @@ object SparkEntry {
   private def ns51(s: SparkSession, dir: String): DataFrame =
     graft.ops.Bpe.tokenize(docs(s, dir), graft.ops.Bpe.default)
 
+  /** NS60 — byte-level BPE tokenization: the GPT-2-style pre-tokenizer
+    * (contraction/letter/number/punctuation/whitespace regex classes,
+    * byte→unicode remap with 'Ġ' leading-space markers) driven through a
+    * punctuation-dense injected prefix — every regex class appears in
+    * every row, so the hash check proves the regex path end to end, not
+    * just on space-separated words. Same memoized-dictionary shape as
+    * ns51; the prefix is built from literals + doc_id so the oracle
+    * constructs the identical text in SQL. */
+  private val ns60Prefix1 = "Mr. O'Brien isn't here: it's #"
+  private val ns60Prefix2 =
+    ", we're 99% sure they've won; I'm told he'd pay $3.50, it'll work!"
+  private def ns60(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      concat(lit(ns60Prefix1), col("doc_id").cast("string"),
+        lit(ns60Prefix2), lit("\t"), lit("\n"), lit("twice  spaced "),
+        col("text")).as("text"))
+    graft.ops.Bpe.tokenize(d, graft.ops.Bpe.default,
+      graft.ops.Bpe.PreTokenizer.ByteLevel)
+  }
+
   /** NS50 — co-located bucketed join: lineitem and orders bucketed 8 ways
     * on the order key, then joined WITHOUT any exchange — the write-once
     * shuffle that every subsequent fact⋈fact join amortizes at 100 TB.
@@ -927,6 +947,7 @@ object SparkEntry {
     "ns57_quantile_bins" -> (ns57 _),
     "ns58_layout_zorder" -> (ns58 _),
     "ns59_cms_lifecycle" -> (ns59 _),
+    "ns60_tokenize_bytelevel" -> (ns60 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1565,6 +1586,15 @@ object SparkEntry {
     // same literal merges table) — the md5 checks the token STREAM, not
     // just counts.
     "ns51_tokenize_bpe" -> graft.ops.Bpe.oracleSql(graft.ops.Bpe.default),
+    // ns60 replays the byte-level path: same recursive-CTE merge loop,
+    // pre-tokens from the RE2-compatible regex, byte remap via translate
+    // (exact over this ASCII corpus), injected prefix rebuilt literally.
+    "ns60_tokenize_bytelevel" -> graft.ops.Bpe.oracleSql(
+      graft.ops.Bpe.default, graft.ops.Bpe.PreTokenizer.ByteLevel,
+      docsRel = "(SELECT doc_id, " +
+        s"'${ns60Prefix1.replace("'", "''")}' || CAST(doc_id AS VARCHAR) || " +
+        s"'${ns60Prefix2.replace("'", "''")}' || chr(9) || chr(10) || " +
+        "'twice  spaced ' || text AS text FROM documents)"),
     "ns53_pack_bpe" ->
       graft.ops.Bpe.oraclePackSql(graft.ops.Bpe.default, tokenBudget = 512),
     // ns54 replays the whole count-min table (one md5-60 per occurrence,

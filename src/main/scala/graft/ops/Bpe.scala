@@ -43,6 +43,73 @@ object Bpe {
   /** Ordered merge table; rank = position. */
   type Merges = Vector[(String, String)]
 
+  /** How raw text becomes the pre-token stream BPE merges run inside.
+    * [[PreTokenizer.Whitespace]] is the original space-split (the corpus
+    * tables are space-joined); [[PreTokenizer.ByteLevel]] is the
+    * GPT-2-style byte-level scheme: the public pre-tokenization regex
+    * (contractions, optional-leading-space letter/number runs, punctuation
+    * runs, whitespace runs) followed by the public byte→unicode remap, so
+    * a leading space becomes 'Ġ' and every token is space-free (the
+    * merges-file format and the space-joined fingerprints stay valid). */
+  sealed trait PreTokenizer
+  object PreTokenizer {
+    case object Whitespace extends PreTokenizer
+    case object ByteLevel extends PreTokenizer
+  }
+
+  /** The byte-level pre-tokenization pattern. One DOCUMENTED divergence
+    * from GPT-2's original: the final whitespace alternative is plain
+    * `\s+`, not `\s+(?!\S)` — RE2 (the oracle's regex engine) has no
+    * lookahead, so a run of N≥2 spaces before a word keeps all N in the
+    * whitespace token instead of donating its last space to the word.
+    * Both engines implement THIS pattern, so they agree exactly; Java and
+    * RE2 share leftmost-first alternation and Unicode \p{L}/\p{N}. */
+  val byteLevelPattern: String =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  /** GPT-2's bytes→unicode table: printable latin-1 bytes map to
+    * themselves, everything else (controls, space, DEL, 0x80–0xA0, 0xAD)
+    * to U+0100+n in byte order — space(32)→'Ġ', \n→'Ċ', \t→'ĉ'. Total:
+    * every byte becomes exactly one printable, non-space character. */
+  private[ops] lazy val byteEncoder: Array[String] = {
+    val printable =
+      (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ'))
+        .map(_.toInt).toSet
+    val enc = new Array[String](256)
+    var n = 0
+    (0 until 256).foreach { b =>
+      if (printable(b)) enc(b) = b.toChar.toString
+      else { enc(b) = (256 + n).toChar.toString; n += 1 }
+    }
+    enc
+  }
+
+  /** Remap a pre-token's UTF-8 BYTES through [[byteEncoder]] — a
+    * non-ASCII character becomes one mapped char per byte (`"é"` →
+    * `"Ã©"`), exactly the public byte-level behavior. */
+  def byteMap(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    bytes.foreach(b => sb.append(byteEncoder(b & 0xff)))
+    sb.toString
+  }
+
+  private def normalize(w: String, pt: PreTokenizer): String = pt match {
+    case PreTokenizer.Whitespace => w
+    case PreTokenizer.ByteLevel  => byteMap(w)
+  }
+
+  /** The corpus-sized pre-token split as a CATALYST column (codegen'd on
+    * the data-sized side; the byte remap happens later, on the bounded
+    * distinct dictionary only). Both forms emit raw text slices — the
+    * dictionary join key is the RAW pre-token on either path. */
+  private def preTokensCol(c: org.apache.spark.sql.Column,
+      pt: PreTokenizer): org.apache.spark.sql.Column = pt match {
+    case PreTokenizer.Whitespace => split(c, " ")
+    case PreTokenizer.ByteLevel  =>
+      regexp_extract_all(c, lit(byteLevelPattern), lit(0))
+  }
+
   def ranksOf(merges: Merges): Map[(String, String), Int] =
     merges.zipWithIndex.toMap
 
@@ -78,14 +145,16 @@ object Bpe {
     word.codePoints().toArray.toVector
       .map(cp => new String(Character.toChars(cp)))
 
-  /** Distinct-word dictionary with each word's token list — the memoized
-    * core every corpus-sized consumer joins against. Output: (word, toks).
-    * Pre-tokenization is whitespace split (documented divergence from
-    * GPT-2's regex pre-tokenizer; the corpus tables are space-joined). */
-  def encodeDictionary(docs: DataFrame, merges: Merges): DataFrame = {
+  /** Distinct-word dictionary with each pre-token's token list — the
+    * memoized core every corpus-sized consumer joins against. Output:
+    * (word, toks), keyed by the RAW pre-token; under
+    * [[PreTokenizer.ByteLevel]] the byte remap is applied here, on the
+    * bounded dictionary side, never per corpus row. */
+  def encodeDictionary(docs: DataFrame, merges: Merges,
+      pt: PreTokenizer = PreTokenizer.Whitespace): DataFrame = {
     val ranks = ranksOf(merges)
-    val enc = udf((w: String) => encodeWord(w, ranks))
-    docs.select(explode(split(col("text"), " ")).as("word"))
+    val enc = udf((w: String) => encodeWord(normalize(w, pt), ranks))
+    docs.select(explode(preTokensCol(col("text"), pt)).as("word"))
       .where(col("word") =!= "")
       .distinct()
       .select(col("word"), enc(col("word")).as("toks"))
@@ -95,12 +164,14 @@ object Bpe {
     * fingerprint of the full ordered token stream (space-joined) — the
     * fingerprint is what makes the oracle check the TOKENS, not just their
     * number. Output: (doc_id, n_tokens, token_md5), ordered by doc_id. */
-  def tokenize(docs: DataFrame, merges: Merges): DataFrame = {
-    val dict = encodeDictionary(docs, merges)
+  def tokenize(docs: DataFrame, merges: Merges,
+      pt: PreTokenizer = PreTokenizer.Whitespace): DataFrame = {
+    val dict = encodeDictionary(docs, merges, pt)
       .select(col("word"), size(col("toks")).as("n_toks"),
         concat_ws(" ", col("toks")).as("tok_str"))
     docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "word")))
+      .select(col("doc_id"),
+        posexplode(preTokensCol(col("text"), pt)).as(Seq("i", "word")))
       .where(col("word") =!= "")
       .join(dict, Seq("word"))
       .groupBy(col("doc_id"))
@@ -118,10 +189,11 @@ object Bpe {
     * (count desc, pair lexicographic) so training is deterministic. Batch
     * merge application (all leftmost non-overlapping occurrences per
     * round) is the training-side convention, as in the public algorithm. */
-  def train(docs: DataFrame, numMerges: Int, maxVocab: Int = 50000): Merges = {
+  def train(docs: DataFrame, numMerges: Int, maxVocab: Int = 50000,
+      pt: PreTokenizer = PreTokenizer.Whitespace): Merges = {
     require(numMerges > 0, "numMerges must be positive")
     require(maxVocab > 0, "maxVocab must be positive")
-    val freqs = docs.select(explode(split(col("text"), " ")).as("word"))
+    val freqs = docs.select(explode(preTokensCol(col("text"), pt)).as("word"))
       .where(col("word") =!= "")
       .groupBy("word").count()
       .orderBy(col("count").desc, col("word"))
@@ -129,7 +201,7 @@ object Bpe {
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
     var dict: Array[(Vector[String], Long)] =
-      freqs.map { case (w, c) => (splitChars(w), c) }
+      freqs.map { case (w, c) => (splitChars(normalize(w, pt)), c) }
     val out = Vector.newBuilder[(String, String)]
     var round = 0
     var exhausted = false
@@ -195,21 +267,43 @@ object Bpe {
     * pair; recursion stops when a word has no listed pair left; the
     * terminal token list is the one with minimal length, since every step
     * shortens it). */
-  private def oracleCtePrefix(merges: Merges): String = {
+  private def oracleCtePrefix(merges: Merges,
+      pt: PreTokenizer = PreTokenizer.Whitespace,
+      docsRel: String = "documents"): String = {
     require(merges.nonEmpty, "oracle needs at least one merge")
     def lit(s: String) = "'" + s.replace("'", "''") + "'"
     val values = merges.zipWithIndex
       .map { case ((l, r), i) => s"($i,${lit(l)},${lit(r)})" }
       .mkString(",")
+    // the same pre-token split both engines run: string_split for
+    // Whitespace, the RE2-compatible byteLevelPattern for ByteLevel
+    // (leftmost-first alternation agrees between Java regex and RE2 —
+    // the pattern was chosen lookahead-free for exactly this replay)
+    val splitExpr = pt match {
+      case PreTokenizer.Whitespace => "string_split(text,' ')"
+      case PreTokenizer.ByteLevel  =>
+        s"regexp_extract_all(text,${lit(byteLevelPattern)})"
+    }
+    // the byte→unicode remap before character splitting. translate() is
+    // per-CHARACTER, so this replay is exact for ASCII corpus text (one
+    // byte per char; printable ASCII maps to itself, the three
+    // whitespace bytes to Ġ/Ċ/ĉ) — which the testdata tables are; the
+    // Scala side ([[byteMap]]) is fully general over all 256 bytes
+    val mapExpr = pt match {
+      case PreTokenizer.Whitespace => "word"
+      case PreTokenizer.ByteLevel  =>
+        "translate(word, ' ' || chr(10) || chr(9), 'ĠĊĉ')"
+    }
     s"""WITH RECURSIVE
        |merges(rank, l, r) AS (FROM (VALUES $values)),
        |words AS (
        |  SELECT DISTINCT w AS word FROM (
-       |    SELECT unnest(string_split(text,' ')) AS w FROM documents)
+       |    SELECT unnest($splitExpr) AS w FROM $docsRel)
        |  WHERE w <> ''
        |),
        |bpe(word, toks) AS (
-       |  SELECT word, [word[i:i] for i in range(1, length(word)+1)] FROM words
+       |  SELECT word, [m[i:i] for i in range(1, length(m)+1)]
+       |  FROM (SELECT word, $mapExpr AS m FROM words)
        |  UNION ALL
        |  SELECT word, toks[1:bi-1] || [toks[bi] || toks[bi+1]] || toks[bi+2:]
        |  FROM (
@@ -222,14 +316,16 @@ object Bpe {
        |final AS (SELECT word, arg_min(toks, len(toks)) AS toks FROM bpe GROUP BY word),
        |docw AS (
        |  SELECT doc_id, i, w[i] AS word
-       |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents) d,
+       |  FROM (SELECT doc_id, $splitExpr AS w FROM $docsRel) d,
        |       unnest(range(1, len(d.w)+1)) AS t(i)
        |  WHERE w[i] <> ''
        |)""".stripMargin
   }
 
-  def oracleSql(merges: Merges): String =
-    oracleCtePrefix(merges) +
+  def oracleSql(merges: Merges,
+      pt: PreTokenizer = PreTokenizer.Whitespace,
+      docsRel: String = "documents"): String =
+    oracleCtePrefix(merges, pt, docsRel) +
       s"""
          |SELECT d.doc_id,
          |  CAST(sum(len(f.toks)) AS BIGINT) AS n_tokens,

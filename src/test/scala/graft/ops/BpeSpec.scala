@@ -117,6 +117,82 @@ class BpeSpec extends AnyFunSuite {
       plan.take(2000))
   }
 
+  test("byteMap implements the public GPT-2 byte-to-unicode table") {
+    // printable ASCII maps to itself; the whitespace bytes get the
+    // canonical markers; multi-byte UTF-8 decomposes one mapped char per
+    // BYTE (the 'Ã©' mojibake look is the correct public behavior)
+    assert(Bpe.byteMap("abc!~") == "abc!~")
+    assert(Bpe.byteMap(" ") == "Ġ")  // Ġ
+    assert(Bpe.byteMap("\n") == "Ċ") // Ċ
+    assert(Bpe.byteMap("\t") == "ĉ") // ĉ
+    assert(Bpe.byteMap(" a") == "Ġa")
+    assert(Bpe.byteMap("é") == "Ã©")
+    val emoji = new String(Character.toChars(0x1F600)) // 4 UTF-8 bytes
+    assert(Bpe.byteMap(emoji).length == 4)
+    // total: every byte yields exactly one non-space printable char
+    (0 until 256).foreach { b =>
+      val m = Bpe.byteEncoder(b)
+      assert(m.length == 1 && !m.charAt(0).isWhitespace, s"byte $b -> '$m'")
+    }
+  }
+
+  test("byte-level pre-tokens: contractions, punctuation runs, space runs") {
+    val df = Seq(
+      (0L, "Mr. O'Brien isn't here: it's fine"),
+      (1L, "we're 99% sure they've won; I'm told he'd pay $3.50, it'll work!"),
+      (2L, "a  b\t\nc")).toDF("doc_id", "text")
+    val words = Bpe.encodeDictionary(df, Bpe.default,
+      Bpe.PreTokenizer.ByteLevel).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    // the seven contraction classes split off as their own pre-tokens
+    for (c <- Seq("'s", "'t", "'re", "'ve", "'m", "'ll", "'d"))
+      assert(words.contains(c), s"missing contraction pre-token $c")
+    // letter runs keep their leading space; punctuation runs split off
+    assert(words.contains(" isn"))
+    assert(words.contains(" O"))
+    assert(words.contains("'"))    // the O'Brien apostrophe, alone
+    assert(words.contains("Brien"))
+    assert(words.contains("."))
+    assert(words.contains(" $"))
+    assert(words.contains("!"))
+    // numbers are their own class, split from punctuation ("$3.50" →
+    // " $","3",".","50" — the 3 follows '$', not a space, so no marker)
+    assert(words.contains("50"))
+    assert(words.contains("3"))
+    assert(words.contains(" 99"))
+    // the documented no-lookahead divergence: a 2-space run stays one
+    // whitespace pre-token and the next word gets NO leading space
+    assert(words.contains("  "))
+    assert(words.contains("b"))
+    assert(!words.contains(" b"))
+    // every dictionary entry round-trips under the byte map, and no
+    // token contains a literal space (Ġ instead) — the space-joined
+    // fingerprint and merges-file formats stay unambiguous
+    words.foreach { case (w, toks) =>
+      assert(toks.mkString == Bpe.byteMap(w), s"round-trip failed for '$w'")
+      assert(toks.forall(!_.contains(" ")), s"space inside token of '$w'")
+    }
+  }
+
+  test("byte-level tokenize and train stay deterministic and space-free") {
+    val docs = Tables.load(spark, sf, "documents").limit(60)
+    val a = Bpe.tokenize(docs, Bpe.default, Bpe.PreTokenizer.ByteLevel).collect()
+    val b = Bpe.tokenize(docs, Bpe.default, Bpe.PreTokenizer.ByteLevel).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 60)
+    // training on byte-level pre-tokens: merges are over MAPPED chars, so
+    // a learned leading-space merge starts with Ġ, never a raw space
+    val m = Bpe.train(docs, numMerges = 12, pt = Bpe.PreTokenizer.ByteLevel)
+    assert(m.length == 12)
+    assert(m == Bpe.train(docs, numMerges = 12, pt = Bpe.PreTokenizer.ByteLevel))
+    m.foreach { case (l, r) =>
+      assert(!l.contains(" ") && !r.contains(" "), s"raw space in merge ($l,$r)")
+    }
+    // the corpus is space-joined words, so the dominant first merges
+    // involve the Ġ marker (every word but the first carries one)
+    assert(m.exists { case (l, r) => (l + r).contains("Ġ") }, m)
+  }
+
   test("packSequences accepts a real token-count column") {
     val docs = Tables.load(spark, sf, "documents").limit(100)
     val counted = docs.join(
