@@ -227,6 +227,81 @@ object Bpe {
     out.result()
   }
 
+  /** [[train]] with the per-round pair counting DISTRIBUTED: the
+    * dictionary lives in a DataFrame, each greedy round is one Spark job
+    * (adjacent-pair explode → groupBy(l,r).sum → top-1 argmax), and the
+    * only driver state is the winning pair per round — so training is no
+    * longer bounded by driver memory over the dictionary, just by
+    * `numMerges` jobs. Production-scale vocabs (tens of thousands of
+    * merges over a multi-million-word dictionary) run where [[train]]'s
+    * driver loop would not.
+    *
+    * Same greedy algorithm, same tie-break (count desc, then pair
+    * lexicographic) — equal output to [[train]] for BMP-only vocabularies
+    * (Spark compares strings in UTF-8 binary order, the driver in UTF-16
+    * unit order; the two agree below the surrogate range, which covers
+    * every byte-level mapped char and the corpus tables).
+    *
+    * Loop hygiene is the [[Dedup.resolveClusters]] pattern: words merge
+    * down to single tokens and leave the frame (they can never host a
+    * pair again), the lineage is truncated every `checkpointEvery` rounds
+    * by an eager localCheckpoint, and superseded checkpoint blocks are
+    * freed the moment the next one is materialized. */
+  def trainDistributed(docs: DataFrame, numMerges: Int, maxVocab: Int = 50000,
+      pt: PreTokenizer = PreTokenizer.Whitespace,
+      checkpointEvery: Int = 16): Merges = {
+    require(numMerges > 0, "numMerges must be positive")
+    require(maxVocab > 0, "maxVocab must be positive")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val toToks = udf((w: String) => splitChars(normalize(w, pt)))
+    var dict = docs.select(explode(preTokensCol(col("text"), pt)).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").count()
+      .orderBy(col("count").desc, col("word"))
+      .limit(maxVocab)
+      .select(toToks(col("word")).as("toks"), col("count"))
+      .where(size(col("toks")) > 1)
+      .localCheckpoint(true)
+    var lastCp = dict
+    val out = Vector.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      // one job: every adjacent pair with its weighted count, argmax'd by
+      // (count desc, pair lexicographic) — TakeOrdered, driver sees 1 row
+      val top = dict
+        .select(explode(transform(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          (x, i) => struct(x.as("l"),
+            element_at(col("toks"), i + lit(2)).as("r")))).as("p"),
+          col("count"))
+        .groupBy(col("p").getField("l").as("l"),
+          col("p").getField("r").as("r"))
+        .agg(sum(col("count")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val l = top(0).getAs[String]("l")
+        val r = top(0).getAs[String]("r")
+        out += ((l, r))
+        val applyMerge = udf((toks: Seq[String]) => mergeAll(toks.toVector, l, r))
+        dict = dict.select(applyMerge(col("toks")).as("toks"), col("count"))
+          .where(size(col("toks")) > 1)
+        round += 1
+        if (round % checkpointEvery == 0 && round < numMerges) {
+          val cp = dict.localCheckpoint(true) // eager: safe to free the old one
+          Dedup.unpersistCheckpoint(lastCp)
+          lastCp = cp
+          dict = cp
+        }
+      }
+    }
+    Dedup.unpersistCheckpoint(lastCp)
+    out.result()
+  }
+
   /** Batch form used in training: merge every leftmost non-overlapping
     * occurrence of (l, r) in one pass. */
   private[ops] def mergeAll(toks: Vector[String], l: String, r: String): Vector[String] = {

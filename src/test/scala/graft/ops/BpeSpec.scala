@@ -193,6 +193,57 @@ class BpeSpec extends AnyFunSuite {
     assert(m.exists { case (l, r) => (l + r).contains("Ġ") }, m)
   }
 
+  test("trainDistributed equals the driver-side trainer, both pre-tokenizers") {
+    val docs = Tables.load(spark, sf, "documents")
+    assert(Bpe.trainDistributed(docs, numMerges = 24, checkpointEvery = 8)
+      == Bpe.train(docs, numMerges = 24))
+    val punct = docs.selectExpr("doc_id",
+      "concat(text, ' #', cast(doc_id as string), '!') AS text")
+    assert(Bpe.trainDistributed(punct, numMerges = 16,
+        pt = Bpe.PreTokenizer.ByteLevel, checkpointEvery = 8)
+      == Bpe.train(punct, numMerges = 16, pt = Bpe.PreTokenizer.ByteLevel))
+    // exhaustion: a corpus whose pairs run out stops early on both paths
+    val tiny = Seq((0L, "ab ab cd")).toDF("doc_id", "text")
+    assert(Bpe.trainDistributed(tiny, numMerges = 50)
+      == Bpe.train(tiny, numMerges = 50))
+    assert(Bpe.trainDistributed(tiny, numMerges = 50).length < 50)
+  }
+
+  test("trainDistributed learns a 1k-merge vocab on the sf0.1 corpus") {
+    // the raw corpus has a 31-word vocabulary — far too small to host
+    // 1000 merges — so the doc_id digit runs are injected as extra
+    // pre-tokens (5000 distinct number strings under the byte-level
+    // regex), the realistic shape of a punctuation/number-bearing corpus
+    val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .selectExpr("doc_id",
+        "concat(text, ' #', cast(doc_id as string)) AS text")
+    val merges = Bpe.trainDistributed(docs, numMerges = 1000,
+      pt = Bpe.PreTokenizer.ByteLevel, checkpointEvery = 8)
+    assert(merges.length == 1000)
+    // topological order holds at depth (the invariant the oracle's
+    // single-step replay relies on)
+    val known = collection.mutable.Set.empty[String]
+    merges.foreach { case (l, r) =>
+      assert(l.length == 1 || known.contains(l), s"left '$l' not buildable")
+      assert(r.length == 1 || known.contains(r), s"right '$r' not buildable")
+      known += (l + r)
+    }
+    // greedy training is prefix-stable: the first rounds don't depend on
+    // how many more will run
+    assert(Bpe.trainDistributed(docs, numMerges = 12,
+      pt = Bpe.PreTokenizer.ByteLevel) == merges.take(12))
+    // the property run: tokenization under the larger vocab stays exact —
+    // every dictionary entry round-trips through the byte map
+    val dict = Bpe.encodeDictionary(docs.limit(200), merges,
+      Bpe.PreTokenizer.ByteLevel).collect()
+    assert(dict.nonEmpty)
+    dict.foreach { r =>
+      val w = r.getString(0)
+      val toks = r.getSeq[String](1)
+      assert(toks.mkString == Bpe.byteMap(w), s"round-trip failed for '$w'")
+    }
+  }
+
   test("packSequences accepts a real token-count column") {
     val docs = Tables.load(spark, sf, "documents").limit(100)
     val counted = docs.join(
