@@ -767,6 +767,14 @@ object Dedup {
     * iteration over rows) and (2) hops each label to its label's label
     * (path halving), so convergence is O(log diameter) rounds rather than
     * O(diameter); a 100-million-doc chain still resolves in ~27 rounds.
+    * `hops` sets how many label-follow joins run per round: each extra hop
+    * COMPOSES the already-compressed pointer map with itself, so reach
+    * grows ~2^hops per round and round count drops to ~log₂(d)/hops — the
+    * lever for long-diameter graphs, where the fixed per-round cost
+    * (relax join + convergence action + checkpoint) dominates. Hop
+    * intermediates past the first are lazily checkpointed so hop k+1
+    * reads hop k's blocks instead of recomputing its join tree twice, and
+    * those blocks are freed with the round's superseded labels.
     * Each round shuffles only (node, label) pairs — never the pair graph
     * squared — and `localCheckpoint` truncates the plan lineage so the
     * loop doesn't accrete an exponential Catalyst tree.
@@ -774,7 +782,15 @@ object Dedup {
     * Returns (doc_id, cluster) for every doc that appears in a pair;
     * cluster == the component's min doc_id (so survivors are the rows
     * where doc_id == cluster). */
-  def resolveClusters(pairs: DataFrame, maxIterations: Int = 64): DataFrame = {
+  def resolveClusters(pairs: DataFrame, maxIterations: Int = 64,
+      hops: Int = 1): DataFrame =
+    resolveClustersCounted(pairs, maxIterations, hops)._1
+
+  /** [[resolveClusters]] plus the number of rounds it took — the scale
+    * proof pins rounds ≤ ⌈log₂ diameter⌉ + 2 on a path graph with this. */
+  private[graft] def resolveClustersCounted(pairs: DataFrame,
+      maxIterations: Int = 64, hops: Int = 1): (DataFrame, Int) = {
+    require(hops >= 1, s"hops must be >= 1, got $hops")
     val undirected = pairs
       .select(col("doc_a").cast("long").as("src"),
         col("doc_b").cast("long").as("dst"))
@@ -801,12 +817,23 @@ object Dedup {
       val relaxed = edges.join(labels, edges("src") === labels("doc_id"))
         .groupBy(edges("dst").as("doc_id"))
         .agg(min(col("cluster")).as("cluster"))
-      // hop: follow the label one step (labels are themselves node ids,
-      // and a node's label only ever shrinks, so the join is total)
-      val hopped = relaxed.as("x")
-        .join(relaxed.as("y"), col("x.cluster") === col("y.doc_id"))
-        .select(col("x.doc_id"),
-          least(col("x.cluster"), col("y.cluster")).as("cluster"))
+      // hop: follow the label one step per hop (labels are themselves node
+      // ids, and a node's label only ever shrinks, so the join is total).
+      // Hop 1 self-joins `relaxed` directly — its shuffle is shared via
+      // exchange reuse; deeper hops checkpoint the previous hop first.
+      var hopped = relaxed
+      val hopCps = collection.mutable.Buffer.empty[DataFrame]
+      var h = 0
+      while (h < hops) {
+        val src =
+          if (h == 0) hopped
+          else { val cp = hopped.localCheckpoint(false); hopCps += cp; cp }
+        hopped = src.as("x")
+          .join(src.as("y"), col("x.cluster") === col("y.doc_id"))
+          .select(col("x.doc_id"),
+            least(col("x.cluster"), col("y.cluster")).as("cluster"))
+        h += 1
+      }
       // ONE action per round: the convergence count rides the hop pass as a
       // `chg` column, and the aggregate below is the action that both
       // materializes the (lazy) checkpoint blocks and returns the count —
@@ -820,14 +847,15 @@ object Dedup {
       converged = changed == 0L
       // the superseded round's label blocks are dead the moment `next` is
       // materialized — at 100M docs / ~27 rounds, keeping them would pin
-      // ~27 copies of the label table
+      // ~27 copies of the label table. Hop intermediates likewise.
       unpersistCheckpoint(labels)
+      hopCps.foreach(unpersistCheckpoint)
       labels = next.select(col("doc_id"), col("cluster"))
       it += 1
     }
     require(converged, s"resolveClusters did not converge in $maxIterations rounds")
     unpersistCheckpoint(edges)
-    labels
+    (labels, it)
   }
 
   /** Drop the checkpoint blocks behind a localCheckpoint'ed frame (or a

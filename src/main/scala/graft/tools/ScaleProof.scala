@@ -206,12 +206,36 @@ object ScaleProof {
     val dirs: Seq[(String, String)] =
       ("1x", base) +: factors.map(k => (s"${k}x", synthesize(k)))
 
+    // ns16's worst case is component DIAMETER, which the corpus-derived
+    // pair graphs never stress (clusters there are small and dense) — so
+    // the long-chain entry synthesizes a pure path graph whose diameter
+    // IS the data size, and pins the pointer-jumping guarantee directly:
+    // rounds ≤ ⌈log₂ diameter⌉ + 2 (reach doubles per round; +1 for the
+    // final relax at full reach, +1 for the convergence-confirming round).
+    // A linear-propagation regression here fails the ROUND bound long
+    // before the time bound.
+    def longChain(dir: String): DataFrame = {
+      val k = dirs.find(_._2 == dir).map(_._1.dropRight(1).toInt).getOrElse(1)
+      val n = 20000L * k
+      val pairs = spark.range(n - 1)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      val (labels, rounds) =
+        graft.ops.Dedup.resolveClustersCounted(pairs, maxIterations = 64)
+      val bound = 64 - java.lang.Long.numberOfLeadingZeros(n - 2) + 2
+      println(s"[scale-proof] ns16_longchain n=$n rounds=$rounds " +
+        s"bound=⌈log₂ d⌉+2=$bound")
+      require(rounds <= bound,
+        s"long-chain rounds $rounds exceed log-diameter bound $bound")
+      labels
+    }
+
     val all: Seq[(String, String => DataFrame)] =
       standard.map(n =>
         n -> ((d: String) => graft.SparkEntry.queries(n)(spark, d))) ++
         Seq("ns4_ngram_capped" -> (ns4Capped _),
           "ns37_semantic_scaledC" -> (ns37Scaled _),
-          "ns55_bloom_scaledBits" -> (ns55Scaled _))
+          "ns55_bloom_scaledBits" -> (ns55Scaled _),
+          "ns16_longchain" -> (longChain _))
     // SPARK_GRAFT_SCALE_ONLY=name,name isolates entries for iteration
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)

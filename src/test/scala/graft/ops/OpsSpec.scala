@@ -297,6 +297,27 @@ class DedupSpec extends AnyFunSuite {
     assert(labels.forall(_.getLong(1) == 0L))
   }
 
+  test("resolveClusters hops lever: deeper jumps, fewer rounds, same labels") {
+    val chain = (0L until 400L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (l1, r1) = Dedup.resolveClustersCounted(chain, maxIterations = 20)
+    val (l3, r3) = Dedup.resolveClustersCounted(chain, maxIterations = 20,
+      hops = 3)
+    assert(l1.collect().map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+      == l3.collect().map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq)
+    // each extra hop composes the compressed pointer map with itself, so
+    // reach per round grows ~2^hops and round count drops accordingly
+    assert(r3 < r1, s"hops=3 took $r3 rounds vs $r1 at hops=1")
+    // the pointer-jumping guarantee the scale proof pins at 100x volume:
+    // rounds within ceil(log2(diameter)) + 2 even at hops=1
+    assert(r1 <= 11, s"hops=1 rounds $r1 exceed log-diameter bound")
+    // a 2-node graph converges immediately regardless of hop depth
+    val tiny = Seq((7L, 9L)).toDF("doc_a", "doc_b")
+    val (lt, rt) = Dedup.resolveClustersCounted(tiny, hops = 4)
+    assert(lt.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((7L, 7L), (9L, 7L)))
+    assert(rt <= 2)
+  }
+
   test("resolveClusters: one action per round, superseded checkpoints freed") {
     val sc = spark.sparkContext
     val names = new java.util.concurrent.ConcurrentLinkedQueue[String]()
