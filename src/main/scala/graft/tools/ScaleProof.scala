@@ -85,10 +85,35 @@ object ScaleProof {
     spark.sparkContext.addSparkListener(metrics)
 
     // ---- synthesis (idempotent: per-dir marker) --------------------------
+    // events joined the family after the corpus marker shipped, so it has
+    // its own incremental marker — existing cached corpora gain the table
+    // without a rebuild. Scaling shape: user_id and event_id shift per
+    // copy (MORE USERS at the same per-user event density — the 100-TB
+    // growth shape for event logs), timestamps unchanged, so per-user
+    // session/as-of structure is exactly the base corpus's per copy.
+    def synthesizeEvents(k: Int, out: String): Unit = {
+      val marker = new java.io.File(s"$out/_scaleproof_ok_events")
+      if (marker.exists()) return
+      println(s"[scale-proof] synthesizing ${k}x events at $out")
+      val copies = spark.range(k).toDF("copy")
+      val ev = spark.read.parquet(s"$base/events.parquet")
+      val nUsers = ev.agg(max("user_id")).head.getLong(0) + 1
+      val nEv = ev.agg(max("event_id")).head.getLong(0) + 1
+      ev.crossJoin(copies)
+        .select((ev.columns.map {
+          case "user_id" => (col("user_id") + col("copy") * nUsers).as("user_id")
+          case "event_id" => (col("event_id") + col("copy") * nEv).as("event_id")
+          case c => col(c)
+        }).toIndexedSeq: _*)
+        .repartition(math.max(8, k / 2))
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      marker.createNewFile()
+      ()
+    }
     def synthesize(k: Int): String = {
       val out = s"$scratch/x$k"
       val marker = new java.io.File(s"$out/_scaleproof_ok")
-      if (marker.exists()) return out
+      if (marker.exists()) { synthesizeEvents(k, out); return out }
       println(s"[scale-proof] synthesizing ${k}x corpus at $out")
       val copies = spark.range(k).toDF("copy")
 
@@ -142,15 +167,21 @@ object ScaleProof {
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
       marker.createNewFile()
+      synthesizeEvents(k, out)
       out
     }
 
     // ---- query family ----------------------------------------------------
+    // round 6 extends the tier to the event/join/text families — the
+    // row-heaviest shapes (sessionize, as-of, range join, boilerplate,
+    // tfidf, whole-pipeline) that had never run above sf0.1
     val standard = Seq("ns2_dedup_minhash",
       "ns16_dedup_survivors", "ns18_dedup_index_update", "ns40_dedup_spans",
       "ns41_layout_pruned", "ns47_source_overlap", "ns50_join_bucketed",
       "ns54_heavy_hitters_cms", "ns56_snapshot_diff", "ns57_quantile_bins",
-      "ns58_layout_zorder", "ns59_cms_lifecycle")
+      "ns58_layout_zorder", "ns59_cms_lifecycle",
+      "ns25_sessionize", "ns28_events_asof", "ns43_join_range",
+      "ns29_boilerplate", "ns38_keywords_tfidf", "ns31_corpus_prep")
     def ns37Scaled(dir: String): DataFrame = {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
       val n = e.count()
