@@ -242,6 +242,92 @@ object JdbcSink {
       } finally conn.close()
     }
 
+  /** Exactly-once per-epoch apply for a streaming `foreachBatch` JDBC
+    * sink. Structured Streaming guarantees at-least-once delivery of
+    * micro-batches to foreachBatch — after a crash the LAST epoch can be
+    * replayed with the same `epochId` — so exactly-once is the sink's
+    * job: make applying an epoch idempotent.
+    *
+    * Protocol (single logical writer per target, the streaming-query
+    * contract):
+    *   1. a ledger table `<table>_graft_epochs(epoch_id PK)` records
+    *      applied epochs; a replayed epoch is skipped before any
+    *      distributed work;
+    *   2. the batch writes DISTRIBUTED into a per-epoch staging table
+    *      (dropped first — a crashed attempt may have left partial rows,
+    *      and appending would duplicate);
+    *   3. one driver-side TRANSACTION moves rows engine-side
+    *      (INSERT INTO target SELECT ... FROM staging, explicit column
+    *      list so a pre-existing target's column order can't misalign)
+    *      and inserts the epoch into the ledger. Crash before the commit:
+    *      the ledger has no row, the replay redoes 2–3. Crash after: the
+    *      replay sees the ledger row and skips. The ledger PK is the
+    *      second line of defense if two writers ever race — the loser's
+    *      transaction rolls back whole.
+    *
+    * The reference has no streaming mode (SURVEY §2.9); this is the
+    * CDC-shaped extension of its per-table-transaction write
+    * (`pkg/dumper/mysql/dumper.go:74-99`), with the txn boundary moved to
+    * the epoch. Returns true if the epoch was applied, false if it was a
+    * replay skip. */
+  def writeEpoch(df: DataFrame, cfg: JdbcSinkConfig, epochId: Long): Boolean = {
+    require(!cfg.staging,
+      "writeEpoch manages its own per-epoch staging; set cfg.staging=false")
+    def q(t: String) = graft.sources.Drivers.quoteTableIfNeeded(cfg.url, t)
+    val ledger = s"${cfg.table}_graft_epochs"
+    val stagingT = s"${cfg.table}_graft_epoch"
+    if (!tableExists(cfg, ledger))
+      runSql(cfg, Seq(
+        s"CREATE TABLE ${q(ledger)} (epoch_id BIGINT NOT NULL PRIMARY KEY)"))
+    if (epochApplied(cfg, ledger, epochId)) return false
+    dropIfExists(cfg, stagingT)
+    runSql(cfg, cfg.preSql)
+    try {
+      df.write.mode(SaveMode.Append)
+        .option("batchsize", cfg.batchSize.toString)
+        .jdbc(cfg.url, q(stagingT), cfg.properties)
+      if (!tableExists(cfg, cfg.table))
+        runSql(cfg, Seq(createLikeSql(cfg.url, cfg.table, stagingT)))
+      // ALWAYS-quoted, mirroring Spark's JdbcDialect.quoteIdentifier: the
+      // staging table's columns were created quoted by the distributed
+      // writer, so e.g. Derby holds case-sensitive lowercase names that an
+      // unquoted reference would upcase past
+      def qc(c: String): String =
+        if (cfg.url.startsWith("jdbc:mysql:")) "`" + c.replace("`", "``") + "`"
+        else "\"" + c.replace("\"", "\"\"") + "\""
+      val cols = df.columns.map(qc).mkString(", ")
+      runSqlTxn(cfg, Seq(
+        s"INSERT INTO ${q(cfg.table)} ($cols) SELECT $cols FROM ${q(stagingT)}",
+        s"INSERT INTO ${q(ledger)} (epoch_id) VALUES ($epochId)"))
+      dropIfExists(cfg, stagingT)
+      true
+    } finally runSql(cfg, cfg.postSql)
+  }
+
+  /** Empty-copy DDL for the first epoch's target creation, per dialect. */
+  private def createLikeSql(url: String, target: String, src: String): String = {
+    def q(t: String) = graft.sources.Drivers.quoteTableIfNeeded(url, t)
+    if (url.startsWith("jdbc:mysql:")) s"CREATE TABLE ${q(target)} LIKE ${q(src)}"
+    else if (url.startsWith("jdbc:derby:"))
+      s"CREATE TABLE ${q(target)} AS SELECT * FROM ${q(src)} WITH NO DATA"
+    else s"CREATE TABLE ${q(target)} AS SELECT * FROM ${q(src)} WHERE 1=0"
+  }
+
+  private def epochApplied(
+      cfg: JdbcSinkConfig, ledger: String, epochId: Long): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(cfg.url, cfg.properties)
+    try {
+      val st = conn.prepareStatement("SELECT 1 FROM " +
+        graft.sources.Drivers.quoteTableIfNeeded(cfg.url, ledger) +
+        " WHERE epoch_id = ?")
+      try {
+        st.setLong(1, epochId)
+        val rs = st.executeQuery()
+        try rs.next() finally rs.close()
+      } finally st.close()
+    } finally conn.close()
+  }
+
   /** Like runSql but all statements commit (or roll back) as ONE
     * transaction — the swap path. Engines that auto-commit DDL (MySQL)
     * don't go through here. */

@@ -66,4 +66,28 @@ object StreamingSteal {
       .outputMode("append")
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
+
+  /** Start the EXACTLY-ONCE JDBC writer: each micro-batch applies through
+    * [[graft.sinks.JdbcSink.writeEpoch]]'s epoch ledger + per-epoch
+    * staging transaction, so a replayed epoch (Structured Streaming's
+    * at-least-once foreachBatch delivery after a crash) is detected and
+    * skipped instead of double-inserting. Combined with the checkpoint
+    * (source offsets) this closes the CDC story end to end: files land →
+    * stateless anonymise → transactional per-epoch load into a live
+    * database, with every failure window covered by either the offset
+    * log (before the epoch) or the ledger (after it). */
+  def startJdbc(
+      df: DataFrame,
+      cfg: graft.sinks.JdbcSinkConfig,
+      checkpointDir: String,
+      availableNow: Boolean = true): StreamingQuery = {
+    val w = df.writeStream
+      .foreachBatch((batch: DataFrame, epochId: Long) => {
+        graft.sinks.JdbcSink.writeEpoch(batch, cfg, epochId)
+        ()
+      })
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
 }

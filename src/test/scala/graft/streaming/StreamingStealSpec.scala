@@ -76,4 +76,49 @@ class StreamingStealSpec extends AnyFunSuite {
     assert(out.count() == src.count()) // no duplication from reprocessing
     assert(out.select("n_nationkey").distinct().count() == src.count())
   }
+
+  test("exactly-once JDBC sink: epoch ledger makes replayed epochs no-ops") {
+    import graft.sinks.{JdbcSink, JdbcSinkConfig}
+    val url = "jdbc:derby:memory:graft_stream_x1;create=true"
+    val jcfg = JdbcSinkConfig(url, "customer_cdc")
+    val tmp = Files.createTempDirectory("graft-stream3").toString
+    val src = Tables.load(spark, sf, "customer")
+    src.write.parquet(s"$tmp/src/customer.parquet")
+    val schema = spark.read.parquet(s"$tmp/src/customer.parquet").schema
+
+    // stream → anonymise → transactional per-epoch JDBC load on live Derby
+    StreamingSteal.startJdbc(
+      StreamingSteal.stream(spark, s"$tmp/src", cfg, schema,
+        keyColumns = Seq("c_custkey")),
+      jcfg, s"$tmp/ckpt").awaitTermination()
+
+    def loaded = spark.read.jdbc(url, "customer_cdc",
+      new java.util.Properties())
+    val batch = graft.anonymise.Anonymiser(
+      src.where("c_acctbal > 1000"), cfg, keyColumns = Seq("c_custkey"))
+    val n = batch.count()
+    assert(n > 0 && loaded.count() == n)
+    // value-level equivalence with the batch path survives the JDBC hop
+    assert(loaded.orderBy("c_custkey").select("c_name").collect().toSeq ==
+      batch.orderBy("c_custkey").select("c_name").collect().toSeq)
+
+    // the crash-replay window: foreachBatch re-delivers the LAST epoch
+    // with the same id — the ledger must turn it into a no-op
+    val replay = batch.limit(10)
+    assert(!JdbcSink.writeEpoch(replay, jcfg, epochId = 0L))
+    assert(loaded.count() == n)
+    // a NEW epoch still applies...
+    assert(JdbcSink.writeEpoch(replay, jcfg, epochId = 1L))
+    assert(loaded.count() == n + 10)
+    // ...exactly once, under its own replays
+    assert(!JdbcSink.writeEpoch(replay, jcfg, epochId = 1L))
+    assert(loaded.count() == n + 10)
+
+    // crash-before-commit window: a partially-written staging table from
+    // a failed attempt is discarded, never appended into
+    replay.write.mode("append").jdbc(url, "customer_cdc_graft_epoch",
+      new java.util.Properties())
+    assert(JdbcSink.writeEpoch(replay, jcfg, epochId = 2L))
+    assert(loaded.count() == n + 20)
+  }
 }
