@@ -136,7 +136,20 @@ final case class TableStructure(
     checks: Seq[(String, String)] = Nil,       // (name, SQL check clause)
     autoIncrement: Set[String] = Set.empty,    // identity column names
     generated: Map[String, String] = Map.empty, // column -> generation expr
-    partitionClause: Option[String] = None)    // "PARTITION BY ..." text
+    partitionClause: Option[String] = None,    // "PARTITION BY ..." text
+    collations: Map[String, String] = Map.empty) // column -> explicit collation
+
+/** A standalone sequence — one the catalog owns directly, NOT the hidden
+  * backing sequence of a serial/identity column (those replay through
+  * [[TableStructure.autoIncrement]]; carrying them here too would
+  * double-create). `pg_dump --schema-only` preserves these opaquely
+  * (`pkg/reader/postgres/pg_dump.go:32-59`); typed here so any dialect
+  * can re-emit. */
+final case class SequenceStructure(
+    name: String,
+    dataType: String = "BIGINT",
+    startWith: Long = 1L,
+    incrementBy: Long = 1L)
 
 /** A view carried through structure replay (the reference preserves views
   * opaquely inside `pg_dump --schema-only` output — fixtures/pg_simple.sql:35
@@ -303,8 +316,16 @@ object Ddl {
       val nullness = if (f.nullable) "" else " NOT NULL"
       val autoInc =
         if (identity && dialect == Dialect.MySql) " AUTO_INCREMENT" else ""
+      // explicit column collation: MySQL takes the name bare, Postgres
+      // quoted; Derby collates per-database (territory-based) and cannot
+      // express it per column — those degrade to the prefix fidelity note
+      val collate = ts.collations.get(f.name) match {
+        case Some(c) if dialect == Dialect.MySql => s" COLLATE $c"
+        case Some(c) if dialect == Dialect.Postgres => s""" COLLATE "$c""""
+        case _ => ""
+      }
       s"  ${dialect.quote(f.name)} ${dialect.typeName(f.dataType)}" +
-        s"$generated$default$nullness$autoInc"
+        s"$collate$generated$default$nullness$autoInc"
     }
     val pk =
       if (ts.primaryKey.isEmpty) Nil
@@ -326,7 +347,15 @@ object Ddl {
       case Some(p) => ("", s" $p")
       case None => ("", "")
     }
-    s"${partPrefix}CREATE TABLE ${dialect.quote(ts.table)} (\n${(cols ++ pk ++ uq ++ ck).mkString(",\n")}\n)$partSuffix;"
+    // same fidelity-note contract for collations Derby can't express —
+    // a comment INSIDE the column list would swallow the joining comma
+    val collPrefix =
+      if (dialect == Dialect.Derby && ts.collations.nonEmpty)
+        ts.collations.toSeq.sortBy(_._1).map { case (c, coll) =>
+          s"-- $c COLLATE $coll (no column collation in derby)\n"
+        }.mkString
+      else ""
+    s"$collPrefix${partPrefix}CREATE TABLE ${dialect.quote(ts.table)} (\n${(cols ++ pk ++ uq ++ ck).mkString(",\n")}\n)$partSuffix;"
   }
 
   /** Post-load secondary-index replay: one `CREATE INDEX` per non-unique
@@ -368,10 +397,13 @@ object Ddl {
   def structureScriptFull(
       tables: Seq[TableStructure], dialect: Dialect,
       views: Seq[ViewStructure] = Nil,
-      triggers: Seq[TriggerStructure] = Nil): String = {
+      triggers: Seq[TriggerStructure] = Nil,
+      sequences: Seq[SequenceStructure] = Nil): String = {
     val sb = new StringBuilder
     sb.append(s"-- graft structure dump (${dialect.name})\n")
     dialect.preamble.foreach(s => sb.append(s).append(";\n"))
+    // sequences first: a table DEFAULT may call NEXT VALUE FOR / nextval
+    sequences.foreach(s => sb.append(createSequence(s, dialect)).append("\n"))
     tables.foreach(t => sb.append(createTable(t, dialect)).append("\n"))
     tables.foreach(t =>
       addForeignKeys(t, dialect).foreach(s => sb.append(s).append(";\n")))
@@ -469,6 +501,7 @@ object Ddl {
 
     val checks = checksFromJdbc(conn, candidates)
     val partition = partitionClauseFromCatalog(conn, candidates)
+    val collations = collationsFromCatalog(conn, candidates)
 
     // schema column names are authoritative (Spark-read case); re-map
     // metadata names onto them case-insensitively
@@ -484,7 +517,8 @@ object Ddl {
       checks = checks,
       autoIncrement = autoInc.map(fix),
       generated = generated.map { case (c, e) => fix(c) -> e },
-      partitionClause = partition)
+      partitionClause = partition,
+      collations = collations.map { case (c, n) => fix(c) -> n })
   }
 
   /** "GENERATED ALWAYS AS ( expr )" → "expr" (Derby's COLUMN_DEF shape). */
@@ -528,6 +562,99 @@ object Ddl {
       }.find(_.nonEmpty).getOrElse(Nil)
     }.toMap
   }
+
+  /** Explicit per-column collations. Postgres' information_schema reports
+    * `collation_name` ONLY when a column carries an explicit non-default
+    * collation — exactly the set worth replaying. MySQL reports every
+    * string column's collation, so it is filtered against the TABLE's
+    * default — only deviations carry (re-emitting the default on every
+    * column would pin today's server default into the copy). Derby
+    * collates per database (territory-based); nothing to extract. */
+  private def collationsFromCatalog(
+      conn: java.sql.Connection,
+      tableCandidates: Seq[String]): Map[String, String] = {
+    val url = Option(conn.getMetaData.getURL).getOrElse("")
+    val query =
+      if (url.startsWith("jdbc:mysql:"))
+        Some("SELECT c.COLUMN_NAME, c.COLLATION_NAME " +
+          "FROM information_schema.COLUMNS c " +
+          "JOIN information_schema.TABLES t " +
+          "ON t.TABLE_SCHEMA = c.TABLE_SCHEMA AND t.TABLE_NAME = c.TABLE_NAME " +
+          "WHERE c.TABLE_SCHEMA = DATABASE() AND c.TABLE_NAME = ? " +
+          "AND c.COLLATION_NAME IS NOT NULL " +
+          "AND c.COLLATION_NAME != t.TABLE_COLLATION")
+      else if (url.startsWith("jdbc:postgresql:"))
+        Some("SELECT column_name, collation_name " +
+          "FROM information_schema.columns " +
+          "WHERE table_schema = current_schema() AND table_name = ? " +
+          "AND collation_name IS NOT NULL")
+      else None
+    query.toSeq.flatMap { q =>
+      tableCandidates.iterator.map { t =>
+        val ps = conn.prepareStatement(q)
+        try {
+          ps.setString(1, t)
+          val rs = ps.executeQuery()
+          val buf = collection.mutable.ArrayBuffer.empty[(String, String)]
+          try while (rs.next()) buf += (rs.getString(1) -> rs.getString(2))
+          finally rs.close()
+          buf.toSeq
+        } finally ps.close()
+      }.find(_.nonEmpty).getOrElse(Nil)
+    }.toMap
+  }
+
+  /** Standalone sequences from a live catalog (serial/identity-owned
+    * backing sequences are EXCLUDED — they replay through the identity
+    * column itself). Engine-routed like views/triggers: Postgres via
+    * information_schema.sequences minus pg_depend-owned ones (the
+    * ownership `pg_get_serial_sequence` reports arrives as a deptype
+    * 'a'/'i' dependency row), Derby via SYS.SYSSEQUENCES (the live e2e
+    * engine), MySQL has no sequences. */
+  def sequencesFromJdbc(
+      conn: java.sql.Connection, url: String): Seq[SequenceStructure] = {
+    def collect(q: String): Seq[SequenceStructure] = {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(q)
+        val buf = collection.mutable.ArrayBuffer.empty[SequenceStructure]
+        try while (rs.next()) buf += SequenceStructure(rs.getString(1),
+          rs.getString(2), rs.getLong(3), rs.getLong(4))
+        finally rs.close()
+        buf.sortBy(_.name).toSeq
+      } finally st.close()
+    }
+    if (url.startsWith("jdbc:postgresql:"))
+      collect("SELECT s.sequence_name, s.data_type, " +
+        "s.start_value::bigint, s.increment::bigint " +
+        "FROM information_schema.sequences s " +
+        "WHERE s.sequence_schema = current_schema() " +
+        "AND NOT EXISTS (SELECT 1 FROM pg_depend d " +
+        "JOIN pg_class c ON c.oid = d.objid " +
+        "WHERE c.relname = s.sequence_name AND d.deptype IN ('a','i'))")
+    else if (url.startsWith("jdbc:derby:"))
+      // SEQUENCEDATATYPE is a TypeDescriptor whose string form is the SQL
+      // type name. Derby materializes IDENTITY backing sequences in
+      // SYS.SYSSEQUENCES too — under the SYS schema, so the user-schema
+      // join excludes them the same way pg_depend ownership does on
+      // Postgres.
+      collect("SELECT q.SEQUENCENAME, " +
+        "CAST(q.SEQUENCEDATATYPE AS VARCHAR(128)), " +
+        "q.STARTVALUE, q.INCREMENT " +
+        "FROM SYS.SYSSEQUENCES q JOIN SYS.SYSSCHEMAS s " +
+        "ON s.SCHEMAID = q.SCHEMAID WHERE s.SCHEMANAME <> 'SYS'")
+    else Nil
+  }
+
+  /** CREATE SEQUENCE in the target dialect; MySQL (no sequences) degrades
+    * to the fidelity-note comment, the partition-clause contract. */
+  def createSequence(s: SequenceStructure, dialect: Dialect): String =
+    if (dialect == Dialect.MySql)
+      s"-- CREATE SEQUENCE ${s.name} AS ${s.dataType} START WITH " +
+        s"${s.startWith} INCREMENT BY ${s.incrementBy} (no sequences in mysql)"
+    else
+      s"CREATE SEQUENCE ${dialect.quote(s.name)} AS ${s.dataType} " +
+        s"START WITH ${s.startWith} INCREMENT BY ${s.incrementBy};"
 
   /** Partition clause of a partitioned table, as opaque `PARTITION BY ...`
     * text: Postgres via `pg_get_partkeydef` (declarative partitioning),

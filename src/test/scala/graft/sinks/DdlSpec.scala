@@ -245,4 +245,43 @@ class DdlSpec extends AnyFunSuite {
     assert(script.indexOf("CREATE TRIGGER") > script.indexOf("CREATE TABLE"))
     assert(script.contains("SET @x = 1;"), script)
   }
+
+  test("collations and sequences render per dialect") {
+    import org.apache.spark.sql.types._
+    val ts = TableStructure("posts",
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("title", StringType))),
+      collations = Map("title" -> "utf8mb4_bin"))
+    // MySQL takes the collation name bare, Postgres quoted — in both the
+    // clause sits between type and constraints
+    val my = Ddl.createTable(ts, Dialect.MySql)
+    assert(my.matches("(?s).*`title` \\S+ COLLATE utf8mb4_bin.*"), my)
+    val pg = Ddl.createTable(
+      ts.copy(collations = Map("title" -> "de_DE")), Dialect.Postgres)
+    assert(pg.matches("(?s).*\"title\" \\S+ COLLATE \"de_DE\".*"), pg)
+    // Derby collates per database: the fidelity note precedes the
+    // statement (inside the column list it would swallow the comma) and
+    // the statement itself still ends in ';' for single-statement replay
+    val db = Ddl.createTable(ts, Dialect.Derby)
+    // no COLLATE inside the statement itself — only in the note above it
+    assert(!db.substring(db.indexOf("CREATE TABLE")).contains(" COLLATE "), db)
+    assert(db.startsWith(
+      "-- title COLLATE utf8mb4_bin (no column collation in derby)\n"), db)
+    assert(db.endsWith(";"), db)
+
+    val seq = SequenceStructure("order_seq", "INTEGER", 5L, 10L)
+    assert(Ddl.createSequence(seq, Dialect.Postgres) ==
+      """CREATE SEQUENCE "order_seq" AS INTEGER START WITH 5 INCREMENT BY 10;""")
+    assert(Ddl.createSequence(seq, Dialect.Derby) ==
+      """CREATE SEQUENCE "order_seq" AS INTEGER START WITH 5 INCREMENT BY 10;""")
+    // MySQL has no sequences — fidelity comment, never silent loss
+    val myseq = Ddl.createSequence(seq, Dialect.MySql)
+    assert(myseq.startsWith("--") && myseq.contains("no sequences in mysql"), myseq)
+    // sequences lead the full script: table DEFAULTs may reference them
+    val script = Ddl.structureScriptFull(Seq(ts), Dialect.Postgres,
+      sequences = Seq(seq))
+    assert(script.indexOf("CREATE SEQUENCE") < script.indexOf("CREATE TABLE"),
+      script)
+  }
 }

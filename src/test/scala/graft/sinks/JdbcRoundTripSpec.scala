@@ -253,4 +253,35 @@ class JdbcRoundTripSpec extends AnyFunSuite {
         "FOREIGN KEY (`USER_ID`) REFERENCES `USERS` (`ID`)"), fkSql)
     } finally conn.close()
   }
+
+  test("standalone sequence round-trips; identity backing sequences excluded") {
+    val aUrl = "jdbc:derby:memory:graft_seq_a;create=true"
+    val bUrl = "jdbc:derby:memory:graft_seq_b;create=true"
+    exec(aUrl,
+      "CREATE SEQUENCE order_seq AS INTEGER START WITH 5 INCREMENT BY 10",
+      // the identity column's engine-managed backing sequence must NOT be
+      // carried as a standalone object (it replays via the column itself)
+      """CREATE TABLE seq_users (
+        |  id INT GENERATED ALWAYS AS IDENTITY,
+        |  name VARCHAR(10))""".stripMargin,
+      "INSERT INTO seq_users (name) VALUES ('a'), ('b')")
+    val conn = DriverManager.getConnection(aUrl)
+    val seqs = try Ddl.sequencesFromJdbc(conn, aUrl) finally conn.close()
+    assert(seqs.map(_.name) == Seq("ORDER_SEQ"), seqs)
+    val s = seqs.head
+    assert(s.dataType.toUpperCase.contains("INT"), s)
+    assert(s.startWith == 5L && s.incrementBy == 10L, s)
+
+    // replay on a second live engine, re-extract: structurally identical
+    exec(bUrl, Ddl.createSequence(s, Dialect.Derby).stripSuffix(";"))
+    val connB = DriverManager.getConnection(bUrl)
+    try {
+      assert(Ddl.sequencesFromJdbc(connB, bUrl) == seqs)
+      // and the replayed sequence actually serves: first value = START WITH
+      val st = connB.createStatement()
+      val rs = st.executeQuery("VALUES NEXT VALUE FOR \"ORDER_SEQ\"")
+      try { assert(rs.next() && rs.getInt(1) == 5) } finally rs.close()
+      st.close()
+    } finally connB.close()
+  }
 }
