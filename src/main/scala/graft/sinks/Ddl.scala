@@ -137,7 +137,10 @@ final case class TableStructure(
     autoIncrement: Set[String] = Set.empty,    // identity column names
     generated: Map[String, String] = Map.empty, // column -> generation expr
     partitionClause: Option[String] = None,    // "PARTITION BY ..." text
-    collations: Map[String, String] = Map.empty) // column -> explicit collation
+    collations: Map[String, String] = Map.empty, // column -> explicit collation
+    exclusions: Seq[(String, String)] = Nil,   // (name, "EXCLUDE USING ..." text)
+    comment: Option[String] = None,            // table comment
+    columnComments: Map[String, String] = Map.empty)
 
 /** A standalone sequence — one the catalog owns directly, NOT the hidden
   * backing sequence of a serial/identity column (those replay through
@@ -324,8 +327,16 @@ object Ddl {
         case Some(c) if dialect == Dialect.Postgres => s""" COLLATE "$c""""
         case _ => ""
       }
+      // MySQL carries column comments inline; Postgres uses COMMENT ON
+      // statements ([[createComments]]); Derby has no comment support at
+      // all (notes ride with createComments' fidelity lines)
+      val comment = ts.columnComments.get(f.name) match {
+        case Some(c) if dialect == Dialect.MySql =>
+          s" COMMENT '${c.replace("'", "''")}'"
+        case _ => ""
+      }
       s"  ${dialect.quote(f.name)} ${dialect.typeName(f.dataType)}" +
-        s"$collate$generated$default$nullness$autoInc"
+        s"$collate$generated$default$nullness$autoInc$comment"
     }
     val pk =
       if (ts.primaryKey.isEmpty) Nil
@@ -336,6 +347,13 @@ object Ddl {
     val ck = ts.checks.map { case (n, clause) =>
       s"  CONSTRAINT ${dialect.quote(n)} CHECK ($clause)"
     }
+    // exclusion constraints are Postgres-only; the definition text
+    // ("EXCLUDE USING gist (...)") is engine SQL carried opaquely, the
+    // CHECK/view fidelity contract. Elsewhere: prefix note, never silence.
+    val ex =
+      if (dialect == Dialect.Postgres)
+        ts.exclusions.map { case (n, d) => s"  CONSTRAINT ${dialect.quote(n)} $d" }
+      else Nil
     // the partition clause is engine SQL carried opaquely; Derby has no
     // table partitioning, so there it degrades to a comment line BEFORE the
     // statement (the dialect-pinned fidelity note, not silent loss) — the
@@ -355,7 +373,19 @@ object Ddl {
           s"-- $c COLLATE $coll (no column collation in derby)\n"
         }.mkString
       else ""
-    s"$collPrefix${partPrefix}CREATE TABLE ${dialect.quote(ts.table)} (\n${(cols ++ pk ++ uq ++ ck).mkString(",\n")}\n)$partSuffix;"
+    val exPrefix =
+      if (dialect != Dialect.Postgres)
+        ts.exclusions.map { case (n, d) =>
+          s"-- CONSTRAINT $n $d (exclusion constraints are postgres-only)\n"
+        }.mkString
+      else ""
+    // MySQL's table options: COMMENT precedes the partition clause
+    val tblComment = ts.comment match {
+      case Some(c) if dialect == Dialect.MySql =>
+        s" COMMENT='${c.replace("'", "''")}'"
+      case _ => ""
+    }
+    s"$collPrefix$exPrefix${partPrefix}CREATE TABLE ${dialect.quote(ts.table)} (\n${(cols ++ pk ++ uq ++ ck ++ ex).mkString(",\n")}\n)$tblComment$partSuffix;"
   }
 
   /** Post-load secondary-index replay: one `CREATE INDEX` per non-unique
@@ -405,6 +435,8 @@ object Ddl {
     // sequences first: a table DEFAULT may call NEXT VALUE FOR / nextval
     sequences.foreach(s => sb.append(createSequence(s, dialect)).append("\n"))
     tables.foreach(t => sb.append(createTable(t, dialect)).append("\n"))
+    tables.foreach(t =>
+      createComments(t, dialect).foreach(s => sb.append(s).append("\n")))
     tables.foreach(t =>
       addForeignKeys(t, dialect).foreach(s => sb.append(s).append(";\n")))
     tables.foreach(t =>
@@ -502,6 +534,8 @@ object Ddl {
     val checks = checksFromJdbc(conn, candidates)
     val partition = partitionClauseFromCatalog(conn, candidates)
     val collations = collationsFromCatalog(conn, candidates)
+    val exclusions = exclusionsFromCatalog(conn, candidates)
+    val (tblComment, colComments) = commentsFromCatalog(conn, candidates)
 
     // schema column names are authoritative (Spark-read case); re-map
     // metadata names onto them case-insensitively
@@ -518,7 +552,10 @@ object Ddl {
       autoIncrement = autoInc.map(fix),
       generated = generated.map { case (c, e) => fix(c) -> e },
       partitionClause = partition,
-      collations = collations.map { case (c, n) => fix(c) -> n })
+      collations = collations.map { case (c, n) => fix(c) -> n },
+      exclusions = exclusions,
+      comment = tblComment,
+      columnComments = colComments.map { case (c, t) => fix(c) -> t })
   }
 
   /** "GENERATED ALWAYS AS ( expr )" → "expr" (Derby's COLUMN_DEF shape). */
@@ -604,6 +641,85 @@ object Ddl {
     }.toMap
   }
 
+  /** Table + column comments from a live catalog (MySQL information_schema
+    * TABLE_COMMENT/COLUMN_COMMENT; Postgres obj_description /
+    * col_description — the pg_dump COMMENT ON carry; Derby has none). */
+  private def commentsFromCatalog(
+      conn: java.sql.Connection,
+      tableCandidates: Seq[String]): (Option[String], Map[String, String]) = {
+    val url = Option(conn.getMetaData.getURL).getOrElse("")
+    def one(q: String, bind: Int = 1): Option[String] =
+      tableCandidates.iterator.flatMap { t =>
+        val ps = conn.prepareStatement(q)
+        try {
+          (1 to bind).foreach(i => ps.setString(i, t))
+          val rs = ps.executeQuery()
+          try {
+            if (rs.next()) Option(rs.getString(1)).map(_.trim).filter(_.nonEmpty)
+            else None
+          } finally rs.close()
+        } finally ps.close()
+      }.nextOption()
+    def many(q: String): Map[String, String] =
+      tableCandidates.iterator.map { t =>
+        val ps = conn.prepareStatement(q)
+        try {
+          ps.setString(1, t)
+          val rs = ps.executeQuery()
+          val buf = collection.mutable.ArrayBuffer.empty[(String, String)]
+          try while (rs.next()) {
+            val c = Option(rs.getString(2)).map(_.trim).filter(_.nonEmpty)
+            c.foreach(v => buf += (rs.getString(1) -> v))
+          } finally rs.close()
+          buf.toSeq
+        } finally ps.close()
+      }.find(_.nonEmpty).getOrElse(Nil).toMap
+    if (url.startsWith("jdbc:mysql:"))
+      (one("SELECT TABLE_COMMENT FROM information_schema.TABLES " +
+        "WHERE TABLE_SCHEMA = DATABASE() AND TABLE_NAME = ?"),
+        many("SELECT COLUMN_NAME, COLUMN_COMMENT " +
+          "FROM information_schema.COLUMNS " +
+          "WHERE TABLE_SCHEMA = DATABASE() AND TABLE_NAME = ?"))
+    else if (url.startsWith("jdbc:postgresql:"))
+      (one("SELECT obj_description(c.oid, 'pg_class') FROM pg_class c " +
+        "JOIN pg_namespace n ON n.oid = c.relnamespace " +
+        "WHERE c.relname = ? AND n.nspname = current_schema()"),
+        many("SELECT a.attname, col_description(c.oid, a.attnum) " +
+          "FROM pg_class c " +
+          "JOIN pg_namespace n ON n.oid = c.relnamespace " +
+          "JOIN pg_attribute a ON a.attrelid = c.oid " +
+          "WHERE c.relname = ? AND n.nspname = current_schema() " +
+          "AND a.attnum > 0 AND NOT a.attisdropped"))
+    else (None, Map.empty)
+  }
+
+  /** Exclusion constraints (Postgres-only, contype 'x'), carried as the
+    * full `pg_get_constraintdef` text — the pg_dump opaque-passthrough
+    * contract (`pkg/reader/postgres/pg_dump.go:32-59`). */
+  private def exclusionsFromCatalog(
+      conn: java.sql.Connection,
+      tableCandidates: Seq[String]): Seq[(String, String)] = {
+    val url = Option(conn.getMetaData.getURL).getOrElse("")
+    if (!url.startsWith("jdbc:postgresql:")) return Nil
+    tableCandidates.iterator.map { t =>
+      val ps = conn.prepareStatement(
+        "SELECT r.conname, pg_catalog.pg_get_constraintdef(r.oid, true) " +
+          "FROM pg_catalog.pg_constraint r " +
+          "JOIN pg_class c ON c.oid = r.conrelid " +
+          "JOIN pg_namespace n ON n.oid = c.relnamespace " +
+          "WHERE r.contype = 'x' AND c.relname = ? " +
+          "AND n.nspname = current_schema() ORDER BY r.conname")
+      try {
+        ps.setString(1, t)
+        val rs = ps.executeQuery()
+        val buf = collection.mutable.ArrayBuffer.empty[(String, String)]
+        try while (rs.next()) buf += (rs.getString(1) -> rs.getString(2))
+        finally rs.close()
+        buf.toSeq
+      } finally ps.close()
+    }.find(_.nonEmpty).getOrElse(Nil)
+  }
+
   /** Standalone sequences from a live catalog (serial/identity-owned
     * backing sequences are EXCLUDED — they replay through the identity
     * column itself). Engine-routed like views/triggers: Postgres via
@@ -644,6 +760,31 @@ object Ddl {
         "FROM SYS.SYSSEQUENCES q JOIN SYS.SYSSCHEMAS s " +
         "ON s.SCHEMAID = q.SCHEMAID WHERE s.SCHEMANAME <> 'SYS'")
     else Nil
+  }
+
+  /** Comment replay: Postgres takes `COMMENT ON` statements after the
+    * CREATE; MySQL already carried them inline ([[createTable]]) so this
+    * is empty there; Derby (no comment support) gets fidelity-note lines.
+    * Returned lines are complete (statement + ';' or note). */
+  def createComments(ts: TableStructure, dialect: Dialect): Seq[String] = {
+    def esc(s: String) = s.replace("'", "''")
+    val all = ts.comment.map(c => (None: Option[String]) -> c).toSeq ++
+      ts.columnComments.toSeq.sortBy(_._1).map { case (c, t) => Some(c) -> t }
+    dialect match {
+      case Dialect.MySql => Nil
+      case Dialect.Postgres => all.map {
+        case (None, t) =>
+          s"COMMENT ON TABLE ${dialect.quote(ts.table)} IS '${esc(t)}';"
+        case (Some(c), t) =>
+          s"COMMENT ON COLUMN ${dialect.quote(ts.table)}.${dialect.quote(c)} " +
+            s"IS '${esc(t)}';"
+      }
+      case _ => all.map {
+        case (None, t) => s"-- COMMENT ON TABLE ${ts.table}: $t (no comments in derby)"
+        case (Some(c), t) =>
+          s"-- COMMENT ON COLUMN ${ts.table}.$c: $t (no comments in derby)"
+      }
+    }
   }
 
   /** CREATE SEQUENCE in the target dialect; MySQL (no sequences) degrades

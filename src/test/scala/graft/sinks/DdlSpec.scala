@@ -284,4 +284,42 @@ class DdlSpec extends AnyFunSuite {
     assert(script.indexOf("CREATE SEQUENCE") < script.indexOf("CREATE TABLE"),
       script)
   }
+
+  test("comments and exclusion constraints render per dialect") {
+    import org.apache.spark.sql.types._
+    val ts = TableStructure("booking",
+      StructType(Seq(
+        StructField("room", IntegerType, nullable = false),
+        StructField("during", StringType))),
+      exclusions = Seq("no_overlap" -> "EXCLUDE USING gist (room WITH =, during WITH &&)"),
+      comment = Some("reservation ledger"),
+      columnComments = Map("room" -> "user's room"))
+    // Postgres: exclusion inline as a named constraint, comments as
+    // COMMENT ON statements after the CREATE
+    val pg = Ddl.createTable(ts, Dialect.Postgres)
+    assert(pg.contains(
+      "  CONSTRAINT \"no_overlap\" EXCLUDE USING gist (room WITH =, during WITH &&)"), pg)
+    assert(!pg.contains("COMMENT"), pg) // comments are NOT inline on pg
+    val pgc = Ddl.createComments(ts, Dialect.Postgres)
+    assert(pgc == Seq(
+      """COMMENT ON TABLE "booking" IS 'reservation ledger';""",
+      """COMMENT ON COLUMN "booking"."room" IS 'user''s room';"""), pgc)
+    // MySQL: comments inline (column clause + table option, quotes
+    // doubled), exclusions degrade to the fidelity note
+    val my = Ddl.createTable(ts, Dialect.MySql)
+    assert(my.contains("COMMENT 'user''s room'"), my)
+    assert(my.contains(") COMMENT='reservation ledger';"), my)
+    assert(my.contains("-- CONSTRAINT no_overlap EXCLUDE USING gist"), my)
+    assert(Ddl.createComments(ts, Dialect.MySql).isEmpty)
+    // Derby: nothing expressible — notes only, statement stays clean
+    val db = Ddl.createTable(ts, Dialect.Derby)
+    assert(!db.substring(db.indexOf("CREATE TABLE")).contains("EXCLUDE"), db)
+    assert(db.contains("-- CONSTRAINT no_overlap EXCLUDE"), db)
+    assert(db.endsWith(";"), db)
+    assert(Ddl.createComments(ts, Dialect.Derby).forall(_.startsWith("--")))
+    // the full script carries the COMMENT ON block right after the tables
+    val script = Ddl.structureScriptFull(Seq(ts), Dialect.Postgres)
+    assert(script.indexOf("COMMENT ON TABLE") > script.indexOf("CREATE TABLE"),
+      script)
+  }
 }
