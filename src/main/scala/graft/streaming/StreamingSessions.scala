@@ -29,9 +29,10 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * by (ts, event_id) before folding); arrival later than the watermark is
   * out-of-contract, exactly as in [[StreamingDedup.exactDedup]].
   *
-  * `ts` is microseconds since epoch (the testdata's nanos DIV 1000, as in
-  * ns25) so gap arithmetic is exact integer math; the watermark column is
-  * derived via `timestamp_micros`. */
+  * `ts` is microseconds since epoch (normalized at the scan boundary by
+  * the schema-adaptive [[graft.ops.Events.tsMicros]], as in ns25) so gap
+  * arithmetic is exact integer math; the watermark column is derived via
+  * `timestamp_micros`. */
 object StreamingSessions {
 
   final case class Ev(user_id: Long, event_id: Long, ts: Long)

@@ -1,0 +1,211 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.types._
+
+/** Two-decade BOUNDED-STATE proof for the streaming twins
+  * ([[graft.streaming.StreamingSessions]] /
+  * [[graft.streaming.StreamingEvents]]) — the measurement VERDICT r6
+  * task 7 asked for: the batch ScaleProof covers ns25/ns28/ns43 growth,
+  * but the streaming operators' "state is bounded by active keys, not
+  * event volume" claim was spec-pinned yet unmeasured.
+  *
+  * Synthesis axis — TIME-EXTENDED, not user-extended: the batch
+  * ScaleProof grows events by adding users (the 100-TB batch growth
+  * shape); for STATE the interesting axis is the opposite one. Here every
+  * decade replays the same 1,500 users' log k times, each copy shifted
+  * past the previous by span + 3×gap (so no session can straddle copies
+  * and no window overlaps), giving k× the events over k× the wall-clock
+  * with a CONSTANT active-key population. A state-discipline regression
+  * (state growing with events — e.g. sessions never evicted, windows
+  * retained past the watermark) shows up as peak state rows scaling with
+  * k; the correct shape is FLAT peaks across both decades:
+  *
+  *   - sessions: ≤ one `SessState` per user ever (open session or the
+  *     16-byte numbering counter) — peak ≈ 1,501 rows at 1×, 10×, 100×;
+  *   - windows: open (window × type) pairs bounded by the per-batch
+  *     watermark horizon — peak ≈ windows-per-copy × types, k-invariant.
+  *
+  * Ingestion is the real scale path (file-source micro-batches in
+  * event-time order — copies are written sequentially so modification
+  * times order the FileStreamSource queue; `maxFilesPerTrigger=1` gives
+  * one copy per trigger so the watermark advances between copies and
+  * evictions actually happen), not a driver-fed MemoryStream. Two
+  * far-future sentinel files flush the tail via event-time timeout,
+  * exactly as the equivalence specs do.
+  *
+  * Usage: {{{ sbt "runMain graft.tools.StreamingScaleProof" }}}
+  * Env: SPARK_GRAFT_SF_BASE (default /root/testdata/sf0.1),
+  *      SPARK_GRAFT_SCALE_FACTORS (default "1,10,100"),
+  *      SPARK_GRAFT_SCALE_DIR (default target/streamproof),
+  *      SPARK_GRAFT_CPUS (default 32).
+  */
+object StreamingScaleProof {
+
+  /** Peak state + output totals across every progress event of one query
+    * (recentProgress truncates at 100 batches; a listener does not). */
+  private final class Peaks extends StreamingQueryListener {
+    val peakRows = new AtomicLong(0L)
+    val peakBytes = new AtomicLong(0L)
+    val outRows = new AtomicLong(0L)
+    val batches = new AtomicLong(0L)
+    def reset(): Unit = { peakRows.set(0); peakBytes.set(0); outRows.set(0)
+      batches.set(0) }
+    override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      batches.incrementAndGet()
+      p.stateOperators.foreach { so =>
+        peakRows.getAndUpdate(r => math.max(r, so.numRowsTotal))
+        peakBytes.getAndUpdate(b => math.max(b, so.memoryUsedBytes))
+      }
+      if (p.sink.numOutputRows > 0) outRows.addAndGet(p.sink.numOutputRows)
+      ()
+    }
+  }
+
+  private val gapUs = 28800L * 1000000L // 8h, as in ns25
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_BASE", "/root/testdata/sf0.1")
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,10,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val scratch =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/streamproof")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-streaming-scale-proof")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "false") // streaming: AQE off
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val canon = graft.ops.Events
+      .tsMicros(spark.read.parquet(s"$base/events.parquet"))
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .cache()
+    val (t0, t1, nEv) = {
+      val r = canon.agg(min("ts"), max("ts"), count(lit(1))).head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val span = t1 - t0
+    val shift = span + 3 * gapUs
+    val nUsers = canon.select("user_id").distinct().count()
+    val baseSessions =
+      graft.ops.Events.sessionize(canon.toDF(), gapUs).count()
+    println(s"[stream-proof] base=$base events=$nEv users=$nUsers " +
+      s"span=${span / 1000000L}s sessions/copy=$baseSessions")
+
+    // ---- synthesis: k time-shifted copies, written IN ORDER ------------
+    def synthesize(k: Int): String = {
+      val dir = s"$scratch/in_x$k"
+      val marker = new java.io.File(s"$dir/_streamproof_ok")
+      if (marker.exists()) return dir
+      println(s"[stream-proof] synthesizing ${k}x time-extended log at $dir")
+      (0 until k).foreach { c =>
+        canon
+          .withColumn("ts", col("ts") + lit(c * shift))
+          .withColumn("event_id", col("event_id") + lit(c * nEv))
+          .orderBy("ts", "event_id").coalesce(1)
+          .write.mode("append").parquet(dir)
+      }
+      // two sentinel ticks past every session timeout / window end so the
+      // watermark flushes the tail (same protocol as the equivalence specs)
+      Seq(3L, 7L).foreach { m =>
+        Seq((-1L, -m, (k - 1) * shift + t1 + m * gapUs, "sentinel", 0.0))
+          .toDF("user_id", "event_id", "ts", "event_type", "value")
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+      marker.createNewFile()
+      dir
+    }
+
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val peaks = new Peaks
+    spark.streams.addListener(peaks)
+
+    def run(name: String, dir: String, build: DataFrame => DataFrame,
+        filesPerTrigger: Int): (Long, Long, Long, Long, Double) = {
+      peaks.reset()
+      val in = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", filesPerTrigger).parquet(dir)
+      val tS = System.nanoTime()
+      val q = build(in).writeStream.format("noop")
+        .option("checkpointLocation", s"$scratch/ckpt/$name")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      val sec = (System.nanoTime() - tS) / 1e9
+      // the listener bus is async — drain before snapshotting the peaks
+      Thread.sleep(1000)
+      (peaks.peakRows.get, peaks.peakBytes.get, peaks.outRows.get,
+        peaks.batches.get, sec)
+    }
+
+    case class Decade(k: Int, events: Long,
+      sessPeakRows: Long, sessPeakBytes: Long, sessOut: Long, sessSec: Double,
+      winPeakRows: Long, winPeakBytes: Long, winOut: Long, winSec: Double)
+
+    val results = factors.map { k =>
+      val dir = synthesize(k)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$scratch/ckpt"))
+      val (sr, sb, so, sn, ss) = run(s"sess_x$k", dir,
+        df => graft.streaming.StreamingSessions.sessions(
+          df.select("user_id", "event_id", "ts")
+            .as[graft.streaming.StreamingSessions.Ev], gapUs).toDF(),
+        filesPerTrigger = 1)
+      // sessions: every copy's sessions close (the next copy's watermark
+      // is past them); only the final sentinel's own session stays open
+      val expect = k * baseSessions
+      require(so >= expect && so <= expect + 3,
+        s"x$k closed sessions $so outside [$expect, ${expect + 3}]")
+      val (wr, wb, wo, wn, ws) = run(s"win_x$k", dir,
+        df => graft.streaming.StreamingEvents.windowedTypeCounts(
+          df.select("ts", "event_type", "value")),
+        filesPerTrigger = 1)
+      println(f"[stream-proof] x$k%-3d sessions: peak_state_rows=$sr " +
+        f"peak_state_bytes=$sb out=$so batches=$sn sec=$ss%.1f | " +
+        f"windows: peak_state_rows=$wr peak_state_bytes=$wb out=$wo " +
+        f"batches=$wn sec=$ws%.1f")
+      Decade(k, nEv * k, sr, sb, so, ss, wr, wb, wo, ws)
+    }
+
+    // ---- the bounded-state gate: peaks must be FLAT across decades -----
+    val r1 = results.head
+    results.tail.foreach { r =>
+      require(r.sessPeakRows <= r1.sessPeakRows * 3 / 2 + 8,
+        s"sessions state grew with event volume: x${r.k} peak " +
+          s"${r.sessPeakRows} vs x${r1.k} peak ${r1.sessPeakRows}")
+      require(r.winPeakRows <= r1.winPeakRows * 3 / 2 + 8,
+        s"window state grew with event volume: x${r.k} peak " +
+          s"${r.winPeakRows} vs x${r1.k} peak ${r1.winPeakRows}")
+    }
+    // sessions state is keyed by user: the peak can never exceed the
+    // active-key population (+ sentinel + slack for the numbering stubs)
+    results.foreach { r =>
+      require(r.sessPeakRows <= nUsers + 2,
+        s"x${r.k} session state ${r.sessPeakRows} exceeds user count $nUsers")
+    }
+    println("[stream-proof] PASS: state peaks flat across " +
+      s"${factors.mkString("/")}x (sessions ≤ ${nUsers + 2} rows always)")
+    spark.stop()
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Early-warning diagnostic for driver testdata regeneration — NOT a
+  * correctness gate. Round 6 lost three queries and six suites to a silent
+  * physical-encoding change (`events.ts` TIMESTAMP(NANOS) →
+  * TIMESTAMP(MICROS); see BASELINE.md "Round 7: testdata regeneration
+  * event"), and the failure surfaced as a cryptic `DATATYPE_MISMATCH`
+  * deep inside operator plans. This spec pins the COLUMN NAMES and the
+  * accepted TYPE FAMILIES of every driver table, so the next regeneration
+  * that changes shape fails HERE first, with a message naming the table,
+  * the column, and both schemas.
+  *
+  * Type families are deliberately wide — any integral width, any
+  * timestamp encoding (including nanos-as-long) — because the engine
+  * adapts to those (`Events.tsMicros`, `EventsEncodingSpec`); only a
+  * change the scan layer could NOT absorb (renamed/dropped column, a
+  * string becoming numeric, …) should fail. */
+class TestdataSchemaSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private val integral: Set[DataType] =
+    Set(ByteType, ShortType, IntegerType, LongType)
+  private val fractional: Set[DataType] = Set(FloatType, DoubleType)
+  /** Any encoding an event-time/date column can scan as (the families
+    * `Events.tsMicros` adapts to, plus DateType for pure dates). */
+  private val temporal: Set[DataType] =
+    Set(TimestampType, TimestampNTZType, DateType, LongType)
+  private val text: Set[DataType] = Set(StringType)
+  private val vector: Set[DataType] =
+    Set(ArrayType(FloatType), ArrayType(DoubleType),
+      ArrayType(FloatType, containsNull = false),
+      ArrayType(DoubleType, containsNull = false))
+
+  private val expected: Map[String, Seq[(String, Set[DataType])]] = Map(
+    "region" -> Seq("r_regionkey" -> integral, "r_name" -> text),
+    "nation" -> Seq("n_nationkey" -> integral, "n_name" -> text,
+      "n_regionkey" -> integral),
+    "customer" -> Seq("c_custkey" -> integral, "c_name" -> text,
+      "c_nationkey" -> integral, "c_acctbal" -> fractional,
+      "c_mktsegment" -> text),
+    "supplier" -> Seq("s_suppkey" -> integral, "s_name" -> text,
+      "s_nationkey" -> integral, "s_acctbal" -> fractional),
+    "part" -> Seq("p_partkey" -> integral, "p_name" -> text,
+      "p_brand" -> text, "p_type" -> text, "p_size" -> integral,
+      "p_retailprice" -> fractional),
+    "orders" -> Seq("o_orderkey" -> integral, "o_custkey" -> integral,
+      "o_orderstatus" -> text, "o_totalprice" -> fractional,
+      "o_orderdate" -> temporal, "o_orderpriority" -> text),
+    "lineitem" -> Seq("l_orderkey" -> integral, "l_partkey" -> integral,
+      "l_suppkey" -> integral, "l_linenumber" -> integral,
+      "l_quantity" -> fractional, "l_extendedprice" -> fractional,
+      "l_discount" -> fractional, "l_tax" -> fractional,
+      "l_returnflag" -> text, "l_linestatus" -> text,
+      "l_shipdate" -> temporal),
+    "events" -> Seq("event_id" -> integral, "ts" -> temporal,
+      "user_id" -> integral, "event_type" -> text, "value" -> fractional,
+      "props" -> text),
+    "documents" -> Seq("doc_id" -> integral, "text" -> text,
+      "lang" -> text, "source" -> text, "n_chars" -> integral),
+    "embeddings" -> Seq("vec_id" -> integral, "embedding" -> vector,
+      "label" -> integral))
+
+  test("driver testdata tables scan to the expected names and type families") {
+    val problems = expected.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
+      val schema = Tables.load(spark, sf, table).schema
+      val names = schema.fields.map(_.name).toSeq
+      val nameProblem =
+        if (names == cols.map(_._1)) Nil
+        else Seq(s"$table: columns changed — expected " +
+          s"${cols.map(_._1).mkString("[", ", ", "]")}, scanned " +
+          s"${names.mkString("[", ", ", "]")}")
+      val typeProblems = cols.flatMap { case (name, family) =>
+        schema.fields.find(_.name == name).toSeq.collect {
+          case f if !family.contains(f.dataType) =>
+            s"$table.$name: scanned ${f.dataType.simpleString}, outside the " +
+              s"accepted family ${family.map(_.simpleString).mkString("{", ", ", "}")}"
+        }
+      }
+      nameProblem ++ typeProblems
+    }
+    assert(problems.isEmpty,
+      "\nDRIVER TESTDATA CHANGED SHAPE — adapt the scan layer before " +
+        "debugging operators (see BASELINE.md \"Round 7: testdata " +
+        "regeneration event\" for the round-6 incident):\n  " +
+        problems.mkString("\n  "))
+  }
+}

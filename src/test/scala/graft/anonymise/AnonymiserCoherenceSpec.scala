@@ -1,0 +1,93 @@
+package graft.anonymise
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.config.TableConfig
+
+/** Cross-column coherence and partitioning stability of the seeded faker
+  * design at grid scale (VERDICT r6 task 8) — the per-row contracts are
+  * unit-tested in `AnonymiserSpec`/`FakerProps`; this spec pins the
+  * properties that only show up over a (table, column, pk) GRID under
+  * Spark's physical degrees of freedom:
+  *
+  *   1. partitioning invariance — the (pk → anonymised row) mapping is
+  *      identical under 1/7/32-partition layouts and a scrambled row
+  *      order, because the seed is content-derived
+  *      (`xxhash64(secret, table, column, keyCols)`), never
+  *      partition-derived. This is the task-retry / speculative-execution
+  *      safety property at cluster scale.
+  *   2. persona coherence across columns — for every row, first/last/full
+  *      name, username, and email describe ONE identity (the row
+  *      persona), while column-seeded fakers still vary per column.
+  *   3. distribution stability — over a 4k-pk grid each corpus value's
+  *      frequency stays within loose uniform bounds, per table AND per
+  *      disjoint pk range, so no (table, pk-range) stratum collapses onto
+  *      few values. Deterministic (fixed secret), so bounds cannot flake. */
+class AnonymiserCoherenceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val N = 4000
+  private val cfg = TableConfig("people", anonymise = Seq(
+    "first" -> "FirstName", "last" -> "LastName", "full" -> "FullName",
+    "user" -> "UserName", "email" -> "EmailAddress", "city" -> "City"))
+
+  private def grid = {
+    import spark.implicits._
+    (0 until N).map(i =>
+        (i.toLong, s"f$i", s"l$i", s"x$i", s"u$i", s"e$i", s"c$i"))
+      .toDF("pk", "first", "last", "full", "user", "email", "city")
+  }
+
+  private def anonMap(df: org.apache.spark.sql.DataFrame) =
+    Anonymiser(df, cfg, keyColumns = Seq("pk")).collect()
+      .map(r => r.getAs[Long]("pk") ->
+        (r.getAs[String]("first"), r.getAs[String]("last"),
+          r.getAs[String]("full"), r.getAs[String]("user"),
+          r.getAs[String]("email"), r.getAs[String]("city"))).toMap
+
+  test("anonymisation is invariant under partitioning and row order") {
+    val want = anonMap(grid.repartition(1))
+    assert(anonMap(grid.repartition(7)) == want)
+    assert(anonMap(grid.repartition(32, col("pk"))) == want)
+    assert(anonMap(grid.orderBy(col("pk").desc)) == want)
+    assert(want.size == N)
+  }
+
+  test("persona-backed columns cohere to one identity per row") {
+    val rows = anonMap(grid)
+    rows.values.foreach { case (first, last, full, user, email, _) =>
+      assert(full == s"$first $last", s"full name mismatch: $full")
+      assert(user.contains(first.toLowerCase),
+        s"username $user does not carry first name $first")
+      // UserName/EmailAddress are uniquified (a seed-derived ".hex4"
+      // suffix per column): the shared persona is the BASE username, so
+      // compare with each column's own suffix stripped
+      val baseUser = user.reverse.dropWhile(_ != '.').tail.reverse
+      assert(email.startsWith(s"$baseUser@"),
+        s"email $email does not carry persona username $baseUser")
+    }
+    // distinct personas actually vary across the grid (no seed collapse)
+    assert(rows.values.map(_._3).toSet.size > 50)
+  }
+
+  test("corpus-value frequencies are uniform-ish per table and pk stratum") {
+    val rows = anonMap(grid).toSeq
+    def check(vals: Seq[String], corpus: Int, label: String): Unit = {
+      val freq = vals.groupBy(identity).view.mapValues(_.size)
+      val expect = vals.size.toDouble / corpus
+      assert(freq.size == corpus, s"$label: only ${freq.size}/$corpus used")
+      freq.foreach { case (v, n) =>
+        assert(n > expect / 4 && n < expect * 4,
+          s"$label: value $v count $n far from uniform $expect")
+      }
+    }
+    check(rows.map(_._2._1), corpus = 40, "first names (whole table)")
+    check(rows.map(_._2._6), corpus = Corpora.cities.size, "cities (whole table)")
+    // per-stratum: four disjoint pk ranges must each stay uniform-ish
+    rows.groupBy(_._1 / (N / 4)).foreach { case (stratum, part) =>
+      check(part.map(_._2._6), Corpora.cities.size, s"cities (stratum $stratum)")
+    }
+  }
+}

@@ -659,8 +659,7 @@ class CorpusOpsSpec extends AnyFunSuite {
   }
 
   test("rangeJoin plans an equality join, never a nested loop, and validates inputs") {
-    val ev = Tables.load(spark, sf, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("ts DIV 1000"))
+    val ev = graft.ops.Events.tsMicros(Tables.load(spark, sf, "events"))
     val points = ev.where(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"), col("ts"))
     val intervals = ev.where(col("event_type") === "purchase")

@@ -131,8 +131,7 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("sessionize plans ONE exchange: the groupBy reuses the window's partitioning") {
-    val events = Tables.load(spark, sf, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("ts DIV 1000"))
+    val events = Events.tsMicros(Tables.load(spark, sf, "events"))
     val p = Events.sessionize(events, gap = 1000000L)
       .queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
@@ -217,8 +216,7 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("asOfJoin plans ONE hash exchange pair, never a pairwise join") {
-    val ev = Tables.load(spark, sf, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("ts DIV 1000"))
+    val ev = Events.tsMicros(Tables.load(spark, sf, "events"))
     import org.apache.spark.sql.functions.col
     val p = Events.asOfJoin(
         ev.where(col("event_type") === "purchase")

@@ -14,8 +14,7 @@ class StreamingEventsSpec extends AnyFunSuite {
   test("finalized windows equal the batch rollup on the real event log") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
-      .withColumn("ts", expr("ts DIV 1000"))
+    val events = graft.ops.Events.tsMicros(Tables.load(spark, "/root/testdata/sf0.001", "events"))
       .select("ts", "event_type", "value")
       .as[(Long, String, Double)]
       .collect().sortBy(_._1).toSeq
@@ -43,8 +42,7 @@ class StreamingEventsSpec extends AnyFunSuite {
           r.getAs[Double]("max_value")))).toMap
 
     val hourUs = 3600L * 1000000L
-    val batch = Tables.load(spark, "/root/testdata/sf0.001", "events")
-      .withColumn("ts", expr("ts DIV 1000"))
+    val batch = graft.ops.Events.tsMicros(Tables.load(spark, "/root/testdata/sf0.001", "events"))
       .groupBy((col("ts") - (col("ts") % hourUs)).as("ws"), col("event_type"))
       .agg(count(lit(1)).as("n"), min("value").as("mn"), max("value").as("mx"))
       .collect()

@@ -69,8 +69,7 @@ class StreamingSessionsSpec extends AnyFunSuite {
 
   test("closed streaming sessions equal the batch operator on the real event log") {
     import spark.implicits._
-    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
-      .withColumn("ts", expr("ts DIV 1000"))
+    val events = graft.ops.Events.tsMicros(Tables.load(spark, "/root/testdata/sf0.001", "events"))
       .select("user_id", "event_id", "ts").as[Ev]
       .collect().sortBy(e => (e.ts, e.event_id)).toSeq
     val batchGap = 28800L * 1000000L // 8h, as in ns25
@@ -101,8 +100,7 @@ class StreamingSessionsSpec extends AnyFunSuite {
         r.getAs[Long]("n_events"), r.getAs[Long]("start_ts"),
         r.getAs[Long]("end_ts"))).toSet
     val batch = graft.ops.Events.sessionize(
-        Tables.load(spark, "/root/testdata/sf0.001", "events")
-          .withColumn("ts", expr("ts DIV 1000")), batchGap)
+        graft.ops.Events.tsMicros(Tables.load(spark, "/root/testdata/sf0.001", "events")), batchGap)
       .collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
         r.getAs[Long]("n_events"), r.getAs[Long]("start_ts"),
