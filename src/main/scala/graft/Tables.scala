@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Typed rows for the north-star tables — the `Dataset[T]` face of the
   * engine where compile-time safety helps (operator pipelines over known
@@ -36,16 +38,57 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Conform a scanned DataFrame to a canonical schema by casting exactly
+    * the columns whose ATOMIC (or array-of-atomic) type differs — the same
+    * adapt-to-the-scanned-schema discipline as
+    * [[graft.ops.Events.tsMicros]], for the typed loaders: an external
+    * table's writer owns its physical encoding (int32 vs int64 widths,
+    * float vs double vectors), and a re-generation must not break
+    * `as[T]`. No-op per column when the types already match, so today's
+    * plans carry no cast and pushdown/pruning are untouched; a width
+    * change inserts one codegen'd cast at the scan boundary. Renames and
+    * non-castable changes still fail fast (TestdataSchemaSpec diagnoses
+    * those). */
+  private[graft] def conform(df: DataFrame, want: StructType): DataFrame = {
+    def atomic(t: DataType): Boolean = t match {
+      case _: ArrayType | _: MapType | _: StructType => false
+      case _ => true
+    }
+    // the cast target keeps the SCANNED nullability (casting only widths/
+    // precision) — nullability reconciliation stays with as[T]'s UpCast,
+    // exactly as without conform; differing containsNull alone is no
+    // reason to cast (and Catalyst refuses the nullable→non-null cast)
+    def retarget(have: DataType, target: DataType): Option[DataType] =
+      (have, target) match {
+        case (a: ArrayType, b: ArrayType) =>
+          retarget(a.elementType, b.elementType)
+            .map(e => ArrayType(e, a.containsNull))
+        case (a, b) if atomic(a) && atomic(b) && a != b => Some(b)
+        case _ => None
+      }
+    val cols: Array[Column] = df.schema.fields.map { f =>
+      want.fields.find(_.name == f.name)
+        .flatMap(w => retarget(f.dataType, w.dataType)) match {
+        case Some(t) => col(f.name).cast(t).as(f.name)
+        case None => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
   /** Typed loaders (case-class Encoders): same files, compile-checked
-    * columns for operator-pipeline code. */
+    * columns for operator-pipeline code, physical widths conformed to the
+    * case class (see [[conform]]). */
   def documents(spark: SparkSession, dir: String): Dataset[Document] = {
     import spark.implicits._
-    load(spark, dir, "documents").as[Document]
+    conform(load(spark, dir, "documents"),
+      implicitly[org.apache.spark.sql.Encoder[Document]].schema).as[Document]
   }
 
   def embeddings(spark: SparkSession, dir: String): Dataset[Embedding] = {
     import spark.implicits._
-    load(spark, dir, "embeddings").as[Embedding]
+    conform(load(spark, dir, "embeddings"),
+      implicitly[org.apache.spark.sql.Encoder[Embedding]].schema).as[Embedding]
   }
 
   /** Discover table names present in a directory (catalog listing, S3). */

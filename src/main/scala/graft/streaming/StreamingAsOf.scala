@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Streaming as-of join — the incremental counterpart of
+  * [[graft.ops.Events.asOfJoin]] (SURVEY §7.2 M6 extension; the reference
+  * is strictly batch). Attribution AS PURCHASES FINALIZE instead of in a
+  * nightly batch: each purchase row is emitted exactly once, carrying the
+  * user's latest strictly-preceding click in the (ts, event_id) total
+  * order, or nulls when none exists (the batch operator's left-outer
+  * strict-past semantics, match iff (r.ts, r.id) < (l.ts, l.id)).
+  *
+  * Finalization discipline: a purchase at `ts_p` may only be emitted once
+  * the event-time watermark has passed `ts_p` — any in-contract click
+  * still to arrive then has `ts ≥ watermark ≥ ts_p` and cannot change the
+  * match. Arrival later than the watermark is out-of-contract, exactly as
+  * in [[StreamingSessions]].
+  *
+  * State discipline at scale — bounded by the WATERMARK HORIZON, not the
+  * stream: per user the state holds (a) the single best click at or below
+  * the watermark (older clicks can never win a future purchase, since any
+  * unemitted purchase has `ts > watermark` — they are compacted away every
+  * batch), (b) clicks above the watermark, (c) unemitted purchases above
+  * the watermark. With lateness L and per-user rates r, state is O(r·L)
+  * rows per user regardless of stream length — the streaming ScaleProof
+  * measures exactly this flatness across decades. */
+object StreamingAsOf {
+
+  /** One event on either side: `kind` is "click" or "purchase" (other
+    * kinds must be filtered upstream). */
+  final case class Ev2(
+      user_id: Long, event_id: Long, ts: Long, kind: String, value: Double)
+
+  /** `Ev2` plus the derived watermark attribute (public for Catalyst's
+    * deserializer only, as in [[StreamingSessions.EvT]]). */
+  final case class Ev2T(
+      user_id: Long, event_id: Long, ts: Long, kind: String, value: Double,
+      event_time: java.sql.Timestamp)
+
+  final case class Click(ts: Long, event_id: Long)
+  final case class Purchase(ts: Long, event_id: Long, value: Double)
+
+  /** Per-user buffers: `best` is the compacted latest click at or below
+    * the watermark; `clicks`/`purchases` hold rows still above it. */
+  final case class AsOfState(
+      best: Option[Click], clicks: List[Click], purchases: List[Purchase])
+
+  final case class AsOfOut(
+      user_id: Long, ts: Long, event_id: Long, value: Double,
+      asof_event_id: Option[Long], asof_ts: Option[Long])
+
+  /** Streaming attribution with allowed lateness `lateness` (watermark
+    * delay). Emits one [[AsOfOut]] per purchase, when it finalizes. */
+  def asOf(
+      events: Dataset[Ev2],
+      lateness: String = "0 microseconds"): Dataset[AsOfOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF()
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", lateness)
+      .as[Ev2T]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, AsOfOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, rows, state) =>
+          val st0 = state.getOption.getOrElse(AsOfState(None, Nil, Nil))
+          var clicks = st0.clicks
+          var purchases = st0.purchases
+          if (!state.hasTimedOut) rows.foreach { e =>
+            if (e.kind == "click") clicks ::= Click(e.ts, e.event_id)
+            else if (e.kind == "purchase")
+              purchases ::= Purchase(e.ts, e.event_id, e.value)
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // strict-past order on (ts, event_id)
+          def beats(a: Click, b: Click): Boolean =
+            a.ts > b.ts || (a.ts == b.ts && a.event_id > b.event_id)
+          // finalize every purchase the watermark has STRICTLY passed — a
+          // click at ts == watermark is still in-contract (Spark drops
+          // only event_time < watermark) and could tie-break into the
+          // match, so equality must keep the purchase pending
+          val (ready, pending) = purchases.partition(_.ts < wmUs)
+          val out = ready.sortBy(p => (p.ts, p.event_id)).map { p =>
+            val cands = clicks.filter(c =>
+              c.ts < p.ts || (c.ts == p.ts && c.event_id < p.event_id))
+            val m = (st0.best.toList ++ cands)
+              .reduceOption((a, b) => if (beats(a, b)) a else b)
+            AsOfOut(userId, p.ts, p.event_id, p.value,
+              m.map(_.event_id), m.map(_.ts))
+          }
+          // compact: of the clicks STRICTLY below the watermark only the
+          // latest can ever win a still-pending purchase (pending ⇒
+          // ts ≥ watermark > click, so every compacted click — and in
+          // particular their max — is strict-past for it; at ts ==
+          // watermark a tie on event_id could discriminate, so equality
+          // stays buffered)
+          val (old, fresh) = clicks.partition(_.ts < wmUs)
+          val best = (st0.best.toList ++ old)
+            .reduceOption((a, b) => if (beats(a, b)) a else b)
+          if (best.isEmpty && fresh.isEmpty && pending.isEmpty)
+            state.remove()
+          else {
+            state.update(AsOfState(best, fresh, pending))
+            // wake when the watermark passes the earliest pending
+            // purchase, so finalization needs no new per-user data; ceil
+            // to ms and clamp above the current watermark as in
+            // StreamingSessions
+            pending.map(_.ts).minOption.foreach { t =>
+              state.setTimeoutTimestamp(math.max(t / 1000 + 1,
+                state.getCurrentWatermarkMs() + 1))
+            }
+          }
+          out.iterator
+      }
+  }
+}

@@ -161,7 +161,11 @@ object StreamingScaleProof {
 
     case class Decade(k: Int, events: Long,
       sessPeakRows: Long, sessPeakBytes: Long, sessOut: Long, sessSec: Double,
-      winPeakRows: Long, winPeakBytes: Long, winOut: Long, winSec: Double)
+      winPeakRows: Long, winPeakBytes: Long, winOut: Long, winSec: Double,
+      asofPeakRows: Long, asofPeakBytes: Long, asofOut: Long, asofSec: Double)
+
+    val basePurchases =
+      canon.where(col("event_type") === "purchase").count()
 
     val results = factors.map { k =>
       val dir = synthesize(k)
@@ -181,11 +185,29 @@ object StreamingScaleProof {
         df => graft.streaming.StreamingEvents.windowedTypeCounts(
           df.select("ts", "event_type", "value")),
         filesPerTrigger = 1)
+      // as-of state is horizon-bounded: pending purchases + in-horizon
+      // clicks of roughly ONE trigger, plus the compacted best click per
+      // user — flat across decades even though outputs grow k×
+      // sentinel rows pass through (asOf buffers only click/purchase
+      // kinds, but every row advances the watermark) — filtering them out
+      // would leave the max-ts purchase forever pending, since strict
+      // finalization needs the watermark BEYOND it
+      val (ar, ab, ao, an, as_) = run(s"asof_x$k", dir,
+        df => graft.streaming.StreamingAsOf.asOf(
+          df.where(col("event_type")
+              .isin("click", "purchase", "sentinel"))
+            .select(col("user_id"), col("event_id"), col("ts"),
+              col("event_type").as("kind"), col("value"))
+            .as[graft.streaming.StreamingAsOf.Ev2]).toDF(),
+        filesPerTrigger = 1)
+      require(ao == k * basePurchases,
+        s"x$k finalized purchases $ao != ${k * basePurchases}")
       println(f"[stream-proof] x$k%-3d sessions: peak_state_rows=$sr " +
         f"peak_state_bytes=$sb out=$so batches=$sn sec=$ss%.1f | " +
         f"windows: peak_state_rows=$wr peak_state_bytes=$wb out=$wo " +
-        f"batches=$wn sec=$ws%.1f")
-      Decade(k, nEv * k, sr, sb, so, ss, wr, wb, wo, ws)
+        f"batches=$wn sec=$ws%.1f | asof: peak_state_rows=$ar " +
+        f"peak_state_bytes=$ab out=$ao batches=$an sec=${as_}%.1f")
+      Decade(k, nEv * k, sr, sb, so, ss, wr, wb, wo, ws, ar, ab, ao, as_)
     }
 
     // ---- the bounded-state gate: peaks must be FLAT across decades -----
@@ -197,6 +219,9 @@ object StreamingScaleProof {
       require(r.winPeakRows <= r1.winPeakRows * 3 / 2 + 8,
         s"window state grew with event volume: x${r.k} peak " +
           s"${r.winPeakRows} vs x${r1.k} peak ${r1.winPeakRows}")
+      require(r.asofPeakRows <= r1.asofPeakRows * 3 / 2 + 8,
+        s"as-of state grew with event volume: x${r.k} peak " +
+          s"${r.asofPeakRows} vs x${r1.k} peak ${r1.asofPeakRows}")
     }
     // sessions state is keyed by user: the peak can never exceed the
     // active-key population (+ sentinel + slack for the numbering stubs)

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+import StreamingAsOf.Ev2
+
+/** Equivalence of the streaming as-of join with the batch operator on the
+  * real event log, under the same protocol as the other streaming twins:
+  * event-time-ordered chunks (scrambled within each chunk — per-batch
+  * arrival order must not matter), then sentinel ticks that push the
+  * watermark past every purchase so the tail finalizes. */
+class StreamingAsOfSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def eventLog = {
+    import spark.implicits._
+    graft.ops.Events.tsMicros(Tables.load(spark, sf, "events"))
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("kind"), col("value"))
+      .as[Ev2].collect().sortBy(e => (e.ts, e.event_id)).toSeq
+  }
+
+  test("finalized attributions equal the batch as-of join on the real log") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = eventLog
+    val n = events.length
+    val maxTs = events.last.ts
+    assert(events.count(_.kind == "purchase") > 50) // non-trivial both ways
+    val chunks = Seq(
+      events.slice(0, n / 3).reverse, // scrambled intra-chunk order
+      events.slice(n / 3, 2 * n / 3).reverse,
+      events.slice(2 * n / 3, n).reverse,
+      Seq(Ev2(-1L, -1L, maxTs + 3600L * 1000000L, "click", 0.0)),
+      Seq(Ev2(-1L, -2L, maxTs + 7200L * 1000000L, "click", 0.0)))
+
+    val in = MemoryStream[Ev2]
+    val q = StreamingAsOf.asOf(in.toDS())
+      .writeStream.format("memory").queryName("asof_equiv")
+      .outputMode("append").start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+
+    val streamed = spark.table("asof_equiv")
+      .where(col("user_id") >= 0).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[Double]("value"),
+        Option(r.getAs[java.lang.Long]("asof_event_id")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("asof_ts")).map(_.toLong))).toSet
+
+    val ev = graft.ops.Events.tsMicros(Tables.load(spark, sf, "events"))
+    val batch = graft.ops.Events.asOfJoin(
+        ev.where(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id", "value"),
+        ev.where(col("event_type") === "click")
+          .select("user_id", "ts", "event_id"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[Double]("value"),
+        Option(r.getAs[java.lang.Long]("asof_event_id")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("asof_ts")).map(_.toLong))).toSet
+
+    assert(streamed == batch)
+    assert(batch.exists(_._5.isEmpty)) // left-outer: some null matches
+    assert(batch.exists(_._5.nonEmpty))
+  }
+
+  test("a purchase waits for the watermark; a late-but-in-contract click wins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000000L
+    val in = MemoryStream[Ev2]
+    // 200s allowed lateness: the watermark trails max event time by 200s,
+    // so an out-of-order click inside that horizon is in-contract
+    val q = StreamingAsOf.asOf(in.toDS(), lateness = "200 seconds")
+      .writeStream.format("memory").queryName("asof_wm")
+      .outputMode("append").start()
+    def rows() = spark.table("asof_wm").collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Long]("asof_event_id")).map(_.toLong)))
+
+    in.addData(Seq(Ev2(7L, 1L, 100L * us, "click", 0.0),
+      Ev2(7L, 2L, 300L * us, "purchase", 9.0)))
+    q.processAllAvailable() // watermark 100s < 300s: purchase pends
+    assert(rows().isEmpty)
+    // the out-of-order click at 150s is >= watermark (in contract) and
+    // sits between click 1 and the purchase — it must win the match;
+    // click 4 only lifts the watermark to 200s, still below the purchase
+    in.addData(Seq(Ev2(7L, 3L, 150L * us, "click", 0.0),
+      Ev2(7L, 4L, 400L * us, "click", 0.0)))
+    q.processAllAvailable()
+    assert(rows().isEmpty)
+    in.addData(Seq(Ev2(7L, 5L, 600L * us, "click", 0.0)))
+    q.processAllAvailable() // watermark 400s >= 300s: finalize
+    q.stop()
+    assert(rows().toSeq == Seq((2L, Some(3L))))
+  }
+
+  test("timeout finalizes pending purchases without new per-user data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000000L
+    val in = MemoryStream[Ev2]
+    val q = StreamingAsOf.asOf(in.toDS())
+      .writeStream.format("memory").queryName("asof_timeout")
+      .outputMode("append").start()
+    in.addData(Seq(Ev2(1L, 1L, 100L * us, "click", 0.0),
+      Ev2(1L, 2L, 200L * us, "purchase", 5.0)))
+    q.processAllAvailable()
+    // a DIFFERENT user advances the watermark; user 1 gets no more rows
+    in.addData(Seq(Ev2(2L, 9L, 500L * us, "click", 0.0)))
+    q.processAllAvailable()
+    in.addData(Seq(Ev2(2L, 10L, 600L * us, "click", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_timeout").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Long]("asof_event_id")).map(_.toLong)))
+    assert(got.toSeq == Seq((1L, 2L, Some(1L))))
+  }
+}
