@@ -870,6 +870,41 @@ object SparkEntry {
       graft.ops.Dedup.minhashLsh(docs(s, dir))
         .select(col("doc_a"), col("doc_b")))
 
+  /** NS61 — unigram-LM perplexity filter (CCNet recipe): train on the
+    * corpus, score every doc by mean token nll, flag the outliers. The
+    * per-token nll is quantized to integer micro-nats before the per-doc
+    * sum, so the distributed aggregate is exact and the oracle replays it
+    * bit-for-bit. */
+  private def ns61(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quality.lmPerplexity(docs(s, dir))
+
+  /** NS62 — hashed-feature linear classifier (fastText recipe): md5-derived
+    * integer milli-weights broadcast as the model table, bag-of-words
+    * inference as one broadcast join + exact-integer per-doc sum. */
+  private def ns62(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quality.classifierScore(docs(s, dir))
+
+  /** NS63 — HTML main-content extraction: every doc is wrapped in
+    * deterministic page chrome (nav, script, style, entity-laden headline —
+    * every branch of the extractor sees work in every row), then
+    * [[graft.ops.TextAnalysis.htmlToText]] recovers the content. The
+    * oracle builds the identical page in SQL and replays the same
+    * RE2-safe pattern chain. */
+  private val ns63Chrome1 =
+    "<html><head><title>t</title><style type=\"text/css\">p { margin: 0; }" +
+      "</style><script>if (a < b && c > d) { alert(\"x\"); }</script>" +
+      "</head><body><nav><a href=\"/\">Home</a> | <a href=\"/about\">About" +
+      "</a></nav><h1>Doc &amp; &quot;notes&quot; &#39;n&#39; &lt;tags&gt;" +
+      "</h1><p id=\"main\">"
+  private val ns63Chrome2 =
+    "</p><div class=\"footer\"><script src=\"x.js\"></script>(c) example" +
+      "</div></body></html>"
+  private def ns63(s: SparkSession, dir: String): DataFrame = {
+    val wrapped = docs(s, dir).select(col("doc_id"),
+      concat(lit(ns63Chrome1), col("text"), lit(ns63Chrome2)).as("text"))
+    graft.ops.TextAnalysis.extractHtml(wrapped)
+  }
+
   // ------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -947,6 +982,9 @@ object SparkEntry {
     "ns58_layout_zorder" -> (ns58 _),
     "ns59_cms_lifecycle" -> (ns59 _),
     "ns60_tokenize_bytelevel" -> (ns60 _),
+    "ns61_lm_perplexity" -> (ns61 _),
+    "ns62_quality_classifier" -> (ns62 _),
+    "ns63_html_extract" -> (ns63 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1740,5 +1778,45 @@ object SparkEntry {
          |LEFT JOIN sizes sz ON sz.cluster = d.doc_id
          |WHERE NOT EXISTS (SELECT 1 FROM labels l WHERE l.doc_id = d.doc_id AND l.cluster != d.doc_id)
          |ORDER BY d.doc_id""".stripMargin),
+    // Micro-nat quantization makes the per-doc sum exact-integer in both
+    // engines; only the final display division is floating point.
+    "ns61_lm_perplexity" ->
+      ("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+         |tot AS (SELECT sum(c) AS n, count(*) AS v FROM cnt),
+         |sc AS (SELECT doc_id, CAST(round(-ln((c + 1)::DOUBLE / (n + v)) * 1e6) AS BIGINT) AS nm
+         |  FROM toks JOIN cnt USING (tok) CROSS JOIN tot),
+         |agg AS (SELECT doc_id, count(*) AS n_tokens, sum(nm) AS s FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, round(s / 1e6 / n_tokens, 6) AS nll,
+         |  s / 1e6 / n_tokens > 9.0 AS rejected
+         |FROM agg ORDER BY doc_id""".stripMargin),
+    // Integer milli-weights: the per-doc sum is exact; sigmoid runs once on
+    // identical operands. kept at threshold 0.5 is exactly sum >= 0.
+    "ns62_quality_classifier" ->
+      ("""WITH w AS (SELECT b AS bucket, ('0x' || substr(md5('w:' || b), 1, 15))::BIGINT % 2001 - 1000 AS w_milli
+         |  FROM (SELECT unnest(range(0, 512)) AS b)),
+         |toks AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512 AS bucket
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+         |agg AS (SELECT doc_id, count(*) AS n_tokens, sum(w_milli) AS s
+         |  FROM toks JOIN w USING (bucket) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         |  round(1.0 / (1.0 + exp(-(s / 1000.0 / n_tokens * 4.0))), 6) AS score,
+         |  1.0 / (1.0 + exp(-(s / 1000.0 / n_tokens * 4.0))) >= 0.5 AS kept
+         |FROM agg ORDER BY doc_id""".stripMargin),
+    // The identical page chrome is rebuilt in SQL; every pattern in the
+    // extraction chain is RE2-safe, so both engines run the same regexes.
+    "ns63_html_extract" ->
+      ("""WITH raw AS (SELECT doc_id,
+         |  '<html><head><title>t</title><style type="text/css">p { margin: 0; }</style><script>if (a < b && c > d) { alert("x"); }</script></head><body><nav><a href="/">Home</a> | <a href="/about">About</a></nav><h1>Doc &amp; &quot;notes&quot; &#39;n&#39; &lt;tags&gt;</h1><p id="main">'
+         |    || text ||
+         |  '</p><div class="footer"><script src="x.js"></script>(c) example</div></body></html>' AS h
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, length(h) AS n_raw, regexp_replace(h, '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM raw),
+         |s2 AS (SELECT doc_id, n_raw, regexp_replace(t, '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+         |s3 AS (SELECT doc_id, n_raw, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+         |s4 AS (SELECT doc_id, n_raw, replace(replace(replace(replace(replace(t,
+         |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM s3),
+         |s5 AS (SELECT doc_id, n_raw, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text FROM s4)
+         |SELECT doc_id, n_raw, length(text) AS n_text, text FROM s5 ORDER BY doc_id""".stripMargin),
   )
 }

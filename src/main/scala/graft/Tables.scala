@@ -91,6 +91,48 @@ object Tables {
       implicitly[org.apache.spark.sql.Encoder[Embedding]].schema).as[Embedding]
   }
 
+  /** Format-agnostic scan: the same logical table written by ANY tool in
+    * any of Spark's interchange formats (parquet / orc / json / csv)
+    * loads to the same DataFrame. This is the scan-layer generalization
+    * of [[graft.ops.Events.tsMicros]]'s adapt-to-the-scanned-schema
+    * discipline: the WRITER owns the physical encoding; the engine
+    * adapts. Text formats carry no types (csv) or weaker types (json),
+    * so callers pass the canonical `schema` — applied AT THE SCAN (so
+    * csv/json parse straight into the right types, no post-hoc cast
+    * pass) and [[conform]]-ed for binary formats whose physical widths
+    * may differ. CSV is read multiLine with doubled-quote escaping, the
+    * RFC-4180 interchange dialect, so embedded newlines and quotes in
+    * document text round-trip. */
+  def loadAs(
+      spark: SparkSession,
+      path: String,
+      format: String,
+      schema: Option[StructType] = None): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    // text formats re-encode timestamps as strings; the engine's
+    // interchange dialect is micro-precision ISO-8601 (Spark's default
+    // JSON/CSV writer format carries only millis, which silently loses
+    // the sub-millisecond event times parquet/orc keep)
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    val tsNtzFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    val reader = format match {
+      case "csv" => spark.read.format("csv")
+        .option("header", "true").option("multiLine", "true")
+        .option("quote", "\"").option("escape", "\"")
+        .option("timestampFormat", tsFmt)
+        .option("timestampNTZFormat", tsNtzFmt)
+      case "json" => spark.read.format("json")
+        .option("timestampFormat", tsFmt)
+        .option("timestampNTZFormat", tsNtzFmt)
+      case f => spark.read.format(f)
+    }
+    (format, schema) match {
+      case ("csv" | "json", Some(s)) => reader.schema(s).load(path)
+      case (_, Some(s)) => conform(reader.load(path), s)
+      case (_, None) => reader.load(path)
+    }
+  }
+
   /** Discover table names present in a directory (catalog listing, S3). */
   def list(dir: String): Seq[String] = {
     val d = new java.io.File(dir)

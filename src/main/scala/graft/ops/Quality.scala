@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Model-based corpus quality filtering — the two standard learned filters
+  * a training-data pipeline applies after the cheap heuristic gates
+  * ([[TextAnalysis.qualityScores]], [[TextAnalysis.repetitionStats]]):
+  * a corpus-trained language-model perplexity filter (the CCNet recipe)
+  * and a hashed-feature linear classifier (the fastText recipe). Both are
+  * expressed as declarative Spark plans whose arithmetic is exact-integer
+  * where distribution could otherwise change the answer, so results are
+  * bit-stable under any partitioning and replayable by an external SQL
+  * engine.
+  *
+  * Reference scope note: klepto itself has no corpus analytics (its
+  * pipeline is subset→anonymise→load, `pkg/steal/steal.go`); these
+  * operators extend the engine toward the LLM-data workload the same way
+  * the rest of the ns-suite does.
+  */
+object Quality {
+
+  /** Q1 — unigram-LM perplexity filter (CCNet-style, self-trained).
+    *
+    * Trains an add-one-smoothed unigram language model on the corpus
+    * itself, then scores every document by its mean token negative
+    * log-likelihood: `nll(doc) = mean_w -ln((c(w)+1)/(N+V))`. Documents
+    * whose nll exceeds `maxNll` are flagged for rejection — pages full of
+    * tokens the corpus has never seen (mojibake, spam, boilerplate hashes)
+    * score high; fluent text of common words scores low. In production the
+    * model would be trained once on a held-out reference corpus and
+    * broadcast; training on the input itself keeps the operator
+    * self-contained and changes nothing about the plan shape.
+    *
+    * Scale shape: (1) token counts are one explode + groupBy(token) with
+    * map-side combine — the classic wordcount, linear in corpus size;
+    * (2) N and V are a single bounded aggregate collected to the driver
+    * (two scalars, never data); (3) scoring equality-joins the count table
+    * back on the token key — no broadcast hint, because a 100 TB corpus
+    * has billions of distinct tokens and the join must be allowed to
+    * shuffle; AQE still elects a broadcast when the measured vocab is
+    * small (as at test SF); (4) the per-doc rollup is a groupBy(doc_id)
+    * with map-side combine.
+    *
+    * Determinism under distribution: per-token nll is quantized to an
+    * integer number of MICRO-nats (`round(-ln(p)·1e6)`) before the per-doc
+    * sum, so the aggregate is exact integer arithmetic — float summation
+    * order, which differs run-to-run in a distributed fold, can never
+    * change the result, and an external engine replays it bit-for-bit.
+    * The keep flag compares the unrounded mean (exact integers divided
+    * once), not the display-rounded value.
+    *
+    * Output: (doc_id, n_tokens, nll, kept) ordered by doc_id.
+    */
+  def lmPerplexity(docs: DataFrame, maxNll: Double = 9.0): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    // bounded driver fetch: exactly two scalars (total tokens N, vocab V)
+    val Row(n: Long, v: Long) =
+      counts.agg(sum(col("c")), count(lit(1))).head()
+    val nv = (n + v).toDouble
+    val meanNll = col("s") / lit(1e6) / col("n_tokens")
+    toks.join(counts, "tok")
+      .withColumn("nll_micro",
+        round(-log((col("c") + 1).cast("double") / lit(nv)) * 1e6, 0)
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll_micro")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(meanNll, 6).as("nll"),
+        (meanNll > lit(maxNll)).as("rejected"))
+      .orderBy("doc_id")
+  }
+
+  /** Q2 — hashed-feature linear classifier inference (fastText-style).
+    *
+    * Scores each document with a bag-of-words linear model over `buckets`
+    * hashed features: every token hashes to a bucket, the model assigns
+    * each bucket a weight, and the document score is
+    * `sigmoid(gain · mean token weight)`. The weight table here is
+    * derived deterministically from md5 (a stand-in for trained
+    * parameters, exactly as k8's md5 stands in for the seeded faker) —
+    * swapping in real trained weights changes one small DataFrame and
+    * nothing about the plan.
+    *
+    * Scale shape: the model is a `buckets`-row table — broadcast to every
+    * executor, exactly how real model-based scoring ships parameters to a
+    * cluster; the fact side is one explode + broadcast-hash-join +
+    * groupBy(doc_id) with map-side combine. Zero wide shuffles of the
+    * token stream on the model side; the only exchange is the per-doc
+    * rollup.
+    *
+    * Determinism under distribution: weights are integer MILLI-units, so
+    * the per-doc sum is exact integer arithmetic (summation order can't
+    * change it); the single sigmoid at the end runs on identical operands
+    * in any engine. The keep flag compares `score ≥ threshold` on the
+    * unrounded value; at the default threshold 0.5 that is exactly
+    * `sum ≥ 0` — an integer comparison.
+    *
+    * Output: (doc_id, n_tokens, score, kept) ordered by doc_id.
+    */
+  def classifierScore(
+      docs: DataFrame,
+      buckets: Int = 512,
+      gain: Double = 4.0,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    val weights = spark.range(buckets.toLong).select(
+      col("id").as("bucket"),
+      (conv(substring(md5(concat(lit("w:"), col("id"))), 1, 15), 16, 10)
+        .cast("long") % 2001 - 1000).as("w_milli"))
+    val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("bucket"))
+    val x = col("s") / lit(1000.0) / col("n_tokens") * lit(gain)
+    val score = lit(1.0) / (lit(1.0) + exp(-x))
+    toks.join(broadcast(weights), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_milli")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(score, 6).as("score"),
+        (score >= lit(threshold)).as("kept"))
+      .orderBy("doc_id")
+  }
+}

@@ -395,4 +395,45 @@ object TextAnalysis {
       graft.functions.TextFunctions.rollingHash(norm).as("rolling_fp"))
       .orderBy(col("doc_id"))
   }
+
+  /** T10 — main-content extraction from HTML (trafilatura-lite): the
+    * first step of every crawl pipeline, turning a fetched page into the
+    * text the rest of the ns-suite operates on. Pipeline: drop
+    * `<script>`/`<style>` blocks wholesale (their CONTENT is code, not
+    * text), strip remaining tags, decode the five predefined HTML
+    * entities (`&amp;` last, so `&amp;lt;` correctly yields the literal
+    * `&lt;` rather than double-decoding), collapse whitespace, trim.
+    *
+    * Regex discipline: every pattern is RE2-safe (no backreferences —
+    * script and style are two separate passes — and only `(?s)`/lazy
+    * quantifiers, which RE2 supports), so the exact same patterns run in
+    * Spark's java.util.regex and in RE2-based engines the oracle uses.
+    *
+    * Scale shape: zero shuffle — a per-row chain of codegen'd
+    * `regexp_replace`/`replace` calls that fuses into the scan's
+    * WholeStageCodegen; cost is linear in page bytes. Plain text without
+    * markup passes through unchanged (modulo whitespace collapse), so the
+    * operator is safe to run unconditionally at ingest. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&").foldLeft(noTags) {
+      case (c, (ent, ch)) => regexp_replace(c, ent, ch)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** [[htmlToText]] over a corpus: (doc_id, n_raw, n_text, text) ordered
+    * by doc_id, where n_raw/n_text are the page and extracted-content
+    * lengths — the chrome-to-content ratio is itself a standard quality
+    * signal (a page that is 95% markup is navigation, not prose). */
+  def extractHtml(docs: DataFrame, htmlCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+        length(col(htmlCol)).cast("long").as("n_raw"),
+        htmlToText(col(htmlCol)).as("text"))
+      .withColumn("n_text", length(col("text")).cast("long"))
+      .select(col("doc_id"), col("n_raw"), col("n_text"), col("text"))
+      .orderBy(col("doc_id"))
 }

@@ -181,7 +181,11 @@ object ScaleProof {
       "ns54_heavy_hitters_cms", "ns56_snapshot_diff", "ns57_quantile_bins",
       "ns58_layout_zorder", "ns59_cms_lifecycle",
       "ns25_sessionize", "ns28_events_asof", "ns43_join_range",
-      "ns29_boilerplate", "ns38_keywords_tfidf", "ns31_corpus_prep")
+      "ns29_boilerplate", "ns38_keywords_tfidf", "ns31_corpus_prep",
+      // round 7 adds the model-based quality family: ns61's token-keyed
+      // count join (the only shuffle-join of the three), ns62's
+      // broadcast-model inference, ns63's zero-shuffle regex chain
+      "ns61_lm_perplexity", "ns62_quality_classifier", "ns63_html_extract")
     def ns37Scaled(dir: String): DataFrame = {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
       val n = e.count()

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Model-based quality filters (Quality) and the HTML extractor
+  * (TextAnalysis.htmlToText): semantics on crafted fixtures, and the
+  * bit-stability-under-partitioning guarantee the exact-integer
+  * quantization exists to provide. */
+class QualitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  // --------------------------------------------------------------- Q1: LM
+
+  test("lmPerplexity: rare-token documents score higher nll than common") {
+    val docs = corpus(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the mat"),
+      (3L, "zyx qwv jkp lmn zzq xxr")) // tokens the corpus sees once
+    val out = Quality.lmPerplexity(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val nll = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(nll(3L) > nll(1L) && nll(3L) > nll(2L))
+  }
+
+  test("lmPerplexity: bit-identical under any partitioning (exact ints)") {
+    val docs = corpus((1L to 40L).map(i =>
+      i -> s"w${i % 7} w${i % 3} common common w$i tail${i % 11}"): _*)
+    val a = Quality.lmPerplexity(docs).collect().toSeq
+    val b = Quality.lmPerplexity(docs.repartition(13)).collect().toSeq
+    assert(a == b)
+  }
+
+  test("lmPerplexity: rejected flag compares the unrounded mean") {
+    val docs = corpus((1L, "a a a a"), (2L, "unique tokens only here"))
+    val out = Quality.lmPerplexity(docs, maxNll = 1.8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // doc 1: p(a) = (4+1)/(8+5) -> nll = ln(13/5) ~ 0.956 -> kept
+    assert(!out(1L))
+    // doc 2: each p = 2/13 -> nll = ln(6.5) ~ 1.87 > 1.8 -> rejected
+    assert(out(2L))
+  }
+
+  // ------------------------------------------------------- Q2: classifier
+
+  test("classifierScore: deterministic and partitioning-invariant") {
+    val docs = corpus((1L to 30L).map(i =>
+      i -> s"alpha beta w$i gamma${i % 5} delta"): _*)
+    val a = Quality.classifierScore(docs).collect().toSeq
+    val b = Quality.classifierScore(docs.repartition(11)).collect().toSeq
+    assert(a == b)
+    a.foreach { r =>
+      assert(r.getLong(1) == 5) // n_tokens
+      val score = r.getDouble(2)
+      assert(score > 0.0 && score < 1.0)
+      // kept at threshold 0.5 is exactly "integer weight sum >= 0"
+      assert(r.getBoolean(3) == (score >= 0.5))
+    }
+  }
+
+  test("classifierScore: identical texts get identical scores") {
+    val docs = corpus((1L, "same text here"), (2L, "same text here"),
+      (3L, "different words entirely present"))
+    val out = Quality.classifierScore(docs).collect()
+    assert(out(0).getDouble(2) == out(1).getDouble(2))
+  }
+
+  // ------------------------------------------------------- T10: htmlToText
+
+  private def extract(html: String): String = {
+    val df = Seq((1L, html)).toDF("doc_id", "text")
+      .select(TextAnalysis.htmlToText(col("text")).as("t"))
+    df.head().getString(0)
+  }
+
+  test("htmlToText drops script/style content, strips tags, keeps prose") {
+    val html = "<html><head><style>p{x:1}</style>" +
+      "<script>var a = 1 < 2 && 3 > 0;</script></head>" +
+      "<body><p>Hello <b>world</b></p></body></html>"
+    assert(extract(html) == "Hello world")
+  }
+
+  test("htmlToText decodes the five entities, amp last (no double-decode)") {
+    assert(extract("<p>a &lt;b&gt; &quot;c&quot; &#39;d&#39; e &amp; f</p>")
+      == "a <b> \"c\" 'd' e & f")
+    // literal "&lt;" written as &amp;lt; must survive as &lt;
+    assert(extract("<p>&amp;lt;</p>") == "&lt;")
+  }
+
+  test("htmlToText: entity-decoded angle brackets are NOT stripped as tags") {
+    assert(extract("<p>&lt;tags&gt;</p>") == "<tags>")
+  }
+
+  test("htmlToText collapses whitespace and is stable on plain text") {
+    assert(extract("plain  text\n\twith   gaps") == "plain text with gaps")
+    assert(extract("already clean") == "already clean")
+  }
+
+  test("extractHtml reports raw and extracted lengths") {
+    val docs = corpus((7L, "<body><nav>x</nav><p>content here</p></body>"))
+    val r = TextAnalysis.extractHtml(docs).head()
+    assert(r.getLong(0) == 7L)
+    assert(r.getLong(1) == 44L) // n_raw: full page length
+    assert(r.getString(3) == "x content here")
+    assert(r.getLong(2) == "x content here".length.toLong)
+  }
+}

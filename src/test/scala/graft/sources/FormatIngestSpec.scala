@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+/** Cross-format ingestion parity: the engine must produce IDENTICAL
+  * results whether a table arrives as parquet, orc, json, or csv — the
+  * writer owns the physical encoding (the round-6 testdata regeneration
+  * proved assuming otherwise breaks a live engine). Each leg round-trips
+  * the real driver testdata through a format and replays a genuinely
+  * sensitive pipeline on top:
+  *   - documents → the hashed classifier (every byte of `text` feeds md5,
+  *     so one corrupted char — a CSV quoting bug, a JSON escape bug —
+  *     flips a bucket and the comparison);
+  *   - events → sessionization (timestamps re-encoded by each format
+  *     land on whatever type that format defines; `Events.tsMicros`
+  *     must adapt).
+  */
+class FormatIngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("documents: parquet, orc, json and csv scans agree bit-for-bit") {
+    val pq = Tables.load(spark, sf, "documents")
+    val want = sortedRows(graft.ops.Quality.classifierScore(pq))
+    val tmp = Files.createTempDirectory("graft-fmt-docs").toString
+    pq.coalesce(2).write.orc(s"$tmp/docs.orc")
+    pq.coalesce(2).write.json(s"$tmp/docs.json")
+    pq.coalesce(2).write
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .csv(s"$tmp/docs.csv")
+    for (fmt <- Seq("orc", "json", "csv")) {
+      val scanned =
+        Tables.loadAs(spark, s"$tmp/docs.$fmt", fmt, Some(pq.schema))
+      assert(scanned.schema.map(f => (f.name, f.dataType)) ==
+        pq.schema.map(f => (f.name, f.dataType)), s"schema via $fmt")
+      assert(sortedRows(graft.ops.Quality.classifierScore(scanned)) == want,
+        s"classifier result via $fmt")
+    }
+  }
+
+  test("events: sessionization is identical across parquet, orc and json") {
+    val pq = Tables.load(spark, sf, "events")
+    val gap = 28800L * 1000000L
+    val want = sortedRows(
+      graft.ops.Events.sessionize(graft.ops.Events.tsMicros(pq), gap))
+    val tmp = Files.createTempDirectory("graft-fmt-events").toString
+    pq.coalesce(2).write.orc(s"$tmp/ev.orc")
+    pq.coalesce(2).write
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      .json(s"$tmp/ev.json")
+    for (fmt <- Seq("orc", "json")) {
+      val scanned =
+        Tables.loadAs(spark, s"$tmp/ev.$fmt", fmt, Some(pq.schema))
+      assert(sortedRows(graft.ops.Events.sessionize(
+        graft.ops.Events.tsMicros(scanned), gap)) == want,
+        s"sessionize via $fmt")
+    }
+  }
+}
