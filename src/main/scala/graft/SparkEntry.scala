@@ -890,19 +890,36 @@ object SparkEntry {
     * [[graft.ops.TextAnalysis.htmlToText]] recovers the content. The
     * oracle builds the identical page in SQL and replays the same
     * RE2-safe pattern chain. */
-  private val ns63Chrome1 =
+  private[graft] val ns63Chrome1 =
     "<html><head><title>t</title><style type=\"text/css\">p { margin: 0; }" +
       "</style><script>if (a < b && c > d) { alert(\"x\"); }</script>" +
       "</head><body><nav><a href=\"/\">Home</a> | <a href=\"/about\">About" +
       "</a></nav><h1>Doc &amp; &quot;notes&quot; &#39;n&#39; &lt;tags&gt;" +
       "</h1><p id=\"main\">"
-  private val ns63Chrome2 =
+  private[graft] val ns63Chrome2 =
     "</p><div class=\"footer\"><script src=\"x.js\"></script>(c) example" +
       "</div></body></html>"
   private def ns63(s: SparkSession, dir: String): DataFrame = {
     val wrapped = docs(s, dir).select(col("doc_id"),
       concat(lit(ns63Chrome1), col("text"), lit(ns63Chrome2)).as("text"))
     graft.ops.TextAnalysis.extractHtml(wrapped)
+  }
+
+  /** NS64 — persisted LM model lifecycle: the ns59 two-phase pattern for
+    * perplexity serving. The model trains ONCE on the even-doc_id half of
+    * the corpus (fingerprint-gated, atomic publish), then the whole corpus
+    * scores against the frozen artifact — odd docs genuinely exercise the
+    * out-of-vocabulary floor path that self-trained ns61 never hits, and
+    * `oov_frac` reports it. The oracle replays train-on-half /
+    * score-on-all with the same left join + coalesce. */
+  private def ns64(s: SparkSession, dir: String): DataFrame = {
+    val fp = graft.ops.Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
+    val model = scratchIndexDir("graft_lm_model", dir, fp)
+    if (!graft.ops.Quality.lmModelMatches(s, model, fp))
+      graft.ops.Quality.writeLmModel(
+        docs(s, dir).where(col("doc_id") % 2 === 0), model,
+        fingerprint = Some(fp))
+    graft.ops.Quality.lmScoreFromModel(docs(s, dir), model)
   }
 
   // ------------------------------------------------------------------------
@@ -985,6 +1002,7 @@ object SparkEntry {
     "ns61_lm_perplexity" -> (ns61 _),
     "ns62_quality_classifier" -> (ns62 _),
     "ns63_html_extract" -> (ns63 _),
+    "ns64_lm_lifecycle" -> (ns64 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1818,5 +1836,21 @@ object SparkEntry {
          |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM s3),
          |s5 AS (SELECT doc_id, n_raw, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text FROM s4)
          |SELECT doc_id, n_raw, length(text) AS n_text, text FROM s5 ORDER BY doc_id""".stripMargin),
+    // Train-on-half / score-on-all replay: the left join's NULL count IS
+    // the OOV path, floored at 1/(N+V) by the +1 smoothing.
+    "ns64_lm_lifecycle" ->
+      ("""WITH train AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE doc_id % 2 = 0),
+         |cnt AS (SELECT tok, count(*) AS c FROM train GROUP BY tok),
+         |tot AS (SELECT sum(c) AS n, count(*) AS v FROM cnt),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |sc AS (SELECT doc_id,
+         |    CAST(round(-ln((coalesce(c, 0) + 1)::DOUBLE / (n + v)) * 1e6) AS BIGINT) AS nm,
+         |    CASE WHEN c IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM toks LEFT JOIN cnt USING (tok) CROSS JOIN tot),
+         |agg AS (SELECT doc_id, count(*) AS n_tokens, sum(nm) AS s, sum(oov) AS n_oov FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, round(s / 1e6 / n_tokens, 6) AS nll,
+         |  round(n_oov::DOUBLE / n_tokens, 6) AS oov_frac,
+         |  s / 1e6 / n_tokens > 9.0 AS rejected
+         |FROM agg ORDER BY doc_id""".stripMargin),
   )
 }

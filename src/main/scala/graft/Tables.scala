@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType, StructField, StructType}
 
 /** Typed rows for the north-star tables — the `Dataset[T]` face of the
   * engine where compile-time safety helps (operator pipelines over known
@@ -131,6 +131,43 @@ object Tables {
       case (_, Some(s)) => conform(reader.load(path), s)
       case (_, None) => reader.load(path)
     }
+  }
+
+  /** [[loadAs]] for text formats with malformed-record QUARANTINE: at
+    * 100 TB of external json/csv, corrupt lines are an operational
+    * certainty (truncated uploads, mixed encodings, a producer bug), and
+    * the three built-in answers are all wrong for a pipeline — FAILFAST
+    * kills a day-long job on row 40 billion, DROPMALFORMED silently
+    * loses data, and plain PERMISSIVE nulls poison downstream operators.
+    * This reader splits the scan instead: `(good, quarantined)` — good
+    * rows typed to the canonical schema, malformed rows preserved
+    * VERBATIM (the raw record text) for repair and replay.
+    *
+    * Mechanics: PERMISSIVE parse with an internal corrupt-record column;
+    * the split is two filters over ONE cached parse (Spark refuses to
+    * filter on the corrupt column of an uncached raw scan — and the
+    * cache also guarantees both halves see the same parse, so a record
+    * is never in both or neither). The cache holds the PARSED columns,
+    * not a second copy of the files; callers unpersist via the returned
+    * frames when done. */
+  def loadWithQuarantine(
+      spark: SparkSession,
+      path: String,
+      format: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    require(format == "json" || format == "csv",
+      s"quarantine applies to text formats, not $format (binary formats " +
+        "fail structurally, not per-record)")
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema already claims _corrupt_record")
+    val withCorrupt = StructType(schema.fields :+
+      StructField("_corrupt_record", StringType, nullable = true))
+    val raw = loadAs(spark, path, format, Some(withCorrupt)).cache()
+    val good = raw.where(col("_corrupt_record").isNull)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val bad = raw.where(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_record"))
+    (good, bad)
   }
 
   /** Discover table names present in a directory (catalog listing, S3). */

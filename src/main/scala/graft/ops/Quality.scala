@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Model-based corpus quality filtering — the two standard learned filters
@@ -123,6 +123,130 @@ object Quality {
       .select(col("doc_id"), col("n_tokens"),
         round(score, 6).as("score"),
         (score >= lit(threshold)).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** [[classifierScore]] as a single in-row projection: the weight lookup
+    * is inlined into a higher-order `aggregate` fold over the token array
+    * instead of materializing the weight table and joining. Bit-identical
+    * output (same integer milli-weight sum — spec-pinned equal to the
+    * join form), but ZERO shuffles and zero state: score, n_tokens, and
+    * the keep flag are computed where the row is read.
+    *
+    * This is the STREAMING shape of model-based filtering — a stateless
+    * projection needs no watermark, no aggregation mode, and no state
+    * store, so the exact same expressions score documents as they arrive
+    * ([[graft.streaming.StreamingQuality]]). The join form remains the
+    * right BATCH shape once the model outgrows an expression (real
+    * trained weights land in a table, not a formula). Output is unsorted
+    * (one row per input row); callers order for presentation. */
+  def classifierScoreInline(
+      docs: DataFrame,
+      buckets: Int = 512,
+      gain: Double = 4.0,
+      threshold: Double = 0.5): DataFrame = {
+    val bucketOf = (t: Column) =>
+      pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
+        lit(buckets.toLong))
+    val wMilli = (t: Column) =>
+      conv(substring(md5(concat(lit("w:"), bucketOf(t).cast("string"))),
+        1, 15), 16, 10).cast("long") % 2001 - 1000
+    val toksCol = split(col("text"), " ")
+    val x = col("s") / lit(1000.0) / col("n_tokens") * lit(gain)
+    val score = lit(1.0) / (lit(1.0) + exp(-x))
+    docs.select(col("doc_id"),
+        size(toksCol).cast("long").as("n_tokens"),
+        aggregate(toksCol, lit(0L), (acc, t) => acc + wMilli(t)).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(score, 6).as("score"),
+        (score >= lit(threshold)).as("kept"))
+  }
+
+  // ---- persisted LM model lifecycle --------------------------------------
+
+  private def lmParamsPath(dir: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dir, "_lm_params")
+  private def lmFingerprintPath(dir: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dir, "_lm_fingerprint")
+
+  /** Q3 — persist the trained unigram model: (tok, c) counts as parquet
+    * plus an `_lm_params` sidecar carrying the frozen (N, V). This is the
+    * ns17/ns18/ns59 index-lifecycle contract applied to the perplexity
+    * filter — in production the reference corpus is curated once and the
+    * model scores every future ingest batch, so training must be a
+    * separate, atomic, reusable artifact, not a per-run recompute.
+    * Atomic publish via the staging-rename discipline: readers never see
+    * a half-written model. Underscore-prefixed sidecars are invisible to
+    * parquet directory scans, so the model dir IS its own counts table. */
+  def writeLmModel(
+      docs: DataFrame, path: String,
+      fingerprint: Option[String] = None): Unit = {
+    val spark = docs.sparkSession
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = IndexSidecar.stagingFor(dest)
+    docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val Row(n: Long, v: Long) = spark.read.parquet(tmp.toString)
+      .agg(sum(col("c")), count(lit(1))).head()
+    IndexSidecar.write(spark, lmParamsPath(tmp), s"$n $v")
+    fingerprint.foreach(f =>
+      IndexSidecar.write(spark, lmFingerprintPath(tmp), f))
+    IndexSidecar.publish(fs, tmp, dest)
+  }
+
+  /** Build-once gate: true iff a model exists at `path` whose fingerprint
+    * sidecar matches — the same staleness contract as the minhash/IVF/CMS
+    * indexes (a model trained on last month's corpus must not silently
+    * serve this month's bench). */
+  def lmModelMatches(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      fingerprint: String): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(lmFingerprintPath(dir)) &&
+      IndexSidecar.read(spark, lmFingerprintPath(dir)).trim == fingerprint
+  }
+
+  /** Q4 — score a batch against the FROZEN persisted model. Unlike
+    * [[lmPerplexity]] (self-trained, every token seen), scoring new data
+    * hits out-of-vocabulary tokens: the left join leaves them c = 0, so
+    * add-one smoothing assigns the floor probability 1/(N+V), and the
+    * reported `oov_frac` is itself a first-class quality signal (a page
+    * whose tokens the reference corpus has never seen is exactly what
+    * perplexity filtering exists to catch). Same exact-integer micro-nat
+    * discipline as [[lmPerplexity]]; N and V come from the sidecar, not
+    * the data, so scoring never re-aggregates the model.
+    *
+    * Scale shape: one equality left join on the token key against the
+    * model table (AQE broadcasts when the vocab measures small) + the
+    * per-doc rollup. The model is never rebuilt, re-sorted, or shuffled
+    * beyond the join itself.
+    *
+    * Output: (doc_id, n_tokens, nll, oov_frac, rejected) by doc_id. */
+  def lmScoreFromModel(
+      docs: DataFrame, path: String, maxNll: Double = 9.0): DataFrame = {
+    val spark = docs.sparkSession
+    val Array(n, v) = IndexSidecar
+      .read(spark, lmParamsPath(new org.apache.hadoop.fs.Path(path)))
+      .trim.split(" ").map(_.toLong)
+    val nv = (n + v).toDouble
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val meanNll = col("s") / lit(1e6) / col("n_tokens")
+    toks.join(spark.read.parquet(path), Seq("tok"), "left")
+      .withColumn("nll_micro",
+        round(-log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          lit(nv)) * 1e6, 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll_micro")).as("s"),
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(meanNll, 6).as("nll"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6)
+          .as("oov_frac"),
+        (meanNll > lit(maxNll)).as("rejected"))
       .orderBy("doc_id")
   }
 }

@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+/** Streaming model-based quality filtering — the incremental counterpart
+  * of [[graft.ops.Quality.classifierScore]] (SURVEY §7.2 M6 extension;
+  * the reference is strictly batch). Documents are scored AS THEY ARRIVE
+  * from a crawl instead of in a nightly batch.
+  *
+  * This twin is deliberately trivial, and that triviality is the design
+  * point: because the inline classifier is a stateless per-row projection
+  * ([[graft.ops.Quality.classifierScoreInline]] — exact integer
+  * milli-weight fold, spec-pinned bit-equal to the batch broadcast-join
+  * form), the streaming version needs NO watermark, NO output-mode
+  * choice, and NO state store. Model-based filtering at ingest is a map,
+  * not an aggregation — per-partition throughput is identical to batch,
+  * state is zero bytes regardless of stream length, and a restart
+  * replays nothing.
+  *
+  * Contrast with the genuinely stateful twins (sessions, as-of, dedup):
+  * their streaming ScaleProof measures state flatness across decades;
+  * here there is nothing to measure — the operator holds no state to
+  * grow. The perplexity filter does NOT get a twin on the same terms:
+  * its model is a corpus-global aggregate, so the streaming shape is
+  * batch-train → broadcast the count table → stateless scoring, i.e.
+  * it reduces to exactly this projection once the model is frozen. */
+object StreamingQuality {
+
+  /** Score a (doc_id, text) stream. Works unchanged on a batch frame —
+    * the twin specs pin stream output == batch output row-for-row. */
+  def scoreStream(
+      docs: DataFrame,
+      buckets: Int = 512,
+      gain: Double = 4.0,
+      threshold: Double = 0.5): DataFrame =
+    graft.ops.Quality.classifierScoreInline(docs, buckets, gain, threshold)
+}

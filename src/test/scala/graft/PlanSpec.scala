@@ -73,6 +73,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("ns62: model weights are the broadcast side; token stream never " +
+    "shuffles before the doc rollup") {
+    val df = SparkEntry.queries("ns62_quality_classifier")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // parameters ship via BroadcastExchange, exactly once
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // the only hash exchanges are the doc_id rollup (+ presentation sort);
+    // the token stream must NOT shuffle on bucket
+    assert(!p.contains("Exchange hashpartitioning(bucket"), p.take(1500))
+  }
+
+  test("ns63: the HTML extractor is projection-only over the scan") {
+    val p = planOf("ns63_html_extract")
+    // zero data movement until the presentation sort: no hash exchange,
+    // no join, no aggregate anywhere in the extraction chain
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
+    assert(!p.contains("HashAggregate"), p.take(1500))
+  }
+
   test("ns5: candidates come from an equality band join, never all-pairs") {
     val df = SparkEntry.queries("ns5_dedup_embedding")(spark, sf)
     df.collect() // materialize so AQE finalizes the plan with codegen spans

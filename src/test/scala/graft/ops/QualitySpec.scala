@@ -47,6 +47,44 @@ class QualitySpec extends AnyFunSuite {
     assert(out(2L))
   }
 
+  // ------------------------------------------- Q3/Q4: persisted LM model
+
+  test("lmScoreFromModel on the training corpus equals self-trained nll") {
+    val docs = corpus((1L, "the cat sat"), (2L, "the dog sat"),
+      (3L, "a bird flew high"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lm-model").toString + "/m"
+    Quality.writeLmModel(docs, dir)
+    val frozen = Quality.lmScoreFromModel(docs, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val self = Quality.lmPerplexity(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(frozen == self)
+    // every token was seen in training: zero OOV anywhere
+    assert(Quality.lmScoreFromModel(docs, dir)
+      .collect().forall(_.getDouble(3) == 0.0))
+  }
+
+  test("lmScoreFromModel floors unseen tokens and reports oov_frac") {
+    val train = corpus((1L, "the cat sat"), (2L, "the dog sat"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lm-oov").toString + "/m"
+    Quality.writeLmModel(train, dir, fingerprint = Some("fp1"))
+    val r = Quality.lmScoreFromModel(
+        corpus((9L, "zz qq ww"), (10L, "the cat sat")), dir)
+      .collect().map(x => x.getLong(0) ->
+        (x.getDouble(2), x.getDouble(3))).toMap
+    // all-OOV doc: oov_frac 1.0, nll at the floor ln(N+V) = ln(6+4)
+    assert(r(9L)._2 == 1.0)
+    assert(math.abs(r(9L)._1 - math.log(10.0)) < 1e-5)
+    // fully in-vocabulary doc: zero OOV, scored strictly below the floor
+    assert(r(10L)._2 == 0.0 && r(10L)._1 < r(9L)._1)
+    // build-once gate: matching fingerprint true, stale false
+    assert(Quality.lmModelMatches(spark, dir, "fp1"))
+    assert(!Quality.lmModelMatches(spark, dir, "fp2"))
+    assert(!Quality.lmModelMatches(spark, dir + "-nowhere", "fp1"))
+  }
+
   // ------------------------------------------------------- Q2: classifier
 
   test("classifierScore: deterministic and partitioning-invariant") {
