@@ -905,6 +905,14 @@ object SparkEntry {
     graft.ops.TextAnalysis.extractHtml(wrapped)
   }
 
+  /** NS65 — model-based curation pipeline (CCNet recipe): language gate +
+    * learned-classifier gate fused into one projection, perplexity gate
+    * self-trained on the gated survivors, exact dedup. The modern
+    * counterpart of heuristic ns15 — same corpus in, a learned decision
+    * out, every gate replayable in SQL. */
+  private def ns65(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.curateModel(docs(s, dir))
+
   /** NS64 — persisted LM model lifecycle: the ns59 two-phase pattern for
     * perplexity serving. The model trains ONCE on the even-doc_id half of
     * the corpus (fingerprint-gated, atomic publish), then the whole corpus
@@ -1003,6 +1011,7 @@ object SparkEntry {
     "ns62_quality_classifier" -> (ns62 _),
     "ns63_html_extract" -> (ns63 _),
     "ns64_lm_lifecycle" -> (ns64 _),
+    "ns65_curation_model" -> (ns65 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1805,7 +1814,7 @@ object SparkEntry {
          |sc AS (SELECT doc_id, CAST(round(-ln((c + 1)::DOUBLE / (n + v)) * 1e6) AS BIGINT) AS nm
          |  FROM toks JOIN cnt USING (tok) CROSS JOIN tot),
          |agg AS (SELECT doc_id, count(*) AS n_tokens, sum(nm) AS s FROM sc GROUP BY doc_id)
-         |SELECT doc_id, n_tokens, round(s / 1e6 / n_tokens, 6) AS nll,
+         |SELECT doc_id, n_tokens, ((2 * s + n_tokens) // (2 * n_tokens)) / 1e6 AS nll,
          |  s / 1e6 / n_tokens > 9.0 AS rejected
          |FROM agg ORDER BY doc_id""".stripMargin),
     // Integer milli-weights: the per-doc sum is exact; sigmoid runs once on
@@ -1848,9 +1857,44 @@ object SparkEntry {
          |    CASE WHEN c IS NULL THEN 1 ELSE 0 END AS oov
          |  FROM toks LEFT JOIN cnt USING (tok) CROSS JOIN tot),
          |agg AS (SELECT doc_id, count(*) AS n_tokens, sum(nm) AS s, sum(oov) AS n_oov FROM sc GROUP BY doc_id)
-         |SELECT doc_id, n_tokens, round(s / 1e6 / n_tokens, 6) AS nll,
-         |  round(n_oov::DOUBLE / n_tokens, 6) AS oov_frac,
+         |SELECT doc_id, n_tokens, ((2 * s + n_tokens) // (2 * n_tokens)) / 1e6 AS nll,
+         |  ((2000000 * n_oov + n_tokens) // (2 * n_tokens)) / 1e6 AS oov_frac,
          |  s / 1e6 / n_tokens > 9.0 AS rejected
          |FROM agg ORDER BY doc_id""".stripMargin),
+    // ns15's langid fragment + ns62's classifier + ns61's perplexity (over
+    // the gated survivors) + ns1's min-doc_id dedup, composed exactly as
+    // the fused Spark plan composes them. Gates compare UNROUNDED values.
+    "ns65_curation_model" ->
+      ("""WITH w AS (SELECT doc_id, text, string_split(text,' ') w FROM documents),
+         |f AS (SELECT doc_id, text,
+         |  len([x for x in w if list_contains(['der','die','das','und','zu','nicht','ist','ein'], x)]) s_de,
+         |  len([x for x in w if list_contains(['the','a','of','and','to','in','is','that'], x)]) s_en,
+         |  len([x for x in w if list_contains(['el','la','de','los','y','que','en','un'], x)]) s_es,
+         |  len([x for x in w if list_contains(['le','la','de','les','et','que','en','un'], x)]) s_fr,
+         |  len([x for x in w if list_contains(['的','是','了','在','我','有','和','不'], x)]) s_zh
+         |  FROM w),
+         |lang AS (SELECT *, CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred_lang FROM f),
+         |wt AS (SELECT b AS bucket, ('0x' || substr(md5('w:' || b), 1, 15))::BIGINT % 2001 - 1000 AS w_milli
+         |  FROM (SELECT unnest(range(0, 512)) AS b)),
+         |ctoks AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512 AS bucket
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+         |cs AS (SELECT doc_id, count(*) AS n_tokens, sum(w_milli) AS sw FROM ctoks JOIN wt USING (bucket) GROUP BY doc_id),
+         |sc AS (SELECT doc_id, n_tokens, 1.0 / (1.0 + exp(-(sw / 1000.0 / n_tokens * 4.0))) AS score FROM cs),
+         |s1 AS (SELECT lang.doc_id, lang.text, sc.n_tokens, sc.score FROM lang JOIN sc ON lang.doc_id = sc.doc_id
+         |  WHERE lang.pred_lang = 'en' AND sc.score >= 0.5),
+         |ptoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM s1),
+         |cnt AS (SELECT tok, count(*) AS c FROM ptoks GROUP BY tok),
+         |tot AS (SELECT sum(c) AS n, count(*) AS v FROM cnt),
+         |pn AS (SELECT doc_id, CAST(round(-ln((c + 1)::DOUBLE / (n + v)) * 1e6) AS BIGINT) AS nm
+         |  FROM ptoks JOIN cnt USING (tok) CROSS JOIN tot),
+         |pa AS (SELECT doc_id, count(*) AS nt, sum(nm) AS sn FROM pn GROUP BY doc_id),
+         |s2 AS (SELECT s1.doc_id, s1.text, s1.n_tokens, s1.score, ((2 * pa.sn + pa.nt) // (2 * pa.nt)) / 1e6 AS nll
+         |  FROM s1 JOIN pa ON s1.doc_id = pa.doc_id WHERE pa.sn / 1e6 / pa.nt <= 9.0)
+         |SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens,
+         |  round(min(score), 6) AS score, min(nll) AS nll
+         |FROM s2 GROUP BY text ORDER BY doc_id""".stripMargin),
   )
 }

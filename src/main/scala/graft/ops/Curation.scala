@@ -67,6 +67,67 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** M7 — MODEL-based curation (the CCNet recipe): language gate →
+    * learned-classifier gate → perplexity gate → exact dedup. [[curate]]
+    * is the heuristic twin (length/stopword features); this is the shape
+    * pipelines move to once trained filters exist — the classifier is
+    * [[Quality.classifierScoreInline]]'s exact-integer in-row fold (so
+    * the language AND classifier gates fuse into ONE projection over one
+    * scan, nothing materializes between them), and the perplexity gate is
+    * [[Quality.lmPerplexity]] self-trained on the gated survivors — the
+    * "reference domain" CCNet trains its LM on is exactly the text that
+    * passed the cheaper gates.
+    *
+    * Scale shape: stage-1 survivors are persisted (MEMORY_AND_DISK) —
+    * they feed three consumers (LM training, LM scoring, the final
+    * rollup) and re-running the scan+gates per consumer would triple the
+    * corpus reads; the harness's per-query unpersist reclaims it. After
+    * that: the ns61 wordcount/join/rollup on the SURVIVOR subset, one
+    * doc_id join to attach nll, and the dedup groupBy(text) — every
+    * exchange narrow or keyed, nothing pairwise.
+    *
+    * Output: (doc_id, n_tokens, score, nll) per surviving doc — the
+    * survivor of each duplicate-text group is the min doc_id, and all
+    * reported features are functions of the text, so min() within the
+    * group IS the survivor's value. */
+  def curateModel(
+      docs: DataFrame,
+      langCode: String = "en",
+      minScore: Double = 0.5,
+      maxNll: Double = 9.0): DataFrame = {
+    require(TextAnalysis.langMarkers.exists(_._1 == langCode),
+      s"no marker vocabulary for language '$langCode'")
+    val base = docs.select(col("doc_id"), col("text"),
+      split(col("text"), " ").as("w"))
+    val lang = TextAnalysis.langMarkers.foldLeft(base) {
+        case (df, (code, markers)) =>
+          df.withColumn(s"s_$code", hits(col("w"), markers))
+      }
+      .withColumn("pred_lang", TextAnalysis.predFromScores(c => col(s"s_$c")))
+    val (nTokens, milliSum) = Quality.inlineMilliSum(512)
+    val score = Quality.sigmoidOf(4.0)
+    val s1 = lang.where(col("pred_lang") === langCode)
+      .select(col("doc_id"), col("text"),
+        nTokens.as("n_tokens"), milliSum.as("s"))
+      .withColumn("score", score)
+      .where(col("score") >= lit(minScore))
+      .select(col("doc_id"), col("text"), col("n_tokens"), col("score"))
+      .persist()
+    val kept = Quality.lmPerplexity(s1.select(col("doc_id"), col("text")),
+        maxNll)
+      .where(!col("rejected"))
+      .select(col("doc_id"), col("nll"))
+    s1.join(kept, "doc_id")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min(col("n_tokens")).as("n_tokens"),
+        min(col("score")).as("score"),
+        min(col("nll")).as("nll"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("score"), 6).as("score"), col("nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The WHOLE training-data prep as one declarative plan — what a crawl
     * actually goes through before tokenization: language-ID + quality
     * scoring (multi-language: the stopword feature follows each doc's

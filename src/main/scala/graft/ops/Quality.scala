@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Model-based corpus quality filtering — the two standard learned filters
@@ -56,10 +56,14 @@ object Quality {
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-    // bounded driver fetch: exactly two scalars (total tokens N, vocab V)
-    val Row(n: Long, v: Long) =
-      counts.agg(sum(col("c")), count(lit(1))).head()
-    val nv = (n + v).toDouble
+    // bounded driver fetch: exactly two scalars (total tokens N, vocab V).
+    // sum() over an EMPTY count table is null (an empty input corpus —
+    // e.g. a pipeline stage that filtered everything out — must yield an
+    // empty result, not a crash)
+    val totals = counts.agg(sum(col("c")), count(lit(1))).head()
+    val n = if (totals.isNullAt(0)) 0L else totals.getLong(0)
+    val v = totals.getLong(1)
+    val nv = math.max(n + v, 1L).toDouble
     val meanNll = col("s") / lit(1e6) / col("n_tokens")
     toks.join(counts, "tok")
       .withColumn("nll_micro",
@@ -67,8 +71,15 @@ object Quality {
           .cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("nll_micro")).as("s"))
+      // display rounding in EXACT integer arithmetic: the mean s/n is a
+      // rational that can land precisely ON a half-boundary of the 6th
+      // decimal (it did, at sf0.001), where float-side round() — Spark's
+      // BigDecimal HALF_UP vs an engine's x*1e6 multiply-then-round —
+      // legitimately disagrees by one digit. floor((2s+n)/(2n)) IS
+      // round-half-up of s/n, computed exactly; both engines then divide
+      // the same integer by 1e6.
       .select(col("doc_id"), col("n_tokens"),
-        round(meanNll, 6).as("nll"),
+        (expr("(2*s + n_tokens) DIV (2*n_tokens)") / lit(1e6)).as("nll"),
         (meanNll > lit(maxNll)).as("rejected"))
       .orderBy("doc_id")
   }
@@ -140,11 +151,11 @@ object Quality {
     * right BATCH shape once the model outgrows an expression (real
     * trained weights land in a table, not a formula). Output is unsorted
     * (one row per input row); callers order for presentation. */
-  def classifierScoreInline(
-      docs: DataFrame,
-      buckets: Int = 512,
-      gain: Double = 4.0,
-      threshold: Double = 0.5): DataFrame = {
+  /** The in-row classifier as a `(n_tokens, milli_sum)` expression pair
+    * over a `text` column — shared by [[classifierScoreInline]] and the
+    * fused model pipeline ([[Curation.curateModel]]), so both compute the
+    * identical exact-integer fold. */
+  private[ops] def inlineMilliSum(buckets: Int): (Column, Column) = {
     val bucketOf = (t: Column) =>
       pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
         lit(buckets.toLong))
@@ -152,11 +163,26 @@ object Quality {
       conv(substring(md5(concat(lit("w:"), bucketOf(t).cast("string"))),
         1, 15), 16, 10).cast("long") % 2001 - 1000
     val toksCol = split(col("text"), " ")
+    (size(toksCol).cast("long"),
+      aggregate(toksCol, lit(0L), (acc, t) => acc + wMilli(t)))
+  }
+
+  /** sigmoid(gain · s/1000/n) on the named integer columns — the single
+    * floating-point step both classifier forms share. */
+  private[ops] def sigmoidOf(gain: Double): Column = {
     val x = col("s") / lit(1000.0) / col("n_tokens") * lit(gain)
-    val score = lit(1.0) / (lit(1.0) + exp(-x))
+    lit(1.0) / (lit(1.0) + exp(-x))
+  }
+
+  def classifierScoreInline(
+      docs: DataFrame,
+      buckets: Int = 512,
+      gain: Double = 4.0,
+      threshold: Double = 0.5): DataFrame = {
+    val (nTokens, milliSum) = inlineMilliSum(buckets)
+    val score = sigmoidOf(gain)
     docs.select(col("doc_id"),
-        size(toksCol).cast("long").as("n_tokens"),
-        aggregate(toksCol, lit(0L), (acc, t) => acc + wMilli(t)).as("s"))
+        nTokens.as("n_tokens"), milliSum.as("s"))
       .select(col("doc_id"), col("n_tokens"),
         round(score, 6).as("score"),
         (score >= lit(threshold)).as("kept"))
@@ -188,9 +214,10 @@ object Quality {
     docs.select(explode(split(col("text"), " ")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
       .write.mode("overwrite").parquet(tmp.toString)
-    val Row(n: Long, v: Long) = spark.read.parquet(tmp.toString)
+    val totals = spark.read.parquet(tmp.toString)
       .agg(sum(col("c")), count(lit(1))).head()
-    IndexSidecar.write(spark, lmParamsPath(tmp), s"$n $v")
+    val n = if (totals.isNullAt(0)) 0L else totals.getLong(0)
+    IndexSidecar.write(spark, lmParamsPath(tmp), s"$n ${totals.getLong(1)}")
     fingerprint.foreach(f =>
       IndexSidecar.write(spark, lmFingerprintPath(tmp), f))
     IndexSidecar.publish(fs, tmp, dest)
@@ -231,7 +258,7 @@ object Quality {
     val Array(n, v) = IndexSidecar
       .read(spark, lmParamsPath(new org.apache.hadoop.fs.Path(path)))
       .trim.split(" ").map(_.toLong)
-    val nv = (n + v).toDouble
+    val nv = math.max(n + v, 1L).toDouble // empty-trained model: floor path
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
     val meanNll = col("s") / lit(1e6) / col("n_tokens")
@@ -242,9 +269,12 @@ object Quality {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("nll_micro")).as("s"),
         sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov"))
+      // same exact-integer display rounding as [[lmPerplexity]] — and
+      // oov_frac is a small-integer rational, the shape MOST likely to
+      // sit exactly on a rounding boundary
       .select(col("doc_id"), col("n_tokens"),
-        round(meanNll, 6).as("nll"),
-        round(col("n_oov").cast("double") / col("n_tokens"), 6)
+        (expr("(2*s + n_tokens) DIV (2*n_tokens)") / lit(1e6)).as("nll"),
+        (expr("(2000000*n_oov + n_tokens) DIV (2*n_tokens)") / lit(1e6))
           .as("oov_frac"),
         (meanNll > lit(maxNll)).as("rejected"))
       .orderBy("doc_id")

@@ -191,7 +191,9 @@ object ScaleProof {
       // ns64's fingerprint-gated model build lands in the untimed warmup
       // (same contract as ns18/ns41/ns50); the timed runs measure frozen
       // scoring: one token-keyed left join + rollup
-      "ns64_lm_lifecycle")
+      "ns64_lm_lifecycle",
+      // the fused model pipeline: gates in-row, LM on the survivor subset
+      "ns65_curation_model")
     def ns37Scaled(dir: String): DataFrame = {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
       val n = e.count()

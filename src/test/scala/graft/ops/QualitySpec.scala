@@ -109,6 +109,43 @@ class QualitySpec extends AnyFunSuite {
     assert(out(0).getDouble(2) == out(1).getDouble(2))
   }
 
+  // ------------------------------------------- M7: model-based curation
+
+  test("curateModel: language gate drops, dedup collapses to min doc_id") {
+    val docs = corpus(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"), // exact dup -> survivor is doc 1
+      (3L, "der hund und die katze und der hund"), // de -> dropped
+      (4L, "the dog ran in the park"))
+    // model gates disabled: survivors are exactly the deduped en docs
+    val out = Curation.curateModel(docs, minScore = 0.0, maxNll = 1e9)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 4L))
+  }
+
+  test("curateModel: classifier and perplexity gates actually gate") {
+    val docs = corpus(
+      (1L, "the cat sat on the mat"), (2L, "the dog ran in the park"))
+    assert(Curation.curateModel(docs, minScore = 1.0).count() == 0)
+    assert(Curation.curateModel(docs, minScore = 0.0, maxNll = 0.01)
+      .count() == 0)
+  }
+
+  test("curateModel: partitioning-invariant (exact-integer gates)") {
+    val docs = corpus((1L to 40L).map(i =>
+      i -> s"the a of w$i and to in that x${i % 7}"): _*)
+    val a = Curation.curateModel(docs, minScore = 0.0, maxNll = 1e9)
+      .collect().toSeq
+    val b = Curation.curateModel(docs.repartition(9),
+      minScore = 0.0, maxNll = 1e9).collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("lmPerplexity on an empty corpus yields an empty result, not a crash") {
+    val empty = corpus((1L, "x")).where(col("doc_id") < 0)
+    assert(Quality.lmPerplexity(empty).count() == 0)
+  }
+
   // ------------------------------------------------------- T10: htmlToText
 
   private def extract(html: String): String = {
