@@ -913,6 +913,24 @@ object SparkEntry {
   private def ns65(s: SparkSession, dir: String): DataFrame =
     graft.ops.Curation.curateModel(docs(s, dir))
 
+  /** NS66 — Luhn-validated credit-card scrubbing: every doc gets a
+    * deterministic payment blurb — one known-valid card, one
+    * checksum-invalid lookalike, and a doc_id-varying candidate whose
+    * validity the checksum alone decides (~1 in 10 validate) — then
+    * [[graft.ops.Privacy.scrubCreditCards]] must redact exactly the
+    * Luhn-valid runs. The oracle replays candidate extraction, the
+    * checksum (index lambdas), and the replacement fold in SQL. */
+  private def ns66(s: SparkSession, dir: String): DataFrame = {
+    val blurb = concat(lit(" pay 4111111111111111 ref "),
+      (lit(4242420000000000L) + col("doc_id") % 100000).cast("string"),
+      lit(" order 1234567890123456 end "))
+    graft.ops.Privacy.scrubCreditCards(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"), blurb).as("text")))
+      .select(col("doc_id"), col("n_cands"), col("n_redacted"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** NS64 — persisted LM model lifecycle: the ns59 two-phase pattern for
     * perplexity serving. The model trains ONCE on the even-doc_id half of
     * the corpus (fingerprint-gated, atomic publish), then the whole corpus
@@ -1012,6 +1030,7 @@ object SparkEntry {
     "ns63_html_extract" -> (ns63 _),
     "ns64_lm_lifecycle" -> (ns64 _),
     "ns65_curation_model" -> (ns65 _),
+    "ns66_pii_luhn" -> (ns66 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1896,5 +1915,19 @@ object SparkEntry {
          |SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens,
          |  round(min(score), 6) AS score, min(nll) AS nll
          |FROM s2 GROUP BY text ORDER BY doc_id""".stripMargin),
+    // DuckDB's lambda index is 1-based (Spark's transform index 0-based):
+    // "double every second digit from the right" is i%2=0 here, i%2==1
+    // there. The replacement fold mirrors aggregate(valid, text, replace).
+    "ns66_pii_luhn" ->
+      ("""WITH raw AS (SELECT doc_id, text || ' pay 4111111111111111 ref ' || (4242420000000000 + doc_id % 100000)::VARCHAR || ' order 1234567890123456 end ' AS text FROM documents),
+         |c AS (SELECT doc_id, text, regexp_extract_all(text, '\d{13,19}', 0) AS cands FROM raw),
+         |v AS (SELECT doc_id, text, cands,
+         |  list_filter(cands, x -> length(x) > 0 AND
+         |    list_sum(list_transform(string_split(reverse(x), ''), (d, i) ->
+         |      CASE WHEN i % 2 = 0 THEN CASE WHEN d::INT * 2 > 9 THEN d::INT * 2 - 9 ELSE d::INT * 2 END ELSE d::INT END)) % 10 = 0) AS valid
+         |  FROM c)
+         |SELECT doc_id, len(cands)::BIGINT AS n_cands, len(valid)::BIGINT AS n_redacted,
+         |  list_reduce(list_prepend(text, valid), (a, b) -> replace(a, b, '<CC>')) AS text
+         |FROM v ORDER BY doc_id""".stripMargin),
   )
 }

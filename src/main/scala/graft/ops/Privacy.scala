@@ -40,4 +40,51 @@ object Privacy {
     }
     counted.withColumn(textCol, scrubbed)
   }
+
+  /** Luhn checksum over a digit string: double every second digit from
+    * the right (subtracting 9 on overflow), sum, valid iff ≡ 0 mod 10.
+    * Pure codegen'd HOF arithmetic — `transform`'s index lambda gives the
+    * position, `aggregate` folds the sum; no UDF. Returns false for empty
+    * input (an empty candidate is not a card number). */
+  def luhnValid(digits: Column): Column = {
+    val rev = split(reverse(digits), "")
+    val terms = transform(rev, (d, i) => {
+      val v = d.cast("int")
+      when(i % 2 === 1,
+        when(v * 2 > 9, v * 2 - 9).otherwise(v * 2)).otherwise(v)
+    })
+    (length(digits) > 0) &&
+      aggregate(terms, lit(0), (a, x) => a + x) % 10 === 0
+  }
+
+  /** P2 — Luhn-validated credit-card scrubbing: the checksum separates
+    * card numbers from the order IDs, tracking codes, and timestamps that
+    * share their shape, so redaction fires on actual cards instead of
+    * every long digit run (the false-positive rate of shape-only scrubbing
+    * is what makes teams turn PII filters off). Candidates are contiguous
+    * 13–19 digit runs; each VALID candidate is replaced everywhere it
+    * occurs via an `aggregate` fold of `replace` — fold order is the
+    * candidate array's (leftmost match first), identical in any engine,
+    * and no `distinct` is involved (re-replacing an already-redacted
+    * candidate is a no-op), so the result is deterministic.
+    *
+    * Scale shape: per-row projection over codegen'd regex + HOF
+    * arithmetic — no UDF, no shuffle; fuses into the scan like
+    * [[scrubPii]].
+    *
+    * Output: input columns with `textCol` scrubbed, plus `n_cands`
+    * (digit runs seen) and `n_redacted` (runs that Luhn-validated). */
+  def scrubCreditCards(docs: DataFrame, textCol: String = "text")
+      : DataFrame = {
+    // group 0 = the whole match (the default group index 1 requires a
+    // capturing group this pattern deliberately doesn't have)
+    val cands = regexp_extract_all(col(textCol), lit("\\d{13,19}"), lit(0))
+    val valid = filter(cands, c => luhnValid(c))
+    docs
+      .withColumn("n_cands", size(cands).cast("long"))
+      .withColumn("n_redacted", size(valid).cast("long"))
+      .withColumn(textCol,
+        aggregate(valid, col(textCol), (acc, c) => replace(acc, c,
+          lit("<CC>"))))
+  }
 }

@@ -237,6 +237,17 @@ object ScaleProof {
     // length, which cannot be computed without running every regex over
     // every byte — this is what an honest per-decade growth number for a
     // zero-shuffle scan-fused operator looks like.
+    // same pruning hazard as ns63: the scrub is projection-only, so force
+    // the regex + checksum work through an aggregate over its outputs
+    def ns66Forced(dir: String): DataFrame =
+      graft.ops.Privacy.scrubCreditCards(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), concat(col("text"),
+            lit(" pay 4111111111111111 ref "),
+            (lit(4242420000000000L) + col("doc_id") % 100000).cast("string"),
+            lit(" order 1234567890123456 end ")).as("text")))
+        .agg(sum(col("n_redacted")).as("n_redacted"),
+          sum(length(col("text"))).as("total_chars"))
     def ns63Forced(dir: String): DataFrame =
       graft.ops.TextAnalysis.extractHtml(
         spark.read.parquet(s"$dir/documents.parquet")
@@ -291,6 +302,7 @@ object ScaleProof {
       standard.map(n =>
         n -> ((d: String) => graft.SparkEntry.queries(n)(spark, d))) ++
         Seq("ns63_html_forced" -> (ns63Forced _),
+          "ns66_luhn_forced" -> (ns66Forced _),
           "ns4_ngram_capped" -> (ns4Capped _),
           "ns37_semantic_scaledC" -> (ns37Scaled _),
           "ns55_bloom_scaledBits" -> (ns55Scaled _),

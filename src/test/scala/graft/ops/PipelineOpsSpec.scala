@@ -38,6 +38,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == "version 1.2.3 of 2024 costs 19.99")
   }
 
+  // ---- Privacy.scrubCreditCards -------------------------------------------
+
+  test("luhnValid accepts real checksums and rejects lookalikes") {
+    val in = Seq("4111111111111111", "5500005555555559", "378282246310005",
+      "1234567890123456", "4111111111111112", "")
+      .toDF("d")
+    val out = in.select(Privacy.luhnValid(org.apache.spark.sql.functions
+      .col("d"))).as[Boolean].collect().toSeq
+    assert(out == Seq(true, true, true, false, false, false))
+  }
+
+  test("scrubCreditCards redacts only Luhn-valid runs, counts both") {
+    val in = Seq(
+      (1L, "pay 4111111111111111 not 1234567890123456 ok"),
+      (2L, "order 99990000111122223333444 is too long to be one card"),
+      (3L, "no digits at all")).toDF("doc_id", "text")
+    val out = Privacy.scrubCreditCards(in).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_cands"), r.getAs[Long]("n_redacted"),
+          r.getAs[String]("text")))).toMap
+    assert(out(1L) == ((2L, 1L, "pay <CC> not 1234567890123456 ok")))
+    // a 23-digit run yields one greedy 19-digit candidate (leftmost),
+    // identical in Java regex and RE2; it fails the checksum
+    assert(out(2L)._1 == 1L && out(2L)._2 == 0L)
+    assert(out(2L)._3.contains("99990000111122223333444"))
+    assert(out(3L) == ((0L, 0L, "no digits at all")))
+  }
+
   test("scrubPii is a zero-shuffle projection") {
     val p = Privacy.scrubPii(Tables.load(spark, sf, "documents"))
       .queryExecution.executedPlan.toString
