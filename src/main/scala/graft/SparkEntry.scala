@@ -931,6 +931,31 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** NS67 — leaked-credential scrubbing: every doc carries one valid
+    * specimen of each secret shape (AWS key, GitHub token, JWT, 40-hex
+    * secret — md5-derived so the oracle builds the identical page) plus
+    * an AWS lookalike one char short, which must NOT match. The scrub is
+    * [[graft.ops.Privacy.scrubSecrets]]; counts are per-pattern. */
+  private def ns67(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id").cast("string")
+    def m(p: String) = md5(concat(lit(p), d))
+    val blurb = concat(
+      lit(" key AKIA"), upper(substring(m("aws:"), 1, 16)),
+      lit(" fake AKIA"), upper(substring(m("fake:"), 1, 15)),
+      lit(" tok ghp_"), substring(concat(m("g1:"), m("g2:")), 1, 36),
+      lit(" jwt eyJ"), substring(m("j1:"), 1, 10),
+      lit("."), substring(m("j2:"), 1, 12),
+      lit("."), substring(m("j3:"), 1, 10),
+      lit(" sha "), substring(concat(m("h1:"), m("h2:")), 1, 40),
+      lit(" end"))
+    graft.ops.Privacy.scrubSecrets(
+        docs(s, dir).select(col("doc_id"),
+          concat(col("text"), blurb).as("text")))
+      .select(col("doc_id"), col("n_aws_keys"), col("n_gh_tokens"),
+        col("n_jwts"), col("n_hex_secrets"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** NS64 — persisted LM model lifecycle: the ns59 two-phase pattern for
     * perplexity serving. The model trains ONCE on the even-doc_id half of
     * the corpus (fingerprint-gated, atomic publish), then the whole corpus
@@ -1031,6 +1056,7 @@ object SparkEntry {
     "ns64_lm_lifecycle" -> (ns64 _),
     "ns65_curation_model" -> (ns65 _),
     "ns66_pii_luhn" -> (ns66 _),
+    "ns67_secrets_scrub" -> (ns67 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1929,5 +1955,28 @@ object SparkEntry {
          |SELECT doc_id, len(cands)::BIGINT AS n_cands, len(valid)::BIGINT AS n_redacted,
          |  list_reduce(list_prepend(text, valid), (a, b) -> replace(a, b, '<CC>')) AS text
          |FROM v ORDER BY doc_id""".stripMargin),
+    // Same blurb built in SQL; counts on the raw text, then the redaction
+    // fold in declaration order (JWT before hex, see secretPatterns).
+    "ns67_secrets_scrub" ->
+      ("""WITH raw AS (SELECT doc_id,
+         |  text || ' key AKIA' || upper(substr(md5('aws:' || doc_id), 1, 16))
+         |       || ' fake AKIA' || upper(substr(md5('fake:' || doc_id), 1, 15))
+         |       || ' tok ghp_' || substr(md5('g1:' || doc_id) || md5('g2:' || doc_id), 1, 36)
+         |       || ' jwt eyJ' || substr(md5('j1:' || doc_id), 1, 10) || '.' || substr(md5('j2:' || doc_id), 1, 12) || '.' || substr(md5('j3:' || doc_id), 1, 10)
+         |       || ' sha ' || substr(md5('h1:' || doc_id) || md5('h2:' || doc_id), 1, 40)
+         |       || ' end' AS text FROM documents),
+         |cnt AS (SELECT doc_id, text,
+         |  len(regexp_extract_all(text, '\bAKIA[0-9A-Z]{16}\b')) AS n_aws_keys,
+         |  len(regexp_extract_all(text, '\bghp_[A-Za-z0-9]{36}\b')) AS n_gh_tokens,
+         |  len(regexp_extract_all(text, '\beyJ[A-Za-z0-9_-]+\.[A-Za-z0-9_-]+\.[A-Za-z0-9_-]+\b')) AS n_jwts,
+         |  len(regexp_extract_all(text, '\b[0-9a-f]{40}\b')) AS n_hex_secrets
+         |  FROM raw)
+         |SELECT doc_id, n_aws_keys, n_gh_tokens, n_jwts, n_hex_secrets,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '\bAKIA[0-9A-Z]{16}\b', '<AWS_KEY>', 'g'),
+         |    '\bghp_[A-Za-z0-9]{36}\b', '<GH_TOKEN>', 'g'),
+         |    '\beyJ[A-Za-z0-9_-]+\.[A-Za-z0-9_-]+\.[A-Za-z0-9_-]+\b', '<JWT>', 'g'),
+         |    '\b[0-9a-f]{40}\b', '<HEX_SECRET>', 'g') AS text
+         |FROM cnt ORDER BY doc_id""".stripMargin),
   )
 }

@@ -27,19 +27,50 @@ object Privacy {
     ("ipv4", "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b", "<IP>"),
     ("phones", "\\+[0-9]{7,15}", "<PHONE>"))
 
-  /** P1 — scrub PII from a text column. Output: all input columns with
-    * `textCol` replaced by its scrubbed form, plus one `n_<name>` match
-    * count per pattern (counted BEFORE redaction, so counts are
-    * independent of application order). */
-  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val counted = patterns.foldLeft(docs) { case (df, (name, re, _)) =>
+  /** Credential patterns for pre-training secret scrubbing — leaked keys
+    * in a crawl otherwise end up memorized and regurgitated by the model.
+    * Formats are the PUBLIC, documented shapes: AWS access key IDs
+    * (`AKIA` + 16 upper-alphanumerics), GitHub personal access tokens
+    * (`ghp_` + 36), JWTs (three base64url segments), and bare 40-hex
+    * SHA-1-shaped secrets. Same RE2-safe regex discipline as
+    * [[patterns]]. Order matters: JWTs before hex (a JWT segment can
+    * embed 40 consecutive hex chars); counts are taken before redaction
+    * so they are order-independent anyway. */
+  val secretPatterns: Seq[(String, String, String)] = Seq(
+    ("aws_keys", "\\bAKIA[0-9A-Z]{16}\\b", "<AWS_KEY>"),
+    ("gh_tokens", "\\bghp_[A-Za-z0-9]{36}\\b", "<GH_TOKEN>"),
+    ("jwts",
+      "\\beyJ[A-Za-z0-9_-]+\\.[A-Za-z0-9_-]+\\.[A-Za-z0-9_-]+\\b",
+      "<JWT>"),
+    ("hex_secrets", "\\b[0-9a-f]{40}\\b", "<HEX_SECRET>"))
+
+  /** Shared scrub plan: count each pattern on the RAW text (so counts are
+    * independent of application order), then fold the redactions in
+    * declaration order. Zero shuffle, codegen'd regex only. */
+  private def scrubWith(
+      docs: DataFrame,
+      pats: Seq[(String, String, String)],
+      textCol: String): DataFrame = {
+    val counted = pats.foldLeft(docs) { case (df, (name, re, _)) =>
       df.withColumn(s"n_$name", regexp_count(col(textCol), lit(re)))
     }
-    val scrubbed = patterns.foldLeft(col(textCol)) {
+    val scrubbed = pats.foldLeft(col(textCol)) {
       case (c, (_, re, token)) => regexp_replace(c, re, token)
     }
     counted.withColumn(textCol, scrubbed)
   }
+
+  /** P1 — scrub PII from a text column. Output: all input columns with
+    * `textCol` replaced by its scrubbed form, plus one `n_<name>` match
+    * count per pattern (counted BEFORE redaction, so counts are
+    * independent of application order). */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    scrubWith(docs, patterns, textCol)
+
+  /** P3 — scrub leaked credentials ([[secretPatterns]]) from a text
+    * column; same output contract as [[scrubPii]]. */
+  def scrubSecrets(docs: DataFrame, textCol: String = "text"): DataFrame =
+    scrubWith(docs, secretPatterns, textCol)
 
   /** Luhn checksum over a digit string: double every second digit from
     * the right (subtracting 9 on overflow), sum, valid iff ≡ 0 mod 10.

@@ -95,6 +95,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate"), p.take(1500))
   }
 
+  test("ns66/ns67: scrubbers are projection-only over the scan") {
+    for (q <- Seq("ns66_pii_luhn", "ns67_secrets_scrub")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q: ${p.take(1200)}")
+      assert(!p.contains("Join"), s"$q: ${p.take(1200)}")
+      assert(!p.contains("HashAggregate"), s"$q: ${p.take(1200)}")
+    }
+  }
+
   test("ns5: candidates come from an equality band join, never all-pairs") {
     val df = SparkEntry.queries("ns5_dedup_embedding")(spark, sf)
     df.collect() // materialize so AQE finalizes the plan with codegen spans
