@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType, StructField, StructType}
 
 /** Typed rows for the north-star tables — the `Dataset[T]` face of the
@@ -131,6 +131,30 @@ object Tables {
       case (_, Some(s)) => conform(reader.load(path), s)
       case (_, None) => reader.load(path)
     }
+  }
+
+  /** Schema-DRIFT absorption, completing the adapt-to-the-writer ladder
+    * ([[graft.ops.Events.tsMicros]] for value encodings, [[conform]] for
+    * physical widths, [[loadAs]] for formats): external tables also GAIN
+    * and LOSE columns between snapshot generations, and a reader pinned
+    * to last month's schema must keep working against both last month's
+    * files and this month's. Missing columns materialize as typed nulls
+    * (the only honest value for data that was never written); columns the
+    * canonical schema doesn't know are dropped (projection, exactly what
+    * a SELECT of the canonical columns would do); widths conform. Renames
+    * stay a hard error by design — a rename is indistinguishable from a
+    * drop+add, and silently nulling a renamed column would corrupt every
+    * downstream aggregate, so `TestdataSchemaSpec`-style diagnosis is the
+    * correct response. Output column ORDER is the canonical schema's,
+    * independent of the file's. */
+  def evolve(df: DataFrame, want: StructType): DataFrame = {
+    val have = df.schema.fieldNames.toSet
+    val withMissing = want.fields.foldLeft(df) { (d, f) =>
+      if (have.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    conform(
+      withMissing.select(want.fieldNames.map(col).toIndexedSeq: _*), want)
   }
 
   /** [[loadAs]] for text formats with malformed-record QUARANTINE: at

@@ -61,4 +61,24 @@ class TablesConformSpec extends AnyFunSuite {
     val plan = Tables.documents(spark, sf).queryExecution.analyzed.toString
     assert(!plan.toLowerCase.contains("cast(n_chars"), plan.take(500))
   }
+
+  test("evolve absorbs dropped, added, and reordered columns") {
+    val canonical = Tables.load(spark, sf, "documents").schema
+    // an OLD snapshot: no n_chars yet, an extra legacy column, shuffled
+    // column order, and a narrowed width — all at once
+    val old = Tables.load(spark, sf, "documents")
+      .withColumn("doc_id", col("doc_id").cast("int"))
+      .withColumn("legacy_flag", org.apache.spark.sql.functions.lit(true))
+      .select("legacy_flag", "source", "text", "lang", "doc_id")
+    val got = Tables.evolve(old, canonical)
+    assert(got.schema.map(f => (f.name, f.dataType)) ==
+      canonical.map(f => (f.name, f.dataType)))
+    val r = got.orderBy("doc_id").head()
+    assert(!r.isNullAt(got.schema.fieldIndex("text")))
+    assert(r.isNullAt(got.schema.fieldIndex("n_chars"))) // never written
+    assert(!got.columns.contains("legacy_flag"))
+    // a same-shape frame passes through untouched
+    val same = Tables.load(spark, sf, "documents")
+    assert(Tables.evolve(same, canonical).schema == same.schema)
+  }
 }
