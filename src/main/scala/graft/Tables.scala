@@ -127,8 +127,13 @@ object Tables {
       case f => spark.read.format(f)
     }
     (format, schema) match {
+      // text formats: the scan itself parses into the canonical schema
+      // (missing fields null, unknown fields never materialize)
       case ("csv" | "json", Some(s)) => reader.schema(s).load(path)
-      case (_, Some(s)) => conform(reader.load(path), s)
+      // binary formats carry their own schema: absorb width re-encodings
+      // AND drift (dropped/added/reordered columns) via evolve, so a
+      // loadAs caller gets the canonical shape from ANY generation's files
+      case (_, Some(s)) => evolve(reader.load(path), s)
       case (_, None) => reader.load(path)
     }
   }

@@ -46,6 +46,24 @@ class FormatIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("loadAs absorbs schema drift in a binary-format snapshot") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val pq = Tables.load(spark, sf, "documents")
+    val tmp = Files.createTempDirectory("graft-fmt-drift").toString
+    // an old-generation orc snapshot: n_chars not yet written, a legacy
+    // column present, narrowed doc_id, shuffled order
+    pq.withColumn("doc_id", col("doc_id").cast("int"))
+      .withColumn("legacy", lit(1))
+      .select("legacy", "text", "source", "lang", "doc_id")
+      .write.orc(s"$tmp/old.orc")
+    val got = Tables.loadAs(spark, s"$tmp/old.orc", "orc", Some(pq.schema))
+    assert(got.schema.map(f => (f.name, f.dataType)) ==
+      pq.schema.map(f => (f.name, f.dataType)))
+    val r = got.orderBy("doc_id").head()
+    assert(r.getLong(0) == pq.orderBy("doc_id").head().getLong(0))
+    assert(r.isNullAt(got.schema.fieldIndex("n_chars")))
+  }
+
   test("events: sessionization is identical across parquet, orc and json") {
     val pq = Tables.load(spark, sf, "events")
     val gap = 28800L * 1000000L
