@@ -956,6 +956,57 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private val ns68Banner = "every mirror of this crawl shares this banner line"
+  private val ns68Footer = "boilerplate footer for "
+
+  /** NS68 — corpus-wide line-level dedup (C4/RefinedWeb boilerplate
+    * removal): docs are given line structure (a banner shared by every
+    * doc, the body chunked 8 words per line, a footer shared per source),
+    * then any line occurring in >1 distinct docs is dropped and the
+    * survivors reassembled in order. Banner and footers vanish; body
+    * lines survive unless two docs genuinely collide. One line-keyed df
+    * aggregation + an AQE-broadcast anti probe + one doc-keyed rebuild. */
+  private def ns68(s: SparkSession, dir: String): DataFrame = {
+    val chunked = regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n")
+    graft.ops.Dedup.lineDedup(
+      docs(s, dir).select(col("doc_id"),
+        concat(lit(ns68Banner + "\n"), chunked,
+          lit("\n" + ns68Footer), col("source")).as("text")))
+  }
+
+  /** NS69 — per-label embedding outlier scoring: spherical per-label
+    * centroids (6-decimal rounding contract, as ns42's k-means), then the
+    * 10 lowest-cosine members per label — the label-noise filter of
+    * semantic curation. Centroid agg shuffles only (label, dim) partials;
+    * scoring is a broadcast probe; WindowGroupLimit caps the bottom-k. */
+  private def ns69(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.outliers(embs(s, dir), k = 10)
+
+  /** NS70 — canonical-URL dedup: five URL spellings per page group
+    * (case-shuffled host, www, default ports, duplicate/trailing slashes,
+    * tracking params, unsorted query, fragments) collapse under
+    * [[graft.ops.Urls.canonicalize]]; the four https variants of a group
+    * dedup to one survivor, the http variant stays distinct (scheme is
+    * load-bearing). Canonicalization is a narrow codegen'd projection;
+    * dedup is ONE canonical-keyed groupBy. */
+  private def ns70(s: SparkSession, dir: String): DataFrame = {
+    val g = expr("doc_id DIV 5").cast("string")
+    val m = col("doc_id") % 5
+    val url =
+      when(m === 0, concat(lit("https://WWW.Crawl.Example.org:443//a//"), g,
+        lit("/?utm_source=feed&b=2&a=1#frag")))
+      .when(m === 1, concat(lit("https://crawl.example.org/a/"), g,
+        lit("?a=1&b=2")))
+      .when(m === 2, concat(lit("HTTPS://www.crawl.example.org/a/"), g,
+        lit("/?b=2&a=1&gclid=xyz")))
+      .when(m === 3, concat(lit("https://crawl.example.org:443/a//"), g,
+        lit("?a=1&ref=tw&b=2#x")))
+      .otherwise(concat(lit("http://crawl.example.org:80/a/"), g,
+        lit("?a=1&b=2")))
+    graft.ops.Urls.dedupByUrl(
+      docs(s, dir).select(col("doc_id"), url.as("url")))
+  }
+
   /** NS64 — persisted LM model lifecycle: the ns59 two-phase pattern for
     * perplexity serving. The model trains ONCE on the even-doc_id half of
     * the corpus (fingerprint-gated, atomic publish), then the whole corpus
@@ -1057,6 +1108,9 @@ object SparkEntry {
     "ns65_curation_model" -> (ns65 _),
     "ns66_pii_luhn" -> (ns66 _),
     "ns67_secrets_scrub" -> (ns67 _),
+    "ns68_dedup_lines" -> (ns68 _),
+    "ns69_embedding_outliers" -> (ns69 _),
+    "ns70_dedup_url" -> (ns70 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1978,5 +2032,74 @@ object SparkEntry {
          |    '\beyJ[A-Za-z0-9_-]+\.[A-Za-z0-9_-]+\.[A-Za-z0-9_-]+\b', '<JWT>', 'g'),
          |    '\b[0-9a-f]{40}\b', '<HEX_SECRET>', 'g') AS text
          |FROM cnt ORDER BY doc_id""".stripMargin),
+    // ns68 replays the line synthesis (banner + 8-word chunking + source
+    // footer), then the df>1 line drop and ordered reassembly. DuckDB zips
+    // the two parallel unnests (line, ordinal).
+    "ns68_dedup_lines" ->
+      (s"""WITH base AS (SELECT doc_id,
+         |  '${ns68Banner}' || chr(10) ||
+         |  regexp_replace(text, '((?:\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g') ||
+         |  chr(10) || '${ns68Footer}' || source AS text FROM documents),
+         |lines AS (SELECT doc_id,
+         |  unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos,
+         |  unnest(string_split(text, chr(10))) AS line FROM base),
+         |freq AS (SELECT line FROM (SELECT DISTINCT line, doc_id FROM lines)
+         |  GROUP BY line HAVING count(*) > 1),
+         |kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+         |  ANTI JOIN freq f USING (line)),
+         |rebuilt AS (SELECT doc_id,
+         |  string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+         |  count(*) AS kept_lines FROM kept GROUP BY doc_id)
+         |SELECT b.doc_id, coalesce(r.text_clean, '') AS text_clean,
+         |  coalesce(r.kept_lines, 0) AS kept_lines,
+         |  len(string_split(b.text, chr(10))) - coalesce(r.kept_lines, 0) AS dropped_lines
+         |FROM base b LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id""".stripMargin),
+    // ns69 mirrors the spherical centroid (unit members, per-dim avg
+    // rounded to 6 — the ns42 rounding contract) and the bottom-k scoring.
+    "ns69_embedding_outliers" ->
+      ("""WITH emb AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |unit AS (SELECT vec_id, label, v, nv, list_transform(v, x -> x / nv) AS u
+         |  FROM (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nv FROM emb)
+         |  WHERE nv > 0),
+         |dims AS (SELECT label, unnest(generate_series(1, len(u))) AS d, unnest(u) AS x FROM unit),
+         |cent AS (SELECT label, d, round(avg(x), 6) AS c FROM dims GROUP BY label, d),
+         |centv AS (SELECT label, list(c ORDER BY d) AS cv,
+         |  sqrt(list_sum(list_transform(list(c ORDER BY d), x -> x * x))) AS nc FROM cent GROUP BY label),
+         |scored AS (SELECT u.label, u.vec_id,
+         |  round(list_sum(list_transform(range(1, len(u.v) + 1), i -> u.v[i] * cv[i])) / (u.nv * nc), 6) AS cosine
+         |  FROM unit u JOIN centv USING (label))
+         |SELECT label, row_number() OVER (PARTITION BY label ORDER BY cosine ASC, vec_id) AS rank, vec_id, cosine
+         |FROM scored QUALIFY rank <= 10 ORDER BY label, rank""".stripMargin),
+    // ns70 replays the URL synthesis, then the SAME five canonicalization
+    // steps as graft.ops.Urls.canonicalize (fragment, lowercase
+    // scheme/host, www + default port, slash collapse, tracking-param
+    // strip + sort) — the oracle validates the operator logic, not just
+    // the synthesized duplicates.
+    "ns70_dedup_url" ->
+      ("""WITH pages AS (SELECT doc_id, CASE doc_id % 5
+         |  WHEN 0 THEN 'https://WWW.Crawl.Example.org:443//a//' || (doc_id // 5) || '/?utm_source=feed&b=2&a=1#frag'
+         |  WHEN 1 THEN 'https://crawl.example.org/a/' || (doc_id // 5) || '?a=1&b=2'
+         |  WHEN 2 THEN 'HTTPS://www.crawl.example.org/a/' || (doc_id // 5) || '/?b=2&a=1&gclid=xyz'
+         |  WHEN 3 THEN 'https://crawl.example.org:443/a//' || (doc_id // 5) || '?a=1&ref=tw&b=2#x'
+         |  ELSE 'http://crawl.example.org:80/a/' || (doc_id // 5) || '?a=1&b=2' END AS url
+         |  FROM documents),
+         |parts AS (SELECT doc_id, url, nf,
+         |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |  lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostraw,
+         |  regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pathraw,
+         |  regexp_extract(nf, '\?([^#]*)', 1) AS qraw
+         |  FROM (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM pages)),
+         |canon AS (SELECT doc_id,
+         |  CASE WHEN scheme = '' THEN url ELSE scheme || '://' ||
+         |    CASE WHEN scheme = 'http' THEN regexp_replace(regexp_replace(hostraw, '^www\.', ''), ':80$', '')
+         |         WHEN scheme = 'https' THEN regexp_replace(regexp_replace(hostraw, '^www\.', ''), ':443$', '')
+         |         ELSE regexp_replace(hostraw, '^www\.', '') END ||
+         |    regexp_replace(regexp_replace(pathraw, '/{2,}', '/', 'g'), '/$', '') ||
+         |    CASE WHEN plist = '' THEN '' ELSE '?' || plist END END AS canonical_url
+         |  FROM (SELECT *, array_to_string(list_sort(list_filter(string_split(qraw, '&'),
+         |    p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)(=.*)?$'))), '&') AS plist
+         |    FROM parts))
+         |SELECT min(doc_id) AS doc_id, canonical_url, count(*) AS n_copies
+         |FROM canon GROUP BY canonical_url ORDER BY doc_id""".stripMargin),
   )
 }

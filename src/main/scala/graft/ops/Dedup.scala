@@ -980,6 +980,62 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** D8 — corpus-wide line-level dedup (the C4 / RefinedWeb / MassiveText
+    * boilerplate-removal step): any line whose EXACT text occurs in more
+    * than `maxDocFreq` distinct documents is dropped from every document,
+    * and each document's surviving lines are reassembled in their original
+    * order. This is the pass that strips cookie banners, navigation chrome
+    * and mirrored footers from web corpora — duplication is judged by
+    * document frequency, so a line legitimately repeated WITHIN one
+    * document survives.
+    *
+    * Output: (doc_id, text_clean, kept_lines, dropped_lines), one row per
+    * input document — documents whose every line was boilerplate stay in
+    * the output with empty text, so the caller decides the drop policy.
+    *
+    * 100 TB shape: split+posexplode is narrow; the document-frequency
+    * count is ONE line-keyed aggregation (the (line, doc_id) distinct and
+    * the df count both partial-aggregate map-side, so the shuffle carries
+    * collapsed partials, not raw lines); the frequent-line set is then the
+    * join's build side — boilerplate vocabularies are heavy-hitter-bounded
+    * (≤ total_lines / maxDocFreq distinct values, in practice tiny), so
+    * AQE elects a broadcast left_anti and the corpus is never shuffled by
+    * line key a second time; reassembly is ONE doc_id-keyed aggregation.
+    * Three shuffles total, none carrying more than the line table.
+    *
+    * `sep` is a Java regex (Spark `split`); keep it to a literal separator
+    * (e.g. "\n") when mirroring with engines whose split is non-regex. */
+  def lineDedup(
+      docs: DataFrame,
+      maxDocFreq: Int = 1,
+      sep: String = "\n"): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), sep)).as(Seq("pos", "line")))
+    val frequent = lines.select(col("line"), col("doc_id")).distinct()
+      .groupBy(col("line"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq)
+      .select(col("line"))
+    val rebuilt = lines.join(frequent, Seq("line"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          sep).as("text_clean"),
+        count(lit(1)).as("kept_lines"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), sep)).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
+        (col("n_lines") - coalesce(col("kept_lines"), lit(0L)))
+          .as("dropped_lines"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D5 (exact verifier) — top-N closest pairs over ALL pairs. O(n²) by
     * definition: this is the small-input VERIFICATION path that the spec
     * measures [[embeddingNearDupLsh]]'s recall against, not the registered

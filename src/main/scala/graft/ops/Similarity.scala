@@ -716,6 +716,74 @@ object Similarity {
         i.toInt -> vs.split(",").map(_.toDouble)
       }.sortBy(_._1).map(_._2)
 
+  /** Per-label embedding outlier scoring — the centroid-distance filter of
+    * semantic curation pipelines (flag the vectors farthest from their
+    * class mode as label noise / off-topic members). For each label the
+    * centroid is the per-dimension mean of the members' UNIT vectors
+    * (spherical, as in [[kmeansCentroids]] — magnitude must not dominate),
+    * ROUNDED to 6 decimals so both engines hand the same literal centroid
+    * to the scoring pass; each member is then scored by cosine to its
+    * label's centroid and the `k` LOWEST-cosine members per label are
+    * returned as (label, rank, vec_id, cosine), rank 1 = farthest.
+    *
+    * Zero-norm vectors have no direction: they sit out both the centroid
+    * mean and the scoring (mirrored by the oracle).
+    *
+    * 100 TB shape: centroids are ONE (label, dim)-keyed aggregation whose
+    * shuffle carries tasks × |labels| × dims partial rows (map-side
+    * combine), collected driver-side (label-cardinality bounded — the
+    * same footprint class as the IVF centroid fetch); scoring is a
+    * broadcast join of the tiny (label, centroid) frame against the
+    * corpus — the corpus itself is never shuffled until the final per-label
+    * bottom-k, which WindowGroupLimit caps per partition. */
+  def outliers(
+      embeddings: DataFrame, k: Int = 10,
+      labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = embeddings.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    val corpus = embeddings.select(col("vec_id"),
+      col(labelCol).as("label"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("nv", norm(col("v")))
+      .where(col("nv") > 0)
+    val sums = corpus
+      .select(col("label"), posexplode(expr("transform(v, x -> x / nv)")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val cents: Array[(Int, Array[Double])] = sums.groupBy(_.getInt(0)).map {
+      case (label, rows) =>
+        val dims = rows.map(_.getInt(1)).max + 1
+        val m = new Array[Double](dims)
+        rows.foreach { r =>
+          m(r.getInt(1)) = BigDecimal(r.getDouble(2) / r.getLong(3))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        label -> m
+    }.toArray.sortBy(_._1)
+    val centDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(cents.toIndexedSeq.map {
+        case (l, c) => org.apache.spark.sql.Row(l, c.toSeq)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    val scored = corpus.join(broadcast(centDf), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        round(dot(col("v"), col("cv")) / (col("nv") * norm(col("cv"))), 6)
+          .as("cosine"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cosine").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("label"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("label"), col("rank"))
+  }
+
   /** ANN top-k: score only the query's LSH bucket (plus Hamming-1 probe
     * buckets). Approximate vs [[bruteForceTopK]] (recall spec-tested), but
     * deterministic end-to-end — md5-derived hyperplanes make the bucketing

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + URL-keyed dedup — the crawl-frontier half of
+  * corpus dedup (Common-Crawl-scale pipelines dedup fetched pages by
+  * canonical URL BEFORE any content hashing: it is the only dedup that
+  * needs no page bytes at all). North-star extension beyond the
+  * reference's surface (SURVEY §7.2 M6); the reference's closest analog
+  * is its matcher-alias normalization (klepto `pkg/config/spec.go`), which
+  * likewise canonicalizes keys before comparing.
+  *
+  * Canonicalization is a pure, codegen'd column expression (regex +
+  * array ops only — no UDF, no driver work), deliberately restricted to
+  * engine-portable builtins so the whole pipeline stays oracle-checkable:
+  *
+  *   1. strip the fragment (`#...`);
+  *   2. lowercase the scheme and host;
+  *   3. drop a leading `www.` and the scheme's default port
+  *      (`:80` for http, `:443` for https);
+  *   4. collapse duplicate slashes in the path and drop a trailing slash
+  *      (so `/a//b/` ≡ `/a/b`; the empty path ≡ `/`);
+  *   5. drop tracking parameters (`utm_*`, `fbclid`, `gclid`, `msclkid`,
+  *      `ref`, `mc_cid`, `mc_eid`), drop empty parameters, and SORT the
+  *      survivors — parameter order never changes the resource.
+  *
+  * The five steps and the tracked-param list follow the published
+  * canonical-URL practice (RFC 3986 §6 normalization + the usual
+  * tracking-param strip lists); anything beyond them (IDN, percent-decode
+  * equivalence) is host-language territory and out of scope for a
+  * column-pure operator.
+  */
+object Urls {
+
+  private val trackingParam =
+    "^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)(=.*)?$"
+
+  /** Canonical form of `url` per the five normalization steps above.
+    * Input must be an absolute `scheme://...` URL; anything else passes
+    * through lowercased-scheme-less unchanged (no throw — corpus rows must
+    * never kill a 100 TB job). */
+  def canonicalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostRaw = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val noWww = regexp_replace(hostRaw, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+    val pathRaw = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = regexp_replace(regexp_replace(pathRaw, "/{2,}", "/"), "/$", "")
+    val queryRaw = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val params = array_join(
+      array_sort(filter(split(queryRaw, "&"),
+        p => p =!= "" && !p.rlike(trackingParam))),
+      "&")
+    when(scheme === "", url).otherwise(concat(
+      scheme, lit("://"), host, path,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params))))
+  }
+
+  /** URL-keyed exact dedup: one survivor (min key) per canonical URL, with
+    * the duplicate count — [[Dedup.exact]]'s contract applied to the
+    * canonical-URL key instead of the content hash. Scale shape is
+    * identical: ONE hash-groupBy on the canonical key with map-side
+    * partial min/count; the canonicalization itself is a narrow codegen'd
+    * projection, so the shuffle carries (canonical, partial) rows only. */
+  def dedupByUrl(
+      pages: DataFrame,
+      urlCol: String = "url",
+      keyCol: String = "doc_id"): DataFrame =
+    pages
+      .select(canonicalize(col(urlCol)).as("canonical_url"), col(keyCol))
+      .groupBy(col("canonical_url"))
+      .agg(min(col(keyCol)).as(keyCol), count(lit(1)).as("n_copies"))
+      .select(col(keyCol), col("canonical_url"), col("n_copies"))
+      .orderBy(col(keyCol))
+}

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+/** Specs for the round-7 web-corpus operators: corpus-wide line-level
+  * dedup (C4/RefinedWeb boilerplate removal), per-label embedding outlier
+  * scoring, and canonical-URL dedup. */
+class WebCorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- Dedup.lineDedup ----------------------------------------------------
+
+  private def lineFixture = Seq(
+    (1L, "x\ny\nz"), // x shared with 2 and 3
+    (2L, "x\nw"),
+    (3L, "x"), // every line boilerplate -> empty survivor
+    (4L, "q\nq\nr") // q repeated WITHIN one doc only -> survives
+  ).toDF("doc_id", "text")
+
+  test("lineDedup drops df>1 lines everywhere, keeps order, keeps all docs") {
+    val out = Dedup.lineDedup(lineFixture).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == (("y\nz", 2L, 1L)))
+    assert(out(2L) == (("w", 1L, 1L)))
+    // all-boilerplate doc stays in the output with empty text
+    assert(out(3L) == (("", 0L, 1L)))
+    // within-doc repetition is NOT document-frequency: q has df=1
+    assert(out(4L) == (("q\nq\nr", 3L, 0L)))
+  }
+
+  test("lineDedup maxDocFreq=2 keeps lines shared by exactly two docs") {
+    val out = Dedup.lineDedup(lineFixture, maxDocFreq = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // x has df=3 > 2: still dropped
+    assert(out(1L) == "y\nz")
+    val two = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
+    val kept = Dedup.lineDedup(two, maxDocFreq = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // a has df=2 <= 2: kept in both docs
+    assert(kept(1L) == "a\nb" && kept(2L) == "a\nc")
+  }
+
+  test("lineDedup plan has no cartesian product") {
+    val plan = Dedup.lineDedup(lineFixture)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  // ---- Urls.canonicalize / dedupByUrl -------------------------------------
+
+  private def canon(url: String): String =
+    Seq(Tuple1(url)).toDF("u")
+      .select(Urls.canonicalize(col("u")).as("c"))
+      .collect().head.getString(0)
+
+  test("canonicalize: case, www, default ports, slashes, fragment") {
+    assert(canon("https://WWW.Site.Example.org:443//a//b/#frag")
+      == "https://site.example.org/a/b")
+    assert(canon("HTTP://site.example.org:80/") == "http://site.example.org")
+    // non-default port is load-bearing and survives
+    assert(canon("https://site.example.org:8443/x")
+      == "https://site.example.org:8443/x")
+    // http does NOT strip :443 (only its own default)
+    assert(canon("http://site.example.org:443/x")
+      == "http://site.example.org:443/x")
+  }
+
+  test("canonicalize: tracking params dropped, survivors sorted") {
+    assert(canon("https://s.example.org/p?b=2&utm_source=x&a=1&fbclid=z")
+      == "https://s.example.org/p?a=1&b=2")
+    // all params tracking -> no '?' at all
+    assert(canon("https://s.example.org/p?utm_campaign=c&gclid=g")
+      == "https://s.example.org/p")
+    // bare tracking key without '=' is still dropped; empties dropped
+    assert(canon("https://s.example.org/p?ref&&a=1")
+      == "https://s.example.org/p?a=1")
+  }
+
+  test("canonicalize: non-absolute input passes through untouched") {
+    assert(canon("not a url") == "not a url")
+    assert(canon("/relative/path?a=1") == "/relative/path?a=1")
+  }
+
+  test("dedupByUrl keeps the min-key survivor with the duplicate count") {
+    val pages = Seq(
+      (10L, "https://www.s.example.org/a?b=2&a=1"),
+      (11L, "https://s.example.org/a/?a=1&b=2&utm_source=x"),
+      (12L, "https://s.example.org/other")
+    ).toDF("doc_id", "url")
+    val out = Urls.dedupByUrl(pages).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSet == Set(
+      (10L, "https://s.example.org/a?a=1&b=2", 2L),
+      (12L, "https://s.example.org/other", 1L)))
+  }
+
+  // ---- Similarity.outliers ------------------------------------------------
+
+  test("outliers matches the driver-side spherical-centroid brute force") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val out = Similarity.outliers(embs, k = 10).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val rows = embs.collect().map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Int]("label"), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val byLabel = rows.filter(r => norm(r._3) > 0).groupBy(_._2)
+    val expected = byLabel.toSeq.flatMap { case (label, members) =>
+      val dims = members.head._3.length
+      val cent = new Array[Double](dims)
+      members.foreach { case (_, _, v) =>
+        val n = norm(v)
+        (0 until dims).foreach(d => cent(d) += v(d) / n)
+      }
+      val c = cent.map(s => BigDecimal(s / members.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val nc = norm(c)
+      members.map { case (id, _, v) =>
+        val cos = BigDecimal(
+          v.zip(c).map { case (x, y) => x * y }.sum / (norm(v) * nc))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (label, id, cos)
+      }.sortBy(m => (m._3, m._2)).take(10).zipWithIndex
+        .map { case ((l, id, cos), i) => (l, i + 1, id, cos) }
+    }.toSet
+    assert(out.toSet == expected)
+  }
+
+  test("outliers excludes zero-norm vectors from centroid and scoring") {
+    val data = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 0.0f), 0) // no direction: sits out entirely
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.outliers(data, k = 10).collect()
+    assert(out.map(_.getLong(2)).toSet == Set(1L, 2L))
+  }
+}
