@@ -38,7 +38,12 @@ object ScalingSmoke {
     "ns47_source_overlap",
     // round-5: BPE tokenize + BPE-budgeted packing — the dictionary join
     // must stay vocabulary-bounded, never corpus×vocabulary
-    "ns51_tokenize_bpe", "ns53_pack_bpe")
+    "ns51_tokenize_bpe", "ns53_pack_bpe",
+    // round-7: canonical-URL groupBy (linear by construction; a degraded
+    // key re-shapes it into pairs), the label-bounded outlier bottom-k,
+    // and the token-drift agg. ns68 runs as a custom forced entry below:
+    // count() over its registered query join-eliminates the dedup.
+    "ns69_embedding_outliers", "ns70_dedup_url", "ns71_corpus_drift")
   // ns21/ns34 (decontamination) are NOT run via their SparkEntry queries
   // here: those split doc_id%50 at EACH sf, so the benchmark side grows
   // with the corpus and the tainted-row count legitimately scales ~R² —
@@ -98,13 +103,24 @@ object ScalingSmoke {
           .where(col("doc_id") % 50 =!= 0),
         fixedBench, shingleK = 4)
     }
+    def linesForced(dir: String) = {
+      import org.apache.spark.sql.functions.{col, length, sum}
+      SparkEntry.queries("ns68_dedup_lines")(spark, dir)
+        .agg(sum(length(col("text_clean"))).as("clean_chars"),
+          sum(col("kept_lines")).as("kept"))
+    }
     val custom: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
       "ns21_decon_fixed_bench" -> (deconFixed _),
-      "ns34_spans_fixed_bench" -> (spansFixed _))
+      "ns34_spans_fixed_bench" -> (spansFixed _),
+      "ns68_lines_forced" -> (linesForced _))
 
-    def runDf(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+    // viaCollect: ungrouped-aggregate entries (ns68_lines_forced) must
+    // materialize via collect() — count() over a no-grouping Aggregate is
+    // folded to the literal 1 (OptimizeOneRowPlan) and times an empty job
+    def runDf(df: org.apache.spark.sql.DataFrame,
+        viaCollect: Boolean = false): (Long, Double) = {
       val t0 = System.nanoTime()
-      val rows = df.count()
+      val rows = if (viaCollect) df.collect().length.toLong else df.count()
       val sec = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
@@ -117,7 +133,9 @@ object ScalingSmoke {
     // clean tmpdir, flaking the gate with no real regression)
     checked.foreach(run(_, sfSmall))
     checked.foreach(run(_, sfLarge))
-    custom.foreach { case (_, f) => runDf(f(sfSmall)); runDf(f(sfLarge)) }
+    val aggForced = Set("ns68_lines_forced")
+    custom.foreach { case (n, f) =>
+      runDf(f(sfSmall), aggForced(n)); runDf(f(sfLarge), aggForced(n)) }
 
     println(f"docs: $docsSmall at $sfSmall, $docsLarge at $sfLarge (R=$r%.1f); " +
       f"bounds: rows<=R^1.5=$rowBound%.1f, time<=R^1.75=$timeBound%.1f")
@@ -137,7 +155,8 @@ object ScalingSmoke {
       judge(name, run(name, sfSmall), run(name, sfLarge))
     }
     custom.foreach { case (name, f) =>
-      judge(name, runDf(f(sfSmall)), runDf(f(sfLarge)))
+      judge(name, runDf(f(sfSmall), aggForced(name)),
+        runDf(f(sfLarge), aggForced(name)))
     }
     spark.stop()
     if (failed) {

@@ -1007,6 +1007,36 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), url.as("url")))
   }
 
+  /** NS71 — token-distribution drift between corpus snapshots: the even
+    * doc_ids stand in for the accepted corpus, the odd for the incoming
+    * crawl; the 50 tokens whose relative frequency moved most are ranked
+    * by the exact integer cross-product metric (no float division — see
+    * [[graft.ops.Versioning.tokenDrift]]). One token-keyed aggregation +
+    * TakeOrderedAndProject. */
+  private def ns71(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.ops.Versioning.tokenDrift(
+      d.where(col("doc_id") % 2 === 0),
+      d.where(col("doc_id") % 2 === 1), topK = 50)
+  }
+
+  /** NS72 — k-anonymity release gate on the customer table: rows are
+    * released only if their (segment, region) quasi-identifier group holds
+    * ≥ 50 rows AND ≥ 3 distinct balance bands (l-diversity) — the
+    * re-identification check the reference's column-rewriting anonymiser
+    * has no answer to. The region and balance-band derivations stand in
+    * for the caller's generalization hierarchy. One quasi-key aggregation
+    * + an AQE-broadcast stats join. */
+  private def ns72(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.kAnonymize(
+      Tables.load(s, dir, "customer").select(
+        col("c_custkey"),
+        col("c_mktsegment").as("segment"),
+        (col("c_nationkey") % 5).as("region"),
+        floor(col("c_acctbal") / 1000).cast("int").as("balance_band")),
+      Seq("segment", "region"), "balance_band", k = 50, l = 3)
+      .select("c_custkey", "segment", "region", "group_size", "n_sensitive")
+
   /** NS64 — persisted LM model lifecycle: the ns59 two-phase pattern for
     * perplexity serving. The model trains ONCE on the even-doc_id half of
     * the corpus (fingerprint-gated, atomic publish), then the whole corpus
@@ -1111,6 +1141,8 @@ object SparkEntry {
     "ns68_dedup_lines" -> (ns68 _),
     "ns69_embedding_outliers" -> (ns69 _),
     "ns70_dedup_url" -> (ns70 _),
+    "ns71_corpus_drift" -> (ns71 _),
+    "ns72_k_anonymity" -> (ns72 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2101,5 +2133,30 @@ object SparkEntry {
          |    FROM parts))
          |SELECT min(doc_id) AS doc_id, canonical_url, count(*) AS n_copies
          |FROM canon GROUP BY canonical_url ORDER BY doc_id""".stripMargin),
+    // ns71 mirrors the exact-integer drift metric: HUGEINT cross-products,
+    // no float division anywhere.
+    "ns71_corpus_drift" ->
+      ("""WITH tok AS (SELECT doc_id % 2 AS side, unnest(string_split(text, ' ')) AS token FROM documents),
+         |cnt AS (SELECT token,
+         |  count(*) FILTER (WHERE side = 0) AS cnt_before,
+         |  count(*) FILTER (WHERE side = 1) AS cnt_after
+         |  FROM tok GROUP BY token),
+         |tot AS (SELECT sum(cnt_before) AS ta, sum(cnt_after) AS tb FROM cnt),
+         |sel AS (SELECT token, cnt_before, cnt_after,
+         |  cnt_before::HUGEINT * tb - cnt_after::HUGEINT * ta AS drift_num
+         |  FROM cnt, tot)
+         |SELECT row_number() OVER (ORDER BY abs(drift_num) DESC, token) AS rank,
+         |  token, cnt_before, cnt_after, drift_num
+         |FROM sel QUALIFY rank <= 50 ORDER BY rank""".stripMargin),
+    // ns72 replays the quasi-key group stats and the k/l release gate.
+    "ns72_k_anonymity" ->
+      ("""WITH cust AS (SELECT c_custkey, c_mktsegment AS segment,
+         |  c_nationkey % 5 AS region,
+         |  CAST(floor(c_acctbal / 1000) AS INT) AS balance_band FROM customer),
+         |g AS (SELECT segment, region, count(*) AS group_size,
+         |  count(DISTINCT balance_band) AS n_sensitive FROM cust GROUP BY 1, 2
+         |  HAVING count(*) >= 50 AND count(DISTINCT balance_band) >= 3)
+         |SELECT c.c_custkey, c.segment, c.region, g.group_size, g.n_sensitive
+         |FROM cust c JOIN g USING (segment, region) ORDER BY c_custkey""".stripMargin),
   )
 }

@@ -118,4 +118,40 @@ object Privacy {
         aggregate(valid, col(textCol), (acc, c) => replace(acc, c,
           lit("<CC>"))))
   }
+
+  /** k-anonymity suppression with an l-diversity gate — the RELEASE-side
+    * privacy check the column-rewriting anonymiser
+    * (pkg/anonymiser/anonymiser.go:46-113) cannot give: faking a name
+    * column does nothing if the quasi-identifier combination (segment ×
+    * region × ...) is unique enough to re-identify the row. A row is
+    * released only if its quasi-identifier group holds ≥ k rows
+    * (k-anonymity: every released row hides among k-1 others) AND carries
+    * ≥ l distinct sensitive values (l-diversity: the group doesn't leak
+    * the sensitive attribute by unanimity). Everything else is SUPPRESSED
+    * — the classic suppression variant; generalization hierarchies are the
+    * caller's job (pre-bucket the quasi columns, as ns72 does with its
+    * region and balance-band derivations).
+    *
+    * Output: the input rows that survive, annotated with `group_size` and
+    * `n_sensitive` (released-set auditing), ordered by `keyCol`.
+    *
+    * Scale shape: group stats are ONE quasi-key aggregation (map-side
+    * combine; count-distinct of the sensitive value partial-aggregates as
+    * a set bounded by the sensitive domain, not the group size), producing
+    * a quasi-cardinality frame that AQE broadcasts back onto the corpus —
+    * the corpus itself shuffles at most once, and not at all if the stats
+    * side broadcasts. */
+  def kAnonymize(
+      rows: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      k: Int = 10, l: Int = 2, keyCol: String = "c_custkey"): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 1 && l >= 1, s"k and l must be >= 1, got k=$k l=$l")
+    val stats = rows
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        size(collect_set(col(sensitiveCol))).as("n_sensitive"))
+      .where(col("group_size") >= k && col("n_sensitive") >= l)
+    rows.join(stats, quasiCols)
+      .orderBy(col(keyCol))
+  }
 }

@@ -53,6 +53,56 @@ object Versioning {
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
       .orderBy(col("status"))
 
+  /** Token-distribution drift between two corpus snapshots — the audit a
+    * pipeline runs when a new crawl lands: which tokens' relative
+    * frequency moved most (a spam burst, a parser regression dumping
+    * markup, a language-mix shift), BEFORE the snapshot is accepted into
+    * training. Returns the `topK` tokens by absolute drift as
+    * (rank, token, cnt_before, cnt_after, drift_num).
+    *
+    * Exactness contract: the drift metric is the INTEGER cross-product
+    * `cnt_before·total_after − cnt_after·total_before` — this is
+    * (p_before − p_after) scaled by the positive constant
+    * total_before·total_after, so it ranks identically to the probability
+    * shift while staying exact 128-bit integer arithmetic (decimal(38,0)
+    * here, HUGEINT in the oracle). No float division → no
+    * rounding-boundary divergence between engines (the ns61/ns65 lesson).
+    * A distribution-preserving growth has drift 0 for every token; the
+    * signed values also sum to 0 over the full vocabulary by construction.
+    *
+    * Scale shape: ONE token-keyed aggregation over the union (side tags
+    * ride the rows; map-side combine collapses to vocabulary-cardinality
+    * partials), one vocabulary-sized rollup for the two totals (collected:
+    * 2 longs), then TakeOrderedAndProject for the top-k — the corpus is
+    * never shuffled, only token partials. */
+  def tokenDrift(
+      before: DataFrame, after: DataFrame,
+      topK: Int = 50, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val tokens = before
+      .select(explode(split(col(textCol), " ")).as("token"), lit(0).as("side"))
+      .unionByName(after.select(
+        explode(split(col(textCol), " ")).as("token"), lit(1).as("side")))
+    val counts = tokens.groupBy(col("token")).agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("cnt_before"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("cnt_after"))
+    val tot = counts
+      .agg(sum(col("cnt_before")), sum(col("cnt_after"))).head
+    val (ta, tb) = (tot.getLong(0), tot.getLong(1))
+    val drift = (col("cnt_before").cast(DecimalType(38, 0)) * lit(tb) -
+      col("cnt_after").cast(DecimalType(38, 0)) * lit(ta)).as("drift_num")
+    val top = counts
+      .select(col("token"), col("cnt_before"), col("cnt_after"), drift)
+      .orderBy(abs(col("drift_num")).desc, col("token"))
+      .limit(topK)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(abs(col("drift_num")).desc, col("token"))))
+      .select(col("rank"), col("token"), col("cnt_before"), col("cnt_after"),
+        col("drift_num"))
+      .orderBy(col("rank"))
+  }
+
   private def statusFrame(
       oldSnap: DataFrame, newSnap: DataFrame,
       keyCol: String, contentCols: Seq[String]): DataFrame = {

@@ -193,7 +193,16 @@ object ScaleProof {
       // scoring: one token-keyed left join + rollup
       "ns64_lm_lifecycle",
       // the fused model pipeline: gates in-row, LM on the survivor subset
-      "ns65_curation_model")
+      "ns65_curation_model",
+      // round-7 web-corpus family: canonical-URL groupBy — linear by
+      // construction, pair-shaped failure mode if the key degrades
+      // (ns68 runs as the forced variant below: its final left join is
+      // cardinality-preserving, so count() over the registered query
+      // join-eliminates the whole dedup and times a metadata count)
+      "ns70_dedup_url",
+      // drift: one token-keyed agg; vocabulary (and so the top-k scan) is
+      // copy-tagged at scale, growing the token table linearly
+      "ns71_corpus_drift")
     def ns37Scaled(dir: String): DataFrame = {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
       val n = e.count()
@@ -257,12 +266,42 @@ object ScaleProof {
         .agg(sum(col("n_text")).as("total_chars"),
           count(lit(1)).as("n_docs"))
 
+    // the synthesized embeddings carry no label column (they predate
+    // ns69); the scale entry derives a stable 10-way hash label instead —
+    // same cardinality class as the base corpus's labels, so the
+    // centroid-agg and broadcast-probe shapes are measured faithfully
+    // ns68's registered query survives count() pruning only up to the
+    // final join (left-outer with a unique build key is cardinality-
+    // preserving → join elimination drops the ENTIRE dedup and count()
+    // times a parquet row count). The forced variant aggregates over the
+    // rebuilt text and the kept/dropped tallies, which cannot be computed
+    // without the line explode, the df join and the reassembly.
+    def ns68Forced(dir: String): DataFrame =
+      graft.SparkEntry.queries("ns68_dedup_lines")(spark, dir)
+        .agg(sum(length(col("text_clean"))).as("clean_chars"),
+          sum(col("kept_lines")).as("kept"),
+          sum(col("dropped_lines")).as("dropped"))
+
+    def ns69Scaled(dir: String): DataFrame = {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val labeled = if (e.columns.contains("label")) e
+        else e.withColumn("label",
+          pmod(hash(col("vec_id")), lit(10)).cast("int"))
+      graft.ops.Similarity.outliers(labeled, k = 10)
+    }
+
     case class Obs(rows: Long, sec: Double, shW: Long, shR: Long,
       memSp: Long, dskSp: Long, maxStW: Long)
-    def measure(df: => DataFrame): Obs = {
+    // The forced variants end in an UNGROUPED aggregate, and count() over
+    // a no-grouping Aggregate is folded to the literal 1 by the optimizer
+    // (OptimizeOneRowPlan) — the "timing" then measures an empty job.
+    // Those entries must materialize via collect() (output is ≤1 row by
+    // construction, so the driver fetch is free); row-shaped queries keep
+    // count(), whose result IS the scale signal.
+    def measure(df: => DataFrame, viaCollect: Boolean = false): Obs = {
       metrics.reset()
       val t0 = System.nanoTime()
-      val rows = df.count()
+      val rows = if (viaCollect) df.collect().length.toLong else df.count()
       val sec = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
@@ -301,12 +340,17 @@ object ScaleProof {
     val all: Seq[(String, String => DataFrame)] =
       standard.map(n =>
         n -> ((d: String) => graft.SparkEntry.queries(n)(spark, d))) ++
-        Seq("ns63_html_forced" -> (ns63Forced _),
+        Seq("ns68_lines_forced" -> (ns68Forced _),
+          "ns69_outliers_hashlabel" -> (ns69Scaled _),
+          "ns63_html_forced" -> (ns63Forced _),
           "ns66_luhn_forced" -> (ns66Forced _),
           "ns4_ngram_capped" -> (ns4Capped _),
           "ns37_semantic_scaledC" -> (ns37Scaled _),
           "ns55_bloom_scaledBits" -> (ns55Scaled _),
           "ns16_longchain" -> (longChain _))
+    // ungrouped-aggregate entries: see measure() — count() would fold to 1
+    val aggForced = Set("ns63_html_forced", "ns66_luhn_forced",
+      "ns68_lines_forced")
     // SPARK_GRAFT_SCALE_ONLY=name,name isolates entries for iteration
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -315,14 +359,15 @@ object ScaleProof {
     // warmup every (query, size) once — absorbs JIT plus the one-time
     // index/bucket-table builds of ns18/ns41/ns50, same contract as Bench
     for ((name, f) <- family; (_, dir) <- dirs) {
-      try measure(f(dir))
+      try measure(f(dir), aggForced(name))
       catch { case e: Throwable =>
         println(s"[scale-proof] warmup $name at $dir FAILED: ${e.getMessage}")
       }
     }
 
     val results: Seq[(String, Seq[(String, Obs)])] = family.map { case (name, f) =>
-      name -> dirs.map { case (label, dir) => label -> measure(f(dir)) }
+      name -> dirs.map { case (label, dir) =>
+        label -> measure(f(dir), aggForced(name)) }
     }
 
     // ---- report + gate ---------------------------------------------------

@@ -102,6 +102,49 @@ class WebCorpusOpsSpec extends AnyFunSuite {
       (12L, "https://s.example.org/other", 1L)))
   }
 
+  // ---- Versioning.tokenDrift ----------------------------------------------
+
+  test("tokenDrift ranks by the exact cross-product metric and sums to zero") {
+    val before = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val after = Seq((3L, "b b b c")).toDF("doc_id", "text")
+    // totals: before=5, after=4
+    // a: 3*4 - 0*5 = 12; b: 1*4 - 3*5 = -11; c: 1*4 - 1*5 = -1
+    val out = Versioning.tokenDrift(before, after, topK = 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDecimal(4).longValueExact()))
+    assert(out.toSeq == Seq(
+      (1, "a", 3L, 0L, 12L),
+      (2, "b", 1L, 3L, -11L),
+      (3, "c", 1L, 1L, -1L)))
+    // signed drift sums to zero over the full vocabulary by construction
+    assert(out.map(_._5).sum == 0L)
+  }
+
+  test("tokenDrift is zero everywhere when the distribution is preserved") {
+    val before = Seq((1L, "x y")).toDF("doc_id", "text")
+    val after = Seq((2L, "x y x y")).toDF("doc_id", "text") // same dist, 2x mass
+    val out = Versioning.tokenDrift(before, after, topK = 10).collect()
+    assert(out.forall(_.getDecimal(4).longValueExact() == 0L))
+  }
+
+  // ---- Privacy.kAnonymize -------------------------------------------------
+
+  test("kAnonymize releases only groups meeting BOTH the k and l gates") {
+    val rows = Seq(
+      // group (a,1): size 3, sensitive {10, 20} -> k=3 ok, l=2 ok
+      (1L, "a", 1, 10), (2L, "a", 1, 20), (3L, "a", 1, 10),
+      // group (b,1): size 3, sensitive {7} -> fails l-diversity
+      (4L, "b", 1, 7), (5L, "b", 1, 7), (6L, "b", 1, 7),
+      // group (a,2): size 2, sensitive {1, 2} -> fails k
+      (7L, "a", 2, 1), (8L, "a", 2, 2)
+    ).toDF("c_custkey", "segment", "region", "band")
+    val out = Privacy.kAnonymize(rows, Seq("segment", "region"), "band",
+        k = 3, l = 2).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("group_size"),
+        r.getAs[Int]("n_sensitive")))
+    assert(out.toSeq == Seq((1L, 3L, 2), (2L, 3L, 2), (3L, 3L, 2)))
+  }
+
   // ---- Similarity.outliers ------------------------------------------------
 
   test("outliers matches the driver-side spherical-centroid brute force") {
