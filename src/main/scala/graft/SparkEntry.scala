@@ -966,13 +966,17 @@ object SparkEntry {
     * survivors reassembled in order. Banner and footers vanish; body
     * lines survive unless two docs genuinely collide. One line-keyed df
     * aggregation + an AQE-broadcast anti probe + one doc-keyed rebuild. */
-  private def ns68(s: SparkSession, dir: String): DataFrame = {
+  /** The ns68/ns73 line-structure synthesis: banner + 8-word body lines +
+    * per-source footer. */
+  private def ns68SynthText: org.apache.spark.sql.Column = {
     val chunked = regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1\n")
-    graft.ops.Dedup.lineDedup(
-      docs(s, dir).select(col("doc_id"),
-        concat(lit(ns68Banner + "\n"), chunked,
-          lit("\n" + ns68Footer), col("source")).as("text")))
+    concat(lit(ns68Banner + "\n"), chunked,
+      lit("\n" + ns68Footer), col("source"))
   }
+
+  private def ns68(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.lineDedup(
+      docs(s, dir).select(col("doc_id"), ns68SynthText.as("text")))
 
   /** NS69 — per-label embedding outlier scoring: spherical per-label
     * centroids (6-decimal rounding contract, as ns42's k-means), then the
@@ -989,23 +993,39 @@ object SparkEntry {
     * dedup to one survivor, the http variant stays distinct (scheme is
     * load-bearing). Canonicalization is a narrow codegen'd projection;
     * dedup is ONE canonical-keyed groupBy. */
-  private def ns70(s: SparkSession, dir: String): DataFrame = {
+  /** The ns70/ns73 URL synthesis: five spellings per doc_id-group of 5,
+    * four of which canonicalize identically (the http variant stays
+    * distinct — scheme is load-bearing). */
+  private def ns70SynthUrl: org.apache.spark.sql.Column = {
     val g = expr("doc_id DIV 5").cast("string")
     val m = col("doc_id") % 5
-    val url =
-      when(m === 0, concat(lit("https://WWW.Crawl.Example.org:443//a//"), g,
-        lit("/?utm_source=feed&b=2&a=1#frag")))
-      .when(m === 1, concat(lit("https://crawl.example.org/a/"), g,
-        lit("?a=1&b=2")))
-      .when(m === 2, concat(lit("HTTPS://www.crawl.example.org/a/"), g,
-        lit("/?b=2&a=1&gclid=xyz")))
-      .when(m === 3, concat(lit("https://crawl.example.org:443/a//"), g,
-        lit("?a=1&ref=tw&b=2#x")))
-      .otherwise(concat(lit("http://crawl.example.org:80/a/"), g,
-        lit("?a=1&b=2")))
-    graft.ops.Urls.dedupByUrl(
-      docs(s, dir).select(col("doc_id"), url.as("url")))
+    when(m === 0, concat(lit("https://WWW.Crawl.Example.org:443//a//"), g,
+      lit("/?utm_source=feed&b=2&a=1#frag")))
+    .when(m === 1, concat(lit("https://crawl.example.org/a/"), g,
+      lit("?a=1&b=2")))
+    .when(m === 2, concat(lit("HTTPS://www.crawl.example.org/a/"), g,
+      lit("/?b=2&a=1&gclid=xyz")))
+    .when(m === 3, concat(lit("https://crawl.example.org:443/a//"), g,
+      lit("?a=1&ref=tw&b=2#x")))
+    .otherwise(concat(lit("http://crawl.example.org:80/a/"), g,
+      lit("?a=1&b=2")))
   }
+
+  private def ns70(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Urls.dedupByUrl(
+      docs(s, dir).select(col("doc_id"), ns70SynthUrl.as("url")))
+
+  /** NS73 — the fused web-ingest pipeline
+    * ([[graft.ops.Curation.webIngest]]): URL dedup -> line dedup over the
+    * URL survivors -> cleaned-text quality gate -> exact content dedup,
+    * on pages carrying the ns70 URL synthesis AND the ns68 line-structure
+    * synthesis. Mirror copies die at stage 1 before inflating line df;
+    * boilerplate dies at stage 2; chrome-only pages die at stage 3;
+    * identical cleaned bodies collapse at stage 4. */
+  private def ns73(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.webIngest(
+      docs(s, dir).select(col("doc_id"), ns70SynthUrl.as("url"),
+        ns68SynthText.as("text")))
 
   /** NS71 — token-distribution drift between corpus snapshots: the even
     * doc_ids stand in for the accepted corpus, the odd for the incoming
@@ -1143,6 +1163,7 @@ object SparkEntry {
     "ns70_dedup_url" -> (ns70 _),
     "ns71_corpus_drift" -> (ns71 _),
     "ns72_k_anonymity" -> (ns72 _),
+    "ns73_web_ingest" -> (ns73 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2148,6 +2169,56 @@ object SparkEntry {
          |SELECT row_number() OVER (ORDER BY abs(drift_num) DESC, token) AS rank,
          |  token, cnt_before, cnt_after, drift_num
          |FROM sel QUALIFY rank <= 50 ORDER BY rank""".stripMargin),
+    // ns73 chains the already-validated ns70 canonicalization and ns68
+    // line-dedup oracles in pipeline order: URL survivors first, line df
+    // computed over survivors only, gate, then content dedup.
+    "ns73_web_ingest" ->
+      (s"""WITH pages AS (SELECT doc_id,
+         |  CASE doc_id % 5
+         |  WHEN 0 THEN 'https://WWW.Crawl.Example.org:443//a//' || (doc_id // 5) || '/?utm_source=feed&b=2&a=1#frag'
+         |  WHEN 1 THEN 'https://crawl.example.org/a/' || (doc_id // 5) || '?a=1&b=2'
+         |  WHEN 2 THEN 'HTTPS://www.crawl.example.org/a/' || (doc_id // 5) || '/?b=2&a=1&gclid=xyz'
+         |  WHEN 3 THEN 'https://crawl.example.org:443/a//' || (doc_id // 5) || '?a=1&ref=tw&b=2#x'
+         |  ELSE 'http://crawl.example.org:80/a/' || (doc_id // 5) || '?a=1&b=2' END AS url,
+         |  '${ns68Banner}' || chr(10) ||
+         |  regexp_replace(text, '((?:\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g') ||
+         |  chr(10) || '${ns68Footer}' || source AS text FROM documents),
+         |parts AS (SELECT doc_id, url, nf,
+         |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |  lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostraw,
+         |  regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pathraw,
+         |  regexp_extract(nf, '\\?([^#]*)', 1) AS qraw
+         |  FROM (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS nf FROM pages)),
+         |canon AS (SELECT doc_id,
+         |  CASE WHEN scheme = '' THEN url ELSE scheme || '://' ||
+         |    CASE WHEN scheme = 'http' THEN regexp_replace(regexp_replace(hostraw, '^www\\.', ''), ':80$$', '')
+         |         WHEN scheme = 'https' THEN regexp_replace(regexp_replace(hostraw, '^www\\.', ''), ':443$$', '')
+         |         ELSE regexp_replace(hostraw, '^www\\.', '') END ||
+         |    regexp_replace(regexp_replace(pathraw, '/{2,}', '/', 'g'), '/$$', '') ||
+         |    CASE WHEN plist = '' THEN '' ELSE '?' || plist END END AS canonical_url
+         |  FROM (SELECT *, array_to_string(list_sort(list_filter(string_split(qraw, '&'),
+         |    p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)(=.*)?$$'))), '&') AS plist
+         |    FROM parts)),
+         |urlkeep AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY canonical_url),
+         |surv AS (SELECT p.doc_id, p.text FROM pages p JOIN urlkeep USING (doc_id)),
+         |lines AS (SELECT doc_id,
+         |  unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos,
+         |  unnest(string_split(text, chr(10))) AS line FROM surv),
+         |freq AS (SELECT line FROM (SELECT DISTINCT line, doc_id FROM lines)
+         |  GROUP BY line HAVING count(*) > 1),
+         |kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+         |  ANTI JOIN freq f USING (line)),
+         |rebuilt AS (SELECT doc_id,
+         |  string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+         |  count(*) AS kept_lines FROM kept GROUP BY doc_id),
+         |cleaned AS (SELECT s.doc_id, coalesce(r.text_clean, '') AS text_clean,
+         |  coalesce(r.kept_lines, 0) AS kept_lines
+         |  FROM surv s LEFT JOIN rebuilt r USING (doc_id)),
+         |gated AS (SELECT * FROM cleaned
+         |  WHERE kept_lines >= 2 AND len(text_clean) >= 40)
+         |SELECT min(doc_id) AS doc_id, count(*) AS n_content_copies,
+         |  min_by(kept_lines, doc_id) AS kept_lines
+         |FROM gated GROUP BY text_clean ORDER BY doc_id""".stripMargin),
     // ns72 replays the quasi-key group stats and the k/l release gate.
     "ns72_k_anonymity" ->
       ("""WITH cust AS (SELECT c_custkey, c_mktsegment AS segment,

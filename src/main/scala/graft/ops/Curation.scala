@@ -193,4 +193,49 @@ object Curation {
         (col("off") % tokenBudget).as("seq_off"))
       .orderBy(col("doc_id"))
   }
+
+  /** The fused WEB-INGEST pipeline — the stage order every crawl-derived
+    * corpus runs, as one composed plan:
+    *
+    *   1. canonical-URL dedup ([[Urls.dedupByUrl]]): mirrors and re-crawls
+    *      of the same resource collapse BEFORE any content work — the only
+    *      dedup that needs no page bytes;
+    *   2. corpus-wide line dedup ([[Dedup.lineDedup]]) over the URL
+    *      survivors: banners / chrome / footers shared across pages are
+    *      stripped (df computed on the post-URL-dedup corpus — pipeline
+    *      order matters: mirror copies must not inflate line df);
+    *   3. a cheap quality gate on the CLEANED text (enough surviving
+    *      lines, enough bytes) — boilerplate-only pages die here;
+    *   4. exact content dedup on the cleaned text: pages that differ only
+    *      in chrome now hash identically and collapse to one survivor.
+    *
+    * Output: one row per released document — (doc_id, n_content_copies,
+    * kept_lines), ordered by doc_id.
+    *
+    * Scale shape: URL dedup is one canonical-keyed groupBy plus a
+    * doc_id-keyed join back for the text (co-partitioned at scale); line
+    * dedup contributes its one line-volume shuffle; the gate is a filter;
+    * content dedup is one text-keyed groupBy. No stage widens rows beyond
+    * its own keys, and nothing is pairwise. */
+  def webIngest(
+      pages: DataFrame,
+      maxDocFreq: Int = 1,
+      minKeptLines: Int = 2,
+      minChars: Int = 40): DataFrame = {
+    // survivor ids only, joined left_semi: the wide text column never
+    // rides a shuffle — the id set broadcasts (or SMJs narrow at worst)
+    val urlKeep = Urls.dedupByUrl(pages).select(col("doc_id"))
+    val surv = pages.join(urlKeep, Seq("doc_id"), "left_semi")
+    val cleaned = Dedup.lineDedup(
+      surv.select(col("doc_id"), col("text")), maxDocFreq)
+    cleaned
+      .where(col("kept_lines") >= minKeptLines &&
+        length(col("text_clean")) >= minChars)
+      .groupBy(col("text_clean"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_content_copies"),
+        min_by(col("kept_lines"), col("doc_id")).as("kept_lines"))
+      .select(col("doc_id"), col("n_content_copies"), col("kept_lines"))
+      .orderBy(col("doc_id"))
+  }
 }

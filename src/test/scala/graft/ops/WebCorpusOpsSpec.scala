@@ -102,6 +102,36 @@ class WebCorpusOpsSpec extends AnyFunSuite {
       (12L, "https://s.example.org/other", 1L)))
   }
 
+  // ---- Curation.webIngest -------------------------------------------------
+
+  test("webIngest: each pipeline stage kills exactly its own class") {
+    val boiler = "shared boilerplate line"
+    val pages = Seq(
+      // 1 and 2: same canonical URL -> 2 dies at stage 1 (its unique
+      // content must then NOT inflate line df)
+      (1L, "https://www.s.example.org/p?a=1", s"$boiler\nbody one alpha beta gamma delta"),
+      (2L, "https://s.example.org/p/?a=1&utm_source=x", s"$boiler\nbody two wholly different"),
+      // 3: boilerplate-only -> dies at stage 3 (gate)
+      (3L, "https://s.example.org/q", boiler),
+      // 4 and 5: distinct URLs, identical body -> collapse at stage 4
+      (4L, "https://s.example.org/r", s"$boiler\nbody one alpha beta gamma delta"),
+      (5L, "https://s.example.org/t", s"$boiler\nbody one alpha beta gamma delta")
+    ).toDF("doc_id", "url", "text")
+    // maxDocFreq = 3: the boiler line (df 4 over the URL survivors 1/3/4/5)
+    // is stripped, while the shared body line (df 3) stays under the cap —
+    // so the identical bodies reach stage 4 and collapse there, which is
+    // the path this fixture demonstrates. (At maxDocFreq = 1 the body line
+    // would die at stage 2 instead — line dedup subsumes content dedup for
+    // FULLY duplicated docs; stage 4 exists for bodies that survive it.)
+    val out = Curation.webIngest(pages, maxDocFreq = 3,
+        minKeptLines = 1, minChars = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // released: one survivor (min id 1) for the three identical bodies,
+    // with 1 kept line each; doc 2 died at stage 1, doc 3 at stage 3
+    assert(out.toSeq == Seq((1L, 3L, 1L)))
+  }
+
   // ---- Versioning.tokenDrift ----------------------------------------------
 
   test("tokenDrift ranks by the exact cross-product metric and sums to zero") {
