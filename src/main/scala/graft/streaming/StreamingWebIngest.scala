@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Streaming web-ingest: canonical-URL frontier dedup at the crawl edge —
+  * the streaming twin of [[graft.ops.Urls.dedupByUrl]] / the first stage
+  * of [[graft.ops.Curation.webIngest]]. A crawler's fetch stream is full
+  * of respellings of pages it already holds (mirrors, tracking-tagged
+  * links, http/https and www variants); the frontier check must happen at
+  * ingest, BEFORE page bytes are stored or processed.
+  */
+object StreamingWebIngest {
+
+  /** Each micro-batch of fetched pages is canonicalized
+    * ([[graft.ops.Urls.canonicalize]]), deduped within the batch (min
+    * `keyCol` per canonical URL — deterministic under replay), then
+    * anti-joined against the persisted frontier LEDGER (a parquet set of
+    * canonical URLs already accepted). Unseen pages append to
+    * `acceptedSink` (with their `canonical_url`) and their canonicals to
+    * the ledger, so later batches — and restarted queries — see them.
+    *
+    * `foreachBatch`, for the [[StreamingDedup.indexedIngestDedup]]
+    * reasons: the decision is a join against ledger FILES, not row-local
+    * state, so the state lives in the ledger (restart = resume from
+    * ledger contents, no state-store recovery; batch consumers can read
+    * the same frontier between ticks), and serial micro-batches give the
+    * single-writer contract the append assumes. At-least-once caveat as
+    * there: a replayed batch can duplicate sink rows (ledger duplicates
+    * are harmless — the anti probe only tests membership); idempotent
+    * consumers key on `keyCol`.
+    *
+    * Scale shape per batch: canonicalization is a narrow codegen'd
+    * projection; within-batch dedup is one canonical-keyed window
+    * (batch-sized); the ledger probe is a LEFT ANTI join that AQE
+    * broadcasts while the batch side is small — and since the batch is a
+    * micro-batch, it is the ledger that should be the streamed side at
+    * scale (partition the ledger by canonical hash and this becomes a
+    * pruned probe). The wide page payload never rides a shuffle: the
+    * window and anti join key on the canonical string only. */
+  def urlFrontierDedup(
+      pages: DataFrame,
+      ledgerPath: String,
+      acceptedSink: String,
+      checkpointDir: String,
+      urlCol: String = "url",
+      keyCol: String = "doc_id"): org.apache.spark.sql.streaming.StreamingQuery =
+    pages.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val canon = batch.toDF()
+          .withColumn("canonical_url",
+            graft.ops.Urls.canonicalize(col(urlCol)))
+        val w = Window.partitionBy(col("canonical_url"))
+          .orderBy(col(keyCol))
+        val batchKeep = canon
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1).drop("rn")
+        val ledgerExists = new org.apache.hadoop.fs.Path(ledgerPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(ledgerPath))
+        val unseen =
+          if (!ledgerExists) batchKeep
+          else batchKeep.join(
+            spark.read.parquet(ledgerPath), Seq("canonical_url"),
+            "left_anti")
+        // snapshot before the ledger append: the anti-join plan reads the
+        // same files the append rewrites
+        val survivors = unseen.localCheckpoint(true)
+        try {
+          if (!survivors.isEmpty) {
+            survivors.select(col("canonical_url"))
+              .write.mode("append").parquet(ledgerPath)
+            survivors.write.mode("append").parquet(acceptedSink)
+          }
+        } finally
+          graft.ops.Dedup.unpersistCheckpoint(survivors)
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Streaming canonical-URL frontier dedup: within-batch respellings
+  * collapse, cross-batch respellings are stopped by the persisted ledger,
+  * and a restarted query resumes from ledger contents alone. */
+class StreamingWebIngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("url frontier dedup: within-batch, cross-batch, and post-restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_frontier").toString
+    val ledger = s"$dir/ledger"
+    val sink = s"$dir/accepted"
+
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingWebIngest.urlFrontierDedup(
+      in.toDF().toDF("doc_id", "url"), ledger, sink, s"$dir/ckpt")
+    // batch 1: two spellings of /p (within-batch dup) + one fresh page
+    in.addData(
+      (1L, "https://www.s.example.org/p?b=2&a=1"),
+      (2L, "https://s.example.org/p/?a=1&b=2&utm_source=x"),
+      (3L, "https://s.example.org/q"))
+    q.processAllAvailable()
+    // batch 2: third spelling of /p (cross-batch dup, only the ledger
+    // knows) + one fresh page
+    in.addData(
+      (4L, "HTTPS://s.example.org:443/p?a=1&b=2#frag"),
+      (5L, "https://s.example.org/r"))
+    q.processAllAvailable()
+    q.stop()
+
+    val accepted = spark.read.parquet(sink)
+      .select("doc_id", "canonical_url").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(accepted == Map(
+      1L -> "https://s.example.org/p?a=1&b=2",
+      3L -> "https://s.example.org/q",
+      5L -> "https://s.example.org/r"))
+
+    // a NEW query (fresh checkpoint) sharing only the ledger still
+    // refuses the frontier's known canonicals: state lives in the ledger
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamingWebIngest.urlFrontierDedup(
+      in2.toDF().toDF("doc_id", "url"), ledger, sink, s"$dir/ckpt2")
+    in2.addData(
+      (6L, "https://s.example.org/p?b=2&a=1"), // ledger dup
+      (7L, "https://s.example.org/new"))
+    q2.processAllAvailable()
+    q2.stop()
+    val after = spark.read.parquet(sink).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(after == Set(1L, 3L, 5L, 7L))
+  }
+}
