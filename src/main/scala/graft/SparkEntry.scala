@@ -1057,6 +1057,14 @@ object SparkEntry {
       Seq("segment", "region"), "balance_band", k = 50, l = 3)
       .select("c_custkey", "segment", "region", "group_size", "n_sensitive")
 
+  /** NS74 — ordered funnel analysis over the event log: per user, the
+    * furthest stage reached through view -> click -> purchase, each stage
+    * strictly after the previous one's completion
+    * ([[graft.ops.Events.funnel]]). Per-stage type predicates push to the
+    * scan; per-stage frames are user-cardinality and join co-keyed. */
+  private def ns74(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.funnel(Tables.load(s, dir, "events"))
+
   /** NS64 — persisted LM model lifecycle: the ns59 two-phase pattern for
     * perplexity serving. The model trains ONCE on the even-doc_id half of
     * the corpus (fingerprint-gated, atomic publish), then the whole corpus
@@ -1164,6 +1172,7 @@ object SparkEntry {
     "ns71_corpus_drift" -> (ns71 _),
     "ns72_k_anonymity" -> (ns72 _),
     "ns73_web_ingest" -> (ns73 _),
+    "ns74_events_funnel" -> (ns74 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2219,6 +2228,26 @@ object SparkEntry {
          |SELECT min(doc_id) AS doc_id, count(*) AS n_content_copies,
          |  min_by(kept_lines, doc_id) AS kept_lines
          |FROM gated GROUP BY text_clean ORDER BY doc_id""".stripMargin),
+    // ns74 replays the strict-after conditional-min chain per stage.
+    "ns74_events_funnel" ->
+      ("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+         |users AS (SELECT DISTINCT user_id FROM ev
+         |  WHERE event_type IN ('view', 'click', 'purchase')),
+         |s1 AS (SELECT user_id, min(tu) AS t1 FROM ev
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |s2 AS (SELECT e.user_id, min(e.tu) AS t2 FROM ev e
+         |  JOIN s1 ON e.user_id = s1.user_id
+         |  WHERE e.event_type = 'click' AND e.tu > s1.t1 GROUP BY e.user_id),
+         |s3 AS (SELECT e.user_id, min(e.tu) AS t3 FROM ev e
+         |  JOIN s2 ON e.user_id = s2.user_id
+         |  WHERE e.event_type = 'purchase' AND e.tu > s2.t2 GROUP BY e.user_id)
+         |SELECT u.user_id,
+         |  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+         |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS reached,
+         |  t1, t2, t3
+         |FROM users u LEFT JOIN s1 USING (user_id)
+         |  LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         |ORDER BY user_id""".stripMargin),
     // ns72 replays the quasi-key group stats and the k/l release gate.
     "ns72_k_anonymity" ->
       ("""WITH cust AS (SELECT c_custkey, c_mktsegment AS segment,

@@ -159,4 +159,56 @@ object Events {
         sum(col("k")).as("sum_k"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
+
+  /** E4 — ordered funnel analysis: for each user, how far did they get
+    * through the `stages` sequence, where each stage must occur STRICTLY
+    * AFTER the previous stage's completion time? Stage 1's time is the
+    * user's first `stages(0)` event; stage i+1's time is the first
+    * `stages(i)` event strictly after stage i's time. The strict-after
+    * rule makes same-timestamp events non-qualifying — unambiguous,
+    * engine-portable semantics with no tie-break subtleties.
+    *
+    * Input: raw events (any supported ts encoding — [[tsMicros]] absorbs
+    * it). Output: one row per user that emitted ANY of the funnel's
+    * event types — (user_id, reached, t1..tn micros, nullable past the
+    * reached stage), ordered by user_id.
+    *
+    * Scale shape: one user-keyed aggregation PER STAGE, each over an
+    * event-type-FILTERED scan (the type predicate pushes to parquet, so
+    * stage k reads only its own event type); the per-stage frames are
+    * user-cardinality and join co-keyed on user_id (AQE broadcasts them
+    * while small). No sort of the event stream, no per-user buffering —
+    * unlike a sorted-fold formulation, a power user costs min() partials,
+    * not an in-memory event list. */
+  def funnel(
+      events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val ev = tsMicros(events).select(
+      col("user_id"), col("event_type"), col("ts").as("tu"))
+    val users = ev
+      .where(col("event_type").isin(stages: _*))
+      .select(col("user_id")).distinct()
+    val s1 = ev.where(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("tu")).as("t1"))
+    val stageFrames = stages.zipWithIndex.drop(1)
+      .foldLeft(Seq(s1)) { case (acc, (stage, i)) =>
+        val prev = acc.last
+        acc :+ ev.where(col("event_type") === stage)
+          .join(prev, Seq("user_id"))
+          .where(col("tu") > col(s"t$i"))
+          .groupBy(col("user_id")).agg(min(col("tu")).as(s"t${i + 1}"))
+      }
+    val joined = stageFrames.foldLeft(users) { (acc, f) =>
+      acc.join(f, Seq("user_id"), "left")
+    }
+    // fold builds outermost-last, so the DEEPEST reached stage wins
+    val reached = stages.indices.foldLeft(lit(0)) { (rest, i) =>
+      when(col(s"t${i + 1}").isNotNull, lit(i + 1)).otherwise(rest)
+    }
+    joined
+      .select((col("user_id") +: reached.as("reached") +:
+        stages.indices.map(i => col(s"t${i + 1}"))): _*)
+      .orderBy(col("user_id"))
+  }
 }

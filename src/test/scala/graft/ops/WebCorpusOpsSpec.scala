@@ -132,6 +132,32 @@ class WebCorpusOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 3L, 1L)))
   }
 
+  // ---- Events.funnel ------------------------------------------------------
+
+  test("funnel: stages must occur strictly after the previous stage") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(s"2026-01-01 00:0$m:00")
+    val events = Seq(
+      // user 1: full ordered funnel
+      (1L, 10L, "view", ts(0)), (1L, 11L, "click", ts(1)),
+      (1L, 12L, "purchase", ts(2)),
+      // user 2: click BEFORE the first view never counts; no click after
+      (2L, 20L, "click", ts(0)), (2L, 21L, "view", ts(1)),
+      // user 3: same-timestamp click is NOT strictly after -> stage 1 only
+      (3L, 30L, "view", ts(0)), (3L, 31L, "click", ts(0)),
+      // user 4: purchase before click -> stage 2 only
+      (4L, 40L, "view", ts(0)), (4L, 41L, "purchase", ts(1)),
+      (4L, 42L, "click", ts(2)),
+      // user 5: only an unrelated event type -> not in output
+      (5L, 50L, "error", ts(0))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("timestamp_ntz").as("ts"))
+    val out = Events.funnel(events).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+
   // ---- Versioning.tokenDrift ----------------------------------------------
 
   test("tokenDrift ranks by the exact cross-product metric and sums to zero") {
