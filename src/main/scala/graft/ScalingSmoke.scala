@@ -44,7 +44,7 @@ object ScalingSmoke {
     // and the token-drift agg. ns68 runs as a custom forced entry below:
     // count() over its registered query join-eliminates the dedup.
     "ns69_embedding_outliers", "ns70_dedup_url", "ns71_corpus_drift",
-    "ns73_web_ingest", "ns74_events_funnel")
+    "ns73_web_ingest", "ns74_events_funnel", "ns75_events_retention")
   // ns21/ns34 (decontamination) are NOT run via their SparkEntry queries
   // here: those split doc_id%50 at EACH sf, so the benchmark side grows
   // with the corpus and the tainted-row count legitimately scales ~R² —

@@ -1065,6 +1065,13 @@ object SparkEntry {
   private def ns74(s: SparkSession, dir: String): DataFrame =
     graft.ops.Events.funnel(Tables.load(s, dir, "events"))
 
+  /** NS75 — retention cohorts over the event log: users cohorted by
+    * first-active week, each (cohort, offset) cell counting distinct
+    * members still active ([[graft.ops.Events.retentionCohorts]]).
+    * Integer-only bucket arithmetic; one reused user-keyed partitioning. */
+  private def ns75(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.retentionCohorts(Tables.load(s, dir, "events"))
+
   /** NS64 — persisted LM model lifecycle: the ns59 two-phase pattern for
     * perplexity serving. The model trains ONCE on the even-doc_id half of
     * the corpus (fingerprint-gated, atomic publish), then the whole corpus
@@ -1173,6 +1180,7 @@ object SparkEntry {
     "ns72_k_anonymity" -> (ns72 _),
     "ns73_web_ingest" -> (ns73 _),
     "ns74_events_funnel" -> (ns74 _),
+    "ns75_events_retention" -> (ns75 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2248,6 +2256,15 @@ object SparkEntry {
          |FROM users u LEFT JOIN s1 USING (user_id)
          |  LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
          |ORDER BY user_id""".stripMargin),
+    // ns75 replays the integer bucket/cohort arithmetic.
+    "ns75_events_retention" ->
+      ("""WITH pairs AS (SELECT DISTINCT user_id,
+         |  epoch_us(ts) // 604800000000 AS bucket FROM events),
+         |fs AS (SELECT user_id, min(bucket) AS cohort FROM pairs GROUP BY user_id)
+         |SELECT fs.cohort, p.bucket - fs.cohort AS week_offset,
+         |  count(DISTINCT p.user_id) AS active_users
+         |FROM pairs p JOIN fs USING (user_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     // ns72 replays the quasi-key group stats and the k/l release gate.
     "ns72_k_anonymity" ->
       ("""WITH cust AS (SELECT c_custkey, c_mktsegment AS segment,

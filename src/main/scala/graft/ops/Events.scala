@@ -160,6 +160,35 @@ object Events {
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
 
+  /** E5 — retention cohorts: users are cohorted by the time bucket of
+    * their FIRST activity, and each (cohort, bucket-offset) cell counts
+    * the distinct cohort members still active that many buckets later —
+    * the classic retention triangle, in exact integer arithmetic only
+    * (bucket = micros DIV `bucketMicros`; rates are the consumer's
+    * division, kept out of the engine so the oracle mirrors exactly).
+    *
+    * Scale shape: events collapse to distinct (user, bucket) pairs in ONE
+    * user-keyed aggregation whose partitioning the first-seen min() and
+    * the cohort join then REUSE (no second exchange of the pair table);
+    * the final (cohort, offset) rollup shuffles cohort-cardinality
+    * partials only. A power user contributes one row per active bucket,
+    * never an event list. */
+  def retentionCohorts(
+      events: DataFrame,
+      bucketMicros: Long = 7L * 24 * 3600 * 1000000L): DataFrame = {
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    val pairs = tsMicros(events)
+      .select(col("user_id"),
+        expr(s"ts DIV ${bucketMicros}L").as("bucket"))
+      .distinct()
+    val firstSeen = pairs.groupBy(col("user_id"))
+      .agg(min(col("bucket")).as("cohort"))
+    pairs.join(firstSeen, Seq("user_id"))
+      .groupBy(col("cohort"), (col("bucket") - col("cohort")).as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
   /** E4 — ordered funnel analysis: for each user, how far did they get
     * through the `stages` sequence, where each stage must occur STRICTLY
     * AFTER the previous stage's completion time? Stage 1's time is the

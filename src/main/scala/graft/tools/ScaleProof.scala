@@ -199,7 +199,7 @@ object ScaleProof {
       // (ns68 runs as the forced variant below: its final left join is
       // cardinality-preserving, so count() over the registered query
       // join-eliminates the whole dedup and times a metadata count)
-      "ns70_dedup_url", "ns73_web_ingest", "ns74_events_funnel",
+      "ns70_dedup_url", "ns73_web_ingest", "ns74_events_funnel", "ns75_events_retention",
       // drift: one token-keyed agg; vocabulary (and so the top-k scan) is
       // copy-tagged at scale, growing the token table linearly
       "ns71_corpus_drift")

@@ -158,6 +158,30 @@ class WebCorpusOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 2))
   }
 
+  // ---- Events.retentionCohorts --------------------------------------------
+
+  test("retentionCohorts: first-bucket cohorting, distinct actives per offset") {
+    import java.sql.Timestamp
+    // bucket = 100 ms windows for a compact fixture (Timestamp carries ms)
+    def t(ms: Long) = new Timestamp(ms)
+    val events = Seq(
+      // user 1: buckets 0, 1, 1 (dup), 2 -> cohort 0, offsets 0,1,2
+      (1L, t(10)), (1L, t(110)), (1L, t(150)), (1L, t(250)),
+      // user 2: buckets 1, 3 -> cohort 1, offsets 0, 2
+      (2L, t(120)), (2L, t(310)),
+      // user 3: bucket 0 only -> cohort 0, offset 0
+      (3L, t(50))
+    ).toDF("user_id", "ts")
+      .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts"))
+    val out = Events.retentionCohorts(events, bucketMicros = 100000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (0L, 0L, 2L), // users 1, 3 in cohort 0 at offset 0
+      (0L, 1L, 1L), (0L, 2L, 1L), // user 1 retained
+      (1L, 0L, 1L), (1L, 2L, 1L) // user 2's cohort
+    ))
+  }
+
   // ---- Versioning.tokenDrift ----------------------------------------------
 
   test("tokenDrift ranks by the exact cross-product metric and sums to zero") {
