@@ -211,13 +211,26 @@ object Events {
     * not an in-memory event list. */
   def funnel(
       events: DataFrame,
-      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      horizonMicros: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val ev = tsMicros(events).select(
+    require(horizonMicros.forall(_ > 0), "horizonMicros must be positive")
+    val ev0 = tsMicros(events).select(
       col("user_id"), col("event_type"), col("ts").as("tu"))
-    val users = ev
       .where(col("event_type").isin(stages: _*))
-      .select(col("user_id")).distinct()
+    // windowed variant (the streaming twin's finalizable contract): only
+    // events within [anchor, anchor + W] participate, where the anchor is
+    // the user's FIRST funnel-stage event of any type — so the window is
+    // decided by data the watermark has passed, never by future arrivals
+    val ev = horizonMicros match {
+      case None => ev0
+      case Some(w) =>
+        val anchors = ev0.groupBy(col("user_id")).agg(min(col("tu")).as("a0"))
+        ev0.join(anchors, Seq("user_id"))
+          .where(col("tu") <= col("a0") + lit(w))
+          .drop("a0")
+    }
+    val users = ev.select(col("user_id")).distinct()
     val s1 = ev.where(col("event_type") === stages.head)
       .groupBy(col("user_id")).agg(min(col("tu")).as("t1"))
     val stageFrames = stages.zipWithIndex.drop(1)

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Streaming ordered-funnel analysis — the incremental counterpart of
+  * [[graft.ops.Events.funnel]] with a conversion horizon (SURVEY §7.2 M6
+  * extension; the reference is strictly batch). Each user's funnel row is
+  * emitted EXACTLY ONCE, when their conversion window closes — live
+  * conversion tracking instead of a nightly batch.
+  *
+  * Contract (the batch operator's `horizonMicros` variant, event for
+  * event): the user's window is [a, a + W] anchored at their FIRST
+  * funnel-stage event of any type; only events inside the window
+  * participate; stage 1's time is the first `stages(0)` event, stage i+1's
+  * the first `stages(i)` event STRICTLY after stage i's time.
+  *
+  * Finalization discipline: the row may only be emitted once the
+  * watermark STRICTLY passes `a + W`. Any in-contract event still to
+  * arrive then has `ts ≥ watermark > a + W` — outside the window — and
+  * the anchor itself can only DECREASE, which an in-contract arrival
+  * (`ts ≥ watermark`) can no longer do once the watermark passed it, so
+  * the emitted chain is final.
+  *
+  * State discipline at scale — bounded by the HORIZON, not the stream:
+  * per user only events within the current window are buffered (an event
+  * above `a + W` can never enter a later window, because the anchor only
+  * moves DOWN and the window's upper edge with it — discarded on
+  * arrival); with per-user rate r the state is O(r·W) rows regardless of
+  * stream length, the same boundedness class [[StreamingAsOf]] measures. */
+object StreamingFunnel {
+
+  /** One funnel-stage event (other event types must be filtered
+    * upstream). */
+  final case class FEv(user_id: Long, ts: Long, event_type: String)
+
+  /** `FEv` plus the derived watermark attribute (public for Catalyst's
+    * deserializer only, as in [[StreamingSessions.EvT]]). */
+  final case class FEvT(user_id: Long, ts: Long, event_type: String,
+    event_time: java.sql.Timestamp)
+
+  /** Per-user buffer: the window anchor and the in-window events. After
+    * emission the state stays as a TOMBSTONE (`done = true`, empty
+    * buffer) so the user's funnel row is emitted exactly once — the
+    * same user-cardinality surviving state as
+    * [[StreamingSessions]]'s per-user session counter. */
+  final case class FunnelState(anchor: Long, evs: List[(Long, String)],
+    done: Boolean = false)
+
+  final case class FunnelOut(
+      user_id: Long, reached: Int,
+      t1: Option[Long], t2: Option[Long], t3: Option[Long])
+
+  /** Streaming funnel over `stages` (up to 3 for the fixed-arity output
+    * row) with conversion horizon `horizonMicros` and allowed lateness
+    * `lateness` (watermark delay). */
+  def funnel(
+      events: Dataset[FEv],
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      horizonMicros: Long = 3600L * 1000000L,
+      lateness: String = "0 microseconds"): Dataset[FunnelOut] = {
+    require(stages.nonEmpty && stages.size <= 3,
+      "funnel stages must be 1..3 for the fixed-arity output")
+    require(horizonMicros > 0, "horizonMicros must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF()
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", lateness)
+      .as[FEvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, rows, state) =>
+          val st0 = state.getOption
+          var anchor = st0.map(_.anchor).getOrElse(Long.MaxValue)
+          var evs = st0.map(_.evs).getOrElse(Nil)
+          val done = st0.exists(_.done)
+          if (!done && !state.hasTimedOut) rows.foreach { e =>
+            if (e.ts < anchor) {
+              // anchor moves down; the window's upper edge moves down with
+              // it, so previously-buffered events above the NEW edge die
+              anchor = e.ts
+              evs = evs.filter(_._1 <= anchor + horizonMicros)
+            }
+            if (e.ts <= anchor + horizonMicros)
+              evs ::= (e.ts, e.event_type)
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          if (done) Iterator.empty
+          else if (anchor != Long.MaxValue && wmUs > anchor + horizonMicros) {
+            // window closed: compute the strict-after chain and emit once
+            var ts = List.empty[Option[Long]]
+            var prev = Option.empty[Long]
+            var alive = true
+            stages.foreach { stage =>
+              val t =
+                if (!alive) None
+                else evs.filter { case (tu, tp) =>
+                  tp == stage && prev.forall(tu > _)
+                }.map(_._1).minOption
+              ts :+= t
+              if (t.isEmpty) alive = false else prev = t
+            }
+            val padded = (ts ++ List.fill(3 - ts.length)(None)).take(3)
+            state.update(FunnelState(anchor, Nil, done = true))
+            Iterator.single(FunnelOut(userId,
+              ts.lastIndexWhere(_.isDefined) + 1,
+              padded(0), padded(1), padded(2)))
+          } else {
+            if (anchor != Long.MaxValue) {
+              state.update(FunnelState(anchor, evs))
+              // wake once the watermark strictly passes the window edge
+              state.setTimeoutTimestamp(math.max(
+                (anchor + horizonMicros) / 1000 + 1,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            Iterator.empty
+          }
+      }
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+import StreamingFunnel.FEv
+
+/** Equivalence of the streaming funnel with the batch windowed funnel on
+  * the real event log (same protocol as the other streaming twins), plus
+  * the anchor-lowering and window-exclusion unit cases. */
+class StreamingFunnelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private val hourUs = 3600L * 1000000L
+
+  test("finalized funnels equal the batch windowed funnel on the real log") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stages = Seq("view", "click", "purchase")
+    val events = graft.ops.Events.tsMicros(Tables.load(spark, sf, "events"))
+      .where(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[FEv].collect().sortBy(_.ts).toSeq
+    val n = events.length
+    val maxTs = events.last.ts
+    val w = 6 * hourUs
+    val chunks = Seq(
+      events.slice(0, n / 3).reverse, // scrambled intra-chunk order
+      events.slice(n / 3, 2 * n / 3).reverse,
+      events.slice(2 * n / 3, n).reverse,
+      // sentinels push the watermark past every window's close
+      Seq(FEv(-1L, maxTs + 24 * hourUs, "view")),
+      Seq(FEv(-1L, maxTs + 48 * hourUs, "view")))
+
+    val in = MemoryStream[FEv]
+    val q = StreamingFunnel.funnel(in.toDS(), stages, horizonMicros = w)
+      .writeStream.format("memory").queryName("funnel_equiv")
+      .outputMode("append").start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Int]("reached"),
+        Option(r.getAs[java.lang.Long]("t1")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("t2")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("t3")).map(_.toLong))
+    val streamed = spark.table("funnel_equiv")
+      .where(col("user_id") >= 0).collect().map(key).toSet
+    val batch = graft.ops.Events.funnel(
+        Tables.load(spark, sf, "events"), stages, horizonMicros = Some(w))
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    assert(batch.map(_._2).exists(_ >= 2)) // non-trivial funnel depth
+  }
+
+  test("late-but-in-contract event lowers the anchor and shrinks the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[FEv]
+    // lateness 2h keeps the ts=0 view in-contract when it arrives second
+    val q = StreamingFunnel.funnel(in.toDS(),
+        horizonMicros = hourUs, lateness = "2 hours")
+      .writeStream.format("memory").queryName("funnel_late")
+      .outputMode("append").start()
+    // first arrival anchors at 90min; clicks at 100min are in ITS window
+    in.addData(FEv(1L, 90 * 60000000L, "view"),
+      FEv(1L, 100 * 60000000L, "click"))
+    q.processAllAvailable()
+    // late view at t=20min lowers the anchor; window is now
+    // [20min, 80min] and the 90/100-minute events fall OUTSIDE it
+    in.addData(FEv(1L, 20 * 60000000L, "view"))
+    q.processAllAvailable()
+    in.addData(FEv(-1L, 10 * hourUs, "view")) // close every window
+    q.processAllAvailable()
+    in.addData(FEv(-1L, 20 * hourUs, "view"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("funnel_late").where(col("user_id") === 1L)
+      .collect().map(r => (r.getAs[Int]("reached"),
+        Option(r.getAs[java.lang.Long]("t1")).map(_.toLong)))
+    assert(rows.toSeq == Seq((1, Some(20 * 60000000L))))
+  }
+}
