@@ -162,10 +162,15 @@ object StreamingScaleProof {
     case class Decade(k: Int, events: Long,
       sessPeakRows: Long, sessPeakBytes: Long, sessOut: Long, sessSec: Double,
       winPeakRows: Long, winPeakBytes: Long, winOut: Long, winSec: Double,
-      asofPeakRows: Long, asofPeakBytes: Long, asofOut: Long, asofSec: Double)
+      asofPeakRows: Long, asofPeakBytes: Long, asofOut: Long, asofSec: Double,
+      funPeakRows: Long, funOut: Long, funSec: Double)
 
     val basePurchases =
       canon.where(col("event_type") === "purchase").count()
+    val funnelStages = Seq("view", "click", "purchase")
+    val baseFunnelUsers = canon
+      .where(col("event_type").isin(funnelStages: _*))
+      .select("user_id").distinct().count()
 
     val results = factors.map { k =>
       val dir = synthesize(k)
@@ -202,12 +207,32 @@ object StreamingScaleProof {
         filesPerTrigger = 1)
       require(ao == k * basePurchases,
         s"x$k finalized purchases $ao != ${k * basePurchases}")
+      // funnel: every user's ONE window closes inside copy 1; later
+      // copies hit the tombstone — output is user-cardinality and
+      // k-INVARIANT (the emit-once proof), state peaks at the buffering
+      // phase of copy 1 plus tombstones, flat across decades. Sentinel
+      // rows ride along (any type advances the watermark; the sentinel
+      // user emits its own reached-0 rows).
+      val (fr, fb, fo, fn, fs) = run(s"funnel_x$k", dir,
+        df => graft.streaming.StreamingFunnel.funnel(
+          df.where(col("event_type")
+              .isin("view", "click", "purchase", "sentinel"))
+            .select(col("user_id"), col("ts"), col("event_type"))
+            .as[graft.streaming.StreamingFunnel.FEv],
+          horizonMicros = 6L * 3600L * 1000000L).toDF(),
+        filesPerTrigger = 1)
+      require(fo >= baseFunnelUsers && fo <= baseFunnelUsers + 2,
+        s"x$k funnel rows $fo outside [$baseFunnelUsers, " +
+          s"${baseFunnelUsers + 2}] — emit-once violated")
       println(f"[stream-proof] x$k%-3d sessions: peak_state_rows=$sr " +
         f"peak_state_bytes=$sb out=$so batches=$sn sec=$ss%.1f | " +
         f"windows: peak_state_rows=$wr peak_state_bytes=$wb out=$wo " +
         f"batches=$wn sec=$ws%.1f | asof: peak_state_rows=$ar " +
-        f"peak_state_bytes=$ab out=$ao batches=$an sec=${as_}%.1f")
-      Decade(k, nEv * k, sr, sb, so, ss, wr, wb, wo, ws, ar, ab, ao, as_)
+        f"peak_state_bytes=$ab out=$ao batches=$an sec=${as_}%.1f | " +
+        f"funnel: peak_state_rows=$fr peak_state_bytes=$fb out=$fo " +
+        f"batches=$fn sec=$fs%.1f")
+      Decade(k, nEv * k, sr, sb, so, ss, wr, wb, wo, ws, ar, ab, ao, as_,
+        fr, fo, fs)
     }
 
     // ---- the bounded-state gate: peaks must be FLAT across decades -----
@@ -222,6 +247,9 @@ object StreamingScaleProof {
       require(r.asofPeakRows <= r1.asofPeakRows * 3 / 2 + 8,
         s"as-of state grew with event volume: x${r.k} peak " +
           s"${r.asofPeakRows} vs x${r1.k} peak ${r1.asofPeakRows}")
+      require(r.funPeakRows <= r1.funPeakRows * 3 / 2 + 8,
+        s"funnel state grew with event volume: x${r.k} peak " +
+          s"${r.funPeakRows} vs x${r1.k} peak ${r1.funPeakRows}")
     }
     // sessions state is keyed by user: the peak can never exceed the
     // active-key population (+ sentinel + slack for the numbering stubs)
