@@ -102,6 +102,72 @@ class WebCorpusOpsSpec extends AnyFunSuite {
       (12L, "https://s.example.org/other", 1L)))
   }
 
+  // ---- seeded fuzz: the properties, batched into single jobs --------------
+
+  test("canonicalize is idempotent over 300 randomized URLs") {
+    val rng = new scala.util.Random(4242)
+    def part(alphabet: String, n: Int) =
+      (0 until n).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    val urls = (0 until 300).map { _ =>
+      val scheme = Seq("http", "HTTP", "https", "HtTpS")(rng.nextInt(4))
+      val www = Seq("", "www.", "WWW.")(rng.nextInt(3))
+      val host = part("abcXYZ", 1 + rng.nextInt(5)) + ".example.org"
+      val port = Seq("", ":80", ":443", ":8080")(rng.nextInt(4))
+      val path = (0 until rng.nextInt(4))
+        .map(_ => "/" * (1 + rng.nextInt(2)) + part("abc09", 1 + rng.nextInt(4)))
+        .mkString + Seq("", "/")(rng.nextInt(2))
+      val params = (0 until rng.nextInt(4)).map(_ =>
+        Seq("a=1", "b=2", "utm_source=x", "gclid=z", "ref", "")(rng.nextInt(6)))
+      val query = if (params.isEmpty) "" else "?" + params.mkString("&")
+      val frag = Seq("", "#f", "#a/b?c")(rng.nextInt(3))
+      s"$scheme://$www$host$port$path$query$frag"
+    }
+    val once = urls.toDF("u")
+      .select(Urls.canonicalize(col("u")).as("c1"))
+      .select(col("c1"), Urls.canonicalize(col("c1")).as("c2"))
+      .collect()
+    once.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"not idempotent: ${r.getString(0)} -> ${r.getString(1)}"))
+  }
+
+  test("lineDedup equals the driver-side brute force on random corpora") {
+    val rng = new scala.util.Random(1337)
+    (1 to 3).foreach { round =>
+      val docs = (1L to 25L).map { id =>
+        val lines = (0 until 1 + rng.nextInt(6))
+          .map(_ => s"line ${rng.nextInt(8)}") // small space forces overlap
+        id -> lines.mkString("\n")
+      }
+      val maxDf = 1 + rng.nextInt(2)
+      // brute force: document frequency per distinct line
+      val df = docs.flatMap { case (id, t) => t.split("\n", -1).distinct
+        .map(_ -> id) }.groupBy(_._1).map { case (l, xs) => l -> xs.size }
+      val expected = docs.map { case (id, t) =>
+        val all = t.split("\n", -1)
+        val kept = all.filter(l => df(l) <= maxDf)
+        (id, kept.mkString("\n"), kept.length.toLong,
+          (all.length - kept.length).toLong)
+      }.toSet
+      val out = Dedup.lineDedup(docs.toDF("doc_id", "text"), maxDf).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(out == expected, s"round $round (maxDocFreq=$maxDf)")
+    }
+  }
+
+  test("tokenDrift negates exactly under snapshot swap") {
+    val a = Seq((1L, "x x y z"), (2L, "w y")).toDF("doc_id", "text")
+    val b = Seq((3L, "x w w q")).toDF("doc_id", "text")
+    def drifts(d1: org.apache.spark.sql.DataFrame,
+        d2: org.apache.spark.sql.DataFrame) =
+      Versioning.tokenDrift(d1, d2, topK = 100).collect()
+        .map(r => r.getString(1) -> r.getDecimal(4).longValueExact()).toMap
+    val fwd = drifts(a, b)
+    val rev = drifts(b, a)
+    assert(fwd.keySet == rev.keySet)
+    fwd.foreach { case (tok, v) => assert(rev(tok) == -v, tok) }
+  }
+
   // ---- Curation.webIngest -------------------------------------------------
 
   test("webIngest: each pipeline stage kills exactly its own class") {
