@@ -113,7 +113,9 @@ object ScalingSmoke {
     val custom: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
       "ns21_decon_fixed_bench" -> (deconFixed _),
       "ns34_spans_fixed_bench" -> (spansFixed _),
-      "ns68_lines_forced" -> (linesForced _))
+      "ns68_lines_forced" -> (linesForced _),
+      "ns76_dataset_card" -> ((d: String) =>
+        SparkEntry.queries("ns76_dataset_card")(spark, d)))
 
     // viaCollect: ungrouped-aggregate entries (ns68_lines_forced) must
     // materialize via collect() — count() over a no-grouping Aggregate is
@@ -134,7 +136,7 @@ object ScalingSmoke {
     // clean tmpdir, flaking the gate with no real regression)
     checked.foreach(run(_, sfSmall))
     checked.foreach(run(_, sfLarge))
-    val aggForced = Set("ns68_lines_forced")
+    val aggForced = Set("ns68_lines_forced", "ns76_dataset_card")
     custom.foreach { case (n, f) =>
       runDf(f(sfSmall), aggForced(n)); runDf(f(sfLarge), aggForced(n)) }
 

@@ -1072,6 +1072,13 @@ object SparkEntry {
   private def ns75(s: SparkSession, dir: String): DataFrame =
     graft.ops.Events.retentionCohorts(Tables.load(s, dir, "events"))
 
+  /** NS76 — dataset-card rollup ([[graft.ops.Curation.describeCorpus]]):
+    * the one-row release summary — volume, diversity, token extremes,
+    * HLL distinct-text estimate. Exact integers everywhere but the
+    * sketch estimate, which follows the ns44 rounding contract. */
+  private def ns76(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.describeCorpus(docs(s, dir))
+
   /** NS64 — persisted LM model lifecycle: the ns59 two-phase pattern for
     * perplexity serving. The model trains ONCE on the even-doc_id half of
     * the corpus (fingerprint-gated, atomic publish), then the whole corpus
@@ -1181,6 +1188,7 @@ object SparkEntry {
     "ns73_web_ingest" -> (ns73 _),
     "ns74_events_funnel" -> (ns74 _),
     "ns75_events_retention" -> (ns75 _),
+    "ns76_dataset_card" -> (ns76 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2265,6 +2273,30 @@ object SparkEntry {
          |  count(DISTINCT p.user_id) AS active_users
          |FROM pairs p JOIN fs USING (user_id)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // ns76 joins the exact base aggregates with the ns44-style global HLL.
+    "ns76_dataset_card" ->
+      ("""WITH t AS (SELECT source, lang, length(text) AS nc,
+         |  len(string_split(text, ' ')) AS nt, text FROM documents),
+         |base AS (SELECT count(*) AS n_docs,
+         |  count(DISTINCT source) AS n_sources,
+         |  count(DISTINCT lang) AS n_langs,
+         |  sum(nc)::BIGINT AS total_chars, sum(nt)::BIGINT AS total_tokens,
+         |  min(nt) AS min_tokens, max(nt) AS max_tokens FROM t),
+         |h AS (SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+         |  FROM documents WHERE text IS NOT NULL),
+         |r AS (SELECT h % 1024 AS bucket, h // 1024 AS w FROM h),
+         |rk AS (SELECT bucket, max(CASE WHEN w = 0 THEN 51 ELSE 50 - (length(bin(w)) - 1) END) AS mr FROM r GROUP BY bucket),
+         |agg AS (SELECT count(*) AS n_registers, sum(1.0::DOUBLE / (1::BIGINT << mr)) AS zp FROM rk),
+         |e AS (SELECT n_registers, (1024 - n_registers)::DOUBLE AS v,
+         |  0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0::DOUBLE) * 1024.0::DOUBLE * 1024.0::DOUBLE / (zp + (1024 - n_registers)) AS raw_e
+         |  FROM agg),
+         |est AS (SELECT n_registers,
+         |  round(CASE WHEN raw_e <= 2560.0::DOUBLE AND v > 0 THEN 1024.0::DOUBLE * ln(1024.0::DOUBLE / v) ELSE raw_e END, 6) AS distinct_text_est
+         |  FROM e)
+         |SELECT b.n_docs, b.n_sources, b.n_langs, b.total_chars,
+         |  b.total_tokens, b.min_tokens, b.max_tokens,
+         |  est.n_registers, est.distinct_text_est
+         |FROM base b, est""".stripMargin),
     // ns72 replays the quasi-key group stats and the k/l release gate.
     "ns72_k_anonymity" ->
       ("""WITH cust AS (SELECT c_custkey, c_mktsegment AS segment,

@@ -194,6 +194,39 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** The DATASET CARD rollup — the single-row summary a corpus release
+    * ships with (docs, source/language diversity, byte and token volume,
+    * token-length extremes, and an HLL estimate of distinct texts — the
+    * dup-rate signal that at 100 TB only a sketch can afford). Every
+    * field but the HLL estimate is exact integer arithmetic; the estimate
+    * follows the [[Sketches.hllDistinct]] engine-reproducible contract.
+    *
+    * Scale shape: ONE scan feeds the base aggregates (count-distincts
+    * over the tiny source/lang domains partial-aggregate map-side); the
+    * distinct-text sketch is its own scan into register-space (2^b rows);
+    * the two single-row frames meet on a constant key — a 1×1 join, not a
+    * data movement. */
+  def describeCorpus(docs: DataFrame, hllB: Int = 10): DataFrame = {
+    val t = docs.select(col("source"), col("lang"),
+      length(col("text")).as("nc"),
+      size(split(col("text"), " ")).as("nt"))
+    val base = t.agg(
+      count(lit(1)).as("n_docs"),
+      count_distinct(col("source")).as("n_sources"),
+      count_distinct(col("lang")).as("n_langs"),
+      sum(col("nc")).as("total_chars"),
+      sum(col("nt")).as("total_tokens"),
+      min(col("nt")).as("min_tokens"),
+      max(col("nt")).as("max_tokens"))
+    val est = Sketches.hllDistinct(
+        docs.select(col("text"), lit(1).as("_all")), "text", Seq("_all"), hllB)
+      .select(col("n_registers"),
+        col("hll_estimate").as("distinct_text_est"))
+    base.withColumn("_k", lit(1))
+      .join(est.withColumn("_k", lit(1)), Seq("_k"))
+      .drop("_k")
+  }
+
   /** The fused WEB-INGEST pipeline — the stage order every crawl-derived
     * corpus runs, as one composed plan:
     *

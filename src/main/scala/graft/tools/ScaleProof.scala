@@ -199,7 +199,7 @@ object ScaleProof {
       // (ns68 runs as the forced variant below: its final left join is
       // cardinality-preserving, so count() over the registered query
       // join-eliminates the whole dedup and times a metadata count)
-      "ns70_dedup_url", "ns73_web_ingest", "ns74_events_funnel", "ns75_events_retention",
+      "ns70_dedup_url", "ns73_web_ingest", "ns74_events_funnel", "ns75_events_retention", "ns76_dataset_card",
       // drift: one token-keyed agg; vocabulary (and so the top-k scan) is
       // copy-tagged at scale, growing the token table linearly
       "ns71_corpus_drift")
@@ -350,7 +350,9 @@ object ScaleProof {
           "ns16_longchain" -> (longChain _))
     // ungrouped-aggregate entries: see measure() — count() would fold to 1
     val aggForced = Set("ns63_html_forced", "ns66_luhn_forced",
-      "ns68_lines_forced")
+      "ns68_lines_forced",
+      // single-row join of two ungrouped aggregates: count() folds to 1
+      "ns76_dataset_card")
     // SPARK_GRAFT_SCALE_ONLY=name,name isolates entries for iteration
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)

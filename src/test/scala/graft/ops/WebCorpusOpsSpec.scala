@@ -168,6 +168,26 @@ class WebCorpusOpsSpec extends AnyFunSuite {
     fwd.foreach { case (tok, v) => assert(rev(tok) == -v, tok) }
   }
 
+  // ---- Curation.describeCorpus --------------------------------------------
+
+  test("describeCorpus: exact fields exact, sketch sees distinct texts") {
+    val docs = Seq(
+      (1L, "a b c", "en", "s1"), (2L, "a b c", "en", "s1"), // exact dup
+      (3L, "d e", "de", "s2"), (4L, "f g h i", "en", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = Curation.describeCorpus(docs).collect().head
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_sources") == 2L)
+    assert(r.getAs[Long]("n_langs") == 2L)
+    assert(r.getAs[Long]("total_chars") == (5 + 5 + 3 + 7))
+    assert(r.getAs[Long]("total_tokens") == (3 + 3 + 2 + 4))
+    assert(r.getAs[Int]("min_tokens") == 2)
+    assert(r.getAs[Int]("max_tokens") == 4)
+    // 3 distinct texts; at this cardinality the HLL linear-counting path
+    // is exact to well under half a count
+    assert(math.abs(r.getAs[Double]("distinct_text_est") - 3.0) < 0.5)
+  }
+
   // ---- Curation.webIngest -------------------------------------------------
 
   test("webIngest: each pipeline stage kills exactly its own class") {
