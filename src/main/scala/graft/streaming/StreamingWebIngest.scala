@@ -39,6 +39,45 @@ object StreamingWebIngest {
     * scale (partition the ledger by canonical hash and this becomes a
     * pruned probe). The wide page payload never rides a shuffle: the
     * window and anti join key on the canonical string only. */
+  /** Ledger maintenance: every micro-batch appends one small parquet file
+    * to the frontier ledger, so a long-running query accumulates
+    * file-count pathology (the classic streaming-sink operational issue).
+    * Compaction reads the ledger, DEDUPLICATES the canonicals (replayed
+    * at-least-once batches append duplicates — harmless for the anti
+    * probe, wasteful on disk), rewrites them as `numFiles` files in a
+    * staging dir, and swaps it in. Returns (files before, files after).
+    *
+    * Single-writer contract: run BETWEEN micro-batches (stop the query,
+    * or call from the same serial foreachBatch context) — the swap is
+    * delete+rename, and a probe racing it could see an empty ledger and
+    * re-accept a known URL. This is the same maintenance-window contract
+    * as the minhash/IVF index rebuilds. */
+  def compactLedger(
+      spark: org.apache.spark.sql.SparkSession,
+      ledgerPath: String,
+      numFiles: Int = 1): (Long, Long) = {
+    require(numFiles > 0, "numFiles must be positive")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = root.getFileSystem(hconf)
+    if (!fs.exists(root)) return (0L, 0L)
+    def countParquet(p: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet")).toLong
+    val before = countParquet(root)
+    val staging = new org.apache.hadoop.fs.Path(
+      root.getParent, s".${root.getName}_compact_staging")
+    fs.delete(staging, true)
+    spark.read.parquet(ledgerPath)
+      .select(col("canonical_url")).distinct()
+      .repartition(numFiles)
+      .write.mode("overwrite").parquet(staging.toString)
+    fs.delete(root, true)
+    if (!fs.rename(staging, root))
+      throw new java.io.IOException(
+        s"ledger compaction swap failed: $staging -> $root")
+    (before, countParquet(root))
+  }
+
   def urlFrontierDedup(
       pages: DataFrame,
       ledgerPath: String,

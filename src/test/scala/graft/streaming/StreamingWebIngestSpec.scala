@@ -56,5 +56,25 @@ class StreamingWebIngestSpec extends AnyFunSuite {
     val after = spark.read.parquet(sink).select("doc_id").collect()
       .map(_.getLong(0)).toSet
     assert(after == Set(1L, 3L, 5L, 7L))
+
+    // maintenance: compaction collapses the per-batch appends to one
+    // deduped file, and the frontier still refuses known canonicals
+    val beforeSet = spark.read.parquet(ledger)
+      .select("canonical_url").collect().map(_.getString(0)).toSet
+    val (nBefore, nAfter) =
+      StreamingWebIngest.compactLedger(spark, ledger)
+    assert(nBefore >= 3 && nAfter == 1, s"$nBefore -> $nAfter")
+    val afterSet = spark.read.parquet(ledger)
+      .select("canonical_url").collect().map(_.getString(0)).toSet
+    assert(afterSet == beforeSet)
+    val in3 = MemoryStream[(Long, String)]
+    val q3 = StreamingWebIngest.urlFrontierDedup(
+      in3.toDF().toDF("doc_id", "url"), ledger, sink, s"$dir/ckpt3")
+    in3.addData((8L, "https://www.s.example.org/new?utm_source=z")) // known
+    q3.processAllAvailable()
+    q3.stop()
+    val finalIds = spark.read.parquet(sink).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(finalIds == Set(1L, 3L, 5L, 7L)) // 8 refused off the compacted ledger
   }
 }
