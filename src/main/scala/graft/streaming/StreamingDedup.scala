@@ -70,11 +70,13 @@ object StreamingDedup {
     * usable by batch consumers between ticks. Micro-batches execute
     * serially, which is exactly the single-writer-per-index contract the
     * append path assumes. Exactly-once note: foreachBatch is
-    * at-least-once — a batch REPLAYED after a crash between the index
-    * append and the checkpoint commit re-appends its survivors, which
-    * duplicates index rows (harmless for the decision: candidates are
-    * distinct()-ed) but can duplicate sink rows; idempotent sinks should
-    * key on doc_id. */
+    * at-least-once — the sink append runs BEFORE the index append, so a
+    * crash anywhere between sink write and checkpoint commit replays the
+    * batch and re-appends its survivors: duplicate sink rows (idempotent
+    * sinks key on doc_id) and duplicate index rows (harmless for the
+    * decision: candidates are distinct()-ed). The reverse order would
+    * let a crash between the appends index the survivors without sinking
+    * them, and the replayed batch would filter them out forever. */
   def indexedIngestDedup(
       newDocs: DataFrame,
       indexPath: String,
@@ -90,8 +92,12 @@ object StreamingDedup {
           .localCheckpoint(true)
         try {
           if (!survivors.isEmpty) {
-            graft.ops.Dedup.updateMinhashIndex(survivors, indexPath)
+            // sink BEFORE index: a crash between the two re-accepts the
+            // batch on replay (duplicate sink rows, keyed-idempotent
+            // consumers tolerate); index-first would filter the replayed
+            // survivors out of the sink forever
             survivors.write.mode("append").parquet(acceptedSink)
+            graft.ops.Dedup.updateMinhashIndex(survivors, indexPath)
           }
         } finally
           // a forever-running query would otherwise retain one checkpointed

@@ -18,8 +18,14 @@ object StreamingWebIngest {
     * `keyCol` per canonical URL — deterministic under replay), then
     * anti-joined against the persisted frontier LEDGER (a parquet set of
     * canonical URLs already accepted). Unseen pages append to
-    * `acceptedSink` (with their `canonical_url`) and their canonicals to
-    * the ledger, so later batches — and restarted queries — see them.
+    * `acceptedSink` FIRST (with their `canonical_url`), and only then
+    * their canonicals to the ledger, so later batches — and restarted
+    * queries — see them. The order is load-bearing for at-least-once: a
+    * crash between the two appends leaves the sink row written but the
+    * canonical un-ledgered, so the replayed batch re-accepts it — a
+    * duplicate sink row, which the idempotent-consumer contract below
+    * already tolerates. The reverse order would ledger-then-crash, and
+    * the replayed batch's anti probe would drop the page forever.
     *
     * `foreachBatch`, for the [[StreamingDedup.indexedIngestDedup]]
     * reasons: the decision is a join against ledger FILES, not row-local
@@ -49,9 +55,16 @@ object StreamingWebIngest {
     *
     * Single-writer contract: run BETWEEN micro-batches (stop the query,
     * or call from the same serial foreachBatch context) — the swap is
-    * delete+rename, and a probe racing it could see an empty ledger and
+    * rename-based, and a probe racing it could see a missing ledger and
     * re-accept a known URL. This is the same maintenance-window contract
-    * as the minhash/IVF index rebuilds. */
+    * as the minhash/IVF index rebuilds.
+    *
+    * Crash safety: the swap never leaves a window with NO ledger copy.
+    * Protocol: write staging → rename root aside (`root_old`) → rename
+    * staging into place → delete `root_old`. A crash at any point leaves
+    * at least one complete copy on disk, and [[recoverLedger]] (called at
+    * compaction entry and by every frontier probe) promotes it back to
+    * `root` before anything reads or deletes. */
   def compactLedger(
       spark: org.apache.spark.sql.SparkSession,
       ledgerPath: String,
@@ -60,22 +73,67 @@ object StreamingWebIngest {
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(ledgerPath)
     val fs = root.getFileSystem(hconf)
+    recoverLedger(fs, root)
     if (!fs.exists(root)) return (0L, 0L)
     def countParquet(p: org.apache.hadoop.fs.Path): Long =
       fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet")).toLong
     val before = countParquet(root)
-    val staging = new org.apache.hadoop.fs.Path(
-      root.getParent, s".${root.getName}_compact_staging")
+    val staging = stagingPath(root)
+    val rootOld = rootOldPath(root)
     fs.delete(staging, true)
     spark.read.parquet(ledgerPath)
       .select(col("canonical_url")).distinct()
       .repartition(numFiles)
       .write.mode("overwrite").parquet(staging.toString)
-    fs.delete(root, true)
+    // Swap: root -> root_old, staging -> root, drop root_old. At every
+    // intermediate crash point a complete ledger copy survives on disk.
+    if (!fs.rename(root, rootOld))
+      throw new java.io.IOException(
+        s"ledger compaction aside-rename failed: $root -> $rootOld")
     if (!fs.rename(staging, root))
       throw new java.io.IOException(
         s"ledger compaction swap failed: $staging -> $root")
+    fs.delete(rootOld, true)
     (before, countParquet(root))
+  }
+
+  private def stagingPath(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(
+      root.getParent, s".${root.getName}_compact_staging")
+  private def rootOldPath(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(
+      root.getParent, s".${root.getName}_compact_old")
+
+  /** Repair an interrupted [[compactLedger]] swap. Idempotent; cheap (two
+    * existence checks in the steady state). The decision table covers
+    * every crash window of the swap protocol:
+    *   - `root` present: compaction either never started, finished, or
+    *     died before the aside-rename → leftover staging/root_old dirs
+    *     are strictly redundant copies; drop them.
+    *   - `root` missing, `staging` present: died between the two renames.
+    *     `staging` is a COMPLETE compacted copy (fully written before any
+    *     rename) → promote it, then drop `root_old`.
+    *   - `root` missing, only `root_old`: died right after the
+    *     aside-rename with staging already promoted-or-absent → restore
+    *     `root_old`. */
+  def recoverLedger(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val staging = stagingPath(root)
+    val rootOld = rootOldPath(root)
+    if (fs.exists(root)) {
+      fs.delete(staging, true)
+      fs.delete(rootOld, true)
+    } else if (fs.exists(staging)) {
+      if (!fs.rename(staging, root))
+        throw new java.io.IOException(
+          s"ledger recovery promote failed: $staging -> $root")
+      fs.delete(rootOld, true)
+    } else if (fs.exists(rootOld)) {
+      if (!fs.rename(rootOld, root))
+        throw new java.io.IOException(
+          s"ledger recovery restore failed: $rootOld -> $root")
+    }
   }
 
   def urlFrontierDedup(
@@ -97,9 +155,14 @@ object StreamingWebIngest {
         val batchKeep = canon
           .withColumn("rn", row_number().over(w))
           .where(col("rn") === 1).drop("rn")
-        val ledgerExists = new org.apache.hadoop.fs.Path(ledgerPath)
+        val ledgerRoot = new org.apache.hadoop.fs.Path(ledgerPath)
+        val ledgerFs = ledgerRoot
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(new org.apache.hadoop.fs.Path(ledgerPath))
+        // repair a compaction interrupted by a crash before trusting a
+        // missing-ledger observation (a missing root mid-swap would
+        // otherwise re-accept every known URL)
+        recoverLedger(ledgerFs, ledgerRoot)
+        val ledgerExists = ledgerFs.exists(ledgerRoot)
         val unseen =
           if (!ledgerExists) batchKeep
           else batchKeep.join(
@@ -110,9 +173,12 @@ object StreamingWebIngest {
         val survivors = unseen.localCheckpoint(true)
         try {
           if (!survivors.isEmpty) {
+            // sink BEFORE ledger: a crash between the two re-accepts the
+            // page on replay (duplicate sink row, tolerated); the reverse
+            // order would lose it forever (ledgered but never sunk)
+            survivors.write.mode("append").parquet(acceptedSink)
             survivors.select(col("canonical_url"))
               .write.mode("append").parquet(ledgerPath)
-            survivors.write.mode("append").parquet(acceptedSink)
           }
         } finally
           graft.ops.Dedup.unpersistCheckpoint(survivors)

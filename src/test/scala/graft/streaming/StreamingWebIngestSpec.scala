@@ -77,4 +77,56 @@ class StreamingWebIngestSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet
     assert(finalIds == Set(1L, 3L, 5L, 7L)) // 8 refused off the compacted ledger
   }
+
+  test("recoverLedger repairs every crash window of the compaction swap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_frontier_rec").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def writeLedger(path: String, urls: String*): Unit =
+      urls.toDF("canonical_url").coalesce(1)
+        .write.mode("overwrite").parquet(path)
+    def readLedger(path: String): Set[String] =
+      spark.read.parquet(path).collect().map(_.getString(0)).toSet
+
+    // window 1: staging written, aside-rename not yet done → root intact,
+    // staging is redundant and must be dropped (not promoted: root may
+    // have newer appends than the staged snapshot)
+    val l1 = s"$dir/ledger1"
+    writeLedger(l1, "a", "b")
+    writeLedger(s"$dir/.ledger1_compact_staging", "a")
+    StreamingWebIngest.recoverLedger(fs, p(l1))
+    assert(readLedger(l1) == Set("a", "b"))
+    assert(!fs.exists(p(s"$dir/.ledger1_compact_staging")))
+
+    // window 2: died between the two renames → root missing, root_old +
+    // staging both present; staging (complete compacted copy) is promoted
+    val l2 = s"$dir/ledger2"
+    writeLedger(s"$dir/.ledger2_compact_old", "a", "a", "b")
+    writeLedger(s"$dir/.ledger2_compact_staging", "a", "b")
+    StreamingWebIngest.recoverLedger(fs, p(l2))
+    assert(readLedger(l2) == Set("a", "b"))
+    assert(!fs.exists(p(s"$dir/.ledger2_compact_old")))
+    assert(!fs.exists(p(s"$dir/.ledger2_compact_staging")))
+
+    // window 3: died right after the aside-rename (staging already
+    // promoted in a previous recovery, or lost) → root_old restored
+    val l3 = s"$dir/ledger3"
+    writeLedger(s"$dir/.ledger3_compact_old", "x", "y")
+    StreamingWebIngest.recoverLedger(fs, p(l3))
+    assert(readLedger(l3) == Set("x", "y"))
+
+    // steady state: recovery is a no-op
+    StreamingWebIngest.recoverLedger(fs, p(l3))
+    assert(readLedger(l3) == Set("x", "y"))
+
+    // and compactLedger itself recovers before compacting: a leftover
+    // root_old from a crashed swap doesn't lose the ledger
+    val l4 = s"$dir/ledger4"
+    writeLedger(s"$dir/.ledger4_compact_old", "u", "u", "v")
+    val (nb, na) = StreamingWebIngest.compactLedger(spark, l4)
+    assert(nb == 1 && na == 1, s"$nb -> $na")
+    assert(readLedger(l4) == Set("u", "v"))
+  }
 }
