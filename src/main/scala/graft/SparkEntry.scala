@@ -155,8 +155,12 @@ object SparkEntry {
 
   /** K14 — A2-A5 deterministic seeded fakers (anonymiser.go:82-107).
     * Faker realism is property-tested (AnonymiserSpec/FakersSpec), not
-    * SQL-expressible → no oracle entry (rows-only check); K8's md5
-    * surrogate covers the hash-checked path. */
+    * SQL-expressible → no oracle entry (the driver records a rows-only
+    * check); K8's md5 surrogate covers the hash-checked path, and the
+    * output itself is GOLDEN-GATED: [[graft.GoldenK14Spec]] asserts the
+    * sha256 of the canonicalized result at sf0.001 and sf0.01 against
+    * committed golden files, so any faker-surface change is a reviewed
+    * golden diff, not an untested cell. */
   private def k14(s: SparkSession, dir: String): DataFrame = {
     val cfg = graft.config.TableConfig("customer", anonymise = Seq(
       "c_name" -> "FullName",
@@ -2306,6 +2310,8 @@ object SparkEntry {
          |  count(DISTINCT balance_band) AS n_sensitive FROM cust GROUP BY 1, 2
          |  HAVING count(*) >= 50 AND count(DISTINCT balance_band) >= 3)
          |SELECT c.c_custkey, c.segment, c.region, g.group_size, g.n_sensitive
-         |FROM cust c JOIN g USING (segment, region) ORDER BY c_custkey""".stripMargin),
+         |FROM cust c JOIN g ON c.segment IS NOT DISTINCT FROM g.segment
+         |  AND c.region IS NOT DISTINCT FROM g.region
+         |ORDER BY c_custkey""".stripMargin),
   )
 }

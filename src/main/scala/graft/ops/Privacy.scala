@@ -135,6 +135,14 @@ object Privacy {
     * Output: the input rows that survive, annotated with `group_size` and
     * `n_sensitive` (released-set auditing), ordered by `keyCol`.
     *
+    * NULL policy: a NULL quasi value is a legitimate generalization bucket
+    * — rows with NULL region hide among the other NULL-region rows.
+    * Grouping and release therefore use the SAME null semantics: groupBy
+    * collects NULLs into one group, and the release join is null-safe
+    * (`<=>` / `IS NOT DISTINCT FROM`), so a NULL-quasi group that passes
+    * the k/l gate actually releases its rows instead of being counted at
+    * the gate and then silently dropped by an equi-join.
+    *
     * Scale shape: group stats are ONE quasi-key aggregation (map-side
     * combine; count-distinct of the sensitive value partial-aggregates as
     * a set bounded by the sensitive domain, not the group size), producing
@@ -151,7 +159,13 @@ object Privacy {
       .agg(count(lit(1)).as("group_size"),
         size(collect_set(col(sensitiveCol))).as("n_sensitive"))
       .where(col("group_size") >= k && col("n_sensitive") >= l)
-    rows.join(stats, quasiCols)
+    // rename the stats-side keys so the null-safe join condition is
+    // unambiguous, then drop them: output = surviving input rows + stats
+    val statsR = quasiCols.foldLeft(stats)(
+      (df, c) => df.withColumnRenamed(c, s"__quasi_$c"))
+    rows.join(statsR,
+        quasiCols.map(c => col(c) <=> col(s"__quasi_$c")).reduce(_ && _))
+      .drop(quasiCols.map(c => s"__quasi_$c"): _*)
       .orderBy(col(keyCol))
   }
 }

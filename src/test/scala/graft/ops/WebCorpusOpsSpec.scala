@@ -311,6 +311,22 @@ class WebCorpusOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 3L, 2), (2L, 3L, 2), (3L, 3L, 2)))
   }
 
+  test("kAnonymize NULL quasi values: grouping and release agree") {
+    // NULL region is a legitimate generalization bucket: the NULL group
+    // passes the gate AND releases (null-safe join), instead of being
+    // counted at the gate and then dropped by an equi-join.
+    val rows = Seq(
+      (1L, "a", Some(1), 10), (2L, "a", Some(1), 20), (3L, "a", Some(1), 30),
+      (4L, "a", None, 1), (5L, "a", None, 2), (6L, "a", None, 3),
+      (7L, "b", None, 9) // singleton NULL group -> fails k
+    ).toDF("c_custkey", "segment", "region", "band")
+    val out = Privacy.kAnonymize(rows, Seq("segment", "region"), "band",
+        k = 3, l = 2).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("group_size")))
+    assert(out.toSeq ==
+      Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
   // ---- Similarity.outliers ------------------------------------------------
 
   test("outliers matches the driver-side spherical-centroid brute force") {
