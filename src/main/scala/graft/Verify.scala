@@ -49,6 +49,26 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(e => selected(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Testdata-drift guard: stamp the dump with a per-table source
+    // fingerprint (md5 over the sorted file listing with sizes+mtimes —
+    // graft.ops.Dedup.sourceFingerprint, the same key the persisted
+    // indexes use). tools/oracle_check.py recomputes the fingerprints
+    // against the LIVE testdata and refuses to compare when they differ,
+    // so a testdata regeneration between dump and compare fails loudly
+    // instead of silently reddening correctness cells (the r6 ts
+    // re-encoding and r7 ns71 burns).
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val tableEntries = tables.map { t =>
+      val path = s"$sfDir/$t.parquet"
+      val fp = graft.ops.Dedup.sourceFingerprint(spark, path)
+      val rows = spark.read.parquet(path).count()
+      s"${q(t)}: {${q("fingerprint")}: ${q(fp)}, ${q("rows")}: $rows}"
+    }.mkString("{", ",", "}")
+    val manifest = s"{${q("sf_dir")}: ${q(sfDir)}, " +
+      s"${q("written_at_ms")}: ${System.currentTimeMillis()}, " +
+      s"${q("tables")}: $tableEntries}"
+    Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
     spark.stop()
   }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import scala.sys.process._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Testdata-drift guard round-trip: graft.Verify stamps its dump with
+  * per-table source fingerprints; tools/oracle_check.py recomputes them
+  * against the live testdata and refuses to compare on mismatch. This spec
+  * pins (a) the Scala/Python fingerprint parity the guard depends on and
+  * (b) the loud exit-2 refusal on a doctored fingerprint.
+  *
+  * Requires python3 + duckdb (driver-side tooling, present in the build
+  * container); cancels cleanly where they are absent. */
+class VerifyManifestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def pythonReady: Boolean =
+    scala.util.Try(
+      Seq("python3", "-c", "import duckdb").! == 0).getOrElse(false)
+
+  private def writeDump(dir: java.nio.file.Path, fp: String): Unit = {
+    java.nio.file.Files.writeString(dir.resolve("manifest.json"),
+      s"""{"sf_dir": "$sf", "written_at_ms": 0, "tables": {"region": {"fingerprint": "$fp", "rows": 5}}}""")
+    java.nio.file.Files.writeString(dir.resolve("oracle_sql.json"), "{}")
+  }
+
+  test("oracle_check accepts a manifest stamped with the live fingerprint") {
+    assume(pythonReady, "python3+duckdb unavailable")
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest_ok")
+    val fp = graft.ops.Dedup.sourceFingerprint(spark, s"$sf/region.parquet")
+    writeDump(dir, fp)
+    // exit 0: manifest gate passes (Python recomputes the SAME fingerprint
+    // — the parity the guard depends on) and the empty oracle set runs clean
+    val code = Seq("python3", "tools/oracle_check.py", sf, dir.toString).!
+    assert(code == 0, "expected pass-through on a matching fingerprint")
+  }
+
+  test("oracle_check refuses loudly on a doctored fingerprint") {
+    assume(pythonReady, "python3+duckdb unavailable")
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest_bad")
+    writeDump(dir, "0" * 32)
+    val err = new StringBuilder
+    val code = Process(Seq("python3", "tools/oracle_check.py", sf, dir.toString))
+      .!(ProcessLogger(_ => (), l => { err ++= l; err += '\n' }))
+    assert(code == 2, s"expected refusal exit 2, got $code")
+    assert(err.toString.contains("REFUSING to compare"), err.toString)
+  }
+}

@@ -8,10 +8,56 @@ graded check is driver-side.
 
 Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 """
-import json, sys, hashlib
+import json, os, sys, hashlib
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+
+
+def source_fingerprint(path):
+    """Mirror of graft.ops.Dedup.sourceFingerprint: md5 over the sorted
+    'name:size:mtime_ms' entries of the data files under path (recursive;
+    _/. -prefixed marker files excluded). Java File.lastModified() is
+    st_mtime_ns // 10**6 on this FS."""
+    entries = []
+    if os.path.isfile(path):
+        st = os.stat(path)
+        entries.append(
+            f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns // 10**6}")
+    else:
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                st = os.stat(os.path.join(root, f))
+                entries.append(f"{f}:{st.st_size}:{st.st_mtime_ns // 10**6}")
+    return hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()
+
+
+# Drift gate: a Verify dump is only comparable against the SAME testdata it
+# was computed from. The manifest (written by graft.Verify) pins each
+# table's source fingerprint; any mismatch means the testdata was
+# regenerated since the dump — refuse to compare rather than emit
+# misleading FAIL rows (the r6/r7 stale-compare burns).
+manifest_path = os.path.join(outdir, "manifest.json")
+if os.path.exists(manifest_path):
+    manifest = json.load(open(manifest_path))
+    stale = []
+    for t, meta in manifest.get("tables", {}).items():
+        live = source_fingerprint(os.path.join(sfdir, f"{t}.parquet"))
+        if live != meta["fingerprint"]:
+            stale.append(f"{t}: manifest={meta['fingerprint']} live={live}")
+    if stale:
+        print("REFUSING to compare: testdata changed since the Verify dump "
+              "was written (re-run graft.Verify against the current data):",
+              file=sys.stderr)
+        for line in stale:
+            print(f"  {line}", file=sys.stderr)
+        sys.exit(2)
+else:
+    print("WARN: no manifest.json in dump dir — drift-unguarded compare "
+          "(dump predates the fingerprint stamp?)", file=sys.stderr)
+
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
