@@ -98,32 +98,44 @@ object Bench {
       else n -> (ts(ts.length / 2), ts.head)
     }
 
-    val qs = results.map { case (k, (med, _)) => s""""$k":$med""" }
-      .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, mn)) => s""""$k":$mn""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2._1).filter(_ >= 0).sum
-    val totalMin = results.map(_._2._2).filter(_ >= 0).sum
-    val wf = warmupFailed.map(n => s""""$n"""").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"warmup_failed":$wf,"runs":$runs,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
-    println(json)
-    // self-archive: the driver captures only a log TAIL, and round 5's
-    // record lost k1–k14/ns10–ns12 to truncation — the full JSON also
-    // lands in a stable file so the per-query numbers survive any log
-    // capture. Best-effort: archival failure must not fail the bench.
-    // A SPARK_GRAFT_BENCH_ONLY-filtered run archives under a keyed name so
-    // local iteration (or a judge's subset reproduction) never clobbers
-    // the full-suite record.
+    // times rounded to 3 decimals (ms precision): full-precision doubles
+    // made the line ~6 KB for 90 queries, and the driver's tail capture
+    // truncated BENCH_r07 mid-JSON (`parsed: null`); rounded it is ~2 KB
+    def r3(d: Double): String = {
+      val v = math.round(d * 1000) / 1000.0
+      if (v == v.toLong) s"${v.toLong}.0" else v.toString
+    }
+    def buildJson(fmt: Double => String): String = {
+      val qs = results.map { case (k, (med, _)) => s""""$k":${fmt(med)}""" }
+        .mkString("{", ",", "}")
+      val qsMin = results.map { case (k, (_, mn)) => s""""$k":${fmt(mn)}""" }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2._1).filter(_ >= 0).sum
+      val totalMin = results.map(_._2._2).filter(_ >= 0).sum
+      val wf = warmupFailed.map(n => s""""$n"""").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"queries_min":$qsMin,"warmup_failed":$wf,"runs":$runs,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
+    }
+    // self-archive FIRST (full precision): the driver captures only a log
+    // TAIL, and round 5's record lost k1–k14/ns10–ns12 to truncation — the
+    // full JSON also lands in a stable file so the per-query numbers
+    // survive any log capture. Best-effort: archival failure must not fail
+    // the bench. A SPARK_GRAFT_BENCH_ONLY-filtered run archives under a
+    // keyed name so local iteration (or a judge's subset reproduction)
+    // never clobbers the full-suite record.
     try {
       val name = if (only.isEmpty) "bench_latest.json"
                  else "bench_latest.only.json"
       val out = java.nio.file.Paths.get("target", name)
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (buildJson(_.toString) + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] archival failed: ${e.getMessage}")
     }
+    // the compact line goes LAST so the driver's tail capture always holds
+    // the complete JSON — nothing may print to stdout after this
+    println(buildJson(r3))
     spark.stop()
   }
 }
