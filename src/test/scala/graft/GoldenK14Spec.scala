@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-hash gate for K14 (deterministic seeded fakers) — the one
+  * registered query with no DuckDB oracle (faker realism is not
+  * SQL-expressible, so the driver records a rows-only check). The fakers
+  * are deterministic by design (seed = xxhash64(secret, table, column,
+  * pk)), so the engine can self-oracle: the sha256 of the canonicalized
+  * K14 output at sf0.001 and sf0.01 is committed under
+  * `src/test/resources/golden/`, and any faker-surface change shows up
+  * here as a reviewed golden diff instead of an untested cell.
+  *
+  * Drift guard: each golden file also pins the hash of the INPUT customer
+  * table. If the driver regenerates testdata, the input hash changes and
+  * the test CANCELS with a re-golden instruction — testdata drift must
+  * not masquerade as a faker regression (the r6/r7 stale-compare burns).
+  *
+  * Canonicalization mirrors the driver compare's shape: columns sorted by
+  * name, every value stringified (null → ␀ sentinel), rows sorted, joined
+  * with the 0x1f/0x1e separators, sha256 over the result. */
+class GoldenK14Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def canonicalHash(df: DataFrame): String = {
+    val cols = df.columns.sorted
+    val rows = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .collect()
+      .map(r => (0 until r.length)
+        .map(i => if (r.isNullAt(i)) "␀" else r.get(i).toString)
+        .mkString("\u001f"))
+      .sorted
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    rows.foreach { r =>
+      md.update(r.getBytes("UTF-8")); md.update(0x1e.toByte)
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def golden(sfName: String): Map[String, String] = {
+    val res = getClass.getResourceAsStream(s"/golden/k14_$sfName.txt")
+    assert(res != null, s"missing golden file for $sfName")
+    scala.io.Source.fromInputStream(res).getLines()
+      .filter(_.contains("=")).map { l =>
+        val Array(k, v) = l.split("=", 2); k -> v
+      }.toMap
+  }
+
+  for (sfName <- Seq("sf0.001", "sf0.01"))
+    test(s"k14 faker output matches the committed golden hash at $sfName") {
+      val dir = s"/root/testdata/$sfName"
+      val g = golden(sfName)
+      val inputHash = canonicalHash(Tables.load(spark, dir, "customer"))
+      assume(inputHash == g("input"),
+        s"testdata drift: customer@$sfName hashes $inputHash but golden " +
+          s"pins ${g("input")} — regenerate the golden file, this is not " +
+          "a faker regression")
+      val outputHash =
+        canonicalHash(SparkEntry.queries("k14_anon_faker")(spark, dir))
+      assert(outputHash == g("output"),
+        s"faker surface changed: k14@$sfName now hashes $outputHash " +
+          s"(golden ${g("output")}). If intended, update " +
+          s"src/test/resources/golden/k14_$sfName.txt (input=$inputHash).")
+    }
+}
