@@ -89,13 +89,16 @@ object Versioning {
       sum(when(col("side") === 1, 1L).otherwise(0L)).as("cnt_after"))
     val tot = counts
       .agg(sum(col("cnt_before")), sum(col("cnt_after"))).head
-    val (ta, tb) = (tot.getLong(0), tot.getLong(1))
-    val drift = (col("cnt_before").cast(DecimalType(38, 0)) * lit(tb) -
-      col("cnt_after").cast(DecimalType(38, 0)) * lit(ta)).as("drift_num")
+    val (totBefore, totAfter) = (tot.getLong(0), tot.getLong(1))
+    val drift = (col("cnt_before").cast(DecimalType(38, 0)) * lit(totAfter) -
+      col("cnt_after").cast(DecimalType(38, 0)) * lit(totBefore))
+      .as("drift_num")
     val top = counts
       .select(col("token"), col("cnt_before"), col("cnt_after"), drift)
       .orderBy(abs(col("drift_num")).desc, col("token"))
       .limit(topK)
+    // unpartitioned Window is fine here: input is post-limit(topK), ≤ topK
+    // rows on one partition — not a scale hazard
     top.withColumn("rank", row_number().over(
         Window.orderBy(abs(col("drift_num")).desc, col("token"))))
       .select(col("rank"), col("token"), col("cnt_before"), col("cnt_after"),
