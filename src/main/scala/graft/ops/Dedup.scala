@@ -247,21 +247,17 @@ object Dedup {
       fingerprint: Option[String] = None): Unit = {
     require(numHashes % rowsPerBand == 0, "numHashes % rowsPerBand != 0")
     val spark = corpus.sparkSession
-    val dest = new org.apache.hadoop.fs.Path(path)
-    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Build into a staging dir, publish by rename (IndexSidecar.publish):
-    // readers never see bands/sets mid-overwrite.
-    val tmp = IndexSidecar.stagingFor(dest)
-    val (bands, sh) = minhashOf(corpus, shingleK, numHashes, rowsPerBand)
-    bands.write.mode("overwrite").parquet(s"$tmp/bands")
-    sh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("s"))
-      .write.mode("overwrite").parquet(s"$tmp/sets")
-    corpus.select(md5(col("text").cast("binary")).as("th")).distinct()
-      .write.mode("overwrite").parquet(s"$tmp/texthash")
-    IndexSidecar.write(spark, metaPath(tmp.toString),
-      s"shingleK=$shingleK\nnumHashes=$numHashes\nrowsPerBand=$rowsPerBand" +
-        fingerprint.map(f => s"\nfingerprint=$f").getOrElse(""))
-    IndexSidecar.publish(fs, tmp, dest)
+    IndexSidecar.buildAndPublish(spark, path) { tmp =>
+      val (bands, sh) = minhashOf(corpus, shingleK, numHashes, rowsPerBand)
+      bands.write.mode("overwrite").parquet(s"$tmp/bands")
+      sh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("s"))
+        .write.mode("overwrite").parquet(s"$tmp/sets")
+      corpus.select(md5(col("text").cast("binary")).as("th")).distinct()
+        .write.mode("overwrite").parquet(s"$tmp/texthash")
+      IndexSidecar.write(spark, metaPath(tmp.toString),
+        s"shingleK=$shingleK\nnumHashes=$numHashes\nrowsPerBand=$rowsPerBand" +
+          fingerprint.map(f => s"\nfingerprint=$f").getOrElse(""))
+    }
   }
 
   /** D6 (index maintenance) — append a tick's ACCEPTED documents to a
@@ -308,14 +304,8 @@ object Dedup {
     * branch a working index off a shared base — e.g. a what-if ingest run
     * that appends ticks without touching the canonical index. */
   def copyMinhashIndex(
-      spark: org.apache.spark.sql.SparkSession, src: String, dst: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val from = new org.apache.hadoop.fs.Path(src)
-    val to = new org.apache.hadoop.fs.Path(dst)
-    org.apache.hadoop.fs.FileUtil.copy(
-      from.getFileSystem(conf), from, to.getFileSystem(conf), to,
-      false, true, conf)
-  }
+      spark: org.apache.spark.sql.SparkSession, src: String, dst: String): Unit =
+    IndexSidecar.copy(spark, src, dst)
 
   private def metaPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "_meta.txt")

@@ -5,7 +5,13 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
-/** Tiny text sidecars stored NEXT TO a persisted index's parquet data —
+/** The shared persisted-index lifecycle protocol — sidecar I/O, the
+  * staged-build/atomic-publish discipline, the fingerprint staleness
+  * gate, and whole-index copy — used by every index family (minhash,
+  * IVF, PQ, IVF-PQ, CMS, LM). One protocol here means a lifecycle fix
+  * cannot land in five families and miss the sixth.
+  *
+  * Sidecars are tiny text files stored NEXT TO the index's parquet data —
   * written through the Hadoop FileSystem resolved from the path itself, so
   * an index written to `hdfs://` or `s3a://` keeps its sidecar in the same
   * store as its cells (a `java.nio` write would silently land the sidecar
@@ -15,6 +21,43 @@ private[ops] object IndexSidecar {
 
   private def fs(spark: SparkSession, path: Path): FileSystem =
     path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Fingerprint staleness gate: true iff the sidecar exists and holds
+    * exactly `fingerprint` (modulo surrounding whitespace). A stale index
+    * (source rewritten since the build) or an unstamped one fails, so
+    * callers rebuild instead of silently serving from the wrong corpus. */
+  def matches(spark: SparkSession, sidecar: Path, fingerprint: String)
+      : Boolean =
+    fs(spark, sidecar).exists(sidecar) &&
+      read(spark, sidecar).trim == fingerprint
+
+  /** Whole-directory copy (data + sidecars), Hadoop-FS-portable — for
+    * run-scoped working copies branched off a shared base index (e.g. a
+    * what-if ingest run that appends ticks without touching the
+    * canonical index). */
+  def copy(spark: SparkSession, src: String, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val from = new Path(src)
+    val to = new Path(dst)
+    org.apache.hadoop.fs.FileUtil.copy(
+      from.getFileSystem(conf), from, to.getFileSystem(conf), to,
+      false, true, conf)
+    ()
+  }
+
+  /** The staged-build protocol in one call: `build` writes the whole
+    * index (data + sidecars) into a private staging sibling of `path`,
+    * which is then atomically published by rename — a reader never
+    * observes a partially-written index, and a failed build leaves the
+    * previous index untouched. */
+  def buildAndPublish(spark: SparkSession, path: String)
+      (build: Path => Unit): Unit = {
+    val dest = new Path(path)
+    val fsys = fs(spark, dest)
+    val tmp = stagingFor(dest)
+    build(tmp)
+    publish(fsys, tmp, dest)
+  }
 
   def write(spark: SparkSession, path: Path, text: String): Unit = {
     val out = fs(spark, path).create(path, true)

@@ -208,19 +208,17 @@ object Quality {
       docs: DataFrame, path: String,
       fingerprint: Option[String] = None): Unit = {
     val spark = docs.sparkSession
-    val dest = new org.apache.hadoop.fs.Path(path)
-    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = IndexSidecar.stagingFor(dest)
-    docs.select(explode(split(col("text"), " ")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("c"))
-      .write.mode("overwrite").parquet(tmp.toString)
-    val totals = spark.read.parquet(tmp.toString)
-      .agg(sum(col("c")), count(lit(1))).head()
-    val n = if (totals.isNullAt(0)) 0L else totals.getLong(0)
-    IndexSidecar.write(spark, lmParamsPath(tmp), s"$n ${totals.getLong(1)}")
-    fingerprint.foreach(f =>
-      IndexSidecar.write(spark, lmFingerprintPath(tmp), f))
-    IndexSidecar.publish(fs, tmp, dest)
+    IndexSidecar.buildAndPublish(spark, path) { tmp =>
+      docs.select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      val totals = spark.read.parquet(tmp.toString)
+        .agg(sum(col("c")), count(lit(1))).head()
+      val n = if (totals.isNullAt(0)) 0L else totals.getLong(0)
+      IndexSidecar.write(spark, lmParamsPath(tmp), s"$n ${totals.getLong(1)}")
+      fingerprint.foreach(f =>
+        IndexSidecar.write(spark, lmFingerprintPath(tmp), f))
+    }
   }
 
   /** Build-once gate: true iff a model exists at `path` whose fingerprint
@@ -229,12 +227,9 @@ object Quality {
     * serve this month's bench). */
   def lmModelMatches(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      fingerprint: String): Boolean = {
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(lmFingerprintPath(dir)) &&
-      IndexSidecar.read(spark, lmFingerprintPath(dir)).trim == fingerprint
-  }
+      fingerprint: String): Boolean =
+    IndexSidecar.matches(spark,
+      lmFingerprintPath(new org.apache.hadoop.fs.Path(path)), fingerprint)
 
   /** Q4 — score a batch against the FROZEN persisted model. Unlike
     * [[lmPerplexity]] (self-trained, every token seen), scoring new data

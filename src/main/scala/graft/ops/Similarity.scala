@@ -275,15 +275,18 @@ object Similarity {
       fingerprint: Option[String] = None): Unit = {
     val corpus = normalizedCorpus(embeddings)
     val centroids = centroidVectors(corpus, numCentroids)
-    corpus.withColumn("cell",
-        array_max(cellScores(col("v"), centroids)).getField("c"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
-    val text = centroids.map { case (i, v) =>
-      s"$i:${v.mkString(",")}"
-    }.mkString("\n")
-    IndexSidecar.write(embeddings.sparkSession, centroidsPath(path), text)
-    fingerprint.foreach(f => IndexSidecar.write(
-      embeddings.sparkSession, fingerprintPath(path), f))
+    IndexSidecar.buildAndPublish(embeddings.sparkSession, path) { tmp =>
+      corpus.withColumn("cell",
+          array_max(cellScores(col("v"), centroids)).getField("c"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+      val text = centroids.map { case (i, v) =>
+        s"$i:${v.mkString(",")}"
+      }.mkString("\n")
+      IndexSidecar.write(
+        embeddings.sparkSession, centroidsPath(tmp.toString), text)
+      fingerprint.foreach(f => IndexSidecar.write(
+        embeddings.sparkSession, fingerprintPath(tmp.toString), f))
+    }
   }
 
   /** Append new vectors to a persisted [[writeIvfIndex]] index. The coarse
@@ -308,23 +311,14 @@ object Similarity {
     * instead of serving from the wrong corpus. */
   def ivfIndexMatches(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      fingerprint: String): Boolean = {
-    val p = fingerprintPath(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) &&
-      IndexSidecar.read(spark, p) == fingerprint
-  }
+      fingerprint: String): Boolean =
+    IndexSidecar.matches(spark, fingerprintPath(path), fingerprint)
 
   /** Copy a persisted IVF index (cells + sidecars) to a new location —
     * branch a working index off a shared base (Hadoop-FS-portable). */
   def copyIvfIndex(
-      spark: org.apache.spark.sql.SparkSession, src: String, dst: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val from = new org.apache.hadoop.fs.Path(src)
-    val to = new org.apache.hadoop.fs.Path(dst)
-    org.apache.hadoop.fs.FileUtil.copy(
-      from.getFileSystem(conf), from, to.getFileSystem(conf), to,
-      false, true, conf)
-  }
+      spark: org.apache.spark.sql.SparkSession, src: String, dst: String): Unit =
+    IndexSidecar.copy(spark, src, dst)
 
   private def centroidsPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "_centroids.txt")
@@ -500,13 +494,16 @@ object Similarity {
       embeddings: DataFrame, path: String, m: Int = 8, numCodes: Int = 16,
       fingerprint: Option[String] = None): Unit = {
     val cb = pqCodebook(embeddings, numCodes)
-    pqEncode(embeddings, cb, m)
-      .write.mode("overwrite").parquet(codesPath(path).toString)
-    val text = cb.zipWithIndex
-      .map { case (v, i) => s"$i:${v.mkString(",")}" }.mkString("\n")
-    IndexSidecar.write(embeddings.sparkSession, codebookPath(path), text)
-    fingerprint.foreach(f => IndexSidecar.write(
-      embeddings.sparkSession, fingerprintPath(path), f))
+    IndexSidecar.buildAndPublish(embeddings.sparkSession, path) { tmp =>
+      pqEncode(embeddings, cb, m)
+        .write.mode("overwrite").parquet(codesPath(tmp.toString).toString)
+      val text = cb.zipWithIndex
+        .map { case (v, i) => s"$i:${v.mkString(",")}" }.mkString("\n")
+      IndexSidecar.write(
+        embeddings.sparkSession, codebookPath(tmp.toString), text)
+      fingerprint.foreach(f => IndexSidecar.write(
+        embeddings.sparkSession, fingerprintPath(tmp.toString), f))
+    }
   }
 
   /** Append new vectors to a persisted PQ index with the codebook FROZEN —
@@ -535,11 +532,8 @@ object Similarity {
     * `fingerprint`. */
   def pqIndexMatches(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      fingerprint: String): Boolean = {
-    val p = fingerprintPath(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) &&
-      IndexSidecar.read(spark, p) == fingerprint
-  }
+      fingerprint: String): Boolean =
+    IndexSidecar.matches(spark, fingerprintPath(path), fingerprint)
 
   /** ADC top-k served from a persisted code table: identical scoring to
     * [[pqTopK]], but the corpus side is the stored codes — no raw-vector
@@ -580,19 +574,22 @@ object Similarity {
     val dims = cb.head.length
     require(dims % m == 0, s"dims $dims not divisible by m $m")
     graft.functions.VectorFunctions.register(spark)
-    corpus
-      .withColumn("cell",
-        array_max(cellScores(col("v"), centroids)).getField("c"))
-      .select(col("vec_id"),
-        pqCodes(col("v"), m, dims / m, cb).as("cs"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
-    IndexSidecar.write(spark, centroidsPath(path),
-      centroids.map { case (i, v) => s"$i:${v.mkString(",")}" }.mkString("\n"))
-    IndexSidecar.write(spark, codebookPath(path),
-      cb.zipWithIndex.map { case (v, i) => s"$i:${v.mkString(",")}" }
-        .mkString("\n"))
-    fingerprint.foreach(f =>
-      IndexSidecar.write(spark, fingerprintPath(path), f))
+    IndexSidecar.buildAndPublish(spark, path) { tmp =>
+      corpus
+        .withColumn("cell",
+          array_max(cellScores(col("v"), centroids)).getField("c"))
+        .select(col("vec_id"),
+          pqCodes(col("v"), m, dims / m, cb).as("cs"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+      IndexSidecar.write(spark, centroidsPath(tmp.toString),
+        centroids.map { case (i, v) => s"$i:${v.mkString(",")}" }
+          .mkString("\n"))
+      IndexSidecar.write(spark, codebookPath(tmp.toString),
+        cb.zipWithIndex.map { case (v, i) => s"$i:${v.mkString(",")}" }
+          .mkString("\n"))
+      fingerprint.foreach(f =>
+        IndexSidecar.write(spark, fingerprintPath(tmp.toString), f))
+    }
   }
 
   /** Append new vectors to an IVF-PQ index with BOTH quantizers frozen —

@@ -192,15 +192,13 @@ object Sketches {
       depth: Int = 4, width: Int = 256,
       fingerprint: Option[String] = None): Unit = {
     val spark = df.sparkSession
-    val dest = new org.apache.hadoop.fs.Path(path)
-    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = IndexSidecar.stagingFor(dest)
-    cmsBuild(df, valueCol, depth, width)
-      .write.mode("overwrite").parquet(tmp.toString)
-    IndexSidecar.write(spark, cmsParamsPath(tmp), s"$depth $width")
-    fingerprint.foreach(f =>
-      IndexSidecar.write(spark, cmsFingerprintPath(tmp), f))
-    IndexSidecar.publish(fs, tmp, dest)
+    IndexSidecar.buildAndPublish(spark, path) { tmp =>
+      cmsBuild(df, valueCol, depth, width)
+        .write.mode("overwrite").parquet(tmp.toString)
+      IndexSidecar.write(spark, cmsParamsPath(tmp), s"$depth $width")
+      fingerprint.foreach(f =>
+        IndexSidecar.write(spark, cmsFingerprintPath(tmp), f))
+    }
   }
 
   /** Fold new occurrences into a persisted sketch WITHOUT a rebuild:
@@ -234,11 +232,9 @@ object Sketches {
     * .pqIndexMatches]]. */
   def cmsSketchMatches(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      fingerprint: String): Boolean = {
-    val p = cmsFingerprintPath(new org.apache.hadoop.fs.Path(path))
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) &&
-      IndexSidecar.read(spark, p) == fingerprint
-  }
+      fingerprint: String): Boolean =
+    IndexSidecar.matches(spark,
+      cmsFingerprintPath(new org.apache.hadoop.fs.Path(path)), fingerprint)
 
   private def cmsStoredParams(
       spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int) = {
@@ -252,14 +248,8 @@ object Sketches {
     * contract. */
   def copyCmsSketch(
       spark: org.apache.spark.sql.SparkSession,
-      src: String, dst: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val from = new org.apache.hadoop.fs.Path(src)
-    val to = new org.apache.hadoop.fs.Path(dst)
-    org.apache.hadoop.fs.FileUtil.copy(
-      from.getFileSystem(conf), from, to.getFileSystem(conf), to,
-      false, true, conf)
-  }
+      src: String, dst: String): Unit =
+    IndexSidecar.copy(spark, src, dst)
 
   private def cmsParamsPath(dir: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(dir, "_cms_params.txt")
