@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Streaming retention cohorts — the incremental counterpart of
+  * [[graft.ops.Events.retentionCohorts]] (SURVEY §7.2 M6 extension; the
+  * last events-family batch operator without a streaming twin). The
+  * retention triangle updates live as events arrive instead of waiting
+  * for a nightly batch.
+  *
+  * Contract: users are cohorted by the time bucket of their FIRST
+  * activity (bucket = micros DIV `bucketMicros`); each (cohort,
+  * week_offset) cell counts the distinct cohort members active that many
+  * buckets later, for offsets ≤ `maxOffset` (the horizon — production
+  * retention reports cap at N periods; the cap is also what bounds the
+  * state, see below). After all data is processed the cells equal the
+  * batch operator's output filtered to `week_offset <= maxOffset`,
+  * REGARDLESS of arrival order.
+  *
+  * Order-independence via retractions: a user's cohort can move DOWN when
+  * an earlier event arrives late. The per-user stage then emits -1 deltas
+  * for every cell it had credited under the old cohort and +1 deltas for
+  * the same activity re-based on the new cohort, and the downstream sum
+  * converges to the batch answer — the classic delta-stream formulation,
+  * which is why this stage emits (cohort, week_offset, delta) rather than
+  * counts.
+  *
+  * State discipline at scale — bounded by USERS + TRIANGLE, not events:
+  *   - per user: first-seen bucket + a `maxOffset`-bit activity bitmask —
+  *     ONE small record per user forever (≤ 2 longs; the
+  *     [[StreamingSessions]]/[[StreamingFunnel]] user-cardinality class).
+  *     Activity beyond the horizon mutates nothing (the bit is out of
+  *     mask range), so per-user state does NOT grow with stream length.
+  *   - cells: the downstream sum keys on (cohort, week_offset) —
+  *     #cohorts × (maxOffset+1), the size of the retention report itself.
+  * [[graft.tools.StreamingScaleProof]] measures both flat across
+  * 1×/10×/100× time-extended decades.
+  */
+object StreamingRetention {
+
+  /** One activity event: any event type counts as activity (mirroring the
+    * batch operator, which does not filter on type). */
+  final case class REv(user_id: Long, ts: Long)
+
+  /** Per-user state: first-seen bucket + bitmask of offsets active
+    * (bit i = offset i seen, i ∈ [0, maxOffset ≤ 62]). */
+  final case class RetState(cohort: Long, mask: Long)
+
+  /** One cell credit/retraction. */
+  final case class CellDelta(cohort: Long, week_offset: Long, delta: Long)
+
+  /** Stage 1 — per-user delta stream. Emits exactly one +1 per NEW
+    * (user, in-horizon offset), plus -1/+1 retraction pairs when a late
+    * earlier event moves the user's cohort down. Deliberately
+    * watermark-free: the retraction protocol makes the result
+    * order-independent with NO lateness contract (unlike the
+    * finalize-once twins, nothing here is emitted "final"), and the
+    * per-user record must never time out — eviction would re-cohort a
+    * returning user. */
+  def retentionDeltas(
+      events: Dataset[REv],
+      bucketMicros: Long,
+      maxOffset: Int = 62): Dataset[CellDelta] = {
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    require(maxOffset >= 0 && maxOffset <= 62,
+      "maxOffset must be in [0, 62] for the bitmask state")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetState, CellDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state) =>
+          var cohort = state.getOption.map(_.cohort).getOrElse(Long.MaxValue)
+          var mask = state.getOption.map(_.mask).getOrElse(0L)
+          val out = collection.mutable.ArrayBuffer.empty[CellDelta]
+          def credit(off: Long): Unit =
+            if (off <= maxOffset && (mask & (1L << off)) == 0L) {
+              mask |= (1L << off)
+              out += CellDelta(cohort, off, 1L)
+            }
+          rows.foreach { e =>
+            // floorDiv: negative timestamps must bucket consistently with
+            // the batch operator's integer DIV
+            val b = Math.floorDiv(e.ts, bucketMicros)
+            if (cohort == Long.MaxValue) {
+              cohort = b; credit(0L)
+            } else if (b >= cohort) {
+              credit(b - cohort)
+            } else {
+              // late earlier activity: cohort moves down — retract every
+              // credited cell and re-base the activity on the new cohort
+              var i = 0
+              var newMask = 0L
+              while (i <= maxOffset) {
+                if ((mask & (1L << i)) != 0L) {
+                  out += CellDelta(cohort, i.toLong, -1L)
+                  val newOff = cohort + i - b
+                  if (newOff <= maxOffset) {
+                    newMask |= (1L << newOff)
+                    out += CellDelta(b, newOff, 1L)
+                  } // beyond the horizon under the new cohort: drops out,
+                    // exactly as the batch filter would
+                }
+                i += 1
+              }
+              cohort = b; mask = newMask
+              credit(0L)
+            }
+          }
+          state.update(RetState(cohort, mask))
+          out.iterator
+      }
+  }
+
+  /** Stage 2 — the live retention triangle: cells summed from the delta
+    * stream. Run with complete output mode; read `active_users > 0` (a
+    * fully-retracted cell nets to zero, it was never real). */
+  def retentionCells(deltas: Dataset[CellDelta]): DataFrame =
+    deltas.toDF()
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(sum(col("delta")).as("active_users"))
+}

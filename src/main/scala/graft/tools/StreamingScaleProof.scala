@@ -163,7 +163,51 @@ object StreamingScaleProof {
       sessPeakRows: Long, sessPeakBytes: Long, sessOut: Long, sessSec: Double,
       winPeakRows: Long, winPeakBytes: Long, winOut: Long, winSec: Double,
       asofPeakRows: Long, asofPeakBytes: Long, asofOut: Long, asofSec: Double,
-      funPeakRows: Long, funOut: Long, funSec: Double)
+      funPeakRows: Long, funOut: Long, funSec: Double,
+      retPeakRows: Long, retCells: Long, retSec: Double)
+
+    // retention twin: per-user first-seen records + the (cohort, offset)
+    // cell aggregate, horizon = the base span (29 daily offsets). Copies
+    // ≥ 2 sit ≥ shift (31 days) past every user's first-seen bucket —
+    // beyond the horizon — so the TRIANGLE ITSELF is k-invariant: state
+    // peaks AND final cells must be flat across decades.
+    val retDayUs = 86400L * 1000000L
+    val retMaxOffset = 29
+    // inline cell oracle: canon's ts is ALREADY micros-as-long, and
+    // Events.retentionCohorts runs tsMicros internally (which would read a
+    // LongType as legacy nanos and divide again) — so replicate the
+    // distinct-pair/cohort/offset logic directly on the micros
+    val baseRetCells = {
+      val pairs = canon
+        .select(col("user_id"), expr(s"ts DIV ${retDayUs}L").as("bucket"))
+        .distinct()
+      val firstSeen = pairs.groupBy(col("user_id"))
+        .agg(min(col("bucket")).as("cohort"))
+      pairs.join(firstSeen, Seq("user_id"))
+        .select(col("cohort"), (col("bucket") - col("cohort")).as("off"))
+        .where(col("off") <= retMaxOffset)
+        .distinct().count()
+    }
+    def runRetention(name: String, dir: String): (Long, Long, Long, Double) = {
+      peaks.reset()
+      val in = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val tS = System.nanoTime()
+      val q = graft.streaming.StreamingRetention.retentionCells(
+          graft.streaming.StreamingRetention.retentionDeltas(
+            in.select(col("user_id"), col("ts"))
+              .as[graft.streaming.StreamingRetention.REv],
+            retDayUs, maxOffset = retMaxOffset))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$scratch/ckpt/$name")
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      q.stop()
+      val sec = (System.nanoTime() - tS) / 1e9
+      Thread.sleep(1000)
+      val cells = spark.table(name).where(col("active_users") > 0).count()
+      (peaks.peakRows.get, peaks.peakBytes.get, cells, sec)
+    }
 
     val basePurchases =
       canon.where(col("event_type") === "purchase").count()
@@ -224,15 +268,22 @@ object StreamingScaleProof {
       require(fo >= baseFunnelUsers && fo <= baseFunnelUsers + 2,
         s"x$k funnel rows $fo outside [$baseFunnelUsers, " +
           s"${baseFunnelUsers + 2}] — emit-once violated")
+      // retention: cells beyond copy 1 are out of horizon, so the final
+      // triangle is k-invariant (+2 slack for the sentinel user's cells)
+      val (rr, rb, rc, rs) = runRetention(s"ret_x$k", dir)
+      require(rc >= baseRetCells && rc <= baseRetCells + 2,
+        s"x$k retention cells $rc outside [$baseRetCells, " +
+          s"${baseRetCells + 2}] — triangle grew past the horizon")
       println(f"[stream-proof] x$k%-3d sessions: peak_state_rows=$sr " +
         f"peak_state_bytes=$sb out=$so batches=$sn sec=$ss%.1f | " +
         f"windows: peak_state_rows=$wr peak_state_bytes=$wb out=$wo " +
         f"batches=$wn sec=$ws%.1f | asof: peak_state_rows=$ar " +
         f"peak_state_bytes=$ab out=$ao batches=$an sec=${as_}%.1f | " +
         f"funnel: peak_state_rows=$fr peak_state_bytes=$fb out=$fo " +
-        f"batches=$fn sec=$fs%.1f")
+        f"batches=$fn sec=$fs%.1f | retention: peak_state_rows=$rr " +
+        f"peak_state_bytes=$rb cells=$rc sec=$rs%.1f")
       Decade(k, nEv * k, sr, sb, so, ss, wr, wb, wo, ws, ar, ab, ao, as_,
-        fr, fo, fs)
+        fr, fo, fs, rr, rc, rs)
     }
 
     // ---- the bounded-state gate: peaks must be FLAT across decades -----
@@ -250,6 +301,9 @@ object StreamingScaleProof {
       require(r.funPeakRows <= r1.funPeakRows * 3 / 2 + 8,
         s"funnel state grew with event volume: x${r.k} peak " +
           s"${r.funPeakRows} vs x${r1.k} peak ${r1.funPeakRows}")
+      require(r.retPeakRows <= r1.retPeakRows * 3 / 2 + 8,
+        s"retention state grew with event volume: x${r.k} peak " +
+          s"${r.retPeakRows} vs x${r1.k} peak ${r1.retPeakRows}")
     }
     // sessions state is keyed by user: the peak can never exceed the
     // active-key population (+ sentinel + slack for the numbering stubs)

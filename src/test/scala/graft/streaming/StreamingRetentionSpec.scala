@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+import StreamingRetention.{CellDelta, REv}
+
+/** Equivalence of the streaming retention triangle with the batch
+  * [[graft.ops.Events.retentionCohorts]] on the real event log under
+  * SCRAMBLED chunk replay (the delta/retraction protocol makes arrival
+  * order irrelevant), plus the cohort-lowering retraction unit case. */
+class StreamingRetentionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private val dayUs = 86400L * 1000000L
+
+  private def runCells(chunks: Seq[Seq[REv]], bucketMicros: Long,
+      maxOffset: Int, name: String): Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[REv]
+    val q = StreamingRetention.retentionCells(
+        StreamingRetention.retentionDeltas(in.toDS(), bucketMicros, maxOffset))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    spark.table(name).where(col("active_users") > 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("cells equal the batch retention triangle under scrambled replay") {
+    import spark.implicits._
+    val eventsDf = Tables.load(spark, sf, "events")
+    val events = graft.ops.Events.tsMicros(eventsDf)
+      .select(col("user_id"), col("ts")).as[REv]
+      .collect().sortBy(_.ts).toSeq
+    val n = events.length
+    // chunks replayed OUT of time order, each reversed: late-arriving
+    // earlier activity exercises the cohort-lowering retractions both
+    // within a micro-batch and across micro-batches
+    val chunks = Seq(
+      events.slice(2 * n / 3, n).reverse,
+      events.slice(0, n / 3).reverse,
+      events.slice(n / 3, 2 * n / 3).reverse)
+    val streamed = runCells(chunks, dayUs, 62, "retention_equiv")
+    val batch = graft.ops.Events.retentionCohorts(eventsDf, dayUs)
+      .where(col("week_offset") <= 62)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(batch.exists(_._2 > 0)) // non-trivial triangle depth
+  }
+
+  test("late earlier event lowers the cohort and retracts stale cells") {
+    // user 1 appears at bucket 5, then 7; a late bucket-2 event re-bases
+    // everything: cells (5,0)+(5,2) retract, (2,0)+(2,3)+(2,5) credit
+    val chunks = Seq(
+      Seq(REv(1L, 5 * dayUs), REv(1L, 7 * dayUs)),
+      Seq(REv(1L, 2 * dayUs + 1L)))
+    val cells = runCells(chunks, dayUs, 62, "retention_retract")
+    assert(cells == Set((2L, 0L, 1L), (2L, 3L, 1L), (2L, 5L, 1L)))
+  }
+
+  test("offsets beyond the horizon drop, and re-basing respects the cap") {
+    // maxOffset=3: bucket 9 is beyond the horizon from cohort 5 -> no cell;
+    // after the late bucket-4 event, bucket 5 re-bases to offset 1 and
+    // bucket 9 stays out of cap (offset 5)
+    val chunks = Seq(
+      Seq(REv(1L, 5 * dayUs), REv(1L, 9 * dayUs)),
+      Seq(REv(1L, 4 * dayUs)))
+    val cells = runCells(chunks, dayUs, 3, "retention_cap")
+    assert(cells == Set((4L, 0L, 1L), (4L, 1L, 1L)))
+  }
+}
