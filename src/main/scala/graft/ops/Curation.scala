@@ -81,7 +81,10 @@ object Curation {
     * Scale shape: stage-1 survivors are persisted (MEMORY_AND_DISK) —
     * they feed three consumers (LM training, LM scoring, the final
     * rollup) and re-running the scan+gates per consumer would triple the
-    * corpus reads; the harness's per-query unpersist reclaims it. After
+    * corpus reads; the harness's per-query unpersist reclaims it. (r8
+    * audit, PLANS.md: the persist is load-bearing — the consumers need
+    * the survivor ROWS, so an Observation-based shortcut cannot replace
+    * it; both broadcast joins keep text off any doc_id shuffle.) After
     * that: the ns61 wordcount/join/rollup on the SURVIVOR subset, one
     * doc_id join to attach nll, and the dedup groupBy(text) — every
     * exchange narrow or keyed, nothing pairwise.

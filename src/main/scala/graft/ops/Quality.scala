@@ -65,10 +65,12 @@ object Quality {
     val v = totals.getLong(1)
     val nv = math.max(n + v, 1L).toDouble
     val meanNll = col("s") / lit(1e6) / col("n_tokens")
-    toks.join(counts, "tok")
-      .withColumn("nll_micro",
+    // nll is a function of the token's COUNT, so it is quantized on the
+    // vocab-cardinality count table (one log per distinct token), not per
+    // token instance — the join then carries the precomputed micro-nats
+    toks.join(counts.withColumn("nll_micro",
         round(-log((col("c") + 1).cast("double") / lit(nv)) * 1e6, 0)
-          .cast("long"))
+          .cast("long")), "tok")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("nll_micro")).as("s"))
       // display rounding in EXACT integer arithmetic: the mean s/n is a
@@ -156,15 +158,25 @@ object Quality {
     * fused model pipeline ([[Curation.curateModel]]), so both compute the
     * identical exact-integer fold. */
   private[ops] def inlineMilliSum(buckets: Int): (Column, Column) = {
+    // The weight is a pure function of the bucket id, so the `buckets`-row
+    // weight table is materialized ONCE driver-side and shipped as a
+    // codegen literal array — the in-row analogue of broadcasting the
+    // model. The per-token fold then pays one md5 (the token's bucket)
+    // instead of two; values are bit-identical to the join form's
+    // md5-derived table (spec-pinned).
+    val weights = (0 until buckets).map { b =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"w:$b".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 2001 - 1000
+    }
+    val wArr = array(weights.map(lit): _*)
     val bucketOf = (t: Column) =>
       pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
         lit(buckets.toLong))
-    val wMilli = (t: Column) =>
-      conv(substring(md5(concat(lit("w:"), bucketOf(t).cast("string"))),
-        1, 15), 16, 10).cast("long") % 2001 - 1000
     val toksCol = split(col("text"), " ")
     (size(toksCol).cast("long"),
-      aggregate(toksCol, lit(0L), (acc, t) => acc + wMilli(t)))
+      aggregate(toksCol, lit(0L),
+        (acc, t) => acc + element_at(wArr, (bucketOf(t) + 1).cast("int"))))
   }
 
   /** sigmoid(gain · s/1000/n) on the named integer columns — the single
@@ -257,10 +269,16 @@ object Quality {
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
     val meanNll = col("s") / lit(1e6) / col("n_tokens")
-    toks.join(spark.read.parquet(path), Seq("tok"), "left")
+    // in-vocab nll precomputed per distinct model token (one log per vocab
+    // entry, not per token instance); OOV tokens take the constant floor
+    // same HALF_UP-on-decimal-string rounding as Spark's round(_, 0)
+    val floorMicro = BigDecimal(-math.log(1.0 / nv) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    toks.join(spark.read.parquet(path).withColumn("nll_micro",
+        round(-log((col("c") + 1).cast("double") / lit(nv)) * 1e6, 0)
+          .cast("long")), Seq("tok"), "left")
       .withColumn("nll_micro",
-        round(-log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
-          lit(nv)) * 1e6, 0).cast("long"))
+        coalesce(col("nll_micro"), lit(floorMicro)))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("nll_micro")).as("s"),
         sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov"))
