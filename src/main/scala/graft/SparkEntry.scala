@@ -1083,6 +1083,40 @@ object SparkEntry {
   private def ns76(s: SparkSession, dir: String): DataFrame =
     graft.ops.Curation.describeCorpus(docs(s, dir))
 
+  /** NS77 — per-HOST reputation gate ([[graft.ops.Urls.hostReputation]]):
+    * pages are released only if their host has enough pages (≥ 3) and a
+    * duplicate rate ≤ 500‰ — the Gopher/RefinedWeb host-level filter. The
+    * synthesis spreads docs over seven hosts (two url spellings each, so
+    * the host normalization is load-bearing), makes host `h0` a template
+    * farm (every page the same body → dup gate kills it) and gives
+    * doc 0 a singleton host (min-docs gate kills it). One
+    * (host, digest)-keyed count-distinct + an AQE-broadcast stats join
+    * back; the text column reduces to its md5 before any exchange. */
+  private def ns77(s: SparkSession, dir: String): DataFrame = {
+    val g = (col("doc_id") % 7).cast("string")
+    val url = when(col("doc_id") === 0,
+        lit("https://lonely.example.org/only"))
+      .when(col("doc_id") % 2 === 0,
+        concat(lit("HTTPS://WWW.h"), g, lit(".Example.org:443/p/"),
+          col("doc_id").cast("string")))
+      .otherwise(concat(lit("https://h"), g, lit(".example.org/p/"),
+        col("doc_id").cast("string")))
+    graft.ops.Urls.hostReputation(
+      docs(s, dir).select(col("doc_id"), url.as("url"),
+        when(col("doc_id") % 7 === 0, lit("cheap spam page body"))
+          .otherwise(col("text")).as("text")),
+      minDocs = 3, maxDupPermille = 500)
+  }
+
+  /** NS78 — per-source TOKEN-BUDGET cap
+    * ([[graft.ops.Sampling.capBySource]]): every source contributes at
+    * most 800 tokens (the sf0.01 sources run ~1.3k each, so the gate binds on every source), admitted in deterministic hash order — the
+    * data-mixing guard stated as a budget instead of a rate. One
+    * source-keyed shuffle + running-sum window, the packSequences
+    * pattern. */
+  private def ns78(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.capBySource(docs(s, dir), capTokens = 800L)
+
   /** NS64 — persisted LM model lifecycle: the ns59 two-phase pattern for
     * perplexity serving. The model trains ONCE on the even-doc_id half of
     * the corpus (fingerprint-gated, atomic publish), then the whole corpus
@@ -1193,6 +1227,8 @@ object SparkEntry {
     "ns74_events_funnel" -> (ns74 _),
     "ns75_events_retention" -> (ns75 _),
     "ns76_dataset_card" -> (ns76 _),
+    "ns77_host_reputation" -> (ns77 _),
+    "ns78_source_token_cap" -> (ns78 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2313,5 +2349,41 @@ object SparkEntry {
          |FROM cust c JOIN g ON c.segment IS NOT DISTINCT FROM g.segment
          |  AND c.region IS NOT DISTINCT FROM g.region
          |ORDER BY c_custkey""".stripMargin),
+    // ns77 replays the url synthesis, the hostOf normalization, the
+    // (host, md5)-distinct stats, and both release gates.
+    "ns77_host_reputation" ->
+      ("""WITH p AS (SELECT doc_id,
+         |  CASE WHEN doc_id = 0 THEN 'https://lonely.example.org/only'
+         |       WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.h' || (doc_id % 7) || '.Example.org:443/p/' || doc_id
+         |       ELSE 'https://h' || (doc_id % 7) || '.example.org/p/' || doc_id END AS url,
+         |  CASE WHEN doc_id % 7 = 0 THEN 'cheap spam page body' ELSE text END AS t
+         |  FROM documents),
+         |h AS (SELECT doc_id, t,
+         |  CASE WHEN scheme = 'http' THEN regexp_replace(nw, ':80$', '')
+         |       WHEN scheme = 'https' THEN regexp_replace(nw, ':443$', '')
+         |       ELSE nw END AS host
+         |  FROM (SELECT doc_id, t,
+         |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |    regexp_replace(lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS nw
+         |    FROM (SELECT doc_id, t, regexp_replace(url, '#.*$', '') AS nf FROM p))),
+         |g AS (SELECT host, count(*) AS host_docs,
+         |  ((count(*) - count(DISTINCT md5(t))) * 1000 // count(*))::BIGINT AS dup_permille
+         |  FROM h GROUP BY 1),
+         |r AS (SELECT * FROM g WHERE host_docs >= 3 AND dup_permille <= 500)
+         |SELECT h.doc_id, h.host, r.host_docs, r.dup_permille
+         |FROM h JOIN r USING (host) ORDER BY doc_id""".stripMargin),
+    // ns78 replays the hash-ordered running token sum and the budget gate.
+    "ns78_source_token_cap" ->
+      ("""WITH d AS (SELECT doc_id, source,
+         |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+         |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hk
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |  (sum(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    - n_tokens)::BIGINT AS cum_before
+         |  FROM d)
+         |SELECT doc_id, source, n_tokens, cum_before FROM c
+         |WHERE cum_before < 800 ORDER BY doc_id""".stripMargin),
   )
 }

@@ -229,4 +229,46 @@ object Sampling {
         expr(s"off DIV $tokenBudget").as("seq_id"),
         (col("off") % tokenBudget).as("seq_off"))
   }
+
+  /** C7 — per-source TOKEN-BUDGET cap: every source contributes at most
+    * `capTokens` tokens to the release — the data-mixing guard against an
+    * over-represented source (one giant crawl dump must not drown the
+    * mixture; rate-based downsampling ([[stratifiedSample]]) needs the
+    * rate precomputed per source, a token CAP is the budget stated
+    * directly). Docs are admitted in deterministic HASH order
+    * ([[hash60Col]] of the key, tie-broken by the key) — an unbiased
+    * shuffle of each source that is stable across runs, partitionings,
+    * and engines — and a doc is kept iff the running token total BEFORE
+    * it is under the cap (so the first doc of a source always fits, and
+    * one oversized doc cannot starve the source).
+    *
+    * Output: (doc_id, source, n_tokens, cum_before) for the released
+    * docs, ordered by doc_id. Exact integer arithmetic throughout.
+    *
+    * Scale shape: ONE shuffle (hash by source) + the in-partition sort
+    * for the running-sum window — identical to [[packSequences]]'s
+    * pattern; sources bound the partition count and AQE handles a skewed
+    * source. */
+  def capBySource(
+      docs: DataFrame,
+      capTokens: Long,
+      strataCol: String = "source",
+      keyCol: String = "doc_id",
+      tokenCountCol: Option[String] = None): DataFrame = {
+    require(capTokens > 0, "capTokens must be positive")
+    val nTokens = tokenCountCol
+      .map(c => col(c).cast("long"))
+      .getOrElse(size(split(col("text"), " ")).cast("long"))
+    val w = Window.partitionBy(strataCol)
+      .orderBy(hash60Col(col(keyCol)), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(keyCol), col(strataCol), nTokens.as("n_tokens"))
+      .withColumn("cum_before",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .where(col("cum_before") < capTokens)
+      .select(col(keyCol), col(strataCol), col("n_tokens"),
+        col("cum_before"))
+      .orderBy(col(keyCol))
+  }
 }

@@ -76,4 +76,67 @@ object Urls {
       .agg(min(col(keyCol)).as(keyCol), count(lit(1)).as("n_copies"))
       .select(col(keyCol), col("canonical_url"), col("n_copies"))
       .orderBy(col(keyCol))
+
+  /** The HOST of a url under the same normalization as [[canonicalize]]
+    * steps 2-3 (lowercase, `www.` and default-port stripped) — the
+    * grouping key for host-level corpus policy. Non-absolute urls yield
+    * the empty string (grouped together, killed by any sane gate). */
+  def hostOf(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostRaw = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val noWww = regexp_replace(hostRaw, "^www\\.", "")
+    when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+  }
+
+  /** U3 — per-HOST reputation gate (the Gopher/RefinedWeb recipe): web
+    * corpora are filtered at host granularity before page granularity,
+    * because spam concentrates by host — a domain that serves thousands
+    * of near-identical pages is disqualified wholesale, cheaper and
+    * more robust than judging each of its pages alone.
+    *
+    * A page is released iff its host's group passes BOTH gates:
+    * ≥ `minDocs` pages (too-small hosts carry no statistical signal and
+    * are the classic link-farm shape), and an exact-integer duplicate
+    * rate `dup_permille = (n_docs − distinct texts)·1000 DIV n_docs`
+    * ≤ `maxDupPermille` (template/mirror farms die here). Released rows
+    * are annotated with the host and its stats for release auditing —
+    * the [[Privacy.kAnonymize]] output contract applied to host policy.
+    *
+    * Scale shape: the host stats are ONE (host, text-md5)-keyed
+    * count-distinct (two-phase aggregate; the wide text reduces to a
+    * 16-byte digest BEFORE any exchange, so the text column never rides
+    * a shuffle), gated to a host-cardinality frame that AQE broadcasts
+    * back onto the page scan — the corpus shuffles at most once, not at
+    * all while the stats side broadcasts. Exact integer arithmetic only
+    * (permille, not a float ratio), so the gate is engine-reproducible
+    * bit-for-bit. */
+  def hostReputation(
+      pages: DataFrame,
+      urlCol: String = "url",
+      textCol: String = "text",
+      keyCol: String = "doc_id",
+      minDocs: Int = 3,
+      maxDupPermille: Int = 500): DataFrame = {
+    require(minDocs >= 1, "minDocs must be >= 1")
+    require(maxDupPermille >= 0 && maxDupPermille <= 1000,
+      "maxDupPermille must be in [0, 1000]")
+    val withHost = pages.withColumn("host", hostOf(col(urlCol)))
+    val stats = withHost
+      .select(col("host"), md5(col(textCol).cast("binary")).as("th"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("host_docs"),
+        count_distinct(col("th")).as("host_distinct"))
+      .withColumn("dup_permille",
+        expr("(host_docs - host_distinct) * 1000 DIV host_docs"))
+      .where(col("host_docs") >= minDocs &&
+        col("dup_permille") <= maxDupPermille)
+      .select(col("host"), col("host_docs"), col("dup_permille"))
+    withHost.join(stats, Seq("host"))
+      .select(col(keyCol), col("host"), col("host_docs"),
+        col("dup_permille"))
+      .orderBy(col(keyCol))
+  }
 }

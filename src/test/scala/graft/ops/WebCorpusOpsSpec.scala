@@ -311,6 +311,59 @@ class WebCorpusOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 3L, 2), (2L, 3L, 2), (3L, 3L, 2)))
   }
 
+  // ---- Urls.hostReputation ------------------------------------------------
+
+  test("hostReputation: dup-rate and min-docs gates at host granularity") {
+    val rows = Seq(
+      // host a: 4 docs (two url spellings normalize together), 3 distinct
+      // texts -> dup 250 permille, released
+      (1L, "https://a.example.org/p1", "t1"),
+      (2L, "HTTPS://WWW.a.Example.org:443/p2", "t2"),
+      (3L, "https://a.example.org/p3", "t3"),
+      (4L, "https://www.a.example.org/p4", "t3"),
+      // host b: 4 docs, 1 distinct text -> dup 750 permille, killed
+      (5L, "https://b.example.org/p1", "spam"),
+      (6L, "https://b.example.org/p2", "spam"),
+      (7L, "https://b.example.org/p3", "spam"),
+      (8L, "https://b.example.org/p4", "spam"),
+      // host c: 2 distinct docs -> below minDocs, killed
+      (9L, "https://c.example.org/p1", "x"),
+      (10L, "https://c.example.org/p2", "y")
+    ).toDF("doc_id", "url", "text")
+    val out = Urls.hostReputation(rows, minDocs = 3, maxDupPermille = 500)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "a.example.org", 4L, 250L),
+      (2L, "a.example.org", 4L, 250L),
+      (3L, "a.example.org", 4L, 250L),
+      (4L, "a.example.org", 4L, 250L)))
+  }
+
+  // ---- Sampling.capBySource -----------------------------------------------
+
+  test("capBySource admits a hash-ordered prefix per source under the budget") {
+    def h60(key: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val rows = Seq(
+      (1L, "web", "a b c d e"), (2L, "web", "a b c d e"),
+      (3L, "web", "a b c d e"),
+      (4L, "code", "x y") // its own source: first doc always fits
+    ).toDF("doc_id", "source", "text")
+    // cap 8: in hash order the first web doc (cum 0) and second (cum 5)
+    // fit, the third (cum 10) does not
+    val out = Sampling.capBySource(rows, capTokens = 8L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val webOrder = Seq(1L, 2L, 3L).sortBy(id => (h60(id), id))
+    val expected = (webOrder.take(2).zip(Seq(0L, 5L))
+      .map { case (id, cum) => (id, "web", 5L, cum) } :+
+      ((4L, "code", 2L, 0L))).sortBy(_._1)
+    assert(out.toSeq == expected)
+  }
+
   test("kAnonymize NULL quasi values: grouping and release agree") {
     // NULL region is a legitimate generalization bucket: the NULL group
     // passes the gate AND releases (null-safe join), instead of being
