@@ -202,7 +202,13 @@ object ScaleProof {
       "ns70_dedup_url", "ns73_web_ingest", "ns74_events_funnel", "ns75_events_retention", "ns76_dataset_card",
       // drift: one token-keyed agg; vocabulary (and so the top-k scan) is
       // copy-tagged at scale, growing the token table linearly
-      "ns71_corpus_drift")
+      "ns71_corpus_drift",
+      // round-8 policy gates: ns77 is one (host, md5)-keyed count-distinct
+      // + broadcast-back (the ns72 shape on a synthetic-host key); ns78 is
+      // the packSequences window shape with a post-window filter (count()
+      // cannot prune either: the ns77 join filters, the ns78 filter hangs
+      // off the window)
+      "ns77_host_reputation", "ns78_source_token_cap")
     def ns37Scaled(dir: String): DataFrame = {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
       val n = e.count()
