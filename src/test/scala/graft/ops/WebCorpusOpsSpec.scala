@@ -340,6 +340,20 @@ class WebCorpusOpsSpec extends AnyFunSuite {
       (4L, "a.example.org", 4L, 250L)))
   }
 
+  test("hostReputation is invariant under repartitioning") {
+    val pages = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("https://h"),
+          (col("doc_id") % 5).cast("string"),
+          org.apache.spark.sql.functions.lit(".example.org/p")).as("url"),
+        col("text"))
+    val a = Urls.hostReputation(pages).collect().map(_.toSeq).toSeq
+    val b = Urls.hostReputation(pages.repartition(13, col("text")))
+      .collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   // ---- Sampling.capBySource -----------------------------------------------
 
   test("capBySource admits a hash-ordered prefix per source under the budget") {
@@ -362,6 +376,19 @@ class WebCorpusOpsSpec extends AnyFunSuite {
       .map { case (id, cum) => (id, "web", 5L, cum) } :+
       ((4L, "code", 2L, 0L))).sortBy(_._1)
     assert(out.toSeq == expected)
+  }
+
+  test("capBySource: raising the cap only ever ADDS docs, repartition-invariant") {
+    val docs = Tables.load(spark, sf, "documents")
+    val small = Sampling.capBySource(docs, capTokens = 300L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val big = Sampling.capBySource(docs, capTokens = 900L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.nonEmpty && small.subsetOf(big) && big.size > small.size)
+    val repart = Sampling
+      .capBySource(docs.repartition(17, col("text")), capTokens = 300L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(repart == small)
   }
 
   test("kAnonymize NULL quasi values: grouping and release agree") {
