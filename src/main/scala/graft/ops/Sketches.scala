@@ -236,7 +236,7 @@ object Sketches {
     IndexSidecar.matches(spark,
       cmsFingerprintPath(new org.apache.hadoop.fs.Path(path)), fingerprint)
 
-  private def cmsStoredParams(
+  private[graft] def cmsStoredParams(
       spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int) = {
     val parts = IndexSidecar.read(spark,
       cmsParamsPath(new org.apache.hadoop.fs.Path(path))).trim.split(" ")
