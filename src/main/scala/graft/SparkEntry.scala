@@ -1108,6 +1108,14 @@ object SparkEntry {
       minDocs = 3, maxDupPermille = 500)
   }
 
+  /** NS79 — event-transition matrix ([[graft.ops.Events.transitions]]):
+    * per-user consecutive event-type pairs counted corpus-wide, in the
+    * (ts, event_id) total order — the behavior-sequence audit before
+    * training on interaction logs. One user-keyed shuffle feeds the lead
+    * window; the rollup is type²-cardinality. */
+  private def ns79(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.transitions(Tables.load(s, dir, "events"))
+
   /** NS78 — per-source TOKEN-BUDGET cap
     * ([[graft.ops.Sampling.capBySource]]): every source contributes at
     * most 800 tokens (the sf0.01 sources run ~1.3k each, so the gate binds on every source), admitted in deterministic hash order — the
@@ -1229,6 +1237,7 @@ object SparkEntry {
     "ns76_dataset_card" -> (ns76 _),
     "ns77_host_reputation" -> (ns77 _),
     "ns78_source_token_cap" -> (ns78 _),
+    "ns79_event_transitions" -> (ns79 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2385,5 +2394,16 @@ object SparkEntry {
          |  FROM d)
          |SELECT doc_id, source, n_tokens, cum_before FROM c
          |WHERE cum_before < 800 ORDER BY doc_id""".stripMargin),
+    // ns79 replays the per-user lead window and the type-pair rollup.
+    "ns79_event_transitions" ->
+      ("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts,
+         |  event_type FROM events),
+         |t AS (SELECT user_id, event_type AS from_type,
+         |  lead(event_type) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id) AS to_type FROM e)
+         |SELECT from_type, to_type, count(*) AS n_transitions,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2
+         |ORDER BY n_transitions DESC, from_type, to_type""".stripMargin),
   )
 }

@@ -76,6 +76,31 @@ object Events {
         max(col("ts")).as("end_ts"))
   }
 
+  /** E6 — event-transition matrix: per-user consecutive event-type pairs,
+    * counted corpus-wide — the behavior-sequence statistic a
+    * sequence-modeling pipeline audits before training on interaction
+    * logs (which transitions exist, which dominate, whether the logger
+    * drops steps). Consecutiveness is per USER in the total order
+    * (ts, event_id) — the same deterministic ordering contract as
+    * [[sessionize]]; each user with n events contributes exactly n−1
+    * transitions.
+    *
+    * Scale shape: ONE shuffle (hash by user_id) + the in-partition sort
+    * feeds the `lead` window; the rollup shuffles (from, to)-cardinality
+    * partials only — #event-types², not events. Output:
+    * (from_type, to_type, n_transitions, n_users) ordered by count desc. */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tsMicros(events)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_transitions").desc, col("from_type"), col("to_type"))
+  }
+
   /** E3 — as-of join: attach to each left row the most recent right row at
     * or before it in event time, per key — the standard attribution /
     * point-in-time-correctness join (each purchase ← the user's latest

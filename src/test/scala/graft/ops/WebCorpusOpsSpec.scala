@@ -268,6 +268,29 @@ class WebCorpusOpsSpec extends AnyFunSuite {
     ))
   }
 
+  // ---- Events.transitions -------------------------------------------------
+
+  test("transitions: per-user consecutive pairs only, (ts, event_id) order") {
+    import java.sql.Timestamp
+    def t(ms: Long) = new Timestamp(ms)
+    val events = Seq(
+      // user 1: view -> click -> view (tie at ts=200 broken by event_id)
+      (1L, 1L, t(100), "view"), (1L, 2L, t(200), "click"),
+      (1L, 3L, t(200), "view"),
+      // user 2: view -> view; user 3: single event -> no transition
+      (2L, 4L, t(50), "view"), (2L, 5L, t(60), "view"),
+      (3L, 6L, t(10), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp_ntz").as("ts"), col("event_type"))
+    val out = Events.transitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("click", "view", 1L, 1L),
+      ("view", "click", 1L, 1L),
+      ("view", "view", 1L, 1L)))
+  }
+
   // ---- Versioning.tokenDrift ----------------------------------------------
 
   test("tokenDrift ranks by the exact cross-product metric and sums to zero") {
