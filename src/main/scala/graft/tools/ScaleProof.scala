@@ -208,7 +208,11 @@ object ScaleProof {
       // the packSequences window shape with a post-window filter (count()
       // cannot prune either: the ns77 join filters, the ns78 filter hangs
       // off the window)
-      "ns77_host_reputation", "ns78_source_token_cap")
+      "ns77_host_reputation", "ns78_source_token_cap",
+      // ns79: the sessionize shape (one user-keyed window) ending in a
+      // type²-cardinality rollup — user-extended growth keeps per-user
+      // work constant
+      "ns79_event_transitions")
     def ns37Scaled(dir: String): DataFrame = {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
       val n = e.count()
