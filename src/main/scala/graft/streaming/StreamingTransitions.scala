@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Streaming event-transition extraction — the incremental counterpart of
+  * [[graft.ops.Events.transitions]] (ns79), completing the events-family
+  * twins (sessions, windows, as-of, funnel, retention, transitions). Each
+  * per-user consecutive event-type pair is emitted EXACTLY ONCE, as soon
+  * as the watermark finalizes it — live sequence statistics instead of a
+  * nightly audit.
+  *
+  * Finalization discipline: an event participates in the per-user
+  * (ts, event_id) total order, so a transition (a → b) is only final once
+  * no in-contract arrival can land between a and b. Events with
+  * `ts < watermark` are final (a later arrival below the watermark is
+  * out-of-contract by definition); each invocation therefore drains the
+  * below-watermark prefix of the user's buffer in sorted order, chains it
+  * behind the carried last-finalized event, emits the pairs, and carries
+  * the new last event forward. In-contract arrivals have
+  * `ts ≥ watermark > carry.ts`, so nothing can ever precede the carry.
+  *
+  * State discipline at scale — bounded by the LATENESS HORIZON, not the
+  * stream: per user the buffer holds only events at or above the
+  * watermark (O(rate × lateness + one trigger) rows, the
+  * [[StreamingAsOf]] boundedness class) plus ONE carried event.
+  * Downstream, counts are a plain aggregation of the emitted pairs
+  * (allowed after Append-mode flatMapGroupsWithState), or a batch rollup
+  * over the sink.
+  */
+object StreamingTransitions {
+
+  final case class TEv(
+    user_id: Long, event_id: Long, ts: Long, event_type: String)
+
+  /** `TEv` plus the derived watermark attribute (public for Catalyst's
+    * deserializer only, as in [[StreamingFunnel.FEvT]]). */
+  final case class TEvT(
+    user_id: Long, event_id: Long, ts: Long, event_type: String,
+    event_time: java.sql.Timestamp)
+
+  /** Per-user state: the last finalized event (the chain carry) and the
+    * not-yet-final buffer. */
+  final case class TransState(
+    hasCarry: Boolean, carryTs: Long, carryId: Long, carryType: String,
+    buf: List[(Long, Long, String)])
+
+  final case class TransOut(user_id: Long, from_type: String, to_type: String)
+
+  def transitions(
+      events: Dataset[TEv],
+      lateness: String = "0 microseconds"): Dataset[TransOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF()
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", lateness)
+      .as[TEvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid, rows, state) =>
+          val st = state.getOption
+            .getOrElse(TransState(false, 0L, 0L, null, Nil))
+          val buf = rows.foldLeft(st.buf)(
+            (b, e) => (e.ts, e.event_id, e.event_type) :: b)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // strictly-below-watermark prefix is final; ties AT the
+          // watermark wait (an equal-ts arrival is still in-contract and
+          // orders by event_id)
+          val (ready, rest) = buf.partition(_._1 < wmUs)
+          val out = collection.mutable.ArrayBuffer.empty[TransOut]
+          var carry =
+            if (st.hasCarry) Some((st.carryTs, st.carryId, st.carryType))
+            else None
+          ready.sortBy(e => (e._1, e._2)).foreach { e =>
+            carry.foreach(c => out += TransOut(uid, c._3, e._3))
+            carry = Some(e)
+          }
+          state.update(TransState(carry.isDefined,
+            carry.map(_._1).getOrElse(0L), carry.map(_._2).getOrElse(0L),
+            carry.map(_._3).orNull, rest))
+          // wake on the next watermark advance while finalization work
+          // remains; a bare carry needs no flush (it only emits when a
+          // LATER event finalizes behind it)
+          if (rest.nonEmpty)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          out.iterator
+      }
+  }
+}

@@ -164,7 +164,8 @@ object StreamingScaleProof {
       winPeakRows: Long, winPeakBytes: Long, winOut: Long, winSec: Double,
       asofPeakRows: Long, asofPeakBytes: Long, asofOut: Long, asofSec: Double,
       funPeakRows: Long, funOut: Long, funSec: Double,
-      retPeakRows: Long, retCells: Long, retSec: Double)
+      retPeakRows: Long, retCells: Long, retSec: Double,
+      trPeakRows: Long, trOut: Long, trSec: Double)
 
     // retention twin: per-user first-seen records + the (cohort, offset)
     // cell aggregate, horizon = the base span (29 daily offsets). Copies
@@ -274,6 +275,18 @@ object StreamingScaleProof {
       require(rc >= baseRetCells && rc <= baseRetCells + 2,
         s"x$k retention cells $rc outside [$baseRetCells, " +
           s"${baseRetCells + 2}] — triangle grew past the horizon")
+      // transitions: per-user chains concatenate across copies, so each
+      // user emits k·events_u − 1 pairs = k·nEv − nUsers total (the final
+      // sentinel's own pair stays unfinalized — nothing passes its ts);
+      // state is carry-per-user + one trigger's buffer, flat across decades
+      val (tr2, tb2, to2, tn2, ts2) = run(s"trans_x$k", dir,
+        df => graft.streaming.StreamingTransitions.transitions(
+          df.select(col("user_id"), col("event_id"), col("ts"),
+              col("event_type"))
+            .as[graft.streaming.StreamingTransitions.TEv]).toDF(),
+        filesPerTrigger = 1)
+      require(to2 == k * nEv - nUsers,
+        s"x$k transitions $to2 != ${k * nEv - nUsers} — emit-once violated")
       println(f"[stream-proof] x$k%-3d sessions: peak_state_rows=$sr " +
         f"peak_state_bytes=$sb out=$so batches=$sn sec=$ss%.1f | " +
         f"windows: peak_state_rows=$wr peak_state_bytes=$wb out=$wo " +
@@ -281,9 +294,11 @@ object StreamingScaleProof {
         f"peak_state_bytes=$ab out=$ao batches=$an sec=${as_}%.1f | " +
         f"funnel: peak_state_rows=$fr peak_state_bytes=$fb out=$fo " +
         f"batches=$fn sec=$fs%.1f | retention: peak_state_rows=$rr " +
-        f"peak_state_bytes=$rb cells=$rc sec=$rs%.1f")
+        f"peak_state_bytes=$rb cells=$rc sec=$rs%.1f | transitions: " +
+        f"peak_state_rows=$tr2 peak_state_bytes=$tb2 out=$to2 " +
+        f"batches=$tn2 sec=$ts2%.1f")
       Decade(k, nEv * k, sr, sb, so, ss, wr, wb, wo, ws, ar, ab, ao, as_,
-        fr, fo, fs, rr, rc, rs)
+        fr, fo, fs, rr, rc, rs, tr2, to2, ts2)
     }
 
     // ---- the bounded-state gate: peaks must be FLAT across decades -----
@@ -304,6 +319,9 @@ object StreamingScaleProof {
       require(r.retPeakRows <= r1.retPeakRows * 3 / 2 + 8,
         s"retention state grew with event volume: x${r.k} peak " +
           s"${r.retPeakRows} vs x${r1.k} peak ${r1.retPeakRows}")
+      require(r.trPeakRows <= r1.trPeakRows * 3 / 2 + 8,
+        s"transition state grew with event volume: x${r.k} peak " +
+          s"${r.trPeakRows} vs x${r1.k} peak ${r1.trPeakRows}")
     }
     // sessions state is keyed by user: the peak can never exceed the
     // active-key population (+ sentinel + slack for the numbering stubs)

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+import StreamingTransitions.TEv
+
+/** Equivalence of the streaming transition extraction with the batch
+  * [[graft.ops.Events.transitions]] matrix on the real event log (same
+  * chunked-replay protocol as the other twins), plus the
+  * emit-once-per-pair and tie-ordering unit cases. */
+class StreamingTransitionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("emitted pairs roll up to the batch transition matrix on the real log") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val eventsDf = Tables.load(spark, sf, "events")
+    val events = graft.ops.Events.tsMicros(eventsDf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[TEv].collect().sortBy(e => (e.ts, e.event_id)).toSeq
+    val n = events.length
+    val maxTs = events.last.ts
+    val chunks = Seq(
+      events.slice(0, n / 3).reverse, // scrambled intra-chunk order
+      events.slice(n / 3, 2 * n / 3).reverse,
+      events.slice(2 * n / 3, n).reverse,
+      // sentinels advance the watermark past every real event
+      Seq(TEv(-1L, -1L, maxTs + 1000000L, "sentinel")),
+      Seq(TEv(-1L, -2L, maxTs + 2000000L, "sentinel")))
+
+    val in = MemoryStream[TEv]
+    val q = StreamingTransitions.transitions(in.toDS())
+      .writeStream.format("memory").queryName("trans_equiv")
+      .outputMode("append").start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+
+    val streamed = spark.table("trans_equiv")
+      .where(col("user_id") >= 0)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        count_distinct(col("user_id")).as("n_users"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = graft.ops.Events.transitions(eventsDf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("ties at the watermark wait; pairs emit exactly once, in id order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TEv]
+    val q = StreamingTransitions.transitions(in.toDS())
+      .writeStream.format("memory").queryName("trans_ties")
+      .outputMode("append").start()
+    // two same-ts events order by event_id: view(1) -> click(2) -> buy
+    in.addData(TEv(1L, 2L, 100L, "click"), TEv(1L, 1L, 100L, "view"))
+    q.processAllAvailable()
+    in.addData(TEv(1L, 3L, 200L, "buy"))
+    q.processAllAvailable()
+    in.addData(TEv(-1L, 4L, 5000000L, "s")) // flush
+    q.processAllAvailable()
+    in.addData(TEv(-1L, 5L, 9000000L, "s"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("trans_ties").where(col("user_id") === 1L)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(rows.toSeq.sorted == Seq("click" -> "buy", "view" -> "click").sorted)
+  }
+}
