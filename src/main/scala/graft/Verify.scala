@@ -59,11 +59,19 @@ object Verify {
     // re-encoding and r7 ns71 burns).
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
-    val tableEntries = tables.map { t =>
+    // per-table best-effort: a missing/unreadable table must not fail the
+    // whole dump at the stamping step (the queries are already written);
+    // it simply goes unguarded, and oracle_check's per-table loop skips it
+    val tableEntries = tables.flatMap { t =>
       val path = s"$sfDir/$t.parquet"
-      val fp = graft.ops.Dedup.sourceFingerprint(spark, path)
-      val rows = spark.read.parquet(path).count()
-      s"${q(t)}: {${q("fingerprint")}: ${q(fp)}, ${q("rows")}: $rows}"
+      try {
+        val fp = graft.ops.Dedup.sourceFingerprint(spark, path)
+        val rows = spark.read.parquet(path).count()
+        Some(s"${q(t)}: {${q("fingerprint")}: ${q(fp)}, ${q("rows")}: $rows}")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] manifest skip $t: ${e.getMessage}")
+        None
+      }
     }.mkString("{", ",", "}")
     val manifest = s"{${q("sf_dir")}: ${q(sfDir)}, " +
       s"${q("written_at_ms")}: ${System.currentTimeMillis()}, " +
