@@ -1108,6 +1108,19 @@ object SparkEntry {
       minDocs = 3, maxDupPermille = 500)
   }
 
+  /** NS80 — curriculum quantile buckets
+    * ([[graft.ops.Sketches.curriculumBuckets]]): every doc labeled with
+    * the within-language length quartile (1..4) off the mergeable
+    * bin-sketch boundaries — the curriculum-learning data-ordering step,
+    * skew-aware where ns49's fixed-width histogram is not. Boundaries
+    * broadcast; the corpus never shuffles. */
+  private def ns80(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.curriculumBuckets(
+      docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+      "n_chars", Seq("lang"), numBuckets = 4, binWidth = 16)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("bucket"))
+      .orderBy(col("doc_id"))
+
   /** NS79 — event-transition matrix ([[graft.ops.Events.transitions]]):
     * per-user consecutive event-type pairs counted corpus-wide, in the
     * (ts, event_id) total order — the behavior-sequence audit before
@@ -1238,6 +1251,7 @@ object SparkEntry {
     "ns77_host_reputation" -> (ns77 _),
     "ns78_source_token_cap" -> (ns78 _),
     "ns79_event_transitions" -> (ns79 _),
+    "ns80_curriculum_buckets" -> (ns80 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2405,5 +2419,19 @@ object SparkEntry {
          |  count(DISTINCT user_id) AS n_users
          |FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2
          |ORDER BY n_transitions DESC, from_type, to_type""".stripMargin),
+    // ns80 replays the ns57 bin walk at the quartile qs, then the
+    // strictly-below boundary count per doc.
+    "ns80_curriculum_buckets" ->
+      ("""WITH b AS (SELECT lang, n_chars // 16 AS bin FROM documents WHERE n_chars IS NOT NULL),
+         |c AS (SELECT lang, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+         |w AS (SELECT lang, bin, sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum, sum(cnt) OVER (PARTITION BY lang) AS n FROM c),
+         |qs AS (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE]) AS q),
+         |bd AS (SELECT lang, q, min(bin) * 16 AS bv
+         |  FROM w CROSS JOIN qs WHERE cum >= ceil(q * n) GROUP BY lang, q)
+         |SELECT d.doc_id, d.lang, d.n_chars,
+         |  (1 + sum(CASE WHEN d.n_chars > bd.bv THEN 1 ELSE 0 END))::BIGINT AS bucket
+         |FROM documents d JOIN bd ON d.lang IS NOT DISTINCT FROM bd.lang
+         |WHERE d.n_chars IS NOT NULL
+         |GROUP BY d.doc_id, d.lang, d.n_chars ORDER BY d.doc_id""".stripMargin),
   )
 }

@@ -352,6 +352,45 @@ object Sketches {
       .orderBy(gs :+ col("q"): _*)
   }
 
+  /** Curriculum bucketing — label every row with the quantile bucket
+    * (1..`numBuckets`) of its value within its group: the
+    * curriculum-learning data-ordering step (train easy→hard by
+    * quality/length/perplexity bucket) and the skew-aware sibling of
+    * [[TextAnalysis.histogram]]'s fixed-width buckets. Boundaries are the
+    * mergeable bin-sketch quantile walk ([[quantileBins]] at
+    * q = 1/B .. (B−1)/B — error ≤ `binWidth`, engine-reproducible, no
+    * global sort); a row's bucket is 1 + the number of boundaries
+    * STRICTLY below its value (boundary ties land in the lower bucket —
+    * deterministic, and exactly replayable in SQL). Rows with NULL values
+    * are excluded, matching the sketch's contract; NULL group values form
+    * their own group end to end (null-safe join — the
+    * [[Privacy.kAnonymize]] NULL policy).
+    *
+    * Scale shape: boundaries are groups × (B−1) rows, collapsed to one
+    * sorted array per group and joined back — AQE broadcasts the tiny
+    * frame, so the corpus never shuffles; assignment is a codegen'd HOF
+    * count over the broadcast array. */
+  def curriculumBuckets(
+      df: DataFrame, valueCol: String, groupCols: Seq[String],
+      numBuckets: Int = 4, binWidth: Long = 16): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    val qs = (1 until numBuckets).map(_.toDouble / numBuckets)
+    val bounds = quantileBins(df, valueCol, groupCols, qs, binWidth)
+      .groupBy(groupCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("q"), col("approx_value"))))
+        .as("_cb_qs"))
+      .select(groupCols.map(c => col(c).as(s"_cb_$c")) :+
+        transform(col("_cb_qs"), s => s.getField("approx_value"))
+          .as("_cb_bounds"): _*)
+    df.where(col(valueCol).isNotNull)
+      .join(bounds,
+        groupCols.map(c => col(c) <=> col(s"_cb_$c")).reduce(_ && _))
+      .withColumn("bucket",
+        (lit(1) + size(filter(col("_cb_bounds"),
+          b => col(valueCol).cast("long") > b))).cast("long"))
+      .drop("_cb_bounds" +: groupCols.map(c => s"_cb_$c"): _*)
+  }
+
   // ---- streaming-side register math (shared with StreamingSketches) -------
 
   private val md5Local =

@@ -212,7 +212,10 @@ object ScaleProof {
       // ns79: the sessionize shape (one user-keyed window) ending in a
       // type²-cardinality rollup — user-extended growth keeps per-user
       // work constant
-      "ns79_event_transitions")
+      "ns79_event_transitions",
+      // ns80: bin-sketch boundary walk (groups × bins agg) + broadcast-back
+      // labeling — the ns72/ns77 stats-gate shape
+      "ns80_curriculum_buckets")
     def ns37Scaled(dir: String): DataFrame = {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
       val n = e.count()

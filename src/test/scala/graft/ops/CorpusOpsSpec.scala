@@ -816,6 +816,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculumBuckets: quartile labels off the bin walk, NULLs excluded") {
+    import spark.implicits._
+    // binWidth 1 makes the walk exact: boundaries at values 2, 4, 6
+    val rows = (1L to 8L).map(v => ("g", Some(v))) :+ (("g", None))
+    val out = Sketches.curriculumBuckets(
+        rows.toDF("grp", "v"), "v", Seq("grp"),
+        numBuckets = 4, binWidth = 1)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("bucket"))
+      .toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
+      5L -> 3L, 6L -> 3L, 7L -> 4L, 8L -> 4L)) // NULL row dropped
+    // partitioning cannot move a boundary or a label
+    val repart = Sketches.curriculumBuckets(
+        rows.toDF("grp", "v").repartition(7, org.apache.spark.sql.functions.col("v")),
+        "v", Seq("grp"), numBuckets = 4, binWidth = 1)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("bucket"))
+      .toMap
+    assert(repart == out)
+  }
+
   test("quantileBins brackets the exact rank value within one bin width") {
     val docs = Tables.load(spark, sf, "documents")
     val qs = Seq(0.5, 0.9, 0.99)
