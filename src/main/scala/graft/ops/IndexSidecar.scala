@@ -55,7 +55,13 @@ private[ops] object IndexSidecar {
     val dest = new Path(path)
     val fsys = fs(spark, dest)
     val tmp = stagingFor(dest)
-    build(tmp)
+    try build(tmp)
+    catch { case e: Throwable =>
+      // a failed build must not leak its UUID-suffixed staging dir —
+      // retries would otherwise accumulate full-size orphan copies
+      try fsys.delete(tmp, true) catch { case _: Throwable => () }
+      throw e
+    }
     publish(fsys, tmp, dest)
   }
 

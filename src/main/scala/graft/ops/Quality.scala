@@ -158,6 +158,15 @@ object Quality {
     * fused model pipeline ([[Curation.curateModel]]), so both compute the
     * identical exact-integer fold. */
   private[ops] def inlineMilliSum(buckets: Int): (Column, Column) = {
+    // literal-array cliff guard: the weight table embeds as a
+    // buckets-child CreateArray in EVERY plan using the fold — fine at
+    // the model sizes the inline form exists for, pathological at
+    // vocab-hash sizes (64KB-method codegen fallback, per-plan driver
+    // MD5 loop). Large models belong in classifierScore's broadcast
+    // table form.
+    require(buckets >= 1 && buckets <= 4096,
+      s"inline classifier supports <= 4096 buckets (got $buckets); " +
+        "use classifierScore's broadcast weight table beyond that")
     // The weight is a pure function of the bucket id, so the `buckets`-row
     // weight table is materialized ONCE driver-side and shipped as a
     // codegen literal array — the in-row analogue of broadcasting the

@@ -105,6 +105,14 @@ object Urls {
     * are annotated with the host and its stats for release auditing —
     * the [[Privacy.kAnonymize]] output contract applied to host policy.
     *
+    * No-host policy: pages whose url has no resolvable host (NULL url,
+    * or a relative/schemeless url → [[hostOf]] yields "") are excluded
+    * END TO END — they neither form a reputation group nor release. A
+    * "no host" bucket is not a host, and granting it group reputation
+    * would release any 3 distinct schemeless pages wholesale; grouping
+    * and release use the same rule, so nothing is counted at the gate
+    * and then silently dropped (the kAnonymize NULL lesson).
+    *
     * Scale shape: the host stats are ONE (host, text-md5)-keyed
     * count-distinct (two-phase aggregate; the wide text reduces to a
     * 16-byte digest BEFORE any exchange, so the text column never rides
@@ -124,6 +132,7 @@ object Urls {
     require(maxDupPermille >= 0 && maxDupPermille <= 1000,
       "maxDupPermille must be in [0, 1000]")
     val withHost = pages.withColumn("host", hostOf(col(urlCol)))
+      .where(col("host").isNotNull && col("host") =!= "")
     val stats = withHost
       .select(col("host"), md5(col(textCol).cast("binary")).as("th"))
       .groupBy(col("host"))

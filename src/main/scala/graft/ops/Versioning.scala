@@ -78,8 +78,6 @@ object Versioning {
   def tokenDrift(
       before: DataFrame, after: DataFrame,
       topK: Int = 50, textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.DecimalType
     val tokens = before
       .select(explode(split(col(textCol), " ")).as("token"), lit(0).as("side"))
       .unionByName(after.select(
@@ -90,6 +88,21 @@ object Versioning {
     val tot = counts
       .agg(sum(col("cnt_before")), sum(col("cnt_after"))).head
     val (totBefore, totAfter) = (tot.getLong(0), tot.getLong(1))
+    rankDrift(counts, totBefore, totAfter, topK)
+  }
+
+  /** The shared drift-ranking tail — metric, tie-break, top-k, and rank
+    * numbering in ONE place, so [[tokenDrift]] and its streaming twin
+    * ([[graft.streaming.StreamingDrift.driftTopK]], spec-pinned
+    * bit-identical) cannot drift apart. `counts` carries
+    * (token, cnt_before, cnt_after); the metric is the exact-integer
+    * cross-product `cnt_before·total_after − cnt_after·total_before`. */
+  private[graft] def rankDrift(
+      counts: DataFrame, totBefore: Long, totAfter: Long,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(topK > 0, "topK must be positive")
     val drift = (col("cnt_before").cast(DecimalType(38, 0)) * lit(totAfter) -
       col("cnt_after").cast(DecimalType(38, 0)) * lit(totBefore))
       .as("drift_num")

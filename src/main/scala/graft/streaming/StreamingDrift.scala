@@ -58,9 +58,6 @@ object StreamingDrift {
       spark: SparkSession, refPath: String,
       liveCells: DataFrame, candidates: DataFrame,
       topK: Int = 50, tokenCol: String = "token"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.DecimalType
-    require(topK > 0, "topK must be positive")
     val (depth, width) = Sketches.cmsStoredParams(spark, refPath)
     // appends sum-merge, exactly as cmsEstimateFromSketch serves them
     val refCells = spark.read.parquet(refPath)
@@ -77,21 +74,12 @@ object StreamingDrift {
     val after = Sketches.cmsEstimate(
         liveCells, candidates, tokenCol, depth, width)
       .withColumnRenamed("cms_count", "cnt_after")
-    val drift =
-      (col("cnt_before").cast(DecimalType(38, 0)) * lit(totAfter) -
-        col("cnt_after").cast(DecimalType(38, 0)) * lit(totBefore))
-        .as("drift_num")
-    val top = before.join(after, Seq(tokenCol))
-      .select(col(tokenCol).as("token"), col("cnt_before"),
-        col("cnt_after"), drift)
-      .orderBy(abs(col("drift_num")).desc, col("token"))
-      .limit(topK)
-    // post-limit ≤ topK rows: the unpartitioned Window is not a scale
-    // hazard (same note as Versioning.tokenDrift)
-    top.withColumn("rank", row_number().over(
-        Window.orderBy(abs(col("drift_num")).desc, col("token"))))
-      .select(col("rank"), col("token"), col("cnt_before"),
-        col("cnt_after"), col("drift_num"))
-      .orderBy(col("rank"))
+    // the metric, tie-break, and rank numbering are the SHARED tail —
+    // one definition keeps the spec-pinned batch equivalence honest
+    graft.ops.Versioning.rankDrift(
+      before.join(after, Seq(tokenCol))
+        .select(col(tokenCol).as("token"), col("cnt_before"),
+          col("cnt_after")),
+      totBefore, totAfter, topK)
   }
 }

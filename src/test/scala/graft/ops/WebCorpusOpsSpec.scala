@@ -363,6 +363,22 @@ class WebCorpusOpsSpec extends AnyFunSuite {
       (4L, "a.example.org", 4L, 250L)))
   }
 
+  test("hostReputation: no-host pages are excluded end to end") {
+    // 3 distinct schemeless pages + a NULL url: none may form a group or
+    // release — a "no host" bucket is not a host
+    val rows = Seq(
+      (1L, "/about", "a"), (2L, "page.html", "b"), (3L, "../x", "c"),
+      (4L, null.asInstanceOf[String], "d"),
+      // a real host alongside, so the gate demonstrably still works
+      (5L, "https://ok.example.org/1", "p"),
+      (6L, "https://ok.example.org/2", "q"),
+      (7L, "https://ok.example.org/3", "r")
+    ).toDF("doc_id", "url", "text")
+    val out = Urls.hostReputation(rows).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(5L, 6L, 7L).map(_ -> "ok.example.org"))
+  }
+
   test("hostReputation is invariant under repartitioning") {
     val pages = Tables.load(spark, sf, "documents")
       .select(col("doc_id"),
@@ -375,6 +391,21 @@ class WebCorpusOpsSpec extends AnyFunSuite {
     val b = Urls.hostReputation(pages.repartition(13, col("text")))
       .collect().map(_.toSeq).toSeq
     assert(a == b && a.nonEmpty)
+  }
+
+  test("buildAndPublish cleans its staging dir when the build fails") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bap").toString
+    val dest = s"$dir/index"
+    intercept[RuntimeException] {
+      IndexSidecar.buildAndPublish(spark, dest) { tmp =>
+        Seq(1, 2).toDF("x").write.parquet(tmp.toString)
+        throw new RuntimeException("boom")
+      }
+    }
+    val leftovers = new java.io.File(dir).listFiles()
+      .map(_.getName).filterNot(_ == "index")
+    assert(leftovers.isEmpty, s"staging leaked: ${leftovers.toSeq}")
+    assert(!new java.io.File(dest).exists()) // nothing published either
   }
 
   // ---- Sampling.capBySource -----------------------------------------------
