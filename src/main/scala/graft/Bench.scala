@@ -115,6 +115,27 @@ object Bench {
       val wf = warmupFailed.map(n => s""""$n"""").mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"queries_min":$qsMin,"warmup_failed":$wf,"runs":$runs,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
     }
+    // The COMPACT stdout line must fit the driver's 2,000-byte tail
+    // capture — BENCH_r06–r08 all came back `parsed: null` because 94
+    // full query names overflow it. Short keys: the id prefix before the
+    // first '_' ("k1", "ns71") is unique across the suite (guarded — a
+    // collision falls back to the full name). `"stat":"median"` labels the
+    // map: these are per-query MEDIANS of the interleaved rounds (the
+    // min-of-rounds map lives at full precision in target/bench_latest
+    // .json, which also keeps full names).
+    def buildCompact(fmt: Double => String): String = {
+      val shortIds = results.map(_._1).map(n => n -> n.takeWhile(_ != '_'))
+      val collided = shortIds.groupBy(_._2).filter(_._2.size > 1)
+        .values.flatten.map(_._1).toSet
+      val qs = results.map { case (k, (med, _)) =>
+        val id = if (collided(k)) k else k.takeWhile(_ != '_')
+        s""""$id":${fmt(med)}"""
+      }.mkString("{", ",", "}")
+      val total = results.map(_._2._1).filter(_ >= 0).sum
+      val totalMin = results.map(_._2._2).filter(_ >= 0).sum
+      val wf = warmupFailed.map(n => s""""$n"""").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"stat":"median","queries":$qs,"warmup_failed":$wf,"runs":$runs,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
+    }
     // self-archive FIRST (full precision): the driver captures only a log
     // TAIL, and round 5's record lost k1–k14/ns10–ns12 to truncation — the
     // full JSON also lands in a stable file so the per-query numbers
@@ -134,8 +155,19 @@ object Bench {
       System.err.println(s"[bench] archival failed: ${e.getMessage}")
     }
     // the compact line goes LAST so the driver's tail capture always holds
-    // the complete JSON — nothing may print to stdout after this
-    println(buildJson(r3))
+    // the complete JSON — nothing may print to stdout after this. Length
+    // gate: if the suite regrows past the tail window, fail LOUDLY to
+    // stderr and degrade to a totals-only line that is still valid JSON
+    // (never print a line that will be truncated mid-object again).
+    val compact = buildCompact(r3)
+    if (compact.length <= 1900) println(compact)
+    else {
+      System.err.println(s"[bench] compact line ${compact.length} B exceeds " +
+        "the 1,900 B budget - emitting totals-only; shrink the keys")
+      val total = results.map(_._2._1).filter(_ >= 0).sum
+      val totalMin = results.map(_._2._2).filter(_ >= 0).sum
+      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_min":${r3(totalMin)},"stat":"median","queries":"overflow: see target/bench_latest.json","runs":$runs,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }

@@ -1121,6 +1121,39 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("n_chars"), col("bucket"))
       .orderBy(col("doc_id"))
 
+  /** NS81 — perceptual-hash image near-dup
+    * ([[graft.ops.Perceptual.nearDupPairs]] over
+    * [[graft.ops.Perceptual.dhash63]]): re-encoded / lightly-edited
+    * copies of the same "image" pair up under a banded 63-bit dHash
+    * Hamming join — the multimodal analog of ns3's simhash. The
+    * synthesis builds 5-variant families over the documents table's
+    * blobs (the ns73/ns77 pattern): two exact copies, two 1-byte
+    * length-preserving edits (a small patch — only strides landing on
+    * the edited byte move), and one reversed control that must NOT
+    * pair. maxHamming=3 < bands=4 keeps the banded join
+    * pigeonhole-exact, so the oracle's brute-force all-pairs SQL is the
+    * same function. The hashing pass is one mapPartitions decode (no
+    * shuffle); pairing shuffles once on (band, chunk). */
+  private def ns81(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val fam = base.as("d")
+      .join(base.as("b"),
+        col("b.doc_id") === (col("d.doc_id") - col("d.doc_id") % 5))
+      .select(col("d.doc_id").as("doc_id"),
+        when(col("d.doc_id") % 5 <= 1, col("b.text"))
+          .when(col("d.doc_id") % 5 === 2,
+            concat(substring(col("b.text"), 1, 10), lit("#"),
+              expr("substring(b.text, 12)")))
+          .when(col("d.doc_id") % 5 === 3,
+            concat(substring(col("b.text"), 1, 20), lit("@"),
+              expr("substring(b.text, 22)")))
+          .otherwise(reverse(col("b.text"))).as("t"))
+    val media = fam.select(col("doc_id"),
+      encode(col("t"), "UTF-8").as("content"))
+    graft.ops.Perceptual.nearDupPairs(
+      graft.ops.Perceptual.dhash63(media), maxHamming = 3, bands = 4)
+  }
+
   /** NS79 — event-transition matrix ([[graft.ops.Events.transitions]]):
     * per-user consecutive event-type pairs counted corpus-wide, in the
     * (ts, event_id) total order — the behavior-sequence audit before
@@ -1252,6 +1285,7 @@ object SparkEntry {
     "ns78_source_token_cap" -> (ns78 _),
     "ns79_event_transitions" -> (ns79 _),
     "ns80_curriculum_buckets" -> (ns80 _),
+    "ns81_image_neardup" -> (ns81 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2252,7 +2286,7 @@ object SparkEntry {
          |  FROM tok GROUP BY token),
          |tot AS (SELECT sum(cnt_before) AS ta, sum(cnt_after) AS tb FROM cnt),
          |sel AS (SELECT token, cnt_before, cnt_after,
-         |  cnt_before::HUGEINT * tb - cnt_after::HUGEINT * ta AS drift_num
+         |  (cnt_before::HUGEINT * tb - cnt_after::HUGEINT * ta)::BIGINT AS drift_num
          |  FROM cnt, tot)
          |SELECT row_number() OVER (ORDER BY abs(drift_num) DESC, token) AS rank,
          |  token, cnt_before, cnt_after, drift_num
@@ -2381,14 +2415,15 @@ object SparkEntry {
          |       ELSE 'https://h' || (doc_id % 7) || '.example.org/p/' || doc_id END AS url,
          |  CASE WHEN doc_id % 7 = 0 THEN 'cheap spam page body' ELSE text END AS t
          |  FROM documents),
-         |h AS (SELECT doc_id, t,
+         |h AS (SELECT doc_id, t, host FROM (SELECT doc_id, t,
          |  CASE WHEN scheme = 'http' THEN regexp_replace(nw, ':80$', '')
          |       WHEN scheme = 'https' THEN regexp_replace(nw, ':443$', '')
          |       ELSE nw END AS host
          |  FROM (SELECT doc_id, t,
          |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
          |    regexp_replace(lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS nw
-         |    FROM (SELECT doc_id, t, regexp_replace(url, '#.*$', '') AS nf FROM p))),
+         |    FROM (SELECT doc_id, t, regexp_replace(url, '#.*$', '') AS nf FROM p)))
+         |  WHERE host IS NOT NULL AND host <> ''),
          |g AS (SELECT host, count(*) AS host_docs,
          |  ((count(*) - count(DISTINCT md5(t))) * 1000 // count(*))::BIGINT AS dup_permille
          |  FROM h GROUP BY 1),
@@ -2433,5 +2468,33 @@ object SparkEntry {
          |FROM documents d JOIN bd ON d.lang IS NOT DISTINCT FROM bd.lang
          |WHERE d.n_chars IS NOT NULL
          |GROUP BY d.doc_id, d.lang, d.n_chars ORDER BY d.doc_id""".stripMargin),
+    // ns81 replays the byte-stride 9x8 grid (hex-encoded blob, the ns12
+    // pattern), packs the 63 dHash gradient bits, and computes near-dup
+    // pairs BRUTE-FORCE — the engine's banded join is pigeonhole-exact at
+    // maxHamming=3 < bands=4, so all-pairs SQL is the same function.
+    "ns81_image_neardup" ->
+      ("""WITH base AS (SELECT doc_id, text FROM documents),
+         |fam AS (SELECT d.doc_id,
+         |  CASE d.doc_id % 5
+         |    WHEN 0 THEN b.text
+         |    WHEN 1 THEN b.text
+         |    WHEN 2 THEN substr(b.text, 1, 10) || '#' || substr(b.text, 12)
+         |    WHEN 3 THEN substr(b.text, 1, 20) || '@' || substr(b.text, 22)
+         |    ELSE reverse(b.text) END AS t
+         |  FROM base d JOIN base b ON b.doc_id = d.doc_id - d.doc_id % 5),
+         |h AS (SELECT doc_id, hex(encode(t)) AS hx, octet_length(encode(t)) AS n FROM fam),
+         |cells AS (SELECT doc_id, i,
+         |  CASE WHEN n = 0 THEN 0 ELSE ('0x' || substr(hx, (2 * ((i * n) // 72) + 1)::INT, 2))::INT END AS v
+         |  FROM h, (SELECT unnest(range(0, 72)) AS i) r),
+         |bits AS (SELECT a.doc_id, ((a.i // 9) * 8 + (a.i % 9))::INT AS k,
+         |  CASE WHEN a.v < b.v THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+         |  FROM cells a JOIN cells b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+         |  WHERE a.i % 9 < 8 AND (a.i // 9) * 8 + (a.i % 9) < 63),
+         |ph AS (SELECT doc_id, sum(bit << k)::BIGINT AS phash FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin),
   )
 }

@@ -1,0 +1,232 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Perceptual-hash near-duplicate detection over opaque media columns —
+  * the image analog of [[Dedup.simhash]] (north-star extension, SURVEY
+  * §7.2 M6 depth): re-encoded, resized, or brightness-shifted copies of
+  * the same picture hash to nearby 63-bit dHashes, and near-dup pairs
+  * fall out of a banded Hamming join, never an n² product.
+  *
+  * dHash (difference hash): decode the blob to a 9-wide × 8-tall
+  * luminance grid, then emit one bit per horizontally-adjacent cell pair —
+  * bit k set iff cell(r,c) < cell(r,c+1), k = r·8+c. Gradient SIGNS are
+  * what survive re-encoding: a global brightness/contrast shift moves
+  * every cell by the same amount and flips no bit, which is exactly why
+  * dHash is the standard cheap perceptual fingerprint. The hash keeps 63
+  * of the 64 gradient bits (the r=7,c=7 bit is dropped) so it stays in
+  * positive-long range on every engine — the same portability move as
+  * [[Dedup.simhash]]'s 60 bits.
+  *
+  * The decode is PLUGGABLE ([[GridDecoder]]), mirroring the
+  * [[MediaDecoder]] contract: [[ImageGridDecoder]] decodes real BMP/PNG/
+  * GIF/JPEG pure-JVM (ImageIO) and box-averages integer luminance to the
+  * grid; [[ByteStrideGridDecoder]], the registered-query default, stride-
+  * samples the raw bytes — deterministic and reproducible in the DuckDB
+  * oracle (the ns12 decoder-choice precedent; the synthetic testdata
+  * carries text blobs, not media files). Swapping decoders changes no
+  * plan shape.
+  *
+  * Scale shape at 100 TB:
+  *   - hashing: ONE mapPartitions decode pass (the documented-legit
+  *     mapPartitions case — binary blobs), no shuffle; each task turns its
+  *     batch of blobs into (doc_id, 1 long). The media column never
+  *     shuffles.
+  *   - pairing: explode ×`bands` band keys (narrow), ONE shuffle keyed by
+  *     (band_idx, band_bits), band-equality self-join — candidate work is
+  *     collision volume, never corpus². Pigeonhole-complete: hamming ≤
+  *     maxHamming < bands forces ≥ 1 identical band, so the banded join
+  *     EXACTLY reproduces the all-pairs semantics the oracle computes.
+  *   - skew: a constant-tile corpus (all-black thumbnails) floods one
+  *     band bucket; `maxBandFreq` drops over-hot buckets from candidate
+  *     generation — the [[Dedup.ngramJaccard]] `maxDocFreq` lever, with
+  *     the same documented recall trade (default ∞ keeps oracle-exact
+  *     semantics).
+  */
+object Perceptual {
+
+  /** Grid geometry: 9 wide × 8 tall = 72 cells → 8×8 horizontal
+    * gradients, minus the dropped top bit = 63 hash bits. */
+  val gridW = 9
+  val gridH = 8
+  val gridCells: Int = gridW * gridH
+  val hashBits = 63
+
+  /** Shared bit-packing: grid → 63-bit dHash. Pure, used by every decoder
+    * path and by the spec's brute-force reference. */
+  private[ops] def dhashOfGrid(g: Array[Int]): Long = {
+    var h = 0L
+    var r = 0
+    while (r < gridH) {
+      var c = 0
+      while (c < gridW - 1) {
+        val k = r * (gridW - 1) + c
+        if (k < hashBits && g(r * gridW + c) < g(r * gridW + c + 1))
+          h |= 1L << k
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Per-partition batched hashing: (doc_id, content binary) →
+    * (doc_id, phash long). No shuffle; output partitioning == input
+    * partitioning. */
+  def dhash63(
+      media: DataFrame,
+      decoder: GridDecoder = ByteStrideGridDecoder): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select(col("doc_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), dhashOfGrid(decoder.decode(r.getAs[Array[Byte]](1))))
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** Banded Hamming near-dup pairs over (doc_id, phash): all (doc_a <
+    * doc_b) pairs with hamming ≤ `maxHamming`, found via a
+    * (band_idx, band_bits)-equality self-join. The 63 bits split into
+    * `bands` contiguous chunks whose sizes differ by ≤ 1 (e.g. bands=4 →
+    * 16+16+16+15); `maxHamming < bands` makes the banding
+    * pigeonhole-EXACT, so the output equals the brute-force all-pairs
+    * answer. `maxBandFreq` (default unlimited) drops band buckets with
+    * more than that many members before the join — the skew lever, at a
+    * documented recall cost. */
+  def nearDupPairs(
+      hashes: DataFrame,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBandFreq: Long = Long.MaxValue,
+      reuseHashes: Boolean = true): DataFrame = {
+    require(bands >= 2 && bands <= hashBits,
+      s"bands must be in [2, $hashBits]")
+    require(maxHamming >= 0 && maxHamming < bands,
+      "maxHamming < bands is what makes the banded join pigeonhole-exact")
+    // contiguous chunks, sizes floor/ceil of 63/bands
+    val base = hashBits / bands
+    val rem = hashBits % bands
+    val sizes = (0 until bands).map(p => base + (if (p < rem) 1 else 0))
+    val offsets = sizes.scanLeft(0)(_ + _)
+    val chunks = (0 until bands).map { p =>
+      val mask = (1L << sizes(p)) - 1
+      struct(lit(p).as("p"),
+        shiftright(col("phash"), offsets(p)).bitwiseAND(lit(mask))
+          .as("chunk"))
+    }
+    // both join sides derive from ONE materialization of (doc_id, phash):
+    // without this the self-join re-runs the upstream lineage on each
+    // side, and when that lineage is the dhash63 decode pass the blobs
+    // decode TWICE (the ngramJaccard reuseShingles move; 16 bytes/row
+    // keeps the checkpoint corpus-cheap)
+    val hs = if (reuseHashes) hashes.localCheckpoint(true) else hashes
+    val banded = hs.select(col("doc_id"), col("phash"),
+        explode(array(chunks: _*)).as("bk"))
+      .select(col("doc_id"), col("phash"),
+        col("bk.p").as("p"), col("bk.chunk").as("chunk"))
+    val probe =
+      if (maxBandFreq == Long.MaxValue) banded
+      else {
+        val hot = banded.groupBy(col("p"), col("chunk")).count()
+          .where(col("count") > maxBandFreq).select(col("p"), col("chunk"))
+        banded.join(hot, Seq("p", "chunk"), "left_anti")
+      }
+    probe.as("a").join(probe.as("b"),
+        col("a.p") === col("b.p") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}
+
+/** A grid decoder turns one opaque blob into the 72 exact integer
+  * luminance cells of the 9×8 dHash grid. Implementations must be pure
+  * and serializable (they ship inside the per-partition task closure) and
+  * must return an all-zero grid — never throw — for an undecodable blob,
+  * so one corrupt file in a 100 TB scan degrades one row, not the stage
+  * (the [[MediaDecoder]] contract). */
+trait GridDecoder extends Serializable {
+  def name: String
+
+  /** Must return exactly [[Perceptual.gridCells]] values. */
+  def decode(content: Array[Byte]): Array[Int]
+}
+
+/** Default decoder: stride-sample the raw bytes — cell i reads byte
+  * ⌊i·n/72⌋ (0-based). Format-agnostic, deterministic, and reproducible
+  * in any SQL engine over the hex-encoded blob, which is why the
+  * registered ns81 query pins this one (the ns12 decoder-choice
+  * precedent). A length-preserving local edit perturbs only the cells
+  * whose stride lands on the edited bytes — the text-blob analog of a
+  * small image patch. */
+object ByteStrideGridDecoder extends GridDecoder {
+  val name = "byte-stride"
+  def decode(content: Array[Byte]): Array[Int] = {
+    val g = new Array[Int](Perceptual.gridCells)
+    if (content != null && content.length > 0) {
+      val n = content.length.toLong
+      var i = 0
+      while (i < Perceptual.gridCells) {
+        g(i) = content((i * n / Perceptual.gridCells).toInt) & 0xff
+        i += 1
+      }
+    }
+    g
+  }
+}
+
+/** Real image decode, pure JVM: ImageIO parses BMP/PNG/GIF/JPEG with no
+  * native codecs; each grid cell is the box-average (integer division —
+  * exact, platform-independent) of BT.601 integer luminance over its
+  * pixel block, the classic dHash "resize to 9×8". */
+object ImageGridDecoder extends GridDecoder {
+  val name = "image-grid"
+  def decode(content: Array[Byte]): Array[Int] = {
+    val g = new Array[Int](Perceptual.gridCells)
+    if (content == null) return g
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return g
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w == 0 || h == 0) return g
+    var r = 0
+    while (r < Perceptual.gridH) {
+      val y0 = r * h / Perceptual.gridH
+      val y1 = math.max(y0 + 1, (r + 1) * h / Perceptual.gridH)
+      var c = 0
+      while (c < Perceptual.gridW) {
+        val x0 = c * w / Perceptual.gridW
+        val x1 = math.max(x0 + 1, (c + 1) * w / Perceptual.gridW)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        g(r * Perceptual.gridW + c) = (sum / ((y1 - y0).toLong * (x1 - x0))).toInt
+        c += 1
+      }
+      r += 1
+    }
+    g
+  }
+}

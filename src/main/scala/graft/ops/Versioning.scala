@@ -65,7 +65,9 @@ object Versioning {
     * (p_before − p_after) scaled by the positive constant
     * total_before·total_after, so it ranks identically to the probability
     * shift while staying exact 128-bit integer arithmetic (decimal(38,0)
-    * here, HUGEINT in the oracle). No float division → no
+    * here, HUGEINT in the oracle) — with the FINAL column cast to long on
+    * both sides, guarded by a totals bound, because 128-bit output types
+    * stringify differently across parquet readers. No float division → no
     * rounding-boundary divergence between engines (the ns61/ns65 lesson).
     * A distribution-preserving growth has drift 0 for every token; the
     * signed values also sum to 0 over the full vocabulary by construction.
@@ -103,8 +105,21 @@ object Versioning {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     require(topK > 0, "topK must be positive")
+    // |drift| ≤ totBefore·totAfter, so a long-typed output is safe exactly
+    // when that product fits 2⁶³−1 — guard it rather than silently wrap.
+    // (At any plausible SF: counts ≤ ~10⁹ tokens per side ⇒ product ~10¹⁸,
+    // inside the bound with margin.)
+    require(
+      BigInt(totBefore) * BigInt(totAfter) <= BigInt(Long.MaxValue),
+      s"token totals too large for a long drift metric: " +
+        s"$totBefore * $totAfter > 2^63-1")
+    // 128-bit intermediate arithmetic (decimal(38,0)), but the OUTPUT column
+    // is long: decimal(38,0) is the suite's only exotic output type and
+    // stringifies differently across parquet readers (DuckDB→pandas renders
+    // its HUGEINT as float64), hash-diverging on formatting alone.
     val drift = (col("cnt_before").cast(DecimalType(38, 0)) * lit(totAfter) -
       col("cnt_after").cast(DecimalType(38, 0)) * lit(totBefore))
+      .cast("long")
       .as("drift_num")
     val top = counts
       .select(col("token"), col("cnt_before"), col("cnt_after"), drift)

@@ -82,9 +82,12 @@ object StreamingRetention {
               out += CellDelta(cohort, off, 1L)
             }
           rows.foreach { e =>
-            // floorDiv: negative timestamps must bucket consistently with
-            // the batch operator's integer DIV
-            val b = Math.floorDiv(e.ts, bucketMicros)
+            // Java `/` truncates toward zero — the SAME semantics as the
+            // batch operator's `ts DIV bucketMicros` (and DuckDB's `//`),
+            // including for pre-1970 timestamps. floorDiv would diverge on
+            // negative ts (floor vs trunc), breaking the streamed≡batch
+            // equivalence.
+            val b = e.ts / bucketMicros
             if (cohort == Long.MaxValue) {
               cohort = b; credit(0L)
             } else if (b >= cohort) {

@@ -1,0 +1,204 @@
+package graft.ops
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Specs for ns81 — perceptual-hash (63-bit dHash) image near-dup:
+  * bit-packing contract, decoder purity/robustness, banded-join exactness
+  * vs brute force, the maxBandFreq skew lever, and the REAL image path
+  * (ImageIO BMP round-trips) including dHash's brightness invariance. */
+class PerceptualSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- dhashOfGrid --------------------------------------------------------
+
+  test("dhashOfGrid packs gradient signs row-major and drops bit 63") {
+    // ascending cells in every row -> every comparison true -> all 63 bits
+    val asc = Array.tabulate(72)(i => i % 9)
+    assert(Perceptual.dhashOfGrid(asc) == (1L << 63) - 1)
+    assert(Perceptual.dhashOfGrid(asc) > 0L) // positive-long contract
+    // descending -> no bit
+    assert(Perceptual.dhashOfGrid(asc.map(-_)) == 0L)
+    // single gradient at r=0, c=2 -> bit 2 only
+    val one = new Array[Int](72)
+    one(3) = 5 // cell(0,3) > cell(0,2) -> bit k=2
+    val h = Perceptual.dhashOfGrid(one)
+    assert((h & (1L << 2)) != 0)
+    // cell(0,3)=5 > cell(0,4)=0 is a false comparison (5 < 0 fails); only
+    // bit 2 set
+    assert(h == (1L << 2))
+    // the r=7,c=7 comparison is the dropped bit: a gradient there changes
+    // nothing...
+    val top = new Array[Int](72)
+    top(71) = 9 // only cell(7,7)<cell(7,8), i.e. k=63 — dropped
+    assert(Perceptual.dhashOfGrid(top) == 0L)
+    // ...while the k=62 comparison right before it still registers
+    val sub = new Array[Int](72)
+    sub(70) = 9 // cell(7,6)<cell(7,7) -> k=62; cell(7,7)>cell(7,8) -> no 63
+    assert(Perceptual.dhashOfGrid(sub) == (1L << 62))
+  }
+
+  // ---- ByteStrideGridDecoder ----------------------------------------------
+
+  test("byte-stride decoder: stride sampling, null/empty robustness") {
+    assert(ByteStrideGridDecoder.decode(null).forall(_ == 0))
+    assert(ByteStrideGridDecoder.decode(Array.emptyByteArray).forall(_ == 0))
+    // 72 bytes -> identity sampling
+    val b = Array.tabulate[Byte](72)(i => i.toByte)
+    assert(ByteStrideGridDecoder.decode(b).toSeq == (0 until 72))
+    // unsigned read: byte -1 reads as 255
+    assert(ByteStrideGridDecoder.decode(Array[Byte](-1))(0) == 255)
+    // a 1-byte length-preserving edit moves only cells striding onto it
+    val n = 300
+    val base = Array.tabulate[Byte](n)(i => (i % 97).toByte)
+    val edited = base.clone(); edited(10) = 'Z'.toByte
+    val (g1, g2) =
+      (ByteStrideGridDecoder.decode(base), ByteStrideGridDecoder.decode(edited))
+    val moved = (0 until 72).count(i => g1(i) != g2(i))
+    assert(moved <= 1) // only the stride (if any) landing on byte 10
+  }
+
+  // ---- nearDupPairs: banded join == brute force ---------------------------
+
+  private def bruteForce(hs: Seq[(Long, Long)], maxH: Int): Set[(Long, Long, Long)] =
+    (for {
+      (ida, ha) <- hs; (idb, hb) <- hs if ida < idb
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= maxH
+    } yield (ida, idb, d.toLong)).toSet
+
+  test("banded pairs equal brute force (pigeonhole-exact at maxHamming < bands)") {
+    // deterministic pseudo-random positive longs + planted near-dups
+    def scramble(i: Long): Long = {
+      var x = i * 0x9e3779b97f4a7c15L
+      x ^= (x >>> 32); x *= 0xbf58476d1ce4e5b9L; x ^= (x >>> 29)
+      x & ((1L << 63) - 1)
+    }
+    val baseHs = (0L until 40L).map(i => i -> scramble(i))
+    val planted = Seq(
+      100L -> baseHs(3)._2, // exact dup of 3
+      101L -> (baseHs(3)._2 ^ 5L), // hamming 2 from 3
+      102L -> (baseHs(7)._2 ^ (1L << 62)), // hamming 1, top chunk
+      103L -> (baseHs(7)._2 ^ 7L) // hamming 3, one band
+    )
+    val hs = baseHs ++ planted
+    val df = hs.toDF("doc_id", "phash")
+    for (maxH <- Seq(0, 1, 3); bands <- Seq(4, 8) if maxH < bands) {
+      val got = Perceptual.nearDupPairs(df, maxH, bands).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == bruteForce(hs, maxH), s"maxH=$maxH bands=$bands")
+    }
+    // sanity: the planted dups are actually found
+    val h3 = Perceptual.nearDupPairs(df, 3, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((3L, 100L), (3L, 101L), (7L, 102L), (7L, 103L), (100L, 101L))
+      .subsetOf(h3))
+  }
+
+  test("nearDupPairs validates band/hamming parameters") {
+    val df = Seq((1L, 2L)).toDF("doc_id", "phash")
+    intercept[IllegalArgumentException](Perceptual.nearDupPairs(df, 4, 4))
+    intercept[IllegalArgumentException](Perceptual.nearDupPairs(df, 1, 1))
+  }
+
+  test("maxBandFreq drops over-hot buckets (documented recall trade)") {
+    // 20 identical hashes flood every band bucket; one isolated pair
+    val flood = (0L until 20L).map(i => i -> 0x0123456789abcdL)
+    val pair = Seq(100L -> 0x4000000000000000L, 101L -> 0x4000000000000001L)
+    val df = (flood ++ pair).toDF("doc_id", "phash")
+    val capped = Perceptual.nearDupPairs(df, 3, 4, maxBandFreq = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the flooded family is dropped, the small pair survives
+    assert(capped == Set((100L, 101L)))
+    val uncapped = Perceptual.nearDupPairs(df, 3, 4)
+      .collect().length
+    assert(uncapped == 20 * 19 / 2 + 1)
+  }
+
+  // ---- real image path (ImageIO BMP) --------------------------------------
+
+  private def bmpBytes(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", out), "BMP encoder missing")
+    out.toByteArray
+  }
+
+  /** Deterministic test image: per-pixel value from a fixed integer
+    * formula, optionally brightness-shifted. */
+  private def mkImage(w: Int, h: Int, shift: Int = 0,
+      f: (Int, Int) => Int = (x, y) => (x * 7 + y * 13) % 200): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = math.min(255, math.max(0, f(x, y) + shift))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  test("image decoder: identical and brightness-shifted images hash equal") {
+    val a = ImageGridDecoder.decode(bmpBytes(mkImage(64, 48)))
+    val b = ImageGridDecoder.decode(bmpBytes(mkImage(64, 48)))
+    assert(a.toSeq == b.toSeq)
+    val ha = Perceptual.dhashOfGrid(a)
+    // brightness shift moves every cell but flips NO gradient sign — the
+    // dHash invariance the operator exists for
+    val shifted = ImageGridDecoder.decode(bmpBytes(mkImage(64, 48, shift = 30)))
+    assert(Perceptual.dhashOfGrid(shifted) == ha)
+    // a resize of the same scene also lands nearby (same gradient field)
+    val resized = ImageGridDecoder.decode(bmpBytes(mkImage(128, 96,
+      f = (x, y) => (x / 2 * 7 + y / 2 * 13) % 200)))
+    assert(java.lang.Long.bitCount(Perceptual.dhashOfGrid(resized) ^ ha) <= 3)
+    // a different scene is far away
+    val other = ImageGridDecoder.decode(bmpBytes(mkImage(64, 48,
+      f = (x, y) => (x * x * 3 + y * 31) % 251)))
+    assert(java.lang.Long.bitCount(Perceptual.dhashOfGrid(other) ^ ha) > 10)
+    // robustness: garbage bytes and tiny images decode without throwing
+    assert(ImageGridDecoder.decode(Array[Byte](1, 2, 3)).forall(_ == 0))
+    assert(ImageGridDecoder.decode(bmpBytes(mkImage(3, 2))).length == 72)
+  }
+
+  test("end-to-end: BMP families pair up under the banded join") {
+    val fams = (0 until 4).flatMap { fam =>
+      val f = (x: Int, y: Int) => ((x * (7 + fam) + y * (13 + 2 * fam)) % 200)
+      Seq(
+        (fam * 10L, bmpBytes(mkImage(64, 48, 0, f))),
+        (fam * 10L + 1, bmpBytes(mkImage(64, 48, 0, f))), // exact re-encode
+        (fam * 10L + 2, bmpBytes(mkImage(64, 48, 25, f))) // brightness copy
+      )
+    }
+    val media = fams.toDF("doc_id", "content")
+    val pairs = Perceptual.nearDupPairs(
+        Perceptual.dhash63(media, ImageGridDecoder), maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every intra-family pair, no cross-family pair
+    val expected = (0 until 4).flatMap { fam =>
+      val ids = Seq(fam * 10L, fam * 10L + 1, fam * 10L + 2)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    assert(pairs == expected)
+  }
+
+  // ---- registered query vs its own contract -------------------------------
+
+  test("ns81 registered query: families pair, reversed controls never do") {
+    val out = graft.SparkEntry.queries("ns81_image_neardup")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (a, b, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(a < b)
+      assert(h <= 3)
+      assert(a / 5 == b / 5, s"cross-family pair ($a,$b)") // same family only
+      assert(a % 5 != 4 && b % 5 != 4, "reversed control paired")
+    }
+    // the two exact copies (v0,v1) pair at hamming 0 in every family present
+    val zeroPairs = out.filter(r => r.getLong(0) % 5 == 0 && r.getLong(1) % 5 == 1)
+    assert(zeroPairs.nonEmpty)
+    assert(zeroPairs.forall(_.getLong(2) == 0L))
+  }
+}

@@ -161,7 +161,7 @@ class WebCorpusOpsSpec extends AnyFunSuite {
     def drifts(d1: org.apache.spark.sql.DataFrame,
         d2: org.apache.spark.sql.DataFrame) =
       Versioning.tokenDrift(d1, d2, topK = 100).collect()
-        .map(r => r.getString(1) -> r.getDecimal(4).longValueExact()).toMap
+        .map(r => r.getString(1) -> r.getLong(4)).toMap
     val fwd = drifts(a, b)
     val rev = drifts(b, a)
     assert(fwd.keySet == rev.keySet)
@@ -300,7 +300,7 @@ class WebCorpusOpsSpec extends AnyFunSuite {
     // a: 3*4 - 0*5 = 12; b: 1*4 - 3*5 = -11; c: 1*4 - 1*5 = -1
     val out = Versioning.tokenDrift(before, after, topK = 10).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
-        r.getDecimal(4).longValueExact()))
+        r.getLong(4)))
     assert(out.toSeq == Seq(
       (1, "a", 3L, 0L, 12L),
       (2, "b", 1L, 3L, -11L),
@@ -313,7 +313,7 @@ class WebCorpusOpsSpec extends AnyFunSuite {
     val before = Seq((1L, "x y")).toDF("doc_id", "text")
     val after = Seq((2L, "x y x y")).toDF("doc_id", "text") // same dist, 2x mass
     val out = Versioning.tokenDrift(before, after, topK = 10).collect()
-    assert(out.forall(_.getDecimal(4).longValueExact() == 0L))
+    assert(out.forall(_.getLong(4) == 0L))
   }
 
   // ---- Privacy.kAnonymize -------------------------------------------------

@@ -61,10 +61,10 @@ class StreamingDriftSpec extends AnyFunSuite {
     val streamed = StreamingDrift.driftTopK(
         spark, refPath, liveCells, candidates, topK = 50)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
-        r.getLong(3), r.getDecimal(4).longValueExact()))
+        r.getLong(3), r.getLong(4)))
     val batch = graft.ops.Versioning.tokenDrift(before, after, topK = 50)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
-        r.getLong(3), r.getDecimal(4).longValueExact()))
+        r.getLong(3), r.getLong(4)))
     assert(streamed.toSeq == batch.toSeq)
     // the spam tokens must actually rank at the top — the alarm this
     // operator exists to raise
