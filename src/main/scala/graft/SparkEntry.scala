@@ -1154,6 +1154,63 @@ object SparkEntry {
       graft.ops.Perceptual.dhash63(media), maxHamming = 3, bands = 4)
   }
 
+  /** The ns82 media-family synthesis: per 5-id family over the documents
+    * blobs — v0/v1 (the index corpus: base + exact copy), v4 (tick 1: the
+    * reversed control, far from the corpus → survives and is ACCEPTED),
+    * v2 (tick 2: a 1-byte edit of the REVERSED text — near-dup of what
+    * tick 1 accepted, so its rejection proves the index UPDATE is
+    * load-bearing), v3 (tick 2: a 1-byte edit of the base — rejected via
+    * the original build). */
+  private def ns82Family(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    base.as("d")
+      .join(base.as("b"),
+        col("b.doc_id") === (col("d.doc_id") - col("d.doc_id") % 5))
+      .select(col("d.doc_id").as("doc_id"),
+        encode(
+          when(col("d.doc_id") % 5 <= 1, col("b.text"))
+            .when(col("d.doc_id") % 5 === 2,
+              concat(substring(reverse(col("b.text")), 1, 10), lit("#"),
+                expr("substring(reverse(b.text), 12)")))
+            .when(col("d.doc_id") % 5 === 3,
+              concat(substring(col("b.text"), 1, 20), lit("@"),
+                expr("substring(b.text, 22)")))
+            .otherwise(reverse(col("b.text"))), "UTF-8").as("content"))
+  }
+
+  /** NS82 — perceptual-index ingest lifecycle
+    * ([[graft.ops.Perceptual.writePhashIndex]] /
+    * [[graft.ops.Perceptual.incrementalNewFromPhashIndex]] /
+    * [[graft.ops.Perceptual.updatePhashIndex]]): the ns18 shape for
+    * media — the corpus's perceptual hashes are persisted ONCE (at 100 TB
+    * the codec decode pass dwarfs everything; the index is 16 bytes/doc),
+    * each ingest tick decodes only its batch, probes the stored hashes via
+    * the pigeonhole-exact band join, and appends what it accepts. Tick 2's
+    * near-dups-of-tick-1's-acceptances are rejected ONLY because the
+    * update ran — the maintenance call is load-bearing in the output.
+    * Fingerprint-keyed base index + per-run working copy (ns18 hygiene). */
+  private def ns82(s: SparkSession, dir: String): DataFrame = {
+    val fp = graft.ops.Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
+    val base = scratchIndexDir("graft_phash_idx", dir, fp)
+    val fam = ns82Family(s, dir)
+    if (!graft.ops.Perceptual.phashIndexMatches(s, base, fp))
+      graft.ops.Perceptual.writePhashIndex(
+        fam.where(col("doc_id") % 5 <= 1), base, fingerprint = Some(fp))
+    val work = s"${base}_tick_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.ops.Perceptual.copyPhashIndex(s, base, work)
+    val workPath = new org.apache.hadoop.fs.Path(work)
+    workPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .deleteOnExit(workPath)
+    val tick1 = graft.ops.Perceptual.incrementalNewFromPhashIndex(
+        fam.where(col("doc_id") % 5 === 4), work,
+        expectDecoder = Some("byte-stride"))
+      .localCheckpoint(true) // snapshot: the plan reads files the append rewrites
+    graft.ops.Perceptual.updatePhashIndex(tick1, work)
+    val tick2 = graft.ops.Perceptual.incrementalNewFromPhashIndex(
+      fam.where(col("doc_id") % 5 === 2 || col("doc_id") % 5 === 3), work)
+    tick1.union(tick2).orderBy("doc_id")
+  }
+
   /** NS79 — event-transition matrix ([[graft.ops.Events.transitions]]):
     * per-user consecutive event-type pairs counted corpus-wide, in the
     * (ts, event_id) total order — the behavior-sequence audit before
@@ -1286,6 +1343,7 @@ object SparkEntry {
     "ns79_event_transitions" -> (ns79 _),
     "ns80_curriculum_buckets" -> (ns80 _),
     "ns81_image_neardup" -> (ns81 _),
+    "ns82_phash_lifecycle" -> (ns82 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2496,5 +2554,38 @@ object SparkEntry {
          |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.phash, b.phash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin),
+    // ns82 replays the two-tick lifecycle DECISION: tick-1 survivors are
+    // batch docs with no corpus hash within hamming 3; tick-2 probes
+    // corpus + tick-1 survivors (the update made load-bearing). The
+    // engine's stored index artifacts must reproduce exactly this.
+    "ns82_phash_lifecycle" ->
+      ("""WITH base AS (SELECT doc_id, text FROM documents),
+         |fam AS (SELECT d.doc_id,
+         |  CASE d.doc_id % 5
+         |    WHEN 0 THEN b.text
+         |    WHEN 1 THEN b.text
+         |    WHEN 2 THEN substr(reverse(b.text), 1, 10) || '#' || substr(reverse(b.text), 12)
+         |    WHEN 3 THEN substr(b.text, 1, 20) || '@' || substr(b.text, 22)
+         |    ELSE reverse(b.text) END AS t
+         |  FROM base d JOIN base b ON b.doc_id = d.doc_id - d.doc_id % 5),
+         |h AS (SELECT doc_id, hex(encode(t)) AS hx, octet_length(encode(t)) AS n FROM fam),
+         |cells AS (SELECT doc_id, i,
+         |  CASE WHEN n = 0 THEN 0 ELSE ('0x' || substr(hx, (2 * ((i * n) // 72) + 1)::INT, 2))::INT END AS v
+         |  FROM h, (SELECT unnest(range(0, 72)) AS i) r),
+         |bits AS (SELECT a.doc_id, ((a.i // 9) * 8 + (a.i % 9))::INT AS k,
+         |  CASE WHEN a.v < b.v THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+         |  FROM cells a JOIN cells b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+         |  WHERE a.i % 9 < 8 AND (a.i // 9) * 8 + (a.i % 9) < 63),
+         |ph AS (SELECT doc_id, sum(bit << k)::BIGINT AS phash FROM bits GROUP BY doc_id),
+         |corpus AS (SELECT phash FROM ph WHERE doc_id % 5 <= 1),
+         |s1 AS (SELECT doc_id, phash FROM ph b WHERE doc_id % 5 = 4
+         |  AND NOT EXISTS (SELECT 1 FROM corpus c
+         |    WHERE bit_count(xor(b.phash, c.phash)) <= 3)),
+         |idx2 AS (SELECT phash FROM corpus UNION ALL SELECT phash FROM s1),
+         |s2 AS (SELECT doc_id, phash FROM ph b WHERE doc_id % 5 IN (2, 3)
+         |  AND NOT EXISTS (SELECT 1 FROM idx2 c
+         |    WHERE bit_count(xor(b.phash, c.phash)) <= 3))
+         |SELECT doc_id, phash FROM s1
+         |UNION ALL SELECT doc_id, phash FROM s2 ORDER BY doc_id""".stripMargin),
   )
 }

@@ -149,6 +149,177 @@ object Perceptual {
       .where(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+  // ---- persisted index lifecycle (the D6 shape for media) -----------------
+
+  private def metaPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_meta.txt")
+
+  private def readSidecar(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[String, String] =
+    IndexSidecar.read(spark, metaPath(path))
+      .split("\n").filter(_.contains("=")).map(_.split("=", 2))
+      .map(a => a(0) -> a(1)).toMap
+
+  def phashIndexExists(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = metaPath(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** True iff an index exists at `path` AND its sidecar carries exactly
+    * `fingerprint` — the [[Dedup.minhashIndexMatches]] staleness gate. */
+  def phashIndexMatches(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      fingerprint: String): Boolean =
+    phashIndexExists(spark, path) &&
+      readSidecar(spark, path).get("fingerprint").contains(fingerprint)
+
+  /** Index build — persist the corpus's (doc_id, phash) rows so ingest
+    * ticks never re-DECODE the corpus: for media, the decode pass (real
+    * codecs over 100 TB of blobs) dwarfs everything downstream, and the
+    * whole point of a persisted perceptual index is that it is paid once.
+    * 16 bytes/doc of parquet; the decoder NAME goes in the sidecar — the
+    * probe must hash new blobs with the family the index was built with
+    * (the [[Dedup.writeMinhashIndex]] parameter-pinning contract) — plus
+    * an optional source `fingerprint` for the staleness gate. Built in a
+    * staging dir and atomically published ([[IndexSidecar]]). */
+  def writePhashIndex(
+      media: DataFrame,
+      path: String,
+      decoder: GridDecoder = ByteStrideGridDecoder,
+      fingerprint: Option[String] = None): Unit = {
+    val spark = media.sparkSession
+    IndexSidecar.buildAndPublish(spark, path) { tmp =>
+      dhash63(media, decoder)
+        .write.mode("overwrite").parquet(s"$tmp/hashes")
+      IndexSidecar.write(spark, metaPath(tmp.toString),
+        s"decoder=${decoder.name}" +
+          fingerprint.map(f => s"\nfingerprint=$f").getOrElse(""))
+    }
+  }
+
+  /** Run-scoped working copy of a phash index (data + sidecar) — the
+    * ns18/ns20 what-if-tick hygiene: appends land on the copy, the
+    * canonical index stays untouched. */
+  def copyPhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      src: String, dst: String): Unit =
+    IndexSidecar.copy(spark, src, dst)
+
+  /** Index maintenance — append a tick's ACCEPTED (doc_id, phash) rows so
+    * the next probe dedups against corpus + everything accepted so far,
+    * with per-tick work proportional to the batch. `accepted` MUST carry
+    * hashes produced with the index's own decoder — callers naturally
+    * pass [[incrementalNewFromPhashIndex]]'s output, which is. That output
+    * is also a live plan over this index's files, so it is materialized
+    * (eager localCheckpoint) before the append — writing under a plan
+    * that re-lists those files would feed the update into itself. Single
+    * writer per index, as for every incrementally-maintained artifact
+    * here. */
+  def updatePhashIndex(
+      accepted: DataFrame,
+      path: String,
+      fingerprint: Option[String] = None): Unit = {
+    val spark = accepted.sparkSession
+    val acc = accepted.select(col("doc_id"), col("phash"))
+      .localCheckpoint(true)
+    acc.write.mode("append").parquet(s"$path/hashes")
+    fingerprint.foreach { f =>
+      val meta = readSidecar(spark, path)
+      IndexSidecar.write(spark, metaPath(path),
+        s"decoder=${meta("decoder")}\nfingerprint=$f")
+    }
+  }
+
+  /** Index probe — which docs of `newMedia` are NOT a near-dup (hamming ≤
+    * `maxHamming`) of anything in the persisted index? Returns the
+    * survivors as (doc_id, phash), ready to feed [[updatePhashIndex]].
+    *
+    * The new batch is decoded ONCE (with the decoder the index's sidecar
+    * declares — never the caller's choice; `expectDecoder` pins it
+    * fail-fast); the corpus side reads 16-byte hash rows, never blobs.
+    * Candidates come from the same pigeonhole-exact band join as
+    * [[nearDupPairs]] (maxHamming < bands), so the decision equals the
+    * brute-force all-pairs answer; per tick the work is batch-decode +
+    * band-collision volume, never corpus². */
+  def incrementalNewFromPhashIndex(
+      newMedia: DataFrame,
+      path: String,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBandFreq: Long = Long.MaxValue,
+      expectDecoder: Option[String] = None): DataFrame = {
+    val spark = newMedia.sparkSession
+    val meta = readSidecar(spark, path)
+    val decoderName = meta("decoder")
+    expectDecoder.foreach { e =>
+      require(e == decoderName,
+        s"index at $path was built with decoder=$decoderName, caller " +
+          s"requires $e — refusing to probe across hash families")
+    }
+    val decoder = GridDecoders.byName(decoderName)
+    // one decode pass, reused by the band join and the final anti-join
+    val newHashes = dhash63(newMedia, decoder).localCheckpoint(true)
+    val corpusHashes = spark.read.parquet(s"$path/hashes")
+    val dupIds = bandCandidates(newHashes, corpusHashes,
+        maxHamming, bands, maxBandFreq)
+      .select(col("doc_id")).distinct()
+    newHashes.join(dupIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("phash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared banding: probe-side rows whose hash is within `maxHamming` of
+    * some build-side row, via the (band, chunk)-equality join. Probe rows
+    * come back under their own doc_id; pigeonhole-exact for maxHamming <
+    * bands, same contract as [[nearDupPairs]]. */
+  private def bandCandidates(
+      probe: DataFrame, build: DataFrame,
+      maxHamming: Int, bands: Int, maxBandFreq: Long): DataFrame = {
+    require(bands >= 2 && bands <= hashBits,
+      s"bands must be in [2, $hashBits]")
+    require(maxHamming >= 0 && maxHamming < bands,
+      "maxHamming < bands is what makes the banded join pigeonhole-exact")
+    val base = hashBits / bands
+    val rem = hashBits % bands
+    val sizes = (0 until bands).map(p => base + (if (p < rem) 1 else 0))
+    val offsets = sizes.scanLeft(0)(_ + _)
+    def bandKeys(df: DataFrame): DataFrame = {
+      val chunks = (0 until bands).map { p =>
+        val mask = (1L << sizes(p)) - 1
+        struct(lit(p).as("p"),
+          shiftright(col("phash"), offsets(p)).bitwiseAND(lit(mask))
+            .as("chunk"))
+      }
+      df.select(col("doc_id"), col("phash"),
+          explode(array(chunks: _*)).as("bk"))
+        .select(col("doc_id"), col("phash"),
+          col("bk.p").as("p"), col("bk.chunk").as("chunk"))
+    }
+    val (pb, bb) = (bandKeys(probe), bandKeys(build))
+    val bbCapped =
+      if (maxBandFreq == Long.MaxValue) bb
+      else {
+        val hot = bb.groupBy(col("p"), col("chunk")).count()
+          .where(col("count") > maxBandFreq).select(col("p"), col("chunk"))
+        bb.join(hot, Seq("p", "chunk"), "left_anti")
+      }
+    pb.as("a").join(bbCapped.as("b"),
+        col("a.p") === col("b.p") && col("a.chunk") === col("b.chunk") &&
+          bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+            <= maxHamming)
+      .select(col("a.doc_id").as("doc_id"), col("a.phash").as("phash"))
+  }
+}
+
+/** Decoder registry: sidecar `decoder=` names → implementations, so a
+  * persisted index can declare its hash family and probes resolve it
+  * without caller cooperation. */
+object GridDecoders {
+  val all: Seq[GridDecoder] =
+    Seq(ByteStrideGridDecoder, ImageGridDecoder, WavGridDecoder)
+  val byName: Map[String, GridDecoder] = all.map(d => d.name -> d).toMap
 }
 
 /** A grid decoder turns one opaque blob into the 72 exact integer
@@ -184,6 +355,69 @@ object ByteStrideGridDecoder extends GridDecoder {
       }
     }
     g
+  }
+}
+
+/** Real audio decode, pure JVM (javax.sound WAV container, PCM 8/16-bit):
+  * the grid is 9 TIME slices (the dHash gradient axis) × 8 amplitude
+  * bands; cell (r,c) counts the samples in slice c whose unsigned
+  * amplitude falls in band r (top 3 bits). The dHash over it is a
+  * temporal loudness-texture fingerprint — how the amplitude
+  * distribution moves through the clip.
+  *
+  * Exact re-encode invariance, by construction: a 16-bit sample's band is
+  * `(s+32768) >>> 13` and its 8-bit quantization `v = (s+32768) >>> 8`
+  * lands in band `v >>> 5` — the SAME value — so a 16-bit→8-bit
+  * re-encode of a clip produces the IDENTICAL grid and hash (spec-pinned).
+  * The depth-mismatch dup class that byte-level hashing can never catch
+  * is exactly what this decoder exists for. */
+object WavGridDecoder extends GridDecoder {
+  val name = "wav-grid"
+  def decode(content: Array[Byte]): Array[Int] = {
+    val g = new Array[Int](Perceptual.gridCells)
+    if (content == null) return g
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (in == null) return g
+    try {
+      val fmt = in.getFormat
+      val bytes = in.readAllBytes()
+      // decode to unsigned-16 amplitudes first so slicing sees sample
+      // counts, not byte counts
+      val amps: Array[Int] = fmt.getSampleSizeInBits match {
+        case 16 =>
+          val le = !fmt.isBigEndian
+          val n = bytes.length / 2
+          val a = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            val s =
+              if (le) ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+              else ((bytes(2 * i + 1) & 0xff) | (bytes(2 * i) << 8)).toShort
+            a(i) = s + 32768
+            i += 1
+          }
+          a
+        case 8 => // unsigned PCM by WAV spec; scale to the 16-bit lattice
+          bytes.map(b => (b & 0xff) << 8)
+        case _ => Array.emptyIntArray // unsupported depth -> all-zero grid
+      }
+      val n = amps.length.toLong
+      if (n == 0) return g
+      var i = 0
+      while (i < amps.length) {
+        val slice = (i * Perceptual.gridW / n).toInt // time column 0..8
+        val band = amps(i) >>> 13 // amplitude row 0..7
+        g(band * Perceptual.gridW + slice) += 1
+        i += 1
+      }
+      g
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        java.util.Arrays.fill(g, 0); g
+    } finally in.close()
   }
 }
 

@@ -215,7 +215,26 @@ object ScaleProof {
       "ns79_event_transitions",
       // ns80: bin-sketch boundary walk (groups × bins agg) + broadcast-back
       // labeling — the ns72/ns77 stats-gate shape
+      "ns80_curriculum_buckets",
       "ns80_curriculum_buckets")
+    // ns81 scales as the CLUSTER-RESOLVE deployment shape, not raw pairs:
+    // the copy-tagged synthetic corpus puts every same-copy doc behind the
+    // same `c{k}x` word prefixes, so stride hashes form GENUINE giant
+    // near-dup cliques and an m-clique has m² pairs — measured 5,992 →
+    // 671k → 66M pair rows across the decades (time stayed comfortably
+    // sub-quadratic: 0.56 → 1.27 → 20.9 s; the join itself is fine, the
+    // OUTPUT contract is what's quadratic). No implementation outruns its
+    // own output (the ns4 lesson); the production path for pair-shaped
+    // dedup under cliques is connected components over the band pairs
+    // (exactly ns16's shape), whose output is one row per clustered doc —
+    // linear by construction. The uncapped pair query remains the graded
+    // oracle semantics at bench SF; the spec pins the maxBandFreq band
+    // lever separately.
+    def ns81Clusters(dir: String): DataFrame = {
+      val pairs = graft.SparkEntry.queries("ns81_image_neardup")(spark, dir)
+        .select(col("doc_a"), col("doc_b"))
+      graft.ops.Dedup.resolveClusters(pairs)
+    }
     def ns37Scaled(dir: String): DataFrame = {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
       val n = e.count()
@@ -360,7 +379,8 @@ object ScaleProof {
           "ns4_ngram_capped" -> (ns4Capped _),
           "ns37_semantic_scaledC" -> (ns37Scaled _),
           "ns55_bloom_scaledBits" -> (ns55Scaled _),
-          "ns16_longchain" -> (longChain _))
+          "ns16_longchain" -> (longChain _),
+          "ns81_phash_clusters" -> (ns81Clusters _))
     // ungrouped-aggregate entries: see measure() — count() would fold to 1
     val aggForced = Set("ns63_html_forced", "ns66_luhn_forced",
       "ns68_lines_forced",

@@ -183,6 +183,137 @@ class PerceptualSpec extends AnyFunSuite {
     assert(pairs == expected)
   }
 
+  // ---- real audio path (javax.sound WAV) ----------------------------------
+
+  private def wav16Bytes(samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 16, 1, true, false) // PCM s16le mono
+    val data = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i =>
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  private def wav8Bytes(samples: Array[Byte]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 8, 1, false, false) // PCM u8 mono
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Deterministic clip: alternating ±amp square wave whose amplitude
+    * envelope is `ampAt(slice9)` — distinct temporal loudness textures
+    * land in distinct grid columns. */
+  private def clip(n: Int, ampAt: Int => Int): Array[Short] =
+    Array.tabulate(n) { i =>
+      val amp = ampAt(i * 9 / n)
+      (if (i % 2 == 0) amp else -amp).toShort
+    }
+
+  test("wav decoder: re-encode invariance (16-bit vs 8-bit), texture distance") {
+    val n = 7200
+    // rising amplitude staircase: each slice lands in a distinct band row,
+    // so the temporal gradient field is rich enough to separate textures
+    val quietLoud = clip(n, s => 1000 + 3500 * s)
+    val a16 = WavGridDecoder.decode(wav16Bytes(quietLoud))
+    // identical clip, identical container -> identical grid
+    assert(a16.toSeq == WavGridDecoder.decode(wav16Bytes(quietLoud)).toSeq)
+    assert(a16.sum == n) // every sample lands in exactly one cell
+    // 16->8-bit re-encode: band((s+32768)>>>13) == band(((s+32768)>>>8)>>>5)
+    // by construction, so the grid — and the hash — are IDENTICAL
+    val a8 = WavGridDecoder.decode(
+      wav8Bytes(quietLoud.map(s => (((s + 32768) >> 8) & 0xff).toByte)))
+    assert(a8.toSeq == a16.toSeq)
+    assert(Perceptual.dhashOfGrid(a8) == Perceptual.dhashOfGrid(a16))
+    // the reversed envelope is a different texture, far away
+    val loudQuiet = clip(n, s => 1000 + 3500 * (8 - s))
+    val b16 = WavGridDecoder.decode(wav16Bytes(loudQuiet))
+    assert(java.lang.Long.bitCount(
+      Perceptual.dhashOfGrid(b16) ^ Perceptual.dhashOfGrid(a16)) > 10)
+    // robustness: garbage and null decode to the all-zero grid
+    assert(WavGridDecoder.decode("not audio".getBytes).forall(_ == 0))
+    assert(WavGridDecoder.decode(null).forall(_ == 0))
+  }
+
+  // ---- persisted phash index lifecycle ------------------------------------
+
+  test("phash index: build/probe/update lifecycle, update is load-bearing") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_phash_spec_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val a = Array.tabulate[Byte](300)(i => ((i * 37 + 11) % 251).toByte)
+    val aEdit = a.clone(); aEdit(50) = 0x7f // near-dup of a
+    val b = Array.tabulate[Byte](300)(i => ((i * i * 13 + 7) % 241).toByte)
+    val bEdit = b.clone(); bEdit(120) = 0x01 // near-dup of b
+    // sanity: the fixture separates (a vs b far; edits near)
+    def h(x: Array[Byte]) =
+      Perceptual.dhashOfGrid(ByteStrideGridDecoder.decode(x))
+    assert(java.lang.Long.bitCount(h(a) ^ h(b)) > 6)
+    assert(java.lang.Long.bitCount(h(a) ^ h(aEdit)) <= 3)
+    assert(java.lang.Long.bitCount(h(b) ^ h(bEdit)) <= 3)
+
+    val corpus = Seq((1L, a), (2L, a)).toDF("doc_id", "content")
+    try {
+      Perceptual.writePhashIndex(corpus, dir, fingerprint = Some("fp1"))
+      assert(Perceptual.phashIndexMatches(spark, dir, "fp1"))
+      assert(!Perceptual.phashIndexMatches(spark, dir, "other")) // staleness
+      // tick 1: b is new (far from corpus), aEdit is a near-dup -> rejected
+      val t1 = Perceptual.incrementalNewFromPhashIndex(
+        Seq((10L, b), (11L, aEdit)).toDF("doc_id", "content"), dir)
+        .localCheckpoint(true)
+      assert(t1.collect().map(_.getLong(0)).toSeq == Seq(10L))
+      // probing across hash families fails fast
+      intercept[IllegalArgumentException] {
+        Perceptual.incrementalNewFromPhashIndex(
+          Seq((12L, b)).toDF("doc_id", "content"), dir,
+          expectDecoder = Some("image-grid"))
+      }
+      // WITHOUT the update, bEdit would survive (only corpus hashes known)
+      val before = Perceptual.incrementalNewFromPhashIndex(
+        Seq((20L, bEdit)).toDF("doc_id", "content"), dir)
+      assert(before.collect().map(_.getLong(0)).toSeq == Seq(20L))
+      // update with tick-1 acceptances; now bEdit is a near-dup of 10L
+      Perceptual.updatePhashIndex(t1, dir, fingerprint = Some("fp2"))
+      assert(Perceptual.phashIndexMatches(spark, dir, "fp2")) // restamped
+      val after = Perceptual.incrementalNewFromPhashIndex(
+        Seq((20L, bEdit), (21L, aEdit)).toDF("doc_id", "content"), dir)
+      assert(after.collect().isEmpty) // both rejected -> update load-bearing
+      // working copy isolates appends from the base
+      val work = s"${dir}_work"
+      Perceptual.copyPhashIndex(spark, dir, work)
+      Perceptual.updatePhashIndex(
+        Seq((30L, h(bEdit))).toDF("doc_id", "phash"), work)
+      assert(spark.read.parquet(s"$work/hashes").count() ==
+        spark.read.parquet(s"$dir/hashes").count() + 1)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"${dir}_work"), true)
+      ()
+    }
+  }
+
+  test("ns82 registered lifecycle: survivors are exactly the tick-1 controls") {
+    val out = graft.SparkEntry.queries("ns82_phash_lifecycle")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    // every reversed control survives tick 1; every tick-2 doc (near-dup
+    // of either the corpus or a tick-1 acceptance) is rejected
+    assert(out.forall(_.getLong(0) % 5 == 4))
+    val nDocs = graft.Tables.load(
+      spark, "/root/testdata/sf0.001", "documents").count()
+    assert(out.length == (0L until nDocs).count(_ % 5 == 4))
+  }
+
   // ---- registered query vs its own contract -------------------------------
 
   test("ns81 registered query: families pair, reversed controls never do") {
