@@ -1134,9 +1134,12 @@ object SparkEntry {
     * pigeonhole-exact, so the oracle's brute-force all-pairs SQL is the
     * same function. The hashing pass is one mapPartitions decode (no
     * shuffle); pairing shuffles once on (band, chunk). */
-  private def ns81(s: SparkSession, dir: String): DataFrame = {
+  /** The shared ns81/ns83 image-family synthesis: (doc_id, t) text
+    * variants per 5-id family — two exact copies, two 1-byte
+    * length-preserving edits, one reversed control. */
+  private def ns81Family(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), col("text"))
-    val fam = base.as("d")
+    base.as("d")
       .join(base.as("b"),
         col("b.doc_id") === (col("d.doc_id") - col("d.doc_id") % 5))
       .select(col("d.doc_id").as("doc_id"),
@@ -1148,10 +1151,47 @@ object SparkEntry {
             concat(substring(col("b.text"), 1, 20), lit("@"),
               expr("substring(b.text, 22)")))
           .otherwise(reverse(col("b.text"))).as("t"))
-    val media = fam.select(col("doc_id"),
+  }
+
+  private def ns81(s: SparkSession, dir: String): DataFrame = {
+    val media = ns81Family(s, dir).select(col("doc_id"),
       encode(col("t"), "UTF-8").as("content"))
     graft.ops.Perceptual.nearDupPairs(
       graft.ops.Perceptual.dhash63(media), maxHamming = 3, bands = 4)
+  }
+
+  /** NS83 — video-keyframe dedup ([[graft.ops.Multimodal.frameSample]] →
+    * [[graft.ops.Perceptual.dhash63]] per frame → repeated-keyframe
+    * groups): the video leg of the multimodal family. Blobs split into
+    * 64-byte "frames", every 2nd sampled (the keyframe stride), each
+    * sampled frame perceptually hashed, and frames repeated across the
+    * corpus surface as (phash, n_frames, n_docs) groups — the static-
+    * intro/shared-b-roll detector. All narrow until ONE phash-keyed
+    * groupBy: the explode is in-partition codegen (`substring` windows),
+    * the hash pass is the single mapPartitions decode, no pair join
+    * anywhere — frame-dedup volume is group volume, linear in frames. */
+  private def ns83(s: SparkSession, dir: String): DataFrame = {
+    val media = ns81Family(s, dir).select(col("doc_id"),
+      encode(col("t"), "UTF-8").as("content"),
+      struct(length(encode(col("t"), "UTF-8")).cast("long").as("n_bytes"))
+        .as("meta"))
+    val frames = graft.ops.Multimodal.frameSample(
+      media, frameBytes = 64, everyK = 2)
+    // composite frame id: source_frame < 1000 at any plausible doc size
+    // (64-byte frames; the guard keeps silent aliasing impossible)
+    val fmedia = frames.select(
+      (col("doc_id") * 1000 +
+        when(col("source_frame") < 1000, col("source_frame"))
+          .otherwise(raise_error(lit("frame index overflows composite id"))))
+        .as("doc_id"),
+      col("frame").as("content"))
+    graft.ops.Perceptual.dhash63(fmedia)
+      .select(col("phash"), expr("doc_id div 1000").as("orig"))
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_frames"),
+        count_distinct(col("orig")).as("n_docs"))
+      .where(col("n_frames") > 1)
+      .orderBy(col("phash"))
   }
 
   /** The ns82 media-family synthesis: per 5-id family over the documents
@@ -1344,6 +1384,7 @@ object SparkEntry {
     "ns80_curriculum_buckets" -> (ns80 _),
     "ns81_image_neardup" -> (ns81 _),
     "ns82_phash_lifecycle" -> (ns82 _),
+    "ns83_keyframe_dedup" -> (ns83 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2587,5 +2628,36 @@ object SparkEntry {
          |    WHERE bit_count(xor(b.phash, c.phash)) <= 3))
          |SELECT doc_id, phash FROM s1
          |UNION ALL SELECT doc_id, phash FROM s2 ORDER BY doc_id""".stripMargin),
+    // ns83 replays the 64-byte frame windows (every 2nd sampled), the
+    // per-frame stride grid + bit packing, and the repeated-keyframe
+    // rollup.
+    "ns83_keyframe_dedup" ->
+      ("""WITH base AS (SELECT doc_id, text FROM documents),
+         |fam AS (SELECT d.doc_id,
+         |  CASE d.doc_id % 5
+         |    WHEN 0 THEN b.text
+         |    WHEN 1 THEN b.text
+         |    WHEN 2 THEN substr(b.text, 1, 10) || '#' || substr(b.text, 12)
+         |    WHEN 3 THEN substr(b.text, 1, 20) || '@' || substr(b.text, 22)
+         |    ELSE reverse(b.text) END AS t
+         |  FROM base d JOIN base b ON b.doc_id = d.doc_id - d.doc_id % 5),
+         |h AS (SELECT doc_id, hex(encode(t)) AS hx, octet_length(encode(t)) AS n FROM fam),
+         |fr AS (SELECT doc_id, f, least(64, n - f * 64) AS m,
+         |  substr(hx, 128 * f + 1, 128) AS fhx
+         |  FROM h, (SELECT unnest(range(0, 64)) AS f) s
+         |  WHERE f % 2 = 0 AND f * 64 < n),
+         |cells AS (SELECT doc_id, f, i,
+         |  ('0x' || substr(fhx, (2 * ((i * m) // 72) + 1)::INT, 2))::INT AS v
+         |  FROM fr, (SELECT unnest(range(0, 72)) AS i) r),
+         |bits AS (SELECT a.doc_id, a.f, ((a.i // 9) * 8 + (a.i % 9))::INT AS k,
+         |  CASE WHEN a.v < b.v THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+         |  FROM cells a JOIN cells b
+         |    ON a.doc_id = b.doc_id AND a.f = b.f AND b.i = a.i + 1
+         |  WHERE a.i % 9 < 8 AND (a.i // 9) * 8 + (a.i % 9) < 63),
+         |ph AS (SELECT doc_id, f, sum(bit << k)::BIGINT AS phash
+         |  FROM bits GROUP BY doc_id, f)
+         |SELECT phash, count(*) AS n_frames,
+         |  count(DISTINCT doc_id) AS n_docs
+         |FROM ph GROUP BY phash HAVING count(*) > 1 ORDER BY phash""".stripMargin),
   )
 }

@@ -314,6 +314,41 @@ class PerceptualSpec extends AnyFunSuite {
     assert(out.length == (0L until nDocs).count(_ % 5 == 4))
   }
 
+  // ---- video keyframe composition (frameSample -> dhash63) ----------------
+
+  test("ns83 keyframe groups: shared blocks group, registered query sane") {
+    // two "videos" sharing one identical 64-byte block at different offsets
+    val shared = Array.tabulate[Byte](64)(i => ((i * 29 + 3) % 211).toByte)
+    val uniqA = Array.tabulate[Byte](64)(i => ((i * 31 + 7) % 199).toByte)
+    val uniqB = Array.tabulate[Byte](64)(i => ((i * 41 + 13) % 193).toByte)
+    // frames sampled every 2nd 64-byte window -> windows 0 and 2
+    val vidA = shared ++ uniqA ++ shared // windows: shared, uniqA, shared
+    val vidB = shared ++ uniqB ++ uniqB
+    val media = Seq((1L, vidA), (2L, vidB)).toDF("doc_id", "content")
+      .withColumn("meta", org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.length(col("content")).cast("long")
+          .as("n_bytes")))
+    val frames = Multimodal.frameSample(media, frameBytes = 64, everyK = 2)
+    val hashed = Perceptual.dhash63(
+      frames.select((col("frame_idx") + col("doc_id") * 100).as("doc_id"),
+        col("frame").as("content")))
+    val groups = hashed.groupBy("phash").count().collect()
+      .map(r => r.getLong(1)).sorted.toSeq
+    // sampled frames: A->(shared, shared), B->(shared, uniqB):
+    // the shared block groups 3 frames; uniqB stands alone
+    assert(groups == Seq(1L, 3L))
+
+    val out = graft.SparkEntry.queries("ns83_keyframe_dedup")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) >= 2L) // every group is a repeat
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(1))
+    }
+    // exact-copy families guarantee cross-doc groups exist
+    assert(out.exists(_.getLong(2) >= 2L))
+  }
+
   // ---- registered query vs its own contract -------------------------------
 
   test("ns81 registered query: families pair, reversed controls never do") {
