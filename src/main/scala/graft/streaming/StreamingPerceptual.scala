@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Streaming counterpart of the ns82 perceptual-index lifecycle
+  * ([[graft.ops.Perceptual.incrementalNewFromPhashIndex]]): continuous
+  * media ingest where every micro-batch of blobs is perceptually
+  * deduplicated against the corpus index PLUS everything accepted in
+  * earlier batches, and its survivors are appended to both the accepted
+  * sink and the index itself — the [[StreamingDedup.indexedIngestDedup]]
+  * shape with the decode-once media economics: the corpus blobs were
+  * decoded exactly once at index build; each batch decodes only itself.
+  *
+  * `foreachBatch`, for the same reasons as the minhash twin: the decision
+  * is a batch band-join against index FILES, not row-local state, so the
+  * state lives in the index (16 bytes/doc) instead of the state store — a
+  * restarted query resumes from index contents with no state-store
+  * recovery, micro-batches serialize (the single-writer-per-index
+  * contract), and batch consumers can read the index between ticks.
+  *
+  * Exactly-once note (the r7 ADVICE ordering lesson, applied here as in
+  * every ingest twin): foreachBatch is at-least-once — the SINK append
+  * runs BEFORE the index append, so a crash between the two re-accepts
+  * the batch on replay (duplicate sink rows; keyed-idempotent consumers
+  * tolerate, and duplicate index hash rows never change a near-dup
+  * decision). Index-first would let a crash filter the replayed
+  * survivors out of the sink forever. */
+object StreamingPerceptual {
+
+  def indexedMediaIngestDedup(
+      newMedia: DataFrame,
+      indexPath: String,
+      acceptedSink: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    newMedia.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // snapshot before the append: the survivor plan band-joins the
+        // same index files the append rewrites
+        val survivors = graft.ops.Perceptual
+          .incrementalNewFromPhashIndex(batch.toDF(), indexPath)
+          .localCheckpoint(true)
+        try {
+          if (!survivors.isEmpty) {
+            survivors.write.mode("append").parquet(acceptedSink)
+            graft.ops.Perceptual.updatePhashIndex(survivors, indexPath)
+          }
+        } finally
+          // a forever-running query would otherwise retain one
+          // checkpointed copy of every accepted batch's hashes
+          graft.ops.Dedup.unpersistCheckpoint(survivors)
+        ()
+      }
+      .start()
+}

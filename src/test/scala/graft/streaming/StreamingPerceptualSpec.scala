@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.ops.Perceptual
+
+/** The streaming perceptual-ingest twin: later micro-batches must be
+  * deduplicated against earlier batches' ACCEPTED media — the index
+  * update inside the foreachBatch loop is load-bearing, exactly as in
+  * the batch ns82 lifecycle. */
+class StreamingPerceptualSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("indexed media ingest: later batches see earlier acceptances") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_phash").toString
+    val idx = s"$dir/index"
+    val sink = s"$dir/accepted"
+
+    val a = Array.tabulate[Byte](300)(i => ((i * 37 + 11) % 251).toByte)
+    val aEdit = a.clone(); aEdit(50) = 0x7f
+    val b = Array.tabulate[Byte](300)(i => ((i * i * 13 + 7) % 241).toByte)
+    val bEdit = b.clone(); bEdit(120) = 0x01
+    val c = Array.tabulate[Byte](300)(i => ((i * 61 + 5) % 233).toByte)
+    // fixture sanity: a/b/c mutually far, edits near their originals
+    // (hashes via the public decode path)
+    val hs = Perceptual.dhash63(
+        Seq((0L, a), (1L, b), (2L, c), (3L, bEdit)).toDF("doc_id", "content"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((x, y) <- Seq((0L, 1L), (0L, 2L), (1L, 2L)))
+      assert(java.lang.Long.bitCount(hs(x) ^ hs(y)) > 6)
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) <= 3)
+
+    Perceptual.writePhashIndex(
+      Seq((100L, a)).toDF("doc_id", "content"), idx)
+
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingPerceptual.indexedMediaIngestDedup(
+      in.toDF().toDF("doc_id", "content"), idx, sink, s"$dir/ckpt")
+    // batch 1: near-dup of the corpus (rejected) + one fresh blob
+    in.addData((1L, aEdit), (2L, b))
+    q.processAllAvailable()
+    // batch 2: near-dup of batch 1's ACCEPTANCE (only the updated index
+    // can catch it) + one fresh blob
+    in.addData((3L, bEdit), (4L, c))
+    q.processAllAvailable()
+    q.stop()
+
+    val accepted = spark.read.parquet(sink).collect()
+      .map(_.getLong(0)).toSet
+    assert(accepted == Set(2L, 4L))
+    // and the index now carries corpus + both acceptances
+    assert(spark.read.parquet(s"$idx/hashes").count() == 3L)
+  }
+}
