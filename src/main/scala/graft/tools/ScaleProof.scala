@@ -216,7 +216,15 @@ object ScaleProof {
       // ns80: bin-sketch boundary walk (groups × bins agg) + broadcast-back
       // labeling — the ns72/ns77 stats-gate shape
       "ns80_curriculum_buckets",
-      "ns80_curriculum_buckets")
+      "ns80_curriculum_buckets",
+      // ns82: the perceptual-index lifecycle — per-size the base index
+      // builds once in the untimed warmup (fingerprint-keyed, the
+      // ns18/ns41 contract); the timed runs measure copy + two
+      // batch-decode probes + one append, all batch-proportional
+      "ns82_phash_lifecycle",
+      // ns83: frame explode + hash pass + ONE phash groupBy — group
+      // volume, linear in frames; count() cannot prune the HAVING filter
+      "ns83_keyframe_dedup")
     // ns81 scales as the CLUSTER-RESOLVE deployment shape, not raw pairs:
     // the copy-tagged synthetic corpus puts every same-copy doc behind the
     // same `c{k}x` word prefixes, so stride hashes form GENUINE giant
