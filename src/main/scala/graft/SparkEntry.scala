@@ -1251,6 +1251,41 @@ object SparkEntry {
     tick1.union(tick2).orderBy("doc_id")
   }
 
+  /** NS84 — blocked fuzzy record linkage
+    * ([[graft.ops.Linkage.fuzzyDuplicates]]): entity resolution over
+    * structured records — the metadata-dedup counterpart of the
+    * text/media families. The synthesis derives a 12-hex pseudo-name per
+    * customer (md5-based, engine-reproducible) and emits 3 records per
+    * entity: the clean name, a 1-char substitution typo AT POSITION 2 —
+    * deliberately inside the prefix window, so the pair is only
+    * recoverable via the suffix key (the multi-key pigeonhole is
+    * load-bearing, not decorative) — and an unrelated control. Blocking
+    * on (nation, prefix4/suffix4), candidates verified with the codegen
+    * `levenshtein` ≤ 1. The oracle replays the BLOCKED contract
+    * (blocking is the operator's semantics, recall trade documented),
+    * so both sides are the same function. */
+  private def ns84(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .withColumn("nm0",
+        substring(md5(col("c_custkey").cast("string").cast("binary")), 1, 12))
+    val recs = cust
+      .select(col("c_custkey"), col("c_nationkey"), col("nm0"),
+        explode(array(lit(0), lit(1), lit(2))).as("v"))
+      .select(
+        (col("c_custkey") * 3 + col("v")).as("rec_id"),
+        col("c_nationkey"),
+        when(col("v") === 0, col("nm0"))
+          .when(col("v") === 1,
+            concat(substring(col("nm0"), 1, 1), lit("z"),
+              expr("substring(nm0, 3)")))
+          .otherwise(substring(
+            md5(concat(lit("x"), col("c_custkey").cast("string"))
+              .cast("binary")), 1, 12)).as("name"))
+    graft.ops.Linkage.fuzzyDuplicates(recs,
+      groupCols = Seq("c_nationkey"), maxDist = 1, prefixLen = 4)
+  }
+
   /** NS79 — event-transition matrix ([[graft.ops.Events.transitions]]):
     * per-user consecutive event-type pairs counted corpus-wide, in the
     * (ts, event_id) total order — the behavior-sequence audit before
@@ -1385,6 +1420,7 @@ object SparkEntry {
     "ns81_image_neardup" -> (ns81 _),
     "ns82_phash_lifecycle" -> (ns82 _),
     "ns83_keyframe_dedup" -> (ns83 _),
+    "ns84_record_linkage" -> (ns84 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2659,5 +2695,28 @@ object SparkEntry {
          |SELECT phash, count(*) AS n_frames,
          |  count(DISTINCT doc_id) AS n_docs
          |FROM ph GROUP BY phash HAVING count(*) > 1 ORDER BY phash""".stripMargin),
+    // ns84 replays the BLOCKED linkage contract: same name synthesis,
+    // same two block keys, same levenshtein gate — blocking is the
+    // operator's semantics, so oracle and engine are the same function.
+    "ns84_record_linkage" ->
+      ("""WITH c AS (SELECT c_custkey, c_nationkey,
+         |  substr(md5(c_custkey::VARCHAR), 1, 12) AS nm0 FROM customer),
+         |recs AS (SELECT c_custkey * 3 + v AS rec_id, c_nationkey,
+         |  CASE v WHEN 0 THEN nm0
+         |         WHEN 1 THEN substr(nm0, 1, 1) || 'z' || substr(nm0, 3)
+         |         ELSE substr(md5('x' || c_custkey::VARCHAR), 1, 12) END AS nm
+         |  FROM c, (SELECT unnest([0, 1, 2]) AS v) vs),
+         |blocked AS (SELECT rec_id, c_nationkey, nm, ki,
+         |  CASE ki WHEN 0 THEN substr(nm, 1, 4)
+         |          ELSE substr(nm, greatest(length(nm) - 3, 1), 4) END AS key
+         |  FROM recs, (SELECT unnest([0, 1]) AS ki) ks)
+         |SELECT DISTINCT a.rec_id AS rec_a, b.rec_id AS rec_b,
+         |  levenshtein(a.nm, b.nm)::BIGINT AS dist
+         |FROM blocked a JOIN blocked b
+         |  ON a.ki = b.ki AND a.key = b.key
+         |  AND a.c_nationkey IS NOT DISTINCT FROM b.c_nationkey
+         |  AND a.rec_id < b.rec_id
+         |WHERE levenshtein(a.nm, b.nm) <= 1
+         |ORDER BY rec_a, rec_b""".stripMargin),
   )
 }

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy record linkage — entity resolution over structured
+  * records (the metadata-dedup counterpart of the text/media dedup
+  * families: author disambiguation, near-identical catalog rows, dirty
+  * customer files merged from several sources).
+  *
+  * The intractable formulation is pairwise edit distance over the
+  * corpus — n² at any scale. The standard fix is BLOCKING: each record
+  * emits a handful of cheap keys, only same-key pairs are compared, and
+  * multiple complementary keys recover the recall a single key loses.
+  * Here: the name's prefix and suffix (plus exact group columns such as
+  * a region key) — a single SUBSTITUTION typo falls in at most one of
+  * the two windows, so substitution-dirty duplicates always share the
+  * other key (the pigeonhole argument the simhash/dHash bands make over
+  * bits, made over character windows). General insert/delete edits can
+  * shift both windows; the operator's contract is therefore the BLOCKED
+  * match — exactly what the oracle replays — with the recall trade
+  * documented rather than silently absorbed.
+  *
+  * Scale shape: explode ×2 block keys (narrow), ONE shuffle keyed by
+  * (group, key-index, key), same-block self-join — candidate volume is
+  * block-collision volume, never corpus²; `levenshtein` is a codegen'd
+  * Spark built-in evaluated only on candidates. `maxBlockFreq` drops
+  * over-hot blocks (a "Smith" block in a real name file) at a documented
+  * recall cost — the [[Dedup.ngramJaccard]]/[[Perceptual.nearDupPairs]]
+  * skew lever.
+  */
+object Linkage {
+
+  /** All (rec_a < rec_b, dist) pairs that share a blocking key and have
+    * `levenshtein(name_a, name_b) <= maxDist`, within identical
+    * `groupCols` values (null-safe grouping: NULL group keys block
+    * together, the kAnonymize policy). `prefixLen`-char prefix and
+    * suffix of `nameCol` are the two keys. */
+  def fuzzyDuplicates(
+      recs: DataFrame,
+      idCol: String = "rec_id",
+      nameCol: String = "name",
+      groupCols: Seq[String] = Seq.empty,
+      maxDist: Int = 1,
+      prefixLen: Int = 4,
+      maxBlockFreq: Long = Long.MaxValue): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    require(prefixLen >= 1, "prefixLen must be >= 1")
+    val nm = col(nameCol)
+    val keys = array(
+      struct(lit(0).as("ki"), substring(nm, 1, prefixLen).as("key")),
+      struct(lit(1).as("ki"),
+        nm.substr(greatest(length(nm) - (prefixLen - 1), lit(1)),
+          lit(prefixLen)).as("key")))
+    val blocked = recs
+      .select(Seq(col(idCol).as("rec_id"), nm.as("nm"),
+        explode(keys).as("bk")) ++ groupCols.map(col): _*)
+      .select(Seq(col("rec_id"), col("nm"), col("bk.ki").as("ki"),
+        col("bk.key").as("key")) ++ groupCols.map(col): _*)
+    val probe =
+      if (maxBlockFreq == Long.MaxValue) blocked
+      else {
+        val hot = blocked
+          .groupBy(col("ki") +: col("key") +: groupCols.map(col): _*)
+          .count().where(col("count") > maxBlockFreq)
+          .select(col("ki") +: col("key") +: groupCols.map(col): _*)
+        blocked.join(hot, Seq("ki", "key") ++ groupCols, "left_anti")
+      }
+    val joinCond = (Seq("ki", "key") ++ groupCols)
+      .map(c => col(s"a.$c") <=> col(s"b.$c"))
+      .reduce(_ && _) && col("a.rec_id") < col("b.rec_id")
+    probe.as("a").join(probe.as("b"), joinCond)
+      .select(col("a.rec_id").as("rec_a"), col("b.rec_id").as("rec_b"),
+        levenshtein(col("a.nm"), col("b.nm")).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct()
+      .orderBy(col("rec_a"), col("rec_b"))
+  }
+
+  /** Entity clusters from the pair stream — one row per linked record
+    * with its cluster representative, via the shared pointer-jumping CC
+    * ([[Dedup.resolveClusters]]): m-duplicate entities cost m rows, not
+    * m² pairs, the production shape under heavy duplication (the ns81
+    * ScaleProof lesson). */
+  def linkClusters(pairs: DataFrame): DataFrame =
+    Dedup.resolveClusters(pairs.select(
+      col("rec_a").as("doc_a"), col("rec_b").as("doc_b")))
+}

@@ -110,10 +110,34 @@ object ScaleProof {
       marker.createNewFile()
       ()
     }
+    // customer joined the family in round 9 (ns84 record linkage), with
+    // its own incremental marker like events: custkey shifts per copy
+    // (MORE ENTITIES, the linkage growth shape — each copy's md5-derived
+    // pseudo-names are fresh), nation kept so per-nation block structure
+    // matches the base corpus per copy.
+    def synthesizeCustomer(k: Int, out: String): Unit = {
+      val marker = new java.io.File(s"$out/_scaleproof_ok_customer")
+      if (marker.exists()) return
+      println(s"[scale-proof] synthesizing ${k}x customer at $out")
+      val copies = spark.range(k).toDF("copy")
+      val cust = spark.read.parquet(s"$base/customer.parquet")
+      val nCust = cust.agg(max("c_custkey")).head.getLong(0) + 1
+      cust.crossJoin(copies)
+        .select((cust.columns.map {
+          case "c_custkey" => (col("c_custkey") + col("copy") * nCust).as("c_custkey")
+          case c => col(c)
+        }).toIndexedSeq: _*)
+        .repartition(math.max(8, k / 2))
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
+      marker.createNewFile()
+      ()
+    }
     def synthesize(k: Int): String = {
       val out = s"$scratch/x$k"
       val marker = new java.io.File(s"$out/_scaleproof_ok")
-      if (marker.exists()) { synthesizeEvents(k, out); return out }
+      if (marker.exists()) {
+        synthesizeEvents(k, out); synthesizeCustomer(k, out); return out
+      }
       println(s"[scale-proof] synthesizing ${k}x corpus at $out")
       val copies = spark.range(k).toDF("copy")
 
@@ -168,6 +192,7 @@ object ScaleProof {
 
       marker.createNewFile()
       synthesizeEvents(k, out)
+      synthesizeCustomer(k, out)
       out
     }
 
@@ -224,7 +249,12 @@ object ScaleProof {
       "ns82_phash_lifecycle",
       // ns83: frame explode + hash pass + ONE phash groupBy — group
       // volume, linear in frames; count() cannot prune the HAVING filter
-      "ns83_keyframe_dedup")
+      "ns83_keyframe_dedup",
+      // ns84: explode ×2 block keys, ONE (nation, ki, key) shuffle,
+      // candidate volume = block-collision volume (4-hex-char keys keep
+      // blocks O(1) as entities grow); count() cannot prune the
+      // levenshtein-gated join
+      "ns84_record_linkage")
     // ns81 scales as the CLUSTER-RESOLVE deployment shape, not raw pairs:
     // the copy-tagged synthetic corpus puts every same-copy doc behind the
     // same `c{k}x` word prefixes, so stride hashes form GENUINE giant
