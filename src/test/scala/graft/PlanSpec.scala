@@ -118,4 +118,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("vec_dot"), p.take(1500))
     assert(p.contains("*("), p.take(1500))
   }
+
+  /** The whole-suite structural guard: NO registered query may plan a
+    * cartesian product or an UNBOUNDED nested-loop join — the one plan
+    * family that silently turns a 100-TB corpus into corpus². The
+    * allowlist names every query whose nested-loop is BOUNDED by
+    * construction, with the reason; a new query that trips this sweep
+    * either earns an entry here with its bound or gets a banded/keyed
+    * join. */
+  test("no registered query plans an unbounded cartesian/nested-loop join") {
+    val boundedNestedLoop = Map(
+      // deliberate brute-force baseline: broadcast QUERY set (C rows) ×
+      // corpus — bounded by the query-set size, prices exact top-k
+      "ns6_simsearch_topk" -> "broadcast query-set baseline",
+      // PQ full-scan ADC by construction (ns35 IVF-PQ is the deployment
+      // path); the broadcast side is the C×M codebook, bounded
+      "ns30_simsearch_pq" -> "broadcast codebook ADC scan",
+      // single-row broadcast: the corpus doc-count scalar joins every
+      // posting — 1-row build side
+      "ns38_keywords_tfidf" -> "single-row doc-count broadcast",
+      // single-row × single-row: the card joins two ungrouped aggregates
+      "ns76_dataset_card" -> "1x1 summary-row join")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+      val p = SparkEntry.queries(n)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$n plans a CartesianProduct:\n${p.take(1200)}")
+      if (!boundedNestedLoop.contains(n))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$n plans a BroadcastNestedLoopJoin (add an allowlist entry " +
+            s"with its bound, or fix the join):\n${p.take(1200)}")
+    }
+  }
 }
