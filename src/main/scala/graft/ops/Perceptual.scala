@@ -232,6 +232,40 @@ object Perceptual {
     }
   }
 
+  /** Index maintenance window — compact the hashes directory: per-tick
+    * appends accumulate one small file set per batch, and at-least-once
+    * replay ([[graft.streaming.StreamingPerceptual]]) can leave duplicate
+    * hash rows (harmless for decisions, not for scan cost). The compact
+    * rewrites the data DEDUPED (exact (doc_id, phash) duplicates only)
+    * into `numFiles` files and publishes by the crash-safe
+    * [[IndexSidecar.swap]] self-rewrite protocol — no step deletes the
+    * last copy; a failed build deletes only its staging. Decisions are
+    * unchanged by construction; the sidecar is untouched. Single
+    * maintainer per index, run between ticks (the
+    * [[graft.streaming.StreamingWebIngest]] ledger-compaction contract). */
+  def compactPhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      numFiles: Int = 1): Unit = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val hashesPath = new org.apache.hadoop.fs.Path(s"$path/hashes")
+    val fsys = hashesPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // snapshot (eager) before any rewrite: the plan reads the very files
+    // the swap replaces
+    val snap = spark.read.parquet(s"$path/hashes")
+      .distinct().localCheckpoint(true)
+    val tmp = IndexSidecar.stagingFor(hashesPath)
+    try snap.coalesce(numFiles).write.mode("overwrite").parquet(tmp.toString)
+    catch { case e: Throwable =>
+      try fsys.delete(tmp, true) catch { case _: Throwable => () }
+      Dedup.unpersistCheckpoint(snap)
+      throw e
+    }
+    try IndexSidecar.swap(fsys, tmp, hashesPath)
+    finally Dedup.unpersistCheckpoint(snap)
+  }
+
   /** Index probe — which docs of `newMedia` are NOT a near-dup (hamming ≤
     * `maxHamming`) of anything in the persisted index? Returns the
     * survivors as (doc_id, phash), ready to feed [[updatePhashIndex]].

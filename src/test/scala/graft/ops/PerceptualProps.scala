@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties for the perceptual-hash core — the LOCALITY
+  * contracts that make banded Hamming search sound: a small change to
+  * the input moves the hash a provably small Hamming distance, so
+  * near-dups land within `maxHamming` and the pigeonhole band join finds
+  * them. Pure functions, no Spark session. */
+object PerceptualProps extends Properties("Perceptual") {
+
+  private val genGrid: Gen[Array[Int]] =
+    Gen.containerOfN[Array, Int](Perceptual.gridCells, Gen.choose(0, 255))
+  private val genBytes: Gen[Array[Byte]] =
+    Gen.choose(Perceptual.gridCells, 4096).flatMap(n =>
+      Gen.containerOfN[Array, Byte](n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+
+  property("dhash is deterministic and positive-long") =
+    forAll(genGrid) { g =>
+      val h = Perceptual.dhashOfGrid(g)
+      h == Perceptual.dhashOfGrid(g.clone()) && h >= 0L
+    }
+
+  // one grid cell participates in at most two horizontal comparisons
+  // (as right neighbor of k-1 and left of k), so perturbing ONE cell
+  // moves the hash at most 2 Hamming bits — the locality bound that
+  // makes a pixel-patch edit a NEAR-dup, not a rehash
+  property("one-cell perturbation moves the hash <= 2 bits") =
+    forAll(genGrid, Gen.choose(0, Perceptual.gridCells - 1),
+      Gen.choose(0, 255)) { (g, idx, v) =>
+      val g2 = g.clone(); g2(idx) = v
+      java.lang.Long.bitCount(
+        Perceptual.dhashOfGrid(g) ^ Perceptual.dhashOfGrid(g2)) <= 2
+    }
+
+  // with n >= 72 bytes the stride positions i·n/72 are strictly
+  // increasing (consecutive cells differ by >= floor(n/72) >= 1), so any
+  // single byte is sampled by AT MOST ONE cell — a 1-byte substitution
+  // perturbs <= 1 cell and therefore moves the hash <= 2 bits. This is
+  // the end-to-end locality bound behind the ns81 family fixture.
+  property("one-byte substitution (n >= 72) moves the hash <= 2 bits") =
+    forAll(genBytes, Gen.choose(0, 4095), Gen.choose(Byte.MinValue,
+      Byte.MaxValue)) { (b, posRaw, v) =>
+      val pos = posRaw % b.length
+      val b2 = b.clone(); b2(pos) = v
+      val h1 = Perceptual.dhashOfGrid(ByteStrideGridDecoder.decode(b))
+      val h2 = Perceptual.dhashOfGrid(ByteStrideGridDecoder.decode(b2))
+      java.lang.Long.bitCount(h1 ^ h2) <= 2
+    }
+
+  // the WavGridDecoder re-encode invariance in its arithmetic core: a
+  // 16-bit sample and its 8-bit quantization land in the SAME amplitude
+  // band, for every sample value
+  property("16-bit and quantized-8-bit samples share the amplitude band") =
+    forAll(Gen.choose(Short.MinValue, Short.MaxValue)) { s =>
+      val u = s + 32768
+      (u >>> 13) == (((u >>> 8) << 8) >>> 13)
+    }
+}

@@ -302,6 +302,44 @@ class PerceptualSpec extends AnyFunSuite {
     }
   }
 
+  test("phash index compaction: dedups replayed appends, keeps decisions") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_phash_cmp_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val a = Array.tabulate[Byte](300)(i => ((i * 37 + 11) % 251).toByte)
+    val b = Array.tabulate[Byte](300)(i => ((i * i * 13 + 7) % 241).toByte)
+    val bEdit = b.clone(); bEdit(120) = 0x01
+    try {
+      Perceptual.writePhashIndex(
+        Seq((1L, a)).toDF("doc_id", "content"), dir, fingerprint = Some("f"))
+      // an accepted tick, replayed once (the at-least-once window)
+      val acc = Perceptual.dhash63(Seq((2L, b)).toDF("doc_id", "content"))
+      Perceptual.updatePhashIndex(acc, dir)
+      Perceptual.updatePhashIndex(acc, dir) // replay: duplicate rows
+      assert(spark.read.parquet(s"$dir/hashes").count() == 3L)
+      def decision() = Perceptual.incrementalNewFromPhashIndex(
+        Seq((10L, bEdit), (11L, a)).toDF("doc_id", "content"), dir)
+        .collect().map(_.getLong(0)).toSeq
+      val before = decision()
+      Perceptual.compactPhashIndex(spark, dir)
+      assert(spark.read.parquet(s"$dir/hashes").count() == 2L) // deduped
+      assert(decision() == before) // decisions unchanged
+      assert(Perceptual.phashIndexMatches(spark, dir, "f")) // sidecar kept
+      // one data file after compaction; idempotent second run
+      val p = new org.apache.hadoop.fs.Path(s"$dir/hashes")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def dataFiles() = fs.listStatus(p)
+        .count(f => !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+      assert(dataFiles() == 1)
+      Perceptual.compactPhashIndex(spark, dir)
+      assert(dataFiles() == 1 && decision() == before)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+  }
+
   test("ns82 registered lifecycle: survivors are exactly the tick-1 controls") {
     val out = graft.SparkEntry.queries("ns82_phash_lifecycle")(
       spark, "/root/testdata/sf0.001").collect()
