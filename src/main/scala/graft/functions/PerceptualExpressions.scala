@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** The byte-stride 63-bit perceptual dHash
+  * ([[graft.ops.ByteStrideGridDecoder]] → [[graft.ops.Perceptual]] bit
+  * packing) as a codegen'd Catalyst expression.
+  *
+  * Why an expression and not the mapPartitions decode pass: the
+  * PLUGGABLE-decoder path must stay imperative (real codecs are opaque
+  * JVM calls over blobs), but the deterministic byte-stride family —
+  * which every REGISTERED perceptual query pins for oracle
+  * reproducibility — is a pure byte-walk, and running it through
+  * mapPartitions pays an object-serialization barrier that SPLITS
+  * whole-stage codegen around the hash: the ns83 shape
+  * (frame Generate → hash → partial aggregate) fuses into one codegen
+  * span with this expression, three stages with the barrier.
+  *
+  * Per row the generated code is one static call into the SAME
+  * [[graft.ops.Perceptual.strideHash63]] the imperative path uses — the
+  * two paths cannot drift (spec-pinned bit-equality).
+  *
+  * Null contract: SQL-standard null-in → null-out (the decoder path maps
+  * null blobs to the all-zero grid's hash 0 instead; [[graft.ops
+  * .Perceptual.dhash63]]'s fast path coalesces to 0 to keep the two
+  * paths identical — direct SQL users of `phash63` get the honest NULL).
+  */
+case class Phash63(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with Serializable {
+
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "phash63"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.ops.Perceptual.strideHash63(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in => s"graft.ops.Perceptual.strideHash63($in)")
+
+  override protected def withNewChildInternal(newChild: Expression): Phash63 =
+    copy(child = newChild)
+}

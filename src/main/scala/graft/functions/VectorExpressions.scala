@@ -119,7 +119,8 @@ object VectorFunctions {
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> ((exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
-    "vec_norm" -> ((exprs: Seq[Expression]) => L2Norm(exprs.head))
+    "vec_norm" -> ((exprs: Seq[Expression]) => L2Norm(exprs.head)),
+    "phash63" -> ((exprs: Seq[Expression]) => Phash63(exprs.head))
   ) ++ TextFunctions.builders
 
   def register(spark: SparkSession): Unit = {

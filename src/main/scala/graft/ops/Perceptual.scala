@@ -72,24 +72,50 @@ object Perceptual {
     h
   }
 
-  /** Per-partition batched hashing: (doc_id, content binary) →
-    * (doc_id, phash long). No shuffle; output partitioning == input
-    * partitioning. */
+  /** The byte-stride hash as a plain function: decode + bit-pack, the
+    * single definition behind BOTH execution paths (the
+    * [[graft.functions.Phash63]] codegen expression calls exactly this,
+    * so expression and decoder results cannot drift). Public because the
+    * generated Java code must link against it. */
+  def strideHash63(content: Array[Byte]): Long =
+    dhashOfGrid(ByteStrideGridDecoder.decode(content))
+
+  /** Hashing pass: (doc_id, content binary) → (doc_id, phash long). No
+    * shuffle; output partitioning == input partitioning.
+    *
+    * Two execution paths with ONE definition of the math:
+    *  - the default byte-stride decoder runs as the codegen'd
+    *    [[graft.functions.Phash63]] expression — a pure PROJECTION, so
+    *    upstream codegen (frame Generate, scan) and downstream partial
+    *    aggregation fuse into one whole-stage span instead of splitting
+    *    around a mapPartitions serialization barrier;
+    *  - any other decoder (real codecs: ImageIO, javax.sound) runs the
+    *    per-partition batched imperative pass, the documented-legit
+    *    mapPartitions case. Null blobs hash to 0 on both paths (the
+    *    decoder all-zero-grid contract). */
   def dhash63(
       media: DataFrame,
       decoder: GridDecoder = ByteStrideGridDecoder): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("phash", LongType, nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(outSchema)
-    media.select(col("doc_id"), col("content"))
-      .mapPartitions { rows =>
-        rows.map { r =>
-          Row(r.getLong(0), dhashOfGrid(decoder.decode(r.getAs[Array[Byte]](1))))
-        }
-      }(enc)
-      .toDF()
+    if (decoder eq ByteStrideGridDecoder) {
+      graft.functions.VectorFunctions.register(media.sparkSession)
+      media.select(col("doc_id"),
+        coalesce(call_function("phash63", col("content")), lit(0L))
+          .as("phash"))
+    } else {
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("phash", LongType, nullable = false)))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(outSchema)
+      media.select(col("doc_id"), col("content"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            Row(r.getLong(0),
+              dhashOfGrid(decoder.decode(r.getAs[Array[Byte]](1))))
+          }
+        }(enc)
+        .toDF()
+    }
   }
 
   /** Banded Hamming near-dup pairs over (doc_id, phash): all (doc_a <

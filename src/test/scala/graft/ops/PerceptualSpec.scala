@@ -244,6 +244,39 @@ class PerceptualSpec extends AnyFunSuite {
     assert(WavGridDecoder.decode(null).forall(_ == 0))
   }
 
+  // ---- codegen expression path vs imperative decoder path -----------------
+
+  test("phash63 expression == mapPartitions decoder path, bit-identical") {
+    // force the imperative path with a trivially-wrapping distinct decoder
+    object SameAsStride extends GridDecoder {
+      val name = "same-as-stride-test"
+      def decode(content: Array[Byte]): Array[Int] =
+        ByteStrideGridDecoder.decode(content)
+    }
+    val media = (Seq((1L, Array.tabulate[Byte](300)(i => (i % 97).toByte)),
+      (2L, Array.emptyByteArray), (3L, null.asInstanceOf[Array[Byte]])) ++
+      (10L until 40L).map(i =>
+        i -> Array.tabulate[Byte](64 + i.toInt)(j => ((j * i) % 251).toByte)))
+      .toDF("doc_id", "content")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExpr = rows(Perceptual.dhash63(media)) // default -> expression
+    val viaMp = rows(Perceptual.dhash63(media, SameAsStride))
+    assert(viaExpr == viaMp)
+    assert(viaExpr(2L) == 0L && viaExpr(3L) == 0L) // empty + NULL -> 0 both
+    // and the expression path is a pure projection living inside
+    // whole-stage codegen — no mapPartitions barrier (a parquet-backed
+    // frame: local relations constant-fold the projection away entirely,
+    // which only proves the point harder)
+    val parquetMedia = Multimodal.packBinary(
+      graft.Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+    val p = Perceptual.dhash63(parquetMedia)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("MapPartitions"), p.take(800))
+    assert(p.contains("phash63"), p.take(800))
+    assert(p.contains("*("), p.take(800)) // the codegen-span marker
+  }
+
   // ---- persisted phash index lifecycle ------------------------------------
 
   test("phash index: build/probe/update lifecycle, update is load-bearing") {
