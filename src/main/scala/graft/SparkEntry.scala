@@ -1286,6 +1286,14 @@ object SparkEntry {
       groupCols = Seq("c_nationkey"), maxDist = 1, prefixLen = 4)
   }
 
+  /** NS85 — release mix rollup ([[graft.ops.Curation.releaseRollup]]):
+    * the ns76 dataset card drilled down — (source, lang) cells,
+    * per-source subtotals, grand total, in ONE rollup pass with
+    * grouping-marker columns separating subtotal NULLs from data NULLs.
+    * Exact integers only. */
+  private def ns85(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Curation.releaseRollup(docs(s, dir))
+
   /** NS79 — event-transition matrix ([[graft.ops.Events.transitions]]):
     * per-user consecutive event-type pairs counted corpus-wide, in the
     * (ts, event_id) total order — the behavior-sequence audit before
@@ -1421,6 +1429,7 @@ object SparkEntry {
     "ns82_phash_lifecycle" -> (ns82 _),
     "ns83_keyframe_dedup" -> (ns83 _),
     "ns84_record_linkage" -> (ns84 _),
+    "ns85_release_rollup" -> (ns85 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2718,5 +2727,16 @@ object SparkEntry {
          |  AND a.rec_id < b.rec_id
          |WHERE levenshtein(a.nm, b.nm) <= 1
          |ORDER BY rec_a, rec_b""".stripMargin),
+    // ns85 replays the rollup grouping sets with GROUPING markers — the
+    // subtotal-NULL vs data-NULL disambiguation is part of the contract.
+    "ns85_release_rollup" ->
+      ("""SELECT source, lang,
+         |  GROUPING(source)::BIGINT AS g_source,
+         |  GROUPING(lang)::BIGINT AS g_lang,
+         |  count(*) AS n_docs,
+         |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+         |FROM documents
+         |GROUP BY ROLLUP (source, lang)
+         |ORDER BY g_source, g_lang, source, lang""".stripMargin),
   )
 }

@@ -276,4 +276,28 @@ object Curation {
       .select(col("doc_id"), col("n_content_copies"), col("kept_lines"))
       .orderBy(col("doc_id"))
   }
+
+  /** Release mix report with subtotals — the drill-down companion of
+    * [[describeCorpus]]'s single card row: doc and token counts at every
+    * (source, lang) cell, per-source subtotals, and the grand total, in
+    * ONE pass via ROLLUP grouping sets. `grouping()` marker columns
+    * disambiguate a subtotal row's NULL from a genuinely-NULL data value
+    * (the null-group policy the privacy family established — a report
+    * that conflates the two misstates the mix).
+    *
+    * Scale shape: Catalyst expands the rollup to its 3 grouping sets
+    * BEFORE partial aggregation, so the shuffle carries
+    * (sources×langs + sources + 1) partials, never rows; exact integer
+    * outputs only. */
+  def releaseRollup(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .rollup(col("source"), col("lang"))
+      .agg(
+        grouping(col("source")).cast("long").as("g_source"),
+        grouping(col("lang")).cast("long").as("g_lang"),
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"))
+      .orderBy(col("g_source"), col("g_lang"), col("source"), col("lang"))
 }

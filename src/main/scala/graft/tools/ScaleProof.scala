@@ -250,6 +250,10 @@ object ScaleProof {
       // ns83: frame explode + hash pass + ONE phash groupBy — group
       // volume, linear in frames; count() cannot prune the HAVING filter
       "ns83_keyframe_dedup",
+      // ns85: one rollup pass — grouping-set expansion happens BEFORE
+      // partial aggregation, so the exchange carries cell-cardinality
+      // partials at every size
+      "ns85_release_rollup",
       // ns84: explode ×2 block keys, ONE (nation, ki, key) shuffle,
       // candidate volume = block-collision volume (4-hex-char keys keep
       // blocks O(1) as entities grow); count() cannot prune the

@@ -168,6 +168,28 @@ class WebCorpusOpsSpec extends AnyFunSuite {
     fwd.foreach { case (tok, v) => assert(rev(tok) == -v, tok) }
   }
 
+  // ---- Curation.releaseRollup ---------------------------------------------
+
+  test("releaseRollup: cells sum to subtotals, subtotals to the grand total") {
+    val docs = Seq(
+      (1L, "a b", "en", "s1"), (2L, "c", "de", "s1"),
+      (3L, "d e f", "en", "s2"), (4L, "g h", null, "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Curation.releaseRollup(docs).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val cells = out.filter(r => r._3 == 0 && r._4 == 0)
+    val subs = out.filter(r => r._3 == 0 && r._4 == 1)
+    val grand = out.filter(r => r._3 == 1 && r._4 == 1)
+    // the genuinely-NULL lang row is a CELL (g_lang=0), not a subtotal —
+    // the disambiguation the grouping markers exist for
+    assert(cells.exists(r => r._1.contains("s2") && r._2.isEmpty))
+    assert(cells.map(_._5).sum == 4L && grand.head._5 == 4L)
+    assert(subs.map(_._5).sum == 4L && subs.map(_._6).sum == grand.head._6)
+    assert(grand.head._6 == 8L) // 2+1+3+2 whitespace tokens
+    assert(subs.map(r => r._1.get -> r._5).toMap == Map("s1" -> 2L, "s2" -> 2L))
+  }
+
   // ---- Curation.describeCorpus --------------------------------------------
 
   test("describeCorpus: exact fields exact, sketch sees distinct texts") {
