@@ -1286,6 +1286,29 @@ object SparkEntry {
       groupCols = Seq("c_nationkey"), maxDist = 1, prefixLen = 4)
   }
 
+  /** NS86 — incremental token-count maintenance
+    * ([[graft.ops.Versioning.maintainTokenCounts]]): the ns56 snapshot
+    * tick's count table updated by re-tokenizing ONLY the diff fringe
+    * (removed + changed-old subtracted, added + changed-new added) — the
+    * incremental-view-maintenance pattern every corpus-wide token
+    * statistic needs at re-crawl scale. The oracle recomputes the new
+    * snapshot's counts FROM SCRATCH, so hash equality proves the
+    * maintenance algebra exact, not merely plausible. Same snapshot
+    * synthesis as ns56. */
+  private def ns86(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cols = Seq("text", "lang", "source", "n_chars")
+    val newSnap = d.where(col("doc_id") >= 20)
+      .withColumn("text",
+        when(col("doc_id") % 37 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(d.where(col("doc_id") < 10)
+        .select((col("doc_id") + 100000).as("doc_id") +:
+          cols.map(col): _*))
+    graft.ops.Versioning.maintainTokenCounts(
+      d, newSnap, graft.ops.Versioning.tokenCountsOf(d))
+  }
+
   /** NS85 — release mix rollup ([[graft.ops.Curation.releaseRollup]]):
     * the ns76 dataset card drilled down — (source, lang) cells,
     * per-source subtotals, grand total, in ONE rollup pass with
@@ -1430,6 +1453,7 @@ object SparkEntry {
     "ns83_keyframe_dedup" -> (ns83 _),
     "ns84_record_linkage" -> (ns84 _),
     "ns85_release_rollup" -> (ns85 _),
+    "ns86_token_maintenance" -> (ns86 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2738,5 +2762,17 @@ object SparkEntry {
          |FROM documents
          |GROUP BY ROLLUP (source, lang)
          |ORDER BY g_source, g_lang, source, lang""".stripMargin),
+    // ns86's oracle recomputes the NEW snapshot's token counts from
+    // scratch — the engine side maintains them incrementally off the
+    // fringe, so hash equality proves the maintenance algebra exact.
+    "ns86_token_maintenance" ->
+      ("""WITH newsnap AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 37 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE doc_id >= 20
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10),
+         |tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM newsnap)
+         |SELECT token, count(*) AS cnt FROM tok
+         |GROUP BY token ORDER BY token""".stripMargin),
   )
 }

@@ -134,6 +134,65 @@ object Versioning {
       .orderBy(col("rank"))
   }
 
+  /** Incremental-view maintenance of a per-token count table across a
+    * snapshot tick: given the previous snapshot, the new snapshot, and
+    * the MAINTAINED artifact `oldCounts` (exact (token, cnt) of the
+    * previous snapshot — in production a persisted table, never
+    * recomputed), produce the new snapshot's exact counts by
+    * re-tokenizing ONLY the fringe:
+    *
+    *   new = old − tokens(removed ∪ changed-old) + tokens(added ∪
+    *   changed-new)
+    *
+    * This is the downstream consumer [[snapshotDiff]] exists for: a
+    * re-crawl touches a fringe of documents, and every corpus-wide token
+    * statistic (vocabulary counts for drift audits, BPE training
+    * frequencies, TF tables) updates with work proportional to the
+    * FRINGE plus a counts-table merge — the full corpus is never
+    * re-tokenized. Token contract matches [[tokenDrift]]: split on
+    * single space, empties kept.
+    *
+    * Scale shape: the diff reduces both snapshots to (key, fp) narrow
+    * projections (one co-partitioned join); fringe keys are
+    * fringe-cardinality frames that LEFT SEMI filter the two snapshot
+    * scans (AQE broadcasts them; a key-clustered layout
+    * ([[Layout]] bucketing) makes those probes partition-prunable);
+    * delta tokenization explodes only fringe rows; the final three-way
+    * merge is a token-keyed full-outer join of vocabulary-cardinality
+    * frames. Zero-count tokens drop so the artifact never accumulates
+    * tombstones. */
+  def maintainTokenCounts(
+      oldSnap: DataFrame, newSnap: DataFrame, oldCounts: DataFrame,
+      keyCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fringe = statusFrame(oldSnap, newSnap, keyCol, Seq(textCol))
+      .where(col("status") =!= "unchanged")
+      .select(col(keyCol), col("status"))
+    val minusKeys = fringe
+      .where(col("status").isin("removed", "changed")).select(keyCol)
+    val plusKeys = fringe
+      .where(col("status").isin("added", "changed")).select(keyCol)
+    def toks(df: DataFrame) =
+      df.select(explode(split(col(textCol), " ")).as("token"))
+    val minus = toks(oldSnap.join(minusKeys, Seq(keyCol), "left_semi"))
+      .groupBy(col("token")).agg(count(lit(1)).as("m"))
+    val plus = toks(newSnap.join(plusKeys, Seq(keyCol), "left_semi"))
+      .groupBy(col("token")).agg(count(lit(1)).as("p"))
+    oldCounts.select(col("token"), col("cnt"))
+      .join(minus, Seq("token"), "full_outer")
+      .join(plus, Seq("token"), "full_outer")
+      .select(col("token"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("p"), lit(0L)) -
+          coalesce(col("m"), lit(0L))).as("cnt"))
+      .where(col("cnt") > 0)
+      .orderBy(col("token"))
+  }
+
+  /** The exact (token, cnt) artifact [[maintainTokenCounts]] maintains —
+    * the bootstrap/full-recompute path. */
+  def tokenCountsOf(snap: DataFrame, textCol: String = "text"): DataFrame =
+    snap.select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+
   private def statusFrame(
       oldSnap: DataFrame, newSnap: DataFrame,
       keyCol: String, contentCols: Seq[String]): DataFrame = {

@@ -250,6 +250,11 @@ object ScaleProof {
       // ns83: frame explode + hash pass + ONE phash groupBy — group
       // volume, linear in frames; count() cannot prune the HAVING filter
       "ns83_keyframe_dedup",
+      // ns86: diff fringe (two narrow fp projections + one key join) +
+      // fringe-only tokenize + vocabulary-keyed three-way merge; the
+      // synthetic fringe is ~corpus/37 changed + fixed add/remove, so
+      // work tracks the corpus linearly
+      "ns86_token_maintenance",
       // ns85: one rollup pass — grouping-set expansion happens BEFORE
       // partial aggregation, so the exchange carries cell-cardinality
       // partials at every size

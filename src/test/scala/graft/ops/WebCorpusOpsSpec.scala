@@ -168,6 +168,38 @@ class WebCorpusOpsSpec extends AnyFunSuite {
     fwd.foreach { case (tok, v) => assert(rev(tok) == -v, tok) }
   }
 
+  // ---- Versioning.maintainTokenCounts -------------------------------------
+
+  test("maintainTokenCounts == full recompute under every edit mix") {
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      Versioning.tokenCountsOf(df).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps")
+    // 4 deterministic rounds with different add/remove/change mixes,
+    // including a round where a token vanishes entirely (zero-count drop)
+    // and one where the fringe is empty
+    for (round <- 0 until 4) {
+      val old = (0L until 12L).map(i =>
+        i -> (0 to (i % 4).toInt).map(j => words(((i + j + round) % 5).toInt))
+          .mkString(" ")).toDF("doc_id", "text")
+      val neu = old.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val edited = (round match {
+        case 0 => // remove 3, change 2, add 2
+          (neu -- Seq(0L, 5L, 11L)) ++
+            Map(2L -> "zeta zeta", 7L -> (neu(7L) + " beta")) ++
+            Map(100L -> "alpha zeta", 101L -> "eps")
+        case 1 => neu // empty fringe: maintenance must be the identity
+        case 2 => Map(50L -> "gamma") // everything replaced
+        case 3 => neu ++ Map(3L -> "beta") // one in-place change
+      }).toSeq.toDF("doc_id", "text")
+      val maintained = Versioning.maintainTokenCounts(
+        old, edited, Versioning.tokenCountsOf(old)).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(maintained == counts(edited), s"round $round")
+      assert(maintained.values.forall(_ > 0), s"round $round tombstone")
+    }
+  }
+
   // ---- Curation.releaseRollup ---------------------------------------------
 
   test("releaseRollup: cells sum to subtotals, subtotals to the grand total") {
