@@ -1309,6 +1309,28 @@ object SparkEntry {
       d, newSnap, graft.ops.Versioning.tokenCountsOf(d))
   }
 
+  /** NS87 — link-graph authority ([[graft.ops.Graphs.pagerankInt]]):
+    * exact-integer fixed-point PageRank over a deterministic synthetic
+    * link graph (two outlinks per doc, affine mod-N targets — hubs
+    * emerge from modular collisions). Float PageRank is
+    * order-dependent under distributed summation; the micro-unit
+    * integer formulation is partitioning-invariant and replayed
+    * verbatim by the oracle's five chained CTE iterations. */
+  private def ns87(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val n = d.agg(max(col("doc_id"))).head.getLong(0) + 1
+    // one affine outlink (a bijection mod n — the "chain") plus one
+    // QUADRATIC outlink: squares collide mod n, so popular targets emerge
+    // and the rank distribution is genuinely skewed (two affine maps with
+    // gcd(a, n) = 1 would make the graph regular and the fixed point
+    // uniform — a fixture that can't catch a broken iteration)
+    val edges = d.select(col("doc_id").as("src"),
+        ((col("doc_id") * 31 + 7) % n).as("dst"))
+      .unionByName(d.select(col("doc_id").as("src"),
+        ((col("doc_id") * col("doc_id") * 17 + 3) % n).as("dst")))
+    graft.ops.Graphs.pagerankInt(edges, iterations = 5)
+  }
+
   /** NS85 — release mix rollup ([[graft.ops.Curation.releaseRollup]]):
     * the ns76 dataset card drilled down — (source, lang) cells,
     * per-source subtotals, grand total, in ONE rollup pass with
@@ -1454,6 +1476,7 @@ object SparkEntry {
     "ns84_record_linkage" -> (ns84 _),
     "ns85_release_rollup" -> (ns85 _),
     "ns86_token_maintenance" -> (ns86 _),
+    "ns87_link_pagerank" -> (ns87 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2774,5 +2797,32 @@ object SparkEntry {
          |tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM newsnap)
          |SELECT token, count(*) AS cnt FROM tok
          |GROUP BY token ORDER BY token""".stripMargin),
+    // ns87 replays the exact-integer fixed-point iteration verbatim —
+    // five chained CTE rounds of the same floor-division contribution
+    // and integer sums (sum() is HUGEINT in DuckDB, cast back ::BIGINT:
+    // the ns71 lesson).
+    "ns87_link_pagerank" ->
+      ("""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         |e AS (SELECT doc_id AS src, (doc_id * 31 + 7) % n AS dst FROM documents, nn
+         |  UNION ALL SELECT doc_id, (doc_id * doc_id * 17 + 3) % n FROM documents, nn),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |r0 AS (SELECT node, 1000000::BIGINT AS rank FROM nodes),
+         |c1 AS (SELECT e.dst, sum((850 * r.rank) // (1000 * d.outdeg)) AS m
+         |  FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON d.src = e.src GROUP BY e.dst),
+         |r1 AS (SELECT node, (150000 + coalesce(m, 0))::BIGINT AS rank FROM nodes LEFT JOIN c1 ON c1.dst = node),
+         |c2 AS (SELECT e.dst, sum((850 * r.rank) // (1000 * d.outdeg)) AS m
+         |  FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON d.src = e.src GROUP BY e.dst),
+         |r2 AS (SELECT node, (150000 + coalesce(m, 0))::BIGINT AS rank FROM nodes LEFT JOIN c2 ON c2.dst = node),
+         |c3 AS (SELECT e.dst, sum((850 * r.rank) // (1000 * d.outdeg)) AS m
+         |  FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON d.src = e.src GROUP BY e.dst),
+         |r3 AS (SELECT node, (150000 + coalesce(m, 0))::BIGINT AS rank FROM nodes LEFT JOIN c3 ON c3.dst = node),
+         |c4 AS (SELECT e.dst, sum((850 * r.rank) // (1000 * d.outdeg)) AS m
+         |  FROM e JOIN r3 r ON e.src = r.node JOIN deg d ON d.src = e.src GROUP BY e.dst),
+         |r4 AS (SELECT node, (150000 + coalesce(m, 0))::BIGINT AS rank FROM nodes LEFT JOIN c4 ON c4.dst = node),
+         |c5 AS (SELECT e.dst, sum((850 * r.rank) // (1000 * d.outdeg)) AS m
+         |  FROM e JOIN r4 r ON e.src = r.node JOIN deg d ON d.src = e.src GROUP BY e.dst),
+         |r5 AS (SELECT node, (150000 + coalesce(m, 0))::BIGINT AS rank FROM nodes LEFT JOIN c5 ON c5.dst = node)
+         |SELECT node, rank FROM r5 ORDER BY rank DESC, node""".stripMargin),
   )
 }

@@ -250,6 +250,9 @@ object ScaleProof {
       // ns83: frame explode + hash pass + ONE phash groupBy — group
       // volume, linear in frames; count() cannot prune the HAVING filter
       "ns83_keyframe_dedup",
+      // ns87: 5 fixed iterations of (src-keyed join + dst-keyed integer
+      // sum) over a 2N-edge list — work linear in nodes per iteration
+      "ns87_link_pagerank",
       // ns86: diff fringe (two narrow fp projections + one key join) +
       // fringe-only tokenize + vocabulary-keyed three-way merge; the
       // synthetic fringe is ~corpus/37 changed + fixed add/remove, so

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Specs for ns87 — exact-integer PageRank: hand-computed fixed points,
+  * dangling-mass contract, duplicate-edge semantics, and the
+  * partitioning-invariance the integer formulation exists for. */
+class GraphsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(Long, Long)], iters: Int) =
+    Graphs.pagerankInt(edges.toDF("src", "dst"), iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("2-cycle is an exact conserved fixed point") {
+    // a<->b, outdeg 1 each: r' = 150000 + floor(850 * 1000000 / 1000)
+    //                          = 1000000 — stable at every iteration
+    for (it <- Seq(1, 3, 7))
+      assert(ranksOf(Seq((1L, 2L), (2L, 1L)), it) ==
+        Map(1L -> 1000000L, 2L -> 1000000L), s"iters=$it")
+  }
+
+  test("star hub accumulates, dangling mass drops (documented contract)") {
+    val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L)) // 9 has NO outlinks
+    // iter1: leaves 150000; hub 150000 + 3*850000 = 2700000
+    assert(ranksOf(edges, 1) == Map(1L -> 150000L, 2L -> 150000L,
+      3L -> 150000L, 9L -> 2700000L))
+    // iter2: hub's mass vanishes (dangling), leaves feed it afresh:
+    // 150000 + 3*floor(850*150000/1000) = 532500
+    assert(ranksOf(edges, 2)(9L) == 532500L)
+  }
+
+  test("duplicate edges count per occurrence") {
+    // 1 -> 9 twice: outdeg 2, both copies contribute floor(850r/2000)
+    val r = ranksOf(Seq((1L, 9L), (1L, 9L)), 1)
+    assert(r(9L) == 150000L + 2L * (850L * 1000000L / 2000L))
+  }
+
+  test("integer ranks are partitioning-invariant") {
+    val edges = (0L until 200L).flatMap(i =>
+      Seq(i -> ((i * 31 + 7) % 200), i -> ((i * 17 + 3) % 200)))
+    val base = Graphs.pagerankInt(edges.toDF("src", "dst"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val rep = Graphs.pagerankInt(
+        edges.toDF("src", "dst").repartition(parts), 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rep == base, s"parts=$parts")
+    }
+  }
+
+  test("ns87 registered query: full coverage, teleport floor, mass bound") {
+    val out = graft.SparkEntry.queries("ns87_link_pagerank")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val n = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .count()
+    assert(out.length == n) // every doc is a node (self-links possible)
+    assert(out.forall(_._2 >= 150000L)) // teleport floor
+    // floor division only ever destroys mass, never creates it
+    assert(out.map(_._2).sum <= n * 1000000L)
+    // the affine mod graph concentrates: some node beats the uniform rank
+    assert(out.map(_._2).max > 1000000L)
+  }
+}
