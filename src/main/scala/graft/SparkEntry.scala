@@ -1331,6 +1331,24 @@ object SparkEntry {
     graft.ops.Graphs.pagerankInt(edges, iterations = 5)
   }
 
+  /** NS88 — link-graph triangle density
+    * ([[graft.ops.Graphs.triangleCounts]]): per-page mutual-endorsement
+    * counts over the SAME synthetic link graph as ns87 — link farms are
+    * triangle-dense where organic graphs are tree-like. The engine runs
+    * the degree-ordered-orientation join (candidate volume O(m^{3/2})
+    * regardless of hub skew); the oracle counts triangles brute-force —
+    * orientation is pure execution strategy, so both sides are the same
+    * function. */
+  private def ns88(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val n = d.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val edges = d.select(col("doc_id").as("src"),
+        ((col("doc_id") * 31 + 7) % n).as("dst"))
+      .unionByName(d.select(col("doc_id").as("src"),
+        ((col("doc_id") * col("doc_id") * 17 + 3) % n).as("dst")))
+    graft.ops.Graphs.triangleCounts(edges)
+  }
+
   /** NS85 — release mix rollup ([[graft.ops.Curation.releaseRollup]]):
     * the ns76 dataset card drilled down — (source, lang) cells,
     * per-source subtotals, grand total, in ONE rollup pass with
@@ -1477,6 +1495,7 @@ object SparkEntry {
     "ns85_release_rollup" -> (ns85 _),
     "ns86_token_maintenance" -> (ns86 _),
     "ns87_link_pagerank" -> (ns87 _),
+    "ns88_link_triangles" -> (ns88 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2824,5 +2843,23 @@ object SparkEntry {
          |  FROM e JOIN r4 r ON e.src = r.node JOIN deg d ON d.src = e.src GROUP BY e.dst),
          |r5 AS (SELECT node, (150000 + coalesce(m, 0))::BIGINT AS rank FROM nodes LEFT JOIN c5 ON c5.dst = node)
          |SELECT node, rank FROM r5 ORDER BY rank DESC, node""".stripMargin),
+    // ns88 counts triangles BRUTE-FORCE over the canonical a<b edge list
+    // (x<y<z falls out of chaining) — the engine's degree-ordered
+    // orientation is execution strategy, not semantics.
+    "ns88_link_triangles" ->
+      ("""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         |ed AS (SELECT doc_id AS src, (doc_id * 31 + 7) % n AS dst FROM documents, nn
+         |  UNION ALL SELECT doc_id, (doc_id * doc_id * 17 + 3) % n FROM documents, nn),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ed WHERE src <> dst),
+         |nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+         |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |cnt AS (SELECT node, count(*) AS c FROM (
+         |  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+         |  UNION ALL SELECT z FROM tri) t GROUP BY node)
+         |SELECT nodes.node AS node, coalesce(c, 0)::BIGINT AS n_triangles
+         |FROM nodes LEFT JOIN cnt ON cnt.node = nodes.node
+         |ORDER BY nodes.node""".stripMargin),
   )
 }

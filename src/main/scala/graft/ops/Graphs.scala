@@ -67,4 +67,65 @@ object Graphs {
     }
     ranks.orderBy(col("rank").desc, col("node"))
   }
+
+  /** Per-node triangle counts over an undirected reading of `edges` —
+    * the mutual-endorsement density signal (link farms are
+    * triangle-dense; organic link graphs are tree-like), and the classic
+    * demonstration that the JOIN ORDER is the algorithm at scale.
+    *
+    * The naive closure (edge ⋈ edge ⋈ edge) explodes on the wedge count
+    * Σ deg(v)² — a single popular page with in-degree d generates d²
+    * candidate wedges. Degree-ordered ORIENTATION bounds it: each
+    * undirected edge is stored once, directed from the (degree, id)-
+    * SMALLER endpoint to the larger; every triangle then has exactly one
+    * node with two OUT-edges, wedges form only at out-degree ≤ O(√m)
+    * nodes, and the join volume is O(m^{3/2}) regardless of skew — the
+    * hub's d² wedges simply never materialize. Same two-equi-join plan
+    * shape, provably bounded candidate volume.
+    *
+    * Self-loops drop; parallel edges collapse (a triangle is a set of
+    * three nodes). Output: (node, n_triangles) for every node of the
+    * graph, zeros included, ordered by node. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val nodes = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node"))).distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient: u -> v with (deg(u), u) < (deg(v), v)
+    val withDeg = und
+      .join(deg.withColumnRenamed("node", "a")
+        .withColumnRenamed("deg", "deg_a"), "a")
+      .join(deg.withColumnRenamed("node", "b")
+        .withColumnRenamed("deg", "deg_b"), "b")
+    val oriented = withDeg.select(
+      when(col("deg_a") < col("deg_b") ||
+        (col("deg_a") === col("deg_b") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // wedges at the out-degree-bounded apex, closed against oriented edges
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.u").as("apex"), col("x.v").as("p"), col("y.v").as("q"))
+    // close against the CANONICAL (a < b) edge form — a pure equi-join on
+    // computed keys (an OR over both orientations would plan as a
+    // nested loop, failing the suite's own plan sweep)
+    val triangles = wedges.join(und.as("z"),
+        least(col("p"), col("q")) === col("z.a") &&
+          greatest(col("p"), col("q")) === col("z.b"))
+      .select(col("apex"), col("p"), col("q"))
+    val perNode = triangles
+      .select(explode(array(col("apex"), col("p"), col("q"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    nodes.join(perNode, Seq("node"), "left_outer")
+      .select(col("node"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy(col("node"))
+  }
 }

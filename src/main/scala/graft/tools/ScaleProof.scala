@@ -250,6 +250,9 @@ object ScaleProof {
       // ns83: frame explode + hash pass + ONE phash groupBy — group
       // volume, linear in frames; count() cannot prune the HAVING filter
       "ns83_keyframe_dedup",
+      // ns88: degree-ordered orientation bounds wedges at O(m^1.5)
+      // regardless of hub skew; count() cannot prune the closure joins
+      "ns88_link_triangles",
       // ns87: 5 fixed iterations of (src-keyed join + dst-keyed integer
       // sum) over a 2N-edge list — work linear in nodes per iteration
       "ns87_link_pagerank",

@@ -53,6 +53,49 @@ class GraphsSpec extends AnyFunSuite {
     }
   }
 
+  private def trianglesOf(edges: Seq[(Long, Long)]) =
+    Graphs.triangleCounts(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangleCounts: K4, star, self-loops/parallel edges") {
+    // K4: every node sits in C(3,2) = 3 triangles
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    assert(trianglesOf(k4) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // star: wedge-rich, triangle-free — the shape the orientation bounds
+    assert(trianglesOf(Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L)))
+      .values.forall(_ == 0L))
+    // self-loops drop, parallel/reversed edges collapse to one
+    assert(trianglesOf(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L),
+      (1L, 1L), (1L, 2L))) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("oriented counting equals brute force on a skewed pseudo-random graph") {
+    val edges = (0L until 120L).flatMap(i =>
+      Seq(i -> ((i * i * 13 + 5) % 120), i -> ((i * 7 + 11) % 40))) // hub-y
+    val got = trianglesOf(edges)
+    // brute force over the canonical undirected set
+    val und = edges.map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+      .filter(e => e._1 != e._2).toSet
+    val ns = und.flatMap(e => Seq(e._1, e._2))
+    val brute = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (Seq(x, y, z) <- ns.toSeq.sorted.combinations(3)
+         if und((x, y)) && und((y, z)) && und((x, z))) {
+      brute(x) += 1; brute(y) += 1; brute(z) += 1
+    }
+    assert(got == ns.map(n => n -> brute(n)).toMap)
+  }
+
+  test("ns88 registered query: coverage, and the quadratic map closes triangles") {
+    val out = graft.SparkEntry.queries("ns88_link_triangles")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val n = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .count()
+    assert(out.length == n)
+    assert(out.forall(_._2 >= 0L))
+    assert(out.map(_._2).sum % 3 == 0) // every triangle credits 3 nodes
+  }
+
   test("ns87 registered query: full coverage, teleport floor, mass bound") {
     val out = graft.SparkEntry.queries("ns87_link_pagerank")(
       spark, "/root/testdata/sf0.001").collect()
