@@ -166,7 +166,8 @@ object Bench {
         "the 1,900 B budget - emitting totals-only; shrink the keys")
       val total = results.map(_._2._1).filter(_ >= 0).sum
       val totalMin = results.map(_._2._2).filter(_ >= 0).sum
-      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_min":${r3(totalMin)},"stat":"median","queries":"overflow: see target/bench_latest.json","runs":$runs,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}""")
+      val wf = warmupFailed.map(n => s""""$n"""").mkString("[", ",", "]")
+      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_min":${r3(totalMin)},"stat":"median","queries":"overflow: see target/bench_latest.json","warmup_failed":$wf,"runs":$runs,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}""")
     }
     spark.stop()
   }

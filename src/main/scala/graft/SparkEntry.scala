@@ -580,17 +580,29 @@ object SparkEntry {
     * every 37th doc's text edited, first 10 docs re-keyed as additions) so
     * both engines can construct it; the diff must recover exactly those
     * edits as removed/changed/added rows with matching fingerprints. */
-  private def ns56(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val cols = Seq("text", "lang", "source", "n_chars")
-    val newSnap = d.where(col("doc_id") >= 20)
+  /** The ns56/ns86 shared new-snapshot synthesis: docs 0–19 removed,
+    * every 37th text changed, docs 0–9 re-added under shifted ids. The
+    * shift is `max(doc_id) + 1` — STRUCTURAL, so added ids can never
+    * collide with real ids at any corpus size (a fixed +100000 collided
+    * once ScaleProof corpora passed 100k docs, silently violating the
+    * diff's key-uniqueness contract). */
+  private def snapshotTick(
+      d: DataFrame, cols: Seq[String]): DataFrame = {
+    val shift = d.agg(max(col("doc_id"))).head.getLong(0) + 1
+    d.where(col("doc_id") >= 20)
       .withColumn("text",
         when(col("doc_id") % 37 === 0, concat(col("text"), lit(" v2")))
           .otherwise(col("text")))
       .unionByName(d.where(col("doc_id") < 10)
-        .select((col("doc_id") + 100000).as("doc_id") +:
+        .select((col("doc_id") + shift).as("doc_id") +:
           cols.map(col): _*))
-    graft.ops.Versioning.snapshotDiff(d, newSnap, "doc_id", cols)
+  }
+
+  private def ns56(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cols = Seq("text", "lang", "source", "n_chars")
+    graft.ops.Versioning.snapshotDiff(
+      d, snapshotTick(d, cols), "doc_id", cols)
   }
 
   /** NS57 — mergeable quantiles: per-language length quantiles read off
@@ -1297,16 +1309,9 @@ object SparkEntry {
     * synthesis as ns56. */
   private def ns86(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val cols = Seq("text", "lang", "source", "n_chars")
-    val newSnap = d.where(col("doc_id") >= 20)
-      .withColumn("text",
-        when(col("doc_id") % 37 === 0, concat(col("text"), lit(" v2")))
-          .otherwise(col("text")))
-      .unionByName(d.where(col("doc_id") < 10)
-        .select((col("doc_id") + 100000).as("doc_id") +:
-          cols.map(col): _*))
     graft.ops.Versioning.maintainTokenCounts(
-      d, newSnap, graft.ops.Versioning.tokenCountsOf(d))
+      d, snapshotTick(d, Seq("text", "lang", "source", "n_chars")),
+      graft.ops.Versioning.tokenCountsOf(d))
   }
 
   /** NS87 — link-graph authority ([[graft.ops.Graphs.pagerankInt]]):
@@ -1316,20 +1321,25 @@ object SparkEntry {
     * order-dependent under distributed summation; the micro-unit
     * integer formulation is partitioning-invariant and replayed
     * verbatim by the oracle's five chained CTE iterations. */
-  private def ns87(s: SparkSession, dir: String): DataFrame = {
+  /** The ns87/ns88 shared link-graph synthesis — ONE definition so the
+    * two queries (and their oracles) can never desynchronize: one affine
+    * outlink per doc (a bijection mod n — the "chain") plus one
+    * QUADRATIC outlink — squares collide mod n, so popular targets
+    * emerge and both the rank distribution and the triangle density are
+    * genuinely skewed (two coprime affine maps would make the graph
+    * regular: uniform PageRank fixed point, a fixture unable to catch a
+    * broken iteration). */
+  private def linkEdges(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"))
     val n = d.agg(max(col("doc_id"))).head.getLong(0) + 1
-    // one affine outlink (a bijection mod n — the "chain") plus one
-    // QUADRATIC outlink: squares collide mod n, so popular targets emerge
-    // and the rank distribution is genuinely skewed (two affine maps with
-    // gcd(a, n) = 1 would make the graph regular and the fixed point
-    // uniform — a fixture that can't catch a broken iteration)
-    val edges = d.select(col("doc_id").as("src"),
+    d.select(col("doc_id").as("src"),
         ((col("doc_id") * 31 + 7) % n).as("dst"))
       .unionByName(d.select(col("doc_id").as("src"),
         ((col("doc_id") * col("doc_id") * 17 + 3) % n).as("dst")))
-    graft.ops.Graphs.pagerankInt(edges, iterations = 5)
   }
+
+  private def ns87(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graphs.pagerankInt(linkEdges(s, dir), iterations = 5)
 
   /** NS88 — link-graph triangle density
     * ([[graft.ops.Graphs.triangleCounts]]): per-page mutual-endorsement
@@ -1339,15 +1349,8 @@ object SparkEntry {
     * regardless of hub skew); the oracle counts triangles brute-force —
     * orientation is pure execution strategy, so both sides are the same
     * function. */
-  private def ns88(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).select(col("doc_id"))
-    val n = d.agg(max(col("doc_id"))).head.getLong(0) + 1
-    val edges = d.select(col("doc_id").as("src"),
-        ((col("doc_id") * 31 + 7) % n).as("dst"))
-      .unionByName(d.select(col("doc_id").as("src"),
-        ((col("doc_id") * col("doc_id") * 17 + 3) % n).as("dst")))
-    graft.ops.Graphs.triangleCounts(edges)
-  }
+  private def ns88(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graphs.triangleCounts(linkEdges(s, dir))
 
   /** NS85 — release mix rollup ([[graft.ops.Curation.releaseRollup]]):
     * the ns76 dataset card drilled down — (source, lang) cells,
@@ -2175,7 +2178,7 @@ object SparkEntry {
          |  SELECT doc_id, CASE WHEN doc_id % 37 = 0 THEN text || ' v2' ELSE text END AS text, lang, source, n_chars
          |  FROM documents WHERE doc_id >= 20
          |  UNION ALL
-         |  SELECT doc_id + 100000, text, lang, source, n_chars FROM documents WHERE doc_id < 10),
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text, lang, source, n_chars FROM documents WHERE doc_id < 10),
          |o AS (SELECT doc_id, md5(concat_ws(chr(31), coalesce(text, chr(30)), coalesce(lang, chr(30)), coalesce(source, chr(30)), coalesce(n_chars::VARCHAR, chr(30)))) AS old_fp FROM documents),
          |n AS (SELECT doc_id, md5(concat_ws(chr(31), coalesce(text, chr(30)), coalesce(lang, chr(30)), coalesce(source, chr(30)), coalesce(n_chars::VARCHAR, chr(30)))) AS new_fp FROM newsnap)
          |SELECT doc_id,
@@ -2755,7 +2758,7 @@ object SparkEntry {
          |h AS (SELECT doc_id, hex(encode(t)) AS hx, octet_length(encode(t)) AS n FROM fam),
          |fr AS (SELECT doc_id, f, least(64, n - f * 64) AS m,
          |  substr(hx, 128 * f + 1, 128) AS fhx
-         |  FROM h, (SELECT unnest(range(0, 64)) AS f) s
+         |  FROM h, (SELECT unnest(range(0, 1000)) AS f) s
          |  WHERE f % 2 = 0 AND f * 64 < n),
          |cells AS (SELECT doc_id, f, i,
          |  ('0x' || substr(fhx, (2 * ((i * m) // 72) + 1)::INT, 2))::INT AS v
@@ -2803,7 +2806,7 @@ object SparkEntry {
          |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
          |FROM documents
          |GROUP BY ROLLUP (source, lang)
-         |ORDER BY g_source, g_lang, source, lang""".stripMargin),
+         |ORDER BY g_source, g_lang, source NULLS FIRST, lang NULLS FIRST""".stripMargin),
     // ns86's oracle recomputes the NEW snapshot's token counts from
     // scratch — the engine side maintains them incrementally off the
     // fringe, so hash equality proves the maintenance algebra exact.
@@ -2812,7 +2815,7 @@ object SparkEntry {
          |  SELECT doc_id, CASE WHEN doc_id % 37 = 0 THEN text || ' v2' ELSE text END AS text
          |  FROM documents WHERE doc_id >= 20
          |  UNION ALL
-         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10),
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text FROM documents WHERE doc_id < 10),
          |tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM newsnap)
          |SELECT token, count(*) AS cnt FROM tok
          |GROUP BY token ORDER BY token""".stripMargin),

@@ -60,11 +60,18 @@ object Linkage {
     val probe =
       if (maxBlockFreq == Long.MaxValue) blocked
       else {
+        // the hot-block count groups NULL-SAFE exactly like the pair join
+        // (groupBy treats NULL group keys as one group), so the anti-join
+        // must match with <=> too — a using-column anti-join's EqualTo
+        // never matches NULL, and a flooded NULL-group block would
+        // silently survive the cap, the exact blow-up it exists to stop
         val hot = blocked
           .groupBy(col("ki") +: col("key") +: groupCols.map(col): _*)
           .count().where(col("count") > maxBlockFreq)
           .select(col("ki") +: col("key") +: groupCols.map(col): _*)
-        blocked.join(hot, Seq("ki", "key") ++ groupCols, "left_anti")
+        val antiCond = (Seq("ki", "key") ++ groupCols)
+          .map(c => blocked(c) <=> hot(c)).reduce(_ && _)
+        blocked.join(hot, antiCond, "left_anti")
       }
     val joinCond = (Seq("ki", "key") ++ groupCols)
       .map(c => col(s"a.$c") <=> col(s"b.$c"))

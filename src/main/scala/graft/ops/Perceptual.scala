@@ -133,38 +133,14 @@ object Perceptual {
       bands: Int = 4,
       maxBandFreq: Long = Long.MaxValue,
       reuseHashes: Boolean = true): DataFrame = {
-    require(bands >= 2 && bands <= hashBits,
-      s"bands must be in [2, $hashBits]")
-    require(maxHamming >= 0 && maxHamming < bands,
-      "maxHamming < bands is what makes the banded join pigeonhole-exact")
-    // contiguous chunks, sizes floor/ceil of 63/bands
-    val base = hashBits / bands
-    val rem = hashBits % bands
-    val sizes = (0 until bands).map(p => base + (if (p < rem) 1 else 0))
-    val offsets = sizes.scanLeft(0)(_ + _)
-    val chunks = (0 until bands).map { p =>
-      val mask = (1L << sizes(p)) - 1
-      struct(lit(p).as("p"),
-        shiftright(col("phash"), offsets(p)).bitwiseAND(lit(mask))
-          .as("chunk"))
-    }
+    requireBandParams(maxHamming, bands)
     // both join sides derive from ONE materialization of (doc_id, phash):
     // without this the self-join re-runs the upstream lineage on each
     // side, and when that lineage is the dhash63 decode pass the blobs
     // decode TWICE (the ngramJaccard reuseShingles move; 16 bytes/row
     // keeps the checkpoint corpus-cheap)
     val hs = if (reuseHashes) hashes.localCheckpoint(true) else hashes
-    val banded = hs.select(col("doc_id"), col("phash"),
-        explode(array(chunks: _*)).as("bk"))
-      .select(col("doc_id"), col("phash"),
-        col("bk.p").as("p"), col("bk.chunk").as("chunk"))
-    val probe =
-      if (maxBandFreq == Long.MaxValue) banded
-      else {
-        val hot = banded.groupBy(col("p"), col("chunk")).count()
-          .where(col("count") > maxBandFreq).select(col("p"), col("chunk"))
-        banded.join(hot, Seq("p", "chunk"), "left_anti")
-      }
+    val probe = dropHotBuckets(bandKeys(hs, bands), maxBandFreq)
     probe.as("a").join(probe.as("b"),
         col("a.p") === col("b.p") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -175,6 +151,49 @@ object Perceptual {
       .where(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  // ---- the ONE definition of the band layout ------------------------------
+  // The pigeonhole-exactness contract holds across nearDupPairs AND the
+  // index probe only while both band with bit-identical layouts, so the
+  // sizing, chunk extraction, and hot-bucket capping live here alone.
+
+  private def requireBandParams(maxHamming: Int, bands: Int): Unit = {
+    require(bands >= 2 && bands <= hashBits,
+      s"bands must be in [2, $hashBits]")
+    require(maxHamming >= 0 && maxHamming < bands,
+      "maxHamming < bands is what makes the banded join pigeonhole-exact")
+  }
+
+  /** (doc_id, phash) → one row per band: (doc_id, phash, p, chunk). The
+    * 63 bits split into `bands` contiguous chunks, sizes floor/ceil of
+    * 63/bands (e.g. bands=4 → 16+16+16+15). */
+  private def bandKeys(hashes: DataFrame, bands: Int): DataFrame = {
+    val base = hashBits / bands
+    val rem = hashBits % bands
+    val sizes = (0 until bands).map(p => base + (if (p < rem) 1 else 0))
+    val offsets = sizes.scanLeft(0)(_ + _)
+    val chunks = (0 until bands).map { p =>
+      val mask = (1L << sizes(p)) - 1
+      struct(lit(p).as("p"),
+        shiftright(col("phash"), offsets(p)).bitwiseAND(lit(mask))
+          .as("chunk"))
+    }
+    hashes.select(col("doc_id"), col("phash"),
+        explode(array(chunks: _*)).as("bk"))
+      .select(col("doc_id"), col("phash"),
+        col("bk.p").as("p"), col("bk.chunk").as("chunk"))
+  }
+
+  /** The skew lever: drop (p, chunk) buckets with more than `maxBandFreq`
+    * members (documented recall trade; default ∞ = exact). */
+  private def dropHotBuckets(
+      banded: DataFrame, maxBandFreq: Long): DataFrame =
+    if (maxBandFreq == Long.MaxValue) banded
+    else {
+      val hot = banded.groupBy(col("p"), col("chunk")).count()
+        .where(col("count") > maxBandFreq).select(col("p"), col("chunk"))
+      banded.join(hot, Seq("p", "chunk"), "left_anti")
+    }
   // ---- persisted index lifecycle (the D6 shape for media) -----------------
 
   private def metaPath(path: String) =
@@ -337,34 +356,9 @@ object Perceptual {
   private def bandCandidates(
       probe: DataFrame, build: DataFrame,
       maxHamming: Int, bands: Int, maxBandFreq: Long): DataFrame = {
-    require(bands >= 2 && bands <= hashBits,
-      s"bands must be in [2, $hashBits]")
-    require(maxHamming >= 0 && maxHamming < bands,
-      "maxHamming < bands is what makes the banded join pigeonhole-exact")
-    val base = hashBits / bands
-    val rem = hashBits % bands
-    val sizes = (0 until bands).map(p => base + (if (p < rem) 1 else 0))
-    val offsets = sizes.scanLeft(0)(_ + _)
-    def bandKeys(df: DataFrame): DataFrame = {
-      val chunks = (0 until bands).map { p =>
-        val mask = (1L << sizes(p)) - 1
-        struct(lit(p).as("p"),
-          shiftright(col("phash"), offsets(p)).bitwiseAND(lit(mask))
-            .as("chunk"))
-      }
-      df.select(col("doc_id"), col("phash"),
-          explode(array(chunks: _*)).as("bk"))
-        .select(col("doc_id"), col("phash"),
-          col("bk.p").as("p"), col("bk.chunk").as("chunk"))
-    }
-    val (pb, bb) = (bandKeys(probe), bandKeys(build))
-    val bbCapped =
-      if (maxBandFreq == Long.MaxValue) bb
-      else {
-        val hot = bb.groupBy(col("p"), col("chunk")).count()
-          .where(col("count") > maxBandFreq).select(col("p"), col("chunk"))
-        bb.join(hot, Seq("p", "chunk"), "left_anti")
-      }
+    requireBandParams(maxHamming, bands)
+    val pb = bandKeys(probe, bands)
+    val bbCapped = dropHotBuckets(bandKeys(build, bands), maxBandFreq)
     pb.as("a").join(bbCapped.as("b"),
         col("a.p") === col("b.p") && col("a.chunk") === col("b.chunk") &&
           bit_count(col("a.phash").bitwiseXOR(col("b.phash")))

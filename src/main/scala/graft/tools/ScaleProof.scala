@@ -241,7 +241,6 @@ object ScaleProof {
       // ns80: bin-sketch boundary walk (groups × bins agg) + broadcast-back
       // labeling — the ns72/ns77 stats-gate shape
       "ns80_curriculum_buckets",
-      "ns80_curriculum_buckets",
       // ns82: the perceptual-index lifecycle — per-size the base index
       // builds once in the untimed warmup (fingerprint-keyed, the
       // ns18/ns41 contract); the timed runs measure copy + two

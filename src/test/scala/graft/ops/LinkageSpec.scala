@@ -61,6 +61,15 @@ class LinkageSpec extends AnyFunSuite {
         groupCols = Seq("nation"), maxBlockFreq = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == Set((200L, 201L)))
+    // a flooded block whose GROUP KEY is NULL must be capped too — the
+    // anti-join has to match null-safe, like the pair join does
+    val nullFlood = (0L until 12L).map(i =>
+      (300L + i, "gggggggggggg", null.asInstanceOf[Integer]))
+    val cappedNull = Linkage.fuzzyDuplicates(
+        (nullFlood ++ keep).toDF("rec_id", "name", "nation"),
+        groupCols = Seq("nation"), maxBlockFreq = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedNull == Set((200L, 201L)))
   }
 
   test("linkClusters resolves entities linearly (one row per linked rec)") {
