@@ -1352,6 +1352,16 @@ object SparkEntry {
   private def ns88(s: SparkSession, dir: String): DataFrame =
     graft.ops.Graphs.triangleCounts(linkEdges(s, dir))
 
+  /** NS89 — differentially-private release counts
+    * ([[graft.ops.Privacy.noisyCounts]]): per-language doc counts
+    * released under the two-sided geometric mechanism, ε = ln 2 —
+    * noise sampled EXACTLY (trailing-zero counts of md5-derived
+    * uniforms; no floats), seed-deterministic so the oracle replays the
+    * mechanism bit-for-bit. Completes the privacy family's ladder:
+    * scrub (ns22/66/67) → k-anonymity gate (ns72) → DP release. */
+  private def ns89(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.noisyCounts(docs(s, dir), Seq("lang"), seed = 42L)
+
   /** NS85 — release mix rollup ([[graft.ops.Curation.releaseRollup]]):
     * the ns76 dataset card drilled down — (source, lang) cells,
     * per-source subtotals, grand total, in ONE rollup pass with
@@ -1499,6 +1509,7 @@ object SparkEntry {
     "ns86_token_maintenance" -> (ns86 _),
     "ns87_link_pagerank" -> (ns87 _),
     "ns88_link_triangles" -> (ns88 _),
+    "ns89_dp_counts" -> (ns89 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2864,5 +2875,18 @@ object SparkEntry {
          |SELECT nodes.node AS node, coalesce(c, 0)::BIGINT AS n_triangles
          |FROM nodes LEFT JOIN cnt ON cnt.node = nodes.node
          |ORDER BY nodes.node""".stripMargin),
+    // ns89 replays the exact geometric sampling: Geometric(1/2) = the
+    // trailing-zero count of an md5-derived 60-bit uniform, computed as
+    // bit_count((h & -h) - 1) — no floats, identical truncation.
+    "ns89_dp_counts" ->
+      ("""WITH g AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |h AS (SELECT lang, n,
+         |  ('0x' || substr(md5('dp1:42:' || coalesce(lang, chr(30))), 1, 15))::BIGINT AS h1,
+         |  ('0x' || substr(md5('dp2:42:' || coalesce(lang, chr(30))), 1, 15))::BIGINT AS h2
+         |  FROM g)
+         |SELECT lang,
+         |  (n + (CASE WHEN h1 = 0 THEN 60 ELSE bit_count((h1 & -h1) - 1) END)
+         |     - (CASE WHEN h2 = 0 THEN 60 ELSE bit_count((h2 & -h2) - 1) END))::BIGINT AS noisy_count
+         |FROM h ORDER BY lang""".stripMargin),
   )
 }

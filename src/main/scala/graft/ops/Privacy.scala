@@ -168,4 +168,46 @@ object Privacy {
       .drop(quasiCols.map(c => s"__quasi_$c"): _*)
       .orderBy(col(keyCol))
   }
+
+  /** Differentially-private group counts via the two-sided geometric
+    * mechanism (Ghosh–Roughgarden–Sundararajan): released count =
+    * true count + (G₁ − G₂) where Gᵢ ~ Geometric(1/2) — the discrete
+    * Laplace with parameter 1/2, giving ε = ln 2 per released count at
+    * sensitivity 1 (disjoint groups → parallel composition, so ε = ln 2
+    * for the whole release).
+    *
+    * The sampling is EXACT, with no floats anywhere: a Geometric(1/2)
+    * draw is the trailing-zero count of a uniform bit string
+    * (P(ctz = k) = 2^{−(k+1)}), and the uniform bits are the md5 of
+    * (tag, seed, group key) — so the noise is seed-deterministic, the
+    * standard reproducible-release practice (and what lets the DuckDB
+    * oracle replay the mechanism bit-for-bit; the suite-wide
+    * determinism-by-hash convention of the minhash/LSH family). The seed
+    * must be treated as secret as the data: revealing it reveals the
+    * noise. Truncation at 60 bits (P < 2^{−60}) is shared by both
+    * sides. Noisy counts can be negative — the mechanism's honest
+    * output; consumers clamp per policy, the release does not.
+    *
+    * Scale shape: ONE groupBy; the noise is a codegen projection over
+    * the group-cardinality result. NULL group values participate as
+    * their own group (the [[kAnonymize]] convention) and hash via the
+    * U+001E sentinel. */
+  def noisyCounts(
+      df: DataFrame, groupCols: Seq[String], seed: Long): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val keyStr = concat_ws("",
+      groupCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    def geom(tag: String) = {
+      val h = conv(substring(
+          md5(concat(lit(s"$tag:$seed:"), keyStr).cast("binary")), 1, 15),
+        16, 10).cast("long")
+      when(h === 0, lit(60L))
+        .otherwise(bit_count(h.bitwiseAND(-h) - 1).cast("long"))
+    }
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(groupCols.map(col) :+
+        (col("n") + geom("dp1") - geom("dp2")).as("noisy_count"): _*)
+      .orderBy(groupCols.map(col): _*)
+  }
 }

@@ -252,6 +252,9 @@ object ScaleProof {
       // ns88: degree-ordered orientation bounds wedges at O(m^1.5)
       // regardless of hub skew; count() cannot prune the closure joins
       "ns88_link_triangles",
+      // ns89: one groupBy + a codegen noise projection over the
+      // group-cardinality result — report-sized output
+      "ns89_dp_counts",
       // ns87: 5 fixed iterations of (src-keyed join + dst-keyed integer
       // sum) over a 2N-edge list — work linear in nodes per iteration
       "ns87_link_pagerank",

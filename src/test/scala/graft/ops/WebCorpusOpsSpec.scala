@@ -372,6 +372,47 @@ class WebCorpusOpsSpec extends AnyFunSuite {
 
   // ---- Privacy.kAnonymize -------------------------------------------------
 
+  test("noisyCounts: exact geometric mechanism, seed-deterministic") {
+    // engine output must equal an independent Scala recomputation of the
+    // documented formula: n + ctz(md5("dp1:seed:key")) - ctz(md5("dp2:..."))
+    def ctz60(tag: String, seed: Long, key: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag:$seed:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      if (h == 0L) 60L else java.lang.Long.numberOfTrailingZeros(h).toLong
+    }
+    val rows = (0L until 600L).map(i => (i, s"g${i % 200}"))
+      .toDF("id", "grp")
+    val out = Privacy.noisyCounts(rows, Seq("grp"), seed = 7L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.size == 200)
+    (0 until 200).foreach { g =>
+      val key = s"g$g"
+      val expected = 3L + ctz60("dp1", 7L, key) - ctz60("dp2", 7L, key)
+      assert(out(key) == expected, key)
+    }
+    // structural noise sanity over the 200 groups: centered, two-sided,
+    // geometric-tailed
+    val noise = (0 until 200).map(g => out(s"g$g") - 3L)
+    assert(noise.exists(_ > 0) && noise.exists(_ < 0))
+    assert(math.abs(noise.sum.toDouble / noise.size) < 0.5) // mean ~ 0
+    assert(noise.count(_ == 0L) > 40) // P(0) = 1/3 for diff-of-geometrics
+    // same seed reproduces; a different seed moves some group's noise
+    val again = Privacy.noisyCounts(rows, Seq("grp"), seed = 7L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == out)
+    val other = Privacy.noisyCounts(rows, Seq("grp"), seed = 8L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(other != out)
+    // NULL group key participates as its own group (sentinel-hashed)
+    val withNull = (rows.collect().map(r => (r.getLong(0),
+      r.getString(1))) :+ (999L, null)).toSeq.toDF("id", "grp")
+    val nullOut = Privacy.noisyCounts(withNull, Seq("grp"), seed = 7L)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(nullOut.contains(None))
+  }
+
   test("kAnonymize releases only groups meeting BOTH the k and l gates") {
     val rows = Seq(
       // group (a,1): size 3, sensitive {10, 20} -> k=3 ok, l=2 ok
