@@ -154,13 +154,15 @@ object SparkEntry {
   }
 
   /** K14 — A2-A5 deterministic seeded fakers (anonymiser.go:82-107).
-    * Faker realism is property-tested (AnonymiserSpec/FakersSpec), not
-    * SQL-expressible → no oracle entry (the driver records a rows-only
-    * check); K8's md5 surrogate covers the hash-checked path, and the
-    * output itself is GOLDEN-GATED: [[graft.GoldenK14Spec]] asserts the
-    * sha256 of the canonicalized result at sf0.001 and sf0.01 against
-    * committed golden files, so any faker-surface change is a reviewed
-    * golden diff, not an untested cell. */
+    * The persona fakers it exercises (FullName, EmailAddress) are pure
+    * codegen md5-indexed corpus picks ([[graft.anonymise.Persona]]), so
+    * since r10 the query is FULLY hash-oracle-checked: the oracle SQL —
+    * generated from the SAME Corpora vectors, single source of truth —
+    * replays every draw bit-for-bit in DuckDB (list-literal corpus
+    * indexing; the ns89 md5→60-bit-uniform convention). The committed
+    * golden gate ([[graft.GoldenK14Spec]], sha256 at two SFs) is retained
+    * belt-and-braces, and the wider non-persona faker surface stays
+    * property-tested (AnonymiserSpec/FakersSpec). */
   private def k14(s: SparkSession, dir: String): DataFrame = {
     val cfg = graft.config.TableConfig("customer", anonymise = Seq(
       "c_name" -> "FullName",
@@ -1362,6 +1364,20 @@ object SparkEntry {
   private def ns89(s: SparkSession, dir: String): DataFrame =
     graft.ops.Privacy.noisyCounts(docs(s, dir), Seq("lang"), seed = 42L)
 
+  /** NS91 — DP release over a PUBLIC key domain
+    * ([[graft.ops.Privacy.noisyCountsOverDomain]]): ns89's mechanism with
+    * the observed-keys presence leak closed — every key of a declared
+    * public language domain is released exactly once, unobserved keys
+    * ("it", "ja" at this SF) as noised ZEROS, so the release's support
+    * is the domain itself and carries no information. Same ε = ln 2
+    * two-sided geometric, exact integer sampling, oracle bit-replayed. */
+  private def ns91(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val domain = Seq("de", "en", "es", "fr", "it", "ja", "zh").toDF("lang")
+    graft.ops.Privacy.noisyCountsOverDomain(
+      docs(s, dir), Seq("lang"), domain, seed = 42L)
+  }
+
   /** NS85 — release mix rollup ([[graft.ops.Curation.releaseRollup]]):
     * the ns76 dataset card drilled down — (source, lang) cells,
     * per-source subtotals, grand total, in ONE rollup pass with
@@ -1510,6 +1526,7 @@ object SparkEntry {
     "ns87_link_pagerank" -> (ns87 _),
     "ns88_link_triangles" -> (ns88 _),
     "ns89_dp_counts" -> (ns89 _),
+    "ns91_dp_domain" -> (ns91 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1556,6 +1573,20 @@ object SparkEntry {
       ("SELECT o.* FROM orders o " +
         "JOIN customer c ON c.c_custkey = o.o_custkey " +
         "WHERE c.c_acctbal > 0 ORDER BY o.o_orderkey LIMIT 500"),
+    // k14 replays the md5-indexed persona fakers exactly: every draw is an
+    // independent 60-bit uniform from md5(secret␟table␟pk␟tag) indexing an
+    // inline corpus list literal — the SQL is GENERATED from the same
+    // graft.anonymise.Corpora vectors the engine reads (Persona.sql*), so
+    // the two sides cannot drift.
+    "k14_anon_faker" -> {
+      val p = graft.anonymise.Persona
+      s"""WITH b AS (SELECT c_custkey, c_nationkey, c_acctbal,
+         |  ${p.sqlRowKey("graft", "customer", Seq("c_custkey"))} AS k
+         |  FROM customer)
+         |SELECT c_custkey, ${p.sqlFullName} AS c_name, c_nationkey,
+         |  c_acctbal, ${p.sqlEmail("c_mktsegment")} AS c_mktsegment
+         |FROM b ORDER BY c_custkey""".stripMargin
+    },
     "ns1_dedup_exact" ->
       ("SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents " +
         "GROUP BY text ORDER BY doc_id"),
@@ -2887,6 +2918,22 @@ object SparkEntry {
          |SELECT lang,
          |  (n + (CASE WHEN h1 = 0 THEN 60 ELSE bit_count((h1 & -h1) - 1) END)
          |     - (CASE WHEN h2 = 0 THEN 60 ELSE bit_count((h2 & -h2) - 1) END))::BIGINT AS noisy_count
-         |FROM h ORDER BY lang""".stripMargin),
+         |FROM h ORDER BY lang NULLS FIRST""".stripMargin),
+    // ns91 replays ns89's mechanism over the declared public domain: a
+    // LEFT JOIN from the domain list carries unobserved keys through as
+    // coalesced zeros, which then draw noise exactly like real counts.
+    "ns91_dp_domain" ->
+      ("""WITH dom AS (SELECT unnest(['de','en','es','fr','it','ja','zh']) AS lang),
+         |g AS (SELECT lang, count(*) AS n_obs FROM documents GROUP BY lang),
+         |f AS (SELECT dom.lang AS lang, coalesce(n_obs, 0) AS n FROM dom
+         |  LEFT JOIN g ON g.lang IS NOT DISTINCT FROM dom.lang),
+         |h AS (SELECT lang, n,
+         |  ('0x' || substr(md5('dp1:42:' || coalesce(lang, chr(30))), 1, 15))::BIGINT AS h1,
+         |  ('0x' || substr(md5('dp2:42:' || coalesce(lang, chr(30))), 1, 15))::BIGINT AS h2
+         |  FROM f)
+         |SELECT lang,
+         |  (n + (CASE WHEN h1 = 0 THEN 60 ELSE bit_count((h1 & -h1) - 1) END)
+         |     - (CASE WHEN h2 = 0 THEN 60 ELSE bit_count((h2 & -h2) - 1) END))::BIGINT AS noisy_count
+         |FROM h ORDER BY lang NULLS FIRST""".stripMargin),
   )
 }

@@ -21,22 +21,24 @@ import graft.config.TableConfig
   *   - NULLs are overwritten like any other value.
   *
   * Deliberate upgrades (SURVEY §7.4.1, §2.6 A6):
-  *   - values are DETERMINISTIC: seed = xxhash64(secret, table, column,
-  *     row identity), so task retries/speculation and re-runs reproduce the
-  *     same output, and the email/username suffix is seed-derived rather
-  *     than crypto/rand;
+  *   - values are DETERMINISTIC in (secret, table, column, row identity),
+  *     so task retries/speculation and re-runs reproduce the same output,
+  *     and the email/username suffix is seed-derived rather than
+  *     crypto/rand;
   *   - unknown faker names fail at plan build by default; the reference's
   *     "Invalid anonymiser: <name>" sentinel row value (a documented TODO
   *     in the reference) is available behind `compatSentinel = true`.
   *
-  * Scale: the seed is a codegen'd built-in (`xxhash64`), the faker itself a
-  * deterministic Long→String UDF — no shuffle, no state, embarrassingly
-  * parallel per partition.
+  * Scale: the person-shaped fakers ([[Fakers.personaBacked]]) are pure
+  * codegen Columns ([[Persona]] — md5-indexed corpus picks, no UDF at
+  * all, DuckDB-replayable so k14 is hash-oracle-checked); the remaining
+  * faker surface seeds a deterministic Long→String UDF with the codegen'd
+  * `xxhash64`. Either way: no shuffle, no state, embarrassingly parallel
+  * per partition.
   */
 object Anonymiser {
 
   val LiteralPrefix = "literal:"
-  private val Uniquified = Set("EmailAddress", "UserName")
 
   def apply(
       df: DataFrame,
@@ -78,22 +80,16 @@ object Anonymiser {
       if (compatSentinel) return lit(s"Invalid anonymiser: $name")
       else throw Fakers.UnknownFakerException(name) // fail fast at plan build
     }
-    val uniquify = Uniquified.contains(name)
-    val personaBacked = Fakers.personaBacked.contains(name)
-    val gen = udf { (seed: Long, rowSeed: Long) =>
-      // person-shaped fakers draw from the ROW persona (seeded without the
-      // column) so name/username/email of one row describe one identity;
-      // everything else stays column-seeded as before
-      val base =
-        if (personaBacked) Fakers.callPersona(spec, seed, rowSeed)
-        else Fakers.call(spec, seed)
-      if (uniquify) s"$base.${new Rng(seed ^ 0x5bf03635f0935ad1L).hex(4)}"
-      else base
-    }
-    val seed = xxhash64(
-      (Seq(lit(secret), lit(tableName), lit(column)) ++ keyCols): _*)
-    val rowSeed = xxhash64(
-      (Seq(lit(secret), lit(tableName)) ++ keyCols): _*)
-    gen(seed, rowSeed)
+    // person-shaped fakers draw from the ROW persona (keyed without the
+    // column) so name/username/email of one row describe one identity —
+    // pure codegen Columns, md5-indexed, oracle-replayable (Persona);
+    // the uniquified .hex4 suffix is column-scoped inside Persona.column
+    Persona.column(name, Persona.rowKey(secret, tableName, keyCols), column)
+      .getOrElse {
+        // everything else stays column-seeded through the Rng UDF
+        val gen = udf { (seed: Long) => Fakers.call(spec, seed) }
+        gen(xxhash64(
+          (Seq(lit(secret), lit(tableName), lit(column)) ++ keyCols): _*))
+      }
   }
 }

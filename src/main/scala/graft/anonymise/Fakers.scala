@@ -232,48 +232,13 @@ object Fakers {
 
   // -- coherent personas ----------------------------------------------------
 
-  /** One person, fully derived from a single seed: the name parts, username
-    * and email of the SAME identity, so a row anonymised with several
+  /** Faker names whose value is a facet of the row persona: one person,
+    * fully derived from the row identity, so a row anonymised with several
     * person-shaped fakers stays internally consistent ("Laura Kessler" /
     * "amber_laura42" / "amber_laura42@…") instead of reading as three
-    * strangers. The username embeds the first name and the email embeds the
-    * username — the same construction the independent fakers use, just
-    * drawn once. */
-  final case class Persona(
-      firstName: String, lastName: String, userName: String, domain: String) {
-    def fullName: String = s"$firstName $lastName"
-    def email: String = s"$userName@$domain"
-  }
-
-  def persona(rowSeed: Long): Persona = {
-    val r = new Rng(rowSeed ^ 0x9e3779b97f4a7c15L)
-    val first = firstName(r)
-    val last = lastName(r)
-    val user = s"${word(r)}_${first.toLowerCase(Locale.US)}${r.digits(2)}"
-    Persona(first, last, user, domainName(r))
-  }
-
-  /** Faker names whose value is a facet of the row persona. */
+    * strangers. Evaluated by [[Persona.column]] as pure codegen Columns
+    * (md5-indexed corpus picks, oracle-replayable); [[call]] keeps the
+    * standalone Rng implementations for the registry surface. */
   val personaBacked: Set[String] = Set("FirstName", "LastName", "FullName",
     "FullNameWithPrefix", "FullNameWithSuffix", "UserName", "EmailAddress")
-
-  /** Persona-coherent evaluation: facet values come from the ROW-scoped
-    * persona; column-scoped extras (prefix/suffix picks) stay seeded by the
-    * column so two prefixed columns still vary independently. Non-persona
-    * names fall through to [[call]]. */
-  def callPersona(spec: String, colSeed: Long, rowSeed: Long): String = {
-    val (name, _) = parseSpec(spec)
-    lazy val p = persona(rowSeed)
-    lazy val r = new Rng(colSeed)
-    name match {
-      case "FirstName" => p.firstName
-      case "LastName" => p.lastName
-      case "FullName" => p.fullName
-      case "FullNameWithPrefix" => s"${r.pick(namePrefixes)} ${p.fullName}"
-      case "FullNameWithSuffix" => s"${p.fullName} ${r.pick(nameSuffixes)}"
-      case "UserName" => p.userName
-      case "EmailAddress" => p.email
-      case _ => call(spec, colSeed)
-    }
-  }
 }

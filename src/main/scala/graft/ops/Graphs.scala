@@ -33,37 +33,67 @@ object Graphs {
     * (node-cardinality, narrow) into the edge list and ONE dst-keyed
     * integer-sum aggregation — edges never materialize per-pair state
     * beyond the shuffle, and the rank frame is AQE-broadcastable while
-    * small. Iteration count is a fixed small constant (rank gates use
-    * 3–10 rounds), so lineage stays bounded without checkpointing. */
+    * small. Lineage is BOUNDED at any iteration count: every
+    * `checkpointEvery` rounds the rank frame is `localCheckpoint`ed
+    * (eager — node-cardinality, the Pregel superstep-materialization
+    * move), so the plan never grows past ~2·checkpointEvery joins where
+    * a naive loop at iterations=50 folds ~100 joins into one plan whose
+    * analysis time and stage graph explode before data size matters.
+    * Each checkpoint also buys an EXACT early exit for free: one step
+    * from the materialized frame, and if no node's integer rank moved
+    * the fixed point is reached — every remaining iteration would
+    * reproduce the same frame bit-for-bit (the integer dynamics are a
+    * deterministic function of the rank vector), so stopping cannot
+    * change the output, only skip no-ops. Float PageRank has no such
+    * exact test — another reason the fixed point is integer. */
   def pagerankInt(
       edges: DataFrame,
       iterations: Int = 5,
       dampingPermille: Long = 850,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L,
+      checkpointEvery: Int = 8): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       "iterations must be in [1, 50]")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       "dampingPermille must be in [0, 1000]")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val teleport = scale * (1000L - dampingPermille) / 1000L
-    var ranks = nodes.select(col("node"), lit(scale).as("rank"))
-    var i = 0
-    while (i < iterations) {
+    def step(ranks: DataFrame): DataFrame = {
       val contribs = e
         .join(ranks, e("src") === ranks("node"))
         .join(outdeg, "src")
         .select(col("dst"),
           expr(s"($dampingPermille * rank) DIV (1000 * outdeg)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
-      ranks = nodes
+      nodes
         .join(contribs, nodes("node") === contribs("dst"), "left_outer")
         .select(col("node"),
           (lit(teleport) + coalesce(col("in_mass"), lit(0L))).as("rank"))
-      i += 1
+    }
+    var ranks = nodes.select(col("node"), lit(scale).as("rank"))
+    var i = 0
+    var converged = false
+    while (i < iterations && !converged) {
+      if (i > 0 && i % checkpointEvery == 0) {
+        ranks = ranks.localCheckpoint(true)
+        val next = step(ranks)
+        val prev = ranks.select(col("node").as("p_node"),
+          col("rank").as("p_rank"))
+        // exact integer fixed-point test over the materialized frame:
+        // cheap (prev is a checkpoint, next is one step deep)
+        converged = next
+          .join(prev, col("node") === col("p_node"))
+          .where(col("rank") =!= col("p_rank")).isEmpty
+        if (!converged) { ranks = next; i += 1 }
+      } else {
+        ranks = step(ranks)
+        i += 1
+      }
     }
     ranks.orderBy(col("rank").desc, col("node"))
   }
@@ -85,13 +115,22 @@ object Graphs {
     *
     * Self-loops drop; parallel edges collapse (a triangle is a set of
     * three nodes). Output: (node, n_triangles) for every node of the
-    * graph, zeros included, ordered by node. */
+    * graph, zeros included, ordered by node.
+    *
+    * Subtree reuse: `und` feeds FOUR consumers (nodes, deg, orientation,
+    * closure) and `oriented` sits on BOTH sides of the wedge self-join —
+    * without materialization the distinct+degree lineage executes three
+    * times, tripling the heaviest scan at scale. Both frames are
+    * `localCheckpoint`ed eagerly (the Perceptual.reuseHashes move), so
+    * the dedup/degree work runs ONCE and every join reads the
+    * materialized edge list. */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(true)
     val nodes = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node"))).distinct()
     val deg = und.select(col("a").as("node"))
@@ -109,6 +148,7 @@ object Graphs {
         struct(col("a").as("u"), col("b").as("v")))
         .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint(true)
     // wedges at the out-degree-bounded apex, closed against oriented edges
     val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.u") === col("y.u") && col("x.v") < col("y.v"))

@@ -462,7 +462,8 @@ object WavGridDecoder extends GridDecoder {
       if (n == 0) return g
       var i = 0
       while (i < amps.length) {
-        val slice = (i * Perceptual.gridW / n).toInt // time column 0..8
+        // i.toLong first: i * 9 overflows Int beyond ~238M samples
+        val slice = (i.toLong * Perceptual.gridW / n).toInt // time column 0..8
         val band = amps(i) >>> 13 // amplitude row 0..7
         g(band * Perceptual.gridW + slice) += 1
         i += 1

@@ -191,12 +191,69 @@ object Privacy {
     * Scale shape: ONE groupBy; the noise is a codegen projection over
     * the group-cardinality result. NULL group values participate as
     * their own group (the [[kAnonymize]] convention) and hash via the
-    * U+001E sentinel. */
+    * U+001E sentinel.
+    *
+    * PRECONDITION — the group-key DOMAIN must be public: this release
+    * emits a row per OBSERVED group, so the *presence* of a key in the
+    * output reveals (exactly, regardless of noise) that at least one row
+    * carried it. That is fine when the key set is public knowledge (ISO
+    * language codes, enum columns) and the counts are the secret; when
+    * the keys themselves are sensitive, use [[noisyCountsOverDomain]],
+    * which releases EVERY key of a declared public domain — zeros noised
+    * too — so the output's support carries no information. */
   def noisyCounts(
       df: DataFrame, groupCols: Seq[String], seed: Long): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
-    val keyStr = concat_ws("",
-      groupCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    addGeometricNoise(
+      df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n")),
+      groupCols, seed)
+  }
+
+  /** [[noisyCounts]] with a PUBLIC key domain: every row of `domain`
+    * (deduplicated on `groupCols`) is released exactly once — observed
+    * groups with their noised count, unobserved groups as a noised ZERO
+    * — so the output's support is the public domain itself and group
+    * presence leaks nothing (closing [[noisyCounts]]'s observed-keys
+    * caveat). Keys observed in `df` but absent from `domain` are NOT
+    * released (the domain is the release policy). Same mechanism,
+    * ε = ln 2 under parallel composition; a true zero draws noise
+    * exactly like any other count, so absence is indistinguishable from
+    * presence at the mechanism's noise scale.
+    *
+    * Scale shape: ONE groupBy on the data side, then a null-safe join
+    * with the domain frame — domains are enumerable key sets (language
+    * codes, country lists), so AQE broadcasts them; the corpus still
+    * shuffles at most once. */
+  def noisyCountsOverDomain(
+      df: DataFrame, groupCols: Seq[String], domain: DataFrame,
+      seed: Long): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val obs = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_obs"))
+    // rename the observed-side keys so the null-safe condition is
+    // unambiguous (the kAnonymize pattern); NULL domain keys match the
+    // NULL observed group
+    val obsR = groupCols.foldLeft(obs)(
+      (d, c) => d.withColumnRenamed(c, s"__obs_$c"))
+    val full = domain.select(groupCols.map(col): _*).distinct()
+      .join(obsR,
+        groupCols.map(c => col(c) <=> col(s"__obs_$c")).reduce(_ && _),
+        "left")
+      .select(groupCols.map(col) :+
+        coalesce(col("n_obs"), lit(0L)).as("n"): _*)
+    addGeometricNoise(full, groupCols, seed)
+  }
+
+  /** Shared release projection: `counts` carries `groupCols` + `n`; adds
+    * the exact two-sided-geometric noise (see [[noisyCounts]]) as a
+    * codegen projection and orders by the group key. U+001E sentinel
+    * keeps a NULL group's noise independent of an empty-string group's;
+    * U+001F separator keeps multi-column keys prefix-unambiguous — the
+    * suite's fingerprint convention, oracle-replayed via chr(30)/chr(31). */
+  private def addGeometricNoise(
+      counts: DataFrame, groupCols: Seq[String], seed: Long): DataFrame = {
+    val keyStr = concat_ws("\u001f",
+      groupCols.map(c => coalesce(col(c).cast("string"), lit("\u001e"))): _*)
     def geom(tag: String) = {
       val h = conv(substring(
           md5(concat(lit(s"$tag:$seed:"), keyStr).cast("binary")), 1, 15),
@@ -204,10 +261,8 @@ object Privacy {
       when(h === 0, lit(60L))
         .otherwise(bit_count(h.bitwiseAND(-h) - 1).cast("long"))
     }
-    df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n"))
-      .select(groupCols.map(col) :+
-        (col("n") + geom("dp1") - geom("dp2")).as("noisy_count"): _*)
+    counts.select(groupCols.map(col) :+
+      (col("n") + geom("dp1") - geom("dp2")).as("noisy_count"): _*)
       .orderBy(groupCols.map(col): _*)
   }
 }

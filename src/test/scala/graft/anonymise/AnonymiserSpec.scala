@@ -129,6 +129,23 @@ class AnonymiserSpec extends AnyFunSuite {
     assert(vals2.forall(_.isEmpty))
   }
 
+  test("Persona.column covers exactly the personaBacked surface") {
+    import org.apache.spark.sql.functions.lit
+    val key = Persona.rowKey("s", "t", Seq(lit(1L)))
+    Fakers.personaBacked.foreach(n =>
+      assert(Persona.column(n, key, "c").isDefined, n))
+    Fakers.functions.keySet.diff(Fakers.personaBacked).foreach(n =>
+      assert(Persona.column(n, key, "c").isEmpty, n))
+  }
+
+  test("persona fakers compile to pure codegen Columns (no UDF in the plan)") {
+    val cfg = TableConfig("customer", anonymise = Seq(
+      "c_name" -> "FullName", "c_mktsegment" -> "EmailAddress"))
+    val plan = Anonymiser(customer, cfg, keyColumns = Seq("c_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"persona path regressed to a UDF:\n$plan")
+  }
+
   test("explicit key columns keep values stable under projection changes") {
     val cfg = TableConfig("customer", anonymise = Seq("c_name" -> "FullName"))
     val full = Anonymiser(customer, cfg, keyColumns = Seq("c_custkey"))

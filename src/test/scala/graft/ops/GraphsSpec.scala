@@ -53,6 +53,36 @@ class GraphsSpec extends AnyFunSuite {
     }
   }
 
+  test("iterations=50: bounded plan depth via checkpoint + exact early exit") {
+    val edges = (0L until 200L).flatMap(i =>
+      Seq(i -> ((i * 31 + 7) % 200), i -> ((i * 17 + 3) % 200)))
+    val df = Graphs.pagerankInt(edges.toDF("src", "dst"), iterations = 50)
+    // lineage is capped by the 8-round checkpoint cadence: the final plan
+    // must never fold anywhere near 50 iterations × 2 joins
+    val joins = "(?i)join".r
+      .findAllIn(df.queryExecution.optimizedPlan.toString).length
+    assert(joins <= 20, s"plan folded $joins joins — checkpointing broke")
+    // the early exit is EXACT: a fixed point reached before 50 rounds
+    // means every later iteration reproduces the same frame, so 50 and
+    // 49 iterations must agree bit-for-bit
+    val r50 = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r49 = ranksOf(edges, 49)
+    assert(r50 == r49)
+    // and the converged answer is a true fixed point of one more step:
+    // rank mass respects the same bounds as any iteration
+    assert(r50.values.forall(_ >= 150000L))
+  }
+
+  test("checkpoint cadence does not change the arithmetic (8 vs 1)") {
+    val edges = (0L until 60L).map(i => i -> ((i * 13 + 1) % 60))
+    val base = Graphs.pagerankInt(edges.toDF("src", "dst"), iterations = 12,
+      checkpointEvery = 100) // never checkpoints
+    val cp = Graphs.pagerankInt(edges.toDF("src", "dst"), iterations = 12,
+      checkpointEvery = 3) // checkpoints + convergence-checks 3 times
+    assert(base.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      cp.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   private def trianglesOf(edges: Seq[(Long, Long)]) =
     Graphs.triangleCounts(edges.toDF("src", "dst"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

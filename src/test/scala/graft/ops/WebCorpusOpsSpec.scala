@@ -413,6 +413,39 @@ class WebCorpusOpsSpec extends AnyFunSuite {
     assert(nullOut.contains(None))
   }
 
+  test("noisyCountsOverDomain: support is the domain; count-1 presence leak closed") {
+    def ctz60(tag: String, seed: Long, key: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag:$seed:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      if (h == 0L) 60L else java.lang.Long.numberOfTrailingZeros(h).toLong
+    }
+    def noise(key: String) = ctz60("dp1", 7L, key) - ctz60("dp2", 7L, key)
+    val rows = Seq((1L, "a"), (2L, "a"), (3L, "rare")).toDF("id", "grp")
+    val domain = Seq("a", "rare", "never").toDF("grp")
+    def release(df: org.apache.spark.sql.DataFrame) =
+      Privacy.noisyCountsOverDomain(df, Seq("grp"), domain, seed = 7L)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = release(rows)
+    // every domain key released exactly once; unobserved = noised zero
+    assert(out.keySet == Set("a", "rare", "never"))
+    assert(out("a") == 2L + noise("a"))
+    assert(out("rare") == 1L + noise("rare"))
+    assert(out("never") == 0L + noise("never"))
+    // the count-1 group case: removing the single "rare" row must not
+    // change the release's SUPPORT (only the count moves by 1) — whereas
+    // plain noisyCounts drops the key entirely, leaking its presence
+    val without = release(rows.where("grp <> 'rare'"))
+    assert(without.keySet == out.keySet)
+    assert(without("rare") == out("rare") - 1L)
+    assert(Privacy.noisyCounts(rows.where("grp <> 'rare'"), Seq("grp"), 7L)
+      .collect().map(_.getString(0)).toSet == Set("a"))
+    // observed-but-undeclared keys are NOT released (domain = policy)
+    assert(!release(rows.union(Seq((9L, "offbook")).toDF("id", "grp")))
+      .contains("offbook"))
+  }
+
   test("kAnonymize releases only groups meeting BOTH the k and l gates") {
     val rows = Seq(
       // group (a,1): size 3, sensitive {10, 20} -> k=3 ok, l=2 ok
