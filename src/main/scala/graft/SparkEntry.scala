@@ -1167,6 +1167,41 @@ object SparkEntry {
           .otherwise(reverse(col("b.text"))).as("t"))
   }
 
+  /** NS90 — audio near-dup over REAL WAV containers
+    * ([[graft.ops.WavSynth]] → [[graft.ops.WavGridDecoder]] →
+    * [[graft.ops.Perceptual.nearDupPairs]]): the audio leg of the
+    * perceptual family, through the real javax.sound decode path — the
+    * one modality ns81/ns83 left spec-gated only (VERDICT r9 task 4).
+    * Families of three per 3-id group: v0 = 16-bit PCM of the base
+    * text's synthesized samples, v1 = the SAME samples re-encoded as
+    * 8-bit PCM — a different byte stream in a different container that
+    * [[graft.ops.WavGridDecoder]]'s band math hashes IDENTICALLY (the
+    * depth-re-encode dup class byte hashing can never catch) — and
+    * v2 = the reversed-text control that must stay far. The oracle
+    * recomputes the 9×8 time×band grid and dHash INDEPENDENTLY from the
+    * same text bytes in SQL (no WAV container, no javax.sound), so a
+    * green hash certifies the container write + parse + band arithmetic
+    * end-to-end, not just the pairing join. Scale shape = ns81's: one
+    * mapPartitions decode pass (real codec), one banded shuffle,
+    * pigeonhole-exact at maxHamming 3 < bands 4. */
+  private def ns90(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val fam = base.as("d")
+      .join(base.as("b"),
+        col("b.doc_id") === (col("d.doc_id") - col("d.doc_id") % 3))
+      .select(col("d.doc_id").as("doc_id"),
+        when(col("d.doc_id") % 3 === 2, reverse(col("b.text")))
+          .otherwise(col("b.text")).as("t"),
+        when(col("d.doc_id") % 3 === 1, lit(8)).otherwise(lit(16))
+          .as("bits"))
+    val synth = udf((t: String, bits: Int) => graft.ops.WavSynth.wavOf(t, bits))
+    val media = fam.select(col("doc_id"),
+      synth(col("t"), col("bits")).as("content"))
+    graft.ops.Perceptual.nearDupPairs(
+      graft.ops.Perceptual.dhash63(media, graft.ops.WavGridDecoder),
+      maxHamming = 3, bands = 4)
+  }
+
   private def ns81(s: SparkSession, dir: String): DataFrame = {
     val media = ns81Family(s, dir).select(col("doc_id"),
       encode(col("t"), "UTF-8").as("content"))
@@ -1378,6 +1413,39 @@ object SparkEntry {
       docs(s, dir), Seq("lang"), domain, seed = 42L)
   }
 
+  /** NS92 — α = 0.5 temperature rebalancing
+    * ([[graft.ops.Sampling.temperatureSample]]): the mT5/XLM-R
+    * multilingual sampling rule — released per-language sizes ∝ √n,
+    * flattening crawl head-language dominance with no declared mixture
+    * (ns45 hits explicit targets; this applies the standard formula).
+    * Admission is a pure-integer test (u32·⌊√n_s⌋ < 2³²·⌊√n_min⌋,
+    * loop-corrected integer sqrt), so the oracle replays it verbatim.
+    * One strata-cardinality count collect + a zero-shuffle codegen
+    * predicate over the corpus. */
+  private def ns92(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.temperatureSample(
+      docs(s, dir).select(col("doc_id"), col("lang")), "lang", seed = 42L)
+
+  /** NS93 — epoch-order materialization ([[graft.ops.Layout.epochOrder]]):
+    * the training run's feed order — short-first curriculum buckets
+    * (n_chars DIV 256) with a deterministic md5 within-bucket shuffle and
+    * doc_id tiebreak — as a contiguous global rank, computed WITHOUT the
+    * single-partition window `row_number() OVER (ORDER BY …)` would
+    * plan: range exchange + frozen partitioning + per-partition offsets
+    * + pid-partitioned window. The one total-order shape the suite
+    * lacked, done the way it survives 100 TB. */
+  private def ns93(s: SparkSession, dir: String): DataFrame = {
+    val u60 = conv(substring(
+        md5(concat(lit("ep:42:"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 15),
+      16, 10).cast("long")
+    graft.ops.Layout.epochOrder(
+        docs(s, dir).select(col("doc_id"), col("n_chars")),
+        Seq(expr("n_chars DIV 256"), u60, col("doc_id")))
+      .select(col("pos"), col("doc_id"))
+      .orderBy(col("pos"))
+  }
+
   /** NS85 — release mix rollup ([[graft.ops.Curation.releaseRollup]]):
     * the ns76 dataset card drilled down — (source, lang) cells,
     * per-source subtotals, grand total, in ONE rollup pass with
@@ -1526,7 +1594,10 @@ object SparkEntry {
     "ns87_link_pagerank" -> (ns87 _),
     "ns88_link_triangles" -> (ns88 _),
     "ns89_dp_counts" -> (ns89 _),
+    "ns90_audio_neardup" -> (ns90 _),
     "ns91_dp_domain" -> (ns91 _),
+    "ns92_temperature_mix" -> (ns92 _),
+    "ns93_epoch_order" -> (ns93 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2919,6 +2990,37 @@ object SparkEntry {
          |  (n + (CASE WHEN h1 = 0 THEN 60 ELSE bit_count((h1 & -h1) - 1) END)
          |     - (CASE WHEN h2 = 0 THEN 60 ELSE bit_count((h2 & -h2) - 1) END))::BIGINT AS noisy_count
          |FROM h ORDER BY lang NULLS FIRST""".stripMargin),
+    // ns90 recomputes the audio grid from first principles: sample i of
+    // variant t is u8 = (byte_i·37 + i·11) mod 256, cell = (u8 >> 5)·9 +
+    // (i·9 div n), dHash bits over horizontally-adjacent cell counts —
+    // the engine's WAV container + javax.sound parse must land on the
+    // same 63 bits for every doc for the hash to match.
+    "ns90_audio_neardup" ->
+      ("""WITH base AS (SELECT doc_id, text FROM documents),
+         |fam AS (SELECT d.doc_id,
+         |  CASE WHEN d.doc_id % 3 = 2 THEN reverse(b.text) ELSE b.text END AS t
+         |  FROM base d JOIN base b ON b.doc_id = d.doc_id - d.doc_id % 3),
+         |h AS (SELECT doc_id, hex(encode(t)) AS hx, octet_length(encode(t)) AS n FROM fam),
+         |samp AS (SELECT doc_id, hx, n, unnest(range(0, n)) AS i FROM h),
+         |vals AS (SELECT doc_id,
+         |    ((('0x' || substr(hx, (2 * i + 1)::INT, 2))::INT * 37 + i * 11) % 256) AS u8,
+         |    ((i * 9) // n)::INT AS slice
+         |  FROM samp),
+         |cells0 AS (SELECT doc_id, ((u8 // 32) * 9 + slice)::INT AS cell, count(*) AS cnt
+         |  FROM vals GROUP BY doc_id, cell),
+         |grid AS (SELECT f.doc_id, g.i, coalesce(c.cnt, 0) AS v
+         |  FROM fam f CROSS JOIN (SELECT unnest(range(0, 72)) AS i) g
+         |  LEFT JOIN cells0 c ON c.doc_id = f.doc_id AND c.cell = g.i),
+         |bits AS (SELECT a.doc_id, ((a.i // 9) * 8 + (a.i % 9))::INT AS k,
+         |  CASE WHEN a.v < b.v THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+         |  FROM grid a JOIN grid b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+         |  WHERE a.i % 9 < 8 AND (a.i // 9) * 8 + (a.i % 9) < 63),
+         |ph AS (SELECT doc_id, sum(bit << k)::BIGINT AS phash FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin),
     // ns91 replays ns89's mechanism over the declared public domain: a
     // LEFT JOIN from the domain list carries unobserved keys through as
     // coalesced zeros, which then draw noise exactly like real counts.
@@ -2935,5 +3037,26 @@ object SparkEntry {
          |  (n + (CASE WHEN h1 = 0 THEN 60 ELSE bit_count((h1 & -h1) - 1) END)
          |     - (CASE WHEN h2 = 0 THEN 60 ELSE bit_count((h2 & -h2) - 1) END))::BIGINT AS noisy_count
          |FROM h ORDER BY lang NULLS FIRST""".stripMargin),
+    // ns92 replays the integer admission test exactly: s = floor(sqrt(n))
+    // is exact below 2^52 (IEEE sqrt is correctly rounded), u32 is the
+    // first 8 md5 hex chars, and all products stay in BIGINT.
+    "ns92_temperature_mix" ->
+      ("""WITH n AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+         |s AS (SELECT lang, floor(sqrt(n_l))::BIGINT AS s_l FROM n),
+         |m AS (SELECT min(s_l) AS s_min FROM s)
+         |SELECT d.doc_id, d.lang FROM documents d
+         |JOIN s ON s.lang IS NOT DISTINCT FROM d.lang
+         |CROSS JOIN m
+         |WHERE ('0x' || substr(md5('tmix:42:' || doc_id), 1, 8))::BIGINT * s_l
+         |      < 4294967296 * s_min
+         |ORDER BY d.doc_id""".stripMargin),
+    // ns93's oracle uses the single-partition window the ENGINE refuses
+    // to plan — fine at oracle SF, and exactly the contrast the operator
+    // exists for: same function, scalable execution.
+    "ns93_epoch_order" ->
+      ("""SELECT row_number() OVER (ORDER BY n_chars // 256,
+         |    ('0x' || substr(md5('ep:42:' || doc_id), 1, 15))::BIGINT,
+         |    doc_id)::BIGINT AS pos, doc_id
+         |FROM documents ORDER BY pos""".stripMargin),
   )
 }

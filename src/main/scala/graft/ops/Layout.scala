@@ -397,4 +397,61 @@ object Layout {
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     spark.read.schema(schema).parquet(path)
   }
+
+  /** Global EPOCH ORDER — a contiguous total rank (`pos` = 1..N) over an
+    * arbitrary sort key, WITHOUT the single-partition window that
+    * `row_number() OVER (ORDER BY …)` plans (Spark moves the entire
+    * corpus to one task — the classic 100 TB cliff, and the one shape
+    * this suite's window operators otherwise never need). This is the
+    * data-ordering step of a training run: the epoch's feed order
+    * (curriculum bucket, deterministic within-bucket shuffle) is
+    * materialized as an explicit rank every shard can be sliced by.
+    *
+    * Mechanics (the classic two-pass global sort rank):
+    *   1. `repartitionByRange(orderCols)` + `sortWithinPartitions` — the
+    *      range exchange puts DISJOINT, ordered key ranges in
+    *      consecutive partitions; the frame is eagerly
+    *      `localCheckpoint`ed because the range boundaries are SAMPLED:
+    *      the sizes pass and the rank pass must observe the SAME
+    *      partitioning (two independent executions could legally split
+    *      differently — the partitioning is frozen, the OUTPUT never
+    *      depends on where the split fell, because ranks compose from
+    *      per-partition counts).
+    *   2. per-partition row counts — a partitions-cardinality aggregate
+    *      collected to the driver (bounded model state, the mixCorpus
+    *      contract) and folded into cumulative start offsets;
+    *   3. `pos = offset(pid) + row_number() OVER (PARTITION BY pid ORDER
+    *      BY orderCols)` — every window task ranks ONE partition; the
+    *      tiny offsets frame broadcast-joins back on pid.
+    *
+    * `orderCols` must be a TOTAL key (append a unique tiebreak column):
+    * with ties at a range boundary the split — and therefore `pos`
+    * among the tied rows — would be sample-dependent. */
+  def epochOrder(
+      df: DataFrame,
+      orderCols: Seq[org.apache.spark.sql.Column],
+      numPartitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "epochOrder needs sort columns")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .repartitionByRange(n, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    // bounded collect: one row per non-empty partition
+    val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _).init)
+    val offDf = spark.createDataFrame(offsets.toSeq)
+      .toDF("__pid", "__offset")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(orderCols: _*)
+    sorted.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("pos",
+        (col("__offset") + row_number().over(w)).cast("long"))
+      .drop("__pid", "__offset")
+  }
 }

@@ -476,6 +476,55 @@ object WavGridDecoder extends GridDecoder {
   }
 }
 
+/** Deterministic WAV synthesis for the audio near-dup registration path
+  * (ns90): each UTF-8 text byte becomes one PCM sample via the mixing
+  * map u8(i) = (byte_i·37 + i·11) mod 256 — full-range amplitudes, so
+  * the 9×8 time×band grid carries entropy in every band row (raw text
+  * bytes would cluster in the two ASCII bands and leave most hash bits
+  * constant corpus-wide, flooding the banded join's buckets).
+  *
+  * `bits = 16` writes s16le (sample = u8·256 − 32768); `bits = 8`
+  * writes the SAME u8 stream as unsigned 8-bit PCM — the depth
+  * re-encode pair that [[WavGridDecoder]] hashes IDENTICALLY
+  * (band((u8·256) >>> 13) = u8 >>> 5 on both paths) and byte-level
+  * hashing can never catch. Real RIFF/WAVE containers via javax.sound
+  * (`AudioSystem.write`), decoded back by the real decoder — and the
+  * ns90 oracle recomputes the GRID independently from the same text
+  * bytes in SQL, so the whole container+decoder round trip is
+  * hash-verified, not just spec-gated. */
+object WavSynth {
+  def u8Samples(text: String): Array[Int] = {
+    val bs = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    Array.tabulate(bs.length)(i => ((bs(i) & 0xff) * 37 + i * 11) % 256)
+  }
+
+  def wavOf(text: String, bits: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val u8 = u8Samples(text)
+    val (fmt, data) = bits match {
+      case 16 =>
+        val d = new Array[Byte](u8.length * 2)
+        var i = 0
+        while (i < u8.length) {
+          val s = (u8(i) << 8) - 32768
+          d(2 * i) = (s & 0xff).toByte // s16le
+          d(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        (new AudioFormat(8000f, 16, 1, true, false), d)
+      case 8 => // unsigned PCM by WAV spec
+        (new AudioFormat(8000f, 8, 1, false, false), u8.map(_.toByte))
+      case other =>
+        throw new IllegalArgumentException(s"bits must be 8 or 16: $other")
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, u8.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+}
+
 /** Real image decode, pure JVM: ImageIO parses BMP/PNG/GIF/JPEG with no
   * native codecs; each grid cell is the box-average (integer division —
   * exact, platform-independent) of BT.601 integer luminance over its

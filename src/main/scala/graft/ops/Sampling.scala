@@ -271,4 +271,54 @@ object Sampling {
         col("cum_before"))
       .orderBy(col(keyCol))
   }
+
+  /** C8 — α = 0.5 temperature rebalancing (the mT5/XLM-R multilingual
+    * sampling rule): released stratum sizes become ∝ √n_s, flattening the
+    * head-language dominance of a web crawl while never upsampling —
+    * the smallest stratum keeps EVERYTHING (rate 1), a stratum 100× its
+    * size keeps 10× its docs (rate 1/10). [[mixCorpus]] hits declared
+    * target proportions; this operator applies the temperature FORMULA
+    * when no explicit mixture is declared — the standard multilingual
+    * pretraining default.
+    *
+    * Exactness: admission is the pure-integer test
+    * `u32·s_s < 2³²·s_min` with `s_s = ⌊√n_s⌋` (loop-corrected integer
+    * sqrt — exact at any count, unlike a raw float floor) and u32 the
+    * first 8 md5 hex chars of (tmix:seed:key) — all products stay under
+    * 2⁶³ for corpora to 2³⁰ docs/stratum, and DuckDB replays the test
+    * verbatim (`floor(sqrt(n))` is exact below 2⁵² because IEEE sqrt is
+    * correctly rounded and √n is never within 2⁻²⁶ of a wrong integer
+    * there). Kept-per-stratum ≈ n_s·s_min/s_s = √(n_min·n_s) ∝ √n_s.
+    *
+    * Scale shape: the [[mixCorpus]] contract — ONE strata-cardinality
+    * count aggregation collected to the driver (bounded model state),
+    * then a zero-shuffle codegen hash predicate over the corpus; the
+    * scan is the cost. NULL strata participate as their own stratum. */
+  def temperatureSample(
+      df: DataFrame,
+      strataCol: String,
+      seed: Long = 42L,
+      keyCol: String = "doc_id"): DataFrame = {
+    def isqrt(n: Long): Long = {
+      var s = math.sqrt(n.toDouble).toLong
+      while ((s + 1) * (s + 1) <= n) s += 1
+      while (s * s > n) s -= 1
+      s
+    }
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureSample over an empty corpus")
+    val sByStratum = counts.map { case (k, n) => k -> isqrt(n) }
+    val sMin = sByStratum.values.min
+    val sCol = sByStratum.foldLeft(lit(null).cast("long")) {
+      case (e, (Some(k), v)) => when(col(strataCol) === k, lit(v)).otherwise(e)
+      case (e, (None, v)) => when(col(strataCol).isNull, lit(v)).otherwise(e)
+    }
+    val u32 = conv(substring(
+        md5(concat(lit(s"tmix:$seed:"), col(keyCol).cast("string"))
+          .cast("binary")), 1, 8),
+      16, 10).cast("long")
+    df.where(u32 * sCol < lit(4294967296L) * lit(sMin)).orderBy(col(keyCol))
+  }
 }

@@ -252,6 +252,16 @@ object ScaleProof {
       // ns88: degree-ordered orientation bounds wedges at O(m^1.5)
       // regardless of hub skew; count() cannot prune the closure joins
       "ns88_link_triangles",
+      // ns92: one strata-cardinality count collect + a zero-shuffle
+      // codegen admission predicate — the scan is the cost
+      "ns92_temperature_mix",
+      // ns93: range exchange + frozen partitioning + pid-partitioned
+      // window — the global-rank shape that must NOT single-partition
+      "ns93_epoch_order",
+      // ns91: ns89's shape plus ONE broadcast domain join — the noise
+      // projection runs over a domain-cardinality frame, corpus shuffles
+      // once for the groupBy exactly as ns89
+      "ns91_dp_domain",
       // ns89: one groupBy + a codegen noise projection over the
       // group-cardinality result — report-sized output
       "ns89_dp_counts",
@@ -287,6 +297,16 @@ object ScaleProof {
     // lever separately.
     def ns81Clusters(dir: String): DataFrame = {
       val pairs = graft.SparkEntry.queries("ns81_image_neardup")(spark, dir)
+        .select(col("doc_a"), col("doc_b"))
+      graft.ops.Dedup.resolveClusters(pairs)
+    }
+    // ns90 inherits ns81's adjudication verbatim: the copy-amplified
+    // corpus makes same-copy docs synthesize IDENTICAL WAVs → hamming-0
+    // cliques → m² pair output, so the deployment leg is the CC resolve
+    // over the band pairs (one row per clustered doc, linear output);
+    // the uncapped pair query stays the graded oracle semantics.
+    def ns90Clusters(dir: String): DataFrame = {
+      val pairs = graft.SparkEntry.queries("ns90_audio_neardup")(spark, dir)
         .select(col("doc_a"), col("doc_b"))
       graft.ops.Dedup.resolveClusters(pairs)
     }
@@ -435,7 +455,8 @@ object ScaleProof {
           "ns37_semantic_scaledC" -> (ns37Scaled _),
           "ns55_bloom_scaledBits" -> (ns55Scaled _),
           "ns16_longchain" -> (longChain _),
-          "ns81_phash_clusters" -> (ns81Clusters _))
+          "ns81_phash_clusters" -> (ns81Clusters _),
+          "ns90_wav_clusters" -> (ns90Clusters _))
     // ungrouped-aggregate entries: see measure() — count() would fold to 1
     val aggForced = Set("ns63_html_forced", "ns66_luhn_forced",
       "ns68_lines_forced",

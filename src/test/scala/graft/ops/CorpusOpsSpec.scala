@@ -370,6 +370,63 @@ class CorpusOpsSpec extends AnyFunSuite {
 
   // ---- TextAnalysis.histogram -----------------------------------------------
 
+  test("temperatureSample: √n sizes, smallest stratum whole, exact integer test") {
+    // strata 400/100/4 -> s = 20/10/2, s_min = 2 -> rates 1/10, 1/5, 1
+    val rows = (0L until 400L).map(i => (i, "a")) ++
+      (400L until 500L).map(i => (i, "b")) ++
+      (500L until 504L).map(i => (i, "c")) :+ (504L, null: String)
+    val df = rows.toDF("doc_id", "lang")
+    val out = Sampling.temperatureSample(df, "lang", seed = 7L).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)))
+    // the admission set equals an independent Scala replay of the formula
+    def u32(id: Long) = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"tmix:7:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8), 16)
+    val s = Map(Some("a") -> 20L, Some("b") -> 10L, Some("c") -> 2L,
+      (None: Option[String]) -> 1L) // isqrt(1) = 1 for the null stratum
+    val sMin = 1L
+    val want = rows.map { case (id, l) => id -> Option(l) }
+      .filter { case (id, l) => u32(id) * s(l) < 4294967296L * sMin }
+    assert(out.toSeq.sortBy(_._1) == want.sortBy(_._1))
+    // the smallest stratum (the NULL singleton, s = s_min) keeps everything
+    assert(out.exists(_._2.isEmpty))
+    // deterministic across runs; seed moves the sample
+    assert(Sampling.temperatureSample(df, "lang", seed = 7L).collect()
+      .map(_.getLong(0)).toSeq == out.map(_._1).toSeq)
+    assert(Sampling.temperatureSample(df, "lang", seed = 8L).collect()
+      .map(_.getLong(0)).toSeq != out.map(_._1).toSeq)
+    // kept sizes track √n: stratum a (400 docs, rate 1/10) lands near 40
+    val keptA = out.count(_._2.contains("a"))
+    assert(keptA > 20 && keptA < 60, s"a kept $keptA, expected ~40")
+  }
+
+  test("epochOrder: contiguous total rank, partitioning-invariant, no single-partition exchange") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val keys = Seq(org.apache.spark.sql.functions.expr("n_chars DIV 256"),
+      col("doc_id"))
+    def ranks(parts: Int) = Layout.epochOrder(docs, keys, parts)
+      .collect().map(r => r.getAs[Long]("pos") -> r.getAs[Long]("doc_id"))
+    val base = ranks(32).sortBy(_._1)
+    val n = docs.count()
+    // pos is exactly 1..N, and matches a driver-side sort of the same keys
+    assert(base.map(_._1).toSeq == (1L to n).toSeq)
+    val want = docs.collect()
+      .map(r => (r.getLong(1) / 256, r.getLong(0)))
+      .sortBy(identity).map(_._2).toSeq
+    assert(base.map(_._2).toSeq == want)
+    // the rank is a pure function of the data, not of the partitioning
+    // (range boundaries are sampled; output must not depend on the split)
+    assert(ranks(1).sortBy(_._1).toSeq == base.toSeq)
+    assert(ranks(7).sortBy(_._1).toSeq == base.toSeq)
+    // the plan never funnels the corpus through one task: windows are
+    // pid-partitioned, so no SinglePartition exchange anywhere
+    val plan = Layout.epochOrder(docs, keys, 32)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("histogram buckets exactly, clamps both tails, excludes nulls") {
     val in = Seq(
       (1L, "a", java.lang.Long.valueOf(-10L)),  // clamped into bucket 0

@@ -244,6 +244,33 @@ class PerceptualSpec extends AnyFunSuite {
     assert(WavGridDecoder.decode(null).forall(_ == 0))
   }
 
+  test("WavSynth: depth re-encode pair decodes to one grid; ns90 pairs every family") {
+    val t = "the quick brown fox jumps over the graft engine 0123456789"
+    val w16 = WavSynth.wavOf(t, 16)
+    val w8 = WavSynth.wavOf(t, 8)
+    // different container bytes, IDENTICAL grid through the real decoder
+    assert(!w16.sameElements(w8))
+    val g16 = WavGridDecoder.decode(w16)
+    assert(g16.toSeq == WavGridDecoder.decode(w8).toSeq)
+    assert(g16.sum == t.getBytes("UTF-8").length) // every sample lands once
+    // the mixing map spreads amplitude across ALL band rows (raw text
+    // bytes would live in two rows and zero out most hash bits)
+    assert((0 until 8).forall(r => (0 until 9).exists(c => g16(r * 9 + c) > 0)))
+    assert(WavSynth.u8Samples("").isEmpty)
+    assertThrows[IllegalArgumentException](WavSynth.wavOf(t, 12))
+    // registered ns90: every complete 3-id family pairs its (16-bit,
+    // 8-bit) variants at hamming 0 — the depth-dup class byte hashing
+    // cannot see
+    val out = graft.SparkEntry.queries("ns90_audio_neardup")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val nDocs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .count()
+    (0L until nDocs by 3).filter(_ + 1 < nDocs).foreach { f =>
+      assert(out.contains((f, f + 1, 0L)), s"family $f depth pair missing")
+    }
+  }
+
   // ---- codegen expression path vs imperative decoder path -----------------
 
   test("phash63 expression == mapPartitions decoder path, bit-identical") {
