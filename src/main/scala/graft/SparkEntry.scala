@@ -1446,6 +1446,74 @@ object SparkEntry {
       .orderBy(col("pos"))
   }
 
+  /** NS94 — JSONL ingest with corrupt-record policy
+    * ([[graft.sources.JsonLines.readJsonl]]): the suite's first
+    * non-parquet/JDBC FORMAT leg, through Spark's real JSON datasource —
+    * a jsonl snapshot of the documents table is materialized once per
+    * testdata fingerprint (scratch-keyed, the ns64/ns82 pattern) with
+    * every 11th-ish line deterministically TRUNCATED (doc_id % 11 = 3,
+    * last 5 chars dropped — never re-balances to valid JSON), then read
+    * back with an explicit schema + PERMISSIVE `_corrupt_record`
+    * capture. Valid lines parse to typed columns; malformed lines
+    * surface as nulls + raw text, and the query recovers their line id
+    * from the corrupt text — observable, countable quarantine, the
+    * policy a 100 TB crawl ingest needs (FAILFAST kills the job,
+    * DROPMALFORMED silently changes the corpus). The oracle rebuilds
+    * the same lines by concatenation and splits on `json_valid` —
+    * Spark's parser and DuckDB's must agree line-for-line. */
+  private def ns94(s: SparkSession, dir: String): DataFrame = {
+    val fp = graft.ops.Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
+    val path = scratchIndexDir("graft_jsonl", dir, fp)
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success)) {
+      docs(s, dir)
+        .select(col("doc_id"), concat(
+          lit("{\"line_id\":"), col("doc_id"),
+          lit(",\"lang\":\""), col("lang"),
+          lit("\",\"n_chars\":"), col("n_chars"), lit("}")).as("j"))
+        .selectExpr("CASE WHEN doc_id % 11 = 3 " +
+          "THEN substring(j, 1, length(j) - 5) ELSE j END AS raw")
+        .write.mode("overwrite").text(path)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("line_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+    val cc = graft.sources.JsonLines.CorruptCol
+    graft.sources.JsonLines.readJsonl(s, path, schema)
+      .select(
+        coalesce(col("line_id"),
+          regexp_extract(col(cc), "\"line_id\":([0-9]+)", 1).cast("long"))
+          .as("line_id"),
+        col("lang"), col("n_chars"),
+        col(cc).isNotNull.as("corrupt"))
+      .orderBy(col("line_id"))
+  }
+
+  /** NS95 — per-group top-k by bounded-heap AGGREGATE
+    * ([[graft.functions.TopKByLong]]): top-3 longest docs per language,
+    * computed the way it survives 100 TB — a k-bounded custom
+    * `Aggregator` (map-side partial heaps, the exchange carries
+    * groups × k × partitions rows) instead of the window-rank form that
+    * shuffles and sorts the whole corpus. (doc_id) tiebreak makes the
+    * result total → hash-replayable; the oracle deliberately uses the
+    * window form — same function, scalable execution (the ns93
+    * contrast, applied to aggregation). */
+  private def ns95(s: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(graft.functions.TopKByLong(3))
+    docs(s, dir)
+      .groupBy(col("lang"))
+      .agg(topk(col("n_chars"), col("doc_id")).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("doc_id"), col("col._1").as("n_chars"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   /** NS85 — release mix rollup ([[graft.ops.Curation.releaseRollup]]):
     * the ns76 dataset card drilled down — (source, lang) cells,
     * per-source subtotals, grand total, in ONE rollup pass with
@@ -1598,6 +1666,8 @@ object SparkEntry {
     "ns91_dp_domain" -> (ns91 _),
     "ns92_temperature_mix" -> (ns92 _),
     "ns93_epoch_order" -> (ns93 _),
+    "ns94_jsonl_ingest" -> (ns94 _),
+    "ns95_group_topk" -> (ns95 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3058,5 +3128,31 @@ object SparkEntry {
          |    ('0x' || substr(md5('ep:42:' || doc_id), 1, 15))::BIGINT,
          |    doc_id)::BIGINT AS pos, doc_id
          |FROM documents ORDER BY pos""".stripMargin),
+    // ns94 rebuilds the jsonl lines by concatenation (identical bytes to
+    // the engine's writer) and splits on json_valid: Spark's PERMISSIVE
+    // JSON parser and DuckDB's validator must agree line-for-line, and
+    // the corrupt branch recovers line_id with the same regex.
+    "ns94_jsonl_ingest" ->
+      ("""WITH j0 AS (SELECT doc_id,
+         |    '{"line_id":' || doc_id || ',"lang":"' || lang ||
+         |    '","n_chars":' || n_chars || '}' AS j FROM documents),
+         |raw AS (SELECT CASE WHEN doc_id % 11 = 3
+         |    THEN substr(j, 1, length(j) - 5) ELSE j END AS raw FROM j0)
+         |SELECT
+         |  CASE WHEN json_valid(raw) THEN json_extract(raw, '$.line_id')::BIGINT
+         |       ELSE regexp_extract(raw, '"line_id":([0-9]+)', 1)::BIGINT END AS line_id,
+         |  CASE WHEN json_valid(raw) THEN json_extract_string(raw, '$.lang') END AS lang,
+         |  CASE WHEN json_valid(raw) THEN json_extract(raw, '$.n_chars')::BIGINT END AS n_chars,
+         |  NOT json_valid(raw) AS corrupt
+         |FROM raw ORDER BY line_id""".stripMargin),
+    // ns95's oracle is the window-rank formulation the engine's bounded
+    // heap replaces — same function, scalable execution.
+    "ns95_group_topk" ->
+      ("""SELECT lang, rn AS rank, doc_id, n_chars FROM (
+         |  SELECT lang, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn <= 3 ORDER BY lang, rank""".stripMargin),
   )
 }

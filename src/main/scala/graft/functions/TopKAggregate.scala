@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded-heap per-group top-k as a custom typed AGGREGATE — the scale
+  * answer to "top 3 per language" that `row_number() OVER (PARTITION BY
+  * lang ORDER BY …)` cannot give: the window form shuffles and sorts the
+  * ENTIRE corpus (every row crosses the wire to its group's sort), while
+  * an aggregate keeps a k-bounded buffer per group per partition, so the
+  * exchange carries at most groups × k × partitions rows — at 100 TB
+  * that is the difference between shuffling the corpus and shuffling a
+  * report. This is the suite's (b)-tier Catalyst extension for AGGREGATE
+  * functions (the scalar tier is `vec_dot`/`phash63`): an
+  * `Aggregator` registered through `functions.udaf`, which Spark plans
+  * as an ObjectHashAggregate with map-side partial aggregation — the
+  * partial/merge/finish algebra below IS the distributed algorithm.
+  *
+  * Ordering contract: top `k` pairs by (sortKey DESC, id ASC) — the id
+  * tiebreak makes the result TOTAL and therefore deterministic under any
+  * partitioning and merge order (a top-k without a tiebreak is
+  * nondeterministic at equal keys, which would fail the suite's
+  * hash-replay discipline). The buffer invariant (sorted, length ≤ k)
+  * holds after every reduce/merge, so each step is O(k) amortized and
+  * buffer serialization is k pairs, never the group.
+  */
+final case class TopKByLong(k: Int)
+    extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+  require(k >= 1, "k must be >= 1")
+
+  private def lt(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2) // (key desc, id asc)
+
+  private def trim(s: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    s.sortWith(lt).take(k)
+
+  def zero: Seq[(Long, Long)] = Vector.empty
+
+  def reduce(buf: Seq[(Long, Long)], row: (Long, Long)): Seq[(Long, Long)] =
+    // cheap reject: a full buffer whose worst element beats the row
+    if (buf.length == k && lt(buf.last, row)) buf else trim(buf :+ row)
+
+  def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    trim(a ++ b)
+
+  def finish(buf: Seq[(Long, Long)]): Seq[(Long, Long)] = buf
+
+  def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+    ExpressionEncoder[Seq[(Long, Long)]]()
+
+  def outputEncoder: Encoder[Seq[(Long, Long)]] =
+    ExpressionEncoder[Seq[(Long, Long)]]()
+}

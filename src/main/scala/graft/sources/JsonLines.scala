@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** JSONL (newline-delimited JSON) ingest — the wire format crawl dumps,
+  * annotation exports, and inference logs actually arrive in, added as a
+  * first-class source beside the parquet/JDBC paths (SURVEY §2.1's scan
+  * tier; the reference reads only live databases, so this is
+  * extension-tier surface like the rest of the ns family).
+  *
+  * Two disciplines a 100 TB JSONL ingest cannot skip, both encoded here
+  * rather than left to call sites:
+  *
+  *   - **explicit schema, never inference**: `spark.read.json` without a
+  *     schema runs a FULL extra pass over the corpus just to guess types
+  *     (and guesses per-file, so two loads can disagree). The schema is a
+  *     required argument.
+  *   - **PERMISSIVE corrupt-record capture**: real crawls contain
+  *     truncated and malformed lines; FAILFAST kills a 10-hour job on
+  *     line 9 billion, DROPMALFORMED silently changes the corpus. The
+  *     standard policy is permissive parse + a `_corrupt_record` column
+  *     so malformed lines stay observable, countable, and quarantinable
+  *     downstream (the ns94 query grades exactly this path).
+  *
+  * Scale shape: the JSON text source splits by line across tasks like any
+  * text format; parsing is per-row with no shuffle, and the explicit
+  * schema prunes parsing to the referenced fields. */
+object JsonLines {
+
+  val CorruptCol = "_corrupt_record"
+
+  /** Read a JSONL path with explicit `schema` + corrupt-record capture:
+    * output carries the schema's columns (null on malformed lines) plus
+    * [[CorruptCol]] holding the raw text of each malformed line (null on
+    * valid lines). */
+  def readJsonl(
+      spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema must not declare $CorruptCol — it is added by the reader")
+    spark.read
+      .schema(schema.add(CorruptCol, StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+  }
+}

@@ -252,6 +252,13 @@ object ScaleProof {
       // ns88: degree-ordered orientation bounds wedges at O(m^1.5)
       // regardless of hub skew; count() cannot prune the closure joins
       "ns88_link_triangles",
+      // ns94: the jsonl snapshot builds once per size in the untimed
+      // warmup (fingerprint-keyed scratch, the ns82 contract); timed
+      // runs price the line-split parse — per-row, no shuffle
+      "ns94_jsonl_ingest",
+      // ns95: k-bounded partial heaps before the exchange — shuffle
+      // carries groups x k x partitions rows, never the corpus
+      "ns95_group_topk",
       // ns92: one strata-cardinality count collect + a zero-shuffle
       // codegen admission predicate — the scan is the cost
       "ns92_temperature_mix",

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Specs for the bounded-heap top-k aggregate (ns95): algebra-level
+  * correctness (reduce/merge against a reference sort), window-rank
+  * equivalence on real data under several partitionings, tie
+  * determinism, and the partial-aggregation plan shape that IS the
+  * operator's scale claim. */
+class TopKAggregateSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("aggregator algebra: reduce/merge equal a reference sort, any split") {
+    val agg = TopKByLong(3)
+    val rows = Seq((5L, 1L), (5L, 0L), (9L, 7L), (1L, 2L), (9L, 9L),
+      (5L, 3L), (2L, 8L), (9L, 4L))
+    val want = rows.sortBy(p => (-p._1, p._2)).take(3)
+    // single fold
+    assert(rows.foldLeft(agg.zero)(agg.reduce) == want)
+    // every 2-way split merges to the same answer (merge associativity
+    // over an arbitrary partitioning is what distributed agg requires)
+    for (cut <- 0 to rows.length) {
+      val (a, b) = rows.splitAt(cut)
+      assert(agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce)) == want, s"cut=$cut")
+    }
+    // ties on the key break by id ascending — total, deterministic
+    assert(agg.reduce(agg.zero, (7L, 2L)) == Seq((7L, 2L)))
+    assert(TopKByLong(2).merge(Seq((7L, 2L)), Seq((7L, 1L), (7L, 3L))) ==
+      Seq((7L, 1L), (7L, 2L)))
+    assertThrows[IllegalArgumentException](TopKByLong(0))
+  }
+
+  test("equals window rank on real data, invariant under partitioning") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+    val want = docs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))))
+      .where(col("rank") <= 3)
+      .collect().map(r => (r.getString(0), r.getInt(3), r.getLong(1))).toSet
+    val topk = udaf(TopKByLong(3))
+    for (parts <- Seq(1, 7, 32)) {
+      val got = docs.repartition(parts)
+        .groupBy(col("lang"))
+        .agg(topk(col("n_chars"), col("doc_id")).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1) + 1,
+          r.getStruct(2).getLong(1))).toSet
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("plans as partial-aggregation ObjectHashAggregate, never a corpus sort") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val topk = udaf(TopKByLong(3))
+    val plan = docs.groupBy(col("lang"))
+      .agg(topk(col("n_chars"), col("doc_id")).as("top"))
+      .queryExecution.executedPlan.toString
+    // two ObjectHashAggregate levels (partial + final) around the
+    // exchange: the map side reduces to k-bounded buffers BEFORE the
+    // shuffle — the whole point vs the window-rank formulation
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+}

@@ -46,6 +46,35 @@ class FormatIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("readJsonl: explicit schema, corrupt capture, line-exact quarantine") {
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft-jsonl").toString
+    val lines = Seq(
+      """{"line_id":1,"lang":"de","n_chars":10}""",
+      """{"line_id":2,"lang":"en","n_chars":20""", // truncated -> corrupt
+      """{"line_id":3,"lang":"fr","n_chars":30}""",
+      """not json at all""") // no recoverable id
+    Files.write(java.nio.file.Paths.get(tmp, "part.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("line_id", LongType),
+      StructField("lang", StringType), StructField("n_chars", LongType)))
+    val out = JsonLines.readJsonl(spark, tmp, schema).collect()
+      .map(r => (Option(r.getAs[java.lang.Long]("line_id")).map(_.toLong),
+        r.getAs[String]("lang"), r.getAs[String](JsonLines.CorruptCol)))
+    assert(out.length == 4) // PERMISSIVE: every line emits exactly one row
+    val valid = out.filter(_._3 == null)
+    assert(valid.map(v => (v._1.get, v._2)).toSet ==
+      Set((1L, "de"), (3L, "fr")))
+    // malformed lines: typed columns null, raw text captured verbatim
+    val corrupt = out.filter(_._3 != null)
+    assert(corrupt.map(_._3).toSet ==
+      Set(lines(1), lines(3)))
+    assert(corrupt.forall(c => c._1.isEmpty && c._2 == null))
+    // declaring the corrupt column in the schema is a caller bug
+    assertThrows[IllegalArgumentException](JsonLines.readJsonl(spark, tmp,
+      schema.add(JsonLines.CorruptCol, StringType)))
+  }
+
   test("loadAs absorbs schema drift in a binary-format snapshot") {
     import org.apache.spark.sql.functions.{col, lit}
     val pq = Tables.load(spark, sf, "documents")
