@@ -1313,12 +1313,13 @@ object SparkEntry {
     * `levenshtein` ≤ 1. The oracle replays the BLOCKED contract
     * (blocking is the operator's semantics, recall trade documented),
     * so both sides are the same function. */
-  private def ns84(s: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.load(s, dir, "customer")
+  /** The ns84/ns96 record synthesis: 3 records per customer — v0 base
+    * name, v1 one-substitution typo (links to v0), v2 unrelated. */
+  private def ns84Recs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"))
       .withColumn("nm0",
         substring(md5(col("c_custkey").cast("string").cast("binary")), 1, 12))
-    val recs = cust
       .select(col("c_custkey"), col("c_nationkey"), col("nm0"),
         explode(array(lit(0), lit(1), lit(2))).as("v"))
       .select(
@@ -1331,9 +1332,47 @@ object SparkEntry {
           .otherwise(substring(
             md5(concat(lit("x"), col("c_custkey").cast("string"))
               .cast("binary")), 1, 12)).as("name"))
-    graft.ops.Linkage.fuzzyDuplicates(recs,
+
+  private def ns84(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Linkage.fuzzyDuplicates(ns84Recs(s, dir),
       groupCols = Seq("c_nationkey"), maxDist = 1, prefixLen = 4)
+
+  /** NS96 — survivorship / golden records
+    * ([[graft.ops.Linkage.goldenRecords]]): the step after ns84's
+    * linkage — each resolved entity (pointer-jumping CC over the fuzzy
+    * pairs) elects ONE golden record by the completeness-first policy
+    * (most non-null attributes, smallest id on ties — a total order, so
+    * the winner is partitioning-independent). Synthetic attribute
+    * coverage (phone null on rec_id ≡ 1 mod 4, email null on ≡ 0 mod 3)
+    * makes completeness genuinely load-bearing: clusters routinely
+    * contain records with different non-null counts, so a broken policy
+    * flips winners and the hash. Oracle replays the linkage, resolves
+    * components with a recursive CTE, and re-elects via window rank. */
+  private def ns96(s: SparkSession, dir: String): DataFrame = {
+    val recs = ns84Recs(s, dir)
+      .withColumn("phone",
+        when(col("rec_id") % 4 === 1, lit(null).cast("string"))
+          .otherwise(concat(lit("p"), col("rec_id"))))
+      .withColumn("email",
+        when(col("rec_id") % 3 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("e"), col("rec_id"))))
+    val pairs = graft.ops.Linkage.fuzzyDuplicates(recs,
+      groupCols = Seq("c_nationkey"), maxDist = 1, prefixLen = 4)
+    graft.ops.Linkage.goldenRecords(recs, pairs,
+      attrCols = Seq("phone", "email"))
   }
+
+  /** NS97 — DP release of per-language clipped token-mass sums
+    * ([[graft.ops.Privacy.noisySum]]): the DP ladder's "how much" beside
+    * ns89/ns91's "how many" — per-row contribution clipped to 2000
+    * chars (the clip fixes sensitivity; rows above it contribute
+    * exactly the bound, a documented bias), noise = clip·(G₁−G₂) with
+    * the exact geometric sampling, ε = ln 2. Different seed than ns89 —
+    * reusing one seed across releases correlates the draws the
+    * mechanism's analysis assumes independent. */
+  private def ns97(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.noisySum(docs(s, dir), Seq("lang"), "n_chars",
+      clip = 2000L, seed = 7L)
 
   /** NS86 — incremental token-count maintenance
     * ([[graft.ops.Versioning.maintainTokenCounts]]): the ns56 snapshot
@@ -1668,6 +1707,8 @@ object SparkEntry {
     "ns93_epoch_order" -> (ns93 _),
     "ns94_jsonl_ingest" -> (ns94 _),
     "ns95_group_topk" -> (ns95 _),
+    "ns96_golden_records" -> (ns96 _),
+    "ns97_dp_sum" -> (ns97 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3154,5 +3195,64 @@ object SparkEntry {
          |      ORDER BY n_chars DESC, doc_id) AS rn
          |  FROM documents) t
          |WHERE rn <= 3 ORDER BY lang, rank""".stripMargin),
+    // ns96 replays ns84's linkage, resolves components with a recursive
+    // transitive-closure CTE (cluster = min reachable id, the engine's
+    // pointer-jumping contract), and re-elects the golden record by the
+    // same (completeness desc, id asc) total order via window rank.
+    "ns96_golden_records" ->
+      ("""WITH RECURSIVE c AS (SELECT c_custkey, c_nationkey,
+         |  substr(md5(c_custkey::VARCHAR), 1, 12) AS nm0 FROM customer),
+         |recs AS (SELECT c_custkey * 3 + v AS rec_id, c_nationkey,
+         |  CASE v WHEN 0 THEN nm0
+         |         WHEN 1 THEN substr(nm0, 1, 1) || 'z' || substr(nm0, 3)
+         |         ELSE substr(md5('x' || c_custkey::VARCHAR), 1, 12) END AS nm
+         |  FROM c, (SELECT unnest([0, 1, 2]) AS v) vs),
+         |recs2 AS (SELECT rec_id, c_nationkey, nm,
+         |  CASE WHEN rec_id % 4 = 1 THEN NULL ELSE 'p' || rec_id END AS phone,
+         |  CASE WHEN rec_id % 3 = 0 THEN NULL ELSE 'e' || rec_id END AS email
+         |  FROM recs),
+         |blocked AS (SELECT rec_id, c_nationkey, nm, ki,
+         |  CASE ki WHEN 0 THEN substr(nm, 1, 4)
+         |          ELSE substr(nm, greatest(length(nm) - 3, 1), 4) END AS key
+         |  FROM recs2, (SELECT unnest([0, 1]) AS ki) ks),
+         |pairs AS (SELECT DISTINCT a.rec_id AS rec_a, b.rec_id AS rec_b
+         |  FROM blocked a JOIN blocked b
+         |    ON a.ki = b.ki AND a.key = b.key
+         |    AND a.c_nationkey IS NOT DISTINCT FROM b.c_nationkey
+         |    AND a.rec_id < b.rec_id
+         |  WHERE levenshtein(a.nm, b.nm) <= 1),
+         |edges AS (SELECT rec_a AS a, rec_b AS b FROM pairs
+         |  UNION SELECT rec_b, rec_a FROM pairs),
+         |reach AS (SELECT a AS node, b AS r FROM edges
+         |  UNION SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         |comp AS (SELECT node, least(node, min(r)) AS cluster
+         |  FROM reach GROUP BY node),
+         |withc AS (SELECT r.rec_id,
+         |  coalesce(comp.cluster, r.rec_id) AS cluster,
+         |  ((CASE WHEN phone IS NULL THEN 0 ELSE 1 END)
+         |   + (CASE WHEN email IS NULL THEN 0 ELSE 1 END))::BIGINT AS compl
+         |  FROM recs2 r LEFT JOIN comp ON comp.node = r.rec_id)
+         |SELECT cluster, golden_id, n_members, completeness FROM (
+         |  SELECT cluster, rec_id AS golden_id,
+         |    count(*) OVER (PARTITION BY cluster) AS n_members,
+         |    max(compl) OVER (PARTITION BY cluster) AS completeness,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY compl DESC, rec_id) AS rn
+         |  FROM withc) t
+         |WHERE rn = 1 ORDER BY cluster""".stripMargin),
+    // ns97 replays the clipped sum + clip-scaled geometric noise; the
+    // sum stays HUGEINT internally, final cast ::BIGINT (the ns71 rule).
+    "ns97_dp_sum" ->
+      ("""WITH g AS (SELECT lang,
+         |    sum(least(greatest(n_chars, 0), 2000)) AS n
+         |  FROM documents GROUP BY lang),
+         |h AS (SELECT lang, n,
+         |  ('0x' || substr(md5('dp1:7:' || coalesce(lang, chr(30))), 1, 15))::BIGINT AS h1,
+         |  ('0x' || substr(md5('dp2:7:' || coalesce(lang, chr(30))), 1, 15))::BIGINT AS h2
+         |  FROM g)
+         |SELECT lang,
+         |  (n + 2000 * ((CASE WHEN h1 = 0 THEN 60 ELSE bit_count((h1 & -h1) - 1) END)
+         |             - (CASE WHEN h2 = 0 THEN 60 ELSE bit_count((h2 & -h2) - 1) END)))::BIGINT AS noisy_sum
+         |FROM h ORDER BY lang NULLS FIRST""".stripMargin),
   )
 }

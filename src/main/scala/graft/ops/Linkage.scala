@@ -92,4 +92,44 @@ object Linkage {
   def linkClusters(pairs: DataFrame): DataFrame =
     Dedup.resolveClusters(pairs.select(
       col("rec_a").as("doc_a"), col("rec_b").as("doc_b")))
+
+  /** SURVIVORSHIP — one golden record per resolved entity, the step
+    * after linkage in every master-data pipeline: the linked cluster is
+    * the entity, and ONE of its records must represent it downstream.
+    * The rule here is the standard completeness-first policy: the record
+    * with the most non-null `attrCols` wins, ties broken by smallest id
+    * — a TOTAL order, so the golden choice is deterministic under any
+    * partitioning (the suite's hash-replay discipline; a survivorship
+    * rule without a tiebreak silently flips winners between runs).
+    * Unlinked records are their own singleton entity.
+    *
+    * Scale shape: clusters come from the shared pointer-jumping CC
+    * (label rows, never pairs²); the golden pick is ONE cluster-keyed
+    * aggregation using `max_by` over a (completeness, −id) struct —
+    * map-side partial argmax, the exchange carries one candidate per
+    * cluster per partition (the ns95 bounded-aggregate shape with
+    * k = 1). Output: (cluster, golden_id, n_members, completeness),
+    * ordered by cluster. */
+  def goldenRecords(
+      recs: DataFrame,
+      pairs: DataFrame,
+      attrCols: Seq[String],
+      idCol: String = "rec_id"): DataFrame = {
+    require(attrCols.nonEmpty, "survivorship needs attribute columns")
+    val completeness = attrCols
+      .map(c => when(col(c).isNotNull, lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val clusters = linkClusters(pairs)
+    recs
+      .join(clusters, col(idCol) === col("doc_id"), "left_outer")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+      .withColumn("__complete", completeness)
+      .groupBy(col("cluster"))
+      .agg(
+        max_by(col(idCol), struct(col("__complete"), -col(idCol)))
+          .as("golden_id"),
+        count(lit(1)).as("n_members"),
+        max(col("__complete")).as("completeness"))
+      .orderBy(col("cluster"))
+  }
 }

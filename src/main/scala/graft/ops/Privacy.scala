@@ -244,14 +244,44 @@ object Privacy {
     addGeometricNoise(full, groupCols, seed)
   }
 
+  /** DP release of per-group SUMS with bounded contribution — the other
+    * half of a DP reporting surface (counts say how many, sums say how
+    * much: total tokens per language, bytes per source). Each row's
+    * value is CLIPPED to [0, clip] first — the clip bound, not the data,
+    * is what fixes the sensitivity: adding or removing one row moves the
+    * sum by at most `clip`, so noise = clip · (G₁ − G₂) with the same
+    * exact Geometric(1/2) sampling as [[noisyCounts]] gives ε = ln 2
+    * (the noise support is multiples of clip; a one-row change shifts it
+    * by one step, likelihood ratio ≤ 2 — the standard scaled discrete
+    * Laplace). Clipping is a DOCUMENTED bias: rows above `clip`
+    * contribute exactly `clip`; choosing clip is the caller's
+    * utility/privacy trade. Same observed-keys precondition as
+    * [[noisyCounts]] (public group domain), same seed-secrecy caveat.
+    *
+    * Scale shape: ONE groupBy over clipped codegen values (map-side
+    * partial sums); the noise is a projection over the group result. */
+  def noisySum(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      clip: Long, seed: Long): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(clip >= 1, "clip must be >= 1")
+    val clipped = least(greatest(col(valueCol).cast("long"), lit(0L)),
+      lit(clip))
+    addGeometricNoise(
+      df.groupBy(groupCols.map(col): _*).agg(sum(clipped).as("n")),
+      groupCols, seed, scale = clip, outName = "noisy_sum")
+  }
+
   /** Shared release projection: `counts` carries `groupCols` + `n`; adds
     * the exact two-sided-geometric noise (see [[noisyCounts]]) as a
-    * codegen projection and orders by the group key. U+001E sentinel
-    * keeps a NULL group's noise independent of an empty-string group's;
-    * U+001F separator keeps multi-column keys prefix-unambiguous — the
-    * suite's fingerprint convention, oracle-replayed via chr(30)/chr(31). */
+    * codegen projection — scaled by `scale` (sensitivity) — and orders
+    * by the group key. U+001E sentinel keeps a NULL group's noise
+    * independent of an empty-string group's; U+001F separator keeps
+    * multi-column keys prefix-unambiguous — the suite's fingerprint
+    * convention, oracle-replayed via chr(30)/chr(31). */
   private def addGeometricNoise(
-      counts: DataFrame, groupCols: Seq[String], seed: Long): DataFrame = {
+      counts: DataFrame, groupCols: Seq[String], seed: Long,
+      scale: Long = 1L, outName: String = "noisy_count"): DataFrame = {
     val keyStr = concat_ws("\u001f",
       groupCols.map(c => coalesce(col(c).cast("string"), lit("\u001e"))): _*)
     def geom(tag: String) = {
@@ -262,7 +292,7 @@ object Privacy {
         .otherwise(bit_count(h.bitwiseAND(-h) - 1).cast("long"))
     }
     counts.select(groupCols.map(col) :+
-      (col("n") + geom("dp1") - geom("dp2")).as("noisy_count"): _*)
+      (col("n") + lit(scale) * (geom("dp1") - geom("dp2"))).as(outName): _*)
       .orderBy(groupCols.map(col): _*)
   }
 }

@@ -252,6 +252,11 @@ object ScaleProof {
       // ns88: degree-ordered orientation bounds wedges at O(m^1.5)
       // regardless of hub skew; count() cannot prune the closure joins
       "ns88_link_triangles",
+      // ns96: ns84's linkage + pointer-jumping CC + ONE cluster-keyed
+      // argmax aggregate (the k=1 bounded-heap shape)
+      "ns96_golden_records",
+      // ns97: one groupBy over clipped codegen values + noise projection
+      "ns97_dp_sum",
       // ns94: the jsonl snapshot builds once per size in the untimed
       // warmup (fingerprint-keyed scratch, the ns82 contract); timed
       // runs price the line-split parse — per-row, no shuffle

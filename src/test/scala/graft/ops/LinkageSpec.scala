@@ -84,6 +84,36 @@ class LinkageSpec extends AnyFunSuite {
     assert(clusters.values.toSet.size == 1) // one entity
   }
 
+  test("goldenRecords: completeness-first, id tiebreak, singletons survive") {
+    import org.apache.spark.sql.functions.lit
+    val df = Seq(
+      // cluster {1,2,3}: 2 has both attrs (wins over 1's one and 3's none)
+      (1L, "abcdefghijkl", 7, "p1", null.asInstanceOf[String]),
+      (2L, "Xbcdefghijkl", 7, "p2", "e2"),
+      (3L, "abcdefghijkX", 7, null.asInstanceOf[String],
+        null.asInstanceOf[String]),
+      // cluster {5,6}: equal completeness -> smaller id wins
+      (5L, "mnopqrstuvwx", 7, "p5", "e5"),
+      (6L, "mnopqrstuvwX", 7, "p6", "e6"),
+      // singleton 9: its own golden record
+      (9L, "zzzzzzzzzzzz", 7, null.asInstanceOf[String], "e9"))
+      .toDF("rec_id", "name", "nation", "phone", "email")
+    val pairs = Linkage.fuzzyDuplicates(df, groupCols = Seq("nation"))
+    val out = Linkage.goldenRecords(df, pairs, Seq("phone", "email"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 3L, 2L), // golden = 2 (completeness 2 beats 1 and 0)
+      (5L, 5L, 2L, 2L), // tie on completeness -> min id
+      (9L, 9L, 1L, 1L))) // unlinked record is its own entity
+    // the policy is partitioning-independent (total order)
+    val rep = Linkage.goldenRecords(df.repartition(7), pairs, Seq("phone", "email"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rep.toSeq == out.map(t => (t._1, t._2)).toSeq)
+    assertThrows[IllegalArgumentException](
+      Linkage.goldenRecords(df, pairs, Seq.empty))
+  }
+
   test("ns84 registered query: one dist-1 pair per entity, families only") {
     val out = graft.SparkEntry.queries("ns84_record_linkage")(
       spark, "/root/testdata/sf0.001").collect()

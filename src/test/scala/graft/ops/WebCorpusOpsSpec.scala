@@ -446,6 +446,31 @@ class WebCorpusOpsSpec extends AnyFunSuite {
       .contains("offbook"))
   }
 
+  test("noisySum: clipped contribution, clip-scaled exact noise") {
+    def ctz60(tag: String, seed: Long, key: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag:$seed:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      if (h == 0L) 60L else java.lang.Long.numberOfTrailingZeros(h).toLong
+    }
+    val rows = Seq((1L, "a", 50L), (2L, "a", 500L), (3L, "a", -10L),
+      (4L, "b", 100L)).toDF("id", "grp", "v")
+    val out = Privacy.noisySum(rows, Seq("grp"), "v", clip = 100L, seed = 5L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // group a: 50 + min(500,100) + max(-10,0) = 150; b: 100 — noise is
+    // clip-scaled (multiples of 100), replayed independently here
+    def noise(key: String) =
+      100L * (ctz60("dp1", 5L, key) - ctz60("dp2", 5L, key))
+    assert(out("a") == 150L + noise("a"))
+    assert(out("b") == 100L + noise("b"))
+    // the released value differs from the true sum ONLY by a multiple of
+    // the clip (the sensitivity step the mechanism's ratio bound needs)
+    assert((out("a") - 150L) % 100L == 0L)
+    assertThrows[IllegalArgumentException](
+      Privacy.noisySum(rows, Seq("grp"), "v", clip = 0L, seed = 5L))
+  }
+
   test("kAnonymize releases only groups meeting BOTH the k and l gates") {
     val rows = Seq(
       // group (a,1): size 3, sensitive {10, 20} -> k=3 ok, l=2 ok
