@@ -130,11 +130,14 @@ object Persona {
   def sqlPick(corpus: IndexedSeq[String], tag: String): String =
     s"${sqlArr(corpus)}[((${sqlU(tag)}) % ${corpus.length})::INT + 1]"
 
-  /** DuckDB expression for the row key from literal key column exprs. */
-  def sqlRowKey(secret: String, table: String, keyExprs: Seq[String]): String =
-    (s"'$secret'" +: s"'$table'" +:
+  /** DuckDB expression for the row key from literal key column exprs.
+    * Secret/table are embedded as SQL string literals — quotes escaped. */
+  def sqlRowKey(secret: String, table: String, keyExprs: Seq[String]): String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    (q(secret) +: q(table) +:
       keyExprs.map(e => s"coalesce(($e)::VARCHAR, chr(30))"))
       .mkString("||chr(31)||")
+  }
 
   def sqlFirstName: String =
     s"CASE WHEN (${sqlU("pg")}) % 2 = 0 THEN ${sqlPick(femaleFirstNames, "pf")}" +

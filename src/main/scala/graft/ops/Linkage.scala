@@ -119,10 +119,14 @@ object Linkage {
     val completeness = attrCols
       .map(c => when(col(c).isNotNull, lit(1L)).otherwise(lit(0L)))
       .reduce(_ + _)
+    // rename the CC output's columns so they can never collide with a
+    // record column (incl. idCol == "doc_id" or a real "cluster" attr)
     val clusters = linkClusters(pairs)
+      .withColumnRenamed("doc_id", "__cc_id")
+      .withColumnRenamed("cluster", "__cc_cluster")
     recs
-      .join(clusters, col(idCol) === col("doc_id"), "left_outer")
-      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+      .join(clusters, col(idCol) === col("__cc_id"), "left_outer")
+      .withColumn("cluster", coalesce(col("__cc_cluster"), col(idCol)))
       .withColumn("__complete", completeness)
       .groupBy(col("cluster"))
       .agg(

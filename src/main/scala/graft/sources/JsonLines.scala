@@ -25,7 +25,16 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *
   * Scale shape: the JSON text source splits by line across tasks like any
   * text format; parsing is per-row with no shuffle, and the explicit
-  * schema prunes parsing to the referenced fields. */
+  * schema prunes parsing to the referenced fields.
+  *
+  * Relationship to the quarantine family: this is the FILE-DATASOURCE
+  * leg — `spark.read.json` end-to-end, the path a lake ingest actually
+  * takes, graded by ns94's oracle. [[graft.Tables.loadWithQuarantine]]
+  * (batch, `from_json` over an already-loaded column) and
+  * [[graft.streaming.StreamingIngest.parseWithQuarantine]] (the
+  * firehose) share the same PERMISSIVE + corrupt-column contract over a
+  * different input shape; all three must agree on what "corrupt" means,
+  * which is why they pin the same `_corrupt_record` convention. */
 object JsonLines {
 
   val CorruptCol = "_corrupt_record"
