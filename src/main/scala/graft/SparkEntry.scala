@@ -1506,10 +1506,15 @@ object SparkEntry {
     val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(success)) {
+      // coalesce guards concat's null propagation: a NULL lang would
+      // null the whole line, the text writer would emit an empty line,
+      // and Spark's JSON reader silently SKIPS empty lines while the
+      // oracle still emits the row — 'und' (ISO 639 undetermined) on
+      // both sides keeps the row observable
       docs(s, dir)
         .select(col("doc_id"), concat(
           lit("{\"line_id\":"), col("doc_id"),
-          lit(",\"lang\":\""), col("lang"),
+          lit(",\"lang\":\""), coalesce(col("lang"), lit("und")),
           lit("\",\"n_chars\":"), col("n_chars"), lit("}")).as("j"))
         .selectExpr("CASE WHEN doc_id % 11 = 3 " +
           "THEN substring(j, 1, length(j) - 5) ELSE j END AS raw")
@@ -3175,7 +3180,7 @@ object SparkEntry {
     // the corrupt branch recovers line_id with the same regex.
     "ns94_jsonl_ingest" ->
       ("""WITH j0 AS (SELECT doc_id,
-         |    '{"line_id":' || doc_id || ',"lang":"' || lang ||
+         |    '{"line_id":' || doc_id || ',"lang":"' || coalesce(lang, 'und') ||
          |    '","n_chars":' || n_chars || '}' AS j FROM documents),
          |raw AS (SELECT CASE WHEN doc_id % 11 = 3
          |    THEN substr(j, 1, length(j) - 5) ELSE j END AS raw FROM j0)
@@ -3194,7 +3199,7 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY lang
          |      ORDER BY n_chars DESC, doc_id) AS rn
          |  FROM documents) t
-         |WHERE rn <= 3 ORDER BY lang, rank""".stripMargin),
+         |WHERE rn <= 3 ORDER BY lang NULLS FIRST, rank""".stripMargin),
     // ns96 replays ns84's linkage, resolves components with a recursive
     // transitive-closure CTE (cluster = min reachable id, the engine's
     // pointer-jumping contract), and re-elects the golden record by the

@@ -123,21 +123,23 @@ object Persona {
   private def sqlArr(c: IndexedSeq[String]): String =
     c.map(s => "'" + s.replace("'", "''") + "'").mkString("[", ",", "]")
 
-  /** DuckDB expression for [[u]] over key expression `k`. */
+  private def sqlQ(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB expression for [[u]] over key expression `k`. Tags are
+    * escaped: column names (legal with quotes in Spark identifiers) flow
+    * into suffix/decoration tags. */
   def sqlU(tag: String): String =
-    s"('0x'||substr(md5(k||chr(31)||'$tag'),1,15))::BIGINT"
+    s"('0x'||substr(md5(k||chr(31)||${sqlQ(tag)}),1,15))::BIGINT"
 
   def sqlPick(corpus: IndexedSeq[String], tag: String): String =
     s"${sqlArr(corpus)}[((${sqlU(tag)}) % ${corpus.length})::INT + 1]"
 
   /** DuckDB expression for the row key from literal key column exprs.
     * Secret/table are embedded as SQL string literals — quotes escaped. */
-  def sqlRowKey(secret: String, table: String, keyExprs: Seq[String]): String = {
-    def q(s: String) = "'" + s.replace("'", "''") + "'"
-    (q(secret) +: q(table) +:
+  def sqlRowKey(secret: String, table: String, keyExprs: Seq[String]): String =
+    (sqlQ(secret) +: sqlQ(table) +:
       keyExprs.map(e => s"coalesce(($e)::VARCHAR, chr(30))"))
       .mkString("||chr(31)||")
-  }
 
   def sqlFirstName: String =
     s"CASE WHEN (${sqlU("pg")}) % 2 = 0 THEN ${sqlPick(femaleFirstNames, "pf")}" +
@@ -154,7 +156,7 @@ object Persona {
       sqlPick(domainZones, "dz")
 
   def sqlSuffix(column: String): String =
-    s"substr(md5(k||chr(31)||'sfx'||chr(31)||'$column'), 1, 4)"
+    s"substr(md5(k||chr(31)||'sfx'||chr(31)||${sqlQ(column)}), 1, 4)"
 
   def sqlFullName: String = s"$sqlFirstName || ' ' || $sqlLastName"
 

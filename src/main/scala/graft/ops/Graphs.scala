@@ -78,9 +78,16 @@ object Graphs {
     var ranks = nodes.select(col("node"), lit(scale).as("rank"))
     var i = 0
     var converged = false
+    // superseded rank checkpoints are dead the moment the next one
+    // materializes — free them (the resolveClusters discipline) so a
+    // long-lived session doesn't pin one node-table copy per 8 rounds;
+    // the FINAL checkpoint stays live inside the returned plan
+    var lastCp: Option[DataFrame] = None
     while (i < iterations && !converged) {
       if (i > 0 && i % checkpointEvery == 0) {
         ranks = ranks.localCheckpoint(true)
+        lastCp.foreach(Dedup.unpersistCheckpoint)
+        lastCp = Some(ranks)
         val next = step(ranks)
         val prev = ranks.select(col("node").as("p_node"),
           col("rank").as("p_rank"))

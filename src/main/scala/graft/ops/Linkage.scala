@@ -116,18 +116,23 @@ object Linkage {
       attrCols: Seq[String],
       idCol: String = "rec_id"): DataFrame = {
     require(attrCols.nonEmpty, "survivorship needs attribute columns")
+    // the output claims the "cluster" name, so an input attribute by that
+    // name would be silently replaced — fail fast instead
+    require(!recs.columns.contains("cluster"),
+      "recs must not carry a 'cluster' column — rename it before survivorship")
     val completeness = attrCols
       .map(c => when(col(c).isNotNull, lit(1L)).otherwise(lit(0L)))
       .reduce(_ + _)
     // rename the CC output's columns so they can never collide with a
-    // record column (incl. idCol == "doc_id" or a real "cluster" attr)
+    // record column (incl. idCol == "doc_id"); completeness is computed
+    // BEFORE any derived column joins the frame
     val clusters = linkClusters(pairs)
       .withColumnRenamed("doc_id", "__cc_id")
       .withColumnRenamed("cluster", "__cc_cluster")
     recs
+      .withColumn("__complete", completeness)
       .join(clusters, col(idCol) === col("__cc_id"), "left_outer")
       .withColumn("cluster", coalesce(col("__cc_cluster"), col(idCol)))
-      .withColumn("__complete", completeness)
       .groupBy(col("cluster"))
       .agg(
         max_by(col(idCol), struct(col("__complete"), -col(idCol)))

@@ -494,8 +494,12 @@ object WavGridDecoder extends GridDecoder {
   * hash-verified, not just spec-gated. */
 object WavSynth {
   def u8Samples(text: String): Array[Int] = {
+    if (text == null) return Array.emptyIntArray // null blob -> empty clip
     val bs = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    Array.tabulate(bs.length)(i => ((bs(i) & 0xff) * 37 + i * 11) % 256)
+    // i.toLong first: i * 11 overflows Int beyond ~195M bytes (the same
+    // overflow class WavGridDecoder's slice index fixes)
+    Array.tabulate(bs.length)(i =>
+      (((bs(i) & 0xff) * 37 + i.toLong * 11) % 256).toInt)
   }
 
   def wavOf(text: String, bits: Int): Array[Byte] = {
