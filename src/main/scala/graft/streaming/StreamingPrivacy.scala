@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Streaming twin of the PII scrubber. [[graft.ops.Privacy.scrubPii]] is a
   * stateless, codegen'd projection (regex replace + match counts, zero
@@ -20,5 +21,72 @@ object StreamingPrivacy {
       "scrubPii(stream) is the streaming twin — pass a readStream frame " +
         "(the batch operator is graft.ops.Privacy.scrubPii)")
     graft.ops.Privacy.scrubPii(docs, textCol)
+  }
+
+  /** Continuous DP telemetry — the streaming twin of the
+    * [[graft.ops.Privacy.noisyCountsOverDomain]] release: per finalized
+    * tumbling window, EVERY event type of the declared public `domain`
+    * is released exactly once with an ε = ln 2 two-sided-geometric noisy
+    * count (zeros noised too — the ns91 presence-leak discipline per
+    * window). The live dashboard a privacy team can actually publish.
+    *
+    * Shape: ONE built-in windowed aggregation (watermark-evicted state,
+    * the [[StreamingEvents]] contract) computing a conditional count per
+    * domain type — the domain is DECLARED and bounded, so per-type
+    * counts are |domain| columns of one agg, never a second stateful
+    * operator (chained streaming aggregations would need one) — then a
+    * stateless codegen projection explodes the domain back to rows and
+    * adds noise keyed on (seed, window_start ␟ type) via the exact
+    * md5/trailing-zero sampling. In Append mode each (window, type) row
+    * emits exactly once, when the watermark finalizes the window — an
+    * exactly-once private release per period.
+    *
+    * Declared contract: a window with zero events (no row in the stream
+    * at all) never materializes, so the release's window set reveals
+    * total-activity presence per period — the public signal; the
+    * per-TYPE counts, including true zeros, are what the noise protects.
+    * Events whose type is outside the domain still create their window
+    * (all-zero type counts → noised zeros) but are never released —
+    * the domain is the release policy. Determinism: the noise is a pure
+    * function of (seed, window, type), so retries/replays reproduce the
+    * release bit-for-bit and the batch twin (spec) replays it exactly.
+    * The seed is as secret as the data. */
+  def noisyWindowCounts(
+      events: DataFrame,
+      domain: Seq[String],
+      seed: Long,
+      windowDur: String = "1 hour",
+      lateness: String = "0 microseconds"): DataFrame = {
+    require(domain.nonEmpty, "domain must be non-empty")
+    require(domain.distinct == domain, "domain must not repeat types")
+    val counts = events
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), windowDur))
+      .agg(
+        sum(when(col("event_type") === domain.head, 1L).otherwise(0L))
+          .as("__n_0"),
+        domain.tail.zipWithIndex.map { case (t, i) =>
+          sum(when(col("event_type") === t, 1L).otherwise(0L))
+            .as(s"__n_${i + 1}")
+        }: _*)
+    def geom(tag: String, key: Column): Column = {
+      val h = conv(substring(
+          md5(concat(lit(s"$tag:$seed:"), key).cast("binary")), 1, 15),
+        16, 10).cast("long")
+      when(h === 0, lit(60L))
+        .otherwise(bit_count(h.bitwiseAND(-h) - 1).cast("long"))
+    }
+    val entries = domain.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("event_type"), col(s"__n_$i").as("n"))
+    }
+    val key = concat(col("window_start").cast("string"), lit("\u001f"),
+      col("e.event_type"))
+    counts
+      .select(unix_micros(col("window.start")).as("window_start"),
+        explode(array(entries: _*)).as("e"))
+      .select(col("window_start"), col("e.event_type").as("event_type"),
+        (col("e.n") + geom("dp1", key) - geom("dp2", key))
+          .as("noisy_count"))
   }
 }

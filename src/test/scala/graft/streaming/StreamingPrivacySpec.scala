@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+/** Streaming DP release (noisyWindowCounts): finalized windows equal an
+  * independent batch+Scala replay of the mechanism, every domain type is
+  * released per window (zeros noised — the per-window presence-leak
+  * discipline), off-domain events are never released, and the scrub twin
+  * stays a stateless projection. */
+class StreamingPrivacySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val hourUs = 3600L * 1000000L
+
+  /** Independent Scala replay of the documented noise formula. */
+  private def noise(seed: Long, ws: Long, t: String): Long = {
+    def ctz60(tag: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag:$seed:$ws\u001f$t".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      if (h == 0L) 60L else java.lang.Long.numberOfTrailingZeros(h).toLong
+    }
+    ctz60("dp1") - ctz60("dp2")
+  }
+
+  test("finalized windows equal the batch + independent noise replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.ops.Events.tsMicros(
+        Tables.load(spark, "/root/testdata/sf0.001", "events"))
+      .select("ts", "event_type").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val types = events.map(_._2).distinct.sorted
+    // one type the log never carries: released as noised zeros per window
+    val domain = types :+ "ghost_type"
+    val maxTs = events.map(_._1).max
+
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingPrivacy.noisyWindowCounts(
+        in.toDF().toDF("ts", "event_type"), domain, seed = 11L)
+      .writeStream.format("memory").queryName("dp_out")
+      .outputMode("append").start()
+    val n = events.length
+    Seq(events.take(n / 2), events.drop(n / 2),
+      Seq((maxTs + 7200L * 1000000L, "sentinel")),
+      Seq((maxTs + 9900L * 1000000L, "sentinel")))
+      .foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+
+    val sentinelWs = Set(maxTs + 7200L * 1000000L, maxTs + 9900L * 1000000L)
+      .map(ts => ts - ts % hourUs)
+    val streamed = spark.table("dp_out").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      .filter { case ((ws, _), _) => !sentinelWs.contains(ws) }
+
+    // batch replay: per real window, every domain type with its true
+    // conditional count (0 included), plus the independent noise
+    val real = events.groupBy(e => e._1 - e._1 % hourUs)
+    val want = (for {
+      (ws, evs) <- real.toSeq
+      t <- domain
+    } yield (ws, t) -> (evs.count(_._2 == t).toLong + noise(11L, ws, t)))
+      .toMap
+    assert(streamed == want)
+    // every real window released its FULL domain, ghost included
+    assert(streamed.keySet.map(_._1) == real.keySet)
+    real.keySet.foreach { ws =>
+      assert(domain.forall(t => streamed.contains((ws, t))))
+    }
+    // ghost rows are noised ZEROS — support carries no type information
+    real.keySet.foreach { ws =>
+      assert(streamed((ws, "ghost_type")) == noise(11L, ws, "ghost_type"))
+    }
+  }
+
+  test("off-domain events create their window but are never released") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingPrivacy.noisyWindowCounts(
+        in.toDF().toDF("ts", "event_type"), Seq("a", "b"), seed = 3L)
+      .writeStream.format("memory").queryName("dp_off")
+      .outputMode("append").start()
+    // window 0 holds ONLY an off-domain event; then a far sentinel
+    in.addData(Seq((1000L, "offbook"), (3L * hourUs, "late")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dp_off").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // the window materialized; both domain types released as noised
+    // zeros; the off-domain type itself absent
+    assert(out.keySet == Set((0L, "a"), (0L, "b")))
+    assert(out((0L, "a")) == noise(3L, 0L, "a"))
+    assert(out((0L, "b")) == noise(3L, 0L, "b"))
+    assertThrows[IllegalArgumentException](
+      StreamingPrivacy.noisyWindowCounts(
+        in.toDF().toDF("ts", "event_type"), Seq("a", "a"), 3L))
+  }
+}
