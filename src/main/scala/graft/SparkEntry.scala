@@ -1374,6 +1374,35 @@ object SparkEntry {
     graft.ops.Privacy.noisySum(docs(s, dir), Seq("lang"), "n_chars",
       clip = 2000L, seed = 7L)
 
+  /** NS98 — BM25 lexical retrieval ([[graft.ops.Retrieval.bm25TopK]]):
+    * the sparse top-k ranker over the corpus for a 3-term query mixing
+    * one rare term (df≈5%) with two head terms — exercising both the
+    * rational-idf dominance of rare terms and the length-normalized tf
+    * saturation that separates head-term docs. Exact-integer milli-unit
+    * scoring (floor divisions only) so the FULL ranking hash-replays in
+    * DuckDB; the oracle recomputes idf, avgdl, and the saturation from
+    * scratch. */
+  private def ns98(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.bm25TopK(docs(s, dir),
+      Seq("dup", "vector", "stream"), topK = 20)
+
+  /** NS99 — SCD-2 corpus history ([[graft.ops.Versioning.scdHistory]]):
+    * three snapshot versions (the ns56 tick applied twice) collapsed to
+    * per-key runs with (valid_from, valid_to, is_current). The tick
+    * produces every run shape: stable keys (one run 0→2), the %37 keys
+    * re-written at each tick (three single-version runs), keys 10–19
+    * terminated at v1, keys <10 terminated at v0 with their shifted
+    * reincarnations opening mid-history. One key-hash exchange total;
+    * the oracle rebuilds both ticks and the run algebra in SQL
+    * windows. */
+  private def ns99(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cols = Seq("text", "lang", "source", "n_chars")
+    val v1 = snapshotTick(d, cols)
+    val v2 = snapshotTick(v1, cols)
+    graft.ops.Versioning.scdHistory(Seq(d, v1, v2), "doc_id", cols)
+  }
+
   /** NS86 — incremental token-count maintenance
     * ([[graft.ops.Versioning.maintainTokenCounts]]): the ns56 snapshot
     * tick's count table updated by re-tokenizing ONLY the diff fringe
@@ -1714,6 +1743,8 @@ object SparkEntry {
     "ns95_group_topk" -> (ns95 _),
     "ns96_golden_records" -> (ns96 _),
     "ns97_dp_sum" -> (ns97 _),
+    "ns98_bm25_retrieval" -> (ns98 _),
+    "ns99_scd_history" -> (ns99 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3259,5 +3290,48 @@ object SparkEntry {
          |  (n + 2000 * ((CASE WHEN h1 = 0 THEN 60 ELSE bit_count((h1 & -h1) - 1) END)
          |             - (CASE WHEN h2 = 0 THEN 60 ELSE bit_count((h2 & -h2) - 1) END)))::BIGINT AS noisy_sum
          |FROM h ORDER BY lang NULLS FIRST""".stripMargin),
+    // ns98 recomputes the whole exact-integer BM25 pipeline from scratch:
+    // corpus stats, df, the rational milli-idf, and the micro-unit tf
+    // saturation — every division is floor division over integers, so the
+    // scores (not just the top-k membership) must hash-match.
+    "ns98_bm25_retrieval" ->
+      ("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |st AS (SELECT count(*) AS n_docs, sum(len(w)) AS total_len FROM w),
+         |tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM w),
+         |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM tok
+         |  WHERE term IN ('dup', 'vector', 'stream') GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |    ((1000 * (2 * st.n_docs - 2 * df.df + 1)) // (2 * df.df + 1)) *
+         |    ((tf.tf * 2200 * 1000000) // (tf.tf * 1000000 +
+         |      1200 * (1000 - 750 + (750 * tf.dl * 1000) // ((st.total_len * 1000) // st.n_docs)))) AS s_term
+         |  FROM tf JOIN df USING (term), st)
+         |SELECT doc_id, count(*) AS n_matched, sum(s_term)::BIGINT AS bm25_milli
+         |FROM sc GROUP BY doc_id ORDER BY bm25_milli DESC, doc_id LIMIT 20""".stripMargin),
+    // ns99 rebuilds both snapshot ticks and replays the run algebra with
+    // the same lag/lead + conditional-min-over-following-frame device the
+    // engine uses; fingerprints follow the suite's chr(31)/chr(30)
+    // convention from ns56.
+    "ns99_scd_history" ->
+      ("""WITH v0 AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+         |v1 AS (SELECT doc_id, CASE WHEN doc_id % 37 = 0 THEN text || ' v2' ELSE text END AS text, lang, source, n_chars FROM v0 WHERE doc_id >= 20
+         |  UNION ALL SELECT doc_id + (SELECT max(doc_id) + 1 FROM v0), text, lang, source, n_chars FROM v0 WHERE doc_id < 10),
+         |v2 AS (SELECT doc_id, CASE WHEN doc_id % 37 = 0 THEN text || ' v2' ELSE text END AS text, lang, source, n_chars FROM v1 WHERE doc_id >= 20
+         |  UNION ALL SELECT doc_id + (SELECT max(doc_id) + 1 FROM v1), text, lang, source, n_chars FROM v1 WHERE doc_id < 10),
+         |u AS (
+         |  SELECT doc_id, 0 AS version, md5(concat_ws(chr(31), coalesce(text, chr(30)), coalesce(lang, chr(30)), coalesce(source, chr(30)), coalesce(n_chars::VARCHAR, chr(30)))) AS fp FROM v0
+         |  UNION ALL
+         |  SELECT doc_id, 1, md5(concat_ws(chr(31), coalesce(text, chr(30)), coalesce(lang, chr(30)), coalesce(source, chr(30)), coalesce(n_chars::VARCHAR, chr(30)))) FROM v1
+         |  UNION ALL
+         |  SELECT doc_id, 2, md5(concat_ws(chr(31), coalesce(text, chr(30)), coalesce(lang, chr(30)), coalesce(source, chr(30)), coalesce(n_chars::VARCHAR, chr(30)))) FROM v2),
+         |m AS (SELECT doc_id, version, fp,
+         |    (lag(version) OVER w IS NULL OR lag(version) OVER w <> version - 1 OR lag(fp) OVER w <> fp) AS run_start,
+         |    (lead(version) OVER w IS NULL OR lead(version) OVER w <> version + 1 OR lead(fp) OVER w <> fp) AS run_end
+         |  FROM u WINDOW w AS (PARTITION BY doc_id ORDER BY version)),
+         |e AS (SELECT doc_id, version, fp, run_start,
+         |    min(CASE WHEN run_end THEN version END) OVER (PARTITION BY doc_id ORDER BY version ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS run_end_v
+         |  FROM m)
+         |SELECT doc_id, version::BIGINT AS valid_from, run_end_v::BIGINT AS valid_to, fp, (run_end_v = 2) AS is_current
+         |FROM e WHERE run_start ORDER BY doc_id, valid_from""".stripMargin),
   )
 }

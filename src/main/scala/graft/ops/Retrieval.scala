@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval — the BM25 ranker a training-data pipeline
+  * uses to mine topical subsets from a web corpus ("give me the k
+  * documents most about X") before the expensive dense-embedding pass,
+  * and the classic baseline any retrieval-quality eval needs next to the
+  * ANN family ([[Similarity]]).
+  *
+  * Exact-integer contract (the suite-wide convention): every score is a
+  * sum of products of integer milli-units computed with floor division
+  * only, so the full ranking — not just the top-k set — hash-replays in
+  * any engine. Two quantizations, both documented here:
+  *
+  *   - '''idf''': the Robertson–Spärck-Jones argument without the log,
+  *     in milli-units: `idf_milli = (1000·(2N − 2df + 1)) DIV (2df + 1)`
+  *     = floor(1000·(N − df + 0.5)/(df + 0.5)). Monotone in df like the
+  *     classic `ln` form (log is order-preserving per term), exact in
+  *     integers, and — unlike the floor-log₂ quantization [[TextAnalysis
+  *     .tfidfKeywords]] uses — still discriminates between df = 70% and
+  *     df = 85% terms, which matters on real web corpora where the query
+  *     vocabulary is mostly head words. The linear (un-logged) form
+  *     deliberately amplifies rare-term dominance; for classic BM25
+  *     weighting swap in `ln`, giving up cross-engine bit equality.
+  *   - '''tf saturation''': `tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`
+  *     evaluated entirely in micro-units:
+  *     `norm_milli = 1000 − b_milli + (b_milli·dl·1000) DIV avgdl_milli`,
+  *     `tfnorm_milli = (tf·(k1_milli+1000)·1e6) DIV
+  *     (tf·1e6 + k1_milli·norm_milli)` with
+  *     `avgdl_milli = (Σdl·1000) DIV N`.
+  *
+  * 100 TB shape: the token explode is filtered to the query vocabulary
+  * BEFORE the (doc_id, term) aggregation, so the shuffle carries only
+  * query-term hits (|Q| ≪ vocab; a 100 TB corpus shuffles GBs, not TBs).
+  * df and the (N, Σdl) corpus stats are ≤|Q|-row and 1-row aggregates
+  * joined back by broadcast. The final top-k is orderBy+limit →
+  * `TakeOrderedAndProject` (per-partition heaps, no global sort). One
+  * wide shuffle total. For a standing query workload, persist the
+  * (doc_id, term, tf, dl) posting frame once ([[IndexSidecar]] pattern)
+  * and amortize the corpus scan across queries.
+  */
+object Retrieval {
+
+  /** BM25 top-k over `docs(doc_id, text)` for a literal query-term set.
+    * Output: (doc_id, n_matched, bm25_milli), the `topK` highest-scoring
+    * docs, ties broken by ascending doc_id. Docs matching no query term
+    * score 0 and are never returned (standard BM25: only matched terms
+    * contribute).
+    */
+  def bm25TopK(
+      docs: DataFrame, queryTerms: Seq[String], topK: Int = 20,
+      k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.toSet.size == queryTerms.size,
+      "queryTerms must be distinct (duplicate terms would double-count)")
+    val w = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // corpus stats: ONE 1-row aggregate (N, total token count)
+    val stats = w.agg(
+      count(lit(1)).as("n_docs"), sum(size(col("w"))).as("total_len"))
+    // query-term postings: filter BEFORE the shuffle — only hits move
+    val tf = w
+      .select(col("doc_id"), size(col("w")).as("dl"),
+        explode(col("w")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // df: at most |Q| rows — broadcast back onto the postings
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdlMilli = expr("(total_len * 1000) DIV n_docs")
+    val idfMilli =
+      expr("(1000 * (2 * n_docs - 2 * df + 1)) DIV (2 * df + 1)")
+    val normMilli = lit(1000L) - lit(bMilli) +
+      expr(s"($bMilli * dl * 1000) DIV avgdl_milli")
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .join(broadcast(stats))
+      .withColumn("avgdl_milli", avgdlMilli)
+      .withColumn("norm_milli", normMilli)
+      .select(col("doc_id"),
+        (idfMilli * expr(s"(tf * ${k1Milli + 1000L} * 1000000) DIV " +
+          s"(tf * 1000000 + $k1Milli * norm_milli)")).as("s_term"))
+    scored
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"), sum(col("s_term")).as("bm25_milli"))
+      .orderBy(col("bm25_milli").desc, col("doc_id"))
+      .limit(topK)
+  }
+}

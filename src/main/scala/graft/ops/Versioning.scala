@@ -193,6 +193,65 @@ object Versioning {
     snap.select(explode(split(col(textCol), " ")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
 
+  /** SCD-2 history build: collapse an ordered sequence of full snapshots
+    * into one slowly-changing-dimension table — per key, one row per
+    * UNBROKEN run of versions with identical content, with
+    * `(valid_from, valid_to)` version bounds and an `is_current` flag.
+    * This is the artifact a 100 TB corpus keeps INSTEAD of its snapshot
+    * stack: point-in-time reads (`valid_from <= v <= valid_to`),
+    * change-frequency audits, and the provenance join for "which model
+    * saw which document text" all come off it.
+    *
+    * Semantics: a run breaks when the content fingerprint changes OR the
+    * key is absent from a version (absence terminates the run; a later
+    * reappearance opens a new run — deletions are history, not updates).
+    * Fingerprint contract identical to [[snapshotDiff]] (md5 over
+    * `contentCols` joined on U+001F, nulls → U+001E sentinel), so the
+    * DuckDB oracle replays it with `md5(concat_ws(chr(31), ...))`.
+    *
+    * Scale shape: the union reduces every snapshot to a narrow
+    * (key, version, fp) projection off its scan — wide content never
+    * shuffles. Then ONE key-hash exchange + ONE per-key sort serves
+    * everything: run starts and ends are `lag`/`lead` over the
+    * (key)-partitioned version order, and each start row reads its run's
+    * terminal version with a conditional `min` over the
+    * current-row→unbounded-following frame of the SAME window — no
+    * second exchange, no self-join, no groupBy. Output is
+    * run-cardinality (≤ key-cardinality × change count), not
+    * snapshot-cardinality. */
+  def scdHistory(
+      snaps: Seq[DataFrame], keyCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(snaps.size >= 2, "scdHistory needs at least two snapshots")
+    require(contentCols.nonEmpty, "contentCols must be non-empty")
+    val fp = md5(concat_ws("",
+      contentCols.map(c =>
+        coalesce(col(c).cast("string"), lit(""))): _*))
+    val versioned = snaps.zipWithIndex
+      .map { case (s, v) =>
+        s.select(col(keyCol), lit(v.toLong).as("version"), fp.as("fp")) }
+      .reduce(_.unionByName(_))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("version"))
+    val runStart = lag(col("version"), 1).over(w).isNull ||
+      lag(col("version"), 1).over(w) =!= col("version") - 1 ||
+      lag(col("fp"), 1).over(w) =!= col("fp")
+    val runEnd = lead(col("version"), 1).over(w).isNull ||
+      lead(col("version"), 1).over(w) =!= col("version") + 1 ||
+      lead(col("fp"), 1).over(w) =!= col("fp")
+    val wFollow = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    versioned
+      .withColumn("run_start", runStart)
+      .withColumn("run_end_v",
+        min(when(runEnd, col("version"))).over(wFollow))
+      .where(col("run_start"))
+      .select(col(keyCol), col("version").as("valid_from"),
+        col("run_end_v").as("valid_to"), col("fp"),
+        (col("run_end_v") === lit((snaps.size - 1).toLong))
+          .as("is_current"))
+      .orderBy(col(keyCol), col("valid_from"))
+  }
+
   private def statusFrame(
       oldSnap: DataFrame, newSnap: DataFrame,
       keyCol: String, contentCols: Seq[String]): DataFrame = {

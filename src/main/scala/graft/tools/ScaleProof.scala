@@ -293,7 +293,16 @@ object ScaleProof {
       // candidate volume = block-collision volume (4-hex-char keys keep
       // blocks O(1) as entities grow); count() cannot prune the
       // levenshtein-gated join
-      "ns84_record_linkage")
+      "ns84_record_linkage",
+      // ns98: token explode filtered to the 3-term query vocabulary
+      // BEFORE the (doc, term) agg — the shuffle carries hits only;
+      // df/stats are broadcast; the top-k is per-partition heaps.
+      // count() cannot shortcut the limit: the TakeOrdered still scans
+      "ns98_bm25_retrieval",
+      // ns99: three narrow (key, version, fp) projections + ONE key-hash
+      // window — run detection is lag/lead + a conditional min over the
+      // following frame on the SAME sort; output is run-cardinality
+      "ns99_scd_history")
     // ns81 scales as the CLUSTER-RESOLVE deployment shape, not raw pairs:
     // the copy-tagged synthetic corpus puts every same-copy doc behind the
     // same `c{k}x` word prefixes, so stride hashes form GENUINE giant

@@ -138,7 +138,10 @@ class PlanSpec extends AnyFunSuite {
       // posting — 1-row build side
       "ns38_keywords_tfidf" -> "single-row doc-count broadcast",
       // single-row × single-row: the card joins two ungrouped aggregates
-      "ns76_dataset_card" -> "1x1 summary-row join")
+      "ns76_dataset_card" -> "1x1 summary-row join",
+      // single-row broadcast: the (N, Σdl) corpus-stats scalar joins the
+      // query-term postings — 1-row build side
+      "ns98_bm25_retrieval" -> "single-row corpus-stats broadcast")
     SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
       val p = SparkEntry.queries(n)(spark, sf)
         .queryExecution.executedPlan.toString

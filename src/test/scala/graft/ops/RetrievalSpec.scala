@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Specs for ns98 — exact-integer BM25: a fully hand-computed milli-unit
+  * scoring case, no-match exclusion, and the partitioning invariance the
+  * integer formulation guarantees. */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "x x y"),     // dl 3
+    (2L, "x z z z"),   // dl 4
+    (3L, "z z z z z")) // dl 5 — matches no query term
+
+  test("hand-computed milli-unit scores (N=3, avgdl=4)") {
+    // avgdl_milli = 12000 DIV 3 = 4000
+    // idf_milli(x) = (1000*(6-4+1)) DIV 5 = 600
+    // idf_milli(y) = (1000*(6-2+1)) DIV 3 = 1666
+    // doc1 (dl 3): norm = 250 + (750*3*1000) DIV 4000 = 812
+    //   tf(x)=2: (2*2200e6) DIV (2e6 + 1200*812) = 1479 -> 600*1479 = 887400
+    //   tf(y)=1: (2200e6) DIV (1e6 + 974400)  = 1114 -> 1666*1114 = 1855924
+    // doc2 (dl 4): norm = 1000; tf(x)=1: 2200e6 DIV 2.2e6 = 1000 -> 600000
+    val out = Retrieval
+      .bm25TopK(corpus.toDF("doc_id", "text"), Seq("x", "y"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 2743324L), (2L, 1L, 600000L)))
+  }
+
+  test("docs matching no query term are excluded; absent terms are inert") {
+    val out = Retrieval
+      .bm25TopK(corpus.toDF("doc_id", "text"),
+        Seq("y", "nosuchterm"), topK = 10)
+      .collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L))
+  }
+
+  test("topK truncates after the deterministic (score desc, id asc) order") {
+    val docs = (1L to 50L).map(i => (i, if (i % 2 == 0) "x pad" else "pad"))
+    val out = Retrieval
+      .bm25TopK(docs.toDF("doc_id", "text"), Seq("x"), topK = 5)
+      .collect().map(_.getLong(0))
+    // every even doc scores identically -> ascending-id tie-break
+    assert(out.toSeq == Seq(2L, 4L, 6L, 8L, 10L))
+  }
+
+  test("duplicate query terms are rejected") {
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(corpus.toDF("doc_id", "text"), Seq("x", "x"))
+    }
+  }
+
+  test("integer scores are partitioning-invariant") {
+    val docs = (0L until 300L).map(i =>
+      (i, Seq.fill((i % 7 + 1).toInt)("w" + (i % 11)).mkString(" ")))
+    val base = Retrieval
+      .bm25TopK(docs.toDF("doc_id", "text"), Seq("w0", "w3", "w7"), 25)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    for (parts <- Seq(1, 7, 32)) {
+      val rep = Retrieval
+        .bm25TopK(docs.toDF("doc_id", "text").repartition(parts),
+          Seq("w0", "w3", "w7"), 25)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+      assert(rep == base, s"parts=$parts")
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Specs for ns99 — SCD-2 history: every run shape (stable, changed,
+  * terminated, gap-reincarnated), the null-vs-empty fingerprint contract,
+  * and single-exchange plan discipline. */
+class ScdHistorySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def hist(snaps: Seq[Seq[(Long, String)]]) =
+    Versioning.scdHistory(
+      snaps.map(_.toDF("doc_id", "text")), "doc_id", Seq("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+      .toSeq
+
+  test("all run shapes: stable, changed, terminated, gap-reincarnated") {
+    val v0 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+    val v1 = Seq((1L, "a"), (2L, "B"), (4L, "d")) // 2 changed, 3 gone
+    val v2 = Seq((1L, "a"), (2L, "B"), (3L, "c")) // 3 back (same text), 4 gone
+    assert(hist(Seq(v0, v1, v2)) == Seq(
+      (1L, 0L, 2L, true),  // stable across all three
+      (2L, 0L, 0L, false), // original content
+      (2L, 1L, 2L, true),  // changed at v1, stable after
+      (3L, 0L, 0L, false), // terminated at v0...
+      (3L, 2L, 2L, true),  // ...reincarnated at v2: the GAP breaks the run
+      (4L, 0L, 1L, false)))
+  }
+
+  test("key appearing only mid-history opens its run there") {
+    val h = hist(Seq(Seq((1L, "a")), Seq((1L, "a"), (9L, "z")),
+      Seq((1L, "a"), (9L, "z"))))
+    assert(h.contains((9L, 1L, 2L, true)))
+  }
+
+  test("null and empty content fingerprint differently") {
+    val v0 = Seq((1L, null.asInstanceOf[String]))
+    val v1 = Seq((1L, ""))
+    // if null aliased "", this would be ONE run 0->1; the U+001E sentinel
+    // forces a break
+    assert(hist(Seq(v0, v1)) ==
+      Seq((1L, 0L, 0L, false), (1L, 1L, 1L, true)))
+  }
+
+  test("single exchange: exactly one shuffle in the physical plan") {
+    val snaps = Seq(Seq((1L, "a")), Seq((1L, "a")), Seq((1L, "b")))
+    val df = Versioning.scdHistory(
+      snaps.map(_.toDF("doc_id", "text")), "doc_id", Seq("text"))
+    val plan = df.queryExecution.executedPlan.toString
+    // one key-hash exchange for the window; the final orderBy adds a
+    // range exchange — nothing else (no groupBy/join exchanges)
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(hashExchanges == 1, s"expected 1 hash exchange:\n$plan")
+  }
+}
