@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Streaming twin of [[graft.ops.Versioning.scdHistory]] — SCD-2 history
+  * maintained INCREMENTALLY from a CDC change feed, on Spark 4's
+  * `transformWithState` arbitrary-state API (the modern replacement for
+  * `flatMapGroupsWithState`: typed per-key state handles, explicit TTL
+  * config, timer surface, RocksDB-backed).
+  *
+  * Contract bridge (snapshot-stack → change-feed): the batch operator
+  * sees every snapshot, so "present and unchanged" is an observed row;
+  * a CDC feed carries ONLY changes, so the same fact is the ABSENCE of
+  * an event. The translation is exact:
+  *
+  *   - `upsert(v, fp)` with no open run → open a run at `v`.
+  *   - `upsert(v, fp)` with an open run of the SAME fp → no-op (the run
+  *     extends implicitly; replayed events are idempotent).
+  *   - `upsert(v, fp')` with a DIFFERENT fp → close the open run with
+  *     `valid_to = v − 1`, open a new one at `v`.
+  *   - `delete(v)` → close the open run with `valid_to = v − 1`
+  *     (present until just before the delete); absence afterwards is
+  *     state-free. A later upsert reopens — the batch operator's
+  *     gap-reincarnation rule, driven by explicit deletes.
+  *
+  * Under this bridge, feeding the per-version diffs of a snapshot stack
+  * (added/changed → upsert, removed → delete — exactly what
+  * [[graft.ops.Versioning.snapshotDiff]] emits) reproduces the batch
+  * history row-for-row: closed runs stream out in Append mode the moment
+  * they close; the open runs ARE the `is_current` rows, held as state
+  * (spec-proven equivalence, including a terminal all-delete tick that
+  * drains state and makes the two outputs set-equal).
+  *
+  * Versions must be strictly increasing per key (a CDC feed's per-key
+  * order); an event at or below the open run's version is dropped —
+  * at-least-once delivery upstream degrades to exactly-once history.
+  *
+  * 100 TB/day shape: state is ONE (from, fp) pair per LIVE key — bytes,
+  * not history (closed runs leave the store the moment they emit; the
+  * history accumulates in the sink table, not in state). Input shuffles
+  * once on the key to its state partition; output is change-cardinality.
+  * RocksDB keeps the working set off-heap with changelog checkpointing
+  * (`spark.sql.streaming.stateStore.providerClass` must be the
+  * `RocksDBStateStoreProvider` — `transformWithState` requires it).
+  * TimeMode.None: no timers — run lifetime is driven by data, not time;
+  * a retention policy would be one `TTLConfig` argument, deliberately
+  * NOT set here because silently expiring an open run would fabricate a
+  * gap.
+  */
+object StreamingScd {
+
+  /** One CDC event. `op` ∈ upsert | delete; `fp` is the content
+    * fingerprint (ignored for deletes). */
+  case class ScdEvent(doc_id: Long, version: Long, op: String, fp: String)
+
+  /** One closed run — the Append-mode output row. Open runs are state. */
+  case class ScdRun(doc_id: Long, valid_from: Long, valid_to: Long,
+      fp: String)
+
+  /** Per-key state: the open run. */
+  case class OpenRun(from: Long, version: Long, fp: String)
+
+  private class ScdProcessor
+      extends StatefulProcessor[Long, ScdEvent, ScdRun] {
+    @transient private var run: ValueState[OpenRun] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      run = getHandle.getValueState[OpenRun](
+        "open_run", Encoders.product[OpenRun], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[ScdEvent],
+        timerValues: TimerValues): Iterator[ScdRun] = {
+      // a micro-batch may carry several ticks for one key (initial load +
+      // first diffs land together): apply in version order
+      val out = Seq.newBuilder[ScdRun]
+      rows.toSeq.sortBy(_.version).foreach { e =>
+        val open = Option(run.get())
+        if (!open.exists(_.version >= e.version)) e.op match {
+          case "upsert" =>
+            open match {
+              case None =>
+                run.update(OpenRun(e.version, e.version, e.fp))
+              case Some(o) if o.fp == e.fp => // implicit extension
+                run.update(OpenRun(o.from, e.version, o.fp))
+              case Some(o) =>
+                out += ScdRun(key, o.from, e.version - 1, o.fp)
+                run.update(OpenRun(e.version, e.version, e.fp))
+            }
+          case "delete" =>
+            open.foreach { o =>
+              out += ScdRun(key, o.from, e.version - 1, o.fp)
+              run.clear()
+            }
+          case other =>
+            throw new IllegalArgumentException(
+              s"unknown CDC op '$other' (expected upsert | delete)")
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Wire the processor onto a streaming `Dataset[ScdEvent]`. Append
+    * mode: each run row emits exactly once, when it closes. */
+  def scdMaintain(events: Dataset[ScdEvent]): Dataset[ScdRun] = {
+    require(events.isStreaming,
+      "scdMaintain is the streaming twin — pass a readStream frame " +
+        "(the batch operator is graft.ops.Versioning.scdHistory)")
+    events
+      .groupByKey(_.doc_id)(Encoders.scalaLong)
+      .transformWithState(new ScdProcessor, TimeMode.None(),
+        OutputMode.Append())(Encoders.product[ScdRun])
+  }
+}

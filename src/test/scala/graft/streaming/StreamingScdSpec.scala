@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.streaming.StreamingScd.{ScdEvent, ScdRun}
+
+/** Streaming SCD-2 maintenance (transformWithState): the CDC translation
+  * of the batch snapshot-stack operator is exact — feeding per-version
+  * diffs reproduces [[graft.ops.Versioning.scdHistory]] row-for-row —
+  * and replayed events are idempotent. */
+class StreamingScdSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def md5fp(text: String): String = {
+    val payload = if (text == null) "" else text
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(payload.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** CDC feed for a snapshot stack: v0 full load, then per-tick diffs,
+    * then a terminal all-delete tick that drains every open run. */
+  private def cdcOf(snaps: Seq[Map[Long, String]]): Seq[Seq[ScdEvent]] = {
+    val ticks = snaps.zipWithIndex.map { case (snap, v) =>
+      val prev = if (v == 0) Map.empty[Long, String] else snaps(v - 1)
+      val ups = snap.toSeq.collect {
+        case (k, txt) if !prev.get(k).contains(txt) =>
+          ScdEvent(k, v, "upsert", md5fp(txt))
+      }
+      val dels = prev.keySet.diff(snap.keySet).toSeq
+        .map(k => ScdEvent(k, v, "delete", null))
+      ups ++ dels
+    }
+    ticks :+ snaps.last.keySet.toSeq
+      .map(k => ScdEvent(k, snaps.size.toLong, "delete", null))
+  }
+
+  private def runStream(batches: Seq[Seq[ScdEvent]],
+      name: String): Seq[ScdRun] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[ScdEvent]
+      val q = StreamingScd.scdMaintain(in.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      batches.foreach { b =>
+        if (b.nonEmpty) in.addData(b)
+        q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name).as[ScdRun].collect().toSeq
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  private val v0 = Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d")
+  private val v1 = Map(1L -> "a", 2L -> "B", 4L -> "d") // 2 changed, 3 gone
+  private val v2 = Map(1L -> "a", 2L -> "B", 3L -> "c") // 3 back, 4 gone
+
+  private def batchHistory(snaps: Seq[Map[Long, String]]): Seq[ScdRun] = {
+    import spark.implicits._
+    graft.ops.Versioning.scdHistory(
+        snaps.map(_.toSeq.toDF("doc_id", "text")), "doc_id", Seq("text"))
+      .collect()
+      .map(r => ScdRun(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+      .toSeq
+  }
+
+  test("CDC replay of the snapshot stack equals the batch history") {
+    // fp contract check: single content col, non-null -> md5(text)
+    val streamed = runStream(cdcOf(Seq(v0, v1, v2)), "scd_eq")
+    assert(streamed.toSet == batchHistory(Seq(v0, v1, v2)).toSet)
+    assert(streamed.size == streamed.toSet.size, "duplicate run rows")
+  }
+
+  test("mid-stream output is exactly the closed (non-current) runs") {
+    import spark.implicits._
+    val noFinalDelete = cdcOf(Seq(v0, v1, v2)).dropRight(1)
+    val streamed = runStream(noFinalDelete, "scd_mid")
+    val closed = graft.ops.Versioning.scdHistory(
+        Seq(v0, v1, v2).map(_.toSeq.toDF("doc_id", "text")),
+        "doc_id", Seq("text"))
+      .where("NOT is_current").collect()
+      .map(r => ScdRun(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(streamed.toSet == closed)
+  }
+
+  test("replayed and stale events are dropped (at-least-once upstream)") {
+    val ticks = cdcOf(Seq(v0, v1, v2))
+    // duplicate every batch, and re-deliver batch 1 after batch 2
+    val noisy = ticks.zipWithIndex.flatMap { case (b, i) =>
+      if (i == 2) Seq(b ++ b, ticks(1)) else Seq(b ++ b)
+    }
+    val streamed = runStream(noisy, "scd_replay")
+    assert(streamed.toSet == batchHistory(Seq(v0, v1, v2)).toSet)
+    assert(streamed.size == streamed.toSet.size, "replay duplicated a run")
+  }
+
+  test("plan uses the transformWithState operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[ScdEvent]
+      val q = StreamingScd.scdMaintain(in.toDS())
+        .writeStream.format("memory").queryName("scd_plan")
+        .outputMode("append").start()
+      in.addData(Seq(ScdEvent(1L, 0L, "upsert", "f")))
+      q.processAllAvailable()
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { q.explain() }
+      assert(buf.toString.contains("TransformWithState"), buf.toString)
+      q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
