@@ -1403,6 +1403,24 @@ object SparkEntry {
     graft.ops.Versioning.scdHistory(Seq(d, v1, v2), "doc_id", cols)
   }
 
+  /** NS100 — incremental SCD-2 merge ([[graft.ops.Versioning
+    * .scdMergeTick]]): ns99's bootstrap history folded forward one tick
+    * (v3) by the O(live-keys) merge — current runs ⋈ the new snapshot's
+    * narrow fp projection, closed history passing through untouched.
+    * The oracle recomputes the FOUR-version history from scratch (the
+    * ns86 IVM proof pattern), so hash equality proves the merge algebra
+    * exact: same-fp advance, change-close at v−1, gone-close,
+    * new-open. */
+  private def ns100(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cols = Seq("text", "lang", "source", "n_chars")
+    val v1 = snapshotTick(d, cols)
+    val v2 = snapshotTick(v1, cols)
+    val v3 = snapshotTick(v2, cols)
+    val h = graft.ops.Versioning.scdHistory(Seq(d, v1, v2), "doc_id", cols)
+    graft.ops.Versioning.scdMergeTick(h, v3, 3L, "doc_id", cols)
+  }
+
   /** NS86 — incremental token-count maintenance
     * ([[graft.ops.Versioning.maintainTokenCounts]]): the ns56 snapshot
     * tick's count table updated by re-tokenizing ONLY the diff fringe
@@ -1745,6 +1763,7 @@ object SparkEntry {
     "ns97_dp_sum" -> (ns97 _),
     "ns98_bm25_retrieval" -> (ns98 _),
     "ns99_scd_history" -> (ns99 _),
+    "ns100_scd_merge" -> (ns100 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3332,6 +3351,34 @@ object SparkEntry {
          |    min(CASE WHEN run_end THEN version END) OVER (PARTITION BY doc_id ORDER BY version ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS run_end_v
          |  FROM m)
          |SELECT doc_id, version::BIGINT AS valid_from, run_end_v::BIGINT AS valid_to, fp, (run_end_v = 2) AS is_current
+         |FROM e WHERE run_start ORDER BY doc_id, valid_from""".stripMargin),
+    // ns100's oracle is the ns99 window algebra over FOUR versions — a
+    // from-scratch rebuild, so the engine's incremental merge is proven
+    // exact, not merely plausible (the ns86 IVM discipline).
+    "ns100_scd_merge" ->
+      ("""WITH v0 AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+         |v1 AS (SELECT doc_id, CASE WHEN doc_id % 37 = 0 THEN text || ' v2' ELSE text END AS text, lang, source, n_chars FROM v0 WHERE doc_id >= 20
+         |  UNION ALL SELECT doc_id + (SELECT max(doc_id) + 1 FROM v0), text, lang, source, n_chars FROM v0 WHERE doc_id < 10),
+         |v2 AS (SELECT doc_id, CASE WHEN doc_id % 37 = 0 THEN text || ' v2' ELSE text END AS text, lang, source, n_chars FROM v1 WHERE doc_id >= 20
+         |  UNION ALL SELECT doc_id + (SELECT max(doc_id) + 1 FROM v1), text, lang, source, n_chars FROM v1 WHERE doc_id < 10),
+         |v3 AS (SELECT doc_id, CASE WHEN doc_id % 37 = 0 THEN text || ' v2' ELSE text END AS text, lang, source, n_chars FROM v2 WHERE doc_id >= 20
+         |  UNION ALL SELECT doc_id + (SELECT max(doc_id) + 1 FROM v2), text, lang, source, n_chars FROM v2 WHERE doc_id < 10),
+         |u AS (
+         |  SELECT doc_id, 0 AS version, md5(concat_ws(chr(31), coalesce(text, chr(30)), coalesce(lang, chr(30)), coalesce(source, chr(30)), coalesce(n_chars::VARCHAR, chr(30)))) AS fp FROM v0
+         |  UNION ALL
+         |  SELECT doc_id, 1, md5(concat_ws(chr(31), coalesce(text, chr(30)), coalesce(lang, chr(30)), coalesce(source, chr(30)), coalesce(n_chars::VARCHAR, chr(30)))) FROM v1
+         |  UNION ALL
+         |  SELECT doc_id, 2, md5(concat_ws(chr(31), coalesce(text, chr(30)), coalesce(lang, chr(30)), coalesce(source, chr(30)), coalesce(n_chars::VARCHAR, chr(30)))) FROM v2
+         |  UNION ALL
+         |  SELECT doc_id, 3, md5(concat_ws(chr(31), coalesce(text, chr(30)), coalesce(lang, chr(30)), coalesce(source, chr(30)), coalesce(n_chars::VARCHAR, chr(30)))) FROM v3),
+         |m AS (SELECT doc_id, version, fp,
+         |    (lag(version) OVER w IS NULL OR lag(version) OVER w <> version - 1 OR lag(fp) OVER w <> fp) AS run_start,
+         |    (lead(version) OVER w IS NULL OR lead(version) OVER w <> version + 1 OR lead(fp) OVER w <> fp) AS run_end
+         |  FROM u WINDOW w AS (PARTITION BY doc_id ORDER BY version)),
+         |e AS (SELECT doc_id, version, fp, run_start,
+         |    min(CASE WHEN run_end THEN version END) OVER (PARTITION BY doc_id ORDER BY version ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS run_end_v
+         |  FROM m)
+         |SELECT doc_id, version::BIGINT AS valid_from, run_end_v::BIGINT AS valid_to, fp, (run_end_v = 3) AS is_current
          |FROM e WHERE run_start ORDER BY doc_id, valid_from""".stripMargin),
   )
 }

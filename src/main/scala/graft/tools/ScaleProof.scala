@@ -302,7 +302,11 @@ object ScaleProof {
       // ns99: three narrow (key, version, fp) projections + ONE key-hash
       // window — run detection is lag/lead + a conditional min over the
       // following frame on the SAME sort; output is run-cardinality
-      "ns99_scd_history")
+      "ns99_scd_history",
+      // ns100: the steady-state merge — current runs ⋈ narrow snapshot
+      // fps (one key exchange), closed history unioned through untouched;
+      // per-tick work is live-key cardinality, not stack size
+      "ns100_scd_merge")
     // ns81 scales as the CLUSTER-RESOLVE deployment shape, not raw pairs:
     // the copy-tagged synthetic corpus puts every same-copy doc behind the
     // same `c{k}x` word prefixes, so stride hashes form GENUINE giant

@@ -46,6 +46,50 @@ class ScdHistorySpec extends AnyFunSuite {
       Seq((1L, 0L, 0L, false), (1L, 1L, 1L, true)))
   }
 
+  private def mergeOf(stack: Seq[Seq[(Long, String)]]) = {
+    val dfs = stack.map(_.toDF("doc_id", "text"))
+    Versioning.scdMergeTick(
+        Versioning.scdHistory(dfs.init, "doc_id", Seq("text")),
+        dfs.last, (stack.size - 1).toLong, "doc_id", Seq("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+      .toSeq.sorted
+  }
+
+  private def rebuildOf(stack: Seq[Seq[(Long, String)]]) =
+    Versioning.scdHistory(
+        stack.map(_.toDF("doc_id", "text")), "doc_id", Seq("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+      .toSeq.sorted
+
+  test("merge tick equals the from-scratch rebuild (all four algebra arms)") {
+    val v0 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+    val v1 = Seq((1L, "a"), (2L, "B"), (4L, "d"))
+    // tick v2 exercises: 1 same-fp advance, 2 change-close+open,
+    // 4 gone-close, 3 reappearance-open, 9 brand-new-open
+    val v2 = Seq((1L, "a"), (2L, "Z"), (3L, "c"), (9L, "n"))
+    assert(mergeOf(Seq(v0, v1, v2)) == rebuildOf(Seq(v0, v1, v2)))
+  }
+
+  test("merge leaves closed history untouched and chains over ticks") {
+    val v0 = Seq((1L, "a"), (2L, "b"))
+    val v1 = Seq((1L, "A"), (2L, "b"))
+    val v2 = Seq((2L, "b"))
+    val v3 = Seq((1L, "x"), (2L, "b"))
+    // two consecutive merges off the v0..v1 bootstrap == full rebuild
+    val dfs = Seq(v0, v1, v2, v3).map(_.toDF("doc_id", "text"))
+    val chained = Versioning.scdMergeTick(
+        Versioning.scdMergeTick(
+          Versioning.scdHistory(dfs.take(2), "doc_id", Seq("text")),
+          dfs(2), 2L, "doc_id", Seq("text")),
+        dfs(3), 3L, "doc_id", Seq("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+      .toSeq.sorted
+    assert(chained == rebuildOf(Seq(v0, v1, v2, v3)))
+  }
+
   test("single exchange: exactly one shuffle in the physical plan") {
     val snaps = Seq(Seq((1L, "a")), Seq((1L, "a")), Seq((1L, "b")))
     val df = Versioning.scdHistory(
