@@ -1421,6 +1421,48 @@ object SparkEntry {
     graft.ops.Versioning.scdMergeTick(h, v3, 3L, "doc_id", cols)
   }
 
+  /** NS101 — VARIANT semi-structured extraction ([[graft.sources
+    * .Variants.extractTyped]]): Spark 4's schema-on-read leg beside
+    * ns94's schema-declared JSONL. Deterministic nested JSON payloads
+    * (object-in-object, numeric stats, an array) built from the
+    * documents table, with ns94's truncation injection (`doc_id % 41`)
+    * landing mid-string so BOTH parsers must judge the tail invalid;
+    * `try_parse_json` parses ONCE into the binary variant encoding and
+    * five `try_variant_get` path walks extract typed fields (plus one
+    * deliberately-missing path that must be NULL everywhere). The
+    * oracle rebuilds the identical payload bytes and extracts with
+    * DuckDB's JSON path functions — parser, validity judgment, and
+    * every typed cast inside the hash gate. */
+  private def ns101(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Variants.PathSpec
+    val d = docs(s, dir)
+    val langJson = when(col("lang").isNull, lit("null"))
+      .otherwise(concat(lit("\""), col("lang"), lit("\"")))
+    val json0 = concat(
+      lit("{\"doc\":{\"lang\":"), langJson,
+      lit(",\"source\":\""), col("source"),
+      lit("\"},\"stats\":{\"chars\":"), col("n_chars").cast("string"),
+      lit(",\"words\":"),
+      size(split(col("text"), " ")).cast("string"),
+      lit("},\"tags\":[\"t"), (col("doc_id") % 5).cast("string"),
+      lit("\",\"x\"]}"))
+    val built = d.select(col("doc_id"), json0.as("j"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 41 === 0,
+          expr("substring(j, 1, length(j) - 7)")).otherwise(col("j"))
+          .as("j"))
+    graft.sources.Variants.extractTyped(built, "j", Seq(
+        PathSpec("j_lang", "$.doc.lang", "string"),
+        PathSpec("j_source", "$.doc.source", "string"),
+        PathSpec("j_chars", "$.stats.chars", "long"),
+        PathSpec("j_words", "$.stats.words", "long"),
+        PathSpec("j_tag0", "$.tags[0]", "string"),
+        PathSpec("j_title", "$.doc.title", "string")))
+      .select(col("doc_id"), col("ok"), col("j_lang"), col("j_source"),
+        col("j_chars"), col("j_words"), col("j_tag0"), col("j_title"))
+      .orderBy(col("doc_id"))
+  }
+
   /** NS86 — incremental token-count maintenance
     * ([[graft.ops.Versioning.maintainTokenCounts]]): the ns56 snapshot
     * tick's count table updated by re-tokenizing ONLY the diff fringe
@@ -1764,6 +1806,7 @@ object SparkEntry {
     "ns98_bm25_retrieval" -> (ns98 _),
     "ns99_scd_history" -> (ns99 _),
     "ns100_scd_merge" -> (ns100 _),
+    "ns101_variant_ingest" -> (ns101 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3380,5 +3423,25 @@ object SparkEntry {
          |  FROM m)
          |SELECT doc_id, version::BIGINT AS valid_from, run_end_v::BIGINT AS valid_to, fp, (run_end_v = 3) AS is_current
          |FROM e WHERE run_start ORDER BY doc_id, valid_from""".stripMargin),
+    // ns101 rebuilds the identical payload bytes, then extracts with
+    // DuckDB's JSON path functions — json_valid must agree with
+    // try_parse_json on every injected truncation, and each typed cast
+    // must agree with the variant path walk.
+    "ns101_variant_ingest" ->
+      ("""WITH b AS (SELECT doc_id,
+         |    '{"doc":{"lang":' || CASE WHEN lang IS NULL THEN 'null' ELSE '"' || lang || '"' END ||
+         |    ',"source":"' || source || '"},"stats":{"chars":' || n_chars::VARCHAR ||
+         |    ',"words":' || len(string_split(text, ' '))::VARCHAR ||
+         |    '},"tags":["t' || (doc_id % 5)::VARCHAR || '","x"]}' AS j
+         |  FROM documents),
+         |t AS (SELECT doc_id, CASE WHEN doc_id % 41 = 0 THEN substr(j, 1, length(j) - 7) ELSE j END AS j FROM b)
+         |SELECT doc_id, coalesce(json_valid(j), false) AS ok,
+         |  CASE WHEN json_valid(j) THEN json_extract_string(j, '$.doc.lang') END AS j_lang,
+         |  CASE WHEN json_valid(j) THEN json_extract_string(j, '$.doc.source') END AS j_source,
+         |  CASE WHEN json_valid(j) THEN TRY_CAST(json_extract(j, '$.stats.chars') AS BIGINT) END AS j_chars,
+         |  CASE WHEN json_valid(j) THEN TRY_CAST(json_extract(j, '$.stats.words') AS BIGINT) END AS j_words,
+         |  CASE WHEN json_valid(j) THEN json_extract_string(j, '$.tags[0]') END AS j_tag0,
+         |  CASE WHEN json_valid(j) THEN json_extract_string(j, '$.doc.title') END AS j_title
+         |FROM t ORDER BY doc_id""".stripMargin),
   )
 }

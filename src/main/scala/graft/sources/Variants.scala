@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Semi-structured ingestion on Spark 4's VARIANT type — the
+  * schema-on-read leg beside [[JsonLines]]'s schema-declared one.
+  *
+  * Why VARIANT and not `get_json_object`/`json_tuple`: those re-parse the
+  * JSON TEXT once per extraction call; `parse_json` parses ONCE per row
+  * into the binary variant encoding, and every `variant_get` afterwards
+  * is a cheap binary path walk (Spark's replacement for repeated text
+  * parsing — the difference between 1× and k× parse cost for k extracted
+  * paths at 100 TB). The parse and every extraction are codegen'd
+  * projections: zero shuffle, fused into the scan stage.
+  *
+  * Malformed-input policy mirrors [[JsonLines.readJsonl]]: `try_parse_json`
+  * maps corrupt text to a NULL variant instead of failing the job; rows
+  * keep their identity, so bad payloads stay observable, countable, and
+  * quarantinable — at crawl scale malformed JSON is data, not an error.
+  */
+object Variants {
+
+  /** One extraction: output column name, variant path (`$.a.b[0]`),
+    * Spark SQL type name (`string` | `long` | `double` | ...). */
+  case class PathSpec(name: String, path: String, dataType: String)
+
+  /** Parse `jsonCol` once into a variant, then extract each typed path
+    * with `try_variant_get` (NULL on missing path or failed cast — the
+    * total-function discipline every downstream filter can rely on).
+    * Adds `ok`: whether the payload parsed at all. Input columns pass
+    * through; the variant itself is dropped from the output (it is a
+    * working encoding, not a deliverable). */
+  def extractTyped(df: DataFrame, jsonCol: String,
+      paths: Seq[PathSpec]): DataFrame = {
+    require(paths.nonEmpty, "paths must be non-empty")
+    require(paths.map(_.name).distinct.size == paths.size,
+      "duplicate output column names in paths")
+    val v = try_parse_json(col(jsonCol))
+    val withV = df.withColumn("__v", v)
+    val extracted = paths.foldLeft(withV) { (acc, p) =>
+      acc.withColumn(p.name, try_variant_get(col("__v"), p.path, p.dataType))
+    }
+    extracted
+      .withColumn("ok", col("__v").isNotNull)
+      .drop("__v")
+  }
+}

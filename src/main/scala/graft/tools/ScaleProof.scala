@@ -389,6 +389,17 @@ object ScaleProof {
             lit(" order 1234567890123456 end ")).as("text")))
         .agg(sum(col("n_redacted")).as("n_redacted"),
           sum(length(col("text"))).as("total_chars"))
+    // ns101 is projection-only: count() over the registered query prunes
+    // the whole variant parse and times a parquet row count. The forced
+    // variant aggregates over every extracted column — the parse and all
+    // six path walks are load-bearing for the result.
+    def ns101Forced(dir: String): DataFrame =
+      graft.SparkEntry.queries("ns101_variant_ingest")(spark, dir)
+        .agg(sum(col("j_chars")).as("chars"),
+          sum(col("j_words")).as("words"),
+          count(when(!col("ok"), 1)).as("n_corrupt"),
+          count(col("j_tag0")).as("n_tags"))
+
     def ns63Forced(dir: String): DataFrame =
       graft.ops.TextAnalysis.extractHtml(
         spark.read.parquet(s"$dir/documents.parquet")
@@ -481,10 +492,11 @@ object ScaleProof {
           "ns55_bloom_scaledBits" -> (ns55Scaled _),
           "ns16_longchain" -> (longChain _),
           "ns81_phash_clusters" -> (ns81Clusters _),
-          "ns90_wav_clusters" -> (ns90Clusters _))
+          "ns90_wav_clusters" -> (ns90Clusters _),
+          "ns101_variant_forced" -> (ns101Forced _))
     // ungrouped-aggregate entries: see measure() — count() would fold to 1
     val aggForced = Set("ns63_html_forced", "ns66_luhn_forced",
-      "ns68_lines_forced",
+      "ns68_lines_forced", "ns101_variant_forced",
       // single-row join of two ungrouped aggregates: count() folds to 1
       "ns76_dataset_card")
     // SPARK_GRAFT_SCALE_ONLY=name,name isolates entries for iteration
