@@ -1463,6 +1463,63 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** NS102 — SFT sample assembly ([[graft.ops.Assembly
+    * .assembleSamples]]): the event log rendered into token-budgeted
+    * training-text records — sessionize at the ns25 8-hour gap, one
+    * `event_type=centivalue` turn line per event in (ts, event_id)
+    * order, prefix-truncate each conversation at 12 tokens cumulative
+    * (`length DIV 4 + 1` costing), join survivors with `\n`. ONE
+    * user_id exchange serves session window, budget window, and the
+    * assembly groupBy; per-sample state is budget-bounded by
+    * construction. The oracle replays the whole chain with
+    * `string_agg(... ORDER BY ts, event_id)` — the assembled STRING is
+    * inside the hash gate, not just the counts. */
+  private def ns102(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Assembly.assembleSamples(
+        graft.ops.Events.tsMicros(Tables.load(s, dir, "events")),
+        gap = 28800L * 1000000L, tokenBudget = 12L)
+      .orderBy("user_id", "session_idx")
+
+  /** NS103 — majority-vote label resolution ([[graft.ops.Annotation
+    * .resolveLabels]]): five deterministic synthetic annotators per
+    * document (md5-derived — annotator k flips the true `lang` label to
+    * a synthetic `altN` 20% of the time, the noisy-rater model of
+    * preference-data pipelines), resolved to one gold label per doc
+    * with the explicit lexicographic tie policy. Both the vote
+    * synthesis and the resolution replay in the oracle, so the
+    * tie-break itself is hash-gated. */
+  private def ns103(s: SparkSession, dir: String): DataFrame = {
+    val votes = docs(s, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("k", explode(sequence(lit(1), lit(5))))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(CAST(concat('vote:', CAST(doc_id AS STRING)" +
+          ", ':', CAST(k AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("vote_label", expr(
+        "CASE WHEN h % 10 < 2 THEN concat('alt', CAST(h DIV 10 % 3 AS STRING))" +
+          " ELSE lang END"))
+    graft.ops.Annotation.resolveLabels(votes, "doc_id", "vote_label")
+      .orderBy("doc_id")
+  }
+
+  /** NS104 — leakage-safe fold assignment ([[graft.ops.Sampling
+    * .leakSafeFolds]]): content-keyed 10-fold split where every exact
+    * duplicate of a document lands in the same fold — the
+    * train/eval-contamination guard a row-hash split cannot give a
+    * corpus that still contains duplicates. The testdata corpus is
+    * all-distinct, so every seventh document is re-keyed and unioned
+    * back (the duplicate-amplification move of the dedup family) —
+    * those twins MUST land in the twin's fold, and `group_size`
+    * carries the invariant into the hash gate row-by-row.
+    * Digest-before-exchange: text never shuffles. */
+  private def ns104(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val twins = d.where(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    graft.ops.Sampling.leakSafeFolds(d.unionByName(twins), "text", folds = 10)
+      .orderBy("doc_id")
+  }
+
   /** NS86 — incremental token-count maintenance
     * ([[graft.ops.Versioning.maintainTokenCounts]]): the ns56 snapshot
     * tick's count table updated by re-tokenizing ONLY the diff fringe
@@ -1807,6 +1864,9 @@ object SparkEntry {
     "ns99_scd_history" -> (ns99 _),
     "ns100_scd_merge" -> (ns100 _),
     "ns101_variant_ingest" -> (ns101 _),
+    "ns102_sft_assembly" -> (ns102 _),
+    "ns103_label_vote" -> (ns103 _),
+    "ns104_leak_folds" -> (ns104 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3443,5 +3503,55 @@ object SparkEntry {
          |  CASE WHEN json_valid(j) THEN json_extract_string(j, '$.tags[0]') END AS j_tag0,
          |  CASE WHEN json_valid(j) THEN json_extract_string(j, '$.doc.title') END AS j_title
          |FROM t ORDER BY doc_id""".stripMargin),
+    // ns102: the assembled sample STRING is hash-gated — string_agg with
+    // an explicit ORDER BY replays the (ts, event_id) total order; both
+    // engines render value as exact centi-units through the same IEEE
+    // multiply-then-floor, and NULL values hit the -1 sentinel BEFORE
+    // concat (DuckDB's concat() skips NULLs, Spark's propagates — the
+    // sentinel keeps NULL semantics out of the comparison entirely).
+    "ns102_sft_assembly" ->
+      ("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts,
+         |    event_type || '=' || CAST(coalesce(floor(value * 100), -1) AS BIGINT)::VARCHAR AS turn_text
+         |  FROM events),
+         |n AS (SELECT *, length(turn_text) // 4 + 1 AS n_tokens FROM e),
+         |l AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > 28800000000 THEN 1 ELSE 0 END AS is_new
+         |  FROM n WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sx AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM l),
+         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY user_id, session_idx ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS cum FROM sx)
+         |SELECT user_id, session_idx::BIGINT AS session_idx, count(*) AS n_turns,
+         |  max(cum)::BIGINT AS total_tokens,
+         |  string_agg(turn_text, chr(10) ORDER BY ts, event_id) AS sample_text
+         |FROM c WHERE cum <= 12 GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin),
+    // ns103: vote synthesis AND resolution replay — the md5-derived
+    // annotator noise is the suite-wide hash60 convention, and the
+    // lexicographic tie policy is inside the hash gate (row_number
+    // ORDER BY votes DESC, label ASC on both sides).
+    "ns103_label_vote" ->
+      ("""WITH v AS (SELECT doc_id, lang, k FROM documents
+         |    CROSS JOIN (SELECT unnest(range(1, 6)) AS k) r),
+         |h AS (SELECT doc_id, lang,
+         |    ('0x' || substr(md5('vote:' || doc_id || ':' || k), 1, 15))::BIGINT AS h FROM v),
+         |lab AS (SELECT doc_id,
+         |    CASE WHEN h % 10 < 2 THEN 'alt' || (h // 10 % 3)::VARCHAR ELSE lang END AS vote_label FROM h),
+         |c AS (SELECT doc_id, coalesce(vote_label, chr(30)) AS l, count(*) AS votes FROM lab GROUP BY 1, 2),
+         |r AS (SELECT doc_id, l, votes,
+         |    sum(votes) OVER (PARTITION BY doc_id) AS n_votes,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY votes DESC, l ASC) AS rk FROM c)
+         |SELECT doc_id, CASE WHEN l = chr(30) THEN NULL ELSE l END AS winner_label,
+         |  votes, n_votes::BIGINT AS n_votes, votes = n_votes AS is_unanimous
+         |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin),
+    // ns104: md5(text) group digest + the hash60 fold bucket of the
+    // digest — both pure string/hash math DuckDB replays exactly; NULL
+    // text digests via the chr(30) sentinel.
+    "ns104_leak_folds" ->
+      ("""WITH d AS (SELECT doc_id, text FROM documents
+         |    UNION ALL
+         |    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+         |g AS (SELECT doc_id, md5(coalesce(text, chr(30))) AS dup_group FROM d)
+         |SELECT doc_id, dup_group,
+         |  count(*) OVER (PARTITION BY dup_group) AS group_size,
+         |  ('0x' || substr(md5('fold:' || dup_group), 1, 15))::BIGINT % 10 AS fold
+         |FROM g ORDER BY doc_id""".stripMargin),
   )
 }

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Annotation aggregation for labeled training data — resolving N noisy
+  * per-item labels (human raters, LLM judges, weak-supervision rules)
+  * into one gold label per item with a deterministic tie policy. The
+  * standard front door of preference/RLHF and classifier-distillation
+  * pipelines: raw annotations are per-(item, annotator); training wants
+  * per-item. North-star extension (reference scope: klepto `pkg/query`
+  * subsets rows, no aggregation surface).
+  */
+object Annotation {
+
+  /** N1 — majority-vote label resolution: per item, count votes per
+    * distinct label and release the modal label; ties break
+    * deterministically to the lexicographically smallest tied label —
+    * an explicit, replayable policy (Spark's and DuckDB's `mode()` both
+    * leave ties unspecified, which is exactly the nondeterminism a
+    * training corpus cannot absorb).
+    *
+    * Input: one row per (itemCol, labelCol) vote. Output: one row per
+    * item — `winner_label`, its `votes`, `n_votes` total, and
+    * `is_unanimous`. NULL labels vote as their own label value via the
+    * suite's U+001E NULL sentinel (the [[Privacy]] convention), then
+    * release as NULL again — a NULL-labeled majority is an honest
+    * outcome, not a dropped row.
+    *
+    * Scale shape: two narrow aggregations. The first exchange carries
+    * (item, label) pairs — the raw vote volume, hash-partitioned, with
+    * map-side partial counts. The second (the per-item window + filter)
+    * re-keys by item alone over the COUNTED frame, whose cardinality is
+    * items × distinct-labels-per-item (bounded by the annotator count,
+    * typically ≤ 10), not votes — at 100 TB of annotations the second
+    * exchange moves a table ~annotator-fold smaller than the first.
+    * No collect, no skew hazard beyond a single item's label count. */
+  def resolveLabels(
+      votes: DataFrame, itemCol: String, labelCol: String): DataFrame = {
+    val sentinel = "\u001e"
+    val counted = votes
+      .select(col(itemCol),
+        coalesce(col(labelCol).cast("string"), lit(sentinel)).as("__label"))
+      .groupBy(col(itemCol), col("__label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(itemCol)
+    val rank = Window.partitionBy(itemCol)
+      .orderBy(col("votes").desc, col("__label").asc)
+    counted
+      .withColumn("n_votes", sum(col("votes")).over(w))
+      .withColumn("__rk", row_number().over(rank))
+      .where(col("__rk") === 1)
+      .select(col(itemCol),
+        when(col("__label") === sentinel, lit(null).cast("string"))
+          .otherwise(col("__label")).as("winner_label"),
+        col("votes"), col("n_votes"),
+        (col("votes") === col("n_votes")).as("is_unanimous"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-sample assembly: turn per-user interaction logs into ordered,
+  * token-budgeted SFT text records — the last hop of a chat/agent-log
+  * pipeline, where event streams become the literal strings a trainer
+  * reads. North-star extension beside [[Events.sessionize]] (reference
+  * scope ends at row subsetting: klepto `pkg/query` has no ordered
+  * aggregation surface at all).
+  *
+  * Everything is deterministic by total order (ts, event_id) — the
+  * [[Events.sessionize]] contract — because the assembled string IS the
+  * training artifact: a retry that reorders two same-timestamp turns
+  * would silently produce a different corpus. The token costing is
+  * exact-integer (`length DIV 4 + 1`), the suite's chars-per-token
+  * heuristic from sequence packing ([[Sampling.packSequences]]).
+  */
+object Assembly {
+
+  /** A1 — conversation assembly: split each user's event stream into
+    * conversations at `gap` silences (the sessionize rule), render each
+    * event as one turn line `event_type=centivalue`, truncate every
+    * conversation to its prefix of turns whose cumulative token cost
+    * stays within `tokenBudget`, and emit one training-sample row per
+    * surviving conversation with the ordered turn lines joined by `\n`.
+    *
+    * Truncation is PREFIX truncation in event-time order — the standard
+    * context-window fit rule (keep the conversation head, drop the
+    * tail); a conversation whose first turn alone exceeds the budget
+    * vanishes entirely rather than emitting an empty sample.
+    *
+    * `value` is rendered as exact centi-units (`floor(value*100)` as a
+    * BIGINT — both engines run the identical IEEE multiply-then-floor,
+    * so the string is replayable bit-for-bit) and NULL values render as
+    * the explicit `-1` sentinel BEFORE concat — never relying on
+    * engine-specific NULL-concat semantics (Spark's concat propagates
+    * NULL, DuckDB's concat() skips NULLs; a NULL reaching concat would
+    * diverge silently).
+    *
+    * Scale shape: ONE exchange (hash by user_id) serves the session
+    * window, the budget window, AND the final assembly groupBy — the
+    * budget window partitions by (user_id, session_idx), which
+    * HashPartitioning(user_id) already satisfies (same-key rows are
+    * co-located; only an in-partition re-sort is added), and the
+    * groupBy likewise reuses the clustering. Per-conversation state is
+    * bounded by the token budget itself: the collect_list holds at most
+    * `tokenBudget` tokens of text per group BY CONSTRUCTION — the
+    * budget filter runs before assembly, so a hub user's million-event
+    * session contributes a bounded sample, not a bounded-by-data blob.
+    * Expects `ts` already normalized to micros ([[Events.tsMicros]]).
+    */
+  def assembleSamples(
+      events: DataFrame, gap: Long, tokenBudget: Long): DataFrame = {
+    require(gap > 0, "gap must be positive")
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val conv = Window.partitionBy("user_id", "session_idx")
+      .orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("ts"), 1).over(order)
+    val centi = coalesce(
+      floor(col("value") * lit(100.0)).cast("long"), lit(-1L))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        concat(col("event_type"), lit("="), centi.cast("string"))
+          .as("turn_text"))
+      .withColumn("n_tokens",
+        expr("length(turn_text) DIV 4 + 1").cast("long"))
+      .withColumn("is_new",
+        when(prev.isNull || col("ts") - prev > gap, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(run))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(conv))
+      .where(col("cum_tokens") <= tokenBudget)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        max(col("cum_tokens")).as("total_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col("ts"), col("event_id"), col("turn_text")))),
+            t => t.getField("turn_text")),
+          "\n").as("sample_text"))
+  }
+}

@@ -321,4 +321,38 @@ object Sampling {
       16, 10).cast("long")
     df.where(u32 * sCol < lit(4294967296L) * lit(sMin)).orderBy(col(keyCol))
   }
+
+  /** C6 — leakage-safe fold assignment: every member of a duplicate
+    * group lands in the SAME fold, so a train/eval split can never put
+    * one copy of a document in train and its twin in test — the
+    * contamination mode a row-hash split ([[splitCorpus]]'s per-doc
+    * buckets) cannot prevent once a corpus contains duplicates, and the
+    * reason eval suites built from row-level splits overstate quality.
+    * The group key is the exact-content digest (md5 of `textCol` — the
+    * [[Dedup.exactDedup]] identity); the fold is the 60-bit md5 bucket
+    * of the DIGEST (domain-tagged), so fold membership depends only on
+    * content, never on doc ids, row order, or partitioning.
+    *
+    * Output: one row per input row — key, `dup_group` (the 32-hex
+    * digest), `group_size` (how many rows share the content, so the
+    * same-group⇒same-fold invariant is auditable downstream), `fold`
+    * in [0, folds). NULL text forms its own group via the U+001E
+    * sentinel digest.
+    *
+    * Scale shape: digest-before-exchange — the md5 projects in the scan
+    * stage and ONE exchange keyed by the 16-byte digest feeds the
+    * group_size window; the document text itself never shuffles. Skew
+    * is bounded by the largest duplicate class (a count, not a blob
+    * concat); fold math is a codegen projection. */
+  def leakSafeFolds(
+      df: DataFrame, textCol: String, folds: Int,
+      keyCol: String = "doc_id"): DataFrame = {
+    require(folds > 0, "folds must be positive")
+    val g = md5(coalesce(col(textCol), lit("\u001e")).cast("binary"))
+    val w = Window.partitionBy("dup_group")
+    df.select(col(keyCol), g.as("dup_group"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("fold",
+        hash60Col(concat(lit("fold:"), col("dup_group"))) % folds)
+  }
 }

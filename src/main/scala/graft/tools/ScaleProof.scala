@@ -306,7 +306,15 @@ object ScaleProof {
       // ns100: the steady-state merge — current runs ⋈ narrow snapshot
       // fps (one key exchange), closed history unioned through untouched;
       // per-tick work is live-key cardinality, not stack size
-      "ns100_scd_merge")
+      "ns100_scd_merge",
+      // ns102: ONE user_id exchange serves session window, budget window,
+      // and assembly groupBy; per-sample state budget-bounded by the
+      // pre-assembly filter — count() cannot prune the string_agg chain
+      "ns102_sft_assembly",
+      // ns103: (item,label) agg then an item-keyed window over the
+      // counted frame — the second exchange is annotator-fold smaller;
+      // count() cannot prune (group membership needs both exchanges)
+      "ns103_label_vote")
     // ns81 scales as the CLUSTER-RESOLVE deployment shape, not raw pairs:
     // the copy-tagged synthetic corpus puts every same-copy doc behind the
     // same `c{k}x` word prefixes, so stride hashes form GENUINE giant
@@ -399,6 +407,23 @@ object ScaleProof {
           sum(col("j_words")).as("words"),
           count(when(!col("ok"), 1)).as("n_corrupt"),
           count(col("j_tag0")).as("n_tags"))
+    // ns102 under count() keeps both windows and the budget filter
+    // (group membership depends on them) but prunes the collect_list/
+    // array_join assembly — the forced leg prices the string build too
+    def ns102Forced(dir: String): DataFrame =
+      graft.SparkEntry.queries("ns102_sft_assembly")(spark, dir)
+        .agg(sum(length(col("sample_text"))).as("sample_chars"),
+          sum(col("total_tokens")).as("tokens"),
+          sum(col("n_turns")).as("turns"))
+    // ns104's registered query is projection+window-only: count() prunes
+    // the digest AND the group_size window down to a parquet row count.
+    // The forced leg aggregates over fold and group_size, which cannot
+    // be computed without the md5 projection and the digest-keyed window
+    def ns104Forced(dir: String): DataFrame =
+      graft.SparkEntry.queries("ns104_leak_folds")(spark, dir)
+        .agg(sum(col("fold")).as("fold_sum"),
+          sum(col("group_size")).as("size_sum"),
+          count(when(col("group_size") > 1, 1)).as("n_dup_rows"))
 
     def ns63Forced(dir: String): DataFrame =
       graft.ops.TextAnalysis.extractHtml(
@@ -493,10 +518,13 @@ object ScaleProof {
           "ns16_longchain" -> (longChain _),
           "ns81_phash_clusters" -> (ns81Clusters _),
           "ns90_wav_clusters" -> (ns90Clusters _),
-          "ns101_variant_forced" -> (ns101Forced _))
+          "ns101_variant_forced" -> (ns101Forced _),
+          "ns102_assembly_forced" -> (ns102Forced _),
+          "ns104_folds_forced" -> (ns104Forced _))
     // ungrouped-aggregate entries: see measure() — count() would fold to 1
     val aggForced = Set("ns63_html_forced", "ns66_luhn_forced",
       "ns68_lines_forced", "ns101_variant_forced",
+      "ns102_assembly_forced", "ns104_folds_forced",
       // single-row join of two ungrouped aggregates: count() folds to 1
       "ns76_dataset_card")
     // SPARK_GRAFT_SCALE_ONLY=name,name isolates entries for iteration

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Training-sample assembly (ns102), majority-vote label resolution
+  * (ns103), and leakage-safe fold assignment (ns104): ordering, budget,
+  * tie-break, and same-group⇒same-fold invariants. */
+class AssemblySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- ns102
+
+  private def ev(rows: (Long, Long, Long, String, java.lang.Double)*) =
+    rows.toDF("user_id", "event_id", "ts", "event_type", "value")
+
+  test("assembleSamples renders turns in (ts, event_id) order with exact centi-values") {
+    // same-ts tie (events 2 and 3) must break on event_id
+    val out = Assembly.assembleSamples(
+      ev((1L, 1L, 100L, "view", 3.37), (1L, 3L, 200L, "click", 0.01),
+        (1L, 2L, 200L, "buy", 1.999)),
+      gap = 1000L, tokenBudget = 1000L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_turns") == 3)
+    // exact IEEE: 3.37*100 = 337.00000000000006 -> 337; 1.999*100 =
+    // 199.89999... -> 199 — both engines run the identical multiply+floor
+    assert(r.getAs[String]("sample_text") == "view=337\nbuy=199\nclick=1")
+  }
+
+  test("assembleSamples splits conversations at the gap and truncates at the budget prefix") {
+    val rows = (1L to 6L).map(i => (7L, i, i * 10L, "e", Double.box(1.0))) ++
+      Seq((7L, 9L, 10000L, "late", Double.box(2.0)))
+    // turn "e=100" = 5 chars -> 5 DIV 4 + 1 = 2 tokens; budget 5 keeps 2 turns
+    val out = Assembly.assembleSamples(ev(rows: _*), gap = 100L, tokenBudget = 5L)
+      .orderBy("session_idx").collect()
+    assert(out.length == 2) // gap 100 splits before ts=10000
+    assert(out(0).getAs[Long]("n_turns") == 2) // prefix truncation: 2 of 6
+    assert(out(0).getAs[Long]("total_tokens") == 4L)
+    assert(out(0).getAs[String]("sample_text") == "e=100\ne=100")
+    assert(out(1).getAs[String]("sample_text") == "late=200")
+  }
+
+  test("assembleSamples drops a conversation whose first turn exceeds the budget; NULL value renders -1") {
+    val out = Assembly.assembleSamples(
+      ev((1L, 1L, 0L, "averylongeventtypename", 1.0), // 25 chars -> 7 tokens
+        (2L, 2L, 0L, "n", null)),
+      gap = 10L, tokenBudget = 2L).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("sample_text") == "n=-1")
+  }
+
+  // ---------------------------------------------------------------- ns103
+
+  private def votes(rows: (Long, String)*) = rows.toDF("item", "label")
+
+  test("resolveLabels picks the modal label; ties break to the lexicographically smallest") {
+    val out = Annotation.resolveLabels(
+      votes((1L, "b"), (1L, "b"), (1L, "a"),
+        (2L, "z"), (2L, "a"), (2L, "z"), (2L, "a")),
+      "item", "label").orderBy("item").collect()
+    assert(out(0).getAs[String]("winner_label") == "b")
+    assert(out(0).getAs[Long]("votes") == 2 && out(0).getAs[Long]("n_votes") == 3)
+    assert(!out(0).getAs[Boolean]("is_unanimous"))
+    // 2-2 tie: 'a' < 'z'
+    assert(out(1).getAs[String]("winner_label") == "a")
+  }
+
+  test("resolveLabels: unanimous flag, and NULL labels vote as a real label and release as NULL") {
+    val out = Annotation.resolveLabels(
+      votes((1L, "x"), (1L, "x"),
+        (2L, null), (2L, null), (2L, "y")),
+      "item", "label").orderBy("item").collect()
+    assert(out(0).getAs[Boolean]("is_unanimous"))
+    assert(out(1).getAs[String]("winner_label") == null)
+    assert(out(1).getAs[Long]("votes") == 2)
+  }
+
+  // ---------------------------------------------------------------- ns104
+
+  test("leakSafeFolds: identical text ⇒ identical fold, independent of doc ids; folds in range") {
+    val d = Seq((1L, "alpha"), (2L, "beta"), (900001L, "alpha"),
+      (4L, "gamma"), (5L, "alpha"), (6L, null: String), (7L, null: String))
+      .toDF("doc_id", "text")
+    val out = Sampling.leakSafeFolds(d, "text", folds = 10).collect()
+    val byGroup = out.groupBy(_.getAs[String]("dup_group"))
+    assert(byGroup.size == 4) // alpha, beta, gamma, null-sentinel
+    byGroup.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("fold")).distinct.length == 1)
+      assert(rows.forall(_.getAs[Long]("group_size") == rows.length))
+    }
+    assert(out.forall(r => r.getAs[Long]("fold") >= 0 && r.getAs[Long]("fold") < 10))
+    val alpha = out.filter(_.getAs[Long]("doc_id") == 1L).head
+    assert(alpha.getAs[Long]("group_size") == 3)
+  }
+
+  test("leakSafeFolds fold depends only on content: stable under re-keying and repartitioning") {
+    val a = Seq((1L, "same text")).toDF("doc_id", "text")
+    val b = Seq((99L, "same text")).toDF("doc_id", "text").repartition(7)
+    val fa = Sampling.leakSafeFolds(a, "text", 10).head.getAs[Long]("fold")
+    val fb = Sampling.leakSafeFolds(b, "text", 10).head.getAs[Long]("fold")
+    assert(fa == fb)
+  }
+}
