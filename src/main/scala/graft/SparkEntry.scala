@@ -1520,6 +1520,27 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** NS105 — preference-pair extraction ([[graft.ops.Preference
+    * .extractPairs]]): four deterministic scored candidates per document
+    * (md5-derived milli-scores — the best-of-N judge-model shape) turned
+    * into every (chosen, rejected) pair separated by ≥ 100 milli-points,
+    * the Bradley–Terry/DPO training-pair assembly. Per-item join volume
+    * is 4², generator-bounded, so output is linear in items; the pair
+    * algebra (strict margin, no tie pairs, no self-pairs) replays in the
+    * oracle's self-join. */
+  private def ns105(s: SparkSession, dir: String): DataFrame = {
+    val cands = docs(s, dir).select(col("doc_id"))
+      .withColumn("resp", explode(sequence(lit(0), lit(3))))
+      .withColumn("resp", col("resp").cast("long"))
+      .withColumn("score", expr(
+        "CAST(conv(substring(md5(CAST(concat('score:', CAST(doc_id AS STRING)" +
+          ", ':', CAST(resp AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT)" +
+          " % 1000"))
+    graft.ops.Preference.extractPairs(
+        cands, "doc_id", "resp", "score", minMargin = 100L)
+      .orderBy("doc_id", "chosen", "rejected")
+  }
+
   /** NS86 — incremental token-count maintenance
     * ([[graft.ops.Versioning.maintainTokenCounts]]): the ns56 snapshot
     * tick's count table updated by re-tokenizing ONLY the diff fringe
@@ -1867,6 +1888,7 @@ object SparkEntry {
     "ns102_sft_assembly" -> (ns102 _),
     "ns103_label_vote" -> (ns103 _),
     "ns104_leak_folds" -> (ns104 _),
+    "ns105_pref_pairs" -> (ns105 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3553,5 +3575,16 @@ object SparkEntry {
          |  count(*) OVER (PARTITION BY dup_group) AS group_size,
          |  ('0x' || substr(md5('fold:' || dup_group), 1, 15))::BIGINT % 10 AS fold
          |FROM g ORDER BY doc_id""".stripMargin),
+    // ns105: candidate synthesis (the suite's hash60 milli-scores) AND
+    // the pair algebra replay in one self-join — strict ≥-margin means
+    // ties and self-pairs vanish on both sides identically.
+    "ns105_pref_pairs" ->
+      ("""WITH c AS (SELECT doc_id, k AS resp,
+         |    ('0x' || substr(md5('score:' || doc_id || ':' || k), 1, 15))::BIGINT % 1000 AS score
+         |  FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS k) r)
+         |SELECT a.doc_id, a.resp AS chosen, b.resp AS rejected,
+         |  (a.score - b.score)::BIGINT AS margin
+         |FROM c a JOIN c b ON a.doc_id = b.doc_id AND a.score - b.score >= 100
+         |ORDER BY a.doc_id, chosen, rejected""".stripMargin),
   )
 }

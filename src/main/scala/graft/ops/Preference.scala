@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Preference-pair extraction for reward-model / DPO training data —
+  * turning per-item scored candidates (N sampled responses per prompt,
+  * each with a score from raters or a judge model) into the
+  * (chosen, rejected) pairs a Bradley–Terry-style trainer consumes.
+  * North-star extension beside [[Annotation.resolveLabels]] (labels say
+  * which single answer wins; preference pairs keep every sufficiently
+  * separated ordering as a training signal).
+  */
+object Preference {
+
+  /** P1 — pair extraction: for every item, emit one row per ordered
+    * candidate pair whose score separation is at least `minMargin` —
+    * `(item, chosen, rejected, margin)` with margin = chosen score −
+    * rejected score. Strict inequality via the margin floor (callers
+    * pass `minMargin ≥ 1` for integer scores): equal-scored candidates
+    * produce NO pair in either direction — a tie carries no preference
+    * signal, and emitting both directions would teach the model
+    * contradictions. Deterministic: pure join algebra over the input,
+    * no sampling.
+    *
+    * Scale shape: a self-equi-join on the item key — both sides hash
+    * by item, and per-item join volume is (candidates per item)², which
+    * is BOUNDED BY THE GENERATOR (the N of best-of-N sampling, single
+    * digits in practice), so output grows linearly in items. The margin
+    * predicate is a join-level filter (no post-join shuffle); candidate
+    * payloads stay narrow (id + score). A skewed item cannot blow up:
+    * its cost is k², fixed, not data-dependent. */
+  def extractPairs(
+      candidates: DataFrame, itemCol: String, candCol: String,
+      scoreCol: String, minMargin: Long): DataFrame = {
+    require(minMargin >= 1, "minMargin must be >= 1 (ties carry no signal)")
+    val a = candidates.select(col(itemCol),
+      col(candCol).as("chosen"), col(scoreCol).as("__sa"))
+    val b = candidates.select(col(itemCol).as("__item_b"),
+      col(candCol).as("rejected"), col(scoreCol).as("__sb"))
+    a.join(b,
+        col(itemCol) === col("__item_b") &&
+          col("__sa") - col("__sb") >= minMargin)
+      .select(col(itemCol), col("chosen"), col("rejected"),
+        (col("__sa") - col("__sb")).as("margin"))
+  }
+}

@@ -314,7 +314,10 @@ object ScaleProof {
       // ns103: (item,label) agg then an item-keyed window over the
       // counted frame — the second exchange is annotator-fold smaller;
       // count() cannot prune (group membership needs both exchanges)
-      "ns103_label_vote")
+      "ns103_label_vote",
+      // ns105: item-keyed self-equi-join, per-item volume generator-
+      // bounded at k² — output linear in items; count() needs the join
+      "ns105_pref_pairs")
     // ns81 scales as the CLUSTER-RESOLVE deployment shape, not raw pairs:
     // the copy-tagged synthetic corpus puts every same-copy doc behind the
     // same `c{k}x` word prefixes, so stride hashes form GENUINE giant

@@ -80,6 +80,27 @@ class AssemblySpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("votes") == 2)
   }
 
+  // ---------------------------------------------------------------- ns105
+
+  test("extractPairs emits every ordered pair at or above the margin; ties and self-pairs never") {
+    val cands = Seq((1L, 10L, 300L), (1L, 11L, 300L), (1L, 12L, 100L),
+      (2L, 20L, 500L), (2L, 21L, 450L))
+      .toDF("item", "cand", "score")
+    val out = Preference.extractPairs(cands, "item", "cand", "score", minMargin = 100L)
+      .orderBy("item", "chosen", "rejected").collect()
+    // item 1: 10>12 (200), 11>12 (200); the 300-300 tie yields nothing.
+    // item 2: 500-450=50 < 100 -> nothing. No cross-item pairs.
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 10L, 12L, 200L), (1L, 11L, 12L, 200L)))
+  }
+
+  test("extractPairs requires a positive margin (ties carry no signal)") {
+    val cands = Seq((1L, 1L, 1L)).toDF("item", "cand", "score")
+    intercept[IllegalArgumentException] {
+      Preference.extractPairs(cands, "item", "cand", "score", minMargin = 0L)
+    }
+  }
+
   // ---------------------------------------------------------------- ns104
 
   test("leakSafeFolds: identical text ⇒ identical fold, independent of doc ids; folds in range") {
@@ -96,6 +117,16 @@ class AssemblySpec extends AnyFunSuite {
     assert(out.forall(r => r.getAs[Long]("fold") >= 0 && r.getAs[Long]("fold") < 10))
     val alpha = out.filter(_.getAs[Long]("doc_id") == 1L).head
     assert(alpha.getAs[Long]("group_size") == 3)
+  }
+
+  test("assembleSamples plan: ONE hash exchange serves session window, budget window, and assembly") {
+    // parquet-backed (Seq-local frames constant-fold; the PlanSpec rule)
+    val ev = Events.tsMicros(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val plan = Assembly.assembleSamples(ev, gap = 28800L * 1000000L,
+      tokenBudget = 12L).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
 
   test("leakSafeFolds fold depends only on content: stable under re-keying and repartitioning") {
