@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Streaming SFT sample assembly — the incremental counterpart of
+  * [[graft.ops.Assembly.assembleSamples]] (the [[StreamingSessions]]
+  * shape carrying assembled TEXT instead of aggregates): an agent-log
+  * pipeline emits each finished conversation as a ready training-text
+  * record the moment the gap (or the event-time watermark) proves it
+  * closed, instead of re-assembling the whole corpus nightly.
+  *
+  * State discipline at scale: per-user state is the session counter plus
+  * the open conversation's KEPT turn lines — and the kept lines are
+  * bounded by the TOKEN BUDGET, not by event volume: once the running
+  * cumulative cost (over ALL turns, kept or not — the batch operator's
+  * monotone-prefix rule) exceeds the budget, later turns only advance
+  * the gap clock; their text is never stored. A million-event hub
+  * session holds ≤ tokenBudget tokens of state, exactly the bound the
+  * batch plan note proves for the collect_list.
+  *
+  * Equivalence contract (spec-pinned): for events that respect the
+  * watermark, the emitted samples equal
+  * [[graft.ops.Assembly.assembleSamples]] on the same rows — same
+  * session splits and numbering, same prefix truncation, same assembled
+  * string, byte for byte. Conversations whose first turn alone exceeds
+  * the budget emit nothing (the batch group vanishes under the filter).
+  * Out-of-order arrival WITHIN a micro-batch is handled (rows sorted by
+  * (ts, event_id) before folding); later-than-watermark arrival is
+  * out-of-contract, as across the streaming family. */
+object StreamingAssembly extends Serializable {
+
+  final case class Turn(
+      user_id: Long, event_id: Long, ts: Long, event_type: String,
+      value: Option[Double])
+
+  /** `Turn` plus the derived watermark attribute (must stay in the
+    * grouped schema for EventTimeTimeout to resolve). */
+  final case class TurnT(
+      user_id: Long, event_id: Long, ts: Long, event_type: String,
+      value: Option[Double], event_time: java.sql.Timestamp)
+
+  /** Open conversation: `kept` holds the kept turn lines REVERSED
+    * (prepend is O(1)); `cumAll` runs over every turn, kept or dropped —
+    * the monotone prefix rule. */
+  final case class OpenConv(
+      lastTs: Long, cumAll: Long, keptTokens: Long, nKept: Long,
+      kept: List[String])
+
+  final case class AsmState(idx: Long, open: Option[OpenConv])
+
+  final case class SampleOut(
+      user_id: Long, session_idx: Long, n_turns: Long,
+      total_tokens: Long, sample_text: String)
+
+  /** The batch operator's turn rendering, verbatim: exact centi-units
+    * via the shared IEEE multiply-then-floor, -1 sentinel for NULL. */
+  private def turnText(e: Turn): String = {
+    val centi = e.value match {
+      case Some(v) => math.floor(v * 100.0).toLong
+      case None => -1L
+    }
+    s"${e.event_type}=$centi"
+  }
+
+  private def tokensOf(line: String): Long = line.length / 4 + 1
+
+  /** Streaming conversation assembly with gap `gapUs` (µs) and
+    * `tokenBudget`. Emits each non-empty sample once, when its
+    * conversation closes — by gap break or by event-time timeout. */
+  def samples(
+      events: Dataset[Turn], gapUs: Long, tokenBudget: Long,
+      lateness: String = "0 microseconds"): Dataset[SampleOut] = {
+    require(gapUs > 0, "gapUs must be positive")
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def emit(userId: Long, idx: Long, o: OpenConv): Option[SampleOut] =
+      if (o.nKept == 0) None
+      else Some(SampleOut(userId, idx, o.nKept, o.keptTokens,
+        o.kept.reverse.mkString("\n")))
+
+    def fold(o: OpenConv, e: Turn): OpenConv = {
+      val line = turnText(e)
+      val cost = tokensOf(line)
+      val cum = o.cumAll + cost
+      if (cum <= tokenBudget)
+        OpenConv(e.ts, cum, o.keptTokens + cost, o.nKept + 1, line :: o.kept)
+      else o.copy(lastTs = e.ts, cumAll = cum)
+    }
+
+    events.toDF()
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", lateness)
+      .as[TurnT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsmState, SampleOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, rows, state) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            val out = st.open.flatMap(o => emit(userId, st.idx, o))
+            state.update(AsmState(st.idx + 1, None))
+            out.iterator
+          } else {
+            val st0 = state.getOption.getOrElse(AsmState(1L, None))
+            var idx = st0.idx
+            var open = st0.open
+            val closed = List.newBuilder[SampleOut]
+            rows.toSeq.sortBy(t => (t.ts, t.event_id)).foreach { r =>
+              val e = Turn(r.user_id, r.event_id, r.ts, r.event_type, r.value)
+              open match {
+                case Some(o) if e.ts - o.lastTs <= gapUs =>
+                  open = Some(fold(o, e))
+                case Some(o) =>
+                  closed ++= emit(userId, idx, o)
+                  idx += 1
+                  open = Some(fold(OpenConv(e.ts, 0L, 0L, 0L, Nil), e))
+                case None =>
+                  open = Some(fold(OpenConv(e.ts, 0L, 0L, 0L, Nil), e))
+              }
+            }
+            state.update(AsmState(idx, open))
+            open.foreach { o =>
+              // ceil to ms + clamp above the watermark: never fire EARLY
+              // (the StreamingSessions rule)
+              val timeoutMs = math.max((o.lastTs + gapUs) / 1000 + 1,
+                state.getCurrentWatermarkMs() + 1)
+              state.setTimeoutTimestamp(timeoutMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

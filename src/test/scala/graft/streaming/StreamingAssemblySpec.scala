@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+import graft.streaming.StreamingAssembly.Turn
+
+/** Streaming SFT sample assembly: budget-bounded state semantics,
+  * first-turn-overflow suppression, and byte-for-byte equivalence of the
+  * assembled strings with the batch operator over the real event log. */
+class StreamingAssemblySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def run(chunks: Seq[Seq[Turn]], gapUs: Long, budget: Long,
+      name: String): Seq[(Long, Long, Long, Long, String)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Turn]
+    val q = StreamingAssembly.samples(in.toDS(), gapUs, budget)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    spark.table(name).collect().map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("n_turns"), r.getAs[Long]("total_tokens"),
+        r.getAs[String]("sample_text"))).toSeq
+  }
+
+  test("prefix truncation, NULL sentinel, and first-turn-overflow suppression") {
+    val t0 = 1700000000L * 1000000L
+    // "e=100" = 2 tokens; budget 5 keeps two turns of user 1's session.
+    // user 2's single turn is 7 tokens > budget -> the sample vanishes
+    // but its session still consumes an index (batch numbering).
+    val out = run(Seq(
+      Seq(Turn(1L, 1L, t0, "e", Some(1.0)), Turn(1L, 2L, t0 + 1L, "e", Some(1.0)),
+        Turn(1L, 3L, t0 + 2L, "e", Some(1.0)), Turn(2L, 9L, t0, "averylongeventtypename", Some(1.0))),
+      Seq(Turn(1L, 4L, t0 + 5000000L, "n", None)), // gap break -> session 2
+      Seq(Turn(99L, 90L, t0 + 100000000L, "s", Some(0.0))),
+      Seq(Turn(99L, 91L, t0 + 200000000L, "s", Some(0.0)))
+    ), gapUs = 1000000L, budget = 5L, name = "asm_basic")
+    val real = out.filter(_._1 != 99L).sortBy(r => (r._1, r._2))
+    assert(real == Seq(
+      (1L, 1L, 2L, 4L, "e=100\ne=100"),
+      (1L, 2L, 1L, 2L, "n=-1"))) // user 2 emitted nothing
+  }
+
+  test("session numbering matches batch even when a sample is suppressed") {
+    val t0 = 1700000000L * 1000000L
+    // user 1: session 1 overflows (suppressed), session 2 fits — it must
+    // be numbered 2, as the batch window numbering would
+    val out = run(Seq(
+      Seq(Turn(1L, 1L, t0, "averylongeventtypename", Some(1.0))),
+      Seq(Turn(1L, 2L, t0 + 5000000L, "e", Some(1.0))),
+      Seq(Turn(99L, 90L, t0 + 100000000L, "s", Some(0.0))),
+      Seq(Turn(99L, 91L, t0 + 200000000L, "s", Some(0.0)))
+    ), gapUs = 1000000L, budget = 5L, name = "asm_number")
+    val real = out.filter(_._1 != 99L)
+    assert(real == Seq((1L, 2L, 1L, 2L, "e=100")))
+  }
+
+  test("state stays budget-bounded: an over-budget flood stores no text, only the gap clock") {
+    val t0 = 1700000000L * 1000000L
+    // 60 in-gap turns at 2 tokens each vs budget 5: kept = first 2 turns
+    val flood = (1L to 60L).map(i => Turn(5L, i, t0 + i, "e", Some(1.0)))
+    val out = run(Seq(flood,
+      Seq(Turn(99L, 90L, t0 + 100000000L, "s", Some(0.0))),
+      Seq(Turn(99L, 91L, t0 + 200000000L, "s", Some(0.0)))
+    ), gapUs = 1000000L, budget = 5L, name = "asm_flood")
+    val real = out.filter(_._1 != 99L)
+    assert(real == Seq((5L, 1L, 2L, 4L, "e=100\ne=100")))
+  }
+
+  test("emitted samples equal the batch operator byte-for-byte on the real event log") {
+    import spark.implicits._
+    val events = graft.ops.Events.tsMicros(
+        Tables.load(spark, "/root/testdata/sf0.001", "events"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"))
+      .as[Turn].collect().sortBy(e => (e.ts, e.event_id)).toSeq
+    val gap = 28800L * 1000000L // 8h, as in ns102
+    val n = events.length
+    val maxTs = events.last.ts
+    val chunks = Seq(
+      events.slice(0, n / 3).reverse, // intra-chunk scramble: fold sorts
+      events.slice(n / 3, 2 * n / 3).reverse,
+      events.slice(2 * n / 3, n).reverse,
+      Seq(Turn(-1L, -1L, maxTs + 3 * gap, "s", Some(0.0))),
+      Seq(Turn(-1L, -2L, maxTs + 7 * gap, "s", Some(0.0))))
+    val streamed = run(chunks, gap, budget = 12L, name = "asm_equiv")
+      .filter(_._1 >= 0).toSet
+    val batch = graft.ops.Assembly.assembleSamples(
+        graft.ops.Events.tsMicros(
+          Tables.load(spark, "/root/testdata/sf0.001", "events")),
+        gap = gap, tokenBudget = 12L)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("n_turns"), r.getAs[Long]("total_tokens"),
+        r.getAs[String]("sample_text"))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+}
