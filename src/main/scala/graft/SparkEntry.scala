@@ -1541,6 +1541,19 @@ object SparkEntry {
       .orderBy("doc_id", "chosen", "rejected")
   }
 
+  /** NS106 — contrastive negative sampling ([[graft.ops.Sampling
+    * .sampleNegatives]]): four hash-deterministic uniform negatives per
+    * anchor document, resolved through the ns93 distributed global rank
+    * (range exchange + broadcast offsets, no single-partition window);
+    * self-collisions drop (observable via slot gaps), re-draw chains
+    * being unreplayable. The oracle replays the draw with row_number +
+    * the same md5 target arithmetic — the negative SET is hash-gated,
+    * which is exactly what `rand()`-based samplers cannot offer. */
+  private def ns106(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.sampleNegatives(
+        docs(s, dir).select(col("doc_id")), "doc_id", k = 4, seed = 42L)
+      .orderBy("anchor", "slot")
+
   /** NS86 — incremental token-count maintenance
     * ([[graft.ops.Versioning.maintainTokenCounts]]): the ns56 snapshot
     * tick's count table updated by re-tokenizing ONLY the diff fringe
@@ -1889,6 +1902,7 @@ object SparkEntry {
     "ns103_label_vote" -> (ns103 _),
     "ns104_leak_folds" -> (ns104 _),
     "ns105_pref_pairs" -> (ns105 _),
+    "ns106_neg_samples" -> (ns106 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3586,5 +3600,17 @@ object SparkEntry {
          |  (a.score - b.score)::BIGINT AS margin
          |FROM c a JOIN c b ON a.doc_id = b.doc_id AND a.score - b.score >= 100
          |ORDER BY a.doc_id, chosen, rejected""".stripMargin),
+    // ns106: global rank via row_number + the identical md5 target
+    // arithmetic — the drawn negative SET is inside the hash gate.
+    "ns106_neg_samples" ->
+      ("""WITH r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS pos FROM documents),
+         |c AS (SELECT d.doc_id AS anchor, k AS slot,
+         |    ('0x' || substr(md5('neg:42:' || d.doc_id || ':' || k), 1, 15))::BIGINT
+         |      % (SELECT count(*) FROM documents) + 1 AS target
+         |  FROM documents d CROSS JOIN (SELECT unnest(range(1, 5)) AS k) s)
+         |SELECT anchor, slot, r.doc_id AS negative
+         |FROM c JOIN r ON c.target = r.pos
+         |WHERE r.doc_id <> c.anchor
+         |ORDER BY anchor, slot""".stripMargin),
   )
 }

@@ -355,4 +355,46 @@ object Sampling {
       .withColumn("fold",
         hash60Col(concat(lit("fold:"), col("dup_group"))) % folds)
   }
+
+  /** C7 — deterministic contrastive negative sampling: for every anchor
+    * row, draw `k` uniform negatives from the whole corpus by HASH, not
+    * by `rand()` — task retries, repartitioning, and re-runs reproduce
+    * the identical negative set, and the oracle replays it (the same
+    * retry argument as [[stratifiedSample]], but for the contrastive /
+    * embedding-training pair generator, where a silently shifting
+    * negative set changes the loss landscape between "identical" runs).
+    *
+    * Draw i for anchor a targets global position
+    * `hash60("neg:seed:a:i") mod N` in the corpus's `keyCol` order —
+    * resolved through [[Layout.epochOrder]]'s distributed rank (range
+    * exchange + broadcast offsets; NO single-partition global window).
+    * Self-collisions (a draw landing on its own anchor) are DROPPED,
+    * not re-drawn: re-draw chains are unreplayable in set-oriented SQL,
+    * and at corpus scale the loss is k/N of one slot — "approximately
+    * k negatives" is the standard contract. Slot ids are kept so the
+    * drop is observable.
+    *
+    * Scale shape: one range exchange for the rank (plus its bounded
+    * per-partition-count collect), a zero-shuffle k-fold explode of the
+    * narrow (anchor, slot, target) frame, and ONE pos-keyed equi-join
+    * of two narrow frames. Join skew is impossible by construction:
+    * target positions are md5-uniform, so every rank receives ~k
+    * probes regardless of data skew. */
+  def sampleNegatives(
+      df: DataFrame, keyCol: String, k: Int, seed: Long): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val n = df.count()
+    require(n >= 2, "negative sampling needs at least 2 rows")
+    val ranked = Layout.epochOrder(df.select(col(keyCol)), Seq(col(keyCol)))
+    val cands = df.select(col(keyCol).as("anchor"))
+      .withColumn("slot", explode(sequence(lit(1), lit(k))))
+      .withColumn("slot", col("slot").cast("long"))
+      .withColumn("__target",
+        hash60Col(concat(lit(s"neg:$seed:"), col("anchor").cast("string"),
+          lit(":"), col("slot").cast("string"))) % n + 1L)
+    cands.join(ranked.select(col(keyCol).as("negative"), col("pos")),
+        col("__target") === col("pos"))
+      .where(col("negative") =!= col("anchor"))
+      .select(col("anchor"), col("slot"), col("negative"))
+  }
 }

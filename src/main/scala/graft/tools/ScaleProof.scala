@@ -317,7 +317,11 @@ object ScaleProof {
       "ns103_label_vote",
       // ns105: item-keyed self-equi-join, per-item volume generator-
       // bounded at k² — output linear in items; count() needs the join
-      "ns105_pref_pairs")
+      "ns105_pref_pairs",
+      // ns106: epochOrder rank (range exchange + bounded offsets
+      // collect) + k-explode + ONE pos-keyed narrow equi-join; targets
+      // are md5-uniform so the join cannot skew; count() needs the join
+      "ns106_neg_samples")
     // ns81 scales as the CLUSTER-RESOLVE deployment shape, not raw pairs:
     // the copy-tagged synthetic corpus puts every same-copy doc behind the
     // same `c{k}x` word prefixes, so stride hashes form GENUINE giant

@@ -101,6 +101,38 @@ class AssemblySpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------- ns106
+
+  test("sampleNegatives: k hash-deterministic negatives per anchor, never the anchor itself") {
+    val d = spark.range(0, 50).select(col("id").as("doc_id"))
+    val out = Sampling.sampleNegatives(d, "doc_id", k = 3, seed = 7L).collect()
+    val byAnchor = out.groupBy(_.getAs[Long]("anchor"))
+    assert(byAnchor.keySet == (0L until 50L).toSet ||
+      byAnchor.size >= 48) // self-collisions may drop a slot, never an anchor's all 3
+    out.foreach { r =>
+      assert(r.getAs[Long]("negative") != r.getAs[Long]("anchor"))
+      assert(r.getAs[Long]("negative") >= 0 && r.getAs[Long]("negative") < 50)
+      assert(r.getAs[Long]("slot") >= 1 && r.getAs[Long]("slot") <= 3)
+    }
+    // determinism: identical draw on a repartitioned copy
+    val again = Sampling.sampleNegatives(d.repartition(7), "doc_id", 3, 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
+  test("sampleNegatives varies with the seed and requires a non-trivial corpus") {
+    val d = spark.range(0, 50).select(col("id").as("doc_id"))
+    val s7 = Sampling.sampleNegatives(d, "doc_id", 2, 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val s8 = Sampling.sampleNegatives(d, "doc_id", 2, 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(s7 != s8)
+    intercept[IllegalArgumentException] {
+      Sampling.sampleNegatives(
+        spark.range(0, 1).select(col("id").as("doc_id")), "doc_id", 2, 7L)
+    }
+  }
+
   // ---------------------------------------------------------------- ns104
 
   test("leakSafeFolds: identical text ⇒ identical fold, independent of doc ids; folds in range") {
