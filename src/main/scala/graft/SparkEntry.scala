@@ -1554,6 +1554,59 @@ object SparkEntry {
         docs(s, dir).select(col("doc_id")), "doc_id", k = 4, seed = 42L)
       .orderBy("anchor", "slot")
 
+  /** Build-once version-partitioned parquet scratch for the
+    * schema-evolution legs (the ns94 fingerprint-keyed contract):
+    * generation v0 writes (doc_id, lang, n_chars); generation v1
+    * RETIRED `lang` and ADDED `quality` — evolution in both
+    * directions, so each generation's rows must null-fill the other's
+    * column under the merged read. */
+  private def evolvedScratch(s: SparkSession, dir: String): String = {
+    val fp = graft.ops.Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
+    val root = scratchIndexDir("graft_evolved", dir, fp)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ok = Seq("version=0", "version=1").forall(v =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/$v", "_SUCCESS")))
+    if (!ok) {
+      val d = docs(s, dir)
+      d.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$root/version=0")
+      d.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("n_chars"),
+          (col("n_chars") % 5).as("quality"))
+        .write.mode("overwrite").parquet(s"$root/version=1")
+    }
+    root
+  }
+
+  /** NS107 — schema-evolution-tolerant read ([[graft.sources.Evolved
+    * .readMerged]]): two writer generations with columns retired AND
+    * added, read as one unified frame via `mergeSchema` over the
+    * version-partitioned root — both null-fill directions (v1 rows'
+    * NULL `lang`, v0 rows' NULL `quality`) are inside the hash gate;
+    * the oracle rebuilds the union from the base table. The reference
+    * reads live JDBC tables where the catalog has exactly one schema —
+    * this is the FORMAT-tier capability a long-lived parquet store
+    * needs instead. */
+  private def ns107(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Evolved.readMerged(s, evolvedScratch(s, dir))
+      .select(col("doc_id"), col("version").cast("long").as("version"),
+        col("lang"), col("quality"), col("n_chars"))
+      .orderBy("doc_id")
+
+  /** NS108 — schema drift report ([[graft.sources.Evolved
+    * .driftReport]]): per generation, which columns of the union it
+    * actually populates — the gate an ingestion pipeline reads before
+    * widening a training-set schema. One scan + one version-keyed
+    * aggregation over generation-cardinality output. */
+  private def ns108(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Evolved.driftReport(
+        graft.sources.Evolved.readMerged(s, evolvedScratch(s, dir))
+          .withColumn("version", col("version").cast("long")),
+        "version", Seq("lang", "quality"))
+      .orderBy("version")
+
   /** NS86 — incremental token-count maintenance
     * ([[graft.ops.Versioning.maintainTokenCounts]]): the ns56 snapshot
     * tick's count table updated by re-tokenizing ONLY the diff fringe
@@ -1903,6 +1956,8 @@ object SparkEntry {
     "ns104_leak_folds" -> (ns104 _),
     "ns105_pref_pairs" -> (ns105 _),
     "ns106_neg_samples" -> (ns106 _),
+    "ns107_evolved_read" -> (ns107 _),
+    "ns108_schema_drift" -> (ns108 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3612,5 +3667,24 @@ object SparkEntry {
          |FROM c JOIN r ON c.target = r.pos
          |WHERE r.doc_id <> c.anchor
          |ORDER BY anchor, slot""".stripMargin),
+    // ns107/ns108: the oracle rebuilds the two writer generations'
+    // union from the base table — the engine's null-fill under
+    // mergeSchema must match the explicit NULL columns here.
+    "ns107_evolved_read" ->
+      ("""SELECT doc_id, 0::BIGINT AS version, lang, NULL::BIGINT AS quality, n_chars
+         |FROM documents WHERE doc_id % 2 = 0
+         |UNION ALL
+         |SELECT doc_id, 1::BIGINT, NULL, n_chars % 5, n_chars
+         |FROM documents WHERE doc_id % 2 = 1
+         |ORDER BY doc_id""".stripMargin),
+    "ns108_schema_drift" ->
+      ("""WITH u AS (
+         |  SELECT doc_id, 0::BIGINT AS version, lang, NULL::BIGINT AS quality FROM documents WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT doc_id, 1::BIGINT, NULL, n_chars % 5 FROM documents WHERE doc_id % 2 = 1)
+         |SELECT version, count(*) AS n_rows,
+         |  count(lang) AS lang_present, count(lang) > 0 AS lang_live,
+         |  count(quality) AS quality_present, count(quality) > 0 AS quality_live
+         |FROM u GROUP BY version ORDER BY version""".stripMargin),
   )
 }

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Schema-evolution-tolerant parquet ingestion — reading a dataset whose
+  * schema CHANGED between writer generations (columns added, columns
+  * retired) as one unified frame, plus the drift report an ingestion
+  * pipeline wants before trusting the union. Long-lived crawl/telemetry
+  * stores always end up here: v0 files lack the columns v1 added, and
+  * v1 stopped writing columns v0 had; a reader pinned to either schema
+  * silently drops data. North-star FORMAT-tier extension beside
+  * [[JsonLines]] (schema-declared) and [[Variants]] (schema-on-read):
+  * this is schema-MERGED — the reference reads only live JDBC tables
+  * (klepto `pkg/reader`), where the catalog always has one schema.
+  */
+object Evolved {
+
+  /** E1 — unified read: `mergeSchema=true` over a version-partitioned
+    * parquet root. Spark folds every file footer's schema into the
+    * union; columns absent from a file read as NULL for its rows — the
+    * standard evolution contract (add-only nullable columns) — and the
+    * `version=N/` directory layout doubles as a partition column, so
+    * version predicates PRUNE DIRECTORIES (never open dead
+    * generations' footers).
+    *
+    * Scale note: schema merging reads FOOTERS, not data — one metadata
+    * pass across files (distributed by Spark since 2.x), then the scan
+    * itself is ordinary columnar pruned I/O. The merge is the cheap
+    * part; the discipline it buys (no reader-side schema pin to
+    * maintain) is the point. */
+  def readMerged(spark: SparkSession, root: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(root)
+
+  /** E2 — schema drift report: per generation, which columns of the
+    * UNION that generation actually populates — `n_rows`,
+    * `n_present` (non-NULL count) and a present flag per audited
+    * column. One scan + one version-keyed aggregation; the report an
+    * ingestion gate reads before widening a training-set schema.
+    * `cols` must exist in the merged frame. */
+  def driftReport(merged: DataFrame, versionCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "driftReport needs audited columns")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}_present"),
+        (count(col(c)) > 0).as(s"${c}_live")))
+    merged.groupBy(col(versionCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -417,6 +417,15 @@ object ScaleProof {
     // ns102 under count() keeps both windows and the budget filter
     // (group membership depends on them) but prunes the collect_list/
     // array_join assembly — the forced leg prices the string build too
+    // ns107 is projection-only over the merged scratch (count() prunes
+    // to footers); the forced agg reads every unified column, pricing
+    // the mergeSchema scan honestly. Scratch builds once per size in
+    // the untimed warmup (the ns94 fingerprint-keyed contract).
+    def ns107Forced(dir: String): DataFrame =
+      graft.SparkEntry.queries("ns107_evolved_read")(spark, dir)
+        .agg(count(col("lang")).as("lang_rows"),
+          sum(col("quality")).as("q_sum"),
+          sum(col("n_chars")).as("chars"))
     def ns102Forced(dir: String): DataFrame =
       graft.SparkEntry.queries("ns102_sft_assembly")(spark, dir)
         .agg(sum(length(col("sample_text"))).as("sample_chars"),
@@ -527,11 +536,13 @@ object ScaleProof {
           "ns90_wav_clusters" -> (ns90Clusters _),
           "ns101_variant_forced" -> (ns101Forced _),
           "ns102_assembly_forced" -> (ns102Forced _),
-          "ns104_folds_forced" -> (ns104Forced _))
+          "ns104_folds_forced" -> (ns104Forced _),
+          "ns107_evolved_forced" -> (ns107Forced _))
     // ungrouped-aggregate entries: see measure() — count() would fold to 1
     val aggForced = Set("ns63_html_forced", "ns66_luhn_forced",
       "ns68_lines_forced", "ns101_variant_forced",
       "ns102_assembly_forced", "ns104_folds_forced",
+      "ns107_evolved_forced",
       // single-row join of two ungrouped aggregates: count() folds to 1
       "ns76_dataset_card")
     // SPARK_GRAFT_SCALE_ONLY=name,name isolates entries for iteration
