@@ -1607,6 +1607,35 @@ object SparkEntry {
         "version", Seq("lang", "quality"))
       .orderBy("version")
 
+  /** NS109 — group-wise winsorization ([[graft.ops.Quality
+    * .winsorize]]): per-language p95 capping of document length by
+    * EXACT INTEGER RANK — the value at position ⌈19n/20⌉ of the
+    * group's total order, never an interpolated float (the Sketches
+    * exactness doctrine applied to outlier hygiene; interpolation is
+    * engine-dependent, rank selection is not). One lang-keyed exchange
+    * serves both windows; the group-cardinality cutoff frame
+    * broadcasts back. */
+  private def ns109(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quality.winsorize(
+        docs(s, dir), "lang", "n_chars", "doc_id", p = 19, q = 20)
+      .orderBy("doc_id")
+
+  /** NS110 — thread linearization ([[graft.ops.Graphs
+    * .linearizePaths]]): a synthetic 3-ary reply forest over the
+    * documents table (`parent = (doc_id − 1) DIV 3`, doc 0 the root)
+    * flattened to per-node (root_id, depth, root-to-node path) by
+    * pointer DOUBLING — ⌈log₂ depth⌉ + 1 equi-join rounds where the
+    * oracle's WITH RECURSIVE walks one level per iteration; the
+    * distributed-vs-SQL algorithm contrast is the point, the hash gate
+    * proves they agree including the assembled path STRINGS. */
+  private def ns110(s: SparkSession, dir: String): DataFrame = {
+    val nodes = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") === 0, lit(null).cast("long"))
+        .otherwise(expr("(doc_id - 1) DIV 3")).as("parent"))
+    graft.ops.Graphs.linearizePaths(nodes, "doc_id", "parent")
+      .orderBy("doc_id")
+  }
+
   /** NS86 — incremental token-count maintenance
     * ([[graft.ops.Versioning.maintainTokenCounts]]): the ns56 snapshot
     * tick's count table updated by re-tokenizing ONLY the diff fringe
@@ -1958,6 +1987,8 @@ object SparkEntry {
     "ns106_neg_samples" -> (ns106 _),
     "ns107_evolved_read" -> (ns107 _),
     "ns108_schema_drift" -> (ns108 _),
+    "ns109_winsorize" -> (ns109 _),
+    "ns110_thread_paths" -> (ns110 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3686,5 +3717,30 @@ object SparkEntry {
          |  count(lang) AS lang_present, count(lang) > 0 AS lang_live,
          |  count(quality) AS quality_present, count(quality) > 0 AS quality_live
          |FROM u GROUP BY version ORDER BY version""".stripMargin),
+    // ns109: exact-rank percentile — the cutoff is a value that EXISTS
+    // in the group, selected at an integer rank both engines compute
+    // identically; no interpolation anywhere.
+    "ns109_winsorize" ->
+      ("""WITH r AS (SELECT lang, n_chars, doc_id,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM documents),
+         |c AS (SELECT lang, n_chars AS cut FROM r WHERE rn = (n * 19 + 19) // 20)
+         |SELECT d.doc_id, d.lang, d.n_chars,
+         |  least(d.n_chars, c.cut) AS capped, d.n_chars > c.cut AS was_capped
+         |FROM documents d JOIN c ON d.lang IS NOT DISTINCT FROM c.lang
+         |ORDER BY d.doc_id""".stripMargin),
+    // ns110: the oracle's recursion walks ONE level per iteration —
+    // the engine's path doubling must agree on every assembled path.
+    "ns110_thread_paths" ->
+      ("""WITH RECURSIVE d AS (SELECT doc_id,
+         |    CASE WHEN doc_id = 0 THEN NULL ELSE (doc_id - 1) // 3 END AS parent FROM documents),
+         |t AS (
+         |  SELECT doc_id, doc_id AS root_id, 0::BIGINT AS depth, doc_id::VARCHAR AS path
+         |  FROM d WHERE parent IS NULL
+         |  UNION ALL
+         |  SELECT d.doc_id, t.root_id, t.depth + 1, t.path || '/' || d.doc_id
+         |  FROM d JOIN t ON d.parent = t.doc_id)
+         |SELECT doc_id, root_id, depth, path FROM t ORDER BY doc_id""".stripMargin),
   )
 }

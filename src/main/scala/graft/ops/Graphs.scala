@@ -175,4 +175,75 @@ object Graphs {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
       .orderBy(col("node"))
   }
+
+  /** G3 — thread linearization by PATH DOUBLING: turn a parent-pointer
+    * forest (reply threads, comment trees, quote chains) into one row
+    * per node carrying `(root_id, depth, path)` — the root-to-node id
+    * path a conversation-flattening pipeline needs to rebuild ordered
+    * context windows from threaded logs. The reference has no
+    * recursive surface at all; SQL engines use WITH RECURSIVE (the
+    * oracle does), which walks ONE level per iteration — O(depth)
+    * sequential joins. Distributed, the right algorithm is pointer
+    * DOUBLING (the [[graft.ops.Dedup]] connected-components move,
+    * carrying paths): each round every node's known-ancestor pointer
+    * jumps to its ancestor's pointer and the two path segments concat,
+    * so a depth-d forest finishes in ⌈log₂ d⌉ + 1 rounds of ONE
+    * anc-keyed equi-join each — 20 rounds cover depth 2²⁰.
+    *
+    * Invariant per round: `path` is the id path from the node's known
+    * top ancestor down to itself (inclusive), `depth` its edge count,
+    * `anc` the next unexplored ancestor (NULL once the top is a root).
+    * Parents must exist (forest integrity — a dangling parent id fails
+    * fast rather than silently orphaning a subtree).
+    *
+    * Scale shape: state rows are (id, anc, depth, path) — the path
+    * string is bounded by tree depth × digit width, not corpus size;
+    * each round is one equi-join (hub parents with millions of
+    * children are plain equi-join fan-out, no NLJ) followed by
+    * `localCheckpoint` to keep the plan flat (the [[pagerankInt]]
+    * hardening). Convergence is exact: the loop stops when no non-NULL
+    * `anc` remains. */
+  def linearizePaths(
+      nodes: DataFrame, idCol: String, parentCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    var st = nodes
+      .select(col(idCol).cast("long").as("id"),
+        col(parentCol).cast("long").as("anc"),
+        col(idCol).cast("string").as("path"),
+        when(col(parentCol).isNull, 0L).otherwise(1L).as("depth"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var open = st.where(col("anc").isNotNull).limit(1).count() > 0L
+    while (open) {
+      require(rounds < maxRounds,
+        s"forest deeper than 2^$maxRounds or a parent cycle: " +
+          "raise maxRounds or fix the input")
+      val a = st.select(col("id").as("__aid"), col("anc").as("__aanc"),
+        col("path").as("__apath"), col("depth").as("__adepth"))
+      val joined = st.join(a, col("anc") === col("__aid"), "left")
+      // forest integrity: every non-NULL anc must resolve
+      val dangling = joined
+        .where(col("anc").isNotNull && col("__aid").isNull).limit(1).count()
+      require(dangling == 0L,
+        s"dangling parent pointers in '$parentCol' (not a forest)")
+      st = joined
+        .select(col("id"),
+          when(col("anc").isNull, col("anc")).otherwise(col("__aanc"))
+            .as("anc2"),
+          when(col("anc").isNull, col("path"))
+            .otherwise(concat(col("__apath"), lit("/"), col("path")))
+            .as("path2"),
+          when(col("anc").isNull, col("depth"))
+            .otherwise(col("depth") + col("__adepth")).as("depth2"))
+        .select(col("id"), col("anc2").as("anc"), col("path2").as("path"),
+          col("depth2").as("depth"))
+        .localCheckpoint(true)
+      rounds += 1
+      open = st.where(col("anc").isNotNull).limit(1).count() > 0L
+    }
+    st.select(col("id").as(idCol),
+      element_at(split(col("path"), "/"), 1).cast("long").as("root_id"),
+      col("depth"), col("path"))
+  }
 }

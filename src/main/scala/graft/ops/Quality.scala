@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Model-based corpus quality filtering — the two standard learned filters
@@ -300,5 +301,48 @@ object Quality {
           .as("oov_frac"),
         (meanNll > lit(maxNll)).as("rejected"))
       .orderBy("doc_id")
+  }
+
+  /** Q6 — group-wise winsorization: cap a numeric column at its
+    * per-group p-th percentile, with the percentile defined by EXACT
+    * INTEGER RANK — the value at position ⌈p·n/q⌉ of the group's
+    * (value, key) total order — never by interpolation. Interpolated
+    * percentiles (`percentile_approx`, linear `percentile_cont`) give
+    * engine- and precision-dependent floats; rank selection gives a
+    * value that EXISTS in the data, identical in any engine — the
+    * [[Sketches]] family's exactness doctrine applied to outlier
+    * hygiene. The canonical use: length/score capping before loss
+    * weighting, so one 500 MB crawl artifact doesn't dominate a
+    * stratum's token budget.
+    *
+    * `p`/`q` express the percentile as a rational (19/20 = p95); the
+    * tie-break key makes the order total, so the selected value is
+    * deterministic even on heavily tied columns.
+    *
+    * Scale shape: ONE group-keyed exchange serves the rank window AND
+    * the cutoff aggregation (same clustering); the per-group cutoff
+    * frame is group-cardinality and broadcasts back onto the corpus —
+    * the corpus shuffles once, as [[Privacy.kAnonymize]]. Output: the
+    * input keys + `capped` + `was_capped`. */
+  def winsorize(
+      df: DataFrame, groupCol: String, valueCol: String, keyCol: String,
+      p: Int, q: Int): DataFrame = {
+    require(p >= 1 && p <= q, s"need 1 <= p <= q, got $p/$q")
+    val grp = Window.partitionBy(groupCol)
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol), col(keyCol))
+    // the rank window and the group-count window share one exchange;
+    // row_number is unique, so the rank filter leaves ONE row per group
+    val cuts = df
+      .select(col(groupCol), col(valueCol), col(keyCol))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(grp))
+      .where(col("__rn") === expr(s"(__n * $p + ${q - 1}) DIV $q"))
+      .select(col(groupCol).as("__grp"), col(valueCol).as("__cut"))
+    // null-safe group join (the kAnonymize convention): a NULL group is
+    // a real stratum and gets its own cutoff, not a dropped row
+    df.join(broadcast(cuts), col(groupCol) <=> col("__grp"))
+      .select(col(keyCol), col(groupCol), col(valueCol),
+        least(col(valueCol), col("__cut")).as("capped"),
+        (col(valueCol) > col("__cut")).as("was_capped"))
   }
 }

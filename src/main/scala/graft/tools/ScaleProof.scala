@@ -321,7 +321,14 @@ object ScaleProof {
       // ns106: epochOrder rank (range exchange + bounded offsets
       // collect) + k-explode + ONE pos-keyed narrow equi-join; targets
       // are md5-uniform so the join cannot skew; count() needs the join
-      "ns106_neg_samples")
+      "ns106_neg_samples",
+      // ns109: one lang-keyed exchange (both windows) + broadcast-back
+      // inner join — count() cannot eliminate an inner join
+      "ns109_winsorize",
+      // ns110: path doubling — ceil(log2 depth)+1 equi-join rounds run
+      // as driver-loop actions; the synthetic forest's depth grows only
+      // logarithmically with the corpus, the round count barely moves
+      "ns110_thread_paths")
     // ns81 scales as the CLUSTER-RESOLVE deployment shape, not raw pairs:
     // the copy-tagged synthetic corpus puts every same-copy doc behind the
     // same `c{k}x` word prefixes, so stride hashes form GENUINE giant

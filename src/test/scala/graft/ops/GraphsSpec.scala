@@ -139,4 +139,43 @@ class GraphsSpec extends AnyFunSuite {
     // the affine mod graph concentrates: some node beats the uniform rank
     assert(out.map(_._2).max > 1000000L)
   }
+  // ---- Graphs.linearizePaths -------------------------------------------
+
+  test("linearizePaths: root-to-node paths, depths, and roots on a known forest") {
+    // forest: 0 -> 1 -> 3, 0 -> 2, isolated root 9
+    val nodes = Seq((0L, None), (1L, Some(0L)), (2L, Some(0L)),
+      (3L, Some(1L)), (9L, None))
+      .toDF("id", "parent")
+    val out = Graphs.linearizePaths(nodes, "id", "parent")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("root_id"), r.getAs[Long]("depth"),
+          r.getAs[String]("path")))).toMap
+    assert(out == Map(
+      0L -> ((0L, 0L, "0")), 1L -> ((0L, 1L, "0/1")), 2L -> ((0L, 1L, "0/2")),
+      3L -> ((0L, 2L, "0/1/3")), 9L -> ((9L, 0L, "9"))))
+  }
+
+  test("linearizePaths finishes a depth-64 chain within the log2 round bound (doubling, not walking)") {
+    // chain 0 -> 1 -> ... -> 64: one-level-per-round would need 64
+    // rounds; doubling needs ceil(log2 64) + 1 = 7. maxRounds = 8 both
+    // proves termination AND pins the doubling bound.
+    val nodes = (0L to 64L).map(i => (i, if (i == 0) None else Some(i - 1)))
+      .toDF("id", "parent")
+    val out = Graphs.linearizePaths(nodes, "id", "parent", maxRounds = 8)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("depth")).toMap
+    assert(out(64L) == 64L && out(0L) == 0L)
+  }
+
+  test("linearizePaths fails fast on dangling parents and on cycles") {
+    val dangling = Seq((1L, Some(7L))).toDF("id", "parent")
+    val e1 = intercept[IllegalArgumentException] {
+      Graphs.linearizePaths(dangling, "id", "parent")
+    }
+    assert(e1.getMessage.contains("dangling"))
+    val cycle = Seq((1L, Some(2L)), (2L, Some(1L))).toDF("id", "parent")
+    val e2 = intercept[IllegalArgumentException] {
+      Graphs.linearizePaths(cycle, "id", "parent", maxRounds = 5)
+    }
+    assert(e2.getMessage.contains("cycle"))
+  }
 }

@@ -185,4 +185,32 @@ class QualitySpec extends AnyFunSuite {
     assert(r.getString(3) == "x content here")
     assert(r.getLong(2) == "x content here".length.toLong)
   }
+  // ---- Quality.winsorize -----------------------------------------------
+
+  test("winsorize caps at the exact-rank percentile value, which exists in the group") {
+    import spark.implicits._
+    // group a: values 1..20 -> p95 rank = ceil(19*20/20) = 19 -> cut 19
+    // group b: 3 rows -> rank ceil(57/20)=3 -> cut = max -> nothing capped
+    val d = ((1L to 20L).map(i => (i, "a", i)) ++
+      Seq((101L, "b", 5L), (102L, "b", 7L), (103L, "b", 9L)))
+      .toDF("doc_id", "lang", "n_chars")
+    val out = Quality.winsorize(d, "lang", "n_chars", "doc_id", 19, 20)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("capped"), r.getAs[Boolean]("was_capped")))).toMap
+    assert(out(20L) == ((19L, true)))   // the only capped row in a
+    assert(out(19L) == ((19L, false)))  // the cutoff row itself: untouched
+    assert(out(1L) == ((1L, false)))
+    assert(out(103L) == ((9L, false)))  // small group: cut = its max
+  }
+
+  test("winsorize: NULL group is a real stratum; tie-break key makes the cut deterministic") {
+    import spark.implicits._
+    val d = Seq((1L, null: String, 10L), (2L, null: String, 20L),
+      (3L, null: String, 30L), (4L, "x", 1L), (5L, "x", 1L))
+      .toDF("doc_id", "lang", "n_chars")
+    val out = Quality.winsorize(d, "lang", "n_chars", "doc_id", 1, 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("capped")).toMap
+    // NULL group median rank ceil(3/2)=2 -> cut 20; x group all-ties -> cut 1
+    assert(out == Map(1L -> 10L, 2L -> 20L, 3L -> 20L, 4L -> 1L, 5L -> 1L))
+  }
 }
