@@ -1636,6 +1636,17 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** NS111 — late-interaction maxsim retrieval ([[graft.ops.Similarity
+    * .maxSimTopK]]): each 64-dim vector read as 8 contiguous 8-dim
+    * "token" sub-vectors; score = Σ_qb max_db ⟨qb, db⟩ — the ColBERT
+    * scoring geometry beside whole-vector cosine (ns6) and quantized
+    * ADC (ns30). One codegen'd higher-order expression per pair keeps
+    * float accumulation order fixed by the expression tree, so the
+    * score hash-replays; ns6's broadcast-query bounded-NLJ baseline
+    * contract. */
+  private def ns111(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.maxSimTopK(embs(s, dir), simQueries(s, dir), k = 10)
+
   /** NS86 — incremental token-count maintenance
     * ([[graft.ops.Versioning.maintainTokenCounts]]): the ns56 snapshot
     * tick's count table updated by re-tokenizing ONLY the diff fringe
@@ -1989,6 +2000,7 @@ object SparkEntry {
     "ns108_schema_drift" -> (ns108 _),
     "ns109_winsorize" -> (ns109 _),
     "ns110_thread_paths" -> (ns110 _),
+    "ns111_maxsim_topk" -> (ns111 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3742,5 +3754,18 @@ object SparkEntry {
          |  SELECT d.doc_id, t.root_id, t.depth + 1, t.path || '/' || d.doc_id
          |  FROM d JOIN t ON d.parent = t.doc_id)
          |SELECT doc_id, root_id, depth, path FROM t ORDER BY doc_id""".stripMargin),
+    // ns111: the nested comprehension mirrors the engine's expression
+    // tree exactly — qb-sum of db-max of the fixed-order 8-dim dot —
+    // so both engines accumulate in the same order before round(6).
+    "ns111_maxsim_topk" ->
+      ("""WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv FROM embeddings WHERE vec_id < 5),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |scored AS (SELECT q.query_id, e.vec_id,
+         |  round(list_sum(list_transform(range(0, 8), qb ->
+         |    list_max(list_transform(range(0, 8), db ->
+         |      list_sum(list_transform(range(1, 9), i -> qv[qb*8+i] * v[db*8+i])))))), 6) AS maxsim
+         |  FROM e, q WHERE e.vec_id != q.query_id)
+         |SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY maxsim DESC, vec_id) AS rank, vec_id, maxsim
+         |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin),
   )
 }

@@ -813,4 +813,56 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** S12 — late-interaction (ColBERT-style) maxsim retrieval: each
+    * vector is treated as `blocks` contiguous sub-vectors ("token
+    * embeddings"), and the query–document score is
+    * Σ_{qb} max_{db} ⟨qb, db⟩ — every query token matches its best
+    * document token, the retrieval family's third scoring geometry
+    * beside whole-vector cosine ([[bruteForceTopK]]) and quantized ADC
+    * ([[pqTopK]]). MaxSim rewards documents that cover ALL the query's
+    * aspects; a single-vector cosine collapses them into one direction.
+    *
+    * The whole score is ONE codegen'd higher-order expression per
+    * (query, doc) pair — `aggregate` over query blocks of
+    * `array_max(transform(...))` over doc blocks, with the inner dot a
+    * further fixed-order `aggregate` — so float accumulation order is
+    * FIXED BY THE EXPRESSION TREE, not by row-arrival order (a
+    * groupBy-sum formulation would be nondeterministic in the last
+    * bit and could not hash-replay; the ns6 one-row-expression rule).
+    * Rounded to 6 decimals at the end, the family convention.
+    *
+    * Scale shape: the ns6/ns30 BASELINE contract — broadcast QUERY set
+    * (C rows) × one corpus scan, bounded nested-loop by construction;
+    * the per-pair cost is blocks² fixed-size dots. The deployment path
+    * at corpus scale composes the ivf-style cell probe first
+    * ([[ivfTopK]]) and re-scores candidates with maxsim. */
+  def maxSimTopK(
+      embeddings: DataFrame, queries: DataFrame, k: Int = 10,
+      blocks: Int = 8, dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(blocks >= 1 && dims % blocks == 0,
+      s"dims $dims must divide into blocks $blocks")
+    val bs = dims / blocks
+    val corpus = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val q = queries.select(col("query_id"),
+      col("query_vec").cast("array<double>").as("qv"))
+    def blockDot(qb: Column, db: Column): Column =
+      aggregate(sequence(lit(1), lit(bs)), lit(0.0), (acc, i) =>
+        acc + element_at(col("qv"), (qb * bs + i).cast("int")) *
+          element_at(col("v"), (db * bs + i).cast("int")))
+    val maxsim = aggregate(sequence(lit(0), lit(blocks - 1)), lit(0.0),
+      (acc, qb) => acc + array_max(
+        transform(sequence(lit(0), lit(blocks - 1)), db => blockDot(qb, db))))
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(maxsim, 6).as("maxsim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("maxsim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("maxsim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -328,7 +328,11 @@ object ScaleProof {
       // ns110: path doubling — ceil(log2 depth)+1 equi-join rounds run
       // as driver-loop actions; the synthetic forest's depth grows only
       // logarithmically with the corpus, the round count barely moves
-      "ns110_thread_paths")
+      "ns110_thread_paths",
+      // ns111: the ns6 baseline contract — broadcast query set (5 rows)
+      // × one corpus scan; pairs grow linearly with the corpus, the
+      // per-pair blocks² cost is fixed; count() needs the rank window
+      "ns111_maxsim_topk")
     // ns81 scales as the CLUSTER-RESOLVE deployment shape, not raw pairs:
     // the copy-tagged synthetic corpus puts every same-copy doc behind the
     // same `c{k}x` word prefixes, so stride hashes form GENUINE giant

@@ -141,7 +141,11 @@ class PlanSpec extends AnyFunSuite {
       "ns76_dataset_card" -> "1x1 summary-row join",
       // single-row broadcast: the (N, Σdl) corpus-stats scalar joins the
       // query-term postings — 1-row build side
-      "ns98_bm25_retrieval" -> "single-row corpus-stats broadcast")
+      "ns98_bm25_retrieval" -> "single-row corpus-stats broadcast",
+      // deliberate late-interaction baseline: broadcast QUERY set (C
+      // rows) × corpus, the ns6 contract; deployment composes an IVF
+      // probe first
+      "ns111_maxsim_topk" -> "broadcast query-set maxsim baseline")
     SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
       val p = SparkEntry.queries(n)(spark, sf)
         .queryExecution.executedPlan.toString

@@ -581,6 +581,39 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("maxsim: scalar-replay equivalence, self-exclusion, and the identical-vector bound") {
+    // driver-side replay of the exact expression tree on a tiny frame
+    val rows = Similarity.maxSimTopK(embs, queries, k = 10).collect()
+    assert(rows.length == 50)
+    rows.foreach(r => assert(r.getLong(2) != r.getLong(0))) // never self
+    val vecs = embs.where(col("vec_id") < 30).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def maxsim(q: Array[Double], d: Array[Double]): Double = {
+      val bs = 8
+      (0 until 8).map { qb =>
+        (0 until 8).map { db =>
+          (0 until bs).map(i => q(qb * bs + i) * d(db * bs + i)).sum
+        }.max
+      }.sum
+    }
+    // every scored (query, doc) pair with both ids < 30 must match the
+    // scalar computation to the rounding contract
+    rows.filter(r => r.getLong(0) < 30 && r.getLong(2) < 30).foreach { r =>
+      val expect = maxsim(vecs(r.getLong(0)), vecs(r.getLong(2)))
+      assert(math.abs(r.getDouble(3) - expect) < 1e-6, r.toString)
+    }
+    // maxsim(v, v) >= maxsim's diagonal blocks = sum of block self-dots
+    // (each query block's best match includes its own twin) — sanity on
+    // one vector against an identical copy
+    import spark.implicits._
+    val one = Seq((100L, vecs(0L).map(_.toFloat))).toDF("vec_id", "embedding")
+    val q1 = Seq((0L, vecs(0L).map(_.toFloat))).toDF("query_id", "query_vec")
+    val self = Similarity.maxSimTopK(one, q1, k = 1).head.getDouble(3)
+    val diag = (0 until 8).map(b =>
+      (0 until 8).map(i => vecs(0L)(b * 8 + i) * vecs(0L)(b * 8 + i)).sum).sum
+    assert(self >= diag - 1e-6)
+  }
+
   test("cosine is 1 for identical vectors, bounded in [-1,1]") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)))
