@@ -1647,6 +1647,20 @@ object SparkEntry {
   private def ns111(s: SparkSession, dir: String): DataFrame =
     graft.ops.Similarity.maxSimTopK(embs(s, dir), simQueries(s, dir), k = 10)
 
+  /** NS112 — per-user temporal holdout ([[graft.ops.Sampling
+    * .temporalHoldout]]): each user's LAST ⌈n/5⌉ events in (ts,
+    * event_id) order become test, the prefix stays train — the
+    * leakage-correct eval protocol for sequence models (predict the
+    * future from the past; a row-hash split trains on events AFTER its
+    * own test set). Exact integer rank cut, one user-keyed exchange
+    * for both windows. */
+  private def ns112(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.temporalHoldout(
+        graft.ops.Events.tsMicros(Tables.load(s, dir, "events"))
+          .select(col("event_id"), col("user_id"), col("ts")),
+        "user_id", "ts", "event_id", p = 1, q = 5)
+      .orderBy("event_id")
+
   /** NS86 — incremental token-count maintenance
     * ([[graft.ops.Versioning.maintainTokenCounts]]): the ns56 snapshot
     * tick's count table updated by re-tokenizing ONLY the diff fringe
@@ -2001,6 +2015,7 @@ object SparkEntry {
     "ns109_winsorize" -> (ns109 _),
     "ns110_thread_paths" -> (ns110 _),
     "ns111_maxsim_topk" -> (ns111 _),
+    "ns112_temporal_split" -> (ns112 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3767,5 +3782,15 @@ object SparkEntry {
          |  FROM e, q WHERE e.vec_id != q.query_id)
          |SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY maxsim DESC, vec_id) AS rank, vec_id, maxsim
          |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    // ns112: descending exact-rank cut — the last ceil(n/5) events per
+    // user are test on both sides, ties broken on event_id.
+    "ns112_temporal_split" ->
+      ("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd,
+         |    count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM events)
+         |SELECT event_id, user_id, ts,
+         |  CASE WHEN rd <= (n * 1 + 4) // 5 THEN 'test' ELSE 'train' END AS split
+         |FROM e ORDER BY event_id""".stripMargin),
   )
 }

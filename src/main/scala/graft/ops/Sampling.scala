@@ -397,4 +397,36 @@ object Sampling {
       .where(col("negative") =!= col("anchor"))
       .select(col("anchor"), col("slot"), col("negative"))
   }
+
+  /** C8 — per-entity temporal holdout: for every user (entity), the
+    * LAST ⌈p·n/q⌉ of their events in time order become the test split,
+    * the prefix stays train — the leakage-correct eval protocol for
+    * sequence models (predict the FUTURE from the past; a row-hash
+    * split would let the model train on events that happen after its
+    * own test set, inflating eval). The cut is an exact integer rank
+    * over the (ts, tiebreak) total order, so the assignment is
+    * deterministic, exhaustive, disjoint, and engine-replayable — the
+    * [[splitCorpus]] doctrine applied along time.
+    *
+    * Every entity keeps at least one test event (⌈⌉ of a positive
+    * fraction), so cold entities don't silently vanish from eval.
+    *
+    * Scale shape: ONE entity-keyed exchange serves the descending rank
+    * window and the count window (same clustering); the label is a
+    * codegen projection. Per-entity cost is its own event count. */
+  def temporalHoldout(
+      events: DataFrame, entityCol: String, tsCol: String, tieCol: String,
+      p: Int, q: Int): DataFrame = {
+    require(p >= 1 && p < q, s"test fraction must be in (0,1): got $p/$q")
+    val grp = Window.partitionBy(entityCol)
+    val desc = Window.partitionBy(entityCol)
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    events
+      .withColumn("__rd", row_number().over(desc).cast("long"))
+      .withColumn("__n", count(lit(1)).over(grp))
+      .withColumn("split",
+        when(col("__rd") <= expr(s"(__n * $p + ${q - 1}) DIV $q"),
+          lit("test")).otherwise(lit("train")))
+      .drop("__rd", "__n")
+  }
 }

@@ -332,7 +332,12 @@ object ScaleProof {
       // ns111: the ns6 baseline contract — broadcast query set (5 rows)
       // × one corpus scan; pairs grow linearly with the corpus, the
       // per-pair blocks² cost is fixed; count() needs the rank window
-      "ns111_maxsim_topk")
+      "ns111_maxsim_topk",
+      // ns112: one user-keyed exchange (both windows), codegen label —
+      // the sessionize family's scale shape; count() keeps the windows
+      // (the split column hangs off them) but the label CASE prunes;
+      // row count IS the contract (exhaustive assignment)
+      "ns112_temporal_split")
     // ns81 scales as the CLUSTER-RESOLVE deployment shape, not raw pairs:
     // the copy-tagged synthetic corpus puts every same-copy doc behind the
     // same `c{k}x` word prefixes, so stride hashes form GENUINE giant

@@ -133,6 +133,30 @@ class AssemblySpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------- ns112
+
+  test("temporalHoldout: the LAST ceil(p·n/q) events per user are test, ties on the tiebreak") {
+    val ev = Seq(
+      (1L, 1L, 10L), (2L, 1L, 20L), (3L, 1L, 30L), (4L, 1L, 40L), (5L, 1L, 50L),
+      (6L, 2L, 10L), // single-event user: that event IS the test set
+      (7L, 3L, 10L), (8L, 3L, 10L) // tie: higher event_id is "later"
+    ).toDF("event_id", "user_id", "ts")
+    val out = Sampling.temporalHoldout(ev, "user_id", "ts", "event_id", 1, 5)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("split")).toMap
+    // user 1: ceil(5/5)=1 -> only ts=50 is test
+    assert(out(5L) == "test" && (1L to 4L).forall(out(_) == "train"))
+    assert(out(6L) == "test") // cold user still evaluated
+    // user 3: ceil(2/5)=1 -> the tie-latest (event_id 8) is test
+    assert(out(8L) == "test" && out(7L) == "train")
+  }
+
+  test("temporalHoldout rejects degenerate fractions") {
+    val ev = Seq((1L, 1L, 10L)).toDF("event_id", "user_id", "ts")
+    intercept[IllegalArgumentException] {
+      Sampling.temporalHoldout(ev, "user_id", "ts", "event_id", 5, 5)
+    }
+  }
+
   // ---------------------------------------------------------------- ns104
 
   test("leakSafeFolds: identical text ⇒ identical fold, independent of doc ids; folds in range") {
