@@ -1661,6 +1661,33 @@ object SparkEntry {
         "user_id", "ts", "event_id", p = 1, q = 5)
       .orderBy("event_id")
 
+  /** NS113 — FK orphan audit ([[graft.ops.Integrity.fkOrphans]]): the
+    * read-side complement of the subsetter's FK discipline — for each
+    * declared edge, how many child rows an FK-closed subset would
+    * silently drop. Three TPC-H edges (consistent by construction)
+    * plus the cross-domain events.user_id → customer.c_custkey edge
+    * and a PARTIAL-REPLICA edge (events against only nation-0's
+    * customers — the regional-copy audit scenario), whose orphan count
+    * is genuinely non-zero inside the hash gate.
+    * Parent sides reduce to distinct key projections before the anti
+    * joins; exact per-mille integer arithmetic. */
+  private def ns113(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Integrity.FkEdge
+    val li = Tables.load(s, dir, "lineitem")
+    val ord = Tables.load(s, dir, "orders")
+    val cust = Tables.load(s, dir, "customer")
+    val nat = Tables.load(s, dir, "nation")
+    val ev = Tables.load(s, dir, "events")
+    graft.ops.Integrity.fkOrphans(s, Seq(
+        FkEdge("customer->nation", cust, "c_nationkey", nat, "n_nationkey"),
+        FkEdge("events->customer", ev, "user_id", cust, "c_custkey"),
+        FkEdge("events->customer_n0", ev, "user_id",
+          cust.where(col("c_nationkey") === 0), "c_custkey"),
+        FkEdge("lineitem->orders", li, "l_orderkey", ord, "o_orderkey"),
+        FkEdge("orders->customer", ord, "o_custkey", cust, "c_custkey")))
+      .orderBy("fk_edge")
+  }
+
   /** NS86 — incremental token-count maintenance
     * ([[graft.ops.Versioning.maintainTokenCounts]]): the ns56 snapshot
     * tick's count table updated by re-tokenizing ONLY the diff fringe
@@ -2016,6 +2043,7 @@ object SparkEntry {
     "ns110_thread_paths" -> (ns110 _),
     "ns111_maxsim_topk" -> (ns111 _),
     "ns112_temporal_split" -> (ns112 _),
+    "ns113_fk_orphans" -> (ns113 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3792,5 +3820,30 @@ object SparkEntry {
          |SELECT event_id, user_id, ts,
          |  CASE WHEN rd <= (n * 1 + 4) // 5 THEN 'test' ELSE 'train' END AS split
          |FROM e ORDER BY event_id""".stripMargin),
+    // ns113: left join + IS NULL replays the anti-join per edge (NULL
+    // child keys count as orphans on both sides); exact per-mille.
+    "ns113_fk_orphans" ->
+      ("""WITH r AS (
+         |  SELECT 'customer->nation' AS fk_edge, count(*) AS n_child,
+         |    count(*) FILTER (WHERE p.k IS NULL) AS n_orphans
+         |  FROM customer LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p ON c_nationkey = p.k
+         |  UNION ALL
+         |  SELECT 'events->customer', count(*),
+         |    count(*) FILTER (WHERE p.k IS NULL)
+         |  FROM events LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p ON user_id = p.k
+         |  UNION ALL
+         |  SELECT 'events->customer_n0', count(*),
+         |    count(*) FILTER (WHERE p.k IS NULL)
+         |  FROM events LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_nationkey = 0) p ON user_id = p.k
+         |  UNION ALL
+         |  SELECT 'lineitem->orders', count(*),
+         |    count(*) FILTER (WHERE p.k IS NULL)
+         |  FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p ON l_orderkey = p.k
+         |  UNION ALL
+         |  SELECT 'orders->customer', count(*),
+         |    count(*) FILTER (WHERE p.k IS NULL)
+         |  FROM orders LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p ON o_custkey = p.k)
+         |SELECT fk_edge, n_child, n_orphans, n_orphans * 1000 // n_child AS orphans_per_mille
+         |FROM r ORDER BY fk_edge""".stripMargin),
   )
 }

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Referential-integrity audit — the read-side complement of the
+  * subsetter's FK discipline (klepto walks FK edges to keep subsets
+  * closed, `pkg/config/config.go:49-56` relationships; this op REPORTS
+  * where a lake's tables already violate those edges). Run before a
+  * subset/training job: an orphaned child row silently vanishes from
+  * every FK-closed subset, so the audit quantifies what closure will
+  * drop.
+  */
+object Integrity {
+
+  /** One FK edge to audit: child rows whose `childKey` has no match in
+    * `parent.parentKey`. */
+  final case class FkEdge(
+      label: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String)
+
+  /** I1 — FK orphan report: for every declared edge, `n_child` total
+    * child rows, `n_orphans` with no parent (NULL child keys count as
+    * orphans — a NULL FK cannot join and will vanish from any
+    * FK-closed subset, which is exactly what the audit exists to
+    * surface), and the orphan share in exact per-mille (integer
+    * arithmetic, no float division).
+    *
+    * Scale shape: per edge, the parent side reduces to its DISTINCT
+    * key projection BEFORE the join (narrow build side — key bytes,
+    * not rows), then one LEFT ANTI join; Spark picks broadcast for
+    * dimension-sized parents and shuffled anti-join otherwise, AQE
+    * re-plans per edge at runtime. The per-edge counts union into a
+    * report of edge-cardinality rows. */
+  def fkOrphans(spark: SparkSession, edges: Seq[FkEdge]): DataFrame = {
+    require(edges.nonEmpty, "fkOrphans needs at least one edge")
+    val reports = edges.map { e =>
+      val parentKeys = e.parent.select(col(e.parentKey).as("__pk")).distinct()
+      val child = e.child.select(col(e.childKey).as("__ck"))
+      val total = child.agg(count(lit(1)).as("n_child"))
+      val orphans = child
+        .join(parentKeys, col("__ck") === col("__pk"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      total.crossJoin(orphans) // 1x1 summary-row join
+        .select(lit(e.label).as("fk_edge"), col("n_child"), col("n_orphans"),
+          expr("n_orphans * 1000 DIV n_child").as("orphans_per_mille"))
+    }
+    reports.reduce(_.unionByName(_))
+  }
+}

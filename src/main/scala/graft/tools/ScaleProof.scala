@@ -437,6 +437,20 @@ object ScaleProof {
     // to footers); the forced agg reads every unified column, pricing
     // the mergeSchema scan honestly. Scratch builds once per size in
     // the untimed warmup (the ns94 fingerprint-keyed contract).
+    // ns113's registered query audits TPC-H edges the scale synthesizer
+    // does not copy (nation/orders/lineitem); the scale leg audits the
+    // SAME anti-join shape over the two synthesized-table edges — the
+    // events fact side is what grows, which is the scaling question
+    def ns113Scaled(dir: String): DataFrame = {
+      import graft.ops.Integrity.FkEdge
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+      graft.ops.Integrity.fkOrphans(spark, Seq(
+          FkEdge("events->customer", ev, "user_id", cust, "c_custkey"),
+          FkEdge("events->customer_n0", ev, "user_id",
+            cust.where(col("c_nationkey") === 0), "c_custkey")))
+        .orderBy("fk_edge")
+    }
     def ns107Forced(dir: String): DataFrame =
       graft.SparkEntry.queries("ns107_evolved_read")(spark, dir)
         .agg(count(col("lang")).as("lang_rows"),
@@ -553,7 +567,8 @@ object ScaleProof {
           "ns101_variant_forced" -> (ns101Forced _),
           "ns102_assembly_forced" -> (ns102Forced _),
           "ns104_folds_forced" -> (ns104Forced _),
-          "ns107_evolved_forced" -> (ns107Forced _))
+          "ns107_evolved_forced" -> (ns107Forced _),
+          "ns113_orphans_scaled" -> (ns113Scaled _))
     // ungrouped-aggregate entries: see measure() — count() would fold to 1
     val aggForced = Set("ns63_html_forced", "ns66_luhn_forced",
       "ns68_lines_forced", "ns101_variant_forced",

@@ -157,6 +157,20 @@ class AssemblySpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------- ns113
+
+  test("fkOrphans: counts missing parents, NULL child keys are orphans, exact per-mille") {
+    import graft.ops.Integrity.FkEdge
+    val child = Seq(Some(1L), Some(2L), Some(7L), None)
+      .toDF("fk") // 7 dangling, NULL dangling
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Integrity.fkOrphans(spark,
+      Seq(FkEdge("c->p", child, "fk", parent, "pk"))).head()
+    assert(r.getAs[Long]("n_child") == 4L)
+    assert(r.getAs[Long]("n_orphans") == 2L)
+    assert(r.getAs[Long]("orphans_per_mille") == 500L)
+  }
+
   // ---------------------------------------------------------------- ns104
 
   test("leakSafeFolds: identical text ⇒ identical fold, independent of doc ids; folds in range") {
