@@ -1688,6 +1688,21 @@ object SparkEntry {
       .orderBy("fk_edge")
   }
 
+  /** NS114 — length-bucketed batch formation ([[graft.ops.Sampling
+    * .lengthBuckets]]): documents sorted by the ns26 token count and
+    * cut into 32-doc batches of near-equal length, each padding to its
+    * own max — the padding-waste optimization for attention training
+    * (packSequences concatenates; bucketing keeps documents whole).
+    * Global order via the ns93 distributed rank; per-row `waste` puts
+    * the tokens-burned metric inside the hash gate. */
+  private def ns114(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.lengthBuckets(
+        docs(s, dir).select(col("doc_id"),
+          expr("CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)")
+            .as("n_tokens")),
+        "n_tokens", "doc_id", batchSize = 32)
+      .orderBy("doc_id")
+
   /** NS86 — incremental token-count maintenance
     * ([[graft.ops.Versioning.maintainTokenCounts]]): the ns56 snapshot
     * tick's count table updated by re-tokenizing ONLY the diff fringe
@@ -2044,6 +2059,7 @@ object SparkEntry {
     "ns111_maxsim_topk" -> (ns111 _),
     "ns112_temporal_split" -> (ns112 _),
     "ns113_fk_orphans" -> (ns113 _),
+    "ns114_length_batches" -> (ns114 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3845,5 +3861,14 @@ object SparkEntry {
          |  FROM orders LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p ON o_custkey = p.k)
          |SELECT fk_edge, n_child, n_orphans, n_orphans * 1000 // n_child AS orphans_per_mille
          |FROM r ORDER BY fk_edge""".stripMargin),
+    // ns114: the ns26 token costing + a global (length, key) rank cut
+    // into 32-doc batches; waste = batch max - own length.
+    "ns114_length_batches" ->
+      ("""WITH t AS (SELECT doc_id, ceil(length(text)::DOUBLE / 4.0)::BIGINT AS n_tokens FROM documents),
+         |r AS (SELECT doc_id, n_tokens,
+         |    (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // 32 AS batch_id FROM t),
+         |b AS (SELECT *, max(n_tokens) OVER (PARTITION BY batch_id) AS batch_max FROM r)
+         |SELECT doc_id, n_tokens, batch_id, batch_max, batch_max - n_tokens AS waste
+         |FROM b ORDER BY doc_id""".stripMargin),
   )
 }

@@ -429,4 +429,38 @@ object Sampling {
           lit("test")).otherwise(lit("train")))
       .drop("__rd", "__n")
   }
+
+  /** C9 — length-bucketed batch formation: sort the corpus by token
+    * count and cut consecutive runs of `batchSize` into batches, so
+    * each training batch holds near-equal-length sequences and pads to
+    * its own max instead of the corpus max — the standard
+    * padding-waste optimization for attention training (contrast
+    * [[packSequences]], which CONCATENATES documents into fixed
+    * sequences; bucketing keeps documents whole and groups them).
+    * `waste` (per row: batch max − own length) quantifies the padding
+    * each batch still pays; Σ waste is the tokens-burned metric the
+    * optimization is judged by.
+    *
+    * The order is the (length, key) total order resolved through
+    * [[Layout.epochOrder]]'s distributed rank — range exchange +
+    * broadcast offsets, never a single-partition global window — and
+    * batch_id = (pos − 1) DIV batchSize is a codegen projection over
+    * it. The per-batch max comes from ONE batch-keyed window on the
+    * already-range-partitioned frame. Deterministic by total order:
+    * retries and repartitioning reproduce identical batches. */
+  def lengthBuckets(
+      df: DataFrame, lengthCol: String, keyCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val ranked = Layout.epochOrder(
+      df.select(col(keyCol), col(lengthCol)),
+      Seq(col(lengthCol), col(keyCol)))
+    val w = Window.partitionBy("batch_id")
+    ranked
+      .withColumn("batch_id", expr(s"(pos - 1) DIV $batchSize"))
+      .withColumn("batch_max", max(col(lengthCol)).over(w))
+      .select(col(keyCol), col(lengthCol), col("batch_id"),
+        col("batch_max"),
+        (col("batch_max") - col(lengthCol)).as("waste"))
+  }
 }

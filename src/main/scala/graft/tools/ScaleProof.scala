@@ -337,7 +337,12 @@ object ScaleProof {
       // the sessionize family's scale shape; count() keeps the windows
       // (the split column hangs off them) but the label CASE prunes;
       // row count IS the contract (exhaustive assignment)
-      "ns112_temporal_split")
+      "ns112_temporal_split",
+      // ns114: epochOrder range exchange + one batch-keyed window on
+      // the already-partitioned frame; count() keeps it all (batch_id
+      // and the windows feed the output filter-free, but the rank and
+      // window are the row-identity itself)
+      "ns114_length_batches")
     // ns81 scales as the CLUSTER-RESOLVE deployment shape, not raw pairs:
     // the copy-tagged synthetic corpus puts every same-copy doc behind the
     // same `c{k}x` word prefixes, so stride hashes form GENUINE giant

@@ -157,6 +157,27 @@ class AssemblySpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------- ns114
+
+  test("lengthBuckets: contiguous length-sorted batches, own-max padding, exact waste") {
+    val d = (1L to 10L).map(i => (i, i * 10L)).toDF("doc_id", "n_tokens")
+    val out = Sampling.lengthBuckets(d, "n_tokens", "doc_id", batchSize = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("batch_id"),
+        r.getAs[Long]("batch_max"), r.getAs[Long]("waste")))
+    val byBatch = out.groupBy(_._2)
+    assert(byBatch.keySet == Set(0L, 1L, 2L))
+    // sorted by length: batch 0 = lengths 10..40 (max 40), 1 = 50..80, 2 = 90,100
+    assert(byBatch(0L).map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    assert(byBatch(0L).forall(_._3 == 40L))
+    assert(out.find(_._1 == 1L).get._4 == 30L) // waste = 40 - 10
+    assert(byBatch(2L).map(_._1).toSet == Set(9L, 10L))
+    assert(out.forall(_._4 >= 0L))
+    // determinism under repartition
+    val again = Sampling.lengthBuckets(d.repartition(5), "n_tokens", "doc_id", 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("batch_id"))).toSet
+    assert(again == out.map(r => (r._1, r._2)).toSet)
+  }
+
   // ---------------------------------------------------------------- ns113
 
   test("fkOrphans: counts missing parents, NULL child keys are orphans, exact per-mille") {
