@@ -1514,8 +1514,12 @@ object SparkEntry {
     * Digest-before-exchange: text never shuffles. */
   private def ns104(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("text"))
+    // STRUCTURAL shift (max+1), not a fixed constant: a fixed offset
+    // collides with real ids once a scale-synthesized corpus outgrows
+    // it — the ns56/ns86 key-uniqueness rule
+    val shift = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
     val twins = d.where(col("doc_id") % 7 === 0)
-      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .withColumn("doc_id", col("doc_id") + lit(shift))
     graft.ops.Sampling.leakSafeFolds(d.unionByName(twins), "text", folds = 10)
       .orderBy("doc_id")
   }
@@ -3740,7 +3744,8 @@ object SparkEntry {
     "ns104_leak_folds" ->
       ("""WITH d AS (SELECT doc_id, text FROM documents
          |    UNION ALL
-         |    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+         |    SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+         |    FROM documents WHERE doc_id % 7 = 0),
          |g AS (SELECT doc_id, md5(coalesce(text, chr(30))) AS dup_group FROM d)
          |SELECT doc_id, dup_group,
          |  count(*) OVER (PARTITION BY dup_group) AS group_size,
@@ -3793,7 +3798,7 @@ object SparkEntry {
     // identically; no interpolation anywhere.
     "ns109_winsorize" ->
       ("""WITH r AS (SELECT lang, n_chars, doc_id,
-         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars NULLS FIRST, doc_id) AS rn,
          |    count(*) OVER (PARTITION BY lang) AS n
          |  FROM documents),
          |c AS (SELECT lang, n_chars AS cut FROM r WHERE rn = (n * 19 + 19) // 20)
@@ -3866,7 +3871,7 @@ object SparkEntry {
     "ns114_length_batches" ->
       ("""WITH t AS (SELECT doc_id, ceil(length(text)::DOUBLE / 4.0)::BIGINT AS n_tokens FROM documents),
          |r AS (SELECT doc_id, n_tokens,
-         |    (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // 32 AS batch_id FROM t),
+         |    (row_number() OVER (ORDER BY n_tokens NULLS FIRST, doc_id) - 1) // 32 AS batch_id FROM t),
          |b AS (SELECT *, max(n_tokens) OVER (PARTITION BY batch_id) AS batch_max FROM r)
          |SELECT doc_id, n_tokens, batch_id, batch_max, batch_max - n_tokens AS waste
          |FROM b ORDER BY doc_id""".stripMargin),

@@ -222,11 +222,15 @@ object Graphs {
       val a = st.select(col("id").as("__aid"), col("anc").as("__aanc"),
         col("path").as("__apath"), col("depth").as("__adepth"))
       val joined = st.join(a, col("anc") === col("__aid"), "left")
-      // forest integrity: every non-NULL anc must resolve
-      val dangling = joined
-        .where(col("anc").isNotNull && col("__aid").isNull).limit(1).count()
-      require(dangling == 0L,
-        s"dangling parent pointers in '$parentCol' (not a forest)")
+      // forest integrity: every non-NULL anc must resolve. Round 1 only —
+      // later anc values are drawn from the already-validated id set, so
+      // re-checking would just add a full-state scan per round
+      if (rounds == 0) {
+        val dangling = joined
+          .where(col("anc").isNotNull && col("__aid").isNull).limit(1).count()
+        require(dangling == 0L,
+          s"dangling parent pointers in '$parentCol' (not a forest)")
+      }
       st = joined
         .select(col("id"),
           when(col("anc").isNull, col("anc")).otherwise(col("__aanc"))

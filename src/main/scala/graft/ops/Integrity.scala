@@ -26,22 +26,22 @@ object Integrity {
     * surface), and the orphan share in exact per-mille (integer
     * arithmetic, no float division).
     *
-    * Scale shape: per edge, the parent side reduces to its DISTINCT
-    * key projection BEFORE the join (narrow build side — key bytes,
-    * not rows), then one LEFT ANTI join; Spark picks broadcast for
-    * dimension-sized parents and shuffled anti-join otherwise, AQE
-    * re-plans per edge at runtime. The per-edge counts union into a
-    * report of edge-cardinality rows. */
+    * Scale shape: ONE PASS per edge — the parent side reduces to its
+    * DISTINCT key projection BEFORE the join (narrow build side — key
+    * bytes, not rows), then a single LEFT OUTER probe counts total and
+    * unmatched child rows in the same aggregation (the total and the
+    * orphan count are two aggregates over one join, never two child
+    * scans); Spark picks broadcast for dimension-sized parents and a
+    * shuffled join otherwise, AQE re-plans per edge at runtime. The
+    * per-edge counts union into a report of edge-cardinality rows. */
   def fkOrphans(spark: SparkSession, edges: Seq[FkEdge]): DataFrame = {
     require(edges.nonEmpty, "fkOrphans needs at least one edge")
     val reports = edges.map { e =>
       val parentKeys = e.parent.select(col(e.parentKey).as("__pk")).distinct()
-      val child = e.child.select(col(e.childKey).as("__ck"))
-      val total = child.agg(count(lit(1)).as("n_child"))
-      val orphans = child
-        .join(parentKeys, col("__ck") === col("__pk"), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-      total.crossJoin(orphans) // 1x1 summary-row join
+      e.child.select(col(e.childKey).as("__ck"))
+        .join(parentKeys, col("__ck") === col("__pk"), "left_outer")
+        .agg(count(lit(1)).as("n_child"),
+          count(when(col("__pk").isNull, 1)).as("n_orphans"))
         .select(lit(e.label).as("fk_edge"), col("n_child"), col("n_orphans"),
           expr("n_orphans * 1000 DIV n_child").as("orphans_per_mille"))
     }

@@ -383,10 +383,13 @@ object Sampling {
   def sampleNegatives(
       df: DataFrame, keyCol: String, k: Int, seed: Long): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val n = df.count()
-    require(n >= 2, "negative sampling needs at least 2 rows")
     val ranked = Layout.epochOrder(df.select(col(keyCol)), Seq(col(keyCol)))
-    val cands = df.select(col(keyCol).as("anchor"))
+    // N from the already-checkpointed rank frame (max pos): one cheap
+    // agg over narrow materialized rows, not an extra full corpus scan;
+    // anchors likewise reuse the checkpoint instead of re-reading df
+    val n = ranked.agg(max(col("pos"))).head.getLong(0)
+    require(n >= 2, "negative sampling needs at least 2 rows")
+    val cands = ranked.select(col(keyCol).as("anchor"))
       .withColumn("slot", explode(sequence(lit(1), lit(k))))
       .withColumn("slot", col("slot").cast("long"))
       .withColumn("__target",

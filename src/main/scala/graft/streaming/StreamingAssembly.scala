@@ -64,7 +64,11 @@ object StreamingAssembly extends Serializable {
     s"${e.event_type}=$centi"
   }
 
-  private def tokensOf(line: String): Long = line.length / 4 + 1
+  /** Code-POINT count, like Spark's `length()` — Java String.length is
+    * UTF-16 units and would over-count astral chars, truncating a turn
+    * earlier than the batch operator. */
+  private def tokensOf(line: String): Long =
+    line.codePointCount(0, line.length) / 4 + 1
 
   /** Streaming conversation assembly with gap `gapUs` (µs) and
     * `tokenBudget`. Emits each non-empty sample once, when its

@@ -145,11 +145,7 @@ class PlanSpec extends AnyFunSuite {
       // deliberate late-interaction baseline: broadcast QUERY set (C
       // rows) × corpus, the ns6 contract; deployment composes an IVF
       // probe first
-      "ns111_maxsim_topk" -> "broadcast query-set maxsim baseline",
-      // single-row × single-row per audited edge: each edge's total and
-      // orphan counts are ungrouped aggregates joined 1×1 (the ns76
-      // summary-row shape, once per edge)
-      "ns113_fk_orphans" -> "1x1 per-edge summary-row joins")
+      "ns111_maxsim_topk" -> "broadcast query-set maxsim baseline")
     SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
       val p = SparkEntry.queries(n)(spark, sf)
         .queryExecution.executedPlan.toString
