@@ -1707,6 +1707,29 @@ object SparkEntry {
         "n_tokens", "doc_id", batchSize = 32)
       .orderBy("doc_id")
 
+  /** NS115 — column completeness profile ([[graft.ops.Integrity
+    * .profile]]): the ingestion-gate statistics per column (rows,
+    * NULLs, exact distinct, lexicographic string min/max) over the
+    * customer table — string-form profiling deliberately, so the
+    * artifact is schema-stable and engine-replayable where float
+    * formatting is not. One stacked aggregation pass. */
+  private def ns115(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Integrity.profile(
+        Tables.load(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+      .orderBy("column")
+
+  /** NS116 — bigram LM count table ([[graft.ops.TextAnalysis
+    * .bigramCounts]]): the Kneser–Ney count artifact — pair frequency,
+    * context total (P(w2|w1) denominator), and CONTINUATION count
+    * (distinct left contexts of w2, the KN replacement for raw
+    * unigram frequency) — head-truncated at n_pair ≥ 3. One pair-keyed
+    * aggregation; the ctx/cont re-aggregations run over the
+    * bigram-vocabulary pair table, not the corpus. */
+  private def ns116(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.bigramCounts(docs(s, dir), minCount = 3L)
+      .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+
   /** NS86 — incremental token-count maintenance
     * ([[graft.ops.Versioning.maintainTokenCounts]]): the ns56 snapshot
     * tick's count table updated by re-tokenizing ONLY the diff fringe
@@ -2064,6 +2087,8 @@ object SparkEntry {
     "ns112_temporal_split" -> (ns112 _),
     "ns113_fk_orphans" -> (ns113 _),
     "ns114_length_batches" -> (ns114 _),
+    "ns115_table_profile" -> (ns115 _),
+    "ns116_bigram_counts" -> (ns116 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3875,5 +3900,30 @@ object SparkEntry {
          |b AS (SELECT *, max(n_tokens) OVER (PARTITION BY batch_id) AS batch_max FROM r)
          |SELECT doc_id, n_tokens, batch_id, batch_max, batch_max - n_tokens AS waste
          |FROM b ORDER BY doc_id""".stripMargin),
+    // ns115: per-column stats over the stacked string form — BIGINT
+    // keys render identically in both engines' string casts.
+    "ns115_table_profile" ->
+      ("""WITH p AS (
+         |  SELECT 'c_custkey' AS "column", c_custkey::VARCHAR AS v FROM customer
+         |  UNION ALL SELECT 'c_name', c_name FROM customer
+         |  UNION ALL SELECT 'c_nationkey', c_nationkey::VARCHAR FROM customer
+         |  UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM customer)
+         |SELECT "column", count(*) AS n_rows,
+         |  count(*) FILTER (WHERE v IS NULL) AS n_null,
+         |  count(DISTINCT v) AS n_distinct,
+         |  min(v) AS min_str, max(v) AS max_str
+         |FROM p GROUP BY "column" ORDER BY "column"""".stripMargin),
+    // ns116: the ns47 whitespace-tokenization parity contract; pair
+    // keys travel as a chr(31)-joined string through the comprehension.
+    "ns116_bigram_counts" ->
+      ("""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         |bg AS (SELECT unnest([ws[i] || chr(31) || ws[i+1] for i in range(1, len(ws))]) AS b FROM w),
+         |p AS (SELECT split_part(b, chr(31), 1) AS w1, split_part(b, chr(31), 2) AS w2, count(*) AS n_pair FROM bg GROUP BY 1, 2),
+         |c AS (SELECT w1, sum(n_pair)::BIGINT AS n_ctx FROM p GROUP BY 1),
+         |k AS (SELECT w2, count(*) AS n_cont FROM p GROUP BY 1)
+         |SELECT p.w1, p.w2, n_pair, n_ctx, n_cont
+         |FROM p JOIN c USING (w1) JOIN k USING (w2)
+         |WHERE n_pair >= 3
+         |ORDER BY n_pair DESC, p.w1, p.w2""".stripMargin),
   )
 }

@@ -47,4 +47,37 @@ object Integrity {
     }
     reports.reduce(_.unionByName(_))
   }
+
+  /** I2 — column completeness profile: for each named column, the
+    * ingestion-gate statistics a pipeline reads before trusting a new
+    * table drop — row count, NULL count, exact distinct count, and
+    * lexicographic min/max of the STRING form. Values are profiled as
+    * strings deliberately: the profile is a schema-stable artifact
+    * (one output shape regardless of column types) and string min/max
+    * is exactly replayable across engines, where float formatting is
+    * not — callers profile numeric ranges via typed queries when they
+    * need them.
+    *
+    * Scale shape: ONE aggregation pass over an exploded
+    * (column, value) projection — the explode multiplies rows by the
+    * PROFILED column count (a handful), the exchange carries
+    * column-keyed partial aggregates, and exact distinct per column is
+    * a two-level (column, value) aggregation, never a driver-side
+    * set. Output is column-cardinality rows. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    // stack, not explode(map(...)): CreateMap rejects NULL values at
+    // runtime, and NULLs are precisely what a completeness profile is
+    // counting
+    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS STRING)")
+      .mkString(", ")
+    val pairs = df.selectExpr(
+      s"stack(${cols.length}, $stackArgs) AS (column, v)")
+    pairs.groupBy(col("column"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("v").isNull, 1)).as("n_null"),
+        count_distinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_str"),
+        max(col("v")).as("max_str"))
+  }
 }

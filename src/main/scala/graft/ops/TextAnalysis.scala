@@ -436,4 +436,41 @@ object TextAnalysis {
       .withColumn("n_text", length(col("text")).cast("long"))
       .select(col("doc_id"), col("n_raw"), col("n_text"), col("text"))
       .orderBy(col("doc_id"))
+  /** T10 — bigram language-model count table: per adjacent word pair,
+    * `n_pair` (pair frequency), `n_ctx` (how many bigram tokens start
+    * from w1 — the Kneser–Ney denominator for P(w2|w1)), and `n_cont`
+    * (how many DISTINCT left contexts w2 appears in — the KN
+    * continuation count that replaces raw unigram frequency, so "York"
+    * scores low despite being frequent: it follows almost nothing but
+    * "New"). The count-table artifact an n-gram LM trains from and a
+    * corpus auditor reads for collocation structure. `minCount` floors
+    * the released pairs — count tables ship head-truncated.
+    *
+    * Scale shape: one scan + explode of adjacent pairs, ONE
+    * (w1, w2)-keyed aggregation with map-side partials; `n_ctx` and
+    * `n_cont` are re-aggregations of the PAIR table (bigram-vocabulary
+    * cardinality, not corpus), and `n_cont` is a plain row count per
+    * w2 — the pair table is already distinct on (w1, w2), so no
+    * count_distinct machinery. Broadcast-back joins onto the pair
+    * table. Whitespace tokenization, the suite's ns47 parity contract
+    * (consecutive spaces yield empty tokens in BOTH engines). */
+  def bigramCounts(docs: DataFrame, minCount: Long = 3L): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val ws = split(col("text"), " ")
+    // sequence(1, 0) would DESCEND, not return empty — guard short docs
+    val bg = when(size(ws) < 2, expr("array()").cast(
+        "array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(1), size(ws) - 1), i =>
+        struct(element_at(ws, i).as("w1"),
+          element_at(ws, i.cast("int") + 1).as("w2"))))
+    val pair = docs.select(explode(bg).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val ctx = pair.groupBy(col("w1")).agg(sum(col("n_pair")).as("n_ctx"))
+    val cont = pair.groupBy(col("w2")).agg(count(lit(1)).as("n_cont"))
+    pair.join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .where(col("n_pair") >= minCount)
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_ctx"),
+        col("n_cont"))
+  }
 }

@@ -342,7 +342,11 @@ object ScaleProof {
       // the already-partitioned frame; count() keeps it all (batch_id
       // and the windows feed the output filter-free, but the rank and
       // window are the row-identity itself)
-      "ns114_length_batches")
+      "ns114_length_batches",
+      // ns116: one pair-keyed agg with map-side partials; ctx/cont
+      // re-aggregate the bigram-VOCAB pair table, not the corpus;
+      // count() needs all three (the HAVING floor hangs off them)
+      "ns116_bigram_counts")
     // ns81 scales as the CLUSTER-RESOLVE deployment shape, not raw pairs:
     // the copy-tagged synthetic corpus puts every same-copy doc behind the
     // same `c{k}x` word prefixes, so stride hashes form GENUINE giant
@@ -456,6 +460,13 @@ object ScaleProof {
             cust.where(col("c_nationkey") === 0), "c_custkey")))
         .orderBy("fk_edge")
     }
+    // ns115 under count() keeps the stack but prunes the per-column
+    // stats; the forced sum over distinct/min/max prices the profile
+    def ns115Forced(dir: String): DataFrame =
+      graft.SparkEntry.queries("ns115_table_profile")(spark, dir)
+        .agg(sum(col("n_distinct")).as("d"),
+          sum(col("n_null")).as("nn"),
+          count(col("min_str")).as("m"))
     def ns107Forced(dir: String): DataFrame =
       graft.SparkEntry.queries("ns107_evolved_read")(spark, dir)
         .agg(count(col("lang")).as("lang_rows"),
@@ -573,12 +584,13 @@ object ScaleProof {
           "ns102_assembly_forced" -> (ns102Forced _),
           "ns104_folds_forced" -> (ns104Forced _),
           "ns107_evolved_forced" -> (ns107Forced _),
-          "ns113_orphans_scaled" -> (ns113Scaled _))
+          "ns113_orphans_scaled" -> (ns113Scaled _),
+          "ns115_profile_forced" -> (ns115Forced _))
     // ungrouped-aggregate entries: see measure() — count() would fold to 1
     val aggForced = Set("ns63_html_forced", "ns66_luhn_forced",
       "ns68_lines_forced", "ns101_variant_forced",
       "ns102_assembly_forced", "ns104_folds_forced",
-      "ns107_evolved_forced",
+      "ns107_evolved_forced", "ns115_profile_forced",
       // single-row join of two ungrouped aggregates: count() folds to 1
       "ns76_dataset_card")
     // SPARK_GRAFT_SCALE_ONLY=name,name isolates entries for iteration

@@ -178,6 +178,35 @@ class AssemblySpec extends AnyFunSuite {
     assert(again == out.map(r => (r._1, r._2)).toSet)
   }
 
+  // ---------------------------------------------------------------- ns115/ns116
+
+  test("profile: per-column rows/nulls/exact-distinct/string min-max, NULLs counted not ranked") {
+    val d = Seq((1L, "b", null: String), (2L, "a", "x"), (3L, "a", null: String))
+      .toDF("id", "s", "t")
+    val out = Integrity.profile(d, Seq("id", "s", "t"))
+      .collect().map(r => r.getAs[String]("column") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_null"),
+          r.getAs[Long]("n_distinct"), r.getAs[String]("min_str"),
+          r.getAs[String]("max_str")))).toMap
+    assert(out("id") == ((3L, 0L, 3L, "1", "3")))
+    assert(out("s") == ((3L, 0L, 2L, "a", "b")))
+    assert(out("t") == ((3L, 2L, 1L, "x", "x"))) // NULLs counted, excluded from distinct/min/max
+  }
+
+  test("bigramCounts: pair, context, and continuation counts on a known corpus") {
+    val d = Seq((1L, "new york new york"), (2L, "old york"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCounts(d, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_pair"), r.getAs[Long]("n_ctx"),
+          r.getAs[Long]("n_cont")))).toMap
+    // bigrams: (new,york)x2, (york,new)x1, (old,york)x1; "solo" yields none
+    assert(out(("new", "york")) == ((2L, 2L, 2L))) // york follows {new, old}
+    assert(out(("york", "new")) == ((1L, 1L, 1L)))
+    assert(out(("old", "york")) == ((1L, 1L, 2L)))
+    assert(out.size == 3)
+  }
+
   // ---------------------------------------------------------------- ns113
 
   test("fkOrphans: counts missing parents, NULL child keys are orphans, exact per-mille") {
