@@ -1730,6 +1730,26 @@ object SparkEntry {
     graft.ops.TextAnalysis.bigramCounts(docs(s, dir), minCount = 3L)
       .orderBy(col("n_pair").desc, col("w1"), col("w2"))
 
+  /** NS117 — inter-annotator agreement report ([[graft.ops.Annotation
+    * .agreementReport]]): the QC complement of ns103 over the same
+    * synthetic five-rater votes — per item, exact pairwise agreement
+    * (Σ C(votes_l, 2) over C(n, 2)) in integer per-mille; a float
+    * kappa would not hash-replay. Low-agreement items are what a
+    * pipeline routes to re-annotation instead of training. */
+  private def ns117(s: SparkSession, dir: String): DataFrame = {
+    val votes = docs(s, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("k", explode(sequence(lit(1), lit(5))))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(CAST(concat('vote:', CAST(doc_id AS STRING)" +
+          ", ':', CAST(k AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("vote_label", expr(
+        "CASE WHEN h % 10 < 2 THEN concat('alt', CAST(h DIV 10 % 3 AS STRING))" +
+          " ELSE lang END"))
+    graft.ops.Annotation.agreementReport(votes, "doc_id", "vote_label")
+      .orderBy("doc_id")
+  }
+
   /** NS86 — incremental token-count maintenance
     * ([[graft.ops.Versioning.maintainTokenCounts]]): the ns56 snapshot
     * tick's count table updated by re-tokenizing ONLY the diff fringe
@@ -2089,6 +2109,7 @@ object SparkEntry {
     "ns114_length_batches" -> (ns114 _),
     "ns115_table_profile" -> (ns115 _),
     "ns116_bigram_counts" -> (ns116 _),
+    "ns117_vote_agreement" -> (ns117 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3925,5 +3946,21 @@ object SparkEntry {
          |FROM p JOIN c USING (w1) JOIN k USING (w2)
          |WHERE n_pair >= 3
          |ORDER BY n_pair DESC, p.w1, p.w2""".stripMargin),
+    // ns117: ns103's vote synthesis + the exact pair-counting algebra;
+    // n=5 per item here so total_pairs = 10 and per-mille is exact.
+    "ns117_vote_agreement" ->
+      ("""WITH v AS (SELECT doc_id, lang, k FROM documents
+         |    CROSS JOIN (SELECT unnest(range(1, 6)) AS k) r),
+         |h AS (SELECT doc_id, lang,
+         |    ('0x' || substr(md5('vote:' || doc_id || ':' || k), 1, 15))::BIGINT AS h FROM v),
+         |lab AS (SELECT doc_id,
+         |    CASE WHEN h % 10 < 2 THEN 'alt' || (h // 10 % 3)::VARCHAR ELSE lang END AS vote_label FROM h),
+         |c AS (SELECT doc_id, coalesce(vote_label, chr(30)) AS l, count(*) AS votes FROM lab GROUP BY 1, 2),
+         |a AS (SELECT doc_id, sum(votes)::BIGINT AS n_votes,
+         |    sum(votes * (votes - 1) // 2)::BIGINT AS agree_pairs FROM c GROUP BY 1)
+         |SELECT doc_id, n_votes, agree_pairs,
+         |  n_votes * (n_votes - 1) // 2 AS total_pairs,
+         |  CASE WHEN n_votes > 1 THEN agree_pairs * 1000 // (n_votes * (n_votes - 1) // 2) END AS agreement_per_mille
+         |FROM a ORDER BY doc_id""".stripMargin),
   )
 }

@@ -57,4 +57,40 @@ object Annotation {
         col("votes"), col("n_votes"),
         (col("votes") === col("n_votes")).as("is_unanimous"))
   }
+  /** N2 — inter-annotator agreement report: per item, the observed
+    * pairwise agreement among its votes — `agree_pairs` = Σ_label
+    * C(votes_label, 2), `total_pairs` = C(n, 2), and the ratio in
+    * exact per-mille (integer arithmetic; an agreement statistic that
+    * hash-replays, where a float kappa would not). The annotation-QC
+    * complement of [[resolveLabels]]: resolution says WHICH label won,
+    * agreement says whether the item is worth trusting at all (333‰
+    * on a 5-vote item means the raters effectively flipped coins —
+    * route it to re-annotation, don't train on it).
+    *
+    * Items with a single vote have no pairs and report NULL per-mille
+    * (0/0 — honest absence, not fake perfect agreement). NULL labels
+    * agree with each other (the [[resolveLabels]] sentinel convention:
+    * NULL is a real label value).
+    *
+    * Scale shape: the resolveLabels two-aggregation shape — one
+    * (item, label) exchange with map-side partials, then an item-keyed
+    * re-aggregation of the counted frame (annotator-fold smaller). */
+  def agreementReport(
+      votes: DataFrame, itemCol: String, labelCol: String): DataFrame = {
+    val sentinel = "\u001e"
+    votes
+      .select(col(itemCol),
+        coalesce(col(labelCol).cast("string"), lit(sentinel)).as("__label"))
+      .groupBy(col(itemCol), col("__label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col(itemCol))
+      .agg(sum(col("votes")).as("n_votes"),
+        sum(expr("votes * (votes - 1) DIV 2")).as("agree_pairs"))
+      .withColumn("total_pairs", expr("n_votes * (n_votes - 1) DIV 2"))
+      .select(col(itemCol), col("n_votes"), col("agree_pairs"),
+        col("total_pairs"),
+        when(col("total_pairs") > 0,
+          expr("agree_pairs * 1000 DIV total_pairs"))
+          .as("agreement_per_mille"))
+  }
 }

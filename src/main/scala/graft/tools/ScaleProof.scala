@@ -346,7 +346,10 @@ object ScaleProof {
       // ns116: one pair-keyed agg with map-side partials; ctx/cont
       // re-aggregate the bigram-VOCAB pair table, not the corpus;
       // count() needs all three (the HAVING floor hangs off them)
-      "ns116_bigram_counts")
+      "ns116_bigram_counts",
+      // ns117: the resolveLabels two-aggregation shape; count() needs
+      // both exchanges (groups are the output rows)
+      "ns117_vote_agreement")
     // ns81 scales as the CLUSTER-RESOLVE deployment shape, not raw pairs:
     // the copy-tagged synthetic corpus puts every same-copy doc behind the
     // same `c{k}x` word prefixes, so stride hashes form GENUINE giant

@@ -178,6 +178,21 @@ class AssemblySpec extends AnyFunSuite {
     assert(again == out.map(r => (r._1, r._2)).toSet)
   }
 
+  // ---------------------------------------------------------------- ns117
+
+  test("agreementReport: exact pairwise agreement, NULLs agree, single-vote items report NULL") {
+    val v = votes((1L, "a"), (1L, "a"), (1L, "b"),     // C(2,2)+0 = 1 of C(3,2)=3
+      (2L, null), (2L, null),                           // NULLs agree: 1 of 1
+      (3L, "x"))                                        // no pairs
+    val out = Annotation.agreementReport(v, "item", "label")
+      .orderBy("item").collect()
+    assert(out(0).getAs[Long]("agree_pairs") == 1L &&
+      out(0).getAs[Long]("total_pairs") == 3L &&
+      out(0).getAs[Long]("agreement_per_mille") == 333L)
+    assert(out(1).getAs[Long]("agreement_per_mille") == 1000L)
+    assert(out(2).getAs[Long]("total_pairs") == 0L && out(2).isNullAt(4))
+  }
+
   // ---------------------------------------------------------------- ns115/ns116
 
   test("profile: per-column rows/nulls/exact-distinct/string min-max, NULLs counted not ranked") {
