@@ -124,11 +124,19 @@ object Bench {
     // min-of-rounds map lives at full precision in target/bench_latest
     // .json, which also keeps full names).
     def buildCompact(fmt: Double => String): String = {
-      val shortIds = results.map(_._1).map(n => n -> n.takeWhile(_ != '_'))
+      // 2-char-min keys (the r10 freeze's planned move): the id prefix
+      // before the first '_' with the "ns" prefix dropped — "ns121" ->
+      // "121", "k14" stays "k14". Unique across the suite (digit keys
+      // can't collide with k-prefixed ones); guarded anyway.
+      def shortOf(n: String) = {
+        val p = n.takeWhile(_ != '_')
+        if (p.startsWith("ns")) p.drop(2) else p
+      }
+      val shortIds = results.map(_._1).map(n => n -> shortOf(n))
       val collided = shortIds.groupBy(_._2).filter(_._2.size > 1)
         .values.flatten.map(_._1).toSet
       val qs = results.map { case (k, (med, _)) =>
-        val id = if (collided(k)) k else k.takeWhile(_ != '_')
+        val id = if (collided(k)) k else shortOf(k)
         s""""$id":${fmt(med)}"""
       }.mkString("{", ",", "}")
       val total = results.map(_._2._1).filter(_ >= 0).sum

@@ -1750,6 +1750,99 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** NS118 — per-annotator reliability report ([[graft.ops.Annotation
+    * .annotatorReport]]): the RATER-management complement of
+    * ns103/ns117 — each synthetic annotator scored against the
+    * corpus's own majority-resolved gold. The synthesis gives annotator
+    * k a flip rate of (k−1)·10% (rater 1 never flips, rater 5 flips
+    * 40%), so the report must recover the monotone reliability
+    * gradient — exact per-mille accuracy, no floats. */
+  private def ns118(s: SparkSession, dir: String): DataFrame = {
+    val votes = docs(s, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("k", explode(sequence(lit(1), lit(5))))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(CAST(concat('vote:', CAST(doc_id AS STRING)" +
+          ", ':', CAST(k AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("vote_label", expr(
+        "CASE WHEN h % 10 < k - 1 THEN concat('alt', CAST(h DIV 10 % 3 AS " +
+          "STRING)) ELSE lang END"))
+      .withColumn("k", col("k").cast("long"))
+    graft.ops.Annotation.annotatorReport(votes, "doc_id", "k", "vote_label")
+      .orderBy("k")
+  }
+
+  /** NS119 — rolling event-time features ([[graft.ops.Events
+    * .rollingFeatures]]): per event, the user's trailing-7-day activity
+    * (event count + exact centi-value sum over the event-time RANGE
+    * frame) and the gap to the previous event — point-in-time-correct
+    * recency/intensity features for behavioral training, with no
+    * future leakage by frame construction. One user-keyed exchange
+    * serves the range window and the lag window. */
+  private def ns119(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.rollingFeatures(
+        Tables.load(s, dir, "events"), windowMicros = 7L * 86400L * 1000000L)
+      .orderBy("user_id", "ts", "event_id")
+
+  /** NS120 — C4-style line-policy filter ([[graft.ops.Curation
+    * .c4LineFilter]]): the public C4 cleaning recipe over synthesized
+    * page structure — a nav line (no terminal punctuation), a
+    * "Read more." line every 3rd doc (too short), an enable-javascript
+    * line every 5th (punctuated but boilerplate), 8-word body sentences
+    * ending '.', a bare trailing fragment, a copyright footer, plus
+    * page-gate trips: "lorem ipsum" every 97th doc and a '{' code leak
+    * every 89th. Every rule has a live path; the whole filter is one
+    * zero-shuffle codegen projection. */
+  private def ns120(s: SparkSession, dir: String): DataFrame = {
+    val synth = concat(
+      lit("Home | About | Contact\n"),
+      when(col("doc_id") % 3 === 0, lit("Read more.\n")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        lit("please enable javascript to view this site.\n"))
+        .otherwise(lit("")),
+      regexp_replace(col("text"), "((?:\\S+ ){7}\\S+) ", "$1.\n"),
+      lit("\ncopyright "), col("source"),
+      when(col("doc_id") % 97 === 0,
+        lit("\nthis site is under construction lorem ipsum dolor sit amet."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 89 === 0,
+        lit("\nfunction() { cookieConsent(); }")).otherwise(lit("")))
+    graft.ops.Curation.c4LineFilter(
+        docs(s, dir).select(col("doc_id"), synth.as("text")))
+      .orderBy("doc_id")
+  }
+
+  /** NS121 — domain-blocklist filter ([[graft.ops.Urls
+    * .blocklistFilter]]): seven synthetic host families against a
+    * six-entry blocklist — subdomain suffix matches (`tracker
+    * .example.com` catches `ads.`/`cdn.` subdomains), a longest-match
+    * attribution case (a host matching both `example.com` and
+    * `tracker.example.com` reports the latter), an exact-host entry, a
+    * multi-label public-suffix shape (`example.co.uk`), hostOf
+    * normalization (WWW/:443) feeding the match, and a never-matching
+    * entry. Suffix explode is label-bounded; the blocklist side
+    * broadcasts. */
+  private def ns121(s: SparkSession, dir: String): DataFrame = {
+    val host = expr(
+      "CASE doc_id % 7 WHEN 0 THEN 'ads.tracker.example.com' " +
+        "WHEN 1 THEN 'cdn.tracker.example.com' " +
+        "WHEN 2 THEN 'blog.example.com' " +
+        "WHEN 3 THEN 'example.org' " +
+        "WHEN 4 THEN 'WWW.Mirror.Example.net:443' " +
+        "WHEN 5 THEN 'spam.example.co.uk' " +
+        "ELSE 'docs.example.io' END")
+    val pages = docs(s, dir).select(col("doc_id"),
+      concat(lit("https://"), host, lit("/p/"), col("doc_id")).as("url"))
+    val blocklist = {
+      import s.implicits._
+      Seq("tracker.example.com", "example.com", "mirror.example.net",
+        "example.co.uk", "docs.example.io", "unused.example.gov")
+        .toDF("domain")
+    }
+    graft.ops.Urls.blocklistFilter(pages, blocklist)
+      .orderBy("doc_id")
+  }
+
   /** NS86 — incremental token-count maintenance
     * ([[graft.ops.Versioning.maintainTokenCounts]]): the ns56 snapshot
     * tick's count table updated by re-tokenizing ONLY the diff fringe
@@ -2110,6 +2203,10 @@ object SparkEntry {
     "ns115_table_profile" -> (ns115 _),
     "ns116_bigram_counts" -> (ns116 _),
     "ns117_vote_agreement" -> (ns117 _),
+    "ns118_rater_report" -> (ns118 _),
+    "ns119_rolling_features" -> (ns119 _),
+    "ns120_c4_line_filter" -> (ns120 _),
+    "ns121_blocklist_filter" -> (ns121 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3962,5 +4059,101 @@ object SparkEntry {
          |  n_votes * (n_votes - 1) // 2 AS total_pairs,
          |  CASE WHEN n_votes > 1 THEN agree_pairs * 1000 // (n_votes * (n_votes - 1) // 2) END AS agreement_per_mille
          |FROM a ORDER BY doc_id""".stripMargin),
+    // ns118: vote synthesis (per-annotator flip rate k−1 deciles), the
+    // ns103 resolution replay, the null-safe vote-vs-gold match, and
+    // the per-mille arithmetic — all inside the hash gate. ::BIGINT on
+    // the HUGEINT sum (the ns71 lesson).
+    "ns118_rater_report" ->
+      ("""WITH v AS (SELECT doc_id, lang, k FROM documents
+         |    CROSS JOIN (SELECT unnest(range(1, 6)) AS k) r),
+         |h AS (SELECT doc_id, lang, k,
+         |    ('0x' || substr(md5('vote:' || doc_id || ':' || k), 1, 15))::BIGINT AS h FROM v),
+         |lab AS (SELECT doc_id, k,
+         |    CASE WHEN h % 10 < k - 1 THEN 'alt' || (h // 10 % 3)::VARCHAR ELSE lang END AS vote_label FROM h),
+         |c AS (SELECT doc_id, coalesce(vote_label, chr(30)) AS l, count(*) AS votes FROM lab GROUP BY 1, 2),
+         |r2 AS (SELECT doc_id, l, row_number() OVER (PARTITION BY doc_id ORDER BY votes DESC, l ASC) AS rk FROM c),
+         |g AS (SELECT doc_id, CASE WHEN l = chr(30) THEN NULL ELSE l END AS winner_label FROM r2 WHERE rk = 1)
+         |SELECT lab.k, count(*)::BIGINT AS n_votes,
+         |  sum(CASE WHEN vote_label IS NOT DISTINCT FROM winner_label THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+         |  (sum(CASE WHEN vote_label IS NOT DISTINCT FROM winner_label THEN 1 ELSE 0 END)::BIGINT * 1000) // count(*) AS accuracy_per_mille
+         |FROM lab JOIN g USING (doc_id)
+         |GROUP BY lab.k ORDER BY lab.k""".stripMargin),
+    // ns119: both engines define the RANGE frame by order VALUE (all
+    // same-ts peers in each other's frames), the centi contract is the
+    // shared IEEE multiply+floor, and the window sum's HUGEINT casts
+    // ::BIGINT (the ns71 lesson). gap via the (ts, event_id) lag.
+    "ns119_rolling_features" ->
+      ("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts,
+         |    CAST(floor(value * 100) AS BIGINT) AS vc FROM events)
+         |SELECT user_id, event_id, ts,
+         |  count(*) OVER w AS n_win,
+         |  (sum(vc) OVER w)::BIGINT AS val_win_centi,
+         |  ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+         |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, ts, event_id""".stripMargin),
+    // ns120: the page synthesis (chunked '.'-terminated body + nav /
+    // short / javascript / footer / lorem-ipsum / brace injections) and
+    // all three line rules + both page gates replay in a DuckDB list
+    // comprehension — Spark's HOF filter and DuckDB's comprehension
+    // must agree on every line verdict for the hash to match.
+    "ns120_c4_line_filter" ->
+      ("""WITH s AS (SELECT doc_id,
+         |    'Home | About | Contact' || chr(10) ||
+         |    CASE WHEN doc_id % 3 = 0 THEN 'Read more.' || chr(10) ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN 'please enable javascript to view this site.' || chr(10) ELSE '' END ||
+         |    regexp_replace(text, '((?:\S+ ){7}\S+) ', '\1.' || chr(10), 'g') ||
+         |    chr(10) || 'copyright ' || source ||
+         |    CASE WHEN doc_id % 97 = 0 THEN chr(10) || 'this site is under construction lorem ipsum dolor sit amet.' ELSE '' END ||
+         |    CASE WHEN doc_id % 89 = 0 THEN chr(10) || 'function() { cookieConsent(); }' ELSE '' END AS text
+         |  FROM documents),
+         |l AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM s),
+         |k AS (SELECT doc_id, text, len(ls)::BIGINT AS n_lines,
+         |    [x for x in ls if right(x, 1) IN ('.', '!', '?', '"')
+         |      AND len(string_split(x, ' ')) >= 5
+         |      AND NOT contains(lower(x), 'javascript')] AS kept
+         |  FROM l)
+         |SELECT doc_id, n_lines, len(kept)::BIGINT AS kept_lines,
+         |  array_to_string(kept, chr(10)) AS text_clean,
+         |  (NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+         |    AND len(kept) >= 3) AS keep
+         |FROM k ORDER BY doc_id""".stripMargin),
+    // ns121: the host synthesis, the ns77 hostOf replay, the dot-suffix
+    // comprehension, the blocklist VALUES join, and the longest-match
+    // attribution window all replay — blocked and blocked_domain are
+    // both inside the hash gate.
+    "ns121_blocklist_filter" ->
+      ("""WITH p AS (SELECT doc_id,
+         |    'https://' || CASE doc_id % 7
+         |      WHEN 0 THEN 'ads.tracker.example.com'
+         |      WHEN 1 THEN 'cdn.tracker.example.com'
+         |      WHEN 2 THEN 'blog.example.com'
+         |      WHEN 3 THEN 'example.org'
+         |      WHEN 4 THEN 'WWW.Mirror.Example.net:443'
+         |      WHEN 5 THEN 'spam.example.co.uk'
+         |      ELSE 'docs.example.io' END || '/p/' || doc_id AS url
+         |  FROM documents),
+         |b AS (SELECT * FROM (VALUES ('tracker.example.com'), ('example.com'),
+         |  ('mirror.example.net'), ('example.co.uk'), ('docs.example.io'),
+         |  ('unused.example.gov')) AS t(domain)),
+         |h AS (SELECT doc_id, url,
+         |  CASE WHEN scheme = 'http' THEN regexp_replace(nw, ':80$', '')
+         |       WHEN scheme = 'https' THEN regexp_replace(nw, ':443$', '')
+         |       ELSE nw END AS host
+         |  FROM (SELECT doc_id, url,
+         |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |    regexp_replace(lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS nw
+         |    FROM (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM p))),
+         |sx AS (SELECT doc_id,
+         |    unnest([array_to_string(ls[i:], '.') for i in range(1, len(ls) + 1)]) AS suffix
+         |  FROM (SELECT doc_id, string_split(host, '.') AS ls FROM h)),
+         |m AS (SELECT doc_id, domain,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY length(domain) DESC) AS rk
+         |  FROM sx JOIN b ON suffix = domain)
+         |SELECT h.doc_id, h.url, h.host, m.domain AS blocked_domain,
+         |  m.domain IS NOT NULL AS blocked
+         |FROM h LEFT JOIN (SELECT doc_id, domain FROM m WHERE rk = 1) m USING (doc_id)
+         |ORDER BY h.doc_id""".stripMargin),
   )
 }

@@ -57,6 +57,41 @@ object Annotation {
         col("votes"), col("n_votes"),
         (col("votes") === col("n_votes")).as("is_unanimous"))
   }
+  /** N3 — per-annotator reliability report: each annotator scored
+    * against the corpus's OWN resolved gold labels ([[resolveLabels]]
+    * over the same votes) — `n_votes`, `n_matched` (vote equals the
+    * winner, null-safe: a NULL vote on a NULL-gold item is a match),
+    * and exact per-mille accuracy. The annotator-management step of
+    * every labeling pipeline: [[agreementReport]] flags untrustworthy
+    * ITEMS, this flags untrustworthy RATERS — drop or down-weight them
+    * and re-resolve before training. Self-referential gold means a
+    * majority-colluding rater scores high by construction; that is the
+    * standard no-external-truth setting, stated, not hidden.
+    *
+    * Scale shape: [[resolveLabels]]'s two narrow aggregations, then ONE
+    * item-keyed equi-join of the raw votes to the gold frame (both
+    * sides hash-partitioned on the item — no broadcast assumption; AQE
+    * elects one when gold measures small), then an annotator-keyed
+    * final aggregation whose exchange carries annotator-cardinality
+    * partials (map-side combine) — at 100 TB of votes the last shuffle
+    * moves a few rows per annotator per partition, nothing more. */
+  def annotatorReport(
+      votes: DataFrame, itemCol: String, annotatorCol: String,
+      labelCol: String): DataFrame = {
+    val gold = resolveLabels(votes, itemCol, labelCol)
+      .select(col(itemCol), col("winner_label"))
+    votes
+      .select(col(itemCol), col(annotatorCol),
+        col(labelCol).cast("string").as("__vote"))
+      .join(gold, Seq(itemCol))
+      .groupBy(col(annotatorCol))
+      .agg(count(lit(1)).as("n_votes"),
+        sum(when(col("__vote") <=> col("winner_label"), 1L)
+          .otherwise(0L)).as("n_matched"))
+      .withColumn("accuracy_per_mille",
+        expr("n_matched * 1000 DIV n_votes"))
+  }
+
   /** N2 — inter-annotator agreement report: per item, the observed
     * pairwise agreement among its votes — `agree_pairs` = Σ_label
     * C(votes_label, 2), `total_pairs` = C(n, 2), and the ratio in

@@ -289,6 +289,45 @@ object Curation {
     * BEFORE partial aggregation, so the shuffle carries
     * (sources×langs + sources + 1) partials, never rows; exact integer
     * outputs only. */
+  /** M8 — C4-style line-level policy filter (Raffel et al. 2020 §2.2,
+    * the public C4 cleaning recipe): a web page is cleaned LINE by line
+    * — keep a line only if it (a) ends in terminal punctuation
+    * (. ! ? "), (b) has at least `minWordsPerLine` words, and (c) does
+    * not mention "javascript" (the enable-JS boilerplate class); then
+    * the PAGE is kept only if it has at least `minLines` surviving
+    * lines and carries neither "lorem ipsum" nor a curly brace (the
+    * placeholder-text and leaked-code page gates). The line tier and
+    * the page tier are independent outputs: `text_clean`/`kept_lines`
+    * report the line filter's work even on pages the gate rejects, so
+    * the policy is auditable per rule. NULL text reads as the empty
+    * page (one empty line, nothing survives, keep = false).
+    *
+    * Where [[Dedup.lineDedup]] drops lines by corpus-wide FREQUENCY
+    * (needs a shuffle), this drops them by local POLICY: the whole
+    * operator is one codegen'd projection — split, higher-order
+    * `filter`, `array_join` — fused into the scan's WholeStageCodegen
+    * with ZERO shuffle at any scale. Every predicate is RE2-safe plain
+    * string arithmetic, so external engines replay it byte-for-byte. */
+  def c4LineFilter(
+      docs: DataFrame, minWordsPerLine: Int = 5,
+      minLines: Int = 3): DataFrame = {
+    require(minWordsPerLine >= 1, "minWordsPerLine must be >= 1")
+    require(minLines >= 1, "minLines must be >= 1")
+    val text = coalesce(col("text"), lit(""))
+    val lines = split(text, "\n")
+    val kept = filter(lines, l =>
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+        (size(split(l, " ")) >= minWordsPerLine) &&
+        !lower(l).contains("javascript"))
+    val pageOk = !lower(text).contains("lorem ipsum") &&
+      !text.contains("{")
+    docs.select(col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("kept_lines"),
+      array_join(kept, "\n").as("text_clean"),
+      (pageOk && size(kept) >= minLines).as("keep"))
+  }
+
   def releaseRollup(docs: DataFrame): DataFrame =
     docs
       .select(col("source"), col("lang"),

@@ -101,6 +101,47 @@ object Events {
       .orderBy(col("n_transitions").desc, col("from_type"), col("to_type"))
   }
 
+  /** E7 — rolling event-time features: per event, this user's trailing
+    * activity — `n_win` events and `val_win_centi` exact centi-value sum
+    * over the RANGE frame [ts − windowMicros, ts] (event-TIME bounded,
+    * not row-count bounded: a burst of 1,000 events in an hour and a
+    * lone weekly event both get their true trailing-window context,
+    * which a ROWS frame cannot give), plus `gap_us` since the user's
+    * previous event in the (ts, event_id) total order. The standard
+    * feature-engineering step in front of behavioral / recommendation
+    * training — recency and intensity signals computed point-in-time
+    * correctly (no future leakage: the frame ends at the current
+    * instant).
+    *
+    * The RANGE frame includes ALL peers at the current `ts` (both
+    * engines define RANGE by order-value, so same-instant peers are in
+    * each other's frames — deterministic, unlike a ROWS frame under
+    * ties); `gap_us` is 0 between same-ts events and NULL for a user's
+    * first event. Values go through the suite's exact centi contract
+    * (IEEE multiply + floor, replayable bit-for-bit); NULL values are
+    * skipped by the sum, and an all-NULL window reports NULL honestly.
+    *
+    * Scale shape: ONE shuffle (hash by user_id) serves both windows —
+    * the range frame's (ts) sort is a prefix of the lag's
+    * (ts, event_id) sort, and the range frame itself is streaming
+    * per-partition state (two pointers over the sorted run, O(1) memory
+    * beyond the frame), so per-user cost is linear in that user's
+    * events. No joins, no driver state; skew bounded by the busiest
+    * user, exactly as [[sessionize]]. */
+  def rollingFeatures(events: DataFrame, windowMicros: Long): DataFrame = {
+    require(windowMicros > 0, "windowMicros must be positive")
+    val range = Window.partitionBy("user_id").orderBy("ts")
+      .rangeBetween(-windowMicros, 0)
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tsMicros(events)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("__vc"))
+      .withColumn("n_win", count(lit(1)).over(range))
+      .withColumn("val_win_centi", sum(col("__vc")).over(range))
+      .withColumn("gap_us", col("ts") - lag(col("ts"), 1).over(order))
+      .drop("__vc")
+  }
+
   /** E3 — as-of join: attach to each left row the most recent right row at
     * or before it in event time, per key — the standard attribution /
     * point-in-time-correctness join (each purchase ← the user's latest

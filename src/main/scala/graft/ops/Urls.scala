@@ -148,4 +148,53 @@ object Urls {
         col("dup_permille"))
       .orderBy(col(keyCol))
   }
+
+  /** U4 — domain-blocklist filter with registrable-suffix matching (the
+    * UT1/adult-and-malware-list gate every public crawl pipeline runs
+    * before content filtering): a page is blocked when ANY dot-suffix
+    * of its normalized host equals a blocklist entry — listing
+    * `tracker.example.com` blocks `ads.tracker.example.com` and every
+    * other subdomain, the standard blocklist semantics a plain
+    * host-equality join silently misses. When several entries match
+    * (e.g. both `example.com` and `tracker.example.com` are listed),
+    * the MOST SPECIFIC (longest) one is reported — a deterministic,
+    * audit-friendly attribution policy. Pages with no resolvable host
+    * (NULL/relative url → [[hostOf]] "") are not blockable by a DOMAIN
+    * policy and pass with a NULL host — flagged, not silently dropped,
+    * so the caller can route them to a different gate (the
+    * [[hostReputation]] no-host lesson).
+    *
+    * Scale shape: each host explodes to its ≤ label-count dot-suffixes
+    * (bounded ~6, carrying only the page KEY — urls/text never ride
+    * the explode), one suffix-keyed equi-join against the blocklist
+    * (dimension-table small: AQE elects broadcast, and the explode side
+    * never shuffles), one key-grouped longest-match `max_by`, and one
+    * key-keyed join back onto the pages. No corpus×blocklist pair ever
+    * materializes; skew is impossible on the md5-free page key side. */
+  def blocklistFilter(
+      pages: DataFrame,
+      blocklist: DataFrame,
+      urlCol: String = "url",
+      keyCol: String = "doc_id"): DataFrame = {
+    require(blocklist.columns.contains("domain"),
+      "blocklist needs a 'domain' column")
+    val withHost = pages.withColumn("host",
+      when(hostOf(col(urlCol)) === "", lit(null).cast("string"))
+        .otherwise(hostOf(col(urlCol))))
+    val suffixes = withHost
+      .where(col("host").isNotNull)
+      .select(col(keyCol), split(col("host"), "\\.").as("__ls"))
+      .select(col(keyCol), explode(expr(
+        "transform(sequence(1, size(__ls)), " +
+          "i -> array_join(slice(__ls, i, size(__ls) - i + 1), '.'))"))
+        .as("__suffix"))
+    val matches = suffixes
+      .join(blocklist.select(col("domain")), col("__suffix") === col("domain"))
+      .groupBy(col(keyCol))
+      .agg(max_by(col("domain"), length(col("domain"))).as("blocked_domain"))
+    withHost.join(matches, Seq(keyCol), "left")
+      .select(col(keyCol), col(urlCol), col("host"),
+        col("blocked_domain"),
+        col("blocked_domain").isNotNull.as("blocked"))
+  }
 }

@@ -349,7 +349,11 @@ object ScaleProof {
       "ns116_bigram_counts",
       // ns117: the resolveLabels two-aggregation shape; count() needs
       // both exchanges (groups are the output rows)
-      "ns117_vote_agreement")
+      "ns117_vote_agreement",
+      // ns118: resolution aggs + item-keyed vote⋈gold join + an
+      // annotator-cardinality final agg; count() needs the whole chain
+      // (the 5 output groups hang off the join)
+      "ns118_rater_report")
     // ns81 scales as the CLUSTER-RESOLVE deployment shape, not raw pairs:
     // the copy-tagged synthetic corpus puts every same-copy doc behind the
     // same `c{k}x` word prefixes, so stride hashes form GENUINE giant
@@ -470,6 +474,30 @@ object ScaleProof {
         .agg(sum(col("n_distinct")).as("d"),
           sum(col("n_null")).as("nn"),
           count(col("min_str")).as("m"))
+    // ns119 is cardinality-preserving window work: count() lets
+    // ColumnPruning drop BOTH window operators and times a parquet row
+    // count. The forced agg reads every feature column, so the range
+    // frame, the lag, and the user-keyed exchange are load-bearing.
+    def ns119Forced(dir: String): DataFrame =
+      graft.SparkEntry.queries("ns119_rolling_features")(spark, dir)
+        .agg(sum(col("n_win")).as("nw"),
+          sum(col("val_win_centi")).as("vw"),
+          sum(col("gap_us")).as("g"))
+    // ns120 is projection-only (the c4 filter fuses into the scan);
+    // the forced agg prices the split + HOF filter + array_join
+    def ns120Forced(dir: String): DataFrame =
+      graft.SparkEntry.queries("ns120_c4_line_filter")(spark, dir)
+        .agg(sum(col("kept_lines")).as("kept"),
+          sum(length(col("text_clean"))).as("clean_chars"),
+          count(when(col("keep"), 1)).as("n_keep"))
+    // ns121's final left join is cardinality-preserving (matches is
+    // unique on the key) → join elimination under count(); the forced
+    // agg needs the verdicts, so the suffix explode + blocklist join +
+    // longest-match agg all run
+    def ns121Forced(dir: String): DataFrame =
+      graft.SparkEntry.queries("ns121_blocklist_filter")(spark, dir)
+        .agg(count(when(col("blocked"), 1)).as("n_blocked"),
+          count(col("blocked_domain")).as("n_attributed"))
     def ns107Forced(dir: String): DataFrame =
       graft.SparkEntry.queries("ns107_evolved_read")(spark, dir)
         .agg(count(col("lang")).as("lang_rows"),
@@ -588,12 +616,16 @@ object ScaleProof {
           "ns104_folds_forced" -> (ns104Forced _),
           "ns107_evolved_forced" -> (ns107Forced _),
           "ns113_orphans_scaled" -> (ns113Scaled _),
-          "ns115_profile_forced" -> (ns115Forced _))
+          "ns115_profile_forced" -> (ns115Forced _),
+          "ns119_rolling_forced" -> (ns119Forced _),
+          "ns120_c4_forced" -> (ns120Forced _),
+          "ns121_blocklist_forced" -> (ns121Forced _))
     // ungrouped-aggregate entries: see measure() — count() would fold to 1
     val aggForced = Set("ns63_html_forced", "ns66_luhn_forced",
       "ns68_lines_forced", "ns101_variant_forced",
       "ns102_assembly_forced", "ns104_folds_forced",
       "ns107_evolved_forced", "ns115_profile_forced",
+      "ns119_rolling_forced", "ns120_c4_forced", "ns121_blocklist_forced",
       // single-row join of two ungrouped aggregates: count() folds to 1
       "ns76_dataset_card")
     // SPARK_GRAFT_SCALE_ONLY=name,name isolates entries for iteration

@@ -193,6 +193,37 @@ class AssemblySpec extends AnyFunSuite {
     assert(out(2).getAs[Long]("total_pairs") == 0L && out(2).isNullAt(4))
   }
 
+  // ---------------------------------------------------------------- ns118
+
+  private def raterVotes(rows: (Long, Long, String)*) =
+    rows.toDF("item", "rater", "label")
+
+  test("annotatorReport scores each rater against the resolved gold, null-safe") {
+    // gold: item 1 -> "a" (2 of 3), item 2 -> NULL (2 of 3)
+    val v = raterVotes((1L, 10L, "a"), (1L, 11L, "a"), (1L, 12L, "b"),
+      (2L, 10L, null), (2L, 11L, null), (2L, 12L, "y"))
+    val out = Annotation.annotatorReport(v, "item", "rater", "label")
+      .orderBy("rater").collect()
+    // raters 10/11 match both golds (the NULL vote on the NULL-gold item
+    // is a MATCH); rater 12 matches neither
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq == Seq((10L, 2L, 2L, 1000L), (11L, 2L, 2L, 1000L),
+        (12L, 2L, 0L, 0L)))
+  }
+
+  test("annotatorReport: partial raters and exact per-mille truncation") {
+    // rater 20 votes on all 3 items, right on 2 -> 666 per-mille (floor);
+    // rater 21 votes only on item 1, right -> 1000 over n_votes = 1
+    val v = raterVotes((1L, 20L, "g"), (1L, 21L, "g"), (1L, 22L, "g"),
+      (2L, 20L, "g"), (2L, 22L, "g"),
+      (3L, 20L, "x"), (3L, 22L, "g"))
+    val out = Annotation.annotatorReport(v, "item", "rater", "label")
+      .orderBy("rater").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq == Seq((20L, 3L, 2L, 666L), (21L, 1L, 1L, 1000L),
+        (22L, 3L, 3L, 1000L)))
+  }
+
   // ---------------------------------------------------------------- ns115/ns116
 
   test("profile: per-column rows/nulls/exact-distinct/string min-max, NULLs counted not ranked") {

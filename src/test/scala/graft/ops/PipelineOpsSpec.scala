@@ -189,6 +189,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 hash exchange, plan:\n${p.take(2000)}")
   }
 
+  test("rollingFeatures: event-time RANGE frame with tie peers, centi sums, gaps") {
+    // ts given in NANOS (long scan contract) -> micros after tsMicros
+    val in = Seq(
+      (1L, 0L, 1L, java.lang.Double.valueOf(1.0)),    // 100c
+      (2L, 50000L, 1L, null.asInstanceOf[java.lang.Double]),
+      (3L, 100000L, 1L, java.lang.Double.valueOf(2.005)),  // floor(200.49..) = 200
+      (4L, 100000L, 1L, java.lang.Double.valueOf(-0.5)),   // -50
+      (5L, 250000L, 1L, java.lang.Double.valueOf(0.01)),   // floor(1.0000..2) = 1
+      (6L, 77000L, 2L, null.asInstanceOf[java.lang.Double])
+    ).toDF("event_id", "ts", "user_id", "value")
+    val out = Events.rollingFeatures(in, windowMicros = 100L)
+      .orderBy("user_id", "ts", "event_id").collect()
+    def row(i: Int) = (out(i).getAs[Long]("n_win"),
+      Option(out(i).getAs[java.lang.Long]("val_win_centi")).map(_.toLong),
+      Option(out(i).getAs[java.lang.Long]("gap_us")).map(_.toLong))
+    assert(row(0) == ((1L, Some(100L), None)))
+    assert(row(1) == ((2L, Some(100L), Some(50L))))          // NULL value skipped
+    // t=100 frame [0,100] holds all four of user 1's events incl. the
+    // SAME-TS peer in both directions (RANGE = order-value semantics)
+    assert(row(2) == ((4L, Some(250L), Some(50L))))
+    assert(row(3) == ((4L, Some(250L), Some(0L))))           // same-ts gap is 0
+    assert(row(4) == ((1L, Some(1L), Some(150L))))
+    assert(row(5) == ((1L, None, None)))                     // all-NULL window: NULL
+  }
+
+  test("rollingFeatures plans ONE exchange for both windows") {
+    val p = Events.rollingFeatures(Tables.load(spark, sf, "events"),
+        windowMicros = 7L * 86400L * 1000000L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, plan:\n${p.take(2000)}")
+  }
+
   test("enrichProps extracts the JSON field and aggregates exactly") {
     val in = Seq(
       ("click", """{"k": 3}""", 1.5),

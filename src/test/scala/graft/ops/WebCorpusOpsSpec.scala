@@ -13,6 +13,89 @@ class WebCorpusOpsSpec extends AnyFunSuite {
   import spark.implicits._
   private val sf = "/root/testdata/sf0.001"
 
+  // ---- Curation.c4LineFilter ----------------------------------------------
+
+  test("c4LineFilter: each line rule and both page gates fire independently") {
+    val in = Seq(
+      // doc 1: 3 good sentences + nav + short + js boilerplate -> keep
+      (1L, "Home | About\none two three four five.\nsix seven eight nine ten!\n" +
+        "does it really work though?\nRead more.\nenable JavaScript to continue."),
+      // doc 2: good lines but a brace -> page gate kills it
+      (2L, "one two three four five.\nsix seven eight nine ten.\n" +
+        "a b c d e f.\nfunction() { leak }"),
+      // doc 3: good lines but lorem ipsum (case-insensitive) -> killed
+      (3L, "one two three four five.\nsix seven eight nine ten.\n" +
+        "we present Lorem Ipsum placeholder text here today."),
+      // doc 4: only 2 surviving lines -> below minLines
+      (4L, "one two three four five.\nsix seven eight nine ten?\nshort tail"),
+      // doc 5: NULL text
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Curation.c4LineFilter(in).orderBy("doc_id").collect()
+    def r(i: Int) = (out(i).getAs[Long]("n_lines"), out(i).getAs[Long]("kept_lines"),
+      out(i).getAs[String]("text_clean"), out(i).getAs[Boolean]("keep"))
+    assert(r(0) == ((6L, 3L, "one two three four five.\n" +
+      "six seven eight nine ten!\ndoes it really work though?", true)))
+    assert(r(1)._2 == 3L && !r(1)._4)           // lines fine, '{' page gate
+    assert(r(2)._2 == 3L && !r(2)._4)           // 'Lorem Ipsum' page gate
+    assert(r(3) == ((3L, 2L, "one two three four five.\n" +
+      "six seven eight nine ten?", false)))     // below minLines
+    assert(r(4) == ((1L, 0L, "", false)))       // NULL text = empty page
+  }
+
+  test("c4LineFilter honors quote terminators and custom thresholds") {
+    val in = Seq((1L, "he said \"stop right there now\"\ntiny little line.")).toDF("doc_id", "text")
+    val out = graft.ops.Curation.c4LineFilter(in, minWordsPerLine = 3,
+      minLines = 1).collect()
+    assert(out.head.getAs[Long]("kept_lines") == 2L)
+    assert(out.head.getAs[Boolean]("keep"))
+    intercept[IllegalArgumentException] {
+      graft.ops.Curation.c4LineFilter(in, minWordsPerLine = 0)
+    }
+  }
+
+  test("c4LineFilter is a zero-shuffle codegen projection") {
+    val p = graft.ops.Curation.c4LineFilter(
+        Tables.load(spark, sf, "documents").select(col("doc_id"), col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"expected no shuffle:\n${p.take(1500)}")
+  }
+
+  // ---- Urls.blocklistFilter -----------------------------------------------
+
+  test("blocklistFilter: suffix semantics, longest-match attribution, no-host pass") {
+    val pages = Seq(
+      (1L, "https://ads.bad.example.com/x"),   // subdomain of a listed domain
+      (2L, "https://good.org/y"),              // clean
+      (3L, null.asInstanceOf[String]),         // no url -> not blockable
+      (4L, "relative/path"),                   // schemeless -> no host
+      (5L, "https://WWW.Bad.Example.com:443/z") // normalizes to a listed host
+    ).toDF("doc_id", "url")
+    val bl = Seq("bad.example.com", "example.com").toDF("domain")
+    val out = graft.ops.Urls.blocklistFilter(pages, bl)
+      .orderBy("doc_id").collect()
+    def r(i: Int) = (out(i).getAs[String]("host"),
+      out(i).getAs[String]("blocked_domain"), out(i).getAs[Boolean]("blocked"))
+    // matches BOTH entries; must attribute the most specific one
+    assert(r(0) == (("ads.bad.example.com", "bad.example.com", true)))
+    assert(r(1) == (("good.org", null, false)))
+    assert(r(2) == ((null, null, false)))
+    assert(r(3) == ((null, null, false)))
+    assert(r(4) == (("bad.example.com", "bad.example.com", true)))
+  }
+
+  test("blocklistFilter requires a domain column and never plans a cartesian") {
+    val pages = Seq((1L, "https://a.example.com/x")).toDF("doc_id", "url")
+    intercept[IllegalArgumentException] {
+      graft.ops.Urls.blocklistFilter(pages, Seq("x").toDF("notdomain"))
+    }
+    val p = graft.ops.Urls.blocklistFilter(pages,
+        Seq("example.com").toDF("domain"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   // ---- Dedup.lineDedup ----------------------------------------------------
 
   private def lineFixture = Seq(
