@@ -1843,6 +1843,49 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** NS122 — per-user activity pivot ([[graft.ops.Events.typePivot]]):
+    * the wide user × event-type count matrix through Spark's relational
+    * PIVOT surface with a PINNED type list (click/view/purchase/signup
+    * declared; the corpus's 'error' type must land in `n_other`, not
+    * silently widen the schema). Absent cells release as 0; `n_total`
+    * closes the row-conservation check. */
+  private def ns122(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Events.typePivot(Tables.load(s, dir, "events"),
+        Seq("click", "view", "purchase", "signup"))
+      .orderBy("user_id")
+
+  /** NS123 — kNN margin scoring ([[graft.ops.Similarity
+    * .marginScores]]): the Artetxe–Schwenk distance-margin criterion
+    * over the ns6 query set — best-neighbor cosine minus the k=4
+    * neighborhood mean, released as the n-scaled exact integer
+    * `margin_n_micro` (no division anywhere, so truncate-vs-floor
+    * engine divergence cannot occur). The hub-vector false-positive
+    * filter of bitext mining and semantic dedup. */
+  private def ns123(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.marginScores(embs(s, dir), simQueries(s, dir), k = 4)
+      .orderBy("query_id")
+
+  /** NS124 — join-key cardinality audit ([[graft.ops.Integrity
+    * .joinProfile]]): the pre-flight join-explosion report over four
+    * declared edges — the two TPC-H FK joins (1:N sanity), the
+    * orphan-bearing events→customer edge, and the events SELF-join on
+    * user_id whose `est_pairs = Σ n_u²` is the classic accidental
+    * many-to-many a pipeline should price BEFORE running. The audited
+    * joins never execute; cost is per-side key aggregation. */
+  private def ns124(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Integrity.JoinEdge
+    val orders = Tables.load(s, dir, "orders")
+    val cust = Tables.load(s, dir, "customer")
+    val li = Tables.load(s, dir, "lineitem")
+    val ev = Tables.load(s, dir, "events")
+    graft.ops.Integrity.joinProfile(s, Seq(
+        JoinEdge("events_self_user", ev, "user_id", ev, "user_id"),
+        JoinEdge("events->customer", ev, "user_id", cust, "c_custkey"),
+        JoinEdge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+        JoinEdge("orders->customer", orders, "o_custkey", cust, "c_custkey")))
+      .orderBy("join_edge")
+  }
+
   /** NS86 — incremental token-count maintenance
     * ([[graft.ops.Versioning.maintainTokenCounts]]): the ns56 snapshot
     * tick's count table updated by re-tokenizing ONLY the diff fringe
@@ -2207,6 +2250,9 @@ object SparkEntry {
     "ns119_rolling_features" -> (ns119 _),
     "ns120_c4_line_filter" -> (ns120 _),
     "ns121_blocklist_filter" -> (ns121 _),
+    "ns122_type_pivot" -> (ns122 _),
+    "ns123_knn_margin" -> (ns123 _),
+    "ns124_join_profile" -> (ns124 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4155,5 +4201,108 @@ object SparkEntry {
          |  m.domain IS NOT NULL AS blocked
          |FROM h LEFT JOIN (SELECT doc_id, domain FROM m WHERE rk = 1) m USING (doc_id)
          |ORDER BY h.doc_id""".stripMargin),
+    // ns122: the pivot replays as FILTER conditional aggregation — the
+    // declared-list semantics (undeclared AND NULL types to n_other,
+    // absent cells 0) are inside the hash gate.
+    "ns122_type_pivot" ->
+      ("""SELECT user_id,
+         |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+         |  count(*) FILTER (WHERE event_type = 'view') AS n_view,
+         |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+         |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+         |  count(*) FILTER (WHERE event_type IS NULL OR event_type NOT IN
+         |    ('click', 'view', 'purchase', 'signup')) AS n_other,
+         |  count(*) AS n_total
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+    // ns123: the ns6 scored/rank CTEs at k=4, micro conversion, and the
+    // division-free n-scaled margin — min_by mirrors Spark's min_by on
+    // the unique rank key, so attribution is deterministic both sides.
+    "ns123_knn_margin" ->
+      ("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |scored AS (SELECT q.query_id, e.vec_id,
+         |  round(list_sum([qv[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1,65)]) /
+         |    (sqrt(list_sum([qv[i]::DOUBLE * qv[i]::DOUBLE for i in range(1,65)])) *
+         |     sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1,65)]))), 6) AS cosine
+         |  FROM embeddings e, q WHERE e.vec_id != q.query_id),
+         |topk AS (SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank,
+         |    vec_id, CAST(round(cosine * 1000000) AS BIGINT) AS cm
+         |  FROM scored QUALIFY rank <= 4)
+         |SELECT query_id,
+         |  min_by(vec_id, rank) AS best_id,
+         |  min_by(cm, rank) AS best_micro,
+         |  sum(cm)::BIGINT AS sum_micro,
+         |  count(*) AS n_neighbors,
+         |  min_by(cm, rank) * count(*) - sum(cm)::BIGINT AS margin_n_micro
+         |FROM topk GROUP BY query_id ORDER BY query_id""".stripMargin),
+    // ns124: each edge replays as two key-count CTEs + a plain-equality
+    // full outer (NULL keys unmatched — the audited semantics), the
+    // exact Σ nl·nr pair arithmetic, and a (pairs DESC, k DESC LIMIT 1)
+    // hot-key subquery mirroring the engine's lexicographic struct max.
+    "ns124_join_profile" ->
+      ("""WITH
+         |c1l AS (SELECT user_id::VARCHAR AS k, count(*) AS nl FROM events GROUP BY 1),
+         |j1 AS (SELECT coalesce(l.k, r.k) AS k, nl, nr,
+         |    CASE WHEN nl IS NOT NULL AND nr IS NOT NULL THEN nl * nr ELSE 0 END AS pairs
+         |  FROM c1l l FULL OUTER JOIN (SELECT k, nl AS nr FROM c1l) r ON l.k = r.k),
+         |c2r AS (SELECT c_custkey::VARCHAR AS k, count(*) AS nr FROM customer GROUP BY 1),
+         |j2 AS (SELECT coalesce(l.k, r.k) AS k, nl, nr,
+         |    CASE WHEN nl IS NOT NULL AND nr IS NOT NULL THEN nl * nr ELSE 0 END AS pairs
+         |  FROM c1l l FULL OUTER JOIN c2r r ON l.k = r.k),
+         |c3l AS (SELECT l_orderkey::VARCHAR AS k, count(*) AS nl FROM lineitem GROUP BY 1),
+         |c3r AS (SELECT o_orderkey::VARCHAR AS k, count(*) AS nr FROM orders GROUP BY 1),
+         |j3 AS (SELECT coalesce(l.k, r.k) AS k, nl, nr,
+         |    CASE WHEN nl IS NOT NULL AND nr IS NOT NULL THEN nl * nr ELSE 0 END AS pairs
+         |  FROM c3l l FULL OUTER JOIN c3r r ON l.k = r.k),
+         |c4l AS (SELECT o_custkey::VARCHAR AS k, count(*) AS nl FROM orders GROUP BY 1),
+         |j4 AS (SELECT coalesce(l.k, r.k) AS k, nl, nr,
+         |    CASE WHEN nl IS NOT NULL AND nr IS NOT NULL THEN nl * nr ELSE 0 END AS pairs
+         |  FROM c4l l FULL OUTER JOIN c2r r ON l.k = r.k),
+         |a1 AS (SELECT 'events_self_user' AS join_edge,
+         |  sum(coalesce(nl, 0))::BIGINT AS rows_l, sum(coalesce(nr, 0))::BIGINT AS rows_r,
+         |  count(CASE WHEN k IS NOT NULL AND nl IS NOT NULL THEN 1 END)::BIGINT AS distinct_l,
+         |  count(CASE WHEN k IS NOT NULL AND nr IS NOT NULL THEN 1 END)::BIGINT AS distinct_r,
+         |  sum(CASE WHEN k IS NULL THEN coalesce(nl, 0) ELSE 0 END)::BIGINT AS null_l,
+         |  sum(CASE WHEN k IS NULL THEN coalesce(nr, 0) ELSE 0 END)::BIGINT AS null_r,
+         |  sum(pairs)::BIGINT AS est_pairs,
+         |  coalesce((SELECT pairs FROM j1 WHERE pairs > 0 ORDER BY pairs DESC, k DESC LIMIT 1), 0)::BIGINT AS max_key_pairs,
+         |  (SELECT k FROM j1 WHERE pairs > 0 ORDER BY pairs DESC, k DESC LIMIT 1) AS hot_key,
+         |  CASE WHEN sum(coalesce(nl, 0)) > 0 THEN (sum(pairs)::BIGINT * 1000) // sum(coalesce(nl, 0))::BIGINT END AS amp_per_mille
+         |  FROM j1),
+         |a2 AS (SELECT 'events->customer' AS join_edge,
+         |  sum(coalesce(nl, 0))::BIGINT, sum(coalesce(nr, 0))::BIGINT,
+         |  count(CASE WHEN k IS NOT NULL AND nl IS NOT NULL THEN 1 END)::BIGINT,
+         |  count(CASE WHEN k IS NOT NULL AND nr IS NOT NULL THEN 1 END)::BIGINT,
+         |  sum(CASE WHEN k IS NULL THEN coalesce(nl, 0) ELSE 0 END)::BIGINT,
+         |  sum(CASE WHEN k IS NULL THEN coalesce(nr, 0) ELSE 0 END)::BIGINT,
+         |  sum(pairs)::BIGINT,
+         |  coalesce((SELECT pairs FROM j2 WHERE pairs > 0 ORDER BY pairs DESC, k DESC LIMIT 1), 0)::BIGINT,
+         |  (SELECT k FROM j2 WHERE pairs > 0 ORDER BY pairs DESC, k DESC LIMIT 1),
+         |  CASE WHEN sum(coalesce(nl, 0)) > 0 THEN (sum(pairs)::BIGINT * 1000) // sum(coalesce(nl, 0))::BIGINT END
+         |  FROM j2),
+         |a3 AS (SELECT 'lineitem->orders' AS join_edge,
+         |  sum(coalesce(nl, 0))::BIGINT, sum(coalesce(nr, 0))::BIGINT,
+         |  count(CASE WHEN k IS NOT NULL AND nl IS NOT NULL THEN 1 END)::BIGINT,
+         |  count(CASE WHEN k IS NOT NULL AND nr IS NOT NULL THEN 1 END)::BIGINT,
+         |  sum(CASE WHEN k IS NULL THEN coalesce(nl, 0) ELSE 0 END)::BIGINT,
+         |  sum(CASE WHEN k IS NULL THEN coalesce(nr, 0) ELSE 0 END)::BIGINT,
+         |  sum(pairs)::BIGINT,
+         |  coalesce((SELECT pairs FROM j3 WHERE pairs > 0 ORDER BY pairs DESC, k DESC LIMIT 1), 0)::BIGINT,
+         |  (SELECT k FROM j3 WHERE pairs > 0 ORDER BY pairs DESC, k DESC LIMIT 1),
+         |  CASE WHEN sum(coalesce(nl, 0)) > 0 THEN (sum(pairs)::BIGINT * 1000) // sum(coalesce(nl, 0))::BIGINT END
+         |  FROM j3),
+         |a4 AS (SELECT 'orders->customer' AS join_edge,
+         |  sum(coalesce(nl, 0))::BIGINT, sum(coalesce(nr, 0))::BIGINT,
+         |  count(CASE WHEN k IS NOT NULL AND nl IS NOT NULL THEN 1 END)::BIGINT,
+         |  count(CASE WHEN k IS NOT NULL AND nr IS NOT NULL THEN 1 END)::BIGINT,
+         |  sum(CASE WHEN k IS NULL THEN coalesce(nl, 0) ELSE 0 END)::BIGINT,
+         |  sum(CASE WHEN k IS NULL THEN coalesce(nr, 0) ELSE 0 END)::BIGINT,
+         |  sum(pairs)::BIGINT,
+         |  coalesce((SELECT pairs FROM j4 WHERE pairs > 0 ORDER BY pairs DESC, k DESC LIMIT 1), 0)::BIGINT,
+         |  (SELECT k FROM j4 WHERE pairs > 0 ORDER BY pairs DESC, k DESC LIMIT 1),
+         |  CASE WHEN sum(coalesce(nl, 0)) > 0 THEN (sum(pairs)::BIGINT * 1000) // sum(coalesce(nl, 0))::BIGINT END
+         |  FROM j4)
+         |SELECT * FROM a1 UNION ALL SELECT * FROM a2
+         |UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4
+         |ORDER BY join_edge""".stripMargin),
   )
 }

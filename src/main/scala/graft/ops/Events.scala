@@ -142,6 +142,44 @@ object Events {
       .drop("__vc")
   }
 
+  /** E8 — per-user activity pivot: one row per user, one count column
+    * per DECLARED event type plus an `n_other` bucket and `n_total` —
+    * the wide feature matrix behavioral models train on, via Spark's
+    * relational PIVOT surface. The type list is pinned by the CALLER,
+    * deliberately: a data-driven pivot makes the output schema a
+    * function of the data (new event type → new column → every
+    * downstream consumer breaks), and costs an extra distinct-values
+    * job; a declared list is schema-stable, replayable, and lets
+    * unexpected types land observably in `n_other` instead of silently
+    * widening the table.
+    *
+    * Scale shape: undeclared types collapse to the `__other` tag
+    * BEFORE aggregation, so pivot cardinality is bounded by the
+    * declared list, not the data. Catalyst rewrites literal-values
+    * pivot into (user, type) partial counts then a user-keyed
+    * PivotFirst — the first exchange carries users × (|types|+1)
+    * partials with map-side combine, the second users only. Output is
+    * user-cardinality; absent cells release as 0, not NULL. */
+  def typePivot(events: DataFrame, types: Seq[String]): DataFrame = {
+    require(types.nonEmpty, "declare at least one event type")
+    require(types.distinct == types, "duplicate declared types")
+    val other = "__other"
+    require(!types.contains(other), s"'$other' is reserved")
+    val tagged = events.select(col("user_id"),
+      when(col("event_type").isin(types.map(lit): _*), col("event_type"))
+        .otherwise(lit(other)).as("t"))
+    val pivoted = tagged.groupBy(col("user_id"))
+      .pivot("t", types :+ other)
+      .agg(count(lit(1)))
+    val counts = (types :+ other).map(t =>
+      coalesce(col(s"`$t`"), lit(0L)).as(if (t == other) "n_other"
+        else s"n_$t"))
+    val total = (types :+ other)
+      .map(t => coalesce(col(s"`$t`"), lit(0L)))
+      .reduce(_ + _).as("n_total")
+    pivoted.select(col("user_id") +: counts :+ total: _*)
+  }
+
   /** E3 — as-of join: attach to each left row the most recent right row at
     * or before it in event time, per key — the standard attribution /
     * point-in-time-correctness join (each purchase ← the user's latest

@@ -48,6 +48,71 @@ object Integrity {
     reports.reduce(_.unionByName(_))
   }
 
+  /** One join edge to profile: `left.leftKey = right.rightKey`. */
+  final case class JoinEdge(
+      label: String, left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String)
+
+  /** I3 — join-key cardinality audit: for each declared join edge, the
+    * pre-flight numbers that predict whether the join is SAFE — row and
+    * distinct-key counts per side, NULL-key rows (they match nothing in
+    * an equi-join and silently vanish), the EXACT output cardinality
+    * `est_pairs = Σ_k nl(k)·nr(k)` the join would produce, the hottest
+    * key's pair count, and the amplification in per-mille of the left
+    * input. An accidental many-to-many (est_pairs ≫ rows) or one hot
+    * key carrying most of the volume is the classic production joint
+    * killer — this audit prices it BEFORE the join runs, at per-side
+    * aggregation cost instead of join-output cost.
+    *
+    * Hot-key attribution is deterministic: the max is taken over
+    * (pairs, key) lexicographically, so ties break to the largest key;
+    * edges with no matching keys report `hot_key` NULL and zero pairs.
+    * Keys profile in STRING form (the [[profile]] schema-stability
+    * contract).
+    *
+    * Scale shape: per edge, TWO key-grouped count aggregations (map-
+    * side combine; each exchange carries key-cardinality partials, not
+    * rows), ONE key-keyed full-outer join of the two count frames, and
+    * a scalar rollup — the join that is being audited never executes,
+    * and nothing grows with its would-be output. NULL-key groups pass
+    * through the full outer unmatched (SQL equality), which is exactly
+    * the semantics being audited. */
+  def joinProfile(spark: SparkSession, edges: Seq[JoinEdge]): DataFrame = {
+    require(edges.nonEmpty, "joinProfile needs at least one edge")
+    val reports = edges.map { e =>
+      val lc = e.left.select(col(e.leftKey).cast("string").as("__k"))
+        .groupBy(col("__k")).agg(count(lit(1)).as("nl"))
+      val rc = e.right.select(col(e.rightKey).cast("string").as("__k"))
+        .groupBy(col("__k")).agg(count(lit(1)).as("nr"))
+      val pairs = when(col("__k").isNotNull &&
+        col("nl").isNotNull && col("nr").isNotNull,
+        col("nl") * col("nr")).otherwise(lit(0L))
+      lc.join(rc, Seq("__k"), "full_outer")
+        .agg(
+          sum(coalesce(col("nl"), lit(0L))).as("rows_l"),
+          sum(coalesce(col("nr"), lit(0L))).as("rows_r"),
+          count(when(col("__k").isNotNull && col("nl").isNotNull, 1))
+            .as("distinct_l"),
+          count(when(col("__k").isNotNull && col("nr").isNotNull, 1))
+            .as("distinct_r"),
+          sum(when(col("__k").isNull, coalesce(col("nl"), lit(0L)))
+            .otherwise(lit(0L))).as("null_l"),
+          sum(when(col("__k").isNull, coalesce(col("nr"), lit(0L)))
+            .otherwise(lit(0L))).as("null_r"),
+          sum(pairs).as("est_pairs"),
+          max(when(pairs > 0, struct(pairs.as("p"), col("__k").as("k"))))
+            .as("__hot"))
+        .select(lit(e.label).as("join_edge"),
+          col("rows_l"), col("rows_r"), col("distinct_l"), col("distinct_r"),
+          col("null_l"), col("null_r"), col("est_pairs"),
+          coalesce(col("__hot.p"), lit(0L)).as("max_key_pairs"),
+          col("__hot.k").as("hot_key"),
+          when(col("rows_l") > 0, expr("est_pairs * 1000 DIV rows_l"))
+            .as("amp_per_mille"))
+    }
+    reports.reduce(_.unionByName(_))
+  }
+
   /** I2 — column completeness profile: for each named column, the
     * ingestion-gate statistics a pipeline reads before trusting a new
     * table drop — row count, NULL count, exact distinct count, and

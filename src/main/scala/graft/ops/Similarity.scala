@@ -61,6 +61,44 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** S-margin — kNN margin scoring (the Artetxe–Schwenk margin criterion
+    * of bitext mining, distance-margin form): a query's best neighbor is
+    * trustworthy only if it stands OUT from the query's neighborhood —
+    * score = cos(q, nn₁) − mean(cos(q, nnᵢ) for i ≤ k). A hub vector
+    * that is everyone's near-neighbor has a high top cosine but a near-
+    * zero margin, which is exactly the false-positive class raw cosine
+    * thresholds admit in parallel-corpus mining and semantic dedup.
+    *
+    * Exactness contract: cosines come from [[bruteForceTopK]]'s rounded
+    * 6-dp values, converted to integer MICRO units; the margin is
+    * released n-SCALED — `margin_n_micro = best·n − Σ cosᵢ` — so the
+    * whole statistic is integer add/multiply with NO division, and
+    * therefore replays bit-for-bit in any engine (integer division of
+    * possibly-negative sums is where engines disagree on truncate-vs-
+    * floor; multiplying out the mean sidesteps the hazard entirely).
+    * `n_neighbors` is released honestly (< k when the corpus is small),
+    * and the n-scaling makes same-n rows directly comparable — the
+    * mining threshold is a cut on margin_n_micro at fixed k.
+    *
+    * Scale shape: [[bruteForceTopK]]'s broadcast-query corpus scan (the
+    * exact baseline; compose with the IVF probe for the deployment
+    * path), then ONE query-keyed aggregation over queries × k rows —
+    * nothing beyond the top-k frame ever shuffles. */
+  def marginScores(
+      embeddings: DataFrame, queries: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 2, "margin needs at least 2 neighbors")
+    bruteForceTopK(embeddings, queries, k)
+      .withColumn("cm", expr("CAST(round(cosine * 1000000) AS BIGINT)"))
+      .groupBy(col("query_id"))
+      .agg(
+        min_by(col("vec_id"), col("rank")).as("best_id"),
+        min_by(col("cm"), col("rank")).as("best_micro"),
+        sum(col("cm")).as("sum_micro"),
+        count(lit(1)).as("n_neighbors"))
+      .withColumn("margin_n_micro",
+        col("best_micro") * col("n_neighbors") - col("sum_micro"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * md5-derived integer folded into [-1000, 1000] / 1000 — reproducible in
     * any engine with md5 + hex→int. The components are data-INDEPENDENT

@@ -353,7 +353,17 @@ object ScaleProof {
       // ns118: resolution aggs + item-keyed vote⋈gold join + an
       // annotator-cardinality final agg; count() needs the whole chain
       // (the 5 output groups hang off the join)
-      "ns118_rater_report")
+      "ns118_rater_report",
+      // ns122: pivot = (user, type) partials then user-keyed PivotFirst;
+      // count() needs the groups (output rows ARE the users)
+      "ns122_type_pivot",
+      // ns123: broadcast-query corpus scan + rank window + query-keyed
+      // margin agg; count() needs all of it (5 output groups)
+      "ns123_knn_margin",
+      // ns124: per-edge key-count aggs + count-frame full outer + scalar
+      // rollup; 4-row union output — collect-forced (each branch is an
+      // ungrouped agg that OptimizeOneRowPlan would fold under count())
+      "ns124_join_profile")
     // ns81 scales as the CLUSTER-RESOLVE deployment shape, not raw pairs:
     // the copy-tagged synthetic corpus puts every same-copy doc behind the
     // same `c{k}x` word prefixes, so stride hashes form GENUINE giant
@@ -626,6 +636,7 @@ object ScaleProof {
       "ns102_assembly_forced", "ns104_folds_forced",
       "ns107_evolved_forced", "ns115_profile_forced",
       "ns119_rolling_forced", "ns120_c4_forced", "ns121_blocklist_forced",
+      "ns124_join_profile",
       // single-row join of two ungrouped aggregates: count() folds to 1
       "ns76_dataset_card")
     // SPARK_GRAFT_SCALE_ONLY=name,name isolates entries for iteration

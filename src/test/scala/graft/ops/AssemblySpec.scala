@@ -269,6 +269,34 @@ class AssemblySpec extends AnyFunSuite {
 
   // ---------------------------------------------------------------- ns104
 
+  test("joinProfile: exact pair cardinality, NULL keys priced out, hot-key attribution") {
+    import Integrity.JoinEdge
+    val l = Seq(Some(1L), Some(1L), Some(1L), Some(2L), None).toDF("k")
+    val r = Seq(Some(1L), Some(2L), Some(2L), Some(3L), None, None).toDF("k")
+    val out = Integrity.joinProfile(spark,
+      Seq(JoinEdge("e", l, "k", r, "k"))).collect().head
+    assert(out.getAs[Long]("rows_l") == 5L && out.getAs[Long]("rows_r") == 6L)
+    assert(out.getAs[Long]("distinct_l") == 2L && out.getAs[Long]("distinct_r") == 3L)
+    assert(out.getAs[Long]("null_l") == 1L && out.getAs[Long]("null_r") == 2L)
+    assert(out.getAs[Long]("est_pairs") == 5L)            // 3·1 + 1·2
+    assert(out.getAs[Long]("max_key_pairs") == 3L && out.getAs[String]("hot_key") == "1")
+    assert(out.getAs[Long]("amp_per_mille") == 1000L)
+  }
+
+  test("joinProfile: hot-key ties break to the largest key; no-match edge reports NULL hot key") {
+    import Integrity.JoinEdge
+    val a = Seq(1L, 2L).toDF("k")
+    val tied = Integrity.joinProfile(spark,
+      Seq(JoinEdge("t", a, "k", a, "k"))).collect().head
+    assert(tied.getAs[Long]("est_pairs") == 2L && tied.getAs[String]("hot_key") == "2")
+    val none = Integrity.joinProfile(spark,
+      Seq(JoinEdge("n", Seq(1L).toDF("k"), "k", Seq(2L).toDF("k"), "k")))
+      .collect().head
+    assert(none.getAs[Long]("est_pairs") == 0L &&
+      none.getAs[Long]("max_key_pairs") == 0L && none.isNullAt(9) &&
+      none.getAs[Long]("amp_per_mille") == 0L)
+  }
+
   test("leakSafeFolds: identical text ⇒ identical fold, independent of doc ids; folds in range") {
     val d = Seq((1L, "alpha"), (2L, "beta"), (900001L, "alpha"),
       (4L, "gamma"), (5L, "alpha"), (6L, null: String), (7L, null: String))

@@ -581,6 +581,28 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("marginScores equals the top-k recomputation; division-free n-scaled margin") {
+    val out = Similarity.marginScores(embs, queries, k = 4)
+      .orderBy("query_id").collect()
+    assert(out.length == 5)
+    val topk = Similarity.bruteForceTopK(embs, queries, k = 4).collect()
+      .groupBy(_.getLong(0))
+    out.foreach { r =>
+      val g = topk(r.getLong(0)).sortBy(_.getInt(1))
+      val cms = g.map(x => math.round(x.getDouble(3) * 1e6))
+      assert(r.getAs[Long]("best_id") == g.head.getLong(2))
+      assert(r.getAs[Long]("best_micro") == cms.head)
+      assert(r.getAs[Long]("sum_micro") == cms.sum)
+      assert(r.getAs[Long]("n_neighbors") == 4L)
+      assert(r.getAs[Long]("margin_n_micro") == cms.head * 4 - cms.sum)
+      // the top neighbor is never below its own neighborhood mean
+      assert(r.getAs[Long]("margin_n_micro") >= 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.marginScores(embs, queries, k = 1)
+    }
+  }
+
   test("maxsim: scalar-replay equivalence, self-exclusion, and the identical-vector bound") {
     // driver-side replay of the exact expression tree on a tiny frame
     val rows = Similarity.maxSimTopK(embs, queries, k = 10).collect()

@@ -222,6 +222,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 hash exchange, plan:\n${p.take(2000)}")
   }
 
+  test("typePivot: declared columns, NULL/undeclared to n_other, absent cells 0") {
+    val in = Seq(
+      (1L, "click"), (1L, "click"), (1L, "weird"), (1L, null),
+      (2L, "view")
+    ).toDF("user_id", "event_type")
+    val out = Events.typePivot(in, Seq("click", "view"))
+      .orderBy("user_id").collect()
+    def r(i: Int) = (out(i).getAs[Long]("n_click"), out(i).getAs[Long]("n_view"),
+      out(i).getAs[Long]("n_other"), out(i).getAs[Long]("n_total"))
+    assert(r(0) == ((2L, 0L, 2L, 4L)))
+    assert(r(1) == ((0L, 1L, 0L, 1L)))
+    intercept[IllegalArgumentException] { Events.typePivot(in, Seq.empty) }
+    intercept[IllegalArgumentException] { Events.typePivot(in, Seq("a", "a")) }
+    intercept[IllegalArgumentException] { Events.typePivot(in, Seq("__other")) }
+  }
+
   test("enrichProps extracts the JSON field and aggregates exactly") {
     val in = Seq(
       ("click", """{"k": 3}""", 1.5),
