@@ -1886,6 +1886,50 @@ object SparkEntry {
       .orderBy("join_edge")
   }
 
+  /** NS126 — ANN recall report ([[graft.ops.Similarity.recallReport]]):
+    * per query, |LSH top-10 ∩ exact top-10| and recall in exact
+    * per-mille — the production index-quality alarm, promoted from an
+    * engine-side spec assertion to an oracle-checked operator. Both
+    * sides of the comparison (the ns7 LSH pipeline AND the ns6 exact
+    * baseline) replay in the oracle, so the metric is end-to-end
+    * hash-gated. */
+  private def ns126(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.recallReport(
+        graft.ops.Similarity.lshTopK(embs(s, dir), simQueries(s, dir), k = 10),
+        graft.ops.Similarity.bruteForceTopK(embs(s, dir), simQueries(s, dir),
+          k = 10))
+      .orderBy("query_id")
+
+  /** NS127 — weight-proportional systematic sampling ([[graft.ops
+    * .Sampling.ppsSample]]): an expected-50-docs-per-language sample
+    * drawn ∝ token count — the importance sampler that makes the
+    * SAMPLE's token mass mirror each stratum's, where the uniform
+    * samplers (ns23/ns48) would over-represent short documents.
+    * Exactly k cuts per stratum (Σ n_slots = 50), multiplicity
+    * released honestly; pure integer cut arithmetic on the
+    * deterministic hash line. */
+  private def ns127(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.ppsSample(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          expr("CAST(length(text) DIV 4 + 1 AS BIGINT)").as("n_tokens")),
+        "lang", "n_tokens", "doc_id", k = 50)
+      .orderBy("doc_id")
+
+  /** NS125 — cross-fold contamination audit ([[graft.ops.Dedup
+    * .crossFoldLeakage]]): the ns104 twin-amplified corpus folded
+    * 10-way, then every minhash near-dup pair classified by whether it
+    * straddles folds. `n_exact_cross` = 0 is RELEASED (the fold
+    * guarantee proven corpus-wide inside the hash gate); near-dup
+    * leakage across folds is the honest contamination number an
+    * evaluation protocol must report. */
+  private def ns125(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val shift = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val twins = d.where(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(shift))
+    graft.ops.Dedup.crossFoldLeakage(d.unionByName(twins), folds = 10)
+  }
+
   /** NS86 — incremental token-count maintenance
     * ([[graft.ops.Versioning.maintainTokenCounts]]): the ns56 snapshot
     * tick's count table updated by re-tokenizing ONLY the diff fringe
@@ -2253,7 +2297,50 @@ object SparkEntry {
     "ns122_type_pivot" -> (ns122 _),
     "ns123_knn_margin" -> (ns123 _),
     "ns124_join_profile" -> (ns124 _),
+    "ns126_ann_recall" -> (ns126 _),
+    "ns127_pps_sample" -> (ns127 _),
+    "ns125_fold_leakage" -> (ns125 _),
   )
+
+  /** ns2's full minhash-LSH pair replay, hoisted with a `__DOCS__`
+    * source placeholder so ns125's fold-leakage audit runs the SAME
+    * pipeline over its twin-amplified corpus (single source of truth). */
+  private val minhashPairsSqlTpl: String =
+    """WITH words AS (SELECT doc_id, string_split(text,' ') w FROM __DOCS__),
+      |sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS shingle FROM words),
+      |mh AS (SELECT doc_id, s, min(('0x' || substr(md5(shingle || ':' || s), 1, 15))::BIGINT) m FROM sh, (SELECT unnest(range(0,16)) AS s) seeds GROUP BY doc_id, s),
+      |bands AS (SELECT doc_id, s // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY s) bv FROM mh GROUP BY doc_id, s // 4),
+      |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      |sets AS (SELECT doc_id, list_distinct(list(shingle)) s FROM sh GROUP BY doc_id),
+      |scored AS (SELECT da AS doc_a, db AS doc_b, len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) AS j FROM cand JOIN sets x ON x.doc_id = cand.da JOIN sets y ON y.doc_id = cand.db)
+      |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM scored WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** ns6's full oracle, hoisted so ns126's recall report can embed the
+    * SAME exact-baseline replay as a CTE (single source of truth). */
+  private val ns6OracleSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      |scored AS (SELECT q.query_id, e.vec_id,
+      |  round(list_sum([qv[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1,65)]) /
+      |    (sqrt(list_sum([qv[i]::DOUBLE * qv[i]::DOUBLE for i in range(1,65)])) *
+      |     sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1,65)]))), 6) AS cosine
+      |  FROM embeddings e, q WHERE e.vec_id != q.query_id)
+      |SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank, vec_id, cosine
+      |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** ns7's full oracle (the md5-derived LSH pipeline replay), hoisted
+    * for the same reuse in ns126. */
+  private val ns7OracleSql: String =
+    """WITH planes AS (SELECT p, list_transform(range(0,64), d -> ((('0x' || substr(md5('plane:' || p || ':' || d), 1, 15))::BIGINT % 2001 - 1000) / 1000.0)) AS pl FROM (SELECT unnest(range(0,8)) AS p)),
+      |emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |proj AS (SELECT vec_id, p, list_sum(list_transform(range(1,65), i -> v[i] * pl[i])) AS s FROM emb, planes),
+      |buck AS (SELECT vec_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket FROM proj GROUP BY vec_id),
+      |corpus AS (SELECT e.vec_id, e.v, sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nv, b.bucket FROM emb e JOIN buck b USING (vec_id)),
+      |q AS (SELECT e.vec_id AS query_id, e.v AS qv, sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nq, b.bucket AS qb FROM emb e JOIN buck b USING (vec_id) WHERE e.vec_id < 5),
+      |probes AS (SELECT query_id, qv, nq, unnest(list_prepend(qb, list_transform(range(0,8), p -> xor(qb, 1::BIGINT << p)))) AS bucket FROM q),
+      |scored AS (SELECT DISTINCT pr.query_id, c.vec_id, round(list_sum(list_transform(range(1,65), i -> pr.qv[i] * c.v[i])) / (pr.nq * c.nv), 6) AS cosine
+      |  FROM probes pr JOIN corpus c USING (bucket) WHERE c.vec_id != pr.query_id)
+      |SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank, vec_id, cosine
+      |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "k1_scan_project" ->
@@ -2323,15 +2410,7 @@ object SparkEntry {
          |SELECT s.doc_id, count(DISTINCT s.shingle) AS matched_shingles, count(DISTINCT b.bench_id) AS bench_docs
          |FROM sh s JOIN bench b USING (shingle) WHERE s.doc_id % 50 != 0
          |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin),
-    "ns2_dedup_minhash" ->
-      ("""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
-         |sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS shingle FROM words),
-         |mh AS (SELECT doc_id, s, min(('0x' || substr(md5(shingle || ':' || s), 1, 15))::BIGINT) m FROM sh, (SELECT unnest(range(0,16)) AS s) seeds GROUP BY doc_id, s),
-         |bands AS (SELECT doc_id, s // 4 AS band, string_agg(m::VARCHAR, ',' ORDER BY s) bv FROM mh GROUP BY doc_id, s // 4),
-         |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
-         |sets AS (SELECT doc_id, list_distinct(list(shingle)) s FROM sh GROUP BY doc_id),
-         |scored AS (SELECT da AS doc_a, db AS doc_b, len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) AS j FROM cand JOIN sets x ON x.doc_id = cand.da JOIN sets y ON y.doc_id = cand.db)
-         |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM scored WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin),
+    "ns2_dedup_minhash" -> minhashPairsSqlTpl.replace("__DOCS__", "documents"),
     "ns3_dedup_simhash" ->
       ("""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
          |sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+1],' ') for i in range(1, len(w))]) AS shingle FROM words),
@@ -2362,27 +2441,8 @@ object SparkEntry {
          |cand AS (SELECT DISTINCT a.vec_id id_a, b.vec_id id_b, round(list_sum(list_transform(range(1,65), i -> a.v[i] * b.v[i])) / (a.n * b.n), 6) AS cosine
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cosine FROM cand WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin),
-    "ns6_simsearch_topk" ->
-      ("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-         |scored AS (SELECT q.query_id, e.vec_id,
-         |  round(list_sum([qv[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1,65)]) /
-         |    (sqrt(list_sum([qv[i]::DOUBLE * qv[i]::DOUBLE for i in range(1,65)])) *
-         |     sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE for i in range(1,65)]))), 6) AS cosine
-         |  FROM embeddings e, q WHERE e.vec_id != q.query_id)
-         |SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank, vec_id, cosine
-         |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin),
-    "ns7_simsearch_lsh" ->
-      ("""WITH planes AS (SELECT p, list_transform(range(0,64), d -> ((('0x' || substr(md5('plane:' || p || ':' || d), 1, 15))::BIGINT % 2001 - 1000) / 1000.0)) AS pl FROM (SELECT unnest(range(0,8)) AS p)),
-         |emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         |proj AS (SELECT vec_id, p, list_sum(list_transform(range(1,65), i -> v[i] * pl[i])) AS s FROM emb, planes),
-         |buck AS (SELECT vec_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket FROM proj GROUP BY vec_id),
-         |corpus AS (SELECT e.vec_id, e.v, sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nv, b.bucket FROM emb e JOIN buck b USING (vec_id)),
-         |q AS (SELECT e.vec_id AS query_id, e.v AS qv, sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nq, b.bucket AS qb FROM emb e JOIN buck b USING (vec_id) WHERE e.vec_id < 5),
-         |probes AS (SELECT query_id, qv, nq, unnest(list_prepend(qb, list_transform(range(0,8), p -> xor(qb, 1::BIGINT << p)))) AS bucket FROM q),
-         |scored AS (SELECT DISTINCT pr.query_id, c.vec_id, round(list_sum(list_transform(range(1,65), i -> pr.qv[i] * c.v[i])) / (pr.nq * c.nv), 6) AS cosine
-         |  FROM probes pr JOIN corpus c USING (bucket) WHERE c.vec_id != pr.query_id)
-         |SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank, vec_id, cosine
-         |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin),
+    "ns6_simsearch_topk" -> ns6OracleSql,
+    "ns7_simsearch_lsh" -> ns7OracleSql,
     "ns13_simsearch_ivf" ->
       ("""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          |ranked AS (SELECT vec_id, v, row_number() OVER (ORDER BY ('0x' || substr(md5('centroid:' || vec_id), 1, 15))::BIGINT, vec_id) - 1 AS c FROM emb),
@@ -4304,5 +4364,63 @@ object SparkEntry {
          |SELECT * FROM a1 UNION ALL SELECT * FROM a2
          |UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4
          |ORDER BY join_edge""".stripMargin),
+    // ns126: the ns6 and ns7 oracles embed verbatim as CTE subqueries
+    // (single source of truth — the vals above), then the recall join:
+    // both the approximate pipeline and the exact baseline sit inside
+    // this hash gate.
+    "ns126_ann_recall" ->
+      (s"""WITH ex AS ($ns6OracleSql),
+         |ap AS ($ns7OracleSql),
+         |x AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1),
+         |h AS (SELECT ex.query_id, count(*) AS n_hit
+         |  FROM ex JOIN ap ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
+         |  GROUP BY 1)
+         |SELECT x.query_id, n_exact,
+         |  coalesce(n_hit, 0)::BIGINT AS n_hit,
+         |  (coalesce(n_hit, 0)::BIGINT * 1000) // n_exact AS recall_per_mille
+         |FROM x LEFT JOIN h USING (query_id) ORDER BY x.query_id""".stripMargin),
+    // ns127: the hash line, both running sums, and the integer cut test
+    // replay verbatim; window sums are HUGEINT in DuckDB, so every
+    // term of the cut arithmetic casts ::BIGINT before the division
+    // (the ns71 lesson), and // on non-negative BIGINTs is the same
+    // floor Spark's DIV truncation gives.
+    "ns127_pps_sample" ->
+      ("""WITH d AS (SELECT doc_id, lang,
+         |    (length(text) // 4 + 1)::BIGINT AS w FROM documents),
+         |h AS (SELECT doc_id, lang, w,
+         |    ('0x' || substr(md5('pps:' || doc_id), 1, 15))::BIGINT AS hk
+         |  FROM d WHERE w > 0),
+         |c AS (SELECT doc_id, lang, w,
+         |    (sum(w) OVER (PARTITION BY lang ORDER BY hk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS ce,
+         |    (sum(w) OVER (PARTITION BY lang))::BIGINT AS tw
+         |  FROM h)
+         |SELECT doc_id, lang, w AS weight,
+         |  (ce * 50) // tw - ((ce - w) * 50) // tw AS n_slots
+         |FROM c
+         |WHERE (ce * 50) // tw > ((ce - w) * 50) // tw
+         |ORDER BY doc_id""".stripMargin),
+    // ns125: the twin amplification, the ns2 minhash pipeline (embedded
+    // from the shared template over the amplified corpus), the ns104
+    // fold math, and the cross-classification all replay — including
+    // the released n_exact_cross = 0 invariant.
+    "ns125_fold_leakage" ->
+      (s"""WITH amp AS (SELECT doc_id, text FROM documents
+         |    UNION ALL
+         |    SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+         |    FROM documents WHERE doc_id % 7 = 0),
+         |p AS (${minhashPairsSqlTpl.replace("__DOCS__", "amp")}),
+         |f AS (SELECT doc_id, md5(coalesce(text, chr(30))) AS g,
+         |    ('0x' || substr(md5('fold:' || md5(coalesce(text, chr(30)))), 1, 15))::BIGINT % 10 AS fold
+         |  FROM amp)
+         |SELECT count(*)::BIGINT AS n_pairs,
+         |  count(CASE WHEN fa.g = fb.g THEN 1 END)::BIGINT AS n_exact_pairs,
+         |  count(CASE WHEN fa.g = fb.g AND fa.fold != fb.fold THEN 1 END)::BIGINT AS n_exact_cross,
+         |  count(CASE WHEN fa.g != fb.g AND fa.fold != fb.fold THEN 1 END)::BIGINT AS n_near_cross,
+         |  CASE WHEN count(*) > 0
+         |    THEN (count(CASE WHEN fa.g != fb.g AND fa.fold != fb.fold THEN 1 END) * 1000) // count(*)
+         |    ELSE 0 END AS leak_per_mille
+         |FROM p JOIN f fa ON fa.doc_id = p.doc_a
+         |JOIN f fb ON fb.doc_id = p.doc_b""".stripMargin),
   )
 }

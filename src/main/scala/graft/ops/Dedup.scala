@@ -1026,6 +1026,48 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** D12 — cross-fold contamination audit: how much NEAR-duplicate mass
+    * leaks across [[Sampling.leakSafeFolds]]' fold boundaries. The fold
+    * assignment guarantees EXACT duplicates share a fold (content-keyed
+    * hash), but near-duplicates — the pairs [[minhashLsh]] finds above
+    * the jaccard threshold with different byte content — can still
+    * straddle train/eval folds, which is precisely the contamination a
+    * held-out evaluation must quantify before trusting its numbers.
+    * One summary row: total near-dup pairs, the exact-pair subset
+    * (same dup_group), `n_exact_cross` (MUST be 0 — releasing it puts
+    * the fold guarantee itself inside the correctness gate, corpus-
+    * wide, not just in a spec fixture), `n_near_cross` (the leakage),
+    * and leak per-mille of all pairs in exact integers.
+    *
+    * Scale shape: the [[minhashLsh]] pipeline (band joins, never n²)
+    * produces the pair frame; fold/group labels attach via TWO
+    * key-keyed equi-joins of the pair frame against the narrow
+    * (doc_id, dup_group, fold) projection — pair-frame-sized work, the
+    * wide text never rides these joins; the rollup is one scalar
+    * aggregation. */
+  def crossFoldLeakage(docs: DataFrame, folds: Int = 10): DataFrame = {
+    val f = graft.ops.Sampling.leakSafeFolds(docs, "text", folds)
+      .select(col("doc_id"), col("dup_group"), col("fold"))
+    minhashLsh(docs)
+      .select(col("doc_a"), col("doc_b"))
+      .join(f.select(col("doc_id").as("doc_a"), col("dup_group").as("g_a"),
+        col("fold").as("fold_a")), Seq("doc_a"))
+      .join(f.select(col("doc_id").as("doc_b"), col("dup_group").as("g_b"),
+        col("fold").as("fold_b")), Seq("doc_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        count(when(col("g_a") === col("g_b"), 1)).as("n_exact_pairs"),
+        count(when(col("g_a") === col("g_b") &&
+          col("fold_a") =!= col("fold_b"), 1)).as("n_exact_cross"),
+        count(when(col("g_a") =!= col("g_b") &&
+          col("fold_a") =!= col("fold_b"), 1)).as("n_near_cross"))
+      .select(col("n_pairs"), col("n_exact_pairs"), col("n_exact_cross"),
+        col("n_near_cross"),
+        when(col("n_pairs") > 0,
+          expr("n_near_cross * 1000 DIV n_pairs")).otherwise(lit(0L))
+          .as("leak_per_mille"))
+  }
+
   /** D5 (exact verifier) — top-N closest pairs over ALL pairs. O(n²) by
     * definition: this is the small-input VERIFICATION path that the spec
     * measures [[embeddingNearDupLsh]]'s recall against, not the registered

@@ -272,6 +272,59 @@ object Sampling {
       .orderBy(col(keyCol))
   }
 
+  /** C13 — weight-proportional (PPS) systematic sampling: draw an
+    * expected-size-k sample per stratum where a row's inclusion
+    * probability is proportional to its WEIGHT — the importance sampler
+    * of data mixing (sample documents ∝ token count so the SAMPLE's
+    * token mass mirrors the stratum's, audit records ∝ revenue, etc.),
+    * where [[stratifiedSample]]/[[sampleExact]] draw uniformly.
+    * Probability-proportional-to-size SYSTEMATIC sampling (the classic
+    * survey-sampling design): rows are laid on a line in deterministic
+    * hash order, each occupying its weight; the line is cut into k
+    * equal steps; every cut selects the row it lands in. Exactly k cuts
+    * total (Σ n_slots = k per stratum), selected rows ≤ k, and a row
+    * whose weight spans multiple steps reports its multiplicity in
+    * `n_slots` honestly (certainty selection, the PPS analog of a
+    * heavy stratum) — E[n_slots] = k·w/W exactly, by construction.
+    *
+    * Exactness: the cut test is pure integer arithmetic —
+    * `⌊cum_end·k/W⌋ > ⌊cum_before·k/W⌋` on long cumulative sums (all
+    * quantities non-negative, so truncation IS floor in every engine;
+    * products stay under 2⁶³ for Σw·k < 9.2e18 — a 10¹²-token stratum
+    * at k ≤ 10⁶, documented bound). Hash order (md5 'pps:'-tagged key,
+    * key tiebreak) is the [[capBySource]] determinism contract: stable
+    * under retries, partitioning, and engines. Non-positive weights are
+    * excluded by policy (they cannot occupy line length); NULL strata
+    * sample as their own stratum.
+    *
+    * Scale shape: ONE stratum-keyed exchange serves the ordering
+    * window, the running sum, and the stratum total (unbounded frame on
+    * the same partitioning) — the [[capBySource]] shape plus a total;
+    * selection is a codegen predicate. No driver state, no joins. */
+  def ppsSample(
+      df: DataFrame,
+      strataCol: String,
+      weightCol: String,
+      keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val order = Window.partitionBy(strataCol)
+      .orderBy(hash60Col(concat(lit("pps:"), col(keyCol).cast("string"))),
+        col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = Window.partitionBy(strataCol)
+    df
+      .select(col(keyCol), col(strataCol), col(weightCol).cast("long").as("w"))
+      .where(col("w") > 0)
+      .withColumn("__ce", sum(col("w")).over(order))
+      .withColumn("__W", sum(col("w")).over(total))
+      .withColumn("n_slots",
+        expr(s"__ce * $k DIV __W - (__ce - w) * $k DIV __W"))
+      .where(col("n_slots") > 0)
+      .select(col(keyCol), col(strataCol), col("w").as("weight"),
+        col("n_slots"))
+  }
+
   /** C8 — α = 0.5 temperature rebalancing (the mT5/XLM-R multilingual
     * sampling rule): released stratum sizes become ∝ √n_s, flattening the
     * head-language dominance of a web crawl while never upsampling —

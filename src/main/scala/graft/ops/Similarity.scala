@@ -99,6 +99,37 @@ object Similarity {
         col("best_micro") * col("n_neighbors") - col("sum_micro"))
   }
 
+  /** S-eval — ANN recall report: per query, how much of the EXACT top-k
+    * an approximate index actually returned — `n_hit = |approx ∩
+    * exact|`, recall in exact integer per-mille. The index-quality
+    * monitoring loop every production ANN deployment runs (recall decays
+    * silently as the corpus drifts from the quantizer/plane training
+    * distribution; this is the alarm that triggers a rebuild), promoted
+    * from an engine-side spec assertion to a first-class registered
+    * operator so the metric itself is oracle-checkable.
+    *
+    * Inputs are any two (query_id, vec_id) result frames — compose with
+    * [[lshTopK]]/[[ivfTopKFromIndex]]/[[pqTopK]] against
+    * [[bruteForceTopK]], or diff two index generations against each
+    * other. Queries the approximate side missed entirely still report
+    * (recall 0), via the exact-side left join.
+    *
+    * Scale shape: ONE (query, vec) equi-join of two top-k frames
+    * (queries × k rows each — result-set sized, never corpus-sized) and
+    * two query-keyed aggregations. Nothing here touches the corpus. */
+  def recallReport(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("vec_id"))
+    val e = exact.select(col("query_id"), col("vec_id"))
+    val hits = a.join(e, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    e.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("coalesce(n_hit, 0L) * 1000 DIV n_exact")
+          .as("recall_per_mille"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * md5-derived integer folded into [-1000, 1000] / 1000 — reproducible in
     * any engine with md5 + hex→int. The components are data-INDEPENDENT

@@ -363,7 +363,17 @@ object ScaleProof {
       // ns124: per-edge key-count aggs + count-frame full outer + scalar
       // rollup; 4-row union output — collect-forced (each branch is an
       // ungrouped agg that OptimizeOneRowPlan would fold under count())
-      "ns124_join_profile")
+      "ns124_join_profile",
+      // ns125: the ns2 band pipeline + two pair-frame joins + a scalar
+      // rollup — collect-forced (single summary row); copy-tagged texts
+      // keep cross-copy jaccard under threshold, so pairs stay linear
+      "ns125_fold_leakage",
+      // ns126: two top-k pipelines + a result-set-sized join; count()
+      // needs the per-query groups
+      "ns126_ann_recall",
+      // ns127: one stratum exchange, two window sums, codegen cut test;
+      // the selection filter hangs off the windows so count() keeps them
+      "ns127_pps_sample")
     // ns81 scales as the CLUSTER-RESOLVE deployment shape, not raw pairs:
     // the copy-tagged synthetic corpus puts every same-copy doc behind the
     // same `c{k}x` word prefixes, so stride hashes form GENUINE giant
@@ -636,7 +646,7 @@ object ScaleProof {
       "ns102_assembly_forced", "ns104_folds_forced",
       "ns107_evolved_forced", "ns115_profile_forced",
       "ns119_rolling_forced", "ns120_c4_forced", "ns121_blocklist_forced",
-      "ns124_join_profile",
+      "ns124_join_profile", "ns125_fold_leakage",
       // single-row join of two ungrouped aggregates: count() folds to 1
       "ns76_dataset_card")
     // SPARK_GRAFT_SCALE_ONLY=name,name isolates entries for iteration

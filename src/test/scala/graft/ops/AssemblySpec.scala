@@ -269,6 +269,35 @@ class AssemblySpec extends AnyFunSuite {
 
   // ---------------------------------------------------------------- ns104
 
+  test("ppsSample: exactly k slots per stratum, certainty multiplicity, zero weights out") {
+    // stratum a: one 90-weight row + ten 1-weight rows (W=100, k=10, step 10):
+    // the heavy row's interval covers exactly 9 cuts wherever it lands
+    val rows = Seq((1L, "a", 90L)) ++ (2L to 11L).map(i => (i, "a", 1L)) ++
+      Seq((20L, "b", 5L), (21L, "b", 0L), (22L, "b", -3L))
+    val df = rows.toDF("id", "s", "w")
+    val out = Sampling.ppsSample(df, "s", "w", "id", k = 10).collect()
+    val byStratum = out.groupBy(_.getString(1))
+    assert(byStratum("a").map(_.getAs[Long]("n_slots")).sum == 10L)
+    assert(byStratum("a").find(_.getLong(0) == 1L).get
+      .getAs[Long]("n_slots") == 9L)
+    // stratum b: only the positive-weight row can carry the 10 slots
+    assert(byStratum("b").map(r => (r.getLong(0), r.getAs[Long]("n_slots")))
+      .toSeq == Seq((20L, 10L)))
+  }
+
+  test("ppsSample is deterministic under repartitioning and rejects k < 1") {
+    val df = (1L to 40L).map(i => (i, s"s${i % 3}", i)).toDF("id", "s", "w")
+    val a = Sampling.ppsSample(df, "s", "w", "id", k = 5)
+      .orderBy("id").collect().toSeq
+    val b = Sampling.ppsSample(df.repartition(7), "s", "w", "id", k = 5)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+    assert(a.groupBy(_.getString(1)).forall(_._2.map(_.getAs[Long]("n_slots")).sum == 5L))
+    intercept[IllegalArgumentException] {
+      Sampling.ppsSample(df, "s", "w", "id", k = 0)
+    }
+  }
+
   test("joinProfile: exact pair cardinality, NULL keys priced out, hot-key attribution") {
     import Integrity.JoinEdge
     val l = Seq(Some(1L), Some(1L), Some(1L), Some(2L), None).toDF("k")

@@ -603,6 +603,37 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("recallReport: exact intersection per query; fully-missed queries report zero") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("query_id", "vec_id")
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 20L), (2L, 21L), (4L, 40L))
+      .toDF("query_id", "vec_id")
+    val out = Similarity.recallReport(approx, exact)
+      .orderBy("query_id").collect()
+    // queries come from the EXACT side: the spurious query 4 never appears
+    assert(out.map(r => (r.getLong(0), r.getAs[Long]("n_exact"),
+      r.getAs[Long]("n_hit"), r.getAs[Long]("recall_per_mille"))).toSeq ==
+      Seq((1L, 2L, 1L, 500L), (2L, 2L, 2L, 1000L), (3L, 1L, 0L, 0L)))
+  }
+
+  test("recallReport over the real pipelines: consistent counts, self-recall is total") {
+    val q = embs.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = Similarity.bruteForceTopK(embs, q, k = 10)
+    val rep = Similarity.recallReport(
+      Similarity.lshTopK(embs, q, k = 10), exact).collect()
+    assert(rep.length == 5)
+    rep.foreach { r =>
+      val (n, h, p) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_hit"),
+        r.getAs[Long]("recall_per_mille"))
+      assert(n == 10L && h >= 0L && h <= n && p == h * 1000 / n, s"$r")
+    }
+    // a result set diffed against itself must report total recall
+    val self = Similarity.recallReport(exact, exact).collect()
+    assert(self.forall(_.getAs[Long]("recall_per_mille") == 1000L))
+  }
+
   test("maxsim: scalar-replay equivalence, self-exclusion, and the identical-vector bound") {
     // driver-side replay of the exact expression tree on a tiny frame
     val rows = Similarity.maxSimTopK(embs, queries, k = 10).collect()

@@ -61,6 +61,46 @@ class WebCorpusOpsSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"expected no shuffle:\n${p.take(1500)}")
   }
 
+  // ---- Dedup.crossFoldLeakage ---------------------------------------------
+
+  private def leakCorpus = {
+    import spark.implicits._
+    // four dissimilar base docs, each with an exact twin; one near-dup
+    // pair (one word changed) with different byte content
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "red orange yellow green blue indigo violet black white gray"),
+      (4L, "cat dog bird fish horse cow sheep goat pig duck"))
+    val twins = base.map { case (id, t) => (id + 100L, t) }
+    val near = Seq(
+      (5L, "spark scala query plan join shuffle partition codegen stage task"),
+      (6L, "spark scala query plan join shuffle partition codegen stage DIFFERENT"))
+    (base ++ twins ++ near).toDF("doc_id", "text")
+  }
+
+  test("crossFoldLeakage: exact twins never cross; single fold means zero leak") {
+    val one = graft.ops.Dedup.crossFoldLeakage(leakCorpus, folds = 1)
+      .collect().head
+    assert(one.getAs[Long]("n_pairs") == 5L)        // 4 twin + 1 near pair
+    assert(one.getAs[Long]("n_exact_pairs") == 4L)
+    assert(one.getAs[Long]("n_exact_cross") == 0L)
+    assert(one.getAs[Long]("n_near_cross") == 0L)
+    assert(one.getAs[Long]("leak_per_mille") == 0L)
+  }
+
+  test("crossFoldLeakage near-cross agrees with an independent fold recomputation") {
+    val folds = graft.ops.Sampling.leakSafeFolds(leakCorpus, "text", 10)
+      .select(col("doc_id"), col("fold")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectedNearCross = if (folds(5L) != folds(6L)) 1L else 0L
+    val out = graft.ops.Dedup.crossFoldLeakage(leakCorpus, folds = 10)
+      .collect().head
+    assert(out.getAs[Long]("n_exact_cross") == 0L)
+    assert(out.getAs[Long]("n_near_cross") == expectedNearCross)
+    assert(out.getAs[Long]("leak_per_mille") == expectedNearCross * 1000 / 5)
+  }
+
   // ---- Urls.blocklistFilter -----------------------------------------------
 
   test("blocklistFilter: suffix semantics, longest-match attribution, no-host pass") {
