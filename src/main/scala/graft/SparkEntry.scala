@@ -1930,6 +1930,54 @@ object SparkEntry {
     graft.ops.Dedup.crossFoldLeakage(d.unionByName(twins), folds = 10)
   }
 
+  /** NS128 — duplication-multiplicity token-mass histogram
+    * ([[graft.ops.Dedup.dupMassHistogram]]): how much of the corpus'
+    * token mass sits in text duplicated exactly k times — the
+    * "effective dataset size" accounting behind every dedup decision
+    * (duplicated text is implicit upweighting). Per multiplicity:
+    * groups, docs, total/unique/excess token mass, and the k-row's
+    * share of all corpus tokens in exact per-mille; Σ excess over
+    * k ≥ 2 is the budget ns1's exact dedup reclaims. The testdata
+    * corpus is exact-dup-free (the raw histogram is the single k = 1
+    * row), so the fixture amplifies with deterministic twins
+    * (doc_id % 7) and triples (% 21) — the k = 1/2/3 algebra is
+    * exercised inside the hash gate, ns125-style. */
+  private def ns128(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.ops.Dedup.dupMassHistogram(
+      d.select(col("text"))
+        .unionByName(d.where(col("doc_id") % 7 === 0).select(col("text")))
+        .unionByName(d.where(col("doc_id") % 21 === 0).select(col("text"))))
+  }
+
+  /** NS129 — packing-efficiency audit ([[graft.ops.Sampling
+    * .packingAudit]]): the ns26 packing re-priced for the trainer —
+    * per stratum, sequence count, boundary-straddling docs, the token
+    * mass needing cross-sequence attention handling (exact
+    * per-mille), and the unfilled tail. Groups on the packer's OWN
+    * partition key, so the audit adds zero exchange. */
+  private def ns129(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.packingAudit(
+        graft.ops.Sampling.packSequences(docs(s, dir)), tokenBudget = 2048)
+      .orderBy(col("lang"))
+
+  /** NS130 — chunk-level language consistency ([[graft.ops
+    * .TextAnalysis.chunkLangConsistency]]): every 32-token chunk
+    * re-scored by the ns8 marker heuristic against the doc's language
+    * label — the mixed-language / mislabeled-document detector that a
+    * doc-level langid structurally cannot see (one dominant language
+    * outvotes the embedded minority span at doc granularity). */
+  private def ns130(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.chunkLangConsistency(docs(s, dir))
+
+  /** NS131 — vocabulary-growth (Heaps-law) curve ([[graft.ops
+    * .TextAnalysis.vocabGrowth]]): distinct token types vs corpus
+    * size over ten cumulative hash-random tenths — the diversity
+    * saturation audit (a curve flat by the third decile = repetitive
+    * boilerplate; more data, no new vocabulary). */
+  private def ns131(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.vocabGrowth(docs(s, dir))
+
   /** NS86 — incremental token-count maintenance
     * ([[graft.ops.Versioning.maintainTokenCounts]]): the ns56 snapshot
     * tick's count table updated by re-tokenizing ONLY the diff fringe
@@ -2300,6 +2348,10 @@ object SparkEntry {
     "ns126_ann_recall" -> (ns126 _),
     "ns127_pps_sample" -> (ns127 _),
     "ns125_fold_leakage" -> (ns125 _),
+    "ns128_dup_mass" -> (ns128 _),
+    "ns129_pack_audit" -> (ns129 _),
+    "ns130_chunk_lang" -> (ns130 _),
+    "ns131_vocab_growth" -> (ns131 _),
   )
 
   /** ns2's full minhash-LSH pair replay, hoisted with a `__DOCS__`
@@ -4422,5 +4474,85 @@ object SparkEntry {
          |    ELSE 0 END AS leak_per_mille
          |FROM p JOIN f fa ON fa.doc_id = p.doc_a
          |JOIN f fb ON fb.doc_id = p.doc_b""".stripMargin),
+    // ns128: grouping by raw text is semantically identical to the
+    // engine's md5-of-text digest grouping (the digest never reaches the
+    // output — it exists so only 16 bytes ride the engine's shuffle).
+    "ns128_dup_mass" ->
+      ("""WITH amp AS (SELECT text FROM documents
+         |    UNION ALL SELECT text FROM documents WHERE doc_id % 7 = 0
+         |    UNION ALL SELECT text FROM documents WHERE doc_id % 21 = 0),
+         |g AS (SELECT text, count(*)::BIGINT AS k,
+         |    max(len(string_split(text, ' ')))::BIGINT AS toks
+         |  FROM amp GROUP BY text),
+         |h AS (SELECT k, count(*)::BIGINT AS n_groups,
+         |    (sum(toks * k))::BIGINT AS token_mass,
+         |    (sum(toks))::BIGINT AS unique_mass
+         |  FROM g GROUP BY k)
+         |SELECT k AS multiplicity, n_groups, (k * n_groups)::BIGINT AS n_docs,
+         |  token_mass, unique_mass,
+         |  (token_mass - unique_mass)::BIGINT AS excess_mass,
+         |  (token_mass * 1000) // (SELECT sum(token_mass)::BIGINT FROM h)
+         |    AS mass_per_mille
+         |FROM h ORDER BY multiplicity""".stripMargin),
+    // ns129 extends the ns26 packing CTE verbatim (same budget 2048,
+    // same chars/4 costing) with the per-stratum straddle/tail rollup.
+    "ns129_pack_audit" ->
+      ("""WITH t AS (SELECT doc_id, lang, ceil(length(text)::DOUBLE / 4.0)::BIGINT AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |  (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS off FROM t),
+         |p AS (SELECT lang, n_tokens, (off // 2048)::BIGINT AS seq_id,
+         |  (off % 2048)::BIGINT AS seq_off FROM c)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |  (max(seq_id) + 1)::BIGINT AS n_seqs,
+         |  sum(n_tokens)::BIGINT AS total_tokens,
+         |  count(CASE WHEN seq_off + n_tokens > 2048 THEN 1 END)::BIGINT AS n_straddlers,
+         |  sum(greatest(seq_off + n_tokens - 2048, 0))::BIGINT AS straddle_tokens,
+         |  greatest((max(seq_id) + 1) * 2048 - sum(n_tokens), 0)::BIGINT AS tail_waste,
+         |  (sum(greatest(seq_off + n_tokens - 2048, 0))::BIGINT * 1000)
+         |    // sum(n_tokens)::BIGINT AS straddle_per_mille
+         |FROM p GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin),
+    // ns130: the ns39 chunker at 32/0 with the ns8 marker scoring run
+    // per chunk; scoring the slice array directly is identical to the
+    // engine's split(concat_ws(' ', slice)) round-trip (concat_ws
+    // preserves empty tokens, and markers never match the empty
+    // string). IS DISTINCT FROM mirrors the engine's null-safe <=>.
+    "ns130_chunk_lang" ->
+      ("""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+         |c AS (SELECT doc_id, lang, w, 1 + (greatest(len(w) - 32, 0) + 31) // 32 AS nc FROM w),
+         |x AS (SELECT doc_id, lang, w[chunk_id*32+1 : chunk_id*32+32] AS cw
+         |  FROM (SELECT doc_id, lang, w, unnest(range(0, nc)) AS chunk_id FROM c)),
+         |s AS (SELECT doc_id, lang,
+         |  len([t for t in cw if list_contains(['der','die','das','und','zu','nicht','ist','ein'], t)]) s_de,
+         |  len([t for t in cw if list_contains(['the','a','of','and','to','in','is','that'], t)]) s_en,
+         |  len([t for t in cw if list_contains(['el','la','de','los','y','que','en','un'], t)]) s_es,
+         |  len([t for t in cw if list_contains(['le','la','de','les','et','que','en','un'], t)]) s_fr,
+         |  len([t for t in cw if list_contains(['的','是','了','在','我','有','和','不'], t)]) s_zh
+         |  FROM x),
+         |p AS (SELECT doc_id, lang,
+         |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred FROM s)
+         |SELECT doc_id, lang, count(*)::BIGINT AS n_chunks,
+         |  count(CASE WHEN pred IS DISTINCT FROM lang THEN 1 END)::BIGINT AS n_offlang,
+         |  (count(CASE WHEN pred IS DISTINCT FROM lang THEN 1 END) * 1000) // count(*)
+         |    AS offlang_per_mille
+         |FROM p GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin),
+    // ns131: the suite-wide 60-bit md5 bucket ('vg:' || doc_id, the
+    // ns127 convention), token first-appearance via a per-token min
+    // window over the (token, bucket) count frame.
+    "ns131_vocab_growth" ->
+      ("""WITH tb AS (SELECT
+         |    ('0x' || substr(md5('vg:' || doc_id), 1, 15))::BIGINT % 10 AS b,
+         |    unnest(string_split(text, ' ')) AS tok FROM documents),
+         |c AS (SELECT tok, b, count(*)::BIGINT AS occ FROM tb GROUP BY tok, b),
+         |m AS (SELECT b, occ,
+         |  CASE WHEN b = min(b) OVER (PARTITION BY tok) THEN 1 END AS isnew FROM c),
+         |h AS (SELECT b AS decile, sum(occ)::BIGINT AS n_tokens,
+         |  count(isnew)::BIGINT AS n_new_types FROM m GROUP BY b)
+         |SELECT decile, n_tokens, n_new_types,
+         |  (sum(n_tokens) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens,
+         |  (sum(n_new_types) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_types
+         |FROM h ORDER BY decile""".stripMargin),
   )
 }

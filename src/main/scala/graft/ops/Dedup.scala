@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines —
@@ -1089,5 +1090,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
       .limit(topN)
+  }
+
+  /** D13 — duplication-multiplicity token-mass histogram: how much of
+    * the corpus' token mass sits in text duplicated exactly k times —
+    * the "effective dataset size" accounting behind every dedup
+    * decision (multi-epoch training on duplicated text is implicit
+    * upweighting; this table says exactly how much). Per multiplicity
+    * k: distinct text groups, docs, total token mass, the mass one
+    * copy would contribute (`unique_mass`), the redundant excess, and
+    * the k-row's share of all corpus tokens in exact per-mille. The
+    * k = 1 row IS the unique corpus; Σ excess_mass over k ≥ 2 is the
+    * token budget exact dedup ([[exact]]) reclaims.
+    *
+    * Scale shape: the [[exact]] exchange (md5-of-text groupBy with
+    * map-side combine — the digest, not the text, rides the shuffle)
+    * into a second tiny agg keyed by k (distinct multiplicities are
+    * O(√n_docs) at worst); the corpus-total for the per-mille is an
+    * unpartitioned window over THAT histogram — bounded rows, never
+    * data. Identical text implies identical token count, so per-group
+    * mass is max(tokens)·k exactly. */
+  def dupMassHistogram(docs: DataFrame): DataFrame = {
+    val groups = docs
+      .select(md5(col("text").cast("binary")).as("g"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("k"), max(col("toks")).as("toks"))
+    val hist = groups
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("toks") * col("k")).as("token_mass"),
+        sum(col("toks")).as("unique_mass"))
+    val tot = Window.partitionBy()
+    hist
+      .withColumn("__tot", sum(col("token_mass")).over(tot))
+      .select(col("k").as("multiplicity"), col("n_groups"),
+        (col("k") * col("n_groups")).as("n_docs"),
+        col("token_mass"), col("unique_mass"),
+        (col("token_mass") - col("unique_mass")).as("excess_mass"),
+        expr("token_mass * 1000 DIV __tot").as("mass_per_mille"))
+      .orderBy(col("multiplicity"))
   }
 }

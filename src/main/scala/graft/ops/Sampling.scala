@@ -519,4 +519,51 @@ object Sampling {
         col("batch_max"),
         (col("batch_max") - col(lengthCol)).as("waste"))
   }
+
+  /** C14 — packing-efficiency audit: what [[packSequences]]' greedy
+    * offset assignment actually costs the trainer, per stratum. The
+    * packer's running-sum layout is gapless by construction, so the only
+    * waste is the final partial sequence (`tail_waste`) — but a doc whose
+    * tokens straddle a `tokenBudget` boundary forces the trainer to
+    * either split it across sequences or mask the overflow, and THAT is
+    * the number the audit surfaces: `n_straddlers` (docs crossing at
+    * least one boundary) and `straddle_tokens` (the token mass past each
+    * doc's first boundary — exactly the mass needing cross-sequence
+    * attention handling), as exact integers plus a per-mille of the
+    * stratum's total. A packing whose straddle per-mille is high wants a
+    * smaller budget, a length-sorted order ([[lengthBatches]]), or
+    * chunk-level packing ([[TextAnalysis.chunkDocuments]] first).
+    *
+    * Scale shape: input is [[packSequences]] output, already hash-
+    * partitioned by stratum; this aggregation groups on the SAME key, so
+    * it adds ZERO exchange (reuses the window's partitioning) — the
+    * audit is free at any scale. All arithmetic long-exact; per-mille by
+    * integer division on non-negative values (truncation = floor in
+    * every engine). */
+  def packingAudit(
+      packed: DataFrame,
+      tokenBudget: Int,
+      strataCol: String = "lang"): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    val over =
+      greatest(col("seq_off") + col("n_tokens") - tokenBudget, lit(0L))
+    packed
+      .groupBy(col(strataCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (max(col("seq_id")) + lit(1L)).as("n_seqs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        count(when(col("seq_off") + col("n_tokens") > tokenBudget, 1))
+          .as("n_straddlers"),
+        sum(over).as("straddle_tokens"))
+      .select(col(strataCol), col("n_docs"), col("n_seqs"),
+        col("total_tokens"), col("n_straddlers"), col("straddle_tokens"),
+        // the final doc can spill PAST the last boundary (off DIV budget
+        // names its start sequence), so the tail can be oversubscribed —
+        // waste is the unfilled remainder, never negative
+        greatest(col("n_seqs") * tokenBudget - col("total_tokens"), lit(0L))
+          .as("tail_waste"),
+        expr("straddle_tokens * 1000 DIV total_tokens")
+          .as("straddle_per_mille"))
+  }
 }

@@ -360,23 +360,24 @@ object TextAnalysis {
     * computed sequence); output size is a deterministic ~n_tokens/stride
     * expansion of the input, never data-dependent blowup. */
   def chunkDocuments(
-      docs: DataFrame, chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+      docs: DataFrame, chunkTokens: Int = 64, overlap: Int = 16,
+      carry: Seq[String] = Nil): DataFrame = {
     require(chunkTokens > overlap && overlap >= 0,
       s"need chunkTokens > overlap >= 0, got $chunkTokens/$overlap")
     val stride = chunkTokens - overlap
+    val carried = carry.map(col)
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id") +: split(col("text"), " ").as("w") +: carried: _*)
       .withColumn("n_chunks",
         lit(1) + expr(s"(greatest(size(w) - $chunkTokens, 0) + ${stride - 1}) " +
           s"DIV $stride"))
-      .select(col("doc_id"), col("w"),
-        posexplode(expr("sequence(0, n_chunks - 1)")))
-      .toDF("doc_id", "w", "chunk_id", "ignored")
-      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+      .select(col("doc_id") +: col("w") +: carried :+
+        posexplode(expr("sequence(0, n_chunks - 1)")).as(Seq("chunk_id", "ignored")): _*)
+      .select(col("doc_id") +: col("chunk_id").cast("long").as("chunk_id") +:
         size(expr(s"slice(w, chunk_id * $stride + 1, $chunkTokens)"))
-          .cast("long").as("n_tokens"),
+          .cast("long").as("n_tokens") +:
         concat_ws(" ", expr(s"slice(w, chunk_id * $stride + 1, $chunkTokens)"))
-          .as("chunk_text"))
+          .as("chunk_text") +: carried: _*)
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
@@ -472,5 +473,86 @@ object TextAnalysis {
       .where(col("n_pair") >= minCount)
       .select(col("w1"), col("w2"), col("n_pair"), col("n_ctx"),
         col("n_cont"))
+  }
+
+  /** T14 — chunk-level language consistency: every [[chunkDocuments]]
+    * window re-scored by the [[languageId]] marker heuristic and compared
+    * against the document's language label — the mixed-language-document
+    * detector (code-switched pages, boilerplate in a second language,
+    * mislabeled crawl records) that a DOC-level langid structurally
+    * cannot see: one dominant language outvotes the embedded minority
+    * span at doc granularity, but loses it at chunk granularity. Per
+    * doc: chunk count, off-language chunk count (null-safe against a
+    * NULL label — a labelless doc disagrees with every prediction rather
+    * than vacuously agreeing), and the disagreement in exact per-mille.
+    * Consumers gate on `offlang_per_mille` (0 = clean monolingual doc;
+    * high = route to re-labeling or segmentation).
+    *
+    * Scale shape: the chunker's zero-shuffle posexplode projection with
+    * the label carried in-row (NO join back to the corpus — one scan),
+    * marker scoring fused codegen per chunk, then ONE doc-keyed
+    * aggregation. */
+  def chunkLangConsistency(
+      docs: DataFrame, chunkTokens: Int = 32): DataFrame = {
+    val chunks = chunkDocuments(
+      docs.select(col("doc_id"), col("text"), col("lang")),
+      chunkTokens, overlap = 0, carry = Seq("lang"))
+    val withW = chunks.select(col("doc_id"), col("lang"),
+      split(col("chunk_text"), " ").as("w"))
+    val scored = langMarkers.foldLeft(withW) {
+      case (df, (code, markers)) =>
+        df.withColumn(s"s_$code", hitCount("w", markers))
+    }
+    scored
+      .select(col("doc_id"), col("lang"),
+        predFromScores(c => col(s"s_$c")).as("chunk_pred"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(!(col("chunk_pred") <=> col("lang")), 1))
+          .as("n_offlang"))
+      .select(col("doc_id"), col("lang"), col("n_chunks"), col("n_offlang"),
+        expr("n_offlang * 1000 DIV n_chunks").as("offlang_per_mille"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** T15 — vocabulary-growth (Heaps-law) curve: distinct token types
+    * versus corpus size, over ten cumulative random tenths of the corpus
+    * — the diversity saturation audit. A corpus whose type curve has
+    * flattened by the third decile is repetitive boilerplate (more data
+    * adds tokens but no vocabulary); a healthy web corpus keeps minting
+    * types along the whole curve. Docs land in one of 10 buckets by the
+    * deterministic md5 hash (an unbiased shuffle — the curve measures
+    * corpus diversity, not ingestion-order artifacts); a token type is
+    * "new" in the FIRST bucket that contains it. Per decile: token
+    * occurrences, new types, and both cumulatives — all exact integers,
+    * so the curve hash-replays.
+    *
+    * Scale shape: the word explode collapses immediately into a
+    * (token, bucket) count with map-side combine (the digest-sized
+    * frame, not the corpus, rides the shuffle); the first-bucket rule is
+    * a token-keyed min window over that frame (vocabulary-sized, narrow);
+    * the decile rollup has 10 groups, and the cumulative window runs
+    * over those 10 rows — bounded, never data-sized. */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2, "need at least 2 buckets")
+    val tb = docs
+      .select(
+        (Sampling.hash60Col(concat(lit("vg:"), col("doc_id").cast("string")))
+          % buckets).as("b"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"), col("b"))
+      .agg(count(lit(1)).as("occ"))
+    val cum = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tb
+      .withColumn("b0", min(col("b")).over(Window.partitionBy(col("tok"))))
+      .groupBy(col("b"))
+      .agg(sum(col("occ")).as("n_tokens"),
+        count(when(col("b") === col("b0"), 1)).as("n_new_types"))
+      .select(col("b").as("decile"), col("n_tokens"), col("n_new_types"),
+        sum(col("n_tokens")).over(cum).as("cum_tokens"),
+        sum(col("n_new_types")).over(cum).as("cum_types"))
+      .orderBy(col("decile"))
   }
 }

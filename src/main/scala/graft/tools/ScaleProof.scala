@@ -373,7 +373,14 @@ object ScaleProof {
       "ns126_ann_recall",
       // ns127: one stratum exchange, two window sums, codegen cut test;
       // the selection filter hangs off the windows so count() keeps them
-      "ns127_pps_sample")
+      "ns127_pps_sample",
+      // ns128: the ns1 digest exchange into a multiplicity-keyed agg
+      // (O(√n) groups at worst) + a histogram-sized total window;
+      // count() needs both aggs (k-groups are the output rows)
+      "ns128_dup_mass")
+      // ns129/ns130/ns131 run as forced variants below: their grouped
+      // reports survive count() as bare DISTINCT-key jobs (the audit /
+      // scoring columns all prune), which would time the wrong plan
     // ns81 scales as the CLUSTER-RESOLVE deployment shape, not raw pairs:
     // the copy-tagged synthetic corpus puts every same-copy doc behind the
     // same `c{k}x` word prefixes, so stride hashes form GENUINE giant
@@ -518,6 +525,31 @@ object ScaleProof {
       graft.SparkEntry.queries("ns121_blocklist_filter")(spark, dir)
         .agg(count(when(col("blocked"), 1)).as("n_blocked"),
           count(col("blocked_domain")).as("n_attributed"))
+    // ns129 groups on the packer's stratum key: count() would prune the
+    // packing window + audit math to a 5-key distinct; the forced agg
+    // hangs off every audit column so the whole window runs
+    def ns129Forced(dir: String): DataFrame =
+      graft.SparkEntry.queries("ns129_pack_audit")(spark, dir)
+        .agg(sum(col("n_straddlers")).as("s"),
+          sum(col("straddle_tokens")).as("st"),
+          sum(col("tail_waste")).as("tw"),
+          sum(col("total_tokens")).as("tt"))
+    // ns130's per-chunk marker scoring prunes under count() (distinct
+    // (doc_id, lang) needs only the explode); the forced agg needs the
+    // off-language verdicts, so the fused scoring runs
+    def ns130Forced(dir: String): DataFrame =
+      graft.SparkEntry.queries("ns130_chunk_lang")(spark, dir)
+        .agg(sum(col("n_offlang")).as("off"),
+          sum(col("n_chunks")).as("nc"),
+          sum(col("offlang_per_mille")).as("pm"))
+    // ns131's first-appearance window prunes under count() (10 distinct
+    // buckets need only the (token, bucket) frame's keys); the forced agg
+    // needs the new-type counts and cumulatives
+    def ns131Forced(dir: String): DataFrame =
+      graft.SparkEntry.queries("ns131_vocab_growth")(spark, dir)
+        .agg(sum(col("n_new_types")).as("ty"),
+          max(col("cum_tokens")).as("ct"),
+          max(col("cum_types")).as("cy"))
     def ns107Forced(dir: String): DataFrame =
       graft.SparkEntry.queries("ns107_evolved_read")(spark, dir)
         .agg(count(col("lang")).as("lang_rows"),
@@ -639,13 +671,17 @@ object ScaleProof {
           "ns115_profile_forced" -> (ns115Forced _),
           "ns119_rolling_forced" -> (ns119Forced _),
           "ns120_c4_forced" -> (ns120Forced _),
-          "ns121_blocklist_forced" -> (ns121Forced _))
+          "ns121_blocklist_forced" -> (ns121Forced _),
+          "ns129_pack_forced" -> (ns129Forced _),
+          "ns130_chunklang_forced" -> (ns130Forced _),
+          "ns131_vocab_forced" -> (ns131Forced _))
     // ungrouped-aggregate entries: see measure() — count() would fold to 1
     val aggForced = Set("ns63_html_forced", "ns66_luhn_forced",
       "ns68_lines_forced", "ns101_variant_forced",
       "ns102_assembly_forced", "ns104_folds_forced",
       "ns107_evolved_forced", "ns115_profile_forced",
       "ns119_rolling_forced", "ns120_c4_forced", "ns121_blocklist_forced",
+      "ns129_pack_forced", "ns130_chunklang_forced", "ns131_vocab_forced",
       "ns124_join_profile", "ns125_fold_leakage",
       // single-row join of two ungrouped aggregates: count() folds to 1
       "ns76_dataset_card")

@@ -145,7 +145,14 @@ class PlanSpec extends AnyFunSuite {
       // deliberate late-interaction baseline: broadcast QUERY set (C
       // rows) × corpus, the ns6 contract; deployment composes an IVF
       // probe first
-      "ns111_maxsim_topk" -> "broadcast query-set maxsim baseline")
+      "ns111_maxsim_topk" -> "broadcast query-set maxsim baseline",
+      // margin scoring over the ns6 brute-force neighborhood: same
+      // broadcast query-set bound; deployment swaps in an ANN top-k
+      "ns123_knn_margin" -> "broadcast query-set margin baseline",
+      // the recall report's EXACT side is the ns6 baseline by
+      // definition (recall is measured against exact top-k); the
+      // approximate side is the banded LSH probe — query-set bounded
+      "ns126_ann_recall" -> "broadcast query-set exact baseline")
     SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
       val p = SparkEntry.queries(n)(spark, sf)
         .queryExecution.executedPlan.toString

@@ -392,6 +392,26 @@ class DedupSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).sum == total) // every doc accounted for
     assert(out.forall(r => !expectDupes.contains(r.getLong(0))))
   }
+
+  test("dupMassHistogram: exact multiplicity accounting and mass conservation") {
+    // "a b c" ×3 (3 toks), "d e" ×2 (2 toks), "f" ×1, "g h i j" ×1 (4 toks)
+    val in = Seq("a b c", "a b c", "a b c", "d e", "d e", "f", "g h i j")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = Dedup.dupMassHistogram(in).collect()
+      .map(r => r.getAs[Long]("multiplicity") ->
+        ((r.getAs[Long]("n_groups"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("token_mass"), r.getAs[Long]("unique_mass"),
+          r.getAs[Long]("excess_mass"), r.getAs[Long]("mass_per_mille"))))
+      .toMap
+    // total mass = 3*3 + 2*2 + 1 + 4 = 18
+    assert(out(1L) == ((2L, 2L, 5L, 5L, 0L, 5L * 1000 / 18)))
+    assert(out(2L) == ((1L, 2L, 4L, 2L, 2L, 4L * 1000 / 18)))
+    assert(out(3L) == ((1L, 3L, 9L, 3L, 6L, 9L * 1000 / 18)))
+    // conservation against the input: Σ token_mass = corpus tokens,
+    // Σ n_docs = corpus docs
+    assert(out.values.map(_._3).sum == 18L)
+    assert(out.values.map(_._2).sum == in.count())
+  }
 }
 
 class DecontaminationSpec extends AnyFunSuite {
@@ -1139,6 +1159,68 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
     // distinct texts → distinct fingerprints (on this corpus)
     assert(a.map(_.getString(1)).distinct.length == a.length)
+  }
+
+  test("chunkDocuments carries extra columns through unchanged") {
+    import spark.implicits._
+    val in = Seq((1L, ("w " * 100).trim, "en", 7L))
+      .toDF("doc_id", "text", "lang", "extra")
+    val out = TextAnalysis.chunkDocuments(in, carry = Seq("lang", "extra"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[String]("lang") == "en")
+      assert(r.getAs[Long]("extra") == 7L)
+    }
+    // and the default (no carry) output schema is unchanged (ns39 contract)
+    assert(TextAnalysis.chunkDocuments(in).columns.toSeq ==
+      Seq("doc_id", "chunk_id", "n_tokens", "chunk_text"))
+  }
+
+  test("chunkLangConsistency flags the embedded-minority span a doc-level langid misses") {
+    import spark.implicits._
+    // 32 English marker tokens then 32 German marker tokens: doc-level
+    // argmax says 'en' (tie broken ascending would say 'de' on equal
+    // scores — so make en strictly dominant: 33 en + 31 de), while the
+    // second chunk is pure German.
+    val mixed = (Seq.fill(33)("the") ++ Seq.fill(31)("und")).mkString(" ")
+    val clean = Seq.fill(40)("the").mkString(" ")
+    val in = Seq((1L, mixed, "en"), (2L, clean, "en"))
+      .toDF("doc_id", "text", "lang")
+    // doc-level: both predicted en (agreement — the mixed doc looks clean)
+    val docPred = TextAnalysis.languageId(in).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(docPred(1L) == "en" && docPred(2L) == "en")
+    // chunk-level: doc 1's second chunk disagrees
+    val out = TextAnalysis.chunkLangConsistency(in, chunkTokens = 32)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_offlang"),
+          r.getAs[Long]("offlang_per_mille"))))
+      .toMap
+    assert(out(1L)._1 == 2L && out(1L)._2 >= 1L && out(1L)._3 >= 500L)
+    assert(out(2L) == ((2L, 0L, 0L)))
+  }
+
+  test("vocabGrowth: exact totals, monotone cumulatives, full-corpus type count") {
+    val out = TextAnalysis.vocabGrowth(docs).collect()
+    assert(out.nonEmpty && out.length <= 10)
+    import org.apache.spark.sql.functions._
+    val totalToks = docs
+      .select(explode(split(col("text"), " ")).as("t")).count()
+    val totalTypes = docs
+      .select(explode(split(col("text"), " ")).as("t")).distinct().count()
+    assert(out.map(_.getAs[Long]("n_tokens")).sum == totalToks)
+    assert(out.map(_.getAs[Long]("n_new_types")).sum == totalTypes)
+    assert(out.last.getAs[Long]("cum_tokens") == totalToks)
+    assert(out.last.getAs[Long]("cum_types") == totalTypes)
+    // cumulatives are the running sums, strictly increasing in tokens
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("cum_tokens") > a.getAs[Long]("cum_tokens"))
+        assert(b.getAs[Long]("cum_types") >= a.getAs[Long]("cum_types"))
+      case _ =>
+    }
   }
 }
 

@@ -288,6 +288,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("packingAudit prices straddlers, tail waste, and per-mille exactly") {
+    val in = Seq(
+      (1L, "en", "x" * 40), // 10 toks, off 0 -> crosses the seq-0 boundary (over 2)
+      (2L, "en", "x" * 20), // 5 toks, off 10 -> seq 1 off 2, fits
+      (3L, "en", "x" * 8),  // 2 toks, off 15 -> seq 1 off 7, over 1
+      (4L, "de", "x" * 4)   // 1 tok, own stratum, tail waste 7
+    ).toDF("doc_id", "lang", "text")
+    val out = Sampling.packingAudit(
+        Sampling.packSequences(in, tokenBudget = 8), tokenBudget = 8)
+      .collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_seqs"),
+          r.getAs[Long]("total_tokens"), r.getAs[Long]("n_straddlers"),
+          r.getAs[Long]("straddle_tokens"), r.getAs[Long]("tail_waste"),
+          r.getAs[Long]("straddle_per_mille"))))
+      .toMap
+    // en: 2 straddlers (docs 1 and 3), 3 straddle tokens, oversubscribed
+    // tail (doc 3 spills past seq 1's boundary) -> waste clamps to 0
+    assert(out("en") == ((3L, 2L, 17L, 2L, 3L, 0L, 3L * 1000 / 17)))
+    assert(out("de") == ((1L, 1L, 1L, 0L, 0L, 7L, 0L)))
+  }
+
   // ---- Events.asOfJoin -----------------------------------------------------
 
   test("asOfJoin matches the latest strictly-preceding right row per key") {
