@@ -1978,6 +1978,31 @@ object SparkEntry {
   private def ns131(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextAnalysis.vocabGrowth(docs(s, dir))
 
+  /** NS132 — tokenizer fertility report ([[graft.ops.Bpe
+    * .fertilityReport]]): per language, BPE tokens per whitespace word
+    * and chars per BPE token in exact per-mille, over the ns51 merge
+    * table — the vocabulary-allocation evidence table (a language at
+    * 2–3× English fertility pays that multiple in effective context
+    * and compute). */
+  private def ns132(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.fertilityReport(docs(s, dir), graft.ops.Bpe.default)
+
+  /** The ns133 declared mixture: target shares per-mille of the token
+    * budget — ONE definition shared by the query and (literally, via
+    * [[ns133Shares]] interpolation) the oracle CASE chain. en is
+    * upweighted past its availability (multi-epoch), zh is absent
+    * (share 0 — excluded-but-reported). */
+  private val ns133Shares: Seq[(String, Int)] =
+    Seq("en" -> 500, "de" -> 250, "fr" -> 150, "es" -> 100)
+  private val ns133Budget = 50000L
+
+  /** NS133 — data-mixture epoch plan ([[graft.ops.Sampling
+    * .mixturePlan]]): the repeat-factor table ahead of ns45's mixing —
+    * per language: available vs target token mass, full epochs,
+    * last-epoch partial, repeat factor in exact per-mille. */
+  private def ns133(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.mixturePlan(docs(s, dir), ns133Shares, ns133Budget)
+
   /** NS86 — incremental token-count maintenance
     * ([[graft.ops.Versioning.maintainTokenCounts]]): the ns56 snapshot
     * tick's count table updated by re-tokenizing ONLY the diff fringe
@@ -2352,6 +2377,8 @@ object SparkEntry {
     "ns129_pack_audit" -> (ns129 _),
     "ns130_chunk_lang" -> (ns130 _),
     "ns131_vocab_growth" -> (ns131 _),
+    "ns132_fertility" -> (ns132 _),
+    "ns133_mixture_plan" -> (ns133 _),
   )
 
   /** ns2's full minhash-LSH pair replay, hoisted with a `__DOCS__`
@@ -4554,5 +4581,33 @@ object SparkEntry {
          |  (sum(n_tokens) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens,
          |  (sum(n_new_types) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_types
          |FROM h ORDER BY decile""".stripMargin),
+    // ns132: the shared BPE merge-loop CTE (single source of truth with
+    // ns51/ns53/ns60) rolled up per language.
+    "ns132_fertility" ->
+      graft.ops.Bpe.oracleFertilitySql(graft.ops.Bpe.default),
+    // ns133: the declared share map interpolates into the CASE chain from
+    // the SAME Seq the engine folds over — the mixture cannot drift.
+    "ns133_mixture_plan" ->
+      (s"""WITH t AS (SELECT lang, count(*)::BIGINT AS n_docs,
+         |    sum(ceil(length(text)::DOUBLE / 4.0)::BIGINT)::BIGINT AS avail
+         |  FROM documents GROUP BY lang),
+         |s AS (SELECT lang, n_docs, avail,
+         |  (CASE ${ns133Shares.map { case (k, v) =>
+                s"WHEN lang = '$k' THEN $v" }.mkString(" ")}
+         |    ELSE 0 END)::BIGINT AS share FROM t),
+         |p AS (SELECT lang, n_docs, avail, share,
+         |  ($ns133Budget * share) // 1000 AS target FROM s)
+         |SELECT lang, n_docs, avail AS avail_tokens,
+         |  share AS target_per_mille, target AS target_tokens,
+         |  CASE WHEN avail = 0 THEN NULL
+         |       WHEN target = 0 THEN 0
+         |       ELSE (target + avail - 1) // avail END AS epochs,
+         |  CASE WHEN avail = 0 THEN NULL
+         |       WHEN target = 0 THEN 0
+         |       ELSE target - ((target + avail - 1) // avail - 1) * avail
+         |       END AS last_epoch_tokens,
+         |  CASE WHEN avail = 0 THEN NULL
+         |       ELSE (target * 1000) // avail END AS repeat_per_mille
+         |FROM p ORDER BY lang NULLS FIRST""".stripMargin),
   )
 }

@@ -183,6 +183,48 @@ object Bpe {
       .orderBy(col("doc_id"))
   }
 
+  /** B3 — per-language tokenizer fertility report: BPE tokens per
+    * whitespace word and chars per BPE token, per language, in exact
+    * per-mille — THE tokenizer-efficiency table behind vocabulary
+    * allocation (a language whose fertility runs 2–3× English pays that
+    * multiple in effective context length and training compute; the fix
+    * is more vocab mass for it, and this report is the evidence). Also
+    * releases the raw exact sums (docs, chars, words, tokens) so any
+    * other ratio can be recomputed downstream.
+    *
+    * Scale shape: word occurrences collapse into a (lang, word) count
+    * with map-side combine BEFORE touching the dictionary — the
+    * vocab×lang frame rides the shuffle, never the corpus — then ONE
+    * word-keyed join against the memoized [[encodeDictionary]] (distinct
+    * words) and a lang rollup weighted by occurrence count. The doc/char
+    * branch is a second narrow lang agg; the two meet in a null-SAFE
+    * lang join (`<=>` — a NULL-lang stratum reports, not vanishes).
+    * Languages with zero words drop (no fertility to report; division
+    * guarded by construction). */
+  def fertilityReport(docs: DataFrame, merges: Merges,
+      pt: PreTokenizer = PreTokenizer.Whitespace): DataFrame = {
+    val dict = encodeDictionary(docs, merges, pt)
+      .select(col("word"), size(col("toks")).cast("long").as("n_toks"))
+    val occ = docs
+      .select(col("lang"), explode(preTokensCol(col("text"), pt)).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("occ"))
+    val tok = occ.join(dict, Seq("word"))
+      .groupBy(col("lang"))
+      .agg(sum(col("occ")).as("n_words"),
+        sum(col("n_toks") * col("occ")).as("n_tokens"))
+    val chars = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+    chars.join(tok, chars("lang") <=> tok("lang"))
+      .select(chars("lang"), col("n_docs"), col("n_chars"),
+        col("n_words"), col("n_tokens"),
+        expr("n_tokens * 1000 DIV n_words").as("fertility_per_mille"),
+        expr("n_chars * 1000 DIV n_tokens").as("chars_per_token_mille"))
+      .orderBy(chars("lang"))
+  }
+
   /** Train a merges table: distributed word-frequency count (top `maxVocab`
     * words — the cap bounds driver state at vocabulary, never corpus,
     * size), then `numMerges` greedy rounds driver-side. Ties break on
@@ -407,6 +449,32 @@ object Bpe {
          |  md5(string_agg(array_to_string(f.toks,' '), ' ' ORDER BY d.i)) AS token_md5
          |FROM docw d JOIN final f USING (word)
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  /** Oracle for [[fertilityReport]]: the same merge-loop CTE rolled up
+    * per language — per-doc word/token sums LEFT-join back onto
+    * documents (a wordless doc still contributes its chars), then the
+    * lang rollup with a `HAVING words > 0` mirroring the engine's inner
+    * lang join (a lang with zero words has no fertility to report). */
+  def oracleFertilitySql(merges: Merges,
+      pt: PreTokenizer = PreTokenizer.Whitespace): String =
+    oracleCtePrefix(merges, pt) +
+      s""",
+         |wt AS (
+         |  SELECT d.doc_id, count(*)::BIGINT AS n_words,
+         |    CAST(sum(len(f.toks)) AS BIGINT) AS n_tokens
+         |  FROM docw d JOIN final f USING (word) GROUP BY d.doc_id)
+         |SELECT dd.lang, count(*)::BIGINT AS n_docs,
+         |  sum(length(dd.text))::BIGINT AS n_chars,
+         |  sum(coalesce(wt.n_words, 0))::BIGINT AS n_words,
+         |  sum(coalesce(wt.n_tokens, 0))::BIGINT AS n_tokens,
+         |  (sum(coalesce(wt.n_tokens, 0))::BIGINT * 1000)
+         |    // sum(coalesce(wt.n_words, 0))::BIGINT AS fertility_per_mille,
+         |  (sum(length(dd.text))::BIGINT * 1000)
+         |    // sum(coalesce(wt.n_tokens, 0))::BIGINT AS chars_per_token_mille
+         |FROM documents dd LEFT JOIN wt USING (doc_id)
+         |GROUP BY dd.lang
+         |HAVING sum(coalesce(wt.n_words, 0)) > 0
+         |ORDER BY dd.lang NULLS FIRST""".stripMargin
 
   /** Oracle for BPE-budgeted sequence packing: the same merge-loop CTE
     * feeding [[Sampling.packSequences]]'s running-sum slot arithmetic. */

@@ -566,4 +566,70 @@ object Sampling {
         expr("straddle_tokens * 1000 DIV total_tokens")
           .as("straddle_per_mille"))
   }
+
+  /** C15 — data-mixture epoch plan: given declared target shares
+    * (per-mille of a total token budget) per stratum, the repeat-factor
+    * table a mixing pipeline executes — per stratum: available token
+    * mass, the target mass, full epochs needed (a target above the
+    * available mass means multi-epoch repetition, i.e. the deliberate
+    * upweighting ns128 prices when it happens by accident), the partial
+    * last-epoch mass, and the repeat factor in exact per-mille (1000 =
+    * exactly one epoch; 2500 = 2.5 epochs; 180 = downsample to 18%).
+    * Strata absent from `sharesPerMille` get share 0 and epochs 0 — they
+    * are reported, not dropped, because "this source is excluded" is
+    * itself a release decision the table must show. This is the planning
+    * step ahead of [[mixCorpora]]/[[stratifiedSample]]: those execute
+    * rates someone computed; this computes them, exactly.
+    *
+    * Scale shape: ONE stratum-keyed aggregation with map-side combine;
+    * the share lookup is a codegen CASE chain over the declared literal
+    * map (never a join); all arithmetic exact longs — ceil-division via
+    * `(t + a - 1) DIV a` on non-negative values, so the plan
+    * hash-replays in any engine. `budgetTokens × 1000` must stay under
+    * 2⁶³ (budget < 9.2e15 tokens — comfortably above any real run). */
+  def mixturePlan(
+      docs: DataFrame,
+      sharesPerMille: Seq[(String, Int)],
+      budgetTokens: Long,
+      strataCol: String = "lang",
+      tokenCountCol: Option[String] = None): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(sharesPerMille.map(_._2).forall(s => s >= 0 && s <= 1000),
+      "shares are per-mille values in [0, 1000]")
+    require(sharesPerMille.map(_._2).sum <= 1000,
+      "shares must sum to at most 1000 per-mille")
+    val nTokens = tokenCountCol
+      .map(c => col(c).cast("long"))
+      .getOrElse(ceil(length(col("text")).cast("double") / 4.0).cast("long"))
+    val share = sharesPerMille.foldLeft(lit(0)) {
+      case (e, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(e)
+    }
+    docs
+      .select(col(strataCol), nTokens.as("__t"))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("avail_tokens"))
+      .withColumn("target_per_mille", share.cast("long"))
+      .withColumn("target_tokens",
+        expr(s"$budgetTokens * target_per_mille DIV 1000"))
+      .select(col(strataCol), col("n_docs"), col("avail_tokens"),
+        col("target_per_mille"), col("target_tokens"),
+        // a zero-mass stratum (every doc empty) makes the plan undefined:
+        // release NULLs explicitly — Spark's DIV-by-zero quietly NULLs
+        // where DuckDB errors, so the guard keeps both engines aligned
+        when(col("avail_tokens") === 0, lit(null).cast("long"))
+          .when(col("target_tokens") === 0, lit(0L))
+          .otherwise(expr(
+            "(target_tokens + avail_tokens - 1) DIV avail_tokens"))
+          .as("epochs"),
+        when(col("avail_tokens") === 0, lit(null).cast("long"))
+          .when(col("target_tokens") === 0, lit(0L))
+          .otherwise(col("target_tokens") -
+            (expr("(target_tokens + avail_tokens - 1) DIV avail_tokens")
+              - lit(1L)) * col("avail_tokens"))
+          .as("last_epoch_tokens"),
+        when(col("avail_tokens") === 0, lit(null).cast("long"))
+          .otherwise(expr("target_tokens * 1000 DIV avail_tokens"))
+          .as("repeat_per_mille"))
+      .orderBy(col(strataCol))
+  }
 }

@@ -550,6 +550,16 @@ object ScaleProof {
         .agg(sum(col("n_new_types")).as("ty"),
           max(col("cum_tokens")).as("ct"),
           max(col("cum_types")).as("cy"))
+    // ns132/ns133 group to ~5 language rows: count() would prune the
+    // token/word/plan arithmetic; the forced aggs hang off every column
+    def ns132Forced(dir: String): DataFrame =
+      graft.SparkEntry.queries("ns132_fertility")(spark, dir)
+        .agg(sum(col("n_tokens")).as("t"), sum(col("n_words")).as("w"),
+          sum(col("fertility_per_mille")).as("f"))
+    def ns133Forced(dir: String): DataFrame =
+      graft.SparkEntry.queries("ns133_mixture_plan")(spark, dir)
+        .agg(sum(col("avail_tokens")).as("a"), sum(col("epochs")).as("e"),
+          sum(col("repeat_per_mille")).as("r"))
     def ns107Forced(dir: String): DataFrame =
       graft.SparkEntry.queries("ns107_evolved_read")(spark, dir)
         .agg(count(col("lang")).as("lang_rows"),
@@ -674,7 +684,9 @@ object ScaleProof {
           "ns121_blocklist_forced" -> (ns121Forced _),
           "ns129_pack_forced" -> (ns129Forced _),
           "ns130_chunklang_forced" -> (ns130Forced _),
-          "ns131_vocab_forced" -> (ns131Forced _))
+          "ns131_vocab_forced" -> (ns131Forced _),
+          "ns132_fertility_forced" -> (ns132Forced _),
+          "ns133_mixture_forced" -> (ns133Forced _))
     // ungrouped-aggregate entries: see measure() — count() would fold to 1
     val aggForced = Set("ns63_html_forced", "ns66_luhn_forced",
       "ns68_lines_forced", "ns101_variant_forced",
@@ -682,6 +694,7 @@ object ScaleProof {
       "ns107_evolved_forced", "ns115_profile_forced",
       "ns119_rolling_forced", "ns120_c4_forced", "ns121_blocklist_forced",
       "ns129_pack_forced", "ns130_chunklang_forced", "ns131_vocab_forced",
+      "ns132_fertility_forced", "ns133_mixture_forced",
       "ns124_join_profile", "ns125_fold_leakage",
       // single-row join of two ungrouped aggregates: count() folds to 1
       "ns76_dataset_card")

@@ -263,4 +263,39 @@ class BpeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("fertilityReport agrees with per-doc tokenize sums and the ratio formulas") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val rep = Bpe.fertilityReport(docs, Bpe.default).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    // independent recomputation: per-lang token totals from the per-doc
+    // tokenize pipeline, word/char totals straight off the corpus
+    val perDoc = docs.join(
+        Bpe.tokenize(docs, Bpe.default).select("doc_id", "n_tokens"),
+        Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(size(filter(split(col("text"), " "), w => w =!= ""))
+          .cast("long")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    assert(rep.keySet == perDoc.keySet && rep.nonEmpty)
+    rep.foreach { case (lang, r) =>
+      val e = perDoc(lang)
+      assert(r.getAs[Long]("n_docs") == e.getAs[Long]("n_docs"), lang)
+      assert(r.getAs[Long]("n_chars") == e.getAs[Long]("n_chars"), lang)
+      assert(r.getAs[Long]("n_words") == e.getAs[Long]("n_words"), lang)
+      assert(r.getAs[Long]("n_tokens") == e.getAs[Long]("n_tokens"), lang)
+      assert(r.getAs[Long]("fertility_per_mille") ==
+        r.getAs[Long]("n_tokens") * 1000 / r.getAs[Long]("n_words"), lang)
+      assert(r.getAs[Long]("chars_per_token_mille") ==
+        r.getAs[Long]("n_chars") * 1000 / r.getAs[Long]("n_tokens"), lang)
+      // BPE never splits below characters nor merges across words:
+      // words <= tokens <= chars
+      assert(r.getAs[Long]("n_words") <= r.getAs[Long]("n_tokens"), lang)
+      assert(r.getAs[Long]("n_tokens") <= r.getAs[Long]("n_chars"), lang)
+    }
+  }
 }

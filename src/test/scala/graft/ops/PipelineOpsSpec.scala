@@ -310,6 +310,46 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out("de") == ((1L, 1L, 1L, 0L, 0L, 7L, 0L)))
   }
 
+  test("mixturePlan: epochs, last-epoch partial, repeat factor, edge strata") {
+    val in = Seq(
+      (1L, "en", "x" * 40),  // 10 tokens
+      (2L, "en", "x" * 40),  // 10 tokens -> en avail 20
+      (3L, "de", "x" * 40),  // de avail 10
+      (4L, "zh", "x" * 40),  // zh: no declared share -> 0, reported
+      (5L, "xx", "")         // zero-mass stratum -> NULL plan columns
+    ).toDF("doc_id", "lang", "text")
+    val out = Sampling.mixturePlan(
+        in, Seq("en" -> 500, "de" -> 300), budgetTokens = 100L)
+      .collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    // en: target 50 over avail 20 -> 3 epochs, last epoch 10, 2500‰
+    val en = out("en")
+    assert(en.getAs[Long]("avail_tokens") == 20L)
+    assert(en.getAs[Long]("target_tokens") == 50L)
+    assert(en.getAs[Long]("epochs") == 3L)
+    assert(en.getAs[Long]("last_epoch_tokens") == 10L)
+    assert(en.getAs[Long]("repeat_per_mille") == 2500L)
+    // de: target 30 over avail 10 -> exactly 3 full epochs, last = avail
+    val de = out("de")
+    assert(de.getAs[Long]("epochs") == 3L)
+    assert(de.getAs[Long]("last_epoch_tokens") == 10L)
+    assert(de.getAs[Long]("repeat_per_mille") == 3000L)
+    // zh: undeclared -> share 0, zeros not NULLs (excluded is a decision)
+    val zh = out("zh")
+    assert(zh.getAs[Long]("target_per_mille") == 0L)
+    assert(zh.getAs[Long]("epochs") == 0L)
+    assert(zh.getAs[Long]("repeat_per_mille") == 0L)
+    // xx: zero-mass stratum -> plan columns NULL, stratum still reported
+    val xx = out("xx")
+    assert(xx.getAs[Long]("avail_tokens") == 0L)
+    assert(xx.isNullAt(xx.fieldIndex("epochs")))
+    assert(xx.isNullAt(xx.fieldIndex("repeat_per_mille")))
+    // over-allocated shares refuse fast
+    intercept[IllegalArgumentException] {
+      Sampling.mixturePlan(in, Seq("en" -> 800, "de" -> 300), 100L)
+    }
+  }
+
   // ---- Events.asOfJoin -----------------------------------------------------
 
   test("asOfJoin matches the latest strictly-preceding right row per key") {
