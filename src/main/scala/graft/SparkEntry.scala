@@ -2003,6 +2003,17 @@ object SparkEntry {
   private def ns133(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sampling.mixturePlan(docs(s, dir), ns133Shares, ns133Budget)
 
+  /** NS134 — near-dup dedup-yield histogram ([[graft.ops.Dedup
+    * .clusterSizeHistogram]]): connected components of the ns2 minhash
+    * pair graph rolled up by cluster size — clusters, docs, docs a
+    * keep-one dedup removes, removal per-mille of the corpus. The
+    * near-dup complement of ns128's exact histogram; Σ n_removed over
+    * size ≥ 2 is exactly the ns16 survivor yield. */
+  private def ns134(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.clusterSizeHistogram(
+      docs(s, dir),
+      graft.ops.Dedup.minhashLsh(docs(s, dir)).select("doc_a", "doc_b"))
+
   /** NS86 — incremental token-count maintenance
     * ([[graft.ops.Versioning.maintainTokenCounts]]): the ns56 snapshot
     * tick's count table updated by re-tokenizing ONLY the diff fringe
@@ -2379,6 +2390,7 @@ object SparkEntry {
     "ns131_vocab_growth" -> (ns131 _),
     "ns132_fertility" -> (ns132 _),
     "ns133_mixture_plan" -> (ns133 _),
+    "ns134_dedup_yield" -> (ns134 _),
   )
 
   /** ns2's full minhash-LSH pair replay, hoisted with a `__DOCS__`
@@ -4609,5 +4621,26 @@ object SparkEntry {
          |  CASE WHEN avail = 0 THEN NULL
          |       ELSE (target * 1000) // avail END AS repeat_per_mille
          |FROM p ORDER BY lang NULLS FIRST""".stripMargin),
+    // ns134: the shared minhash pair template (one source of truth with
+    // ns2/ns125) into the ns16 transitive-closure walk, rolled up by
+    // component size; singletons derived from the corpus count.
+    "ns134_dedup_yield" ->
+      (s"""WITH RECURSIVE
+         |p AS (${minhashPairsSqlTpl.replace("__DOCS__", "documents")}),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION SELECT doc_b, doc_a FROM p),
+         |walk AS (SELECT src AS doc_id, src AS reach FROM edges
+         |  UNION SELECT wk.doc_id, e.dst FROM walk wk JOIN edges e ON e.src = wk.reach),
+         |labels AS (SELECT doc_id, min(reach) AS cluster FROM walk GROUP BY doc_id),
+         |sizes AS (SELECT cluster, count(*)::BIGINT AS m FROM labels GROUP BY cluster),
+         |hist AS (SELECT m, count(*)::BIGINT AS n_clusters FROM sizes GROUP BY m
+         |  UNION ALL
+         |  SELECT 1::BIGINT AS m,
+         |    ((SELECT count(*) FROM documents) - (SELECT count(*) FROM labels))::BIGINT)
+         |SELECT m AS cluster_size, n_clusters, (m * n_clusters)::BIGINT AS n_docs,
+         |  ((m - 1) * n_clusters)::BIGINT AS n_removed,
+         |  ((m - 1) * n_clusters * 1000) // (SELECT count(*) FROM documents)::BIGINT
+         |    AS removed_per_mille
+         |FROM hist WHERE n_clusters > 0 ORDER BY cluster_size""".stripMargin),
   )
 }

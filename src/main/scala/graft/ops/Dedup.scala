@@ -1092,6 +1092,43 @@ object Dedup {
       .limit(topN)
   }
 
+  /** D14 — near-dup cluster-size histogram (dedup yield report): the
+    * [[dupMassHistogram]] idea applied to NEAR duplicates — per connected-
+    * component size m of the near-dup pair graph: cluster count, docs,
+    * docs a keep-one-per-cluster dedup removes ((m−1)·clusters), and the
+    * removal in exact per-mille of the corpus. The m = 1 row is the
+    * untouched corpus (docs in no pair); a heavy tail of large m is the
+    * boilerplate/mirror signature that makes near-dedup worth its cost,
+    * and Σ n_removed over m ≥ 2 IS the yield [[survivorCorpus]] realizes.
+    *
+    * Scale shape: labels via the shared pointer-jumping CC
+    * ([[resolveClusters]], ⌈log₂ diameter⌉+2 rounds); cluster sizes and
+    * the histogram are two tiny key aggs over the pair-participant frame
+    * (never the corpus); singletons by ONE corpus anti-join counted,
+    * unioned as the m = 1 row; the per-mille total is a window over the
+    * HISTOGRAM (Σ m·n_clusters = corpus size by construction — bounded
+    * rows, no second corpus scan). */
+  def clusterSizeHistogram(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = resolveClusters(pairs)
+    val multi = labels
+      .groupBy(col("cluster")).agg(count(lit(1)).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("n_clusters"))
+    val singles = docs
+      .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("m"), col("n_clusters"))
+    val tot = Window.partitionBy()
+    multi.select(col("m"), col("n_clusters"))
+      .unionByName(singles)
+      .where(col("n_clusters") > 0)
+      .withColumn("n_docs", col("m") * col("n_clusters"))
+      .withColumn("__tot", sum(col("n_docs")).over(tot))
+      .select(col("m").as("cluster_size"), col("n_clusters"), col("n_docs"),
+        ((col("m") - 1) * col("n_clusters")).as("n_removed"),
+        expr("(m - 1) * n_clusters * 1000 DIV __tot").as("removed_per_mille"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** D13 — duplication-multiplicity token-mass histogram: how much of
     * the corpus' token mass sits in text duplicated exactly k times —
     * the "effective dataset size" accounting behind every dedup

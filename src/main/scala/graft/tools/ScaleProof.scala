@@ -377,7 +377,11 @@ object ScaleProof {
       // ns128: the ns1 digest exchange into a multiplicity-keyed agg
       // (O(√n) groups at worst) + a histogram-sized total window;
       // count() needs both aggs (k-groups are the output rows)
-      "ns128_dup_mass")
+      "ns128_dup_mass",
+      // ns134: the ns2 band pipeline + pointer-jumping CC + two tiny key
+      // aggs + one corpus anti-join — collect-forced (the singleton row
+      // is an ungrouped aggregate; output is distinct-size-cardinality)
+      "ns134_dedup_yield")
       // ns129/ns130/ns131 run as forced variants below: their grouped
       // reports survive count() as bare DISTINCT-key jobs (the audit /
       // scoring columns all prune), which would time the wrong plan
@@ -695,6 +699,7 @@ object ScaleProof {
       "ns119_rolling_forced", "ns120_c4_forced", "ns121_blocklist_forced",
       "ns129_pack_forced", "ns130_chunklang_forced", "ns131_vocab_forced",
       "ns132_fertility_forced", "ns133_mixture_forced",
+      "ns134_dedup_yield",
       "ns124_join_profile", "ns125_fold_leakage",
       // single-row join of two ungrouped aggregates: count() folds to 1
       "ns76_dataset_card")

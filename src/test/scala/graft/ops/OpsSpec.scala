@@ -412,6 +412,25 @@ class DedupSpec extends AnyFunSuite {
     assert(out.values.map(_._3).sum == 18L)
     assert(out.values.map(_._2).sum == in.count())
   }
+
+  test("clusterSizeHistogram: exact component sizes, singletons, yield per-mille") {
+    val corpus = (1L to 8L).map(i => (i, s"doc number $i body")).toDF("doc_id", "text")
+    // components: {1,2,3} via chained pairs, {4,5}; 6/7/8 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusterSizeHistogram(corpus, pairs).collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        ((r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_removed"), r.getAs[Long]("removed_per_mille"))))
+      .toMap
+    assert(out(1L) == ((3L, 3L, 0L, 0L)))
+    assert(out(2L) == ((1L, 2L, 1L, 1000L / 8)))
+    assert(out(3L) == ((1L, 3L, 2L, 2000L / 8)))
+    // yield consistency: corpus - Σ removed == survivorCorpus cardinality
+    val removed = out.values.map(_._3).sum
+    assert(corpus.count() - removed == Dedup.survivorCorpus(corpus, pairs).count())
+    // doc conservation: Σ n_docs across rows = corpus size
+    assert(out.values.map(_._2).sum == corpus.count())
+  }
 }
 
 class DecontaminationSpec extends AnyFunSuite {
