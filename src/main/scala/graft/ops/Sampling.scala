@@ -601,13 +601,28 @@ object Sampling {
     val nTokens = tokenCountCol
       .map(c => col(c).cast("long"))
       .getOrElse(ceil(length(col("text")).cast("double") / 4.0).cast("long"))
+    mixturePlanFromTotals(
+      docs
+        .select(col(strataCol), nTokens.as("__t"))
+        .groupBy(col(strataCol))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("avail_tokens")),
+      sharesPerMille, budgetTokens, strataCol)
+  }
+
+  /** [[mixturePlan]]'s arithmetic tail over an already-aggregated
+    * (strataCol, n_docs, avail_tokens) totals frame — split out so the
+    * streaming twin ([[graft.streaming.StreamingMixture]]) computes the
+    * IDENTICAL plan from its live running totals: one definition, so the
+    * batch plan and the live dashboard cannot drift. */
+  def mixturePlanFromTotals(
+      totals: DataFrame,
+      sharesPerMille: Seq[(String, Int)],
+      budgetTokens: Long,
+      strataCol: String = "lang"): DataFrame = {
     val share = sharesPerMille.foldLeft(lit(0)) {
       case (e, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(e)
     }
-    docs
-      .select(col(strataCol), nTokens.as("__t"))
-      .groupBy(col(strataCol))
-      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("avail_tokens"))
+    totals
       .withColumn("target_per_mille", share.cast("long"))
       .withColumn("target_tokens",
         expr(s"$budgetTokens * target_per_mille DIV 1000"))
