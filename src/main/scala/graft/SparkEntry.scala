@@ -2003,6 +2003,21 @@ object SparkEntry {
   private def ns133(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sampling.mixturePlan(docs(s, dir), ns133Shares, ns133Budget)
 
+  /** NS135 — character-entropy quality gate ([[graft.ops.TextAnalysis
+    * .charEntropy]]): order-0 compression-ratio proxy in exact
+    * micro-nats, the classic low-entropy spam filter. The corpus sits
+    * at 2.55–2.93 nats, so the fixture injects ONE degenerate padded
+    * doc (7-character alphabet, ≈1.9 nats) — both verdict branches are
+    * inside the hash gate, the ns60 injected-input precedent. */
+  private def ns135(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val shift = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val spam = d.sparkSession.range(1)
+      .select(lit(shift).as("doc_id"),
+        concat_ws("", array_repeat(lit("buy now "), 64)).as("text"))
+    graft.ops.TextAnalysis.charEntropy(d.unionByName(spam))
+  }
+
   /** NS134 — near-dup dedup-yield histogram ([[graft.ops.Dedup
     * .clusterSizeHistogram]]): connected components of the ns2 minhash
     * pair graph rolled up by cluster size — clusters, docs, docs a
@@ -2391,6 +2406,7 @@ object SparkEntry {
     "ns132_fertility" -> (ns132 _),
     "ns133_mixture_plan" -> (ns133 _),
     "ns134_dedup_yield" -> (ns134 _),
+    "ns135_char_entropy" -> (ns135 _),
   )
 
   /** ns2's full minhash-LSH pair replay, hoisted with a `__DOCS__`
@@ -4642,5 +4658,22 @@ object SparkEntry {
          |  ((m - 1) * n_clusters * 1000) // (SELECT count(*) FROM documents)::BIGINT
          |    AS removed_per_mille
          |FROM hist WHERE n_clusters > 0 ORDER BY cluster_size""".stripMargin),
+    // ns135: per-char slicing is codepoint-based in both engines (BMP
+    // corpus); the ln micro-nat quantization is the ns61 doctrine — one
+    // IEEE op on the identical double, then exact integers.
+    "ns135_char_entropy" ->
+      ("""WITH amp AS (SELECT doc_id, text FROM documents
+         |    UNION ALL SELECT (SELECT max(doc_id) + 1 FROM documents),
+         |      repeat('buy now ', 64)),
+         |ch AS (SELECT doc_id, unnest([text[i:i] for i in range(1, length(text)+1)]) AS ch FROM amp),
+         |c AS (SELECT doc_id, ch, count(*)::BIGINT AS c FROM ch GROUP BY doc_id, ch),
+         |w AS (SELECT doc_id, c, (sum(c) OVER (PARTITION BY doc_id))::BIGINT AS n FROM c),
+         |h AS (SELECT doc_id, c, n,
+         |  CAST(round(ln(n::DOUBLE / c::DOUBLE) * 1e6) AS BIGINT) AS hm FROM w),
+         |a AS (SELECT doc_id, max(n)::BIGINT AS n_chars, count(*)::BIGINT AS n_distinct,
+         |  sum(c * hm)::BIGINT AS s FROM h GROUP BY doc_id)
+         |SELECT doc_id, n_chars, n_distinct, s // n_chars AS entropy_micro,
+         |  (s // n_chars) < 2500000 AS is_low_entropy
+         |FROM a ORDER BY doc_id""".stripMargin),
   )
 }

@@ -533,6 +533,45 @@ object TextAnalysis {
     * a token-keyed min window over that frame (vocabulary-sized, narrow);
     * the decile rollup has 10 groups, and the cumulative window runs
     * over those 10 rows — bounded, never data-sized. */
+  /** T16 — character-entropy quality signal (the compression-ratio
+    * proxy): per doc, unigram CHARACTER entropy H = Σ (c/n)·ln(n/c) in
+    * exact integer MICRO-nats — the classic low-entropy gate (repeated
+    * padding, keyword stuffing, "aaaa…" score near 0; healthy prose sits
+    * ≈ 2.5–4.5 nats). gzip-ratio is the field's usual stand-in; unigram
+    * char entropy is its order-0 bound and, unlike a codec call,
+    * hash-replays. Per doc: n_chars, n_distinct, entropy_micro (floored
+    * exact division), gate verdict. The per-char log is quantized to
+    * micro-nats BEFORE the per-doc sum — the ns61 doctrine: ONE IEEE op
+    * (ln of the same double both engines compute from exact longs), then
+    * integer arithmetic only, so the release is engine-exact.
+    *
+    * Scale shape: the char explode collapses immediately into (doc, ch)
+    * counts with map-side combine (≤ alphabet-size rows per doc ride the
+    * shuffle, never characters); a doc-keyed window for the total, then
+    * the doc rollup on the SAME key — one (doc, ch) exchange + one doc
+    * exchange. Empty/NULL docs have no characters and drop (no entropy
+    * to report), mirrored by the oracle's comprehension. */
+  def charEntropy(
+      docs: DataFrame, minEntropyMicro: Long = 2500000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .where(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("doc_id")))
+      .withColumn("h_micro",
+        round(log(col("n").cast("double") / col("c").cast("double")) * 1e6, 0)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_chars"), count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("h_micro")).as("s"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+        expr("s DIV n_chars").as("entropy_micro"))
+      .withColumn("is_low_entropy", col("entropy_micro") < minEntropyMicro)
+      .orderBy(col("doc_id"))
+  }
+
   def vocabGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(buckets >= 2, "need at least 2 buckets")

@@ -564,6 +564,13 @@ object ScaleProof {
       graft.SparkEntry.queries("ns133_mixture_plan")(spark, dir)
         .agg(sum(col("avail_tokens")).as("a"), sum(col("epochs")).as("e"),
           sum(col("repeat_per_mille")).as("r"))
+    // ns135's per-doc entropy math prunes under count() (distinct doc_id
+    // needs only the (doc, ch) agg); the forced agg needs the micro-nats
+    def ns135Forced(dir: String): DataFrame =
+      graft.SparkEntry.queries("ns135_char_entropy")(spark, dir)
+        .agg(sum(col("entropy_micro")).as("h"),
+          sum(col("n_distinct")).as("d"),
+          count(when(col("is_low_entropy"), 1)).as("low"))
     def ns107Forced(dir: String): DataFrame =
       graft.SparkEntry.queries("ns107_evolved_read")(spark, dir)
         .agg(count(col("lang")).as("lang_rows"),
@@ -690,7 +697,8 @@ object ScaleProof {
           "ns130_chunklang_forced" -> (ns130Forced _),
           "ns131_vocab_forced" -> (ns131Forced _),
           "ns132_fertility_forced" -> (ns132Forced _),
-          "ns133_mixture_forced" -> (ns133Forced _))
+          "ns133_mixture_forced" -> (ns133Forced _),
+          "ns135_entropy_forced" -> (ns135Forced _))
     // ungrouped-aggregate entries: see measure() — count() would fold to 1
     val aggForced = Set("ns63_html_forced", "ns66_luhn_forced",
       "ns68_lines_forced", "ns101_variant_forced",
@@ -699,7 +707,7 @@ object ScaleProof {
       "ns119_rolling_forced", "ns120_c4_forced", "ns121_blocklist_forced",
       "ns129_pack_forced", "ns130_chunklang_forced", "ns131_vocab_forced",
       "ns132_fertility_forced", "ns133_mixture_forced",
-      "ns134_dedup_yield",
+      "ns135_entropy_forced", "ns134_dedup_yield",
       "ns124_join_profile", "ns125_fold_leakage",
       // single-row join of two ungrouped aggregates: count() folds to 1
       "ns76_dataset_card")

@@ -1221,6 +1221,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 0L, 0L)))
   }
 
+  test("charEntropy: hand-computed micro-nats, degenerate flag, empty-doc drop") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "aabb"),        // 2 chars × 2 -> H = ln 2 exactly
+      (2L, "aaaa"),        // degenerate -> H = 0, flagged
+      (3L, "abcd"),        // 4 distinct -> H = ln 4
+      (4L, "")             // no characters -> dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(in).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chars"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("entropy_micro"), r.getAs[Boolean]("is_low_entropy"))))
+      .toMap
+    val ln2 = math.round(math.log(2.0) * 1e6) // 693147
+    val ln4 = math.round(math.log(4.0) * 1e6)
+    assert(out(1L) == ((4L, 2L, ln2, true)))
+    assert(out(2L) == ((4L, 1L, 0L, true)))
+    assert(out(3L) == ((4L, 4L, ln4, true))) // ln 4 ≈ 1.386 < 2.5 default
+    assert(!out.contains(4L))
+    // a prose-like doc clears the default gate
+    val prose = Seq((9L, "the quick brown fox jumps over the lazy dog " +
+      "while 42 other foxes watch from 7 hills")).toDF("doc_id", "text")
+    val p = TextAnalysis.charEntropy(prose).head()
+    assert(!p.getAs[Boolean]("is_low_entropy"))
+    assert(p.getAs[Long]("entropy_micro") > 2500000L)
+  }
+
   test("vocabGrowth: exact totals, monotone cumulatives, full-corpus type count") {
     val out = TextAnalysis.vocabGrowth(docs).collect()
     assert(out.nonEmpty && out.length <= 10)
