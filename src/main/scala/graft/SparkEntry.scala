@@ -2018,6 +2018,33 @@ object SparkEntry {
     graft.ops.TextAnalysis.charEntropy(d.unionByName(spam))
   }
 
+  /** NS136 — incremental duplication-mass maintenance ([[graft.ops
+    * .Versioning.maintainDupGroups]] → [[graft.ops.Dedup
+    * .dupMassHistogramFromGroups]]): the ns128 histogram kept current
+    * across the ns56 snapshot tick by re-digesting ONLY the diff
+    * fringe — ns86's IVM algebra applied to the exact-dup accounting.
+    * The oracle recomputes the NEW snapshot's histogram from scratch,
+    * so hash equality proves the maintenance exact. The tick exercises
+    * every fringe class AND moves multiplicities: docs 10–19 removed,
+    * doc_id % 37 edited (mass moves between digests), docs < 10 kept
+    * AND re-added shifted (k = 1 → 2 twin groups — except doc 0, whose
+    * original takes the % 37 edit while its twin keeps the old text,
+    * so the twin lands in a fresh k = 1 group: the add-into-changed
+    * corner). */
+  private def ns136(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val shift = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val edited = d.where(col("doc_id") < 10 || col("doc_id") >= 20)
+      .withColumn("text",
+        when(col("doc_id") % 37 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    val twins = d.where(col("doc_id") < 10)
+      .select((col("doc_id") + shift).as("doc_id"), col("text"))
+    graft.ops.Dedup.dupMassHistogramFromGroups(
+      graft.ops.Versioning.maintainDupGroups(
+        d, edited.unionByName(twins), graft.ops.Dedup.dupGroupsOf(d)))
+  }
+
   /** NS134 — near-dup dedup-yield histogram ([[graft.ops.Dedup
     * .clusterSizeHistogram]]): connected components of the ns2 minhash
     * pair graph rolled up by cluster size — clusters, docs, docs a
@@ -2407,6 +2434,7 @@ object SparkEntry {
     "ns133_mixture_plan" -> (ns133 _),
     "ns134_dedup_yield" -> (ns134 _),
     "ns135_char_entropy" -> (ns135 _),
+    "ns136_ivm_dupmass" -> (ns136 _),
   )
 
   /** ns2's full minhash-LSH pair replay, hoisted with a `__DOCS__`
@@ -4675,5 +4703,28 @@ object SparkEntry {
          |SELECT doc_id, n_chars, n_distinct, s // n_chars AS entropy_micro,
          |  (s // n_chars) < 2500000 AS is_low_entropy
          |FROM a ORDER BY doc_id""".stripMargin),
+    // ns136: the oracle recomputes the ticked snapshot's dup-mass
+    // histogram FROM SCRATCH (the ns86 discipline) — the engine maintains
+    // the group table off the fringe, so hash equality proves the IVM
+    // algebra exact, including the k = 1 → 2 twin moves.
+    "ns136_ivm_dupmass" ->
+      ("""WITH newsnap AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 37 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE doc_id < 10 OR doc_id >= 20
+         |  UNION ALL
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text FROM documents WHERE doc_id < 10),
+         |g AS (SELECT text, count(*)::BIGINT AS k,
+         |    max(len(string_split(text, ' ')))::BIGINT AS toks
+         |  FROM newsnap GROUP BY text),
+         |h AS (SELECT k, count(*)::BIGINT AS n_groups,
+         |    (sum(toks * k))::BIGINT AS token_mass,
+         |    (sum(toks))::BIGINT AS unique_mass
+         |  FROM g GROUP BY k)
+         |SELECT k AS multiplicity, n_groups, (k * n_groups)::BIGINT AS n_docs,
+         |  token_mass, unique_mass,
+         |  (token_mass - unique_mass)::BIGINT AS excess_mass,
+         |  (token_mass * 1000) // (SELECT sum(token_mass)::BIGINT FROM h)
+         |    AS mass_per_mille
+         |FROM h ORDER BY multiplicity""".stripMargin),
   )
 }

@@ -1147,12 +1147,23 @@ object Dedup {
     * unpartitioned window over THAT histogram — bounded rows, never
     * data. Identical text implies identical token count, so per-group
     * mass is max(tokens)·k exactly. */
-  def dupMassHistogram(docs: DataFrame): DataFrame = {
-    val groups = docs
+  def dupMassHistogram(docs: DataFrame): DataFrame =
+    dupMassHistogramFromGroups(dupGroupsOf(docs))
+
+  /** The (digest g, multiplicity k, token count toks) group table behind
+    * [[dupMassHistogram]] — split out so [[graft.ops.Versioning
+    * .maintainDupGroups]] can maintain it incrementally across snapshot
+    * ticks (one definition of the digest/costing convention). */
+  def dupGroupsOf(docs: DataFrame): DataFrame =
+    docs
       .select(md5(col("text").cast("binary")).as("g"),
         size(split(col("text"), " ")).cast("long").as("toks"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("k"), max(col("toks")).as("toks"))
+
+  /** [[dupMassHistogram]]'s rollup tail over an existing group table —
+    * the read-off for incrementally-maintained groups. */
+  def dupMassHistogramFromGroups(groups: DataFrame): DataFrame = {
     val hist = groups
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n_groups"),

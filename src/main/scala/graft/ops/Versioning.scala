@@ -193,6 +193,49 @@ object Versioning {
     snap.select(explode(split(col(textCol), " ")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
 
+  /** V6 — incremental duplication-group maintenance: the
+    * [[graft.ops.Dedup.dupGroupsOf]] table (digest → multiplicity,
+    * token count) updated across a snapshot tick by re-hashing ONLY the
+    * diff fringe — [[maintainTokenCounts]]' IVM algebra applied to the
+    * exact-dup accounting, so the ns128 "effective dataset size"
+    * histogram stays current at re-crawl scale without a full-corpus
+    * re-digest. Removed/changed-old rows decrement their digest's
+    * multiplicity, added/changed-new rows increment (a changed row moves
+    * mass between two digests); groups at zero drop; a digest born this
+    * tick takes its token count from the new side (identical text ⇒
+    * identical count, so max-coalesce is exact).
+    *
+    * Scale shape: the [[maintainTokenCounts]] shape with digests instead
+    * of tokens — narrow (key, fp) diff, fringe-cardinality LEFT SEMI
+    * probes, per-side digest aggs, one digest-keyed full-outer merge of
+    * group-cardinality frames. */
+  def maintainDupGroups(
+      oldSnap: DataFrame, newSnap: DataFrame, oldGroups: DataFrame,
+      keyCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fringe = statusFrame(oldSnap, newSnap, keyCol, Seq(textCol))
+      .where(col("status") =!= "unchanged")
+      .select(col(keyCol), col("status"))
+    val minusKeys = fringe
+      .where(col("status").isin("removed", "changed")).select(keyCol)
+    val plusKeys = fringe
+      .where(col("status").isin("added", "changed")).select(keyCol)
+    def side(df: DataFrame, delta: String, toks: String) =
+      graft.ops.Dedup.dupGroupsOf(df)
+        .select(col("g"), col("k").as(delta), col("toks").as(toks))
+    val minus = side(oldSnap.join(minusKeys, Seq(keyCol), "left_semi"),
+      "m", "mtoks")
+    val plus = side(newSnap.join(plusKeys, Seq(keyCol), "left_semi"),
+      "p", "ptoks")
+    oldGroups.select(col("g"), col("k"), col("toks"))
+      .join(minus, Seq("g"), "full_outer")
+      .join(plus, Seq("g"), "full_outer")
+      .select(col("g"),
+        (coalesce(col("k"), lit(0L)) + coalesce(col("p"), lit(0L)) -
+          coalesce(col("m"), lit(0L))).as("k"),
+        coalesce(col("toks"), col("ptoks")).as("toks"))
+      .where(col("k") > 0)
+  }
+
   /** SCD-2 history build: collapse an ordered sequence of full snapshots
     * into one slowly-changing-dimension table — per key, one row per
     * UNBROKEN run of versions with identical content, with

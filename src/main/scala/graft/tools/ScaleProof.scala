@@ -564,6 +564,13 @@ object ScaleProof {
       graft.SparkEntry.queries("ns133_mixture_plan")(spark, dir)
         .agg(sum(col("avail_tokens")).as("a"), sum(col("epochs")).as("e"),
           sum(col("repeat_per_mille")).as("r"))
+    // ns136: the IVM merge's histogram output is k-cardinality; the forced
+    // agg hangs off every mass column so the diff + fringe digests + merge
+    // all run
+    def ns136Forced(dir: String): DataFrame =
+      graft.SparkEntry.queries("ns136_ivm_dupmass")(spark, dir)
+        .agg(sum(col("token_mass")).as("tm"), sum(col("n_docs")).as("nd"),
+          sum(col("excess_mass")).as("em"))
     // ns135's per-doc entropy math prunes under count() (distinct doc_id
     // needs only the (doc, ch) agg); the forced agg needs the micro-nats
     def ns135Forced(dir: String): DataFrame =
@@ -698,7 +705,8 @@ object ScaleProof {
           "ns131_vocab_forced" -> (ns131Forced _),
           "ns132_fertility_forced" -> (ns132Forced _),
           "ns133_mixture_forced" -> (ns133Forced _),
-          "ns135_entropy_forced" -> (ns135Forced _))
+          "ns135_entropy_forced" -> (ns135Forced _),
+          "ns136_ivm_forced" -> (ns136Forced _))
     // ungrouped-aggregate entries: see measure() — count() would fold to 1
     val aggForced = Set("ns63_html_forced", "ns66_luhn_forced",
       "ns68_lines_forced", "ns101_variant_forced",
@@ -707,7 +715,7 @@ object ScaleProof {
       "ns119_rolling_forced", "ns120_c4_forced", "ns121_blocklist_forced",
       "ns129_pack_forced", "ns130_chunklang_forced", "ns131_vocab_forced",
       "ns132_fertility_forced", "ns133_mixture_forced",
-      "ns135_entropy_forced", "ns134_dedup_yield",
+      "ns135_entropy_forced", "ns136_ivm_forced", "ns134_dedup_yield",
       "ns124_join_profile", "ns125_fold_leakage",
       // single-row join of two ungrouped aggregates: count() folds to 1
       "ns76_dataset_card")

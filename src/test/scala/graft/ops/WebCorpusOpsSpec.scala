@@ -323,6 +323,33 @@ class WebCorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Versioning.maintainDupGroups ----------------------------------------
+
+  test("maintainDupGroups == full re-digest under every edit mix incl. twin moves") {
+    def groups(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Dedup.dupGroupsOf(df).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val texts = Seq("a b c", "d e", "a b c", "f g h i", "d e", "j")
+    for (round <- 0 until 4) {
+      val old = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val base = texts.zipWithIndex.map { case (t, i) => i.toLong -> t }.toMap
+      val edited = (round match {
+        case 0 => // remove one copy of a k=2 group (k 2 -> 1), add a third
+                  // copy of the other (k 2 -> 3), change one unique text
+          (base - 0L) ++ Map(3L -> "changed text") ++ Map(100L -> "d e")
+        case 1 => base // empty fringe: maintenance is the identity
+        case 2 => Map(50L -> "a b c") // everything replaced, one group left
+        case 3 => base ++ Map(10L -> "j", 11L -> "j") // unique -> triple
+      }).toSeq.toDF("doc_id", "text")
+      val maintained = Versioning.maintainDupGroups(
+        old, edited, graft.ops.Dedup.dupGroupsOf(old)).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(maintained == groups(edited), s"round $round")
+      assert(maintained.values.forall(_._1 > 0), s"round $round tombstone")
+    }
+  }
+
   // ---- Curation.releaseRollup ---------------------------------------------
 
   test("releaseRollup: cells sum to subtotals, subtotals to the grand total") {
