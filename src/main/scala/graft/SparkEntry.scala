@@ -2045,6 +2045,22 @@ object SparkEntry {
         d, edited.unionByName(twins), graft.ops.Dedup.dupGroupsOf(d)))
   }
 
+  /** NS137 — normalized near-exact dedup ([[graft.ops.Dedup
+    * .normalizedExact]]): the case/punctuation-variant collapse
+    * byte-exact dedup misses. The corpus has no such variants, so the
+    * fixture injects mangled twins for doc_id % 5 = 0 (uppercased, a
+    * "  !!" tail — normalization-invariant edits), putting the
+    * variant-collapse inside the hash gate; every other doc releases
+    * n_variants = 1. */
+  private def ns137(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val shift = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val mangled = d.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + shift).as("doc_id"),
+        concat(upper(col("text")), lit("  !!")).as("text"))
+    graft.ops.Dedup.normalizedExact(d.unionByName(mangled))
+  }
+
   /** NS134 — near-dup dedup-yield histogram ([[graft.ops.Dedup
     * .clusterSizeHistogram]]): connected components of the ns2 minhash
     * pair graph rolled up by cluster size — clusters, docs, docs a
@@ -2435,6 +2451,7 @@ object SparkEntry {
     "ns134_dedup_yield" -> (ns134 _),
     "ns135_char_entropy" -> (ns135 _),
     "ns136_ivm_dupmass" -> (ns136 _),
+    "ns137_dedup_normalized" -> (ns137 _),
   )
 
   /** ns2's full minhash-LSH pair replay, hoisted with a `__DOCS__`
@@ -4726,5 +4743,18 @@ object SparkEntry {
          |  (token_mass * 1000) // (SELECT sum(token_mass)::BIGINT FROM h)
          |    AS mass_per_mille
          |FROM h ORDER BY multiplicity""".stripMargin),
+    // ns137: grouping by the normalized string ≡ the engine's md5-of-
+    // normalized digest grouping; regexp_replace carries the 'g' flag
+    // (DuckDB replaces only the first match without it — the suite-wide
+    // gotcha), and the punct class is spelled as explicit ASCII ranges
+    // so Java regex and RE2 read the identical set.
+    "ns137_dedup_normalized" ->
+      ("""WITH amp AS (SELECT doc_id, text FROM documents
+         |    UNION ALL SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+         |      upper(text) || '  !!' FROM documents WHERE doc_id % 5 = 0),
+         |n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+         |    '[!-/:-@\[-`{-~]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM amp)
+         |SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_variants
+         |FROM n GROUP BY norm ORDER BY doc_id""".stripMargin),
   )
 }

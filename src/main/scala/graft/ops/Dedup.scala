@@ -77,6 +77,33 @@ object Dedup {
       .select(col("doc_id"), col("n_copies"))
       .orderBy(col("doc_id"))
 
+  /** D1b — normalized (near-exact) dedup: case / whitespace / ASCII-
+    * punctuation variants of the same text collapse to one group —
+    * the gate between byte-exact dedup ([[exact]], which misses
+    * "Hello, World!" vs "hello world") and minhash ([[minhashLsh]],
+    * overkill for trivial variants and threshold-dependent on short
+    * docs). Normalization: lowercase, ASCII punctuation → space
+    * (word-boundary-preserving; the class is written as the explicit
+    * ranges `[!-/:-@\[-`{-~]` so Java regex and RE2 read the IDENTICAL
+    * set — `\p{Punct}` is ASCII in Java but engine-dependent
+    * elsewhere), runs of spaces collapsed, edges trimmed. Non-ASCII
+    * (zh) text passes through untouched. Per group: keeper = min
+    * doc_id, variant count.
+    *
+    * Scale shape: [[exact]]'s one hash-groupBy with the normalization
+    * fused codegen into the scan; the 16-byte digest of the NORMALIZED
+    * text rides the shuffle, never the text. */
+  def normalizedExact(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(
+      lower(col("text")), "[!-/:-@\\[-`{-~]", " "), " +", " "))
+    docs
+      .select(col("doc_id"), md5(norm.cast("binary")).as("g"))
+      .groupBy(col("g"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
+      .select(col("doc_id"), col("n_variants"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D2 — MinHash + LSH near-dup pairs.
     *
     * shingle → 16 salted-md5 minhashes (one groupBy pass, 16 min()

@@ -378,6 +378,9 @@ object ScaleProof {
       // (O(√n) groups at worst) + a histogram-sized total window;
       // count() needs both aggs (k-groups are the output rows)
       "ns128_dup_mass",
+      // ns137: the ns1 exchange with the normalization fused into the
+      // scan; count() needs the distinct normalized digests
+      "ns137_dedup_normalized",
       // ns134: the ns2 band pipeline + pointer-jumping CC + two tiny key
       // aggs + one corpus anti-join — collect-forced (the singleton row
       // is an ungrouped aggregate; output is distinct-size-cardinality)

@@ -22,6 +22,20 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Map(1L -> 3L, 3L -> 2L, 6L -> 1L))
   }
 
+  test("normalizedExact collapses case/punct/whitespace variants, keeps zh intact") {
+    val in = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello world"),
+      (3L, "HELLO   world  !!"),   // all three -> one group, keeper 1
+      (4L, "hello worlds"),        // NOT a variant (different letters)
+      (5L, "的 是 了"),             // zh untouched by the ASCII punct class
+      (6L, "的 是 了")              // byte-exact zh dup still collapses
+    ).toDF("doc_id", "text")
+    val out = Dedup.normalizedExact(in).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 4L -> 1L, 5L -> 2L))
+  }
+
   test("minhash-LSH finds the exact-jaccard pairs (full recall on clear dups)") {
     val lsh = Dedup.minhashLsh(docs).select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
