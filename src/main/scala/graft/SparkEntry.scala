@@ -2061,6 +2061,26 @@ object SparkEntry {
     graft.ops.Dedup.normalizedExact(d.unionByName(mangled))
   }
 
+  /** NS138 — embedding integrity audit ([[graft.ops.Integrity
+    * .embeddingAudit]]): the pre-index ANN data-quality gate. The
+    * testdata vectors are clean (the raw audit is one 'ok' row), so
+    * the fixture injects the four failure classes — NULL column,
+    * truncated dim, NaN components, all-zero — putting every verdict
+    * branch and the first-match priority inside the hash gate. */
+  private def ns138(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val shift = e.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val bad = e.where(col("vec_id") < 4).select(
+      (col("vec_id") + shift).as("vec_id"),
+      when(col("vec_id") === 0, lit(null).cast("array<float>"))
+        .when(col("vec_id") === 1, slice(col("embedding"), 1, 10))
+        .when(col("vec_id") === 2,
+          transform(col("embedding"), _ => lit(Float.NaN)))
+        .otherwise(transform(col("embedding"), _ => lit(0.0f)))
+        .as("embedding"))
+    graft.ops.Integrity.embeddingAudit(e.unionByName(bad))
+  }
+
   /** NS134 — near-dup dedup-yield histogram ([[graft.ops.Dedup
     * .clusterSizeHistogram]]): connected components of the ns2 minhash
     * pair graph rolled up by cluster size — clusters, docs, docs a
@@ -2452,6 +2472,7 @@ object SparkEntry {
     "ns135_char_entropy" -> (ns135 _),
     "ns136_ivm_dupmass" -> (ns136 _),
     "ns137_dedup_normalized" -> (ns137 _),
+    "ns138_embedding_audit" -> (ns138 _),
   )
 
   /** ns2's full minhash-LSH pair replay, hoisted with a `__DOCS__`
@@ -4756,5 +4777,26 @@ object SparkEntry {
          |    '[!-/:-@\[-`{-~]', ' ', 'g'), ' +', ' ', 'g')) AS norm FROM amp)
          |SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_variants
          |FROM n GROUP BY norm ORDER BY doc_id""".stripMargin),
+    // ns138: the CASE priority chain replays verbatim; NaN/Inf via
+    // isnan/isinf (DuckDB orders NaN as a value, but the non_finite
+    // branch catches it before any comparison matters).
+    "ns138_embedding_audit" ->
+      ("""WITH amp AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings),
+         |    CASE WHEN vec_id = 0 THEN NULL
+         |         WHEN vec_id = 1 THEN embedding[1:10]
+         |         WHEN vec_id = 2 THEN list_transform(embedding, x -> 'NaN'::FLOAT)
+         |         ELSE list_transform(embedding, x -> 0.0::FLOAT) END
+         |  FROM embeddings WHERE vec_id < 4),
+         |v AS (SELECT CASE WHEN embedding IS NULL THEN 'null'
+         |    WHEN len(embedding) != 64 THEN 'wrong_dim'
+         |    WHEN len([x for x in embedding if isnan(x) OR isinf(x)]) > 0 THEN 'non_finite'
+         |    WHEN len([x for x in embedding if x != 0]) = 0 THEN 'zero'
+         |    ELSE 'ok' END AS verdict FROM amp),
+         |h AS (SELECT verdict, count(*)::BIGINT AS n_vectors FROM v GROUP BY verdict)
+         |SELECT verdict, n_vectors,
+         |  (n_vectors * 1000) // (SELECT sum(n_vectors)::BIGINT FROM h) AS share_per_mille
+         |FROM h ORDER BY verdict""".stripMargin),
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Referential-integrity audit — the read-side complement of the
@@ -144,5 +145,39 @@ object Integrity {
         count_distinct(col("v")).as("n_distinct"),
         min(col("v")).as("min_str"),
         max(col("v")).as("max_str"))
+  }
+
+  /** I4 — embedding integrity audit: the pre-index data-quality gate of
+    * the ANN family (ns5–ns7/ns13/ns30/ns35/ns42/ns52 all assume clean
+    * vectors). Every vector classified into exactly one verdict by
+    * FIRST-MATCH priority — `null` (missing column), `wrong_dim`
+    * (truncated/concatenated upstream), `non_finite` (NaN/±Inf from an
+    * overflowed encoder — these poison every dot product they touch),
+    * `zero` (norm 0: undefined cosine, silently matches nothing), `ok` —
+    * with counts and exact per-mille shares. A non-zero `non_finite` row
+    * is a STOP signal for index builds: one NaN in a centroid
+    * contaminates its whole cell at training time.
+    *
+    * Scale shape: one codegen projection (size/exists/forall HOFs fuse
+    * into the scan) into a verdict-cardinality groupBy (≤ 5 groups);
+    * the per-mille total is a window over those rows. */
+  def embeddingAudit(embs: DataFrame, dim: Int = 64,
+      vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol)
+    val verdict = when(v.isNull, "null")
+      .when(size(v) =!= dim, "wrong_dim")
+      .when(exists(v, x => isnan(x) || x === Float.PositiveInfinity ||
+        x === Float.NegativeInfinity), "non_finite")
+      .when(forall(v, x => x === 0.0f), "zero")
+      .otherwise("ok")
+    val tot = Window.partitionBy()
+    embs
+      .select(verdict.as("verdict"))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .withColumn("__tot", sum(col("n_vectors")).over(tot))
+      .select(col("verdict"), col("n_vectors"),
+        expr("n_vectors * 1000 DIV __tot").as("share_per_mille"))
+      .orderBy(col("verdict"))
   }
 }

@@ -574,6 +574,12 @@ object ScaleProof {
       graft.SparkEntry.queries("ns136_ivm_dupmass")(spark, dir)
         .agg(sum(col("token_mass")).as("tm"), sum(col("n_docs")).as("nd"),
           sum(col("excess_mass")).as("em"))
+    // ns138's verdict CASE prunes under count() (5 distinct verdicts need
+    // it, but the window total and shares don't survive); forced agg
+    def ns138Forced(dir: String): DataFrame =
+      graft.SparkEntry.queries("ns138_embedding_audit")(spark, dir)
+        .agg(sum(col("n_vectors")).as("n"),
+          sum(col("share_per_mille")).as("sh"))
     // ns135's per-doc entropy math prunes under count() (distinct doc_id
     // needs only the (doc, ch) agg); the forced agg needs the micro-nats
     def ns135Forced(dir: String): DataFrame =
@@ -709,7 +715,8 @@ object ScaleProof {
           "ns132_fertility_forced" -> (ns132Forced _),
           "ns133_mixture_forced" -> (ns133Forced _),
           "ns135_entropy_forced" -> (ns135Forced _),
-          "ns136_ivm_forced" -> (ns136Forced _))
+          "ns136_ivm_forced" -> (ns136Forced _),
+          "ns138_audit_forced" -> (ns138Forced _))
     // ungrouped-aggregate entries: see measure() — count() would fold to 1
     val aggForced = Set("ns63_html_forced", "ns66_luhn_forced",
       "ns68_lines_forced", "ns101_variant_forced",
@@ -718,7 +725,8 @@ object ScaleProof {
       "ns119_rolling_forced", "ns120_c4_forced", "ns121_blocklist_forced",
       "ns129_pack_forced", "ns130_chunklang_forced", "ns131_vocab_forced",
       "ns132_fertility_forced", "ns133_mixture_forced",
-      "ns135_entropy_forced", "ns136_ivm_forced", "ns134_dedup_yield",
+      "ns135_entropy_forced", "ns136_ivm_forced", "ns138_audit_forced",
+      "ns134_dedup_yield",
       "ns124_join_profile", "ns125_fold_leakage",
       // single-row join of two ungrouped aggregates: count() folds to 1
       "ns76_dataset_card")

@@ -239,6 +239,27 @@ class AssemblySpec extends AnyFunSuite {
     assert(out("t") == ((3L, 2L, 1L, "x", "x"))) // NULLs counted, excluded from distinct/min/max
   }
 
+  test("embeddingAudit: first-match verdict priority over crafted vectors") {
+    val ok = Array.fill(4)(0.5f)
+    val d = Seq(
+      (1L, ok),
+      (2L, null: Array[Float]),                       // null wins over all
+      (3L, Array(1.0f, 2.0f)),                        // wrong_dim
+      (4L, Array(0.0f, Float.NaN, 0.0f, 0.0f)),       // non_finite BEFORE zero
+      (5L, Array(Float.PositiveInfinity, 1f, 1f, 1f)),// inf is non_finite too
+      (6L, Array.fill(4)(0.0f)),                      // zero
+      (7L, Array(Float.NaN, 2.0f))                    // wrong_dim BEFORE non_finite
+    ).toDF("vec_id", "embedding")
+    val out = Integrity.embeddingAudit(d, dim = 4).collect()
+      .map(r => r.getAs[String]("verdict") ->
+        ((r.getAs[Long]("n_vectors"), r.getAs[Long]("share_per_mille"))))
+      .toMap
+    assert(out == Map(
+      "ok" -> ((1L, 142L)), "null" -> ((1L, 142L)),
+      "wrong_dim" -> ((2L, 285L)), "non_finite" -> ((2L, 285L)),
+      "zero" -> ((1L, 142L))))
+  }
+
   test("bigramCounts: pair, context, and continuation counts on a known corpus") {
     val d = Seq((1L, "new york new york"), (2L, "old york"), (3L, "solo"))
       .toDF("doc_id", "text")
