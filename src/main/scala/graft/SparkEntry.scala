@@ -2081,6 +2081,14 @@ object SparkEntry {
     graft.ops.Integrity.embeddingAudit(e.unionByName(bad))
   }
 
+  /** NS139 — split-mode packing ([[graft.ops.Sampling
+    * .packSequencesSplit]]): the ns26 packing with straddlers SPLIT at
+    * the 2048-token boundary — one row per (doc, sequence) piece, the
+    * GPT-style exactly-full-sequence layout; the resolution of the
+    * straddle mass ns129 prices. */
+  private def ns139(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.packSequencesSplit(docs(s, dir))
+
   /** NS134 — near-dup dedup-yield histogram ([[graft.ops.Dedup
     * .clusterSizeHistogram]]): connected components of the ns2 minhash
     * pair graph rolled up by cluster size — clusters, docs, docs a
@@ -2473,6 +2481,7 @@ object SparkEntry {
     "ns136_ivm_dupmass" -> (ns136 _),
     "ns137_dedup_normalized" -> (ns137 _),
     "ns138_embedding_audit" -> (ns138 _),
+    "ns139_pack_split" -> (ns139 _),
   )
 
   /** ns2's full minhash-LSH pair replay, hoisted with a `__DOCS__`
@@ -4798,5 +4807,19 @@ object SparkEntry {
          |SELECT verdict, n_vectors,
          |  (n_vectors * 1000) // (SELECT sum(n_vectors)::BIGINT FROM h) AS share_per_mille
          |FROM h ORDER BY verdict""".stripMargin),
+    // ns139: the ns26 packing CTE + integer piece arithmetic; range() is
+    // end-exclusive, hence the +1.
+    "ns139_pack_split" ->
+      ("""WITH t AS (SELECT doc_id, lang, ceil(length(text)::DOUBLE / 4.0)::BIGINT AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |  (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS off FROM t),
+         |x AS (SELECT doc_id, lang, off, off + n_tokens AS e FROM c WHERE n_tokens > 0),
+         |p AS (SELECT doc_id, lang, off, e,
+         |  unnest(range(off // 2048, (e - 1) // 2048 + 1)) AS seq_id FROM x)
+         |SELECT doc_id, lang, seq_id,
+         |  greatest(off - seq_id * 2048, 0)::BIGINT AS seq_off,
+         |  (least(e, (seq_id + 1) * 2048) - greatest(off, seq_id * 2048))::BIGINT AS piece_tokens,
+         |  (seq_id - off // 2048)::BIGINT AS piece_idx
+         |FROM p ORDER BY doc_id, seq_id""".stripMargin),
   )
 }

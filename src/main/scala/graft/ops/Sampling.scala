@@ -567,6 +567,45 @@ object Sampling {
           .as("straddle_per_mille"))
   }
 
+  /** C16 — split-mode packing: [[packSequences]] with straddlers SPLIT
+    * at sequence boundaries — one row per (doc, sequence) PIECE, the
+    * GPT-style trainer layout where every sequence is exactly
+    * `tokenBudget` tokens (except each stratum's tail) and a document
+    * crossing a boundary continues in the next sequence instead of
+    * forcing cross-sequence attention or masking. The resolution of
+    * exactly what [[packingAudit]] prices: its `straddle_tokens` is the
+    * token mass this operator moves into continuation pieces.
+    * Per piece: the sequence it lands in, its offset there, its token
+    * count, and `piece_idx` (0 = the doc's head). Invariants the spec
+    * pins: Σ piece_tokens per doc = n_tokens; every non-tail sequence
+    * is filled to exactly `tokenBudget` (gapless by construction).
+    *
+    * Scale shape: [[packSequences]]' one stratum window, then a pure
+    * integer projection + a bounded explode (⌈n/budget⌉+1 pieces per
+    * doc — deterministic, never data-dependent blowup). Zero-token
+    * docs have no piece and drop. */
+  def packSequencesSplit(
+      docs: DataFrame,
+      tokenBudget: Int = 2048,
+      strataCol: String = "lang",
+      orderCol: String = "doc_id",
+      tokenCountCol: Option[String] = None): DataFrame = {
+    val b = tokenBudget.toLong
+    packSequences(docs, tokenBudget, strataCol, orderCol, tokenCountCol)
+      .where(col("n_tokens") > 0)
+      .withColumn("off", col("seq_id") * b + col("seq_off"))
+      .withColumn("e", col("off") + col("n_tokens"))
+      .withColumn("piece_seq",
+        explode(expr(s"sequence(off DIV $b, (e - 1) DIV $b)")))
+      .select(col(orderCol), col(strataCol),
+        col("piece_seq").as("seq_id"),
+        greatest(col("off") - col("piece_seq") * b, lit(0L)).as("seq_off"),
+        (least(col("e"), (col("piece_seq") + 1) * b) -
+          greatest(col("off"), col("piece_seq") * b)).as("piece_tokens"),
+        (col("piece_seq") - expr(s"off DIV $b")).as("piece_idx"))
+      .orderBy(col(orderCol), col("seq_id"))
+  }
+
   /** C15 — data-mixture epoch plan: given declared target shares
     * (per-mille of a total token budget) per stratum, the repeat-factor
     * table a mixing pipeline executes — per stratum: available token

@@ -381,6 +381,9 @@ object ScaleProof {
       // ns137: the ns1 exchange with the normalization fused into the
       // scan; count() needs the distinct normalized digests
       "ns137_dedup_normalized",
+      // ns139: the ns26 window + a bounded piece explode; the piece rows
+      // ARE the output identity, so count() keeps the whole chain
+      "ns139_pack_split",
       // ns134: the ns2 band pipeline + pointer-jumping CC + two tiny key
       // aggs + one corpus anti-join — collect-forced (the singleton row
       // is an ungrouped aggregate; output is distinct-size-cardinality)

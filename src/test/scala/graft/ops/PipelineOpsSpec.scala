@@ -310,6 +310,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out("de") == ((1L, 1L, 1L, 0L, 0L, 7L, 0L)))
   }
 
+  test("packSequencesSplit: pieces conserve tokens, non-tail sequences exactly full") {
+    val in = Seq(
+      (1L, "en", "x" * 40), // 10 toks: fills seq 0 (8) + piece in seq 1 (2)
+      (2L, "en", "x" * 20), // 5 toks: seq 1
+      (3L, "en", "x" * 8),  // 2 toks: crosses into seq 2
+      (4L, "de", "x" * 4)   // 1 tok, own stratum
+    ).toDF("doc_id", "lang", "text")
+    val out = Sampling.packSequencesSplit(in, tokenBudget = 8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("seq_id"), r.getAs[Long]("seq_off"),
+        r.getAs[Long]("piece_tokens"), r.getAs[Long]("piece_idx")))
+    assert(out.toSet == Set(
+      (1L, "en", 0L, 0L, 8L, 0L), (1L, "en", 1L, 0L, 2L, 1L),
+      (2L, "en", 1L, 2L, 5L, 0L),
+      (3L, "en", 1L, 7L, 1L, 0L), (3L, "en", 2L, 0L, 1L, 1L),
+      (4L, "de", 0L, 0L, 1L, 0L)))
+    // conservation: Σ piece_tokens per doc equals the packer's n_tokens
+    val pieces = out.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    assert(pieces == Map(1L -> 10L, 2L -> 5L, 3L -> 2L, 4L -> 1L))
+    // gapless: every non-tail sequence per stratum holds exactly budget
+    val bySeq = out.filter(_._2 == "en").groupBy(_._3)
+      .view.mapValues(_.map(_._5).sum).toMap
+    assert(bySeq(0L) == 8L && bySeq(1L) == 8L && bySeq(2L) == 1L)
+    // real corpus: same two invariants corpus-wide
+    val docs = Tables.load(spark, sf, "documents")
+    val split = Sampling.packSequencesSplit(docs)
+    import org.apache.spark.sql.functions._
+    val packed = Sampling.packSequences(docs)
+      .select(col("doc_id"), col("n_tokens"))
+    val conserved = split.groupBy("doc_id")
+      .agg(sum("piece_tokens").as("pt"))
+      .join(packed, Seq("doc_id"))
+      .where(col("pt") =!= col("n_tokens")).count()
+    assert(conserved == 0L)
+    val nonTail = split.groupBy("lang", "seq_id")
+      .agg(sum("piece_tokens").as("st"), max("seq_id").as("m"))
+    val maxSeq = split.groupBy("lang").agg(max("seq_id").as("last"))
+    val underfull = nonTail.join(maxSeq, Seq("lang"))
+      .where(col("seq_id") < col("last") && col("st") =!= 2048).count()
+    assert(underfull == 0L)
+  }
+
   test("mixturePlan: epochs, last-epoch partial, repeat factor, edge strata") {
     val in = Seq(
       (1L, "en", "x" * 40),  // 10 tokens
