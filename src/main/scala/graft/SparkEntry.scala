@@ -2089,6 +2089,13 @@ object SparkEntry {
   private def ns139(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sampling.packSequencesSplit(docs(s, dir))
 
+  /** NS140 — language-ID confusion matrix ([[graft.ops.TextAnalysis
+    * .langConfusion]]): ns8's predictions cross-tabulated against the
+    * label — which language pairs confuse, per-language recall on the
+    * diagonal, row shares in exact per-mille. */
+  private def ns140(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextAnalysis.langConfusion(docs(s, dir))
+
   /** NS134 — near-dup dedup-yield histogram ([[graft.ops.Dedup
     * .clusterSizeHistogram]]): connected components of the ns2 minhash
     * pair graph rolled up by cluster size — clusters, docs, docs a
@@ -2482,6 +2489,7 @@ object SparkEntry {
     "ns137_dedup_normalized" -> (ns137 _),
     "ns138_embedding_audit" -> (ns138 _),
     "ns139_pack_split" -> (ns139 _),
+    "ns140_lang_confusion" -> (ns140 _),
   )
 
   /** ns2's full minhash-LSH pair replay, hoisted with a `__DOCS__`
@@ -4821,5 +4829,24 @@ object SparkEntry {
          |  (least(e, (seq_id + 1) * 2048) - greatest(off, seq_id * 2048))::BIGINT AS piece_tokens,
          |  (seq_id - off // 2048)::BIGINT AS piece_idx
          |FROM p ORDER BY doc_id, seq_id""".stripMargin),
+    // ns140: the ns8 scoring CTE + the cell/row-share rollup.
+    "ns140_lang_confusion" ->
+      ("""WITH w AS (SELECT doc_id, lang, string_split(text,' ') w FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  len([x for x in w if list_contains(['der','die','das','und','zu','nicht','ist','ein'], x)]) s_de,
+         |  len([x for x in w if list_contains(['the','a','of','and','to','in','is','that'], x)]) s_en,
+         |  len([x for x in w if list_contains(['el','la','de','los','y','que','en','un'], x)]) s_es,
+         |  len([x for x in w if list_contains(['le','la','de','les','et','que','en','un'], x)]) s_fr,
+         |  len([x for x in w if list_contains(['的','是','了','在','我','有','和','不'], x)]) s_zh
+         |  FROM w),
+         |p AS (SELECT lang,
+         |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred_lang FROM s),
+         |c AS (SELECT lang, pred_lang, count(*)::BIGINT AS n_docs FROM p GROUP BY lang, pred_lang)
+         |SELECT lang, pred_lang, n_docs,
+         |  (n_docs * 1000) // (sum(n_docs) OVER (PARTITION BY lang))::BIGINT AS row_per_mille
+         |FROM c ORDER BY lang NULLS FIRST, pred_lang""".stripMargin),
   )
 }

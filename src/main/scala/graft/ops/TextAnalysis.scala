@@ -533,6 +533,29 @@ object TextAnalysis {
     * a token-keyed min window over that frame (vocabulary-sized, narrow);
     * the decile rollup has 10 groups, and the cumulative window runs
     * over those 10 rows — bounded, never data-sized. */
+  /** T17 — language-ID confusion matrix: [[languageId]]'s predictions
+    * cross-tabulated against the label — the eval artifact behind every
+    * langid threshold decision (which pairs confuse, is the de/en
+    * boundary or the es/fr boundary the problem, how asymmetric). Per
+    * (lang, pred_lang) cell: docs and the row share in exact per-mille
+    * (diagonal per-mille = per-language recall). NULL labels form their
+    * own row (the suite-wide null policy: report, don't vanish).
+    *
+    * Scale shape: the ns8 zero-shuffle scoring projection into ONE
+    * (lang, pred) agg (≤ |langs|² groups); row totals are a window over
+    * that bounded frame. */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    languageId(docs)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("__rt",
+        sum(col("n_docs")).over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        expr("n_docs * 1000 DIV __rt").as("row_per_mille"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
   /** T16 — character-entropy quality signal (the compression-ratio
     * proxy): per doc, unigram CHARACTER entropy H = Σ (c/n)·ln(n/c) in
     * exact integer MICRO-nats — the classic low-entropy gate (repeated

@@ -577,6 +577,10 @@ object ScaleProof {
       graft.SparkEntry.queries("ns136_ivm_dupmass")(spark, dir)
         .agg(sum(col("token_mass")).as("tm"), sum(col("n_docs")).as("nd"),
           sum(col("excess_mass")).as("em"))
+    // ns140's row-share window prunes under count() (≤25 cells); forced
+    def ns140Forced(dir: String): DataFrame =
+      graft.SparkEntry.queries("ns140_lang_confusion")(spark, dir)
+        .agg(sum(col("n_docs")).as("n"), sum(col("row_per_mille")).as("pm"))
     // ns138's verdict CASE prunes under count() (5 distinct verdicts need
     // it, but the window total and shares don't survive); forced agg
     def ns138Forced(dir: String): DataFrame =
@@ -719,7 +723,8 @@ object ScaleProof {
           "ns133_mixture_forced" -> (ns133Forced _),
           "ns135_entropy_forced" -> (ns135Forced _),
           "ns136_ivm_forced" -> (ns136Forced _),
-          "ns138_audit_forced" -> (ns138Forced _))
+          "ns138_audit_forced" -> (ns138Forced _),
+          "ns140_confusion_forced" -> (ns140Forced _))
     // ungrouped-aggregate entries: see measure() — count() would fold to 1
     val aggForced = Set("ns63_html_forced", "ns66_luhn_forced",
       "ns68_lines_forced", "ns101_variant_forced",
@@ -729,6 +734,7 @@ object ScaleProof {
       "ns129_pack_forced", "ns130_chunklang_forced", "ns131_vocab_forced",
       "ns132_fertility_forced", "ns133_mixture_forced",
       "ns135_entropy_forced", "ns136_ivm_forced", "ns138_audit_forced",
+      "ns140_confusion_forced",
       "ns134_dedup_yield",
       "ns124_join_profile", "ns125_fold_leakage",
       // single-row join of two ungrouped aggregates: count() folds to 1

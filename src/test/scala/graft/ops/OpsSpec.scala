@@ -1262,6 +1262,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(p.getAs[Long]("entropy_micro") > 2500000L)
   }
 
+  test("langConfusion: exact cells, row conservation, NULL-label row reported") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "the a of", "en"),          // en -> en
+      (2L, "der und zu", "en"),        // en -> de (confusion)
+      (3L, "der die das", "de"),       // de -> de
+      (4L, "the of and", null: String) // NULL label: own row
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langConfusion(in).collect()
+      .map(r => (Option(r.getString(0)), r.getString(1)) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("row_per_mille")))).toMap
+    assert(out == Map(
+      (Some("en"), "en") -> ((1L, 500L)),
+      (Some("en"), "de") -> ((1L, 500L)),
+      (Some("de"), "de") -> ((1L, 1000L)),
+      (None, "en") -> ((1L, 1000L))))
+    // row conservation on the real corpus: per-lang per-milles Σ ≈ 1000
+    // (exact integer floor loses at most |cells|-1 per row)
+    val rows = TextAnalysis.langConfusion(docs).collect()
+      .groupBy(_.getString(0))
+    rows.foreach { case (lang, cells) =>
+      val s = cells.map(_.getAs[Long]("row_per_mille")).sum
+      assert(s <= 1000 && s > 1000 - cells.length, s"$lang: $s")
+    }
+  }
+
   test("vocabGrowth: exact totals, monotone cumulatives, full-corpus type count") {
     val out = TextAnalysis.vocabGrowth(docs).collect()
     assert(out.nonEmpty && out.length <= 10)
