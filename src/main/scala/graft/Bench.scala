@@ -105,6 +105,14 @@ object Bench {
       val v = math.round(d * 1000) / 1000.0
       if (v == v.toLong) s"${v.toLong}.0" else v.toString
     }
+    // the compact line's format: 10 ms resolution buys ~1 byte/query —
+    // at 154 queries the 3-decimal line hit 1,891 B of the 1,900 B tail
+    // budget; 2 decimals restores ~150 B of headroom. Full 3-decimal
+    // precision still lands in target/bench_latest.json.
+    def r2(d: Double): String = {
+      val v = math.round(d * 100) / 100.0
+      if (v == v.toLong) s"${v.toLong}.0" else v.toString
+    }
     def buildJson(fmt: Double => String): String = {
       val qs = results.map { case (k, (med, _)) => s""""$k":${fmt(med)}""" }
         .mkString("{", ",", "}")
@@ -167,7 +175,7 @@ object Bench {
     // gate: if the suite regrows past the tail window, fail LOUDLY to
     // stderr and degrade to a totals-only line that is still valid JSON
     // (never print a line that will be truncated mid-object again).
-    val compact = buildCompact(r3)
+    val compact = buildCompact(r2)
     if (compact.length <= 1900) println(compact)
     else {
       System.err.println(s"[bench] compact line ${compact.length} B exceeds " +
