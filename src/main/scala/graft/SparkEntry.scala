@@ -2096,6 +2096,18 @@ object SparkEntry {
   private def ns140(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextAnalysis.langConfusion(docs(s, dir))
 
+  /** NS141 — video scene-cut detection ([[graft.ops.Perceptual
+    * .sceneCuts]]): consecutive-keyframe dHash Hamming distances over
+    * the ns83 media family — where a pipeline should sample densely
+    * (around cuts) vs sparsely (static scenes). Same decode, sampler,
+    * and hash convention as the keyframe dedup. */
+  private def ns141(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Perceptual.sceneCuts(
+      ns81Family(s, dir).select(col("doc_id"),
+        encode(col("t"), "UTF-8").as("content"),
+        struct(length(encode(col("t"), "UTF-8")).cast("long").as("n_bytes"))
+          .as("meta")))
+
   /** NS134 — near-dup dedup-yield histogram ([[graft.ops.Dedup
     * .clusterSizeHistogram]]): connected components of the ns2 minhash
     * pair graph rolled up by cluster size — clusters, docs, docs a
@@ -2490,6 +2502,7 @@ object SparkEntry {
     "ns138_embedding_audit" -> (ns138 _),
     "ns139_pack_split" -> (ns139 _),
     "ns140_lang_confusion" -> (ns140 _),
+    "ns141_scene_cuts" -> (ns141 _),
   )
 
   /** ns2's full minhash-LSH pair replay, hoisted with a `__DOCS__`
@@ -2504,6 +2517,38 @@ object SparkEntry {
       |sets AS (SELECT doc_id, list_distinct(list(shingle)) s FROM sh GROUP BY doc_id),
       |scored AS (SELECT da AS doc_a, db AS doc_b, len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) AS j FROM cand JOIN sets x ON x.doc_id = cand.da JOIN sets y ON y.doc_id = cand.db)
       |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM scored WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The ns83/ns141 shared per-frame dHash replay: the ns81 media-family
+    * synthesis, 64-byte every-2nd frame sampling, and the byte-stride
+    * 9×8 grid dHash per frame — hoisted so the keyframe dedup and the
+    * scene-cut report replay the IDENTICAL frame hashes (one decode and
+    * hash convention, like the engine side). Ends with
+    * `ph(doc_id, f, phash)`. */
+  private val framePhashCteSql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |fam AS (SELECT d.doc_id,
+      |  CASE d.doc_id % 5
+      |    WHEN 0 THEN b.text
+      |    WHEN 1 THEN b.text
+      |    WHEN 2 THEN substr(b.text, 1, 10) || '#' || substr(b.text, 12)
+      |    WHEN 3 THEN substr(b.text, 1, 20) || '@' || substr(b.text, 22)
+      |    ELSE reverse(b.text) END AS t
+      |  FROM base d JOIN base b ON b.doc_id = d.doc_id - d.doc_id % 5),
+      |h AS (SELECT doc_id, hex(encode(t)) AS hx, octet_length(encode(t)) AS n FROM fam),
+      |fr AS (SELECT doc_id, f, least(64, n - f * 64) AS m,
+      |  substr(hx, 128 * f + 1, 128) AS fhx
+      |  FROM h, (SELECT unnest(range(0, 1000)) AS f) s
+      |  WHERE f % 2 = 0 AND f * 64 < n),
+      |cells AS (SELECT doc_id, f, i,
+      |  ('0x' || substr(fhx, (2 * ((i * m) // 72) + 1)::INT, 2))::INT AS v
+      |  FROM fr, (SELECT unnest(range(0, 72)) AS i) r),
+      |bits AS (SELECT a.doc_id, a.f, ((a.i // 9) * 8 + (a.i % 9))::INT AS k,
+      |  CASE WHEN a.v < b.v THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |  FROM cells a JOIN cells b
+      |    ON a.doc_id = b.doc_id AND a.f = b.f AND b.i = a.i + 1
+      |  WHERE a.i % 9 < 8 AND (a.i // 9) * 8 + (a.i % 9) < 63),
+      |ph AS (SELECT doc_id, f, sum(bit << k)::BIGINT AS phash
+      |  FROM bits GROUP BY doc_id, f)""".stripMargin
 
   /** ns6's full oracle, hoisted so ns126's recall report can embed the
     * SAME exact-baseline replay as a CTE (single source of truth). */
@@ -3764,30 +3809,8 @@ object SparkEntry {
     // per-frame stride grid + bit packing, and the repeated-keyframe
     // rollup.
     "ns83_keyframe_dedup" ->
-      ("""WITH base AS (SELECT doc_id, text FROM documents),
-         |fam AS (SELECT d.doc_id,
-         |  CASE d.doc_id % 5
-         |    WHEN 0 THEN b.text
-         |    WHEN 1 THEN b.text
-         |    WHEN 2 THEN substr(b.text, 1, 10) || '#' || substr(b.text, 12)
-         |    WHEN 3 THEN substr(b.text, 1, 20) || '@' || substr(b.text, 22)
-         |    ELSE reverse(b.text) END AS t
-         |  FROM base d JOIN base b ON b.doc_id = d.doc_id - d.doc_id % 5),
-         |h AS (SELECT doc_id, hex(encode(t)) AS hx, octet_length(encode(t)) AS n FROM fam),
-         |fr AS (SELECT doc_id, f, least(64, n - f * 64) AS m,
-         |  substr(hx, 128 * f + 1, 128) AS fhx
-         |  FROM h, (SELECT unnest(range(0, 1000)) AS f) s
-         |  WHERE f % 2 = 0 AND f * 64 < n),
-         |cells AS (SELECT doc_id, f, i,
-         |  ('0x' || substr(fhx, (2 * ((i * m) // 72) + 1)::INT, 2))::INT AS v
-         |  FROM fr, (SELECT unnest(range(0, 72)) AS i) r),
-         |bits AS (SELECT a.doc_id, a.f, ((a.i // 9) * 8 + (a.i % 9))::INT AS k,
-         |  CASE WHEN a.v < b.v THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-         |  FROM cells a JOIN cells b
-         |    ON a.doc_id = b.doc_id AND a.f = b.f AND b.i = a.i + 1
-         |  WHERE a.i % 9 < 8 AND (a.i // 9) * 8 + (a.i % 9) < 63),
-         |ph AS (SELECT doc_id, f, sum(bit << k)::BIGINT AS phash
-         |  FROM bits GROUP BY doc_id, f)
+      (framePhashCteSql +
+        """
          |SELECT phash, count(*) AS n_frames,
          |  count(DISTINCT doc_id) AS n_docs
          |FROM ph GROUP BY phash HAVING count(*) > 1 ORDER BY phash""".stripMargin),
@@ -4848,5 +4871,16 @@ object SparkEntry {
          |SELECT lang, pred_lang, n_docs,
          |  (n_docs * 1000) // (sum(n_docs) OVER (PARTITION BY lang))::BIGINT AS row_per_mille
          |FROM c ORDER BY lang NULLS FIRST, pred_lang""".stripMargin),
+    // ns141: the shared frame-phash CTE (one hash convention with ns83)
+    // + a per-video lag rollup.
+    "ns141_scene_cuts" ->
+      (framePhashCteSql +
+        """,
+         |d AS (SELECT doc_id, phash,
+         |  lag(phash) OVER (PARTITION BY doc_id ORDER BY f) AS prev FROM ph)
+         |SELECT doc_id, count(*)::BIGINT AS n_frames,
+         |  count(CASE WHEN bit_count(xor(phash, prev)) > 16 THEN 1 END)::BIGINT AS n_cuts,
+         |  max(bit_count(xor(phash, prev)))::BIGINT AS max_hamming
+         |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin),
   )
 }

@@ -93,6 +93,44 @@ object Perceptual {
     *    per-partition batched imperative pass, the documented-legit
     *    mapPartitions case. Null blobs hash to 0 on both paths (the
     *    decoder all-zero-grid contract). */
+  /** P1b — scene-cut detection: per video, the Hamming distance between
+    * CONSECUTIVE sampled keyframes' dHashes, rolled up to cut counts —
+    * the segmentation step that decides WHERE a video pipeline samples
+    * (dense around cuts, sparse inside static scenes; uniform sampling
+    * wastes budget on still shots and misses transitions). A cut is a
+    * consecutive-frame distance above `cutThreshold` (the perceptual
+    * family's "different image" bar); per video: sampled frames, cuts,
+    * and the max distance (NULL for single-frame clips — no pair to
+    * measure, reported honestly). Uses the same codegen `phash63`
+    * projection and frame sampler as the ns83 dedup, so the two share
+    * one decode and one hash convention.
+    *
+    * Scale shape: frame explode (bounded ⌈bytes/frameBytes⌉/everyK per
+    * clip) → codegen hash → ONE video-keyed window (lag) + rollup on
+    * the SAME key — one exchange total; no pair join anywhere. */
+  def sceneCuts(
+      media: DataFrame,
+      frameBytes: Int = 64,
+      everyK: Int = 2,
+      cutThreshold: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(media.sparkSession)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("source_frame"))
+    Multimodal.frameSample(media, frameBytes, everyK)
+      .select(col("doc_id"), col("source_frame"),
+        coalesce(call_function("phash63", col("frame")), lit(0L))
+          .as("phash"))
+      .withColumn("prev", lag(col("phash"), 1).over(w))
+      .withColumn("ham",
+        when(col("prev").isNull, lit(null).cast("long"))
+          .otherwise(expr("bit_count(phash ^ prev)").cast("long")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        count(when(col("ham") > cutThreshold, 1)).as("n_cuts"),
+        max(col("ham")).as("max_hamming"))
+      .orderBy(col("doc_id"))
+  }
+
   def dhash63(
       media: DataFrame,
       decoder: GridDecoder = ByteStrideGridDecoder): DataFrame = {

@@ -577,6 +577,12 @@ object ScaleProof {
       graft.SparkEntry.queries("ns136_ivm_dupmass")(spark, dir)
         .agg(sum(col("token_mass")).as("tm"), sum(col("n_docs")).as("nd"),
           sum(col("excess_mass")).as("em"))
+    // ns141's lag window + hamming prune under count() (distinct doc_id
+    // needs only the frame explode); forced agg needs the cut math
+    def ns141Forced(dir: String): DataFrame =
+      graft.SparkEntry.queries("ns141_scene_cuts")(spark, dir)
+        .agg(sum(col("n_cuts")).as("c"), sum(col("n_frames")).as("f"),
+          max(col("max_hamming")).as("mh"))
     // ns140's row-share window prunes under count() (≤25 cells); forced
     def ns140Forced(dir: String): DataFrame =
       graft.SparkEntry.queries("ns140_lang_confusion")(spark, dir)
@@ -724,7 +730,8 @@ object ScaleProof {
           "ns135_entropy_forced" -> (ns135Forced _),
           "ns136_ivm_forced" -> (ns136Forced _),
           "ns138_audit_forced" -> (ns138Forced _),
-          "ns140_confusion_forced" -> (ns140Forced _))
+          "ns140_confusion_forced" -> (ns140Forced _),
+          "ns141_cuts_forced" -> (ns141Forced _))
     // ungrouped-aggregate entries: see measure() — count() would fold to 1
     val aggForced = Set("ns63_html_forced", "ns66_luhn_forced",
       "ns68_lines_forced", "ns101_variant_forced",
@@ -734,7 +741,7 @@ object ScaleProof {
       "ns129_pack_forced", "ns130_chunklang_forced", "ns131_vocab_forced",
       "ns132_fertility_forced", "ns133_mixture_forced",
       "ns135_entropy_forced", "ns136_ivm_forced", "ns138_audit_forced",
-      "ns140_confusion_forced",
+      "ns140_confusion_forced", "ns141_cuts_forced",
       "ns134_dedup_yield",
       "ns124_join_profile", "ns125_fold_leakage",
       // single-row join of two ungrouped aggregates: count() folds to 1

@@ -465,4 +465,28 @@ class PerceptualSpec extends AnyFunSuite {
     assert(zeroPairs.nonEmpty)
     assert(zeroPairs.forall(_.getLong(2) == 0L))
   }
+
+  test("sceneCuts: static clip has zero cuts, a mid-clip content flip is one cut") {
+    import org.apache.spark.sql.functions._
+    def media(rows: Seq[(Long, Array[Byte])]) =
+      rows.toDF("doc_id", "content")
+        .select(col("doc_id"), col("content"),
+          struct(length(col("content")).cast("long").as("n_bytes")).as("meta"))
+    val still = Array.fill(32)("ab").mkString.getBytes  // 4 identical 16-B frames
+    val flip = (Array.fill(16)("ab").mkString +        // 2 frames of one texture
+      Array.fill(16)("xq9Z").mkString.take(32)).getBytes // 2 of another
+    val single = "short".getBytes                       // one frame only
+    val out = Perceptual.sceneCuts(
+        media(Seq((1L, still), (2L, flip), (3L, single))),
+        frameBytes = 16, everyK = 1, cutThreshold = 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_frames"), r.getAs[Long]("n_cuts"),
+          Option(r.get(r.fieldIndex("max_hamming")))))).toMap
+    assert(out(1L)._1 == 4L && out(1L)._2 == 0L) // identical frames: no cut
+    assert(out(1L)._3.contains(0L))
+    assert(out(2L)._3.contains(4L)) // the flip distance, measured
+    assert(out(2L)._2 == 1L, out(2L).toString)   // exactly one transition
+    assert(out(3L) == ((1L, 0L, None)))          // single frame: NULL max
+  }
 }
