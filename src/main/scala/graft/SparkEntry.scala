@@ -2108,6 +2108,27 @@ object SparkEntry {
         struct(length(encode(col("t"), "UTF-8")).cast("long").as("n_bytes"))
           .as("meta")))
 
+  /** NS142 — audio segment report ([[graft.ops.Perceptual
+    * .audioSegments]]): per WAV clip of the ns90 family, the dominant
+    * loudness band per time slice rolled to band-shift counts — the
+    * cheap audio segmentation signal (static tone vs structured
+    * content), the audio sibling of ns141. Same decoder, same family,
+    * so the 16→8-bit re-encode pairs must segment identically. */
+  private def ns142(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val fam = base.as("d")
+      .join(base.as("b"),
+        col("b.doc_id") === (col("d.doc_id") - col("d.doc_id") % 3))
+      .select(col("d.doc_id").as("doc_id"),
+        when(col("d.doc_id") % 3 === 2, reverse(col("b.text")))
+          .otherwise(col("b.text")).as("t"),
+        when(col("d.doc_id") % 3 === 1, lit(8)).otherwise(lit(16))
+          .as("bits"))
+    val synth = udf((t: String, bits: Int) => graft.ops.WavSynth.wavOf(t, bits))
+    graft.ops.Perceptual.audioSegments(
+      fam.select(col("doc_id"), synth(col("t"), col("bits")).as("content")))
+  }
+
   /** NS134 — near-dup dedup-yield histogram ([[graft.ops.Dedup
     * .clusterSizeHistogram]]): connected components of the ns2 minhash
     * pair graph rolled up by cluster size — clusters, docs, docs a
@@ -2503,6 +2524,7 @@ object SparkEntry {
     "ns139_pack_split" -> (ns139 _),
     "ns140_lang_confusion" -> (ns140 _),
     "ns141_scene_cuts" -> (ns141 _),
+    "ns142_audio_segments" -> (ns142 _),
   )
 
   /** ns2's full minhash-LSH pair replay, hoisted with a `__DOCS__`
@@ -2517,6 +2539,28 @@ object SparkEntry {
       |sets AS (SELECT doc_id, list_distinct(list(shingle)) s FROM sh GROUP BY doc_id),
       |scored AS (SELECT da AS doc_a, db AS doc_b, len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) AS j FROM cand JOIN sets x ON x.doc_id = cand.da JOIN sets y ON y.doc_id = cand.db)
       |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM scored WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The ns90/ns142 shared WAV-grid replay: the 3-id WAV family
+    * synthesis and the samples→(band, slice) count grid recomputed
+    * independently from the synthesis bytes — the javax.sound parse and
+    * the WAV container write are hash-verified through it. Ends with
+    * `grid(doc_id, i, v)` over all 72 cells (zeros materialized). */
+  private val wavGridCteSql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |fam AS (SELECT d.doc_id,
+      |  CASE WHEN d.doc_id % 3 = 2 THEN reverse(b.text) ELSE b.text END AS t
+      |  FROM base d JOIN base b ON b.doc_id = d.doc_id - d.doc_id % 3),
+      |h AS (SELECT doc_id, hex(encode(t)) AS hx, octet_length(encode(t)) AS n FROM fam),
+      |samp AS (SELECT doc_id, hx, n, unnest(range(0, n)) AS i FROM h),
+      |vals AS (SELECT doc_id,
+      |    ((('0x' || substr(hx, (2 * i + 1)::INT, 2))::INT * 37 + i * 11) % 256) AS u8,
+      |    ((i * 9) // n)::INT AS slice
+      |  FROM samp),
+      |cells0 AS (SELECT doc_id, ((u8 // 32) * 9 + slice)::INT AS cell, count(*) AS cnt
+      |  FROM vals GROUP BY doc_id, cell),
+      |grid AS (SELECT f.doc_id, g.i, coalesce(c.cnt, 0) AS v
+      |  FROM fam f CROSS JOIN (SELECT unnest(range(0, 72)) AS i) g
+      |  LEFT JOIN cells0 c ON c.doc_id = f.doc_id AND c.cell = g.i)""".stripMargin
 
   /** The ns83/ns141 shared per-frame dHash replay: the ns81 media-family
     * synthesis, 64-byte every-2nd frame sampling, and the byte-stride
@@ -3924,21 +3968,8 @@ object SparkEntry {
     // the engine's WAV container + javax.sound parse must land on the
     // same 63 bits for every doc for the hash to match.
     "ns90_audio_neardup" ->
-      ("""WITH base AS (SELECT doc_id, text FROM documents),
-         |fam AS (SELECT d.doc_id,
-         |  CASE WHEN d.doc_id % 3 = 2 THEN reverse(b.text) ELSE b.text END AS t
-         |  FROM base d JOIN base b ON b.doc_id = d.doc_id - d.doc_id % 3),
-         |h AS (SELECT doc_id, hex(encode(t)) AS hx, octet_length(encode(t)) AS n FROM fam),
-         |samp AS (SELECT doc_id, hx, n, unnest(range(0, n)) AS i FROM h),
-         |vals AS (SELECT doc_id,
-         |    ((('0x' || substr(hx, (2 * i + 1)::INT, 2))::INT * 37 + i * 11) % 256) AS u8,
-         |    ((i * 9) // n)::INT AS slice
-         |  FROM samp),
-         |cells0 AS (SELECT doc_id, ((u8 // 32) * 9 + slice)::INT AS cell, count(*) AS cnt
-         |  FROM vals GROUP BY doc_id, cell),
-         |grid AS (SELECT f.doc_id, g.i, coalesce(c.cnt, 0) AS v
-         |  FROM fam f CROSS JOIN (SELECT unnest(range(0, 72)) AS i) g
-         |  LEFT JOIN cells0 c ON c.doc_id = f.doc_id AND c.cell = g.i),
+      (wavGridCteSql +
+        """,
          |bits AS (SELECT a.doc_id, ((a.i // 9) * 8 + (a.i % 9))::INT AS k,
          |  CASE WHEN a.v < b.v THEN 1::BIGINT ELSE 0::BIGINT END AS bit
          |  FROM grid a JOIN grid b ON a.doc_id = b.doc_id AND b.i = a.i + 1
@@ -4882,5 +4913,22 @@ object SparkEntry {
          |  count(CASE WHEN bit_count(xor(phash, prev)) > 16 THEN 1 END)::BIGINT AS n_cuts,
          |  max(bit_count(xor(phash, prev)))::BIGINT AS max_hamming
          |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // ns142: the shared WAV-grid CTE (one grid convention with ns90) +
+    // tie-low dominant band per slice + a per-clip lag rollup.
+    "ns142_audio_segments" ->
+      (wavGridCteSql +
+        """,
+         |cb AS (SELECT doc_id, (i // 9)::INT AS band, (i % 9)::INT AS s, v FROM grid),
+         |dom AS (SELECT doc_id, s, band FROM (
+         |  SELECT doc_id, s, band,
+         |    row_number() OVER (PARTITION BY doc_id, s ORDER BY v DESC, band) AS rn
+         |  FROM cb) WHERE rn = 1),
+         |d2 AS (SELECT doc_id, s, band,
+         |  lag(band) OVER (PARTITION BY doc_id ORDER BY s) AS prev FROM dom)
+         |SELECT doc_id,
+         |  count(CASE WHEN band != prev THEN 1 END)::BIGINT AS n_shifts,
+         |  max(CASE WHEN s = 0 THEN band END)::BIGINT AS start_band,
+         |  max(CASE WHEN s = 8 THEN band END)::BIGINT AS end_band
+         |FROM d2 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
   )
 }

@@ -131,6 +131,48 @@ object Perceptual {
       .orderBy(col("doc_id"))
   }
 
+  /** P2b — audio segment report: per clip, the DOMINANT loudness band of
+    * each of the 9 time slices of the decoder's 8-band × 9-slice texture
+    * grid, rolled up to band-shift counts — the cheap segmentation signal
+    * (a clip whose dominant band never shifts is texturally static: tone,
+    * silence, hum; many shifts = speech/music-like structure worth
+    * denser sampling — the audio sibling of [[sceneCuts]]). Per clip:
+    * `n_shifts` (consecutive slices whose dominant band differs),
+    * `start_band`, `end_band`. Dominance ties break LOW band (both
+    * engines sort (count desc, band asc)); an empty/undecodable clip is
+    * the all-zero grid — every slice ties to band 0, zero shifts,
+    * reported rather than dropped.
+    *
+    * Scale shape: one decode UDF per clip (the sanctioned binary-media
+    * zone), a 9-slice explode of the 72-int grid, a codegen 8-way argmax
+    * cascade, ONE clip-keyed window + rollup on the same key. */
+  def audioSegments(
+      media: DataFrame,
+      decoder: GridDecoder = WavGridDecoder): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = udf((b: Array[Byte]) => decoder.decode(b))
+    def cnt(b: Int) =
+      element_at(col("g"), lit(b * 9) + col("s") + lit(1))
+    val bands = 0 until 8
+    val dom = bands.init.foldRight(lit(7)) { case (b, e) =>
+      when(bands.drop(b + 1).map(o => cnt(b) >= cnt(o)).reduce(_ && _),
+        lit(b)).otherwise(e)
+    }
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    media
+      .select(col("doc_id"), grid(col("content")).as("g"))
+      .select(col("doc_id"), explode(expr("sequence(0, 8)")).as("s"),
+        col("g"))
+      .select(col("doc_id"), col("s"), dom.cast("long").as("band"))
+      .withColumn("prev", lag(col("band"), 1).over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(when(col("band") =!= col("prev"), 1)).as("n_shifts"),
+        max(when(col("s") === 0, col("band"))).as("start_band"),
+        max(when(col("s") === 8, col("band"))).as("end_band"))
+      .orderBy(col("doc_id"))
+  }
+
   def dhash63(
       media: DataFrame,
       decoder: GridDecoder = ByteStrideGridDecoder): DataFrame = {

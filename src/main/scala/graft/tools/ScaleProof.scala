@@ -583,6 +583,11 @@ object ScaleProof {
       graft.SparkEntry.queries("ns141_scene_cuts")(spark, dir)
         .agg(sum(col("n_cuts")).as("c"), sum(col("n_frames")).as("f"),
           max(col("max_hamming")).as("mh"))
+    // ns142's dominance/lag math prunes under count(); forced agg
+    def ns142Forced(dir: String): DataFrame =
+      graft.SparkEntry.queries("ns142_audio_segments")(spark, dir)
+        .agg(sum(col("n_shifts")).as("sh"), sum(col("start_band")).as("sb"),
+          sum(col("end_band")).as("eb"))
     // ns140's row-share window prunes under count() (≤25 cells); forced
     def ns140Forced(dir: String): DataFrame =
       graft.SparkEntry.queries("ns140_lang_confusion")(spark, dir)
@@ -731,7 +736,8 @@ object ScaleProof {
           "ns136_ivm_forced" -> (ns136Forced _),
           "ns138_audit_forced" -> (ns138Forced _),
           "ns140_confusion_forced" -> (ns140Forced _),
-          "ns141_cuts_forced" -> (ns141Forced _))
+          "ns141_cuts_forced" -> (ns141Forced _),
+          "ns142_segments_forced" -> (ns142Forced _))
     // ungrouped-aggregate entries: see measure() — count() would fold to 1
     val aggForced = Set("ns63_html_forced", "ns66_luhn_forced",
       "ns68_lines_forced", "ns101_variant_forced",
@@ -742,6 +748,7 @@ object ScaleProof {
       "ns132_fertility_forced", "ns133_mixture_forced",
       "ns135_entropy_forced", "ns136_ivm_forced", "ns138_audit_forced",
       "ns140_confusion_forced", "ns141_cuts_forced",
+      "ns142_segments_forced",
       "ns134_dedup_yield",
       "ns124_join_profile", "ns125_fold_leakage",
       // single-row join of two ungrouped aggregates: count() folds to 1

@@ -466,6 +466,25 @@ class PerceptualSpec extends AnyFunSuite {
     assert(zeroPairs.forall(_.getLong(2) == 0L))
   }
 
+  test("audioSegments: re-encode invariance, silence clip, tie-low dominance") {
+    import org.apache.spark.sql.functions._
+    // the 16-bit and 8-bit encodings of the SAME text must segment
+    // identically (the decoder's re-encode invariance carried through)
+    val txt = "the quick brown fox jumps over the lazy dog " * 8
+    val media = Seq(
+      (1L, WavSynth.wavOf(txt, 16)),
+      (2L, WavSynth.wavOf(txt, 8)),
+      (3L, Array.emptyByteArray) // undecodable -> all-zero grid
+    ).toDF("doc_id", "content")
+    val out = Perceptual.audioSegments(media).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shifts"), r.getAs[Long]("start_band"),
+          r.getAs[Long]("end_band")))).toMap
+    assert(out(1L) == out(2L))
+    // all-zero grid: every slice ties to band 0 (tie-low), zero shifts
+    assert(out(3L) == ((0L, 0L, 0L)))
+  }
+
   test("sceneCuts: static clip has zero cuts, a mid-clip content flip is one cut") {
     import org.apache.spark.sql.functions._
     def media(rows: Seq[(Long, Array[Byte])]) =
