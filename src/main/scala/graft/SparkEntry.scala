@@ -2129,6 +2129,26 @@ object SparkEntry {
       fam.select(col("doc_id"), synth(col("t"), col("bits")).as("content")))
   }
 
+  /** NS143 — cross-modal staleness audit ([[graft.ops.Integrity
+    * .staleEmbeddings]]): byte-identical texts whose embeddings
+    * disagree — the stale-re-embed bug detector. The raw corpus has no
+    * exact text dups, so the fixture injects % 4 twins whose
+    * embeddings are the original's EXCEPT the % 8 half, which get the
+    * reversed vector (the stale class) — both verdicts in the gate. */
+  private def ns143(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val shift = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val twins = d.where(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + shift).as("doc_id"), col("text"))
+    val twinEmb = e.where(col("vec_id") % 4 === 0)
+      .select((col("vec_id") + shift).as("vec_id"),
+        when(col("vec_id") % 8 === 0, reverse(col("embedding")))
+          .otherwise(col("embedding")).as("embedding"))
+    graft.ops.Integrity.staleEmbeddings(
+      d.unionByName(twins), e.unionByName(twinEmb))
+  }
+
   /** NS134 — near-dup dedup-yield histogram ([[graft.ops.Dedup
     * .clusterSizeHistogram]]): connected components of the ns2 minhash
     * pair graph rolled up by cluster size — clusters, docs, docs a
@@ -2525,6 +2545,7 @@ object SparkEntry {
     "ns140_lang_confusion" -> (ns140 _),
     "ns141_scene_cuts" -> (ns141 _),
     "ns142_audio_segments" -> (ns142 _),
+    "ns143_stale_embeddings" -> (ns143 _),
   )
 
   /** ns2's full minhash-LSH pair replay, hoisted with a `__DOCS__`
@@ -4930,5 +4951,24 @@ object SparkEntry {
          |  max(CASE WHEN s = 0 THEN band END)::BIGINT AS start_band,
          |  max(CASE WHEN s = 8 THEN band END)::BIGINT AS end_band
          |FROM d2 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // ns143: exact-text pair join + the ns6 cosine convention (double
+    // cast, index-order dot, 6-decimal round).
+    "ns143_stale_embeddings" ->
+      ("""WITH ad AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text
+         |  FROM documents WHERE doc_id % 4 = 0),
+         |ae AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + (SELECT max(doc_id) + 1 FROM documents),
+         |    CASE WHEN vec_id % 8 = 0 THEN list_reverse(embedding) ELSE embedding END
+         |  FROM embeddings WHERE vec_id % 4 = 0),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM ad a JOIN ad b ON a.text = b.text AND a.doc_id < b.doc_id),
+         |e2 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+         |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n FROM ae),
+         |c AS (SELECT id_a, id_b,
+         |  round(list_sum([ea.v[i] * eb.v[i] for i in range(1, 65)]) / (ea.n * eb.n), 6) AS cosine
+         |  FROM p JOIN e2 ea ON ea.vec_id = p.id_a JOIN e2 eb ON eb.vec_id = p.id_b)
+         |SELECT id_a, id_b, cosine, cosine < 0.999 AS stale
+         |FROM c ORDER BY id_a, id_b""".stripMargin),
   )
 }

@@ -147,6 +147,46 @@ object Integrity {
         max(col("v")).as("max_str"))
   }
 
+  /** I5 — cross-modal staleness audit: pairs of byte-identical TEXTS
+    * whose EMBEDDINGS disagree — the stale-re-embed detector. In a
+    * pipeline where text and vectors are produced by different jobs,
+    * an edit-then-partial-re-embed leaves rows whose text matches
+    * another doc's exactly while the vectors diverge; every such pair
+    * is a consistency bug (identical input ⇒ identical embedding for
+    * any deterministic encoder). Released per exact-text pair: the
+    * embedding cosine (the suite's 6-decimal convention) and the stale
+    * verdict (`cosine < minCosine`). Zero rows = nothing to audit;
+    * rows with `stale = false` document the checked-and-consistent
+    * pairs.
+    *
+    * Scale shape: the ns1 digest exchange builds exact-text groups;
+    * the pair self-join is group-bounded (k² per dup group — dup
+    * groups are small by definition, and [[graft.ops.Dedup
+    * .dupMassHistogram]] is the lever that proves it on a given
+    * corpus); two narrow id-keyed joins fetch the vectors; cosine is
+    * the codegen HOF dot product. */
+  def staleEmbeddings(
+      docs: DataFrame, embs: DataFrame,
+      minCosine: Double = 0.999): DataFrame = {
+    graft.functions.VectorFunctions.register(embs.sparkSession)
+    val g = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("g"))
+    val pairs = g.as("a").join(g.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val e = embs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", Similarity.norm(col("v")))
+    pairs
+      .join(e.as("ea"), col("id_a") === col("ea.vec_id"))
+      .join(e.as("eb"), col("id_b") === col("eb.vec_id"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.dot(col("ea.v"), col("eb.v")) /
+          (col("ea.n") * col("eb.n")), 6).as("cosine"))
+      .withColumn("stale", col("cosine") < minCosine)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** I4 — embedding integrity audit: the pre-index data-quality gate of
     * the ANN family (ns5–ns7/ns13/ns30/ns35/ns42/ns52 all assume clean
     * vectors). Every vector classified into exactly one verdict by

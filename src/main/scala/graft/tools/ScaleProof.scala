@@ -384,6 +384,10 @@ object ScaleProof {
       // ns139: the ns26 window + a bounded piece explode; the piece rows
       // ARE the output identity, so count() keeps the whole chain
       "ns139_pack_split",
+      // ns143: the ns1 digest exchange + a group-bounded pair join + two
+      // id-keyed vector fetches; pair rows ARE the output, count() keeps
+      // the chain
+      "ns143_stale_embeddings",
       // ns134: the ns2 band pipeline + pointer-jumping CC + two tiny key
       // aggs + one corpus anti-join — collect-forced (the singleton row
       // is an ungrouped aggregate; output is distinct-size-cardinality)

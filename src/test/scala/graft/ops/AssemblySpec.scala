@@ -239,6 +239,26 @@ class AssemblySpec extends AnyFunSuite {
     assert(out("t") == ((3L, 2L, 1L, "x", "x"))) // NULLs counted, excluded from distinct/min/max
   }
 
+  test("staleEmbeddings: identical-text pairs flagged iff vectors diverge") {
+    val d = Seq(
+      (1L, "same text"), (2L, "same text"),   // fresh pair
+      (3L, "other text"), (4L, "other text"), // stale pair
+      (5L, "unique text")                     // no pair
+    ).toDF("doc_id", "text")
+    val v = Array.tabulate(64)(i => (i % 7 + 1).toFloat)
+    val e = Seq(
+      (1L, v), (2L, v),
+      (3L, v), (4L, v.reverse),
+      (5L, v)
+    ).toDF("vec_id", "embedding")
+    val out = Integrity.staleEmbeddings(d, e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Double]("cosine"), r.getAs[Boolean]("stale")))).toMap
+    assert(out.keySet == Set((1L, 2L), (3L, 4L)))
+    assert(out((1L, 2L)) == ((1.0, false)))
+    assert(out((3L, 4L))._2 && out((3L, 4L))._1 < 0.999)
+  }
+
   test("embeddingAudit: first-match verdict priority over crafted vectors") {
     val ok = Array.fill(4)(0.5f)
     val d = Seq(
