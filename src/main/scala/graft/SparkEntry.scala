@@ -2149,6 +2149,25 @@ object SparkEntry {
       d.unionByName(twins), e.unionByName(twinEmb))
   }
 
+  /** NS144 — lexical self-retrieval eval ([[graft.ops.Retrieval
+    * .bm25TopKPerQuery]] → [[graft.ops.Retrieval.retrievalEval]]): every
+    * 50th doc's first five words become a query whose only relevant doc
+    * is its source; hits@1/3/10 and exact-integer MRR over the
+    * multi-query BM25 ranking — the lexical sibling of ns126's ANN
+    * recall report, measuring whether the ranker can find a document
+    * from its own opening words. */
+  private def ns144(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val queries = d.where(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(split(col("text"), " "), 1, 5).as("terms"))
+    val relevant = queries.select(col("query_id"),
+      col("query_id").as("doc_id"))
+    graft.ops.Retrieval.retrievalEval(
+      graft.ops.Retrieval.bm25TopKPerQuery(d, queries, topK = 10),
+      relevant)
+  }
+
   /** NS134 — near-dup dedup-yield histogram ([[graft.ops.Dedup
     * .clusterSizeHistogram]]): connected components of the ns2 minhash
     * pair graph rolled up by cluster size — clusters, docs, docs a
@@ -2546,6 +2565,7 @@ object SparkEntry {
     "ns141_scene_cuts" -> (ns141 _),
     "ns142_audio_segments" -> (ns142 _),
     "ns143_stale_embeddings" -> (ns143 _),
+    "ns144_retrieval_eval" -> (ns144 _),
   )
 
   /** ns2's full minhash-LSH pair replay, hoisted with a `__DOCS__`
@@ -4970,5 +4990,38 @@ object SparkEntry {
          |  FROM p JOIN e2 ea ON ea.vec_id = p.id_a JOIN e2 eb ON eb.vec_id = p.id_b)
          |SELECT id_a, id_b, cosine, cosine < 0.999 AS stale
          |FROM c ORDER BY id_a, id_b""".stripMargin),
+    // ns144: the ns98 scoring algebra verbatim, fanned out per query and
+    // cut by a rank window; the eval replays the exact 1e6 DIV rank MRR.
+    "ns144_retrieval_eval" ->
+      ("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |q AS (SELECT DISTINCT doc_id AS query_id, unnest(w[1:5]) AS term
+         |  FROM w WHERE doc_id % 50 = 0),
+         |q0 AS (SELECT query_id, term FROM q WHERE term != ''),
+         |qv AS (SELECT DISTINCT term FROM q0),
+         |st AS (SELECT count(*) AS n_docs, sum(len(w)) AS total_len FROM w),
+         |tok AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM w),
+         |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM tok
+         |  JOIN qv USING (term) GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.term, tf.doc_id,
+         |    ((1000 * (2 * st.n_docs - 2 * df.df + 1)) // (2 * df.df + 1)) *
+         |    ((tf.tf * 2200 * 1000000) // (tf.tf * 1000000 +
+         |      1200 * (1000 - 750 + (750 * tf.dl * 1000) // ((st.total_len * 1000) // st.n_docs)))) AS s_term
+         |  FROM tf JOIN df USING (term), st),
+         |pq AS (SELECT q0.query_id, sc.doc_id, sum(sc.s_term)::BIGINT AS bm25
+         |  FROM sc JOIN q0 USING (term) GROUP BY q0.query_id, sc.doc_id),
+         |rk AS (SELECT query_id, doc_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank FROM pq),
+         |fr AS (SELECT query_id, min(rank)::BIGINT AS r FROM rk
+         |  WHERE rank <= 10 AND doc_id = query_id GROUP BY query_id),
+         |base AS (SELECT DISTINCT doc_id AS query_id FROM documents WHERE doc_id % 50 = 0)
+         |SELECT count(*)::BIGINT AS n_queries,
+         |  count(CASE WHEN r <= 1 THEN 1 END)::BIGINT AS hits_at_1,
+         |  count(CASE WHEN r <= 3 THEN 1 END)::BIGINT AS hits_at_3,
+         |  count(CASE WHEN r <= 10 THEN 1 END)::BIGINT AS hits_at_10,
+         |  sum(coalesce(1000000 // r, 0))::BIGINT AS mrr_micro_sum,
+         |  count(CASE WHEN r IS NULL THEN 1 END)::BIGINT AS n_missed,
+         |  (sum(coalesce(1000000 // r, 0)) // count(*))::BIGINT AS mrr_micro
+         |FROM base LEFT JOIN fr USING (query_id)""".stripMargin),
   )
 }

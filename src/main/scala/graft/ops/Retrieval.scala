@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sparse lexical retrieval — the BM25 ranker a training-data pipeline
@@ -86,5 +86,89 @@ object Retrieval {
       .agg(count(lit(1)).as("n_matched"), sum(col("s_term")).as("bm25_milli"))
       .orderBy(col("bm25_milli").desc, col("doc_id"))
       .limit(topK)
+  }
+
+  /** R2 — multi-query BM25: [[bm25TopK]] generalized to a QUERY TABLE
+    * `(query_id, terms: array<string>)` — per query, the topK
+    * highest-scoring docs with a 1-based rank. Same integer
+    * quantizations; the pre-shuffle filter broadcasts the UNION query
+    * vocabulary (≪ corpus vocab), per-(doc, term) scores compute once
+    * and fan out to the queries sharing the term via a broadcast join,
+    * and the per-query cut is one query-keyed rank window (row_number
+    * with the (score desc, doc_id) total order) instead of a global
+    * limit. Still one wide shuffle over query-term hits. */
+  def bm25TopKPerQuery(
+      docs: DataFrame, queries: DataFrame, topK: Int = 10,
+      k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val stats = w.agg(
+      count(lit(1)).as("n_docs"), sum(size(col("w"))).as("total_len"))
+    val qt = queries
+      .select(col("query_id"), explode(col("terms")).as("term"))
+      .where(col("term") =!= "").distinct()
+    val vocab = qt.select(col("term")).distinct()
+    val tf = w
+      .select(col("doc_id"), size(col("w")).as("dl"),
+        explode(col("w")).as("term"))
+      .join(broadcast(vocab), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdlMilli = expr("(total_len * 1000) DIV n_docs")
+    val idfMilli =
+      expr("(1000 * (2 * n_docs - 2 * df + 1)) DIV (2 * df + 1)")
+    val normMilli = lit(1000L) - lit(bMilli) +
+      expr(s"($bMilli * dl * 1000) DIV avgdl_milli")
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .join(broadcast(stats))
+      .withColumn("avgdl_milli", avgdlMilli)
+      .withColumn("norm_milli", normMilli)
+      .select(col("term"), col("doc_id"),
+        (idfMilli * expr(s"(tf * ${k1Milli + 1000L} * 1000000) DIV " +
+          s"(tf * 1000000 + $k1Milli * norm_milli)")).as("s_term"))
+    val wnd = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25_milli").desc, col("doc_id"))
+    scored
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"), sum(col("s_term")).as("bm25_milli"))
+      .withColumn("rank", row_number().over(wnd).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_matched"), col("bm25_milli"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** R3 — retrieval eval: hits@k and exact-integer MRR over a ranked
+    * result frame `(query_id, rank, doc_id)` and a relevance table
+    * `(query_id, doc_id)` — the quality scoreboard that turns a ranker
+    * into a measured instrument (the lexical sibling of the ANN
+    * family's ns126 recall report). MRR is released EXACTLY: per query
+    * `rr_micro = 1e6 DIV first_rel_rank` (0 for a miss), summed and
+    * floor-averaged — a float MRR would not hash-replay. Queries with
+    * no relevant doc retrieved count as misses, never vanish (the
+    * relevance table drives the denominator). Output: one summary row.
+    *
+    * Scale shape: one result-set-sized equi-join + a query-keyed min +
+    * a scalar rollup — zero corpus work beyond the input ranker. */
+  def retrievalEval(
+      ranked: DataFrame, relevant: DataFrame,
+      cutoffs: Seq[Int] = Seq(1, 3, 10)): DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs == cutoffs.sorted,
+      "cutoffs must be ascending")
+    val firstRel = ranked
+      .join(relevant, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id")).agg(min(col("rank")).as("r"))
+    val base = relevant.select(col("query_id")).distinct()
+      .join(firstRel, Seq("query_id"), "left")
+    val aggCols: Seq[Column] = cutoffs.map(k =>
+      count(when(col("r") <= k, 1)).as(s"hits_at_$k")) ++ Seq(
+      sum(coalesce(expr("1000000 DIV r"), lit(0L))).as("mrr_micro_sum"),
+      count(when(col("r").isNull, 1)).as("n_missed"))
+    base
+      .agg(count(lit(1)).as("n_queries"), aggCols: _*)
+      .withColumn("mrr_micro", expr("mrr_micro_sum DIV n_queries"))
   }
 }

@@ -388,6 +388,9 @@ object ScaleProof {
       // id-keyed vector fetches; pair rows ARE the output, count() keeps
       // the chain
       "ns143_stale_embeddings",
+      // ns144: multi-query BM25 (one query-vocab-filtered shuffle + rank
+      // window) + a result-set eval rollup — collect-forced (1-row output)
+      "ns144_retrieval_eval",
       // ns134: the ns2 band pipeline + pointer-jumping CC + two tiny key
       // aggs + one corpus anti-join — collect-forced (the singleton row
       // is an ungrouped aggregate; output is distinct-size-cardinality)
@@ -592,6 +595,7 @@ object ScaleProof {
       graft.SparkEntry.queries("ns142_audio_segments")(spark, dir)
         .agg(sum(col("n_shifts")).as("sh"), sum(col("start_band")).as("sb"),
           sum(col("end_band")).as("eb"))
+    // ns144 is a single-row eval; collect-forced via the aggForced set
     // ns140's row-share window prunes under count() (≤25 cells); forced
     def ns140Forced(dir: String): DataFrame =
       graft.SparkEntry.queries("ns140_lang_confusion")(spark, dir)
@@ -752,7 +756,7 @@ object ScaleProof {
       "ns132_fertility_forced", "ns133_mixture_forced",
       "ns135_entropy_forced", "ns136_ivm_forced", "ns138_audit_forced",
       "ns140_confusion_forced", "ns141_cuts_forced",
-      "ns142_segments_forced",
+      "ns142_segments_forced", "ns144_retrieval_eval",
       "ns134_dedup_yield",
       "ns124_join_profile", "ns125_fold_leakage",
       // single-row join of two ungrouped aggregates: count() folds to 1

@@ -142,6 +142,9 @@ class PlanSpec extends AnyFunSuite {
       // single-row broadcast: the (N, Σdl) corpus-stats scalar joins the
       // query-term postings — 1-row build side
       "ns98_bm25_retrieval" -> "single-row corpus-stats broadcast",
+      // ns144 embeds the same single-row (N, Σdl) stats broadcast inside
+      // the multi-query ranker
+      "ns144_retrieval_eval" -> "single-row corpus-stats broadcast",
       // deliberate late-interaction baseline: broadcast QUERY set (C
       // rows) × corpus, the ns6 contract; deployment composes an IVF
       // probe first

@@ -67,4 +67,42 @@ class RetrievalSpec extends AnyFunSuite {
       assert(rep == base, s"parts=$parts")
     }
   }
+
+  test("bm25TopKPerQuery: each query's ranking equals the single-query operator") {
+    val docs = corpus.toDF("doc_id", "text")
+    val queries = Seq(
+      (10L, Seq("x")), (11L, Seq("z")), (12L, Seq("x", "z"))
+    ).toDF("query_id", "terms")
+    val multi = Retrieval.bm25TopKPerQuery(docs, queries, topK = 10)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("rank"))
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bm25_milli")))
+        .toSeq).toMap
+    for ((qid, terms) <- Seq(10L -> Seq("x"), 11L -> Seq("z"),
+        12L -> Seq("x", "z"))) {
+      val single = Retrieval.bm25TopK(docs, terms, topK = 10).collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("bm25_milli"))).toSeq
+      assert(multi(qid) == single, s"query $qid")
+    }
+  }
+
+  test("retrievalEval: exact hits@k, MRR micro, and honest misses") {
+    val ranked = Seq(
+      (1L, 1L, 100L), (1L, 2L, 101L), // q1: rel at rank 1
+      (2L, 1L, 200L), (2L, 2L, 201L), (2L, 3L, 202L), // q2: rel at rank 3
+      (3L, 1L, 300L) // q3: rel never retrieved
+    ).toDF("query_id", "rank", "doc_id")
+    val relevant = Seq((1L, 100L), (2L, 202L), (3L, 999L))
+      .toDF("query_id", "doc_id")
+    val r = Retrieval.retrievalEval(ranked, relevant).head()
+    assert(r.getAs[Long]("n_queries") == 3L)
+    assert(r.getAs[Long]("hits_at_1") == 1L)
+    assert(r.getAs[Long]("hits_at_3") == 2L)
+    assert(r.getAs[Long]("hits_at_10") == 2L)
+    assert(r.getAs[Long]("n_missed") == 1L)
+    // 1e6/1 + 1e6/3 (floored) + 0
+    assert(r.getAs[Long]("mrr_micro_sum") == 1000000L + 333333L)
+    assert(r.getAs[Long]("mrr_micro") == 1333333L / 3)
+  }
 }
