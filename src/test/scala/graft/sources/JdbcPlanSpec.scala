@@ -1,0 +1,101 @@
+package graft.sources
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.config.{Filter, TableConfig}
+import graft.plan.SubsetPlanner
+
+/** Physical-plan pins for the `Drivers.read` JDBC path (embedded Derby —
+  * the in-JVM engine on Spark's classpath), the live-database twin of
+  * PlanSpec's parquet pins. The reference executes the WHOLE subset
+  * query inside the source database (`pkg/reader/engine/engine.go:136-167`
+  * builds one SELECT with WHERE/ORDER/LIMIT); our contract is that a
+  * `Match` predicate and the column projection reach the remote scan via
+  * JDBC pushdown, so a 100-TB source table is filtered where it lives,
+  * not shipped to Spark first. A refactor of `Drivers.read` (e.g. to a
+  * `query` option, which disables V1 filter pushdown) would pass every
+  * value check and silently start full-scanning the source — these pins
+  * are what catches that.
+  */
+class JdbcPlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val url = "jdbc:derby:memory:graft_planspec;create=true"
+
+  private lazy val fixture: Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("""CREATE TABLE accounts (
+          |  id INT NOT NULL PRIMARY KEY,
+          |  name VARCHAR(50) NOT NULL,
+          |  balance DOUBLE,
+          |  active SMALLINT
+          |)""".stripMargin)
+      (0 until 20).foreach(i => st.execute(
+        s"INSERT INTO accounts VALUES ($i, 'name_$i', ${i * 10.0}, ${i % 2})"))
+      st.close()
+    } finally conn.close()
+  }
+
+  private def load: String => DataFrame = t => Drivers.read(spark, url, t)
+
+  test("F1: Match predicate is pushed into the JDBC scan (PushedFilters)") {
+    fixture
+    val planner = new SubsetPlanner(load, Seq(TableConfig("ACCOUNTS",
+      filter = Filter(matchExpr = "ACTIVE = 1 AND BALANCE > 50.0"))))
+    val p = planner.plan("ACCOUNTS").queryExecution.executedPlan.toString
+    assert(p.contains("JDBCRelation(ACCOUNTS"), p.take(1200))
+    // the `*` prefix inside PushedFilters marks a filter the JDBC source
+    // handles ENTIRELY (no Spark-side re-evaluation) — pin that, not just
+    // membership: losing the star means the source stopped filtering
+    assert(p.contains("*EqualTo(ACTIVE,1)"), p.take(1200))
+    assert(p.contains("*GreaterThan(BALANCE,50.0)"), p.take(1200))
+  }
+
+  test("P1: column projection prunes the JDBC scan to the selected columns") {
+    fixture
+    val df = load("ACCOUNTS").select("ID", "NAME")
+    val p = df.queryExecution.executedPlan.toString
+    // V1 JDBC scans render their column list inline — BALANCE/ACTIVE must
+    // not be fetched from the source
+    assert(p.contains("JDBCRelation(ACCOUNTS"), p.take(1200))
+    assert(!p.contains("BALANCE"), p.take(1200))
+    assert(!p.contains("ACTIVE"), p.take(1200))
+  }
+
+  test("O2: limit over the JDBC scan stays a streaming CollectLimit " +
+    "(no exchange, no full materialization barrier)") {
+    fixture
+    val planner = new SubsetPlanner(load, Seq(TableConfig("ACCOUNTS",
+      filter = Filter(limit = 5))))
+    val got = planner.plan("ACCOUNTS")
+    val p = got.queryExecution.executedPlan.toString
+    // Spark's V1 JDBC relation does not push LIMIT into the remote SQL
+    // (that is the DSv2 JDBCTableCatalog's `pushDownLimit`); the honest
+    // contract here is that the limit short-circuits the streamed JDBC
+    // cursor — a CollectLimit directly over the scan, with NO shuffle and
+    // no wide barrier between them. The reference pushes LIMIT textually
+    // (`engine.go:158-163`); parity gap documented in COVERAGE.md.
+    assert(p.contains("CollectLimit") || p.contains("GlobalLimit"),
+      p.take(1200))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
+    assert(got.count() == 5L)
+  }
+
+  test("catalog listing query itself is pushed as a source-side query " +
+    "(no client-side view filtering)") {
+    // listTables for mysql/postgres ships a information_schema QUERY to the
+    // source (Drivers.listTablesQuery) — pin the dialect SQL shape so a
+    // refactor can't regress to fetch-all-then-filter
+    val my = Drivers.listTablesQuery("jdbc:mysql://h/db").get
+    assert(my.contains("table_type = 'BASE TABLE'") && my.contains("DATABASE()"))
+    val pg = Drivers.listTablesQuery("jdbc:postgresql://h/db").get
+    assert(pg.contains("table_type = 'BASE TABLE'") &&
+      pg.contains("NOT IN ('pg_catalog', 'information_schema')"))
+  }
+}
