@@ -54,9 +54,25 @@ object Persona {
     conv(substring(md5(concat(key, lit(FS + tag)).cast("binary")), 1, 15),
       16, 10).cast("long")
 
+  /** Corpus literal for a pick. An inline `array(lit, lit, …)` codegens
+    * one element assignment per corpus entry per pick (~8 picks per
+    * persona row), so generated-projection size grows LINEARLY with
+    * corpus size and crosses janino's 64 KB method limit somewhere in
+    * the low thousands of entries — silently dropping the anonymise
+    * projection out of whole-stage codegen (the PQ-encode failure mode,
+    * Similarity.scala:446-452), exactly when a user swaps in a bigger
+    * name corpus. A `typedLit` ArrayType literal is ONE constant held in
+    * the codegen references array — O(1) generated code at any corpus
+    * size — so picks use it unconditionally; no size threshold or
+    * broadcast fallback is needed at all (a corpus big enough to strain
+    * a driver-held literal would break faker semantics long before —
+    * PersonaPlanSizeSpec pins code-size flatness through 10k entries). */
+  private def corpusLit(corpus: IndexedSeq[String]): Column =
+    typedLit(corpus: Seq[String])
+
   /** Uniform corpus pick (row-scoped tag). */
   def pick(corpus: IndexedSeq[String], key: Column, tag: String): Column =
-    element_at(array(corpus.map(lit): _*),
+    element_at(corpusLit(corpus),
       (u(key, tag) % corpus.length).cast("int") + 1)
 
   import Corpora._
@@ -91,7 +107,7 @@ object Persona {
   /** Column-scoped corpus pick (prefix/suffix decorations vary per column). */
   private def pickCol(corpus: IndexedSeq[String], key: Column, tag: String,
       column: String): Column =
-    element_at(array(corpus.map(lit): _*),
+    element_at(corpusLit(corpus),
       (u(key, tag + FS + column) % corpus.length).cast("int") + 1)
 
   /** The persona-backed faker surface ([[Fakers.personaBacked]]) as

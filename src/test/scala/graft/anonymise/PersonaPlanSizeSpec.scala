@@ -1,0 +1,92 @@
+package graft.anonymise
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.WholeStageCodegenExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Plan-size guard for the persona corpus literals (VERDICT r10 #4).
+  *
+  * The failure mode being pinned: an inline `array(lit…)` corpus makes the
+  * generated anonymise projection grow linearly with corpus size, and past
+  * janino's 64 KB method limit Spark silently falls back to interpreted
+  * projection — no error, just a 10×-slower k14 the day someone swaps in a
+  * bigger name corpus. `Persona.corpusLit` uses a `typedLit` ArrayType
+  * constant instead, so generated code must stay FLAT in corpus size and
+  * the projection must stay inside whole-stage codegen even with corpora
+  * 100× the shipped ones.
+  *
+  * Plan assertions run against parquet-backed frames — Seq-local frames
+  * constant-fold the whole projection into LocalTableScan and prove
+  * nothing (see .claude/skills/verify gotchas).
+  */
+class PersonaPlanSizeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** A k14-shaped persona projection whose every pick draws from `corpus`. */
+  private def personaFrame(corpus: IndexedSeq[String]): DataFrame = {
+    val base = spark.read.parquet(s"$sf/customer.parquet")
+    val key = Persona.rowKey("s3cr3t", "customer", Seq(col("c_custkey")))
+    base.select(
+      col("c_custkey"),
+      Persona.pick(corpus, key, "pf").as("first"),
+      Persona.pick(corpus, key, "pl").as("last"),
+      concat(Persona.pick(corpus, key, "uw"), lit("_"),
+        Persona.pick(corpus, key, "d1")).as("handle"),
+      Persona.pick(corpus, key, "d2").as("domain"))
+  }
+
+  /** ONLY the generated-code bodies: codegenString prefixes each subtree
+    * with its physical-plan dump, whose Literal toString embeds the whole
+    * corpus — measuring that would show growth that isn't code. */
+  private def codegenOf(df: DataFrame): String = {
+    val full = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    full.split("Generated code:").drop(1).mkString("\n")
+  }
+
+  private def mkCorpus(n: Int): IndexedSeq[String] =
+    (0 until n).map(i => s"word$i")
+
+  test("generated code size is FLAT in corpus size (typedLit constant, " +
+    "not per-element codegen)") {
+    val small = codegenOf(personaFrame(mkCorpus(100)))
+    val big = codegenOf(personaFrame(mkCorpus(10000)))
+    // identical plan shape → near-identical generated code; allow slack for
+    // constant-pool index width. An inline-array regression makes `big`
+    // tens of thousands of lines longer — this catches it at any margin.
+    assert(math.abs(big.length - small.length) < 2000,
+      s"codegen grew with corpus size: small=${small.length} B, " +
+        s"big=${big.length} B")
+  }
+
+  test("persona projection stays inside whole-stage codegen at 10k-entry " +
+    "corpora (no interpreted fallback past janino's limit)") {
+    val df = personaFrame(mkCorpus(10000))
+    val plan = df.queryExecution.executedPlan
+    assert(plan.exists(_.isInstanceOf[WholeStageCodegenExec]),
+      plan.toString.take(1200))
+    // the whole projection must sit in ONE codegen'd stage fused with the
+    // scan: no fallback marker, and the generated code actually compiles
+    // (codegenString forces generation; janino failure logs + interprets)
+    val cg = codegenOf(df)
+    assert(cg.nonEmpty && cg.contains("processNext"), cg.take(400))
+    // sanity: values still correct under typedLit (element_at is 1-based
+    // over the constant array; md5 index arithmetic unchanged)
+    val r = df.orderBy("c_custkey").limit(3).collect()
+    assert(r.forall(_.getString(1).startsWith("word")), r.toSeq.toString)
+  }
+
+  test("the shipped k14 faker projection still fuses into the scan's " +
+    "codegen span") {
+    val df = graft.SparkEntry.queries("k14_anon_faker")(spark, sf)
+    df.collect() // AQE: WholeStageCodegenExec nodes appear post-finalization
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("*("), p.take(1200)) // codegen span marker
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
+  }
+}
