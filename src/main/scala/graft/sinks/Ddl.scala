@@ -140,7 +140,8 @@ final case class TableStructure(
     collations: Map[String, String] = Map.empty, // column -> explicit collation
     exclusions: Seq[(String, String)] = Nil,   // (name, "EXCLUDE USING ..." text)
     comment: Option[String] = None,            // table comment
-    columnComments: Map[String, String] = Map.empty)
+    columnComments: Map[String, String] = Map.empty,
+    nativeTypes: Map[String, String] = Map.empty) // column -> source TYPE_NAME
 
 /** A standalone sequence — one the catalog owns directly, NOT the hidden
   * backing sequence of a serial/identity column (those replay through
@@ -165,6 +166,94 @@ final case class ViewStructure(name: String, definition: String)
   * `pkg/reader/postgres/pg_dump.go:32-59`). */
 final case class TriggerStructure(name: String, definition: String)
 
+/** The EXACT Postgres catalog SQL the typed scrape ships, as named
+  * constants. Why constants: the zero-egress sandbox has a live
+  * PostgreSQL 15 server but no JDBC driver jar, so the only way to
+  * execute these statements against a real engine is `psql`
+  * (`tools/live_pg_check.sh` + [[PgCatalogProbe]]); holding them here
+  * guarantees the probe validates the very strings the scrape runs, with
+  * zero drift. `?` placeholders take the table name (the probe
+  * substitutes a quoted literal). */
+object PgCatalog {
+  val views: String =
+    "SELECT table_name, pg_get_viewdef(table_name::regclass, true) " +
+      "FROM information_schema.views WHERE table_schema = current_schema()"
+  val triggers: String =
+    "SELECT t.tgname, pg_get_triggerdef(t.oid, true) " +
+      "FROM pg_trigger t JOIN pg_class c ON c.oid = t.tgrelid " +
+      "JOIN pg_namespace n ON n.oid = c.relnamespace " +
+      "WHERE NOT t.tgisinternal AND n.nspname = current_schema()"
+  val generated: String =
+    "SELECT column_name, generation_expression " +
+      "FROM information_schema.columns " +
+      "WHERE table_schema = current_schema() AND table_name = ? " +
+      "AND is_generated = 'ALWAYS'"
+  val collations: String =
+    "SELECT column_name, collation_name " +
+      "FROM information_schema.columns " +
+      "WHERE table_schema = current_schema() AND table_name = ? " +
+      "AND collation_name IS NOT NULL"
+  val tableComment: String =
+    "SELECT obj_description(c.oid, 'pg_class') FROM pg_class c " +
+      "JOIN pg_namespace n ON n.oid = c.relnamespace " +
+      "WHERE c.relname = ? AND n.nspname = current_schema()"
+  val columnComments: String =
+    "SELECT a.attname, col_description(c.oid, a.attnum) " +
+      "FROM pg_class c " +
+      "JOIN pg_namespace n ON n.oid = c.relnamespace " +
+      "JOIN pg_attribute a ON a.attrelid = c.oid " +
+      "WHERE c.relname = ? AND n.nspname = current_schema() " +
+      "AND a.attnum > 0 AND NOT a.attisdropped"
+  // CHECKs come from pg_constraint, NOT information_schema — the live
+  // PG 15 run (tools/live_pg_check.sh, round 11) caught two real defects
+  // in the information_schema shape this replaced: (a) its
+  // check_constraints view is keyed by (schema, constraint NAME), but
+  // Postgres constraint names are only unique per TABLE, so two tables
+  // sharing a CHECK name bled each other's clauses into the scrape; and
+  // (b) the system NOT NULL rows it mixes in carry THREE-segment names on
+  // this engine (`2200_18230_1_not_null`), escaping the historical
+  // two-segment `^[0-9]+_[0-9]+_not_null$` filter. pg_constraint
+  // contype='c' is keyed by conrelid (no cross-table bleed) and contains
+  // no NOT NULL rows at all before PG 17. The returned
+  // pg_get_constraintdef text is "CHECK ((expr))" — [[Ddl.stripPgCheckDef]]
+  // unwraps it to the bare clause the TableStructure contract stores.
+  val checks: String =
+    "SELECT r.conname, pg_catalog.pg_get_constraintdef(r.oid, true) " +
+      "FROM pg_catalog.pg_constraint r " +
+      "JOIN pg_class c ON c.oid = r.conrelid " +
+      "JOIN pg_namespace n ON n.oid = c.relnamespace " +
+      "WHERE r.contype = 'c' AND c.relname = ? " +
+      "AND n.nspname = current_schema() ORDER BY r.conname"
+  val exclusions: String =
+    "SELECT r.conname, pg_catalog.pg_get_constraintdef(r.oid, true) " +
+      "FROM pg_catalog.pg_constraint r " +
+      "JOIN pg_class c ON c.oid = r.conrelid " +
+      "JOIN pg_namespace n ON n.oid = c.relnamespace " +
+      "WHERE r.contype = 'x' AND c.relname = ? " +
+      "AND n.nspname = current_schema() ORDER BY r.conname"
+  val partitionKey: String =
+    "SELECT pg_get_partkeydef(c.oid) FROM pg_class c " +
+      "JOIN pg_namespace n ON n.oid = c.relnamespace " +
+      "WHERE c.relname = ? AND c.relkind = 'p' " +
+      "AND n.nspname = current_schema()"
+  val sequences: String =
+    "SELECT s.sequence_name, s.data_type, " +
+      "s.start_value::bigint, s.increment::bigint " +
+      "FROM information_schema.sequences s " +
+      "WHERE s.sequence_schema = current_schema() " +
+      "AND NOT EXISTS (SELECT 1 FROM pg_depend d " +
+      "JOIN pg_class c ON c.oid = d.objid " +
+      "WHERE c.relname = s.sequence_name AND d.deptype IN ('a','i'))"
+
+  /** Every constant above, named — the probe iterates this. */
+  val all: Seq[(String, String)] = Seq(
+    "views" -> views, "triggers" -> triggers, "generated" -> generated,
+    "collations" -> collations, "table_comment" -> tableComment,
+    "column_comments" -> columnComments, "checks" -> checks,
+    "exclusions" -> exclusions, "partition_key" -> partitionKey,
+    "sequences" -> sequences)
+}
+
 object Ddl {
 
   /** Extract view definitions from a live catalog. Engine-routed: the
@@ -178,8 +267,7 @@ object Ddl {
         Some("SELECT table_name, view_definition FROM information_schema.views " +
           "WHERE table_schema = DATABASE()")
       else if (url.startsWith("jdbc:postgresql:"))
-        Some("SELECT table_name, pg_get_viewdef(table_name::regclass, true) " +
-          "FROM information_schema.views WHERE table_schema = current_schema()")
+        Some(PgCatalog.views)
       else if (url.startsWith("jdbc:derby:"))
         Some("SELECT t.TABLENAME, v.VIEWDEFINITION FROM SYS.SYSVIEWS v " +
           "JOIN SYS.SYSTABLES t ON t.TABLEID = v.TABLEID")
@@ -233,10 +321,7 @@ object Ddl {
       } finally st.close()
     }
     if (url.startsWith("jdbc:postgresql:"))
-      collect("SELECT t.tgname, pg_get_triggerdef(t.oid, true) " +
-        "FROM pg_trigger t JOIN pg_class c ON c.oid = t.tgrelid " +
-        "JOIN pg_namespace n ON n.oid = c.relnamespace " +
-        "WHERE NOT t.tgisinternal AND n.nspname = current_schema()")(rs =>
+      collect(PgCatalog.triggers)(rs =>
         TriggerStructure(rs.getString(1), rs.getString(2)))
     else if (url.startsWith("jdbc:mysql:"))
       collect("SELECT TRIGGER_NAME, ACTION_TIMING, EVENT_MANIPULATION, " +
@@ -296,6 +381,37 @@ object Ddl {
     * it after (mysql/reader.go:96-109 wraps the dump in
     * FOREIGN_KEY_CHECKS=0/1), so FKs replay as post-load ALTERs
     * ([[addForeignKeys]]); that also makes any CREATE order valid. */
+  /** Source native type names (case-insensitive, length args stripped,
+    * `_`/`[]` array markers stripped — arrays of standard elements ARE
+    * modeled) that the typed scrape replays as the same type family.
+    * Everything else — extension types (citext, hstore, postgis geometry),
+    * enums, domains, json/jsonb, uuid, inet/cidr, range types,
+    * timestamptz — is exactly the `pg_dump --schema-only` opaque-carry
+    * scope (`pkg/reader/postgres/pg_dump.go:32-59`) that this scrape
+    * degrades through Spark's read schema to the closest standard analog.
+    * [[createTable]] pins that degradation to a pointed per-column
+    * diagnostic naming both types, never a silent swap. */
+  private val ReplayableNativeTypes: Set[String] = Set(
+    "tinyint", "smallint", "mediumint", "int", "integer", "bigint",
+    "int2", "int4", "int8", "serial", "smallserial", "bigserial",
+    "float", "float4", "float8", "real", "double", "double precision",
+    "numeric", "decimal", "dec", "bool", "boolean", "bit",
+    "char", "character", "varchar", "character varying", "nchar",
+    "nvarchar", "long varchar", "text", "tinytext", "mediumtext",
+    "longtext", "clob", "date", "time", "timestamp", "datetime",
+    "timestamp without time zone", "blob", "tinyblob", "mediumblob",
+    "longblob", "binary", "varbinary", "bytea",
+    "char () for bit data", "varchar () for bit data",
+    "long varchar for bit data")
+
+  private[sinks] def isReplayableNativeType(typeName: String): Boolean = {
+    val n = typeName.toLowerCase
+      .replaceAll("\\(\\s*\\d+(\\s*,\\s*\\d+)?\\s*\\)", "")
+      .replaceAll("\\s+", " ").trim
+      .stripPrefix("_").stripSuffix("[]").trim // pg arrays: _int4 / int4[]
+    ReplayableNativeTypes.contains(n)
+  }
+
   def createTable(ts: TableStructure, dialect: Dialect): String = {
     val cols = ts.schema.fields.map { f =>
       val identity = ts.autoIncrement.contains(f.name)
@@ -385,7 +501,21 @@ object Ddl {
         s" COMMENT='${c.replace("'", "''")}'"
       case _ => ""
     }
-    s"$collPrefix$exPrefix${partPrefix}CREATE TABLE ${dialect.quote(ts.table)} (\n${(cols ++ pk ++ uq ++ ck ++ ex).mkString(",\n")}\n)$tblComment$partSuffix;"
+    // extension/custom source types: the typed scrape reads them through
+    // Spark\'s schema, which has already swapped the engine type for its
+    // closest standard analog — a swap pg_dump would never make. The
+    // fidelity contract here matches exclusions/collations: a pointed
+    // prefix note per column naming BOTH types, so an operator can
+    // `CREATE EXTENSION` + `ALTER COLUMN TYPE` after replay instead of
+    // discovering the degradation in production. DdlExoticaSpec pins it.
+    val typeNotePrefix = ts.schema.fields.flatMap { f =>
+      ts.nativeTypes.get(f.name).filterNot(isReplayableNativeType).map { tn =>
+        s"-- ${f.name}: source native type \'$tn\' replayed as " +
+          s"${dialect.typeName(f.dataType)} (outside the typed scrape\'s " +
+          "standard-SQL model; pg_dump --schema-only carries it verbatim)\n"
+      }
+    }.mkString
+    s"$collPrefix$exPrefix$typeNotePrefix${partPrefix}CREATE TABLE ${dialect.quote(ts.table)} (\n${(cols ++ pk ++ uq ++ ck ++ ex).mkString(",\n")}\n)$tblComment$partSuffix;"
   }
 
   /** Post-load secondary-index replay: one `CREATE INDEX` per non-unique
@@ -510,15 +640,19 @@ object Ddl {
           rs.getString("IS_AUTOINCREMENT"),
           // IS_GENERATEDCOLUMN is JDBC 4.1 standard but drivers vary —
           // absent/unsupported reads as "not generated"
-          try rs.getString("IS_GENERATEDCOLUMN") catch { case _: Exception => "NO" })))
+          try rs.getString("IS_GENERATEDCOLUMN") catch { case _: Exception => "NO" },
+          // the engine's own name for the column type (citext, hstore,
+          // geometry…) — what pg_dump would emit verbatim; kept so replay
+          // can DIAGNOSE types the typed scrape degrades (see createTable)
+          try rs.getString("TYPE_NAME") catch { case _: Exception => null })))
     val autoInc = colRows.collect {
-      case (c, _, auto, _) if auto != null && auto.equalsIgnoreCase("YES") => c
+      case (c, _, auto, _, _) if auto != null && auto.equalsIgnoreCase("YES") => c
     }.toSet
     // generated columns: Derby surfaces the expression through COLUMN_DEF
     // ("GENERATED ALWAYS AS ( expr )"); MySQL/Postgres route through
     // information_schema (their drivers leave COLUMN_DEF null for these)
     val genFromMeta = colRows.collect {
-      case (c, d, _, g) if g != null && g.equalsIgnoreCase("YES") &&
+      case (c, d, _, g, _) if g != null && g.equalsIgnoreCase("YES") &&
         d != null && parseGeneratedExpr(d).nonEmpty =>
         c -> parseGeneratedExpr(d).get
     }.toMap
@@ -526,9 +660,13 @@ object Ddl {
       if (genFromMeta.nonEmpty) genFromMeta
       else generatedFromCatalog(conn, candidates)
     val defaults = colRows
-      .collect { case (c, d, _, _) if d != null && d.trim.nonEmpty &&
+      .collect { case (c, d, _, _, _) if d != null && d.trim.nonEmpty &&
         !autoInc.contains(c) && !generated.contains(c) =>
         c -> d.trim } // identity/generation defaults are engine noise
+      .toMap
+    val nativeTypes = colRows
+      .collect { case (c, _, _, _, tn) if tn != null && tn.trim.nonEmpty =>
+        c -> tn.trim }
       .toMap
 
     val checks = checksFromJdbc(conn, candidates)
@@ -555,7 +693,8 @@ object Ddl {
       collations = collations.map { case (c, n) => fix(c) -> n },
       exclusions = exclusions,
       comment = tblComment,
-      columnComments = colComments.map { case (c, t) => fix(c) -> t })
+      columnComments = colComments.map { case (c, t) => fix(c) -> t },
+      nativeTypes = nativeTypes.map { case (c, t) => fix(c) -> t })
   }
 
   /** "GENERATED ALWAYS AS ( expr )" → "expr" (Derby's COLUMN_DEF shape). */
@@ -580,10 +719,7 @@ object Ddl {
           "WHERE TABLE_SCHEMA = DATABASE() AND TABLE_NAME = ? " +
           "AND GENERATION_EXPRESSION IS NOT NULL AND GENERATION_EXPRESSION != ''")
       else if (url.startsWith("jdbc:postgresql:"))
-        Some("SELECT column_name, generation_expression " +
-          "FROM information_schema.columns " +
-          "WHERE table_schema = current_schema() AND table_name = ? " +
-          "AND is_generated = 'ALWAYS'")
+        Some(PgCatalog.generated)
       else None
     query.toSeq.flatMap { q =>
       tableCandidates.iterator.map { t =>
@@ -621,10 +757,7 @@ object Ddl {
           "AND c.COLLATION_NAME IS NOT NULL " +
           "AND c.COLLATION_NAME != t.TABLE_COLLATION")
       else if (url.startsWith("jdbc:postgresql:"))
-        Some("SELECT column_name, collation_name " +
-          "FROM information_schema.columns " +
-          "WHERE table_schema = current_schema() AND table_name = ? " +
-          "AND collation_name IS NOT NULL")
+        Some(PgCatalog.collations)
       else None
     query.toSeq.flatMap { q =>
       tableCandidates.iterator.map { t =>
@@ -681,15 +814,7 @@ object Ddl {
           "FROM information_schema.COLUMNS " +
           "WHERE TABLE_SCHEMA = DATABASE() AND TABLE_NAME = ?"))
     else if (url.startsWith("jdbc:postgresql:"))
-      (one("SELECT obj_description(c.oid, 'pg_class') FROM pg_class c " +
-        "JOIN pg_namespace n ON n.oid = c.relnamespace " +
-        "WHERE c.relname = ? AND n.nspname = current_schema()"),
-        many("SELECT a.attname, col_description(c.oid, a.attnum) " +
-          "FROM pg_class c " +
-          "JOIN pg_namespace n ON n.oid = c.relnamespace " +
-          "JOIN pg_attribute a ON a.attrelid = c.oid " +
-          "WHERE c.relname = ? AND n.nspname = current_schema() " +
-          "AND a.attnum > 0 AND NOT a.attisdropped"))
+      (one(PgCatalog.tableComment), many(PgCatalog.columnComments))
     else (None, Map.empty)
   }
 
@@ -702,13 +827,7 @@ object Ddl {
     val url = Option(conn.getMetaData.getURL).getOrElse("")
     if (!url.startsWith("jdbc:postgresql:")) return Nil
     tableCandidates.iterator.map { t =>
-      val ps = conn.prepareStatement(
-        "SELECT r.conname, pg_catalog.pg_get_constraintdef(r.oid, true) " +
-          "FROM pg_catalog.pg_constraint r " +
-          "JOIN pg_class c ON c.oid = r.conrelid " +
-          "JOIN pg_namespace n ON n.oid = c.relnamespace " +
-          "WHERE r.contype = 'x' AND c.relname = ? " +
-          "AND n.nspname = current_schema() ORDER BY r.conname")
+      val ps = conn.prepareStatement(PgCatalog.exclusions)
       try {
         ps.setString(1, t)
         val rs = ps.executeQuery()
@@ -741,13 +860,7 @@ object Ddl {
       } finally st.close()
     }
     if (url.startsWith("jdbc:postgresql:"))
-      collect("SELECT s.sequence_name, s.data_type, " +
-        "s.start_value::bigint, s.increment::bigint " +
-        "FROM information_schema.sequences s " +
-        "WHERE s.sequence_schema = current_schema() " +
-        "AND NOT EXISTS (SELECT 1 FROM pg_depend d " +
-        "JOIN pg_class c ON c.oid = d.objid " +
-        "WHERE c.relname = s.sequence_name AND d.deptype IN ('a','i'))")
+      collect(PgCatalog.sequences)
     else if (url.startsWith("jdbc:derby:"))
       // SEQUENCEDATATYPE is a TypeDescriptor whose string form is the SQL
       // type name. Derby materializes IDENTITY backing sequences in
@@ -809,11 +922,7 @@ object Ddl {
     val url = Option(conn.getMetaData.getURL).getOrElse("")
     if (url.startsWith("jdbc:postgresql:")) {
       tableCandidates.iterator.flatMap { t =>
-        val ps = conn.prepareStatement(
-          "SELECT pg_get_partkeydef(c.oid) FROM pg_class c " +
-            "JOIN pg_namespace n ON n.oid = c.relnamespace " +
-            "WHERE c.relname = ? AND c.relkind = 'p' " +
-            "AND n.nspname = current_schema()")
+        val ps = conn.prepareStatement(PgCatalog.partitionKey)
         try {
           ps.setString(1, t)
           val rs = ps.executeQuery()
@@ -950,22 +1059,10 @@ object Ddl {
           "WHERE tc.TABLE_SCHEMA = DATABASE() AND tc.TABLE_NAME = ? " +
           "AND tc.CONSTRAINT_TYPE = 'CHECK'")
       else if (url.startsWith("jdbc:postgresql:"))
-        Some("SELECT tc.constraint_name, cc.check_clause " +
-          "FROM information_schema.table_constraints tc " +
-          "JOIN information_schema.check_constraints cc " +
-          "ON cc.constraint_schema = tc.constraint_schema " +
-          "AND cc.constraint_name = tc.constraint_name " +
-          "WHERE tc.table_schema = current_schema() AND tc.table_name = ? " +
-          "AND tc.constraint_type = 'CHECK' " +
-          // exclude only the system-generated column NOT NULL rows — their
-          // names follow the exact shape <relid>_<attnum>_not_null, so match
-          // that precisely. A bare `NOT LIKE '%not_null'` would also drop a
-          // genuine user constraint named e.g. `email_not_null`, and
-          // filtering on the CLAUSE text would drop user constraints that
-          // merely contain an IS NOT NULL,
-          // e.g. CHECK (email IS NOT NULL OR phone IS NOT NULL)
-          "AND tc.constraint_name !~ '^[0-9]+_[0-9]+_not_null$'")
+        Some(PgCatalog.checks) // pg_constraint rationale: see PgCatalog
       else None
+    val post: String => String =
+      if (url.startsWith("jdbc:postgresql:")) stripPgCheckDef else _.trim
     query.toSeq.flatMap { q =>
       tableCandidates.iterator.map { t =>
         val ps = conn.prepareStatement(q)
@@ -973,11 +1070,32 @@ object Ddl {
           ps.setString(1, t)
           val rs = ps.executeQuery()
           val buf = collection.mutable.ArrayBuffer.empty[(String, String)]
-          try while (rs.next()) buf += (rs.getString(1) -> rs.getString(2).trim)
+          try while (rs.next()) buf += (rs.getString(1) -> post(rs.getString(2)))
           finally rs.close()
           buf.sortBy(_._1).toSeq
         } finally ps.close()
       }.find(_.nonEmpty).getOrElse(Nil)
     }
+  }
+
+  /** Unwrap `pg_get_constraintdef`'s "CHECK ((expr))" to the bare clause
+    * (one balanced outer paren pair; trailing options like NOT VALID stay
+    * attached to the clause — better carried than dropped). Validated
+    * against live PG 15 output by tools/live_pg_check.sh. */
+  private[sinks] def stripPgCheckDef(defn: String): String = {
+    val t = defn.trim.stripPrefix("CHECK").trim
+    def outerBalanced(s: String): Boolean = {
+      if (!(s.startsWith("(") && s.endsWith(")"))) return false
+      var depth = 0
+      s.indices.foreach { i =>
+        s.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0 && i < s.length - 1) return false
+          case _ =>
+        }
+      }
+      depth == 0
+    }
+    if (outerBalanced(t)) t.substring(1, t.length - 1).trim else t
   }
 }
