@@ -2129,6 +2129,36 @@ object SparkEntry {
       fam.select(col("doc_id"), synth(col("t"), col("bits")).as("content")))
   }
 
+  /** NS145 — REAL AVI container keyframes ([[graft.ops.AviSynth]] →
+    * [[graft.ops.Avi.keyframes]]): the round-11 upgrade of the ns83
+    * byte-window "frames" to a CONTAINER-AWARE parse (VERDICT r10 #5,
+    * the ns90 pattern applied to video). Each doc's text is muxed into a
+    * spec-true RIFF/AVI with MJPEG-framed 48-byte windows and an idx1
+    * index flagging every 3rd frame AVIIF_KEYFRAME; the engine parses
+    * the real index (movi-relative offsets, even-byte chunk padding) and
+    * reports per doc the frame/keyframe counts, the keyframe offset and
+    * byte totals, and the keyframe payload byte-sum. The oracle
+    * recomputes ALL of it from first principles — window arithmetic +
+    * prefix-summed chunk offsets + hex-expanded payload bytes, no RIFF
+    * container anywhere — so a green hash certifies the muxer, the idx1
+    * parse, and the payload slicing end-to-end. Scale shape: one
+    * mapPartitions decode pass (binary codec — the legit case), tiny
+    * per-frame tuples into one doc_id rollup; corrupt blobs skip as Nil
+    * (AviSpec), never kill a task. */
+  private def ns145(s: SparkSession, dir: String): DataFrame = {
+    val synth = udf((t: String) => graft.ops.AviSynth.aviOf(t))
+    val media = docs(s, dir).select(col("doc_id"),
+      synth(col("text")).as("content"))
+    graft.ops.Avi.keyframes(media, keyframesOnly = false)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("is_key"), 1L).otherwise(0L)).as("n_keyframes"),
+        sum(when(col("is_key"), col("offset"))).as("key_offset_sum"),
+        sum(when(col("is_key"), col("size"))).as("key_bytes"),
+        sum(when(col("is_key"), col("payload_sum"))).as("key_payload_sum"))
+      .orderBy("doc_id")
+  }
+
   /** NS143 — cross-modal staleness audit ([[graft.ops.Integrity
     * .staleEmbeddings]]): byte-identical texts whose embeddings
     * disagree — the stale-re-embed bug detector. The raw corpus has no
@@ -2566,6 +2596,7 @@ object SparkEntry {
     "ns142_audio_segments" -> (ns142 _),
     "ns143_stale_embeddings" -> (ns143 _),
     "ns144_retrieval_eval" -> (ns144 _),
+    "ns145_avi_keyframes" -> (ns145 _),
   )
 
   /** ns2's full minhash-LSH pair replay, hoisted with a `__DOCS__`
@@ -5023,5 +5054,39 @@ object SparkEntry {
          |  count(CASE WHEN r IS NULL THEN 1 END)::BIGINT AS n_missed,
          |  (sum(coalesce(1000000 // r, 0)) // count(*))::BIGINT AS mrr_micro
          |FROM base LEFT JOIN fr USING (query_id)""".stripMargin),
+    // ns145 rebuilds the AVI geometry with NO container: 48-byte windows
+    // (w = least(48, n - 48i), payload L = w + 4 markers), chunk stride
+    // 8 + L + L%2 prefix-summed from the movi-relative start offset 4,
+    // keyframes at i % 3 = 0, and payload byte-sums from the hex-expanded
+    // text (+943 for the SOI/EOI markers) - the writer/parser cannot
+    // share a bug with this arithmetic.
+    "ns145_avi_keyframes" ->
+      ("""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+         |    octet_length(encode(text)) AS n FROM documents
+         |  WHERE octet_length(encode(text)) > 0),
+         |fr AS (SELECT doc_id, hx, n, unnest(range(0, (n + 47) // 48)) AS i FROM h),
+         |fz AS (SELECT doc_id, hx, i, least(48, n - 48 * i) AS w FROM fr),
+         |off AS (SELECT doc_id, hx, i, w,
+         |    4 + coalesce(sum(8 + w + 4 + (w % 2)) OVER (PARTITION BY doc_id
+         |      ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM fz),
+         |sel AS (SELECT doc_id, count(*) AS n_frames,
+         |    count(CASE WHEN i % 3 = 0 THEN 1 END) AS n_keyframes,
+         |    sum(CASE WHEN i % 3 = 0 THEN off END) AS key_offset_sum,
+         |    sum(CASE WHEN i % 3 = 0 THEN w + 4 END) AS key_bytes
+         |  FROM off GROUP BY doc_id),
+         |pb AS (SELECT doc_id, i,
+         |    sum(('0x' || substr(hx, (2 * (48 * i + j) + 1)::INT, 2))::INT) AS wsum
+         |  FROM (SELECT doc_id, hx, i, unnest(range(0, w)) AS j FROM off
+         |        WHERE i % 3 = 0)
+         |  GROUP BY doc_id, i),
+         |ps AS (SELECT doc_id, (sum(wsum) + 943 * count(*)) AS key_payload_sum
+         |  FROM pb GROUP BY doc_id)
+         |SELECT s.doc_id, s.n_frames::BIGINT AS n_frames,
+         |  s.n_keyframes::BIGINT AS n_keyframes,
+         |  s.key_offset_sum::BIGINT AS key_offset_sum,
+         |  s.key_bytes::BIGINT AS key_bytes,
+         |  ps.key_payload_sum::BIGINT AS key_payload_sum
+         |FROM sel s JOIN ps USING (doc_id) ORDER BY s.doc_id""".stripMargin),
   )
 }

@@ -1,0 +1,202 @@
+package graft.ops
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Real AVI (RIFF) container handling for the video-keyframe leg — the
+  * round-11 upgrade of [[Multimodal.frameSample]]'s fixed byte-window
+  * slicing to a CONTAINER-AWARE keyframe parse (VERDICT r10 #5), built
+  * exactly like ns90's WAV work: a deterministic synthesizer producing a
+  * spec-true container, a parser reading the real structures back, and an
+  * oracle that recomputes the keyframe offsets independently from the
+  * same inputs, so a green hash certifies the container write + index
+  * parse end-to-end.
+  *
+  * The reference has no media handling at all (north-star scope); the
+  * container layout here is the public AVI RIFF spec: `RIFF('AVI '
+  * LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi' '00dc'…) idx1)`,
+  * with the standard `idx1` quirk that entry offsets are measured from
+  * the position of the `movi` fourcc (so the first chunk sits at offset
+  * 4), and chunks pad to even length.
+  */
+object AviSynth {
+  /** Bytes of text covered by one MJPEG frame payload. */
+  val FrameWindow = 48
+  /** Every Kth frame is flagged AVIIF_KEYFRAME — a GOP of 3. */
+  val KeyframeStride = 3
+  /** SOI/EOI markers wrapped around each frame's window (payload byte sum
+    * contribution = 0xff+0xd8+0xff+0xd9 = 943, used by the ns145 oracle). */
+  val MarkerSum = 943
+
+  private val AVIIF_KEYFRAME = 0x10
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def u32(v: Long): Array[Byte] =
+    ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt((v & 0xffffffffL).toInt).array()
+
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
+    fourcc(id) ++ u32(body.length.toLong) ++ body ++ pad
+  }
+
+  private def list(kind: String, body: Array[Byte]): Array[Byte] =
+    chunk("LIST", fourcc(kind) ++ body)
+
+  /** One MJPEG-framed payload: SOI + the text-byte window + EOI. */
+  private[ops] def framePayload(bytes: Array[Byte], i: Int): Array[Byte] = {
+    val from = i * FrameWindow
+    val until = math.min(bytes.length, from + FrameWindow)
+    Array(0xff.toByte, 0xd8.toByte) ++
+      java.util.Arrays.copyOfRange(bytes, from, until) ++
+      Array(0xff.toByte, 0xd9.toByte)
+  }
+
+  /** A complete, spec-true AVI byte stream whose `movi` chunks carry the
+    * text bytes as MJPEG-framed windows and whose `idx1` flags every
+    * [[KeyframeStride]]-th frame as a keyframe. Deterministic in `text`. */
+  def aviOf(text: String): Array[Byte] = {
+    val bytes =
+      if (text == null) Array.emptyByteArray
+      else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val nFrames = (bytes.length + FrameWindow - 1) / FrameWindow
+
+    val avih = chunk("avih", u32(40000L) ++ u32(0L) ++ u32(0L) ++
+      u32(0x10L) /* AVIF_HASINDEX */ ++ u32(nFrames.toLong) ++ u32(0L) ++
+      u32(1L) /* streams */ ++ u32(0L) ++ u32(16L) ++ u32(8L) ++
+      Array.fill(16)(0.toByte))
+    val strh = chunk("strh", fourcc("vids") ++ fourcc("MJPG") ++
+      u32(0L) ++ u32(0L) ++ u32(0L) ++ u32(1L) /* scale */ ++
+      u32(25L) /* rate */ ++ u32(0L) ++ u32(nFrames.toLong) ++
+      u32(0L) ++ u32(0L) ++ u32(0L) ++ u32(0L) ++
+      Array.fill(8)(0.toByte))
+    val strf = chunk("strf", u32(40L) ++ u32(16L) ++ u32(8L) ++
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        .putShort(1).putShort(24).array() ++
+      fourcc("MJPG") ++ u32(16L * 8 * 3) ++ u32(0L) ++ u32(0L) ++
+      u32(0L) ++ u32(0L))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+
+    val frames = (0 until nFrames).map(i => framePayload(bytes, i))
+    val movi = list("movi", frames.flatMap(p => chunk("00dc", p)).toArray)
+
+    // idx1 offsets count from the position of the 'movi' fourcc: the
+    // first '00dc' ckid sits at offset 4 (right after the fourcc)
+    var off = 4L
+    val idxEntries = frames.zipWithIndex.flatMap { case (p, i) =>
+      val e = fourcc("00dc") ++
+        u32(if (i % KeyframeStride == 0) AVIIF_KEYFRAME.toLong else 0L) ++
+        u32(off) ++ u32(p.length.toLong)
+      off += 8 + p.length + (p.length % 2)
+      e
+    }.toArray
+    val idx1 = chunk("idx1", idxEntries)
+
+    chunk("RIFF", fourcc("AVI ") ++ hdrl ++ movi ++ idx1)
+  }
+}
+
+/** One parsed frame from a real AVI container. `offset` is the idx1
+  * entry's movi-relative chunk offset (the verifiable container fact the
+  * ns145 oracle recomputes); `payload` is the frame's actual bytes read
+  * from the movi list at that offset. */
+final case class AviFrame(
+    index: Int, isKeyframe: Boolean, offset: Long, size: Long,
+    payload: Array[Byte])
+
+object Avi {
+
+  /** Parse a real AVI container: locate the `movi` LIST and the `idx1`
+    * chunk at the RIFF top level, decode the 16-byte idx1 entries, and
+    * slice each frame's payload out of `movi` at its indexed offset.
+    * Malformed/truncated/non-AVI bytes return Nil — a corrupt blob in a
+    * 100-TB corpus must skip cleanly, never kill the task. Handles both
+    * idx1 offset conventions in the wild (movi-fourcc-relative — written
+    * by [[AviSynth]] and virtually everything modern — and the
+    * absolute-file-offset form some ancient muxers emit, detected by
+    * whether the offset lands on a valid ckid). */
+  def parseFrames(content: Array[Byte]): Seq[AviFrame] = {
+    if (content == null || content.length < 24) return Nil
+    def fcc(at: Int): String =
+      if (at + 4 > content.length) ""
+      else new String(content, at, 4, "US-ASCII")
+    def u32(at: Int): Long =
+      if (at + 4 > content.length) -1L
+      else ByteBuffer.wrap(content, at, 4).order(ByteOrder.LITTLE_ENDIAN)
+        .getInt.toLong & 0xffffffffL
+    if (fcc(0) != "RIFF" || fcc(8) != "AVI ") return Nil
+    val riffEnd = math.min(content.length.toLong, 8 + u32(4))
+
+    // top-level walk: find LIST('movi') and 'idx1'
+    var pos = 12L
+    var moviFcc = -1L // position of the 'movi' fourcc
+    var idx1At = -1L
+    var idx1Len = 0L
+    while (pos + 8 <= riffEnd && (moviFcc < 0 || idx1At < 0)) {
+      val id = fcc(pos.toInt)
+      val len = u32(pos.toInt + 4)
+      if (len < 0) return Nil
+      if (id == "LIST" && fcc(pos.toInt + 8) == "movi") moviFcc = pos + 8
+      else if (id == "idx1") { idx1At = pos + 8; idx1Len = len }
+      pos += 8 + len + (len % 2)
+    }
+    if (moviFcc < 0 || idx1At < 0) return Nil
+
+    val n = (idx1Len / 16).toInt
+    (0 until n).flatMap { i =>
+      val e = (idx1At + 16L * i).toInt
+      val flags = u32(e + 4)
+      val offRaw = u32(e + 8)
+      val size = u32(e + 12)
+      // offset convention: movi-relative points at a ckid; absolute
+      // offsets (ancient muxers) point at the same ckid counted from
+      // file start — accept whichever lands on a chunk id
+      val candidates = Seq(moviFcc + offRaw, offRaw)
+      candidates.find(at => at + 8 <= content.length &&
+        fcc(at.toInt).nonEmpty && fcc(at.toInt).forall(c => c >= ' ')
+        && u32(at.toInt + 4) == size).map { at =>
+        val dataAt = (at + 8).toInt
+        if (dataAt + size > content.length) return Nil
+        AviFrame(i, (flags & 0x10) != 0, offRaw, size,
+          java.util.Arrays.copyOfRange(content, dataAt, dataAt + size.toInt))
+      }
+    }
+  }
+
+  /** Container-aware keyframe extraction over a `(doc_id, content)` media
+    * frame — the real-video twin of [[Multimodal.frameSample]]. One
+    * mapPartitions decode pass (the legit mapPartitions case: binary
+    * codec), narrow, no shuffle; output rows are (doc, frame) tuples with
+    * the payload byte-sum precomputed so downstream aggregates never
+    * re-ship payloads. `keyframesOnly = false` emits every indexed frame
+    * with its flag. */
+  def keyframes(media: DataFrame, keyframesOnly: Boolean = true): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("is_key", BooleanType, nullable = false),
+      StructField("offset", LongType, nullable = false),
+      StructField("size", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("payload_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select(col("doc_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          parseFrames(r.getAs[Array[Byte]](1)).iterator
+            .filter(f => !keyframesOnly || f.isKeyframe)
+            .map { f =>
+              var s = 0L
+              f.payload.foreach(b => s += (b & 0xff))
+              Row(r.getLong(0), f.index, f.isKeyframe, f.offset, f.size, f.payload, s)
+            }
+        }
+      }(enc)
+      .toDF()
+  }
+}

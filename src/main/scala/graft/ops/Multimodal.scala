@@ -92,9 +92,10 @@ object Multimodal {
   /** Frame sampling over the opaque binary (the video-keyframe shape):
     * split each blob into `frameBytes` windows and keep every `everyK`-th —
     * all with codegen'd built-ins (`sequence`/`transform`/binary
-    * `substring`), no shuffle, fan-out bounded by blob size. A real video
-    * path would swap the byte-window slicing for container-aware keyframe
-    * offsets; the plan shape (narrow explode) is identical. */
+    * `substring`), no shuffle, fan-out bounded by blob size. The REAL
+    * container-aware path exists since round 11: [[Avi.keyframes]] parses
+    * actual RIFF/AVI idx1 indexes (ns145); this byte-window form stays as
+    * the container-agnostic fallback with the identical narrow plan. */
   def frameSample(
       media: DataFrame, frameBytes: Int = 256, everyK: Int = 4): DataFrame = {
     require(frameBytes > 0 && everyK > 0)

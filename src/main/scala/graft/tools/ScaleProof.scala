@@ -394,7 +394,11 @@ object ScaleProof {
       // ns134: the ns2 band pipeline + pointer-jumping CC + two tiny key
       // aggs + one corpus anti-join — collect-forced (the singleton row
       // is an ungrouped aggregate; output is distinct-size-cardinality)
-      "ns134_dedup_yield")
+      "ns134_dedup_yield",
+      // ns145 (r11): one mapPartitions AVI decode (count() cannot prune
+      // through an opaque decoder) + one doc-keyed rollup of 40 B frame
+      // tuples — frames scale with corpus bytes / 48, rollup with docs
+      "ns145_avi_keyframes")
       // ns129/ns130/ns131 run as forced variants below: their grouped
       // reports survive count() as bare DISTINCT-key jobs (the audit /
       // scoring columns all prune), which would time the wrong plan

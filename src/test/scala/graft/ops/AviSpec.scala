@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Container fidelity for the AVI leg: the parser must read back exactly
+  * what the spec-true writer put in — via the real idx1 index, not byte
+  * arithmetic — and reject garbage cleanly. Offsets are verified against
+  * an INDEPENDENT arithmetic reconstruction (the same one the ns145
+  * DuckDB oracle uses), so writer and parser cannot share a bug.
+  */
+class AviSpec extends AnyFunSuite {
+
+  private val text = ("The quick brown fox jumps over the lazy dog. " * 4)
+    .trim // 179 UTF-8 bytes -> 4 frames (48-byte windows), keys at 0 and 3
+
+  /** The oracle's arithmetic: window w_i = min(48, n - 48i), payload
+    * L_i = w_i + 4 (SOI/EOI), chunk = 8 + L_i + L_i%2, offsets start at 4. */
+  private def expectedOffsets(n: Int): Seq[(Int, Long, Long)] = {
+    val nFrames = (n + 47) / 48
+    var off = 4L
+    (0 until nFrames).map { i =>
+      val w = math.min(48, n - 48 * i)
+      val len = w + 4
+      val r = (i, off, len.toLong)
+      off += 8 + len + (len % 2)
+      r
+    }
+  }
+
+  test("round-trip: all frames recovered through idx1 with MJPEG-framed " +
+    "window bytes and arithmetic-exact offsets") {
+    val bytes = text.getBytes("UTF-8")
+    val frames = Avi.parseFrames(AviSynth.aviOf(text))
+    assert(frames.length == 4, frames.map(f => (f.index, f.offset)))
+    frames.zip(expectedOffsets(bytes.length)).foreach { case (f, (i, off, len)) =>
+      assert(f.index == i && f.offset == off && f.size == len,
+        s"frame ${f.index}: got (${f.offset}, ${f.size}) want ($off, $len)")
+      assert(f.isKeyframe == (i % AviSynth.KeyframeStride == 0))
+      val want = Array(0xff.toByte, 0xd8.toByte) ++
+        bytes.slice(48 * i, math.min(bytes.length, 48 * (i + 1))) ++
+        Array(0xff.toByte, 0xd9.toByte)
+      assert(f.payload.toSeq == want.toSeq, s"frame $i payload")
+    }
+  }
+
+  test("empty and sub-window texts: 0 and 1 frames, no padding corruption") {
+    assert(Avi.parseFrames(AviSynth.aviOf("")).isEmpty)
+    // 5 bytes -> one 11-byte payload (odd -> padded chunk); the pad byte
+    // must not leak into the payload
+    val fs = Avi.parseFrames(AviSynth.aviOf("abcde"))
+    assert(fs.length == 1 && fs.head.isKeyframe && fs.head.size == 9L)
+    assert(fs.head.payload.toSeq ==
+      (Array(0xff.toByte, 0xd8.toByte) ++ "abcde".getBytes("UTF-8") ++
+        Array(0xff.toByte, 0xd9.toByte)).toSeq)
+  }
+
+  test("garbage, truncation, and non-AVI RIFF return Nil (corrupt blobs " +
+    "skip cleanly at corpus scale)") {
+    assert(Avi.parseFrames(null).isEmpty)
+    assert(Avi.parseFrames(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Avi.parseFrames("RIFFxxxxWAVEfmt ".getBytes("US-ASCII")).isEmpty)
+    val good = AviSynth.aviOf(text)
+    // cut mid-movi: idx1 never found -> Nil, no exception
+    assert(Avi.parseFrames(good.take(good.length / 2)).isEmpty)
+    // flip the idx1 size field region: entries point past EOF -> Nil
+    val mangled = good.clone()
+    mangled(mangled.length - 3) = 0x7f.toByte
+    Avi.parseFrames(mangled) // must not throw
+    succeed
+  }
+
+  test("payload_sum convention matches the oracle: markers contribute 943") {
+    val fs = Avi.parseFrames(AviSynth.aviOf("abc"))
+    val sum = fs.head.payload.map(_ & 0xff).sum.toLong
+    assert(sum == AviSynth.MarkerSum + "abc".getBytes("UTF-8").map(_ & 0xff).sum)
+  }
+}
