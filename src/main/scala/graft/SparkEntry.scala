@@ -2159,6 +2159,40 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** NS146 — keyframe near-dup over REAL AVI containers
+    * ([[graft.ops.AviSynth]] → [[graft.ops.Avi.keyframes]] →
+    * [[graft.ops.Perceptual.dhash63]]): the deployment composition of
+    * ns145's container parse with the ns83 shared-keyframe detector —
+    * frames now come from the idx1 index of real muxed AVI files, not
+    * byte-window slicing, so the repeated-intro/shared-b-roll report is
+    * computed over exactly the bytes a video pipeline would extract. The
+    * ns81 five-variant families make copies share ALL keyframe hashes,
+    * 1-byte edits share all but the touched window, and the reversed
+    * control share none. Oracle: the AVI geometry rebuilt arithmetically
+    * (ns145) + the byte-stride grid dHash over 'ffd8'+window+'ffd9'
+    * payload hex (ns83's cell math) — container, parser, and hash all
+    * independently recomputed. Plan: decode mapPartitions → codegen
+    * phash63 projection → ONE phash-keyed rollup; no pair join. */
+  private def ns146(s: SparkSession, dir: String): DataFrame = {
+    val synth = udf((t: String) => graft.ops.AviSynth.aviOf(t))
+    val media = ns81Family(s, dir).select(col("doc_id"),
+      synth(col("t")).as("content"))
+    val keys = graft.ops.Avi.keyframes(media)
+    val fmedia = keys.select(
+      (col("doc_id") * 1000 +
+        when(col("frame_idx") < 1000, col("frame_idx"))
+          .otherwise(raise_error(lit("frame index overflows composite id"))))
+        .as("doc_id"),
+      col("payload").as("content"))
+    graft.ops.Perceptual.dhash63(fmedia)
+      .select(col("phash"), expr("doc_id div 1000").as("orig"))
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_frames"),
+        count_distinct(col("orig")).as("n_docs"))
+      .where(col("n_frames") > 1)
+      .orderBy(col("phash"))
+  }
+
   /** NS143 — cross-modal staleness audit ([[graft.ops.Integrity
     * .staleEmbeddings]]): byte-identical texts whose embeddings
     * disagree — the stale-re-embed bug detector. The raw corpus has no
@@ -2597,6 +2631,7 @@ object SparkEntry {
     "ns143_stale_embeddings" -> (ns143 _),
     "ns144_retrieval_eval" -> (ns144 _),
     "ns145_avi_keyframes" -> (ns145 _),
+    "ns146_avi_shared_keyframes" -> (ns146 _),
   )
 
   /** ns2's full minhash-LSH pair replay, hoisted with a `__DOCS__`
@@ -5088,5 +5123,39 @@ object SparkEntry {
          |  s.key_bytes::BIGINT AS key_bytes,
          |  ps.key_payload_sum::BIGINT AS key_payload_sum
          |FROM sel s JOIN ps USING (doc_id) ORDER BY s.doc_id""".stripMargin),
+    // ns146: ns145's arithmetic container geometry (keyframes i%3=0 of
+    // 48-byte windows) + ns83's byte-stride grid dHash, applied to the
+    // MJPEG payload hex 'ffd8'+window+'ffd9' of length m = w+4 - three
+    // independent computations (muxer, parser, oracle) of the same
+    // shared-keyframe report.
+    "ns146_avi_shared_keyframes" ->
+      ("""WITH base AS (SELECT doc_id, text FROM documents),
+         |fam AS (SELECT d.doc_id,
+         |  CASE d.doc_id % 5
+         |    WHEN 0 THEN b.text
+         |    WHEN 1 THEN b.text
+         |    WHEN 2 THEN substr(b.text, 1, 10) || '#' || substr(b.text, 12)
+         |    WHEN 3 THEN substr(b.text, 1, 20) || '@' || substr(b.text, 22)
+         |    ELSE reverse(b.text) END AS t
+         |  FROM base d JOIN base b ON b.doc_id = d.doc_id - d.doc_id % 5),
+         |h AS (SELECT doc_id, hex(encode(t)) AS hx,
+         |    octet_length(encode(t)) AS n FROM fam
+         |  WHERE octet_length(encode(t)) > 0),
+         |kf AS (SELECT doc_id, hx, n, unnest(range(0, (n + 47) // 48)) AS i FROM h),
+         |kz AS (SELECT doc_id, i AS f, least(48, n - 48 * i) + 4 AS m,
+         |    'FFD8' || substr(hx, 96 * i + 1, 2 * least(48, n - 48 * i)) || 'FFD9' AS fhx
+         |  FROM kf WHERE i % 3 = 0),
+         |cells AS (SELECT doc_id, f, j, m,
+         |    ('0x' || substr(fhx, (2 * ((j * m) // 72) + 1)::INT, 2))::INT AS v
+         |  FROM kz, (SELECT unnest(range(0, 72)) AS j) r),
+         |bits AS (SELECT a.doc_id, a.f, ((a.j // 9) * 8 + (a.j % 9))::INT AS k,
+         |  CASE WHEN a.v < b.v THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+         |  FROM cells a JOIN cells b
+         |    ON a.doc_id = b.doc_id AND a.f = b.f AND b.j = a.j + 1
+         |  WHERE a.j % 9 < 8 AND (a.j // 9) * 8 + (a.j % 9) < 63),
+         |ph AS (SELECT doc_id, f, sum(bit << k)::BIGINT AS phash
+         |  FROM bits GROUP BY doc_id, f)
+         |SELECT phash, count(*) AS n_frames, count(DISTINCT doc_id) AS n_docs
+         |FROM ph GROUP BY phash HAVING count(*) > 1 ORDER BY phash""".stripMargin),
   )
 }

@@ -398,7 +398,12 @@ object ScaleProof {
       // ns145 (r11): one mapPartitions AVI decode (count() cannot prune
       // through an opaque decoder) + one doc-keyed rollup of 40 B frame
       // tuples — frames scale with corpus bytes / 48, rollup with docs
-      "ns145_avi_keyframes")
+      "ns145_avi_keyframes",
+      // ns146 (r11): decode + codegen phash projection + ONE phash-keyed
+      // rollup — group count needs the whole chain; no pair join to
+      // regress into (copy-tagged scale corpora keep cross-copy hash
+      // collisions at the base rate)
+      "ns146_avi_shared_keyframes")
       // ns129/ns130/ns131 run as forced variants below: their grouped
       // reports survive count() as bare DISTINCT-key jobs (the audit /
       // scoring columns all prune), which would time the wrong plan
