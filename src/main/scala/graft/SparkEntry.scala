@@ -2193,6 +2193,33 @@ object SparkEntry {
       .orderBy(col("phash"))
   }
 
+  /** NS147 — image near-dup over REAL BMP containers
+    * ([[graft.ops.BmpSynth]] → [[graft.ops.ImageGridDecoder]] →
+    * [[graft.ops.Perceptual.nearDupPairs]]): completes the real-codec
+    * trilogy (WAV r10, AVI r11, BMP here). Each ns81-family variant is
+    * written as a spec-true 24-bpp bottom-up BMP of grayscale pixels
+    * derived from its text bytes, decoded back through the REAL ImageIO
+    * path, box-averaged to the 9×8 luminance grid, dHashed, and
+    * banded-joined. The geometry makes every decoder division exact
+    * (18×16 px = 2×2-px cells; grayscale collapses BT.601 to the pixel
+    * value), so the oracle recomputes the ENTIRE pipeline — pixels,
+    * luminance grid, dHash, pairs — arithmetically from the text, with
+    * no image library: a green hash certifies the BMP writer, ImageIO's
+    * parse, and the grid math end-to-end. Long-text 1-byte edits perturb
+    * ≤1 pixel → ≤2 hash bits (caught); short texts wrap the byte map and
+    * spread the edit (missed) — honest near-dup semantics both engines
+    * compute identically. Scale shape = ns81/ns90: one mapPartitions
+    * decode, one banded shuffle, pigeonhole-exact at maxHamming 3 <
+    * bands 4. */
+  private def ns147(s: SparkSession, dir: String): DataFrame = {
+    val synth = udf((t: String) => graft.ops.BmpSynth.bmpOf(t))
+    val media = ns81Family(s, dir).select(col("doc_id"),
+      synth(col("t")).as("content"))
+    graft.ops.Perceptual.nearDupPairs(
+      graft.ops.Perceptual.dhash63(media, graft.ops.ImageGridDecoder),
+      maxHamming = 3, bands = 4)
+  }
+
   /** NS143 — cross-modal staleness audit ([[graft.ops.Integrity
     * .staleEmbeddings]]): byte-identical texts whose embeddings
     * disagree — the stale-re-embed bug detector. The raw corpus has no
@@ -2632,6 +2659,7 @@ object SparkEntry {
     "ns144_retrieval_eval" -> (ns144 _),
     "ns145_avi_keyframes" -> (ns145 _),
     "ns146_avi_shared_keyframes" -> (ns146 _),
+    "ns147_bmp_neardup" -> (ns147 _),
   )
 
   /** ns2's full minhash-LSH pair replay, hoisted with a `__DOCS__`
@@ -5157,5 +5185,43 @@ object SparkEntry {
          |  FROM bits GROUP BY doc_id, f)
          |SELECT phash, count(*) AS n_frames, count(DISTINCT doc_id) AS n_docs
          |FROM ph GROUP BY phash HAVING count(*) > 1 ORDER BY phash""".stripMargin),
+    // ns147: the whole real-image pipeline rebuilt arithmetically - pixel
+    // v(x,y) = (byte((18y+x) mod n)*31 + 7x + 13y) mod 256 (grayscale, so
+    // BT.601 luminance IS v), 2x2 box averages by exact integer division,
+    // then the standard dHash bits and the all-pairs hamming<=3 filter
+    // (pigeonhole-equal to the engine's banded join at 3 < 4 bands).
+    "ns147_bmp_neardup" ->
+      ("""WITH base AS (SELECT doc_id, text FROM documents),
+         |fam AS (SELECT d.doc_id,
+         |  CASE d.doc_id % 5
+         |    WHEN 0 THEN b.text
+         |    WHEN 1 THEN b.text
+         |    WHEN 2 THEN substr(b.text, 1, 10) || '#' || substr(b.text, 12)
+         |    WHEN 3 THEN substr(b.text, 1, 20) || '@' || substr(b.text, 22)
+         |    ELSE reverse(b.text) END AS t
+         |  FROM base d JOIN base b ON b.doc_id = d.doc_id - d.doc_id % 5),
+         |h AS (SELECT doc_id, hex(encode(t)) AS hx,
+         |    octet_length(encode(t)) AS n FROM fam
+         |  WHERE octet_length(encode(t)) > 0),
+         |px AS (SELECT doc_id, (g.i // 9) AS r, (g.i % 9) AS c, g.i AS cell,
+         |    (2 * (g.i % 9) + (p.q % 2)) AS x, (2 * (g.i // 9) + (p.q // 2)) AS y
+         |  FROM h, (SELECT unnest(range(0, 72)) AS i) g,
+         |       (SELECT unnest(range(0, 4)) AS q) p),
+         |pv AS (SELECT px.doc_id, px.cell,
+         |    ((('0x' || substr(h.hx, (2 * ((18 * px.y + px.x) % h.n) + 1)::INT, 2))::INT
+         |      * 31 + 7 * px.x + 13 * px.y) % 256) AS v
+         |  FROM px JOIN h USING (doc_id)),
+         |grid AS (SELECT doc_id, cell AS i, (sum(v) // 4)::INT AS v
+         |  FROM pv GROUP BY doc_id, cell),
+         |bits AS (SELECT a.doc_id, ((a.i // 9) * 8 + (a.i % 9))::INT AS k,
+         |  CASE WHEN a.v < b.v THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+         |  FROM grid a JOIN grid b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+         |  WHERE a.i % 9 < 8 AND (a.i // 9) * 8 + (a.i % 9) < 63),
+         |ph AS (SELECT doc_id, sum(bit << k)::BIGINT AS phash FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin),
   )
 }

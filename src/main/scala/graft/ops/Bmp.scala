@@ -1,0 +1,67 @@
+package graft.ops
+
+/** Deterministic real-BMP synthesis for the image leg of the perceptual
+  * family — the third "real codec" round trip after WAV (round 10, ns90)
+  * and AVI (round 11, ns145/ns146): a spec-true 24-bpp bottom-up BMP
+  * whose pixels derive from text bytes, decoded back by the REAL ImageIO
+  * path ([[ImageGridDecoder]]), with the ns147 oracle recomputing the
+  * luminance grid arithmetically from the same text — container writer,
+  * image decoder, and oracle are three independent computations.
+  *
+  * Geometry is chosen so every integer division in the decoder is exact
+  * and SQL-replayable: 18×16 px = 9×8 grid cells of 2×2 px each
+  * (`x0 = c·w/9`, `y0 = r·h/8` land on block boundaries), and pixels are
+  * GRAYSCALE so BT.601 integer luminance `(299v+587v+114v)/1000`
+  * collapses to exactly `v` — no rounding anywhere. Pixel value
+  * `v(x,y) = (byte((y·18+x) mod n)·31 + x·7 + y·13) mod 256` in IMAGE
+  * coordinates (top-down; the writer flips rows for BMP's bottom-up
+  * order), so a 1-byte text edit perturbs only the few cells whose
+  * pixels map to that byte — the small-patch edit class dHash is built
+  * for — while a reversed text moves every pixel.
+  */
+object BmpSynth {
+  val Width = 18
+  val Height = 16
+
+  /** Pixel value in IMAGE coordinates (y=0 is the top row). */
+  def pixel(bytes: Array[Byte], x: Int, y: Int): Int =
+    if (bytes.length == 0) 0
+    else (((bytes((y * Width + x) % bytes.length) & 0xff) * 31 +
+      x * 7 + y * 13) % 256)
+
+  /** A complete 24-bpp BMP (BITMAPFILEHEADER + BITMAPINFOHEADER +
+    * bottom-up BGR rows padded to 4-byte multiples). Deterministic. */
+  def bmpOf(text: String): Array[Byte] = {
+    val bytes =
+      if (text == null) Array.emptyByteArray
+      else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val rowBytes = Width * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val dataSize = (rowBytes + pad) * Height
+    val fileSize = 54 + dataSize
+    val out = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // BITMAPFILEHEADER
+    out.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(54)
+    // BITMAPINFOHEADER
+    out.putInt(40).putInt(Width).putInt(Height).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    // pixel rows, bottom-up: file row 0 is image row Height-1
+    var fileRow = 0
+    while (fileRow < Height) {
+      val y = Height - 1 - fileRow
+      var x = 0
+      while (x < Width) {
+        val v = pixel(bytes, x, y).toByte
+        out.put(v).put(v).put(v) // grayscale BGR
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { out.put(0.toByte); p += 1 }
+      fileRow += 1
+    }
+    out.array()
+  }
+}

@@ -403,7 +403,11 @@ object ScaleProof {
       // rollup — group count needs the whole chain; no pair join to
       // regress into (copy-tagged scale corpora keep cross-copy hash
       // collisions at the base rate)
-      "ns146_avi_shared_keyframes")
+      "ns146_avi_shared_keyframes",
+      // ns147 (r11): ImageIO decode mapPartitions + banded pair join —
+      // the ns81/ns90 pigeonhole shape; copy-tagged corpora keep
+      // cross-copy collisions at the base rate, pairs scale with dup mass
+      "ns147_bmp_neardup")
       // ns129/ns130/ns131 run as forced variants below: their grouped
       // reports survive count() as bare DISTINCT-key jobs (the audit /
       // scoring columns all prune), which would time the wrong plan

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BMP codec fidelity: the REAL ImageIO decode of a synthesized BMP must
+  * reproduce the arithmetic pixel/luminance model exactly — that identity
+  * is what lets the ns147 oracle recompute the grid with no image
+  * library. Grayscale pixels make BT.601 integer luminance collapse to
+  * the pixel value, and the 18×16 → 9×8 geometry makes every box-average
+  * division exact.
+  */
+class BmpSpec extends AnyFunSuite {
+
+  private val text = "The quick brown fox jumps over the lazy dog " * 8
+
+  test("ImageIO round-trip: decoded grid equals the arithmetic model " +
+    "(exact integers, no codec rounding)") {
+    val bytes = text.getBytes("UTF-8")
+    val grid = ImageGridDecoder.decode(BmpSynth.bmpOf(text))
+    assert(grid.length == Perceptual.gridCells)
+    for (r <- 0 until Perceptual.gridH; c <- 0 until Perceptual.gridW) {
+      val want = (0 until 2).flatMap(dy => (0 until 2).map(dx =>
+        BmpSynth.pixel(bytes, 2 * c + dx, 2 * r + dy))).sum / 4
+      assert(grid(r * Perceptual.gridW + c) == want, s"cell ($r,$c)")
+    }
+  }
+
+  test("copies hash identically; a 1-byte edit of a long text stays near; " +
+    "reversed text lands far") {
+    def ph(t: String) =
+      Perceptual.dhashOfGrid(ImageGridDecoder.decode(BmpSynth.bmpOf(t)))
+    val base = ph(text)
+    assert(ph(text) == base)
+    // long text (352 B > 288 px): the edited byte maps to at most ONE
+    // pixel -> at most one 2x2 cell -> at most 2 dHash bits
+    val edited = text.updated(10, '#')
+    assert(java.lang.Long.bitCount(base ^ ph(edited)) <= 2)
+    assert(java.lang.Long.bitCount(base ^ ph(text.reverse)) > 3)
+  }
+
+  test("degenerate inputs: empty text is the all-zero grid; ImageIO " +
+    "garbage decodes to the zero grid, not an exception") {
+    assert(ImageGridDecoder.decode(BmpSynth.bmpOf("")).forall(_ == 0))
+    assert(ImageGridDecoder.decode("not an image".getBytes).forall(_ == 0))
+    assert(ImageGridDecoder.decode(null).forall(_ == 0))
+  }
+
+  test("the BMP is spec-true enough for ImageIO: dimensions and " +
+    "bottom-up row order decode to image coordinates") {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(BmpSynth.bmpOf(text)))
+    assert(img.getWidth == BmpSynth.Width && img.getHeight == BmpSynth.Height)
+    val bytes = text.getBytes("UTF-8")
+    // top-left pixel in IMAGE coordinates must be v(0,0), proving the
+    // writer's bottom-up flip is correct (a non-flipped writer would put
+    // v(0,Height-1) here)
+    val v00 = BmpSynth.pixel(bytes, 0, 0)
+    assert((img.getRGB(0, 0) & 0xff) == v00)
+    val v53 = BmpSynth.pixel(bytes, 5, 3)
+    assert((img.getRGB(5, 3) & 0xff) == v53)
+  }
+}
