@@ -2220,6 +2220,36 @@ object SparkEntry {
       maxHamming = 3, bands = 4)
   }
 
+  /** NS148 — WARC ingest ([[graft.ops.WarcSynth]] →
+    * [[graft.ops.Warc.records]]): real WARC/1.0 framing — the Common
+    * Crawl container, i.e. the actual on-disk format of the canonical
+    * web-scale training corpus. The fixture muxes each 10-doc group into
+    * one spec-true WARC file (one response record per doc, ordered by
+    * doc_id); the engine splits records by the REAL framing (header
+    * block to CRLFCRLF, Content-Length-driven payload slice, CRLFCRLF
+    * separator — scanning-free, so payloads containing "WARC/1.0" text
+    * cannot desync it) and emits the CDX-shaped facts: byte offset,
+    * type, target URI, declared length, payload byte-sum. The oracle
+    * rebuilds every offset arithmetically (97 + digits(id) +
+    * digits(len) + len per record, prefix-summed per file) and payload
+    * sums from hex-expanded text — no WARC bytes anywhere. Scale shape:
+    * synthesis is fixture-only (one group rollup); the OPERATOR is one
+    * mapPartitions framing pass, narrow, corrupt tails keep parsed
+    * records (WarcSpec). */
+  private def ns148(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val mux = udf((ids: Seq[Long], texts: Seq[String]) =>
+      graft.ops.WarcSynth.warcOf(ids.zip(texts)))
+    val warcs = base
+      .groupBy((col("doc_id") - col("doc_id") % 10).as("warc_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("ds"))
+      .select(col("warc_id"),
+        mux(expr("transform(ds, x -> x.doc_id)"),
+          expr("transform(ds, x -> x.text)")).as("content"))
+    graft.ops.Warc.records(warcs).orderBy("warc_id", "rec_idx")
+  }
+
   /** NS143 — cross-modal staleness audit ([[graft.ops.Integrity
     * .staleEmbeddings]]): byte-identical texts whose embeddings
     * disagree — the stale-re-embed bug detector. The raw corpus has no
@@ -2660,6 +2690,7 @@ object SparkEntry {
     "ns145_avi_keyframes" -> (ns145 _),
     "ns146_avi_shared_keyframes" -> (ns146 _),
     "ns147_bmp_neardup" -> (ns147 _),
+    "ns148_warc_ingest" -> (ns148 _),
   )
 
   /** ns2's full minhash-LSH pair replay, hoisted with a `__DOCS__`
@@ -5223,5 +5254,34 @@ object SparkEntry {
          |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.phash, b.phash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin),
+    // ns148: WARC record geometry with no container - per-record size
+    // 97 + digits(doc_id) + digits(len) + len (the fixed header skeleton
+    // plus the two variable-width decimal fields plus the payload),
+    // prefix-summed per 10-doc file in doc_id order; payload sums from
+    // hex expansion. Every byte of the synthesized file is accounted for
+    // (WarcSpec pins sum(rec_size) == file length).
+    "ns148_warc_ingest" ->
+      ("""WITH h AS (SELECT doc_id, doc_id - doc_id % 10 AS warc_id,
+         |    hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+         |  FROM documents),
+         |sz AS (SELECT doc_id, warc_id, n,
+         |    97 + length(doc_id::VARCHAR) + length(n::VARCHAR) + n AS rec_size,
+         |    row_number() OVER (PARTITION BY warc_id ORDER BY doc_id) - 1 AS rec_idx
+         |  FROM h),
+         |off AS (SELECT doc_id, warc_id, n, rec_idx,
+         |    coalesce(sum(rec_size) OVER (PARTITION BY warc_id ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset
+         |  FROM sz),
+         |pay AS (SELECT doc_id,
+         |    sum(('0x' || substr(hx, (2 * j + 1)::INT, 2))::INT) AS psum
+         |  FROM (SELECT doc_id, hx, unnest(range(0, n)) AS j FROM h)
+         |  GROUP BY doc_id)
+         |SELECT o.warc_id, o.rec_idx::INT AS rec_idx, o.offset::BIGINT AS offset,
+         |  'response' AS warc_type,
+         |  'http://example.com/doc/' || o.doc_id AS target_uri,
+         |  o.n::BIGINT AS content_length,
+         |  coalesce(p.psum, 0)::BIGINT AS payload_sum
+         |FROM off o LEFT JOIN pay p USING (doc_id)
+         |ORDER BY o.warc_id, o.rec_idx""".stripMargin),
   )
 }

@@ -407,7 +407,11 @@ object ScaleProof {
       // ns147 (r11): ImageIO decode mapPartitions + banded pair join —
       // the ns81/ns90 pigeonhole shape; copy-tagged corpora keep
       // cross-copy collisions at the base rate, pairs scale with dup mass
-      "ns147_bmp_neardup")
+      "ns147_bmp_neardup",
+      // ns148 (r11): one group-rollup WARC synthesis (fixture side) +
+      // one mapPartitions framing pass; records ARE the output, count()
+      // keeps the chain; no joins to regress
+      "ns148_warc_ingest")
       // ns129/ns130/ns131 run as forced variants below: their grouped
       // reports survive count() as bare DISTINCT-key jobs (the audit /
       // scoring columns all prune), which would time the wrong plan

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC framing fidelity: the parser must recover record offsets by the
+  * real spec framing (header block + Content-Length octets + CRLFCRLF),
+  * verified against the independent size arithmetic the ns148 oracle
+  * uses (97 + digits(id) + digits(len) + len per record), and must
+  * survive the corruption classes a real crawl tail contains. */
+class WarcSpec extends AnyFunSuite {
+
+  private val docs = Seq(
+    7L -> "hello world",
+    42L -> "payload with\r\nembedded CRLF and WARC/1.0 lookalike text",
+    1234L -> "",
+    5L -> "ünïcødé bytes")
+
+  private def recSize(id: Long, payloadBytes: Int): Long =
+    97L + id.toString.length + payloadBytes.toString.length + payloadBytes
+
+  test("round-trip: offsets, types, uris, lengths, payload sums — and " +
+    "offsets match the oracle's size arithmetic") {
+    val bytes = WarcSynth.warcOf(docs)
+    val recs = Warc.parseRecords(bytes)
+    assert(recs.length == 4, recs)
+    var off = 0L
+    recs.zip(docs).foreach { case (r, (id, t)) =>
+      val p = t.getBytes("UTF-8")
+      assert(r.offset == off, s"rec ${r.index}: got ${r.offset} want $off")
+      assert(r.warcType == "response" && r.targetUri == WarcSynth.url(id))
+      assert(r.contentLength == p.length)
+      assert(r.payloadSum == p.map(_ & 0xff).map(_.toLong).sum)
+      off += recSize(id, p.length)
+    }
+    assert(off == bytes.length) // the arithmetic accounts for every byte
+  }
+
+  test("payloads containing CRLFCRLF and WARC/1.0 text do not desync the " +
+    "framing (Content-Length drives it, not scanning)") {
+    val tricky = Seq(1L -> "a\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\nb")
+    val recs = Warc.parseRecords(WarcSynth.warcOf(tricky ++ Seq(2L -> "next")))
+    assert(recs.map(_.targetUri) ==
+      Seq(WarcSynth.url(1L), WarcSynth.url(2L)), recs)
+  }
+
+  test("corrupt tails keep the records before them: truncated payload, " +
+    "garbage version line, malformed Content-Length") {
+    val good = WarcSynth.warcOf(docs.take(2))
+    assert(Warc.parseRecords(good.dropRight(10)).length == 1)
+    assert(Warc.parseRecords(good ++ "GARBAGE".getBytes).length == 2)
+    val bad = good ++ WarcSynth.record(9L, "x").map(b =>
+      if (b == 'L') 'X'.toByte else b) // mangles Content-Length header
+    assert(Warc.parseRecords(bad).length == 2)
+    assert(Warc.parseRecords(null).isEmpty)
+    assert(Warc.parseRecords(Array.emptyByteArray).isEmpty)
+  }
+
+  test("unknown and case-varied headers are tolerated per spec") {
+    val custom = ("WARC/1.0\r\n" +
+      "warc-type: RESPONSE\r\n" +
+      "X-Custom-Header: ignored\r\n" +
+      "WARC-TARGET-URI: http://x/y\r\n" +
+      "content-length: 3\r\n" +
+      "\r\nabc\r\n\r\n").getBytes("US-ASCII")
+    val recs = Warc.parseRecords(custom)
+    assert(recs.length == 1)
+    assert(recs.head.warcType == "RESPONSE" &&
+      recs.head.targetUri == "http://x/y" && recs.head.contentLength == 3)
+  }
+}
