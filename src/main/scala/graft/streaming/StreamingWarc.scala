@@ -1,0 +1,30 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+/** Streaming WARC ingest — the streaming twin of [[graft.ops.Warc
+  * .records]]. A crawl pipeline's WARC files arrive as a stream (each
+  * fetcher flush lands one file); record extraction is per-blob and
+  * STATELESS, so the twin is the batch operator applied unchanged to a
+  * streaming frame: one mapPartitions framing pass per micro-batch, no
+  * state store, no watermark, append-mode by construction.
+  *
+  * Why the twin still earns a spec rather than being assumed: the
+  * equivalence contract (stream-over-N-batches ≡ batch-over-union) is
+  * exactly what breaks if someone "optimizes" the parser into something
+  * batch-scoped (a shared index, a cross-blob offset accumulator), and
+  * the corrupt-blob path must keep the QUERY alive, not just the task —
+  * a poisoned fetch flush in a 100-TB crawl stream must cost its tail
+  * records only. Both are pinned in StreamingWarcSpec.
+  *
+  * At-least-once: replayed micro-batches re-emit their records; the
+  * output is keyed (warc_id, rec_idx) so idempotent consumers dedup on
+  * that pair — the CDX-build consumer does exactly that.
+  */
+object StreamingWarc {
+
+  /** Record extraction over a streaming `(warc_id, content)` frame.
+    * Identical plan per micro-batch to the batch operator (the twin IS
+    * the operator — single source of truth, no drift). */
+  def records(warcs: DataFrame): DataFrame = graft.ops.Warc.records(warcs)
+}
