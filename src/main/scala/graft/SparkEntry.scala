@@ -2250,6 +2250,45 @@ object SparkEntry {
     graft.ops.Warc.records(warcs).orderBy("warc_id", "rec_idx")
   }
 
+  /** NS149 — CDX-indexed WARC fetch ([[graft.ops.Warc.records]] →
+    * offset-sliced payloads): the random-access pattern the ns148 index
+    * exists FOR — parse once to build the CDX facts, then fetch any
+    * record's payload forever via `substring(content, payload_off + 1,
+    * content_length)`, a pure CODEGEN slice with no parser in the loop.
+    * The md5 of every sliced payload must equal md5(encode(text)) — the
+    * oracle computes that directly from the text, so a hash match
+    * certifies byte-exactness of offset + slice through a completely
+    * independent witness (any off-by-one in header arithmetic, CRLF
+    * handling, or multi-byte text lengths breaks the digest). At scale
+    * this is the CC-index fetch: the index side is facts-only (tiny,
+    * broadcastable), blobs never move, and the slice is whole-stage
+    * codegen over the blob column. */
+  private def ns149(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val mux = udf((ids: Seq[Long], texts: Seq[String]) =>
+      graft.ops.WarcSynth.warcOf(ids.zip(texts)))
+    val warcs = base
+      .groupBy((col("doc_id") - col("doc_id") % 10).as("warc_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("ds"))
+      .select(col("warc_id"),
+        mux(expr("transform(ds, x -> x.doc_id)"),
+          expr("transform(ds, x -> x.text)")).as("content"))
+      .localCheckpoint(true) // parse + fetch read the SAME materialized blobs
+    val index = graft.ops.Warc.records(warcs)
+      .select(col("warc_id"), col("target_uri"), col("payload_off"),
+        col("content_length"))
+    index.join(warcs, "warc_id")
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("target_uri"),
+        col("content_length"),
+        md5(expr("substring(content, payload_off + 1, content_length)"))
+          .as("payload_md5"))
+      .orderBy("doc_id")
+  }
+
   /** NS143 — cross-modal staleness audit ([[graft.ops.Integrity
     * .staleEmbeddings]]): byte-identical texts whose embeddings
     * disagree — the stale-re-embed bug detector. The raw corpus has no
@@ -2691,6 +2730,7 @@ object SparkEntry {
     "ns146_avi_shared_keyframes" -> (ns146 _),
     "ns147_bmp_neardup" -> (ns147 _),
     "ns148_warc_ingest" -> (ns148 _),
+    "ns149_warc_fetch" -> (ns149 _),
   )
 
   /** ns2's full minhash-LSH pair replay, hoisted with a `__DOCS__`
@@ -5277,11 +5317,23 @@ object SparkEntry {
          |  FROM (SELECT doc_id, hx, unnest(range(0, n)) AS j FROM h)
          |  GROUP BY doc_id)
          |SELECT o.warc_id, o.rec_idx::INT AS rec_idx, o.offset::BIGINT AS offset,
+         |  (o.offset + 93 + length(o.doc_id::VARCHAR) + length(o.n::VARCHAR))::BIGINT
+         |    AS payload_off,
          |  'response' AS warc_type,
          |  'http://example.com/doc/' || o.doc_id AS target_uri,
          |  o.n::BIGINT AS content_length,
          |  coalesce(p.psum, 0)::BIGINT AS payload_sum
          |FROM off o LEFT JOIN pay p USING (doc_id)
          |ORDER BY o.warc_id, o.rec_idx""".stripMargin),
+    // ns149: the independent witness - if the engine's offset+slice is
+    // byte-exact, the sliced payload IS encode(text), so its md5 equals
+    // md5 of the raw text bytes. No container, no offsets, no arithmetic
+    // on the oracle side at all.
+    "ns149_warc_fetch" ->
+      ("""SELECT doc_id,
+         |  'http://example.com/doc/' || doc_id AS target_uri,
+         |  octet_length(encode(text))::BIGINT AS content_length,
+         |  md5(text) AS payload_md5 -- md5(VARCHAR) hashes the UTF-8 bytes
+         |FROM documents ORDER BY doc_id""".stripMargin),
   )
 }

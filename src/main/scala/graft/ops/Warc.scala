@@ -52,8 +52,8 @@ object WarcSynth {
   * sliced at the framed position (cheap content witness — payloads never
   * re-ship into downstream aggregates). */
 final case class WarcRecord(
-    index: Int, offset: Long, warcType: String, targetUri: String,
-    contentLength: Long, payloadSum: Long)
+    index: Int, offset: Long, payloadOffset: Long, warcType: String,
+    targetUri: String, contentLength: Long, payloadSum: Long)
 
 object Warc {
 
@@ -113,7 +113,7 @@ object Warc {
       var i = pos
       val end = pos + clen.toInt
       while (i < end) { s += (content(i) & 0xff); i += 1 }
-      out += WarcRecord(idx, start.toLong, wtype, uri, clen, s)
+      out += WarcRecord(idx, start.toLong, pos.toLong, wtype, uri, clen, s)
       idx += 1
       pos = end + 4 // record separator CRLFCRLF
     }
@@ -129,6 +129,7 @@ object Warc {
       StructField("warc_id", LongType, nullable = false),
       StructField("rec_idx", IntegerType, nullable = false),
       StructField("offset", LongType, nullable = false),
+      StructField("payload_off", LongType, nullable = false),
       StructField("warc_type", StringType, nullable = false),
       StructField("target_uri", StringType, nullable = false),
       StructField("content_length", LongType, nullable = false),
@@ -139,8 +140,8 @@ object Warc {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           parseRecords(r.getAs[Array[Byte]](1)).iterator.map { rec =>
-            Row(r.getLong(0), rec.index, rec.offset, rec.warcType,
-              rec.targetUri, rec.contentLength, rec.payloadSum)
+            Row(r.getLong(0), rec.index, rec.offset, rec.payloadOffset,
+              rec.warcType, rec.targetUri, rec.contentLength, rec.payloadSum)
           }
         }
       }(enc)

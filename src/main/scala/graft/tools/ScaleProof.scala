@@ -411,7 +411,11 @@ object ScaleProof {
       // ns148 (r11): one group-rollup WARC synthesis (fixture side) +
       // one mapPartitions framing pass; records ARE the output, count()
       // keeps the chain; no joins to regress
-      "ns148_warc_ingest")
+      "ns148_warc_ingest",
+      // ns149 (r11): index facts join back to blobs on warc_id + a pure
+      // codegen substring slice - the blob side never shuffles more than
+      // its own groupBy synthesis; count() keeps the join
+      "ns149_warc_fetch")
       // ns129/ns130/ns131 run as forced variants below: their grouped
       // reports survive count() as bare DISTINCT-key jobs (the audit /
       // scoring columns all prune), which would time the wrong plan

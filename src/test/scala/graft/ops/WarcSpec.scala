@@ -30,6 +30,13 @@ class WarcSpec extends AnyFunSuite {
       assert(r.warcType == "response" && r.targetUri == WarcSynth.url(id))
       assert(r.contentLength == p.length)
       assert(r.payloadSum == p.map(_ & 0xff).map(_.toLong).sum)
+      // header portion = 93 + digits(id) + digits(len) (the record size
+      // minus payload and the 4-byte separator) - the ns149 fetch slices
+      // at exactly this offset
+      assert(r.payloadOffset ==
+        off + 93 + id.toString.length + p.length.toString.length)
+      assert(bytes.slice(r.payloadOffset.toInt,
+        r.payloadOffset.toInt + p.length).toSeq == p.toSeq)
       off += recSize(id, p.length)
     }
     assert(off == bytes.length) // the arithmetic accounts for every byte
