@@ -119,6 +119,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), p.take(1500))
   }
 
+  test("ns147: BMP near-dup candidates come from the banded equality " +
+    "join, never all-pairs (the ns5 contract on the image leg)") {
+    val df = SparkEntry.queries("ns147_bmp_neardup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(1500))
+  }
+
+  test("ns145/ns148: container parse stays narrow — the only wide ops are " +
+    "the doc rollup / fixture synthesis, never a join") {
+    for (q <- Seq("ns145_avi_keyframes", "ns148_warc_ingest")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!p.contains("Join"), s"$q: ${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1500)}")
+    }
+  }
+
+  test("ns149: the CDX fetch joins facts to blobs by key and slices in " +
+    "codegen — no nested loop, no parser re-run shape") {
+    val df = SparkEntry.queries("ns149_warc_fetch")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(1500))
+    // the payload slice is a codegen'd projection over the blob column
+    assert(p.contains("substring"), p.take(1500))
+  }
+
   /** The whole-suite structural guard: NO registered query may plan a
     * cartesian product or an UNBOUNDED nested-loop join — the one plan
     * family that silently turns a 100-TB corpus into corpus². The
