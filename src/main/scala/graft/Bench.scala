@@ -59,7 +59,7 @@ object Bench {
     // HLL/CMS/quantile/histogram/top-k sketches
     "sketch" -> "ns44 ns49 ns54 ns57 ns59 ns95",
     // profiling, drift, snapshots, SCD, ingest formats, dataset cards
-    "gov" -> "ns41 ns47 ns56 ns58 ns64 ns71 ns73 ns76 ns77 ns85 ns86 ns94 ns99 ns100 ns101 ns103 ns107 ns108 ns109 ns115 ns117 ns118 ns122 ns148 ns149"
+    "gov" -> "ns41 ns47 ns56 ns58 ns64 ns71 ns73 ns76 ns77 ns85 ns86 ns94 ns99 ns100 ns101 ns103 ns107 ns108 ns109 ns115 ns117 ns118 ns122 ns148 ns149 ns150"
   ).flatMap { case (fam, ids) => ids.split(' ').map(_ -> fam) }
 
   /** Window-variance control (BASELINE.md "Window-variance adjudication"):

@@ -2289,6 +2289,60 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** NS150 — the full crawl-to-corpus path (WET extraction): WARC →
+    * CDX fetch → HTTP split → HTML extract, composed end-to-end as one
+    * query — each doc's text is wrapped in HTML, wrapped in an HTTP/1.1
+    * response, muxed into a WARC file, then recovered by the REAL
+    * machinery: idx1-indexed payload slice (ns149), codegen HTTP framing
+    * split (status line + Content-Type header + CRLFCRLF body boundary —
+    * `instr`/`regexp_extract`/`substring`, no UDF), and the ns63 HTML
+    * extractor. The released row carries the HTTP facts AND the
+    * extracted text with chrome-to-content lengths — what a WET file
+    * holds per record. Oracle: rebuilds payload text by the same
+    * concatenation and replays split + extraction in SQL; the container
+    * legs ride on the already-certified ns148/ns149 arithmetic. Scale
+    * shape: fixture synthesis aside, one keyed fetch join + pure
+    * projection chain — the whole per-record path is codegen. */
+  private def ns150(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val http = base.select(col("doc_id"),
+      concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"),
+        lit("<html><body><h1>Doc "), col("doc_id"),
+        lit("</h1><p>"), col("text"), lit("</p></body></html>")).as("text"))
+    val mux = udf((ids: Seq[Long], texts: Seq[String]) =>
+      graft.ops.WarcSynth.warcOf(ids.zip(texts)))
+    val warcs = http
+      .groupBy((col("doc_id") - col("doc_id") % 10).as("warc_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("ds"))
+      .select(col("warc_id"),
+        mux(expr("transform(ds, x -> x.doc_id)"),
+          expr("transform(ds, x -> x.text)")).as("content"))
+      .localCheckpoint(true)
+    val payloads = graft.ops.Warc.records(warcs)
+      .join(warcs, "warc_id")
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        expr("cast(substring(content, payload_off + 1, content_length) " +
+          "as string)").as("payload"))
+    val boundary = "instr(payload, '\r\n\r\n')"
+    payloads.select(col("doc_id"),
+        regexp_extract(col("payload"), "^HTTP/1\\.1 (\\d+)", 1)
+          .cast("long").as("http_status"),
+        regexp_extract(col("payload"), "(?i)content-type: ([^\\r\\n]+)", 1)
+          .as("content_type"),
+        expr(s"substring(payload, $boundary + 4)").as("html"))
+      .select(col("doc_id"), col("http_status"), col("content_type"),
+        length(col("html")).cast("long").as("n_raw"),
+        graft.ops.TextAnalysis.htmlToText(col("html")).as("text"))
+      .withColumn("n_text", length(col("text")).cast("long"))
+      .select(col("doc_id"), col("http_status"), col("content_type"),
+        col("n_raw"), col("n_text"), col("text"))
+      .orderBy("doc_id")
+  }
+
   /** NS143 — cross-modal staleness audit ([[graft.ops.Integrity
     * .staleEmbeddings]]): byte-identical texts whose embeddings
     * disagree — the stale-re-embed bug detector. The raw corpus has no
@@ -2731,6 +2785,7 @@ object SparkEntry {
     "ns147_bmp_neardup" -> (ns147 _),
     "ns148_warc_ingest" -> (ns148 _),
     "ns149_warc_fetch" -> (ns149 _),
+    "ns150_warc_wet" -> (ns150 _),
   )
 
   /** ns2's full minhash-LSH pair replay, hoisted with a `__DOCS__`
@@ -5335,5 +5390,38 @@ object SparkEntry {
          |  octet_length(encode(text))::BIGINT AS content_length,
          |  md5(text) AS payload_md5 -- md5(VARCHAR) hashes the UTF-8 bytes
          |FROM documents ORDER BY doc_id""".stripMargin),
+    // ns150: the WET replay - payload text by the same concatenation
+    // (container legs already certified by ns148/ns149), HTTP split by
+    // the same framing functions, HTML extraction by the ns63 regex
+    // chain. chr(13)||chr(10) builds CRLF without embedding control
+    // characters in the SQL literal.
+    "ns150_warc_wet" ->
+      ("""WITH crlf AS (SELECT chr(13) || chr(10) AS nl),
+         |pay AS (SELECT doc_id,
+         |    'HTTP/1.1 200 OK' || nl || 'Content-Type: text/html; charset=utf-8'
+         |      || nl || nl ||
+         |    '<html><body><h1>Doc ' || doc_id || '</h1><p>' || text ||
+         |    '</p></body></html>' AS p
+         |  FROM documents, crlf),
+         |sp AS (SELECT doc_id,
+         |    regexp_extract(p, '^HTTP/1\.1 ([0-9]+)', 1)::BIGINT AS http_status,
+         |    regexp_extract(p, 'Content-[Tt]ype: ([^' || chr(13) || chr(10) || ']+)', 1)
+         |      AS content_type,
+         |    substr(p, strpos(p, nl || nl) + 4) AS h
+         |  FROM pay, crlf),
+         |s1 AS (SELECT doc_id, http_status, content_type, length(h) AS n_raw,
+         |  regexp_replace(h, '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM sp),
+         |s2 AS (SELECT doc_id, http_status, content_type, n_raw,
+         |  regexp_replace(t, '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+         |s3 AS (SELECT doc_id, http_status, content_type, n_raw,
+         |  regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2),
+         |s4 AS (SELECT doc_id, http_status, content_type, n_raw,
+         |  replace(replace(replace(replace(replace(t,
+         |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM s3),
+         |s5 AS (SELECT doc_id, http_status, content_type, n_raw,
+         |  trim(regexp_replace(t, '\s+', ' ', 'g')) AS text FROM s4)
+         |SELECT doc_id, http_status, content_type, n_raw,
+         |  length(text)::BIGINT AS n_text, text
+         |FROM s5 ORDER BY doc_id""".stripMargin),
   )
 }

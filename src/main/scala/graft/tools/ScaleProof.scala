@@ -415,7 +415,11 @@ object ScaleProof {
       // ns149 (r11): index facts join back to blobs on warc_id + a pure
       // codegen substring slice - the blob side never shuffles more than
       // its own groupBy synthesis; count() keeps the join
-      "ns149_warc_fetch")
+      "ns149_warc_fetch",
+      // ns150 (r11): the composed crawl-to-corpus path - fetch join +
+      // pure regex/substring projection chain; count() keeps the join
+      // and the framing split (output identity needs both)
+      "ns150_warc_wet")
       // ns129/ns130/ns131 run as forced variants below: their grouped
       // reports survive count() as bare DISTINCT-key jobs (the audit /
       // scoring columns all prune), which would time the wrong plan
