@@ -200,6 +200,11 @@ object Bench {
       famTotals.toSeq.sortBy(_._1)
         .map { case (f, s) => s""""$f":${fmt(s)}""" }.mkString("{", ",", "}")
     }
+    // timed-run failures must stay visible now that non-baseline queries
+    // only appear in family subtotals (where the -1 marker is filtered
+    // out): name them explicitly in BOTH JSONs
+    val timedFailed = results.collect { case (k, (med, _)) if med < 0 => k }
+    val tfJson = timedFailed.map(n => s""""$n"""").mkString("[", ",", "]")
     def buildJson(fmt: Double => String): String = {
       val qs = results.map { case (k, (med, _)) => s""""$k":${fmt(med)}""" }
         .mkString("{", ",", "}")
@@ -208,7 +213,7 @@ object Bench {
       val total = results.map(_._2._1).filter(_ >= 0).sum
       val totalMin = results.map(_._2._2).filter(_ >= 0).sum
       val wf = warmupFailed.map(n => s""""$n"""").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"queries_min":$qsMin,"families":${familiesJson(fmt)},"control":$controlJson,"warmup_failed":$wf,"runs":$runs,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"queries_min":$qsMin,"families":${familiesJson(fmt)},"control":$controlJson,"timed_failed":$tfJson,"warmup_failed":$wf,"runs":$runs,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
     }
     // The COMPACT stdout line must fit the driver's ~1,900-byte tail
     // capture — BENCH_r06–r08 came back `parsed: null` because 94 full
@@ -238,7 +243,7 @@ object Bench {
       val total = results.map(_._2._1).filter(_ >= 0).sum
       val totalMin = results.map(_._2._2).filter(_ >= 0).sum
       val wf = warmupFailed.map(n => s""""$n"""").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"stat":"median","n":${results.size},"queries":$qs,"families":${familiesJson(fmt)},"control":$controlJson,"detail":"target/bench_latest.json","warmup_failed":$wf,"runs":$runs,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"stat":"median","n":${results.size},"queries":$qs,"families":${familiesJson(fmt)},"control":$controlJson,"timed_failed":$tfJson,"detail":"target/bench_latest.json","warmup_failed":$wf,"runs":$runs,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
     }
     // self-archive FIRST (full precision): the driver captures only a log
     // TAIL, and round 5's record lost k1–k14/ns10–ns12 to truncation — the

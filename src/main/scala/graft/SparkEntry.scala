@@ -2220,6 +2220,26 @@ object SparkEntry {
       maxHamming = 3, bands = 4)
   }
 
+  /** The shared ns148/ns149/ns150 WARC fixture mux: 10-doc groups → one
+    * spec-true file each, records ordered by doc_id inside the group
+    * (`sort_array` on the struct — `collect_list` alone is
+    * partition-order nondeterministic), null texts as empty payloads
+    * (the synthesizer contract across the media legs; `coalesce` keeps
+    * engine and oracle aligned should a null ever appear). ONE
+    * definition so the three queries and the ns148 oracle's size
+    * arithmetic cannot desync. */
+  private def warcFixture(recs: DataFrame): DataFrame = {
+    val mux = udf((ids: Seq[Long], texts: Seq[String]) =>
+      graft.ops.WarcSynth.warcOf(ids.zip(texts)))
+    recs
+      .groupBy((col("doc_id") - col("doc_id") % 10).as("warc_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("ds"))
+      .select(col("warc_id"),
+        mux(expr("transform(ds, x -> x.doc_id)"),
+          expr("transform(ds, x -> coalesce(x.text, ''))")).as("content"))
+  }
+
   /** NS148 — WARC ingest ([[graft.ops.WarcSynth]] →
     * [[graft.ops.Warc.records]]): real WARC/1.0 framing — the Common
     * Crawl container, i.e. the actual on-disk format of the canonical
@@ -2238,16 +2258,7 @@ object SparkEntry {
     * records (WarcSpec). */
   private def ns148(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), col("text"))
-    val mux = udf((ids: Seq[Long], texts: Seq[String]) =>
-      graft.ops.WarcSynth.warcOf(ids.zip(texts)))
-    val warcs = base
-      .groupBy((col("doc_id") - col("doc_id") % 10).as("warc_id"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
-        .as("ds"))
-      .select(col("warc_id"),
-        mux(expr("transform(ds, x -> x.doc_id)"),
-          expr("transform(ds, x -> x.text)")).as("content"))
-    graft.ops.Warc.records(warcs).orderBy("warc_id", "rec_idx")
+    graft.ops.Warc.records(warcFixture(base)).orderBy("warc_id", "rec_idx")
   }
 
   /** NS149 — CDX-indexed WARC fetch ([[graft.ops.Warc.records]] →
@@ -2265,16 +2276,8 @@ object SparkEntry {
     * codegen over the blob column. */
   private def ns149(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), col("text"))
-    val mux = udf((ids: Seq[Long], texts: Seq[String]) =>
-      graft.ops.WarcSynth.warcOf(ids.zip(texts)))
-    val warcs = base
-      .groupBy((col("doc_id") - col("doc_id") % 10).as("warc_id"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
-        .as("ds"))
-      .select(col("warc_id"),
-        mux(expr("transform(ds, x -> x.doc_id)"),
-          expr("transform(ds, x -> x.text)")).as("content"))
-      .localCheckpoint(true) // parse + fetch read the SAME materialized blobs
+    // parse + fetch read the SAME materialized blobs
+    val warcs = warcFixture(base).localCheckpoint(true)
     val index = graft.ops.Warc.records(warcs)
       .select(col("warc_id"), col("target_uri"), col("payload_off"),
         col("content_length"))
@@ -2309,17 +2312,9 @@ object SparkEntry {
       concat(
         lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"),
         lit("<html><body><h1>Doc "), col("doc_id"),
-        lit("</h1><p>"), col("text"), lit("</p></body></html>")).as("text"))
-    val mux = udf((ids: Seq[Long], texts: Seq[String]) =>
-      graft.ops.WarcSynth.warcOf(ids.zip(texts)))
-    val warcs = http
-      .groupBy((col("doc_id") - col("doc_id") % 10).as("warc_id"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
-        .as("ds"))
-      .select(col("warc_id"),
-        mux(expr("transform(ds, x -> x.doc_id)"),
-          expr("transform(ds, x -> x.text)")).as("content"))
-      .localCheckpoint(true)
+        lit("</h1><p>"), coalesce(col("text"), lit("")),
+        lit("</p></body></html>")).as("text"))
+    val warcs = warcFixture(http).localCheckpoint(true)
     val payloads = graft.ops.Warc.records(warcs)
       .join(warcs, "warc_id")
       .select(
@@ -5326,16 +5321,16 @@ object SparkEntry {
          |    WHEN 3 THEN substr(b.text, 1, 20) || '@' || substr(b.text, 22)
          |    ELSE reverse(b.text) END AS t
          |  FROM base d JOIN base b ON b.doc_id = d.doc_id - d.doc_id % 5),
-         |h AS (SELECT doc_id, hex(encode(t)) AS hx,
-         |    octet_length(encode(t)) AS n FROM fam
-         |  WHERE octet_length(encode(t)) > 0),
+         |h AS (SELECT doc_id, hex(encode(coalesce(t, ''))) AS hx,
+         |    octet_length(encode(coalesce(t, ''))) AS n FROM fam),
          |px AS (SELECT doc_id, (g.i // 9) AS r, (g.i % 9) AS c, g.i AS cell,
          |    (2 * (g.i % 9) + (p.q % 2)) AS x, (2 * (g.i // 9) + (p.q // 2)) AS y
          |  FROM h, (SELECT unnest(range(0, 72)) AS i) g,
          |       (SELECT unnest(range(0, 4)) AS q) p),
          |pv AS (SELECT px.doc_id, px.cell,
-         |    ((('0x' || substr(h.hx, (2 * ((18 * px.y + px.x) % h.n) + 1)::INT, 2))::INT
-         |      * 31 + 7 * px.x + 13 * px.y) % 256) AS v
+         |    (CASE WHEN h.n = 0 THEN 0 ELSE
+         |      (('0x' || substr(h.hx, (2 * ((18 * px.y + px.x) % h.n) + 1)::INT, 2))::INT
+         |       * 31 + 7 * px.x + 13 * px.y) % 256 END) AS v
          |  FROM px JOIN h USING (doc_id)),
          |grid AS (SELECT doc_id, cell AS i, (sum(v) // 4)::INT AS v
          |  FROM pv GROUP BY doc_id, cell),
@@ -5357,7 +5352,8 @@ object SparkEntry {
     // (WarcSpec pins sum(rec_size) == file length).
     "ns148_warc_ingest" ->
       ("""WITH h AS (SELECT doc_id, doc_id - doc_id % 10 AS warc_id,
-         |    hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+         |    hex(encode(coalesce(text, ''))) AS hx,
+         |    octet_length(encode(coalesce(text, ''))) AS n
          |  FROM documents),
          |sz AS (SELECT doc_id, warc_id, n,
          |    97 + length(doc_id::VARCHAR) + length(n::VARCHAR) + n AS rec_size,
@@ -5387,8 +5383,8 @@ object SparkEntry {
     "ns149_warc_fetch" ->
       ("""SELECT doc_id,
          |  'http://example.com/doc/' || doc_id AS target_uri,
-         |  octet_length(encode(text))::BIGINT AS content_length,
-         |  md5(text) AS payload_md5 -- md5(VARCHAR) hashes the UTF-8 bytes
+         |  octet_length(encode(coalesce(text, '')))::BIGINT AS content_length,
+         |  md5(coalesce(text, '')) AS payload_md5 -- md5(VARCHAR) = UTF-8 bytes
          |FROM documents ORDER BY doc_id""".stripMargin),
     // ns150: the WET replay - payload text by the same concatenation
     // (container legs already certified by ns148/ns149), HTTP split by
@@ -5400,7 +5396,7 @@ object SparkEntry {
          |pay AS (SELECT doc_id,
          |    'HTTP/1.1 200 OK' || nl || 'Content-Type: text/html; charset=utf-8'
          |      || nl || nl ||
-         |    '<html><body><h1>Doc ' || doc_id || '</h1><p>' || text ||
+         |    '<html><body><h1>Doc ' || doc_id || '</h1><p>' || coalesce(text, '') ||
          |    '</p></body></html>' AS p
          |  FROM documents, crlf),
          |sp AS (SELECT doc_id,

@@ -121,11 +121,14 @@ object Avi {
     * whether the offset lands on a valid ckid). */
   def parseFrames(content: Array[Byte]): Seq[AviFrame] = {
     if (content == null || content.length < 24) return Nil
+    // negative guards matter: u32's -1 sentinel can flow into a candidate
+    // offset when an idx1 entry is truncated mid-field — fcc(-1) would
+    // then throw instead of skipping (the corrupt-blob contract)
     def fcc(at: Int): String =
-      if (at + 4 > content.length) ""
+      if (at < 0 || at + 4 > content.length) ""
       else new String(content, at, 4, "US-ASCII")
     def u32(at: Int): Long =
-      if (at + 4 > content.length) -1L
+      if (at < 0 || at + 4 > content.length) -1L
       else ByteBuffer.wrap(content, at, 4).order(ByteOrder.LITTLE_ENDIAN)
         .getInt.toLong & 0xffffffffL
     if (fcc(0) != "RIFF" || fcc(8) != "AVI ") return Nil
@@ -155,6 +158,7 @@ object Avi {
       // offset convention: movi-relative points at a ckid; absolute
       // offsets (ancient muxers) point at the same ckid counted from
       // file start — accept whichever lands on a chunk id
+      if (offRaw < 0 || size < 0) return Nil // idx1 truncated mid-entry
       val candidates = Seq(moviFcc + offRaw, offRaw)
       candidates.find(at => at + 8 <= content.length &&
         fcc(at.toInt).nonEmpty && fcc(at.toInt).forall(c => c >= ' ')

@@ -28,7 +28,10 @@ object WarcSynth {
   /** One response record: minimal fixed-shape header block + payload +
     * record separator. Every byte deterministic in (docId, text). */
   def record(docId: Long, text: String): Array[Byte] = {
-    val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // null -> empty payload, the aviOf/bmpOf synthesizer contract
+    val payload =
+      if (text == null) Array.emptyByteArray
+      else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val header =
       "WARC/1.0\r\n" +
         "WARC-Type: response\r\n" +

@@ -62,6 +62,12 @@ class AviSpec extends AnyFunSuite {
     val good = AviSynth.aviOf(text)
     // cut mid-movi: idx1 never found -> Nil, no exception
     assert(Avi.parseFrames(good.take(good.length / 2)).isEmpty)
+    // cut INSIDE an idx1 entry (the r11 review finding): the entry's
+    // offset field reads as the -1 sentinel, which must be skipped, not
+    // fed to a String constructor as a negative index
+    assert(Avi.parseFrames(good.dropRight(8)).isEmpty)
+    for (cut <- 1 to 16)
+      Avi.parseFrames(good.dropRight(cut)) // any idx1 cut: no exception
     // flip the idx1 size field region: entries point past EOF -> Nil
     val mangled = good.clone()
     mangled(mangled.length - 3) = 0x7f.toByte
