@@ -185,7 +185,10 @@ object Bench {
       val ratios = ControlAnchors.toSeq.flatMap { case (n, anchor) =>
         results.collectFirst { case (`n`, (med, _)) if med > 0 => med / anchor }
       }.sorted
-      if (!sfDir.contains("sf0.1") || ratios.size < 5) None
+      // exact-basename match: the anchors are pinned at sf0.1, and a
+      // substring test would also accept sf0.125 or a parent dir named
+      // *sf0.1*, silently normalizing a run at the wrong scale
+      if (new java.io.File(sfDir).getName != "sf0.1" || ratios.size < 5) None
       else Some(math.round(ratios(ratios.size / 2) * 1000) / 1000.0)
     }
     val controlJson = controlRatio.map(_.toString).getOrElse("null")

@@ -150,20 +150,29 @@ object Avi {
     if (moviFcc < 0 || idx1At < 0) return Nil
 
     val n = (idx1Len / 16).toInt
+    // offset convention: movi-relative points at a ckid; absolute offsets
+    // (ancient muxers) point at the same ckid counted from file start.
+    // Decided ONCE per file from the first resolvable entry, and a
+    // candidate only resolves when the bytes at the target equal the idx1
+    // entry's OWN ckid (plus a matching size field) — 4 printable bytes
+    // alone can coincide on corrupt/adversarial blobs and would slice
+    // wrong payload bytes instead of skipping the entry
+    var base: Long = -1L
     (0 until n).flatMap { i =>
       val e = (idx1At + 16L * i).toInt
+      val entryCkid = fcc(e)
       val flags = u32(e + 4)
       val offRaw = u32(e + 8)
       val size = u32(e + 12)
-      // offset convention: movi-relative points at a ckid; absolute
-      // offsets (ancient muxers) point at the same ckid counted from
-      // file start — accept whichever lands on a chunk id
       if (offRaw < 0 || size < 0) return Nil // idx1 truncated mid-entry
-      val candidates = Seq(moviFcc + offRaw, offRaw)
-      candidates.find(at => at + 8 <= content.length &&
-        fcc(at.toInt).nonEmpty && fcc(at.toInt).forall(c => c >= ' ')
-        && u32(at.toInt + 4) == size).map { at =>
-        val dataAt = (at + 8).toInt
+      val candidates = if (base >= 0) Seq(base) else Seq(moviFcc, 0L)
+      candidates.find { b =>
+        val at = b + offRaw
+        at + 8 <= content.length && entryCkid.nonEmpty &&
+          fcc(at.toInt) == entryCkid && u32(at.toInt + 4) == size
+      }.map { b =>
+        base = b
+        val dataAt = (b + offRaw + 8).toInt
         if (dataAt + size > content.length) return Nil
         AviFrame(i, (flags & 0x10) != 0, offRaw, size,
           java.util.Arrays.copyOfRange(content, dataAt, dataAt + size.toInt))

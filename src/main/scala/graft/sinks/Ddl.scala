@@ -134,6 +134,7 @@ final case class TableStructure(
     foreignKeys: Seq[ForeignKey] = Nil,
     indexes: Seq[(String, Seq[String])] = Nil, // non-unique (name, columns)
     checks: Seq[(String, String)] = Nil,       // (name, SQL check clause)
+    checkAttrs: Map[String, String] = Map.empty, // name -> trailing attrs ("NOT VALID"/"NO INHERIT")
     autoIncrement: Set[String] = Set.empty,    // identity column names
     generated: Map[String, String] = Map.empty, // column -> generation expr
     partitionClause: Option[String] = None,    // "PARTITION BY ..." text
@@ -460,9 +461,33 @@ object Ddl {
     val uq = ts.uniques.map { case (n, cs) =>
       s"  CONSTRAINT ${dialect.quote(n)} UNIQUE (${cs.map(dialect.quote).mkString(", ")})"
     }
+    // pg_get_constraintdef appends constraint attributes AFTER the CHECK
+    // group; they must stay outside the CHECK(...) wrapper or the replay is
+    // a syntax error. NO INHERIT is legal in a Postgres CREATE TABLE; NOT
+    // VALID only exists in ALTER TABLE ADD CONSTRAINT (replaying validates
+    // the constraint — strictly stronger), so it degrades to the standard
+    // prefix fidelity note. Non-Postgres dialects note both.
     val ck = ts.checks.map { case (n, clause) =>
-      s"  CONSTRAINT ${dialect.quote(n)} CHECK ($clause)"
+      val attrs = ts.checkAttrs.getOrElse(n, "")
+      val inline =
+        if (dialect == Dialect.Postgres && attrs.contains("NO INHERIT"))
+          " NO INHERIT"
+        else ""
+      s"  CONSTRAINT ${dialect.quote(n)} CHECK ($clause)$inline"
     }
+    val ckAttrPrefix = ts.checks.flatMap { case (n, _) =>
+      val attrs = ts.checkAttrs.getOrElse(n, "")
+      val dropped = Seq(
+        "NOT VALID" -> attrs.contains("NOT VALID"),
+        "NO INHERIT" -> (attrs.contains("NO INHERIT") &&
+          dialect != Dialect.Postgres)
+      ).collect { case (tok, true) => tok }
+      if (dropped.isEmpty) None
+      else Some(s"-- CONSTRAINT $n: ${dropped.mkString(", ")} not " +
+        "expressible in CREATE TABLE" +
+        (if (dropped.contains("NOT VALID")) "; replay validates the constraint"
+         else "") + "\n")
+    }.mkString
     // exclusion constraints are Postgres-only; the definition text
     // ("EXCLUDE USING gist (...)") is engine SQL carried opaquely, the
     // CHECK/view fidelity contract. Elsewhere: prefix note, never silence.
@@ -515,7 +540,7 @@ object Ddl {
           "standard-SQL model; pg_dump --schema-only carries it verbatim)\n"
       }
     }.mkString
-    s"$collPrefix$exPrefix$typeNotePrefix${partPrefix}CREATE TABLE ${dialect.quote(ts.table)} (\n${(cols ++ pk ++ uq ++ ck ++ ex).mkString(",\n")}\n)$tblComment$partSuffix;"
+    s"$collPrefix$exPrefix$typeNotePrefix$ckAttrPrefix${partPrefix}CREATE TABLE ${dialect.quote(ts.table)} (\n${(cols ++ pk ++ uq ++ ck ++ ex).mkString(",\n")}\n)$tblComment$partSuffix;"
   }
 
   /** Post-load secondary-index replay: one `CREATE INDEX` per non-unique
@@ -669,7 +694,7 @@ object Ddl {
         c -> tn.trim }
       .toMap
 
-    val checks = checksFromJdbc(conn, candidates)
+    val (checks, checkAttrs) = checksFromJdbc(conn, candidates)
     val partition = partitionClauseFromCatalog(conn, candidates)
     val collations = collationsFromCatalog(conn, candidates)
     val exclusions = exclusionsFromCatalog(conn, candidates)
@@ -687,6 +712,7 @@ object Ddl {
         f.copy(columns = f.columns.map(fix), refColumns = f.refColumns.map(fix))),
       indexes = indexes.map { case (n, cs) => n -> cs.map(fix) },
       checks = checks,
+      checkAttrs = checkAttrs,
       autoIncrement = autoInc.map(fix),
       generated = generated.map { case (c, e) => fix(c) -> e },
       partitionClause = partition,
@@ -1043,7 +1069,8 @@ object Ddl {
     * carried by the schema's nullability, so they're filtered. */
   private def checksFromJdbc(
       conn: java.sql.Connection,
-      tableCandidates: Seq[String]): Seq[(String, String)] = {
+      tableCandidates: Seq[String])
+      : (Seq[(String, String)], Map[String, String]) = {
     val url = Option(conn.getMetaData.getURL).getOrElse("")
     val query =
       if (url.startsWith("jdbc:derby:"))
@@ -1061,29 +1088,48 @@ object Ddl {
       else if (url.startsWith("jdbc:postgresql:"))
         Some(PgCatalog.checks) // pg_constraint rationale: see PgCatalog
       else None
-    val post: String => String =
-      if (url.startsWith("jdbc:postgresql:")) stripPgCheckDef else _.trim
-    query.toSeq.flatMap { q =>
+    val post: String => (String, Option[String]) =
+      if (url.startsWith("jdbc:postgresql:")) splitPgCheckDef
+      else (s => (s.trim, None))
+    val rows = query.toSeq.flatMap { q =>
       tableCandidates.iterator.map { t =>
         val ps = conn.prepareStatement(q)
         try {
           ps.setString(1, t)
           val rs = ps.executeQuery()
-          val buf = collection.mutable.ArrayBuffer.empty[(String, String)]
-          try while (rs.next()) buf += (rs.getString(1) -> post(rs.getString(2)))
-          finally rs.close()
+          val buf =
+            collection.mutable.ArrayBuffer.empty[(String, String, Option[String])]
+          try while (rs.next()) {
+            val (clause, attrs) = post(rs.getString(2))
+            buf += ((rs.getString(1), clause, attrs))
+          } finally rs.close()
           buf.sortBy(_._1).toSeq
         } finally ps.close()
       }.find(_.nonEmpty).getOrElse(Nil)
     }
+    (rows.map { case (n, c, _) => n -> c },
+      rows.collect { case (n, _, Some(a)) => n -> a }.toMap)
   }
 
   /** Unwrap `pg_get_constraintdef`'s "CHECK ((expr))" to the bare clause
-    * (one balanced outer paren pair; trailing options like NOT VALID stay
-    * attached to the clause — better carried than dropped). Validated
+    * and split off trailing constraint attributes ("NOT VALID",
+    * "NO INHERIT") that Postgres emits AFTER the CHECK group — they must
+    * not stay inside the clause or [[createTable]]'s `CHECK ($clause)`
+    * wrapper produces `CHECK (((expr)) NOT VALID)`, a syntax error on
+    * replay. The attribute match requires the tokens to sit after the
+    * group's closing paren, so a clause whose string literal merely ends
+    * in "NOT VALID" (inside the parens) is never mangled. Validated
     * against live PG 15 output by tools/live_pg_check.sh. */
-  private[sinks] def stripPgCheckDef(defn: String): String = {
+  private[sinks] def splitPgCheckDef(defn: String): (String, Option[String]) = {
     val t = defn.trim.stripPrefix("CHECK").trim
+    val AttrTail =
+      "(?i)\\)\\s*((?:NO\\s+INHERIT|NOT\\s+VALID)(?:\\s+(?:NO\\s+INHERIT|NOT\\s+VALID))*)\\s*$".r
+    val (body, attrs) = AttrTail.findFirstMatchIn(t) match {
+      case Some(m) if t.startsWith("(") =>
+        (t.substring(0, m.start + 1).trim,
+          Some(m.group(1).toUpperCase.replaceAll("\\s+", " ")))
+      case _ => (t, None)
+    }
     def outerBalanced(s: String): Boolean = {
       if (!(s.startsWith("(") && s.endsWith(")"))) return false
       var depth = 0
@@ -1096,6 +1142,11 @@ object Ddl {
       }
       depth == 0
     }
-    if (outerBalanced(t)) t.substring(1, t.length - 1).trim else t
+    (if (outerBalanced(body)) body.substring(1, body.length - 1).trim else body,
+      attrs)
   }
+
+  /** Clause-only view of [[splitPgCheckDef]] (attribute-free inputs). */
+  private[sinks] def stripPgCheckDef(defn: String): String =
+    splitPgCheckDef(defn)._1
 }

@@ -59,8 +59,13 @@ object PgCatalogProbe {
     (PgCatalog.all :+ ("rds_fk" -> JdbcSink.postgresRdsFkQuery))
       .foreach { case (name: String, sql: String) =>
         val table = if (name == "partition_key") partTable else fixtureTable
+        // exactly ONE JDBC placeholder expected: a future statement with a
+        // '?' inside a literal/regex must fail loudly here, not emit
+        // silently mangled probe SQL
+        require(sql.count(_ == '?') == 1,
+          s"catalog statement '$name' must contain exactly one '?' placeholder")
         write(catDir.resolve(s"$name.sql"),
-          sql.replace("?", s"'$table'") + ";\n")
+          sql.replaceFirst("\\?", s"'$table'") + ";\n")
       }
 
     // 2. structure replay script (Postgres dialect, every modeled feature)

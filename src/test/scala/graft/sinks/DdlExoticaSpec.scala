@@ -87,6 +87,42 @@ class DdlExoticaSpec extends AnyFunSuite {
     assert(Ddl.stripPgCheckDef("(x > 0)") == "x > 0")
   }
 
+  test("splitPgCheckDef strips trailing NOT VALID / NO INHERIT outside the " +
+    "CHECK group, and createTable re-emits them legally") {
+    // pg_get_constraintdef shapes: attributes come AFTER the closing paren
+    assert(Ddl.splitPgCheckDef("CHECK ((amount >= 0)) NOT VALID") ==
+      ("(amount >= 0)", Some("NOT VALID")))
+    assert(Ddl.splitPgCheckDef("CHECK ((a > 0)) NO INHERIT") ==
+      ("(a > 0)", Some("NO INHERIT")))
+    assert(Ddl.splitPgCheckDef("CHECK ((a > 0)) NO INHERIT NOT VALID") ==
+      ("(a > 0)", Some("NO INHERIT NOT VALID")))
+    // a string literal that merely ENDS in the attribute text sits inside
+    // the parens — never mangled
+    assert(Ddl.splitPgCheckDef("CHECK ((note <> 'NOT VALID'::text))") ==
+      ("(note <> 'NOT VALID'::text)", None))
+    assert(Ddl.stripPgCheckDef("CHECK ((amount >= 0)) NOT VALID") ==
+      "(amount >= 0)")
+
+    val ts = TableStructure("t",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "a", org.apache.spark.sql.types.IntegerType))),
+      checks = Seq("ck_nv" -> "a > 0", "ck_ni" -> "a < 10"),
+      checkAttrs = Map("ck_nv" -> "NOT VALID", "ck_ni" -> "NO INHERIT"))
+    val pg = Ddl.createTable(ts, Dialect.Postgres)
+    // NOT VALID cannot ride in CREATE TABLE: clause replays validated,
+    // with a prefix fidelity note; NO INHERIT is legal inline in Postgres
+    assert(pg.contains("CHECK (a > 0)"), pg)
+    assert(!pg.contains("NOT VALID)"), pg)
+    assert(pg.contains("CHECK (a < 10) NO INHERIT"), pg)
+    assert(pg.contains("-- CONSTRAINT ck_nv: NOT VALID"), pg)
+    val derby = Ddl.createTable(ts, Dialect.Derby)
+    // non-Postgres dialects: both attributes degrade to prefix notes
+    assert(derby.contains("CHECK (a < 10)"), derby)
+    assert(!derby.contains("CHECK (a < 10) NO INHERIT"), derby)
+    assert(derby.contains("-- CONSTRAINT ck_ni: NO INHERIT"), derby)
+  }
+
   test("live catalog scrape captures native type names (Derby), and " +
     "Derby's own types replay with zero diagnostics") {
     val url = "jdbc:derby:memory:graft_exotica;create=true"
