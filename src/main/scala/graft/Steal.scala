@@ -121,13 +121,19 @@ object Steal {
       dataOnly: Boolean = false,
       bestEffort: Boolean = false,
       out: java.io.Writer =
-        new java.io.PrintWriter(System.out)): Seq[StealReport] = {
+        new java.io.PrintWriter(System.out),
+      // connection governance, reference-matching defaults
+      // (cmd/steal.go:72-79): read cursor timeout/parallelism and write
+      // statement timeout/connection cap — see COVERAGE.md §2.1
+      readOpts: graft.sources.JdbcReadOptions = graft.sources.JdbcReadOptions(),
+      writeTimeout: Int = 30,
+      writeMaxConns: Int = 5): Seq[StealReport] = {
     import graft.sources.{Drivers, Resolved}
     import graft.sinks.{JdbcSink, JdbcSinkConfig, SqlTextSink}
 
     val catalog = Drivers.listTables(spark, fromDsn)
     val planner = new SubsetPlanner(
-      Drivers.read(spark, fromDsn, _), tables, knownTables = catalog)
+      Drivers.read(spark, fromDsn, _, readOpts), tables, knownTables = catalog)
     val byName = tables.map(t => t.name -> t).toMap
     val target = Drivers.resolve(toDsn)
 
@@ -135,7 +141,7 @@ object Steal {
       val cfg = byName.getOrElse(name, TableConfig(name))
       val subset =
         if (byName.contains(name)) planner.plan(name)
-        else Drivers.read(spark, fromDsn, name)
+        else Drivers.read(spark, fromDsn, name, readOpts)
       val (anonymised, rowsOf) = observed(Anonymiser(subset, cfg, secret))
       target match {
         case Resolved.File(path, "parquet") =>
@@ -149,7 +155,8 @@ object Steal {
           // query/dumper.go:52-99)
           out.synchronized { SqlTextSink.write(anonymised, name, out, dataOnly) }
         case Resolved.Jdbc(url, props) =>
-          JdbcSink.write(anonymised, JdbcSinkConfig(url, name, props))
+          JdbcSink.write(anonymised, JdbcSinkConfig(url, name, props,
+            queryTimeout = writeTimeout, maxConns = writeMaxConns))
       }
       StealReport(name, rowsOf(), ok = true, None)
     } catch {

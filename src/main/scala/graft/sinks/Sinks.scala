@@ -116,6 +116,11 @@ object SqlTextSink {
   * writes to `<table>_graft_staging` and atomically renames after load
   * (SURVEY §7.4.7 staging-table-and-swap).
   */
+/** `queryTimeout`/`maxConns` ≅ the reference's write flags
+  * (`cmd/steal.go:76-79`): `--write-timeout` default 30 s →  the JDBC
+  * writer's per-statement `queryTimeout`; `--write-max-conns` default 5 →
+  * the writer's `numPartitions` option, which coalesces the frame so at
+  * most that many concurrent connections ever hit the target. */
 final case class JdbcSinkConfig(
     url: String,
     table: String,
@@ -123,7 +128,9 @@ final case class JdbcSinkConfig(
     batchSize: Int = 10000,
     preSql: Seq[String] = Nil,   // e.g. SET FOREIGN_KEY_CHECKS=0
     postSql: Seq[String] = Nil,  // e.g. SET FOREIGN_KEY_CHECKS=1
-    staging: Boolean = false)
+    staging: Boolean = false,
+    queryTimeout: Int = 30,      // --write-timeout (seconds)
+    maxConns: Int = 5)           // --write-max-conns
 
 object JdbcSink {
   /** Hook statements klepto issues for each engine, for parity. */
@@ -285,6 +292,8 @@ object JdbcSink {
     try {
       df.write.mode(SaveMode.Append)
         .option("batchsize", cfg.batchSize.toString)
+        .option("queryTimeout", cfg.queryTimeout.toString)
+        .option("numPartitions", cfg.maxConns.toString)
         .jdbc(cfg.url, q(stagingT), cfg.properties)
       if (!tableExists(cfg, cfg.table))
         runSql(cfg, Seq(createLikeSql(cfg.url, cfg.table, stagingT)))

@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects}
+
+/** Derby JDBC dialect with LIMIT/OFFSET pushdown (VERDICT r11 #2 enabler).
+  *
+  * Spark's built-in `DerbyDialect` leaves `supportsLimit`/`supportsOffset`
+  * at the `JdbcDialect` default (false) and returns an empty limit clause,
+  * so a DSv2 `JDBCTableCatalog` over Derby never pushes LIMIT — the one
+  * engine this sandbox can run live would be excluded from the total-
+  * pushdown contract ([[Drivers.registerCatalog]]). Derby has supported
+  * the SQL:2008 row-limiting clauses since 10.5:
+  * `OFFSET n ROWS FETCH NEXT m ROWS ONLY` (Derby docs, "result offset and
+  * fetch first clauses"), which is exactly what this dialect emits.
+  * Everything else delegates to the built-in dialect so type mapping and
+  * error classification stay Spark's.
+  *
+  * MySQL/Postgres need no such shim — their Spark dialects already
+  * support limit pushdown natively.
+  */
+private[sources] object DerbyFetchDialect extends JdbcDialect {
+  // the built-in DerbyDialect (its class is private[sql]); resolved at
+  // object init, BEFORE ensureRegistered can prepend this dialect
+  private val base: JdbcDialect = JdbcDialects.get("jdbc:derby:")
+
+  override def canHandle(url: String): Boolean = base.canHandle(url)
+
+  // the point of this dialect
+  override def supportsLimit: Boolean = true
+  override def supportsOffset: Boolean = true
+  override def getLimitClause(limit: Integer): String =
+    if (limit > 0) s"FETCH NEXT $limit ROWS ONLY" else ""
+  override def getOffsetClause(offset: Integer): String =
+    if (offset > 0) s"OFFSET $offset ROWS" else ""
+
+  // pure delegation below — behavior identical to the built-in dialect
+  override def getCatalystType(
+      sqlType: Int, typeName: String, size: Int,
+      md: org.apache.spark.sql.types.MetadataBuilder) =
+    base.getCatalystType(sqlType, typeName, size, md)
+  override def getJDBCType(dt: org.apache.spark.sql.types.DataType) =
+    base.getJDBCType(dt)
+  override def isCascadingTruncateTable() = base.isCascadingTruncateTable()
+  override def isSupportedFunction(funcName: String): Boolean =
+    base.isSupportedFunction(funcName)
+  override def isObjectNotFoundException(e: java.sql.SQLException): Boolean =
+    base.isObjectNotFoundException(e)
+  override def isSyntaxErrorBestEffort(e: java.sql.SQLException): Boolean =
+    base.isSyntaxErrorBestEffort(e)
+  override def renameTable(
+      oldTable: org.apache.spark.sql.connector.catalog.Identifier,
+      newTable: org.apache.spark.sql.connector.catalog.Identifier): String =
+    base.renameTable(oldTable, newTable)
+  override def getTableCommentQuery(table: String, comment: String): String =
+    base.getTableCommentQuery(table, comment)
+  override def getUpdateColumnNullabilityQuery(
+      tableName: String, columnName: String, isNullable: Boolean): String =
+    base.getUpdateColumnNullabilityQuery(tableName, columnName, isNullable)
+  override def classifyException(
+      e: Throwable, condition: String, messageParameters: Map[String, String],
+      description: String, isRuntime: Boolean)
+      : Throwable with org.apache.spark.SparkThrowable =
+    base.classifyException(e, condition, messageParameters, description,
+      isRuntime)
+
+  /** Idempotent registration. The built-in dialect must be UNREGISTERED
+    * first: with two dialects matching `jdbc:derby:`, `JdbcDialects.get`
+    * returns an `AggregatedDialect`, whose `supportsLimit` collapses back
+    * to false — silently undoing the pushdown this dialect exists for. */
+  lazy val ensureRegistered: Unit = {
+    JdbcDialects.unregisterDialect(base)
+    JdbcDialects.registerDialect(this)
+  }
+}

@@ -87,6 +87,92 @@ class JdbcPlanSpec extends AnyFunSuite {
     assert(got.count() == 5L)
   }
 
+  test("PK-derived partitioned scan: N parallel range cursors whose union " +
+    "is hash-identical to the single-cursor read (VERDICT r11 #1)") {
+    fixture
+    // default opts: maxConns=5, ACCOUNTS has integral PK ID spanning 0..19
+    val part = Drivers.read(spark, url, "ACCOUNTS")
+    assert(part.rdd.getNumPartitions == 5,
+      s"expected 5 range partitions, got ${part.rdd.getNumPartitions}")
+    val p = part.queryExecution.executedPlan.toString
+    assert(p.contains("numPartitions=5"), p.take(1200))
+    // the reference's exact single-cursor shape, for comparison
+    val single = Drivers.read(spark, url, "ACCOUNTS",
+      JdbcReadOptions(autoPartition = false))
+    assert(single.rdd.getNumPartitions == 1)
+    val a = part.orderBy("ID").collect().map(_.toSeq).toSeq
+    val b = single.orderBy("ID").collect().map(_.toSeq).toSeq
+    assert(a == b, "partitioned union must equal the single-cursor read")
+    // filter pushdown composes with partitioning: both the range WHERE
+    // and the Match predicate run at the source
+    val filtered = part.filter("ACTIVE = 1")
+    val fp = filtered.queryExecution.executedPlan.toString
+    assert(fp.contains("*EqualTo(ACTIVE,1)"), fp.take(1200))
+    assert(filtered.count() == 10L)
+  }
+
+  test("PK-less table falls back to the reference's single-cursor shape; " +
+    "tiny key spans don't fan out past the span") {
+    fixture
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE nopk_log (msg VARCHAR(20))")
+      st.execute("INSERT INTO nopk_log VALUES ('a'), ('b')")
+      st.execute("CREATE TABLE tiny (id INT NOT NULL PRIMARY KEY)")
+      st.execute("INSERT INTO tiny VALUES (1), (2), (3)")
+      st.close()
+    } finally conn.close()
+    assert(Drivers.read(spark, url, "NOPK_LOG").rdd.getNumPartitions == 1)
+    // key span 1..3 < maxConns 5 → only as many range partitions as the
+    // splitter can honor (hi - lo = 2), no empty cursors
+    assert(Drivers.read(spark, url, "TINY").rdd.getNumPartitions == 2)
+  }
+
+  test("read/write governance options land in the JDBC scan " +
+    "(--read-timeout/--read-max-conns/fetchsize parity, cmd/steal.go:72-75)") {
+    fixture
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // JDBCRelation/JDBCOptions are private[sql]; read the scan's option
+    // map reflectively — the pin is on WHAT reaches the source relation,
+    // not on Spark internals' shape
+    def jdbcOpts(df: DataFrame): Map[String, String] = {
+      val rel = df.queryExecution.analyzed.collect {
+        case lr: LogicalRelation => lr.relation
+      }.headOption.getOrElse(fail("no relation in plan"))
+      val opts = rel.getClass.getMethod("jdbcOptions").invoke(rel)
+      val params = opts.getClass.getMethod("parameters").invoke(opts)
+        .asInstanceOf[scala.collection.Map[String, String]]
+      params.map { case (k, v) => k.toLowerCase -> v }.toMap
+    }
+    val defaults = jdbcOpts(Drivers.read(spark, url, "ACCOUNTS"))
+    assert(defaults.get("querytimeout").contains("300")) // 5 min default
+    assert(defaults.get("fetchsize").contains("10000"))
+    val custom = jdbcOpts(Drivers.read(spark, url, "ACCOUNTS",
+      JdbcReadOptions(timeout = 42, maxConns = 2, fetchSize = 7)))
+    assert(custom.get("querytimeout").contains("42"))
+    assert(custom.get("fetchsize").contains("7"))
+    assert(custom.get("numpartitions").contains("2"))
+  }
+
+  test("DSv2 catalog leg: LIMIT is pushed into the remote scan " +
+    "(PushedLimit — the reference's engine.go:158-163 textual pushdown, " +
+    "done by Catalyst; VERDICT r11 #2)") {
+    fixture
+    Drivers.registerCatalog(spark, "graftderby", url)
+    val df = spark.table("graftderby.APP.ACCOUNTS").limit(7)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedLimit"), p.take(2000))
+    assert(df.count() == 7L)
+    // top-k pushes as PushedTopN (ORDER BY + LIMIT in the remote SQL)
+    val topk = spark.table("graftderby.APP.ACCOUNTS")
+      .orderBy(org.apache.spark.sql.functions.col("BALANCE").desc).limit(3)
+    val tp = topk.queryExecution.executedPlan.toString
+    assert(tp.contains("PushedTopN"), tp.take(2000))
+    assert(topk.collect().map(_.getAs[Double]("BALANCE")).toSeq ==
+      Seq(190.0, 180.0, 170.0))
+  }
+
   test("catalog listing query itself is pushed as a source-side query " +
     "(no client-side view filtering)") {
     // listTables for mysql/postgres ships a information_schema QUERY to the
