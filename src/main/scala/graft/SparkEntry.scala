@@ -2220,6 +2220,30 @@ object SparkEntry {
       maxHamming = 3, bands = 4)
   }
 
+  /** NS151 — verify-by-content image near-dup (VERDICT r11 #3): ns147's
+    * candidate stage (real BMP → ImageIO decode → banded 63-bit dHash
+    * join) followed by [[graft.ops.Perceptual.nearDupPairsVerified]]'s
+    * verify stage — keep a candidate pair only when the two docs' actual
+    * 72-cell luminance grids agree (sum of absolute differences ≤ 128,
+    * the p99 of true within-family pairs at the 10× decade — keeps ~99%
+    * of genuine re-encodes/edits while the coincidental class sits at
+    * SAD p50 ≈ 400). The dHash keeps gradient SIGNS only,
+    * so at scale coincidental hash neighbors dominate the candidate set
+    * (3.4M pairs at the 100× decade vs 6k at 1×); the grid is content,
+    * and this stage collapses them while true re-encodes/small edits
+    * survive. The oracle replays the whole chain arithmetically
+    * (pixels → 2×2 box grid → dHash → pairs → integer SAD), sharing the
+    * ns147 CTEs. Scale shape: one decode pass emits hash AND grid;
+    * verification joins the collision-bounded pair list to the
+    * ~300-byte/doc grid table twice by doc id — blobs never move. */
+  private def ns151(s: SparkSession, dir: String): DataFrame = {
+    val synth = udf((t: String) => graft.ops.BmpSynth.bmpOf(t))
+    val media = ns81Family(s, dir).select(col("doc_id"),
+      synth(col("t")).as("content"))
+    graft.ops.Perceptual.nearDupPairsVerified(media,
+      graft.ops.ImageGridDecoder, maxHamming = 3, bands = 4, maxSad = 128L)
+  }
+
   /** The shared ns148/ns149/ns150 WARC fixture mux: 10-doc groups → one
     * spec-true file each, records ordered by doc_id inside the group
     * (`sort_array` on the struct — `collect_list` alone is
@@ -2781,6 +2805,7 @@ object SparkEntry {
     "ns148_warc_ingest" -> (ns148 _),
     "ns149_warc_fetch" -> (ns149 _),
     "ns150_warc_wet" -> (ns150 _),
+    "ns151_bmp_neardup_verified" -> (ns151 _),
   )
 
   /** ns2's full minhash-LSH pair replay, hoisted with a `__DOCS__`
@@ -5343,6 +5368,49 @@ object SparkEntry {
          |  bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
          |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin),
+    // ns151: the ns147 arithmetic replay extended with the verify stage -
+    // candidate pairs join back to the reconstructed 72-cell grids and
+    // keep sum(abs(cell diff)) <= 128, pure integer arithmetic.
+    "ns151_bmp_neardup_verified" ->
+      ("""WITH base AS (SELECT doc_id, text FROM documents),
+         |fam AS (SELECT d.doc_id,
+         |  CASE d.doc_id % 5
+         |    WHEN 0 THEN b.text
+         |    WHEN 1 THEN b.text
+         |    WHEN 2 THEN substr(b.text, 1, 10) || '#' || substr(b.text, 12)
+         |    WHEN 3 THEN substr(b.text, 1, 20) || '@' || substr(b.text, 22)
+         |    ELSE reverse(b.text) END AS t
+         |  FROM base d JOIN base b ON b.doc_id = d.doc_id - d.doc_id % 5),
+         |h AS (SELECT doc_id, hex(encode(coalesce(t, ''))) AS hx,
+         |    octet_length(encode(coalesce(t, ''))) AS n FROM fam),
+         |px AS (SELECT doc_id, (g.i // 9) AS r, (g.i % 9) AS c, g.i AS cell,
+         |    (2 * (g.i % 9) + (p.q % 2)) AS x, (2 * (g.i // 9) + (p.q // 2)) AS y
+         |  FROM h, (SELECT unnest(range(0, 72)) AS i) g,
+         |       (SELECT unnest(range(0, 4)) AS q) p),
+         |pv AS (SELECT px.doc_id, px.cell,
+         |    (CASE WHEN h.n = 0 THEN 0 ELSE
+         |      (('0x' || substr(h.hx, (2 * ((18 * px.y + px.x) % h.n) + 1)::INT, 2))::INT
+         |       * 31 + 7 * px.x + 13 * px.y) % 256 END) AS v
+         |  FROM px JOIN h USING (doc_id)),
+         |grid AS (SELECT doc_id, cell AS i, (sum(v) // 4)::INT AS v
+         |  FROM pv GROUP BY doc_id, cell),
+         |bits AS (SELECT a.doc_id, ((a.i // 9) * 8 + (a.i % 9))::INT AS k,
+         |  CASE WHEN a.v < b.v THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+         |  FROM grid a JOIN grid b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+         |  WHERE a.i % 9 < 8 AND (a.i // 9) * 8 + (a.i % 9) < 63),
+         |ph AS (SELECT doc_id, sum(bit << k)::BIGINT AS phash FROM bits GROUP BY doc_id),
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+         |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+         |sadt AS (SELECT c.doc_a, c.doc_b, c.hamming,
+         |    sum(abs(ga.v - gb.v))::BIGINT AS sad
+         |  FROM cand c
+         |  JOIN grid ga ON ga.doc_id = c.doc_a
+         |  JOIN grid gb ON gb.doc_id = c.doc_b AND gb.i = ga.i
+         |  GROUP BY c.doc_a, c.doc_b, c.hamming)
+         |SELECT doc_a, doc_b, hamming, sad FROM sadt WHERE sad <= 128
          |ORDER BY doc_a, doc_b""".stripMargin),
     // ns148: WARC record geometry with no container - per-record size
     // 97 + digits(doc_id) + digits(len) + len (the fixed header skeleton

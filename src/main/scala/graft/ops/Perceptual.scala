@@ -212,7 +212,19 @@ object Perceptual {
       maxHamming: Int = 3,
       bands: Int = 4,
       maxBandFreq: Long = Long.MaxValue,
-      reuseHashes: Boolean = true): DataFrame = {
+      reuseHashes: Boolean = true): DataFrame =
+    nearDupPairsCore(hashes, maxHamming, bands, maxBandFreq, reuseHashes)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The unsorted pair pipeline — [[nearDupPairsVerified]] consumes this
+    * directly so no Sort sits between candidate generation and the
+    * verify join. */
+  private def nearDupPairsCore(
+      hashes: DataFrame,
+      maxHamming: Int,
+      bands: Int,
+      maxBandFreq: Long,
+      reuseHashes: Boolean): DataFrame = {
     requireBandParams(maxHamming, bands)
     // both join sides derive from ONE materialization of (doc_id, phash):
     // without this the self-join re-runs the upstream lineage on each
@@ -229,6 +241,68 @@ object Perceptual {
           .as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** One decode pass → (doc_id, phash, grid): the hash AND its 72-cell
+    * luminance grid, the verification signature for
+    * [[nearDupPairsVerified]]. The grid is ~300 bytes/doc — index-sized,
+    * shippable through joins; the blob column never leaves this pass. */
+  def gridHashes(
+      media: DataFrame,
+      decoder: GridDecoder = ByteStrideGridDecoder): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false),
+      StructField("grid",
+        ArrayType(IntegerType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select(col("doc_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val g = decoder.decode(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), dhashOfGrid(g), g)
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** Candidates-then-verify near-dup (the [[Dedup]] embedding-near-dup
+    * pattern applied to images — VERDICT r11 #3, PLANS.md ns147's named
+    * deployment lever made code): banded-dHash candidate pairs, then a
+    * VERIFY stage that keeps only pairs whose actual luminance grids
+    * agree — sum of absolute cell differences (`sad`, 72 cells × 0..255)
+    * ≤ `maxSad`. A 63-bit dHash summarizes a document into gradient
+    * SIGNS, so at web scale coincidental hash neighbors accumulate
+    * (measured: 3.4M candidate pairs at the 100× decade); the grid
+    * signature is content, not signs, and collapses them.
+    *
+    * Scale shape: ONE decode pass emits (phash, grid) together; the
+    * candidate join ships 16-byte hash rows; the verify stage joins the
+    * candidate PAIR LIST (collision-bounded) back to the ~300-byte/doc
+    * grid table twice, keyed by doc id — blobs never move, nothing
+    * pairwise ever touches content bigger than the grid. SAD is exact
+    * integer arithmetic, reproducible in any SQL engine. */
+  def nearDupPairsVerified(
+      media: DataFrame,
+      decoder: GridDecoder = ByteStrideGridDecoder,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxSad: Long = 720L,
+      maxBandFreq: Long = Long.MaxValue): DataFrame = {
+    val sig = gridHashes(media, decoder).localCheckpoint(true)
+    val cand = nearDupPairsCore(sig.select(col("doc_id"), col("phash")),
+      maxHamming, bands, maxBandFreq, reuseHashes = false)
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("grid").as("ga")),
+        "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("grid").as("gb")),
+        "doc_b")
+      .withColumn("sad", expr(
+        "aggregate(zip_with(ga, gb, (x, y) -> abs(x - y)), 0L, " +
+          "(acc, d) -> acc + d)"))
+      .where(col("sad") <= maxSad)
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("sad"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

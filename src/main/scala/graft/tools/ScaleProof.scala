@@ -419,7 +419,13 @@ object ScaleProof {
       // ns150 (r11): the composed crawl-to-corpus path - fetch join +
       // pure regex/substring projection chain; count() keeps the join
       // and the framing split (output identity needs both)
-      "ns150_warc_wet")
+      "ns150_warc_wet",
+      // ns151 (r12): ns147's candidate stage + the verify-by-content
+      // second stage — the pair list joins the ~300 B/doc grid table
+      // twice by doc id; the 100× leg is the evidence that SAD
+      // verification collapses the coincidental-candidate volume the
+      // r11 verdict priced at 3.4M pairs
+      "ns151_bmp_neardup_verified")
       // ns129/ns130/ns131 run as forced variants below: their grouped
       // reports survive count() as bare DISTINCT-key jobs (the audit /
       // scoring columns all prune), which would time the wrong plan

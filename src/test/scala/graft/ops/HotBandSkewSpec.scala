@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Skew-resilience pin for the dedup band-join family (VERDICT r11 #6).
+  *
+  * The family's 100 TB story rests on candidate volume being COLLISION
+  * volume: a band/shingle key's postings meet only each other. An
+  * adversarial near-constant corpus breaks that premise — here every doc
+  * carries one super-common bigram, so candidate generation owns one hot
+  * key whose self-join must emit ~n²/2 pair rows, all of them through a
+  * single task (band keys hash whole; no partitioner can split one key).
+  * `maxDocFreq` is the documented contract for exactly this corpus: the
+  * over-hot shingle is DROPPED from candidate generation (a recall trade
+  * the Scaladoc prices). This spec pins the contract at the PLAN level —
+  * the measured `numOutputRows` of the join that materializes the
+  * candidate stream — alongside the semantic half: pairs that agree on
+  * rare shingles still surface, capped or not.
+  *
+  * (Why not shuffle metrics: the operator's own shape already prevents a
+  * shuffle blow-up — the probe side is pre-partitioned by doc_id, so the
+  * pair aggregation completes inside the probe stage and only final rows
+  * ever cross a shuffle. The residual skew cost is the hot TASK's CPU and
+  * aggregation hash map, which is exactly the candidate row count this
+  * spec bounds.)
+  */
+class HotBandSkewSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Largest per-join output-row metric in the executed plan — the
+    * candidate-stream size, read from the plan's own counters (exact,
+    * not timing-dependent). AQE is disabled for the measurement so the
+    * executed tree is statically walkable. */
+  private def maxJoinOutputRows(df: => DataFrame): (Seq[(Long, Long)], Long) = {
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = df
+      val rows = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // the candidate join is the one carrying the pair-ordering
+      // predicate (a.doc_id < b.doc_id); sizes joins and the maxDocFreq
+      // anti-join are joins too and must not be mistaken for it
+      val joins = q.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.condition.exists(_.toString.contains("<")) => j
+      }
+      assert(joins.nonEmpty, "no candidate join in executed plan")
+      (rows, joins.map(_.metrics("numOutputRows").value).max)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", before)
+  }
+
+  test("a planted hot shingle: uncapped candidate generation emits the " +
+    "quadratic pair stream; maxDocFreq drops the hot band and bounds the " +
+    "stream at the rare-shingle volume (the documented contract)") {
+    import spark.implicits._
+    val n = 1500
+    // every doc shares the bigram "hot hot"; tails are unique — so ALL
+    // cross-doc candidates come from the hot key alone. Two planted twins
+    // share their full rare tail (jaccard 3/(3+3-3) = 1.0 >= 0.5).
+    val docs = ((0 until n).map(i => (i.toLong, s"hot hot u$i v$i")) ++ Seq(
+      (9000L, "twin twin alpha beta"),
+      (9001L, "twin twin alpha beta"))).toDF("doc_id", "text")
+
+    val quadratic = n.toLong * (n - 1) / 2
+    val (uncappedRows, uncappedStream) = maxJoinOutputRows(
+      Dedup.ngramJaccard(docs, maxDocFreq = Long.MaxValue,
+        broadcastPostings = Some(false)))
+    val (cappedRows, cappedStream) = maxJoinOutputRows(
+      Dedup.ngramJaccard(docs, maxDocFreq = 100,
+        broadcastPostings = Some(false)))
+
+    // semantic half: identical OUTPUT either way — the twins pair on
+    // their rare shingles (docFreq 2 <= 100); only the n-doc hot band is
+    // dropped, and it never contributed a >= 0.5 jaccard pair
+    assert(uncappedRows == Seq((9000L, 9001L)))
+    assert(cappedRows == Seq((9000L, 9001L)))
+
+    // physical half, from the plan's own row counters: the uncapped
+    // candidate stream is the full n²/2 hot-key product the hot task must
+    // aggregate; capped, the stream is exactly the twins' three shared
+    // rare shingles
+    assert(uncappedStream >= quadratic,
+      s"expected a quadratic candidate stream >= $quadratic, " +
+        s"saw $uncappedStream")
+    // the final orderBy's range sampler re-executes the join subtree, so
+    // the counter reads ≤ 2 passes × 3 shared rare shingles
+    assert(cappedStream <= 6L,
+      s"capped candidate stream should be the twins' 3 shared shingles " +
+        s"(≤ 2 sampler passes), saw $cappedStream")
+  }
+}

@@ -100,6 +100,47 @@ class PerceptualSpec extends AnyFunSuite {
       .subsetOf(h3))
   }
 
+  test("nearDupPairsVerified: verified pairs ⊆ candidates; a same-sign " +
+    "brightness clone passes the hash stage and DIES at the SAD verify") {
+    // ByteStrideGridDecoder on 72-byte blobs maps byte i -> cell i, so
+    // grids are crafted directly as content bytes.
+    val a = Array.tabulate[Byte](72)(i => (i % 9).toByte)    // ascending rows
+    val dupA = a.clone(); dupA(40) = (dupA(40) + 2).toByte   // tiny edit
+    // same GRADIENT SIGNS as a (dHash hamming 0 — a guaranteed candidate)
+    // but every cell shifted +180: content disagrees massively
+    val fake = a.map(b => (b + 180).toByte)
+    val media = Seq(
+      (0L, a), (1L, dupA), (2L, fake)).toDF("doc_id", "content")
+
+    val hs = Perceptual.gridHashes(media)
+    val got = hs.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getSeq[Int](2))).toMap
+    // fake really is a hash-identical impostor (the coincidence class)
+    assert(got(2L)._1 == got(0L)._1)
+    assert(got(2L)._2 != got(0L)._2)
+
+    val cand = Perceptual.nearDupPairs(
+      hs.select(col("doc_id"), col("phash")), maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand == Set((0L, 1L), (0L, 2L), (1L, 2L))) // all three collide
+
+    val verified = Perceptual.nearDupPairsVerified(
+      media, maxHamming = 3, bands = 4, maxSad = 720L)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // only the true near-dup survives; its SAD is the exact planted delta
+    // (the +2 edit flips one gradient sign, so hamming = 1)
+    assert(verified.toSeq == Seq((0L, 1L, 1L, 2L)))
+    // verified ⊆ candidates by construction
+    assert(verified.map(v => (v._1, v._2)).toSet.subsetOf(cand))
+    // maxSad is a real lever: at a permissive threshold the impostors
+    // come back with their honest SAD — (180 mod 256) per cell × 72
+    val loose = Perceptual.nearDupPairsVerified(
+      media, maxHamming = 3, bands = 4, maxSad = Long.MaxValue)
+      .collect()
+    assert(loose.length == 3)
+  }
+
   test("nearDupPairs validates band/hamming parameters") {
     val df = Seq((1L, 2L)).toDF("doc_id", "phash")
     intercept[IllegalArgumentException](Perceptual.nearDupPairs(df, 4, 4))
