@@ -124,7 +124,8 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.5,
       hashVocabulary: Option[Boolean] = None,
-      broadcastThresholdBytes: Long = defaultBroadcastBytes): DataFrame = {
+      broadcastThresholdBytes: Long = defaultBroadcastBytes,
+      maxBandFreq: Long = Long.MaxValue): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes % rowsPerBand != 0")
     val sh = shingles(docs, shingleK)
 
@@ -154,7 +155,20 @@ object Dedup {
     val mhCols = (0 until numHashes).map(s => min(col(s"h$s")).as(s"mh$s"))
     val mh = posted.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
 
-    val bands = bandKeys(mh, numHashes, rowsPerBand)
+    val bands0 = bandKeys(mh, numHashes, rowsPerBand)
+    // the [[ngramJaccard]] maxDocFreq / [[graft.ops.Perceptual]]
+    // maxBandFreq skew lever, for the LSH band join: an adversarial
+    // near-constant corpus collapses every sketch into one (band, bv)
+    // bucket whose self-join is corpus² — over-hot buckets drop from
+    // candidate generation at the same documented recall trade. Default
+    // ∞ keeps the oracle-exact semantics.
+    val bands =
+      if (maxBandFreq == Long.MaxValue) bands0
+      else {
+        val hot = bands0.groupBy(col("band"), col("bv")).count()
+          .where(col("count") > maxBandFreq).select(col("band"), col("bv"))
+        bands0.join(hot, Seq("band", "bv"), "left_anti")
+      }
 
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&

@@ -59,11 +59,12 @@ object PgCatalogProbe {
     (PgCatalog.all :+ ("rds_fk" -> JdbcSink.postgresRdsFkQuery))
       .foreach { case (name: String, sql: String) =>
         val table = if (name == "partition_key") partTable else fixtureTable
-        // exactly ONE JDBC placeholder expected: a future statement with a
-        // '?' inside a literal/regex must fail loudly here, not emit
+        // at most ONE JDBC placeholder expected (views/triggers are
+        // schema-wide and carry none): a future statement with a '?'
+        // inside a literal/regex must fail loudly here, not emit
         // silently mangled probe SQL
-        require(sql.count(_ == '?') == 1,
-          s"catalog statement '$name' must contain exactly one '?' placeholder")
+        require(sql.count(_ == '?') <= 1,
+          s"catalog statement '$name' must contain at most one '?' placeholder")
         write(catDir.resolve(s"$name.sql"),
           sql.replaceFirst("\\?", s"'$table'") + ";\n")
       }
@@ -88,7 +89,17 @@ object PgCatalogProbe {
       foreignKeys = Seq(ForeignKey("fk_probe_parent", Seq("parent_id"),
         "probe_parent", Seq("id"))),
       indexes = Seq("ix_probe_status" -> Seq("status", "created")),
-      checks = Seq("ck_probe_amount" -> "amount >= 0"),
+      // r12: one check per trailing-attribute class (splitPgCheckDef) —
+      // NO INHERIT must re-emit OUTSIDE the CHECK(...) wrapper and be
+      // accepted by the live engine; NOT VALID cannot ride in CREATE
+      // TABLE, so replay validates it (prefix note, constraint enforced)
+      checks = Seq(
+        "ck_probe_amount" -> "amount >= 0",
+        "ck_probe_ni" -> "amount < 1000000",
+        "ck_probe_nv" -> "char_length(status) > 0"),
+      checkAttrs = Map(
+        "ck_probe_ni" -> "NO INHERIT",
+        "ck_probe_nv" -> "NOT VALID"),
       autoIncrement = Set("id"),
       comment = Some("probe table -- it's quoted"),
       columnComments = Map("email" -> "the contact address"))

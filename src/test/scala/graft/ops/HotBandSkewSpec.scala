@@ -91,4 +91,27 @@ class HotBandSkewSpec extends AnyFunSuite {
       s"capped candidate stream should be the twins' 3 shared shingles " +
         s"(≤ 2 sampler passes), saw $cappedStream")
   }
+
+  test("minhashLsh maxBandFreq: a constant corpus floods every sketch " +
+    "bucket; the cap drops the hot buckets and rare-bucket pairs survive") {
+    import spark.implicits._
+    val n = 60
+    // n byte-identical docs -> identical sketches -> every (band, bv)
+    // bucket holds all n; the uncapped candidate join is n²/2. The twins
+    // sit in their own freq-2 buckets.
+    val docs = ((0 until n).map(i =>
+      (i.toLong, "same text everywhere forever")) ++ Seq(
+      (9000L, "twin twin alpha beta"),
+      (9001L, "twin twin alpha beta"))).toDF("doc_id", "text")
+
+    val uncapped = Dedup.minhashLsh(docs).count()
+    assert(uncapped == n.toLong * (n - 1) / 2 + 1,
+      s"uncapped must pair every identical doc plus the twins: $uncapped")
+
+    val capped = Dedup.minhashLsh(docs, maxBandFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // hot buckets (freq n > 10) drop — the documented recall trade —
+    // while the twins' freq-2 buckets keep their pair intact
+    assert(capped == Seq((9000L, 9001L)), capped.toString)
+  }
 }

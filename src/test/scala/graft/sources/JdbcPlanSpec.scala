@@ -171,6 +171,16 @@ class JdbcPlanSpec extends AnyFunSuite {
     assert(tp.contains("PushedTopN"), tp.take(2000))
     assert(topk.collect().map(_.getAs[Double]("BALANCE")).toSeq ==
       Seq(190.0, 180.0, 170.0))
+    // aggregates push too (PushedAggregates/PushedGroupByExpressions):
+    // the source computes COUNT/SUM, Spark only merges partials
+    import org.apache.spark.sql.functions.{count, sum}
+    val agg = spark.table("graftderby.APP.ACCOUNTS")
+      .groupBy("ACTIVE").agg(count("*").as("n"), sum("BALANCE").as("s"))
+    val ap = agg.queryExecution.executedPlan.toString
+    assert(ap.contains("PushedAggregates"), ap.take(2000))
+    assert(agg.collect().map(r =>
+      (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq ==
+      Seq((0, 10L), (1, 10L)))
   }
 
   test("catalog listing query itself is pushed as a source-side query " +

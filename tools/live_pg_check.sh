@@ -110,6 +110,21 @@ out=$(run -c "SELECT nextval('probe_seq')" -c "SELECT nextval('probe_seq')")
 out=$(run -c "INSERT INTO probe_child (parent_id, email) SELECT id, 'a@b' FROM probe_parent LIMIT 0" -c "SELECT count(*) FROM probe_child_v")
 check "replayed view + identity child table are queryable" $?
 
+# --- B2. CHECK trailing attributes (r12 splitPgCheckDef fix) ---------------
+# premise: live pg_get_constraintdef really appends the attribute AFTER the
+# CHECK group — the exact text shape splitPgCheckDef splits
+run -c "ALTER TABLE probe_orders ADD CONSTRAINT ck_probe_orders_nv CHECK (id <> 0) NOT VALID" >/dev/null
+out=$(run -c "SELECT pg_get_constraintdef(oid) FROM pg_constraint WHERE conname='ck_probe_orders_nv'")
+[[ "$out" == *"CHECK ((id <> 0)) NOT VALID" ]]; check "premise: pg_get_constraintdef emits trailing NOT VALID after the group" $?
+# replay side: NO INHERIT re-emitted OUTSIDE the wrapper was ACCEPTED by the
+# live engine during replay.sql above, and survives in the catalog...
+out=$(run -c "SELECT connoinherit FROM pg_constraint WHERE conname='ck_probe_ni'")
+[[ "$out" == "t" ]]; check "replayed CHECK carries NO INHERIT (outside the wrapper, engine-verified)" $?
+# ...while the NOT VALID one replays VALIDATED (CREATE TABLE cannot carry
+# NOT VALID; the documented degradation is note + enforce)
+out=$(run -c "SELECT convalidated FROM pg_constraint WHERE conname='ck_probe_nv'")
+[[ "$out" == "t" ]]; check "NOT VALID check replays validated (documented CREATE TABLE degradation)" $?
+
 # --- C. COPY wire format round-trip ---------------------------------------
 run -f "$PROBE/copy_table.sql" >/dev/null
 check "BulkLoad target table DDL (Ddl.createTable, Postgres dialect)" $?
