@@ -110,8 +110,19 @@ object ScalingSmoke {
         .agg(sum(length(col("text_clean"))).as("clean_chars"),
           sum(col("kept_lines")).as("kept"))
     }
+    // the Bloom-prefiltered twin runs the same fixed-benchmark shape —
+    // only the corpus side scales, which is exactly the side the
+    // might_contain prefilter thins before the exact join
+    def deconBloomFixed(dir: String) = {
+      import org.apache.spark.sql.functions.col
+      graft.ops.Dedup.decontaminateBloom(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .where(col("doc_id") % 50 =!= 0),
+        fixedBench, shingleK = 4)
+    }
     val custom: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
       "ns21_decon_fixed_bench" -> (deconFixed _),
+      "ns152_decon_bloom_fixed_bench" -> (deconBloomFixed _),
       "ns34_spans_fixed_bench" -> (spansFixed _),
       "ns68_lines_forced" -> (linesForced _),
       "ns76_dataset_card" -> ((d: String) =>

@@ -380,6 +380,23 @@ object SparkEntry {
       shingleK = 4)
   }
 
+  /** NS152 — Bloom-prefiltered decontamination
+    * ([[graft.ops.Dedup.decontaminateBloom]]): ns21's exact semantics
+    * (same oracle SQL, hash-identical output is the claim under test)
+    * with the 100 TB deployment shape — a distributed-built Bloom filter
+    * over the benchmark vocabulary kills ~(1−fpp) of the corpus postings
+    * inside the scan stage via Spark's codegen'd `might_contain`
+    * machinery, BEFORE the exact join; false positives survive the
+    * prefilter and die in the join, so the Bloom stage is pure
+    * work-avoidance. */
+  private def ns152(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.ops.Dedup.decontaminateBloom(
+      d.where(col("doc_id") % 50 =!= 0),
+      d.where(col("doc_id") % 50 === 0),
+      shingleK = 4)
+  }
+
   /** NS22 — PII scrubbing: emails / IPv4s / phone numbers redacted from
     * free text before training admission. The synthetic corpus carries no
     * natural PII, so the query deterministically injects one of each
@@ -2806,6 +2823,7 @@ object SparkEntry {
     "ns149_warc_fetch" -> (ns149 _),
     "ns150_warc_wet" -> (ns150 _),
     "ns151_bmp_neardup_verified" -> (ns151 _),
+    "ns152_decontaminate_bloom" -> (ns152 _),
   )
 
   /** ns2's full minhash-LSH pair replay, hoisted with a `__DOCS__`
@@ -2964,6 +2982,16 @@ object SparkEntry {
       ("SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents " +
         "GROUP BY text ORDER BY doc_id"),
     "ns21_decontaminate" ->
+      ("""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+3],' ') for i in range(1, len(w)-2)]) AS shingle FROM words),
+         |bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0)
+         |SELECT s.doc_id, count(DISTINCT s.shingle) AS matched_shingles, count(DISTINCT b.bench_id) AS bench_docs
+         |FROM sh s JOIN bench b USING (shingle) WHERE s.doc_id % 50 != 0
+         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin),
+    // ns152: SAME oracle as ns21 — the Bloom prefilter is work-avoidance
+    // only; hash-identical output against the exact-join oracle is the
+    // correctness claim
+    "ns152_decontaminate_bloom" ->
       ("""WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
          |sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(w[i:i+3],' ') for i in range(1, len(w)-2)]) AS shingle FROM words),
          |bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0)

@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+/** Session registration for Spark's OWN Bloom-filter expressions
+  * (`BloomFilterAggregate` / `BloomFilterMightContain` — the machinery
+  * behind Catalyst's runtime row-group filtering), which Spark keeps
+  * internal and does not register in the public function registry. The
+  * graft names avoid colliding with any future built-in registration of
+  * `bloom_filter_agg`/`might_contain`.
+  *
+  * Why these and not `DataFrameStatFunctions.bloomFilter` + a UDF: the
+  * aggregate runs DISTRIBUTED with partial merge (the stat helper is the
+  * same aggregate, but the membership probe would then need a Scala UDF,
+  * which blackboxes the hot filter out of codegen); `might_contain` over
+  * `xxhash64` is a codegen'd predicate that fuses into the scan stage.
+  *
+  *   - `bloom_agg(xxhash64(col), estimatedItems, numBits)` → binary blob
+  *   - `bloom_might_contain(blob, xxhash64(col))` → boolean
+  */
+object BloomFunctions {
+  private val builders: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "bloom_agg" -> (es => {
+      require(es.length == 3, "bloom_agg(hashCol, estimatedItems, numBits)")
+      new BloomFilterAggregate(es(0), es(1), es(2)).toAggregateExpression()
+    }),
+    "bloom_might_contain" -> (es => {
+      require(es.length == 2, "bloom_might_contain(blob, hashCol)")
+      new BloomFilterMightContain(es(0), es(1))
+    }))
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+}

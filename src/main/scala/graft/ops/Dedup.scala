@@ -583,8 +583,19 @@ object Dedup {
       benchmark: DataFrame,
       shingleK: Int = 4,
       broadcastBenchmark: Option[Boolean] = None,
-      broadcastThresholdBytes: Long = defaultBroadcastBytes): DataFrame = {
-    val corpusSh = shingles(corpus, shingleK)
+      broadcastThresholdBytes: Long = defaultBroadcastBytes): DataFrame =
+    decontaminateImpl(shingles(corpus, shingleK), benchmark, shingleK,
+      broadcastBenchmark, broadcastThresholdBytes)
+
+  /** The exact-join tail shared by [[decontaminate]] and
+    * [[decontaminateBloom]] — the corpus side arrives pre-shingled (and,
+    * on the Bloom path, pre-filtered). */
+  private def decontaminateImpl(
+      corpusSh: DataFrame,
+      benchmark: DataFrame,
+      shingleK: Int,
+      broadcastBenchmark: Option[Boolean],
+      broadcastThresholdBytes: Long): DataFrame = {
     val benchSh = shingles(benchmark, shingleK)
       .select(col("doc_id").as("bench_id"), col("shingle").as("bsh"))
     val doBroadcast = broadcastBenchmark.getOrElse(
@@ -595,6 +606,49 @@ object Dedup {
       .agg(countDistinct(col("shingle")).as("matched_shingles"),
         countDistinct(col("bench_id")).as("bench_docs"))
       .orderBy(col("doc_id"))
+  }
+
+  /** D7c — Bloom-prefiltered decontamination: the 100 TB deployment shape
+    * of [[decontaminate]], output BIT-IDENTICAL by construction. A Bloom
+    * filter over the benchmark's distinct shingle vocabulary (built
+    * DISTRIBUTED by Spark's own `BloomFilterAggregate` with partial
+    * merge, sized −n·ln(fpp)/ln²2 bits from the measured vocabulary) is
+    * embedded as a literal, and the corpus postings pass through the
+    * codegen'd `bloom_might_contain(blob, xxhash64(shingle))` predicate
+    * INSIDE the scan stage — so at web scale, where the match rate is
+    * tiny, ~(1−fpp) of the 100 TB side's postings die before the
+    * shuffle/broadcast-probe the exact join needs. False positives cost
+    * one extra posting through the exact join and are eliminated there:
+    * the Bloom stage is pure work-avoidance, never semantics.
+    *
+    * Driver state: the filter blob (~1.2 MB per 1M distinct shingles at
+    * fpp 1%) — the bounded-model-state pattern (IVF centroids, PQ
+    * codebooks); it rides the plan as one literal. Two small extra jobs
+    * price the build (vocabulary count + aggregate) — noise next to a
+    * corpus scan, the wrong trade only when corpus ≈ benchmark size, in
+    * which case use [[decontaminate]]. */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      shingleK: Int = 4,
+      fpp: Double = 0.01,
+      broadcastBenchmark: Option[Boolean] = None,
+      broadcastThresholdBytes: Long = defaultBroadcastBytes): DataFrame = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    graft.functions.BloomFunctions.register(corpus.sparkSession)
+    val vocab = shingles(benchmark, shingleK).select("shingle").distinct()
+    val n = math.max(1L, vocab.count())
+    val numBits = math.max(64L,
+      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val blob = vocab
+      .agg(call_function("bloom_agg",
+        xxhash64(col("shingle")), lit(n), lit(numBits)).as("b"))
+      .head.getAs[Array[Byte]]("b")
+    val prefiltered = shingles(corpus, shingleK).where(
+      call_function("bloom_might_contain",
+        lit(blob), xxhash64(col("shingle"))))
+    decontaminateImpl(prefiltered, benchmark, shingleK,
+      broadcastBenchmark, broadcastThresholdBytes)
   }
 
   /** The corpus with every [[decontaminate]]-flagged doc removed — the

@@ -505,6 +505,23 @@ class DecontaminationSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("decontaminateBloom ≡ decontaminate (the Bloom stage is pure " +
+    "work-avoidance), and the prefilter sits in the scan stage") {
+    val exact = Dedup.decontaminate(corpus, benchmark).collect().toSeq
+    val bloom = Dedup.decontaminateBloom(corpus, benchmark)
+    assert(bloom.collect().toSeq == exact)
+    // even at an absurd false-positive rate the exact join restores
+    // semantics — that's the correctness contract
+    assert(Dedup.decontaminateBloom(corpus, benchmark, fpp = 0.9)
+      .collect().toSeq == exact)
+    // the membership probe is a Filter over the shingle projection — it
+    // must appear in the physical plan BELOW the exact join, i.e. inside
+    // the corpus-side scan stage
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain") ||
+      plan.contains("might_contain"), plan.take(2000))
+  }
+
   test("scrubContaminatedSpans redacts covered words, keeps the rest byte-identical") {
     val out = Dedup.scrubContaminatedSpans(corpus, benchmark).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
