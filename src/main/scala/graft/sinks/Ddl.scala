@@ -156,6 +156,14 @@ final case class SequenceStructure(
     startWith: Long = 1L,
     incrementBy: Long = 1L)
 
+/** A user enum type carried through structure replay (r12, closing part
+  * of the pg_dump-verbatim residue): Postgres enums are schema-level
+  * objects like sequences; labels come from `pg_enum` in sort order and
+  * replay as `CREATE TYPE ... AS ENUM (...)` BEFORE any table that
+  * references the type, which lets those columns keep their native type
+  * instead of degrading to TEXT. */
+final case class EnumStructure(name: String, labels: Seq[String])
+
 /** A view carried through structure replay (the reference preserves views
   * opaquely inside `pg_dump --schema-only` output — fixtures/pg_simple.sql:35
   * `users_view` survives a copy). */
@@ -246,13 +254,26 @@ object PgCatalog {
       "JOIN pg_class c ON c.oid = d.objid " +
       "WHERE c.relname = s.sequence_name AND d.deptype IN ('a','i'))"
 
+  /** User enum types with labels in declared order (pg_enum.enumsortorder
+    * — the order CREATE TYPE ... AS ENUM must reproduce, because enum
+    * comparison follows it). chr(31) (unit separator) joins labels: a
+    * label may legally contain commas or whitespace, never control
+    * chars. */
+  val enums: String =
+    "SELECT t.typname, string_agg(e.enumlabel, chr(31) " +
+      "ORDER BY e.enumsortorder) " +
+      "FROM pg_type t JOIN pg_enum e ON e.enumtypid = t.oid " +
+      "JOIN pg_namespace n ON n.oid = t.typnamespace " +
+      "WHERE n.nspname = current_schema() " +
+      "GROUP BY t.typname ORDER BY t.typname"
+
   /** Every constant above, named — the probe iterates this. */
   val all: Seq[(String, String)] = Seq(
     "views" -> views, "triggers" -> triggers, "generated" -> generated,
     "collations" -> collations, "table_comment" -> tableComment,
     "column_comments" -> columnComments, "checks" -> checks,
     "exclusions" -> exclusions, "partition_key" -> partitionKey,
-    "sequences" -> sequences)
+    "sequences" -> sequences, "enums" -> enums)
 }
 
 object Ddl {
@@ -413,7 +434,23 @@ object Ddl {
     ReplayableNativeTypes.contains(n)
   }
 
-  def createTable(ts: TableStructure, dialect: Dialect): String = {
+  /** `nativeTypeWhitelist` (r12): lowercased source type names the CALLER
+    * guarantees exist at replay time — enum types it will `CREATE TYPE`
+    * first, extension types it will `CREATE EXTENSION` first
+    * ([[structureScriptFull]] computes the set). A Postgres column whose
+    * scraped native type is whitelisted replays with THAT type verbatim
+    * instead of degrading to the Spark-schema analog, and emits no
+    * degradation note — the pg_dump-fidelity upgrade for the one class
+    * the typed scrape could not previously carry. */
+  def createTable(ts: TableStructure, dialect: Dialect,
+      nativeTypeWhitelist: Set[String] = Set.empty): String = {
+    def nativeReplay(colName: String): Option[String] =
+      if (dialect != Dialect.Postgres) None
+      else ts.nativeTypes.get(colName)
+        .filter(tn => nativeTypeWhitelist.contains(tn.toLowerCase))
+        .map(tn =>
+          if (tn.matches("[a-z_][a-z0-9_]*")) tn
+          else "\"" + tn.replace("\"", "\"\"") + "\"")
     val cols = ts.schema.fields.map { f =>
       val identity = ts.autoIncrement.contains(f.name)
       val genExpr = ts.generated.get(f.name)
@@ -452,7 +489,8 @@ object Ddl {
           s" COMMENT '${c.replace("'", "''")}'"
         case _ => ""
       }
-      s"  ${dialect.quote(f.name)} ${dialect.typeName(f.dataType)}" +
+      s"  ${dialect.quote(f.name)} " +
+        nativeReplay(f.name).getOrElse(dialect.typeName(f.dataType)) +
         s"$collate$generated$default$nullness$autoInc$comment"
     }
     val pk =
@@ -534,7 +572,9 @@ object Ddl {
     // `CREATE EXTENSION` + `ALTER COLUMN TYPE` after replay instead of
     // discovering the degradation in production. DdlExoticaSpec pins it.
     val typeNotePrefix = ts.schema.fields.flatMap { f =>
-      ts.nativeTypes.get(f.name).filterNot(isReplayableNativeType).map { tn =>
+      ts.nativeTypes.get(f.name).filterNot(isReplayableNativeType)
+        // whitelisted types replay VERBATIM — nothing degraded, no note
+        .filter(_ => nativeReplay(f.name).isEmpty).map { tn =>
         s"-- ${f.name}: source native type \'$tn\' replayed as " +
           s"${dialect.typeName(f.dataType)} (outside the typed scrape\'s " +
           "standard-SQL model; pg_dump --schema-only carries it verbatim)\n"
@@ -579,17 +619,39 @@ object Ddl {
     * not fire them during bulk load applies them separately via
     * [[createTrigger]] after data (the same reasoning FKs replay as
     * post-load ALTERs). */
+  /** Extension-owned types the replay can make real with one
+    * `CREATE EXTENSION IF NOT EXISTS`: type name → owning extension. */
+  private val ExtensionTypes: Map[String, String] = Map(
+    "citext" -> "citext", "hstore" -> "hstore", "ltree" -> "ltree",
+    "cube" -> "cube", "seg" -> "seg")
+
   def structureScriptFull(
       tables: Seq[TableStructure], dialect: Dialect,
       views: Seq[ViewStructure] = Nil,
       triggers: Seq[TriggerStructure] = Nil,
-      sequences: Seq[SequenceStructure] = Nil): String = {
+      sequences: Seq[SequenceStructure] = Nil,
+      enums: Seq[EnumStructure] = Nil): String = {
     val sb = new StringBuilder
     sb.append(s"-- graft structure dump (${dialect.name})\n")
     dialect.preamble.foreach(s => sb.append(s).append(";\n"))
+    // native-type replay set (Postgres only): enum types this script
+    // CREATEs below, plus extension types it can CREATE EXTENSION for —
+    // columns of these types keep their source type verbatim
+    val extensions =
+      if (dialect != Dialect.Postgres) Nil
+      else tables.flatMap(_.nativeTypes.values)
+        .map(_.toLowerCase).distinct.sorted
+        .flatMap(tn => ExtensionTypes.get(tn).map(tn -> _))
+    val whitelist: Set[String] =
+      if (dialect != Dialect.Postgres) Set.empty
+      else enums.map(_.name.toLowerCase).toSet ++ extensions.map(_._1)
+    extensions.map(_._2).distinct.foreach(ext =>
+      sb.append(s"CREATE EXTENSION IF NOT EXISTS $ext;\n"))
+    enums.foreach(e => sb.append(createEnum(e, dialect)).append("\n"))
     // sequences first: a table DEFAULT may call NEXT VALUE FOR / nextval
     sequences.foreach(s => sb.append(createSequence(s, dialect)).append("\n"))
-    tables.foreach(t => sb.append(createTable(t, dialect)).append("\n"))
+    tables.foreach(t =>
+      sb.append(createTable(t, dialect, whitelist)).append("\n"))
     tables.foreach(t =>
       createComments(t, dialect).foreach(s => sb.append(s).append("\n")))
     tables.foreach(t =>
@@ -935,6 +997,34 @@ object Ddl {
     else
       s"CREATE SEQUENCE ${dialect.quote(s.name)} AS ${s.dataType} " +
         s"START WITH ${s.startWith} INCREMENT BY ${s.incrementBy};"
+
+  /** Enum replay (Postgres-only object; the other dialects note it —
+    * their columns stay on the degraded standard type + fidelity note,
+    * exactly the pre-r12 behavior). Label order is comparison order. */
+  def createEnum(e: EnumStructure, dialect: Dialect): String =
+    if (dialect == Dialect.Postgres)
+      s"CREATE TYPE ${dialect.quote(e.name)} AS ENUM " +
+        e.labels.map(l => s"'${l.replace("'", "''")}'")
+          .mkString("(", ", ", ");")
+    else
+      s"-- CREATE TYPE ${e.name} AS ENUM (${e.labels.mkString(", ")}) " +
+        s"(no enum types in ${dialect.name})"
+
+  /** Scrape user enum types from a live Postgres catalog
+    * ([[PgCatalog.enums]]); empty on engines without enum types. */
+  def enumsFromJdbc(
+      conn: java.sql.Connection, url: String): Seq[EnumStructure] = {
+    if (!url.startsWith("jdbc:postgresql:")) return Nil
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(PgCatalog.enums)
+      val buf = collection.mutable.ArrayBuffer.empty[EnumStructure]
+      try while (rs.next()) buf += EnumStructure(rs.getString(1),
+        rs.getString(2).split('\u001f').toSeq)
+      finally rs.close()
+      buf.toSeq
+    } finally st.close()
+  }
 
   /** Partition clause of a partitioned table, as opaque `PARTITION BY ...`
     * text: Postgres via `pg_get_partkeydef` (declarative partitioning),

@@ -81,8 +81,12 @@ object PgCatalogProbe {
         StructField("parent_id", LongType, nullable = false),
         StructField("email", StringType),
         StructField("status", StringType),
+        StructField("mood", StringType),
         StructField("amount", DoubleType),
         StructField("created", TimestampType))),
+      // r12 native-type replay: citext (extension) + enum — the live
+      // check asserts the replayed columns carry THESE types, not TEXT
+      nativeTypes = Map("email" -> "citext", "mood" -> "probe_mood"),
       primaryKey = Seq("id"),
       uniques = Seq("uq_probe_email" -> Seq("email")),
       defaults = Map("status" -> "'new'", "amount" -> "0.0"),
@@ -107,7 +111,8 @@ object PgCatalogProbe {
       Seq(parent, child), Dialect.Postgres,
       views = Seq(ViewStructure("probe_child_v",
         "SELECT id, email FROM probe_child WHERE amount >= 0")),
-      sequences = Seq(SequenceStructure("probe_seq", "BIGINT", 100L, 5L)))
+      sequences = Seq(SequenceStructure("probe_seq", "BIGINT", 100L, 5L)),
+      enums = Seq(EnumStructure("probe_mood", Seq("sad", "ok", "happy"))))
     write(outDir.resolve("replay.sql"), replay)
 
     // 3. COPY wire format + canonical expected readback

@@ -123,6 +123,38 @@ class DdlExoticaSpec extends AnyFunSuite {
     assert(derby.contains("-- CONSTRAINT ck_ni: NO INHERIT"), derby)
   }
 
+  test("native-type replay (r12): whitelisted enum/extension types keep " +
+    "their source type verbatim with no degradation note; everything " +
+    "else degrades exactly as before") {
+    val ddl = Ddl.structureScriptFull(
+      Seq(exotic), Dialect.Postgres,
+      enums = Seq(EnumStructure("mood_enum", Seq("sad", "ok", "happy"))))
+    // the script makes the types real BEFORE the table: extension first,
+    // enum with labels in comparison order
+    assert(ddl.contains("CREATE EXTENSION IF NOT EXISTS citext;"), ddl)
+    assert(ddl.contains("CREATE EXTENSION IF NOT EXISTS hstore;"), ddl)
+    assert(ddl.contains(
+      "CREATE TYPE \"mood_enum\" AS ENUM ('sad', 'ok', 'happy');"), ddl)
+    assert(ddl.indexOf("CREATE TYPE") < ddl.indexOf("CREATE TABLE"), ddl)
+    // whitelisted columns replay verbatim, note-free
+    assert(ddl.contains("\"email\" citext"), ddl)
+    assert(ddl.contains("\"tags\" hstore"), ddl)
+    assert(ddl.contains("\"mood\" mood_enum"), ddl)
+    assert(!ddl.contains("source native type 'citext'"), ddl)
+    assert(!ddl.contains("source native type 'mood_enum'"), ddl)
+    // geometry (postgis — not in the extension map) still degrades with
+    // the pointed note; jsonb likewise
+    assert(ddl.contains("\"location\" TEXT"), ddl)
+    assert(ddl.contains("source native type 'geometry'"), ddl)
+    assert(ddl.contains("source native type 'jsonb'"), ddl)
+    // non-Postgres dialects: enums note, columns degrade as before
+    val derby = Ddl.structureScriptFull(
+      Seq(exotic), Dialect.Derby,
+      enums = Seq(EnumStructure("mood_enum", Seq("sad", "ok"))))
+    assert(derby.contains("-- CREATE TYPE mood_enum AS ENUM"), derby)
+    assert(!derby.toLowerCase.contains("create extension"), derby)
+  }
+
   test("live catalog scrape captures native type names (Derby), and " +
     "Derby's own types replay with zero diagnostics") {
     val url = "jdbc:derby:memory:graft_exotica;create=true"

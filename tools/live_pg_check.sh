@@ -78,6 +78,8 @@ CREATE FUNCTION probe_touch() RETURNS trigger AS
 CREATE TRIGGER tg_probe_touch BEFORE INSERT ON probe_profile
   FOR EACH ROW EXECUTE FUNCTION probe_touch();
 CREATE SEQUENCE probe_seq_standalone START 100 INCREMENT 5;
+CREATE TYPE probe_mood_src AS ENUM ('grim', 'fine', 'great');
+ALTER TABLE probe_profile ADD COLUMN mood probe_mood_src;
 CREATE TABLE probe_events_part (id bigint, ts timestamp)
   PARTITION BY RANGE (id);
 EOF
@@ -96,6 +98,7 @@ out=$(q checks);          [[ "$out" == *ck_probe_amount* && "$out" != *not_null*
 out=$(q exclusions);      [[ "$out" == *ex_probe_label*"EXCLUDE USING gist"* ]]; check "PgCatalog.exclusions carries pg_get_constraintdef verbatim" $?
 out=$(q partition_key);   [[ "$out" == "RANGE (id)" ]]; check "PgCatalog.partitionKey = RANGE (id)" $?
 out=$(q sequences);       [[ "$out" == *probe_seq_standalone*100*5* && "$out" != *probe_profile_id_seq* ]]; check "PgCatalog.sequences: standalone kept, serial-owned excluded" $?
+out=$(q enums);          [[ "$out" == *probe_mood_src*grim*fine*great* ]]; check "PgCatalog.enums returns labels in enumsortorder" $?
 out=$(q rds_fk);          [[ "$out" == *fk_probe_orders_profile*"FOREIGN KEY (profile_id) REFERENCES probe_profile(id)"* ]]; check "Sinks.postgresRdsFkQuery (reference-verbatim RDS hook)" $?
 
 # --- D. exotica TYPE_NAMEs are real ---------------------------------------
@@ -109,6 +112,16 @@ out=$(run -c "SELECT nextval('probe_seq')" -c "SELECT nextval('probe_seq')")
 [[ "$out" == $'100\x0a105' || "$out" == *100*105* ]]; check "replayed sequence honors START 100 INCREMENT 5" $?
 out=$(run -c "INSERT INTO probe_child (parent_id, email) SELECT id, 'a@b' FROM probe_parent LIMIT 0" -c "SELECT count(*) FROM probe_child_v")
 check "replayed view + identity child table are queryable" $?
+
+# --- B1b. native-type replay (r12): enum + extension columns verbatim ------
+out=$(run -c "SELECT udt_name FROM information_schema.columns WHERE table_name='probe_child' AND column_name IN ('email','mood') ORDER BY column_name")
+[[ "$out" == *citext* && "$out" == *probe_mood* ]]; check "replayed columns keep citext / enum types verbatim (not TEXT)" $?
+out=$(run -c "INSERT INTO probe_parent (id, label) VALUES (777, 'p1')" \
+  -c "INSERT INTO probe_child (parent_id, email, mood) VALUES (777, 'x@y', 'happy')" \
+  -c "SELECT mood FROM probe_child WHERE email = 'x@y'")
+[[ "$out" == *happy* ]]; check "replayed enum column accepts its labels (live INSERT)" $?
+run -c "INSERT INTO probe_child (parent_id, email, mood) VALUES (777, 'z@y', 'angry')" >/dev/null 2>&1
+[[ $? -ne 0 ]]; check "replayed enum column REJECTS a non-label (enum semantics real, not text)" $?
 
 # --- B2. CHECK trailing attributes (r12 splitPgCheckDef fix) ---------------
 # premise: live pg_get_constraintdef really appends the attribute AFTER the
