@@ -18,19 +18,26 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   * which blackboxes the hot filter out of codegen); `might_contain` over
   * `xxhash64` is a codegen'd predicate that fuses into the scan stage.
   *
-  *   - `bloom_agg(xxhash64(col), estimatedItems, numBits)` → binary blob
-  *   - `bloom_might_contain(blob, xxhash64(col))` → boolean
+  * The `graft_` prefix is load-bearing: registration is skip-if-exists
+  * (re-registering logs a registry WARN per query), so an unprefixed name
+  * could silently resolve to a user temp function or a future Spark
+  * built-in with different semantics — and a wrong membership probe
+  * breaks decontaminateBloom's output-identical contract invisibly.
+  *
+  *   - `graft_bloom_agg(xxhash64(col), estimatedItems, numBits)` → blob
+  *   - `graft_bloom_might_contain(blob, xxhash64(col))` → boolean
   */
 object BloomFunctions {
   private val builders: Seq[(String,
       Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
-    "bloom_agg" -> (es => {
-      require(es.length == 3, "bloom_agg(hashCol, estimatedItems, numBits)")
+    "graft_bloom_agg" -> (es => {
+      require(es.length == 3,
+        "graft_bloom_agg(hashCol, estimatedItems, numBits)")
       new BloomFilterAggregate(es(0), es(1), es(2)).toAggregateExpression()
     }),
-    "bloom_might_contain" -> (es => {
-      require(es.length == 2, "bloom_might_contain(blob, hashCol)")
+    "graft_bloom_might_contain" -> (es => {
+      require(es.length == 2, "graft_bloom_might_contain(blob, hashCol)")
       new BloomFilterMightContain(es(0), es(1))
     }))
 

@@ -155,13 +155,19 @@ object Dedup {
     val mhCols = (0 until numHashes).map(s => min(col(s"h$s")).as(s"mh$s"))
     val mh = posted.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
 
-    val bands0 = bandKeys(mh, numHashes, rowsPerBand)
     // the [[ngramJaccard]] maxDocFreq / [[graft.ops.Perceptual]]
     // maxBandFreq skew lever, for the LSH band join: an adversarial
     // near-constant corpus collapses every sketch into one (band, bv)
     // bucket whose self-join is corpus² — over-hot buckets drop from
     // candidate generation at the same documented recall trade. Default
-    // ∞ keeps the oracle-exact semantics.
+    // ∞ keeps the oracle-exact semantics. The CAPPED path materializes
+    // the sketch frame first (doc_id + 16 longs — corpus-cheap): the
+    // hot-bucket count side would otherwise re-execute the whole
+    // shingle→16-hash pipeline a second time (the Perceptual
+    // checkpoint-then-filter pattern).
+    val bands0 = bandKeys(
+      if (maxBandFreq == Long.MaxValue) mh else mh.localCheckpoint(true),
+      numHashes, rowsPerBand)
     val bands =
       if (maxBandFreq == Long.MaxValue) bands0
       else {
@@ -635,17 +641,39 @@ object Dedup {
       broadcastBenchmark: Option[Boolean] = None,
       broadcastThresholdBytes: Long = defaultBroadcastBytes): DataFrame = {
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
-    graft.functions.BloomFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    graft.functions.BloomFunctions.register(spark)
     val vocab = shingles(benchmark, shingleK).select("shingle").distinct()
     val n = math.max(1L, vocab.count())
     val numBits = math.max(64L,
       math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    val blob = vocab
-      .agg(call_function("bloom_agg",
-        xxhash64(col("shingle")), lit(n), lit(numBits)).as("b"))
-      .head.getAs[Array[Byte]]("b")
+    // BloomFilterAggregate SILENTLY Math.min-clamps its item/bit sizing
+    // against the runtime-filter conf caps (default 4M items / 67.1M
+    // bits) — past ~7M distinct shingles at fpp 0.01 the realized FP rate
+    // would quietly climb toward 1 and the prefilter would stop
+    // prefiltering. Raise the caps for the build so the requested fpp
+    // actually holds; restore after.
+    def withFloor[T](key: String, floor: Long)(body: => T): T = {
+      val prev = spark.conf.getOption(key)
+      val cur = prev.map(_.toLong).getOrElse(0L)
+      if (cur < floor) spark.conf.set(key, floor.toString)
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val blob =
+      withFloor("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", n) {
+        withFloor(
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits) {
+          vocab.agg(call_function("graft_bloom_agg",
+            xxhash64(col("shingle")), lit(n), lit(numBits)).as("b"))
+            .head.getAs[Array[Byte]]("b")
+        }
+      }
     val prefiltered = shingles(corpus, shingleK).where(
-      call_function("bloom_might_contain",
+      call_function("graft_bloom_might_contain",
         lit(blob), xxhash64(col("shingle"))))
     decontaminateImpl(prefiltered, benchmark, shingleK,
       broadcastBenchmark, broadcastThresholdBytes)

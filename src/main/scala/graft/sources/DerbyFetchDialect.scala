@@ -25,13 +25,17 @@ private[sources] object DerbyFetchDialect extends JdbcDialect {
 
   override def canHandle(url: String): Boolean = base.canHandle(url)
 
-  // the point of this dialect
+  // the point of this dialect. Offset pushdown stays OFF: Spark's default
+  // JdbcSQLQueryBuilder emits "<limit> <offset>", but Derby's SQL:2008
+  // row-limiting grammar requires OFFSET before FETCH — DB2Dialect ships
+  // a custom query builder to swap the clauses for exactly this grammar,
+  // and that builder API (JDBCOptions in the signature) is private[sql],
+  // unreachable from here. A pushed OFFSET+LIMIT pair would therefore be
+  // a remote syntax error; leaving supportsOffset false keeps OFFSET on
+  // the Spark side (correct, just unpushed) while LIMIT/top-k push fine.
   override def supportsLimit: Boolean = true
-  override def supportsOffset: Boolean = true
   override def getLimitClause(limit: Integer): String =
     if (limit > 0) s"FETCH NEXT $limit ROWS ONLY" else ""
-  override def getOffsetClause(offset: Integer): String =
-    if (offset > 0) s"OFFSET $offset ROWS" else ""
 
   // pure delegation below — behavior identical to the built-in dialect
   override def getCatalystType(

@@ -171,8 +171,18 @@ object Drivers {
           .option("queryTimeout", opts.timeout.toString)
           .option("fetchsize", opts.fetchSize.toString)
         props.stringPropertyNames().forEach(k => r.option(k, props.getProperty(k)))
-        val userPartitioned = props.containsKey("partitionColumn") ||
-          props.containsKey("numPartitions")
+        // Spark's JDBC option map is case-insensitive — a DSN that spells
+        // partitioncolumn/numpartitions in any casing must win over the
+        // PK derivation, not be silently overwritten by it
+        val userPartitioned = {
+          val it = props.stringPropertyNames().iterator()
+          var found = false
+          while (it.hasNext && !found) {
+            val k = it.next().toLowerCase
+            found = k == "partitioncolumn" || k == "numpartitions"
+          }
+          found
+        }
         if (!userPartitioned && opts.autoPartition && opts.maxConns > 1)
           derivePartitioning(url, props, table, opts.maxConns).foreach {
             case (col, lo, hi, n) => r
