@@ -640,8 +640,24 @@ object Dedup {
       fpp: Double = 0.01,
       broadcastBenchmark: Option[Boolean] = None,
       broadcastThresholdBytes: Long = defaultBroadcastBytes): DataFrame = {
+    val blob = benchmarkBloom(benchmark, shingleK, fpp)
+    graft.functions.BloomFunctions.register(corpus.sparkSession)
+    val prefiltered = shingles(corpus, shingleK).where(
+      call_function("graft_bloom_might_contain",
+        lit(blob), xxhash64(col("shingle"))))
+    decontaminateImpl(prefiltered, benchmark, shingleK,
+      broadcastBenchmark, broadcastThresholdBytes)
+  }
+
+  /** Build the benchmark-vocabulary Bloom filter once — the reusable half
+    * of [[decontaminateBloom]], exposed so a STREAMING caller (static
+    * benchmark, live corpus) pays the build a single time and gates every
+    * micro-batch with the same blob. */
+  def benchmarkBloom(
+      benchmark: DataFrame, shingleK: Int = 4,
+      fpp: Double = 0.01): Array[Byte] = {
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
-    val spark = corpus.sparkSession
+    val spark = benchmark.sparkSession
     graft.functions.BloomFunctions.register(spark)
     val vocab = shingles(benchmark, shingleK).select("shingle").distinct()
     val n = math.max(1L, vocab.count())
@@ -663,31 +679,32 @@ object Dedup {
         case None => spark.conf.unset(key)
       }
     }
-    val blob =
-      withFloor("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", n) {
-        withFloor(
-          "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits) {
-          vocab.agg(call_function("graft_bloom_agg",
-            xxhash64(col("shingle")), lit(n), lit(numBits)).as("b"))
-            .head.getAs[Array[Byte]]("b")
-        }
+    withFloor("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", n) {
+      withFloor(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits) {
+        vocab.agg(call_function("graft_bloom_agg",
+          xxhash64(col("shingle")), lit(n), lit(numBits)).as("b"))
+          .head.getAs[Array[Byte]]("b")
       }
-    val prefiltered = shingles(corpus, shingleK).where(
-      call_function("graft_bloom_might_contain",
-        lit(blob), xxhash64(col("shingle"))))
-    decontaminateImpl(prefiltered, benchmark, shingleK,
-      broadcastBenchmark, broadcastThresholdBytes)
+    }
   }
 
   /** The corpus with every [[decontaminate]]-flagged doc removed — the
     * writable training set. Anti-join on doc_id; the flagged-id side skips
     * the report's counts and ordering (just the tainted ids). */
+  /** `bloomBlob` (r12): a [[benchmarkBloom]] filter to gate the corpus
+    * postings through BEFORE the exact tainted join — the
+    * [[decontaminateBloom]] prefilter for the REMOVE shape. Semantics
+    * unchanged (false positives die in the exact join); built once and
+    * passed in so a streaming caller pays the build a single time, not
+    * per micro-batch. */
   def removeContaminated(
       corpus: DataFrame,
       benchmark: DataFrame,
       shingleK: Int = 4,
       broadcastBenchmark: Option[Boolean] = None,
-      broadcastThresholdBytes: Long = defaultBroadcastBytes): DataFrame = {
+      broadcastThresholdBytes: Long = defaultBroadcastBytes,
+      bloomBlob: Option[Array[Byte]] = None): DataFrame = {
     val benchSh = shingles(benchmark, shingleK)
       .select(col("shingle").as("bsh")).distinct()
     // same auto-sized lever as decontaminate — an unconditional broadcast
@@ -695,7 +712,15 @@ object Dedup {
     val doBroadcast = broadcastBenchmark.getOrElse(
       estimatedPostingsBytes(benchmark, shingleK) <= broadcastThresholdBytes)
     val build = if (doBroadcast) broadcast(benchSh) else benchSh
-    val tainted = shingles(corpus, shingleK)
+    val corpusSh = bloomBlob match {
+      case Some(blob) =>
+        graft.functions.BloomFunctions.register(corpus.sparkSession)
+        shingles(corpus, shingleK).where(
+          call_function("graft_bloom_might_contain",
+            lit(blob), xxhash64(col("shingle"))))
+      case None => shingles(corpus, shingleK)
+    }
+    val tainted = corpusSh
       .join(build, col("shingle") === col("bsh"))
       .select("doc_id").distinct()
     corpus.join(tainted, Seq("doc_id"), "left_anti")

@@ -368,5 +368,8 @@ object Drivers {
     * `pkg/reader/mysql/reader.go:60-81`, `postgres/reader.go:64-86`): from
     * the source's schema, which for Spark is the DataFrame schema itself. */
   def listColumns(spark: SparkSession, dsnString: String, table: String): Seq[String] =
-    read(spark, dsnString, table).schema.fieldNames.toSeq
+    // schema-only read: skip the PK/MIN-MAX partition probe — three
+    // wasted source queries for a call that never scans a row
+    read(spark, dsnString, table, JdbcReadOptions(autoPartition = false))
+      .schema.fieldNames.toSeq
 }

@@ -128,18 +128,28 @@ object StreamingDedup {
       benchmark: DataFrame,
       cleanSink: String,
       checkpointDir: String,
-      shingleK: Int = 4): org.apache.spark.sql.streaming.StreamingQuery = {
+      shingleK: Int = 4,
+      bloomFpp: Option[Double] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     // the benchmark is static, so its broadcast-or-shuffle sizing is too:
     // decide once here, not once per micro-batch inside the hot loop
     val broadcastLever = Some(graft.ops.Dedup
       .benchmarkFitsBroadcast(benchmark, shingleK))
+    // same once-not-per-batch reasoning for the Bloom prefilter (r12):
+    // the blob is a function of the STATIC benchmark alone, so it builds
+    // here and every micro-batch reuses it as a codegen scan-stage gate
+    // ahead of the exact scrub join — the ns152 shape at ingest time.
+    // Semantics unchanged (false positives die in the exact join).
+    val bloomBlob = bloomFpp.map(fpp =>
+      graft.ops.Dedup.benchmarkBloom(benchmark, shingleK, fpp))
     newDocs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         // written unconditionally: an empty append is near-free, while an
         // isEmpty pre-check would execute the whole scrub join twice
         graft.ops.Dedup.removeContaminated(
-          batch.toDF(), benchmark, shingleK, broadcastLever)
+          batch.toDF(), benchmark, shingleK, broadcastLever,
+          bloomBlob = bloomBlob)
           .write.mode("append").parquet(cleanSink)
         ()
       }

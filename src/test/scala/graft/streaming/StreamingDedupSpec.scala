@@ -128,6 +128,37 @@ class StreamingDedupSpec extends AnyFunSuite {
       "decontamination must not accumulate state-store state")
   }
 
+  test("bloom-gated streaming decontamination equals the exact scrub " +
+    "(the ns152 prefilter at ingest: blob built once, reused per batch)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_decon_bloom").toString
+    val benchmark = Seq(
+      (900L, "what is the capital of france answer paris"))
+      .toDF("doc_id", "text")
+    val allDocs = Seq(
+      (1L, "a page quoting what is the capital of france answer paris verbatim"),
+      (2L, "an original essay on rivers and mountains of europe"),
+      (3L, "another clean document about cooking pasta at home"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingDedup.decontaminateIngest(
+      in.toDF().toDF("doc_id", "text"), benchmark,
+      s"$dir/clean", s"$dir/ckpt", bloomFpp = Some(0.01))
+    in.addData(allDocs.take(2): _*)
+    q.processAllAvailable()
+    in.addData(allDocs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$dir/clean")
+      .collect().map(_.getLong(0)).toSet
+    val batch = graft.ops.Dedup.removeContaminated(
+      allDocs.toDF("doc_id", "text"), benchmark)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    assert(streamed == Set(2L, 3L))
+  }
+
   test("streaming PII scrub is row-identical to the batch scrub") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
