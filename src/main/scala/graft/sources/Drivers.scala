@@ -171,18 +171,7 @@ object Drivers {
           .option("queryTimeout", opts.timeout.toString)
           .option("fetchsize", opts.fetchSize.toString)
         props.stringPropertyNames().forEach(k => r.option(k, props.getProperty(k)))
-        // Spark's JDBC option map is case-insensitive — a DSN that spells
-        // partitioncolumn/numpartitions in any casing must win over the
-        // PK derivation, not be silently overwritten by it
-        val userPartitioned = {
-          val it = props.stringPropertyNames().iterator()
-          var found = false
-          while (it.hasNext && !found) {
-            val k = it.next().toLowerCase
-            found = k == "partitioncolumn" || k == "numpartitions"
-          }
-          found
-        }
+        val userPartitioned = hasUserPartitioning(props)
         if (!userPartitioned && opts.autoPartition && opts.maxConns > 1)
           derivePartitioning(url, props, table, opts.maxConns).foreach {
             case (col, lo, hi, n) => r
@@ -229,6 +218,20 @@ object Drivers {
       case _ =>
         throw Dsn.DsnError("only jdbc DSNs can back a DSv2 catalog")
     }
+
+  /** Spark's JDBC option map is case-insensitive — a DSN that spells
+    * partitioncolumn/numpartitions in ANY casing must win over the PK
+    * derivation, not be silently overwritten by it. */
+  private[sources] def hasUserPartitioning(
+      props: java.util.Properties): Boolean = {
+    val it = props.stringPropertyNames().iterator()
+    var found = false
+    while (it.hasNext && !found) {
+      val k = it.next().toLowerCase
+      found = k == "partitioncolumn" || k == "numpartitions"
+    }
+    found
+  }
 
   /** PK-derived JDBC range partitioning: (column, lowerBound, upperBound,
     * numPartitions), or None when the single-cursor fallback applies.

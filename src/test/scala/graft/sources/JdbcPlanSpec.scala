@@ -183,6 +183,30 @@ class JdbcPlanSpec extends AnyFunSuite {
       Seq((0, 10L), (1, 10L)))
   }
 
+  test("DSN-supplied partitioning wins over PK derivation in ANY casing " +
+    "(Spark's JDBC option map is case-insensitive)") {
+    def props(ks: String*): java.util.Properties = {
+      val p = new java.util.Properties()
+      ks.foreach(k => p.setProperty(k, "x"))
+      p
+    }
+    assert(Drivers.hasUserPartitioning(props("partitionColumn")))
+    assert(Drivers.hasUserPartitioning(props("partitioncolumn")))
+    assert(Drivers.hasUserPartitioning(props("PARTITIONCOLUMN")))
+    assert(Drivers.hasUserPartitioning(props("NumPartitions")))
+    assert(!Drivers.hasUserPartitioning(props("fetchsize", "user")))
+  }
+
+  test("offset composes with the pushed limit over the DSv2 catalog " +
+    "(offset stays Spark-side — Derby's grammar needs OFFSET before " +
+    "FETCH, which the default builder can't emit)") {
+    fixture
+    Drivers.registerCatalog(spark, "graftderby", url)
+    val df = spark.table("graftderby.APP.ACCOUNTS")
+      .orderBy(org.apache.spark.sql.functions.col("ID")).offset(2).limit(3)
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(2, 3, 4))
+  }
+
   test("catalog listing query itself is pushed as a source-side query " +
     "(no client-side view filtering)") {
     // listTables for mysql/postgres ships a information_schema QUERY to the
