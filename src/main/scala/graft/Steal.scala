@@ -186,9 +186,19 @@ object Steal {
     try {
       def asDsn(s: String) =
         if (s.contains("://")) s else s"file://path($s)/?format=parquet"
+      // connection-governance env knobs, CLI-flag parity with the
+      // reference's steal command (cmd/steal.go:72-79); defaults match
+      def envInt(k: String, d: Int) = sys.env.get(k).map(_.toInt).getOrElse(d)
+      val readOpts = graft.sources.JdbcReadOptions(
+        timeout = envInt("GRAFT_READ_TIMEOUT", 300),
+        maxConns = envInt("GRAFT_READ_MAX_CONNS", 5),
+        fetchSize = envInt("GRAFT_READ_FETCH_SIZE", 10000))
       val reports =
         if (sourceDir.contains("://") || targetDir.contains("://"))
-          runDsn(spark, asDsn(sourceDir), asDsn(targetDir), tables)
+          runDsn(spark, asDsn(sourceDir), asDsn(targetDir), tables,
+            readOpts = readOpts,
+            writeTimeout = envInt("GRAFT_WRITE_TIMEOUT", 30),
+            writeMaxConns = envInt("GRAFT_WRITE_MAX_CONNS", 5))
         else run(spark, sourceDir, targetDir, tables)
       reports.foreach { r =>
         println(s"[steal] ${r.table}: rows=${r.rows} ok=${r.ok}" +
