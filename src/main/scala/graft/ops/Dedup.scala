@@ -869,19 +869,15 @@ object Dedup {
       threshold: Double = 0.4,
       numPlanes: Int = 8,
       bandBits: Int = 4): DataFrame = {
-    require(numPlanes % bandBits == 0, "numPlanes % bandBits != 0")
-    val numBands = numPlanes / bandBits
     // norms + bucket in one narrow scan; the vector rides along so the
     // band join needs no second pass over the corpus
+    // (band validation + sizing live in Similarity.signBandKeys)
     val base = embeddings.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("n", Similarity.norm(col("v")))
       .withColumn("bucket", Similarity.lshBucket(col("v"), numPlanes))
     val bands = base.select(col("vec_id"), col("v"), col("n"),
-        explode(array((0 until numBands).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("bucket"), b * bandBits)
-              .bitwiseAND(lit((1L << bandBits) - 1)).as("bv"))): _*)).as("bk"))
+        Similarity.signBandKeys(col("bucket"), numPlanes, bandBits).as("bk"))
       .select(col("vec_id"), col("v"), col("n"),
         col("bk.band").as("band"), col("bk.bv").as("bv"))
     bands.as("a").join(bands.as("b"),

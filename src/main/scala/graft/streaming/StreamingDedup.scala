@@ -41,18 +41,15 @@ object StreamingDedup {
     * downstream bucketed near-dup verify (same key scheme as
     * [[graft.ops.Dedup.embeddingNearDupLsh]]). */
   def lshBands(
-      embeddings: DataFrame, numPlanes: Int = 8, bandBits: Int = 4): DataFrame = {
-    require(numPlanes % bandBits == 0, "numPlanes % bandBits != 0")
-    val numBands = numPlanes / bandBits
+      embeddings: DataFrame, numPlanes: Int = 8, bandBits: Int = 4): DataFrame =
     embeddings
       .withColumn("bucket", graft.ops.Similarity.lshBucket(
         col("embedding").cast("array<double>"), numPlanes))
-      .select(col("*"), explode(array((0 until numBands).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("bucket"), b * bandBits)
-            .bitwiseAND(lit((1L << bandBits) - 1)).as("bv"))): _*)).as("bk"))
+      // the SHARED band-key definition — batch verify and stream
+      // candidates cannot drift (Similarity.signBandKeys)
+      .select(col("*"), graft.ops.Similarity
+        .signBandKeys(col("bucket"), numPlanes, bandBits).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-  }
 
   /** Continuous-ingest dedup against a persisted minhash corpus index
     * ([[graft.ops.Dedup.writeMinhashIndex]]): every micro-batch is
@@ -167,8 +164,13 @@ object StreamingDedup {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
-      .select(col("lang"),
-        size(split(col("text"), " ")).cast("long").as("tokens"))
+      // NULL text must not wedge a forever-running monitor: size(NULL)
+      // is NULL under Spark defaults, and encoding NULL into the
+      // non-nullable Long of (String, Long) throws — which would crash
+      // the query, and a restart replays the same poisoned offset
+      .select(coalesce(col("lang"), lit("")).as("lang"),
+        coalesce(size(split(col("text"), " ")), lit(0))
+          .cast("long").as("tokens"))
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[(Long, Long), LangStats](

@@ -58,8 +58,16 @@ object StreamingScd {
   case class ScdRun(doc_id: Long, valid_from: Long, valid_to: Long,
       fp: String)
 
-  /** Per-key state: the open run. */
-  case class OpenRun(from: Long, version: Long, fp: String)
+  /** Per-key state: the open run, or — after a delete — a TOMBSTONE
+    * (`closed = true`) holding the highest version ever applied. The
+    * tombstone is what makes the at-least-once contract hold across
+    * deletes: clearing state entirely would let a REPLAYED stale upsert
+    * (version ≤ the deleted run's) reopen a run and fabricate
+    * overlapping history. Tombstones are 3 fields per deleted key; the
+    * same deliberate-no-TTL note applies (reaping one early would
+    * re-expose the replay hazard it exists to block). */
+  case class OpenRun(
+      from: Long, version: Long, fp: String, closed: Boolean = false)
 
   private class ScdProcessor
       extends StatefulProcessor[Long, ScdEvent, ScdRun] {
@@ -81,6 +89,8 @@ object StreamingScd {
             open match {
               case None =>
                 run.update(OpenRun(e.version, e.version, e.fp))
+              case Some(o) if o.closed => // after a delete: a FRESH run
+                run.update(OpenRun(e.version, e.version, e.fp))
               case Some(o) if o.fp == e.fp => // implicit extension
                 run.update(OpenRun(o.from, e.version, o.fp))
               case Some(o) =>
@@ -88,9 +98,17 @@ object StreamingScd {
                 run.update(OpenRun(e.version, e.version, e.fp))
             }
           case "delete" =>
-            open.foreach { o =>
-              out += ScdRun(key, o.from, e.version - 1, o.fp)
-              run.clear()
+            open match {
+              case Some(o) if !o.closed =>
+                out += ScdRun(key, o.from, e.version - 1, o.fp)
+                // tombstone, NOT clear: the version watermark must
+                // survive the delete or a replayed stale upsert reopens
+                // closed history
+                run.update(OpenRun(o.from, e.version, o.fp, closed = true))
+              case Some(o) => // later delete on a tombstone: advance it
+                run.update(o.copy(version = e.version))
+              case None => // delete of a never-seen key: tombstone it too
+                run.update(OpenRun(e.version, e.version, "", closed = true))
             }
           case other =>
             throw new IllegalArgumentException(

@@ -81,11 +81,18 @@ object StreamingTransitions {
           state.update(TransState(carry.isDefined,
             carry.map(_._1).getOrElse(0L), carry.map(_._2).getOrElse(0L),
             carry.map(_._3).orNull, rest))
-          // wake on the next watermark advance while finalization work
-          // remains; a bare carry needs no flush (it only emits when a
-          // LATER event finalizes behind it)
-          if (rest.nonEmpty)
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          // wake when the watermark passes the EARLIEST buffered event —
+          // not on every watermark advance: with lateness L, wm+1 would
+          // re-invoke every non-empty user on every trigger for ~L doing
+          // no finalization (the StreamingAsOf/Assembly wake pattern:
+          // ceil to ms, clamp above the current watermark). A bare carry
+          // needs no flush (it only emits when a LATER event finalizes
+          // behind it).
+          if (rest.nonEmpty) {
+            val earliest = rest.map(_._1).min
+            state.setTimeoutTimestamp(math.max(earliest / 1000 + 1,
+              state.getCurrentWatermarkMs() + 1))
+          }
           out.iterator
       }
   }

@@ -38,13 +38,19 @@ object StreamingWebIngest {
     * consumers key on `keyCol`.
     *
     * Scale shape per batch: canonicalization is a narrow codegen'd
-    * projection; within-batch dedup is one canonical-keyed window
-    * (batch-sized); the ledger probe is a LEFT ANTI join that AQE
+    * projection; within-batch dedup aggregates the winner key per
+    * canonical on a NARROW (canonical, key) projection and broadcasts
+    * the winner set back onto the batch (r12 — a canonical-keyed
+    * row_number window previously shuffled the whole row here, wide
+    * payload included); the ledger probe is a LEFT ANTI join that AQE
     * broadcasts while the batch side is small — and since the batch is a
     * micro-batch, it is the ledger that should be the streamed side at
     * scale (partition the ledger by canonical hash and this becomes a
-    * pruned probe). The wide page payload never rides a shuffle: the
-    * window and anti join key on the canonical string only. */
+    * pruned probe). The wide page payload never rides a shuffle: only
+    * the canonical string and the winner key ever cross one. Probe and
+    * winner joins are NULL-SAFE (`<=>`): a crawler row with a NULL url
+    * canonicalizes to NULL, and a null-UNSAFE anti probe would re-accept
+    * and re-ledger it every batch forever. */
   /** Ledger maintenance: every micro-batch appends one small parquet file
     * to the frontier ledger, so a long-running query accumulates
     * file-count pathology (the classic streaming-sink operational issue).
@@ -150,11 +156,17 @@ object StreamingWebIngest {
         val canon = batch.toDF()
           .withColumn("canonical_url",
             graft.ops.Urls.canonicalize(col(urlCol)))
-        val w = Window.partitionBy(col("canonical_url"))
-          .orderBy(col(keyCol))
-        val batchKeep = canon
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1).drop("rn")
+        // winner per canonical on the NARROW projection, broadcast back —
+        // the wide page payload stays put (a row_number window here would
+        // shuffle whole rows on canonical_url)
+        val winners = canon
+          .groupBy(col("canonical_url"))
+          .agg(min(col(keyCol)).as("__graft_winner_key"))
+        val batchKeep = canon.join(
+            broadcast(winners),
+            canon("canonical_url") <=> winners("canonical_url") &&
+              canon(keyCol) <=> winners("__graft_winner_key"))
+          .drop(winners("canonical_url")).drop("__graft_winner_key")
         val ledgerRoot = new org.apache.hadoop.fs.Path(ledgerPath)
         val ledgerFs = ledgerRoot
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -165,9 +177,15 @@ object StreamingWebIngest {
         val ledgerExists = ledgerFs.exists(ledgerRoot)
         val unseen =
           if (!ledgerExists) batchKeep
-          else batchKeep.join(
-            spark.read.parquet(ledgerPath), Seq("canonical_url"),
-            "left_anti")
+          else {
+            // NULL-SAFE membership: plain equality never matches a NULL
+            // canonical, so such rows would re-accept + re-ledger forever
+            val ledger = spark.read.parquet(ledgerPath)
+              .select(col("canonical_url").as("__graft_seen_url"))
+            batchKeep.join(ledger,
+              col("canonical_url") <=> col("__graft_seen_url"),
+              "left_anti")
+          }
         // snapshot before the ledger append: the anti-join plan reads the
         // same files the append rewrites
         val survivors = unseen.localCheckpoint(true)

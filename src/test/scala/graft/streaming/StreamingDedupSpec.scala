@@ -196,14 +196,17 @@ class StreamingDedupSpec extends AnyFunSuite {
       .outputMode("update").start()
     in.addData((1L, "one two three", "en"), (2L, "uno dos", "es"))
     q.processAllAvailable()
-    in.addData((3L, "four five", "en"))
+    // a NULL text (crawler parse failure) must count 0 tokens, not
+    // wedge the forever-running monitor on a poisoned offset (r12 fix:
+    // size(split(NULL)) is NULL, and NULL can't encode into Long)
+    in.addData((3L, "four five", "en"), (4L, null, "en"))
     q.processAllAvailable()
     q.stop()
     // last emitted row per language carries the cumulative totals
     val rows = spark.table("lang_stats").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val latest = rows.groupBy(_._1).view.mapValues(_.last).toMap
-    assert(latest("en") == (("en", 2L, 5L)))
+    assert(latest("en") == (("en", 3L, 5L)))
     assert(latest("es") == (("es", 1L, 2L)))
   }
 }

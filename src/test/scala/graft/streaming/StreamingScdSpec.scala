@@ -111,6 +111,26 @@ class StreamingScdSpec extends AnyFunSuite {
     assert(streamed.size == streamed.toSet.size, "replay duplicated a run")
   }
 
+  test("a stale upsert replayed AFTER a delete cannot reopen history " +
+    "(the tombstone contract; r12 review fix)") {
+    // doc 3: load at v0, delete at v1 — run [0,0] closes. An at-least-once
+    // upstream then REDELIVERS the v0 upsert in a later batch; before the
+    // tombstone fix this reopened a run at from=0, and the next
+    // upsert+delete fabricated ScdRun(3, 0, 2) overlapping the emitted
+    // [0,0]. With the tombstone, the stale replay is dropped and the
+    // fresh v2 run closes as [2,2].
+    val fp = md5fp("alpha")
+    val batches = Seq(
+      Seq(ScdEvent(3L, 0L, "upsert", fp)),
+      Seq(ScdEvent(3L, 1L, "delete", null)),
+      Seq(ScdEvent(3L, 0L, "upsert", fp)), // the poisoned replay
+      Seq(ScdEvent(3L, 2L, "upsert", fp)),
+      Seq(ScdEvent(3L, 3L, "delete", null)))
+    val streamed = runStream(batches, "scd_tombstone")
+    assert(streamed.toSet == Set(
+      ScdRun(3L, 0L, 0L, fp), ScdRun(3L, 2L, 2L, fp)), streamed.toString)
+  }
+
   test("plan uses the transformWithState operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

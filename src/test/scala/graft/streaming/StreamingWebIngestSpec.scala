@@ -28,10 +28,15 @@ class StreamingWebIngestSpec extends AnyFunSuite {
       (3L, "https://s.example.org/q"))
     q.processAllAvailable()
     // batch 2: third spelling of /p (cross-batch dup, only the ledger
-    // knows) + one fresh page
+    // knows) + one fresh page + a NULL url (canonicalizes to NULL — the
+    // null-SAFE probe must accept it ONCE here and never again)
     in.addData(
       (4L, "HTTPS://s.example.org:443/p?a=1&b=2#frag"),
-      (5L, "https://s.example.org/r"))
+      (5L, "https://s.example.org/r"),
+      (60L, null))
+    q.processAllAvailable()
+    // batch 3: a second NULL url — already ledgered, must NOT re-accept
+    in.addData((61L, null))
     q.processAllAvailable()
     q.stop()
 
@@ -41,7 +46,8 @@ class StreamingWebIngestSpec extends AnyFunSuite {
     assert(accepted == Map(
       1L -> "https://s.example.org/p?a=1&b=2",
       3L -> "https://s.example.org/q",
-      5L -> "https://s.example.org/r"))
+      5L -> "https://s.example.org/r",
+      60L -> null))
 
     // a NEW query (fresh checkpoint) sharing only the ledger still
     // refuses the frontier's known canonicals: state lives in the ledger
@@ -55,7 +61,7 @@ class StreamingWebIngestSpec extends AnyFunSuite {
     q2.stop()
     val after = spark.read.parquet(sink).select("doc_id").collect()
       .map(_.getLong(0)).toSet
-    assert(after == Set(1L, 3L, 5L, 7L))
+    assert(after == Set(1L, 3L, 5L, 7L, 60L))
 
     // maintenance: compaction collapses the per-batch appends to one
     // deduped file, and the frontier still refuses known canonicals
@@ -75,7 +81,7 @@ class StreamingWebIngestSpec extends AnyFunSuite {
     q3.stop()
     val finalIds = spark.read.parquet(sink).select("doc_id").collect()
       .map(_.getLong(0)).toSet
-    assert(finalIds == Set(1L, 3L, 5L, 7L)) // 8 refused off the compacted ledger
+    assert(finalIds == Set(1L, 3L, 5L, 7L, 60L)) // 8 refused off the compacted ledger
   }
 
   test("recoverLedger repairs every crash window of the compaction swap") {
