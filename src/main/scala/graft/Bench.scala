@@ -41,7 +41,7 @@ object Bench {
     * section heads and is append-only for cross-round comparability. */
   private val Families: Map[String, String] = Map(
     // exact/near-dup, span/line/url dedup, index lifecycle, decontamination
-    "dedup" -> "ns14 ns16 ns17 ns18 ns21 ns34 ns37 ns40 ns68 ns70 ns128 ns134 ns136 ns137",
+    "dedup" -> "ns14 ns16 ns17 ns18 ns21 ns34 ns37 ns40 ns68 ns70 ns128 ns134 ns136 ns137 ns152",
     // ANN beyond the baseline set: IVF/PQ lifecycle, rerank, recall, audits
     "ann" -> "ns20 ns30 ns35 ns42 ns52 ns69 ns111 ns123 ns126 ns138 ns143",
     // tokenizers, langid, quality, fingerprints, retrieval eval
@@ -49,7 +49,7 @@ object Bench {
     // sampling, packing, mixtures, splits, SFT/DPO assembly, fold hygiene
     "curate" -> "ns15 ns19 ns23 ns26 ns45 ns46 ns48 ns65 ns78 ns80 ns92 ns93 ns102 ns104 ns105 ns106 ns112 ns114 ns125 ns127 ns129 ns133 ns139",
     // image/audio/video feature + near-dup legs
-    "mm" -> "ns81 ns82 ns83 ns90 ns141 ns142 ns145 ns146 ns147",
+    "mm" -> "ns81 ns82 ns83 ns90 ns141 ns142 ns145 ns146 ns147 ns151",
     // PII/secrets scrubs, k-anonymity, DP releases
     "priv" -> "ns22 ns66 ns67 ns72 ns89 ns91 ns97",
     // sessionization, as-of, funnels, retention, transitions
@@ -89,6 +89,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    require(runs >= 1,
+      "SPARK_GRAFT_BENCH_RUNS must be >= 1 (a 0-run bench would do the " +
+        "whole warmup then die indexing an empty time vector)")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -208,14 +211,16 @@ object Bench {
     // out): name them explicitly in BOTH JSONs
     val timedFailed = results.collect { case (k, (med, _)) if med < 0 => k }
     val tfJson = timedFailed.map(n => s""""$n"""").mkString("[", ",", "]")
+    // totals and failure lists are shared by the archive, compact, and
+    // overflow lines — ONE definition so the three can never disagree
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val totalMin = results.map(_._2._2).filter(_ >= 0).sum
+    val wf = warmupFailed.map(n => s""""$n"""").mkString("[", ",", "]")
     def buildJson(fmt: Double => String): String = {
       val qs = results.map { case (k, (med, _)) => s""""$k":${fmt(med)}""" }
         .mkString("{", ",", "}")
       val qsMin = results.map { case (k, (_, mn)) => s""""$k":${fmt(mn)}""" }
         .mkString("{", ",", "}")
-      val total = results.map(_._2._1).filter(_ >= 0).sum
-      val totalMin = results.map(_._2._2).filter(_ >= 0).sum
-      val wf = warmupFailed.map(n => s""""$n"""").mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"queries_min":$qsMin,"families":${familiesJson(fmt)},"control":$controlJson,"timed_failed":$tfJson,"warmup_failed":$wf,"runs":$runs,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
     }
     // The COMPACT stdout line must fit the driver's ~1,900-byte tail
@@ -243,9 +248,6 @@ object Bench {
         val id = if (collided(k)) k else shortOf(k)
         s""""$id":${fmt(med)}"""
       }.mkString("{", ",", "}")
-      val total = results.map(_._2._1).filter(_ >= 0).sum
-      val totalMin = results.map(_._2._2).filter(_ >= 0).sum
-      val wf = warmupFailed.map(n => s""""$n"""").mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"stat":"median","n":${results.size},"queries":$qs,"families":${familiesJson(fmt)},"control":$controlJson,"timed_failed":$tfJson,"detail":"target/bench_latest.json","warmup_failed":$wf,"runs":$runs,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
     }
     // self-archive FIRST (full precision): the driver captures only a log
@@ -276,10 +278,10 @@ object Bench {
     else {
       System.err.println(s"[bench] compact line ${compact.length} B exceeds " +
         "the 1,900 B budget - emitting totals-only; shrink the keys")
-      val total = results.map(_._2._1).filter(_ >= 0).sum
-      val totalMin = results.map(_._2._2).filter(_ >= 0).sum
-      val wf = warmupFailed.map(n => s""""$n"""").mkString("[", ",", "]")
-      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_min":${r3(totalMin)},"stat":"median","queries":"overflow: see target/bench_latest.json","warmup_failed":$wf,"runs":$runs,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}""")
+      // the degraded line still carries control AND timed_failed: a total
+      // silently missing a failed query's time is exactly the
+      // under-report the timed_failed invariant exists to prevent
+      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_min":${r3(totalMin)},"stat":"median","queries":"overflow: see target/bench_latest.json","control":$controlJson,"timed_failed":$tfJson,"warmup_failed":$wf,"runs":$runs,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}""")
     }
     spark.stop()
   }

@@ -161,7 +161,14 @@ object ScalingSmoke {
       val (rowsL, secL) = large
       val rowRatio = rowsL.toDouble / math.max(rowsS, 1L)
       val timeRatio = secL / math.max(secS, 0.05)
-      val ok = rowRatio <= rowBound && timeRatio <= timeBound
+      // tiny-output floor: a query legitimately producing ~0 rows at the
+      // small SF makes the ratio meaningless (0 -> 40 rows is not an
+      // all-pairs regression). The row gate only speaks when the LARGE
+      // side is big enough to evidence a blow-up; the time gate always
+      // applies.
+      val rowGateApplies = rowsS >= 20 || rowsL >= 1000
+      val ok = (!rowGateApplies || rowRatio <= rowBound) &&
+        timeRatio <= timeBound
       failed ||= !ok
       println(f"| $name | $rowsS | $rowsL | $rowRatio%.1f× | $secS%.2f | $secL%.2f | $timeRatio%.1f× | ${if (ok) "sub-quadratic ✓" else "BLOW-UP ✗"} |")
     }

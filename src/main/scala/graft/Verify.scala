@@ -29,6 +29,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a PRIOR run's green dump must not survive a failure: local
+        // iteration reuses outDir, and a stale parquet here would make
+        // the oracle compare pass on results the query no longer produces
+        try {
+          val dir = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+          dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(dir, true)
+        } catch { case _: Throwable => () }
       }
       // drop blocks the finished query checkpointed (see Bench.execute)
       spark.sparkContext.getPersistentRDDs.values

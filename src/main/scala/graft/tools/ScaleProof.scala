@@ -67,8 +67,11 @@ object ScaleProof {
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_BASE", "/root/testdata/sf0.1")
+    // ascending + distinct: the gate computes step ratios between
+    // CONSECUTIVE sizes, so a descending or duplicated factor list would
+    // produce r < 1 (or = 1) bounds and false BLOW-UP verdicts
     val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "10,100")
-      .split(",").map(_.trim.toInt).toSeq
+      .split(",").map(_.trim.toInt).toSeq.distinct.sorted
     val scratch = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scaleproof")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -132,13 +135,33 @@ object ScaleProof {
       marker.createNewFile()
       ()
     }
+    // a cached scale corpus derived from a REGENERATED base testdata is
+    // the r6/r7 failure class Verify's manifest exists for: the marker
+    // records the base fingerprint, and a mismatch forces a rebuild so
+    // the 1x leg and the 10x/100x legs can never read different data
+    lazy val baseFp = graft.ops.Dedup.sourceFingerprint(spark, base)
+    def markerCurrent(m: java.io.File): Boolean =
+      m.exists() && {
+        val recorded = new String(java.nio.file.Files.readAllBytes(
+          m.toPath), java.nio.charset.StandardCharsets.UTF_8).trim
+        // pre-r12 markers are empty: treat as stale once, rebuild, stamp
+        recorded == baseFp
+      }
+    def stamp(m: java.io.File): Unit =
+      java.nio.file.Files.write(m.toPath,
+        baseFp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     def synthesize(k: Int): String = {
       val out = s"$scratch/x$k"
       val marker = new java.io.File(s"$out/_scaleproof_ok")
-      if (marker.exists()) {
+      if (markerCurrent(marker)) {
         synthesizeEvents(k, out); synthesizeCustomer(k, out); return out
       }
       println(s"[scale-proof] synthesizing ${k}x corpus at $out")
+      // a stale main marker means the BASE changed: the incremental
+      // events/customer markers are stale too — drop them so those
+      // tables also resynthesize from the new base
+      new java.io.File(s"$out/_scaleproof_ok_events").delete()
+      new java.io.File(s"$out/_scaleproof_ok_customer").delete()
       val copies = spark.range(k).toDF("copy")
 
       val docs = spark.read.parquet(s"$base/documents.parquet")
@@ -190,7 +213,7 @@ object ScaleProof {
         .repartition(math.max(16, k))
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-      marker.createNewFile()
+      stamp(marker)
       synthesizeEvents(k, out)
       synthesizeCustomer(k, out)
       out
@@ -712,8 +735,18 @@ object ScaleProof {
       val sec = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      // stage-completed events arrive async; drain before snapshotting
-      Thread.sleep(300)
+      // stage-completed events arrive async; a fixed sleep can lose a
+      // straggler stage's bytes to the NEXT query's column under heavy
+      // spill — poll until two consecutive snapshots agree (bounded)
+      var last = -1L
+      var same = 0
+      var waited = 0
+      while (same < 2 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        val cur = metrics.shuffleWrite + metrics.shuffleRead +
+          metrics.memSpill + metrics.diskSpill
+        if (cur == last) same += 1 else { same = 0; last = cur }
+      }
       Obs(rows, sec, metrics.shuffleWrite, metrics.shuffleRead,
         metrics.memSpill, metrics.diskSpill, metrics.maxStageShuffleWrite)
     }
@@ -806,9 +839,19 @@ object ScaleProof {
       }
     }
 
+    // a query that dies at one size must not discard every other query's
+    // completed measurements: record a sentinel Obs, keep going, and fail
+    // the gate at report time (the warmup catch alone only DEFERS a crash)
+    var measureFailed = List.empty[String]
     val results: Seq[(String, Seq[(String, Obs)])] = family.map { case (name, f) =>
       name -> dirs.map { case (label, dir) =>
-        label -> measure(f(dir), aggForced(name)) }
+        label -> (try measure(f(dir), aggForced(name))
+        catch { case e: Throwable =>
+          println(s"[scale-proof] MEASURE FAILED $name at $label: " +
+            e.getMessage)
+          measureFailed ::= s"$name@$label"
+          Obs(-1L, -1.0, 0, 0, 0, 0, 0)
+        }) }
     }
 
     // ---- report + gate ---------------------------------------------------
@@ -838,6 +881,11 @@ object ScaleProof {
       }
     }
     spark.stop()
+    if (measureFailed.nonEmpty) {
+      System.err.println("[scale-proof] FAIL: measurement errors: " +
+        measureFailed.reverse.mkString(", "))
+      sys.exit(1)
+    }
     if (failed) {
       System.err.println("[scale-proof] FAIL: growth beyond sub-quadratic bound")
       sys.exit(1)
