@@ -231,7 +231,7 @@ object Graphs {
         require(dangling == 0L,
           s"dangling parent pointers in '$parentCol' (not a forest)")
       }
-      st = joined
+      val next = joined
         .select(col("id"),
           when(col("anc").isNull, col("anc")).otherwise(col("__aanc"))
             .as("anc2"),
@@ -243,6 +243,11 @@ object Graphs {
         .select(col("id"), col("anc2").as("anc"), col("path2").as("path"),
           col("depth2").as("depth"))
         .localCheckpoint(true)
+      // the superseded round's checkpoint is dead the moment `next`
+      // materializes — free it (the pagerankInt lastCp discipline), or a
+      // 2^20-deep forest pins 21 full state copies for the session
+      Dedup.unpersistCheckpoint(st)
+      st = next
       rounds += 1
       open = st.where(col("anc").isNotNull).limit(1).count() > 0L
     }

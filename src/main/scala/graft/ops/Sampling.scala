@@ -52,6 +52,16 @@ object Sampling {
   /** The sampling predicate alone (no projection) — shared with
     * [[Curation.prepareCorpus]], where it sits between dedup and packing
     * as a plain filter. A no-op when every rate is 1. */
+  /** Rate quantization contract: rates FLOOR to 1/10000 resolution
+    * (`(rate * 10000).toInt`), matching the oracle's `floor(rate *
+    * 10000)` — floor is identical across engines, while round-half
+    * conventions are not (the repo's exact-integer rule). A rate like
+    * 0.0003 therefore keeps 2/10000, not 3/10000: callers wanting
+    * round-to-nearest semantics should pass pre-quantized rates
+    * (multiples of 1e-4 representable in double, e.g. 0.25, 0.5 — the
+    * registered queries' shape). splitCorpus differs deliberately: its
+    * round() runs driver-side BEFORE the cross-engine boundary, and only
+    * the resulting integer cutoffs ship. */
   private[ops] def applyRates(
       df: DataFrame,
       strataCol: String,
@@ -308,6 +318,21 @@ object Sampling {
       keyCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // exact-integer contract: the cumulative sums and slot cuts replay
+    // bit-for-bit in any engine ONLY over integral weights. A fractional
+    // weight column would silently truncate (0.75 -> excluded, 1.9 -> 1),
+    // distorting the proportionality the operator promises — reject it
+    // loudly and let the caller pre-quantize (micro-units, the ns127
+    // tokens-as-weights shape).
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+        .contains(df.schema(weightCol).dataType),
+      s"ppsSample needs an INTEGRAL weight column; '$weightCol' is " +
+        s"${df.schema(weightCol).dataType.simpleString} — quantize it " +
+        "(e.g. micro-units) before sampling")
     val order = Window.partitionBy(strataCol)
       .orderBy(hash60Col(concat(lit("pps:"), col(keyCol).cast("string"))),
         col(keyCol))

@@ -33,7 +33,16 @@ object Similarity {
   def norm(a: Column): Column =
     graft.functions.VectorFunctions.vecNorm(a)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Zero-norm guard: a zero vector has no direction, so its cosine to
+    * anything is pinned at -1 (the cosine minimum). Without the guard,
+    * 0/0 = NaN — and Spark orders NaN ABOVE every double, so one all-zero
+    * embedding would become the rank-1 "neighbor" of every query in every
+    * top-k, and marginScores' ANSI bigint cast of NaN would throw. */
+  private[ops] def guardedCosine(d: Column, na: Column, nb: Column): Column =
+    when(na * nb > 0, d / (na * nb)).otherwise(lit(-1.0))
+
+  def cosine(a: Column, b: Column): Column =
+    guardedCosine(dot(a, b), norm(a), norm(b))
 
   /** Exact top-k neighbors for each query id. `queries` is (query_id,
     * query_vec); ranks tie-break on rounded score then neighbor id, so
@@ -41,6 +50,10 @@ object Similarity {
   def bruteForceTopK(
       embeddings: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the codegen vector expressions resolve from the session registry —
+    // register defensively (the pqEncode precedent): a fresh session that
+    // never went through Tables.load would otherwise fail analysis
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
     // corpus norms hoisted out of the per-(query, vector) scoring —
     // identical IEEE values, ~q× less norm work
     val corpus = embeddings.select(col("vec_id"),
@@ -51,7 +64,8 @@ object Similarity {
       .withColumn("nq", norm(col("qv")))
     val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6)
+        round(guardedCosine(
+          dot(col("qv"), col("v")), col("nq"), col("nv")), 6)
           .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -284,10 +298,15 @@ object Similarity {
     ivfTopKWith(normalizedCorpus(embeddings), centroids, queries, k, nProbe)
   }
 
-  private[ops] def normalizedCorpus(embeddings: DataFrame): DataFrame =
+  private[ops] def normalizedCorpus(embeddings: DataFrame): DataFrame = {
+    // every IVF/PQ serving path flows through here — defensive codegen-
+    // expression registration (the pqEncode precedent) so a fresh session
+    // cannot fail analysis on vec_dot/vec_norm
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
     embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
       .withColumn("nv", norm(col("v")))
+  }
 
   /** Deterministic centroid sample (smallest md5 key), normalized
     * driver-side. */
@@ -336,7 +355,8 @@ object Similarity {
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6)
+        round(guardedCosine(
+          dot(col("qv"), col("v")), col("nq"), col("nv")), 6)
           .as("cosine"))
       .distinct()
     val w = Window.partitionBy(col("query_id"))
@@ -603,12 +623,8 @@ object Similarity {
     // m is READ OFF the stored codes, never taken from the caller — an
     // append with a mismatched subspace count would silently corrupt the
     // table (same parameter-pinning contract as updateMinhashIndex)
-    val stored = spark.read.parquet(codesPath(path).toString)
-      .select(size(col("cs"))).head(1)
-    require(stored.nonEmpty,
-      s"PQ index at $path has no code rows — rebuild with writePqIndex " +
-        "(m cannot be pinned off an empty table)")
-    val m = stored.head.getInt(0)
+    val m = storedM(spark.read.parquet(codesPath(path).toString),
+      s"PQ index at $path")
     pqEncode(newEmbeddings, cb, m)
       .write.mode("append").parquet(codesPath(path).toString)
   }
@@ -686,12 +702,7 @@ object Similarity {
     val spark = newEmbeddings.sparkSession
     val centroids = readCentroids(spark, path)
     val cb = readPqCodebook(spark, path)
-    val storedRows = spark.read.parquet(path)
-      .select(size(col("cs"))).head(1)
-    require(storedRows.nonEmpty,
-      s"IVF-PQ index at $path has no code rows — rebuild with " +
-        "writeIvfPqIndex (m cannot be pinned off an empty table)")
-    val m = storedRows.head.getInt(0)
+    val m = storedM(spark.read.parquet(path), s"IVF-PQ index at $path")
     graft.functions.VectorFunctions.register(spark)
     normalizedCorpus(newEmbeddings)
       .withColumn("cell",
@@ -759,7 +770,8 @@ object Similarity {
     val exact = corpus.join(broadcast(cand), Seq("vec_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6)
+        round(guardedCosine(
+          dot(col("qv"), col("v")), col("nq"), col("nv")), 6)
           .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -834,7 +846,11 @@ object Similarity {
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
       .collect()
-    val cents: Array[(Int, Array[Double])] = sums.groupBy(_.getInt(0)).map {
+    // label handled GENERICALLY (the parameterized labelCol advertises
+    // it): the centroid frame carries the input column's own dataType, so
+    // a string or bigint label works identically to an int one
+    val labelType = embeddings.schema(labelCol).dataType
+    val cents: Array[(Any, Array[Double])] = sums.groupBy(_.get(0)).map {
       case (label, rows) =>
         val dims = rows.map(_.getInt(1)).max + 1
         val m = new Array[Double](dims)
@@ -843,20 +859,20 @@ object Similarity {
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         }
         label -> m
-    }.toArray.sortBy(_._1)
+    }.toArray.sortBy(_._1.toString)
     val centDf = spark.createDataFrame(
       spark.sparkContext.parallelize(cents.toIndexedSeq.map {
         case (l, c) => org.apache.spark.sql.Row(l, c.toSeq)
       }, 1),
       org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("label",
-          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("label", labelType),
         org.apache.spark.sql.types.StructField("cv",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType)))))
     val scored = corpus.join(broadcast(centDf), Seq("label"))
       .select(col("label"), col("vec_id"),
-        round(dot(col("v"), col("cv")) / (col("nv") * norm(col("cv"))), 6)
+        round(guardedCosine(
+          dot(col("v"), col("cv")), col("nv"), norm(col("cv"))), 6)
           .as("cosine"))
     val w = Window.partitionBy(col("label"))
       .orderBy(col("cosine").asc, col("vec_id"))
@@ -872,14 +888,21 @@ object Similarity {
     * reproducible in any engine, so the pipeline itself is oracle-checked. */
   def lshTopK(
       embeddings: DataFrame, queries: DataFrame, k: Int = 10,
-      numPlanes: Int = 8, probeHamming1: Boolean = true): DataFrame = {
+      numPlanes: Int = 8, probeHamming1: Boolean = true,
+      dims: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(embeddings.sparkSession)
+    // dims MUST match the embedding width: the hyperplanes are dims-wide
+    // constants and the dot product folds over min(length) — wider
+    // vectors would silently bucket on their first `dims` components
     val corpus = embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"),
-      lshBucket(col("embedding").cast("array<double>"), numPlanes).as("bucket"))
+      lshBucket(col("embedding").cast("array<double>"), numPlanes, dims)
+        .as("bucket"))
     val qBase = queries.select(col("query_id"),
       col("query_vec").cast("array<double>").as("qv"),
-      lshBucket(col("query_vec").cast("array<double>"), numPlanes).as("qb"))
+      lshBucket(col("query_vec").cast("array<double>"), numPlanes, dims)
+        .as("qb"))
     // multi-probe: the query's bucket plus all Hamming-1 flips
     val probes =
       if (!probeHamming1) qBase.withColumn("bucket", col("qb"))
