@@ -651,6 +651,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("a zero-norm vector cannot poison top-k (cosine pins at -1, " +
+    "never NaN; r12 review fix)") {
+    import spark.implicits._
+    // 0/0 = NaN orders ABOVE all doubles in Spark — ungarded, the zero
+    // vector would be EVERY query's rank-1 neighbor
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Seq((1L, Array(1.0f, 0.0f))).toDF("query_id", "query_vec")
+    val rows = Similarity.bruteForceTopK(corpus, q, k = 3).collect()
+    assert(rows.map(_.getInt(1)).toSeq == Seq(1, 2)) // honest n < k
+    // the real neighbor ranks first; the zero vector ranks LAST at -1
+    assert(rows.head.getLong(2) == 2L)
+    assert(rows.last.getLong(2) == 3L && rows.last.getDouble(3) == -1.0)
+    assert(rows.forall(r => !r.getDouble(3).isNaN))
+    // a zero-norm QUERY gets all -1 scores, never NaN, and marginScores'
+    // bigint cast survives it
+    val zq = Seq((9L, Array(0.0f, 0.0f))).toDF("query_id", "query_vec")
+    val zrows = Similarity.bruteForceTopK(corpus, zq, k = 3).collect()
+    assert(zrows.nonEmpty && zrows.forall(_.getDouble(3) == -1.0))
+    assert(Similarity.marginScores(corpus, zq, k = 2).collect().nonEmpty)
+  }
+
   test("marginScores equals the top-k recomputation; division-free n-scaled margin") {
     val out = Similarity.marginScores(embs, queries, k = 4)
       .orderBy("query_id").collect()
