@@ -679,12 +679,20 @@ object Dedup {
         case None => spark.conf.unset(key)
       }
     }
-    withFloor("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", n) {
-      withFloor(
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits) {
-        vocab.agg(call_function("graft_bloom_agg",
-          xxhash64(col("shingle")), lit(n), lit(numBits)).as("b"))
-          .head.getAs[Array[Byte]]("b")
+    // The set/restore mutates SESSION-scoped conf: two concurrent builds
+    // on one session could race the finally-restore and strand a cap.
+    // Serialize builds per session (different sessions don't contend).
+    // Unrelated queries on the same session that race a build can still
+    // see the raised caps — benign: a cap only bounds how large Spark
+    // lets a runtime-injected bloom filter grow.
+    spark.synchronized {
+      withFloor("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", n) {
+        withFloor(
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits) {
+          vocab.agg(call_function("graft_bloom_agg",
+            xxhash64(col("shingle")), lit(n), lit(numBits)).as("b"))
+            .head.getAs[Array[Byte]]("b")
+        }
       }
     }
   }

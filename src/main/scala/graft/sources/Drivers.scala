@@ -33,8 +33,15 @@ object Resolved {
   * JDBC `queryTimeout`; `maxConns` ≅ `--read-max-conns` (default 5) → the
   * scan's `numPartitions`, which in Spark's JDBC source IS the cap on
   * concurrent connections to the read database; `fetchSize` sizes the
-  * streaming cursor so MySQL/PG drivers don't buffer whole result sets
-  * (the reference gets this from the Go drivers' row streaming).
+  * streaming cursor so drivers don't buffer whole result sets (the
+  * reference gets this from the Go drivers' row streaming). PG honors
+  * setFetchSize natively; MySQL Connector/J IGNORES it unless the
+  * connection runs with `useCursorFetch=true` (or the magic
+  * `Integer.MIN_VALUE` row-streaming mode), so [[Drivers.read]] injects
+  * `useCursorFetch=true` into `jdbc:mysql:` connections whenever the DSN
+  * didn't choose a mode itself — otherwise every partition cursor would
+  * materialize its full result set in executor memory and the
+  * `--read-max-conns` memory parity would not hold on MySQL.
   * `autoPartition = false` restores the reference's exact single-cursor
   * shape (`pkg/reader/engine/engine.go:178-215`). */
 final case class JdbcReadOptions(
@@ -170,6 +177,12 @@ object Drivers {
           .option("dbtable", quoteTableIfNeeded(url, table))
           .option("queryTimeout", opts.timeout.toString)
           .option("fetchsize", opts.fetchSize.toString)
+        // Connector/J ignores setFetchSize unless cursor-fetch (or the
+        // MIN_VALUE streaming mode) is on — without this the fetchsize
+        // above is a no-op on MySQL and each partition cursor buffers its
+        // entire result set. Only injected when the DSN didn't pick a
+        // mode itself (URL param or explicit property wins).
+        if (wantsCursorFetch(url, props)) r.option("useCursorFetch", "true")
         props.stringPropertyNames().forEach(k => r.option(k, props.getProperty(k)))
         val userPartitioned = hasUserPartitioning(props)
         if (!userPartitioned && opts.autoPartition && opts.maxConns > 1)
@@ -218,6 +231,24 @@ object Drivers {
       case _ =>
         throw Dsn.DsnError("only jdbc DSNs can back a DSv2 catalog")
     }
+
+  /** MySQL Connector/J only honors fetchSize under `useCursorFetch=true`
+    * (or its `Integer.MIN_VALUE` streaming mode); default mode buffers the
+    * whole result set client-side regardless of fetchSize. True iff the
+    * URL is jdbc:mysql: AND the DSN chose no mode itself — checked in both
+    * the URL query string and the parsed properties (any casing), so an
+    * explicit `useCursorFetch=false` or a streaming-mode DSN is never
+    * overridden. */
+  private[sources] def wantsCursorFetch(
+      url: String, props: java.util.Properties): Boolean = {
+    if (!url.startsWith("jdbc:mysql:")) return false
+    val inUrl = url.toLowerCase.contains("usecursorfetch")
+    val it = props.stringPropertyNames().iterator()
+    var inProps = false
+    while (it.hasNext && !inProps)
+      inProps = it.next().equalsIgnoreCase("useCursorFetch")
+    !inUrl && !inProps
+  }
 
   /** Spark's JDBC option map is case-insensitive — a DSN that spells
     * partitioncolumn/numpartitions in ANY casing must win over the PK

@@ -167,6 +167,13 @@ object StreamingWebIngest {
             canon("canonical_url") <=> winners("canonical_url") &&
               canon(keyCol) <=> winners("__graft_winner_key"))
           .drop(winners("canonical_url")).drop("__graft_winner_key")
+          // redelivered crawl rows can share BOTH canonical_url and key;
+          // the winner join keeps every such copy where a row_number
+          // window kept exactly one — restore that contract. This does
+          // shuffle the kept rows once, but only the post-winner
+          // survivors (one canonical's worth each), not the whole batch
+          // the way the old full-batch window did.
+          .dropDuplicates("canonical_url", keyCol)
         val ledgerRoot = new org.apache.hadoop.fs.Path(ledgerPath)
         val ledgerFs = ledgerRoot
           .getFileSystem(spark.sparkContext.hadoopConfiguration)

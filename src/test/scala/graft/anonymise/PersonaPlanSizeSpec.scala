@@ -18,9 +18,10 @@ import graft.SparkTestSession
   * the projection must stay inside whole-stage codegen even with corpora
   * 100× the shipped ones.
   *
-  * Plan assertions run against parquet-backed frames — Seq-local frames
-  * constant-fold the whole projection into LocalTableScan and prove
-  * nothing (see .claude/skills/verify gotchas).
+  * Plan assertions run against parquet-backed frames — Catalyst's
+  * ConvertToLocalRelation/OptimizeOneRowPlan constant-folds a Seq-local
+  * frame's whole projection into a LocalTableScan, so a plan assertion
+  * over one would prove nothing about the codegen path k14 actually runs.
   */
 class PersonaPlanSizeSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark

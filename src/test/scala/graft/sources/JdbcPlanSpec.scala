@@ -197,6 +197,29 @@ class JdbcPlanSpec extends AnyFunSuite {
     assert(!Drivers.hasUserPartitioning(props("fetchsize", "user")))
   }
 
+  test("MySQL reads inject useCursorFetch=true unless the DSN chose a " +
+    "mode (Connector/J ignores fetchSize otherwise — the whole result " +
+    "set would buffer in executor memory per partition cursor)") {
+    def props(ks: String*): java.util.Properties = {
+      val p = new java.util.Properties()
+      ks.foreach(k => p.setProperty(k, "false"))
+      p
+    }
+    val none = new java.util.Properties()
+    assert(Drivers.wantsCursorFetch("jdbc:mysql://h:3306/db", none))
+    // explicit property in any casing wins — even useCursorFetch=false
+    assert(!Drivers.wantsCursorFetch(
+      "jdbc:mysql://h:3306/db", props("useCursorFetch")))
+    assert(!Drivers.wantsCursorFetch(
+      "jdbc:mysql://h:3306/db", props("usecursorfetch")))
+    // mode set in the URL query string wins
+    assert(!Drivers.wantsCursorFetch(
+      "jdbc:mysql://h:3306/db?useCursorFetch=true", none))
+    // never injected for non-MySQL engines
+    assert(!Drivers.wantsCursorFetch("jdbc:postgresql://h/db", none))
+    assert(!Drivers.wantsCursorFetch("jdbc:derby:memory:x", none))
+  }
+
   test("offset composes with the pushed limit over the DSv2 catalog " +
     "(offset stays Spark-side — Derby's grammar needs OFFSET before " +
     "FETCH, which the default builder can't emit)") {

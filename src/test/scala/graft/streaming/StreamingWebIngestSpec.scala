@@ -84,6 +84,30 @@ class StreamingWebIngestSpec extends AnyFunSuite {
     assert(finalIds == Set(1L, 3L, 5L, 7L, 60L)) // 8 refused off the compacted ledger
   }
 
+  test("redelivered duplicate rows (same doc_id AND url) in one batch " +
+    "sink exactly one row — the winner join alone keeps every copy") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_frontier_dup").toString
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingWebIngest.urlFrontierDedup(
+      in.toDF().toDF("doc_id", "url"),
+      s"$dir/ledger", s"$dir/accepted", s"$dir/ckpt")
+    // at-least-once sources redeliver: three byte-identical copies of
+    // doc 1 + one respelling that loses the winner race anyway
+    in.addData(
+      (1L, "https://s.example.org/p"),
+      (1L, "https://s.example.org/p"),
+      (1L, "https://s.example.org/p"),
+      (9L, "https://www.s.example.org/p/"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(1L), s"expected exactly one row for doc 1, got $rows")
+  }
+
   test("recoverLedger repairs every crash window of the compaction swap") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_frontier_rec").toString
