@@ -1,0 +1,25 @@
+package graft
+
+/** Per-query gating baseline cells (VERDICT r12 #2): one quiet-window
+  * sf0.1 median per registered query, promoted from the measurement run
+  * recorded in BASELINE.md's "Gating baseline cells" table. [[Bench]]
+  * divides each run's per-query median by its cell and emits the ratios
+  * (plus an `over_2x` list) so the 2x perf gate is mechanical over the
+  * WHOLE suite, not just the 27 round-1/2 cells.
+  *
+  * Provenance contract: this map and the BASELINE.md table are two views
+  * of ONE measurement — `BaselineCellsSpec` parses the markdown table and
+  * asserts exact agreement, so neither can drift alone. Re-pin a cell only
+  * with a written BASELINE.md adjudication (the ns8/ns7/ns3 noise-vs-plan
+  * playbook); a NEW query gets its cell from the next quiet-window run and
+  * until then shows up in Bench's `no_cell` count rather than silently
+  * escaping the gate.
+  *
+  * Methodology per cell (identical to Bench's own timed loop): median of
+  * 5 interleaved warm runs after one untimed warmup, full materialization
+  * through the noop sink, local[32], 32 shuffle partitions, AQE on,
+  * /root/testdata/sf0.1, quiet window (loadavg gate < 2 at start).
+  */
+object BaselineCells {
+  val cells: Map[String, Double] = Map.empty
+}

@@ -92,6 +92,37 @@ object Bench {
     require(runs >= 1,
       "SPARK_GRAFT_BENCH_RUNS must be >= 1 (a 0-run bench would do the " +
         "whole warmup then die indexing an empty time vector)")
+    // Quiet-window gate (VERDICT r12 #7): the r11 AND r12 headline benches
+    // both ran in >=1.17x-hot windows, forcing every per-query judgment
+    // through control normalization after the fact. Gate HERE, before the
+    // session does any work — once our own warmup spins 32 threads the
+    // 1-min loadavg reflects us, not the host, and the reading is useless.
+    // Bounded retries so a permanently-busy host degrades to a recorded
+    // `exhausted` note in the JSON instead of hanging the driver.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0").toDouble
+    val maxGateAttempts =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_ATTEMPTS", "20").toInt
+    def loadavg: Double = {
+      val l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      math.round(l * 100) / 100.0
+    }
+    var gateAttempts = 0
+    while (loadavg >= maxLoad && gateAttempts < maxGateAttempts) {
+      gateAttempts += 1
+      System.err.println(f"[bench] loadavg ${loadavg}%.2f >= $maxLoad%.1f " +
+        s"- waiting 30s for a quiet window " +
+        s"(attempt $gateAttempts/$maxGateAttempts)")
+      Thread.sleep(30000L)
+    }
+    val gateExhausted = loadavg >= maxLoad
+    if (gateExhausted)
+      System.err.println(s"[bench] load gate exhausted after " +
+        s"$gateAttempts attempts - proceeding on a hot host; read the " +
+        "emitted control/loadavg before judging per-query times")
+    val loadGateJson =
+      s"""{"max_load":$maxLoad,"attempts":$gateAttempts,""" +
+        s""""exhausted":$gateExhausted}"""
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -134,14 +165,11 @@ object Bench {
         true
       }
     }
-    // java.lang.management's 1-min system load average (-1 where the
-    // platform doesn't report one); sampled before and after the timed
-    // block so a reader can see whether the window was quiet
-    def loadavg: Double = {
-      val l = java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean.getSystemLoadAverage
-      math.round(l * 100) / 100.0
-    }
+    // 1-min system load sampled before and after the timed block (the def
+    // is hoisted above for the pre-session gate; -1 where the platform
+    // doesn't report one). Note loadStart lands AFTER our own warmup pass,
+    // so it includes self-load — the pre-warmup gate reading is the one
+    // that reflects the host.
     val loadStart = loadavg
     // interleaved rounds: every query once per round, order reversed on
     // alternate rounds so no query always runs right after JVM GC settles
@@ -195,6 +223,52 @@ object Bench {
       else Some(math.round(ratios(ratios.size / 2) * 1000) / 1000.0)
     }
     val controlJson = controlRatio.map(_.toString).getOrElse("null")
+    // Gating-cell ratios (VERDICT r12 #2): every query's median divided by
+    // its BaselineCells cell, so the 2x gate is mechanical suite-wide.
+    // Cells are sf0.1 quiet-window medians — at any other SF the ratios
+    // would be nonsense, so (like `control`) they emit only at sf0.1.
+    // `ratio` = sum(medians)/sum(cells) over celled queries (the aggregate
+    // the judge reads first); `over_2x` = celled queries whose RAW ratio
+    // exceeds 2.0 (the mechanical per-query gate — with the load gate
+    // above, raw is no longer hostage to window heat); `no_cell` = queries
+    // that have not yet been promoted into the table (a NEW query's
+    // visibility until the next quiet-window cell run).
+    val atCellSf = new java.io.File(sfDir).getName == "sf0.1"
+    val cells = BaselineCells.cells
+    val ratios: Seq[(String, Double)] =
+      if (!atCellSf) Nil
+      else results.collect {
+        case (k, (med, _)) if med > 0 && cells.contains(k) =>
+          k -> math.round(med / cells(k) * 1000) / 1000.0
+      }
+    val aggRatio: Option[Double] = {
+      val covered = results.collect {
+        case (k, (med, _)) if med > 0 && cells.contains(k) => (med, cells(k))
+      }
+      if (!atCellSf || covered.isEmpty) None
+      else Some(math.round(
+        covered.map(_._1).sum / covered.map(_._2).sum * 1000) / 1000.0)
+    }
+    val over2x = ratios.filter(_._2 > 2.0).map(_._1).sorted
+    val noCell =
+      if (!atCellSf) Nil
+      else results.collect {
+        case (k, (med, _)) if med >= 0 && !cells.contains(k) => k
+      }
+    val ratioJson = aggRatio.map(_.toString).getOrElse("null")
+    // compact/degraded lines cap the list at 20 names so a pathologically
+    // hot run can't blow the 1,900 B tail budget; the archive JSON always
+    // carries the full list (and all per-query ratios)
+    val over2xJson = {
+      val shown = over2x.take(20).map(n => s""""$n"""")
+      val tail = if (over2x.size > 20)
+        Seq(s""""+${over2x.size - 20} more"""") else Nil
+      (shown ++ tail).mkString("[", ",", "]")
+    }
+    val over2xFullJson = over2x.map(n => s""""$n"""").mkString("[", ",", "]")
+    val ratiosJson = ratios
+      .map { case (k, r) => s""""$k":$r""" }.mkString("{", ",", "}")
+    val noCellJson = noCell.map(n => s""""$n"""").mkString("[", ",", "]")
     // per-family subtotals over the NON-baseline queries (the baseline 27
     // stay individually visible); unregistered ids land in "other" so a
     // forgotten Families entry is visible in the line, not silently dropped
@@ -221,7 +295,7 @@ object Bench {
         .mkString("{", ",", "}")
       val qsMin = results.map { case (k, (_, mn)) => s""""$k":${fmt(mn)}""" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"queries_min":$qsMin,"families":${familiesJson(fmt)},"control":$controlJson,"timed_failed":$tfJson,"warmup_failed":$wf,"runs":$runs,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"queries_min":$qsMin,"families":${familiesJson(fmt)},"control":$controlJson,"ratio":$ratioJson,"ratios":$ratiosJson,"over_2x":$over2xFullJson,"no_cell":$noCellJson,"timed_failed":$tfJson,"warmup_failed":$wf,"runs":$runs,"load_gate":$loadGateJson,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
     }
     // The COMPACT stdout line must fit the driver's ~1,900-byte tail
     // capture — BENCH_r06–r08 came back `parsed: null` because 94 full
@@ -248,7 +322,7 @@ object Bench {
         val id = if (collided(k)) k else shortOf(k)
         s""""$id":${fmt(med)}"""
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"stat":"median","n":${results.size},"queries":$qs,"families":${familiesJson(fmt)},"control":$controlJson,"timed_failed":$tfJson,"detail":"target/bench_latest.json","warmup_failed":$wf,"runs":$runs,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"stat":"median","n":${results.size},"queries":$qs,"families":${familiesJson(fmt)},"control":$controlJson,"ratio":$ratioJson,"over_2x":$over2xJson,"no_cell":${noCell.size},"timed_failed":$tfJson,"detail":"target/bench_latest.json","warmup_failed":$wf,"runs":$runs,"load_gate":$loadGateJson,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
     }
     // self-archive FIRST (full precision): the driver captures only a log
     // TAIL, and round 5's record lost k1–k14/ns10–ns12 to truncation — the
@@ -281,7 +355,7 @@ object Bench {
       // the degraded line still carries control AND timed_failed: a total
       // silently missing a failed query's time is exactly the
       // under-report the timed_failed invariant exists to prevent
-      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_min":${r3(totalMin)},"stat":"median","queries":"overflow: see target/bench_latest.json","control":$controlJson,"timed_failed":$tfJson,"warmup_failed":$wf,"runs":$runs,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_min":${r3(totalMin)},"stat":"median","queries":"overflow: see target/bench_latest.json","control":$controlJson,"ratio":$ratioJson,"over_2x":$over2xJson,"timed_failed":$tfJson,"warmup_failed":$wf,"runs":$runs,"load_gate":$loadGateJson,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}""")
     }
     spark.stop()
   }
