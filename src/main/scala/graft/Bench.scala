@@ -49,7 +49,7 @@ object Bench {
     // sampling, packing, mixtures, splits, SFT/DPO assembly, fold hygiene
     "curate" -> "ns15 ns19 ns23 ns26 ns45 ns46 ns48 ns65 ns78 ns80 ns92 ns93 ns102 ns104 ns105 ns106 ns112 ns114 ns125 ns127 ns129 ns133 ns139",
     // image/audio/video feature + near-dup legs
-    "mm" -> "ns81 ns82 ns83 ns90 ns141 ns142 ns145 ns146 ns147 ns151",
+    "mm" -> "ns81 ns82 ns83 ns90 ns141 ns142 ns145 ns146 ns147 ns151 ns153",
     // PII/secrets scrubs, k-anonymity, DP releases
     "priv" -> "ns22 ns66 ns67 ns72 ns89 ns91 ns97",
     // sessionization, as-of, funnels, retention, transitions

@@ -397,6 +397,50 @@ object SparkEntry {
       shingleK = 4)
   }
 
+  /** NS153 — VERIFIED grid-index lifecycle
+    * ([[graft.ops.Perceptual.writeGridIndex]] →
+    * [[graft.ops.Perceptual.incrementalNewFromGridIndex]] →
+    * [[graft.ops.Perceptual.updateGridIndex]]): ns82's
+    * build-probe-append-probe shape upgraded to the r13 verified probe —
+    * an ingest doc is rejected only if some indexed doc is BOTH
+    * hamming-close (≤ 3, pigeonhole-exact banding) and content-close
+    * (72-cell luminance SAD ≤ 128: the ns151 verify stage, via the ONE
+    * shared [[graft.ops.Perceptual.sadVerify]] definition), so a
+    * coincidental dHash neighbor can no longer suppress genuinely-new
+    * media at ingest. Corpus = the v0/v1 image groups; tick 1 ingests
+    * the reversed variants and its survivors append WITH their grids (no
+    * re-decode); tick 2 ingests the edit variants and must see tick 1's
+    * acceptances. Index rows are ~300 B/doc, blobs decode once per tick.
+    * Oracle: the ns151 grid-arithmetic replay with the two lifecycle
+    * NOT-EXISTS stages. */
+  private def ns153(s: SparkSession, dir: String): DataFrame = {
+    val synth = udf((t: String) => graft.ops.BmpSynth.bmpOf(t))
+    val fam = ns81Family(s, dir).select(col("doc_id"),
+      synth(col("t")).as("content"))
+    val fp = graft.ops.Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
+    val base = scratchIndexDir("graft_grid_idx", dir, fp)
+    if (!graft.ops.Perceptual.phashIndexMatches(s, base, fp))
+      graft.ops.Perceptual.writeGridIndex(fam.where(col("doc_id") % 5 <= 1),
+        base, graft.ops.ImageGridDecoder, fingerprint = Some(fp))
+    val work = s"${base}_tick_${java.util.UUID.randomUUID().toString.take(8)}"
+    // sidecar+data dir copy — index-format-agnostic, same as ns82
+    graft.ops.Perceptual.copyPhashIndex(s, base, work)
+    val workPath = new org.apache.hadoop.fs.Path(work)
+    workPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .deleteOnExit(workPath)
+    val tick1 = graft.ops.Perceptual.incrementalNewFromGridIndex(
+        fam.where(col("doc_id") % 5 === 4), work, maxSad = 128L,
+        expectDecoder = Some("image-grid"))
+      .localCheckpoint(true) // snapshot: the plan reads files the append rewrites
+    graft.ops.Perceptual.updateGridIndex(tick1, work)
+    val tick2 = graft.ops.Perceptual.incrementalNewFromGridIndex(
+      fam.where(col("doc_id") % 5 === 2 || col("doc_id") % 5 === 3), work,
+      maxSad = 128L)
+    tick1.select(col("doc_id"), col("phash"))
+      .union(tick2.select(col("doc_id"), col("phash")))
+      .orderBy("doc_id")
+  }
+
   /** NS22 — PII scrubbing: emails / IPv4s / phone numbers redacted from
     * free text before training admission. The synthetic corpus carries no
     * natural PII, so the query deterministically injects one of each
@@ -2824,6 +2868,7 @@ object SparkEntry {
     "ns150_warc_wet" -> (ns150 _),
     "ns151_bmp_neardup_verified" -> (ns151 _),
     "ns152_decontaminate_bloom" -> (ns152 _),
+    "ns153_grid_index_lifecycle" -> (ns153 _),
   )
 
   /** ns2's full minhash-LSH pair replay, hoisted with a `__DOCS__`
@@ -5440,6 +5485,55 @@ object SparkEntry {
          |  GROUP BY c.doc_a, c.doc_b, c.hamming)
          |SELECT doc_a, doc_b, hamming, sad FROM sadt WHERE sad <= 128
          |ORDER BY doc_a, doc_b""".stripMargin),
+    // ns153: the ns151 grid replay driving the TWO-TICK lifecycle - a
+    // probe doc is rejected iff some already-accepted doc is hamming<=3
+    // AND grid-SAD<=128; tick 2's accepted set includes tick 1's
+    // survivors (the index append is load-bearing).
+    "ns153_grid_index_lifecycle" ->
+      ("""WITH base AS (SELECT doc_id, text FROM documents),
+         |fam AS (SELECT d.doc_id,
+         |  CASE d.doc_id % 5
+         |    WHEN 0 THEN b.text
+         |    WHEN 1 THEN b.text
+         |    WHEN 2 THEN substr(b.text, 1, 10) || '#' || substr(b.text, 12)
+         |    WHEN 3 THEN substr(b.text, 1, 20) || '@' || substr(b.text, 22)
+         |    ELSE reverse(b.text) END AS t
+         |  FROM base d JOIN base b ON b.doc_id = d.doc_id - d.doc_id % 5),
+         |h AS (SELECT doc_id, hex(encode(coalesce(t, ''))) AS hx,
+         |    octet_length(encode(coalesce(t, ''))) AS n FROM fam),
+         |px AS (SELECT doc_id, (g.i // 9) AS r, (g.i % 9) AS c, g.i AS cell,
+         |    (2 * (g.i % 9) + (p.q % 2)) AS x, (2 * (g.i // 9) + (p.q // 2)) AS y
+         |  FROM h, (SELECT unnest(range(0, 72)) AS i) g,
+         |       (SELECT unnest(range(0, 4)) AS q) p),
+         |pv AS (SELECT px.doc_id, px.cell,
+         |    (CASE WHEN h.n = 0 THEN 0 ELSE
+         |      (('0x' || substr(h.hx, (2 * ((18 * px.y + px.x) % h.n) + 1)::INT, 2))::INT
+         |       * 31 + 7 * px.x + 13 * px.y) % 256 END) AS v
+         |  FROM px JOIN h USING (doc_id)),
+         |grid AS (SELECT doc_id, cell AS i, (sum(v) // 4)::INT AS v
+         |  FROM pv GROUP BY doc_id, cell),
+         |bits AS (SELECT a.doc_id, ((a.i // 9) * 8 + (a.i % 9))::INT AS k,
+         |  CASE WHEN a.v < b.v THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+         |  FROM grid a JOIN grid b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+         |  WHERE a.i % 9 < 8 AND (a.i // 9) * 8 + (a.i % 9) < 63),
+         |ph AS (SELECT doc_id, sum(bit << k)::BIGINT AS phash FROM bits GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM ph a JOIN ph b ON a.doc_id <> b.doc_id
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+         |sadp AS (SELECT p.da, p.db FROM pairs p
+         |  JOIN grid ga ON ga.doc_id = p.da
+         |  JOIN grid gb ON gb.doc_id = p.db AND gb.i = ga.i
+         |  GROUP BY p.da, p.db HAVING sum(abs(ga.v - gb.v)) <= 128),
+         |corpus AS (SELECT doc_id FROM ph WHERE doc_id % 5 <= 1),
+         |s1 AS (SELECT doc_id, phash FROM ph WHERE doc_id % 5 = 4
+         |  AND NOT EXISTS (SELECT 1 FROM sadp s JOIN corpus c ON s.db = c.doc_id
+         |    WHERE s.da = ph.doc_id)),
+         |acc2 AS (SELECT doc_id FROM corpus UNION ALL SELECT doc_id FROM s1),
+         |s2 AS (SELECT doc_id, phash FROM ph WHERE doc_id % 5 IN (2, 3)
+         |  AND NOT EXISTS (SELECT 1 FROM sadp s JOIN acc2 a ON s.db = a.doc_id
+         |    WHERE s.da = ph.doc_id))
+         |SELECT doc_id, phash FROM s1
+         |UNION ALL SELECT doc_id, phash FROM s2 ORDER BY doc_id""".stripMargin),
     // ns148: WARC record geometry with no container - per-record size
     // 97 + digits(doc_id) + digits(len) + len (the fixed header skeleton
     // plus the two variable-width decimal fields plus the payload),

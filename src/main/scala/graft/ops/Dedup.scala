@@ -606,7 +606,15 @@ object Dedup {
       .select(col("doc_id").as("bench_id"), col("shingle").as("bsh"))
     val doBroadcast = broadcastBenchmark.getOrElse(
       estimatedPostingsBytes(benchmark, shingleK) <= broadcastThresholdBytes)
-    val build = if (doBroadcast) broadcast(benchSh) else benchSh
+    // An EXPLICIT opt-out must mean no broadcast: without a strategy hint
+    // Spark's stats-based auto-broadcast (or AQE's runtime conversion)
+    // would re-broadcast a small benchmark and the lever would be a
+    // no-op. It also makes the ns21-vs-ns152 shuffle-byte measurement
+    // honest (ScaleProof prices the non-broadcastable-benchmark regime).
+    val build =
+      if (doBroadcast) broadcast(benchSh)
+      else if (broadcastBenchmark.contains(false)) benchSh.hint("shuffle_hash")
+      else benchSh
     corpusSh.join(build, col("shingle") === col("bsh"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("shingle")).as("matched_shingles"),

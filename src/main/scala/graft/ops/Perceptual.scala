@@ -293,18 +293,38 @@ object Perceptual {
     val sig = gridHashes(media, decoder).localCheckpoint(true)
     val cand = nearDupPairsCore(sig.select(col("doc_id"), col("phash")),
       maxHamming, bands, maxBandFreq, reuseHashes = false)
+    val grids = sig.select(col("doc_id"), col("grid"))
+    sadVerify(cand, grids, grids, maxSad)
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("sad"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** THE grid-SAD verify stage — one definition consumed by the batch
+    * [[nearDupPairsVerified]] AND the streaming
+    * [[incrementalNewFromGridIndex]] probe (the [[Similarity]]
+    * `signBandKeys` shared-definition discipline — VERDICT r12 #5 — so
+    * the two paths cannot drift): candidate pairs (doc_a, doc_b, ...)
+    * join the ~300 B/doc (doc_id, grid) signature tables by id — `sigA`
+    * resolves doc_a, `sigB` doc_b; the batch path passes the same table
+    * twice, the streaming path passes (batch grids, index grids) — and
+    * only pairs whose exact integer sum-of-absolute-differences over the
+    * 72 luminance cells is ≤ `maxSad` survive, as a `sad` column appended
+    * to the candidate row. Blobs never enter this stage. */
+  private[graft] def sadVerify(
+      cand: DataFrame,
+      sigA: DataFrame,
+      sigB: DataFrame,
+      maxSad: Long): DataFrame =
     cand
-      .join(sig.select(col("doc_id").as("doc_a"), col("grid").as("ga")),
+      .join(sigA.select(col("doc_id").as("doc_a"), col("grid").as("ga")),
         "doc_a")
-      .join(sig.select(col("doc_id").as("doc_b"), col("grid").as("gb")),
+      .join(sigB.select(col("doc_id").as("doc_b"), col("grid").as("gb")),
         "doc_b")
       .withColumn("sad", expr(
         "aggregate(zip_with(ga, gb, (x, y) -> abs(x - y)), 0L, " +
           "(acc, d) -> acc + d)"))
       .where(col("sad") <= maxSad)
-      .select(col("doc_a"), col("doc_b"), col("hamming"), col("sad"))
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
+      .drop("ga", "gb")
 
   // ---- the ONE definition of the band layout ------------------------------
   // The pigeonhole-exactness contract holds across nearDupPairs AND the
@@ -509,6 +529,17 @@ object Perceptual {
     * bands, same contract as [[nearDupPairs]]. */
   private def bandCandidates(
       probe: DataFrame, build: DataFrame,
+      maxHamming: Int, bands: Int, maxBandFreq: Long): DataFrame =
+    bandCandidatePairs(probe, build, maxHamming, bands, maxBandFreq)
+      .select(col("doc_a").as("doc_id"), col("phash"))
+
+  /** The PAIR form of [[bandCandidates]] — (probe doc_a, probe phash,
+    * build doc_b), one row per hamming-close (probe, build) match (band
+    * multiplicity included; callers distinct() as needed). The verified
+    * probe needs the build-side id to fetch its grid; the unverified one
+    * only needs doc_a. */
+  private def bandCandidatePairs(
+      probe: DataFrame, build: DataFrame,
       maxHamming: Int, bands: Int, maxBandFreq: Long): DataFrame = {
     requireBandParams(maxHamming, bands)
     val pb = bandKeys(probe, bands)
@@ -517,7 +548,100 @@ object Perceptual {
         col("a.p") === col("b.p") && col("a.chunk") === col("b.chunk") &&
           bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
             <= maxHamming)
-      .select(col("a.doc_id").as("doc_id"), col("a.phash").as("phash"))
+      .select(col("a.doc_id").as("doc_a"), col("a.phash").as("phash"),
+        col("b.doc_id").as("doc_b"))
+  }
+
+  // ---- grid index: the VERIFIED lifecycle (VERDICT r12 #5) ---------------
+  // The phash index above stores 16 B/doc and its probe accepts any
+  // hamming-close candidate — at web scale coincidental dHash neighbors
+  // accumulate (the ns147-vs-ns151 measurement: 73% of candidates refuted
+  // by content). The grid index stores the ~300 B/doc luminance grid
+  // alongside the hash so the probe can run the SAME [[sadVerify]] stage
+  // the batch operator uses: a new doc is a duplicate only if some index
+  // doc is hamming-close AND content-close. Same sidecar/staging/single-
+  // writer discipline as the phash index.
+
+  /** Build the verified index: (doc_id, phash, grid) — one decode pass
+    * ([[gridHashes]]); sidecar pins decoder + `kind=grid` so a phash-only
+    * index can never be probed as a grid index. */
+  def writeGridIndex(
+      media: DataFrame,
+      path: String,
+      decoder: GridDecoder = ByteStrideGridDecoder,
+      fingerprint: Option[String] = None): Unit = {
+    val spark = media.sparkSession
+    IndexSidecar.buildAndPublish(spark, path) { tmp =>
+      gridHashes(media, decoder)
+        .write.mode("overwrite").parquet(s"$tmp/hashes")
+      IndexSidecar.write(spark, metaPath(tmp.toString),
+        s"decoder=${decoder.name}\nkind=grid" +
+          fingerprint.map(f => s"\nfingerprint=$f").getOrElse(""))
+    }
+  }
+
+  /** Append a tick's accepted (doc_id, phash, grid) rows — callers pass
+    * [[incrementalNewFromGridIndex]]'s output, which carries the grid
+    * precisely so the append costs no second decode. Same
+    * materialize-before-append rule as [[updatePhashIndex]]. */
+  def updateGridIndex(
+      accepted: DataFrame,
+      path: String,
+      fingerprint: Option[String] = None): Unit = {
+    val spark = accepted.sparkSession
+    val acc = accepted.select(col("doc_id"), col("phash"), col("grid"))
+      .localCheckpoint(true)
+    acc.write.mode("append").parquet(s"$path/hashes")
+    fingerprint.foreach { f =>
+      val meta = readSidecar(spark, path)
+      IndexSidecar.write(spark, metaPath(path),
+        s"decoder=${meta("decoder")}\nkind=grid\nfingerprint=$f")
+    }
+  }
+
+  /** VERIFIED index probe — which docs of `newMedia` have NO index doc
+    * that is BOTH hamming-close (≤ `maxHamming`, pigeonhole-exact banding)
+    * and content-close ([[sadVerify]], SAD ≤ `maxSad`)? Returns survivors
+    * as (doc_id, phash, grid), ready for [[updateGridIndex]]. One decode
+    * pass for the batch; the corpus side reads ~300 B/doc signature rows,
+    * never blobs; the verify join ships only the collision-bounded
+    * candidate pair list. Decisions equal the batch
+    * [[nearDupPairsVerified]] pair semantics restricted to (new × index)
+    * pairs — the stream-batch equivalence the spec pins. */
+  def incrementalNewFromGridIndex(
+      newMedia: DataFrame,
+      path: String,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxSad: Long = 720L,
+      maxBandFreq: Long = Long.MaxValue,
+      expectDecoder: Option[String] = None): DataFrame = {
+    val spark = newMedia.sparkSession
+    val meta = readSidecar(spark, path)
+    require(meta.get("kind").contains("grid"),
+      s"index at $path is not a grid index (kind=${meta.getOrElse("kind",
+        "phash")}) - a hash-only index cannot back the verified probe")
+    val decoderName = meta("decoder")
+    expectDecoder.foreach { e =>
+      require(e == decoderName,
+        s"index at $path was built with decoder=$decoderName, caller " +
+          s"requires $e - refusing to probe across hash families")
+    }
+    val decoder = GridDecoders.byName(decoderName)
+    // one decode pass, shared by banding, verify (sigA) and the anti-join
+    val newSig = gridHashes(newMedia, decoder).localCheckpoint(true)
+    val corpus = spark.read.parquet(s"$path/hashes")
+    val cand = bandCandidatePairs(
+      newSig.select(col("doc_id"), col("phash")),
+      corpus.select(col("doc_id"), col("phash")),
+      maxHamming, bands, maxBandFreq).distinct()
+    val dupIds = sadVerify(cand,
+        newSig.select(col("doc_id"), col("grid")),
+        corpus.select(col("doc_id"), col("grid")), maxSad)
+      .select(col("doc_a").as("doc_id")).distinct()
+    newSig.join(dupIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("phash"), col("grid"))
+      .orderBy(col("doc_id"))
   }
 }
 

@@ -232,6 +232,52 @@ object Drivers {
         throw Dsn.DsnError("only jdbc DSNs can back a DSv2 catalog")
     }
 
+  /** Table loader through a registered DSv2 catalog — the TOTAL-pushdown
+    * PRODUCT path (VERDICT r12 #4). [[registerCatalog]] proved the
+    * contract in a spec; this is what routes the config-driven steal
+    * through it: register `name` for the DSN, resolve the connection's
+    * default namespace ONCE (one metadata connection, not one per table),
+    * and return a loader whose scans Catalyst compiles limits / top-k /
+    * aggregates into the remote SQL (`PushedLimit`/`PushedTopN`/
+    * `PushedAggregates` — the reference's `engine.go:158-163` textual
+    * pushdown, done by the optimizer). The V1 [[read]] stays the
+    * bulk-export default: its PK-partitioned parallel cursors are what a
+    * full-table copy needs, while this leg wins for subset-shaped configs
+    * (`Filter.Limit` + `Sorts`) where the right move is to ship the whole
+    * query to the source and fetch only the answer. */
+  def catalogLoader(
+      spark: SparkSession, name: String,
+      dsnString: String): String => DataFrame = {
+    registerCatalog(spark, name, dsnString)
+    val ns = defaultNamespace(dsnString)
+    t => spark.table(s"`$name`.`$ns`.`$t`")
+  }
+
+  /** The namespace an UNQUALIFIED V1 read resolves in, so the DSv2 leg
+    * scans the same tables: JDBC's connection-default schema (Derby: the
+    * user schema, default APP; Postgres: the search_path head, default
+    * public), falling back to the connection's catalog for engines whose
+    * DSv2 namespaces are databases (MySQL's Connection.getSchema is
+    * null — its JDBCTableCatalog namespaces are the databases, and
+    * getCatalog names the one the DSN selected). */
+  private[sources] def defaultNamespace(dsnString: String): String =
+    resolve(dsnString) match {
+      case Resolved.Jdbc(url, props) =>
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        try {
+          val schema = try Option(conn.getSchema) catch {
+            case _: java.sql.SQLFeatureNotSupportedException => None
+          }
+          schema.filter(_.nonEmpty)
+            .orElse(Option(conn.getCatalog).filter(_.nonEmpty))
+            .getOrElse(throw Dsn.DsnError(
+              s"source at $url reports neither a default schema nor a " +
+                "catalog - qualify tables explicitly via spark.table"))
+        } finally conn.close()
+      case _ =>
+        throw Dsn.DsnError("only jdbc DSNs have a default namespace")
+    }
+
   /** MySQL Connector/J only honors fetchSize under `useCursorFetch=true`
     * (or its `Integer.MIN_VALUE` streaming mode); default mode buffers the
     * whole result set client-side regardless of fetchSize. True iff the

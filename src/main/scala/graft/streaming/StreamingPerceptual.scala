@@ -52,4 +52,44 @@ object StreamingPerceptual {
         ()
       }
       .start()
+
+  /** VERIFIED twin (VERDICT r12 #5): the lifecycle above with the ns151
+    * verify-by-content stage in the probe — a batch doc is rejected only
+    * if some (corpus + earlier-accepted) doc is hamming-close AND its
+    * 72-cell luminance grid agrees (SAD ≤ `maxSad`), so coincidental
+    * dHash neighbors (73% of candidates at the measured 100× decade) no
+    * longer suppress genuinely-new media. The verify logic is
+    * [[graft.ops.Perceptual.sadVerify]] — the ONE definition the batch
+    * operator uses — so stream and batch decisions cannot drift; the
+    * index carries (phash, grid) (~300 B/doc vs 16) and each batch still
+    * decodes exactly once (its grids ride into the index append).
+    * foreachBatch + sink-before-index ordering: same at-least-once
+    * rationale as the unverified twin above. */
+  def indexedMediaIngestDedupVerified(
+      newMedia: DataFrame,
+      indexPath: String,
+      acceptedSink: String,
+      checkpointDir: String,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxSad: Long = 720L): org.apache.spark.sql.streaming.StreamingQuery =
+    newMedia.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val survivors = graft.ops.Perceptual
+          .incrementalNewFromGridIndex(batch.toDF(), indexPath,
+            maxHamming, bands, maxSad)
+          .localCheckpoint(true)
+        try {
+          if (!survivors.isEmpty) {
+            // the sink gets ids + hashes; grids stay an index concern
+            survivors.select("doc_id", "phash")
+              .write.mode("append").parquet(acceptedSink)
+            graft.ops.Perceptual.updateGridIndex(survivors, indexPath)
+          }
+        } finally
+          graft.ops.Dedup.unpersistCheckpoint(survivors)
+        ()
+      }
+      .start()
 }

@@ -269,6 +269,13 @@ object ScaleProof {
       // ns18/ns41 contract); the timed runs measure copy + two
       // batch-decode probes + one append, all batch-proportional
       "ns82_phash_lifecycle",
+      // ns153 (r13): ns82's lifecycle with the grid-verified probe — the
+      // base GRID index builds once per size in the untimed warmup
+      // (fingerprint-keyed); timed runs measure copy + two decode-once
+      // probes (band join on 16 B hash rows + sadVerify over the
+      // collision-bounded pair list against ~300 B/doc grids) + one
+      // append — all batch-proportional, pairs bounded by band collisions
+      "ns153_grid_index_lifecycle",
       // ns83: frame explode + hash pass + ONE phash groupBy — group
       // volume, linear in frames; count() cannot prune the HAVING filter
       "ns83_keyframe_dedup",
@@ -496,6 +503,22 @@ object ScaleProof {
     def ns4Capped(dir: String): DataFrame =
       graft.ops.Dedup.ngramJaccard(
         spark.read.parquet(s"$dir/documents.parquet"), maxDocFreq = 256)
+    // the ns21/ns152 benchmark split mirrors the registered queries
+    // (doc_id % 50), so the copy-tagged scale corpora grow benchmark
+    // vocabulary linearly with the corpus — exactly the shape where the
+    // prefilter must keep paying
+    def ns21Shuffle(dir: String): DataFrame = {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Dedup.decontaminate(
+        d.where(col("doc_id") % 50 =!= 0), d.where(col("doc_id") % 50 === 0),
+        shingleK = 4, broadcastBenchmark = Some(false))
+    }
+    def ns152Shuffle(dir: String): DataFrame = {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Dedup.decontaminateBloom(
+        d.where(col("doc_id") % 50 =!= 0), d.where(col("doc_id") % 50 === 0),
+        shingleK = 4, broadcastBenchmark = Some(false))
+    }
     // ns55 scales its bit space with the dim side (numBits = next pow2 ≥
     // 8 × keys, ~1.5% fp): at fixed 2^20 bits a 100× dim SATURATES the
     // filter — every probe passes and the pre-filter silently becomes
@@ -780,7 +803,24 @@ object ScaleProof {
     val all: Seq[(String, String => DataFrame)] =
       standard.map(n =>
         n -> ((d: String) => graft.SparkEntry.queries(n)(spark, d))) ++
-        Seq("ns68_lines_forced" -> (ns68Forced _),
+        Seq(
+          // ns21 vs ns152 forced-shuffle twins (r13, VERDICT r12 #6): the
+          // bloom prefilter's 100 TB claim is SHUFFLE-TRAFFIC collapse,
+          // measurable only in the regime where the benchmark side does
+          // NOT broadcast — the broadcast plan ships no corpus postings
+          // through an exchange, so both variants would show only the
+          // tiny matched-triple agg. Some(false) (which now pins a
+          // shuffle_hash strategy hint so neither stats nor AQE can
+          // re-broadcast) prices the non-broadcastable-benchmark regime
+          // the operator exists for: EXACT shuffles every corpus posting
+          // on shingle; BLOOM shuffles only prefilter survivors (match
+          // rate + fpp). count() keeps both plans whole — group
+          // membership needs the join. The registered (broadcast-auto)
+          // ns21/ns152 keep their ScalingSmoke coverage; these twins are
+          // the shuffle-byte evidence.
+          "ns21_exact_forcedshuffle" -> (ns21Shuffle _),
+          "ns152_bloom_forcedshuffle" -> (ns152Shuffle _),
+          "ns68_lines_forced" -> (ns68Forced _),
           "ns69_outliers_hashlabel" -> (ns69Scaled _),
           "ns63_html_forced" -> (ns63Forced _),
           "ns66_luhn_forced" -> (ns66Forced _),

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The gating-cell provenance contract: `BaselineCells.cells` (what the
+  * bench computes ratios against) and BASELINE.md's "Gating baseline
+  * cells" table (the human-auditable record) are two views of ONE
+  * quiet-window measurement — this spec parses the markdown and demands
+  * exact agreement, so neither can be edited alone, and every cell must
+  * name a live registered query (a rename/removal must drop its cell,
+  * not leave a stale gate). */
+class BaselineCellsSpec extends AnyFunSuite {
+
+  test("cells map registered queries only, with positive times") {
+    val cells = BaselineCells.cells
+    val unknown = cells.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty,
+      s"cells for unregistered queries (rename without re-pin?): $unknown")
+    assert(cells.values.forall(_ > 0), "a cell of 0 would gate on noise")
+  }
+
+  test("cells agree exactly with the BASELINE.md gating table") {
+    val cells = BaselineCells.cells
+    assume(cells.nonEmpty, "cells not yet promoted (pre-measurement tree)")
+    val src = scala.io.Source.fromFile("BASELINE.md", "UTF-8")
+    val lines = try src.getLines().toVector finally src.close()
+    val start = lines.indexWhere(_.startsWith("## Gating baseline cells"))
+    assert(start >= 0, "BASELINE.md lost its '## Gating baseline cells' " +
+      "section - the human-auditable half of the gate")
+    val Row = """\|\s*((?:k|ns)\w+)\s*\|\s*([0-9.]+)\s*\|""".r
+    val parsed = lines.drop(start + 1)
+      .takeWhile(l => !l.startsWith("## "))
+      .collect { case Row(name, sec) => name -> sec.toDouble }
+      .toMap
+    assert(parsed == cells,
+      s"table-vs-map drift: only-in-table=${parsed.keySet -- cells.keySet} " +
+        s"only-in-map=${cells.keySet -- parsed.keySet} " +
+        s"value-diffs=${
+          cells.keySet.intersect(parsed.keySet)
+            .filter(k => cells(k) != parsed(k)).take(5)}")
+  }
+}

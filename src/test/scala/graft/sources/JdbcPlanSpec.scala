@@ -230,6 +230,33 @@ class JdbcPlanSpec extends AnyFunSuite {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(2, 3, 4))
   }
 
+  test("DSv2 STEAL path (flag-gated, VERDICT r12 #4): a config-built " +
+    "Filter.Limit+Sorts subset plan carries PushedTopN in the remote " +
+    "scan and is value-identical to the V1 path") {
+    fixture
+    // exactly what Steal.runDsn(pushdownScan = true) builds for its
+    // SubsetPlanner: a loader through the registered catalog, with the
+    // namespace resolved from the connection (Derby default schema = APP)
+    assert(Drivers.defaultNamespace(url) == "APP")
+    val loader = Drivers.catalogLoader(spark, "graft_src_spec", url)
+    val cfg = Seq(TableConfig("ACCOUNTS", filter = Filter(
+      matchExpr = "ACTIVE = 1",
+      sorts = Seq("BALANCE" -> "desc"), limit = 3)))
+    val df = new SubsetPlanner(loader, cfg).plan("ACCOUNTS")
+    val p = df.queryExecution.executedPlan.toString
+    // the k3/k9 shape, executed AT THE SOURCE: ORDER BY + LIMIT (and the
+    // Match predicate) compiled into the remote SQL by Catalyst — the
+    // reference's engine.go:158-163 total-pushdown contract in the
+    // product path, not just the raw-catalog spec above
+    assert(p.contains("PushedTopN"), p.take(2000))
+    assert(p.toLowerCase.contains("pushedfilters"), p.take(2000))
+    // value-identical to the V1 leg under the same config (top-3 balances
+    // of the active rows are unique, so the result set is deterministic)
+    val v1 = new SubsetPlanner(load, cfg).plan("ACCOUNTS")
+    assert(df.collect().map(_.toSeq).toSeq ==
+      v1.collect().map(_.toSeq).toSeq)
+  }
+
   test("catalog listing query itself is pushed as a source-side query " +
     "(no client-side view filtering)") {
     // listTables for mysql/postgres ships a information_schema QUERY to the
