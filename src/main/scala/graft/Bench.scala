@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR, prints ONE JSON line.
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line per completed round — the
+  * LAST line printed is always the most complete record.
   *
-  * Methodology (BASELINE.md): per-query median of 3 warm runs after one
-  * untimed warmup (the first Spark action pays ~10 s of JVM/codegen
+  * Methodology (BASELINE.md): per-query median of `runs` warm rounds after
+  * one untimed warmup (the first Spark action pays ~10 s of JVM/codegen
   * warmup). Queries are fully materialized through the `noop` sink —
   * `count()` would let Catalyst prune projections (e.g. faker columns)
   * and under-report.
@@ -18,10 +19,28 @@ import org.apache.spark.sql.SparkSession
   * noisy window on one query's whole column; interleaving spreads it
   * across one round of many queries, so the per-query median survives.
   * The emitted JSON also self-describes run quality: `loadavg` (1-min
-  * system load sampled at start and end) and per-query `queries_min` (the
-  * min over rounds — a cleaner point estimate under asymmetric noise,
-  * since contention only ever ADDS time). A regression call should first
-  * check loadavg and min-vs-median spread before blaming the code. */
+  * system load sampled at start and end), `steal_run` (cumulative
+  * hypervisor-steal share over the timed block) and per-query
+  * `queries_min` (the min over rounds — a cleaner point estimate under
+  * asymmetric noise, since contention only ever ADDS time). A regression
+  * call should first check loadavg/steal and min-vs-median spread before
+  * blaming the code.
+  *
+  * Crash/timeout discipline (VERDICT r13 #1 — BENCH_r13 was rc=124 with
+  * NOTHING parseable): the bench now (a) runs under a total wall-clock
+  * budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 1200 s) measured from
+  * process start, dropping timed rounds that would not fit instead of
+  * being killed mid-suite; (b) caps the pre-run quiet-window gate at 4
+  * attempts (~2 min) instead of 20 (~10 min); (c) archives AND prints a
+  * complete, valid compact JSON line after the warmup pass and after
+  * EVERY completed timed round (`runs_completed` says how many samples
+  * back the medians; `final` marks the last line) — a kill at any point
+  * leaves the previous round's line in the driver's tail; (d) sets the
+  * Spark log level to ERROR so WARN spam cannot push that line out of
+  * the driver's ~2,000-byte tail capture (r13's tail was 100% WARN
+  * lines); (e) halves the requested rounds when the quiet-window gate
+  * exhausts (a hot host gets a faster, still-valid record).
+  */
 object Bench {
 
   /** The 27 queries with per-query cells recorded in BASELINE.md's round-1
@@ -71,8 +90,9 @@ object Bench {
     * `control` = median(current/anchor) over this set; cross-round readers
     * divide totals by it to self-normalize instead of re-adjudicating.
     * Re-pin anchors ONLY if a control query's plan deliberately changes
-    * (note it in BASELINE.md). */
-  private val ControlAnchors: Map[String, Double] = Map(
+    * (note it in BASELINE.md). `AnchorsSpec` pins tools/promote_cells.py's
+    * mirror of this map against the source text (ADVICE r13 #3). */
+  private[graft] val ControlAnchors: Map[String, Double] = Map(
     "k1_scan_project" -> 0.162,
     "k4_limit_pinned" -> 0.097,
     "k12_full_copy" -> 0.129,
@@ -85,84 +105,123 @@ object Bench {
     "ns49_histogram" -> 0.208
   )
 
+  private def readStealCounters(): Option[(Long, Long)] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val f = try src.getLines().next().trim.split("\\s+").drop(1)
+        .map(_.toLong) finally src.close()
+      Some((f.lift(7).getOrElse(0L), f.sum))
+    } catch { case _: Throwable => None }
+
+  /** Hypervisor-steal probe — the contention loadavg CANNOT see. This
+    * host's 2x-slow windows (r13, measured: anchors at 1.4-4.1x with
+    * loadavg 0.7 at start) come from vCPU steal: our threads are
+    * runnable but the hypervisor schedules a co-tenant. Steal only
+    * registers while WE demand CPU, so an idle read is always ~0 — the
+    * probe spins every core for `ms` and reads the /proc/stat steal
+    * delta over the window. Non-Linux or unreadable /proc: probe
+    * reports 0 and the gate degrades to loadavg-only.
+    *
+    * Footprint (VERDICT r13 #4): callers probe 1000 ms once for the
+    * first reading, then 250 ms on retries — and only AFTER the loadavg
+    * check passes for that attempt (ADVICE r13 #1: probing first meant
+    * the probe's own spin inflated the 1-min loadavg the next attempt
+    * compared against, so a cooled host could stay falsely gated). */
+  private def stealPct(ms: Long): Double =
+    readStealCounters().flatMap { case (s0, t0) =>
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val spinners = (1 to Runtime.getRuntime.availableProcessors())
+        .map { _ =>
+          val t = new Thread(() => {
+            var x = 0L
+            while (!stop.get()) x += 1
+            if (x == Long.MinValue) println(x) // defeat dead-code elim
+          })
+          t.setDaemon(true); t.start(); t
+        }
+      Thread.sleep(ms)
+      stop.set(true)
+      spinners.foreach(_.join(100))
+      readStealCounters().map { case (s1, t1) =>
+        if (t1 > t0) math.round(1000.0 * (s1 - s0) / (t1 - t0)) / 10.0
+        else 0.0
+      }
+    }.getOrElse(0.0)
+
   def main(args: Array[String]): Unit = {
+    val tStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - tStart) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    require(runs >= 1,
+    val runsRequested = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    require(runsRequested >= 1,
       "SPARK_GRAFT_BENCH_RUNS must be >= 1 (a 0-run bench would do the " +
         "whole warmup then die indexing an empty time vector)")
-    // Quiet-window gate (VERDICT r12 #7): the r11 AND r12 headline benches
-    // both ran in >=1.17x-hot windows, forcing every per-query judgment
-    // through control normalization after the fact. Gate HERE, before the
-    // session does any work — once our own warmup spins 32 threads the
-    // 1-min loadavg reflects us, not the host, and the reading is useless.
-    // Bounded retries so a permanently-busy host degrades to a recorded
-    // `exhausted` note in the JSON instead of hanging the driver.
+    // Total wall budget (VERDICT r13 #1a): the driver kills the bench at
+    // its own timeout (r13: rc 124 after gate-wait + 2.5x steal stretched
+    // the suite past it) — so the bench budgets ITSELF and drops timed
+    // rounds that will not fit, finishing cleanly with fewer samples
+    // instead of being killed with none. 1200 s default: a quiet full
+    // suite is ~12 min (r12: 747 s wall including sbt compile), so the
+    // default absorbs a ~1.6x-hot window before shedding rounds.
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toDouble
+    // Quiet-window gate (VERDICT r12 #7): gate HERE, before the session
+    // does any work — once our own warmup spins 32 threads the 1-min
+    // loadavg reflects us, not the host, and the reading is useless.
+    // Bounded retries (r13 #1a: 4 × 30 s ≈ 2 min cap, was 20 × 30 s) so a
+    // busy host degrades to a recorded `exhausted` note in the JSON
+    // instead of eating the driver's whole timeout before any work.
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0").toDouble
     val maxGateAttempts =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_ATTEMPTS", "20").toInt
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_ATTEMPTS", "4").toInt
     def loadavg: Double = {
       val l = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
       math.round(l * 100) / 100.0
     }
-    // Hypervisor-steal probe — the contention loadavg CANNOT see. This
-    // host's 2x-slow windows (r13, measured: anchors at 1.4-4.1x with
-    // loadavg 0.7 at start) come from vCPU steal: our threads are
-    // runnable but the hypervisor schedules a co-tenant. Steal only
-    // registers while WE demand CPU, so an idle read is always ~0 — the
-    // probe spins every core for `ms` and reads the /proc/stat steal
-    // delta over the window. Non-Linux or unreadable /proc: probe
-    // reports 0 and the gate degrades to loadavg-only.
-    def stealPct(ms: Long): Double = {
-      def read(): Option[(Long, Long)] =
-        try {
-          val src = scala.io.Source.fromFile("/proc/stat")
-          val f = try src.getLines().next().trim.split("\\s+").drop(1)
-            .map(_.toLong) finally src.close()
-          Some((f.lift(7).getOrElse(0L), f.sum))
-        } catch { case _: Throwable => None }
-      read().flatMap { case (s0, t0) =>
-        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-        val spinners = (1 to Runtime.getRuntime.availableProcessors())
-          .map { _ =>
-            val t = new Thread(() => {
-              var x = 0L
-              while (!stop.get()) x += 1
-              if (x == Long.MinValue) println(x) // defeat dead-code elim
-            })
-            t.setDaemon(true); t.start(); t
-          }
-        Thread.sleep(ms)
-        stop.set(true)
-        spinners.foreach(_.join(100))
-        read().map { case (s1, t1) =>
-          if (t1 > t0) math.round(1000.0 * (s1 - s0) / (t1 - t0)) / 10.0
-          else 0.0
-        }
-      }.getOrElse(0.0)
-    }
     val maxSteal =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_STEAL", "10.0").toDouble
+    // Gate loop: loadavg first (free to read), steal probe ONLY when the
+    // loadavg leg passes — so the probe's own 32-core spin never inflates
+    // the loadavg reading a later attempt is judged by (ADVICE r13 #1),
+    // and a load-gated attempt costs zero self-load. First probe gets the
+    // full 1000 ms window for a stable reading; retries reuse 250 ms
+    // (VERDICT r13 #4: the old 20 × 1000 ms all-core spins were up to
+    // 20 s of self-inflicted full-core load).
     var gateAttempts = 0
     var lastLoad = loadavg
-    var lastSteal = stealPct(1000)
-    while ((lastLoad >= maxLoad || lastSteal >= maxSteal) &&
+    var probed = false
+    def probeSteal(): Double = {
+      val ms = if (probed) 250L else 1000L
+      probed = true
+      stealPct(ms)
+    }
+    var lastSteal = if (lastLoad < maxLoad) probeSteal() else -1.0
+    while ((lastLoad >= maxLoad || lastSteal < 0 || lastSteal >= maxSteal) &&
         gateAttempts < maxGateAttempts) {
       gateAttempts += 1
+      val stealTxt = if (lastSteal < 0) "skipped (load-gated)"
+                     else f"$lastSteal%.1f%% (max $maxSteal%.1f%%)"
       System.err.println(f"[bench] loadavg $lastLoad%.2f (max $maxLoad%.1f)" +
-        f" steal $lastSteal%.1f%% (max $maxSteal%.1f%%) - waiting 30s " +
+        s" steal $stealTxt - waiting 30s " +
         s"(attempt $gateAttempts/$maxGateAttempts)")
       Thread.sleep(30000L)
       lastLoad = loadavg
-      lastSteal = stealPct(1000)
+      lastSteal = if (lastLoad < maxLoad) probeSteal() else -1.0
     }
-    val gateExhausted = lastLoad >= maxLoad || lastSteal >= maxSteal
+    val gateExhausted = lastLoad >= maxLoad || lastSteal < 0 ||
+      lastSteal >= maxSteal
     if (gateExhausted)
       System.err.println(s"[bench] load gate exhausted after " +
         s"$gateAttempts attempts - proceeding on a hot host; read the " +
         "emitted control/steal/loadavg before judging per-query times")
+    // a hot host also sheds one requested round up front (r13 #1b): fewer
+    // samples from a window whose times need control-normalization anyway
+    // beats a driver kill that leaves none
+    val runsTarget =
+      if (gateExhausted) math.max(1, math.min(runsRequested, 2))
+      else runsRequested
     val loadGateJson =
       s"""{"max_load":$maxLoad,"max_steal":$maxSteal,""" +
         s""""attempts":$gateAttempts,"steal":$lastSteal,""" +
@@ -176,7 +235,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN (VERDICT r13 #1c): the driver records only a ~2,000
+    // byte tail of this process's combined output, and r13's tail was
+    // 100% repeated Spark WARN lines (WindowExec/CacheManager/
+    // localCheckpoint — all adjudicated benign in r13's verdict) that
+    // pushed every useful byte out. The compact JSON lines MUST be the
+    // last thing in that tail; diagnostics live in the archive file.
+    spark.sparkContext.setLogLevel("ERROR")
 
     def execute(name: String): Double = {
       val t0 = System.nanoTime()
@@ -202,52 +267,32 @@ object Bench {
     // ns17's one-time index build). A failed warmup is NOT silent: the name
     // is carried into the emitted JSON (`warmup_failed`) so a timed run
     // that accidentally absorbs one-time setup work is visible to readers.
+    // Per-query warmup times are KEPT: if the budget (or a driver kill)
+    // leaves zero completed timed rounds, the flushed line reports them
+    // under stat:"warmup" — degraded evidence beats r13's parsed:null.
+    val warmupT0 = elapsedSec
+    val warmupTimes = collection.mutable.Map.empty[String, Double]
     val warmupFailed = names.filter { n =>
-      try { execute(n); false }
+      try { warmupTimes(n) = execute(n); false }
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
         true
       }
     }
+    var lastPassSec = elapsedSec - warmupT0
     // 1-min system load sampled before and after the timed block (the def
     // is hoisted above for the pre-session gate; -1 where the platform
     // doesn't report one). Note loadStart lands AFTER our own warmup pass,
     // so it includes self-load — the pre-warmup gate reading is the one
-    // that reflects the host. `stealRun` below is the cumulative
-    // hypervisor-steal share across the timed block itself (our load
+    // that reflects the host. `steal_run` is the cumulative
+    // hypervisor-steal share across the timed block so far (our load
     // makes steal visible), the definitive answer to "was this window
     // hot" that loadavg cannot give.
-    def stealRaw(): Option[(Long, Long)] =
-      try {
-        val src = scala.io.Source.fromFile("/proc/stat")
-        val f = try src.getLines().next().trim.split("\\s+").drop(1)
-          .map(_.toLong) finally src.close()
-        Some((f.lift(7).getOrElse(0L), f.sum))
-      } catch { case _: Throwable => None }
-    val stealT0 = stealRaw()
+    val stealT0 = readStealCounters()
     val loadStart = loadavg
-    // interleaved rounds: every query once per round, order reversed on
-    // alternate rounds so no query always runs right after JVM GC settles
-    // or always last into a cooling cache
+
     val times = collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    (0 until runs).foreach { r =>
-      val order = if (r % 2 == 0) names else names.reverse
-      order.foreach { n =>
-        val t = try execute(n) catch { case _: Throwable => Double.NaN }
-        times(n) = times(n) :+ t
-      }
-    }
-    val loadEnd = loadavg
-    val stealRunJson = (for ((s0, t0) <- stealT0; (s1, t1) <- stealRaw()
-        if t1 > t0)
-      yield (math.round(1000.0 * (s1 - s0) / (t1 - t0)) / 10.0).toString)
-      .getOrElse("null")
-    val results = names.map { n =>
-      val ts = times(n).sorted
-      if (ts.exists(_.isNaN)) n -> (-1.0, -1.0)
-      else n -> (ts(ts.length / 2), ts.head)
-    }
 
     // times rounded to 3 decimals (ms precision): full-precision doubles
     // made the line ~6 KB for 90 queries, and the driver's tail capture
@@ -267,162 +312,226 @@ object Bench {
     // id prefix before the first '_' ("k1", "ns71") — unique across the
     // suite (guarded at use sites; a collision falls back to the full name)
     def idOf(n: String) = n.takeWhile(_ != '_')
-    // window-variance control (see ControlAnchors): median of per-query
-    // current/anchor ratios over the frozen control set. Only meaningful at
-    // the anchors' SF (sf0.1) with enough control queries present — emits
-    // JSON null otherwise (subset runs, other SFs) rather than a bogus 1.0.
-    val controlRatio: Option[Double] = {
-      val ratios = ControlAnchors.toSeq.flatMap { case (n, anchor) =>
-        results.collectFirst { case (`n`, (med, _)) if med > 0 => med / anchor }
-      }.sorted
-      // exact-basename match: the anchors are pinned at sf0.1, and a
-      // substring test would also accept sf0.125 or a parent dir named
-      // *sf0.1*, silently normalizing a run at the wrong scale
-      if (new java.io.File(sfDir).getName != "sf0.1" || ratios.size < 5) None
-      else Some(math.round(ratios(ratios.size / 2) * 1000) / 1000.0)
-    }
-    val controlJson = controlRatio.map(_.toString).getOrElse("null")
-    // Gating-cell ratios (VERDICT r12 #2): every query's median divided by
-    // its BaselineCells cell, so the 2x gate is mechanical suite-wide.
-    // Cells are sf0.1 quiet-equivalent medians — at any other SF the
-    // ratios would be nonsense, so (like `control`) they emit only at
-    // sf0.1. `ratio` = sum(medians)/sum(cells) over celled queries (the
-    // aggregate the judge reads first; `ratio_norm` divides it by
-    // `control`); `over_2x` = celled queries whose CONTROL-NORMALIZED
-    // ratio exceeds 2.0 — normalized because the 2x gate exists to catch
-    // CODE regressions, and this host's windows swing 1.0-2.5x on
-    // hypervisor contention the load gate can only partially dodge (raw
-    // per-query ratios stay in the archive for transparency); `no_cell` =
-    // queries not yet promoted into the table (a NEW query's visibility
-    // until the next cell run).
-    val atCellSf = new java.io.File(sfDir).getName == "sf0.1"
-    val cells = BaselineCells.cells
-    val ratios: Seq[(String, Double)] =
-      if (!atCellSf) Nil
-      else results.collect {
-        case (k, (med, _)) if med > 0 && cells.contains(k) =>
-          k -> math.round(med / cells(k) * 1000) / 1000.0
+
+    /** Archive the full-precision JSON and print the compact line for the
+      * state after `completed` timed rounds. Called after warmup
+      * (completed=0, medians fall back to warmup times under
+      * stat:"warmup") and after EVERY completed timed round, so a kill at
+      * any point leaves the previous flush as parseable evidence in both
+      * the driver tail and target/bench_latest.json (VERDICT r13 #1c). */
+    def flush(completed: Int, runsPlanned: Int, budgetStop: Boolean,
+              isFinal: Boolean): Unit = {
+      val stat = if (completed >= 1) "median" else "warmup"
+      val results: Seq[(String, (Double, Double))] = names.map { n =>
+        if (completed >= 1) {
+          val ts = times(n).sorted
+          if (ts.isEmpty || ts.exists(_.isNaN)) n -> (-1.0, -1.0)
+          else n -> (ts(ts.length / 2), ts.head)
+        } else {
+          val t = warmupTimes.getOrElse(n, -1.0)
+          n -> (t, t)
+        }
       }
-    val aggRatio: Option[Double] = {
-      val covered = results.collect {
-        case (k, (med, _)) if med > 0 && cells.contains(k) => (med, cells(k))
+      val loadEnd = loadavg
+      val stealRunJson = (for ((s0, t0) <- stealT0;
+          (s1, t1) <- readStealCounters() if t1 > t0)
+        yield (math.round(1000.0 * (s1 - s0) / (t1 - t0)) / 10.0).toString)
+        .getOrElse("null")
+      // window-variance control (see ControlAnchors): median of per-query
+      // current/anchor ratios over the frozen control set. Only meaningful
+      // at the anchors' SF (sf0.1) with enough control queries present —
+      // emits JSON null otherwise (subset runs, other SFs) rather than a
+      // bogus 1.0. Exact-basename match: a substring test would also
+      // accept sf0.125, silently normalizing a run at the wrong scale.
+      val controlRatio: Option[Double] = {
+        val ratios = ControlAnchors.toSeq.flatMap { case (n, anchor) =>
+          results.collectFirst {
+            case (`n`, (med, _)) if med > 0 => med / anchor }
+        }.sorted
+        if (new java.io.File(sfDir).getName != "sf0.1" || ratios.size < 5) None
+        else Some(math.round(ratios(ratios.size / 2) * 1000) / 1000.0)
       }
-      if (!atCellSf || covered.isEmpty) None
-      else Some(math.round(
-        covered.map(_._1).sum / covered.map(_._2).sum * 1000) / 1000.0)
-    }
-    val normDiv = controlRatio.getOrElse(1.0)
-    val over2x = ratios.filter(_._2 / normDiv > 2.0).map(_._1).sorted
-    val noCell =
-      if (!atCellSf) Nil
-      else results.collect {
-        case (k, (med, _)) if med >= 0 && !cells.contains(k) => k
+      val controlJson = controlRatio.map(_.toString).getOrElse("null")
+      // Gating-cell ratios (VERDICT r12 #2): every query's median divided
+      // by its BaselineCells cell, so the 2x gate is mechanical
+      // suite-wide. Cells are sf0.1 quiet-equivalent medians — at any
+      // other SF the ratios would be nonsense, so (like `control`) they
+      // emit only at sf0.1. `ratio` = sum(medians)/sum(cells) over celled
+      // queries (the aggregate the judge reads first; `ratio_norm`
+      // divides it by `control`); `over_2x` = celled queries whose
+      // CONTROL-NORMALIZED ratio exceeds 2.0 — normalized because the 2x
+      // gate exists to catch CODE regressions, and this host's windows
+      // swing 1.0-2.5x on hypervisor contention the load gate can only
+      // partially dodge (raw per-query ratios stay in the archive for
+      // transparency); `no_cell` = queries not yet promoted into the
+      // table (a NEW query's visibility until the next cell run).
+      val atCellSf = new java.io.File(sfDir).getName == "sf0.1"
+      val cells = BaselineCells.cells
+      val ratios: Seq[(String, Double)] =
+        if (!atCellSf) Nil
+        else results.collect {
+          case (k, (med, _)) if med > 0 && cells.contains(k) =>
+            k -> math.round(med / cells(k) * 1000) / 1000.0
+        }
+      val aggRatio: Option[Double] = {
+        val covered = results.collect {
+          case (k, (med, _)) if med > 0 && cells.contains(k) =>
+            (med, cells(k))
+        }
+        if (!atCellSf || covered.isEmpty) None
+        else Some(math.round(
+          covered.map(_._1).sum / covered.map(_._2).sum * 1000) / 1000.0)
       }
-    val ratioJson = aggRatio.map(_.toString).getOrElse("null")
-    val ratioNormJson = aggRatio
-      .map(r => (math.round(r / normDiv * 1000) / 1000.0).toString)
-      .getOrElse("null")
-    // compact/degraded lines cap the list at 20 names so a pathologically
-    // hot run can't blow the 1,900 B tail budget; the archive JSON always
-    // carries the full list (and all per-query ratios)
-    val over2xJson = {
-      val shown = over2x.take(20).map(n => s""""$n"""")
-      val tail = if (over2x.size > 20)
-        Seq(s""""+${over2x.size - 20} more"""") else Nil
-      (shown ++ tail).mkString("[", ",", "]")
-    }
-    val over2xFullJson = over2x.map(n => s""""$n"""").mkString("[", ",", "]")
-    val ratiosJson = ratios
-      .map { case (k, r) => s""""$k":$r""" }.mkString("{", ",", "}")
-    val noCellJson = noCell.map(n => s""""$n"""").mkString("[", ",", "]")
-    // per-family subtotals over the NON-baseline queries (the baseline 27
-    // stay individually visible); unregistered ids land in "other" so a
-    // forgotten Families entry is visible in the line, not silently dropped
-    def familiesJson(fmt: Double => String): String = {
-      val famTotals = results
-        .filterNot { case (k, _) => BaselineSet(idOf(k)) }
-        .groupBy { case (k, _) => Families.getOrElse(idOf(k), "other") }
-        .map { case (fam, rs) => fam -> rs.map(_._2._1).filter(_ >= 0).sum }
-      famTotals.toSeq.sortBy(_._1)
-        .map { case (f, s) => s""""$f":${fmt(s)}""" }.mkString("{", ",", "}")
-    }
-    // timed-run failures must stay visible now that non-baseline queries
-    // only appear in family subtotals (where the -1 marker is filtered
-    // out): name them explicitly in BOTH JSONs
-    val timedFailed = results.collect { case (k, (med, _)) if med < 0 => k }
-    val tfJson = timedFailed.map(n => s""""$n"""").mkString("[", ",", "]")
-    // totals and failure lists are shared by the archive, compact, and
-    // overflow lines — ONE definition so the three can never disagree
-    val total = results.map(_._2._1).filter(_ >= 0).sum
-    val totalMin = results.map(_._2._2).filter(_ >= 0).sum
-    val wf = warmupFailed.map(n => s""""$n"""").mkString("[", ",", "]")
-    def buildJson(fmt: Double => String): String = {
-      val qs = results.map { case (k, (med, _)) => s""""$k":${fmt(med)}""" }
-        .mkString("{", ",", "}")
-      val qsMin = results.map { case (k, (_, mn)) => s""""$k":${fmt(mn)}""" }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"queries_min":$qsMin,"families":${familiesJson(fmt)},"control":$controlJson,"ratio":$ratioJson,"ratio_norm":$ratioNormJson,"ratios":$ratiosJson,"over_2x":$over2xFullJson,"no_cell":$noCellJson,"timed_failed":$tfJson,"warmup_failed":$wf,"runs":$runs,"load_gate":$loadGateJson,"steal_run":$stealRunJson,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
-    }
-    // The COMPACT stdout line must fit the driver's ~1,900-byte tail
-    // capture — BENCH_r06–r08 came back `parsed: null` because 94 full
-    // query names overflow it, and by r10 even short-keyed per-query times
-    // for 158 queries left headroom for only ~13 more. The r10 verdict's
-    // fix, implemented here: the compact line carries (a) individual
-    // medians for the 27 BASELINE.md-recorded queries — the judge's 2×
-    // gate reads those cells — under short keys ("ns121"->"121", "k14"
-    // stays), (b) family subtotals for everything else, (c) the
-    // window-variance `control` ratio, and (d) `n`, the suite size. Full
-    // per-query detail is ALWAYS in target/bench_latest.json ("detail"
-    // names it). Line size is now O(baseline set + families) ≈ 850 B —
-    // suite growth no longer threatens the tail budget.
-    def buildCompact(fmt: Double => String): String = {
-      def shortOf(n: String) = {
-        val p = idOf(n)
-        if (p.startsWith("ns")) p.drop(2) else p
+      val normDiv = controlRatio.getOrElse(1.0)
+      val over2x = ratios.filter(_._2 / normDiv > 2.0).map(_._1).sorted
+      val noCell =
+        if (!atCellSf) Nil
+        else results.collect {
+          case (k, (med, _)) if med >= 0 && !cells.contains(k) => k
+        }
+      val ratioJson = aggRatio.map(_.toString).getOrElse("null")
+      val ratioNormJson = aggRatio
+        .map(r => (math.round(r / normDiv * 1000) / 1000.0).toString)
+        .getOrElse("null")
+      // compact/degraded lines cap the list at 20 names so a
+      // pathologically hot run can't blow the 1,900 B tail budget; the
+      // archive JSON always carries the full list (and all ratios)
+      val over2xJson = {
+        val shown = over2x.take(20).map(n => s""""$n"""")
+        val tail = if (over2x.size > 20)
+          Seq(s""""+${over2x.size - 20} more"""") else Nil
+        (shown ++ tail).mkString("[", ",", "]")
       }
-      val baseline = results.filter { case (k, _) => BaselineSet(idOf(k)) }
-      val shortIds = baseline.map(_._1).map(n => n -> shortOf(n))
-      val collided = shortIds.groupBy(_._2).filter(_._2.size > 1)
-        .values.flatten.map(_._1).toSet
-      val qs = baseline.map { case (k, (med, _)) =>
-        val id = if (collided(k)) k else shortOf(k)
-        s""""$id":${fmt(med)}"""
-      }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"stat":"median","n":${results.size},"queries":$qs,"families":${familiesJson(fmt)},"control":$controlJson,"ratio":$ratioJson,"ratio_norm":$ratioNormJson,"over_2x":$over2xJson,"no_cell":${noCell.size},"timed_failed":$tfJson,"detail":"target/bench_latest.json","warmup_failed":$wf,"runs":$runs,"load_gate":$loadGateJson,"steal_run":$stealRunJson,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
+      val over2xFullJson =
+        over2x.map(n => s""""$n"""").mkString("[", ",", "]")
+      val ratiosJson = ratios
+        .map { case (k, r) => s""""$k":$r""" }.mkString("{", ",", "}")
+      val noCellJson = noCell.map(n => s""""$n"""").mkString("[", ",", "]")
+      // per-family subtotals over the NON-baseline queries (the baseline
+      // 27 stay individually visible); unregistered ids land in "other"
+      // so a forgotten Families entry is visible in the line, not dropped
+      def familiesJson(fmt: Double => String): String = {
+        val famTotals = results
+          .filterNot { case (k, _) => BaselineSet(idOf(k)) }
+          .groupBy { case (k, _) => Families.getOrElse(idOf(k), "other") }
+          .map { case (fam, rs) => fam -> rs.map(_._2._1).filter(_ >= 0).sum }
+        famTotals.toSeq.sortBy(_._1)
+          .map { case (f, s) => s""""$f":${fmt(s)}""" }.mkString("{", ",", "}")
+      }
+      // timed-run failures must stay visible now that non-baseline
+      // queries only appear in family subtotals (where the -1 marker is
+      // filtered out): name them explicitly in BOTH JSONs
+      val timedFailed = results.collect { case (k, (med, _)) if med < 0 => k }
+      val tfJson = timedFailed.map(n => s""""$n"""").mkString("[", ",", "]")
+      val total = results.map(_._2._1).filter(_ >= 0).sum
+      val totalMin = results.map(_._2._2).filter(_ >= 0).sum
+      val wf = warmupFailed.map(n => s""""$n"""").mkString("[", ",", "]")
+      // run-shape record: planned vs completed rounds, budget, and
+      // whether the budget (not the plan) ended the run
+      val shapeJson = s""""runs":$runsPlanned,"runs_completed":$completed,""" +
+        s""""budget_sec":$budgetSec,"budget_stop":$budgetStop,""" +
+        s""""elapsed_sec":${r2(elapsedSec)},"final":$isFinal"""
+      def buildJson(fmt: Double => String): String = {
+        val qs = results.map { case (k, (med, _)) => s""""$k":${fmt(med)}""" }
+          .mkString("{", ",", "}")
+        val qsMin = results.map { case (k, (_, mn)) => s""""$k":${fmt(mn)}""" }
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"stat":"$stat","queries":$qs,"queries_min":$qsMin,"families":${familiesJson(fmt)},"control":$controlJson,"ratio":$ratioJson,"ratio_norm":$ratioNormJson,"ratios":$ratiosJson,"over_2x":$over2xFullJson,"no_cell":$noCellJson,"timed_failed":$tfJson,"warmup_failed":$wf,$shapeJson,"load_gate":$loadGateJson,"steal_run":$stealRunJson,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
+      }
+      // self-archive FIRST (full precision): the driver captures only a
+      // log TAIL, and round 5's record lost k1–k14/ns10–ns12 to
+      // truncation — the full JSON also lands in a stable file so the
+      // per-query numbers survive any log capture. Best-effort: archival
+      // failure must not fail the bench. A SPARK_GRAFT_BENCH_ONLY-
+      // filtered run archives under a keyed name so local iteration (or
+      // a judge's subset reproduction) never clobbers the full record.
+      try {
+        val name = if (only.isEmpty) "bench_latest.json"
+                   else "bench_latest.only.json"
+        val out = java.nio.file.Paths.get("target", name)
+        java.nio.file.Files.createDirectories(out.getParent)
+        java.nio.file.Files.write(out,
+          (buildJson(_.toString) + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] archival failed: ${e.getMessage}")
+      }
+      // The COMPACT stdout line must fit the driver's ~1,900-byte tail
+      // capture — BENCH_r06–r08 came back `parsed: null` because 94 full
+      // query names overflow it. The compact line carries (a) individual
+      // medians for the 27 BASELINE.md-recorded queries under short keys
+      // ("ns121"->"121", "k14" stays), (b) family subtotals for
+      // everything else, (c) the window-variance `control` ratio and
+      // cell-gate aggregates, and (d) `n`, the suite size. Full
+      // per-query detail is ALWAYS in target/bench_latest.json ("detail"
+      // names it). Line size is O(baseline set + families) ≈ 900 B.
+      def buildCompact(fmt: Double => String): String = {
+        def shortOf(n: String) = {
+          val p = idOf(n)
+          if (p.startsWith("ns")) p.drop(2) else p
+        }
+        val baseline = results.filter { case (k, _) => BaselineSet(idOf(k)) }
+        val shortIds = baseline.map(_._1).map(n => n -> shortOf(n))
+        val collided = shortIds.groupBy(_._2).filter(_._2.size > 1)
+          .values.flatten.map(_._1).toSet
+        val qs = baseline.map { case (k, (med, _)) =>
+          val id = if (collided(k)) k else shortOf(k)
+          s""""$id":${fmt(med)}"""
+        }.mkString("{", ",", "}")
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"stat":"$stat","n":${results.size},"queries":$qs,"families":${familiesJson(fmt)},"control":$controlJson,"ratio":$ratioJson,"ratio_norm":$ratioNormJson,"over_2x":$over2xJson,"no_cell":${noCell.size},"timed_failed":$tfJson,"detail":"target/bench_latest.json","warmup_failed":$wf,$shapeJson,"load_gate":$loadGateJson,"steal_run":$stealRunJson,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
+      }
+      // one compact line per flush; the driver's tail holds the last one
+      // or two, and the LAST complete line is the record. Length gate: if
+      // the suite regrows past the tail window, fail LOUDLY to stderr and
+      // degrade to a totals-only line that is still valid JSON (never
+      // print a line that will be truncated mid-object again).
+      val compact = buildCompact(r2)
+      if (compact.length <= 1900) println(compact)
+      else {
+        System.err.println(s"[bench] compact line ${compact.length} B " +
+          "exceeds the 1,900 B budget - emitting totals-only; shrink keys")
+        // the degraded line still carries control AND timed_failed: a
+        // total silently missing a failed query's time is exactly the
+        // under-report the timed_failed invariant exists to prevent
+        println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_min":${r3(totalMin)},"stat":"$stat","queries":"overflow: see target/bench_latest.json","control":$controlJson,"ratio":$ratioJson,"ratio_norm":$ratioNormJson,"over_2x":$over2xJson,"timed_failed":$tfJson,"warmup_failed":$wf,$shapeJson,"load_gate":$loadGateJson,"steal_run":$stealRunJson,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}""")
+      }
+      System.out.flush()
     }
-    // self-archive FIRST (full precision): the driver captures only a log
-    // TAIL, and round 5's record lost k1–k14/ns10–ns12 to truncation — the
-    // full JSON also lands in a stable file so the per-query numbers
-    // survive any log capture. Best-effort: archival failure must not fail
-    // the bench. A SPARK_GRAFT_BENCH_ONLY-filtered run archives under a
-    // keyed name so local iteration (or a judge's subset reproduction)
-    // never clobbers the full-suite record.
-    try {
-      val name = if (only.isEmpty) "bench_latest.json"
-                 else "bench_latest.only.json"
-      val out = java.nio.file.Paths.get("target", name)
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out,
-        (buildJson(_.toString) + "\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] archival failed: ${e.getMessage}")
+
+    // post-warmup flush: if everything after this is killed or shed, the
+    // record still carries one full pass of per-query times (stat:"warmup")
+    flush(0, runsTarget, budgetStop = false, isFinal = false)
+
+    // interleaved rounds: every query once per round, order reversed on
+    // alternate rounds so no query always runs right after JVM GC settles
+    // or always last into a cooling cache. Before each round, project its
+    // cost from the previous pass (timed rounds run ~10% faster than the
+    // warmup they JIT behind, so the projection is conservative) and stop
+    // if it would bust the budget — a complete (runs_completed < runs)
+    // record beats a driver kill mid-round.
+    var completed = 0
+    var budgetStop = false
+    while (completed < runsTarget && !budgetStop) {
+      if (elapsedSec + lastPassSec * 0.9 > budgetSec) {
+        budgetStop = true
+        System.err.println(f"[bench] budget stop: ${elapsedSec}%.0f s " +
+          f"elapsed + ~${lastPassSec * 0.9}%.0f s projected round > " +
+          f"$budgetSec%.0f s budget (completed $completed/$runsTarget)")
+      } else {
+        val passT0 = elapsedSec
+        val order = if (completed % 2 == 0) names else names.reverse
+        order.foreach { n =>
+          val t = try execute(n) catch { case _: Throwable => Double.NaN }
+          times(n) = times(n) :+ t
+        }
+        lastPassSec = elapsedSec - passT0
+        completed += 1
+        flush(completed, runsTarget, budgetStop = false,
+          isFinal = completed == runsTarget)
+      }
     }
-    // the compact line goes LAST so the driver's tail capture always holds
-    // the complete JSON — nothing may print to stdout after this. Length
-    // gate: if the suite regrows past the tail window, fail LOUDLY to
-    // stderr and degrade to a totals-only line that is still valid JSON
-    // (never print a line that will be truncated mid-object again).
-    val compact = buildCompact(r2)
-    if (compact.length <= 1900) println(compact)
-    else {
-      System.err.println(s"[bench] compact line ${compact.length} B exceeds " +
-        "the 1,900 B budget - emitting totals-only; shrink the keys")
-      // the degraded line still carries control AND timed_failed: a total
-      // silently missing a failed query's time is exactly the
-      // under-report the timed_failed invariant exists to prevent
-      println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_min":${r3(totalMin)},"stat":"median","queries":"overflow: see target/bench_latest.json","control":$controlJson,"ratio":$ratioJson,"ratio_norm":$ratioNormJson,"over_2x":$over2xJson,"timed_failed":$tfJson,"warmup_failed":$wf,"runs":$runs,"load_gate":$loadGateJson,"steal_run":$stealRunJson,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}""")
-    }
+    if (budgetStop) flush(completed, runsTarget, budgetStop = true,
+      isFinal = true)
     spark.stop()
   }
 }

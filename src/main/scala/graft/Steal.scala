@@ -142,9 +142,15 @@ object Steal {
     import graft.sinks.{JdbcSink, JdbcSinkConfig, SqlTextSink}
 
     val catalog = Drivers.listTables(spark, fromDsn)
+    // catalog name derived from the DSN (ADVICE r13 #4): a second runDsn
+    // in the same session against a different source registers its own
+    // catalog instead of silently repointing "graft_src"; readOpts ride
+    // into the catalog conf so GRAFT_READ_TIMEOUT/fetch-size governance
+    // holds on the DSv2 leg too (ADVICE r13 #2)
     val subsetLoad: String => DataFrame =
       if (pushdownScan && Drivers.resolve(fromDsn).isInstanceOf[Resolved.Jdbc])
-        Drivers.catalogLoader(spark, "graft_src", fromDsn)
+        Drivers.catalogLoader(
+          spark, Drivers.catalogNameFor(fromDsn), fromDsn, readOpts)
       else Drivers.read(spark, fromDsn, _, readOpts)
     val planner = new SubsetPlanner(subsetLoad, tables, knownTables = catalog)
     val byName = tables.map(t => t.name -> t).toMap

@@ -442,12 +442,22 @@ object Ddl {
     * instead of degrading to the Spark-schema analog, and emits no
     * degradation note — the pg_dump-fidelity upgrade for the one class
     * the typed scrape could not previously carry. */
+  /** `verbatimUnmodeled` (VERDICT r13 #6, `pg_dump.go:32-59` parity): when
+    * true, a Postgres replay carries EVERY scraped native type outside the
+    * standard-SQL model verbatim — exactly what `pg_dump --schema-only`
+    * emits — instead of degrading to the Spark-schema analog with a note.
+    * Off by default because the carried type only exists at replay time
+    * if the operator installs its extension first (the whitelist/
+    * CREATE EXTENSION path does that for the known ones); with the flag
+    * the operator takes that responsibility for ALL of them. */
   def createTable(ts: TableStructure, dialect: Dialect,
-      nativeTypeWhitelist: Set[String] = Set.empty): String = {
+      nativeTypeWhitelist: Set[String] = Set.empty,
+      verbatimUnmodeled: Boolean = false): String = {
     def nativeReplay(colName: String): Option[String] =
       if (dialect != Dialect.Postgres) None
       else ts.nativeTypes.get(colName)
-        .filter(tn => nativeTypeWhitelist.contains(tn.toLowerCase))
+        .filter(tn => nativeTypeWhitelist.contains(tn.toLowerCase) ||
+          (verbatimUnmodeled && !isReplayableNativeType(tn)))
         .map(tn =>
           if (tn.matches("[a-z_][a-z0-9_]*")) tn
           else "\"" + tn.replace("\"", "\"\"") + "\"")
@@ -625,12 +635,16 @@ object Ddl {
     "citext" -> "citext", "hstore" -> "hstore", "ltree" -> "ltree",
     "cube" -> "cube", "seg" -> "seg")
 
+  /** `verbatimUnmodeled` forwards to [[createTable]] (VERDICT r13 #6):
+    * carry unknown extension types verbatim instead of degrading — the
+    * operator guarantees the owning extensions exist at replay time. */
   def structureScriptFull(
       tables: Seq[TableStructure], dialect: Dialect,
       views: Seq[ViewStructure] = Nil,
       triggers: Seq[TriggerStructure] = Nil,
       sequences: Seq[SequenceStructure] = Nil,
-      enums: Seq[EnumStructure] = Nil): String = {
+      enums: Seq[EnumStructure] = Nil,
+      verbatimUnmodeled: Boolean = false): String = {
     val sb = new StringBuilder
     sb.append(s"-- graft structure dump (${dialect.name})\n")
     dialect.preamble.foreach(s => sb.append(s).append(";\n"))
@@ -651,7 +665,8 @@ object Ddl {
     // sequences first: a table DEFAULT may call NEXT VALUE FOR / nextval
     sequences.foreach(s => sb.append(createSequence(s, dialect)).append("\n"))
     tables.foreach(t =>
-      sb.append(createTable(t, dialect, whitelist)).append("\n"))
+      sb.append(createTable(t, dialect, whitelist, verbatimUnmodeled))
+        .append("\n"))
     tables.foreach(t =>
       createComments(t, dialect).foreach(s => sb.append(s).append("\n")))
     tables.foreach(t =>

@@ -211,9 +211,18 @@ object Drivers {
     * After registration, `spark.table(s"$name.<schema>.<table>")` is the
     * pushdown-maximal way to query the source; `read` stays the Steal
     * default because its PK-partitioned parallel scan is what bulk export
-    * needs. */
+    * needs.
+    *
+    * Read governance rides along (ADVICE r13 #2): the V1 [[read]] path's
+    * `queryTimeout`/`fetchsize` (and MySQL's `useCursorFetch` injection,
+    * without which Connector/J buffers whole result sets client-side) are
+    * forwarded as `spark.sql.catalog.<name>.*` options — JDBCTableCatalog
+    * feeds them into the same JDBCOptions the V1 source uses, so
+    * GRAFT_READ_TIMEOUT/fetch-size governance holds on BOTH legs. They
+    * are set before the DSN's own params, so an explicit DSN choice wins. */
   def registerCatalog(
-      spark: SparkSession, name: String, dsnString: String): Unit =
+      spark: SparkSession, name: String, dsnString: String,
+      opts: JdbcReadOptions = JdbcReadOptions()): Unit =
     resolve(dsnString) match {
       case Resolved.Jdbc(url, props) =>
         // Derby's built-in dialect can't push limits; swap in the
@@ -222,6 +231,14 @@ object Drivers {
         spark.conf.set(s"spark.sql.catalog.$name",
           "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
         spark.conf.set(s"spark.sql.catalog.$name.url", url)
+        spark.conf.set(s"spark.sql.catalog.$name.queryTimeout",
+          opts.timeout.toString)
+        spark.conf.set(s"spark.sql.catalog.$name.fetchsize",
+          opts.fetchSize.toString)
+        // wantsCursorFetch already yields to any DSN-chosen mode (URL or
+        // props, any casing), so this can never override an explicit choice
+        if (wantsCursorFetch(url, props))
+          spark.conf.set(s"spark.sql.catalog.$name.useCursorFetch", "true")
         props.stringPropertyNames().forEach(k =>
           spark.conf.set(s"spark.sql.catalog.$name.$k", props.getProperty(k)))
         spark.conf.set(s"spark.sql.catalog.$name.pushDownLimit", "true")
@@ -246,11 +263,23 @@ object Drivers {
     * (`Filter.Limit` + `Sorts`) where the right move is to ship the whole
     * query to the source and fetch only the answer. */
   def catalogLoader(
-      spark: SparkSession, name: String,
-      dsnString: String): String => DataFrame = {
-    registerCatalog(spark, name, dsnString)
+      spark: SparkSession, name: String, dsnString: String,
+      opts: JdbcReadOptions = JdbcReadOptions()): String => DataFrame = {
+    registerCatalog(spark, name, dsnString, opts)
     val ns = defaultNamespace(dsnString)
     t => spark.table(s"`$name`.`$ns`.`$t`")
+  }
+
+  /** Session-unique DSv2 catalog name for a DSN (ADVICE r13 #4): catalog
+    * registration is session-conf mutation, so a FIXED name would let a
+    * second runDsn against a different source silently repoint the first
+    * run's catalog (and its lazily-evaluated plans). A short stable hash
+    * of the DSN makes each source its own catalog; the same DSN keeps
+    * resolving to the same name, so re-registration stays idempotent. */
+  def catalogNameFor(dsnString: String): String = {
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dsnString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    "graft_src_" + h.take(6).map(b => f"$b%02x").mkString
   }
 
   /** The namespace an UNQUALIFIED V1 read resolves in, so the DSv2 leg

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ADVICE r13 #3: tools/promote_cells.py used to carry a hand-maintained
+  * mirror of [[Bench.ControlAnchors]]; silent drift between the two would
+  * skew the --normalize anchor residual and every promoted gating cell.
+  * The mirror is gone — the tool now parses the map out of Bench.scala at
+  * runtime — and this spec pins the EXTRACTION CONTRACT from the Scala
+  * side: the same regex the tool uses must recover exactly
+  * Bench.ControlAnchors from the source text. A Bench.scala reformat that
+  * breaks the tool's parser fails here, in the suite, not at the next
+  * quiet-window promotion. (The tool defends its own side: it exits
+  * loudly if the regex stops matching or yields < 5 anchors.)
+  */
+class AnchorsSpec extends AnyFunSuite {
+
+  test("promote_cells.py's regex recovers ControlAnchors exactly from " +
+    "Bench.scala source text") {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/Bench.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // the same two-stage extraction parse_anchors() performs: locate the
+    // map literal, then pull "name" -> value pairs out of it
+    val block =
+      "(?sm)ControlAnchors: Map\\[String, Double\\] = Map\\((.*?)^\\s*\\)$"
+        .r.findFirstMatchIn(src)
+        .getOrElse(fail("ControlAnchors map literal not found — " +
+          "promote_cells.py's parser would exit too")).group(1)
+    val entry = """"([A-Za-z0-9_]+)"\s*->\s*([0-9.]+)""".r
+    val parsed = entry.findAllMatchIn(block)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    assert(parsed == Bench.ControlAnchors,
+      s"parsed $parsed\nvs code ${Bench.ControlAnchors}")
+    assert(parsed.size >= 5, "the tool requires at least 5 anchors")
+  }
+}

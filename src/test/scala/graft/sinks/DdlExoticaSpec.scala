@@ -53,6 +53,38 @@ class DdlExoticaSpec extends AnyFunSuite {
     assert(stmt.endsWith(";") && stmt.contains("\"email\" TEXT"), stmt)
   }
 
+  test("verbatimUnmodeled (VERDICT r13 #6, pg_dump.go:32-59 parity): the " +
+    "flag carries UNKNOWN extension types verbatim — no degradation, no " +
+    "note — while standard types still replay through the dialect") {
+    val ddl = Ddl.createTable(exotic, Dialect.Postgres,
+      verbatimUnmodeled = true)
+    // geometry is NOT in the CREATE EXTENSION-able whitelist — before this
+    // flag it always degraded to TEXT + note; now it rides verbatim, the
+    // operator owning CREATE EXTENSION postgis at replay time
+    assert(ddl.contains("\"location\" geometry"), ddl)
+    assert(ddl.contains("\"email\" citext"), ddl)
+    assert(ddl.contains("\"payload\" jsonb"), ddl)
+    assert(ddl.contains("\"mood\" mood_enum"), ddl)
+    assert(!ddl.contains("source native type"), ddl)
+    // standard types are untouched by the flag: int4/varchar go through
+    // the dialect's model, not the raw scrape spelling
+    assert(ddl.contains("\"id\" INTEGER"), ddl)
+    assert(ddl.contains("\"name\" TEXT"), ddl)
+    // a type name needing quoting is escaped, not an injection surface
+    val weird = exotic.copy(nativeTypes = Map("email" -> "My Type\"x"))
+    val wddl = Ddl.createTable(weird, Dialect.Postgres,
+      verbatimUnmodeled = true)
+    assert(wddl.contains("\"email\" \"My Type\"\"x\""), wddl)
+    // structureScriptFull forwards the flag
+    val script = Ddl.structureScriptFull(Seq(exotic), Dialect.Postgres,
+      verbatimUnmodeled = true)
+    assert(script.contains("\"location\" geometry"), script)
+    // default (flag off) keeps the r10-pinned degradation contract
+    val off = Ddl.structureScriptFull(Seq(exotic), Dialect.Postgres)
+    assert(off.contains("source native type 'geometry' replayed as TEXT"),
+      off)
+  }
+
   test("standard types — including length args, case, and pg array " +
     "spellings — replay silently (arrays of standard elements ARE modeled)") {
     val std = exotic.copy(nativeTypes = Map(

@@ -257,6 +257,64 @@ class JdbcPlanSpec extends AnyFunSuite {
       v1.collect().map(_.toSeq).toSeq)
   }
 
+  test("DSv2 STEAL path with sorts but NO limit (VERDICT r13 #5): " +
+    "PushedTopN is rightly absent, and the V2 plan stays value-identical " +
+    "to the V1 path under the same config") {
+    fixture
+    val loader = Drivers.catalogLoader(spark, "graft_src_nolimit", url)
+    val cfg = Seq(TableConfig("ACCOUNTS", filter = Filter(
+      matchExpr = "ACTIVE = 1", sorts = Seq("BALANCE" -> "desc"))))
+    val df = new SubsetPlanner(loader, cfg).plan("ACCOUNTS")
+    val p = df.queryExecution.executedPlan.toString
+    // no limit → nothing to compile into FETCH FIRST: PushedTopN/
+    // PushedLimit must NOT appear (their presence would mean Catalyst
+    // invented a limit), while the Match predicate still pushes
+    assert(!p.contains("PushedTopN") && !p.contains("PushedLimit"),
+      p.take(2000))
+    assert(p.toLowerCase.contains("pushedfilters"), p.take(2000))
+    val v1 = new SubsetPlanner(load, cfg).plan("ACCOUNTS")
+    // full ordered row-set equality — ACTIVE=1 balances are unique, so
+    // the sort is total and both legs must agree row-for-row
+    assert(df.collect().map(_.toSeq).toSeq ==
+      v1.collect().map(_.toSeq).toSeq)
+    assert(df.count() == 10L)
+  }
+
+  test("DSv2 catalog carries read governance (ADVICE r13 #2): " +
+    "queryTimeout/fetchsize land in the catalog conf and the catalog " +
+    "still serves reads; MySQL catalogs get useCursorFetch injected") {
+    fixture
+    Drivers.registerCatalog(spark, "graft_gov_spec", url,
+      JdbcReadOptions(timeout = 42, fetchSize = 7))
+    assert(spark.conf.get(
+      "spark.sql.catalog.graft_gov_spec.queryTimeout") == "42")
+    assert(spark.conf.get(
+      "spark.sql.catalog.graft_gov_spec.fetchsize") == "7")
+    // the governed catalog still answers queries (the options reach
+    // JDBCOptions without breaking the Derby leg)
+    assert(spark.table("graft_gov_spec.APP.ACCOUNTS").count() == 20L)
+    // MySQL: cursor-fetch injection (registration is conf-only, no
+    // connection is opened, so a fake host is fine)
+    Drivers.registerCatalog(
+      spark, "graft_gov_my", "jdbc:mysql://h:3306/db")
+    assert(spark.conf.get(
+      "spark.sql.catalog.graft_gov_my.useCursorFetch") == "true")
+    // an explicit DSN mode choice is never overridden
+    Drivers.registerCatalog(
+      spark, "graft_gov_my2", "jdbc:mysql://h:3306/db?useCursorFetch=false")
+    assert(spark.conf.getOption(
+      "spark.sql.catalog.graft_gov_my2.useCursorFetch").isEmpty)
+  }
+
+  test("catalogNameFor: stable per DSN, distinct across DSNs, plain " +
+    "identifier (ADVICE r13 #4 — a second runDsn must not repoint the " +
+    "first run's catalog)") {
+    val a = Drivers.catalogNameFor("jdbc:derby:memory:one")
+    assert(a == Drivers.catalogNameFor("jdbc:derby:memory:one"))
+    assert(a != Drivers.catalogNameFor("jdbc:derby:memory:two"))
+    assert(a.matches("graft_src_[0-9a-f]{12}"))
+  }
+
   test("catalog listing query itself is pushed as a source-side query " +
     "(no client-side view filtering)") {
     // listTables for mysql/postgres ships a information_schema QUERY to the
