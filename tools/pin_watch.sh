@@ -1,0 +1,35 @@
+#!/bin/bash
+# Quiet-window cell-pin watcher (BASELINE.md:1290 standing task).
+# Repeatedly runs the full 5-round bench behind its own quiet-window gate;
+# stops when a run comes back with full-suite control <= 1.10 (direct-pin
+# grade) or after MAX_ATTEMPTS completed-but-hot runs. Each completed
+# archive is preserved as target/bench_r14_attempt_<n>.json so per-query
+# MIN evidence across windows accumulates even if no attempt is quiet.
+cd /root/repo || exit 1
+MAX_ATTEMPTS=${MAX_ATTEMPTS:-4}
+for i in $(seq 1 "$MAX_ATTEMPTS"); do
+  echo "[pin_watch] attempt $i/$MAX_ATTEMPTS $(date -u +%H:%M:%S)"
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_RUNS=5 \
+    SPARK_GRAFT_BENCH_BUDGET_SEC=10000 SPARK_GRAFT_BENCH_LOAD_ATTEMPTS=999 \
+    SPARK_GRAFT_BENCH_MAX_LOAD=0.8 SPARK_GRAFT_BENCH_MAX_STEAL=4.0 \
+    java -Xmx8g -cp 'target/bench_classes:/opt/spark/jars/*' graft.Bench \
+    > "target/bench_pin_attempt_$i.out" 2> "target/bench_pin_attempt_$i.err"
+  rc=$?
+  cp target/bench_latest.json "target/bench_r14_attempt_$i.json" 2>/dev/null
+  ctrl=$(python3 -c "
+import json,sys
+try:
+  d=json.load(open('target/bench_r14_attempt_$i.json'))
+  print(d['control'] if d.get('runs_completed',0)>=5 and d['control'] else 99)
+except Exception: print(99)")
+  echo "[pin_watch] attempt $i rc=$rc control=$ctrl"
+  ok=$(python3 -c "print(1 if float('$ctrl')<=1.10 else 0)")
+  if [ "$ok" = "1" ]; then
+    echo "[pin_watch] QUIET RUN CAPTURED (control=$ctrl) - promote with:"
+    echo "  python3 tools/promote_cells.py target/bench_r14_attempt_$i.json"
+    exit 0
+  fi
+  sleep 300
+done
+echo "[pin_watch] no quiet window in $MAX_ATTEMPTS attempts"
+exit 2
