@@ -458,9 +458,21 @@ object Ddl {
       else ts.nativeTypes.get(colName)
         .filter(tn => nativeTypeWhitelist.contains(tn.toLowerCase) ||
           (verbatimUnmodeled && !isReplayableNativeType(tn)))
-        .map(tn =>
-          if (tn.matches("[a-z_][a-z0-9_]*")) tn
-          else "\"" + tn.replace("\"", "\"\"") + "\"")
+        .map { tn =>
+          // a TYPE EXPRESSION is not always a bare identifier: pg_dump
+          // emits `geometry(Point,4326)`, `timestamp(3) with time zone`,
+          // `numeric(10,2)[]` bare — quoting those would turn a
+          // parameterized type into a (nonexistent) quoted identifier.
+          // Pass through anything matching the safe type-expression
+          // grammar (word, optional (args), optional word suffixes,
+          // optional []); quote-and-escape everything else (a genuinely
+          // weird type NAME like `My Type` must quote, and a string with
+          // quote chars must never be emitted raw).
+          val safeTypeExpr = tn.matches(
+            """[A-Za-z_][A-Za-z0-9_]*(\s*\([0-9A-Za-z_,\s]*\))?(\s+[A-Za-z_][A-Za-z0-9_]*)*(\[\])?""")
+          if (safeTypeExpr) tn
+          else "\"" + tn.replace("\"", "\"\"") + "\""
+        }
     val cols = ts.schema.fields.map { f =>
       val identity = ts.autoIncrement.contains(f.name)
       val genExpr = ts.generated.get(f.name)

@@ -70,6 +70,18 @@ class DdlExoticaSpec extends AnyFunSuite {
     // the dialect's model, not the raw scrape spelling
     assert(ddl.contains("\"id\" INTEGER"), ddl)
     assert(ddl.contains("\"name\" TEXT"), ddl)
+    // parameterized / multi-word type EXPRESSIONS ride bare, the way
+    // pg_dump emits them — quoting would turn them into (nonexistent)
+    // quoted identifiers
+    val parame = exotic.copy(nativeTypes = Map(
+      "location" -> "geometry(Point,4326)",
+      "payload" -> "timestamp(3) with time zone",
+      "tags" -> "int4range"))
+    val pddl = Ddl.createTable(parame, Dialect.Postgres,
+      verbatimUnmodeled = true)
+    assert(pddl.contains("\"location\" geometry(Point,4326)"), pddl)
+    assert(pddl.contains("\"payload\" timestamp(3) with time zone"), pddl)
+    assert(pddl.contains("\"tags\" int4range"), pddl)
     // a type name needing quoting is escaped, not an injection surface
     val weird = exotic.copy(nativeTypes = Map("email" -> "My Type\"x"))
     val wddl = Ddl.createTable(weird, Dialect.Postgres,
