@@ -105,6 +105,16 @@ object Bench {
     "ns49_histogram" -> 0.208
   )
 
+  /** LOWER-middle median over a SORTED sample vector: identical to the
+    * classic index for odd counts (3→[1], 5→[2]); for the even counts a
+    * budget-shed run leaves (2, 4), the lower middle — contention only
+    * ever ADDS time, so under asymmetric noise the lower sample is the
+    * better point estimate (upper-middle turned a 2-sample median into
+    * max-of-2, overstating every query on exactly the hot runs that get
+    * shed). Pinned by BenchStatSpec. */
+  private[graft] def lowerMedian(sorted: Vector[Double]): Double =
+    sorted((sorted.length - 1) / 2)
+
   private def readStealCounters(): Option[(Long, Long)] =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
@@ -326,15 +336,7 @@ object Bench {
         if (completed >= 1) {
           val ts = times(n).sorted
           if (ts.isEmpty || ts.exists(_.isNaN)) n -> (-1.0, -1.0)
-          // LOWER-middle median: identical to the classic index for the
-          // odd sample counts every full run produces (3→[1], 5→[2]);
-          // for the even counts a budget-shed run leaves (2, 4), take
-          // the lower middle — contention only ever ADDS time, so under
-          // asymmetric noise the lower sample is the better estimate
-          // (the upper-middle choice biased a 2-sample "median" to
-          // max-of-2, overstating every query on exactly the hot runs
-          // that get shed)
-          else n -> (ts((ts.length - 1) / 2), ts.head)
+          else n -> (lowerMedian(ts), ts.head)
         } else {
           val t = warmupTimes.getOrElse(n, -1.0)
           n -> (t, t)

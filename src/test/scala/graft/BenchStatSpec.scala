@@ -1,0 +1,24 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[Bench.lowerMedian]] — the per-query point estimate the driver's
+  * 2× gate reads. Odd counts (the 3- and 5-round standard paths) must
+  * keep the classic middle; even counts (budget-shed runs) must take the
+  * LOWER middle, because contention noise is strictly additive: the
+  * upper-middle index would turn a 2-sample median into max-of-2 and
+  * overstate every query on exactly the hot runs that get shed.
+  */
+class BenchStatSpec extends AnyFunSuite {
+
+  test("odd sample counts keep the classic middle") {
+    assert(Bench.lowerMedian(Vector(4.0)) == 4.0)
+    assert(Bench.lowerMedian(Vector(1.0, 2.0, 9.0)) == 2.0)
+    assert(Bench.lowerMedian(Vector(1.0, 2.0, 3.0, 4.0, 9.0)) == 3.0)
+  }
+
+  test("even sample counts take the LOWER middle (asymmetric-noise bias)") {
+    assert(Bench.lowerMedian(Vector(1.0, 9.0)) == 1.0)
+    assert(Bench.lowerMedian(Vector(1.0, 2.0, 3.0, 9.0)) == 2.0)
+  }
+}
