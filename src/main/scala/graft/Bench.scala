@@ -3,14 +3,31 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR, prints ONE JSON line per completed round — the
-  * LAST line printed is always the most complete record.
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line per flush — the LAST line
+  * printed is always the most complete record.
   *
-  * Methodology (BASELINE.md): per-query median of `runs` warm rounds after
-  * one untimed warmup (the first Spark action pays ~10 s of JVM/codegen
-  * warmup). Queries are fully materialized through the `noop` sink —
+  * Methodology (BASELINE.md): COLD-FIRST timed rounds (VERDICT r14 #1).
+  * There is no separate untimed warmup pass any more: round 1 is timed
+  * and pays the JVM/codegen/footer-cache warmup; per-query medians are
+  * taken over the WARM samples only (the cold sample is dropped as soon
+  * as a second round exists), which reproduces the old
+  * warmup-then-median methodology exactly while guaranteeing that even
+  * a window hot enough to fit only ONE pass in the budget still yields
+  * a timed record (`stat:"median"`, `runs_completed >= 1`) instead of
+  * r14's `stat:"warmup", runs_completed: 0`. The cold sample still
+  * contributes to `queries_min` — it is a physically-achieved
+  * execution. Queries are fully materialized through the `noop` sink —
   * `count()` would let Catalyst prune projections (e.g. faker columns)
   * and under-report.
+  *
+  * Honest labeling below 2 rounds (VERDICT r14 #2): with fewer than two
+  * completed rounds the only samples are cold (and the r14 record
+  * proved warmup-shaped stats have no gate validity — the same tree
+  * read 0.58 and 2.202 on two warmup lines), so `ratio`/`ratio_norm`
+  * emit JSON null, `over_2x`/`ratios` emit empty, and readers must use
+  * the archive's raw times plus `runs_completed` to know what they are
+  * looking at. `control` stays (it is a window thermometer, not a code
+  * gate).
   *
   * Noise discipline (this host's same-plan spread is 3–5× under load —
   * BASELINE.md brackets): the timed repetitions are INTERLEAVED — round 1
@@ -26,20 +43,24 @@ import org.apache.spark.sql.SparkSession
   * call should first check loadavg/steal and min-vs-median spread before
   * blaming the code.
   *
-  * Crash/timeout discipline (VERDICT r13 #1 — BENCH_r13 was rc=124 with
-  * NOTHING parseable): the bench now (a) runs under a total wall-clock
+  * Crash/timeout discipline (VERDICT r13 #1, r14 #1): (a) total wall
   * budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 1200 s) measured from
-  * process start, dropping timed rounds that would not fit instead of
-  * being killed mid-suite; (b) caps the pre-run quiet-window gate at 4
-  * attempts (~2 min) instead of 20 (~10 min); (c) archives AND prints a
-  * complete, valid compact JSON line after the warmup pass and after
-  * EVERY completed timed round (`runs_completed` says how many samples
-  * back the medians; `final` marks the last line) — a kill at any point
-  * leaves the previous round's line in the driver's tail; (d) sets the
-  * Spark log level to ERROR so WARN spam cannot push that line out of
-  * the driver's ~2,000-byte tail capture (r13's tail was 100% WARN
-  * lines); (e) halves the requested rounds when the quiet-window gate
-  * exhausts (a hot host gets a faster, still-valid record).
+  * the END of the quiet-window gate (ADVICE r14 #3: the gate is host
+  * wait, not bench work — a raised SPARK_GRAFT_BENCH_LOAD_ATTEMPTS must
+  * not eat the round budget; the gate's own wall cost is reported as
+  * `gate_sec`), dropping rounds that would not fit instead of being
+  * killed mid-suite; round-2 projection applies the ~10% JIT discount
+  * to the cold pass it projects from, later rounds project from the
+  * previous WARM pass unscaled (ADVICE r14 #3); (b) the gate caps at 4
+  * attempts by default; (c) a complete, valid compact JSON line is
+  * archived AND printed after every ~40 queries of round 1
+  * (`stat:"partial"` — without a warmup flush, a kill inside round 1
+  * would otherwise leave nothing) and after EVERY completed round
+  * (`runs_completed` counts completed rounds INCLUDING the cold one;
+  * `final` marks the last line); (d) Spark log level ERROR so WARN spam
+  * cannot push that line out of the driver's ~2,000-byte tail capture;
+  * (e) a gate-exhausted (hot) host sheds the requested warm rounds to
+  * <= 2 up front.
   */
 object Bench {
 
@@ -115,6 +136,25 @@ object Bench {
   private[graft] def lowerMedian(sorted: Vector[Double]): Double =
     sorted((sorted.length - 1) / 2)
 
+  /** Per-query (median, min) from the round-ordered sample vector under
+    * the cold-first design: index 0 is the cold round-1 sample; as soon
+    * as warm samples exist the median is taken over them alone (the old
+    * untimed-warmup methodology, reproduced — e.g. cold+3 warm gives
+    * exactly the classic median of the 3 warm samples), while the min
+    * ranges over ALL valid samples. A NaN in a WARM round means the
+    * query failed in steady state → (-1, -1), the timed_failed marker;
+    * a NaN cold sample alone leaves the warm stats intact (the failure
+    * is reported via the warmup_failed list — the cold round IS the
+    * warmup-equivalent). Pinned by BenchStatSpec. */
+  private[graft] def coldFirstStats(ts: Vector[Double]): (Double, Double) = {
+    val warm = if (ts.size >= 2) ts.drop(1) else ts
+    if (warm.isEmpty || warm.exists(_.isNaN)) (-1.0, -1.0)
+    else {
+      val valid = ts.filterNot(_.isNaN)
+      (lowerMedian(warm.sorted), valid.min)
+    }
+  }
+
   private def readStealCounters(): Option[(Long, Long)] =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
@@ -159,25 +199,27 @@ object Bench {
     }.getOrElse(0.0)
 
   def main(args: Array[String]): Unit = {
-    val tStart = System.nanoTime()
-    def elapsedSec: Double = (System.nanoTime() - tStart) / 1e9
+    val tProc = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // requested WARM rounds; the cold round-1 pass is always added on top,
+    // so the default plan is 4 passes — the same wall cost as the old
+    // warmup + 3 timed rounds, with one more usable sample
     val runsRequested = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     require(runsRequested >= 1,
       "SPARK_GRAFT_BENCH_RUNS must be >= 1 (a 0-run bench would do the " +
-        "whole warmup then die indexing an empty time vector)")
+        "whole cold pass then die indexing an empty time vector)")
     // Total wall budget (VERDICT r13 #1a): the driver kills the bench at
-    // its own timeout (r13: rc 124 after gate-wait + 2.5x steal stretched
-    // the suite past it) — so the bench budgets ITSELF and drops timed
-    // rounds that will not fit, finishing cleanly with fewer samples
-    // instead of being killed with none. 1200 s default: a quiet full
-    // suite is ~12 min (r12: 747 s wall including sbt compile), so the
-    // default absorbs a ~1.6x-hot window before shedding rounds.
+    // its own timeout — so the bench budgets ITSELF and drops rounds that
+    // will not fit, finishing cleanly with fewer samples instead of being
+    // killed with none. 1200 s default: a quiet full suite is ~12 min
+    // (r12: 747 s wall including sbt compile), so the default absorbs a
+    // ~1.6x-hot window before shedding rounds. The clock starts AFTER the
+    // quiet-window gate (ADVICE r14 #3) — see `gate_sec` in the JSON.
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toDouble
     // Quiet-window gate (VERDICT r12 #7): gate HERE, before the session
-    // does any work — once our own warmup spins 32 threads the 1-min
+    // does any work — once our own cold pass spins 32 threads the 1-min
     // loadavg reflects us, not the host, and the reading is useless.
     // Bounded retries (r13 #1a: 4 × 30 s ≈ 2 min cap, was 20 × 30 s) so a
     // busy host degrades to a recorded `exhausted` note in the JSON
@@ -226,15 +268,28 @@ object Bench {
       System.err.println(s"[bench] load gate exhausted after " +
         s"$gateAttempts attempts - proceeding on a hot host; read the " +
         "emitted control/steal/loadavg before judging per-query times")
-    // a hot host also sheds one requested round up front (r13 #1b): fewer
-    // samples from a window whose times need control-normalization anyway
-    // beats a driver kill that leaves none
-    val runsTarget =
+    // budget clock starts HERE (ADVICE r14 #3): the gate is waiting for
+    // the HOST, not doing bench work — under pin_watch's 999-attempt
+    // setting the old process-start clock could consume the whole budget
+    // before any round. The gate's own wall cost stays visible (gate_sec).
+    val tStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - tStart) / 1e9
+    val gateSec = math.round((tStart - tProc) / 1e7) / 100.0
+    // a hot host sheds requested warm rounds to <= 2 up front (r13 #1b):
+    // fewer samples from a window whose times need control-normalization
+    // anyway beats a driver kill that leaves none
+    val warmTarget =
       if (gateExhausted) math.max(1, math.min(runsRequested, 2))
       else runsRequested
+    val totalRounds = warmTarget + 1 // + the cold round-1 pass
+    // steal: JSON null + steal_skipped marker when the probe never ran
+    // because every attempt was load-gated (ADVICE r14 #4: the old -1.0
+    // sentinel read as a measured ~0% next to max_steal)
+    val stealJson = if (lastSteal < 0) """null,"steal_skipped":true"""
+                    else s"$lastSteal"
     val loadGateJson =
       s"""{"max_load":$maxLoad,"max_steal":$maxSteal,""" +
-        s""""attempts":$gateAttempts,"steal":$lastSteal,""" +
+        s""""attempts":$gateAttempts,"steal":$stealJson,""" +
         s""""exhausted":$gateExhausted}"""
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -273,31 +328,13 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    // one untimed warmup pass (JIT, codegen caches, parquet footer cache,
-    // ns17's one-time index build). A failed warmup is NOT silent: the name
-    // is carried into the emitted JSON (`warmup_failed`) so a timed run
-    // that accidentally absorbs one-time setup work is visible to readers.
-    // Per-query warmup times are KEPT: if the budget (or a driver kill)
-    // leaves zero completed timed rounds, the flushed line reports them
-    // under stat:"warmup" — degraded evidence beats r13's parsed:null.
-    val warmupT0 = elapsedSec
-    val warmupTimes = collection.mutable.Map.empty[String, Double]
-    val warmupFailed = names.filter { n =>
-      try { warmupTimes(n) = execute(n); false }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
-        true
-      }
-    }
-    var lastPassSec = elapsedSec - warmupT0
-    // 1-min system load sampled before and after the timed block (the def
-    // is hoisted above for the pre-session gate; -1 where the platform
-    // doesn't report one). Note loadStart lands AFTER our own warmup pass,
-    // so it includes self-load — the pre-warmup gate reading is the one
-    // that reflects the host. `steal_run` is the cumulative
-    // hypervisor-steal share across the timed block so far (our load
-    // makes steal visible), the definitive answer to "was this window
-    // hot" that loadavg cannot give.
+
+    // 1-min system load sampled before and after the timed block (-1 where
+    // the platform doesn't report one); loadStart is the post-gate,
+    // pre-work reading, so it reflects the host, not us. `steal_run` is
+    // the cumulative hypervisor-steal share across the whole run (our
+    // load makes steal visible), the definitive answer to "was this
+    // window hot" that loadavg cannot give.
     val stealT0 = readStealCounters()
     val loadStart = loadavg
 
@@ -324,24 +361,27 @@ object Bench {
     def idOf(n: String) = n.takeWhile(_ != '_')
 
     /** Archive the full-precision JSON and print the compact line for the
-      * state after `completed` timed rounds. Called after warmup
-      * (completed=0, medians fall back to warmup times under
-      * stat:"warmup") and after EVERY completed timed round, so a kill at
-      * any point leaves the previous flush as parseable evidence in both
-      * the driver tail and target/bench_latest.json (VERDICT r13 #1c). */
+      * state after `completed` rounds (INCLUDING the cold first round).
+      * Called every ~40 queries inside round 1 (`partial` = the names
+      * attempted so far, stat:"partial" — a kill inside round 1 must
+      * still leave parseable evidence) and after EVERY completed round,
+      * so a kill at any point leaves the previous flush in both the
+      * driver tail and target/bench_latest.json (VERDICT r13 #1c). Gate
+      * aggregates (ratio/ratio_norm/ratios/over_2x) emit only with >= 2
+      * completed rounds, i.e. >= 1 warm sample (VERDICT r14 #2: cold /
+      * warmup-shaped stats have no gate validity — r14's official line
+      * read 2.202 where the same tree's gated archive read 0.869). */
     def flush(completed: Int, runsPlanned: Int, budgetStop: Boolean,
-              isFinal: Boolean): Unit = {
-      val stat = if (completed >= 1) "median" else "warmup"
-      val results: Seq[(String, (Double, Double))] = names.map { n =>
-        if (completed >= 1) {
-          val ts = times(n).sorted
-          if (ts.isEmpty || ts.exists(_.isNaN)) n -> (-1.0, -1.0)
-          else n -> (lowerMedian(ts), ts.head)
-        } else {
-          val t = warmupTimes.getOrElse(n, -1.0)
-          n -> (t, t)
-        }
-      }
+              isFinal: Boolean, partial: Option[Seq[String]] = None): Unit = {
+      val active = partial.getOrElse(names)
+      val stat = if (partial.isDefined) "partial" else "median"
+      val gateValid = partial.isEmpty && completed >= 2
+      val results: Seq[(String, (Double, Double))] =
+        active.map(n => n -> coldFirstStats(times(n)))
+      // cold-round failures (the warmup-equivalent failure class): the
+      // field keeps its historical name so promote_cells.py and archive
+      // readers need no schema fork
+      val coldFailed = active.filter(n => times(n).headOption.exists(_.isNaN))
       val loadEnd = loadavg
       val stealRunJson = (for ((s0, t0) <- stealT0;
           (s1, t1) <- readStealCounters() if t1 > t0)
@@ -366,8 +406,9 @@ object Bench {
       // by its BaselineCells cell, so the 2x gate is mechanical
       // suite-wide. Cells are sf0.1 quiet-equivalent medians — at any
       // other SF the ratios would be nonsense, so (like `control`) they
-      // emit only at sf0.1. `ratio` = sum(medians)/sum(cells) over celled
-      // queries (the aggregate the judge reads first; `ratio_norm`
+      // emit only at sf0.1; and (VERDICT r14 #2) only once a warm sample
+      // exists (`gateValid`). `ratio` = sum(medians)/sum(cells) over
+      // celled queries (the aggregate the judge reads first; `ratio_norm`
       // divides it by `control`); `over_2x` = celled queries whose
       // CONTROL-NORMALIZED ratio exceeds 2.0 — normalized because the 2x
       // gate exists to catch CODE regressions, and this host's windows
@@ -378,7 +419,7 @@ object Bench {
       val atCellSf = new java.io.File(sfDir).getName == "sf0.1"
       val cells = BaselineCells.cells
       val ratios: Seq[(String, Double)] =
-        if (!atCellSf) Nil
+        if (!atCellSf || !gateValid) Nil
         else results.collect {
           case (k, (med, _)) if med > 0 && cells.contains(k) =>
             k -> math.round(med / cells(k) * 1000) / 1000.0
@@ -388,7 +429,7 @@ object Bench {
           case (k, (med, _)) if med > 0 && cells.contains(k) =>
             (med, cells(k))
         }
-        if (!atCellSf || covered.isEmpty) None
+        if (!atCellSf || !gateValid || covered.isEmpty) None
         else Some(math.round(
           covered.map(_._1).sum / covered.map(_._2).sum * 1000) / 1000.0)
       }
@@ -435,12 +476,18 @@ object Bench {
       val tfJson = timedFailed.map(n => s""""$n"""").mkString("[", ",", "]")
       val total = results.map(_._2._1).filter(_ >= 0).sum
       val totalMin = results.map(_._2._2).filter(_ >= 0).sum
-      val wf = warmupFailed.map(n => s""""$n"""").mkString("[", ",", "]")
-      // run-shape record: planned vs completed rounds, budget, and
-      // whether the budget (not the plan) ended the run
+      val wf = coldFailed.map(n => s""""$n"""").mkString("[", ",", "]")
+      // run-shape record: planned vs completed rounds (cold included),
+      // cold_first marks the methodology fork for archive readers, the
+      // budget, whether the budget (not the plan) ended the run, and the
+      // partial progress marker for intra-round-1 flushes
+      val partialJson =
+        partial.map(p => s""""partial_done":${p.size},""").getOrElse("")
       val shapeJson = s""""runs":$runsPlanned,"runs_completed":$completed,""" +
+        s""""cold_first":true,$partialJson""" +
         s""""budget_sec":$budgetSec,"budget_stop":$budgetStop,""" +
-        s""""elapsed_sec":${r2(elapsedSec)},"final":$isFinal"""
+        s""""elapsed_sec":${r2(elapsedSec)},"gate_sec":$gateSec,""" +
+        s""""final":$isFinal"""
       def buildJson(fmt: Double => String): String = {
         val qs = results.map { case (k, (med, _)) => s""""$k":${fmt(med)}""" }
           .mkString("{", ",", "}")
@@ -508,39 +555,47 @@ object Bench {
       System.out.flush()
     }
 
-    // post-warmup flush: if everything after this is killed or shed, the
-    // record still carries one full pass of per-query times (stat:"warmup")
-    flush(0, runsTarget, budgetStop = false, isFinal = false)
-
     // interleaved rounds: every query once per round, order reversed on
     // alternate rounds so no query always runs right after JVM GC settles
-    // or always last into a cooling cache. Before each round, project its
-    // cost from the previous pass (timed rounds run ~10% faster than the
-    // warmup they JIT behind, so the projection is conservative) and stop
+    // or always last into a cooling cache. Round 1 (cold) ALWAYS runs —
+    // without it there is no record at all, and its intra-round partial
+    // flushes bound the evidence lost to a kill at ~40 queries. Before
+    // each LATER round, project its cost from the previous pass and stop
     // if it would bust the budget — a complete (runs_completed < runs)
-    // record beats a driver kill mid-round.
+    // record beats a driver kill mid-round. Projection (ADVICE r14 #3):
+    // the ~10% JIT discount applies only when projecting round 2 from
+    // the cold pass; from round 3 on the previous pass is already warm
+    // and projects unscaled.
     var completed = 0
+    var lastPassSec = 0.0
     var budgetStop = false
-    while (completed < runsTarget && !budgetStop) {
-      if (elapsedSec + lastPassSec * 0.9 > budgetSec) {
+    while (completed < totalRounds && !budgetStop) {
+      val projected =
+        if (completed == 1) lastPassSec * 0.9 else lastPassSec
+      if (completed > 0 && elapsedSec + projected > budgetSec) {
         budgetStop = true
         System.err.println(f"[bench] budget stop: ${elapsedSec}%.0f s " +
-          f"elapsed + ~${lastPassSec * 0.9}%.0f s projected round > " +
-          f"$budgetSec%.0f s budget (completed $completed/$runsTarget)")
+          f"elapsed + ~$projected%.0f s projected round > " +
+          f"$budgetSec%.0f s budget (completed $completed/$totalRounds)")
       } else {
         val passT0 = elapsedSec
         val order = if (completed % 2 == 0) names else names.reverse
+        var done = 0
         order.foreach { n =>
           val t = try execute(n) catch { case _: Throwable => Double.NaN }
           times(n) = times(n) :+ t
+          done += 1
+          if (completed == 0 && done % 40 == 0 && done < order.size)
+            flush(0, totalRounds, budgetStop = false, isFinal = false,
+              partial = Some(order.take(done)))
         }
         lastPassSec = elapsedSec - passT0
         completed += 1
-        flush(completed, runsTarget, budgetStop = false,
-          isFinal = completed == runsTarget)
+        flush(completed, totalRounds, budgetStop = false,
+          isFinal = completed == totalRounds)
       }
     }
-    if (budgetStop) flush(completed, runsTarget, budgetStop = true,
+    if (budgetStop) flush(completed, totalRounds, budgetStop = true,
       isFinal = true)
     spark.stop()
   }

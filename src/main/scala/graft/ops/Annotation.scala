@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * into one gold label per item with a deterministic tie policy. The
   * standard front door of preference/RLHF and classifier-distillation
   * pipelines: raw annotations are per-(item, annotator); training wants
-  * per-item. North-star extension (reference scope: klepto `pkg/query`
+  * per-item. North-star extension (reference scope: klepto `pkg/dumper/query`
   * subsets rows, no aggregation surface).
   */
 object Annotation {

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * token-budgeted SFT text records — the last hop of a chat/agent-log
   * pipeline, where event streams become the literal strings a trainer
   * reads. North-star extension beside [[Events.sessionize]] (reference
-  * scope ends at row subsetting: klepto `pkg/query` has no ordered
+  * scope ends at row subsetting: klepto `pkg/dumper/query` has no ordered
   * aggregation surface at all).
   *
   * Everything is deterministic by total order (ts, event_id) — the

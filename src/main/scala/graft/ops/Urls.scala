@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * canonical URL BEFORE any content hashing: it is the only dedup that
   * needs no page bytes at all). North-star extension beyond the
   * reference's surface (SURVEY §7.2 M6); the reference's closest analog
-  * is its matcher-alias normalization (klepto `pkg/config/spec.go`), which
+  * is its matcher-alias normalization (klepto `pkg/config/config.go`), which
   * likewise canonicalizes keys before comparing.
   *
   * Canonicalization is a pure, codegen'd column expression (regex +

@@ -434,6 +434,16 @@ object Ddl {
     ReplayableNativeTypes.contains(n)
   }
 
+  /** The closed set of words that may follow a type's base name in a
+    * bare (unquoted) type expression: the SQL/pg type-modifier vocabulary
+    * (`timestamp with time zone`, `character varying`, `double
+    * precision`, `bit varying`) plus Derby/DB2's `for bit data`. Any
+    * other word sequence after a type name is a multi-word type NAME and
+    * must be quoted (ADVICE r14 #1). */
+  private val SafeTypeSuffixWords: Set[String] =
+    Set("with", "without", "time", "zone", "varying", "precision",
+      "for", "bit", "data")
+
   /** `nativeTypeWhitelist` (r12): lowercased source type names the CALLER
     * guarantees exist at replay time — enum types it will `CREATE TYPE`
     * first, extension types it will `CREATE EXTENSION` first
@@ -464,12 +474,24 @@ object Ddl {
           // `numeric(10,2)[]` bare — quoting those would turn a
           // parameterized type into a (nonexistent) quoted identifier.
           // Pass through anything matching the safe type-expression
-          // grammar (word, optional (args), optional word suffixes,
-          // optional []); quote-and-escape everything else (a genuinely
-          // weird type NAME like `My Type` must quote, and a string with
-          // quote chars must never be emitted raw).
-          val safeTypeExpr = tn.matches(
-            """[A-Za-z_][A-Za-z0-9_]*(\s*\([0-9A-Za-z_,\s]*\))?(\s+[A-Za-z_][A-Za-z0-9_]*)*(\[\])?""")
+          // grammar (word, optional (args), optional SUFFIX WORDS FROM
+          // THE KNOWN TYPE-MODIFIER VOCABULARY, optional []); quote-and-
+          // escape everything else. The suffix words are closed-set
+          // (ADVICE r14 #1): an arbitrary-word suffix clause let a
+          // scraped type NAME like `mood not null` (quoted custom type
+          // names can contain spaces) pass unquoted and be reparsed by
+          // the target as type `mood` plus an injected NOT NULL
+          // constraint — a silent semantics change. A multi-word name
+          // outside the vocabulary now quotes, which is also what the
+          // target needs to resolve it.
+          val TypeExpr =
+            """([A-Za-z_][A-Za-z0-9_]*)(\s*\([0-9A-Za-z_,\s]*\))?((?:\s+[A-Za-z_][A-Za-z0-9_]*)*)(\[\])?""".r
+          val safeTypeExpr = tn match {
+            case TypeExpr(_, _, suffix, _) =>
+              suffix.trim.isEmpty || suffix.trim.split("\\s+")
+                .forall(w => SafeTypeSuffixWords.contains(w.toLowerCase))
+            case _ => false
+          }
           if (safeTypeExpr) tn
           else "\"" + tn.replace("\"", "\"\"") + "\""
         }

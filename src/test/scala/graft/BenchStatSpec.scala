@@ -21,4 +21,31 @@ class BenchStatSpec extends AnyFunSuite {
     assert(Bench.lowerMedian(Vector(1.0, 9.0)) == 1.0)
     assert(Bench.lowerMedian(Vector(1.0, 2.0, 3.0, 9.0)) == 2.0)
   }
+
+  // cold-first stats (VERDICT r14 #1): samples arrive in round order,
+  // index 0 = the cold round-1 pass
+  val nan = Double.NaN
+
+  test("cold-first: median over WARM samples only, min over all") {
+    // cold + 3 warm = the old warmup + 3-round methodology exactly
+    assert(Bench.coldFirstStats(Vector(9.0, 2.0, 1.0, 3.0)) == ((2.0, 1.0)))
+    // cold + 1 warm: the warm sample is the median
+    assert(Bench.coldFirstStats(Vector(9.0, 2.0)) == ((2.0, 2.0)))
+    // a cold sample that happens to be fastest still feeds the min —
+    // it is a physically-achieved execution
+    assert(Bench.coldFirstStats(Vector(1.0, 2.0, 3.0)) == ((2.0, 1.0)))
+  }
+
+  test("cold-first: a single (cold-only) sample is its own median") {
+    assert(Bench.coldFirstStats(Vector(4.0)) == ((4.0, 4.0)))
+  }
+
+  test("cold-first: warm-round failure marks timed_failed (-1,-1); a " +
+    "cold-only failure does not poison later warm stats") {
+    assert(Bench.coldFirstStats(Vector(1.0, nan, 2.0)) == ((-1.0, -1.0)))
+    assert(Bench.coldFirstStats(Vector(nan)) == ((-1.0, -1.0)))
+    assert(Bench.coldFirstStats(Vector.empty) == ((-1.0, -1.0)))
+    // cold failed, warm rounds fine: stats come from the warm samples
+    assert(Bench.coldFirstStats(Vector(nan, 3.0, 2.0)) == ((2.0, 2.0)))
+  }
 }

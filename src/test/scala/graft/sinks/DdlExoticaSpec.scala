@@ -87,6 +87,23 @@ class DdlExoticaSpec extends AnyFunSuite {
     val wddl = Ddl.createTable(weird, Dialect.Postgres,
       verbatimUnmodeled = true)
     assert(wddl.contains("\"email\" \"My Type\"\"x\""), wddl)
+    // ADVICE r14 #1: the bare-expression suffix vocabulary is CLOSED — a
+    // multi-word type NAME outside it (`mood not null`: legal as a quoted
+    // pg type name) must quote, or the target reparses it as type `mood`
+    // plus an injected NOT NULL constraint
+    val sneaky = exotic.copy(nativeTypes = Map(
+      "email" -> "mood not null",
+      "payload" -> "my fancy type"))
+    val sddl = Ddl.createTable(sneaky, Dialect.Postgres,
+      verbatimUnmodeled = true)
+    assert(sddl.contains("\"email\" \"mood not null\""), sddl)
+    assert(sddl.contains("\"payload\" \"my fancy type\""), sddl)
+    // ...while a real modifier sequence in the vocabulary stays bare
+    // (`timestamp(3) with time zone` is pinned bare above)
+    val mods = exotic.copy(nativeTypes = Map("email" -> "bit varying"))
+    val mddl = Ddl.createTable(mods, Dialect.Postgres,
+      verbatimUnmodeled = true)
+    assert(mddl.contains("\"email\" bit varying"), mddl)
     // structureScriptFull forwards the flag
     val script = Ddl.structureScriptFull(Seq(exotic), Dialect.Postgres,
       verbatimUnmodeled = true)
