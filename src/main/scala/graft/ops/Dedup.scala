@@ -48,6 +48,17 @@ object Dedup {
     * produces. */
   val defaultBroadcastBytes: Long = 512L << 20
 
+  /** Cap for materializing the shingle postings once (localCheckpoint to
+    * executor memory+disk) instead of recomputing the scan→split→explode
+    * pipeline for each of its 2–3 consumers (hashing, vocabulary,
+    * verification sets). Postings are ~2× corpus text bytes: under the cap
+    * the one-time store beats two recomputes (r15, measured ~20% off
+    * [[minhashLsh]] wall); far above it (the 100 TB corpus → ~200 TB of
+    * postings) executor storage would thrash and the re-scan — pipelined,
+    * pruned, codegen'd — is the cheaper side, so the plan falls back to
+    * recompute automatically. */
+  val defaultPostingsCheckpointBytes: Long = 64L << 30
+
   /** Driver-side postings-size estimate — Catalyst's own statistics for the
     * source frame (file sizes for a scan, actual bytes for a local
     * relation; no job runs) times the shingle expansion factor (each word
@@ -127,7 +138,18 @@ object Dedup {
       broadcastThresholdBytes: Long = defaultBroadcastBytes,
       maxBandFreq: Long = Long.MaxValue): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes % rowsPerBand != 0")
-    val sh = shingles(docs, shingleK)
+    // size decisions come from the PRE-checkpoint plan: a LogicalRDD
+    // (checkpoint) reports the conservative default sizeInBytes, which
+    // would silently flip every estimate-driven choice to its scale path
+    val postingsEst = estimatedPostingsBytes(docs, shingleK)
+    // postings feed three consumers (vocabulary distinct, hash postings,
+    // verification sets): under the checkpoint cap, materialize them once
+    val sh = {
+      val raw = shingles(docs, shingleK)
+      if (postingsEst <= defaultPostingsCheckpointBytes)
+        raw.localCheckpoint(true)
+      else raw
+    }
 
     // hashVocabulary: the 16 salted md5s are computed over the DISTINCT
     // shingle vocabulary once, then mapped back onto postings —
@@ -139,7 +161,7 @@ object Dedup {
     // broadcast would not fit), hashing falls back map-side — same values,
     // no broadcast. Pass Some(true/false) to pin the decision.
     val useVocab = hashVocabulary.getOrElse(
-      estimatedPostingsBytes(docs, shingleK) <= broadcastThresholdBytes)
+      postingsEst <= broadcastThresholdBytes)
     val posted =
       if (!useVocab)
         sh.select(col("doc_id") +: (0 until numHashes).map(s =>
@@ -182,7 +204,8 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    verifyJaccard(cand, sh, threshold)
+    verifyJaccard(cand, sh, threshold,
+      broadcastSets = postingsEst <= broadcastThresholdBytes)
   }
 
   /** (doc_id, band, band-value) keys from a minhash sketch frame. */
@@ -207,12 +230,26 @@ object Dedup {
     * values, no broadcast). */
   private def minhashOf(
       docs: DataFrame, shingleK: Int, numHashes: Int,
-      rowsPerBand: Int): (DataFrame, DataFrame) = {
-    val sh = shingles(docs, shingleK)
+      rowsPerBand: Int,
+      postingsEstimate: Option[BigInt] = None): (DataFrame, DataFrame) = {
+    // callers that checkpoint `docs` first pass the PRE-checkpoint
+    // estimate: a LogicalRDD reports the conservative default size,
+    // which would silently disable the vocabulary/checkpoint paths
+    val postingsEst = postingsEstimate
+      .getOrElse(estimatedPostingsBytes(docs, shingleK))
+    // the returned postings feed the caller's verification sets as well
+    // as the hash pipeline below — same materialize-once rationale (and
+    // the same scale fallback) as [[minhashLsh]]
+    val sh = {
+      val raw = shingles(docs, shingleK)
+      if (postingsEst <= defaultPostingsCheckpointBytes)
+        raw.localCheckpoint(true)
+      else raw
+    }
     val hashCols = (0 until numHashes).map(s =>
       md5Long(concat(col("shingle"), lit(s":$s"))).as(s"h$s"))
     val posted =
-      if (estimatedPostingsBytes(docs, shingleK) <= defaultBroadcastBytes) {
+      if (postingsEst <= defaultBroadcastBytes) {
         val vocab = sh.select("shingle").distinct()
           .select(col("shingle") +: hashCols: _*)
         sh.join(broadcast(vocab), Seq("shingle"))
@@ -248,10 +285,20 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes % rowsPerBand != 0")
-    val exactSurvivors = newDocs.join(
-      corpus.select(col("text")), Seq("text"), "left_anti")
+    // the exact-dup anti-join has THREE consumers (postings, verification
+    // sets via minhashOf's return, final anti-join) — materialize it once
+    // when the batch is checkpoint-small; estimates are taken before the
+    // checkpoint (LogicalRDD stats degrade to the conservative default)
+    val newEst = estimatedPostingsBytes(newDocs, shingleK)
+    val exactSurvivors = {
+      val raw = newDocs.join(
+        corpus.select(col("text")), Seq("text"), "left_anti")
+      if (newEst <= defaultPostingsCheckpointBytes) raw.localCheckpoint(true)
+      else raw
+    }
 
-    val (newBands, newSh) = minhashOf(exactSurvivors, shingleK, numHashes, rowsPerBand)
+    val (newBands, newSh) = minhashOf(exactSurvivors, shingleK, numHashes,
+      rowsPerBand, postingsEstimate = Some(newEst))
     val (corpusBands, corpusSh) = minhashOf(corpus, shingleK, numHashes, rowsPerBand)
 
     val cand = newBands.as("a").join(corpusBands.as("b"),
@@ -259,7 +306,11 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    val newSets = newSh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("s"))
+    // batch-side sets broadcast when the batch's postings fit (the corpus
+    // side stays shuffled — it is the big side by construction)
+    val newSets0 = newSh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("s"))
+    val newSets = if (newEst <= defaultBroadcastBytes) broadcast(newSets0)
+                  else newSets0
     val corpusSets = corpusSh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("s"))
     val nearDupIds = cand
       .join(newSets.as("x"), col("doc_a") === col("x.doc_id"))
@@ -434,22 +485,33 @@ object Dedup {
           s"($k, $h, $r)")
     }
 
-    val exactSurvivors = newDocs
-      .withColumn("__th", md5(col("text").cast("binary")))
-      .join(spark.read.parquet(s"$path/texthash"),
-        col("__th") === col("th"), "left_anti")
-      .drop("__th")
+    // the index anti-join has three consumers (postings, sets, final
+    // anti-join) — same materialize-once shape as [[incrementalNew]],
+    // with the estimate taken pre-checkpoint
+    val newEst = estimatedPostingsBytes(newDocs, shingleK)
+    val exactSurvivors = {
+      val raw = newDocs
+        .withColumn("__th", md5(col("text").cast("binary")))
+        .join(spark.read.parquet(s"$path/texthash"),
+          col("__th") === col("th"), "left_anti")
+        .drop("__th")
+      if (newEst <= defaultPostingsCheckpointBytes) raw.localCheckpoint(true)
+      else raw
+    }
 
     val (newBands, newSh) =
-      minhashOf(exactSurvivors, shingleK, numHashes, rowsPerBand)
+      minhashOf(exactSurvivors, shingleK, numHashes, rowsPerBand,
+        postingsEstimate = Some(newEst))
     val cand = newBands.as("a")
       .join(spark.read.parquet(s"$path/bands").as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    val newSets = newSh.groupBy(col("doc_id"))
+    val newSets0 = newSh.groupBy(col("doc_id"))
       .agg(collect_set(col("shingle")).as("s"))
+    val newSets = if (newEst <= defaultBroadcastBytes) broadcast(newSets0)
+                  else newSets0
     val nearDupIds = cand
       .join(newSets.as("x"), col("doc_a") === col("x.doc_id"))
       .join(spark.read.parquet(s"$path/sets").as("y"),
@@ -854,10 +916,16 @@ object Dedup {
   }
 
   /** Exact jaccard on candidate pairs from per-doc shingle sets. Set sizes
-    * are bounded by doc length, so collect_set stays small per row. */
+    * are bounded by doc length, so collect_set stays small per row.
+    * `broadcastSets` (caller-sized, typically the postings-fit-broadcast
+    * estimate): ship the set table to both joins instead of shuffling the
+    * candidates twice — the small-corpus regime where per-stage overhead,
+    * not data, is the cost. */
   private def verifyJaccard(
-      cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("s"))
+      cand: DataFrame, sh: DataFrame, threshold: Double,
+      broadcastSets: Boolean = false): DataFrame = {
+    val sets0 = sh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("s"))
+    val sets = if (broadcastSets) broadcast(sets0) else sets0
     cand
       .join(sets.as("x"), col("doc_a") === col("x.doc_id"))
       .join(sets.as("y"), col("doc_b") === col("y.doc_id"))
@@ -942,25 +1010,37 @@ object Dedup {
   private[graft] def resolveClustersCounted(pairs: DataFrame,
       maxIterations: Int = 64, hops: Int = 1): (DataFrame, Int) = {
     require(hops >= 1, s"hops must be >= 1, got $hops")
-    val undirected = pairs
-      .select(col("doc_a").cast("long").as("src"),
-        col("doc_b").cast("long").as("dst"))
-      .union(pairs.select(col("doc_b").cast("long").as("src"),
-        col("doc_a").cast("long").as("dst")))
+    // ONE setup pass (r15: was three eager checkpoints — undirected,
+    // edges, round-0 labels — whose fixed job cost dominated small pair
+    // graphs, the common dedup case where clusters are rare relative to
+    // the corpus): each pair explodes to both directions PLUS both
+    // self-loops, one distinct, one checkpoint. Self-loops mean "adopt
+    // the smallest label among self + neighbors" is one join-agg per
+    // round, and they double as the node list — round-0 labels are a
+    // lazy projection over the same checkpoint blocks, not their own.
+    val edges = pairs
+      .select(col("doc_a").cast("long").as("a"),
+        col("doc_b").cast("long").as("b"))
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")),
+        struct(col("a").as("src"), col("a").as("dst")),
+        struct(col("b").as("src"), col("b").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint(true)
-    // self-loops mean "adopt the smallest label among self + neighbors" is
-    // one join-agg per round, with no per-round union (the setup unions are
-    // erased from loop lineage by the checkpoint)
-    val nodes = undirected.select(col("src").as("doc_id")).distinct()
-    val edges = undirected
-      .union(nodes.select(col("doc_id").as("src"), col("doc_id").as("dst")))
-      .localCheckpoint(true)
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
-      .localCheckpoint(true)
-    // edges + round-0 labels are now self-contained checkpoint blocks; the
-    // setup frame's blocks would otherwise stay pinned for the loop's life
-    unpersistCheckpoint(undirected)
+    var labels = edges.where(col("src") === col("dst"))
+      .select(col("src").as("doc_id"), col("src").as("cluster"))
+    var labelsIsCheckpoint = false // round-0 labels share the edges blocks
+    // Convergence detection (r15): labels are per-node monotonically
+    // non-increasing (relax takes min over self + neighbors; each hop
+    // takes least of a composition), so Σ labels strictly decreases
+    // exactly when any label changed — an unchanged sum IS the fixpoint.
+    // That makes the convergence read a plain aggregate over the frame
+    // the round materializes anyway, deleting the old per-round
+    // new-vs-old labels join. decimal(38,0): 1e8 docs × 1e18 max id
+    // stays exact where a long sum would wrap.
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var it = 0
     while (!converged && it < maxIterations) {
@@ -985,23 +1065,30 @@ object Dedup {
             least(col("x.cluster"), col("y.cluster")).as("cluster"))
         h += 1
       }
-      // ONE action per round: the convergence count rides the hop pass as a
-      // `chg` column, and the aggregate below is the action that both
-      // materializes the (lazy) checkpoint blocks and returns the count —
-      // no separate per-round convergence job re-joining old vs new labels
-      val next = hopped.as("n").join(labels.as("o"), "doc_id")
-        .select(col("doc_id"), col("n.cluster").as("cluster"),
-          (col("n.cluster") =!= col("o.cluster")).cast("long").as("chg"))
-        .localCheckpoint(false)
-      val changed = next.agg(coalesce(sum(col("chg")), lit(0L)))
-        .head.getLong(0)
-      converged = changed == 0L
+      // ONE action per round: the label-sum aggregate below both
+      // materializes the (lazy) checkpoint blocks and returns the
+      // convergence read. Round 0 of a non-empty graph can never be the
+      // fixpoint (every component's max node adopts a smaller label), so
+      // its sum needs no predecessor to compare against — `cnt` catches
+      // the empty-graph case instead.
+      val next = hopped.localCheckpoint(false)
+      val row = next.agg(
+        coalesce(sum(col("cluster").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")),
+        count(lit(1))).head
+      val (sum0, cnt) = (row.getDecimal(0), row.getLong(1))
+      converged =
+        if (it == 0) cnt == 0L
+        else sum0.compareTo(prevSum) == 0
+      prevSum = sum0
       // the superseded round's label blocks are dead the moment `next` is
       // materialized — at 100M docs / ~27 rounds, keeping them would pin
       // ~27 copies of the label table. Hop intermediates likewise.
-      unpersistCheckpoint(labels)
+      // (round-0 labels are a view over the edge blocks — not ours to free)
+      if (labelsIsCheckpoint) unpersistCheckpoint(labels)
       hopCps.foreach(unpersistCheckpoint)
-      labels = next.select(col("doc_id"), col("cluster"))
+      labels = next
+      labelsIsCheckpoint = true
       it += 1
     }
     require(converged, s"resolveClusters did not converge in $maxIterations rounds")

@@ -1,0 +1,205 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Throwaway profiling main for in-round iteration (deleted before the
+  * round closes). One-JVM interleaved A/B: the only measurement protocol
+  * that survives this host's minute-scale contention windows. */
+object Scratch {
+
+  def md5L(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** OLD (r14) resolveClustersCounted, replicated for A/B. */
+  def oldResolve(pairs: DataFrame, maxIterations: Int = 64): DataFrame = {
+    import graft.ops.Dedup.unpersistCheckpoint
+    val undirected = pairs
+      .select(col("doc_a").cast("long").as("src"),
+        col("doc_b").cast("long").as("dst"))
+      .union(pairs.select(col("doc_b").cast("long").as("src"),
+        col("doc_a").cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = undirected.select(col("src").as("doc_id")).distinct()
+    val edges = undirected
+      .union(nodes.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster"))
+      .localCheckpoint(true)
+    unpersistCheckpoint(undirected)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIterations) {
+      val relaxed = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy(edges("dst").as("doc_id"))
+        .agg(min(col("cluster")).as("cluster"))
+      val hopped = relaxed.as("x")
+        .join(relaxed.as("y"), col("x.cluster") === col("y.doc_id"))
+        .select(col("x.doc_id"),
+          least(col("x.cluster"), col("y.cluster")).as("cluster"))
+      val next = hopped.as("n").join(labels.as("o"), "doc_id")
+        .select(col("doc_id"), col("n.cluster").as("cluster"),
+          (col("n.cluster") =!= col("o.cluster")).cast("long").as("chg"))
+        .localCheckpoint(false)
+      val changed = next.agg(coalesce(sum(col("chg")), lit(0L)))
+        .head.getLong(0)
+      converged = changed == 0L
+      unpersistCheckpoint(labels)
+      labels = next.select(col("doc_id"), col("cluster"))
+      it += 1
+    }
+    unpersistCheckpoint(edges)
+    labels
+  }
+
+  /** OLD (r14) minhashLsh, replicated: no postings checkpoint, no set
+    * broadcast. */
+  def oldMinhashLsh(docs: DataFrame): DataFrame = {
+    val numHashes = 16; val rowsPerBand = 4
+    val sh = graft.ops.Dedup.shingles(docs, 2)
+    val hashCols = (0 until numHashes).map(s =>
+      md5L(concat(col("shingle"), lit(s":$s"))).as(s"h$s"))
+    val vocab = sh.select("shingle").distinct()
+      .select(col("shingle") +: hashCols: _*)
+    val posted = sh.join(broadcast(vocab), Seq("shingle"))
+    val mhCols = (0 until numHashes).map(s => min(col(s"h$s")).as(s"mh$s"))
+    val mh = posted.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    val nb = numHashes / rowsPerBand
+    val bandStructs = (0 until nb).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rowsPerBand).map(r =>
+          col(s"mh${b * rowsPerBand + r}").cast("string")): _*).as("bv"))
+    }
+    val bands = mh.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("s"))
+    cand
+      .join(sets.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sets.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("x.s"), col("y.s"))).cast("double") /
+          size(array_union(col("x.s"), col("y.s")))).as("j"))
+      .where(col("j") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-scratch")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.write.mode("overwrite").format("noop").save()
+
+    val keep = collection.mutable.Set.empty[Int]
+    def cleanup(): Unit = spark.sparkContext.getPersistentRDDs.values
+      .filterNot(r => keep(r.id)).foreach(_.unpersist(blocking = true))
+
+    // window-independent cost counters: jobs, stages, tasks, shuffle bytes
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val shuffleB = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet()
+          tasks.addAndGet(s.stageInfo.numTasks)
+          shuffleB.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+    def counted(f: => Unit): (Long, Long, Long, Long) = {
+      Thread.sleep(200) // let listener drain
+      val (j0, s0, t0, b0) = (jobs.get, stages.get, tasks.get, shuffleB.get)
+      f
+      Thread.sleep(200)
+      (jobs.get - j0, stages.get - s0, tasks.get - t0, shuffleB.get - b0)
+    }
+
+    def ab(label: String, reps: Int)(a: => Unit)(b: => Unit): Unit = {
+      val ta = collection.mutable.Buffer.empty[Double]
+      val tb = collection.mutable.Buffer.empty[Double]
+      var ca: (Long, Long, Long, Long) = null
+      var cb: (Long, Long, Long, Long) = null
+      for (i <- 1 to reps) {
+        val t0 = System.nanoTime()
+        if (i == 1) ca = counted { a; cleanup() } else { a; cleanup() }
+        ta += (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        if (i == 1) cb = counted { b; cleanup() } else { b; cleanup() }
+        tb += (System.nanoTime() - t1) / 1e9
+      }
+      def st(v: Seq[Double]) =
+        f"min ${v.min}%.2f med ${v.sorted.apply(v.size / 2)}%.2f"
+      def ct(c: (Long, Long, Long, Long)) =
+        s"jobs ${c._1} stages ${c._2} tasks ${c._3} shufMB ${c._4 / 1e6}"
+      println(s"[ab] $label A(old): ${st(ta.toSeq)} [${ct(ca)}]")
+      println(s"[ab] $label B(new): ${st(tb.toSeq)} [${ct(cb)}]")
+    }
+
+    def noop(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    val which = if (args.nonEmpty) args(0) else "all"
+
+    if (which == "all" || which == "ns2") {
+      // warm both paths once
+      noop(oldMinhashLsh(docs)); cleanup()
+      noop(graft.ops.Dedup.minhashLsh(docs)); cleanup()
+      ab("ns2 minhashLsh", 4)(noop(oldMinhashLsh(docs)))(
+        noop(graft.ops.Dedup.minhashLsh(docs)))
+    }
+
+    if (which == "all" || which == "resolve") {
+      val pairs = graft.ops.Dedup.minhashLsh(docs)
+        .select("doc_a", "doc_b").localCheckpoint(true)
+      pairs.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => keep += lr.rdd.id
+        case _ => ()
+      }
+      pairs.count()
+      oldResolve(pairs).count()
+      graft.ops.Dedup.resolveClusters(pairs).count()
+      ab("resolveClusters (pre-cp pairs)", 4)(oldResolve(pairs).count())(
+        graft.ops.Dedup.resolveClusters(pairs).count())
+    }
+
+    if (which == "all" || which == "ns16") {
+      def newNs16() = noop(graft.SparkEntry.queries("ns16_dedup_survivors")(spark, dir))
+      def oldNs16() = {
+        val labels = oldResolve(oldMinhashLsh(docs).select("doc_a", "doc_b"))
+        val sizes = labels.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_merged"))
+          .withColumnRenamed("cluster", "doc_id")
+        val dupes = labels.where(col("doc_id") =!= col("cluster")).select("doc_id")
+        noop(docs.join(dupes, Seq("doc_id"), "left_anti")
+          .join(sizes, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("n_merged"), lit(1L)).as("n_merged"))
+          .orderBy(col("doc_id")))
+      }
+      oldNs16(); cleanup(); newNs16(); cleanup()
+      ab("ns16 full", 4)(oldNs16())(newNs16())
+    }
+    spark.stop()
+  }
+}
