@@ -484,10 +484,15 @@ object Ddl {
           // constraint — a silent semantics change. A multi-word name
           // outside the vocabulary now quotes, which is also what the
           // target needs to resolve it.
+          // args may follow the base name (`geometry(Point,4326)`,
+          // `timestamp(3) with time zone`) OR the modifier words
+          // (`bit varying(5)`, `character varying(10)`) — pg emits both
           val TypeExpr =
-            """([A-Za-z_][A-Za-z0-9_]*)(\s*\([0-9A-Za-z_,\s]*\))?((?:\s+[A-Za-z_][A-Za-z0-9_]*)*)(\[\])?""".r
+            ("""([A-Za-z_][A-Za-z0-9_]*)(\s*\([0-9A-Za-z_,\s]*\))?""" +
+              """((?:\s+[A-Za-z_][A-Za-z0-9_]*)*)""" +
+              """(\s*\([0-9A-Za-z_,\s]*\))?(\[\])?""").r
           val safeTypeExpr = tn match {
-            case TypeExpr(_, _, suffix, _) =>
+            case TypeExpr(_, _, suffix, _, _) =>
               suffix.trim.isEmpty || suffix.trim.split("\\s+")
                 .forall(w => SafeTypeSuffixWords.contains(w.toLowerCase))
             case _ => false

@@ -115,6 +115,32 @@ object PgCatalogProbe {
       enums = Seq(EnumStructure("probe_mood", Seq("sad", "ok", "happy"))))
     write(outDir.resolve("replay.sql"), replay)
 
+    // 4. r14 DDL fixes, live-replayed (VERDICT r14 #7 + ADVICE r14 #1):
+    //    verbatimUnmodeled carries a composite type, a parameterized
+    //    multi-word expression (`timestamp(3) with time zone`), pg's
+    //    suffix-then-args shape (`bit varying(5)`) — all BARE — while a
+    //    multi-word type NAME outside the modifier vocabulary (`mood not
+    //    null`, legal as a quoted pg type name) must QUOTE; the live
+    //    script creates the two custom types first, executes this DDL,
+    //    asserts the catalog's format_type per column, and inserts a row
+    //    so the typing is proven real, not just accepted text.
+    val verbatim = TableStructure("probe_verbatim",
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("pt", StringType),
+        StructField("ts3", TimestampType),
+        StructField("vb", StringType),
+        StructField("weird", StringType))),
+      nativeTypes = Map(
+        "pt" -> "probe_pt",
+        "ts3" -> "timestamp(3) with time zone",
+        "vb" -> "bit varying(5)",
+        "weird" -> "mood not null"),
+      primaryKey = Seq("id"))
+    write(outDir.resolve("verbatim.sql"),
+      Ddl.createTable(verbatim, Dialect.Postgres,
+        verbatimUnmodeled = true) + "\n")
+
     // 3. COPY wire format + canonical expected readback
     val copyTable = "graft_copy_rt"
     write(outDir.resolve("copy_stmt.sql"),

@@ -99,11 +99,15 @@ class DdlExoticaSpec extends AnyFunSuite {
     assert(sddl.contains("\"email\" \"mood not null\""), sddl)
     assert(sddl.contains("\"payload\" \"my fancy type\""), sddl)
     // ...while a real modifier sequence in the vocabulary stays bare
-    // (`timestamp(3) with time zone` is pinned bare above)
-    val mods = exotic.copy(nativeTypes = Map("email" -> "bit varying"))
+    // (`timestamp(3) with time zone` is pinned bare above), including
+    // pg's suffix-then-args shape (`bit varying(5)`)
+    val mods = exotic.copy(nativeTypes = Map(
+      "email" -> "bit varying(5)",
+      "payload" -> "bit varying"))
     val mddl = Ddl.createTable(mods, Dialect.Postgres,
       verbatimUnmodeled = true)
-    assert(mddl.contains("\"email\" bit varying"), mddl)
+    assert(mddl.contains("\"email\" bit varying(5)"), mddl)
+    assert(mddl.contains("\"payload\" bit varying"), mddl)
     // structureScriptFull forwards the flag
     val script = Ddl.structureScriptFull(Seq(exotic), Dialect.Postgres,
       verbatimUnmodeled = true)

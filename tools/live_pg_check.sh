@@ -138,6 +138,26 @@ out=$(run -c "SELECT connoinherit FROM pg_constraint WHERE conname='ck_probe_ni'
 out=$(run -c "SELECT convalidated FROM pg_constraint WHERE conname='ck_probe_nv'")
 [[ "$out" == "t" ]]; check "NOT VALID check replays validated (documented CREATE TABLE degradation)" $?
 
+# --- E. r14 DDL fixes live (VERDICT r14 #7 + ADVICE r14 #1) -----------------
+# verbatimUnmodeled: composite type + timestamp(3) with time zone +
+# bit varying(5) ride BARE; the spaced type NAME "mood not null" QUOTES.
+run -c 'CREATE TYPE probe_pt AS (x int, y int)' \
+    -c "CREATE TYPE \"mood not null\" AS ENUM ('grim', 'fine')" >/dev/null
+run -f "$PROBE/verbatim.sql" >/dev/null
+check "verbatimUnmodeled CREATE TABLE accepted (composite / tstz(3) / varbit(5) / quoted spaced name)" $?
+out=$(run -c "SELECT a.attname, format_type(a.atttypid, a.atttypmod)
+  FROM pg_attribute a JOIN pg_class c ON c.oid = a.attrelid
+  WHERE c.relname='probe_verbatim' AND a.attnum > 0 ORDER BY a.attname")
+[[ "$out" == *$'pt\x1fprobe_pt'* ]]; check "composite type carried verbatim (probe_pt)" $?
+[[ "$out" == *$'ts3\x1ftimestamp(3) with time zone'* ]]; check "parameterized multi-word expression bare (timestamp(3) with time zone)" $?
+[[ "$out" == *$'vb\x1fbit varying(5)'* ]]; check "suffix-then-args expression bare (bit varying(5))" $?
+[[ "$out" == *$'weird\x1f"mood not null"'* ]]; check "spaced type NAME quoted, not reparsed as mood + NOT NULL (ADVICE r14 #1)" $?
+out=$(run -c "SELECT attnotnull FROM pg_attribute a JOIN pg_class c ON c.oid = a.attrelid WHERE c.relname='probe_verbatim' AND a.attname='weird'")
+[[ "$out" == "f" ]]; check "no injected NOT NULL constraint on the quoted column" $?
+out=$(run -c "INSERT INTO probe_verbatim (id, pt, ts3, vb, weird) VALUES (1, '(1,2)', now(), B'10101', 'grim')" \
+  -c "SELECT (pt).x + (pt).y, vb::text, weird::text FROM probe_verbatim WHERE id = 1")
+[[ "$out" == *$'3\x1f10101\x1fgrim'* ]]; check "verbatim columns are REAL types (composite field access, varbit, enum label)" $?
+
 # --- C. COPY wire format round-trip ---------------------------------------
 run -f "$PROBE/copy_table.sql" >/dev/null
 check "BulkLoad target table DDL (Ddl.createTable, Postgres dialect)" $?
