@@ -3,7 +3,7 @@
 # Repeatedly runs the full 5-round bench behind its own quiet-window gate;
 # stops when a run comes back with full-suite control <= 1.10 (direct-pin
 # grade) or after MAX_ATTEMPTS completed-but-hot runs. Each completed
-# archive is preserved as target/bench_r14_attempt_<n>.json so per-query
+# archive is preserved as target/bench_r15_attempt_<n>.json so per-query
 # MIN evidence across windows accumulates even if no attempt is quiet.
 cd /root/repo || exit 1
 MAX_ATTEMPTS=${MAX_ATTEMPTS:-4}
@@ -15,18 +15,18 @@ for i in $(seq 1 "$MAX_ATTEMPTS"); do
     java -Xmx8g -cp 'target/bench_classes:/opt/spark/jars/*' graft.Bench \
     > "target/bench_pin_attempt_$i.out" 2> "target/bench_pin_attempt_$i.err"
   rc=$?
-  cp target/bench_latest.json "target/bench_r14_attempt_$i.json" 2>/dev/null
+  cp target/bench_latest.json "target/bench_r15_attempt_$i.json" 2>/dev/null
   ctrl=$(python3 -c "
 import json,sys
 try:
-  d=json.load(open('target/bench_r14_attempt_$i.json'))
+  d=json.load(open('target/bench_r15_attempt_$i.json'))
   print(d['control'] if d.get('runs_completed',0)>=5 and d['control'] else 99)
 except Exception: print(99)")
   echo "[pin_watch] attempt $i rc=$rc control=$ctrl"
   ok=$(python3 -c "print(1 if float('$ctrl')<=1.10 else 0)")
   if [ "$ok" = "1" ]; then
     echo "[pin_watch] QUIET RUN CAPTURED (control=$ctrl) - promote with:"
-    echo "  python3 tools/promote_cells.py target/bench_r14_attempt_$i.json"
+    echo "  python3 tools/promote_cells.py target/bench_r15_attempt_$i.json"
     exit 0
   fi
   sleep 300
