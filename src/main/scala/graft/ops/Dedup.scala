@@ -1028,6 +1028,12 @@ object Dedup {
         struct(col("b").as("src"), col("b").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
+      // (measured r15: pre-partitioning by src before the checkpoint does
+      // NOT survive into the loop's join planning on Spark 4.1 + AQE —
+      // the LogicalRDD comes back without usable HashPartitioning, so the
+      // extra setup shuffle bought nothing and quadrupled task counts;
+      // the per-round edges shuffle stays, priced at one exchange of the
+      // pair graph per round)
       .localCheckpoint(true)
     var labels = edges.where(col("src") === col("dst"))
       .select(col("src").as("doc_id"), col("src").as("cluster"))
