@@ -351,6 +351,11 @@ object Dedup {
       bands.write.mode("overwrite").parquet(s"$tmp/bands")
       sh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("s"))
         .write.mode("overwrite").parquet(s"$tmp/sets")
+      // the postings checkpoint minhashOf may hold is dead once both
+      // artifacts are written — a long-lived session must not retain it
+      // (ownership-guarded: when minhashOf skipped its checkpoint, sh's
+      // only leaves are the caller's corpus blocks, which must survive)
+      unpersistOwnCheckpoints(sh, corpus)
       corpus.select(md5(col("text").cast("binary")).as("th")).distinct()
         .write.mode("overwrite").parquet(s"$tmp/texthash")
       IndexSidecar.write(spark, metaPath(tmp.toString),
@@ -396,6 +401,9 @@ object Dedup {
       IndexSidecar.write(spark, metaPath(path),
         s"shingleK=$shingleK\nnumHashes=$numHashes\nrowsPerBand=$rowsPerBand\nfingerprint=$f")
     }
+    // sh first: when minhashOf skipped its own checkpoint, sh's only
+    // checkpoint leaf IS acc, so both calls resolve to the same blocks
+    unpersistCheckpoint(sh)
     unpersistCheckpoint(acc)
   }
 
@@ -1112,6 +1120,24 @@ object Dedup {
         lr.rdd.unpersist(blocking = true)
       case _ => ()
     }
+
+  /** [[unpersistCheckpoint]] restricted to checkpoints `df` OWNS: leaves
+    * also reachable from any of `inputs` are the caller's (a caller-
+    * checkpointed corpus fed into an index build must survive the build)
+    * and are left alone. */
+  private[graft] def unpersistOwnCheckpoints(
+      df: DataFrame, inputs: DataFrame*): Unit = {
+    val callerOwned = inputs.flatMap(
+      _.queryExecution.analyzed.collectLeaves().collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }).toSet
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+          if !callerOwned(lr.rdd.id) =>
+        lr.rdd.unpersist(blocking = true)
+      case _ => ()
+    }
+  }
 
   /** D7 (decision surface) — the surviving corpus after near-dup collapse:
     * every document keeps exactly one representative (the cluster's min

@@ -84,9 +84,14 @@ object StreamingDedup {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         // snapshot before the append: the survivor plan reads the same
         // index files the append rewrites
-        val survivors = graft.ops.Dedup
+        val plan = graft.ops.Dedup
           .incrementalNewFromIndex(batch.toDF(), indexPath)
-          .localCheckpoint(true)
+        val survivors = plan.localCheckpoint(true)
+        // the setup checkpoints inside incrementalNewFromIndex (exact-dup
+        // anti-join, postings) are leaves of the PRE-checkpoint plan only
+        // — free them here or a forever-running query retains two blocks
+        // sets per micro-batch
+        graft.ops.Dedup.unpersistCheckpoint(plan)
         try {
           if (!survivors.isEmpty) {
             // sink BEFORE index: a crash between the two re-accepts the
