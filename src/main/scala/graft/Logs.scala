@@ -1,0 +1,23 @@
+package graft
+
+/** Scoped log-noise control for the operator mains (VERDICT r15 #7).
+  *
+  * The dedup/index operators free their localCheckpoint blocks as soon as
+  * the consuming writes complete ([[graft.ops.Dedup.releaseCheckpoints]]
+  * and friends). Spark logs every such free at WARN
+  * (`RDD ... was locally checkpointed, its lineage has been truncated and
+  * cannot be recomputed after unpersisting`) from the concrete RDD class's
+  * logger — correct-by-construction here (frees are ownership-guarded and
+  * happen only after the last consumer), but operator-path noise that
+  * crowds the Verify/Steal stderr tail. Bench already runs at ERROR
+  * globally; Verify/Steal want WARN for everything ELSE, so this drops
+  * just the `org.apache.spark.rdd` package to ERROR instead. */
+object Logs {
+  /** Raise the log threshold of the org.apache.spark.rdd loggers to
+    * ERROR. Call AFTER `setLogLevel` (which reconfigures the hierarchy).
+    * Best-effort: a non-log4j2 binding leaves logging untouched. */
+  def quietCheckpointUnpersistWarns(): Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
+}

@@ -202,6 +202,7 @@ object Steal {
       .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.quietCheckpointUnpersistWarns()
     try {
       def asDsn(s: String) =
         if (s.contains("://")) s else s"file://path($s)/?format=parquet"

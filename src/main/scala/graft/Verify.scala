@@ -17,6 +17,7 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Logs.quietCheckpointUnpersistWarns()
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_VERIFY_ONLY=ns21_decontaminate,… restricts the dump (and
     // the oracle JSON, so tools/oracle_check.py checks the same subset) for

@@ -56,7 +56,10 @@ object Dedup {
     * [[minhashLsh]] wall); far above it (the 100 TB corpus → ~200 TB of
     * postings) executor storage would thrash and the re-scan — pipelined,
     * pruned, codegen'd — is the cheaper side, so the plan falls back to
-    * recompute automatically. */
+    * recompute automatically. NOTE for long-lived sessions: construction
+    * of the affected plans runs the materialization jobs up front, and
+    * the blocks stay pinned until [[releaseCheckpoints]] is called on the
+    * consumed result (ADVICE r15 #1). */
   val defaultPostingsCheckpointBytes: Long = 64L << 30
 
   /** Driver-side postings-size estimate — Catalyst's own statistics for the
@@ -1081,18 +1084,24 @@ object Dedup {
       }
       // ONE action per round: the label-sum aggregate below both
       // materializes the (lazy) checkpoint blocks and returns the
-      // convergence read. Round 0 of a non-empty graph can never be the
-      // fixpoint (every component's max node adopts a smaller label), so
-      // its sum needs no predecessor to compare against — `cnt` catches
-      // the empty-graph case instead.
+      // convergence read. Round 0 has no predecessor sum, but it CAN be
+      // the fixpoint (a degenerate all-self-pairs graph, ADVICE r15 #3):
+      // post-relax every label is <= its node id (the self-loop puts the
+      // node itself under the min), so Σcluster == Σdoc_id exactly when
+      // round-0 labels are the identity — i.e. relax applied to identity
+      // returned identity, the fixpoint. Σdoc_id rides the same job for
+      // free; `cnt` catches the empty graph.
       val next = hopped.localCheckpoint(false)
       val row = next.agg(
         coalesce(sum(col("cluster").cast("decimal(38,0)")),
           lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")),
-        count(lit(1))).head
-      val (sum0, cnt) = (row.getDecimal(0), row.getLong(1))
+        count(lit(1)),
+        coalesce(sum(col("doc_id").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))).head
+      val (sum0, cnt, idSum) =
+        (row.getDecimal(0), row.getLong(1), row.getDecimal(2))
       converged =
-        if (it == 0) cnt == 0L
+        if (it == 0) cnt == 0L || sum0.compareTo(idSum) == 0
         else sum0.compareTo(prevSum) == 0
       prevSum = sum0
       // the superseded round's label blocks are dead the moment `next` is
@@ -1120,6 +1129,24 @@ object Dedup {
         lr.rdd.unpersist(blocking = true)
       case _ => ()
     }
+
+  /** PUBLIC release hook for the checkpoint blocks a dedup plan pins
+    * (ADVICE r15 #1). [[minhashLsh]], [[ngramJaccard]], [[incrementalNew]]
+    * and the index probes materialize their shingle postings ONCE (eager
+    * `localCheckpoint`, under [[defaultPostingsCheckpointBytes]]) at
+    * DataFrame-construction time — the returned frame then reads those
+    * executor blocks instead of recomputing the scan→explode pipeline per
+    * consumer. graft's own mains sweep them (`getPersistentRDDs` between
+    * bench queries; per-write frees in the index builders), but a
+    * long-lived EXTERNAL session that constructs these plans repeatedly
+    * pins memory+disk until the blocks are GC'd. Call this after the
+    * result has been fully consumed: it frees every checkpoint leaf the
+    * result's plan owns, leaving any checkpoint reachable from `inputs`
+    * (a caller-checkpointed corpus) alone. Safe to call more than once —
+    * but a localCheckpoint's lineage is truncated, so the frame CANNOT be
+    * re-executed after release: call only when done with it. */
+  def releaseCheckpoints(result: DataFrame, inputs: DataFrame*): Unit =
+    unpersistOwnCheckpoints(result, inputs: _*)
 
   /** [[unpersistCheckpoint]] restricted to checkpoints `df` OWNS: leaves
     * also reachable from any of `inputs` are the caller's (a caller-

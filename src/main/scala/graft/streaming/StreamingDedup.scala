@@ -87,11 +87,16 @@ object StreamingDedup {
         val plan = graft.ops.Dedup
           .incrementalNewFromIndex(batch.toDF(), indexPath)
         val survivors = plan.localCheckpoint(true)
-        // the setup checkpoints inside incrementalNewFromIndex (exact-dup
-        // anti-join, postings) are leaves of the PRE-checkpoint plan only
-        // — free them here or a forever-running query retains two blocks
-        // sets per micro-batch
-        graft.ops.Dedup.unpersistCheckpoint(plan)
+        // Free only the checkpoints the probe plan OWNS: the micro-batch
+        // frame is itself a LogicalRDD (the stream's own source RDD, not
+        // ours to unpersist), so the blanket unpersistCheckpoint would
+        // touch it — ownership-guard against the batch (ADVICE r15 #2).
+        // Estimate reality: a micro-batch LogicalRDD reports the
+        // conservative default sizeInBytes, so incrementalNewFromIndex's
+        // checkpoint/broadcast fast paths never fire here and the probe
+        // keeps the recompute plan — this call is then a no-op, kept as
+        // the guard for any future plan that does checkpoint.
+        graft.ops.Dedup.unpersistOwnCheckpoints(plan, batch.toDF())
         try {
           if (!survivors.isEmpty) {
             // sink BEFORE index: a crash between the two re-accepts the

@@ -332,6 +332,23 @@ class DedupSpec extends AnyFunSuite {
     assert(rt <= 2)
   }
 
+  test("resolveClusters: degenerate all-self-pairs graph converges round 0") {
+    // ADVICE r15 #3: a pair graph already at its fixpoint (every pair is
+    // a self-pair, so round-0 labels are the identity) must converge in
+    // ONE round — the sum-equality read compares round 0 against the
+    // identity-label sum, which rides the same aggregate job
+    val selfPairs = Seq((3L, 3L), (8L, 8L)).toDF("doc_a", "doc_b")
+    val (labels, rounds) =
+      Dedup.resolveClustersCounted(selfPairs, maxIterations = 1)
+    assert(labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((3L, 3L), (8L, 8L)))
+    assert(rounds == 1)
+    // empty graph still converges immediately
+    val (empty, r0) = Dedup.resolveClustersCounted(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), maxIterations = 1)
+    assert(empty.isEmpty && r0 == 1)
+  }
+
   test("resolveClusters: one action per round, superseded checkpoints freed") {
     val sc = spark.sparkContext
     val names = new java.util.concurrent.ConcurrentLinkedQueue[String]()

@@ -1,32 +1,50 @@
 #!/bin/bash
-# Quiet-window cell-pin watcher (BASELINE.md:1290 standing task).
+# Quiet-window cell-pin watcher (BASELINE.md standing task).
 # Repeatedly runs the full 5-round bench behind its own quiet-window gate;
 # stops when a run comes back with full-suite control <= 1.10 (direct-pin
 # grade) or after MAX_ATTEMPTS completed-but-hot runs. Each completed
-# archive is preserved as target/bench_r15_attempt_<n>.json so per-query
+# archive is preserved as target/bench_r16_attempt_<n>.json so per-query
 # MIN evidence across windows accumulates even if no attempt is quiet.
+#
+# Staleness guard (VERDICT r15 #2): bench_latest.json is DELETED before
+# each attempt and archived only if the bench recreated it — the r15 bug
+# copied the PREVIOUS attempt's record under the new name when an attempt
+# died before writing, silently double-counting one window in the min-of
+# pool (r15 attempt_1/attempt_2 were byte-identical).
+#
+# Promotion gate (ADVICE r15 #4): runs_completed counts the cold round,
+# so a budget-shed run with only 4 warm samples also reads >=5 — require
+# the FULL planned round count (cold + 5 warm = 6) for direct promotion.
 cd /root/repo || exit 1
 MAX_ATTEMPTS=${MAX_ATTEMPTS:-4}
+ROUND=${ROUND:-r16}
 for i in $(seq 1 "$MAX_ATTEMPTS"); do
   echo "[pin_watch] attempt $i/$MAX_ATTEMPTS $(date -u +%H:%M:%S)"
+  rm -f target/bench_latest.json
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_RUNS=5 \
     SPARK_GRAFT_BENCH_BUDGET_SEC=10000 SPARK_GRAFT_BENCH_LOAD_ATTEMPTS=999 \
     SPARK_GRAFT_BENCH_MAX_LOAD=0.8 SPARK_GRAFT_BENCH_MAX_STEAL=4.0 \
     java -Xmx8g -cp 'target/bench_classes:/opt/spark/jars/*' graft.Bench \
     > "target/bench_pin_attempt_$i.out" 2> "target/bench_pin_attempt_$i.err"
   rc=$?
-  cp target/bench_latest.json "target/bench_r15_attempt_$i.json" 2>/dev/null
+  if [ ! -f target/bench_latest.json ]; then
+    echo "[pin_watch] attempt $i rc=$rc wrote no record - NOT archiving"
+    sleep 300
+    continue
+  fi
+  cp target/bench_latest.json "target/bench_${ROUND}_attempt_$i.json"
   ctrl=$(python3 -c "
 import json,sys
 try:
-  d=json.load(open('target/bench_r15_attempt_$i.json'))
-  print(d['control'] if d.get('runs_completed',0)>=5 and d['control'] else 99)
+  d=json.load(open('target/bench_${ROUND}_attempt_$i.json'))
+  full = d.get('runs_completed',0) >= d.get('runs',99)
+  print(d['control'] if full and d.get('gate_valid',True) and d['control'] else 99)
 except Exception: print(99)")
   echo "[pin_watch] attempt $i rc=$rc control=$ctrl"
   ok=$(python3 -c "print(1 if float('$ctrl')<=1.10 else 0)")
   if [ "$ok" = "1" ]; then
     echo "[pin_watch] QUIET RUN CAPTURED (control=$ctrl) - promote with:"
-    echo "  python3 tools/promote_cells.py target/bench_r15_attempt_$i.json"
+    echo "  python3 tools/promote_cells.py target/bench_${ROUND}_attempt_$i.json"
     exit 0
   fi
   sleep 300
