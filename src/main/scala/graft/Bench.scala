@@ -29,6 +29,20 @@ import org.apache.spark.sql.SparkSession
   * looking at. `control` stays (it is a window thermometer, not a code
   * gate).
   *
+  * Storm robustness (VERDICT r15 #1): the r15 official record's warm
+  * round crossed a mid-run contention storm — medians 4.85x the same
+  * run's minima — and the single scalar control (3.1x) under-corrected,
+  * publishing ratio_norm 3.75 on a tree whose gated archives read
+  * 1.04–1.15. Two structural fixes, both in [[roundControls]]/`flush`:
+  * (a) every gate statistic is computed from samples normalized by their
+  * OWN round's control (the anchors run inside every round, so a round's
+  * hotness is measured, not assumed uniform across the run); (b) the
+  * record self-diagnoses — `spread` = residual med-vs-min ratio AFTER
+  * normalization, `gate_valid:false` when it exceeds 2x (intra-round
+  * bursts the anchors could not see), and min-based fallback stats
+  * (`ratio_min`, `over_2x_min`) are always emitted so even a
+  * storm-invalidated record carries a gate-readable floor.
+  *
   * Noise discipline (this host's same-plan spread is 3–5× under load —
   * BASELINE.md brackets): the timed repetitions are INTERLEAVED — round 1
   * runs every query once, then round 2, then round 3, with the visit order
@@ -107,9 +121,13 @@ object Bench {
     * uniform ~1.28× hot vs r9 on code-untouched queries), so raw cross-round
     * totals mislead. Anchors below are quiet-window (loadavg ~0) sf0.1
     * medians of 5 interleaved runs on the r10-final tree for ten queries
-    * whose code, plan, and inputs are frozen. Each bench emits
-    * `control` = median(current/anchor) over this set; cross-round readers
-    * divide totals by it to self-normalize instead of re-adjudicating.
+    * whose code, plan, and inputs are frozen. Since r16 the anchors are
+    * read PER ROUND ([[roundControls]]): each round's samples are
+    * normalized by that round's own anchor median before any cross-round
+    * statistic, and the emitted scalar `control` is the lower-median of
+    * the warm rounds' controls (the full vector ships as `controls`).
+    * Cross-round readers divide raw totals by `control` to
+    * self-normalize instead of re-adjudicating.
     * Re-pin anchors ONLY if a control query's plan deliberately changes
     * (note it in BASELINE.md). `AnchorsSpec` pins tools/promote_cells.py's
     * mirror of this map against the source text (ADVICE r13 #3). */
@@ -154,6 +172,37 @@ object Bench {
       (lowerMedian(warm.sorted), valid.min)
     }
   }
+
+  /** Per-ROUND window controls (VERDICT r15 #1): for round r, the median
+    * over the control anchors of (that anchor's round-r time / its quiet
+    * anchor value). The r15 record proved a single SCALAR control cannot
+    * describe a run whose windows drift mid-run: its warm round crossed a
+    * contention storm (per-query medians 4.85× the same run's minima)
+    * while the scalar control read only 3.1× — so the published gate
+    * stats described the hypervisor's minute, not the tree. A per-round
+    * control normalizes each round's samples by THAT round's measured
+    * hotness before any median is taken: a storm inflates a round's
+    * anchors and its other queries together, and the division cancels it.
+    * None for rounds where fewer than 5 anchors have a valid sample
+    * (subset runs, partial round-1 flushes) — those rounds normalize by
+    * 1.0, i.e. stay raw. Pinned by BenchStatSpec. */
+  private[graft] def roundControls(
+      times: String => Vector[Double], rounds: Int): Vector[Option[Double]] =
+    Vector.tabulate(rounds) { r =>
+      val ratios = ControlAnchors.toSeq.flatMap { case (n, anchor) =>
+        times(n).lift(r).filterNot(_.isNaN).map(_ / anchor)
+      }.sorted
+      if (ratios.size < 5) None
+      else Some(math.round(ratios(ratios.size / 2) * 1000) / 1000.0)
+    }
+
+  /** Divide each round-ordered sample by its own round's control (1.0
+    * where the round has none). NaN failure markers pass through. */
+  private[graft] def normalizeByRound(
+      ts: Vector[Double], ctrls: Vector[Option[Double]]): Vector[Double] =
+    ts.zipWithIndex.map { case (t, r) =>
+      if (t.isNaN) t else t / ctrls.lift(r).flatten.getOrElse(1.0)
+    }
 
   private def readStealCounters(): Option[(Long, Long)] =
     try {
@@ -367,17 +416,35 @@ object Bench {
       * still leave parseable evidence) and after EVERY completed round,
       * so a kill at any point leaves the previous flush in both the
       * driver tail and target/bench_latest.json (VERDICT r13 #1c). Gate
-      * aggregates (ratio/ratio_norm/ratios/over_2x) emit only with >= 2
-      * completed rounds, i.e. >= 1 warm sample (VERDICT r14 #2: cold /
-      * warmup-shaped stats have no gate validity — r14's official line
-      * read 2.202 where the same tree's gated archive read 0.869). */
+      * aggregates (ratio/ratio_norm/ratio_min/ratios/over_2x*) emit only
+      * with >= 2 completed rounds, i.e. >= 1 warm sample (VERDICT r14
+      * #2: cold / warmup-shaped stats have no gate validity — r14's
+      * official line read 2.202 where the same tree's gated archive read
+      * 0.869); they are computed from round-normalized samples and
+      * self-diagnose via gate_valid/spread (VERDICT r15 #1 — see the
+      * object doc). */
     def flush(completed: Int, runsPlanned: Int, budgetStop: Boolean,
               isFinal: Boolean, partial: Option[Seq[String]] = None): Unit = {
       val active = partial.getOrElse(names)
       val stat = if (partial.isDefined) "partial" else "median"
-      val gateValid = partial.isEmpty && completed >= 2
+      // gate stats exist only once a warm sample does (VERDICT r14 #2)
+      val statsEligible = partial.isEmpty && completed >= 2
       val results: Seq[(String, (Double, Double))] =
         active.map(n => n -> coldFirstStats(times(n)))
+      // per-ROUND controls + round-normalized stats (VERDICT r15 #1):
+      // every gate aggregate below is computed from samples divided by
+      // their OWN round's anchor-measured hotness, so a mid-run storm
+      // cancels instead of landing whole in the medians. Controls are
+      // only meaningful at the anchors' SF (sf0.1); elsewhere every
+      // round's control is None and normalization is the identity.
+      val atCellSf0 = new java.io.File(sfDir).getName == "sf0.1"
+      val nRounds = if (active.isEmpty) 0 else active.map(times(_).size).max
+      val ctrls: Vector[Option[Double]] =
+        if (atCellSf0) roundControls(times(_), nRounds)
+        else Vector.fill(nRounds)(None)
+      val normStats: Map[String, (Double, Double)] =
+        active.map(n =>
+          n -> coldFirstStats(normalizeByRound(times(n), ctrls))).toMap
       // cold-round failures (the warmup-equivalent failure class): the
       // field keeps its historical name so promote_cells.py and archive
       // readers need no schema fork
@@ -387,75 +454,117 @@ object Bench {
           (s1, t1) <- readStealCounters() if t1 > t0)
         yield (math.round(1000.0 * (s1 - s0) / (t1 - t0)) / 10.0).toString)
         .getOrElse("null")
-      // window-variance control (see ControlAnchors): median of per-query
-      // current/anchor ratios over the frozen control set. Only meaningful
-      // at the anchors' SF (sf0.1) with enough control queries present —
-      // emits JSON null otherwise (subset runs, other SFs) rather than a
-      // bogus 1.0. Exact-basename match: a substring test would also
-      // accept sf0.125, silently normalizing a run at the wrong scale.
+      // scalar window control (back-compat thermometer): the lower-median
+      // of the WARM rounds' per-round controls (cold dropped once a warm
+      // round exists — mirrors coldFirstStats). JSON null when no round
+      // had enough anchors (subset runs, other SFs). The full per-round
+      // vector is emitted as `controls` so archive readers can see the
+      // in-run drift the scalar hides.
       val controlRatio: Option[Double] = {
-        val ratios = ControlAnchors.toSeq.flatMap { case (n, anchor) =>
-          results.collectFirst {
-            case (`n`, (med, _)) if med > 0 => med / anchor }
-        }.sorted
-        if (new java.io.File(sfDir).getName != "sf0.1" || ratios.size < 5) None
-        else Some(math.round(ratios(ratios.size / 2) * 1000) / 1000.0)
+        val defined = (if (ctrls.size >= 2) ctrls.drop(1) else ctrls).flatten
+        if (defined.isEmpty) None
+        else Some(lowerMedian(defined.sorted))
       }
       val controlJson = controlRatio.map(_.toString).getOrElse("null")
-      // Gating-cell ratios (VERDICT r12 #2): every query's median divided
-      // by its BaselineCells cell, so the 2x gate is mechanical
-      // suite-wide. Cells are sf0.1 quiet-equivalent medians — at any
-      // other SF the ratios would be nonsense, so (like `control`) they
-      // emit only at sf0.1; and (VERDICT r14 #2) only once a warm sample
-      // exists (`gateValid`). `ratio` = sum(medians)/sum(cells) over
-      // celled queries (the aggregate the judge reads first; `ratio_norm`
-      // divides it by `control`); `over_2x` = celled queries whose
-      // CONTROL-NORMALIZED ratio exceeds 2.0 — normalized because the 2x
-      // gate exists to catch CODE regressions, and this host's windows
-      // swing 1.0-2.5x on hypervisor contention the load gate can only
-      // partially dodge (raw per-query ratios stay in the archive for
-      // transparency); `no_cell` = queries not yet promoted into the
-      // table (a NEW query's visibility until the next cell run).
-      val atCellSf = new java.io.File(sfDir).getName == "sf0.1"
+      val controlsJson = ctrls
+        .map(_.map(_.toString).getOrElse("null")).mkString("[", ",", "]")
+      // Gating-cell ratios (VERDICT r12 #2, reworked r16 per VERDICT r15
+      // #1): every gate aggregate is computed from ROUND-NORMALIZED
+      // samples — each sample divided by its own round's control before
+      // the median — so a mid-run contention storm inflates a round's
+      // anchors and its other queries together and cancels, instead of
+      // landing whole in the published stats (the r15 record's medians
+      // were 4.85x its minima while the scalar control read 3.1x).
+      // Cells are sf0.1 quiet-equivalent medians, so (like `control`)
+      // ratios emit only at sf0.1, and (VERDICT r14 #2) only once a warm
+      // sample exists. Emitted surface:
+      //   ratio       sum(raw medians)/sum(cells)   — transparency
+      //   ratio_norm  sum(norm medians)/sum(cells)  — the gate aggregate
+      //   ratio_min   sum(norm minima)/sum(cells)   — storm-immune floor
+      //   ratios      raw per-query med/cell        — archive only
+      //   ratios_norm normalized per-query med/cell — archive only
+      //   over_2x     celled queries with norm med/cell > 2 (the gate)
+      //   over_2x_min celled queries with norm MIN/cell > 2 — survives
+      //               any storm: a query on neither list is noise, on
+      //               both is a code regression
+      //   spread      sum(norm med)/sum(norm min) — residual med-vs-min
+      //               spread AFTER normalization; an anchors-visible
+      //               storm cancels, so spread > 2 means intra-round
+      //               bursts the anchors could not see
+      //   gate_valid  stats exist AND spread <= 2 — when false, read
+      //               ratio_min/over_2x_min, not the medians
+      // `no_cell` = queries not yet promoted into the cells table.
+      val atCellSf = atCellSf0
       val cells = BaselineCells.cells
-      val ratios: Seq[(String, Double)] =
-        if (!atCellSf || !gateValid) Nil
-        else results.collect {
-          case (k, (med, _)) if med > 0 && cells.contains(k) =>
-            k -> math.round(med / cells(k) * 1000) / 1000.0
+      def r3d(d: Double): Double = math.round(d * 1000) / 1000.0
+      val resultsMap = results.toMap
+      val covered: Seq[(String, Double, Double, Double, Double)] =
+        if (!atCellSf || !statsEligible) Nil
+        else active.flatMap { k =>
+          (cells.get(k), resultsMap.get(k), normStats.get(k)) match {
+            case (Some(cell), Some((med, _)), Some((nmed, nmin)))
+                if med > 0 && nmed > 0 =>
+              Some((k, med, nmed, nmin, cell))
+            case _ => None
+          }
         }
-      val aggRatio: Option[Double] = {
-        val covered = results.collect {
-          case (k, (med, _)) if med > 0 && cells.contains(k) =>
-            (med, cells(k))
-        }
-        if (!atCellSf || !gateValid || covered.isEmpty) None
-        else Some(math.round(
-          covered.map(_._1).sum / covered.map(_._2).sum * 1000) / 1000.0)
+      val ratios = covered.map { case (k, med, _, _, c) => k -> r3d(med / c) }
+      val ratiosNorm =
+        covered.map { case (k, _, nmed, _, c) => k -> r3d(nmed / c) }
+      def aggOf(f: ((String, Double, Double, Double, Double)) => Double)
+          : Option[Double] =
+        if (covered.isEmpty) None
+        else Some(r3d(covered.map(f).sum / covered.map(_._5).sum))
+      val aggRatio = aggOf(_._2)
+      val ratioNorm = aggOf(_._3)
+      val ratioMin = aggOf(_._4)
+      val over2x = ratiosNorm.filter(_._2 > 2.0).map(_._1).sorted
+      val over2xMin = covered.collect {
+        case (k, _, _, nmin, c) if nmin / c > 2.0 => k }.sorted
+      val spread: Option[Double] = {
+        val minsSum = covered.map(_._4).sum
+        if (covered.isEmpty || minsSum <= 0) None
+        else Some(r3d(covered.map(_._3).sum / minsSum))
       }
-      val normDiv = controlRatio.getOrElse(1.0)
-      val over2x = ratios.filter(_._2 / normDiv > 2.0).map(_._1).sorted
+      val gateValid = covered.nonEmpty && spread.exists(_ <= 2.0)
       val noCell =
         if (!atCellSf) Nil
         else results.collect {
           case (k, (med, _)) if med >= 0 && !cells.contains(k) => k
         }
       val ratioJson = aggRatio.map(_.toString).getOrElse("null")
-      val ratioNormJson = aggRatio
-        .map(r => (math.round(r / normDiv * 1000) / 1000.0).toString)
-        .getOrElse("null")
-      // compact/degraded lines cap the list at 20 names so a
-      // pathologically hot run can't blow the 1,900 B tail budget; the
-      // archive JSON always carries the full list (and all ratios)
+      val ratioNormJson = ratioNorm.map(_.toString).getOrElse("null")
+      val ratioMinJson = ratioMin.map(_.toString).getOrElse("null")
+      val spreadJson = spread.map(_.toString).getOrElse("null")
+      // compact/degraded lines cap the list at 14 names (was 20; r16
+      // added gate_valid/spread/ratio_min and the storm-line over_2x_min,
+      // and a storm line carrying both lists must stay inside the 1,900 B
+      // tail budget); the archive JSON always carries the full lists
       val over2xJson = {
-        val shown = over2x.take(20).map(n => s""""$n"""")
-        val tail = if (over2x.size > 20)
-          Seq(s""""+${over2x.size - 20} more"""") else Nil
+        val shown = over2x.take(14).map(n => s""""$n"""")
+        val tail = if (over2x.size > 14)
+          Seq(s""""+${over2x.size - 14} more"""") else Nil
         (shown ++ tail).mkString("[", ",", "]")
       }
       val over2xFullJson =
         over2x.map(n => s""""$n"""").mkString("[", ",", "]")
+      val over2xMinFullJson =
+        over2xMin.map(n => s""""$n"""").mkString("[", ",", "]")
+      // compact-line variant of over_2x_min: only on a storm line
+      // (gate_valid false), capped at 10 — when the medians are invalid
+      // this list IS the actionable evidence, so it must reach the
+      // driver's tail; on a clean line the archive carries it
+      val over2xMinCompactJson =
+        if (gateValid || over2xMin.isEmpty) ""
+        else {
+          val shown = over2xMin.take(10).map(n => s""""$n"""")
+          val tail = if (over2xMin.size > 10)
+            Seq(s""""+${over2xMin.size - 10} more"""") else Nil
+          s""""over_2x_min":${(shown ++ tail).mkString("[", ",", "]")},"""
+        }
       val ratiosJson = ratios
+        .map { case (k, r) => s""""$k":$r""" }.mkString("{", ",", "}")
+      val ratiosNormJson = ratiosNorm
         .map { case (k, r) => s""""$k":$r""" }.mkString("{", ",", "}")
       val noCellJson = noCell.map(n => s""""$n"""").mkString("[", ",", "]")
       // per-family subtotals over the NON-baseline queries (the baseline
@@ -493,7 +602,7 @@ object Bench {
           .mkString("{", ",", "}")
         val qsMin = results.map { case (k, (_, mn)) => s""""$k":${fmt(mn)}""" }
           .mkString("{", ",", "}")
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"stat":"$stat","queries":$qs,"queries_min":$qsMin,"families":${familiesJson(fmt)},"control":$controlJson,"ratio":$ratioJson,"ratio_norm":$ratioNormJson,"ratios":$ratiosJson,"over_2x":$over2xFullJson,"no_cell":$noCellJson,"timed_failed":$tfJson,"warmup_failed":$wf,$shapeJson,"load_gate":$loadGateJson,"steal_run":$stealRunJson,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"stat":"$stat","queries":$qs,"queries_min":$qsMin,"families":${familiesJson(fmt)},"control":$controlJson,"controls":$controlsJson,"ratio":$ratioJson,"ratio_norm":$ratioNormJson,"ratio_min":$ratioMinJson,"gate_valid":$gateValid,"spread":$spreadJson,"ratios":$ratiosJson,"ratios_norm":$ratiosNormJson,"over_2x":$over2xFullJson,"over_2x_min":$over2xMinFullJson,"no_cell":$noCellJson,"timed_failed":$tfJson,"warmup_failed":$wf,$shapeJson,"load_gate":$loadGateJson,"steal_run":$stealRunJson,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
       }
       // self-archive FIRST (full precision): the driver captures only a
       // log TAIL, and round 5's record lost k1–k14/ns10–ns12 to
@@ -535,7 +644,7 @@ object Bench {
           val id = if (collided(k)) k else shortOf(k)
           s""""$id":${fmt(med)}"""
         }.mkString("{", ",", "}")
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"stat":"$stat","n":${results.size},"queries":$qs,"families":${familiesJson(fmt)},"control":$controlJson,"ratio":$ratioJson,"ratio_norm":$ratioNormJson,"over_2x":$over2xJson,"no_cell":${noCell.size},"timed_failed":$tfJson,"detail":"target/bench_latest.json","warmup_failed":$wf,$shapeJson,"load_gate":$loadGateJson,"steal_run":$stealRunJson,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"stat":"$stat","n":${results.size},"queries":$qs,"families":${familiesJson(fmt)},"control":$controlJson,"ratio":$ratioJson,"ratio_norm":$ratioNormJson,"ratio_min":$ratioMinJson,"gate_valid":$gateValid,"spread":$spreadJson,"over_2x":$over2xJson,${over2xMinCompactJson}"no_cell":${noCell.size},"timed_failed":$tfJson,"detail":"target/bench_latest.json","warmup_failed":$wf,$shapeJson,"load_gate":$loadGateJson,"steal_run":$stealRunJson,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}"""
       }
       // one compact line per flush; the driver's tail holds the last one
       // or two, and the LAST complete line is the record. Length gate: if
@@ -550,7 +659,7 @@ object Bench {
         // the degraded line still carries control AND timed_failed: a
         // total silently missing a failed query's time is exactly the
         // under-report the timed_failed invariant exists to prevent
-        println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_min":${r3(totalMin)},"stat":"$stat","queries":"overflow: see target/bench_latest.json","control":$controlJson,"ratio":$ratioJson,"ratio_norm":$ratioNormJson,"over_2x":$over2xJson,"timed_failed":$tfJson,"warmup_failed":$wf,$shapeJson,"load_gate":$loadGateJson,"steal_run":$stealRunJson,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}""")
+        println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_min":${r3(totalMin)},"stat":"$stat","queries":"overflow: see target/bench_latest.json","control":$controlJson,"ratio":$ratioJson,"ratio_norm":$ratioNormJson,"ratio_min":$ratioMinJson,"gate_valid":$gateValid,"spread":$spreadJson,"over_2x":$over2xJson,${over2xMinCompactJson}"timed_failed":$tfJson,"warmup_failed":$wf,$shapeJson,"load_gate":$loadGateJson,"steal_run":$stealRunJson,"loadavg":[$loadStart,$loadEnd],"sf":"$sfDir"}""")
       }
       System.out.flush()
     }

@@ -48,4 +48,42 @@ class BenchStatSpec extends AnyFunSuite {
     // cold failed, warm rounds fine: stats come from the warm samples
     assert(Bench.coldFirstStats(Vector(nan, 3.0, 2.0)) == ((2.0, 2.0)))
   }
+
+  // per-round controls + normalization (VERDICT r15 #1)
+
+  /** times function over the real anchor set: round r multiplies every
+    * anchor's quiet value by hot(r). */
+  private def anchorTimes(hot: Double*): String => Vector[Double] =
+    n => Bench.ControlAnchors.get(n)
+      .map(a => hot.map(h => a * h).toVector).getOrElse(Vector.empty)
+
+  test("roundControls: each round's control is its own anchor median") {
+    val ctrls = Bench.roundControls(anchorTimes(1.0, 2.5), 2)
+    assert(ctrls == Vector(Some(1.0), Some(2.5)))
+  }
+
+  test("roundControls: a round with fewer than 5 valid anchors is None") {
+    // only 3 anchors report a sample in round 0
+    val few = Bench.ControlAnchors.keys.toSeq.sorted.take(3).toSet
+    val times = (n: String) =>
+      if (few(n)) Vector(Bench.ControlAnchors(n)) else Vector.empty
+    assert(Bench.roundControls(times, 1) == Vector(None))
+    // NaN samples don't count toward the 5
+    val nanTimes = (n: String) => Bench.ControlAnchors.get(n)
+      .map(a => Vector(if (few(n)) a else nan)).getOrElse(Vector.empty)
+    assert(Bench.roundControls(nanTimes, 1) == Vector(None))
+  }
+
+  test("normalizeByRound cancels a per-round storm (the r15 failure)") {
+    // a query whose warm round ran under a 10x storm: raw median would be
+    // 20s; normalized by the round's own control it reads its true 2s
+    val ctrls = Vector(Some(1.0), Some(10.0))
+    val norm = Bench.normalizeByRound(Vector(2.0, 20.0), ctrls)
+    assert(norm == Vector(2.0, 2.0))
+    assert(Bench.coldFirstStats(norm) == ((2.0, 2.0)))
+    // rounds without a control stay raw; NaN markers pass through
+    val mixed = Bench.normalizeByRound(Vector(3.0, nan, 4.0),
+      Vector(None, Some(2.0), Some(2.0)))
+    assert(mixed(0) == 3.0 && mixed(1).isNaN && mixed(2) == 2.0)
+  }
 }
