@@ -56,10 +56,10 @@ object Dedup {
     * [[minhashLsh]] wall); far above it (the 100 TB corpus → ~200 TB of
     * postings) executor storage would thrash and the re-scan — pipelined,
     * pruned, codegen'd — is the cheaper side, so the plan falls back to
-    * recompute automatically. NOTE for long-lived sessions: construction
-    * of the affected plans runs the materialization jobs up front, and
-    * the blocks stay pinned until [[releaseCheckpoints]] is called on the
-    * consumed result (ADVICE r15 #1). */
+    * recompute automatically. Checkpoints are LAZY (r16): constructing a
+    * plan runs no job; blocks materialize inside the first consuming
+    * action and stay pinned afterwards until [[releaseCheckpoints]] is
+    * called on the consumed result (ADVICE r15 #1). */
   val defaultPostingsCheckpointBytes: Long = 64L << 30
 
   /** Driver-side postings-size estimate — Catalyst's own statistics for the
@@ -150,7 +150,7 @@ object Dedup {
     val sh = {
       val raw = shingles(docs, shingleK)
       if (postingsEst <= defaultPostingsCheckpointBytes)
-        raw.localCheckpoint(true)
+        raw.localCheckpoint(false)
       else raw
     }
 
@@ -191,7 +191,7 @@ object Dedup {
     // shingle→16-hash pipeline a second time (the Perceptual
     // checkpoint-then-filter pattern).
     val bands0 = bandKeys(
-      if (maxBandFreq == Long.MaxValue) mh else mh.localCheckpoint(true),
+      if (maxBandFreq == Long.MaxValue) mh else mh.localCheckpoint(false),
       numHashes, rowsPerBand)
     val bands =
       if (maxBandFreq == Long.MaxValue) bands0
@@ -225,41 +225,55 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
   }
 
-  /** Shared minhash front half: postings → (sketch bands, shingle sets).
-    * Same vocabulary-hashing trick as [[minhashLsh]], with the same
-    * auto-sizing: the 16 salted md5s run once per DISTINCT shingle and
-    * broadcast back onto postings while the estimated postings size fits
-    * [[defaultBroadcastBytes]]; beyond that they run map-side (bit-identical
-    * values, no broadcast). */
-  private def minhashOf(
+  /** Shared minhash front half, FUSED (r16, VERDICT r15 #5): ONE per-doc
+    * frame carrying both the sketch minima and the shingle set —
+    * (doc_id, mh0..mhN, s) — from a SINGLE doc-keyed aggregation. Every
+    * index/incremental caller consumes both the band keys and the
+    * verification sets, and the previous split (a mins aggregation plus a
+    * separate collect_set aggregation) shuffled the postings twice on the
+    * same key; fusing removes one full postings exchange per call — the
+    * set side dominates the combined shuffle, the 16 mins ride along as
+    * 8-byte agg states. Same auto-sized vocabulary hashing as
+    * [[minhashLsh]] (the 16 salted md5s run once per DISTINCT shingle
+    * and broadcast back while the estimated postings fit
+    * [[defaultBroadcastBytes]]; beyond that they run map-side) — values
+    * bit-identical either way.
+    *
+    * The result is LAZILY localCheckpoint'ed when the estimate fits
+    * [[defaultPostingsCheckpointBytes]]: it always has >= 2 consumers
+    * (band-key explode + set join/write), and LAZY means constructing
+    * the plan runs no job (ADVICE r15 #1) — blocks materialize inside
+    * the first consuming action and later consumers read them. Callers
+    * free them via [[releaseCheckpoints]]/ownership-guarded sweeps. */
+  private def minhashPerDoc(
       docs: DataFrame, shingleK: Int, numHashes: Int,
-      rowsPerBand: Int,
-      postingsEstimate: Option[BigInt] = None): (DataFrame, DataFrame) = {
+      postingsEstimate: Option[BigInt] = None,
+      forceCheckpoint: Boolean = false): DataFrame = {
     // callers that checkpoint `docs` first pass the PRE-checkpoint
     // estimate: a LogicalRDD reports the conservative default size,
     // which would silently disable the vocabulary/checkpoint paths
     val postingsEst = postingsEstimate
       .getOrElse(estimatedPostingsBytes(docs, shingleK))
-    // the returned postings feed the caller's verification sets as well
-    // as the hash pipeline below — same materialize-once rationale (and
-    // the same scale fallback) as [[minhashLsh]]
-    val sh = {
-      val raw = shingles(docs, shingleK)
-      if (postingsEst <= defaultPostingsCheckpointBytes)
-        raw.localCheckpoint(true)
-      else raw
-    }
+    val sh0 = shingles(docs, shingleK)
     val hashCols = (0 until numHashes).map(s =>
       md5Long(concat(col("shingle"), lit(s":$s"))).as(s"h$s"))
     val posted =
       if (postingsEst <= defaultBroadcastBytes) {
+        // two postings consumers on the vocab path (distinct build +
+        // probe): lazy-checkpoint under the cap so the scan+explode runs
+        // once inside the consuming action
+        val sh = if (postingsEst <= defaultPostingsCheckpointBytes)
+          sh0.localCheckpoint(false) else sh0
         val vocab = sh.select("shingle").distinct()
           .select(col("shingle") +: hashCols: _*)
         sh.join(broadcast(vocab), Seq("shingle"))
-      } else sh.select(col("doc_id") +: hashCols: _*)
+      } else sh0.select(Seq(col("doc_id"), col("shingle")) ++ hashCols: _*)
     val mhCols = (0 until numHashes).map(s => min(col(s"h$s")).as(s"mh$s"))
-    val mh = posted.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
-    (bandKeys(mh, numHashes, rowsPerBand), sh)
+    val agg = posted.groupBy(col("doc_id"))
+      .agg(mhCols.head, (mhCols.tail :+ collect_set(col("shingle")).as("s")): _*)
+    if (forceCheckpoint || postingsEst <= defaultPostingsCheckpointBytes)
+      agg.localCheckpoint(false)
+    else agg
   }
 
   /** D6 — incremental ingest dedup: which NEW documents survive against an
@@ -289,20 +303,23 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes % rowsPerBand != 0")
     // the exact-dup anti-join has THREE consumers (postings, verification
-    // sets via minhashOf's return, final anti-join) — materialize it once
-    // when the batch is checkpoint-small; estimates are taken before the
+    // sets, final anti-join) — LAZY-checkpoint it when the batch is
+    // checkpoint-small (materializes once inside the consuming action,
+    // no construction-time job); estimates are taken before the
     // checkpoint (LogicalRDD stats degrade to the conservative default)
     val newEst = estimatedPostingsBytes(newDocs, shingleK)
     val exactSurvivors = {
       val raw = newDocs.join(
         corpus.select(col("text")), Seq("text"), "left_anti")
-      if (newEst <= defaultPostingsCheckpointBytes) raw.localCheckpoint(true)
+      if (newEst <= defaultPostingsCheckpointBytes) raw.localCheckpoint(false)
       else raw
     }
 
-    val (newBands, newSh) = minhashOf(exactSurvivors, shingleK, numHashes,
-      rowsPerBand, postingsEstimate = Some(newEst))
-    val (corpusBands, corpusSh) = minhashOf(corpus, shingleK, numHashes, rowsPerBand)
+    val newPerDoc = minhashPerDoc(exactSurvivors, shingleK, numHashes,
+      postingsEstimate = Some(newEst))
+    val corpusPerDoc = minhashPerDoc(corpus, shingleK, numHashes)
+    val newBands = bandKeys(newPerDoc, numHashes, rowsPerBand)
+    val corpusBands = bandKeys(corpusPerDoc, numHashes, rowsPerBand)
 
     val cand = newBands.as("a").join(corpusBands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv"))
@@ -311,10 +328,10 @@ object Dedup {
 
     // batch-side sets broadcast when the batch's postings fit (the corpus
     // side stays shuffled — it is the big side by construction)
-    val newSets0 = newSh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("s"))
+    val newSets0 = newPerDoc.select(col("doc_id"), col("s"))
     val newSets = if (newEst <= defaultBroadcastBytes) broadcast(newSets0)
                   else newSets0
-    val corpusSets = corpusSh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("s"))
+    val corpusSets = corpusPerDoc.select(col("doc_id"), col("s"))
     val nearDupIds = cand
       .join(newSets.as("x"), col("doc_a") === col("x.doc_id"))
       .join(corpusSets.as("y"), col("doc_b") === col("y.doc_id"))
@@ -350,15 +367,19 @@ object Dedup {
     require(numHashes % rowsPerBand == 0, "numHashes % rowsPerBand != 0")
     val spark = corpus.sparkSession
     IndexSidecar.buildAndPublish(spark, path) { tmp =>
-      val (bands, sh) = minhashOf(corpus, shingleK, numHashes, rowsPerBand)
-      bands.write.mode("overwrite").parquet(s"$tmp/bands")
-      sh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("s"))
+      // ONE fused per-doc aggregation feeds both artifacts: the bands
+      // write materializes the lazy checkpoint, the sets write reads its
+      // blocks — one postings shuffle total where the split shape paid
+      // two (r16, VERDICT r15 #5)
+      val perDoc = minhashPerDoc(corpus, shingleK, numHashes)
+      bandKeys(perDoc, numHashes, rowsPerBand)
+        .write.mode("overwrite").parquet(s"$tmp/bands")
+      perDoc.select(col("doc_id"), col("s"))
         .write.mode("overwrite").parquet(s"$tmp/sets")
-      // the postings checkpoint minhashOf may hold is dead once both
-      // artifacts are written — a long-lived session must not retain it
-      // (ownership-guarded: when minhashOf skipped its checkpoint, sh's
-      // only leaves are the caller's corpus blocks, which must survive)
-      unpersistOwnCheckpoints(sh, corpus)
+      // the checkpoints perDoc may hold are dead once both artifacts are
+      // written — a long-lived session must not retain them (ownership-
+      // guarded: a caller-checkpointed corpus must survive)
+      unpersistOwnCheckpoints(perDoc, corpus)
       corpus.select(md5(col("text").cast("binary")).as("th")).distinct()
         .write.mode("overwrite").parquet(s"$tmp/texthash")
       IndexSidecar.write(spark, metaPath(tmp.toString),
@@ -393,10 +414,31 @@ object Dedup {
     val meta = readSidecar(spark, path)
     val (shingleK, numHashes, rowsPerBand) = (meta("shingleK").toInt,
       meta("numHashes").toInt, meta("rowsPerBand").toInt)
-    val acc = accepted.select(col("doc_id"), col("text")).localCheckpoint(true)
-    val (bands, sh) = minhashOf(acc, shingleK, numHashes, rowsPerBand)
-    bands.write.mode("append").parquet(s"$path/bands")
-    sh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("s"))
+    val accSrc = accepted.select(col("doc_id"), col("text"))
+    // a caller passing an ALREADY-materialized batch (the probe output
+    // the lifecycle naturally feeds back, eagerly checkpointed by the
+    // caller — ns18/StreamingDedup) needs no second copy: LogicalRDD /
+    // LocalRelation leaves cannot observe this method's own appends, so
+    // the self-read hazard the checkpoint exists for is absent. The
+    // batch-size estimate is taken pre-checkpoint either way.
+    val accEst = estimatedPostingsBytes(accSrc, shingleK)
+    val preMaterialized = accSrc.queryExecution.analyzed.collectLeaves()
+      .forall {
+        case _: org.apache.spark.sql.execution.LogicalRDD => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          true
+        case _ => false
+      }
+    val acc = if (preMaterialized) accSrc else accSrc.localCheckpoint(true)
+    // force the fused frame's checkpoint even when the batch arrives as a
+    // LogicalRDD whose default stats overflow every cap: an ingest tick
+    // is tick-sized by contract (<< corpus), and without blocks the sets
+    // write would re-shuffle the postings the bands write just built
+    val perDoc = minhashPerDoc(acc, shingleK, numHashes,
+      postingsEstimate = Some(accEst), forceCheckpoint = true)
+    bandKeys(perDoc, numHashes, rowsPerBand)
+      .write.mode("append").parquet(s"$path/bands")
+    perDoc.select(col("doc_id"), col("s"))
       .write.mode("append").parquet(s"$path/sets")
     acc.select(md5(col("text").cast("binary")).as("th")).distinct()
       .write.mode("append").parquet(s"$path/texthash")
@@ -404,10 +446,10 @@ object Dedup {
       IndexSidecar.write(spark, metaPath(path),
         s"shingleK=$shingleK\nnumHashes=$numHashes\nrowsPerBand=$rowsPerBand\nfingerprint=$f")
     }
-    // sh first: when minhashOf skipped its own checkpoint, sh's only
-    // checkpoint leaf IS acc, so both calls resolve to the same blocks
-    unpersistCheckpoint(sh)
-    unpersistCheckpoint(acc)
+    // frees everything this method materialized — perDoc's blocks plus
+    // acc's when acc is our own checkpoint (a pre-materialized batch
+    // belongs to the CALLER, who may still consume it — ns18's union)
+    unpersistOwnCheckpoints(perDoc, accepted)
   }
 
   /** Copy a persisted index to a new location (Hadoop-FS-portable). Used to
@@ -497,8 +539,8 @@ object Dedup {
     }
 
     // the index anti-join has three consumers (postings, sets, final
-    // anti-join) — same materialize-once shape as [[incrementalNew]],
-    // with the estimate taken pre-checkpoint
+    // anti-join) — same lazy materialize-once shape as
+    // [[incrementalNew]], with the estimate taken pre-checkpoint
     val newEst = estimatedPostingsBytes(newDocs, shingleK)
     val exactSurvivors = {
       val raw = newDocs
@@ -506,21 +548,20 @@ object Dedup {
         .join(spark.read.parquet(s"$path/texthash"),
           col("__th") === col("th"), "left_anti")
         .drop("__th")
-      if (newEst <= defaultPostingsCheckpointBytes) raw.localCheckpoint(true)
+      if (newEst <= defaultPostingsCheckpointBytes) raw.localCheckpoint(false)
       else raw
     }
 
-    val (newBands, newSh) =
-      minhashOf(exactSurvivors, shingleK, numHashes, rowsPerBand,
-        postingsEstimate = Some(newEst))
+    val newPerDoc = minhashPerDoc(exactSurvivors, shingleK, numHashes,
+      postingsEstimate = Some(newEst))
+    val newBands = bandKeys(newPerDoc, numHashes, rowsPerBand)
     val cand = newBands.as("a")
       .join(spark.read.parquet(s"$path/bands").as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    val newSets0 = newSh.groupBy(col("doc_id"))
-      .agg(collect_set(col("shingle")).as("s"))
+    val newSets0 = newPerDoc.select(col("doc_id"), col("s"))
     val newSets = if (newEst <= defaultBroadcastBytes) broadcast(newSets0)
                   else newSets0
     val nearDupIds = cand
@@ -600,7 +641,7 @@ object Dedup {
     * join, where the pair aggregation re-acquires its exchange
     * (correctness unchanged). Pass `broadcastPostings = Some(true/false)`
     * to pin the decision. `reuseShingles` materializes the postings once
-    * (eager localCheckpoint) for its three consumers instead of recomputing
+    * (lazy localCheckpoint) for its three consumers instead of recomputing
     * scan+explode+distinct per consumer. */
   def ngramJaccard(
       docs: DataFrame,
@@ -611,7 +652,7 @@ object Dedup {
       broadcastPostings: Option[Boolean] = None,
       broadcastThresholdBytes: Long = defaultBroadcastBytes): DataFrame = {
     val sh0raw = shingles(docs, shingleK)
-    val sh0 = if (reuseShingles) sh0raw.localCheckpoint(true) else sh0raw
+    val sh0 = if (reuseShingles) sh0raw.localCheckpoint(false) else sh0raw
     val sh =
       if (maxDocFreq == Long.MaxValue) sh0
       else {
@@ -912,7 +953,7 @@ object Dedup {
     // join); checkpoint so the scan+explode runs once (ns4's postings
     // pattern) instead of Catalyst duplicating the subtree
     val posGrams0 = positionalShingles(corpus, shingleK)
-    val posGrams = if (reuseGrams) posGrams0.localCheckpoint(true) else posGrams0
+    val posGrams = if (reuseGrams) posGrams0.localCheckpoint(false) else posGrams0
     val keepers = posGrams.groupBy(col("shingle"))
       .agg(min(col("doc_id")).as("keeper"),
         countDistinct(col("doc_id")).as("n_docs"))
@@ -1011,41 +1052,107 @@ object Dedup {
     *
     * Returns (doc_id, cluster) for every doc that appears in a pair;
     * cluster == the component's min doc_id (so survivors are the rows
-    * where doc_id == cluster). */
+    * where doc_id == cluster).
+    *
+    * Execution is AUTO-SIZED (r16, VERDICT r15 #5): the deduplicated
+    * edge list is checkpointed once either way (the loop needs it too),
+    * and a cheap count over those cached blocks picks the regime —
+    * at or under `driverResolveMaxEdges` rows the components resolve as
+    * an in-driver union-find (zero loop jobs; the label table returns as
+    * a LocalRelation, so downstream survivor/size joins broadcast), and
+    * above it the iterative join loop runs ([[resolveClustersCounted]]).
+    * The gate is a MEASURED count, not a Catalyst estimate — pair
+    * frames arrive through band joins whose cardinality estimates are
+    * meaningless — and the driver state is bounded at ~48 MB. Dedup
+    * cluster graphs are small relative to the corpus in the common case
+    * (that is the point of deduplication); the 100 TB clique regime
+    * crosses the gate and keeps the distributed loop. */
   def resolveClusters(pairs: DataFrame, maxIterations: Int = 64,
-      hops: Int = 1): DataFrame =
-    resolveClustersCounted(pairs, maxIterations, hops)._1
+      hops: Int = 1,
+      driverResolveMaxEdges: Long = defaultDriverResolveMaxEdges): DataFrame = {
+    val edges = edgeListOf(pairs)
+    if (edges.count() <= driverResolveMaxEdges) {
+      val labels = driverUnionFind(edges)
+      unpersistCheckpoint(edges)
+      labels
+    } else loopFromEdges(edges, maxIterations, hops)._1
+  }
 
-  /** [[resolveClusters]] plus the number of rounds it took — the scale
-    * proof pins rounds ≤ ⌈log₂ diameter⌉ + 2 on a path graph with this. */
+  /** Driver-side cap for [[resolveClusters]]'s union-find fast path, in
+    * edge rows (pairs explode 4x into directed edges + self-loops, so
+    * this is ~256k pairs): 1M (Long, Long) rows collect to ~48 MB of
+    * driver heap, transient. Above the cap the distributed loop runs. */
+  val defaultDriverResolveMaxEdges: Long = 1L << 20
+
+  /** The shared edge construction: each pair explodes to both directions
+    * PLUS both self-loops, one distinct, one lazy checkpoint —
+    * materialized by the wrapper's count gate or the loop's first round,
+    * whichever consumes it first (r15: was
+    * three eager checkpoints whose fixed job cost dominated small pair
+    * graphs). Self-loops mean "adopt the smallest label among self +
+    * neighbors" is one join-agg per round, and they double as the node
+    * list — round-0 labels are a lazy projection over the same
+    * checkpoint blocks, not their own.
+    *
+    * (measured r15: pre-partitioning by src before the checkpoint does
+    * NOT survive into the loop's join planning on Spark 4.1 + AQE — the
+    * LogicalRDD comes back without usable HashPartitioning, so the extra
+    * setup shuffle bought nothing and quadrupled task counts; the
+    * per-round edges shuffle stays, priced at one exchange of the pair
+    * graph per round) */
+  private def edgeListOf(pairs: DataFrame): DataFrame = pairs
+    .select(col("doc_a").cast("long").as("a"),
+      col("doc_b").cast("long").as("b"))
+    .select(explode(array(
+      struct(col("a").as("src"), col("b").as("dst")),
+      struct(col("b").as("src"), col("a").as("dst")),
+      struct(col("a").as("src"), col("a").as("dst")),
+      struct(col("b").as("src"), col("b").as("dst")))).as("e"))
+    .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    .distinct()
+    .localCheckpoint(false)
+
+  /** In-driver union-find over a gate-small checkpointed edge list:
+    * union-by-min (the smaller root adopts, so every root IS its
+    * component's minimum) with full path compression on find. Labels
+    * return as a LocalRelation — identical rows to the loop's output. */
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long](es.length * 2)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val out = new Array[(Long, Long)](parent.size())
+    val it = parent.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { val id = it.next(); out(i) = (id, find(id)); i += 1 }
+    out.toSeq.toDF("doc_id", "cluster")
+  }
+
+  /** [[resolveClusters]] plus the number of rounds it took — ALWAYS the
+    * distributed loop (no driver fast path), so the scale proof and the
+    * round-count specs pin the loop itself: rounds ≤ ⌈log₂ diameter⌉ + 2
+    * on a path graph. */
   private[graft] def resolveClustersCounted(pairs: DataFrame,
-      maxIterations: Int = 64, hops: Int = 1): (DataFrame, Int) = {
+      maxIterations: Int = 64, hops: Int = 1): (DataFrame, Int) =
+    loopFromEdges(edgeListOf(pairs), maxIterations, hops)
+
+  private def loopFromEdges(edges: DataFrame,
+      maxIterations: Int, hops: Int): (DataFrame, Int) = {
     require(hops >= 1, s"hops must be >= 1, got $hops")
-    // ONE setup pass (r15: was three eager checkpoints — undirected,
-    // edges, round-0 labels — whose fixed job cost dominated small pair
-    // graphs, the common dedup case where clusters are rare relative to
-    // the corpus): each pair explodes to both directions PLUS both
-    // self-loops, one distinct, one checkpoint. Self-loops mean "adopt
-    // the smallest label among self + neighbors" is one join-agg per
-    // round, and they double as the node list — round-0 labels are a
-    // lazy projection over the same checkpoint blocks, not their own.
-    val edges = pairs
-      .select(col("doc_a").cast("long").as("a"),
-        col("doc_b").cast("long").as("b"))
-      .select(explode(array(
-        struct(col("a").as("src"), col("b").as("dst")),
-        struct(col("b").as("src"), col("a").as("dst")),
-        struct(col("a").as("src"), col("a").as("dst")),
-        struct(col("b").as("src"), col("b").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct()
-      // (measured r15: pre-partitioning by src before the checkpoint does
-      // NOT survive into the loop's join planning on Spark 4.1 + AQE —
-      // the LogicalRDD comes back without usable HashPartitioning, so the
-      // extra setup shuffle bought nothing and quadrupled task counts;
-      // the per-round edges shuffle stays, priced at one exchange of the
-      // pair graph per round)
-      .localCheckpoint(true)
     var labels = edges.where(col("src") === col("dst"))
       .select(col("src").as("doc_id"), col("src").as("cluster"))
     var labelsIsCheckpoint = false // round-0 labels share the edges blocks
@@ -1132,11 +1239,11 @@ object Dedup {
 
   /** PUBLIC release hook for the checkpoint blocks a dedup plan pins
     * (ADVICE r15 #1). [[minhashLsh]], [[ngramJaccard]], [[incrementalNew]]
-    * and the index probes materialize their shingle postings ONCE (eager
-    * `localCheckpoint`, under [[defaultPostingsCheckpointBytes]]) at
-    * DataFrame-construction time — the returned frame then reads those
-    * executor blocks instead of recomputing the scan→explode pipeline per
-    * consumer. graft's own mains sweep them (`getPersistentRDDs` between
+    * and the index probes materialize their shingle postings ONCE (lazy
+    * `localCheckpoint`, under [[defaultPostingsCheckpointBytes]]) inside
+    * the first action over the returned frame — later consumers read
+    * those executor blocks instead of recomputing the scan→explode
+    * pipeline. graft's own mains sweep them (`getPersistentRDDs` between
     * bench queries; per-write frees in the index builders), but a
     * long-lived EXTERNAL session that constructs these plans repeatedly
     * pins memory+disk until the blocks are GC'd. Call this after the
@@ -1210,7 +1317,7 @@ object Dedup {
             s"i -> concat_ws(' ', slice(w, i + 1, $shingleK)))"))
           .otherwise(expr("array()"))).as("shingle"))
       .distinct()
-      .localCheckpoint(true) // three consumers: pair probe, build, sizes
+      .localCheckpoint(false) // three consumers: pair probe, build, sizes
     val sizes = sg.groupBy(col("src")).agg(count(lit(1)).as("n"))
     val shared = sg.as("a").join(sg.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.src") < col("b.src"))
@@ -1261,7 +1368,7 @@ object Dedup {
     // so the C-dot-product assignment scan runs once, not per consumer
     val assigned = corpus.withColumn("cell",
         array_max(Similarity.cellScores(col("v"), centroids)).getField("c"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // bool_or over the per-pair predicate: one row out per vector that has
     // any qualifying lower-id cellmate — no DISTINCT over pair output
     val dups = assigned.as("a").join(assigned.as("b"),

@@ -475,7 +475,10 @@ object ScaleProof {
     def ns81Clusters(dir: String): DataFrame = {
       val pairs = graft.SparkEntry.queries("ns81_image_neardup")(spark, dir)
         .select(col("doc_a"), col("doc_b"))
-      graft.ops.Dedup.resolveClusters(pairs)
+      // the loop core, NOT the auto-sized wrapper: the decade proof pins
+      // the distributed loop's growth (the 1x leg would otherwise take
+      // the r16 driver union-find fast path and contaminate the ratio)
+      graft.ops.Dedup.resolveClustersCounted(pairs)._1
     }
     // ns90 inherits ns81's adjudication verbatim: the copy-amplified
     // corpus makes same-copy docs synthesize IDENTICAL WAVs → hamming-0
@@ -485,7 +488,7 @@ object ScaleProof {
     def ns90Clusters(dir: String): DataFrame = {
       val pairs = graft.SparkEntry.queries("ns90_audio_neardup")(spark, dir)
         .select(col("doc_a"), col("doc_b"))
-      graft.ops.Dedup.resolveClusters(pairs)
+      graft.ops.Dedup.resolveClustersCounted(pairs)._1  // loop core, as ns81
     }
     def ns37Scaled(dir: String): DataFrame = {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -295,18 +295,36 @@ class DedupSpec extends AnyFunSuite {
 
   test("resolveClusters collapses chains to the transitive component") {
     // 1~2, 2~3 (A~B~C chain: 1 and 3 never paired directly), plus the
-    // isolated pair 5~6 — doc 4 is in no pair and must not appear
+    // isolated pair 5~6 — doc 4 is in no pair and must not appear.
+    // This small graph exercises the r16 driver union-find fast path.
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
     val labels = Dedup.resolveClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("resolveClusters: fast path and distributed loop agree; the edge " +
+    "gate picks the loop when forced") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L), (7L, 7L))
+      .toDF("doc_a", "doc_b")
+    val viaLoop = Dedup.resolveClustersCounted(pairs)._1.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaFast = Dedup.resolveClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // driverResolveMaxEdges = 0 forces the wrapper onto the loop
+    val viaForcedLoop =
+      Dedup.resolveClusters(pairs, driverResolveMaxEdges = 0L).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaFast == viaLoop)
+    assert(viaForcedLoop == viaLoop)
+  }
+
   test("resolveClusters converges on a long chain (pointer jumping)") {
     // a 100-link path has diameter 100; pointer jumping must resolve it
-    // well inside the iteration cap
+    // well inside the iteration cap (the Counted core is ALWAYS the loop)
     val chain = (0L until 100L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val labels = Dedup.resolveClusters(chain, maxIterations = 12).collect()
+    val labels =
+      Dedup.resolveClustersCounted(chain, maxIterations = 12)._1.collect()
     assert(labels.length == 101)
     assert(labels.forall(_.getLong(1) == 0L))
   }
@@ -366,9 +384,10 @@ class DedupSpec extends AnyFunSuite {
     val labels =
       try {
         // deterministic 2-round graph: round 1 moves labels (chain collapse
-        // + hop), round 2 observes the fixpoint
+        // + hop), round 2 observes the fixpoint. Counted core = the loop
+        // (the wrapper would take the r16 driver fast path on this size).
         val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
-        val out = Dedup.resolveClusters(pairs)
+        val out = Dedup.resolveClustersCounted(pairs)._1
         // the listener bus is async — poll until the counter stabilizes
         var prev = -1
         var tries = 0
