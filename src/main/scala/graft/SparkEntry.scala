@@ -223,7 +223,6 @@ object SparkEntry {
         posexplode(col("bin_counts")).as(Seq("dim", "n_in_bin")))
       .select(col("doc_id"), col("dim").cast("long").as("dim"),
         col("n_in_bin"), col("n_bytes"))
-      .orderBy("doc_id", "dim")
 
   /** NS14 — incremental ingest dedup: the 20% of docs with doc_id % 5 = 0
     * arrive as a "new batch" and are deduplicated (exact + minhash near-dup)
@@ -341,7 +340,7 @@ object SparkEntry {
     graft.ops.Dedup.updateMinhashIndex(tick1, work)
     val tick2 = graft.ops.Dedup.incrementalNewFromIndex(
       docs(s, dir).where(col("doc_id") % 10 === 5), work)
-    tick1.union(tick2).orderBy("doc_id")
+    tick1.union(tick2)
   }
 
   /** NS20 — IVF index lifecycle: ANN serving that stays current across
@@ -438,7 +437,6 @@ object SparkEntry {
       maxSad = 128L)
     tick1.select(col("doc_id"), col("phash"))
       .union(tick2.select(col("doc_id"), col("phash")))
-      .orderBy("doc_id")
   }
 
   /** NS22 — PII scrubbing: emails / IPv4s / phone numbers redacted from
@@ -458,7 +456,6 @@ object SparkEntry {
         lit(".0."), ((col("doc_id") * 7) % 256).cast("string")).as("text"))
     graft.ops.Privacy.scrubPii(injected)
       .select("doc_id", "n_emails", "n_ipv4", "n_phones", "text")
-      .orderBy("doc_id")
   }
 
   /** NS23 — deterministic stratified sampling: rebalance the corpus by
@@ -469,7 +466,6 @@ object SparkEntry {
     graft.ops.Sampling.stratifiedSample(
         docs(s, dir), "lang", Map("en" -> 0.25, "fr" -> 0.5))
       .select("doc_id", "lang", "source", "n_chars")
-      .orderBy("doc_id")
 
   /** NS24 — Gopher-style repetition stats: duplicate-word and
     * duplicate-2-gram fractions with a repetitiveness flag, as in-row
@@ -487,20 +483,18 @@ object SparkEntry {
     graft.ops.Events.sessionize(
         graft.ops.Events.tsMicros(Tables.load(s, dir, "events")),
         gap = 28800L * 1000000L)
-      .orderBy("user_id", "session_idx")
 
   /** NS26 — sequence packing: deterministic (seq_id, seq_off) slots inside
     * 2048-token training sequences, packed per language in doc_id order
     * (one shuffle, in-partition running sum). */
   private def ns26(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Sampling.packSequences(docs(s, dir)).orderBy("doc_id")
+    graft.ops.Sampling.packSequences(docs(s, dir))
 
   /** NS27 — semi-structured property rollup: a numeric field extracted
     * from the JSON props column (codegen'd get_json_object) aggregated per
     * event type with exact-integer / selection aggregates only. */
   private def ns27(s: SparkSession, dir: String): DataFrame =
     graft.ops.Events.enrichProps(Tables.load(s, dir, "events"))
-      .orderBy("event_type")
 
   /** NS28 — as-of join: each purchase attributed to the user's most recent
     * strictly-preceding click (left-outer: purchases with no prior click
@@ -516,7 +510,6 @@ object SparkEntry {
         ev.where(col("event_type") === "click")
           .select("user_id", "ts", "event_id"))
       .withColumn("gap_us", col("ts") - col("asof_ts"))
-      .orderBy("event_id")
   }
 
   /** NS29 — boilerplate detection: per-doc fraction of 3-grams shared by
@@ -558,7 +551,6 @@ object SparkEntry {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         sum(col("l_quantity").cast("long")).as("sum_qty"))
-      .orderBy(col("o_orderpriority"))
 
   /** NS33 — corpus length distribution per language: exact interpolated
     * quartiles via rank arithmetic (no per-group buffering — Spark's own
@@ -606,7 +598,7 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens")),
       Seq("doc_id"))
     graft.ops.Sampling.packSequences(counted, tokenBudget = 512,
-      tokenCountCol = Some("n_tokens")).orderBy("doc_id")
+      tokenCountCol = Some("n_tokens"))
   }
 
   /** NS54 — count-min heavy hitters: token frequencies estimated from a
@@ -635,7 +627,6 @@ object SparkEntry {
     // operator's real big-dim machinery, ns32's pattern
     graft.ops.Joins.bloomSemiJoin(l, o, "l_orderkey",
         forceBloom = Some(true))
-      .orderBy("l_orderkey", "l_linenumber")
   }
 
   /** NS56 — snapshot diff: the re-crawl change-feed. The "new" snapshot is
@@ -699,7 +690,6 @@ object SparkEntry {
     graft.ops.Sketches.cmsEstimateFromSketch(
         s, work, spaceTokens(docs(s, dir).where(col("doc_id") < 10)), "token")
       .where(col("cms_count") >= 200)
-      .orderBy(col("cms_count").desc, col("token"))
   }
 
   /** NS58 — Z-order layout: documents rewritten clustered on the
@@ -717,7 +707,6 @@ object SparkEntry {
         col("doc_id").between(100, 300))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-      .orderBy(col("lang"))
   }
 
   /** NS52 — IVF-PQ with exact re-ranking: the ns35 ADC stage widened to
@@ -743,7 +732,7 @@ object SparkEntry {
     val injected = docs(s, dir).select(col("doc_id"),
       concat(col("text"),
         lit(" café naïve armeé")).as("text"))
-    graft.ops.TextAnalysis.normalizeText(injected).orderBy("doc_id")
+    graft.ops.TextAnalysis.normalizeText(injected)
   }
 
   /** NS37 — semantic dedup (SemDeDup): embeddings clustered by the ns13
@@ -791,7 +780,6 @@ object SparkEntry {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"))
-      .orderBy(col("source"))
   }
 
   /** NS42 — k-means-trained IVF: two Lloyd iterations refine the md5
@@ -819,7 +807,6 @@ object SparkEntry {
         keys = Seq("user_id"), bucket = win)
       .select(col("purchase_id"), col("view_id"), col("user_id"),
         (col("end_ts") - col("ts")).as("lead_us"))
-      .orderBy("purchase_id", "view_id")
   }
 
   /** NS44 — engine-reproducible HLL distinct sketch: per-language
@@ -839,7 +826,6 @@ object SparkEntry {
     graft.ops.Sampling.mixCorpus(docs(s, dir), "lang",
         Map("en" -> 4.0, "de" -> 2.0, "fr" -> 2.0, "es" -> 1.0, "zh" -> 1.0))
       .select("doc_id", "lang", "source")
-      .orderBy("doc_id")
 
   /** NS46 — train/valid/test split: every doc labeled 90/5/5 by hash
     * bucket range — exhaustive, disjoint, retry-stable, engine-portable.
@@ -848,7 +834,6 @@ object SparkEntry {
     graft.ops.Sampling.splitCorpus(docs(s, dir),
         Map("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
       .select("doc_id", "lang", "split")
-      .orderBy("doc_id")
 
   /** NS47 — cross-source overlap matrix: distinct shared 3-grams (and the
     * fraction of the smaller vocabulary) for every source pair — the
@@ -864,7 +849,6 @@ object SparkEntry {
   private def ns48(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sampling.sampleExact(docs(s, dir), "lang", k = 10)
       .select("doc_id", "lang")
-      .orderBy("doc_id")
 
   /** NS49 — per-language length histogram: exact 50-char buckets (last
     * bucket clamps outliers) — the distribution shape behind ns33's
@@ -935,7 +919,6 @@ object SparkEntry {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         sum(col("l_quantity").cast("long")).as("sum_qty"))
-      .orderBy(col("o_orderpriority"))
   }
 
   /** NS16 — near-dup survivor resolution: ns2's minhash pairs → connected
@@ -1007,7 +990,6 @@ object SparkEntry {
         docs(s, dir).select(col("doc_id"),
           concat(col("text"), blurb).as("text")))
       .select(col("doc_id"), col("n_cands"), col("n_redacted"), col("text"))
-      .orderBy(col("doc_id"))
   }
 
   /** NS67 — leaked-credential scrubbing: every doc carries one valid
@@ -1032,7 +1014,6 @@ object SparkEntry {
           concat(col("text"), blurb).as("text")))
       .select(col("doc_id"), col("n_aws_keys"), col("n_gh_tokens"),
         col("n_jwts"), col("n_hex_secrets"), col("text"))
-      .orderBy(col("doc_id"))
   }
 
   private val ns68Banner = "every mirror of this crawl shares this banner line"
@@ -1194,7 +1175,6 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
       "n_chars", Seq("lang"), numBuckets = 4, binWidth = 16)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("bucket"))
-      .orderBy(col("doc_id"))
 
   /** NS81 — perceptual-hash image near-dup
     * ([[graft.ops.Perceptual.nearDupPairs]] over
@@ -1301,7 +1281,6 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_frames"),
         count_distinct(col("orig")).as("n_docs"))
       .where(col("n_frames") > 1)
-      .orderBy(col("phash"))
   }
 
   /** The ns82 media-family synthesis: per 5-id family over the documents
@@ -1358,7 +1337,7 @@ object SparkEntry {
     graft.ops.Perceptual.updatePhashIndex(tick1, work)
     val tick2 = graft.ops.Perceptual.incrementalNewFromPhashIndex(
       fam.where(col("doc_id") % 5 === 2 || col("doc_id") % 5 === 3), work)
-    tick1.union(tick2).orderBy("doc_id")
+    tick1.union(tick2)
   }
 
   /** NS84 — blocked fuzzy record linkage
@@ -1521,7 +1500,6 @@ object SparkEntry {
         PathSpec("j_title", "$.doc.title", "string")))
       .select(col("doc_id"), col("ok"), col("j_lang"), col("j_source"),
         col("j_chars"), col("j_words"), col("j_tag0"), col("j_title"))
-      .orderBy(col("doc_id"))
   }
 
   /** NS102 — SFT sample assembly ([[graft.ops.Assembly
@@ -1539,7 +1517,6 @@ object SparkEntry {
     graft.ops.Assembly.assembleSamples(
         graft.ops.Events.tsMicros(Tables.load(s, dir, "events")),
         gap = 28800L * 1000000L, tokenBudget = 12L)
-      .orderBy("user_id", "session_idx")
 
   /** NS103 — majority-vote label resolution ([[graft.ops.Annotation
     * .resolveLabels]]): five deterministic synthetic annotators per
@@ -1560,7 +1537,6 @@ object SparkEntry {
         "CASE WHEN h % 10 < 2 THEN concat('alt', CAST(h DIV 10 % 3 AS STRING))" +
           " ELSE lang END"))
     graft.ops.Annotation.resolveLabels(votes, "doc_id", "vote_label")
-      .orderBy("doc_id")
   }
 
   /** NS104 — leakage-safe fold assignment ([[graft.ops.Sampling
@@ -1582,7 +1558,6 @@ object SparkEntry {
     val twins = d.where(col("doc_id") % 7 === 0)
       .withColumn("doc_id", col("doc_id") + lit(shift))
     graft.ops.Sampling.leakSafeFolds(d.unionByName(twins), "text", folds = 10)
-      .orderBy("doc_id")
   }
 
   /** NS105 — preference-pair extraction ([[graft.ops.Preference
@@ -1603,7 +1578,6 @@ object SparkEntry {
           " % 1000"))
     graft.ops.Preference.extractPairs(
         cands, "doc_id", "resp", "score", minMargin = 100L)
-      .orderBy("doc_id", "chosen", "rejected")
   }
 
   /** NS106 — contrastive negative sampling ([[graft.ops.Sampling
@@ -1617,7 +1591,6 @@ object SparkEntry {
   private def ns106(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sampling.sampleNegatives(
         docs(s, dir).select(col("doc_id")), "doc_id", k = 4, seed = 42L)
-      .orderBy("anchor", "slot")
 
   /** Build-once version-partitioned parquet scratch for the
     * schema-evolution legs (the ns94 fingerprint-keyed contract):
@@ -1658,7 +1631,6 @@ object SparkEntry {
     graft.sources.Evolved.readMerged(s, evolvedScratch(s, dir))
       .select(col("doc_id"), col("version").cast("long").as("version"),
         col("lang"), col("quality"), col("n_chars"))
-      .orderBy("doc_id")
 
   /** NS108 — schema drift report ([[graft.sources.Evolved
     * .driftReport]]): per generation, which columns of the union it
@@ -1670,7 +1642,6 @@ object SparkEntry {
         graft.sources.Evolved.readMerged(s, evolvedScratch(s, dir))
           .withColumn("version", col("version").cast("long")),
         "version", Seq("lang", "quality"))
-      .orderBy("version")
 
   /** NS109 — group-wise winsorization ([[graft.ops.Quality
     * .winsorize]]): per-language p95 capping of document length by
@@ -1683,7 +1654,6 @@ object SparkEntry {
   private def ns109(s: SparkSession, dir: String): DataFrame =
     graft.ops.Quality.winsorize(
         docs(s, dir), "lang", "n_chars", "doc_id", p = 19, q = 20)
-      .orderBy("doc_id")
 
   /** NS110 — thread linearization ([[graft.ops.Graphs
     * .linearizePaths]]): a synthetic 3-ary reply forest over the
@@ -1698,7 +1668,6 @@ object SparkEntry {
       when(col("doc_id") === 0, lit(null).cast("long"))
         .otherwise(expr("(doc_id - 1) DIV 3")).as("parent"))
     graft.ops.Graphs.linearizePaths(nodes, "doc_id", "parent")
-      .orderBy("doc_id")
   }
 
   /** NS111 — late-interaction maxsim retrieval ([[graft.ops.Similarity
@@ -1724,7 +1693,6 @@ object SparkEntry {
         graft.ops.Events.tsMicros(Tables.load(s, dir, "events"))
           .select(col("event_id"), col("user_id"), col("ts")),
         "user_id", "ts", "event_id", p = 1, q = 5)
-      .orderBy("event_id")
 
   /** NS113 — FK orphan audit ([[graft.ops.Integrity.fkOrphans]]): the
     * read-side complement of the subsetter's FK discipline — for each
@@ -1750,7 +1718,6 @@ object SparkEntry {
           cust.where(col("c_nationkey") === 0), "c_custkey"),
         FkEdge("lineitem->orders", li, "l_orderkey", ord, "o_orderkey"),
         FkEdge("orders->customer", ord, "o_custkey", cust, "c_custkey")))
-      .orderBy("fk_edge")
   }
 
   /** NS114 — length-bucketed batch formation ([[graft.ops.Sampling
@@ -1766,7 +1733,6 @@ object SparkEntry {
           expr("CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)")
             .as("n_tokens")),
         "n_tokens", "doc_id", batchSize = 32)
-      .orderBy("doc_id")
 
   /** NS115 — column completeness profile ([[graft.ops.Integrity
     * .profile]]): the ingestion-gate statistics per column (rows,
@@ -1778,7 +1744,6 @@ object SparkEntry {
     graft.ops.Integrity.profile(
         Tables.load(s, dir, "customer"),
         Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
-      .orderBy("column")
 
   /** NS116 — bigram LM count table ([[graft.ops.TextAnalysis
     * .bigramCounts]]): the Kneser–Ney count artifact — pair frequency,
@@ -1789,7 +1754,6 @@ object SparkEntry {
     * bigram-vocabulary pair table, not the corpus. */
   private def ns116(s: SparkSession, dir: String): DataFrame =
     graft.ops.TextAnalysis.bigramCounts(docs(s, dir), minCount = 3L)
-      .orderBy(col("n_pair").desc, col("w1"), col("w2"))
 
   /** NS117 — inter-annotator agreement report ([[graft.ops.Annotation
     * .agreementReport]]): the QC complement of ns103 over the same
@@ -1808,7 +1772,6 @@ object SparkEntry {
         "CASE WHEN h % 10 < 2 THEN concat('alt', CAST(h DIV 10 % 3 AS STRING))" +
           " ELSE lang END"))
     graft.ops.Annotation.agreementReport(votes, "doc_id", "vote_label")
-      .orderBy("doc_id")
   }
 
   /** NS118 — per-annotator reliability report ([[graft.ops.Annotation
@@ -1830,7 +1793,6 @@ object SparkEntry {
           "STRING)) ELSE lang END"))
       .withColumn("k", col("k").cast("long"))
     graft.ops.Annotation.annotatorReport(votes, "doc_id", "k", "vote_label")
-      .orderBy("k")
   }
 
   /** NS119 — rolling event-time features ([[graft.ops.Events
@@ -1843,7 +1805,6 @@ object SparkEntry {
   private def ns119(s: SparkSession, dir: String): DataFrame =
     graft.ops.Events.rollingFeatures(
         Tables.load(s, dir, "events"), windowMicros = 7L * 86400L * 1000000L)
-      .orderBy("user_id", "ts", "event_id")
 
   /** NS120 — C4-style line-policy filter ([[graft.ops.Curation
     * .c4LineFilter]]): the public C4 cleaning recipe over synthesized
@@ -1870,7 +1831,6 @@ object SparkEntry {
         lit("\nfunction() { cookieConsent(); }")).otherwise(lit("")))
     graft.ops.Curation.c4LineFilter(
         docs(s, dir).select(col("doc_id"), synth.as("text")))
-      .orderBy("doc_id")
   }
 
   /** NS121 — domain-blocklist filter ([[graft.ops.Urls
@@ -1901,7 +1861,6 @@ object SparkEntry {
         .toDF("domain")
     }
     graft.ops.Urls.blocklistFilter(pages, blocklist)
-      .orderBy("doc_id")
   }
 
   /** NS122 — per-user activity pivot ([[graft.ops.Events.typePivot]]):
@@ -1913,7 +1872,6 @@ object SparkEntry {
   private def ns122(s: SparkSession, dir: String): DataFrame =
     graft.ops.Events.typePivot(Tables.load(s, dir, "events"),
         Seq("click", "view", "purchase", "signup"))
-      .orderBy("user_id")
 
   /** NS123 — kNN margin scoring ([[graft.ops.Similarity
     * .marginScores]]): the Artetxe–Schwenk distance-margin criterion
@@ -1924,7 +1882,6 @@ object SparkEntry {
     * filter of bitext mining and semantic dedup. */
   private def ns123(s: SparkSession, dir: String): DataFrame =
     graft.ops.Similarity.marginScores(embs(s, dir), simQueries(s, dir), k = 4)
-      .orderBy("query_id")
 
   /** NS124 — join-key cardinality audit ([[graft.ops.Integrity
     * .joinProfile]]): the pre-flight join-explosion report over four
@@ -1944,7 +1901,6 @@ object SparkEntry {
         JoinEdge("events->customer", ev, "user_id", cust, "c_custkey"),
         JoinEdge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
         JoinEdge("orders->customer", orders, "o_custkey", cust, "c_custkey")))
-      .orderBy("join_edge")
   }
 
   /** NS126 — ANN recall report ([[graft.ops.Similarity.recallReport]]):
@@ -1959,7 +1915,6 @@ object SparkEntry {
         graft.ops.Similarity.lshTopK(embs(s, dir), simQueries(s, dir), k = 10),
         graft.ops.Similarity.bruteForceTopK(embs(s, dir), simQueries(s, dir),
           k = 10))
-      .orderBy("query_id")
 
   /** NS127 — weight-proportional systematic sampling ([[graft.ops
     * .Sampling.ppsSample]]): an expected-50-docs-per-language sample
@@ -1974,7 +1929,6 @@ object SparkEntry {
         docs(s, dir).select(col("doc_id"), col("lang"),
           expr("CAST(length(text) DIV 4 + 1 AS BIGINT)").as("n_tokens")),
         "lang", "n_tokens", "doc_id", k = 50)
-      .orderBy("doc_id")
 
   /** NS125 — cross-fold contamination audit ([[graft.ops.Dedup
     * .crossFoldLeakage]]): the ns104 twin-amplified corpus folded
@@ -2020,7 +1974,6 @@ object SparkEntry {
   private def ns129(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sampling.packingAudit(
         graft.ops.Sampling.packSequences(docs(s, dir)), tokenBudget = 2048)
-      .orderBy(col("lang"))
 
   /** NS130 — chunk-level language consistency ([[graft.ops
     * .TextAnalysis.chunkLangConsistency]]): every 32-token chunk
@@ -2217,7 +2170,6 @@ object SparkEntry {
         sum(when(col("is_key"), col("offset"))).as("key_offset_sum"),
         sum(when(col("is_key"), col("size"))).as("key_bytes"),
         sum(when(col("is_key"), col("payload_sum"))).as("key_payload_sum"))
-      .orderBy("doc_id")
   }
 
   /** NS146 — keyframe near-dup over REAL AVI containers
@@ -2251,7 +2203,6 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_frames"),
         count_distinct(col("orig")).as("n_docs"))
       .where(col("n_frames") > 1)
-      .orderBy(col("phash"))
   }
 
   /** NS147 — image near-dup over REAL BMP containers
@@ -2343,7 +2294,7 @@ object SparkEntry {
     * records (WarcSpec). */
   private def ns148(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), col("text"))
-    graft.ops.Warc.records(warcFixture(base)).orderBy("warc_id", "rec_idx")
+    graft.ops.Warc.records(warcFixture(base))
   }
 
   /** NS149 — CDX-indexed WARC fetch ([[graft.ops.Warc.records]] →
@@ -2374,7 +2325,6 @@ object SparkEntry {
         col("content_length"),
         md5(expr("substring(content, payload_off + 1, content_length)"))
           .as("payload_md5"))
-      .orderBy("doc_id")
   }
 
   /** NS150 — the full crawl-to-corpus path (WET extraction): WARC →
@@ -2420,7 +2370,6 @@ object SparkEntry {
       .withColumn("n_text", length(col("text")).cast("long"))
       .select(col("doc_id"), col("http_status"), col("content_type"),
         col("n_raw"), col("n_text"), col("text"))
-      .orderBy("doc_id")
   }
 
   /** NS143 — cross-modal staleness audit ([[graft.ops.Integrity
@@ -2581,7 +2530,6 @@ object SparkEntry {
         docs(s, dir).select(col("doc_id"), col("n_chars")),
         Seq(expr("n_chars DIV 256"), u60, col("doc_id")))
       .select(col("pos"), col("doc_id"))
-      .orderBy(col("pos"))
   }
 
   /** NS94 — JSONL ingest with corrupt-record policy
@@ -2634,7 +2582,6 @@ object SparkEntry {
           .as("line_id"),
         col("lang"), col("n_chars"),
         col(cc).isNotNull.as("corrupt"))
-      .orderBy(col("line_id"))
   }
 
   /** NS95 — per-group top-k by bounded-heap AGGREGATE
@@ -2654,7 +2601,6 @@ object SparkEntry {
       .select(col("lang"), posexplode(col("top")))
       .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
         col("col._2").as("doc_id"), col("col._1").as("n_chars"))
-      .orderBy(col("lang"), col("rank"))
   }
 
   /** NS85 — release mix rollup ([[graft.ops.Curation.releaseRollup]]):

@@ -163,7 +163,7 @@ object Bpe {
   /** Per-document BPE tokenization summary: exact token count plus an md5
     * fingerprint of the full ordered token stream (space-joined) — the
     * fingerprint is what makes the oracle check the TOKENS, not just their
-    * number. Output: (doc_id, n_tokens, token_md5), ordered by doc_id. */
+    * number. Output: (doc_id, n_tokens, token_md5); order unspecified. */
   def tokenize(docs: DataFrame, merges: Merges,
       pt: PreTokenizer = PreTokenizer.Whitespace): DataFrame = {
     val dict = encodeDictionary(docs, merges, pt)
@@ -180,7 +180,6 @@ object Bpe {
         md5(concat_ws(" ",
           transform(array_sort(collect_list(struct(col("i"), col("tok_str")))),
             x => x.getField("tok_str")))).as("token_md5"))
-      .orderBy(col("doc_id"))
   }
 
   /** B3 — per-language tokenizer fertility report: BPE tokens per
@@ -222,7 +221,6 @@ object Bpe {
         col("n_words"), col("n_tokens"),
         expr("n_tokens * 1000 DIV n_words").as("fertility_per_mille"),
         expr("n_chars * 1000 DIV n_tokens").as("chars_per_token_mille"))
-      .orderBy(chars("lang"))
   }
 
   /** Train a merges table: distributed word-frequency count (top `maxVocab`

@@ -21,7 +21,7 @@ object Curation {
 
   /** Keep docs predicted `langCode` with quality ≥ `minQuality`, exact
     * deduped (survivor = smallest doc_id per text). Output:
-    * (doc_id, n_words, quality_score) ordered by doc_id.
+    * (doc_id, n_words, quality_score); order unspecified.
     *
     * The quality score's stopword feature uses the TARGET language's marker
     * vocabulary (a German page full of English stopwords is not a quality
@@ -64,7 +64,6 @@ object Curation {
         min(col("n_words")).as("n_words"),
         min(col("quality_score")).as("quality_score"))
       .select(col("doc_id"), col("n_words"), col("quality_score"))
-      .orderBy(col("doc_id"))
   }
 
   /** M7 — MODEL-based curation (the CCNet recipe): language gate →
@@ -128,7 +127,6 @@ object Curation {
         min(col("nll")).as("nll"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("score"), 6).as("score"), col("nll"))
-      .orderBy(col("doc_id"))
   }
 
   /** The WHOLE training-data prep as one declarative plan — what a crawl
@@ -147,7 +145,7 @@ object Curation {
     * the dedup groupBy on text, and the per-language window for packing
     * (the sampling predicate is a filter between them, no exchange).
     * Output: (doc_id, pred_lang, n_tokens, seq_id, seq_off) per surviving
-    * doc, ordered by doc_id. */
+    * doc; order unspecified. */
   def prepareCorpus(
       docs: DataFrame,
       minQuality: Double = 0.3,
@@ -194,7 +192,6 @@ object Curation {
       .select(col("doc_id"), col("pred_lang"), col("n_tokens"),
         expr(s"off DIV $tokenBudget").as("seq_id"),
         (col("off") % tokenBudget).as("seq_off"))
-      .orderBy(col("doc_id"))
   }
 
   /** The DATASET CARD rollup — the single-row summary a corpus release
@@ -246,7 +243,7 @@ object Curation {
     *      in chrome now hash identically and collapse to one survivor.
     *
     * Output: one row per released document — (doc_id, n_content_copies,
-    * kept_lines), ordered by doc_id.
+    * kept_lines); order unspecified.
     *
     * Scale shape: URL dedup is one canonical-keyed groupBy whose
     * survivor-id set probes back as a LEFT SEMI (the wide text column
@@ -274,7 +271,6 @@ object Curation {
         count(lit(1)).as("n_content_copies"),
         min_by(col("kept_lines"), col("doc_id")).as("kept_lines"))
       .select(col("doc_id"), col("n_content_copies"), col("kept_lines"))
-      .orderBy(col("doc_id"))
   }
 
   /** Release mix report with subtotals — the drill-down companion of
@@ -338,5 +334,4 @@ object Curation {
         grouping(col("lang")).cast("long").as("g_lang"),
         count(lit(1)).as("n_docs"),
         sum(col("toks")).as("n_tokens"))
-      .orderBy(col("g_source"), col("g_lang"), col("source"), col("lang"))
 }

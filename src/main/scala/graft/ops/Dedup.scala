@@ -89,7 +89,6 @@ object Dedup {
     docs.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
-      .orderBy(col("doc_id"))
 
   /** D1b — normalized (near-exact) dedup: case / whitespace / ASCII-
     * punctuation variants of the same text collapse to one group —
@@ -115,7 +114,6 @@ object Dedup {
       .groupBy(col("g"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
       .select(col("doc_id"), col("n_variants"))
-      .orderBy(col("doc_id"))
   }
 
   /** D2 — MinHash + LSH near-dup pairs.
@@ -342,7 +340,6 @@ object Dedup {
     exactSurvivors
       .join(nearDupIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("text"))
-      .orderBy(col("doc_id"))
   }
 
   /** D6 (index build) — persist the corpus side of [[incrementalNew]] so
@@ -422,14 +419,8 @@ object Dedup {
     // the self-read hazard the checkpoint exists for is absent. The
     // batch-size estimate is taken pre-checkpoint either way.
     val accEst = estimatedPostingsBytes(accSrc, shingleK)
-    val preMaterialized = accSrc.queryExecution.analyzed.collectLeaves()
-      .forall {
-        case _: org.apache.spark.sql.execution.LogicalRDD => true
-        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-          true
-        case _ => false
-      }
-    val acc = if (preMaterialized) accSrc else accSrc.localCheckpoint(true)
+    val acc = if (preMaterialized(accSrc)) accSrc
+              else accSrc.localCheckpoint(true)
     // force the fused frame's checkpoint even when the batch arrives as a
     // LogicalRDD whose default stats overflow every cap: an ingest tick
     // is tick-sized by contract (<< corpus), and without blocks the sets
@@ -575,7 +566,6 @@ object Dedup {
     exactSurvivors
       .join(nearDupIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("text"))
-      .orderBy(col("doc_id"))
   }
 
   /** D3 — SimHash near-dup pairs: 60-bit simhash over shingle hashes,
@@ -614,7 +604,6 @@ object Dedup {
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** D4 — exact n-gram jaccard near-dup via inverted-index (postings)
@@ -679,7 +668,6 @@ object Dedup {
         (col("i").cast("double") / (col("x.n") + col("y.n") - col("i"))).as("j"))
       .where(col("j") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** D7 — benchmark decontamination: flag corpus docs sharing any k-gram
@@ -733,7 +721,6 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("shingle")).as("matched_shingles"),
         countDistinct(col("bench_id")).as("bench_docs"))
-      .orderBy(col("doc_id"))
   }
 
   /** D7c — Bloom-prefiltered decontamination: the 100 TB deployment shape
@@ -922,7 +909,6 @@ object Dedup {
             !exists(col("starts"), s =>
               i >= s && i < s + lit(k))))).as("text"),
         coalesce(size(col("starts")), lit(0)).as("n_spans"))
-      .orderBy(col("doc_id"))
 
   /** D9 — intra-corpus duplicate-SPAN removal (exact substring dedup,
     * keep-first): a k-gram occurring in ≥2 DISTINCT documents is a
@@ -986,7 +972,6 @@ object Dedup {
           size(array_union(col("x.s"), col("y.s")))).as("j"))
       .where(col("j") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** D5 (scale path) — embedding-cosine near-dup via sign-LSH banding:
@@ -1024,7 +1009,6 @@ object Dedup {
           (col("a.n") * col("b.n")), 6).as("cosine"))
       .distinct() // a pair can collide in both bands
       .where(col("cosine") >= threshold)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** D7 — near-dup survivor resolution: the dedup DECISION over candidate
@@ -1226,6 +1210,19 @@ object Dedup {
     (labels, it)
   }
 
+  /** True when every leaf of `df`'s plan is already-materialized data
+    * (LogicalRDD / LocalRelation): such a plan cannot observe later file
+    * appends, so the write-under-self-read snapshot checkpoint the index
+    * updaters otherwise take is unnecessary — and the blocks belong to
+    * whoever materialized them, not the updater. */
+  private[graft] def preMaterialized(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectLeaves().forall {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        true
+      case _ => false
+    }
+
   /** Drop the checkpoint blocks behind a localCheckpoint'ed frame (or a
     * projection of one). Blocking so callers can bound live block count
     * deterministically; the wait is a block-removal RPC, trivial next to a
@@ -1288,7 +1285,6 @@ object Dedup {
     docs.join(dupes, Seq("doc_id"), "left_anti")
       .join(sizes, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_merged"), lit(1L)).as("n_merged"))
-      .orderBy(col("doc_id"))
   }
 
   /** D11 — cross-source overlap matrix: for every pair of sources, how
@@ -1329,7 +1325,6 @@ object Dedup {
       .select(col("src_a"), col("src_b"), col("shared_grams"),
         round(col("shared_grams").cast("double") /
           least(col("x.n"), col("y.n")), 6).as("overlap_frac"))
-      .orderBy(col("src_a"), col("src_b"))
   }
 
   /** D10 — semantic dedup (SemDeDup-style): cluster-scoped embedding
@@ -1381,7 +1376,6 @@ object Dedup {
     assigned.join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("dup"), lit(false)).as("is_dup"))
-      .orderBy(col("vec_id"))
   }
 
   /** D8 — corpus-wide line-level dedup (the C4 / RefinedWeb / MassiveText
@@ -1437,7 +1431,6 @@ object Dedup {
         coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
         (col("n_lines") - coalesce(col("kept_lines"), lit(0L)))
           .as("dropped_lines"))
-      .orderBy(col("doc_id"))
   }
 
   /** D12 — cross-fold contamination audit: how much NEAR-duplicate mass
@@ -1539,7 +1532,6 @@ object Dedup {
       .select(col("m").as("cluster_size"), col("n_clusters"), col("n_docs"),
         ((col("m") - 1) * col("n_clusters")).as("n_removed"),
         expr("(m - 1) * n_clusters * 1000 DIV __tot").as("removed_per_mille"))
-      .orderBy(col("cluster_size"))
   }
 
   /** D13 — duplication-multiplicity token-mass histogram: how much of
@@ -1590,6 +1582,5 @@ object Dedup {
         col("token_mass"), col("unique_mass"),
         (col("token_mass") - col("unique_mass")).as("excess_mass"),
         expr("token_mass * 1000 DIV __tot").as("mass_per_mille"))
-      .orderBy(col("multiplicity"))
   }
 }

@@ -88,7 +88,7 @@ object Events {
     * Scale shape: ONE shuffle (hash by user_id) + the in-partition sort
     * feeds the `lead` window; the rollup shuffles (from, to)-cardinality
     * partials only — #event-types², not events. Output:
-    * (from_type, to_type, n_transitions, n_users) ordered by count desc. */
+    * (from_type, to_type, n_transitions, n_users); order unspecified. */
   def transitions(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     tsMicros(events)
@@ -98,7 +98,6 @@ object Events {
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n_transitions"),
         count_distinct(col("user_id")).as("n_users"))
-      .orderBy(col("n_transitions").desc, col("from_type"), col("to_type"))
   }
 
   /** E7 — rolling event-time features: per event, this user's trailing
@@ -290,7 +289,6 @@ object Events {
     pairs.join(firstSeen, Seq("user_id"))
       .groupBy(col("cohort"), (col("bucket") - col("cohort")).as("week_offset"))
       .agg(count_distinct(col("user_id")).as("active_users"))
-      .orderBy(col("cohort"), col("week_offset"))
   }
 
   /** E4 — ordered funnel analysis: for each user, how far did they get
@@ -304,7 +302,7 @@ object Events {
     * Input: raw events (any supported ts encoding — [[tsMicros]] absorbs
     * it). Output: one row per user that emitted ANY of the funnel's
     * event types — (user_id, reached, t1..tn micros, nullable past the
-    * reached stage), ordered by user_id.
+    * reached stage); order unspecified.
     *
     * Scale shape: one user-keyed aggregation PER STAGE, each over an
     * event-type-FILTERED scan (the type predicate pushes to parquet, so
@@ -355,6 +353,5 @@ object Events {
     joined
       .select((col("user_id") +: reached.as("reached") +:
         stages.indices.map(i => col(s"t${i + 1}"))): _*)
-      .orderBy(col("user_id"))
   }
 }

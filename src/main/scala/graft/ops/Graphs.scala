@@ -102,7 +102,7 @@ object Graphs {
         i += 1
       }
     }
-    ranks.orderBy(col("rank").desc, col("node"))
+    ranks
   }
 
   /** Per-node triangle counts over an undirected reading of `edges` —
@@ -122,7 +122,7 @@ object Graphs {
     *
     * Self-loops drop; parallel edges collapse (a triangle is a set of
     * three nodes). Output: (node, n_triangles) for every node of the
-    * graph, zeros included, ordered by node.
+    * graph, zeros included; order unspecified.
     *
     * Subtree reuse: `und` feeds FOUR consumers (nodes, deg, orientation,
     * closure) and `oriented` sits on BOTH sides of the wedge self-join —
@@ -173,7 +173,6 @@ object Graphs {
     nodes.join(perNode, Seq("node"), "left_outer")
       .select(col("node"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
-      .orderBy(col("node"))
   }
 
   /** G3 — thread linearization by PATH DOUBLING: turn a parent-pointer
@@ -207,14 +206,19 @@ object Graphs {
       nodes: DataFrame, idCol: String, parentCol: String,
       maxRounds: Int = 20): DataFrame = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
+    // ONE action per round (r16, the Dedup convergence-fold move): the
+    // state is LAZILY checkpointed and the round's single aggregate both
+    // materializes the blocks and returns the open-ancestor count — the
+    // old shape paid a separate eager-checkpoint job plus a limit-probe
+    // job per round. count(anc) counts non-NULL ancs: 0 IS convergence.
     var st = nodes
       .select(col(idCol).cast("long").as("id"),
         col(parentCol).cast("long").as("anc"),
         col(idCol).cast("string").as("path"),
         when(col(parentCol).isNull, 0L).otherwise(1L).as("depth"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var rounds = 0
-    var open = st.where(col("anc").isNotNull).limit(1).count() > 0L
+    var open = st.agg(count(col("anc"))).head.getLong(0) > 0L
     while (open) {
       require(rounds < maxRounds,
         s"forest deeper than 2^$maxRounds or a parent cycle: " +
@@ -222,34 +226,37 @@ object Graphs {
       val a = st.select(col("id").as("__aid"), col("anc").as("__aanc"),
         col("path").as("__apath"), col("depth").as("__adepth"))
       val joined = st.join(a, col("anc") === col("__aid"), "left")
-      // forest integrity: every non-NULL anc must resolve. Round 1 only —
-      // later anc values are drawn from the already-validated id set, so
-      // re-checking would just add a full-state scan per round
-      if (rounds == 0) {
-        val dangling = joined
-          .where(col("anc").isNotNull && col("__aid").isNull).limit(1).count()
-        require(dangling == 0L,
+      // forest integrity, round 1 only (later anc values are drawn from
+      // the already-validated id set): the dangling marker rides the
+      // state row into the SAME materializing aggregate instead of its
+      // own full-state probe, and is projected off before round 2
+      val withFlag = rounds == 0
+      val baseCols = Seq(col("id"),
+        when(col("anc").isNull, col("anc")).otherwise(col("__aanc"))
+          .as("anc"),
+        when(col("anc").isNull, col("path"))
+          .otherwise(concat(col("__apath"), lit("/"), col("path")))
+          .as("path"),
+        when(col("anc").isNull, col("depth"))
+          .otherwise(col("depth") + col("__adepth")).as("depth"))
+      val cols = if (withFlag)
+        baseCols :+ (col("anc").isNotNull && col("__aid").isNull).as("__d")
+      else baseCols
+      val next = joined.select(cols: _*).localCheckpoint(false)
+      val row =
+        if (withFlag)
+          next.agg(count(col("anc")), sum(col("__d").cast("long"))).head
+        else next.agg(count(col("anc"))).head
+      if (withFlag)
+        require(row.isNullAt(1) || row.getLong(1) == 0L,
           s"dangling parent pointers in '$parentCol' (not a forest)")
-      }
-      val next = joined
-        .select(col("id"),
-          when(col("anc").isNull, col("anc")).otherwise(col("__aanc"))
-            .as("anc2"),
-          when(col("anc").isNull, col("path"))
-            .otherwise(concat(col("__apath"), lit("/"), col("path")))
-            .as("path2"),
-          when(col("anc").isNull, col("depth"))
-            .otherwise(col("depth") + col("__adepth")).as("depth2"))
-        .select(col("id"), col("anc2").as("anc"), col("path2").as("path"),
-          col("depth2").as("depth"))
-        .localCheckpoint(true)
+      open = row.getLong(0) > 0L
       // the superseded round's checkpoint is dead the moment `next`
       // materializes — free it (the pagerankInt lastCp discipline), or a
       // 2^20-deep forest pins 21 full state copies for the session
       Dedup.unpersistCheckpoint(st)
-      st = next
+      st = if (withFlag) next.drop("__d") else next
       rounds += 1
-      open = st.where(col("anc").isNotNull).limit(1).count() > 0L
     }
     st.select(col("id").as(idCol),
       element_at(split(col("path"), "/"), 1).cast("long").as("root_id"),

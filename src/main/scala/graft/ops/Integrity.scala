@@ -184,7 +184,6 @@ object Integrity {
         round(Similarity.dot(col("ea.v"), col("eb.v")) /
           (col("ea.n") * col("eb.n")), 6).as("cosine"))
       .withColumn("stale", col("cosine") < minCosine)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** I4 — embedding integrity audit: the pre-index data-quality gate of
@@ -218,6 +217,5 @@ object Integrity {
       .withColumn("__tot", sum(col("n_vectors")).over(tot))
       .select(col("verdict"), col("n_vectors"),
         expr("n_vectors * 1000 DIV __tot").as("share_per_mille"))
-      .orderBy(col("verdict"))
   }
 }

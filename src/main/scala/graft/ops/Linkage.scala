@@ -81,7 +81,6 @@ object Linkage {
         levenshtein(col("a.nm"), col("b.nm")).cast("long").as("dist"))
       .where(col("dist") <= maxDist)
       .distinct()
-      .orderBy(col("rec_a"), col("rec_b"))
   }
 
   /** Entity clusters from the pair stream — one row per linked record
@@ -109,7 +108,7 @@ object Linkage {
     * map-side partial argmax, the exchange carries one candidate per
     * cluster per partition (the ns95 bounded-aggregate shape with
     * k = 1). Output: (cluster, golden_id, n_members, completeness),
-    * ordered by cluster. */
+    * order unspecified. */
   def goldenRecords(
       recs: DataFrame,
       pairs: DataFrame,
@@ -139,6 +138,5 @@ object Linkage {
           .as("golden_id"),
         count(lit(1)).as("n_members"),
         max(col("__complete")).as("completeness"))
-      .orderBy(col("cluster"))
   }
 }

@@ -139,7 +139,6 @@ object Multimodal {
       .groupBy(col("source"))
       .agg(sort_array(collect_list(struct(col("dim"), col("mean_v"))))
         .getField("mean_v").as("mean_features"))
-      .orderBy(col("source"))
   }
 }
 

@@ -128,7 +128,6 @@ object Perceptual {
       .agg(count(lit(1)).as("n_frames"),
         count(when(col("ham") > cutThreshold, 1)).as("n_cuts"),
         max(col("ham")).as("max_hamming"))
-      .orderBy(col("doc_id"))
   }
 
   /** P2b — audio segment report: per clip, the DOMINANT loudness band of
@@ -170,7 +169,6 @@ object Perceptual {
         count(when(col("band") =!= col("prev"), 1)).as("n_shifts"),
         max(when(col("s") === 0, col("band"))).as("start_band"),
         max(when(col("s") === 8, col("band"))).as("end_band"))
-      .orderBy(col("doc_id"))
   }
 
   def dhash63(
@@ -214,7 +212,6 @@ object Perceptual {
       maxBandFreq: Long = Long.MaxValue,
       reuseHashes: Boolean = true): DataFrame =
     nearDupPairsCore(hashes, maxHamming, bands, maxBandFreq, reuseHashes)
-      .orderBy(col("doc_a"), col("doc_b"))
 
   /** The unsorted pair pipeline — [[nearDupPairsVerified]] consumes this
     * directly so no Sort sits between candidate generation and the
@@ -231,7 +228,7 @@ object Perceptual {
     // side, and when that lineage is the dhash63 decode pass the blobs
     // decode TWICE (the ngramJaccard reuseShingles move; 16 bytes/row
     // keeps the checkpoint corpus-cheap)
-    val hs = if (reuseHashes) hashes.localCheckpoint(true) else hashes
+    val hs = if (reuseHashes) hashes.localCheckpoint(false) else hashes
     val probe = dropHotBuckets(bandKeys(hs, bands), maxBandFreq)
     probe.as("a").join(probe.as("b"),
         col("a.p") === col("b.p") && col("a.chunk") === col("b.chunk") &&
@@ -290,13 +287,12 @@ object Perceptual {
       bands: Int = 4,
       maxSad: Long = 720L,
       maxBandFreq: Long = Long.MaxValue): DataFrame = {
-    val sig = gridHashes(media, decoder).localCheckpoint(true)
+    val sig = gridHashes(media, decoder).localCheckpoint(false)
     val cand = nearDupPairsCore(sig.select(col("doc_id"), col("phash")),
       maxHamming, bands, maxBandFreq, reuseHashes = false)
     val grids = sig.select(col("doc_id"), col("grid"))
     sadVerify(cand, grids, grids, maxSad)
       .select(col("doc_a"), col("doc_b"), col("hamming"), col("sad"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** THE grid-SAD verify stage — one definition consumed by the batch
@@ -433,7 +429,10 @@ object Perceptual {
     * pass [[incrementalNewFromPhashIndex]]'s output, which is. That output
     * is also a live plan over this index's files, so it is materialized
     * (eager localCheckpoint) before the append — writing under a plan
-    * that re-lists those files would feed the update into itself. Single
+    * that re-lists those files would feed the update into itself; a batch
+    * the CALLER already materialized (all leaves LogicalRDD) skips the
+    * second copy, since a materialized plan cannot observe the append
+    * (r16, the updateMinhashIndex contract). Single
     * writer per index, as for every incrementally-maintained artifact
     * here. */
   def updatePhashIndex(
@@ -441,8 +440,9 @@ object Perceptual {
       path: String,
       fingerprint: Option[String] = None): Unit = {
     val spark = accepted.sparkSession
-    val acc = accepted.select(col("doc_id"), col("phash"))
-      .localCheckpoint(true)
+    val accSrc = accepted.select(col("doc_id"), col("phash"))
+    val acc = if (Dedup.preMaterialized(accSrc)) accSrc
+              else accSrc.localCheckpoint(true)
     acc.write.mode("append").parquet(s"$path/hashes")
     fingerprint.foreach { f =>
       val meta = readSidecar(spark, path)
@@ -513,14 +513,13 @@ object Perceptual {
     }
     val decoder = GridDecoders.byName(decoderName)
     // one decode pass, reused by the band join and the final anti-join
-    val newHashes = dhash63(newMedia, decoder).localCheckpoint(true)
+    val newHashes = dhash63(newMedia, decoder).localCheckpoint(false)
     val corpusHashes = spark.read.parquet(s"$path/hashes")
     val dupIds = bandCandidates(newHashes, corpusHashes,
         maxHamming, bands, maxBandFreq)
       .select(col("doc_id")).distinct()
     newHashes.join(dupIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("phash"))
-      .orderBy(col("doc_id"))
   }
 
   /** Shared banding: probe-side rows whose hash is within `maxHamming` of
@@ -589,8 +588,9 @@ object Perceptual {
       path: String,
       fingerprint: Option[String] = None): Unit = {
     val spark = accepted.sparkSession
-    val acc = accepted.select(col("doc_id"), col("phash"), col("grid"))
-      .localCheckpoint(true)
+    val accSrc = accepted.select(col("doc_id"), col("phash"), col("grid"))
+    val acc = if (Dedup.preMaterialized(accSrc)) accSrc
+              else accSrc.localCheckpoint(true)
     acc.write.mode("append").parquet(s"$path/hashes")
     fingerprint.foreach { f =>
       val meta = readSidecar(spark, path)
@@ -629,7 +629,7 @@ object Perceptual {
     }
     val decoder = GridDecoders.byName(decoderName)
     // one decode pass, shared by banding, verify (sigA) and the anti-join
-    val newSig = gridHashes(newMedia, decoder).localCheckpoint(true)
+    val newSig = gridHashes(newMedia, decoder).localCheckpoint(false)
     val corpus = spark.read.parquet(s"$path/hashes")
     val cand = bandCandidatePairs(
       newSig.select(col("doc_id"), col("phash")),
@@ -641,7 +641,6 @@ object Perceptual {
       .select(col("doc_a").as("doc_id")).distinct()
     newSig.join(dupIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("phash"), col("grid"))
-      .orderBy(col("doc_id"))
   }
 }
 

@@ -133,7 +133,7 @@ object Privacy {
     * region and balance-band derivations).
     *
     * Output: the input rows that survive, annotated with `group_size` and
-    * `n_sensitive` (released-set auditing), ordered by `keyCol`.
+    * `n_sensitive` (released-set auditing); order unspecified.
     *
     * NULL policy: a NULL quasi value is a legitimate generalization bucket
     * — rows with NULL region hide among the other NULL-region rows.
@@ -166,7 +166,6 @@ object Privacy {
     rows.join(statsR,
         quasiCols.map(c => col(c) <=> col(s"__quasi_$c")).reduce(_ && _))
       .drop(quasiCols.map(c => s"__quasi_$c"): _*)
-      .orderBy(col(keyCol))
   }
 
   /** Differentially-private group counts via the two-sided geometric
@@ -293,6 +292,5 @@ object Privacy {
     }
     counts.select(groupCols.map(col) :+
       (col("n") + lit(scale) * (geom("dp1") - geom("dp2"))).as(outName): _*)
-      .orderBy(groupCols.map(col): _*)
   }
 }

@@ -51,7 +51,7 @@ object Quality {
     * The keep flag compares the unrounded mean (exact integers divided
     * once), not the display-rounded value.
     *
-    * Output: (doc_id, n_tokens, nll, kept) ordered by doc_id.
+    * Output: (doc_id, n_tokens, nll, kept); order unspecified.
     */
   def lmPerplexity(docs: DataFrame, maxNll: Double = 9.0): DataFrame = {
     val toks = docs.select(col("doc_id"),
@@ -84,7 +84,6 @@ object Quality {
       .select(col("doc_id"), col("n_tokens"),
         (expr("(2*s + n_tokens) DIV (2*n_tokens)") / lit(1e6)).as("nll"),
         (meanNll > lit(maxNll)).as("rejected"))
-      .orderBy("doc_id")
   }
 
   /** Q2 — hashed-feature linear classifier inference (fastText-style).
@@ -112,7 +111,7 @@ object Quality {
     * unrounded value; at the default threshold 0.5 that is exactly
     * `sum ≥ 0` — an integer comparison.
     *
-    * Output: (doc_id, n_tokens, score, kept) ordered by doc_id.
+    * Output: (doc_id, n_tokens, score, kept); order unspecified.
     */
   def classifierScore(
       docs: DataFrame,
@@ -137,7 +136,6 @@ object Quality {
       .select(col("doc_id"), col("n_tokens"),
         round(score, 6).as("score"),
         (score >= lit(threshold)).as("kept"))
-      .orderBy("doc_id")
   }
 
   /** [[classifierScore]] as a single in-row projection: the weight lookup
@@ -300,7 +298,6 @@ object Quality {
         (expr("(2000000*n_oov + n_tokens) DIV (2*n_tokens)") / lit(1e6))
           .as("oov_frac"),
         (meanNll > lit(maxNll)).as("rejected"))
-      .orderBy("doc_id")
   }
 
   /** Q6 — group-wise winsorization: cap a numeric column at its

@@ -138,7 +138,6 @@ object Retrieval {
       .where(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("n_matched"), col("bm25_milli"))
-      .orderBy(col("query_id"), col("rank"))
   }
 
   /** R3 — retrieval eval: hits@k and exact-integer MRR over a ranked

@@ -253,7 +253,7 @@ object Sampling {
     * one oversized doc cannot starve the source).
     *
     * Output: (doc_id, source, n_tokens, cum_before) for the released
-    * docs, ordered by doc_id. Exact integer arithmetic throughout.
+    * docs (order unspecified). Exact integer arithmetic throughout.
     *
     * Scale shape: ONE shuffle (hash by source) + the in-partition sort
     * for the running-sum window — identical to [[packSequences]]'s
@@ -279,7 +279,6 @@ object Sampling {
       .where(col("cum_before") < capTokens)
       .select(col(keyCol), col(strataCol), col("n_tokens"),
         col("cum_before"))
-      .orderBy(col(keyCol))
   }
 
   /** C13 — weight-proportional (PPS) systematic sampling: draw an
@@ -397,7 +396,7 @@ object Sampling {
         md5(concat(lit(s"tmix:$seed:"), col(keyCol).cast("string"))
           .cast("binary")), 1, 8),
       16, 10).cast("long")
-    df.where(u32 * sCol < lit(4294967296L) * lit(sMin)).orderBy(col(keyCol))
+    df.where(u32 * sCol < lit(4294967296L) * lit(sMin))
   }
 
   /** C6 — leakage-safe fold assignment: every member of a duplicate
@@ -628,7 +627,6 @@ object Sampling {
         (least(col("e"), (col("piece_seq") + 1) * b) -
           greatest(col("off"), col("piece_seq") * b)).as("piece_tokens"),
         (col("piece_seq") - expr(s"off DIV $b")).as("piece_idx"))
-      .orderBy(col(orderCol), col("seq_id"))
   }
 
   /** C15 — data-mixture epoch plan: given declared target shares
@@ -709,6 +707,5 @@ object Sampling {
         when(col("avail_tokens") === 0, lit(null).cast("long"))
           .otherwise(expr("target_tokens * 1000 DIV avail_tokens"))
           .as("repeat_per_mille"))
-      .orderBy(col(strataCol))
   }
 }

@@ -72,7 +72,6 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
   }
 
   /** S-margin — kNN margin scoring (the Artetxe–Schwenk margin criterion
@@ -364,7 +363,6 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Persist the IVF index with cells as PARTITION directories plus the
@@ -586,7 +584,6 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"),
         round(col("ip"), 6).as("adc_ip"))
-      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Persist a PQ index: the code table as parquet plus the codebook as a
@@ -778,7 +775,6 @@ object Similarity {
     exact.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Subspace count read off a stored code table — LOUD on an empty one:
@@ -879,7 +875,6 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("label"), col("rank"), col("vec_id"), col("cosine"))
-      .orderBy(col("label"), col("rank"))
   }
 
   /** ANN top-k: score only the query's LSH bucket (plus Hamming-1 probe
@@ -919,7 +914,6 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
   }
 
   /** S12 — late-interaction (ColBERT-style) maxsim retrieval: each
@@ -971,6 +965,5 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("maxsim"))
-      .orderBy(col("query_id"), col("rank"))
   }
 }

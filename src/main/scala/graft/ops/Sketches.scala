@@ -86,7 +86,6 @@ object Sketches {
           .as("_hll_zp"))
       .select(gs :+ col("n_registers") :+
         round(est, 6).as("hll_estimate"): _*)
-      .orderBy(gs: _*)
   }
 
   /** Count-min sketch over `valueCol`: `depth` salted hash rows ×
@@ -179,7 +178,6 @@ object Sketches {
     cmsEstimate(cmsBuild(df, valueCol, depth, width),
         candidates, valueCol, depth, width)
       .where(col("cms_count") >= minCount)
-      .orderBy(col("cms_count").desc, col(valueCol))
 
   /** Persist a [[cmsBuild]] sketch for serving: cells as parquet plus a
     * params sidecar (depth and width are PINNED to the index — estimating
@@ -349,7 +347,6 @@ object Sketches {
       .where(col("_qb_cum") >= ceil(col("q") * col("_qb_n")))
       .groupBy(gs :+ col("q"): _*)
       .agg((min(col("_qb_bin")) * lit(binWidth)).as("approx_value"))
-      .orderBy(gs :+ col("q"): _*)
   }
 
   /** Curriculum bucketing — label every row with the quantile bucket

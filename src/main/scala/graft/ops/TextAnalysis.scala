@@ -53,7 +53,6 @@ object TextAnalysis {
     }
     withScores.select(col("doc_id"), col("lang"),
         predFromScores(c => col(s"s_$c")).as("pred_lang"))
-      .orderBy(col("doc_id"))
   }
 
   /** T2 — quality scoring: length/word/stopword/punctuation features and a
@@ -81,7 +80,6 @@ object TextAnalysis {
           col("stopword_ratio") * 0.3 +
           when(col("avg_word_len") >= 3.0 && col("avg_word_len") <= 8.0,
             lit(0.2)).otherwise(lit(0.0)))
-      .orderBy(col("doc_id"))
   }
 
   /** T3 — token counting: whitespace tokens, BPE-ish regex tokens
@@ -95,7 +93,6 @@ object TextAnalysis {
         .as("n_bpe_tokens"),
       ceil(length(col("text")).cast("double") / 4.0).cast("long")
         .as("n_est_tokens"))
-      .orderBy(col("doc_id"))
 
   /** T5 — repetition statistics (Gopher-style quality rules): the fraction
     * of duplicated words and duplicated word-2-grams per document, plus a
@@ -128,7 +125,6 @@ object TextAnalysis {
         round(dupFrac, 6).as("dup_word_frac"),
         round(dup2Frac, 6).as("dup_2gram_frac"),
         (dup2Frac > dupNgramThreshold).as("is_repetitive"))
-      .orderBy(col("doc_id"))
   }
 
   /** T6 — boilerplate detection: corpus-frequency heavy hitters at the
@@ -175,7 +171,6 @@ object TextAnalysis {
         col("doc_id"), col("n_grams"), col("n_boiler"),
         round(frac, 6).as("boiler_frac"),
         (frac > flagThreshold).as("is_boiler"))
-      .orderBy(col("doc_id"))
   }
 
   /** T7 — corpus length distribution per group: exact interpolated
@@ -237,7 +232,6 @@ object TextAnalysis {
       .agg(aggs.head, aggs.tail: _*)
       .select(col(groupCol) +: col("n_docs") +:
         qNames.map(col) :+ col(s"mean_$valueCol"): _*)
-      .orderBy(col(groupCol))
   }
 
   /** T11 — grouped histogram: exact fixed-width bucket counts of an
@@ -275,7 +269,6 @@ object TextAnalysis {
         (col("bucket") * bucketWidth).as("lo"),
         ((col("bucket") + 1) * bucketWidth).as("hi"),
         col("n"))
-      .orderBy(col(groupCol), col("bucket"))
   }
 
   /** T8 — Unicode normalization: the first transform a multi-source text
@@ -343,7 +336,6 @@ object TextAnalysis {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= topK)
       .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
-      .orderBy(col("doc_id"), col("rank"))
   }
 
   /** T10 — document chunking: fixed-budget token windows with overlap —
@@ -378,7 +370,6 @@ object TextAnalysis {
           .cast("long").as("n_tokens") +:
         concat_ws(" ", expr(s"slice(w, chunk_id * $stride + 1, $chunkTokens)"))
           .as("chunk_text") +: carried: _*)
-      .orderBy(col("doc_id"), col("chunk_id"))
   }
 
   /** T4 — document fingerprinting: md5 of the normalized text plus a
@@ -394,7 +385,6 @@ object TextAnalysis {
       col("doc_id"),
       md5(norm.cast("binary")).as("md5_fp"),
       graft.functions.TextFunctions.rollingHash(norm).as("rolling_fp"))
-      .orderBy(col("doc_id"))
   }
 
   /** T10 — main-content extraction from HTML (trafilatura-lite): the
@@ -436,7 +426,6 @@ object TextAnalysis {
         htmlToText(col(htmlCol)).as("text"))
       .withColumn("n_text", length(col("text")).cast("long"))
       .select(col("doc_id"), col("n_raw"), col("n_text"), col("text"))
-      .orderBy(col("doc_id"))
   /** T10 — bigram language-model count table: per adjacent word pair,
     * `n_pair` (pair frequency), `n_ctx` (how many bigram tokens start
     * from w1 — the Kneser–Ney denominator for P(w2|w1)), and `n_cont`
@@ -512,7 +501,6 @@ object TextAnalysis {
           .as("n_offlang"))
       .select(col("doc_id"), col("lang"), col("n_chunks"), col("n_offlang"),
         expr("n_offlang * 1000 DIV n_chunks").as("offlang_per_mille"))
-      .orderBy(col("doc_id"))
   }
 
   /** T15 — vocabulary-growth (Heaps-law) curve: distinct token types
@@ -553,7 +541,6 @@ object TextAnalysis {
         sum(col("n_docs")).over(Window.partitionBy(col("lang"))))
       .select(col("lang"), col("pred_lang"), col("n_docs"),
         expr("n_docs * 1000 DIV __rt").as("row_per_mille"))
-      .orderBy(col("lang"), col("pred_lang"))
   }
 
   /** T16 — character-entropy quality signal (the compression-ratio
@@ -592,7 +579,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_chars"), col("n_distinct"),
         expr("s DIV n_chars").as("entropy_micro"))
       .withColumn("is_low_entropy", col("entropy_micro") < minEntropyMicro)
-      .orderBy(col("doc_id"))
   }
 
   def vocabGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
@@ -615,6 +601,5 @@ object TextAnalysis {
       .select(col("b").as("decile"), col("n_tokens"), col("n_new_types"),
         sum(col("n_tokens")).over(cum).as("cum_tokens"),
         sum(col("n_new_types")).over(cum).as("cum_types"))
-      .orderBy(col("decile"))
   }
 }

@@ -75,7 +75,6 @@ object Urls {
       .groupBy(col("canonical_url"))
       .agg(min(col(keyCol)).as(keyCol), count(lit(1)).as("n_copies"))
       .select(col(keyCol), col("canonical_url"), col("n_copies"))
-      .orderBy(col(keyCol))
 
   /** The HOST of a url under the same normalization as [[canonicalize]]
     * steps 2-3 (lowercase, `www.` and default-port stripped) — the
@@ -146,7 +145,6 @@ object Urls {
     withHost.join(stats, Seq("host"))
       .select(col(keyCol), col("host"), col("host_docs"),
         col("dup_permille"))
-      .orderBy(col(keyCol))
   }
 
   /** U4 — domain-blocklist filter with registrable-suffix matching (the

@@ -40,7 +40,6 @@ object Versioning {
     statusFrame(oldSnap, newSnap, keyCol, contentCols)
       .where(col("status") =!= "unchanged")
       .select(col(keyCol), col("status"), col("old_fp"), col("new_fp"))
-      .orderBy(col(keyCol))
 
   /** Per-status row counts of the same diff, INCLUDING `unchanged` — the
     * monitoring surface (a re-crawl that suddenly reports 40% `changed`
@@ -51,7 +50,6 @@ object Versioning {
       keyCol: String, contentCols: Seq[String]): DataFrame =
     statusFrame(oldSnap, newSnap, keyCol, contentCols)
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
-      .orderBy(col("status"))
 
   /** Token-distribution drift between two corpus snapshots — the audit a
     * pipeline runs when a new crawl lands: which tokens' relative
@@ -131,7 +129,6 @@ object Versioning {
         Window.orderBy(abs(col("drift_num")).desc, col("token"))))
       .select(col("rank"), col("token"), col("cnt_before"), col("cnt_after"),
         col("drift_num"))
-      .orderBy(col("rank"))
   }
 
   /** Incremental-view maintenance of a per-token count table across a
@@ -184,7 +181,6 @@ object Versioning {
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("p"), lit(0L)) -
           coalesce(col("m"), lit(0L))).as("cnt"))
       .where(col("cnt") > 0)
-      .orderBy(col("token"))
   }
 
   /** The exact (token, cnt) artifact [[maintainTokenCounts]] maintains —
@@ -292,7 +288,6 @@ object Versioning {
         col("run_end_v").as("valid_to"), col("fp"),
         (col("run_end_v") === lit((snaps.size - 1).toLong))
           .as("is_current"))
-      .orderBy(col(keyCol), col("valid_from"))
   }
 
   /** SCD-2 incremental merge — the STEADY STATE beside [[scdHistory]]'s
@@ -348,7 +343,6 @@ object Versioning {
         lit(true).as("is_current"))
     closed.unionByName(stillOpen).unionByName(closeNow)
       .unionByName(openNow)
-      .orderBy(col(keyCol), col("valid_from"))
   }
 
   private def statusFrame(

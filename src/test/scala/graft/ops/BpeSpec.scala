@@ -176,8 +176,10 @@ class BpeSpec extends AnyFunSuite {
 
   test("byte-level tokenize and train stay deterministic and space-free") {
     val docs = Tables.load(spark, sf, "documents").limit(60)
-    val a = Bpe.tokenize(docs, Bpe.default, Bpe.PreTokenizer.ByteLevel).collect()
-    val b = Bpe.tokenize(docs, Bpe.default, Bpe.PreTokenizer.ByteLevel).collect()
+    val a = Bpe.tokenize(docs, Bpe.default, Bpe.PreTokenizer.ByteLevel)
+      .collect().sortBy(_.getLong(0))
+    val b = Bpe.tokenize(docs, Bpe.default, Bpe.PreTokenizer.ByteLevel)
+      .collect().sortBy(_.getLong(0))
     assert(a.toSeq == b.toSeq)
     assert(a.length == 60)
     // training on byte-level pre-tokens: merges are over MAPPED chars, so

@@ -91,8 +91,9 @@ class DedupSpec extends AnyFunSuite {
           broadcastThresholdBytes = 1L)
         .queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
       // answers are identical either way
-      assert(shuffled.collect().toSeq ==
-        Dedup.ngramJaccard(docs).collect().toSeq)
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+      assert(shuffled.collect().sortBy(key).toSeq ==
+        Dedup.ngramJaccard(docs).collect().sortBy(key).toSeq)
 
       // minhash: vocab-hash broadcast below threshold, map-side hashing
       // above — bit-identical sketches, so identical pairs either way
@@ -101,7 +102,8 @@ class DedupSpec extends AnyFunSuite {
       val mapSide = Dedup.minhashLsh(docs, broadcastThresholdBytes = 1L)
       assert(!mapSide.queryExecution.optimizedPlan.toString
         .toLowerCase.contains("broadcast"))
-      assert(mapSide.collect().toSeq == Dedup.minhashLsh(docs).collect().toSeq)
+      assert(mapSide.collect().sortBy(key).toSeq ==
+        Dedup.minhashLsh(docs).collect().sortBy(key).toSeq)
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
@@ -503,7 +505,7 @@ class DecontaminationSpec extends AnyFunSuite {
 
   test("decontaminate flags exactly the docs sharing a 4-gram, with counts") {
     val got = Dedup.decontaminate(corpus, benchmark).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     // doc 1: one matched shingle, one benchmark doc; doc 2: two shingles
     // ("alpha beta gamma delta", "one two three four") across two bench docs
     assert(got.toSeq == Seq((1L, 1L, 1L), (2L, 2L, 2L)))

@@ -23,7 +23,7 @@ class QualitySpec extends AnyFunSuite {
       (1L, "the cat sat on the mat"),
       (2L, "the dog sat on the mat"),
       (3L, "zyx qwv jkp lmn zzq xxr")) // tokens the corpus sees once
-    val out = Quality.lmPerplexity(docs).collect()
+    val out = Quality.lmPerplexity(docs).collect().sortBy(_.getLong(0))
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
     val nll = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(nll(3L) > nll(1L) && nll(3L) > nll(2L))
@@ -32,8 +32,9 @@ class QualitySpec extends AnyFunSuite {
   test("lmPerplexity: bit-identical under any partitioning (exact ints)") {
     val docs = corpus((1L to 40L).map(i =>
       i -> s"w${i % 7} w${i % 3} common common w$i tail${i % 11}"): _*)
-    val a = Quality.lmPerplexity(docs).collect().toSeq
+    val a = Quality.lmPerplexity(docs).collect().toSeq.sortBy(_.getLong(0))
     val b = Quality.lmPerplexity(docs.repartition(13)).collect().toSeq
+      .sortBy(_.getLong(0))
     assert(a == b)
   }
 
@@ -91,7 +92,9 @@ class QualitySpec extends AnyFunSuite {
     val docs = corpus((1L to 30L).map(i =>
       i -> s"alpha beta w$i gamma${i % 5} delta"): _*)
     val a = Quality.classifierScore(docs).collect().toSeq
+      .sortBy(_.getLong(0))
     val b = Quality.classifierScore(docs.repartition(11)).collect().toSeq
+      .sortBy(_.getLong(0))
     assert(a == b)
     a.foreach { r =>
       assert(r.getLong(1) == 5) // n_tokens
@@ -119,7 +122,7 @@ class QualitySpec extends AnyFunSuite {
       (4L, "the dog ran in the park"))
     // model gates disabled: survivors are exactly the deduped en docs
     val out = Curation.curateModel(docs, minScore = 0.0, maxNll = 1e9)
-      .collect().map(_.getLong(0)).toSeq
+      .collect().map(_.getLong(0)).toSeq.sorted
     assert(out == Seq(1L, 4L))
   }
 
@@ -135,9 +138,9 @@ class QualitySpec extends AnyFunSuite {
     val docs = corpus((1L to 40L).map(i =>
       i -> s"the a of w$i and to in that x${i % 7}"): _*)
     val a = Curation.curateModel(docs, minScore = 0.0, maxNll = 1e9)
-      .collect().toSeq
+      .collect().toSeq.sortBy(_.getLong(0))
     val b = Curation.curateModel(docs.repartition(9),
-      minScore = 0.0, maxNll = 1e9).collect().toSeq
+      minScore = 0.0, maxNll = 1e9).collect().toSeq.sortBy(_.getLong(0))
     assert(a.nonEmpty && a == b)
   }
 

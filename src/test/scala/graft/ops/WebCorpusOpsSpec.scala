@@ -489,6 +489,7 @@ class WebCorpusOpsSpec extends AnyFunSuite {
         col("ts").cast("timestamp_ntz").as("ts"), col("event_type"))
     val out = Events.transitions(events).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(p => (p._1, p._2))
     assert(out.toSeq == Seq(
       ("click", "view", 1L, 1L),
       ("view", "click", 1L, 1L),
@@ -633,7 +634,7 @@ class WebCorpusOpsSpec extends AnyFunSuite {
     val out = Privacy.kAnonymize(rows, Seq("segment", "region"), "band",
         k = 3, l = 2).collect()
       .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("group_size"),
-        r.getAs[Int]("n_sensitive")))
+        r.getAs[Int]("n_sensitive"))).sortBy(_._1)
     assert(out.toSeq == Seq((1L, 3L, 2), (2L, 3L, 2), (3L, 3L, 2)))
   }
 
@@ -659,6 +660,7 @@ class WebCorpusOpsSpec extends AnyFunSuite {
     val out = Urls.hostReputation(rows, minDocs = 3, maxDupPermille = 500)
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
     assert(out.toSeq == Seq(
       (1L, "a.example.org", 4L, 250L),
       (2L, "a.example.org", 4L, 250L),
@@ -678,7 +680,7 @@ class WebCorpusOpsSpec extends AnyFunSuite {
       (7L, "https://ok.example.org/3", "r")
     ).toDF("doc_id", "url", "text")
     val out = Urls.hostReputation(rows).collect()
-      .map(r => (r.getLong(0), r.getString(1)))
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     assert(out.toSeq == Seq(5L, 6L, 7L).map(_ -> "ok.example.org"))
   }
 
@@ -691,8 +693,9 @@ class WebCorpusOpsSpec extends AnyFunSuite {
           org.apache.spark.sql.functions.lit(".example.org/p")).as("url"),
         col("text"))
     val a = Urls.hostReputation(pages).collect().map(_.toSeq).toSeq
+      .sortBy(_.head.asInstanceOf[Long])
     val b = Urls.hostReputation(pages.repartition(13, col("text")))
-      .collect().map(_.toSeq).toSeq
+      .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
     assert(a == b && a.nonEmpty)
   }
 
@@ -728,6 +731,7 @@ class WebCorpusOpsSpec extends AnyFunSuite {
     // fit, the third (cum 10) does not
     val out = Sampling.capBySource(rows, capTokens = 8L).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
     val webOrder = Seq(1L, 2L, 3L).sortBy(id => (h60(id), id))
     val expected = (webOrder.take(2).zip(Seq(0L, 5L))
       .map { case (id, cum) => (id, "web", 5L, cum) } :+
@@ -760,6 +764,7 @@ class WebCorpusOpsSpec extends AnyFunSuite {
     val out = Privacy.kAnonymize(rows, Seq("segment", "region"), "band",
         k = 3, l = 2).collect()
       .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("group_size")))
+      .sortBy(_._1)
     assert(out.toSeq ==
       Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
   }

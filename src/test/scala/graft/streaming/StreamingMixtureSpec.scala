@@ -46,15 +46,18 @@ class StreamingMixtureSpec extends AnyFunSuite {
     try {
       in.addData(tick1)
       q.processAllAvailable()
+      def sorted(rs: Seq[org.apache.spark.sql.Row]) =
+        rs.sortBy(_.getString(0))
       val live1 = StreamingMixture.planFromTotals(latestTotals(), shares, budget)
         .collect().toSeq
-      assert(live1 == batchPlan(tick1).collect().toSeq)
+      assert(sorted(live1) == sorted(batchPlan(tick1).collect().toSeq))
 
       in.addData(tick2)
       q.processAllAvailable()
       val live2 = StreamingMixture.planFromTotals(latestTotals(), shares, budget)
         .collect().toSeq
-      assert(live2 == batchPlan(tick1 ++ tick2).collect().toSeq)
+      assert(sorted(live2) ==
+        sorted(batchPlan(tick1 ++ tick2).collect().toSeq))
       // the dashboard moved: tick2's 20 en tokens cut en's repeat factor
       val en1 = live1.find(_.getString(0) == "en").get
       val en2 = live2.find(_.getString(0) == "en").get
