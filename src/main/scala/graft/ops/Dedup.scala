@@ -22,19 +22,32 @@ object Dedup {
   /** Word tokens; empty/short docs yield empty shingle arrays. */
   private def wordsCol: Column = split(col("text"), " ")
 
-  /** k-word shingles, exploded (NOT yet deduped per doc). */
-  private def rawShingles(docs: DataFrame, k: Int): DataFrame =
+  /** k-word shingles, exploded and deduped per doc.
+    * Mirrors: transform over a 0..size-k index sequence.
+    *
+    * Dedup happens INSIDE the row — `array_distinct` on the per-doc
+    * shingle array BEFORE the explode — never as a global `.distinct()`:
+    * a document's shingles are all born in its one (doc_id, text) row, so
+    * per-doc set semantics need no exchange at all, where the old global
+    * distinct shuffled the ENTIRE postings set (~2× corpus text bytes)
+    * once per consumer — at 100 TB that is a ~200 TB shuffle this
+    * projection simply does not have. A further consequence: every
+    * downstream per-doc aggregate (`groupBy(doc_id)` for sketches /
+    * collect_set verification sets) now sees all of a doc's shingles
+    * inside one map task, so partial aggregation finishes map-side and
+    * the exchange carries one finished row per doc.
+    *
+    * Contract (same as the rest of the dedup family — [[exact]],
+    * [[minhashLsh]] et al. key groups on it): `doc_id` is a key of
+    * `docs`, one text per doc. Rows sharing a doc_id would no longer
+    * have their shingles cross-row deduped. */
+  def shingles(docs: DataFrame, k: Int = 2): DataFrame =
     docs
       .select(col("doc_id"), wordsCol.as("w"))
       .select(col("doc_id"), explode(
-        when(size(col("w")) >= k,
-          expr(s"transform(sequence(0, size(w) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))"))
+        when(size(col("w")) >= k, array_distinct(
+          expr(s"transform(sequence(0, size(w) - $k), i -> concat_ws(' ', slice(w, i + 1, $k)))")))
           .otherwise(expr("array()"))).as("shingle"))
-
-  /** k-word shingles, exploded and deduped per doc.
-    * Mirrors: transform over a 0..size-k index sequence. */
-  def shingles(docs: DataFrame, k: Int = 2): DataFrame =
-    rawShingles(docs, k).distinct()
 
   /** 60-bit md5 prefix of a string column as a non-negative long — the
     * engine-portable hash used across the dedup family. */
