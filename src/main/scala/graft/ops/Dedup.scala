@@ -595,11 +595,19 @@ object Dedup {
         conv(substring(md5(col("shingle").cast("binary")), 1, 15), 16, 10)
           .cast("long").as("h"))
 
+    // bit b is set iff the signed sum over shingles of (bit ? +1 : -1)
+    // is positive — algebraically sum(±1) = 2·sum(bit) − n, so the agg
+    // sums the RAW bit (one shift+and per row per bit, no ·2−1 affine)
+    // plus one shared count, and the sign test becomes 2·s_b > n:
+    // identical integer decision at every tie (2s = n ⇔ old sum = 0,
+    // bit stays 0), ~a third less per-row expression work in the
+    // operator's dominant aggregate
     val bitSums = (0 until bitsN).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
-    val agg = sh.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"s$b"))
+    val agg = sh.groupBy(col("doc_id"))
+      .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("__n")): _*)
     val simCol = (0 until bitsN).map(b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+      when(col(s"s$b") * 2 > col("__n"), lit(1L << b)).otherwise(0L))
       .reduce(_ + _)
     val sim = agg.select(col("doc_id"), simCol.as("sh"))
 
