@@ -956,17 +956,21 @@ object Dedup {
   def dedupSpans(
       corpus: DataFrame, shingleK: Int = 4,
       reuseGrams: Boolean = true): DataFrame = {
-    // the positional gram stream has two consumers (keeper agg + probe
-    // join); checkpoint so the scan+explode runs once (ns4's postings
-    // pattern) instead of Catalyst duplicating the subtree
-    val posGrams0 = positionalShingles(corpus, shingleK)
-    val posGrams = if (reuseGrams) posGrams0.localCheckpoint(false) else posGrams0
-    val keepers = posGrams.groupBy(col("shingle"))
-      .agg(min(col("doc_id")).as("keeper"),
-        countDistinct(col("doc_id")).as("n_docs"))
+    // keeper table from the per-doc-DISTINCT gram stream ([[shingles]]'s
+    // in-row array_distinct): count(1) over per-doc-distinct rows IS
+    // countDistinct(doc_id) per gram, with a plain (min, count) partial
+    // state — one row per gram per task crosses the keeper exchange,
+    // where the old countDistinct's distinct-aggregate shuffled the full
+    // (gram, doc_id) stream. The positional stream is then down to its
+    // one probe consumer, so the old two-consumer checkpoint is moot;
+    // `reuseGrams` is kept for API compatibility (both settings now
+    // produce the single-consumer plan).
+    val _ = reuseGrams
+    val keepers = shingles(corpus, shingleK).groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= 2)
       .select(col("shingle"), col("keeper"))
-    val taintedStarts = posGrams
+    val taintedStarts = positionalShingles(corpus, shingleK)
       .join(keepers, Seq("shingle"))
       .where(col("doc_id") > col("keeper"))
       .groupBy(col("doc_id"))
