@@ -1432,29 +1432,38 @@ object Dedup {
       docs: DataFrame,
       maxDocFreq: Int = 1,
       sep: String = "\n"): DataFrame = {
-    val lines = docs.select(col("doc_id"),
-      posexplode(split(col("text"), sep)).as(Seq("pos", "line")))
-    val frequent = lines.select(col("line"), col("doc_id")).distinct()
-      .groupBy(col("line"))
-      .agg(count(lit(1)).as("df"))
+    // Ship the DECISION, not the payload (the redactSpans pattern): the
+    // only rows that ever shuffle are (a) one (line-hash-keyed) partial
+    // count per distinct line per task for the document-frequency table —
+    // per-doc dedup is array_distinct inside the row, no exchange — and
+    // (b) the positions of DROPPED occurrences, collected per doc. The
+    // kept lines (the corpus bulk) are rebuilt from the original text row
+    // by a codegen'd positional HOF filter and never cross the network;
+    // the old shape shuffled every kept line through a collect_list +
+    // array_sort regroup. Spark's split keeps trailing empty strings, so
+    // the split → filter-nothing → join round trip is byte-identical for
+    // untouched docs.
+    val frequent = docs
+      .select(explode(array_distinct(split(col("text"), sep))).as("line"))
+      .groupBy(col("line")).agg(count(lit(1)).as("df"))
       .where(col("df") > maxDocFreq)
       .select(col("line"))
-    val rebuilt = lines.join(frequent, Seq("line"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("pos"), col("line")))),
-            x => x.getField("line")),
-          sep).as("text_clean"),
-        count(lit(1)).as("kept_lines"))
-    docs.select(col("doc_id"),
-        size(split(col("text"), sep)).cast("long").as("n_lines"))
-      .join(rebuilt, Seq("doc_id"), "left")
+    val dropped = docs
       .select(col("doc_id"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"),
-        coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
-        (col("n_lines") - coalesce(col("kept_lines"), lit(0L)))
+        posexplode(split(col("text"), sep)).as(Seq("pos", "line")))
+      .join(frequent, Seq("line"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("drop_pos"))
+    docs.select(col("doc_id"), split(col("text"), sep).as("ls"))
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(
+          filter(col("ls"), (_, i) =>
+            col("drop_pos").isNull || !array_contains(col("drop_pos"), i)),
+          sep).as("text_clean"),
+        (size(col("ls")) - coalesce(size(col("drop_pos")), lit(0)))
+          .cast("long").as("kept_lines"),
+        coalesce(size(col("drop_pos")), lit(0)).cast("long")
           .as("dropped_lines"))
   }
 
