@@ -163,23 +163,56 @@ object Bpe {
   /** Per-document BPE tokenization summary: exact token count plus an md5
     * fingerprint of the full ordered token stream (space-joined) — the
     * fingerprint is what makes the oracle check the TOKENS, not just their
-    * number. Output: (doc_id, n_tokens, token_md5); order unspecified. */
+    * number. Output: (doc_id, n_tokens, token_md5); order unspecified.
+    *
+    * Zero-exchange shape (r16): the whole summary is computed INSIDE the
+    * document row — pre-tokens split in codegen, then one UDF walks the
+    * array, encoding each distinct word once per task through a memo
+    * (Zipf: the hot vocabulary repeats within a task; the memo is capped
+    * at 2^20 entries so a pathological vocabulary degrades to re-encoding,
+    * never to unbounded task memory) and folding the count + md5 as it
+    * goes. The previous dictionary-join shape paid a distinct-vocabulary
+    * exchange plus an occurrence-level join and a corpus-sized
+    * collect_list regroup of every occurrence's token string — at 100 TB
+    * two corpus-sized exchanges for work a projection can do. Encode
+    * values are identical (same normalize→encodeWord per raw pre-token),
+    * so the hashes don't move; docs with no non-empty pre-token stay
+    * absent, as before. */
   def tokenize(docs: DataFrame, merges: Merges,
       pt: PreTokenizer = PreTokenizer.Whitespace): DataFrame = {
-    val dict = encodeDictionary(docs, merges, pt)
-      .select(col("word"), size(col("toks")).as("n_toks"),
-        concat_ws(" ", col("toks")).as("tok_str"))
+    val ranks = ranksOf(merges)
+    val enc = udf(new (Seq[String] => (Long, String)) with Serializable {
+      @transient private lazy val memo =
+        new java.util.HashMap[String, Array[String]]()
+      def apply(words: Seq[String]): (Long, String) = {
+        val sb = new java.lang.StringBuilder
+        var n = 0L
+        words.foreach { w =>
+          if (w.nonEmpty) {
+            var t = memo.get(w)
+            if (t == null) {
+              t = encodeWord(normalize(w, pt), ranks).toArray
+              if (memo.size < (1 << 20)) memo.put(w, t)
+            }
+            var i = 0
+            while (i < t.length) {
+              if (sb.length > 0) sb.append(' ')
+              sb.append(t(i)); i += 1
+            }
+            n += t.length
+          }
+        }
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (n, d.map("%02x".format(_)).mkString)
+      }
+    })
     docs
-      .select(col("doc_id"),
-        posexplode(preTokensCol(col("text"), pt)).as(Seq("i", "word")))
-      .where(col("word") =!= "")
-      .join(dict, Seq("word"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("n_toks")).cast("long").as("n_tokens"),
-        md5(concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("i"), col("tok_str")))),
-            x => x.getField("tok_str")))).as("token_md5"))
+      .select(col("doc_id"), preTokensCol(col("text"), pt).as("pts"))
+      .where(exists(col("pts"), w => w =!= ""))
+      .select(col("doc_id"), enc(col("pts")).as("r"))
+      .select(col("doc_id"), col("r._1").as("n_tokens"),
+        col("r._2").as("token_md5"))
   }
 
   /** B3 — per-language tokenizer fertility report: BPE tokens per

@@ -103,18 +103,17 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
-  test("tokenize runs the merge loop on the dictionary, not the corpus") {
+  test("tokenize is zero-exchange: no join, no aggregate, no shuffle") {
     val docs = Tables.load(spark, sf, "documents")
-    val plan = Bpe.tokenize(docs, Bpe.default)
-      .queryExecution.optimizedPlan.toString
-    // the UDF must sit above a Distinct/Aggregate (the word dictionary),
-    // never directly over the exploded corpus rows
-    val firstUdf = plan.linesIterator.zipWithIndex
-      .filter(_._1.toLowerCase.contains("udf")).map(_._2).toSeq
-    assert(firstUdf.nonEmpty)
-    val below = plan.linesIterator.toSeq.drop(firstUdf.min)
-    assert(below.exists(l => l.contains("Aggregate") || l.contains("Distinct")),
-      plan.take(2000))
+    // r16 contract: the per-doc summary is computed inside the document
+    // row (pre-token split + one memoizing UDF), so the plan must contain
+    // no Exchange, no Join and no Aggregate — the old dictionary-join
+    // shape paid a vocabulary exchange plus a corpus-sized token regroup
+    val physical = Bpe.tokenize(docs, Bpe.default)
+      .queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"), physical.take(2000))
+    assert(!physical.toLowerCase.contains("join"), physical.take(2000))
+    assert(!physical.contains("Aggregate"), physical.take(2000))
   }
 
   test("byteMap implements the public GPT-2 byte-to-unicode table") {
