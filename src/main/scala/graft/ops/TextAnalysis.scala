@@ -312,19 +312,48 @@ object TextAnalysis {
       reuseTf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(ngram >= 1, s"ngram must be >= 1, got $ngram")
-    // the tf table has two consumers (df aggregation + score join):
-    // checkpoint so the scan + gram explode + count runs once instead of
-    // Catalyst duplicating the whole subtree per consumer
+    // per-doc term frequencies are computed INSIDE the document row
+    // (sort the gram array, emit one (term, run-length) struct per run —
+    // O(n log n) per doc): a document's grams are all born in its one
+    // row, so the old explode + groupBy(doc_id, term) exchange shipped
+    // the entire distinct-postings stream for key-uniqueness the scan
+    // partitioning already guaranteed. The tf table still has two
+    // consumers (df aggregation + score join) — LAZY checkpoint so the
+    // scan + sort runs once, with no construction-time job.
+    // Each intermediate is bound as a REAL column (srt, starts) so it
+    // evaluates once per row — inlining them into the lambdas would
+    // re-evaluate the whole subtree per array element (O(n² log n)/doc).
+    // All element_at indices are in-bounds by construction (ANSI-safe);
+    // the empty-gram guards keep short docs out of the lambdas entirely.
+    val grams = {
+      val w = split(col("text"), " ")
+      when(size(w) >= ngram,
+        expr(s"transform(sequence(0, size(split(text, ' ')) - $ngram), " +
+          s"i -> concat_ws(' ', slice(split(text, ' '), i + 1, $ngram)))"))
+        .otherwise(expr("array()"))
+    }
+    val srt = col("srt")
+    val starts = col("starts")
+    val nGrams = size(srt)
+    val runs = transform(sequence(lit(0), size(starts) - 1), j =>
+      struct(
+        element_at(srt, element_at(starts, j + 1) + 1).as("term"),
+        (when(j === size(starts) - 1, nGrams)
+          .otherwise(element_at(starts, j + 2))
+          - element_at(starts, j + 1)).cast("long").as("tf")))
     val tf0 = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), explode(
-        when(size(col("w")) >= ngram,
-          expr(s"transform(sequence(0, size(w) - $ngram), " +
-            s"i -> concat_ws(' ', slice(w, i + 1, $ngram)))"))
-          .otherwise(expr("array()"))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val tf = if (reuseTf) tf0.localCheckpoint(true) else tf0
+      .select(col("doc_id"), array_sort(grams).as("srt"))
+      // run starts: 0-based positions into srt (element_at is 1-based)
+      .withColumn("starts",
+        when(nGrams === 0, expr("cast(array() as array<int>)"))
+          .otherwise(filter(sequence(lit(0), nGrams - 1), i =>
+            i === 0 || element_at(srt, i + 1) =!= element_at(srt, i))))
+      .select(col("doc_id"),
+        explode(when(nGrams === 0, expr(
+          "cast(array() as array<struct<term:string,tf:bigint>>)"))
+          .otherwise(runs)).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+    val tf = if (reuseTf) tf0.localCheckpoint(false) else tf0
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val idf = (length(bin(expr("n_docs DIV df"))) - 1).cast("long")
