@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's compact JSON line as the LAST stdout line of
+// `sbt -batch "runMain graft.Bench"`. Forked run output must therefore reach
+// stdout unprefixed (no `[info] ` wrapper) and sbt must not append a trailing
+// `[success] Total time: ...` line after the run.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
