@@ -320,16 +320,18 @@ object TextAnalysis {
     // partitioning already guaranteed. The tf table still has two
     // consumers (df aggregation + score join) — LAZY checkpoint so the
     // scan + sort runs once, with no construction-time job.
-    // Each intermediate is bound as a REAL column (srt, starts) so it
-    // evaluates once per row — inlining them into the lambdas would
-    // re-evaluate the whole subtree per array element (O(n² log n)/doc).
+    // Each intermediate is bound as a REAL column (__w, srt, starts) so
+    // it evaluates once per row — inlining them into the lambdas would
+    // re-evaluate the whole subtree per array element (O(n² log n)/doc;
+    // the original gram builder inlined the split into the slice lambda
+    // and paid exactly that).
     // All element_at indices are in-bounds by construction (ANSI-safe);
     // the empty-gram guards keep short docs out of the lambdas entirely.
     val grams = {
-      val w = split(col("text"), " ")
+      val w = col("__w")
       when(size(w) >= ngram,
-        expr(s"transform(sequence(0, size(split(text, ' ')) - $ngram), " +
-          s"i -> concat_ws(' ', slice(split(text, ' '), i + 1, $ngram)))"))
+        expr(s"transform(sequence(0, size(__w) - $ngram), " +
+          s"i -> concat_ws(' ', slice(__w, i + 1, $ngram)))"))
         .otherwise(expr("array()"))
     }
     val srt = col("srt")
@@ -342,6 +344,7 @@ object TextAnalysis {
           .otherwise(element_at(starts, j + 2))
           - element_at(starts, j + 1)).cast("long").as("tf")))
     val tf0 = docs
+      .select(col("doc_id"), split(col("text"), " ").as("__w"))
       .select(col("doc_id"), array_sort(grams).as("srt"))
       // run starts: 0-based positions into srt (element_at is 1-based)
       .withColumn("starts",
@@ -475,16 +478,30 @@ object TextAnalysis {
     * (consecutive spaces yield empty tokens in BOTH engines). */
   def bigramCounts(docs: DataFrame, minCount: Long = 3L): DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")
-    val ws = split(col("text"), " ")
+    // the token array is bound as a REAL column before the pair lambda:
+    // a lambda that indexes an INLINED split re-evaluates the split per
+    // element — O(n²) per document (the r16 ns38 lesson); bound, each
+    // element_at is O(1) over the materialized array.
+    val ws = col("__w")
     // sequence(1, 0) would DESCEND, not return empty — guard short docs
     val bg = when(size(ws) < 2, expr("array()").cast(
         "array<struct<w1:string,w2:string>>"))
       .otherwise(transform(sequence(lit(1), size(ws) - 1), i =>
         struct(element_at(ws, i).as("w1"),
           element_at(ws, i.cast("int") + 1).as("w2"))))
-    val pair = docs.select(explode(bg).as("p"))
+    // LAZY-checkpointed: the pair table has THREE consumers (released
+    // pairs, n_ctx, n_cont), and without materialization each branch
+    // re-runs the corpus scan + explode + pair aggregation — the plan
+    // paid three full corpus passes for one count table. Blocks
+    // materialize inside the first consuming action (no construction
+    // job); the ctx/cont re-aggregations then really do run over the
+    // bigram-vocabulary pair table, as the contract above states.
+    val pair = docs
+      .select(split(col("text"), " ").as("__w"))
+      .select(explode(bg).as("p"))
       .select(col("p.w1"), col("p.w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint(false)
     val ctx = pair.groupBy(col("w1")).agg(sum(col("n_pair")).as("n_ctx"))
     val cont = pair.groupBy(col("w2")).agg(count(lit(1)).as("n_cont"))
     pair.join(ctx, Seq("w1")).join(cont, Seq("w2"))
