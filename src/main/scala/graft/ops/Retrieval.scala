@@ -43,6 +43,50 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** Per-doc (doc_id, term, tf, dl) computed INSIDE the document row —
+    * the [[TextAnalysis.tfidfKeywords]] run-length shape: sort the token
+    * array in-row, emit one (term, run-length) struct per run, explode
+    * the per-doc-DISTINCT runs. A document's tokens are all born in its
+    * one row, so per-doc term frequencies need no exchange — the old
+    * explode + groupBy(doc_id, term) shipped the entire query-hit
+    * posting stream for key-uniqueness the scan partitioning already
+    * guaranteed (and, with two tf consumers, shipped it twice). `dl`
+    * (document length) rides in-row. Every intermediate is bound as a
+    * REAL column (a lambda over an inlined derived array re-evaluates
+    * the subtree per element — O(n² log n) per doc); all element_at
+    * indices are in-bounds by construction (ANSI-safe). */
+  private def inRowTf(docs: DataFrame): DataFrame = {
+    val w = col("__w")
+    val srt = col("srt")
+    val starts = col("starts")
+    val n = size(srt)
+    val runs = transform(sequence(lit(0), size(starts) - 1), j =>
+      struct(
+        element_at(srt, element_at(starts, j + 1) + 1).as("term"),
+        (when(j === size(starts) - 1, n)
+          .otherwise(element_at(starts, j + 2))
+          - element_at(starts, j + 1)).cast("long").as("tf")))
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("__w"))
+      // a NULL text yields dl = -1 here, but srt is then empty so the
+      // explode drops the doc before dl is ever observable — identical
+      // to the old explode shape (no tf rows for a null text)
+      .select(col("doc_id"), size(w).cast("long").as("dl"),
+        when(size(w) >= 1, array_sort(w))
+          .otherwise(expr("cast(array() as array<string>)")).as("srt"))
+      // run starts: 0-based positions into srt (element_at is 1-based)
+      .withColumn("starts",
+        when(n === 0, expr("cast(array() as array<int>)"))
+          .otherwise(filter(sequence(lit(0), n - 1), i =>
+            i === 0 || element_at(srt, i + 1) =!= element_at(srt, i))))
+      .select(col("doc_id"), col("dl"),
+        explode(when(n === 0, expr(
+          "cast(array() as array<struct<term:string,tf:bigint>>)"))
+          .otherwise(runs)).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"),
+        col("tc.tf").as("tf"), col("dl"))
+  }
+
   /** BM25 top-k over `docs(doc_id, text)` for a literal query-term set.
     * Output: (doc_id, n_matched, bm25_milli), the `topK` highest-scoring
     * docs, ties broken by ascending doc_id. Docs matching no query term
@@ -55,17 +99,16 @@ object Retrieval {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.toSet.size == queryTerms.size,
       "queryTerms must be distinct (duplicate terms would double-count)")
-    val w = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
     // corpus stats: ONE 1-row aggregate (N, total token count)
-    val stats = w.agg(
+    val stats = docs.select(split(col("text"), " ").as("w")).agg(
       count(lit(1)).as("n_docs"), sum(size(col("w"))).as("total_len"))
-    // query-term postings: filter BEFORE the shuffle — only hits move
-    val tf = w
-      .select(col("doc_id"), size(col("w")).as("dl"),
-        explode(col("w")).as("term"))
+    // per-doc (term, tf) born in-row; only query-term hits survive the
+    // filter, and the frame is already unique on (doc_id, term) — no
+    // exchange. LAZY-checkpointed: two consumers (df + the score join)
+    // would otherwise re-run the corpus scan + in-row sort.
+    val tf = inRowTf(docs)
       .where(col("term").isin(queryTerms: _*))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .localCheckpoint(false)
     // df: at most |Q| rows — broadcast back onto the postings
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val avgdlMilli = expr("(total_len * 1000) DIV n_docs")
@@ -101,19 +144,24 @@ object Retrieval {
       docs: DataFrame, queries: DataFrame, topK: Int = 10,
       k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-    val stats = w.agg(
+    val stats = docs.select(split(col("text"), " ").as("w")).agg(
       count(lit(1)).as("n_docs"), sum(size(col("w"))).as("total_len"))
+    // query vocabulary: query-cardinality, LAZY-checkpointed — it feeds
+    // the pre-filter vocab AND the per-query fan-out join, and each
+    // branch would otherwise re-run the explode + distinct exchange
     val qt = queries
       .select(col("query_id"), explode(col("terms")).as("term"))
       .where(col("term") =!= "").distinct()
+      .localCheckpoint(false)
     val vocab = qt.select(col("term")).distinct()
-    val tf = w
-      .select(col("doc_id"), size(col("w")).as("dl"),
-        explode(col("w")).as("term"))
+    // per-doc (term, tf) born in-row (see [[inRowTf]]): the broadcast
+    // vocab join filters the per-doc-distinct runs map-side, and the
+    // frame is already unique on (doc_id, term) — the old explode +
+    // groupBy(doc_id, term) exchange (the suite's largest) is gone.
+    // LAZY-checkpointed: two consumers (df + the score join).
+    val tf = inRowTf(docs)
       .join(broadcast(vocab), Seq("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .localCheckpoint(false)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val avgdlMilli = expr("(total_len * 1000) DIV n_docs")
     val idfMilli =
@@ -130,6 +178,10 @@ object Retrieval {
           s"(tf * 1000000 + $k1Milli * norm_milli)")).as("s_term"))
     val wnd = Window.partitionBy(col("query_id"))
       .orderBy(col("bm25_milli").desc, col("doc_id"))
+    // the rollup keeps its own (query_id, doc_id) exchange: partial
+    // aggregation compresses the per-term fan-out map-side BEFORE the
+    // shuffle (a shared query_id-only exchange was measured WORSE — it
+    // ships the raw term-level rows, 15.8 MB vs ~3 MB here)
     scored
       .join(broadcast(qt), Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
