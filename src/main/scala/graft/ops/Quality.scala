@@ -53,14 +53,28 @@ object Quality {
     *
     * Output: (doc_id, n_tokens, nll, kept); order unspecified.
     */
+  /** Measured broadcast gate for the trained unigram model: a count
+    * table at or under this many DISTINCT tokens (~50 B/row ⇒ ≤ ~100 MB
+    * framed) broadcasts, so the posting stream never shuffles for the
+    * scoring join; above it the join keeps its shuffle path (a 100 TB
+    * corpus has billions of distinct tokens). The gate reads the EXACT
+    * vocabulary count the totals fetch already collected — never a
+    * planner estimate. */
+  private[ops] val lmBroadcastVocabMax = 2000000L
+
   def lmPerplexity(docs: DataFrame, maxNll: Double = 9.0): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
+    // LAZY-checkpointed: the count table feeds the totals fetch AND the
+    // scoring join — without blocks each execution ran the full
+    // wordcount twice (once under .head(), again inside the final plan)
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     // bounded driver fetch: exactly two scalars (total tokens N, vocab V).
     // sum() over an EMPTY count table is null (an empty input corpus —
     // e.g. a pipeline stage that filtered everything out — must yield an
-    // empty result, not a crash)
+    // empty result, not a crash). This action also materializes the
+    // checkpoint blocks the scoring join reads.
     val totals = counts.agg(sum(col("c")), count(lit(1))).head()
     val n = if (totals.isNullAt(0)) 0L else totals.getLong(0)
     val v = totals.getLong(1)
@@ -69,9 +83,11 @@ object Quality {
     // nll is a function of the token's COUNT, so it is quantized on the
     // vocab-cardinality count table (one log per distinct token), not per
     // token instance — the join then carries the precomputed micro-nats
-    toks.join(counts.withColumn("nll_micro",
-        round(-log((col("c") + 1).cast("double") / lit(nv)) * 1e6, 0)
-          .cast("long")), "tok")
+    val model = counts.withColumn("nll_micro",
+      round(-log((col("c") + 1).cast("double") / lit(nv)) * 1e6, 0)
+        .cast("long"))
+    toks.join(if (v <= lmBroadcastVocabMax) broadcast(model) else model,
+        "tok")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("nll_micro")).as("s"))
       // display rounding in EXACT integer arithmetic: the mean s/n is a
@@ -282,9 +298,13 @@ object Quality {
     // same HALF_UP-on-decimal-string rounding as Spark's round(_, 0)
     val floorMicro = BigDecimal(-math.log(1.0 / nv) * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-    toks.join(spark.read.parquet(path).withColumn("nll_micro",
-        round(-log((col("c") + 1).cast("double") / lit(nv)) * 1e6, 0)
-          .cast("long")), Seq("tok"), "left")
+    val model = spark.read.parquet(path).withColumn("nll_micro",
+      round(-log((col("c") + 1).cast("double") / lit(nv)) * 1e6, 0)
+        .cast("long"))
+    // same measured broadcast gate as [[lmPerplexity]] — V comes from
+    // the sidecar, so the decision is exact without touching the data
+    toks.join(if (v <= lmBroadcastVocabMax) broadcast(model) else model,
+        Seq("tok"), "left")
       .withColumn("nll_micro",
         coalesce(col("nll_micro"), lit(floorMicro)))
       .groupBy("doc_id")

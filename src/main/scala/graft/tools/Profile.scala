@@ -25,54 +25,33 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     val docs = graft.Tables.load(spark, dir, "documents")
 
-    def fullNs4(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
-      val inter = sh.as("a").join(sh.as("b"),
-          col("a.shingle") === col("b.shingle") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select((shiftleft(col("a.doc_id"), 32)
-          .bitwiseOR(col("b.doc_id"))).as("pk"))
-        .repartition(col("pk"))
-        .groupBy("pk").agg(count(lit(1)).as("i"))
-        .select(shiftright(col("pk"), 32).as("doc_a"),
-          col("pk").bitwiseAND(lit(0xffffffffL)).as("doc_b"), col("i"))
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      inter
-        .join(sizes.as("x"), col("doc_a") === col("x.doc_id"))
-        .join(sizes.as("y"), col("doc_b") === col("y.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("i").cast("double") / (col("x.n") + col("y.n") - col("i"))).as("j"))
-        .where(col("j") >= threshold)
-        .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    }
-
-    def variantK(sh: org.apache.spark.sql.DataFrame) = {
-      val left = sh.repartition(32, col("doc_id"))
-      val inter = left.as("a").join(broadcast(sh.as("b")),
-          col("a.shingle") === col("b.shingle") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("i"))
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      inter
-        .join(sizes.as("x"), col("doc_a") === col("x.doc_id"))
-        .join(sizes.as("y"), col("doc_b") === col("y.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("i").cast("double") / (col("x.n") + col("y.n") - col("i"))).as("j"))
-        .where(col("j") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
+    // ns65 decomposition: where do the ~3 s go?
+    def langGate(): DataFrame = {
+      val base = docs.select(col("doc_id"), col("text"),
+        split(col("text"), " ").as("w"))
+      val arrOf = (markers: Seq[String]) => array(markers.map(lit): _*)
+      val scored = graft.ops.TextAnalysis.langMarkers.foldLeft(base) {
+        case (df, (code, markers)) =>
+          df.withColumn(s"s_$code",
+            size(filter(col("w"), x => array_contains(arrOf(markers), x))))
+      }
+      scored.select(col("doc_id"), col("text"))
     }
     for (round <- 1 to 3) {
       println(s"--- round $round")
-      time("current ns4")(graft.ops.Dedup.ngramJaccard(docs))
-      val k = time("K: doc_id-partitioned probe, no pair shuffle")(
-        variantK(graft.ops.Dedup.shingles(docs, 2).localCheckpoint(true)))
-      if (round == 1) println(k.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==").head.take(2500))
+      time("split only")(
+        docs.select(col("doc_id"), size(split(col("text"), " ")).as("n")))
+      time("lang gate (5 HOF filters)")(langGate())
+      time("classifierScoreInline 512")(
+        graft.ops.Quality.classifierScoreInline(docs))
+      time("lmPerplexity (full corpus)")(
+        graft.ops.Quality.lmPerplexity(docs.select(col("doc_id"), col("text"))))
+      time("full curateModel")(graft.ops.Curation.curateModel(docs))
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }
