@@ -1438,7 +1438,11 @@ object SparkEntry {
   private def ns99(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val cols = Seq("text", "lang", "source", "n_chars")
-    val v1 = snapshotTick(d, cols)
+    // v1 is LAZY-checkpointed: it feeds both the history union and v2's
+    // synthesis (whose max-shift probe executes v1's whole plan), so
+    // without blocks the scan tree doubles. v2 has ONE consumer here —
+    // checkpointing it was measured as pure materialization cost
+    val v1 = snapshotTick(d, cols).localCheckpoint(false)
     val v2 = snapshotTick(v1, cols)
     graft.ops.Versioning.scdHistory(Seq(d, v1, v2), "doc_id", cols)
   }
@@ -1454,10 +1458,15 @@ object SparkEntry {
   private def ns100(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val cols = Seq("text", "lang", "source", "n_chars")
-    val v1 = snapshotTick(d, cols)
-    val v2 = snapshotTick(v1, cols)
+    // ticks LAZY-checkpointed (the ns99 rationale — each feeds the next
+    // tick's synthesis AND a history/merge consumer); the history too:
+    // the merge reads it twice (closed pass-through + current runs), and
+    // unmaterialized that re-runs the three-snapshot window per branch
+    val v1 = snapshotTick(d, cols).localCheckpoint(false)
+    val v2 = snapshotTick(v1, cols).localCheckpoint(false)
     val v3 = snapshotTick(v2, cols)
     val h = graft.ops.Versioning.scdHistory(Seq(d, v1, v2), "doc_id", cols)
+      .localCheckpoint(false)
     graft.ops.Versioning.scdMergeTick(h, v3, 3L, "doc_id", cols)
   }
 
@@ -2433,9 +2442,12 @@ object SparkEntry {
     * synthesis as ns56. */
   private def ns86(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
+    // tick LAZY-checkpointed: the maintenance consumes the new snapshot
+    // twice (fp diff + the added/changed-new tokenization probe)
+    val v1 = snapshotTick(d, Seq("text", "lang", "source", "n_chars"))
+      .localCheckpoint(false)
     graft.ops.Versioning.maintainTokenCounts(
-      d, snapshotTick(d, Seq("text", "lang", "source", "n_chars")),
-      graft.ops.Versioning.tokenCountsOf(d))
+      d, v1, graft.ops.Versioning.tokenCountsOf(d))
   }
 
   /** NS87 — link-graph authority ([[graft.ops.Graphs.pagerankInt]]):

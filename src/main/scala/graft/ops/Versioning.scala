@@ -326,23 +326,31 @@ object Versioning {
       .select(col(keyCol), col("valid_from"), col("fp").as("old_fp"))
     val snap = newSnap.select(col(keyCol), fp.as("new_fp"))
     val j = cur.join(snap, Seq(keyCol), "full_outer")
-    val stillOpen = j.where(col("old_fp") === col("new_fp"))
-      .select(col(keyCol), col("valid_from"), lit(version).as("valid_to"),
-        col("old_fp").as("fp"), lit(true).as("is_current"))
-    val closeNow = j
-      .where(col("old_fp").isNotNull &&
-        (col("new_fp").isNull || col("old_fp") =!= col("new_fp")))
-      .select(col(keyCol), col("valid_from"),
-        lit(version - 1).as("valid_to"), col("old_fp").as("fp"),
-        lit(false).as("is_current"))
-    val openNow = j
-      .where(col("new_fp").isNotNull &&
-        (col("old_fp").isNull || col("old_fp") =!= col("new_fp")))
-      .select(col(keyCol), lit(version).as("valid_from"),
-        lit(version).as("valid_to"), col("new_fp").as("fp"),
-        lit(true).as("is_current"))
-    closed.unionByName(stillOpen).unionByName(closeNow)
-      .unionByName(openNow)
+    // ONE pass over the join: each row emits its merge outcome(s) —
+    // advance, close (plus reopen on a changed fp), or open — as an
+    // exploded 1–2 element struct array. The previous shape unioned
+    // three FILTERS of `j`, and each union branch re-executed the whole
+    // join (and everything under it) — three live-key passes per tick
+    // for one merge decision. The when-chain is exhaustive: a full-outer
+    // row has at least one side non-null.
+    val advance = struct(col("valid_from").as("valid_from"),
+      lit(version).as("valid_to"), col("old_fp").as("fp"),
+      lit(true).as("is_current"))
+    val closeRow = struct(col("valid_from").as("valid_from"),
+      lit(version - 1).as("valid_to"), col("old_fp").as("fp"),
+      lit(false).as("is_current"))
+    val openRow = struct(lit(version).as("valid_from"),
+      lit(version).as("valid_to"), col("new_fp").as("fp"),
+      lit(true).as("is_current"))
+    val merged = j.select(col(keyCol), explode(
+        when(col("old_fp").isNull, array(openRow))
+          .when(col("new_fp").isNull, array(closeRow))
+          .when(col("old_fp") === col("new_fp"), array(advance))
+          .otherwise(array(closeRow, openRow))).as("__r"))
+      .select(col(keyCol), col("__r.valid_from").as("valid_from"),
+        col("__r.valid_to").as("valid_to"), col("__r.fp").as("fp"),
+        col("__r.is_current").as("is_current"))
+    closed.unionByName(merged)
   }
 
   private def statusFrame(
