@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expressions for the embedding-vector hot path.
   *
@@ -104,6 +104,216 @@ case class L2Norm(child: Expression)
     copy(child = newChild)
 }
 
+/** Product-quantization encode as ONE expression: per subspace `s` of
+  * `m`, the code of the codebook entry minimizing ‖e‖² − 2⟨v_s, e⟩
+  * (≡ argmin ‖v_s − e‖², ties to the smaller code). Replaces the
+  * m × numCodes literal-array expression tree (≈1,300 nodes for the
+  * default 8×16 codebook, whose per-execution Catalyst optimization
+  * dominated the whole query at small SF) with a single codegen'd
+  * loop. Bit-identical contract with the tree form: ‖e‖² is the same
+  * driver-side left-to-right sum of squares, the dot fold is strictly
+  * ascending like [[DotProduct]], short vectors dot over the available
+  * prefix exactly as slice+min-length did, and the comparison is
+  * `java.lang.Double.compare` — Spark's struct-min double ordering.
+  *
+  * Children 2 and 3 (codebook as array<array<double>>, m) must be
+  * foldable literals; they are evaluated once at first use. */
+case class PqEncode(vec: Expression, cbExpr: Expression, mExpr: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes
+    with Serializable {
+
+  override def first: Expression = vec
+  override def second: Expression = cbExpr
+  override def third: Expression = mExpr
+  override def inputTypes = Seq(ArrayType(DoubleType),
+    ArrayType(ArrayType(DoubleType)), IntegerType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val m: Int = {
+    require(mExpr.foldable, "pq_encode: m must be a literal")
+    mExpr.eval().asInstanceOf[Int]
+  }
+  @transient private lazy val cb: Array[Array[Double]] = {
+    require(cbExpr.foldable, "pq_encode: codebook must be a literal")
+    val ad = cbExpr.eval().asInstanceOf[ArrayData]
+    (0 until ad.numElements()).map(i => ad.getArray(i).toDoubleArray()).toArray
+  }
+  @transient private lazy val dims: Int = cb.head.length
+  @transient private lazy val subDim: Int = dims / m
+  // flat [c * dims + d] codebook and [s * numCodes + c] subspace norms —
+  // the norms use the same Scala left-to-right .sum the literal tree used
+  @transient private[functions] lazy val flatCb: Array[Double] =
+    cb.flatten
+  @transient private[functions] lazy val esq: Array[Double] =
+    Array.tabulate(m * cb.length) { i =>
+      val (s, c) = (i / cb.length, i % cb.length)
+      cb(c).slice(s * subDim, (s + 1) * subDim).map(x => x * x).sum
+    }
+
+  override protected def nullSafeEval(a: Any, cbv: Any, mv: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val numCodes = cb.length
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val base = s * subDim
+      val len = math.max(0, math.min(subDim, n - base))
+      var bestD = Double.PositiveInfinity
+      var bestC = 0
+      var c = 0
+      while (c < numCodes) {
+        var acc = 0.0
+        var i = 0
+        while (i < len) {
+          acc += v.getDouble(base + i) * flatCb(c * dims + base + i); i += 1
+        }
+        val d = esq(s * numCodes + c) - 2.0 * acc
+        if (java.lang.Double.compare(d, bestD) < 0) { bestD = d; bestC = c }
+        c += 1
+      }
+      codes(s) = bestC
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, _, _) => {
+      val cbRef = ctx.addReferenceObj("pqCb", flatCb, "double[]")
+      val esqRef = ctx.addReferenceObj("pqEsq", esq, "double[]")
+      val numCodes = cb.length
+      val codes = ctx.freshName("codes")
+      val sV = ctx.freshName("s"); val cV = ctx.freshName("c")
+      val iV = ctx.freshName("i"); val nV = ctx.freshName("n")
+      val baseV = ctx.freshName("base"); val lenV = ctx.freshName("len")
+      val bestD = ctx.freshName("bestD"); val bestC = ctx.freshName("bestC")
+      val acc = ctx.freshName("acc"); val dV = ctx.freshName("d")
+      s"""
+         |int $nV = $v.numElements();
+         |int[] $codes = new int[$m];
+         |for (int $sV = 0; $sV < $m; $sV++) {
+         |  int $baseV = $sV * $subDim;
+         |  int $lenV = $nV - $baseV;
+         |  if ($lenV > $subDim) $lenV = $subDim;
+         |  if ($lenV < 0) $lenV = 0;
+         |  double $bestD = Double.POSITIVE_INFINITY;
+         |  int $bestC = 0;
+         |  for (int $cV = 0; $cV < $numCodes; $cV++) {
+         |    double $acc = 0.0;
+         |    for (int $iV = 0; $iV < $lenV; $iV++) {
+         |      $acc += $v.getDouble($baseV + $iV)
+         |        * $cbRef[$cV * $dims + $baseV + $iV];
+         |    }
+         |    double $dV = $esqRef[$sV * $numCodes + $cV] - 2.0 * $acc;
+         |    if (java.lang.Double.compare($dV, $bestD) < 0) {
+         |      $bestD = $dV; $bestC = $cV;
+         |    }
+         |  }
+         |  $codes[$sV] = $bestC;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): PqEncode =
+    copy(vec = newFirst, cbExpr = newSecond, mExpr = newThird)
+}
+
+/** The per-query ADC lookup table as ONE expression: entry
+  * `s · numCodes + c` = ⟨query subspace s, codebook entry c⟩ — the same
+  * s-major layout, ascending-index dot fold, and short-array prefix
+  * semantics as the literal-tree form it replaces (see [[PqEncode]]). */
+case class PqLut(vec: Expression, cbExpr: Expression, mExpr: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes
+    with Serializable {
+
+  override def first: Expression = vec
+  override def second: Expression = cbExpr
+  override def third: Expression = mExpr
+  override def inputTypes = Seq(ArrayType(DoubleType),
+    ArrayType(ArrayType(DoubleType)), IntegerType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  @transient private lazy val m: Int = {
+    require(mExpr.foldable, "pq_lut: m must be a literal")
+    mExpr.eval().asInstanceOf[Int]
+  }
+  @transient private lazy val cb: Array[Array[Double]] = {
+    require(cbExpr.foldable, "pq_lut: codebook must be a literal")
+    val ad = cbExpr.eval().asInstanceOf[ArrayData]
+    (0 until ad.numElements()).map(i => ad.getArray(i).toDoubleArray()).toArray
+  }
+  @transient private lazy val dims: Int = cb.head.length
+  @transient private lazy val subDim: Int = dims / m
+  @transient private[functions] lazy val flatCb: Array[Double] = cb.flatten
+
+  override protected def nullSafeEval(a: Any, cbv: Any, mv: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val numCodes = cb.length
+    val lut = new Array[Double](m * numCodes)
+    var s = 0
+    while (s < m) {
+      val base = s * subDim
+      val len = math.max(0, math.min(subDim, n - base))
+      var c = 0
+      while (c < numCodes) {
+        var acc = 0.0
+        var i = 0
+        while (i < len) {
+          acc += v.getDouble(base + i) * flatCb(c * dims + base + i); i += 1
+        }
+        lut(s * numCodes + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(lut)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, _, _) => {
+      val cbRef = ctx.addReferenceObj("pqCb", flatCb, "double[]")
+      val numCodes = cb.length
+      val lut = ctx.freshName("lut")
+      val sV = ctx.freshName("s"); val cV = ctx.freshName("c")
+      val iV = ctx.freshName("i"); val nV = ctx.freshName("n")
+      val baseV = ctx.freshName("base"); val lenV = ctx.freshName("len")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $nV = $v.numElements();
+         |double[] $lut = new double[${m * numCodes}];
+         |for (int $sV = 0; $sV < $m; $sV++) {
+         |  int $baseV = $sV * $subDim;
+         |  int $lenV = $nV - $baseV;
+         |  if ($lenV > $subDim) $lenV = $subDim;
+         |  if ($lenV < 0) $lenV = 0;
+         |  for (int $cV = 0; $cV < $numCodes; $cV++) {
+         |    double $acc = 0.0;
+         |    for (int $iV = 0; $iV < $lenV; $iV++) {
+         |      $acc += $v.getDouble($baseV + $iV)
+         |        * $cbRef[$cV * $dims + $baseV + $iV];
+         |    }
+         |    $lut[$sV * $numCodes + $cV] = $acc;
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($lut);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): PqLut =
+    copy(vec = newFirst, cbExpr = newSecond, mExpr = newThird)
+}
+
 /** Column builders + SQL registration: the expressions resolve by NAME
   * through the session's function registry (`call_function`), so they are
   * usable from both the DataFrame API and `spark.sql` (UDF-surface parity,
@@ -117,10 +327,20 @@ object VectorFunctions {
 
   def vecNorm(a: Column): Column = call_function("vec_norm", a)
 
+  def pqEncode(v: Column, cb: Column, m: Column): Column =
+    call_function("pq_encode", v, cb, m)
+
+  def pqLut(v: Column, cb: Column, m: Column): Column =
+    call_function("pq_lut", v, cb, m)
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> ((exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
     "vec_norm" -> ((exprs: Seq[Expression]) => L2Norm(exprs.head)),
-    "phash63" -> ((exprs: Seq[Expression]) => Phash63(exprs.head))
+    "phash63" -> ((exprs: Seq[Expression]) => Phash63(exprs.head)),
+    "pq_encode" -> ((exprs: Seq[Expression]) =>
+      PqEncode(exprs(0), exprs(1), exprs(2))),
+    "pq_lut" -> ((exprs: Seq[Expression]) =>
+      PqLut(exprs(0), exprs(1), exprs(2)))
   ) ++ TextFunctions.builders
 
   def register(spark: SparkSession): Unit = {

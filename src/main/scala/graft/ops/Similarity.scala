@@ -505,26 +505,18 @@ object Similarity {
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
 
-  /** Codebook entry `c`'s subspace-`s` slice as a literal array column,
-    * and its squared norm (sum order d = 0..subDim-1, matching the
-    * oracle's list_sum). */
-  private def pqSubEntry(
-      cb: Array[Array[Double]], c: Int, s: Int, subDim: Int): Array[Double] =
-    cb(c).slice(s * subDim, (s + 1) * subDim)
-
   /** One code per subspace: argmin of ‖e‖² − 2⟨v_s, e⟩ over codebook
-    * entries (≡ argmin ‖v_s − e‖²), ties to the smaller code. */
+    * entries (≡ argmin ‖v_s − e‖²), ties to the smaller code. ONE
+    * codegen'd expression ([[graft.functions.PqEncode]]) — the previous
+    * m × numCodes literal-array tree (~1,300 nodes at the 8×16 default)
+    * cost more in per-execution Catalyst optimization than the whole
+    * query's compute at small SF, and its 128 slice+dot terms ran per
+    * row at every SF. Fold orders, tie-breaks, and short-vector
+    * semantics are bit-identical (documented on the expression). */
   private def pqCodes(
       v: Column, m: Int, subDim: Int, cb: Array[Array[Double]]): Column =
-    array((0 until m).map { s =>
-      val sub = slice(v, s * subDim + 1, subDim)
-      array_min(array(cb.indices.map { c =>
-        val e = pqSubEntry(cb, c, s, subDim)
-        val dist = lit(e.map(x => x * x).sum) -
-          lit(2.0) * dot(sub, array(e.toIndexedSeq.map(lit): _*))
-        struct(dist.as("d"), lit(c).as("c"))
-      }: _*)).getField("c")
-    }: _*)
+    graft.functions.VectorFunctions.pqEncode(v,
+      typedlit[Seq[Seq[Double]]](cb.map(_.toSeq).toSeq), lit(m))
 
   /** Encode a corpus against a codebook: (vec_id, cs) with `cs` the
     * m-element code array — the compact representation a PQ index stores. */
@@ -562,12 +554,9 @@ object Similarity {
     require(dims % m == 0, s"dims $dims not divisible by m $m")
     val subDim = dims / m
     val numCodes = cb.length
-    val lut = array((0 until m).flatMap { s =>
-      val qsub = slice(col("qv"), s * subDim + 1, subDim)
-      cb.indices.map { c =>
-        dot(qsub, array(pqSubEntry(cb, c, s, subDim).toIndexedSeq.map(lit): _*))
-      }
-    }: _*)
+    // ONE codegen'd expression for the whole LUT (see [[pqCodes]])
+    val lut = graft.functions.VectorFunctions.pqLut(col("qv"),
+      typedlit[Seq[Seq[Double]]](cb.map(_.toSeq).toSeq), lit(m))
     val q = queries.select(col("query_id"),
         col("query_vec").cast("array<double>").as("qv"))
       .select(col("query_id"), lut.as("lut"))

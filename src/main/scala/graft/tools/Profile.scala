@@ -26,30 +26,17 @@ object Profile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = graft.Tables.load(spark, dir, "documents")
+    val embs = graft.Tables.load(spark, dir, "embeddings")
+    val queries = embs.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
 
-    // ns65 decomposition: where do the ~3 s go?
-    def langGate(): DataFrame = {
-      val base = docs.select(col("doc_id"), col("text"),
-        split(col("text"), " ").as("w"))
-      val arrOf = (markers: Seq[String]) => array(markers.map(lit): _*)
-      val scored = graft.ops.TextAnalysis.langMarkers.foldLeft(base) {
-        case (df, (code, markers)) =>
-          df.withColumn(s"s_$code",
-            size(filter(col("w"), x => array_contains(arrOf(markers), x))))
-      }
-      scored.select(col("doc_id"), col("text"))
-    }
     for (round <- 1 to 3) {
       println(s"--- round $round")
-      time("split only")(
-        docs.select(col("doc_id"), size(split(col("text"), " ")).as("n")))
-      time("lang gate (5 HOF filters)")(langGate())
-      time("classifierScoreInline 512")(
-        graft.ops.Quality.classifierScoreInline(docs))
-      time("lmPerplexity (full corpus)")(
-        graft.ops.Quality.lmPerplexity(docs.select(col("doc_id"), col("text"))))
-      time("full curateModel")(graft.ops.Curation.curateModel(docs))
+      val t0 = System.nanoTime()
+      val cb = graft.ops.Similarity.pqCodebook(embs)
+      println(f"[profile] pqCodebook collect: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      time("pqEncode only")(graft.ops.Similarity.pqEncode(embs, cb))
+      time("full pqTopK")(graft.ops.Similarity.pqTopK(embs, queries, k = 10))
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
