@@ -336,7 +336,10 @@ object SparkEntry {
       .deleteOnExit(workPath)
     val tick1 = graft.ops.Dedup.incrementalNewFromIndex(
         docs(s, dir).where(col("doc_id") % 10 === 0), work)
-      .localCheckpoint(true) // snapshot: the plan reads files the append rewrites
+      .localCheckpoint(false) // lazy snapshot: the listing is pinned at plan
+      // construction, so the update's FIRST append action materializes the
+      // blocks (one fused job chain) instead of a separate eager pass; the
+      // appended files are never in this plan's file list
     graft.ops.Dedup.updateMinhashIndex(tick1, work)
     val tick2 = graft.ops.Dedup.incrementalNewFromIndex(
       docs(s, dir).where(col("doc_id") % 10 === 5), work)
@@ -430,7 +433,10 @@ object SparkEntry {
     val tick1 = graft.ops.Perceptual.incrementalNewFromGridIndex(
         fam.where(col("doc_id") % 5 === 4), work, maxSad = 128L,
         expectDecoder = Some("image-grid"))
-      .localCheckpoint(true) // snapshot: the plan reads files the append rewrites
+      .localCheckpoint(false) // lazy snapshot: the listing is pinned at plan
+      // construction, so the update's FIRST append action materializes the
+      // blocks (one fused job chain) instead of a separate eager pass; the
+      // appended files are never in this plan's file list
     graft.ops.Perceptual.updateGridIndex(tick1, work)
     val tick2 = graft.ops.Perceptual.incrementalNewFromGridIndex(
       fam.where(col("doc_id") % 5 === 2 || col("doc_id") % 5 === 3), work,
@@ -1333,7 +1339,10 @@ object SparkEntry {
     val tick1 = graft.ops.Perceptual.incrementalNewFromPhashIndex(
         fam.where(col("doc_id") % 5 === 4), work,
         expectDecoder = Some("byte-stride"))
-      .localCheckpoint(true) // snapshot: the plan reads files the append rewrites
+      .localCheckpoint(false) // lazy snapshot: the listing is pinned at plan
+      // construction, so the update's FIRST append action materializes the
+      // blocks (one fused job chain) instead of a separate eager pass; the
+      // appended files are never in this plan's file list
     graft.ops.Perceptual.updatePhashIndex(tick1, work)
     val tick2 = graft.ops.Perceptual.incrementalNewFromPhashIndex(
       fam.where(col("doc_id") % 5 === 2 || col("doc_id") % 5 === 3), work)
