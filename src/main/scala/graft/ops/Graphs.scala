@@ -62,11 +62,18 @@ object Graphs {
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // each edge is weighted with its source's outdegree ONCE, outside the
+    // loop — the old shape re-joined outdeg inside every iteration. The
+    // invariant subtree stays un-checkpointed deliberately: AQE's
+    // ReusedExchange already serves the identical per-iteration copies,
+    // and lazy checkpoints here MEASURED two extra materialization jobs.
+    // Same integer arithmetic, same rows.
+    val eW = e.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
     val teleport = scale * (1000L - dampingPermille) / 1000L
     def step(ranks: DataFrame): DataFrame = {
-      val contribs = e
-        .join(ranks, e("src") === ranks("node"))
-        .join(outdeg, "src")
+      val contribs = eW
+        .join(ranks, eW("src") === ranks("node"))
         .select(col("dst"),
           expr(s"($dampingPermille * rank) DIV (1000 * outdeg)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
