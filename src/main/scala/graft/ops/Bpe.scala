@@ -21,14 +21,23 @@ import org.apache.spark.sql.functions._
   * ([[oracleSql]]), making the whole tokenizer hash-checkable: integer
   * ranks, string concatenation, no floats anywhere.
   *
-  * Scale shape (100 TB): the per-word merge loop is MEMOIZED over the
-  * distinct-word dictionary, never run per corpus row — one data-sized
-  * shuffle (word distinct), the iterative encode over |vocab| words, then
-  * an equality join back to the exploded corpus (AQE broadcasts the
-  * dictionary while it fits, degrades to a shuffled join past that). The
-  * non-codegen portion is O(|vocab| · len²), independent of corpus size —
+  * Scale shape (100 TB), two regimes since r16:
+  *   - [[encodeDictionary]] / [[fertilityReport]] keep the DICTIONARY
+  *     shape: the per-word merge loop is memoized over the distinct-word
+  *     dictionary, never run per corpus row — one data-sized shuffle
+  *     (word distinct), the iterative encode over |vocab| words, then an
+  *     equality join back to the exploded corpus (AQE broadcasts the
+  *     dictionary while it fits). Right when the consumer needs
+  *     vocabulary-keyed output anyway.
+  *   - [[tokenize]] computes its per-doc summaries INSIDE the document
+  *     row: one deterministic UDF walks the pre-token array with a
+  *     PER-TASK memoized encoder (entry-capped; see the method doc), so
+  *     the distinct-vocabulary exchange, the dictionary join, and the
+  *     corpus-sized regroup are gone — zero exchanges. Encode values are
+  *     identical per raw pre-token in both regimes.
+  * The non-codegen merge loop is O(len²) per distinct word either way —
   * this is the one place an iterative Scala function beats any Catalyst
-  * expression, and it runs on the bounded side.
+  * expression, and it runs on the bounded (distinct-word) side.
   *
   * Training ([[train]]) follows the same split: pair counting is the
   * data-sized distributed step (one word-frequency shuffle, capped at
@@ -169,8 +178,11 @@ object Bpe {
     * document row — pre-tokens split in codegen, then one UDF walks the
     * array, encoding each distinct word once per task through a memo
     * (Zipf: the hot vocabulary repeats within a task; the memo is capped
-    * at 2^20 entries so a pathological vocabulary degrades to re-encoding,
-    * never to unbounded task memory) and folding the count + md5 as it
+    * by an approximate BYTE budget — 32 MB of retained chars per task,
+    * ADVICE r16 #5: an entry cap alone let long-word vocabularies reach
+    * hundreds of MB across concurrent tasks — so a pathological
+    * vocabulary degrades to re-encoding, never to unbounded task
+    * memory) and folding the count + md5 as it
     * goes. The previous dictionary-join shape paid a distinct-vocabulary
     * exchange plus an occurrence-level join and a corpus-sized
     * collect_list regroup of every occurrence's token string — at 100 TB
@@ -184,6 +196,11 @@ object Bpe {
     val enc = udf(new (Seq[String] => (Long, String)) with Serializable {
       @transient private lazy val memo =
         new java.util.HashMap[String, Array[String]]()
+      // approximate retained chars (key + token strings); 16M chars
+      // ≈ 32 MB of char data per task — the memo stops ADMITTING past
+      // the budget and lookups degrade to re-encoding
+      @transient private var memoChars = 0L
+      private val memoCharBudget = 16L << 20
       def apply(words: Seq[String]): (Long, String) = {
         val sb = new java.lang.StringBuilder
         var n = 0L
@@ -192,7 +209,11 @@ object Bpe {
             var t = memo.get(w)
             if (t == null) {
               t = encodeWord(normalize(w, pt), ranks).toArray
-              if (memo.size < (1 << 20)) memo.put(w, t)
+              if (memoChars < memoCharBudget) {
+                memo.put(w, t)
+                memoChars += w.length.toLong +
+                  t.iterator.map(_.length.toLong).sum
+              }
             }
             var i = 0
             while (i < t.length) {

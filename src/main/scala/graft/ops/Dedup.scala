@@ -963,8 +963,11 @@ object Dedup {
     // where the old countDistinct's distinct-aggregate shuffled the full
     // (gram, doc_id) stream. The positional stream is then down to its
     // one probe consumer, so the old two-consumer checkpoint is moot;
-    // `reuseGrams` is kept for API compatibility (both settings now
-    // produce the single-consumer plan).
+    // `reuseGrams` is kept for API compatibility and is a NO-OP (both
+    // settings produce the same plan, which scans the corpus twice:
+    // once for the per-doc-distinct keeper stream, once for the
+    // positional probe stream — the deliberate trade for dropping the
+    // checkpoint; ADVICE r16 #4).
     val _ = reuseGrams
     val keepers = shingles(corpus, shingleK).groupBy(col("shingle"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
@@ -1454,15 +1457,20 @@ object Dedup {
       .join(frequent, Seq("line"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(collect_set(col("pos")).as("drop_pos"))
+    // NULL-text guards (ADVICE r16): a null text splits to a null array,
+    // so unguarded the rebuild yielded text_clean = NULL and
+    // kept_lines = size(null) = -1 where the pre-r16 shape reported ""
+    // and 0 — restore that degenerate-input behavior explicitly
     docs.select(col("doc_id"), split(col("text"), sep).as("ls"))
       .join(dropped, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        array_join(
+        coalesce(array_join(
           filter(col("ls"), (_, i) =>
             col("drop_pos").isNull || !array_contains(col("drop_pos"), i)),
-          sep).as("text_clean"),
-        (size(col("ls")) - coalesce(size(col("drop_pos")), lit(0)))
-          .cast("long").as("kept_lines"),
+          sep), lit("")).as("text_clean"),
+        greatest(lit(0L),
+          (size(col("ls")) - coalesce(size(col("drop_pos")), lit(0)))
+            .cast("long")).as("kept_lines"),
         coalesce(size(col("drop_pos")), lit(0)).cast("long")
           .as("dropped_lines"))
   }
